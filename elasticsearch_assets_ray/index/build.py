@@ -1,0 +1,361 @@
+"""Index build — SPIMI on Ray Data.
+
+Two phases (SURVEY.md §7.1):
+
+**Phase 1 (per-partition, embarrassingly parallel, checkpointed).**  One
+Ray task per :class:`PartitionSpec`: read the partition's row groups
+(columns pruned to what the index needs), exact-dedup on the id columns,
+assign docIDs ``doc_base + row``, sha256 the content (the per-row
+invariant from BASELINE.json ``input_hint``), tokenize (vectorized Arrow),
+and write three artifacts atomically (write-then-rename):
+
+- ``docstore/part-NNNNN.parquet`` — docID-ordered doc metadata + sha256 +
+  doc_len (+ content unless disabled),
+- ``runs/part-NNNNN.parquet``     — the partition's posting run: one row
+  per term with docID-sorted (docids, tfs, doclens) packed as binary,
+- ``manifests/part-NNNNN.json``   — lineage (path, row groups, fingerprint)
+  + metrics (doc/token/term counts).  A partition whose manifest exists is
+  SKIPPED on resume — an interrupted build never re-tokenizes (the holes /
+  recoveryData analog, reference dateSlicer.ts:308-335,
+  interfaces.ts:192-206).
+
+**Phase 2 (the one shuffle).**  ``read_parquet(runs) →
+groupby(term, bucket) → map_groups(merge)``.  ``bucket = pid //
+runs_per_bucket`` bounds every group to ≤ runs_per_bucket runs regardless
+of term frequency — 'import'/'return'/'def' shuffle into many disjoint
+docID-range groups instead of one giant one (the salted-repartition /
+subslice_by_key analog, reference dateSlicer.ts:381-394).  Because
+partition docID ranges are disjoint and ordered, merging a group is
+*concatenation* of sorted runs, never a k-way interleave; a term's full
+posting list is the bucket-ordered sequence of its segment rows.
+
+The merged group is encoded (delta + varint 128-doc blocks with per-block
+(last_docid, max_tf, min_dl) metadata) and written as segment rows
+partitioned by ``shard = hash(term) % num_shards`` so a query term touches
+one shard directory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from elasticsearch_assets_ray.index.codec import encode_postings
+from elasticsearch_assets_ray.sources.partition import (
+    DOC_SHIFT,
+    PartitionSpec,
+    plan_partitions,
+)
+from elasticsearch_assets_ray.stages.tokenizer import doc_term_freqs
+
+MANIFEST_VERSION = 1
+
+
+@dataclass
+class IndexConfig:
+    content_col: str = "content"
+    id_cols: tuple[str, ...] = ("repo", "path", "commit")
+    keep_cols: tuple[str, ...] = ("lang",)  # extra docstore columns
+    store_content: bool = True
+    target_partition_rows: int = 256 * 1024
+    runs_per_bucket: int = 32  # bounds merge-group size (skew cap)
+    num_shards: int = 16  # segment hash shards
+    extra: dict = field(default_factory=dict)
+
+
+def term_shard(terms: np.ndarray, num_shards: int) -> np.ndarray:
+    """Stable term→shard hash (not Python hash(): must be deterministic
+    across processes)."""
+    out = np.empty(len(terms), dtype=np.int64)
+    for i, t in enumerate(terms):
+        h = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
+        out[i] = int.from_bytes(h, "little") % num_shards
+    return out
+
+
+def _atomic_write_table(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _atomic_write_json(obj: dict, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _binary_from_offsets(values: np.ndarray, boundaries: np.ndarray) -> pa.Array:
+    """Zero-copy large_binary array: cell i = values[boundaries[i]:boundaries[i+1]]
+    as raw little-endian bytes.  No per-term Python loop."""
+    item = values.dtype.itemsize
+    offs = (boundaries * item).astype(np.int64)
+    return pa.Array.from_buffers(
+        pa.large_binary(),
+        len(boundaries) - 1,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(np.ascontiguousarray(values).tobytes())],
+    )
+
+
+def sha256_column(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Per-row sha256 hex of a string column (the input_hint invariant)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = [
+        hashlib.sha256(v.encode("utf-8")).hexdigest() if v is not None else None
+        for v in col.to_pylist()
+    ]
+    return pa.array(out, type=pa.string())
+
+
+def build_partition(spec: PartitionSpec, cfg: IndexConfig, out_dir: str) -> dict:
+    """Phase-1 task body: one partition → docstore shard + posting run +
+    manifest.  Pure function of (spec, cfg, input bytes) — safe to retry;
+    all writes are write-then-rename."""
+    name = f"part-{spec.pid:05d}"
+    man_path = os.path.join(out_dir, "manifests", name + ".json")
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            return json.load(f)
+
+    needed = list(
+        dict.fromkeys([*cfg.id_cols, *cfg.keep_cols, cfg.content_col])
+    )
+    pf = pq.ParquetFile(spec.path)
+    table = pf.read_row_groups(spec.row_groups, columns=needed)
+    n_raw = table.num_rows
+
+    # exact dedup on id columns, keep first occurrence (ES 'create' analog
+    # within a partition; reference ElasticsearchBulkSender.ts create action)
+    if len(cfg.id_cols) and n_raw:
+        key_parts = [pc.cast(table[c], pa.string()) for c in cfg.id_cols]
+        key = key_parts[0]
+        for p in key_parts[1:]:
+            key = pc.binary_join_element_wise(key, p, "\x1f")
+        # first-occurrence mask via dictionary codes
+        codes = pc.dictionary_encode(key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key).indices.to_numpy(zero_copy_only=False)
+        first = np.zeros(len(codes), dtype=bool)
+        seen = np.full(codes.max() + 1 if len(codes) else 0, -1, dtype=np.int64)
+        idx = np.arange(len(codes))
+        # reverse-scan trick: last write wins → write reversed indices so the
+        # stored index is the FIRST occurrence
+        seen[codes[::-1]] = idx[::-1]
+        first[seen[seen >= 0]] = True
+        if not first.all():
+            table = table.filter(pa.array(first))
+
+    n_docs = table.num_rows
+    doc_ids = spec.doc_base + np.arange(n_docs, dtype=np.int64)
+
+    content = table[cfg.content_col]
+    tb = doc_term_freqs(content)
+    total_tokens = int(tb.doc_len.sum())
+
+    # --- docstore shard ---
+    doc_cols: dict[str, pa.Array] = {"doc_id": pa.array(doc_ids)}
+    for c in cfg.id_cols + tuple(k for k in cfg.keep_cols if k in table.column_names):
+        doc_cols[c] = table[c].combine_chunks() if isinstance(table[c], pa.ChunkedArray) else table[c]
+    doc_cols["sha256"] = sha256_column(content)
+    doc_cols["doc_len"] = pa.array(tb.doc_len)
+    if cfg.store_content:
+        doc_cols[cfg.content_col] = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+    _atomic_write_table(pa.table(doc_cols), os.path.join(out_dir, "docstore", name + ".parquet"))
+
+    # --- posting run: per-term docID-sorted arrays ---
+    # tb pairs are sorted by (doc, term-code); resort by (term, doc).
+    # np.unique on terms gives sorted term ids.
+    uterms, term_ids = np.unique(tb.terms, return_inverse=True)
+    order = np.lexsort((tb.doc_idx, term_ids))
+    s_tid = term_ids[order]
+    s_doc = doc_ids[tb.doc_idx[order]]
+    s_tf = tb.tfs[order].astype(np.int32)
+    s_dl = tb.doc_len[tb.doc_idx[order]].astype(np.int32)
+    if len(s_tid):
+        boundaries = np.concatenate(
+            ([0], np.flatnonzero(np.diff(s_tid)) + 1, [len(s_tid)])
+        )
+    else:
+        boundaries = np.zeros(1, dtype=np.int64)
+    df_local = np.diff(boundaries)
+    cf_local = np.add.reduceat(s_tf.astype(np.int64), boundaries[:-1]) if len(s_tid) else np.empty(0, dtype=np.int64)
+    min_docid = s_doc[boundaries[:-1]] if len(s_tid) else np.empty(0, dtype=np.int64)
+    run = pa.table(
+        {
+            "term": pa.array(uterms, type=pa.string()),
+            "pid": pa.array(np.full(len(uterms), spec.pid, dtype=np.int64)),
+            "min_docid": pa.array(min_docid),
+            "df_local": pa.array(df_local.astype(np.int64)),
+            "cf_local": pa.array(cf_local),
+            "docids_le": _binary_from_offsets(s_doc, boundaries),
+            "tfs_le": _binary_from_offsets(s_tf, boundaries),
+            "dls_le": _binary_from_offsets(s_dl, boundaries),
+        }
+    )
+    _atomic_write_table(run, os.path.join(out_dir, "runs", name + ".parquet"))
+
+    manifest = {
+        "version": MANIFEST_VERSION,
+        "pid": spec.pid,
+        "path": spec.path,
+        "row_groups": spec.row_groups,
+        "n_raw_rows": n_raw,
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "n_terms_local": len(uterms),
+    }
+    _atomic_write_json(manifest, man_path)  # LAST: presence == partition done
+    return manifest
+
+
+def _build_partition_batch(batch: pa.Table, cfg: IndexConfig, out_dir: str) -> pa.Table:
+    """map_batches fn over spec rows (stateless tasks; one block per spec)."""
+    manifests = []
+    for row in batch.to_pylist():
+        m = build_partition(PartitionSpec.from_row(row), cfg, out_dir)
+        manifests.append(
+            {k: m[k] for k in ("pid", "n_raw_rows", "n_docs", "total_tokens", "n_terms_local")}
+        )
+    return pa.Table.from_pylist(manifests)
+
+
+def _merge_group(group: pa.Table, num_shards: int) -> pa.Table:
+    """Phase-2 map_groups body: merge one (term, bucket) group's runs.
+
+    Runs have disjoint ordered docID ranges → concatenation in min_docid
+    order yields the docID-sorted posting list (no interleave needed)."""
+    order = np.argsort(group["min_docid"].to_numpy(zero_copy_only=False), kind="stable")
+    docids = np.concatenate(
+        [np.frombuffer(group["docids_le"][int(i)].as_py(), dtype=np.int64) for i in order]
+    )
+    tfs = np.concatenate(
+        [np.frombuffer(group["tfs_le"][int(i)].as_py(), dtype=np.int32) for i in order]
+    ).astype(np.int64)
+    dls = np.concatenate(
+        [np.frombuffer(group["dls_le"][int(i)].as_py(), dtype=np.int32) for i in order]
+    ).astype(np.int64)
+    ep = encode_postings(docids, tfs, dls)
+    term = group["term"][0].as_py()
+    bucket = group["bucket"][0].as_py()
+    shard = int(term_shard(np.array([term], dtype=object), num_shards)[0])
+    return pa.table(
+        {
+            "term": pa.array([term], type=pa.string()),
+            "bucket": pa.array([int(bucket)], type=pa.int64()),
+            "shard": pa.array([shard], type=pa.int64()),
+            "df": pa.array([ep.df], type=pa.int64()),
+            "cf": pa.array([int(tfs.sum())], type=pa.int64()),
+            "min_docid": pa.array([int(docids[0])], type=pa.int64()),
+            "max_docid": pa.array([int(docids[-1])], type=pa.int64()),
+            "n_blocks": pa.array([len(ep.block_offsets)], type=pa.int32()),
+            "blob": pa.array([ep.blob], type=pa.large_binary()),
+            "block_last": pa.array([ep.block_last_docid.tobytes()], type=pa.large_binary()),
+            "block_off": pa.array([ep.block_offsets.tobytes()], type=pa.large_binary()),
+            "block_maxtf": pa.array([ep.block_max_tf.tobytes()], type=pa.large_binary()),
+            "block_mindl": pa.array([ep.block_min_dl.tobytes()], type=pa.large_binary()),
+        }
+    )
+
+
+def build_index(
+    paths: str | list[str],
+    out_dir: str,
+    *,
+    config: IndexConfig | None = None,
+    resume: bool = True,
+    **cfg_kwargs,
+) -> dict:
+    """Build (or resume) the full index at ``out_dir``.  Returns the global
+    manifest.  Ray must already be initialised by the caller."""
+    cfg = config or IndexConfig(**cfg_kwargs)
+    specs = plan_partitions(paths, cfg.target_partition_rows)
+    if not specs:
+        raise ValueError(f"no parquet input found at {paths!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    if not resume:
+        for sub in ("manifests", "runs", "docstore", "segments"):
+            p = os.path.join(out_dir, sub)
+            if os.path.exists(p):
+                import shutil
+
+                shutil.rmtree(p)
+        gm = os.path.join(out_dir, "manifest.json")
+        if os.path.exists(gm):
+            os.unlink(gm)
+
+    gm_path = os.path.join(out_dir, "manifest.json")
+    if resume and os.path.exists(gm_path):
+        with open(gm_path) as f:
+            gm = json.load(f)
+        if gm.get("complete") and gm.get("n_partitions") == len(specs):
+            return gm
+
+    # ---- phase 1: per-partition build (skips completed partitions) ----
+    spec_ds = ray.data.from_items(
+        [s.to_row() for s in specs], override_num_blocks=len(specs)
+    )
+    import functools
+
+    manifests = spec_ds.map_batches(
+        functools.partial(_build_partition_batch, cfg=cfg, out_dir=out_dir),
+        batch_format="pyarrow",
+    ).to_pandas()
+
+    n_docs = int(manifests["n_docs"].sum())
+    total_tokens = int(manifests["total_tokens"].sum())
+
+    # ---- phase 2: the term shuffle ----
+    seg_dir = os.path.join(out_dir, "segments")
+    if os.path.exists(seg_dir):
+        import shutil
+
+        shutil.rmtree(seg_dir)  # phase 2 is cheap relative to phase 1; redo whole
+    runs = ray.data.read_parquet(os.path.join(out_dir, "runs"))
+    rpb = cfg.runs_per_bucket
+    runs = runs.map_batches(
+        lambda t: t.append_column(
+            "bucket", pc.divide(t["pid"], pa.scalar(rpb, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    num_shards = cfg.num_shards
+    segments = runs.groupby(["term", "bucket"]).map_groups(
+        lambda g: _merge_group(g, num_shards), batch_format="pyarrow"
+    )
+    segments.write_parquet(seg_dir, partition_cols=["shard"])
+
+    global_manifest = {
+        "version": MANIFEST_VERSION,
+        "complete": True,
+        "n_partitions": len(specs),
+        "n_docs": n_docs,
+        "n_raw_rows": int(manifests["n_raw_rows"].sum()),
+        "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "n_term_partitions": int(manifests["n_terms_local"].sum()),
+        "doc_shift": DOC_SHIFT,
+        "num_shards": cfg.num_shards,
+        "runs_per_bucket": cfg.runs_per_bucket,
+        "content_col": cfg.content_col,
+        "id_cols": list(cfg.id_cols),
+        "store_content": cfg.store_content,
+    }
+    _atomic_write_json(global_manifest, gm_path)
+    return global_manifest

@@ -1,0 +1,308 @@
+"""Query engine: BM25 top-k over the on-disk index with block-max dynamic
+pruning, plus an actor-pool batch-serving stage.
+
+Rank identity with the brute-force oracle is structural: same tokenizer,
+same scoring module (:mod:`.bm25`), same per-doc float addition order.
+
+**Pruning (WAND family).**  The index stores each term's postings as
+bucket rows over *disjoint, ordered docID ranges* (build.py phase 2), each
+row carrying per-128-doc-block (last_docid, max_tf, min_dl).  The engine
+scores bucket-at-a-time:
+
+1. per bucket, upper bound = Σ_terms max-block-impact in that bucket
+   (valid because BM25's tf-saturation is increasing in tf, decreasing
+   in doclen — bm25.block_max_score);
+2. buckets are processed in descending bound order; once the running
+   top-k threshold θ ≥ bound, every remaining bucket is provably unable
+   to place a doc in the top-k and is skipped *undecoded*;
+3. surviving buckets are scored exactly with vectorized accumulation.
+
+This is the block-max pruning of BMW applied at the docID-range level
+that our partitioned layout gives for free, and it vectorizes (numpy)
+instead of a per-doc pivot walk; skipped work = whole compressed ranges.
+The reference delegates this entirely to Elasticsearch/Lucene (SURVEY.md
+Q4: lucene ``query_string`` passthrough, utils.ts:94-100).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from elasticsearch_assets_ray.index.codec import decode_postings
+from elasticsearch_assets_ray.query import bm25
+from elasticsearch_assets_ray.query.parser import ParsedQuery, parse_query
+
+_SEG_COLS = [
+    "term",
+    "bucket",
+    "df",
+    "min_docid",
+    "max_docid",
+    "n_blocks",
+    "blob",
+    "block_maxtf",
+    "block_mindl",
+]
+
+
+class Searcher:
+    """Loads index metadata once; per-query work reads only the segment
+    rows of the query's terms (shard-pruned).  Use one instance per
+    process/actor — this is the state the reference keeps in its
+    state-storage/API-factory actors (SURVEY.md T1/T2)."""
+
+    def __init__(self, index_dir: str, prune: bool = True):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.manifest = json.load(f)
+        self.n_docs = int(self.manifest["n_docs"])
+        self.avgdl = float(self.manifest["avgdl"])
+        self.num_shards = int(self.manifest["num_shards"])
+        self.prune = prune
+        self._seg = pads.dataset(
+            os.path.join(index_dir, "segments"), partitioning="hive"
+        )
+        self._doc_ids: np.ndarray | None = None
+        self._doc_lens: np.ndarray | None = None
+
+    # ---------- doc-length lookup (norms analog) ----------
+    def _load_doclens(self) -> None:
+        if self._doc_ids is not None:
+            return
+        t = pads.dataset(os.path.join(self.index_dir, "docstore")).to_table(
+            columns=["doc_id", "doc_len"]
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        self._doc_ids = ids[order]
+        self._doc_lens = lens[order]
+
+    def doclens_for(self, docids: np.ndarray) -> np.ndarray:
+        self._load_doclens()
+        idx = np.searchsorted(self._doc_ids, docids)
+        return self._doc_lens[idx]
+
+    # ---------- segment lookup ----------
+    def _segment_rows(self, terms: list[str]) -> pa.Table:
+        """All (term, bucket) rows for the given terms; shard-level
+        directory pruning + parquet row filtering."""
+        if not terms:
+            return None
+        from elasticsearch_assets_ray.index.build import term_shard
+
+        shards = sorted(set(term_shard(np.array(terms, dtype=object), self.num_shards).tolist()))
+        filt = pc.field("term").isin(terms) & pc.field("shard").isin(shards)
+        return self._seg.to_table(columns=_SEG_COLS, filter=filt)
+
+    # ---------- search ----------
+    def search(self, query: str | ParsedQuery, k: int = 10) -> pa.Table:
+        """Top-k → pa.Table(doc_id int64, score float64), score desc,
+        docID-asc tie-break."""
+        q = parse_query(query) if isinstance(query, str) else query
+        ids, scores = self._score(q, k=k if self.prune else None)
+        ids, scores = bm25.sort_topk(ids, scores, k)
+        return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
+
+    def all_scores(self, query: str | ParsedQuery) -> pa.Table:
+        """Every matching doc's score (no pruning) — the oracle-comparable
+        full result set."""
+        q = parse_query(query) if isinstance(query, str) else query
+        ids, scores = self._score(q, k=None)
+        return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
+
+    # ---------- internals ----------
+    def _score(self, q: ParsedQuery, k: int | None) -> tuple[np.ndarray, np.ndarray]:
+        terms = q.scoring_terms
+        need = sorted(set(terms) | set(q.must_not))
+        seg = self._segment_rows(need)
+        if seg is None or seg.num_rows == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+        seg_term = np.asarray(seg["term"].to_pylist(), dtype=object)
+        seg_bucket = seg["bucket"].to_numpy(zero_copy_only=False)
+        seg_df = seg["df"].to_numpy(zero_copy_only=False)
+
+        # global df per term = Σ bucket rows (SURVEY §2.6 global stats)
+        df_by_term: dict[str, int] = {}
+        for t, d in zip(seg_term, seg_df):
+            df_by_term[t] = df_by_term.get(t, 0) + int(d)
+
+        idf_by_term = {
+            t: bm25.math_idf(df_by_term[t], self.n_docs)
+            for t in terms
+            if t in df_by_term
+        }
+        must = [t for t in set(q.must)]
+        # a must term absent from the index ⇒ empty result
+        for t in must:
+            if t not in df_by_term:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+        buckets = np.unique(seg_bucket)
+        # rows grouped by bucket for scoring; per-bucket upper bounds
+        row_idx_by_bucket: dict[int, list[int]] = {int(b): [] for b in buckets}
+        for i in range(seg.num_rows):
+            row_idx_by_bucket[int(seg_bucket[i])].append(i)
+
+        bounds = {}
+        if k is not None:
+            maxtf_col = seg["block_maxtf"]
+            mindl_col = seg["block_mindl"]
+            for b, rows in row_idx_by_bucket.items():
+                ub = 0.0
+                for i in rows:
+                    t = seg_term[i]
+                    w = idf_by_term.get(t)
+                    if w is None:
+                        continue  # must_not-only term: no score contribution
+                    mtf = np.frombuffer(maxtf_col[i].as_py(), dtype=np.int32)
+                    mdl = np.frombuffer(mindl_col[i].as_py(), dtype=np.int32)
+                    ub += float(
+                        np.max(
+                            bm25.tf_saturation(
+                                mtf.astype(np.float64), mdl.astype(np.float64), self.avgdl
+                            )
+                        )
+                        * w
+                    )
+                bounds[b] = ub
+            order = sorted(bounds, key=lambda b: -bounds[b])
+        else:
+            order = [int(b) for b in buckets]
+
+        blob_col = seg["blob"]
+        all_ids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        theta = -np.inf
+        heap_ids = np.empty(0, dtype=np.int64)
+        heap_scores = np.empty(0, dtype=np.float64)
+
+        for b in order:
+            if k is not None and heap_ids.size >= k and bounds[b] <= theta:
+                break  # every remaining bucket bounded below θ — skip undecoded
+            rows = row_idx_by_bucket[b]
+            # decode this bucket's postings per term (sorted term order)
+            per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for i in rows:
+                t = seg_term[i]
+                d, tf = decode_postings(blob_col[i].as_py(), int(seg_df[i]))
+                if t in per_term:  # same term, same bucket can't repeat, but be safe
+                    d = np.concatenate([per_term[t][0], d])
+                    tf = np.concatenate([per_term[t][1], tf])
+                per_term[t] = (d, tf)
+            plist = []
+            for t in terms:
+                if t in per_term:
+                    d, tf = per_term[t]
+                    plist.append((df_by_term[t], d, tf, self.doclens_for(d)))
+            # NB: df passed to score_accumulate is unused there for idf —
+            # compute scores with the *global* idf explicitly:
+            ids_b, scores_b = self._accumulate(plist, [t for t in terms if t in per_term], idf_by_term)
+            # must / must_not masks within the bucket
+            mask = np.ones(ids_b.size, dtype=bool)
+            for t in must:
+                have = per_term.get(t, (np.empty(0, dtype=np.int64), None))[0]
+                mask &= np.isin(ids_b, have)
+            for t in set(q.must_not):
+                if t in per_term:
+                    mask &= ~np.isin(ids_b, per_term[t][0])
+            ids_b, scores_b = ids_b[mask], scores_b[mask]
+            if k is None:
+                all_ids.append(ids_b)
+                all_scores.append(scores_b)
+            elif ids_b.size:
+                heap_ids = np.concatenate([heap_ids, ids_b])
+                heap_scores = np.concatenate([heap_scores, scores_b])
+                heap_ids, heap_scores = bm25.sort_topk(heap_ids, heap_scores, k)
+                if heap_ids.size >= k:
+                    theta = float(heap_scores[-1])
+
+        if k is None:
+            if not all_ids:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            return np.concatenate(all_ids), np.concatenate(all_scores)
+        return heap_ids, heap_scores
+
+    def _accumulate(
+        self,
+        plist: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]],
+        term_order: list[str],
+        idf_by_term: dict[str, float],
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized per-bucket accumulation, term-major order (matches
+        bm25.score_accumulate / the oracle bit-for-bit)."""
+        if not plist:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        id_parts, score_parts = [], []
+        for (df, d, tf, dl), t in zip(plist, term_order):
+            w = idf_by_term[t]
+            id_parts.append(d)
+            score_parts.append(w * bm25.tf_saturation(tf, dl, self.avgdl))
+        all_ids = np.concatenate(id_parts)
+        all_sc = np.concatenate(score_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        sums = np.bincount(inv, weights=all_sc, minlength=uniq.size)
+        return uniq.astype(np.int64), sums.astype(np.float64)
+
+    # ---------- doc hydration ----------
+    def hydrate(self, docids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
+        """Fetch docstore rows for internal docIDs (the mget analog,
+        reference elasticsearch_state_storage/api.ts)."""
+        ds = pads.dataset(os.path.join(self.index_dir, "docstore"))
+        cols = columns
+        t = ds.to_table(columns=cols, filter=pc.field("doc_id").isin(pa.array(docids)))
+        # preserve requested order
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = {int(d): i for i, d in enumerate(ids)}
+        take = [pos[int(d)] for d in docids if int(d) in pos]
+        return t.take(pa.array(take, type=pa.int64()))
+
+
+class QueryEngineActor:
+    """Actor-pool batch query serving: pass to
+    ``ds.map_batches(QueryEngineActor, fn_constructor_kwargs=dict(index_dir=...),
+    concurrency=N, batch_format="pyarrow")`` over a table with columns
+    (query_id, query).  Index shards are loaded once per actor
+    (``__init__``), never per batch."""
+
+    def __init__(self, index_dir: str, k: int = 10, prune: bool = True):
+        self.searcher = Searcher(index_dir, prune=prune)
+        self.searcher._load_doclens()
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids: list[int] = []
+        docids: list[np.ndarray] = []
+        scores: list[np.ndarray] = []
+        ranks: list[np.ndarray] = []
+        for qid, qtext in zip(batch["query_id"].to_pylist(), batch["query"].to_pylist()):
+            res = self.searcher.search(qtext, k=self.k)
+            n = res.num_rows
+            qids.extend([qid] * n)
+            docids.append(res["doc_id"].to_numpy(zero_copy_only=False))
+            scores.append(res["score"].to_numpy(zero_copy_only=False))
+            ranks.append(np.arange(1, n + 1, dtype=np.int64))
+        if not docids:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(docids)),
+                "rank": pa.array(np.concatenate(ranks)),
+                "score": pa.array(np.concatenate(scores)),
+            }
+        )

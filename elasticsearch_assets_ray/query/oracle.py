@@ -1,0 +1,59 @@
+"""Brute-force BM25 reference scorer — the in-repo oracle the engine must
+be rank-identical against (BASELINE.json north_rule).  Scans every
+document, no index, no pruning; shares the tokenizer and the scoring
+module with the engine so identity is structural.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from elasticsearch_assets_ray.query import bm25
+from elasticsearch_assets_ray.query.parser import ParsedQuery, parse_query
+from elasticsearch_assets_ray.stages.tokenizer import doc_term_freqs
+
+
+class OracleIndex:
+    """In-memory term → (docids, tfs) map over a small corpus table."""
+
+    def __init__(self, table: pa.Table, content_col: str = "content", id_col: str = "doc_id"):
+        ids = table[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tb = doc_term_freqs(table[content_col])
+        self.n_docs = table.num_rows
+        self.doc_len = tb.doc_len
+        self.avgdl = (tb.doc_len.sum() / self.n_docs) if self.n_docs else 0.0
+        self.doc_ids = ids
+        self.postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        order = np.lexsort((tb.doc_idx,))  # already doc-sorted; stable
+        uterms, inv = np.unique(tb.terms, return_inverse=True)
+        o = np.lexsort((tb.doc_idx, inv))
+        s_term, s_doc, s_tf = inv[o], tb.doc_idx[o], tb.tfs[o]
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(s_term)) + 1, [len(s_term)])) if len(s_term) else np.zeros(1, dtype=np.int64)
+        for i, t in enumerate(uterms):
+            lo, hi = bounds[i], bounds[i + 1]
+            d = s_doc[lo:hi]
+            self.postings[str(t)] = (ids[d], s_tf[lo:hi], tb.doc_len[d])
+
+    def all_scores(self, query: str | ParsedQuery) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, bm25) for every doc matching the query (must/must_not
+        honoured), unordered-by-contract."""
+        pq_ = parse_query(query) if isinstance(query, str) else query
+        plist = [
+            (len(self.postings[t][0]), *self.postings[t])
+            for t in pq_.scoring_terms
+            if t in self.postings
+        ]
+        ids, scores = bm25.score_accumulate(self.n_docs, self.avgdl, plist)
+        mask = np.ones(ids.size, dtype=bool)
+        for t in set(pq_.must):
+            have = self.postings.get(t, (np.empty(0, dtype=np.int64),))[0]
+            mask &= np.isin(ids, have)
+        for t in set(pq_.must_not):
+            have = self.postings.get(t, (np.empty(0, dtype=np.int64),))[0]
+            mask &= ~np.isin(ids, have)
+        return ids[mask], scores[mask]
+
+    def topk(self, query: str | ParsedQuery, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        ids, scores = self.all_scores(query)
+        return bm25.sort_topk(ids, scores, k)

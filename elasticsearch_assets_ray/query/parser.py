@@ -1,0 +1,66 @@
+"""Query parsing — the native analog of the reference's lucene
+``query_string`` passthrough (reference: utils.ts:94-100 builds
+``query_string`` clauses; SpacesReaderClient.translateSearchQuery:134-262
+is the DSL→xLucene printer our ``to_string`` mirrors, SURVEY.md Q4/Q8).
+
+Grammar (lucene subset, whitespace-separated clauses):
+
+    clause := ['+'|'-'] text
+    text   := bare word | '"quoted text"'
+
+- bare clause   → SHOULD terms (ranked disjunction, BM25-summed)
+- ``+`` clause  → MUST terms (doc must contain every one; still scored)
+- ``-`` clause  → MUST_NOT terms (doc excluded if it contains any)
+
+Each clause's text runs through the SAME analyzer as indexing
+(:mod:`..stages.tokenizer`), so ``+fooBar`` expands to must-terms
+``foo`` and ``bar``.  Scoring terms = sorted unique (should ∪ must).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+_CLAUSE_RE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
+
+
+@dataclass
+class ParsedQuery:
+    should: list[str] = field(default_factory=list)
+    must: list[str] = field(default_factory=list)
+    must_not: list[str] = field(default_factory=list)
+
+    @property
+    def scoring_terms(self) -> list[str]:
+        """Sorted unique terms that contribute to BM25 (pins float
+        addition order engine- and oracle-side)."""
+        return sorted(set(self.should) | set(self.must))
+
+    def to_string(self) -> str:
+        """Canonical printable form (golden-string tests, Q8 analog)."""
+        parts = (
+            [f"+{t}" for t in sorted(set(self.must))]
+            + [f"-{t}" for t in sorted(set(self.must_not))]
+            + sorted(set(self.should))
+        )
+        return " ".join(parts)
+
+
+def parse_query(q: str) -> ParsedQuery:
+    out = ParsedQuery()
+    for m in _CLAUSE_RE.finditer(q or ""):
+        op, body, quoted = m.group(1), m.group(2), m.group(3)
+        text = quoted if quoted is not None else body
+        terms = tokenize_text(text)
+        if not terms:
+            continue
+        if op == "+":
+            out.must.extend(terms)
+        elif op == "-":
+            out.must_not.extend(terms)
+        else:
+            out.should.extend(terms)
+    return out

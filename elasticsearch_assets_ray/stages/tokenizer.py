@@ -1,0 +1,117 @@
+"""Code-aware tokenizer — the single analysis chain shared by the index
+builder AND the brute-force oracle scorer (rank-identity requires one
+tokenizer, SURVEY.md §7.4).
+
+Analysis chain (canonical, pinned):
+
+1. camelCase boundary split: insert a space at every lower/digit→UPPER
+   boundary (``getHTTPResponse`` → ``get HTTPResponse``).
+2. lowercase.
+3. split on runs of anything outside ``[a-z0-9]`` (this also splits
+   snake_case at ``_`` and dotted paths at ``.``).
+4. drop empty tokens and tokens longer than ``MAX_TOKEN_LEN`` (minified
+   blobs / embedded base64).
+
+Two implementations with tested parity:
+
+- :func:`tokenize_text` — pure Python, used by the oracle and tests.
+- :func:`doc_term_freqs` — vectorized Arrow/numpy path used inside
+  ``map_batches(batch_format="pyarrow")``; never iterates Python rows.
+
+The ES analog is the ``standard`` analyzer the reference delegates to
+(reference: ElasticsearchReaderClient.ts search/count calls — tokenization
+is entirely ES-side there).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MAX_TOKEN_LEN = 64
+
+# lower-or-digit followed by upper = camelCase boundary
+_CAMEL_RE_STR = r"([a-z0-9])([A-Z])"
+_SPLIT_RE_STR = r"[^a-z0-9]+"
+
+_CAMEL_RE = re.compile(_CAMEL_RE_STR)
+_SPLIT_RE = re.compile(_SPLIT_RE_STR)
+
+
+def tokenize_text(text: str) -> list[str]:
+    """Pure-Python reference tokenizer (oracle path)."""
+    if not text:
+        return []
+    s = _CAMEL_RE.sub(r"\1 \2", text).lower()
+    return [t for t in _SPLIT_RE.split(s) if 0 < len(t) <= MAX_TOKEN_LEN]
+
+
+@dataclass
+class TokenizedBatch:
+    """Per-batch tokenization result (all arrays aligned to unique
+    (doc, term) pairs except ``doc_len`` which is per input row)."""
+
+    doc_idx: np.ndarray  # int64, index into the input batch rows
+    terms: np.ndarray  # object/str array of terms
+    tfs: np.ndarray  # int64 term frequency per (doc, term)
+    doc_len: np.ndarray  # int64 kept-token count per input row
+
+
+def tokenize_column(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized steps 1-3 → list<string> (may contain empty tokens)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pc.replace_substring_regex(col, _CAMEL_RE_STR, r"\1 \2")
+    s = pc.utf8_lower(s)
+    return pc.split_pattern_regex(s, _SPLIT_RE_STR)
+
+
+def doc_term_freqs(col: pa.Array | pa.ChunkedArray) -> TokenizedBatch:
+    """Vectorized (doc, term, tf) + doc lengths for a batch of texts.
+
+    Hot path of the index build: Arrow kernels for the string work, then
+    dictionary-encode + np.unique for the tf counting — no Python loop
+    over rows or tokens.
+    """
+    toks = tokenize_column(col)
+    n_docs = len(toks)
+    if n_docs == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return TokenizedBatch(empty, np.empty(0, dtype=object), empty, empty)
+
+    # flatten with per-token doc index
+    toks = toks.fill_null([])
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values  # StringArray of all tokens incl. empties
+    doc_idx_all = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+
+    # step 4: drop empties and over-long tokens (vectorized length mask)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    keep = (lens > 0) & (lens <= MAX_TOKEN_LEN)
+    if not keep.all():
+        keep_arr = pa.array(keep)
+        flat = flat.filter(keep_arr)
+        doc_idx_all = doc_idx_all[keep]
+
+    doc_len = np.bincount(doc_idx_all, minlength=n_docs).astype(np.int64)
+
+    if len(flat) == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return TokenizedBatch(empty, np.empty(0, dtype=object), empty, doc_len)
+
+    # tf per (doc, term): dictionary-encode terms to int codes, then count
+    # unique (doc_idx, code) pairs via a single composite int64 key.
+    dict_arr = pc.dictionary_encode(flat)
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = dict_arr.dictionary
+    vocab_size = len(vocab)
+    key = doc_idx_all * vocab_size + codes
+    uniq, tfs = np.unique(key, return_counts=True)
+    u_doc = uniq // vocab_size
+    u_code = uniq % vocab_size
+    u_terms = np.asarray(vocab.take(pa.array(u_code)))
+    return TokenizedBatch(u_doc, u_terms, tfs.astype(np.int64), doc_len)

@@ -1,0 +1,153 @@
+import hashlib
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from elasticsearch_assets_ray.index.build import build_index
+from elasticsearch_assets_ray.sources.partition import plan_partitions
+
+
+def test_plan_partitions_counts(corpus_dir):
+    specs = plan_partitions(corpus_dir, target_rows=128)
+    assert sum(s.n_rows for s in specs) == 600
+    assert all(s.n_rows <= 128 for s in specs)
+    # stable pids and disjoint doc bases
+    bases = [s.doc_base for s in specs]
+    assert bases == sorted(set(bases))
+    assert specs == plan_partitions(corpus_dir, target_rows=128)
+
+
+def test_manifest_counts(built_index):
+    idx_dir, manifest = built_index
+    assert manifest["complete"]
+    assert manifest["n_docs"] == 600  # corpus has no dup (repo,path,commit)
+    doc = pads.dataset(os.path.join(idx_dir, "docstore")).to_table()
+    assert doc.num_rows == 600
+    assert manifest["total_tokens"] == int(
+        pa.compute.sum(doc["doc_len"]).as_py()
+    )
+    assert abs(manifest["avgdl"] - manifest["total_tokens"] / 600) < 1e-12
+
+
+def test_sha256_invariant(built_index, corpus_dir):
+    """input_hint: per-row content sha256 equality through the docstore."""
+    idx_dir, _ = built_index
+    doc = pads.dataset(os.path.join(idx_dir, "docstore")).to_table(
+        columns=["repo", "path", "commit", "sha256", "content"]
+    )
+    src = pads.dataset(corpus_dir).to_table()
+    src_map = {
+        (r, p, c): hashlib.sha256(txt.encode()).hexdigest()
+        for r, p, c, txt in zip(
+            src["repo"].to_pylist(),
+            src["path"].to_pylist(),
+            src["commit"].to_pylist(),
+            src["content"].to_pylist(),
+        )
+    }
+    for r, p, c, h, txt in zip(
+        doc["repo"].to_pylist(),
+        doc["path"].to_pylist(),
+        doc["commit"].to_pylist(),
+        doc["sha256"].to_pylist(),
+        doc["content"].to_pylist(),
+    ):
+        assert src_map[(r, p, c)] == h
+        assert hashlib.sha256(txt.encode()).hexdigest() == h
+
+
+def test_postings_consistent_with_docstore(built_index):
+    """Σ df over segment rows per term == brute-force df from content."""
+    idx_dir, manifest = built_index
+    seg = pads.dataset(os.path.join(idx_dir, "segments"), partitioning="hive").to_table(
+        columns=["term", "df", "min_docid", "max_docid"]
+    )
+    # docID ranges of a term's bucket rows never overlap
+    import collections
+
+    by_term = collections.defaultdict(list)
+    for t, lo, hi in zip(
+        seg["term"].to_pylist(), seg["min_docid"].to_pylist(), seg["max_docid"].to_pylist()
+    ):
+        by_term[t].append((lo, hi))
+    for t, ranges in by_term.items():
+        ranges.sort()
+        for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+            assert h1 < l2, f"overlapping bucket ranges for {t}"
+
+    from elasticsearch_assets_ray.stages.tokenizer import doc_term_freqs
+
+    doc = pads.dataset(os.path.join(idx_dir, "docstore")).to_table(columns=["content"])
+    tb = doc_term_freqs(doc["content"])
+    ref_df = collections.Counter(tb.terms.tolist())
+    got_df = collections.Counter()
+    for t, d in zip(seg["term"].to_pylist(), seg["df"].to_pylist()):
+        got_df[t] += d
+    assert got_df == ref_df
+
+
+def test_dedup_exact(tmp_path, ray_session):
+    t = pa.table(
+        {
+            "repo": ["r", "r", "r", "s"],
+            "path": ["a", "a", "b", "a"],
+            "commit": ["1", "1", "1", "1"],
+            "lang": ["python"] * 4,
+            "content": ["def first(): pass", "def second(): pass", "x", "y"],
+        }
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(t, str(src / "f.parquet"))
+    m = build_index(str(src), str(tmp_path / "idx"), target_partition_rows=1024)
+    assert m["n_raw_rows"] == 4
+    assert m["n_docs"] == 3  # (r,a,1) duplicated — first occurrence kept
+    doc = pads.dataset(str(tmp_path / "idx/docstore")).to_table()
+    kept = dict(zip(zip(doc["repo"].to_pylist(), doc["path"].to_pylist()), doc["content"].to_pylist()))
+    assert kept[("r", "a")] == "def first(): pass"
+
+
+def test_resume_skips_completed_partitions(tmp_path, corpus_dir, ray_session):
+    out = str(tmp_path / "idx")
+    m1 = build_index(corpus_dir, out, target_partition_rows=256, runs_per_bucket=2)
+    # simulate a crash after some partitions: drop one partition's artifacts
+    # and the global manifest, keep the rest
+    os.unlink(os.path.join(out, "manifest.json"))
+    victim = sorted(os.listdir(os.path.join(out, "manifests")))[1]
+    pid = victim.split("-")[1].split(".")[0]
+    os.unlink(os.path.join(out, "manifests", victim))
+    os.unlink(os.path.join(out, "runs", f"part-{pid}.parquet"))
+    os.unlink(os.path.join(out, "docstore", f"part-{pid}.parquet"))
+    # record mtimes of surviving partition artifacts
+    survivor = os.path.join(out, "runs", "part-00000.parquet")
+    mtime_before = os.path.getmtime(survivor)
+
+    m2 = build_index(corpus_dir, out, target_partition_rows=256, runs_per_bucket=2)
+    assert m2["n_docs"] == m1["n_docs"]
+    assert m2["total_tokens"] == m1["total_tokens"]
+    # surviving partitions were NOT re-tokenized (artifact untouched)
+    assert os.path.getmtime(survivor) == mtime_before
+
+    # the rebuilt index answers identically
+    from elasticsearch_assets_ray.query.engine import Searcher
+
+    s = Searcher(out)
+    r = s.search("import parse config", 5)
+    assert r.num_rows == 5
+
+
+def test_noop_rebuild_fast(built_index, corpus_dir):
+    idx_dir, m1 = built_index
+    m2 = build_index(
+        corpus_dir,
+        idx_dir,
+        target_partition_rows=128,
+        runs_per_bucket=2,
+        num_shards=4,
+    )
+    assert m2["n_docs"] == m1["n_docs"]
