@@ -1,0 +1,281 @@
+"""Benchmark harness.
+
+Normal mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, "index_build": {...}, "query_serving": {...}}
+
+``--scaling``: runs the identical index build twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and reports throughput at
+both plus scaling efficiency (the sandbox stand-in for the N vs 4N node
+criterion in BASELINE.json) — also as one JSON line.
+
+``--child N`` (internal): runs only the index build at num_cpus=N and
+prints its timing JSON (used by --scaling via subprocess so each run gets
+a fresh Ray).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_CORPUS_FILES = 24_000
+BENCH_CORPUS_DIR = "/tmp/bench_corpus"
+BENCH_QUERY_REPEAT = 20  # DOC-style query set repeated → ~300 queries
+
+# --scaling uses a much larger corpus (bigger files, too) so per-core
+# compute dominates fixed costs — the sandbox stand-in for the N vs 4N
+# node criterion needs steady-state throughput, not startup latency.
+# The pair is 4 vs 16 CPUs (N vs 4N): tokenization is memory-bandwidth
+# bound, and on ONE box all workers share one memory bus, so >16
+# concurrent tokenize tasks slow each other down (measured: 32-cpu run
+# slower than 16).  Real N- vs 4N-node clusters add bandwidth with
+# nodes; the 4→16 pair stays under this single-box ceiling.
+SCALING_CPUS = (4, 16)
+SCALING_CORPUS_FILES = 320_000
+SCALING_CORPUS_DIR = "/tmp/bench_corpus_scaling"
+SCALING_CORPUS_KW = dict(files=160, row_group_size=2048, min_lines=150, max_lines=450)
+WARMUP_CORPUS_DIR = "/tmp/bench_corpus_warmup"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    import ray.data
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+            log_to_driver=False,
+        )
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def _corpus_queries() -> list[str]:
+    from elasticsearch_assets_ray.corpus import REFERENCE_QUERIES
+
+    return [q for q in REFERENCE_QUERIES if not any(c in q for c in '+-"')]
+
+
+def bench_index_build(
+    num_cpus: int,
+    fresh_dir: str,
+    corpus_dir: str = BENCH_CORPUS_DIR,
+    corpus_files: int = BENCH_CORPUS_FILES,
+    corpus_kw: dict | None = None,
+    target_partition_rows: int = 2048,
+    warmup: bool = False,
+) -> dict:
+    """Headline: SPIMI build + term-shuffle merge over the synthetic
+    source-code corpus.  Returns timing + throughput."""
+    from elasticsearch_assets_ray.corpus import write_corpus
+    from elasticsearch_assets_ray.index.build import build_index
+
+    write_corpus(corpus_dir, corpus_files, **(corpus_kw or dict(files=32, row_group_size=2048)))
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(corpus_dir, f))
+        for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet")
+    )
+    if warmup:
+        # spin up + import on every worker before the timed run: the
+        # scaling metric is steady-state throughput, not process start
+        write_corpus(WARMUP_CORPUS_DIR, 2000, files=8, row_group_size=1024)
+        shutil.rmtree("/tmp/bench_idx_warmup", ignore_errors=True)
+        build_index(WARMUP_CORPUS_DIR, "/tmp/bench_idx_warmup", target_partition_rows=256, resume=False)
+    shutil.rmtree(fresh_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    manifest = build_index(
+        corpus_dir,
+        fresh_dir,
+        target_partition_rows=target_partition_rows,
+        resume=False,
+    )
+    dt = time.perf_counter() - t0
+    return {
+        "sec": round(dt, 3),
+        "n_docs": manifest["n_docs"],
+        "total_tokens": manifest["total_tokens"],
+        "files_per_sec": round(manifest["n_docs"] / dt, 1),
+        "mb_per_sec": round(corpus_bytes / 1e6 / dt, 2),
+        "num_cpus": num_cpus,
+    }
+
+
+def bench_query_serving(index_dir: str) -> dict:
+    """Query latency (serial p50/p99 on one Searcher) and QPS (actor-pool
+    batch serving)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_assets_ray.query.engine import QueryEngineActor, Searcher
+
+    queries = _corpus_queries()
+    s = Searcher(index_dir)
+    s._load_doclens()
+    lat = []
+    for _ in range(BENCH_QUERY_REPEAT):
+        for q in queries:
+            t0 = time.perf_counter()
+            s.search(q, k=10)
+            lat.append(time.perf_counter() - t0)
+    lat_ms = np.array(lat) * 1e3
+
+    qtable = pa.table(
+        {
+            "query_id": pa.array(range(len(queries) * BENCH_QUERY_REPEAT), pa.int64()),
+            "query": pa.array(queries * BENCH_QUERY_REPEAT, pa.string()),
+        }
+    )
+    qds = ray.data.from_arrow(qtable)
+    t0 = time.perf_counter()
+    res = qds.map_batches(
+        QueryEngineActor,
+        fn_constructor_kwargs=dict(index_dir=index_dir, k=10),
+        batch_size=16,
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    n_out = res.count()
+    pool_dt = time.perf_counter() - t0
+    n_q = len(lat)
+    return {
+        "n_queries": n_q,
+        "p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
+        "p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
+        "serial_qps": round(n_q / sum(lat), 1),
+        "pool_qps": round(qtable.num_rows / pool_dt, 1),
+        "pool_rows": n_out,
+    }
+
+
+SF_BENCH_QUERIES = [
+    "search_topk",
+    "tpch_q1",
+    "revenue_by_segment",
+    "bulk_index_lww",
+    "exact_dedup",
+    "minhash_pairs",
+    "token_stats",
+    "embedding_topk",
+    "state_enrich",
+]
+
+
+def bench_sf_queries(sf_dir: str) -> dict:
+    from elasticsearch_assets_ray.pipelines.registry import QUERIES
+
+    out = {}
+    for name in SF_BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        # consume lazily-built datasets fully
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            for _ in res.iter_batches(batch_format="pyarrow"):
+                pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    if "--child" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--child") + 1])
+        _init_ray(n)
+        r = bench_index_build(
+            n,
+            f"/tmp/bench_idx_child_{n}",
+            corpus_dir=SCALING_CORPUS_DIR,
+            corpus_files=SCALING_CORPUS_FILES,
+            corpus_kw=SCALING_CORPUS_KW,
+            target_partition_rows=2048,
+            warmup=True,
+        )
+        print(json.dumps(r))
+        import ray
+
+        ray.shutdown()
+        return
+
+    if "--scaling" in sys.argv:
+        # fresh process per parallelism level; same input corpus
+        from elasticsearch_assets_ray.corpus import write_corpus
+
+        write_corpus(SCALING_CORPUS_DIR, SCALING_CORPUS_FILES, **SCALING_CORPUS_KW)
+        lo, hi = SCALING_CPUS
+        results = {}
+        for n in (lo, hi):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", str(n)],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+            results[n] = json.loads(line)
+        t_lo, t_hi = results[lo]["sec"], results[hi]["sec"]
+        speedup = t_lo / t_hi
+        efficiency = speedup / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "index_build_scaling_efficiency",
+                    "value": round(efficiency, 3),
+                    "unit": "ratio",
+                    "cpus": [lo, hi],
+                    "speedup": round(speedup, 3),
+                    f"throughput_{lo}cpu_files_per_sec": results[lo]["files_per_sec"],
+                    f"throughput_{hi}cpu_files_per_sec": results[hi]["files_per_sec"],
+                    f"sec_{lo}cpu": t_lo,
+                    f"sec_{hi}cpu": t_hi,
+                    "n_docs": results[hi]["n_docs"],
+                }
+            )
+        )
+        return
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
+    _init_ray(num_cpus)
+
+    t_all = time.perf_counter()
+    idx_dir = "/tmp/bench_idx_main"
+    build = bench_index_build(num_cpus, idx_dir)
+    serving = bench_query_serving(idx_dir)
+    queries = bench_sf_queries(sf_dir)
+    total = time.perf_counter() - t_all
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_bench_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "num_cpus": num_cpus,
+                "index_build": build,
+                "query_serving": serving,
+            }
+        )
+    )
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -102,7 +102,9 @@ def _render_pool(lang: str, rng: np.random.Generator, pool_size: int = 4000) -> 
     return lines
 
 
-def generate_corpus(n_files: int, seed: int = 42) -> pa.Table:
+def generate_corpus(
+    n_files: int, seed: int = 42, min_lines: int = 20, max_lines: int = 120
+) -> pa.Table:
     """Deterministic (repo, path, commit, lang, content) table."""
     rng = np.random.default_rng(seed)
     pools = {lang: _render_pool(lang, rng) for lang in _LANGS}
@@ -110,7 +112,7 @@ def generate_corpus(n_files: int, seed: int = 42) -> pa.Table:
 
     lang_idx = rng.integers(0, len(_LANGS), n_files)
     repo_idx = rng.integers(0, n_repos, n_files)
-    n_lines = rng.integers(20, 120, n_files)
+    n_lines = rng.integers(min_lines, max_lines, n_files)
     commits = rng.integers(0, 2**63 - 1, n_files, dtype=np.int64)
 
     # Zipfian line choice: rank^-1.1 over the pool
@@ -151,14 +153,18 @@ def write_corpus(
     files: int = 4,
     row_group_size: int = 4096,
     overwrite: bool = False,
+    min_lines: int = 20,
+    max_lines: int = 120,
 ) -> str:
     """Write the corpus as ``files`` parquet files (multiple row groups each
     so the partition planner has real work).  Idempotent unless overwrite."""
-    marker = os.path.join(out_dir, f".corpus-{n_files}-{seed}-{files}")
+    marker = os.path.join(
+        out_dir, f".corpus-{n_files}-{seed}-{files}-{min_lines}-{max_lines}"
+    )
     if os.path.exists(marker) and not overwrite:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    table = generate_corpus(n_files, seed)
+    table = generate_corpus(n_files, seed, min_lines=min_lines, max_lines=max_lines)
     per = (n_files + files - 1) // files
     for i in range(files):
         chunk = table.slice(i * per, per)

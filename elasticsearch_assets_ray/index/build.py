@@ -50,7 +50,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from elasticsearch_assets_ray.index.codec import encode_postings
+from elasticsearch_assets_ray.index.codec import encode_postings_many
 from elasticsearch_assets_ray.sources.partition import (
     DOC_SHIFT,
     PartitionSpec,
@@ -69,18 +69,20 @@ class IndexConfig:
     store_content: bool = True
     target_partition_rows: int = 256 * 1024
     runs_per_bucket: int = 32  # bounds merge-group size (skew cap)
-    num_shards: int = 16  # segment hash shards
+    num_shards: int = 32  # segment hash shards (also phase-2 parallelism)
     extra: dict = field(default_factory=dict)
 
 
-def term_shard(terms: np.ndarray, num_shards: int) -> np.ndarray:
-    """Stable term→shard hash (not Python hash(): must be deterministic
-    across processes)."""
-    out = np.empty(len(terms), dtype=np.int64)
-    for i, t in enumerate(terms):
-        h = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
-        out[i] = int.from_bytes(h, "little") % num_shards
-    return out
+def term_shard(terms, num_shards: int) -> np.ndarray:
+    """Stable term→shard hash, vectorized (polynomial hash over utf-8
+    bytes mod 2^64 — deterministic across processes, unlike Python
+    ``hash()``)."""
+    from elasticsearch_assets_ray.stages.textstats import polynomial_hash
+
+    arr = terms if isinstance(terms, (pa.Array, pa.ChunkedArray)) else pa.array(
+        [str(t) for t in terms], type=pa.string()
+    )
+    return (polynomial_hash(arr) % np.uint64(num_shards)).astype(np.int64)
 
 
 def _atomic_write_table(table: pa.Table, path: str) -> None:
@@ -239,40 +241,72 @@ def _build_partition_batch(batch: pa.Table, cfg: IndexConfig, out_dir: str) -> p
     return pa.Table.from_pylist(manifests)
 
 
-def _merge_group(group: pa.Table, num_shards: int) -> pa.Table:
-    """Phase-2 map_groups body: merge one (term, bucket) group's runs.
+def _flat_binary(col: pa.Array | pa.ChunkedArray, dtype) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a large_binary column (rows are packed little-endian arrays)
+    into one numpy array + per-row element counts.  One copy for
+    alignment; no per-row Python loop."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    raw = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)[offs[0] : offs[-1]]
+    flat = np.frombuffer(raw.tobytes(), dtype=dtype)
+    item = np.dtype(dtype).itemsize
+    counts = np.diff(offs) // item
+    return flat, counts.astype(np.int64)
 
-    Runs have disjoint ordered docID ranges → concatenation in min_docid
-    order yields the docID-sorted posting list (no interleave needed)."""
-    order = np.argsort(group["min_docid"].to_numpy(zero_copy_only=False), kind="stable")
-    docids = np.concatenate(
-        [np.frombuffer(group["docids_le"][int(i)].as_py(), dtype=np.int64) for i in order]
+
+def _merge_shard_bucket(group: pa.Table) -> pa.Table:
+    """Phase-2 map_groups body: merge ONE (shard, bucket) group — i.e.
+    every term's runs within that shard/bucket — fully vectorized.
+
+    Runs have disjoint ordered docID ranges, so per term the merged
+    posting list is its runs concatenated in min_docid order (never a
+    k-way interleave).  Sorting rows by (term, min_docid) makes every
+    term's postings a contiguous docID-sorted segment of the flat arrays,
+    which :func:`encode_postings_many` encodes in one pass — one Python
+    call per (shard, bucket), NOT per term (the per-term map_groups
+    variant spent the whole phase in per-group overhead)."""
+    order = pc.sort_indices(
+        group, sort_keys=[("term", "ascending"), ("min_docid", "ascending")]
     )
-    tfs = np.concatenate(
-        [np.frombuffer(group["tfs_le"][int(i)].as_py(), dtype=np.int32) for i in order]
-    ).astype(np.int64)
-    dls = np.concatenate(
-        [np.frombuffer(group["dls_le"][int(i)].as_py(), dtype=np.int32) for i in order]
-    ).astype(np.int64)
-    ep = encode_postings(docids, tfs, dls)
-    term = group["term"][0].as_py()
-    bucket = group["bucket"][0].as_py()
-    shard = int(term_shard(np.array([term], dtype=object), num_shards)[0])
+    g = group.take(order)
+    terms = g["term"].combine_chunks() if isinstance(g["term"], pa.ChunkedArray) else g["term"]
+    n_rows = g.num_rows
+    neq = pc.not_equal(terms.slice(1), terms.slice(0, n_rows - 1)).fill_null(True)
+    first = np.ones(n_rows, dtype=bool)
+    if n_rows > 1:
+        first[1:] = neq.to_numpy(zero_copy_only=False)
+    row_start = np.flatnonzero(first)
+
+    docids, counts = _flat_binary(g["docids_le"], np.int64)
+    tfs32, _ = _flat_binary(g["tfs_le"], np.int32)
+    dls32, _ = _flat_binary(g["dls_le"], np.int32)
+    post_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    term_offsets = np.concatenate((post_off[row_start], [post_off[-1]]))
+
+    enc = encode_postings_many(docids, tfs32.astype(np.int64), dls32.astype(np.int64), term_offsets)
+
+    uterms = terms.take(pa.array(row_start, type=pa.int64()))
+    n_terms = len(row_start)
+    shard = g["shard"][0].as_py()
+    bucket = g["bucket"][0].as_py()
     return pa.table(
         {
-            "term": pa.array([term], type=pa.string()),
-            "bucket": pa.array([int(bucket)], type=pa.int64()),
-            "shard": pa.array([shard], type=pa.int64()),
-            "df": pa.array([ep.df], type=pa.int64()),
-            "cf": pa.array([int(tfs.sum())], type=pa.int64()),
-            "min_docid": pa.array([int(docids[0])], type=pa.int64()),
-            "max_docid": pa.array([int(docids[-1])], type=pa.int64()),
-            "n_blocks": pa.array([len(ep.block_offsets)], type=pa.int32()),
-            "blob": pa.array([ep.blob], type=pa.large_binary()),
-            "block_last": pa.array([ep.block_last_docid.tobytes()], type=pa.large_binary()),
-            "block_off": pa.array([ep.block_offsets.tobytes()], type=pa.large_binary()),
-            "block_maxtf": pa.array([ep.block_max_tf.tobytes()], type=pa.large_binary()),
-            "block_mindl": pa.array([ep.block_min_dl.tobytes()], type=pa.large_binary()),
+            "term": uterms,
+            "bucket": pa.array(np.full(n_terms, bucket, dtype=np.int64)),
+            "shard": pa.array(np.full(n_terms, shard, dtype=np.int64)),
+            "df": pa.array(enc["df"]),
+            "cf": pa.array(enc["cf"]),
+            "min_docid": pa.array(enc["min_docid"]),
+            "max_docid": pa.array(enc["max_docid"]),
+            "n_blocks": pa.array(enc["n_blocks"], type=pa.int32()),
+            "blob": _binary_from_offsets(enc["blob_buf"], enc["blob_offsets"]),
+            "block_last": _binary_from_offsets(enc["block_last"], enc["block_offsets"]),
+            "block_off": _binary_from_offsets(enc["block_off"], enc["block_offsets"]),
+            "block_maxtf": _binary_from_offsets(enc["block_maxtf"], enc["block_offsets"]),
+            "block_mindl": _binary_from_offsets(enc["block_mindl"], enc["block_offsets"]),
         }
     )
 
@@ -332,15 +366,19 @@ def build_index(
         shutil.rmtree(seg_dir)  # phase 2 is cheap relative to phase 1; redo whole
     runs = ray.data.read_parquet(os.path.join(out_dir, "runs"))
     rpb = cfg.runs_per_bucket
-    runs = runs.map_batches(
-        lambda t: t.append_column(
-            "bucket", pc.divide(t["pid"], pa.scalar(rpb, pa.int64()))
-        ),
-        batch_format="pyarrow",
-    )
     num_shards = cfg.num_shards
-    segments = runs.groupby(["term", "bucket"]).map_groups(
-        lambda g: _merge_group(g, num_shards), batch_format="pyarrow"
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "bucket", pc.divide(t["pid"], pa.scalar(rpb, pa.int64()))
+        )
+        return t.append_column("shard", pa.array(term_shard(t["term"], num_shards)))
+
+    runs = runs.map_batches(add_keys, batch_format="pyarrow")
+    # ONE shuffle, |groups| = num_shards × n_buckets (bounded, never
+    # per-term): each group merges+encodes all its terms vectorized.
+    segments = runs.groupby(["shard", "bucket"]).map_groups(
+        _merge_shard_bucket, batch_format="pyarrow"
     )
     segments.write_parquet(seg_dir, partition_cols=["shard"])
 

@@ -21,16 +21,17 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
-def varint_encode(values: np.ndarray) -> bytes:
+def varint_encode_arr(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """LEB128-encode an array of non-negative ints, vectorized.
 
+    Returns ``(bytes uint8 array, per-value byte count int64 array)``.
     For each value the number of 7-bit groups is computed, then each output
     byte position is filled with one vectorized pass (≤10 passes for 64-bit
     ints) into a scatter buffer.
     """
     a = np.ascontiguousarray(values, dtype=np.uint64)
     if a.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bit_length / 7), min 1
     nbits = np.zeros(a.shape, dtype=np.int64)
     tmp = a.copy()
@@ -51,6 +52,11 @@ def varint_encode(values: np.ndarray) -> bytes:
         vals = (a[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
         cont = (nbytes[mask] - 1) > j
         out[starts[mask] + j] = vals.astype(np.uint8) | (cont.astype(np.uint8) << 7)
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    out, _ = varint_encode_arr(values)
     return out.tobytes()
 
 
@@ -150,6 +156,98 @@ def decode_postings(blob: bytes, df: int) -> tuple[np.ndarray, np.ndarray]:
         pos += 2 * n
     np.cumsum(docids, out=docids)
     return docids, tfs
+
+
+def encode_postings_many(
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    term_offsets: np.ndarray,
+) -> dict:
+    """Encode MANY terms' posting lists in one vectorized pass.
+
+    ``term_offsets``: int64[n_terms+1] boundaries into the flat,
+    term-major, docID-sorted-within-term arrays.  Produces byte-identical
+    blobs to per-term :func:`encode_postings` (same block layout:
+    per 128-doc block, varint(deltas) then varint(tfs)), but with NO
+    Python loop over terms or blocks — everything is numpy segment
+    arithmetic + two varint passes + two vectorized scatters.
+
+    Returns a dict with per-term numpy arrays and the shared byte buffer:
+    ``blob_buf`` (uint8), ``blob_offsets`` (int64[n_terms+1] into blob_buf),
+    ``df``, ``cf``, ``min_docid``, ``max_docid``, ``n_blocks`` per term, and
+    per-term flattened block metadata (``block_last``, ``block_off``,
+    ``block_maxtf``, ``block_mindl``) with ``block_offsets``
+    (int64[n_terms+1] boundaries into the block arrays).
+    """
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    term_offsets = np.ascontiguousarray(term_offsets, dtype=np.int64)
+    n_terms = len(term_offsets) - 1
+    N = docids.size
+    df = np.diff(term_offsets)
+    assert (df > 0).all(), "every term needs >=1 posting"
+
+    # --- block segmentation (per term, blocks of BLOCK_SIZE) ---
+    rel = np.arange(N, dtype=np.int64) - np.repeat(term_offsets[:-1], df)
+    is_block_start = (rel % BLOCK_SIZE) == 0
+    bstarts = np.flatnonzero(is_block_start)
+    n_blocks_total = bstarts.size
+    bends = np.concatenate((bstarts[1:], [N]))
+    nb_per_term = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    term_block_off = np.concatenate(([0], np.cumsum(nb_per_term))).astype(np.int64)
+
+    # --- deltas: plain diff, reset to absolute docid at term starts ---
+    deltas = np.empty(N, dtype=np.int64)
+    if N:
+        deltas[0] = docids[0]
+        np.subtract(docids[1:], docids[:-1], out=deltas[1:])
+        deltas[term_offsets[:-1]] = docids[term_offsets[:-1]]
+
+    dbytes, dlen = varint_encode_arr(deltas)
+    tbytes, tlen = varint_encode_arr(tfs)
+
+    # --- per-block byte extents ---
+    dB = np.add.reduceat(dlen, bstarts) if N else np.empty(0, dtype=np.int64)
+    tB = np.add.reduceat(tlen, bstarts) if N else np.empty(0, dtype=np.int64)
+    L = dB + tB
+    O = np.concatenate(([0], np.cumsum(L))).astype(np.int64)  # block out offsets
+    Dstart = np.concatenate(([0], np.cumsum(dB))).astype(np.int64)
+    Tstart = np.concatenate(([0], np.cumsum(tB))).astype(np.int64)
+
+    out = np.empty(int(O[-1]), dtype=np.uint8)
+    # scatter delta bytes: block k's delta bytes land at O[k]..O[k]+dB[k]
+    if dbytes.size:
+        shift_d = O[:-1] - Dstart[:-1]
+        pos_d = np.arange(dbytes.size, dtype=np.int64) + np.repeat(shift_d, dB)
+        out[pos_d] = dbytes
+        shift_t = O[:-1] + dB - Tstart[:-1]
+        pos_t = np.arange(tbytes.size, dtype=np.int64) + np.repeat(shift_t, tB)
+        out[pos_t] = tbytes
+
+    # --- metadata ---
+    block_last = docids[bends - 1]
+    block_maxtf = np.maximum.reduceat(tfs, bstarts).astype(np.int32) if N else np.empty(0, np.int32)
+    block_mindl = np.minimum.reduceat(dls, bstarts).astype(np.int32) if N else np.empty(0, np.int32)
+    term_blob_off = O[term_block_off]  # int64[n_terms+1]
+    block_rel_off = O[:-1] - np.repeat(term_blob_off[:-1], nb_per_term)
+
+    cf = np.add.reduceat(tfs, term_offsets[:-1]) if N else np.empty(0, dtype=np.int64)
+    return {
+        "blob_buf": out,
+        "blob_offsets": term_blob_off,
+        "df": df,
+        "cf": cf,
+        "min_docid": docids[term_offsets[:-1]] if N else np.empty(0, np.int64),
+        "max_docid": docids[term_offsets[1:] - 1] if N else np.empty(0, np.int64),
+        "n_blocks": nb_per_term.astype(np.int32),
+        "block_last": block_last,
+        "block_off": block_rel_off,
+        "block_maxtf": block_maxtf,
+        "block_mindl": block_mindl,
+        "block_offsets": term_block_off,
+    }
 
 
 def decode_block(

@@ -70,6 +70,9 @@ class Searcher:
         )
         self._doc_ids: np.ndarray | None = None
         self._doc_lens: np.ndarray | None = None
+        # shard id -> (segment table, term -> row-index array); loaded once
+        # per Searcher (i.e. once per actor), NOT per query
+        self._shard_cache: dict[int, tuple[pa.Table, dict[str, np.ndarray]]] = {}
 
     # ---------- doc-length lookup (norms analog) ----------
     def _load_doclens(self) -> None:
@@ -90,16 +93,48 @@ class Searcher:
         return self._doc_lens[idx]
 
     # ---------- segment lookup ----------
+    def _load_shard(self, shard: int) -> tuple[pa.Table, dict[str, np.ndarray]]:
+        """Load one segment shard into memory ONCE (term-dictionary +
+        postings rows).  At cluster scale each query actor is assigned a
+        subset of shards; here an actor lazily faults in the shards its
+        queries touch."""
+        hit = self._shard_cache.get(shard)
+        if hit is not None:
+            return hit
+        tbl = self._seg.to_table(
+            columns=_SEG_COLS, filter=pc.field("shard") == shard
+        )
+        terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
+        order = np.argsort(terms, kind="stable")
+        sorted_terms = terms[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(sorted_terms[1:] != sorted_terms[:-1]) + 1, [len(order)])
+        ) if len(order) else np.zeros(1, dtype=np.int64)
+        index = {
+            str(sorted_terms[bounds[i]]): order[bounds[i] : bounds[i + 1]]
+            for i in range(len(bounds) - 1)
+        }
+        self._shard_cache[shard] = (tbl, index)
+        return tbl, index
+
     def _segment_rows(self, terms: list[str]) -> pa.Table:
-        """All (term, bucket) rows for the given terms; shard-level
-        directory pruning + parquet row filtering."""
+        """All (term, bucket) rows for the given terms from the per-shard
+        cache (no per-query parquet scan)."""
         if not terms:
             return None
         from elasticsearch_assets_ray.index.build import term_shard
 
-        shards = sorted(set(term_shard(np.array(terms, dtype=object), self.num_shards).tolist()))
-        filt = pc.field("term").isin(terms) & pc.field("shard").isin(shards)
-        return self._seg.to_table(columns=_SEG_COLS, filter=filt)
+        shards = term_shard(terms, self.num_shards)
+        parts = []
+        for s in sorted(set(shards.tolist())):
+            tbl, index = self._load_shard(int(s))
+            rows = [index[t] for t, sh in zip(terms, shards) if sh == s and t in index]
+            if rows:
+                idx = np.concatenate(rows)
+                parts.append(tbl.take(pa.array(idx, type=pa.int64())))
+        if not parts:
+            return None
+        return pa.concat_tables(parts)
 
     # ---------- search ----------
     def search(self, query: str | ParsedQuery, k: int = 10) -> pa.Table:
