@@ -128,10 +128,18 @@ def sha256_column(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pa.array(out, type=pa.string())
 
 
-def build_partition(spec: PartitionSpec, cfg: IndexConfig, out_dir: str) -> dict:
+def build_partition(
+    spec: PartitionSpec,
+    cfg: IndexConfig,
+    out_dir: str,
+    row_filter=None,
+    filter_cols: tuple[str, ...] = (),
+) -> dict:
     """Phase-1 task body: one partition → docstore shard + posting run +
     manifest.  Pure function of (spec, cfg, input bytes) — safe to retry;
-    all writes are write-then-rename."""
+    all writes are write-then-rename.  ``row_filter`` (a pyarrow compute
+    expression over ``filter_cols``) restricts the partition's rows —
+    the incremental-build window predicate."""
     name = f"part-{spec.pid:05d}"
     man_path = os.path.join(out_dir, "manifests", name + ".json")
     if os.path.exists(man_path):
@@ -139,10 +147,15 @@ def build_partition(spec: PartitionSpec, cfg: IndexConfig, out_dir: str) -> dict
             return json.load(f)
 
     needed = list(
-        dict.fromkeys([*cfg.id_cols, *cfg.keep_cols, cfg.content_col])
+        dict.fromkeys([*cfg.id_cols, *cfg.keep_cols, cfg.content_col, *filter_cols])
     )
     pf = pq.ParquetFile(spec.path)
     table = pf.read_row_groups(spec.row_groups, columns=needed)
+    if row_filter is not None:
+        table = table.filter(row_filter)
+        drop = [c for c in filter_cols if c not in (*cfg.id_cols, *cfg.keep_cols, cfg.content_col)]
+        if drop:
+            table = table.drop_columns(drop)
     n_raw = table.num_rows
 
     # exact dedup on id columns, keep first occurrence (ES 'create' analog
@@ -230,11 +243,20 @@ def build_partition(spec: PartitionSpec, cfg: IndexConfig, out_dir: str) -> dict
     return manifest
 
 
-def _build_partition_batch(batch: pa.Table, cfg: IndexConfig, out_dir: str) -> pa.Table:
+def _build_partition_batch(
+    batch: pa.Table,
+    cfg: IndexConfig,
+    out_dir: str,
+    row_filter=None,
+    filter_cols: tuple[str, ...] = (),
+) -> pa.Table:
     """map_batches fn over spec rows (stateless tasks; one block per spec)."""
     manifests = []
     for row in batch.to_pylist():
-        m = build_partition(PartitionSpec.from_row(row), cfg, out_dir)
+        m = build_partition(
+            PartitionSpec.from_row(row), cfg, out_dir,
+            row_filter=row_filter, filter_cols=filter_cols,
+        )
         manifests.append(
             {k: m[k] for k in ("pid", "n_raw_rows", "n_docs", "total_tokens", "n_terms_local")}
         )
@@ -317,12 +339,18 @@ def build_index(
     *,
     config: IndexConfig | None = None,
     resume: bool = True,
+    pid_base: int = 0,
+    row_filter=None,
+    filter_cols: tuple[str, ...] = (),
     **cfg_kwargs,
 ) -> dict:
     """Build (or resume) the full index at ``out_dir``.  Returns the global
-    manifest.  Ray must already be initialised by the caller."""
+    manifest.  Ray must already be initialised by the caller.
+
+    ``pid_base`` offsets the docID space (incremental deltas);
+    ``row_filter``/``filter_cols`` restrict input rows (window builds)."""
     cfg = config or IndexConfig(**cfg_kwargs)
-    specs = plan_partitions(paths, cfg.target_partition_rows)
+    specs = plan_partitions(paths, cfg.target_partition_rows, pid_base=pid_base)
     if not specs:
         raise ValueError(f"no parquet input found at {paths!r}")
     os.makedirs(out_dir, exist_ok=True)
@@ -351,7 +379,10 @@ def build_index(
     import functools
 
     manifests = spec_ds.map_batches(
-        functools.partial(_build_partition_batch, cfg=cfg, out_dir=out_dir),
+        functools.partial(
+            _build_partition_batch, cfg=cfg, out_dir=out_dir,
+            row_filter=row_filter, filter_cols=filter_cols,
+        ),
         batch_format="pyarrow",
     ).to_pandas()
 

@@ -1,0 +1,206 @@
+"""Incremental (persistent-mode) index builds — the native analog of the
+reference's persistent lifecycle:
+
+- window math: ``delayed_stream_segment`` computes ``[now − delay −
+  interval, now − delay)`` (reference date-helpers.ts:267-285) and
+  ``next_window`` advances by ``interval`` (dateSlicer.ts:268-306);
+- :class:`WindowState` — the all-slicers-finished barrier
+  (reference WindowState.ts:30-54);
+- :class:`IncrementalIndex` — each tick builds a *delta* index over the
+  rows whose ``date_col`` falls in the window, with a globally disjoint
+  docID space (pid ranges aligned to ``runs_per_bucket`` so bucket ids
+  never collide across ticks), checkpointed per partition exactly like a
+  full build;
+- :class:`MultiSearcher` — serves queries over base + all deltas with
+  COMBINED global stats (N, avgdl, per-term df summed across ticks), so
+  scores equal what a single monolithic build over the union would give.
+
+Same caveat as the reference: data arriving later than ``delay`` is
+missed (no watermark replay).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+
+from elasticsearch_assets_ray.index.build import IndexConfig, build_index
+from elasticsearch_assets_ray.query.engine import Searcher
+
+
+def delayed_stream_segment(
+    now: datetime, delay_s: float, interval_s: float
+) -> tuple[datetime, datetime]:
+    """The reference's latency-barrier window: [now−delay−interval,
+    now−delay)."""
+    hi = now - timedelta(seconds=delay_s)
+    lo = hi - timedelta(seconds=interval_s)
+    return lo, hi
+
+
+def next_window(window: tuple[datetime, datetime], interval_s: float) -> tuple[datetime, datetime]:
+    lo, hi = window
+    step = timedelta(seconds=interval_s)
+    return lo + step, hi + step
+
+
+class WindowState:
+    """Per-slicer barrier: a window may advance only after every slicer
+    id has checked in (reference WindowState.ts:30-54).  Driver-side
+    state — in a Ray deployment this lives on the driver or a named
+    actor."""
+
+    def __init__(self, n_slicers: int):
+        self.n_slicers = n_slicers
+        self._checked: set[int] = set()
+
+    def checkin(self, slicer_id: int) -> bool:
+        """Returns True iff this checkin completes the window (and resets
+        for the next one)."""
+        if not (0 <= slicer_id < self.n_slicers):
+            raise ValueError(f"slicer id {slicer_id} out of range")
+        self._checked.add(slicer_id)
+        if len(self._checked) == self.n_slicers:
+            self._checked.clear()
+            return True
+        return False
+
+
+def _align_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class IncrementalIndex:
+    """A root directory of delta index builds with one shared docID
+    space.  ``root/state.json`` tracks ticks and the next free pid."""
+
+    def __init__(self, root: str, config: IndexConfig | None = None):
+        self.root = root
+        self.cfg = config or IndexConfig()
+        os.makedirs(root, exist_ok=True)
+        self._state_path = os.path.join(root, "state.json")
+        if os.path.exists(self._state_path):
+            with open(self._state_path) as f:
+                self.state = json.load(f)
+        else:
+            self.state = {"ticks": [], "next_pid": 0}
+
+    def _save(self) -> None:
+        tmp = self._state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.state, f)
+        os.replace(tmp, self._state_path)
+
+    def tick(
+        self,
+        paths: str | list[str],
+        window: tuple[object, object],
+        date_col: str,
+    ) -> dict:
+        """Build one delta over rows with ``window[0] <= date_col <
+        window[1]``.  Idempotent per (window): a completed tick is
+        skipped on replay (the recovery analog)."""
+        import pyarrow.compute as pc
+
+        lo, hi = window
+        tick_id = f"{_ts(lo)}__{_ts(hi)}"
+        for t in self.state["ticks"]:
+            if t["tick_id"] == tick_id and t.get("complete"):
+                return t
+        out_dir = os.path.join(self.root, "deltas", tick_id)
+        pid_base = _align_up(self.state["next_pid"], self.cfg.runs_per_bucket)
+        filt = (pc.field(date_col) >= lo) & (pc.field(date_col) < hi)
+        manifest = build_index(
+            paths,
+            out_dir,
+            config=self.cfg,
+            resume=True,
+            pid_base=pid_base,
+            row_filter=filt,
+            filter_cols=(date_col,),
+        )
+        entry = {
+            "tick_id": tick_id,
+            "dir": out_dir,
+            "pid_base": pid_base,
+            "n_partitions": manifest["n_partitions"],
+            "n_docs": manifest["n_docs"],
+            "complete": True,
+        }
+        self.state["ticks"] = [t for t in self.state["ticks"] if t["tick_id"] != tick_id]
+        self.state["ticks"].append(entry)
+        self.state["next_pid"] = pid_base + manifest["n_partitions"]
+        self._save()
+        return entry
+
+    def searcher(self, prune: bool = True) -> "MultiSearcher":
+        dirs = [t["dir"] for t in self.state["ticks"] if t.get("complete")]
+        return MultiSearcher(dirs, prune=prune)
+
+
+def _ts(x) -> str:
+    s = x.isoformat() if hasattr(x, "isoformat") else str(x)
+    return s.replace(":", "-")
+
+
+class MultiSearcher(Searcher):
+    """Search base + delta indexes as one logical index: segment rows are
+    concatenated across children and scored with COMBINED corpus stats —
+    per-term df sums naturally because `_score` already sums df over
+    segment rows, and docID spaces are disjoint by construction."""
+
+    def __init__(self, dirs: list[str], prune: bool = True):
+        if not dirs:
+            raise ValueError("no delta indexes yet")
+        self.children = [Searcher(d, prune=prune) for d in dirs]
+        self.prune = prune
+        self.n_docs = sum(c.n_docs for c in self.children)
+        total_tokens = sum(c.manifest["total_tokens"] for c in self.children)
+        self.avgdl = (total_tokens / self.n_docs) if self.n_docs else 0.0
+        self.num_shards = self.children[0].num_shards
+        self.manifest = {
+            "n_docs": self.n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": self.avgdl,
+            "num_shards": self.num_shards,
+        }
+        self._doc_ids = None
+        self._doc_lens = None
+
+    def _segment_rows(self, terms: list[str]):
+        parts = [t for t in (c._segment_rows(terms) for c in self.children) if t is not None]
+        if not parts:
+            return None
+        return pa.concat_tables(parts)
+
+    def _load_doclens(self) -> None:
+        if self._doc_ids is not None:
+            return
+        ids_parts, len_parts = [], []
+        for c in self.children:
+            c._load_doclens()
+            ids_parts.append(c._doc_ids)
+            len_parts.append(c._doc_lens)
+        ids = np.concatenate(ids_parts)
+        lens = np.concatenate(len_parts)
+        order = np.argsort(ids, kind="stable")
+        self._doc_ids = ids[order]
+        self._doc_lens = lens[order]
+
+    def hydrate(self, docids: np.ndarray, columns=None):
+        parts = []
+        for c in self.children:
+            t = c.hydrate(docids, columns=columns)
+            if t.num_rows:
+                parts.append(t)
+        if not parts:
+            return self.children[0].hydrate(docids, columns=columns)
+        t = pa.concat_tables(parts)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = {int(d): i for i, d in enumerate(ids)}
+        take = [pos[int(d)] for d in docids if int(d) in pos]
+        return t.take(pa.array(take, type=pa.int64()))

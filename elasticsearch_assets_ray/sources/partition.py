@@ -79,17 +79,19 @@ def expand_paths(paths: str | list[str]) -> list[str]:
 
 
 def plan_partitions(
-    paths: str | list[str], target_rows: int = 256 * 1024
+    paths: str | list[str], target_rows: int = 256 * 1024, pid_base: int = 0
 ) -> list[PartitionSpec]:
     """Pack Parquet row groups into ~target_rows partitions.
 
     Footer-metadata only — no data is read (scales to millions of files;
     at very large file counts this planning step itself can be distributed
     with ``map_batches`` over the file list, same logic per file).
+    ``pid_base`` offsets pids (and therefore docID bases) so multiple
+    builds (e.g. incremental deltas) share one disjoint docID space.
     """
     target_rows = min(target_rows, MAX_PARTITION_ROWS)
     specs: list[PartitionSpec] = []
-    pid = 0
+    pid = pid_base
     for path in expand_paths(paths):
         meta = pq.ParquetFile(path).metadata
         cur_groups: list[int] = []

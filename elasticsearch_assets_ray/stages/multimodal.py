@@ -1,0 +1,146 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool ``map_batches``
+stages.
+
+The image/audio codec libraries are NOT available in this environment, so
+the *decode kernels* are stubs — either a clearly-marked
+``NotImplementedError`` (``codec="real"``) or a deterministic fake codec
+(``codec="fake"``, the default) that parses the synthetic payload header
+written by :func:`synth_media_table`.  Everything around the kernel — the
+Arrow schema, small-batch sizing for large payloads, actor signature,
+lazy one-time codec init, output layout — is real and tested; swapping in
+PIL/ffmpeg later changes only ``_decode_one``.
+
+Scale notes: binary payloads are large → callers should pass a SMALL
+``batch_size`` (``suggested_batch_size``) so batch × concurrency fits the
+worker heap; payloads stay in the object store between stages (zero-copy
+Arrow binary), never driver-collected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("kind", pa.string()),  # image | audio | video
+        pa.field("payload", pa.large_binary()),
+        pa.field("meta_format", pa.string()),
+        pa.field("meta_bytes", pa.int64()),
+    ]
+)
+
+_MAGIC = b"FAKEMEDIA1"
+
+
+def synth_media_table(n: int, seed: int = 5, kind: str = "image") -> pa.Table:
+    """Deterministic fake payloads: 10-byte magic + uint16 width/height (or
+    sample-rate/frames) + raw bytes.  Stands in for real encoded media."""
+    rng = np.random.default_rng(seed)
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(8, 64, n).astype(np.uint16)
+    h = rng.integers(8, 64, n).astype(np.uint16)
+    payloads = []
+    for i in range(n):
+        body = rng.integers(0, 256, int(w[i]) * int(h[i]), dtype=np.uint8)
+        payloads.append(_MAGIC + w[i].tobytes() + h[i].tobytes() + body.tobytes())
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "kind": pa.array([kind] * n),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "meta_format": pa.array(["fake/v1"] * n),
+            "meta_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
+        }
+    )
+
+
+class MediaDecodeStage:
+    """Actor-pool stage: decode payload → (width, height, n_pixels) +
+    a feature vector (byte histogram, 16 bins — the stand-in for a model
+    embedding).  Codec state initialised ONCE per actor in ``__init__``.
+
+    Use: ``ds.map_batches(MediaDecodeStage, fn_constructor_kwargs=...,
+    batch_size=MediaDecodeStage.suggested_batch_size, concurrency=(1, N),
+    batch_format="pyarrow")``."""
+
+    suggested_batch_size = 32  # large payloads → small batches
+
+    def __init__(self, codec: str = "fake", drop_payload: bool = True):
+        if codec == "real":
+            raise NotImplementedError(
+                "real image/audio decode needs PIL/ffmpeg, not present in "
+                "this environment — use codec='fake' (deterministic stub)"
+            )
+        if codec != "fake":
+            raise ValueError(f"unknown codec {codec!r}")
+        self.codec = codec
+        self.drop_payload = drop_payload
+        # one-time 'model load': histogram bin edges
+        self.bins = np.linspace(0, 256, 17)
+
+    def _decode_one(self, payload: bytes) -> tuple[int, int, np.ndarray]:
+        """THE stub kernel — replace with a real codec call."""
+        if not payload.startswith(_MAGIC):
+            raise ValueError("bad magic: not a fake-media payload")
+        w = int(np.frombuffer(payload[10:12], dtype=np.uint16)[0])
+        h = int(np.frombuffer(payload[12:14], dtype=np.uint16)[0])
+        body = np.frombuffer(payload, dtype=np.uint8, offset=14)
+        return w, h, body
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        n = batch.num_rows
+        widths = np.zeros(n, dtype=np.int64)
+        heights = np.zeros(n, dtype=np.int64)
+        feats = np.zeros((n, 16), dtype=np.float64)
+        for i in range(n):  # per-payload decode is inherently per-item
+            w, h, body = self._decode_one(payloads[i].as_py())
+            widths[i] = w
+            heights[i] = h
+            hist, _ = np.histogram(body, bins=self.bins)
+            feats[i] = hist / max(1, body.size)
+        cols = {
+            name: batch[name]
+            for name in batch.column_names
+            if not (self.drop_payload and name == "payload")
+        }
+        cols["width"] = pa.array(widths)
+        cols["height"] = pa.array(heights)
+        cols["n_pixels"] = pa.array(widths * heights)
+        cols["feature"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.reshape(-1)), 16
+        )
+        return pa.table(cols)
+
+
+class FrameSampleStage:
+    """Video analog: split a payload into ``n_frames`` even chunks and
+    emit one row per sampled frame (every ``stride``-th) — the flat_map
+    shape of frame extraction, with the real decode stubbed."""
+
+    suggested_batch_size = 16
+
+    def __init__(self, n_frames: int = 8, stride: int = 2):
+        self.n_frames = n_frames
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, blobs = [], [], []
+        for i in range(batch.num_rows):
+            payload = batch["payload"][i].as_py()
+            body = payload[14:]
+            step = max(1, len(body) // self.n_frames)
+            for f in range(0, self.n_frames, self.stride):
+                ids.append(batch["media_id"][i].as_py())
+                frames.append(f)
+                blobs.append(body[f * step : (f + 1) * step])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame": pa.array(frames, pa.int64()),
+                "frame_bytes": pa.array(blobs, pa.large_binary()),
+            }
+        )

@@ -1,0 +1,82 @@
+"""Dedup family: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from elasticsearch_assets_ray.stages import dedup
+
+
+def _collect(ds):
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+
+
+def _table_with_dups():
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the winner today",
+        "the quick brown fox jumps over the lazy dog again and again",  # exact dup of 0
+        "the quick brown fox jumps over the lazy dog again and once",  # near dup of 0
+        "completely different content about ray data pipelines and arrow",
+        "pack my box with five dozen liquor jugs for the winner today",  # exact dup of 1
+    ]
+    return pa.table({"id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+
+
+def test_exact_dedup_keeps_min_id():
+    t = _table_with_dups()
+    ds = ray.data.from_arrow(t)
+    out = _collect(dedup.exact_dedup(ds, "text", "id"))
+    assert sorted(out["id"].to_pylist()) == [0, 1, 3, 4]
+
+
+def test_ngram_jaccard_bounds():
+    assert dedup.ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert dedup.ngram_jaccard("a b c d e", "x y z w v") == 0.0
+    mid = dedup.ngram_jaccard("a b c d e f g h", "a b c d e f g x")
+    assert 0.0 < mid < 1.0
+
+
+def test_minhash_lsh_finds_planted_pairs():
+    t = _table_with_dups()
+    ds = ray.data.from_arrow(t)
+    pairs = dedup.minhash_lsh_dedup(
+        ds, "text", "id", num_perm=64, bands=16, shingle_k=3, threshold=0.5
+    )
+    found = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert (0, 2) in found  # exact dup → jaccard 1.0
+    assert (1, 5) in found
+    sims = dict(zip(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()),
+                    pairs["jaccard_sim"].to_pylist()))
+    assert sims[(0, 2)] == 1.0
+    # near dup 0↔3 shares most shingles
+    assert (0, 3) in found and 0.5 <= sims[(0, 3)] < 1.0
+
+
+def test_simhash_near_dups():
+    t = _table_with_dups()
+    ds = ray.data.from_arrow(t)
+    pairs = dedup.simhash_near_dups(ds, "text", "id", max_hamming=3)
+    found = dict(zip(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()),
+                     pairs["hamming"].to_pylist()))
+    assert found[(0, 2)] == 0  # identical text → identical simhash
+    assert found[(1, 5)] == 0
+
+
+def test_simhash_deterministic():
+    t = _table_with_dups()
+    a = dedup.simhash(t)["simhash"].to_pylist()
+    b = dedup.simhash(t)["simhash"].to_pylist()
+    assert a == b
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    mh = dedup.MinHasher(num_perm=128, shingle_k=3)
+    t = _table_with_dups()
+    out = mh(t)
+    sigs = np.array(out["minhash"].combine_chunks().flatten().to_pylist()).reshape(
+        t.num_rows, 128
+    )
+    est = (sigs[0] == sigs[3]).mean()
+    true = dedup.ngram_jaccard(t["text"][0].as_py(), t["text"][3].as_py(), 3)
+    assert abs(est - true) < 0.25

@@ -1,0 +1,83 @@
+"""Incremental (persistent-mode) builds: window math, barrier, delta
+ticks whose merged search equals a monolithic build over the union."""
+
+from datetime import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from elasticsearch_assets_ray.corpus import generate_corpus
+from elasticsearch_assets_ray.index.build import IndexConfig, build_index
+from elasticsearch_assets_ray.index.incremental import (
+    IncrementalIndex,
+    WindowState,
+    delayed_stream_segment,
+    next_window,
+)
+from elasticsearch_assets_ray.query.engine import Searcher
+
+
+def test_window_math():
+    now = datetime(2024, 1, 10, 12, 0, 0)
+    lo, hi = delayed_stream_segment(now, delay_s=30, interval_s=60)
+    assert (now - hi).total_seconds() == 30
+    assert (hi - lo).total_seconds() == 60
+    lo2, hi2 = next_window((lo, hi), 60)
+    assert lo2 == hi and (hi2 - lo2).total_seconds() == 60
+
+
+def test_window_state_barrier():
+    ws = WindowState(3)
+    assert not ws.checkin(0)
+    assert not ws.checkin(1)
+    assert not ws.checkin(0)  # re-checkin is idempotent
+    assert ws.checkin(2)  # completes and resets
+    assert not ws.checkin(0)
+    with pytest.raises(ValueError):
+        ws.checkin(7)
+
+
+@pytest.fixture(scope="module")
+def dated_corpus(tmp_path_factory):
+    """Corpus with an ingested_at column spanning two windows."""
+    t = generate_corpus(240, seed=9)
+    n = t.num_rows
+    base = datetime(2024, 3, 1)
+    ts = [
+        datetime(2024, 3, 1, hour) for hour in (np.arange(n) % 12)
+    ]
+    t = t.append_column("ingested_at", pa.array(ts, pa.timestamp("us")))
+    d = tmp_path_factory.mktemp("dated")
+    pq.write_table(t, str(d / "part-0.parquet"), row_group_size=64)
+    return str(d)
+
+
+def test_delta_ticks_equal_monolith(dated_corpus, tmp_path, ray_session):
+    cfg = IndexConfig(target_partition_rows=64, runs_per_bucket=2, num_shards=4)
+    inc = IncrementalIndex(str(tmp_path / "inc"), config=cfg)
+    w1 = (datetime(2024, 3, 1, 0), datetime(2024, 3, 1, 6))
+    w2 = (datetime(2024, 3, 1, 6), datetime(2024, 3, 1, 12))
+    t1 = inc.tick(dated_corpus, w1, "ingested_at")
+    t2 = inc.tick(dated_corpus, w2, "ingested_at")
+    assert t1["n_docs"] + t2["n_docs"] == 240
+    # replaying a completed tick is a no-op (recovery analog)
+    t1b = inc.tick(dated_corpus, w1, "ingested_at")
+    assert t1b["tick_id"] == t1["tick_id"]
+
+    mono_dir = str(tmp_path / "mono")
+    build_index(dated_corpus, mono_dir, config=cfg)
+    mono = Searcher(mono_dir, prune=False)
+    multi = inc.searcher(prune=False)
+    assert multi.n_docs == mono.n_docs
+    assert abs(multi.avgdl - mono.avgdl) < 1e-12
+
+    for q in ["def load index", "import parse config", "return user token"]:
+        a = multi.search(q, k=8)
+        b = mono.search(q, k=8)
+        # docIDs differ across layouts — compare by (repo,path) and score
+        ka = multi.hydrate(a["doc_id"].to_numpy(zero_copy_only=False), ["doc_id", "repo", "path"])
+        kb = mono.hydrate(b["doc_id"].to_numpy(zero_copy_only=False), ["doc_id", "repo", "path"])
+        assert ka["path"].to_pylist() == kb["path"].to_pylist()
+        assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy(), rtol=0, atol=1e-12)

@@ -1,0 +1,78 @@
+"""partial_agg / broadcast_join / topk vs DuckDB ground truth."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from elasticsearch_assets_ray.stages.relational import (
+    AggSpec,
+    broadcast_join,
+    partial_agg,
+    topk,
+)
+
+
+def _collect(ds):
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+
+
+def test_partial_agg_matches_duckdb(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    agg = partial_agg(
+        ds,
+        ["l_returnflag"],
+        [
+            AggSpec("cnt", "l_quantity", "count"),
+            AggSpec("sum_qty_c", "l_quantity", "sum_cents"),
+            AggSpec("min_q", "l_quantity", "min"),
+            AggSpec("max_q", "l_quantity", "max"),
+            AggSpec("avg_q", "l_quantity", "mean"),
+        ],
+    )
+    got = _collect(agg).to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    want = duckdb.sql(
+        f"""SELECT l_returnflag, count(*) AS cnt,
+            sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_qty_c,
+            min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+            sum(l_quantity)/count(*) AS avg_q
+            FROM '{sf_dir}/lineitem.parquet' GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert list(got["l_returnflag"]) == list(want["l_returnflag"])
+    assert list(got["cnt"]) == list(want["cnt"])
+    assert list(got["sum_qty_c"]) == list(want["sum_qty_c"])
+    assert np.allclose(got["avg_q"], want["avg_q"])
+
+
+def test_broadcast_join_types(sf_dir):
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    inner = _collect(
+        broadcast_join(orders, cust, ["o_custkey"], right_keys=["c_custkey"])
+    )
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    assert inner.num_rows == n_orders  # FK fully covered
+    assert "c_mktsegment" in inner.column_names
+
+    half = cust.slice(0, cust.num_rows // 2)
+    semi = _collect(
+        broadcast_join(orders, half, ["o_custkey"], right_keys=["c_custkey"], join_type="semi")
+    )
+    anti = _collect(
+        broadcast_join(orders, half, ["o_custkey"], right_keys=["c_custkey"], join_type="anti")
+    )
+    assert semi.num_rows + anti.num_rows == n_orders
+    assert set(semi.column_names) == {"o_orderkey", "o_custkey"}
+
+
+def test_topk_matches_sort(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    got = topk(ds, [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 7)
+    want = duckdb.sql(
+        f"""SELECT o_orderkey, o_totalprice FROM '{sf_dir}/orders.parquet'
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 7"""
+    ).df()
+    assert got["o_orderkey"].to_pylist() == list(want["o_orderkey"])

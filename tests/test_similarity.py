@@ -1,0 +1,64 @@
+"""Similarity search: brute-force exactness, LSH recall subset, dedup."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from elasticsearch_assets_ray.stages import similarity as sim
+
+
+def _vectors(n=300, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d))
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1).astype(np.float32)), d
+            ),
+        }
+    )
+
+
+def test_brute_force_matches_numpy():
+    t = _vectors()
+    ds = ray.data.from_arrow(t)
+    m = sim._normalize(sim._matrix(t["embedding"]))
+    qids = np.array([0, 5], dtype=np.int64)
+    res = sim.brute_force_topk(ds, qids, m[[0, 5]], k=4)
+    for qi, qvec in zip(qids, m[[0, 5]]):
+        sims = m @ qvec
+        order = np.lexsort((np.arange(len(sims)), -sims))[:4]
+        got = [
+            v for q, v in zip(res["query_id"].to_pylist(), res["vec_id"].to_pylist())
+            if q == qi
+        ]
+        assert got == list(order)
+
+
+def test_lsh_results_subset_of_exact_ranking():
+    t = _vectors()
+    ds = ray.data.from_arrow(t)
+    m = sim._normalize(sim._matrix(t["embedding"]))
+    qids = np.array([1], dtype=np.int64)
+    res = sim.lsh_topk(ds, qids, m[[1]], dim=16, k=5, n_tables=8, n_planes=6)
+    # every returned sim must equal the true cosine for that vec
+    for vid, s in zip(res["vec_id"].to_pylist(), res["sim"].to_pylist()):
+        assert abs(float(m[vid] @ m[1]) - s) < 1e-9
+    # self-match always lands in its own bucket
+    assert 1 in res["vec_id"].to_pylist()
+
+
+def test_embedding_cosine_dedup_finds_planted():
+    t = _vectors(100)
+    dup = pa.table(
+        {
+            "vec_id": pa.array(np.arange(100000, 100005, dtype=np.int64)),
+            "embedding": t["embedding"].slice(0, 5),
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([t, dup]))
+    pairs = sim.embedding_cosine_dedup(ds, dim=16, threshold=0.999)
+    found = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    for i in range(5):
+        assert (i, 100000 + i) in found
