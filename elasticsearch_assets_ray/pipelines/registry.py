@@ -481,6 +481,42 @@ def q_search_boolean(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# keyspace partitioning (P7/P8/P9 analogs)
+# ---------------------------------------------------------------------------
+
+
+def q_keyspace_plan(sf_dir: str):
+    """Quantile range-partition boundaries over customer names (the
+    idSlicerOptimized variable-width ranges taken to equal-count
+    ranges)."""
+    from elasticsearch_assets_ray.sources.keyspace import KeyspaceIndex, quantile_key_ranges
+
+    ks = KeyspaceIndex.from_parquet(_p(sf_dir, "customer"), "c_name")
+    bounds = quantile_key_ranges(ks, 8)
+    return pa.table(
+        {
+            "part_id": pa.array(range(1, 8), pa.int64()),
+            "boundary_key": pa.array(bounds, pa.string()),
+        }
+    )
+
+
+def q_prefix_dfs(sf_dir: str):
+    """idSlicer DFS over the documents 'source' keyspace (rows-only: the
+    recursion is data-dependent; verified by invariant tests)."""
+    from elasticsearch_assets_ray.sources.keyspace import KeyspaceIndex, prefix_dfs_partitions
+
+    ks = KeyspaceIndex.from_parquet(_p(sf_dir, "documents"), "source")
+    slices = prefix_dfs_partitions(ks, "abcdefghijklmnopqrstuvwxyz0123456789", 30)
+    return pa.table(
+        {
+            "prefix": pa.array([s.prefix for s in slices], pa.string()),
+            "cnt": pa.array([s.count for s in slices], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # state storage (T1)
 # ---------------------------------------------------------------------------
 
@@ -655,6 +691,12 @@ ORACLES: dict[str, str] = {
         "SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment "
         "FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id"
     ),
+    "keyspace_plan": (
+        "WITH s AS (SELECT c_name AS k, row_number() OVER (ORDER BY c_name) AS rn FROM customer), "
+        "n AS (SELECT count(*) AS cnt FROM customer), "
+        "r AS (SELECT i AS part_id, (i * cnt) // 8 + 1 AS rk FROM range(1, 8) t(i), n) "
+        "SELECT r.part_id, s.k AS boundary_key FROM r JOIN s ON s.rn = r.rk"
+    ),
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
 }
 
@@ -687,4 +729,6 @@ QUERIES = {
     "search_topk": q_search_topk,
     "search_boolean": q_search_boolean,
     "state_enrich": q_state_enrich,
+    "keyspace_plan": q_keyspace_plan,
+    "prefix_dfs": q_prefix_dfs,
 }

@@ -1,0 +1,134 @@
+"""Keyspace partitioning — native analogs of the reference's id_reader
+slicer algorithms:
+
+- :data:`ALPHABETS` — the four key alphabets
+  (reference id-utils/keys.ts:96-128);
+- :func:`round_robin_assignment` — deal the alphabet across N slicers
+  (P9, reference id-utils/utils.ts:25-52: slicer i gets chars i, i+N, …);
+- :func:`prefix_dfs_partitions` — the idSlicer DFS keyspace walk (P7,
+  reference algorithms/idSlicer.ts:7-175): descend one char deeper while
+  a prefix's count exceeds ``max_count``, prune empty subtrees,
+  ``starting_depth`` starts the walk deeper (the reference's
+  ``starting_key_depth``);
+- :func:`quantile_key_ranges` — the idSlicerOptimized char-class sizing
+  (P8, reference algorithms/idSlicer-refactor.ts:9-286) taken to its
+  logical end: variable-width key ranges with equal row counts, i.e.
+  exact rank-based range partitioning.
+
+The count probe the reference issues per prefix (an ES ``count`` call)
+becomes a binary search over the sorted key column
+(:class:`KeyspaceIndex`) — free after one sorted scan.  At cluster scale
+the sorted key column is produced by ``ds.sort(key)`` (or kept sorted in
+the docstore layout) and the same searchsorted logic runs on boundary
+metadata; here it is a driver-side numpy array.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.parquet as pq
+
+ALPHABETS: dict[str, str] = {
+    # reference id-utils/keys.ts:96-128
+    "base64url": "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_",
+    "base64": "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_+/",
+    "hexadecimal": "0123456789abcdef",
+    "HEXADECIMAL": "0123456789ABCDEF",
+}
+
+
+def round_robin_assignment(alphabet: str, n_slicers: int) -> list[list[str]]:
+    """Slicer i gets alphabet chars i, i+N, i+2N, … (P9).  n_slicers must
+    not exceed the alphabet size (reference schema.ts:288-301)."""
+    chars = list(alphabet)
+    if n_slicers > len(chars):
+        raise ValueError(
+            f"slicers ({n_slicers}) cannot exceed alphabet size ({len(chars)})"
+        )
+    return [chars[i::n_slicers] for i in range(n_slicers)]
+
+
+class KeyspaceIndex:
+    """Sorted key column with O(log n) prefix/range count probes — the
+    free replacement for the reference's per-prefix ES count call."""
+
+    def __init__(self, keys: np.ndarray):
+        self.keys = np.sort(np.asarray(keys, dtype=object), kind="stable")
+        self.n = len(self.keys)
+
+    @classmethod
+    def from_parquet(cls, path: str, key_col: str) -> "KeyspaceIndex":
+        t = pq.read_table(path, columns=[key_col])
+        return cls(np.asarray(t[key_col].to_pylist(), dtype=object))
+
+    def count_range(self, lo: str | None, hi: str | None) -> int:
+        """Rows with lo <= key < hi (None = unbounded)."""
+        a = 0 if lo is None else int(np.searchsorted(self.keys, lo, side="left"))
+        b = self.n if hi is None else int(np.searchsorted(self.keys, hi, side="left"))
+        return max(0, b - a)
+
+    def count_prefix(self, prefix: str) -> int:
+        return self.count_range(prefix, prefix + "\U0010ffff")
+
+
+@dataclass(frozen=True)
+class KeySlice:
+    """The ReaderSlice{keys:[prefix]} analog (reference
+    interfaces.ts:138-168)."""
+
+    prefix: str
+    count: int
+
+
+def prefix_dfs_partitions(
+    ks: KeyspaceIndex,
+    alphabet: str,
+    max_count: int,
+    *,
+    starting_depth: int = 1,
+    max_depth: int = 12,
+) -> list[KeySlice]:
+    """DFS over key prefixes: emit a prefix when its count ≤ max_count
+    (or depth = max_depth — the can't-split-further case the reference
+    hits on condensed keys), descend one char otherwise, prune empty
+    subtrees.  Emitted slices are disjoint and cover every key that
+    starts with an alphabet char at every probed depth."""
+    out: list[KeySlice] = []
+
+    def walk(prefix: str, depth: int) -> None:
+        for ch in alphabet:
+            p = prefix + ch
+            c = ks.count_prefix(p)
+            if c == 0:
+                continue  # prune subtree (reference idSlicer.ts:117-129)
+            if c <= max_count or depth >= max_depth:
+                out.append(KeySlice(p, c))
+            else:
+                walk(p, depth + 1)
+
+    # starting_key_depth: enumerate all prefixes of the starting depth
+    def seed(prefix: str, depth: int) -> None:
+        if depth == starting_depth:
+            walk(prefix, depth)
+            return
+        for ch in alphabet:
+            p = prefix + ch
+            if ks.count_prefix(p) > 0:
+                seed(p, depth + 1)
+
+    seed("", 1)
+    return out
+
+
+def quantile_key_ranges(ks: KeyspaceIndex, n_parts: int) -> list[str]:
+    """Boundary keys at exact ranks i·n//n_parts (i = 1..n_parts−1) over
+    the sorted key column: range i = [boundary[i−1], boundary[i]) with
+    open extremes.  The key at a rank is well-defined under duplicate
+    keys regardless of tie order — the property the SQL oracle relies
+    on."""
+    if n_parts < 1:
+        raise ValueError("n_parts must be >= 1")
+    ranks = [(i * ks.n) // n_parts for i in range(1, n_parts)]
+    return [str(ks.keys[r]) for r in ranks]

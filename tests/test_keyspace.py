@@ -1,0 +1,101 @@
+"""Keyspace partitioning: alphabet deal (P9), prefix DFS (P7), quantile
+ranges (P8)."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from elasticsearch_assets_ray.sources.keyspace import (
+    ALPHABETS,
+    KeySlice,
+    KeyspaceIndex,
+    prefix_dfs_partitions,
+    quantile_key_ranges,
+    round_robin_assignment,
+)
+
+
+def test_alphabets_match_reference_sizes():
+    # reference id-utils/keys.ts:96-128
+    assert len(ALPHABETS["base64url"]) == 64
+    assert len(ALPHABETS["base64"]) == 66
+    assert len(ALPHABETS["hexadecimal"]) == 16
+
+
+def test_round_robin_assignment():
+    ranges = round_robin_assignment("abcdef", 2)
+    assert ranges == [["a", "c", "e"], ["b", "d", "f"]]
+    # every char exactly once
+    flat = [c for r in ranges for c in r]
+    assert sorted(flat) == list("abcdef")
+    with pytest.raises(ValueError):
+        round_robin_assignment("abc", 4)
+
+
+def _synth_keys(n=2000, seed=11):
+    rng = np.random.default_rng(seed)
+    alpha = "abcdef"
+    # skewed: half the keys start with 'a'
+    keys = []
+    for _ in range(n):
+        first = "a" if rng.random() < 0.5 else alpha[rng.integers(len(alpha))]
+        rest = "".join(alpha[i] for i in rng.integers(0, len(alpha), 6))
+        keys.append(first + rest)
+    return np.array(keys, dtype=object)
+
+
+def test_keyspace_counts():
+    keys = _synth_keys()
+    ks = KeyspaceIndex(keys)
+    assert ks.count_prefix("a") == sum(1 for k in keys if k.startswith("a"))
+    assert ks.count_range(None, None) == len(keys)
+    assert ks.count_range("a", "b") == ks.count_prefix("a")
+
+
+def test_prefix_dfs_invariants():
+    keys = _synth_keys()
+    ks = KeyspaceIndex(keys)
+    slices = prefix_dfs_partitions(ks, "abcdef", max_count=200)
+    # disjoint cover: every key matched by exactly one emitted prefix
+    total = sum(s.count for s in slices)
+    assert total == len(keys)
+    for s in slices:
+        assert s.count <= 200  # bounded (hot 'a' subtree was descended)
+        assert ks.count_prefix(s.prefix) == s.count
+    prefixes = [s.prefix for s in slices]
+    for i, p in enumerate(prefixes):
+        for q in prefixes[i + 1 :]:
+            assert not p.startswith(q) and not q.startswith(p)
+    # the hot prefix was split deeper than the cold ones
+    assert any(len(s.prefix) > 1 and s.prefix.startswith("a") for s in slices)
+
+
+def test_prefix_dfs_starting_depth():
+    keys = _synth_keys()
+    ks = KeyspaceIndex(keys)
+    deep = prefix_dfs_partitions(ks, "abcdef", max_count=10**9, starting_depth=2)
+    assert all(len(s.prefix) >= 2 for s in deep)
+    assert sum(s.count for s in deep) == len(keys)
+
+
+def test_quantile_ranges_match_sql():
+    keys = _synth_keys()
+    ks = KeyspaceIndex(keys)
+    bounds = quantile_key_ranges(ks, 4)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys.tolist()])
+    want = [
+        r[0]
+        for r in con.sql(
+            """WITH s AS (SELECT k, row_number() OVER (ORDER BY k) rn FROM t),
+               n AS (SELECT count(*) cnt FROM t)
+               SELECT s.k FROM s, n WHERE s.rn IN ((1*cnt)//4+1, (2*cnt)//4+1, (3*cnt)//4+1)
+               ORDER BY s.k"""
+        ).fetchall()
+    ]
+    assert sorted(bounds) == want
+    # ranges are balanced within 1 row
+    parts = [ks.count_range(lo, hi) for lo, hi in zip([None, *bounds], [*bounds, None])]
+    assert sum(parts) == len(keys)
+    assert max(parts) - min(parts) <= max(1, len(keys) // 100)
