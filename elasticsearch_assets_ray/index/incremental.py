@@ -168,8 +168,7 @@ class MultiSearcher(Searcher):
             "avgdl": self.avgdl,
             "num_shards": self.num_shards,
         }
-        self._doc_ids = None
-        self._doc_lens = None
+        self._init_runtime_state()
 
     def _segment_rows(self, terms: list[str]):
         parts = [t for t in (c._segment_rows(terms) for c in self.children) if t is not None]

@@ -50,9 +50,20 @@ def term_max_score(idf_t: float, k1: float = K1) -> float:
 
 
 def sort_topk(docids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic top-k: score desc, docid asc tie-break."""
+    """Deterministic top-k: score desc, docid asc tie-break.
+
+    Fast path: argpartition to ~k candidates, then include every doc tied
+    with the boundary score (ties are bit-equal floats — same summation
+    order) so the docID tie-break sees the full tie group, then sort just
+    that candidate set.  Avoids a full lexsort of all matching docs."""
     if docids.size == 0:
         return docids.astype(np.int64), scores.astype(np.float64)
+    n = docids.size
+    if n > 4 * k and n > 64:
+        part = np.argpartition(-scores, k - 1)[:k]
+        boundary = scores[part].min()
+        sel = np.flatnonzero(scores >= boundary)
+        docids, scores = docids[sel], scores[sel]
     order = np.lexsort((docids, -scores))[:k]
     return docids[order].astype(np.int64), scores[order].astype(np.float64)
 

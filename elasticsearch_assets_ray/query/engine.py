@@ -68,11 +68,23 @@ class Searcher:
         self._seg = pads.dataset(
             os.path.join(index_dir, "segments"), partitioning="hive"
         )
+        self._init_runtime_state()
+
+    def _init_runtime_state(self) -> None:
+        """Per-instance caches (also used by subclasses that bypass
+        __init__, e.g. MultiSearcher)."""
+        from collections import OrderedDict
+
         self._doc_ids: np.ndarray | None = None
         self._doc_lens: np.ndarray | None = None
         # shard id -> (segment table, term -> row-index array); loaded once
         # per Searcher (i.e. once per actor), NOT per query
         self._shard_cache: dict[int, tuple[pa.Table, dict[str, np.ndarray]]] = {}
+        # decoded-postings LRU: (term, bucket) -> (docids, tfs, doclens);
+        # hot query terms decode once per actor, not once per query
+        self._post_cache: "OrderedDict[tuple[str, int], tuple]" = OrderedDict()
+        self._post_cache_bytes = 0
+        self.post_cache_budget = 256 << 20
 
     # ---------- doc-length lookup (norms analog) ----------
     def _load_doclens(self) -> None:
@@ -223,20 +235,31 @@ class Searcher:
             if k is not None and heap_ids.size >= k and bounds[b] <= theta:
                 break  # every remaining bucket bounded below θ — skip undecoded
             rows = row_idx_by_bucket[b]
-            # decode this bucket's postings per term (sorted term order)
-            per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            # decode this bucket's postings per term (LRU-cached: a hot
+            # term's (docids, tfs, doclens) decode once per actor)
+            per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
             for i in rows:
                 t = seg_term[i]
-                d, tf = decode_postings(blob_col[i].as_py(), int(seg_df[i]))
+                key = (t, int(b))
+                hit = self._post_cache.get(key)
+                if hit is not None:
+                    self._post_cache.move_to_end(key)
+                else:
+                    d, tf = decode_postings(blob_col[i].as_py(), int(seg_df[i]))
+                    hit = (d, tf, self.doclens_for(d))
+                    self._post_cache[key] = hit
+                    self._post_cache_bytes += d.nbytes * 3
+                    while self._post_cache_bytes > self.post_cache_budget and self._post_cache:
+                        _, (od, *_rest) = self._post_cache.popitem(last=False)
+                        self._post_cache_bytes -= od.nbytes * 3
                 if t in per_term:  # same term, same bucket can't repeat, but be safe
-                    d = np.concatenate([per_term[t][0], d])
-                    tf = np.concatenate([per_term[t][1], tf])
-                per_term[t] = (d, tf)
+                    hit = tuple(np.concatenate([a, c]) for a, c in zip(per_term[t], hit))
+                per_term[t] = hit
             plist = []
             for t in terms:
                 if t in per_term:
-                    d, tf = per_term[t]
-                    plist.append((df_by_term[t], d, tf, self.doclens_for(d)))
+                    d, tf, dl = per_term[t]
+                    plist.append((df_by_term[t], d, tf, dl))
             # NB: df passed to score_accumulate is unused there for idf —
             # compute scores with the *global* idf explicitly:
             ids_b, scores_b = self._accumulate(plist, [t for t in terms if t in per_term], idf_by_term)
