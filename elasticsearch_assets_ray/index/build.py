@@ -144,7 +144,18 @@ def build_partition(
     man_path = os.path.join(out_dir, "manifests", name + ".json")
     if os.path.exists(man_path):
         with open(man_path) as f:
-            return json.load(f)
+            saved = json.load(f)
+        # lineage guard: a manifest from a DIFFERENT partition plan (other
+        # input file / row groups — e.g. resume after target_partition_rows
+        # changed) must not be silently reused; docIDs would shift.
+        if saved.get("path") == spec.path and saved.get("row_groups") == list(spec.row_groups):
+            return saved
+        raise RuntimeError(
+            f"partition {spec.pid} manifest lineage mismatch: built from "
+            f"{saved.get('path')}#{saved.get('row_groups')}, plan wants "
+            f"{spec.path}#{list(spec.row_groups)} — the partition plan "
+            "changed; rebuild with resume=False"
+        )
 
     needed = list(
         dict.fromkeys([*cfg.id_cols, *cfg.keep_cols, cfg.content_col, *filter_cols])

@@ -480,6 +480,20 @@ def q_search_boolean(sf_dir: str):
     return _search_many(sf_dir, BOOLEAN_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
 
 
+def q_props_extract(sf_dir: str):
+    """Semi-structured payload extraction: pull the integer field out of
+    the events' JSON props with a vectorized Arrow regex (the DataEntity
+    metadata-extraction analog)."""
+    ds = _rd(sf_dir, "events", columns=["event_id", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        s = pc.extract_regex(b["props"], r"(?P<k>[0-9]+)")
+        k = pc.cast(pc.struct_field(s, "k"), pa.int64())
+        return pa.table({"event_id": b["event_id"], "k": k})
+
+    return ds.map_batches(extract, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # keyspace partitioning (P7/P8/P9 analogs)
 # ---------------------------------------------------------------------------
@@ -691,6 +705,9 @@ ORACLES: dict[str, str] = {
         "SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment "
         "FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id"
     ),
+    "props_extract": (
+        "SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events"
+    ),
     "keyspace_plan": (
         "WITH s AS (SELECT c_name AS k, row_number() OVER (ORDER BY c_name) AS rn FROM customer), "
         "n AS (SELECT count(*) AS cnt FROM customer), "
@@ -731,4 +748,5 @@ QUERIES = {
     "state_enrich": q_state_enrich,
     "keyspace_plan": q_keyspace_plan,
     "prefix_dfs": q_prefix_dfs,
+    "props_extract": q_props_extract,
 }

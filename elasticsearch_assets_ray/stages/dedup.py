@@ -108,32 +108,40 @@ def _token_lists(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarra
 
 
 def _shingle_hashes(tok_hash: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """k-token shingle hashes per doc (rolling polynomial combine).
-    Returns (flat shingle hashes uint64, offsets per doc).  Docs with
-    fewer than k tokens contribute their single whole-doc hash."""
+    """Unique k-token shingle hashes per doc (rolling polynomial combine),
+    fully vectorized across the batch: k gather passes build every doc's
+    shingles simultaneously; a single lexsort dedupes within docs.
+    Returns (flat sorted-unique shingle hashes uint64, offsets per doc).
+    Docs shorter than k tokens hash with the last token repeated (clamped
+    gather); empty docs contribute one zero shingle."""
     n = len(offsets) - 1
-    out_parts: list[np.ndarray] = []
-    out_counts = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    lens = np.diff(offsets)
+    m = np.where(lens >= k, lens - k + 1, 1).astype(np.int64)  # shingles per doc
+    total = int(m.sum())
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), m)
+    cum_m = np.concatenate(([0], np.cumsum(m)))
+    j_within = np.arange(total, dtype=np.int64) - cum_m[doc_of]
+    starts = offsets[:-1][doc_of] + j_within
+    doc_last = np.maximum(offsets[1:] - 1, offsets[:-1])[doc_of]  # clamp target
     B = np.uint64(1099511628211)
-    for i in range(n):
-        t = tok_hash[offsets[i] : offsets[i + 1]]
-        if len(t) == 0:
-            sh = np.zeros(1, dtype=np.uint64)
-        elif len(t) < k:
-            acc = np.uint64(0)
-            for v in t:
-                acc = acc * B + v
-            sh = np.array([acc], dtype=np.uint64)
-        else:
-            m = len(t) - k + 1
-            sh = np.zeros(m, dtype=np.uint64)
-            for j in range(k):
-                sh = sh * B + t[j : j + m]
-        out_parts.append(np.unique(sh))
-        out_counts[i] = len(out_parts[-1])
-    flat = np.concatenate(out_parts) if out_parts else np.empty(0, dtype=np.uint64)
-    new_off = np.concatenate(([0], np.cumsum(out_counts))).astype(np.int64)
-    return flat, new_off
+    sh = np.zeros(total, dtype=np.uint64)
+    nonempty = (lens > 0)[doc_of]
+    for p in range(k):
+        take = np.minimum(starts + p, doc_last)
+        sh = sh * B + np.where(nonempty, tok_hash[np.minimum(take, len(tok_hash) - 1)] if len(tok_hash) else 0, np.uint64(0))
+    sh[~nonempty] = np.uint64(0)
+    # per-doc unique: sort by (doc, hash), drop consecutive dups within doc
+    order = np.lexsort((sh, doc_of))
+    sd, sv = doc_of[order], sh[order]
+    keep = np.ones(total, dtype=bool)
+    if total > 1:
+        keep[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+    sd, sv = sd[keep], sv[keep]
+    counts = np.bincount(sd, minlength=n).astype(np.int64)
+    new_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    return sv, new_off
 
 
 class MinHasher:
@@ -167,12 +175,12 @@ class MinHasher:
         flat, soff = _shingle_hashes(th, off, self.k)
         n = batch.num_rows
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        for i in range(n):
-            sh = flat[soff[i] : soff[i + 1]]
-            if len(sh) == 0:
-                sigs[i] = np.uint64(0)
-            else:
-                sigs[i] = self.signature(sh)
+        # vectorized across docs: one pass per permutation, per-doc min
+        # via segment reduceat (every doc has >=1 shingle by construction)
+        seg = soff[:-1]
+        for p in range(self.num_perm):
+            v = self.a[p] * flat + self.b[p]
+            sigs[:, p] = np.minimum.reduceat(v, seg) if len(flat) else np.uint64(0)
         out = {name: batch[name] for name in batch.column_names}
         out["minhash"] = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1).astype(np.int64)), self.num_perm
@@ -241,46 +249,66 @@ def minhash_lsh_dedup(
         th, off = _token_lists(batch[text_col])
         flat, soff = _shingle_hashes(th, off, k)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        rows_id = np.repeat(ids, bands)
-        rows_band = bk.reshape(-1)
-        sh_bytes = [
-            flat[soff[i] : soff[i + 1]].tobytes() for i in range(n)
-        ]
-        rep_sh = [sh_bytes[i] for i in range(n) for _ in range(bands)]
+        from elasticsearch_assets_ray.index.build import _binary_from_offsets
+
+        sh_col = _binary_from_offsets(flat, soff)  # zero-copy per-doc cells
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
         return pa.table(
             {
-                "band_key": pa.array(rows_band),
-                "id": pa.array(rows_id),
-                "shingles": pa.array(rep_sh, type=pa.large_binary()),
+                "band_key": pa.array(bk.reshape(-1)),
+                "id": pa.array(np.repeat(ids, bands)),
+                "shingles": sh_col.take(rep),
             }
         )
 
-    exploded = sigged.map_batches(explode, batch_format="pyarrow")
+    # coarse shuffle key: groupby(band_key) would invoke Python once per
+    # DISTINCT band key (≈ rows, mostly singleton buckets); hashing band
+    # keys into a bounded number of coarse groups keeps the shuffle but
+    # processes thousands of buckets per vectorized group call (same
+    # lesson as the (shard, bucket) posting merge).
+    n_groups = 64
+
+    def add_group(t: pa.Table) -> pa.Table:
+        g = pc.bit_wise_and(t["band_key"], pa.scalar(n_groups - 1, pa.int64()))
+        return t.append_column("grp", g)
+
+    exploded = sigged.map_batches(explode, batch_format="pyarrow").map_batches(
+        add_group, batch_format="pyarrow"
+    )
 
     def verify_group(group: pa.Table) -> pa.Table:
-        ids = group["id"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        uniq_mask = np.concatenate(([True], ids[1:] != ids[:-1]))
-        sel = order[uniq_mask]
-        ids = ids[uniq_mask]
-        if len(ids) < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "jaccard_sim": pa.array([], pa.float64())}
-            )
-        shingle_sets = [
-            np.frombuffer(group["shingles"][int(i)].as_py(), dtype=np.uint64)
-            for i in sel
-        ]
+        order = pc.sort_indices(
+            group, sort_keys=[("band_key", "ascending"), ("id", "ascending")]
+        )
+        g = group.take(order)
+        bk = g["band_key"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
         a_out, b_out, s_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                sim = jaccard(shingle_sets[i], shingle_sets[j])
-                if sim >= threshold:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
-                    s_out.append(sim)
+        if n:
+            starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
+            ends = np.append(starts[1:], n)
+            multi = np.flatnonzero(ends - starts >= 2)  # only buckets with ≥2 rows
+            shingles_col = g["shingles"]
+            for r in multi:
+                lo, hi = int(starts[r]), int(ends[r])
+                bucket_ids = ids[lo:hi]
+                um = np.concatenate(([True], bucket_ids[1:] != bucket_ids[:-1]))
+                sel = np.arange(lo, hi)[um]
+                bids = bucket_ids[um]
+                if len(bids) < 2:
+                    continue
+                sets = [
+                    np.frombuffer(shingles_col[int(i)].as_py(), dtype=np.uint64)
+                    for i in sel
+                ]
+                for i in range(len(bids)):
+                    for j in range(i + 1, len(bids)):
+                        sim = jaccard(sets[i], sets[j])
+                        if sim >= threshold:
+                            a_out.append(int(bids[i]))
+                            b_out.append(int(bids[j]))
+                            s_out.append(sim)
         return pa.table(
             {
                 "id_a": pa.array(a_out, pa.int64()),
@@ -289,7 +317,7 @@ def minhash_lsh_dedup(
             }
         )
 
-    pairs_ds = exploded.groupby("band_key").map_groups(
+    pairs_ds = exploded.groupby("grp").map_groups(
         verify_group, batch_format="pyarrow"
     )
     pairs = pa.concat_tables(list(pairs_ds.iter_batches(batch_format="pyarrow")))
@@ -370,23 +398,45 @@ def simhash_near_dups(
             }
         )
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    n_groups = 64
+
+    def add_group(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "grp", pc.bit_wise_and(t["band_key"], pa.scalar(n_groups - 1, pa.int64()))
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow").map_batches(
+        add_group, batch_format="pyarrow"
+    )
 
     def verify(group: pa.Table) -> pa.Table:
-        ids = group["id"].to_numpy(zero_copy_only=False)
-        sh = group["sh"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids, kind="stable")
-        ids, sh = ids[order], sh[order]
-        uniq = np.concatenate(([True], ids[1:] != ids[:-1]))
-        ids, sh = ids[uniq], sh[uniq]
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("band_key", "ascending"), ("id", "ascending")]
+        )
+        g = group.take(order)
+        bk = g["band_key"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        sh = g["sh"].to_numpy(zero_copy_only=False)
+        n = len(ids)
         a_o, b_o, h_o = [], [], []
-        for i in range(len(ids)):
-            d = hamming64(np.array([sh[i]] * (len(ids) - i - 1)), sh[i + 1 :])
-            ok = np.where(d <= max_hamming)[0]
-            for j in ok:
-                a_o.append(int(ids[i]))
-                b_o.append(int(ids[i + 1 + j]))
-                h_o.append(int(d[j]))
+        if n:
+            starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
+            ends = np.append(starts[1:], n)
+            for r in np.flatnonzero(ends - starts >= 2):
+                lo, hi = int(starts[r]), int(ends[r])
+                bi, bs = ids[lo:hi], sh[lo:hi]
+                um = np.concatenate(([True], bi[1:] != bi[:-1]))
+                bi, bs = bi[um], bs[um]
+                for i in range(len(bi)):
+                    d = hamming64(np.full(len(bi) - i - 1, bs[i]), bs[i + 1 :])
+                    for j in np.where(d <= max_hamming)[0]:
+                        a_o.append(int(bi[i]))
+                        b_o.append(int(bi[i + 1 + j]))
+                        h_o.append(int(d[j]))
         return pa.table(
             {
                 "id_a": pa.array(a_o, pa.int64()),
@@ -395,7 +445,7 @@ def simhash_near_dups(
             }
         )
 
-    pairs_ds = exploded.groupby("band_key").map_groups(verify, batch_format="pyarrow")
+    pairs_ds = exploded.groupby("grp").map_groups(verify, batch_format="pyarrow")
     pairs = pa.concat_tables(list(pairs_ds.iter_batches(batch_format="pyarrow")))
     if pairs.num_rows == 0:
         return pairs

@@ -128,34 +128,6 @@ def partial_agg(
 # ---------------------------------------------------------------------------
 
 
-class _BroadcastJoiner:
-    """Actor-pool map_batches fn: fetches the broadcast side ONCE per actor
-    (``__init__``), joins per batch with Arrow's hash join.  The reference's
-    analog is the state-storage mget cache (SURVEY.md T1) — a keyed lookup
-    held resident, not re-shipped per batch."""
-
-    def __init__(self, small_ref, keys: list[str], join_type: str, right_keys=None):
-        self.small: pa.Table = ray.get(small_ref)
-        self.keys = keys
-        self.right_keys = right_keys or keys
-        self.join_type = join_type
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        jt = {
-            "inner": "inner",
-            "left": "left outer",
-            "semi": "left semi",
-            "anti": "left anti",
-        }[self.join_type]
-        return batch.join(
-            self.small,
-            keys=self.keys,
-            right_keys=self.right_keys,
-            join_type=jt,
-            use_threads=False,
-        )
-
-
 def broadcast_join(
     big: ray.data.Dataset,
     small: pa.Table,
@@ -163,21 +135,32 @@ def broadcast_join(
     *,
     join_type: str = "inner",
     right_keys: str | list[str] | None = None,
-    concurrency: int | tuple[int, int] = (1, 8),
 ) -> ray.data.Dataset:
-    """Join ``big`` (streamed) against ``small`` (broadcast once via
-    ``ray.put``).  join_type ∈ {inner, left, semi, anti}."""
+    """Join ``big`` (streamed) against ``small`` (broadcast ONCE via
+    ``ray.put``; every task's ``ray.get`` is a zero-copy plasma read on
+    the node that already holds the object).  join_type ∈ {inner, left,
+    semi, anti}.  Stateless tasks, not an actor pool: Ray reuses warm
+    worker processes, so there is no per-query pool spin-up and the
+    object fetch amortizes across a worker's tasks."""
     if isinstance(keys, str):
         keys = [keys]
     if isinstance(right_keys, str):
         right_keys = [right_keys]
+    rk = right_keys or keys
+    jt = {
+        "inner": "inner",
+        "left": "left outer",
+        "semi": "left semi",
+        "anti": "left anti",
+    }[join_type]
     ref = ray.put(small)
-    return big.map_batches(
-        _BroadcastJoiner,
-        fn_constructor_args=(ref, keys, join_type, right_keys),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        return batch.join(
+            ray.get(ref), keys=keys, right_keys=rk, join_type=jt, use_threads=False
+        )
+
+    return big.map_batches(join_batch, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -247,29 +247,54 @@ def embedding_cosine_dedup(
         concurrency=concurrency,
     )
 
+    n_groups = 64
+    import pyarrow.compute as pc
+
+    exploded = exploded.map_batches(
+        lambda t: t.append_column(
+            "grp", pc.bit_wise_and(t["lsh_key"], pa.scalar(n_groups - 1, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
     def verify(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        uniq = np.concatenate(([True], ids[1:] != ids[:-1]))
-        sel = order[uniq]
-        ids = ids[uniq]
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        m = _normalize(_matrix(group[vec_col].take(pa.array(sel))))
-        sims = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        mask = sims[iu, ju] >= threshold
+        # one vectorized pass over ALL lsh buckets hashed into this group
+        order = pc.sort_indices(
+            group, sort_keys=[("lsh_key", "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(order)
+        keys = g["lsh_key"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        a_o, b_o, s_o = [], [], []
+        if n:
+            mat = _normalize(_matrix(g[vec_col]))
+            starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+            ends = np.append(starts[1:], n)
+            for r in np.flatnonzero(ends - starts >= 2):
+                lo, hi = int(starts[r]), int(ends[r])
+                bi = ids[lo:hi]
+                um = np.concatenate(([True], bi[1:] != bi[:-1]))
+                sel = np.arange(lo, hi)[um]
+                bi = bi[um]
+                if len(bi) < 2:
+                    continue
+                m = mat[sel]
+                sims = m @ m.T
+                iu, ju = np.triu_indices(len(bi), k=1)
+                mask = sims[iu, ju] >= threshold
+                a_o.extend(bi[iu[mask]].tolist())
+                b_o.extend(bi[ju[mask]].tolist())
+                s_o.extend(sims[iu, ju][mask].tolist())
         return pa.table(
             {
-                "id_a": pa.array(ids[iu[mask]], pa.int64()),
-                "id_b": pa.array(ids[ju[mask]], pa.int64()),
-                "sim": pa.array(sims[iu, ju][mask].astype(np.float64)),
+                "id_a": pa.array(a_o, pa.int64()),
+                "id_b": pa.array(b_o, pa.int64()),
+                "sim": pa.array(s_o, pa.float64()),
             }
         )
 
-    pairs_ds = exploded.groupby("lsh_key").map_groups(verify, batch_format="pyarrow")
+    pairs_ds = exploded.groupby("grp").map_groups(verify, batch_format="pyarrow")
     pairs = pa.concat_tables(list(pairs_ds.iter_batches(batch_format="pyarrow")))
     if pairs.num_rows == 0:
         return pairs

@@ -82,11 +82,32 @@ class DocstoreCache:
             self.cache.popitem(last=False)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch[self.batch_key_col].to_pylist()
-        got = self.mget(keys)
-        cols = {n: batch[n] for n in batch.column_names}
-        for j, c in enumerate(self.value_cols):
-            cols[c] = pa.array(
-                [got[k][j] if k in got else None for k in keys]
+        """Vectorized enrich: miss keys are fetched with ONE filtered
+        store read per batch; the loaded rows stay resident as an Arrow
+        table and each batch hash-joins against it (no per-row Python).
+        The dict-based mget/mset API above keeps the reference's LRU
+        semantics for point lookups; this batch path keeps everything it
+        has loaded (actor lifetime ≪ cache_size in practice)."""
+        if getattr(self, "_tbl", None) is None:
+            self._tbl = self.store.to_table(
+                columns=[self.key_col, *self.value_cols],
+                filter=pc.field(self.key_col).isin([]),
             )
-        return pa.table(cols)
+        uniq = pc.unique(batch[self.batch_key_col].combine_chunks()
+                         if isinstance(batch[self.batch_key_col], pa.ChunkedArray)
+                         else batch[self.batch_key_col])
+        missing = uniq.filter(
+            pc.invert(pc.is_in(uniq, value_set=self._tbl[self.key_col].combine_chunks()))
+        )
+        if len(missing):
+            self.misses += len(missing)
+            fetched = self.store.to_table(
+                columns=[self.key_col, *self.value_cols],
+                filter=pc.field(self.key_col).isin(missing),
+            )
+            self._tbl = pa.concat_tables([self._tbl, fetched])
+        self.hits += len(uniq) - len(missing)
+        right = self._tbl.rename_columns([self.batch_key_col, *self.value_cols])
+        return batch.join(
+            right, keys=[self.batch_key_col], join_type="left outer", use_threads=False
+        )
