@@ -1,0 +1,97 @@
+"""CLI entry points — the ``ray job submit`` surface of the engine.
+
+On a cluster::
+
+    ray job submit --working-dir . -- python -m elasticsearch_assets_ray.cli \
+        build --input s3://bucket/corpus --out /shared/idx --partition-rows 262144
+
+    ray job submit --working-dir . -- python -m elasticsearch_assets_ray.cli \
+        query --index /shared/idx --q "def load index" -k 10
+
+Locally the same commands run against ``RAY_ADDRESS=local``.  This is the
+only module (besides bench.py and the test fixture) that may own a Ray
+session; it guards with ``ray.is_initialized()`` so a driver-managed
+session is respected.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    _ensure_ray()
+    from elasticsearch_assets_ray.index.build import build_index
+
+    manifest = build_index(
+        args.input,
+        args.out,
+        target_partition_rows=args.partition_rows,
+        num_shards=args.num_shards,
+        runs_per_bucket=args.runs_per_bucket,
+        content_col=args.content_col,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(manifest))
+    return 0
+
+
+def cmd_query(args) -> int:
+    _ensure_ray()
+    from elasticsearch_assets_ray.query.engine import Searcher
+
+    s = Searcher(args.index)
+    res = s.search(args.q, k=args.k)
+    print(json.dumps(res.to_pydict()))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    return subprocess.call([sys.executable, "bench.py", *args.rest])
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="elasticsearch_assets_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or resume) an index")
+    b.add_argument("--input", required=True, help="parquet file/dir/glob")
+    b.add_argument("--out", required=True)
+    b.add_argument("--partition-rows", type=int, default=256 * 1024)
+    b.add_argument("--num-shards", type=int, default=32)
+    b.add_argument("--runs-per-bucket", type=int, default=32)
+    b.add_argument("--content-col", default="content")
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k over a built index")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

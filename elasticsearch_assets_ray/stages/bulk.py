@@ -179,6 +179,38 @@ def upsert(
     return updated
 
 
+def dead_letter_split(
+    ds: ray.data.Dataset,
+    required_cols: list[str],
+    key_col: str,
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """K1 dead-letter analog (reference elasticsearch_bulk/processor.ts:39-44:
+    rejected records go to a dead-letter queue, accepted ones onward).
+
+    A record is rejected when its key is null or any required column is
+    null.  Returns (accepted, dead_letter) as two lazy datasets over the
+    same tagged intermediate — the tag is computed once per batch."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ok = pc.is_valid(batch[key_col])
+        for c in required_cols:
+            ok = pc.and_(ok, pc.is_valid(batch[c]))
+        return batch.append_column("__ok", ok)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def keep(flag: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["__ok"], flag)).drop_columns(["__ok"])
+
+        return f
+
+    return (
+        tagged.map_batches(keep(True), batch_format="pyarrow"),
+        tagged.map_batches(keep(False), batch_format="pyarrow"),
+    )
+
+
 def routed_write(
     ds: ray.data.Dataset, out_dir: str, route_col: str
 ) -> None:

@@ -81,3 +81,18 @@ def test_routed_write(sf_dir, tmp_path):
     n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     back = ray.data.read_parquet(out)
     assert back.count() == n
+
+
+def test_dead_letter_split():
+    t = pa.table(
+        {
+            "k": pa.array([1, None, 3, 4], pa.int64()),
+            "v": pa.array(["a", "b", None, "d"]),
+        }
+    )
+    ok, dead = bulk.dead_letter_split(ray.data.from_arrow(t), ["v"], "k")
+    ok_t = _collect(ok)
+    dead_t = _collect(dead)
+    assert ok_t["k"].to_pylist() == [1, 4]
+    assert dead_t.num_rows == 2
+    assert "__ok" not in ok_t.column_names
