@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
-from elasticsearch_assets_ray.index.codec import decode_postings
+from elasticsearch_assets_ray.index.codec import decode_block, decode_postings
 from elasticsearch_assets_ray.query import bm25
 from elasticsearch_assets_ray.query.parser import ParsedQuery, parse_query
 
@@ -46,6 +46,8 @@ _SEG_COLS = [
     "max_docid",
     "n_blocks",
     "blob",
+    "block_last",
+    "block_off",
     "block_maxtf",
     "block_mindl",
 ]
@@ -231,30 +233,24 @@ class Searcher:
         heap_ids = np.empty(0, dtype=np.int64)
         heap_scores = np.empty(0, dtype=np.float64)
 
+        # θ seed (WAND-style): decode the rarest scoring term fully, take
+        # the k-th best PARTIAL score — a valid lower bound on the k-th
+        # best total score, so pruning can start before the heap fills.
+        # Only filter-free queries: must/must_not could evict seed docs.
+        theta_seed = -np.inf
+        if k is not None and not must and not q.must_not and len(terms) > 1:
+            theta_seed = self._seed_theta(seg, seg_term, seg_df, idf_by_term, k)
+
         for b in order:
-            if k is not None and heap_ids.size >= k and bounds[b] <= theta:
+            theta_eff = max(theta, theta_seed)
+            can_break = heap_ids.size >= k if k is not None else False
+            if k is not None and (can_break or theta_seed > -np.inf) and bounds[b] < theta_eff:
                 break  # every remaining bucket bounded below θ — skip undecoded
             rows = row_idx_by_bucket[b]
-            # decode this bucket's postings per term (LRU-cached: a hot
-            # term's (docids, tfs, doclens) decode once per actor)
-            per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-            for i in rows:
-                t = seg_term[i]
-                key = (t, int(b))
-                hit = self._post_cache.get(key)
-                if hit is not None:
-                    self._post_cache.move_to_end(key)
-                else:
-                    d, tf = decode_postings(blob_col[i].as_py(), int(seg_df[i]))
-                    hit = (d, tf, self.doclens_for(d))
-                    self._post_cache[key] = hit
-                    self._post_cache_bytes += d.nbytes * 3
-                    while self._post_cache_bytes > self.post_cache_budget and self._post_cache:
-                        _, (od, *_rest) = self._post_cache.popitem(last=False)
-                        self._post_cache_bytes -= od.nbytes * 3
-                if t in per_term:  # same term, same bucket can't repeat, but be safe
-                    hit = tuple(np.concatenate([a, c]) for a, c in zip(per_term[t], hit))
-                per_term[t] = hit
+            per_term = self._decode_bucket_rows(
+                seg, rows, seg_term, seg_df, idf_by_term, int(b),
+                theta_eff if k is not None else -np.inf,
+            )
             plist = []
             for t in terms:
                 if t in per_term:
@@ -287,6 +283,142 @@ class Searcher:
                 return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
             return np.concatenate(all_ids), np.concatenate(all_scores)
         return heap_ids, heap_scores
+
+    # ---------- decode helpers (block-max pruning) ----------
+    def _decode_row_cached(self, seg: pa.Table, i: int, term: str, bucket: int):
+        """Full decode of one segment row through the (term, bucket) LRU."""
+        key = (term, bucket)
+        hit = self._post_cache.get(key)
+        if hit is not None:
+            self._post_cache.move_to_end(key)
+            return hit
+        d, tf = decode_postings(
+            seg["blob"][i].as_py(), int(seg["df"][i].as_py())
+        )
+        hit = (d, tf, self.doclens_for(d))
+        self._post_cache[key] = hit
+        self._post_cache_bytes += d.nbytes * 3
+        while self._post_cache_bytes > self.post_cache_budget and self._post_cache:
+            _, (od, *_rest) = self._post_cache.popitem(last=False)
+            self._post_cache_bytes -= od.nbytes * 3
+        return hit
+
+    def _seed_theta(self, seg, seg_term, seg_df, idf_by_term, k: int) -> float:
+        """k-th best partial score of the rarest scoring term (θ seed)."""
+        df_tot = {t: 0 for t in idf_by_term}
+        for t, d in zip(seg_term, seg_df):
+            if t in df_tot:
+                df_tot[t] += int(d)
+        if not df_tot:
+            return -np.inf
+        rare = min(df_tot, key=lambda t: (df_tot[t], t))
+        if df_tot[rare] < k or df_tot[rare] > 250_000:
+            return -np.inf  # not enough docs to seed / too expensive
+        w = idf_by_term[rare]
+        partials = []
+        for i in np.flatnonzero(seg_term == rare):
+            b = int(seg["bucket"][int(i)].as_py())
+            d, tf, dl = self._decode_row_cached(seg, int(i), rare, b)
+            partials.append(w * bm25.tf_saturation(tf, dl, self.avgdl))
+        ps = np.concatenate(partials)
+        if ps.size < k:
+            return -np.inf
+        return float(np.partition(ps, ps.size - k)[ps.size - k])
+
+    def _decode_bucket_rows(
+        self, seg, rows, seg_term, seg_df, idf_by_term, bucket: int, theta: float
+    ) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Decode one bucket's rows into per-term (docids, tfs, doclens).
+
+        With a live threshold θ, applies BLOCK-MAX intersection pruning:
+        the union of every term's 128-doc block boundaries forms a docID
+        interval grid; an interval whose summed per-term block upper
+        bounds stays below θ provably holds no top-k doc, so the blocks
+        covering only such intervals are never decoded, and postings
+        falling in pruned intervals are masked out of every term (keeping
+        partial-score accounting consistent).  This is BMW's block-max
+        skipping vectorized over the grid instead of a doc-at-a-time
+        pivot walk (Ding & Suel's block-max metadata, public literature)."""
+        per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        use_prune = theta > -np.inf and len(rows) > 0
+        meta = None
+        if use_prune:
+            # per-row block metadata + upper bounds
+            meta = []
+            total_blocks = 0
+            for i in rows:
+                bl = np.frombuffer(seg["block_last"][i].as_py(), dtype=np.int64)
+                mtf = np.frombuffer(seg["block_maxtf"][i].as_py(), dtype=np.int32)
+                mdl = np.frombuffer(seg["block_mindl"][i].as_py(), dtype=np.int32)
+                w = idf_by_term.get(seg_term[i])
+                ub = (
+                    w * bm25.tf_saturation(mtf.astype(np.float64), mdl.astype(np.float64), self.avgdl)
+                    if w is not None
+                    else np.zeros(len(bl))
+                )
+                meta.append((bl, ub))
+                total_blocks += len(bl)
+            if total_blocks < 8:
+                use_prune = False  # not worth the grid
+
+        if use_prune:
+            grid = np.unique(np.concatenate([m[0] for m in meta]))
+            total_ub = np.zeros(grid.size, dtype=np.float64)
+            iv_block = []
+            for bl, ub in meta:
+                idx = np.searchsorted(bl, grid, side="left")
+                valid = idx < len(bl)
+                contrib = np.zeros(grid.size)
+                contrib[valid] = ub[idx[valid]]
+                total_ub += contrib
+                iv_block.append((idx, valid))
+            surviving = total_ub >= theta
+            if surviving.all():
+                use_prune = False  # nothing to skip — fall through to full decode
+
+        for n_i, i in enumerate(rows):
+            t = seg_term[i]
+            if not use_prune:
+                hit = self._decode_row_cached(seg, i, t, bucket)
+            else:
+                key = (t, bucket)
+                cached = self._post_cache.get(key)
+                if cached is not None:
+                    self._post_cache.move_to_end(key)
+                    hit = cached
+                else:
+                    bl, _ub = meta[n_i]
+                    idx, valid = iv_block[n_i]
+                    need = np.unique(idx[surviving & valid])
+                    if need.size >= max(1, len(bl) // 2):
+                        hit = self._decode_row_cached(seg, i, t, bucket)
+                    elif need.size == 0:
+                        continue  # no surviving interval touches this term
+                    else:
+                        blob = seg["blob"][i].as_py()
+                        offs = np.frombuffer(seg["block_off"][i].as_py(), dtype=np.int64)
+                        df_i = int(seg_df[i])
+                        dparts, tparts = [], []
+                        for j in need:
+                            prev_last = int(bl[j - 1]) if j > 0 else 0
+                            dj, tj = decode_block(blob, offs, int(j), df_i, prev_last)
+                            dparts.append(dj)
+                            tparts.append(tj)
+                        d = np.concatenate(dparts)
+                        tf = np.concatenate(tparts)
+                        hit = (d, tf, self.doclens_for(d))
+                # mask postings to surviving intervals (ALL terms, so no
+                # doc ever gets a partial-term score)
+                d, tf, dl = hit
+                iv = np.searchsorted(grid, d, side="left")
+                keepmask = surviving[np.minimum(iv, grid.size - 1)]
+                hit = (d[keepmask], tf[keepmask], dl[keepmask])
+                if hit[0].size == 0:
+                    continue
+            if t in per_term:  # same term twice in a bucket: concat (safety)
+                hit = tuple(np.concatenate([a, c]) for a, c in zip(per_term[t], hit))
+            per_term[t] = hit
+        return per_term
 
     def _accumulate(
         self,

@@ -1,0 +1,133 @@
+"""Block-max pruning stress: pruned top-k must be bit-identical to the
+exhaustive path and the brute-force oracle across many random queries,
+and the block-skip machinery must actually engage."""
+
+import os
+
+import numpy as np
+import pyarrow.dataset as pads
+import pytest
+
+from elasticsearch_assets_ray.query import engine as eng
+from elasticsearch_assets_ray.query.engine import Searcher
+from elasticsearch_assets_ray.query.oracle import OracleIndex
+
+VOCAB = [
+    "import", "return", "def", "class", "self", "value", "error", "index",
+    "load", "parse", "merge", "query", "cache", "token", "user", "batch",
+    "config", "store", "client", "server", "logger", "info",
+]
+
+
+@pytest.fixture(scope="module")
+def stress_setup(built_index):
+    idx_dir, _ = built_index
+    doc = pads.dataset(os.path.join(idx_dir, "docstore")).to_table(
+        columns=["doc_id", "content"]
+    )
+    return (
+        Searcher(idx_dir, prune=True),
+        Searcher(idx_dir, prune=False),
+        OracleIndex(doc, content_col="content", id_col="doc_id"),
+    )
+
+
+def test_random_queries_rank_identical(stress_setup):
+    pruned, exact, oracle = stress_setup
+    rng = np.random.default_rng(123)
+    for _ in range(60):
+        n_terms = int(rng.integers(1, 5))
+        words = list(rng.choice(VOCAB, size=n_terms, replace=False))
+        if rng.random() < 0.2:
+            words[0] = "+" + words[0]
+        if n_terms > 2 and rng.random() < 0.2:
+            words[-1] = "-" + words[-1]
+        q = " ".join(words)
+        k = int(rng.choice([1, 3, 10, 50]))
+        oi, osc = oracle.topk(q, k)
+        rp = pruned.search(q, k)
+        re_ = exact.search(q, k)
+        assert np.array_equal(rp["doc_id"].to_numpy(), oi), (q, k)
+        assert np.array_equal(rp["score"].to_numpy(), osc), (q, k)
+        assert np.array_equal(re_["doc_id"].to_numpy(), oi), (q, k)
+
+
+@pytest.fixture(scope="module")
+def skewed_index(ray_session, tmp_path_factory):
+    """A corpus with REGIONAL score variance — the regime block-max
+    pruning exists for: 'alpha' has high tf in a 256-doc hot region (where
+    the rare term 'beta' also lives) and tf=1 in long docs elsewhere, so
+    whole 128-doc blocks outside the hot region bound below θ."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from elasticsearch_assets_ray.index.build import build_index
+
+    n = 2048
+    contents = []
+    for i in range(n):
+        if i < 256:
+            contents.append("alpha alpha alpha alpha beta pad")
+        else:
+            contents.append("alpha " + "pad " * 50)
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i % 7}" for i in range(n)]),
+            "path": pa.array([f"f{i}.py" for i in range(n)]),
+            "commit": pa.array([f"{i:08x}" for i in range(n)]),
+            "lang": pa.array(["python"] * n),
+            "content": pa.array(contents),
+        }
+    )
+    cd = tmp_path_factory.mktemp("skewcorpus")
+    pq.write_table(t, str(cd / "c.parquet"), row_group_size=512)
+    out = str(tmp_path_factory.mktemp("skewidx"))
+    build_index(str(cd), out, target_partition_rows=512, runs_per_bucket=2, num_shards=4)
+    return out
+
+
+def test_block_skipping_engages(skewed_index, monkeypatch):
+    """Partial block decode must fire AND skip most of alpha's blocks,
+    with results still oracle-identical."""
+    doc = pads.dataset(os.path.join(skewed_index, "docstore")).to_table(
+        columns=["doc_id", "content"]
+    )
+    oracle = OracleIndex(doc, content_col="content", id_col="doc_id")
+    s = Searcher(skewed_index, prune=True)
+    calls = {"blocks": 0}
+    orig_block = eng.decode_block
+
+    def counting_block(*a, **kw):
+        calls["blocks"] += 1
+        return orig_block(*a, **kw)
+
+    monkeypatch.setattr(eng, "decode_block", counting_block)
+    r = s.search("alpha beta", k=1)
+    oi, osc = oracle.topk("alpha beta", 1)
+    assert np.array_equal(r["doc_id"].to_numpy(), oi)
+    assert np.array_equal(r["score"].to_numpy(), osc)
+    # alpha spans 16 blocks; only the hot-region blocks should decode
+    assert 0 < calls["blocks"] <= 8
+
+
+def test_skewed_rank_identity_many_k(skewed_index):
+    doc = pads.dataset(os.path.join(skewed_index, "docstore")).to_table(
+        columns=["doc_id", "content"]
+    )
+    oracle = OracleIndex(doc, content_col="content", id_col="doc_id")
+    s = Searcher(skewed_index, prune=True)
+    for q in ["alpha beta", "alpha", "beta pad", "alpha pad", "+beta alpha"]:
+        for k in (1, 3, 10, 300):
+            oi, osc = oracle.topk(q, k)
+            r = s.search(q, k)
+            assert np.array_equal(r["doc_id"].to_numpy(), oi), (q, k)
+            assert np.array_equal(r["score"].to_numpy(), osc), (q, k)
+
+
+def test_seed_theta_only_without_filters(stress_setup):
+    pruned, _, oracle = stress_setup
+    # must/must_not queries take the unseeded path but stay identical
+    for q in ["+import return", "import -return def", "+def +class"]:
+        oi, osc = oracle.topk(q, 5)
+        r = pruned.search(q, 5)
+        assert np.array_equal(r["doc_id"].to_numpy(), oi), q
+        assert np.array_equal(r["score"].to_numpy(), osc), q
