@@ -25,7 +25,27 @@ Elasticsearch.  This package implements BOTH halves natively on Ray Data:
 Nothing in this package calls ``ray.init()``; callers own the Ray session.
 """
 
-from elasticsearch_assets_ray.index.build import build_index  # noqa: F401
-from elasticsearch_assets_ray.query.engine import Searcher  # noqa: F401
+from elasticsearch_assets_ray.index.build import IndexConfig, build_index  # noqa: F401
+from elasticsearch_assets_ray.query.engine import QueryEngineActor, Searcher  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy heavy imports
+    if name == "IncrementalIndex":
+        from elasticsearch_assets_ray.index.incremental import IncrementalIndex
+
+        return IncrementalIndex
+    if name == "MultiSearcher":
+        from elasticsearch_assets_ray.index.incremental import MultiSearcher
+
+        return MultiSearcher
+    if name == "ReaderAPI":
+        from elasticsearch_assets_ray.sources.reader_api import ReaderAPI
+
+        return ReaderAPI
+    if name == "ReaderSlice":
+        from elasticsearch_assets_ray.sources.reader_api import ReaderSlice
+
+        return ReaderSlice
+    raise AttributeError(name)

@@ -79,7 +79,10 @@ def expand_paths(paths: str | list[str]) -> list[str]:
 
 
 def plan_partitions(
-    paths: str | list[str], target_rows: int = 256 * 1024, pid_base: int = 0
+    paths: str | list[str],
+    target_rows: int = 256 * 1024,
+    pid_base: int = 0,
+    hook=None,
 ) -> list[PartitionSpec]:
     """Pack Parquet row groups into ~target_rows partitions.
 
@@ -112,4 +115,9 @@ def plan_partitions(
         if cur_groups:
             specs.append(PartitionSpec(pid, path, cur_groups, cur_rows))
             pid += 1
+    if hook is not None:
+        # observer of the discovered plan (the DateSlicerMetadataHook
+        # analog, reference interfaces.ts:259-275 — callers use it to
+        # surface interval/range metadata into job state)
+        hook(specs)
     return specs

@@ -1,0 +1,176 @@
+"""ReaderAPI facade — the shape of the reference's
+``ElasticsearchReaderAPI`` (packages/elasticsearch-asset-apis/src/
+elasticsearch-reader-api/ElasticsearchReaderAPI.ts) over our native
+engine: slices in, record batches out.
+
+- :class:`ReaderSlice` — the partition descriptor
+  (reference interfaces.ts:138-168: ``{start?, end?, keys?, count?,
+  query?, limit?}``).
+- :meth:`ReaderAPI.count` — the slicers' count probe (F3).
+- :meth:`ReaderAPI.fetch` — execute a slice: date range + key prefixes +
+  an optional fulltext query (Q1/Q2/Q4), with the three response types of
+  the reference (interfaces.ts:319-323): ``data_entities`` (list of
+  dicts), ``data_frame`` (Arrow table) and ``raw`` (Arrow IPC bytes —
+  the dfjson/Buffer analog).
+- :meth:`ReaderAPI.make_date_slicer_ranges` /
+  :meth:`make_id_slicer_ranges` — the slicer planning entry points
+  (ElasticsearchReaderAPI.ts:475-563 / :383-439) mapped onto partition
+  planning and keyspace DFS.
+
+The fulltext part of a slice needs a built index (``index_dir``); pure
+date/key slices work straight off the docstore/table parquet.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+
+@dataclass
+class ReaderSlice:
+    """Partition descriptor (reference interfaces.ts:138-168)."""
+
+    start: object | None = None  # inclusive lower date bound
+    end: object | None = None  # exclusive upper date bound
+    keys: list[str] = field(default_factory=list)  # key prefixes (OR)
+    query: str | None = None  # fulltext query (Q4)
+    limit: int | None = None
+    count: int | None = None  # filled by slicers (size hint)
+
+
+class ReaderAPI:
+    """Slice-oriented reads over a Parquet table (+ optional index)."""
+
+    def __init__(
+        self,
+        table_path: str,
+        *,
+        date_col: str | None = None,
+        key_col: str | None = None,
+        index_dir: str | None = None,
+        id_col: str = "doc_id",
+    ):
+        self.table_path = table_path
+        self.date_col = date_col
+        self.key_col = key_col
+        self.id_col = id_col
+        self._ds = pads.dataset(table_path)
+        self._searcher = None
+        if index_dir:
+            from elasticsearch_assets_ray.query.engine import Searcher
+
+            self._searcher = Searcher(index_dir)
+        self.records_fetched = 0  # F6 gauge analog
+
+    # ---------- predicates ----------
+    def _filter(self, s: ReaderSlice):
+        filt = None
+
+        def and_(a, b):
+            return b if a is None else (a & b)
+
+        if s.start is not None:
+            filt = and_(filt, pc.field(self.date_col) >= s.start)
+        if s.end is not None:
+            filt = and_(filt, pc.field(self.date_col) < s.end)
+        if s.keys:
+            kf = None
+            for p in s.keys:
+                f = pc.starts_with(pc.field(self.key_col), p)
+                kf = f if kf is None else (kf | f)
+            filt = and_(filt, kf)
+        return filt
+
+    # ---------- API surface ----------
+    def count(self, s: ReaderSlice) -> int:
+        """F3: the count probe every slicer decision uses."""
+        if s.query:
+            t = self._fetch_table(s)
+            return t.num_rows
+        filt = self._filter(s)
+        if filt is None:
+            return self._ds.count_rows()
+        return self._ds.count_rows(filter=filt)
+
+    def _fetch_table(self, s: ReaderSlice, columns: list[str] | None = None) -> pa.Table:
+        if s.query:
+            if self._searcher is None:
+                raise ValueError("fulltext slice needs index_dir")
+            k = s.limit or 10
+            res = self._searcher.search(s.query, k=k)
+            ids = res["doc_id"].to_numpy(zero_copy_only=False)
+            t = self._searcher.hydrate(ids, columns=columns)
+            # apply date/key predicate post-hoc if present
+            filt = self._filter(s)
+            if filt is not None:
+                t = t.filter(filt)
+            return t
+        filt = self._filter(s)
+        t = self._ds.to_table(columns=columns, filter=filt)
+        if s.limit is not None:
+            t = t.slice(0, s.limit)
+        return t
+
+    def fetch(
+        self,
+        s: ReaderSlice,
+        *,
+        response_type: str = "data_frame",
+        columns: list[str] | None = None,
+    ):
+        """Execute a slice.  response_type ∈ {data_entities, data_frame,
+        raw} (reference FetchResponseType, interfaces.ts:319-323)."""
+        t = self._fetch_table(s, columns=columns)
+        self.records_fetched += t.num_rows
+        if response_type == "data_frame":
+            return t
+        if response_type == "data_entities":
+            return t.to_pylist()
+        if response_type == "raw":
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, t.schema) as w:
+                w.write_table(t)
+            return sink.getvalue().to_pybytes()
+        raise ValueError(f"unknown response_type {response_type!r}")
+
+    # ---------- slicer planning ----------
+    def make_date_slicer_ranges(self, n_slicers: int) -> list[ReaderSlice]:
+        """Even division of [min, max] into n contiguous date ranges
+        (reference divideRange date-helpers.ts:242-264 + the min/max
+        probe ElasticsearchReaderAPI.ts:669-718)."""
+        t = self._ds.to_table(columns=[self.date_col])
+        lo = pc.min(t[self.date_col]).as_py()
+        hi = pc.max(t[self.date_col]).as_py()
+        import datetime as _dt
+
+        span = (hi - lo) / n_slicers if n_slicers else None
+        out = []
+        for i in range(n_slicers):
+            s = lo + span * i
+            e = hi if i == n_slicers - 1 else lo + span * (i + 1)
+            if i == n_slicers - 1:
+                e = e + _dt.timedelta(microseconds=1)  # limit-inclusive
+            out.append(ReaderSlice(start=s, end=e))
+        return out
+
+    def make_id_slicer_ranges(self, alphabet: str, max_count: int) -> list[ReaderSlice]:
+        """Keyspace DFS plan (P7) as ReaderSlices."""
+        from elasticsearch_assets_ray.sources.keyspace import (
+            KeyspaceIndex,
+            prefix_dfs_partitions,
+        )
+
+        keys = np.asarray(
+            self._ds.to_table(columns=[self.key_col])[self.key_col].to_pylist(),
+            dtype=object,
+        )
+        ks = KeyspaceIndex(keys)
+        return [
+            ReaderSlice(keys=[sl.prefix], count=sl.count)
+            for sl in prefix_dfs_partitions(ks, alphabet, max_count)
+        ]

@@ -1,0 +1,72 @@
+"""ReaderAPI facade: slices in, batches out — fetch/count/response types
+and slicer planning (the ElasticsearchReaderAPI surface)."""
+
+import pyarrow as pa
+import pytest
+
+from elasticsearch_assets_ray.sources.reader_api import ReaderAPI, ReaderSlice
+
+
+@pytest.fixture(scope="module")
+def api(sf_dir):
+    return ReaderAPI(
+        f"{sf_dir}/events.parquet", date_col="ts", key_col="event_type"
+    )
+
+
+def test_count_and_fetch_date_slice(api, sf_dir):
+    import duckdb
+
+    slices = api.make_date_slicer_ranges(4)
+    assert len(slices) == 4
+    total = sum(api.count(s) for s in slices)
+    want = duckdb.sql(f"SELECT count(*) FROM '{sf_dir}/events.parquet'").fetchone()[0]
+    assert total == want  # slices disjoint-cover the whole date span
+    t = api.fetch(slices[0], columns=["event_id", "ts"])
+    assert isinstance(t, pa.Table)
+    assert t.num_rows == api.count(slices[0])
+
+
+def test_key_prefix_slice(api, sf_dir):
+    import duckdb
+
+    s = ReaderSlice(keys=["p", "s"])  # purchase, signup
+    want = duckdb.sql(
+        f"""SELECT count(*) FROM '{sf_dir}/events.parquet'
+            WHERE event_type LIKE 'p%' OR event_type LIKE 's%'"""
+    ).fetchone()[0]
+    assert api.count(s) == want
+
+
+def test_response_types(api):
+    s = ReaderSlice(keys=["e"], limit=5)
+    df = api.fetch(s, response_type="data_frame")
+    ents = api.fetch(s, response_type="data_entities")
+    raw = api.fetch(s, response_type="raw")
+    assert isinstance(df, pa.Table) and df.num_rows == 5
+    assert isinstance(ents, list) and len(ents) == 5 and isinstance(ents[0], dict)
+    back = pa.ipc.open_stream(raw).read_all()  # dfjson/Buffer analog roundtrip
+    assert back.equals(df)
+    assert api.records_fetched >= 15  # F6 gauge
+
+
+def test_id_slicer_ranges(api):
+    slices = api.make_id_slicer_ranges("abcdefghijklmnopqrstuvwxyz", max_count=400)
+    total = sum(s.count for s in slices)
+    assert total == api.count(ReaderSlice())
+    assert all(s.count <= 400 or len(s.keys[0]) >= 12 for s in slices)
+
+
+def test_fulltext_slice(built_index):
+    idx_dir, _ = built_index
+    import os
+
+    api = ReaderAPI(
+        os.path.join(idx_dir, "docstore"),
+        key_col="repo",
+        index_dir=idx_dir,
+    )
+    s = ReaderSlice(query="def load index", limit=5)
+    t = api.fetch(s, columns=["doc_id", "repo", "path"])
+    assert t.num_rows == 5
+    assert api.count(s) == 5
