@@ -480,6 +480,43 @@ def q_search_boolean(sf_dir: str):
     return _search_many(sf_dir, BOOLEAN_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
 
 
+def q_incremental_delta(sf_dir: str):
+    """Persistent-mode analog through the gate: two window ticks over the
+    events table (content = props JSON text), then a merged-searcher term
+    count — deterministic; the windowed machinery is the thing under
+    test (rows-only: recursion over windows is not SQL)."""
+    import shutil
+    from datetime import datetime
+
+    from elasticsearch_assets_ray.index.build import IndexConfig
+    from elasticsearch_assets_ray.index.incremental import IncrementalIndex
+
+    root = os.path.join("/tmp", "esr_inc_cache", os.path.basename(os.path.normpath(sf_dir)))
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = IndexConfig(
+        content_col="props",
+        id_cols=("event_id",),
+        keep_cols=("event_type",),
+        store_content=False,
+        target_partition_rows=4096,
+        runs_per_bucket=4,
+        num_shards=8,
+    )
+    inc = IncrementalIndex(root, config=cfg)
+    t1 = inc.tick(_p(sf_dir, "events"), (datetime(2024, 1, 1), datetime(2024, 1, 16)), "ts")
+    t2 = inc.tick(_p(sf_dir, "events"), (datetime(2024, 1, 16), datetime(2024, 2, 1)), "ts")
+    s = inc.searcher(prune=False)
+    res = s.search("k", k=10_000_000)  # every event props contains 'k'
+    return pa.table(
+        {
+            "tick_id": pa.array([t1["tick_id"], t2["tick_id"], "total_matched"]),
+            "n_docs": pa.array(
+                [t1["n_docs"], t2["n_docs"], res.num_rows], pa.int64()
+            ),
+        }
+    )
+
+
 def q_props_extract(sf_dir: str):
     """Semi-structured payload extraction: pull the integer field out of
     the events' JSON props with a vectorized Arrow regex (the DataEntity
@@ -536,7 +573,12 @@ def q_prefix_dfs(sf_dir: str):
 
 
 def q_state_enrich(sf_dir: str):
-    ds = _rd(sf_dir, "events", columns=["event_id", "user_id"])
+    # split the single-file read into several blocks so the actor pool
+    # actually gets parallel batches (one parquet file = one block
+    # otherwise)
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id"], override_num_blocks=8
+    )
     out = ds.map_batches(
         DocstoreCache,
         fn_constructor_kwargs=dict(
@@ -749,4 +791,5 @@ QUERIES = {
     "keyspace_plan": q_keyspace_plan,
     "prefix_dfs": q_prefix_dfs,
     "props_extract": q_props_extract,
+    "incremental_delta": q_incremental_delta,
 }
