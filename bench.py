@@ -95,12 +95,16 @@ def bench_index_build(
         shutil.rmtree("/tmp/bench_idx_warmup", ignore_errors=True)
         build_index(WARMUP_CORPUS_DIR, "/tmp/bench_idx_warmup", target_partition_rows=256, resume=False)
     shutil.rmtree(fresh_dir, ignore_errors=True)
+    # above the memory-bandwidth knee (~16 concurrent tokenize tasks on
+    # this box), reserve 2 cpus per phase-1 task
+    phase1_cpus = 2.0 if num_cpus > 16 else 1.0
     t0 = time.perf_counter()
     manifest = build_index(
         corpus_dir,
         fresh_dir,
         target_partition_rows=target_partition_rows,
         resume=False,
+        phase1_num_cpus=phase1_cpus,
     )
     dt = time.perf_counter() - t0
     return {

@@ -70,6 +70,13 @@ class IndexConfig:
     target_partition_rows: int = 256 * 1024
     runs_per_bucket: int = 32  # bounds merge-group size (skew cap)
     num_shards: int = 32  # segment hash shards (also phase-2 parallelism)
+    # cpus RESERVED per phase-1 task.  Tokenization is memory-bandwidth
+    # bound: past ~half the cores, concurrent tokenize tasks on one node
+    # slow each other down (measured: 32 concurrent slower than 16 on a
+    # 32-core box).  Set 2.0 on bandwidth-saturated nodes to halve
+    # per-node concurrency while still scaling with cluster size; the
+    # default 1.0 uses every core (right when below the knee).
+    phase1_num_cpus: float = 1.0
     extra: dict = field(default_factory=dict)
 
 
@@ -395,6 +402,7 @@ def build_index(
             row_filter=row_filter, filter_cols=filter_cols,
         ),
         batch_format="pyarrow",
+        num_cpus=cfg.phase1_num_cpus,
     ).to_pandas()
 
     n_docs = int(manifests["n_docs"].sum())

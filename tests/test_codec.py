@@ -83,3 +83,38 @@ def test_compression_ratio_reasonable():
     dls = np.full(n, 100, dtype=np.int64)
     ep = encode_postings(docids, tfs, dls)
     assert len(ep.blob) < n * 3
+
+
+def test_encode_many_byte_identical_to_per_term():
+    """encode_postings_many must produce byte-identical blobs and block
+    metadata to the per-term encoder for every term."""
+    import numpy as np
+    from elasticsearch_assets_ray.index.codec import (
+        encode_postings,
+        encode_postings_many,
+    )
+
+    rng = np.random.default_rng(42)
+    n_terms = 23
+    dfs = rng.integers(1, 500, n_terms)
+    docs, tfs, dls, offs = [], [], [], [0]
+    for df in dfs:
+        d = np.sort(rng.choice(1 << 20, size=int(df), replace=False)).astype(np.int64)
+        docs.append(d)
+        tfs.append(rng.integers(1, 300, int(df)).astype(np.int64))
+        dls.append(rng.integers(1, 5000, int(df)).astype(np.int64))
+        offs.append(offs[-1] + int(df))
+    enc = encode_postings_many(
+        np.concatenate(docs), np.concatenate(tfs), np.concatenate(dls),
+        np.array(offs, dtype=np.int64),
+    )
+    for i in range(n_terms):
+        single = encode_postings(docs[i], tfs[i], dls[i])
+        blob = bytes(enc["blob_buf"][enc["blob_offsets"][i] : enc["blob_offsets"][i + 1]])
+        assert blob == single.blob, i
+        lo, hi = enc["block_offsets"][i], enc["block_offsets"][i + 1]
+        assert np.array_equal(enc["block_last"][lo:hi], single.block_last_docid)
+        assert np.array_equal(enc["block_off"][lo:hi], single.block_offsets)
+        assert np.array_equal(enc["block_maxtf"][lo:hi], single.block_max_tf)
+        assert np.array_equal(enc["block_mindl"][lo:hi], single.block_min_dl)
+        assert enc["df"][i] == single.df
