@@ -480,6 +480,41 @@ def q_search_boolean(sf_dir: str):
     return _search_many(sf_dir, BOOLEAN_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
 
 
+_BPE_ISH = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def q_bpe_token_count(sf_dir: str):
+    """BPE-ish pre-tokenizer counting (GPT-2-style word/number/punct
+    pieces with leading-space attachment), vectorized Arrow regex;
+    pattern chosen to evaluate identically under Python re and RE2."""
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["text"], _BPE_ISH)
+        return pa.table(
+            {"doc_id": b["doc_id"], "bpe_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal plumbing through the gate: deterministic synthetic
+    binary payloads → actor-pool decode stage → shape features
+    (rows-only: binary decode is not SQL)."""
+    from elasticsearch_assets_ray.stages import multimodal as mm
+
+    t = mm.synth_media_table(200)
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(
+        mm.MediaDecodeStage,
+        batch_size=mm.MediaDecodeStage.suggested_batch_size,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(["media_id", "width", "height", "n_pixels"])
+
+
 def q_incremental_delta(sf_dir: str):
     """Persistent-mode analog through the gate: two window ticks over the
     events table (content = props JSON text), then a merged-searcher term
@@ -563,6 +598,7 @@ def q_prefix_dfs(sf_dir: str):
         {
             "prefix": pa.array([s.prefix for s in slices], pa.string()),
             "cnt": pa.array([s.count for s in slices], pa.int64()),
+            "exact": pa.array([s.exact for s in slices], pa.bool_()),
         }
     )
 
@@ -750,6 +786,11 @@ ORACLES: dict[str, str] = {
     "props_extract": (
         "SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events"
     ),
+    "bpe_token_count": (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens "
+        "FROM documents"
+    ),
     "keyspace_plan": (
         "WITH s AS (SELECT c_name AS k, row_number() OVER (ORDER BY c_name) AS rn FROM customer), "
         "n AS (SELECT count(*) AS cnt FROM customer), "
@@ -792,4 +833,6 @@ QUERIES = {
     "prefix_dfs": q_prefix_dfs,
     "props_extract": q_props_extract,
     "incremental_delta": q_incremental_delta,
+    "bpe_token_count": q_bpe_token_count,
+    "media_decode": q_media_decode,
 }

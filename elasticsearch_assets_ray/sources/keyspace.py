@@ -76,10 +76,14 @@ class KeyspaceIndex:
 @dataclass(frozen=True)
 class KeySlice:
     """The ReaderSlice{keys:[prefix]} analog (reference
-    interfaces.ts:138-168)."""
+    interfaces.ts:138-168).  ``exact`` slices match keys EQUAL to the
+    prefix (emitted when a hot prefix is itself a key and must descend —
+    the variable-length-key case the reference's fixed-length hash keys
+    never hit)."""
 
     prefix: str
     count: int
+    exact: bool = False
 
 
 def prefix_dfs_partitions(
@@ -92,9 +96,10 @@ def prefix_dfs_partitions(
 ) -> list[KeySlice]:
     """DFS over key prefixes: emit a prefix when its count ≤ max_count
     (or depth = max_depth — the can't-split-further case the reference
-    hits on condensed keys), descend one char otherwise, prune empty
-    subtrees.  Emitted slices are disjoint and cover every key that
-    starts with an alphabet char at every probed depth."""
+    hits on condensed keys), descend one char otherwise (emitting an
+    ``exact`` slice for keys that END at the hot prefix), prune empty
+    subtrees.  Emitted slices are disjoint and cover every key whose
+    characters are all in ``alphabet``."""
     out: list[KeySlice] = []
 
     def walk(prefix: str, depth: int) -> None:
@@ -106,6 +111,9 @@ def prefix_dfs_partitions(
             if c <= max_count or depth >= max_depth:
                 out.append(KeySlice(p, c))
             else:
+                exact = ks.count_range(p, p + "\x00")  # keys == p
+                if exact:
+                    out.append(KeySlice(p, exact, exact=True))
                 walk(p, depth + 1)
 
     # starting_key_depth: enumerate all prefixes of the starting depth

@@ -70,6 +70,22 @@ def test_prefix_dfs_invariants():
     assert any(len(s.prefix) > 1 and s.prefix.startswith("a") for s in slices)
 
 
+def test_prefix_dfs_variable_length_keys():
+    """A hot prefix that is itself a key must emit an exact slice when
+    descending (src1 vs src10..src19 — the sf documents 'source' shape)."""
+    keys = np.array(
+        ["src1"] * 100 + [f"src1{d}" for d in range(10) for _ in range(30)],
+        dtype=object,
+    )
+    ks = KeyspaceIndex(keys)
+    slices = prefix_dfs_partitions(ks, "abcdefghijklmnopqrstuvwxyz0123456789", 50)
+    assert sum(s.count for s in slices) == len(keys)
+    exacts = [s for s in slices if s.exact]
+    assert any(s.prefix == "src1" and s.count == 100 for s in exacts)
+    for s in slices:
+        assert s.count <= 50 or s.exact
+
+
 def test_prefix_dfs_starting_depth():
     keys = _synth_keys()
     ks = KeyspaceIndex(keys)
