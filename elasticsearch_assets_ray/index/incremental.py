@@ -189,6 +189,7 @@ class MultiSearcher(Searcher):
         order = np.argsort(ids, kind="stable")
         self._doc_ids = ids[order]
         self._doc_lens = lens[order]
+        self._build_dense_map()
 
     def hydrate(self, docids: np.ndarray, columns=None):
         parts = []

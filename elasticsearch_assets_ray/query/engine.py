@@ -86,7 +86,7 @@ class Searcher:
         # hot query terms decode once per actor, not once per query
         self._post_cache: "OrderedDict[tuple[str, int], tuple]" = OrderedDict()
         self._post_cache_bytes = 0
-        self.post_cache_budget = 256 << 20
+        self.post_cache_budget = 1 << 30  # 24B/posting → ~45M cached postings
 
     # ---------- doc-length lookup (norms analog) ----------
     def _load_doclens(self) -> None:
@@ -100,11 +100,31 @@ class Searcher:
         order = np.argsort(ids, kind="stable")
         self._doc_ids = ids[order]
         self._doc_lens = lens[order]
+        self._build_dense_map()
+
+    def _build_dense_map(self) -> None:
+        """O(1) docID → dense-rank map: docIDs are doc_base(pid) + row
+        with contiguous rows per pid, so rank(d) = first_rank[pid(d)] +
+        (d − doc_base).  Replaces per-lookup binary search."""
+        from elasticsearch_assets_ray.sources.partition import DOC_SHIFT
+
+        self._doc_shift = DOC_SHIFT
+        pids = (self._doc_ids >> DOC_SHIFT).astype(np.int64)
+        upids, first = np.unique(pids, return_index=True)
+        max_pid = int(upids[-1]) if upids.size else 0
+        base_rank = np.full(max_pid + 1, -1, dtype=np.int64)
+        base_rank[upids] = first
+        self._pid_base_rank = base_rank
+        self._max_pid = max_pid
+
+    def _dense_rank(self, docids: np.ndarray) -> np.ndarray:
+        pid = docids >> self._doc_shift
+        row = docids - (pid << self._doc_shift)
+        return self._pid_base_rank[pid] + row
 
     def doclens_for(self, docids: np.ndarray) -> np.ndarray:
         self._load_doclens()
-        idx = np.searchsorted(self._doc_ids, docids)
-        return self._doc_lens[idx]
+        return self._doc_lens[self._dense_rank(docids)]
 
     # ---------- segment lookup ----------
     def _load_shard(self, shard: int) -> tuple[pa.Table, dict[str, np.ndarray]]:
@@ -251,18 +271,14 @@ class Searcher:
                 seg, rows, seg_term, seg_df, idf_by_term, int(b),
                 theta_eff if k is not None else -np.inf,
             )
-            plist = []
-            for t in terms:
-                if t in per_term:
-                    d, tf, dl = per_term[t]
-                    plist.append((df_by_term[t], d, tf, dl))
-            # NB: df passed to score_accumulate is unused there for idf —
-            # compute scores with the *global* idf explicitly:
-            ids_b, scores_b = self._accumulate(plist, [t for t in terms if t in per_term], idf_by_term)
+            # terms iterated in sorted order → per-doc addition order is
+            # pinned (rank-identity with the oracle)
+            items = [(t, per_term[t]) for t in terms if t in per_term]
+            ids_b, scores_b = self._accumulate(items, idf_by_term)
             # must / must_not masks within the bucket
             mask = np.ones(ids_b.size, dtype=bool)
             for t in must:
-                have = per_term.get(t, (np.empty(0, dtype=np.int64), None))[0]
+                have = per_term.get(t, (np.empty(0, dtype=np.int64),))[0]
                 mask &= np.isin(ids_b, have)
             for t in set(q.must_not):
                 if t in per_term:
@@ -285,17 +301,26 @@ class Searcher:
         return heap_ids, heap_scores
 
     # ---------- decode helpers (block-max pruning) ----------
-    def _decode_row_cached(self, seg: pa.Table, i: int, term: str, bucket: int):
-        """Full decode of one segment row through the (term, bucket) LRU."""
+    def _decode_row_cached(self, seg: pa.Table, i: int, term: str, bucket: int, w=None):
+        """Full decode of one segment row through the (term, bucket) LRU.
+        Cached tuple is (docids, tfs, doclens, sat, wsat): ``sat`` is the
+        tf-saturation factor and ``wsat = idf × sat`` the full per-posting
+        contribution — BOTH query-independent for a fixed index, so a warm
+        query is a bare scatter-add of ``wsat``."""
         key = (term, bucket)
         hit = self._post_cache.get(key)
         if hit is not None:
             self._post_cache.move_to_end(key)
+            if hit[2] is None and w is not None:
+                hit = (hit[0], hit[1], w * hit[1])
+                self._post_cache[key] = hit
             return hit
         d, tf = decode_postings(
             seg["blob"][i].as_py(), int(seg["df"][i].as_py())
         )
-        hit = (d, tf, self.doclens_for(d))
+        dl = self.doclens_for(d)
+        sat = bm25.tf_saturation(tf, dl, self.avgdl)
+        hit = (d, sat, (w * sat) if w is not None else None)
         self._post_cache[key] = hit
         self._post_cache_bytes += d.nbytes * 3
         while self._post_cache_bytes > self.post_cache_budget and self._post_cache:
@@ -318,8 +343,8 @@ class Searcher:
         partials = []
         for i in np.flatnonzero(seg_term == rare):
             b = int(seg["bucket"][int(i)].as_py())
-            d, tf, dl = self._decode_row_cached(seg, int(i), rare, b)
-            partials.append(w * bm25.tf_saturation(tf, dl, self.avgdl))
+            hit = self._decode_row_cached(seg, int(i), rare, b, w=w)
+            partials.append(hit[2])
         ps = np.concatenate(partials)
         if ps.size < k:
             return -np.inf
@@ -378,20 +403,21 @@ class Searcher:
 
         for n_i, i in enumerate(rows):
             t = seg_term[i]
+            w = idf_by_term.get(t)
             if not use_prune:
-                hit = self._decode_row_cached(seg, i, t, bucket)
+                hit = self._decode_row_cached(seg, i, t, bucket, w=w)
             else:
                 key = (t, bucket)
                 cached = self._post_cache.get(key)
                 if cached is not None:
                     self._post_cache.move_to_end(key)
-                    hit = cached
+                    hit = self._decode_row_cached(seg, i, t, bucket, w=w)
                 else:
                     bl, _ub = meta[n_i]
                     idx, valid = iv_block[n_i]
                     need = np.unique(idx[surviving & valid])
                     if need.size >= max(1, len(bl) // 2):
-                        hit = self._decode_row_cached(seg, i, t, bucket)
+                        hit = self._decode_row_cached(seg, i, t, bucket, w=w)
                     elif need.size == 0:
                         continue  # no surviving interval touches this term
                     else:
@@ -406,40 +432,54 @@ class Searcher:
                             tparts.append(tj)
                         d = np.concatenate(dparts)
                         tf = np.concatenate(tparts)
-                        hit = (d, tf, self.doclens_for(d))
+                        dl = self.doclens_for(d)
+                        sat = bm25.tf_saturation(tf, dl, self.avgdl)
+                        hit = (d, sat, (w * sat) if w is not None else None)
                 # mask postings to surviving intervals (ALL terms, so no
                 # doc ever gets a partial-term score)
-                d, tf, dl = hit
+                d, sat, wsat = hit
                 iv = np.searchsorted(grid, d, side="left")
                 keepmask = surviving[np.minimum(iv, grid.size - 1)]
-                hit = (d[keepmask], tf[keepmask], dl[keepmask])
+                hit = (
+                    d[keepmask], sat[keepmask],
+                    wsat[keepmask] if wsat is not None else None,
+                )
                 if hit[0].size == 0:
                     continue
             if t in per_term:  # same term twice in a bucket: concat (safety)
-                hit = tuple(np.concatenate([a, c]) for a, c in zip(per_term[t], hit))
+                hit = tuple(
+                    None if (a is None or c is None) else np.concatenate([a, c])
+                    for a, c in zip(per_term[t], hit)
+                )
             per_term[t] = hit
         return per_term
 
     def _accumulate(
         self,
-        plist: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]],
-        term_order: list[str],
+        items: list[tuple[str, tuple]],
         idf_by_term: dict[str, float],
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Vectorized per-bucket accumulation, term-major order (matches
-        bm25.score_accumulate / the oracle bit-for-bit)."""
-        if not plist:
+        """Dense scatter-add accumulation: each term's contribution is
+        ``idf × cached sat`` written through the O(1) docID→rank map —
+        no sort, no np.unique, no per-query saturation recompute.
+
+        Terms arrive in sorted order and each term touches a doc at most
+        once, so per-doc addition order matches the oracle's term-major
+        bincount exactly (bit-identical floats)."""
+        if not items:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        id_parts, score_parts = [], []
-        for (df, d, tf, dl), t in zip(plist, term_order):
-            w = idf_by_term[t]
-            id_parts.append(d)
-            score_parts.append(w * bm25.tf_saturation(tf, dl, self.avgdl))
-        all_ids = np.concatenate(id_parts)
-        all_sc = np.concatenate(score_parts)
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        sums = np.bincount(inv, weights=all_sc, minlength=uniq.size)
-        return uniq.astype(np.int64), sums.astype(np.float64)
+        self._load_doclens()
+        n = self._doc_ids.size
+        scores = np.zeros(n, dtype=np.float64)
+        hit = np.zeros(n, dtype=bool)
+        for t, h in items:
+            d, sat, wsat = h
+            if wsat is None:
+                wsat = idf_by_term[t] * sat
+            idx = self._dense_rank(d)
+            scores[idx] += wsat
+            hit[idx] = True
+        return self._doc_ids[hit].astype(np.int64), scores[hit]
 
     # ---------- doc hydration ----------
     def hydrate(self, docids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
