@@ -17,23 +17,44 @@ from elasticsearch_assets_ray.stages.tokenizer import doc_term_freqs
 class OracleIndex:
     """In-memory term → (docids, tfs) map over a small corpus table."""
 
-    def __init__(self, table: pa.Table, content_col: str = "content", id_col: str = "doc_id"):
-        ids = table[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        tb = doc_term_freqs(table[content_col])
+    def __init__(
+        self,
+        table: pa.Table,
+        content_col: str = "content",
+        id_col: str = "doc_id",
+        chunk_rows: int = 50_000,
+    ):
+        """Builds in row chunks so corpora whose content exceeds Arrow's
+        2 GiB single-array limit still oracle-check."""
         self.n_docs = table.num_rows
-        self.doc_len = tb.doc_len
-        self.avgdl = (tb.doc_len.sum() / self.n_docs) if self.n_docs else 0.0
-        self.doc_ids = ids
-        self.postings: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-        order = np.lexsort((tb.doc_idx,))  # already doc-sorted; stable
-        uterms, inv = np.unique(tb.terms, return_inverse=True)
-        o = np.lexsort((tb.doc_idx, inv))
-        s_term, s_doc, s_tf = inv[o], tb.doc_idx[o], tb.tfs[o]
-        bounds = np.concatenate(([0], np.flatnonzero(np.diff(s_term)) + 1, [len(s_term)])) if len(s_term) else np.zeros(1, dtype=np.int64)
-        for i, t in enumerate(uterms):
-            lo, hi = bounds[i], bounds[i + 1]
-            d = s_doc[lo:hi]
-            self.postings[str(t)] = (ids[d], s_tf[lo:hi], tb.doc_len[d])
+        self.doc_ids = table[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        self.postings: dict[str, list] = {}
+        total_tokens = 0
+        for lo in range(0, self.n_docs, chunk_rows):
+            chunk = table.slice(lo, chunk_rows)
+            ids = chunk[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            tb = doc_term_freqs(chunk[content_col])
+            total_tokens += int(tb.doc_len.sum())
+            uterms, inv = np.unique(tb.terms, return_inverse=True)
+            o = np.lexsort((tb.doc_idx, inv))
+            s_term, s_doc, s_tf = inv[o], tb.doc_idx[o], tb.tfs[o]
+            bounds = (
+                np.concatenate(([0], np.flatnonzero(np.diff(s_term)) + 1, [len(s_term)]))
+                if len(s_term)
+                else np.zeros(1, dtype=np.int64)
+            )
+            for i, t in enumerate(uterms):
+                a, b = bounds[i], bounds[i + 1]
+                d = s_doc[a:b]
+                self.postings.setdefault(str(t), []).append(
+                    (ids[d], s_tf[a:b], tb.doc_len[d])
+                )
+        # chunks arrive in ascending doc order → concatenation stays sorted
+        self.postings = {
+            t: tuple(np.concatenate(cols) for cols in zip(*parts))
+            for t, parts in self.postings.items()
+        }
+        self.avgdl = (total_tokens / self.n_docs) if self.n_docs else 0.0
 
     def all_scores(self, query: str | ParsedQuery) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, bm25) for every doc matching the query (must/must_not
