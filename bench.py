@@ -96,8 +96,12 @@ def bench_index_build(
         build_index(WARMUP_CORPUS_DIR, "/tmp/bench_idx_warmup", target_partition_rows=256, resume=False)
     shutil.rmtree(fresh_dir, ignore_errors=True)
     # above the memory-bandwidth knee (~16 concurrent tokenize tasks on
-    # this box), reserve 2 cpus per phase-1 task
-    phase1_cpus = 2.0 if num_cpus > 16 else 1.0
+    # this box), reserve 2 cpus per phase-1 task — but only when there
+    # are enough partitions that wave quantization doesn't dominate
+    # (for 32 partitions on 32 cpus the cap just forces 2 underfilled
+    # waves; for sustained builds it prevents bandwidth thrash)
+    n_parts_estimate = corpus_files and max(1, corpus_files // target_partition_rows)
+    phase1_cpus = 2.0 if (num_cpus > 16 and n_parts_estimate >= 4 * num_cpus) else 1.0
     t0 = time.perf_counter()
     manifest = build_index(
         corpus_dir,
