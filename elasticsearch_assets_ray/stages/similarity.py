@@ -37,33 +37,29 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-class _BruteForceScorer:
-    """Actor-pool stage: normalized query matrix built once per actor."""
-
-    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
-        q = ray.get(queries_ref)
-        self.qids = q["qids"]
-        self.qmat = _normalize(q["qmat"])
-        self.id_col = id_col
-        self.vec_col = vec_col
-        self.k = k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        m = _normalize(_matrix(batch[self.vec_col]))
-        sims = self.qmat @ m.T  # (Q, n)
-        k = min(self.k, sims.shape[1])
-        # local top-k per query: argpartition then exact sort
-        part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
-        rows = np.repeat(np.arange(sims.shape[0]), k)
-        cols = part.reshape(-1)
-        return pa.table(
-            {
-                "query_id": pa.array(self.qids[rows].astype(np.int64)),
-                "vec_id": pa.array(vids[cols]),
-                "sim": pa.array(sims[rows, cols].astype(np.float64)),
-            }
-        )
+def _brute_force_batch(batch: pa.Table, queries_ref, id_col: str, vec_col: str, k: int) -> pa.Table:
+    """Stateless per-batch scorer: the query matrix is ray.put once and
+    fetched zero-copy from plasma per task (workers stay warm — no actor
+    pool spin-up for small jobs; switch to an actor class only when the
+    query matrix is large enough that per-task normalization matters)."""
+    q = ray.get(queries_ref)
+    qids = q["qids"]
+    qmat = _normalize(q["qmat"])
+    vids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _normalize(_matrix(batch[vec_col]))
+    sims = qmat @ m.T  # (Q, n)
+    k = min(k, sims.shape[1])
+    # local top-k per query: argpartition then exact sort
+    part = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+    rows = np.repeat(np.arange(sims.shape[0]), k)
+    cols = part.reshape(-1)
+    return pa.table(
+        {
+            "query_id": pa.array(qids[rows].astype(np.int64)),
+            "vec_id": pa.array(vids[cols]),
+            "sim": pa.array(sims[rows, cols].astype(np.float64)),
+        }
+    )
 
 
 def _merge_topk(cands: pa.Table, k: int) -> pa.Table:
@@ -102,12 +98,14 @@ def brute_force_topk(
 ) -> pa.Table:
     """Exact cosine top-k for each query vector.  Returns
     (query_id, vec_id, rank, sim) with rank 1..k per query."""
+    import functools
+
     ref = ray.put({"qids": np.asarray(query_ids), "qmat": np.asarray(query_vecs, dtype=np.float64)})
     cands_ds = ds.map_batches(
-        _BruteForceScorer,
-        fn_constructor_args=(ref, id_col, vec_col, k),
+        functools.partial(
+            _brute_force_batch, queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k
+        ),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
     cands = pa.concat_tables(list(cands_ds.iter_batches(batch_format="pyarrow")))
     return _merge_topk(cands, k)
