@@ -113,6 +113,8 @@ def bench_index_build(
     dt = time.perf_counter() - t0
     return {
         "sec": round(dt, 3),
+        "phase1_sec": manifest.get("phase1_sec"),
+        "phase2_sec": manifest.get("phase2_sec"),
         "n_docs": manifest["n_docs"],
         "total_tokens": manifest["total_tokens"],
         "files_per_sec": round(manifest["n_docs"] / dt, 1),

@@ -391,6 +391,9 @@ def build_index(
             return gm
 
     # ---- phase 1: per-partition build (skips completed partitions) ----
+    import time as _time
+
+    _t0 = _time.perf_counter()
     spec_ds = ray.data.from_items(
         [s.to_row() for s in specs], override_num_blocks=len(specs)
     )
@@ -407,6 +410,7 @@ def build_index(
 
     n_docs = int(manifests["n_docs"].sum())
     total_tokens = int(manifests["total_tokens"].sum())
+    _t1 = _time.perf_counter()
 
     # ---- phase 2: the term shuffle ----
     seg_dir = os.path.join(out_dir, "segments")
@@ -431,8 +435,11 @@ def build_index(
         _merge_shard_bucket, batch_format="pyarrow"
     )
     segments.write_parquet(seg_dir, partition_cols=["shard"])
+    _t2 = _time.perf_counter()
 
     global_manifest = {
+        "phase1_sec": round(_t1 - _t0, 3),
+        "phase2_sec": round(_t2 - _t1, 3),
         "version": MANIFEST_VERSION,
         "complete": True,
         "n_partitions": len(specs),

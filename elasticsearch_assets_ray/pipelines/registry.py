@@ -412,6 +412,14 @@ def q_embedding_lsh_topk(sf_dir: str):
     return res
 
 
+def q_embedding_ivf_topk(sf_dir: str):
+    qids, qvecs = _query_vectors(sf_dir)
+    ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sim_ops.ivf_topk(
+        ds, qids, qvecs, k=_ANN_K, n_centroids=16, nprobe=4
+    )
+
+
 def q_embedding_dedup(sf_dir: str):
     t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     head = t.slice(0, 10)
@@ -825,6 +833,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
+    "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_dedup": q_embedding_dedup,
     "search_topk": q_search_topk,
     "search_boolean": q_search_boolean,

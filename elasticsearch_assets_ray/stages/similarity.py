@@ -224,6 +224,126 @@ def lsh_topk(
     return _merge_topk(cands, k)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) — coarse k-means quantizer, the other scale path
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    sample: np.ndarray, n_centroids: int, n_iters: int = 10, seed: int = 17
+) -> np.ndarray:
+    """Seeded Lloyd k-means on a (normalized) sample — the coarse
+    quantizer.  Deterministic: same sample/seed → same centroids.  At
+    cluster scale the sample comes from ``ds.random_sample`` with a fixed
+    seed; training is driver-side (centroid count ≪ corpus)."""
+    rng = np.random.default_rng(seed)
+    m = _normalize(np.asarray(sample, dtype=np.float64))
+    n = m.shape[0]
+    n_centroids = min(n_centroids, n)
+    cent = m[rng.choice(n, size=n_centroids, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(m @ cent.T, axis=1)  # cosine on normalized = dot
+        for c in range(n_centroids):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].sum(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cent[c] = v / norm
+    return cent
+
+
+class IVFAssigner:
+    """Actor-pool stage: adds ``ivf_cluster`` = nearest centroid id per
+    row.  Centroids are broadcast once via ray.put and loaded per actor."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        self.cent = ray.get(centroids_ref)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch[self.vec_col]))
+        assign = np.argmax(m @ self.cent.T, axis=1).astype(np.int64)
+        out = {n: batch[n] for n in batch.column_names}
+        out["ivf_cluster"] = pa.array(assign)
+        return pa.table(out)
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    train_sample: np.ndarray | None = None,
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> pa.Table:
+    """IVF approximate top-k: vectors are bucketed by nearest centroid;
+    a query scores only the ``nprobe`` closest clusters' vectors.  Same
+    output schema as brute_force_topk; recall < 1 by construction.
+
+    The scan prunes at the source: batches are filtered to probed
+    clusters BEFORE any matmul, so at scale (cluster-partitioned layout,
+    ``write_parquet(partition_cols=['ivf_cluster'])``) unprobed
+    partitions never leave storage."""
+    if train_sample is None:
+        head = ds.limit(4096)
+        train_sample = _matrix(
+            pa.concat_tables(list(head.iter_batches(batch_format="pyarrow")))[vec_col]
+        )
+    cent = train_centroids(train_sample, n_centroids)
+    cent_ref = ray.put(cent)
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qassign = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probed = np.unique(qassign.reshape(-1))
+    state_ref = ray.put(
+        {"qids": np.asarray(query_ids), "qmat": qmat, "qassign": qassign, "probed": probed}
+    )
+
+    import functools
+
+    def score(batch: pa.Table, cent_ref=cent_ref, state_ref=state_ref) -> pa.Table:
+        cent_ = ray.get(cent_ref)
+        st = ray.get(state_ref)
+        vids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_matrix(batch[vec_col]))
+        assign = np.argmax(m @ cent_.T, axis=1)
+        keep = np.isin(assign, st["probed"])
+        qid_o, vid_o, sim_o = [], [], []
+        if keep.any():
+            mk, vk, ak = m[keep], vids[keep], assign[keep]
+            for qi in range(st["qmat"].shape[0]):
+                cand = np.isin(ak, st["qassign"][qi])
+                if not cand.any():
+                    continue
+                sims = mk[cand] @ st["qmat"][qi]
+                kk = min(k, sims.size)
+                part = np.argpartition(-sims, kth=kk - 1)[:kk]
+                qid_o.extend([int(st["qids"][qi])] * kk)
+                vid_o.extend(vk[cand][part].tolist())
+                sim_o.extend(sims[part].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qid_o, pa.int64()),
+                "vec_id": pa.array(vid_o, pa.int64()),
+                "sim": pa.array(sim_o, pa.float64()),
+            }
+        )
+
+    cands_ds = ds.map_batches(score, batch_format="pyarrow")
+    cands = pa.concat_tables(list(cands_ds.iter_batches(batch_format="pyarrow")))
+    if cands.num_rows == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+        )
+    return _merge_topk(cands, k)
+
+
 def embedding_cosine_dedup(
     ds: ray.data.Dataset,
     *,

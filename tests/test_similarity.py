@@ -62,3 +62,38 @@ def test_embedding_cosine_dedup_finds_planted():
     found = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
     for i in range(5):
         assert (i, 100000 + i) in found
+
+
+def test_ivf_topk_recall_and_exactness():
+    """IVF results are exact cosines for probed vectors; self-match always
+    recalled (its own cluster is the top probe); high recall vs brute
+    force at nprobe=4/16."""
+    t = _vectors(400)
+    ds = ray.data.from_arrow(t)
+    m = sim._normalize(sim._matrix(t["embedding"]))
+    qids = np.array([3, 7], dtype=np.int64)
+    res = sim.ivf_topk(ds, qids, m[[3, 7]], k=5, n_centroids=16, nprobe=4)
+    for vid, s, qid in zip(res["vec_id"].to_pylist(), res["sim"].to_pylist(),
+                           res["query_id"].to_pylist()):
+        assert abs(float(m[vid] @ m[qid]) - s) < 1e-9
+    by_q = {}
+    for qid, vid, rank in zip(res["query_id"].to_pylist(), res["vec_id"].to_pylist(),
+                              res["rank"].to_pylist()):
+        by_q.setdefault(qid, []).append(vid)
+    assert by_q[3][0] == 3 and by_q[7][0] == 7  # self-match rank 1
+    exact = sim.brute_force_topk(ds, qids, m[[3, 7]], k=5)
+    exact_sets = {}
+    for qid, vid in zip(exact["query_id"].to_pylist(), exact["vec_id"].to_pylist()):
+        exact_sets.setdefault(qid, set()).add(vid)
+    for qid in (3, 7):
+        recall = len(set(by_q[qid]) & exact_sets[qid]) / 5
+        assert recall >= 0.4, recall  # approximate, but must overlap
+
+
+def test_train_centroids_deterministic():
+    rng = np.random.default_rng(0)
+    sample = rng.standard_normal((200, 8))
+    a = sim.train_centroids(sample, 8)
+    b = sim.train_centroids(sample, 8)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
