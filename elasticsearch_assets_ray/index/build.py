@@ -50,7 +50,10 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from elasticsearch_assets_ray.index.codec import encode_postings_many
+from elasticsearch_assets_ray.index.codec import (
+    encode_postings_many,
+    encode_postings_pfor,
+)
 from elasticsearch_assets_ray.sources.partition import (
     DOC_SHIFT,
     PartitionSpec,
@@ -64,6 +67,7 @@ MANIFEST_VERSION = 1
 @dataclass
 class IndexConfig:
     content_col: str = "content"
+    codec: str = "varint"  # "varint" (vectorized encode) | "pfor" (bit-packed)
     id_cols: tuple[str, ...] = ("repo", "path", "commit")
     keep_cols: tuple[str, ...] = ("lang",)  # extra docstore columns
     store_content: bool = True
@@ -297,7 +301,43 @@ def _flat_binary(col: pa.Array | pa.ChunkedArray, dtype) -> tuple[np.ndarray, np
     return flat, counts.astype(np.int64)
 
 
-def _merge_shard_bucket(group: pa.Table) -> pa.Table:
+def _encode_many_pfor(docids, tfs, dls, term_offsets) -> dict:
+    """PFor path of the group merge: per-term bit-packed encode assembled
+    into the same output shape as :func:`encode_postings_many` (the PFor
+    bit layout is block-local, so the vectorized cross-term pass doesn't
+    apply; this codec trades build CPU for smaller blocks)."""
+    n_terms = len(term_offsets) - 1
+    blobs, blob_off = [], np.zeros(n_terms + 1, dtype=np.int64)
+    bl_parts, bo_parts, mt_parts, md_parts = [], [], [], []
+    nb = np.zeros(n_terms, dtype=np.int32)
+    cf = np.add.reduceat(tfs, term_offsets[:-1]) if len(docids) else np.empty(0, np.int64)
+    for i in range(n_terms):
+        lo, hi = term_offsets[i], term_offsets[i + 1]
+        ep = encode_postings_pfor(docids[lo:hi], tfs[lo:hi], dls[lo:hi])
+        blobs.append(np.frombuffer(ep.blob, dtype=np.uint8))
+        blob_off[i + 1] = blob_off[i] + len(ep.blob)
+        bl_parts.append(ep.block_last_docid)
+        bo_parts.append(ep.block_offsets)
+        mt_parts.append(ep.block_max_tf)
+        md_parts.append(ep.block_min_dl)
+        nb[i] = len(ep.block_offsets)
+    return {
+        "blob_buf": np.concatenate(blobs) if blobs else np.empty(0, np.uint8),
+        "blob_offsets": blob_off,
+        "df": np.diff(term_offsets),
+        "cf": cf,
+        "min_docid": docids[term_offsets[:-1]],
+        "max_docid": docids[term_offsets[1:] - 1],
+        "n_blocks": nb,
+        "block_last": np.concatenate(bl_parts) if bl_parts else np.empty(0, np.int64),
+        "block_off": np.concatenate(bo_parts) if bo_parts else np.empty(0, np.int64),
+        "block_maxtf": np.concatenate(mt_parts) if mt_parts else np.empty(0, np.int32),
+        "block_mindl": np.concatenate(md_parts) if md_parts else np.empty(0, np.int32),
+        "block_offsets": np.concatenate(([0], np.cumsum(nb))).astype(np.int64),
+    }
+
+
+def _merge_shard_bucket(group: pa.Table, codec: str = "varint") -> pa.Table:
     """Phase-2 map_groups body: merge ONE (shard, bucket) group — i.e.
     every term's runs within that shard/bucket — fully vectorized.
 
@@ -326,7 +366,10 @@ def _merge_shard_bucket(group: pa.Table) -> pa.Table:
     post_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
     term_offsets = np.concatenate((post_off[row_start], [post_off[-1]]))
 
-    enc = encode_postings_many(docids, tfs32.astype(np.int64), dls32.astype(np.int64), term_offsets)
+    if codec == "pfor":
+        enc = _encode_many_pfor(docids, tfs32.astype(np.int64), dls32.astype(np.int64), term_offsets)
+    else:
+        enc = encode_postings_many(docids, tfs32.astype(np.int64), dls32.astype(np.int64), term_offsets)
 
     uterms = terms.take(pa.array(row_start, type=pa.int64()))
     n_terms = len(row_start)
@@ -431,8 +474,9 @@ def build_index(
     runs = runs.map_batches(add_keys, batch_format="pyarrow")
     # ONE shuffle, |groups| = num_shards × n_buckets (bounded, never
     # per-term): each group merges+encodes all its terms vectorized.
+    codec = cfg.codec
     segments = runs.groupby(["shard", "bucket"]).map_groups(
-        _merge_shard_bucket, batch_format="pyarrow"
+        functools.partial(_merge_shard_bucket, codec=codec), batch_format="pyarrow"
     )
     segments.write_parquet(seg_dir, partition_cols=["shard"])
     _t2 = _time.perf_counter()
@@ -449,6 +493,7 @@ def build_index(
         "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
         "n_term_partitions": int(manifests["n_terms_local"].sum()),
         "doc_shift": DOC_SHIFT,
+        "codec": cfg.codec,
         "num_shards": cfg.num_shards,
         "runs_per_bucket": cfg.runs_per_bucket,
         "content_col": cfg.content_col,

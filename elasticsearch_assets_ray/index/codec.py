@@ -250,6 +250,171 @@ def encode_postings_many(
     }
 
 
+# ---------------------------------------------------------------------------
+# PForDelta (patched frame-of-reference) — alternative block codec
+# ---------------------------------------------------------------------------
+
+
+def pack_bits(vals: np.ndarray, b: int) -> bytes:
+    """Pack n values at b bits each (little-endian bit order), vectorized."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = v.size
+    if n == 0 or b == 0:
+        return b""
+    total_bits = n * b
+    out = np.zeros(total_bits // 64 + 2, dtype=np.uint64)
+    pos = np.arange(n, dtype=np.uint64) * np.uint64(b)
+    wi = (pos >> np.uint64(6)).astype(np.int64)
+    sh = pos & np.uint64(63)
+    if b < 64:
+        v = v & ((np.uint64(1) << np.uint64(b)) - np.uint64(1))
+    np.bitwise_or.at(out, wi, v << sh)
+    spill = (sh + np.uint64(b)) > np.uint64(64)
+    if spill.any():
+        np.bitwise_or.at(
+            out, wi[spill] + 1, v[spill] >> (np.uint64(64) - sh[spill])
+        )
+    nbytes = (total_bits + 7) // 8
+    return out.view(np.uint8)[:nbytes].tobytes()
+
+
+def unpack_bits(buf: bytes, n: int, b: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits` → uint64[n]."""
+    if n == 0 or b == 0:
+        return np.zeros(n, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    words = np.zeros(len(raw) // 8 + 2, dtype=np.uint64)
+    words[: len(raw) // 8] = np.frombuffer(raw[: (len(raw) // 8) * 8], dtype=np.uint64)
+    rem = len(raw) % 8
+    if rem:
+        tail = np.zeros(8, dtype=np.uint8)
+        tail[:rem] = raw[-rem:]
+        words[len(raw) // 8] = tail.view(np.uint64)[0]
+    pos = np.arange(n, dtype=np.uint64) * np.uint64(b)
+    wi = (pos >> np.uint64(6)).astype(np.int64)
+    sh = pos & np.uint64(63)
+    res = words[wi] >> sh
+    need_hi = (sh + np.uint64(b)) > np.uint64(64)
+    if need_hi.any():
+        res[need_hi] |= words[wi[need_hi] + 1] << (np.uint64(64) - sh[need_hi])
+    if b < 64:
+        res &= (np.uint64(1) << np.uint64(b)) - np.uint64(1)
+    return res
+
+
+def _pfor_section(vals: np.ndarray) -> bytes:
+    """One PFor section: width chosen at the ~87.5th percentile of bit
+    lengths; larger values become patched exceptions (pos, high-bits)
+    appended as varints (Zukowski et al. / NewPFD family, public
+    literature)."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = v.size
+    nbits = np.zeros(n, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp >>= np.uint64(1)
+    nbits = np.maximum(nbits, 1)
+    b = int(np.percentile(nbits, 87.5))
+    b = max(1, min(64, b))
+    exc_mask = nbits > b
+    n_exc = int(exc_mask.sum())
+    if n_exc > 255:  # degenerate distribution: widen to cover everything
+        b = int(nbits.max())
+        exc_mask = nbits > b
+        n_exc = 0
+    packed = pack_bits(v, b)
+    exc_pos = np.flatnonzero(exc_mask).astype(np.uint64)
+    exc_hi = v[exc_mask] >> np.uint64(b)
+    exc = varint_encode(np.concatenate([exc_pos, exc_hi])) if n_exc else b""
+    head = bytes([b, n_exc]) + len(exc).to_bytes(2, "little")
+    return head + packed + exc
+
+
+def _pfor_unsection(buf: bytes, n: int) -> tuple[np.ndarray, int]:
+    """Decode one section → (values uint64[n], bytes consumed)."""
+    b, n_exc = buf[0], buf[1]
+    exc_len = int.from_bytes(buf[2:4], "little")
+    packed_len = (n * b + 7) // 8
+    vals = unpack_bits(buf[4 : 4 + packed_len], n, b)
+    if n_exc:
+        exc = varint_decode(buf[4 + packed_len : 4 + packed_len + exc_len], count=2 * n_exc)
+        pos = exc[:n_exc].astype(np.int64)
+        hi = exc[n_exc:]
+        vals[pos] |= hi << np.uint64(b)
+    return vals, 4 + packed_len + exc_len
+
+
+def encode_postings_pfor(
+    docids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> EncodedPostings:
+    """PForDelta encoding with the same block structure / metadata as the
+    varint codec (per 128-doc block: delta section then tf section)."""
+    docids = np.ascontiguousarray(docids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    df = docids.size
+    assert df > 0
+    n_blocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    deltas = np.empty(df, dtype=np.int64)
+    deltas[0] = docids[0]
+    np.subtract(docids[1:], docids[:-1], out=deltas[1:])
+    block_last = docids[np.minimum(np.arange(1, n_blocks + 1) * BLOCK_SIZE, df) - 1]
+    pieces, offsets = [], np.zeros(n_blocks, dtype=np.int64)
+    max_tf = np.zeros(n_blocks, dtype=np.int32)
+    min_dl = np.zeros(n_blocks, dtype=np.int32)
+    off = 0
+    for i in range(n_blocks):
+        lo, hi = i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, df)
+        enc = _pfor_section(deltas[lo:hi].astype(np.uint64)) + _pfor_section(
+            tfs[lo:hi].astype(np.uint64)
+        )
+        offsets[i] = off
+        off += len(enc)
+        pieces.append(enc)
+        max_tf[i] = tfs[lo:hi].max()
+        min_dl[i] = dls[lo:hi].min()
+    return EncodedPostings(
+        blob=b"".join(pieces),
+        df=df,
+        block_last_docid=block_last.astype(np.int64),
+        block_offsets=offsets,
+        block_max_tf=max_tf,
+        block_min_dl=min_dl,
+    )
+
+
+def decode_postings_pfor(blob: bytes, df: int) -> tuple[np.ndarray, np.ndarray]:
+    n_blocks = (df + BLOCK_SIZE - 1) // BLOCK_SIZE
+    docids = np.empty(df, dtype=np.int64)
+    tfs = np.empty(df, dtype=np.int64)
+    pos = 0
+    for i in range(n_blocks):
+        lo, hi = i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, df)
+        n = hi - lo
+        d, used = _pfor_unsection(blob[pos:], n)
+        pos += used
+        t, used = _pfor_unsection(blob[pos:], n)
+        pos += used
+        docids[lo:hi] = d.astype(np.int64)
+        tfs[lo:hi] = t.astype(np.int64)
+    np.cumsum(docids, out=docids)
+    return docids, tfs
+
+
+def decode_block_pfor(
+    blob: bytes, offsets: np.ndarray, block_idx: int, df: int, prev_last_docid: int
+) -> tuple[np.ndarray, np.ndarray]:
+    n = min(BLOCK_SIZE, df - block_idx * BLOCK_SIZE)
+    lo = int(offsets[block_idx])
+    d, used = _pfor_unsection(blob[lo:], n)
+    t, _ = _pfor_unsection(blob[lo + used :], n)
+    docids = np.cumsum(d.astype(np.int64)) + prev_last_docid
+    return docids, t.astype(np.int64)
+
+
 def decode_block(
     blob: bytes, offsets: np.ndarray, block_idx: int, df: int, prev_last_docid: int
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -158,6 +158,7 @@ class MultiSearcher(Searcher):
             raise ValueError("no delta indexes yet")
         self.children = [Searcher(d, prune=prune) for d in dirs]
         self.prune = prune
+        self._set_codec(self.children[0].manifest.get("codec", "varint"))
         self.n_docs = sum(c.n_docs for c in self.children)
         total_tokens = sum(c.manifest["total_tokens"] for c in self.children)
         self.avgdl = (total_tokens / self.n_docs) if self.n_docs else 0.0

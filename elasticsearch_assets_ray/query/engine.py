@@ -34,7 +34,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
-from elasticsearch_assets_ray.index.codec import decode_block, decode_postings
+from elasticsearch_assets_ray.index.codec import (
+    decode_block,
+    decode_block_pfor,
+    decode_postings,
+    decode_postings_pfor,
+)
 from elasticsearch_assets_ray.query import bm25
 from elasticsearch_assets_ray.query.parser import ParsedQuery, parse_query
 
@@ -67,10 +72,19 @@ class Searcher:
         self.avgdl = float(self.manifest["avgdl"])
         self.num_shards = int(self.manifest["num_shards"])
         self.prune = prune
+        self._set_codec(self.manifest.get("codec", "varint"))
         self._seg = pads.dataset(
             os.path.join(index_dir, "segments"), partitioning="hive"
         )
         self._init_runtime_state()
+
+    def _set_codec(self, codec: str) -> None:
+        if codec == "pfor":
+            self._decode_postings = decode_postings_pfor
+            self._decode_block = decode_block_pfor
+        else:
+            self._decode_postings = decode_postings
+            self._decode_block = decode_block
 
     def _init_runtime_state(self) -> None:
         """Per-instance caches (also used by subclasses that bypass
@@ -315,7 +329,7 @@ class Searcher:
                 hit = (hit[0], hit[1], w * hit[1])
                 self._post_cache[key] = hit
             return hit
-        d, tf = decode_postings(
+        d, tf = self._decode_postings(
             seg["blob"][i].as_py(), int(seg["df"][i].as_py())
         )
         dl = self.doclens_for(d)
@@ -427,7 +441,7 @@ class Searcher:
                         dparts, tparts = [], []
                         for j in need:
                             prev_last = int(bl[j - 1]) if j > 0 else 0
-                            dj, tj = decode_block(blob, offs, int(j), df_i, prev_last)
+                            dj, tj = self._decode_block(blob, offs, int(j), df_i, prev_last)
                             dparts.append(dj)
                             tparts.append(tj)
                         d = np.concatenate(dparts)

@@ -94,13 +94,13 @@ def test_block_skipping_engages(skewed_index, monkeypatch):
     oracle = OracleIndex(doc, content_col="content", id_col="doc_id")
     s = Searcher(skewed_index, prune=True)
     calls = {"blocks": 0}
-    orig_block = eng.decode_block
+    orig_block = s._decode_block
 
     def counting_block(*a, **kw):
         calls["blocks"] += 1
         return orig_block(*a, **kw)
 
-    monkeypatch.setattr(eng, "decode_block", counting_block)
+    s._decode_block = counting_block
     r = s.search("alpha beta", k=1)
     oi, osc = oracle.topk("alpha beta", 1)
     assert np.array_equal(r["doc_id"].to_numpy(), oi)
@@ -129,5 +129,26 @@ def test_seed_theta_only_without_filters(stress_setup):
     for q in ["+import return", "import -return def", "+def +class"]:
         oi, osc = oracle.topk(q, 5)
         r = pruned.search(q, 5)
+        assert np.array_equal(r["doc_id"].to_numpy(), oi), q
+        assert np.array_equal(r["score"].to_numpy(), osc), q
+
+
+def test_pfor_index_rank_identical(ray_session, tmp_path, corpus_dir):
+    """An index built with the PFor codec returns bit-identical results
+    to the varint index and the oracle."""
+    from elasticsearch_assets_ray.index.build import IndexConfig, build_index
+
+    out = str(tmp_path / "pfor_idx")
+    build_index(
+        corpus_dir, out,
+        config=IndexConfig(codec="pfor", target_partition_rows=128,
+                           runs_per_bucket=2, num_shards=4),
+    )
+    sp = Searcher(out, prune=True)
+    doc = pads.dataset(os.path.join(out, "docstore")).to_table(columns=["doc_id", "content"])
+    oracle = OracleIndex(doc, content_col="content", id_col="doc_id")
+    for q in ["import parse config", "def load index", "+error +return throw"]:
+        oi, osc = oracle.topk(q, 10)
+        r = sp.search(q, 10)
         assert np.array_equal(r["doc_id"].to_numpy(), oi), q
         assert np.array_equal(r["score"].to_numpy(), osc), q

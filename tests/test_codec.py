@@ -118,3 +118,45 @@ def test_encode_many_byte_identical_to_per_term():
         assert np.array_equal(enc["block_maxtf"][lo:hi], single.block_max_tf)
         assert np.array_equal(enc["block_mindl"][lo:hi], single.block_min_dl)
         assert enc["df"][i] == single.df
+
+
+def test_pack_bits_roundtrip():
+    import numpy as np
+    from elasticsearch_assets_ray.index.codec import pack_bits, unpack_bits
+
+    rng = np.random.default_rng(1)
+    for b in (1, 3, 7, 8, 13, 31, 33, 63, 64):
+        n = int(rng.integers(1, 300))
+        hi = (1 << b) - 1 if b < 64 else (1 << 63)
+        vals = rng.integers(0, hi, n, dtype=np.uint64) if hi > 1 else np.zeros(n, np.uint64)
+        buf = pack_bits(vals, b)
+        back = unpack_bits(buf, n, b)
+        assert np.array_equal(back, vals), b
+
+
+def test_pfor_postings_roundtrip_with_outliers():
+    import numpy as np
+    from elasticsearch_assets_ray.index.codec import (
+        decode_block_pfor,
+        decode_postings_pfor,
+        encode_postings_pfor,
+    )
+
+    rng = np.random.default_rng(2)
+    df = 1000
+    gaps = rng.integers(1, 50, df).astype(np.int64)
+    gaps[::97] = 1 << 40  # outliers → patched exceptions
+    docids = np.cumsum(gaps)
+    tfs = rng.integers(1, 20, df).astype(np.int64)
+    tfs[::131] = 100_000
+    dls = rng.integers(1, 5000, df).astype(np.int64)
+    ep = encode_postings_pfor(docids, tfs, dls)
+    d2, t2 = decode_postings_pfor(ep.blob, df)
+    assert np.array_equal(d2, docids) and np.array_equal(t2, tfs)
+    # per-block decode matches too
+    for j in range(len(ep.block_offsets)):
+        prev = int(ep.block_last_docid[j - 1]) if j > 0 else 0
+        dj, tj = decode_block_pfor(ep.blob, ep.block_offsets, j, df, prev)
+        lo, hi = j * 128, min((j + 1) * 128, df)
+        assert np.array_equal(dj, docids[lo:hi])
+        assert np.array_equal(tj, tfs[lo:hi])
