@@ -272,9 +272,16 @@ def q_top_orders(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _nrows(sf_dir: str, table: str) -> int:
+    """Free row count from the Parquet footer (group-count sizing hint)."""
+    return pq.ParquetFile(_p(sf_dir, table)).metadata.num_rows
+
+
 def q_exact_dedup(sf_dir: str):
     ds = _rd(sf_dir, "events", columns=["event_id", "props"])
-    out = dedup_ops.exact_dedup(ds, "props", "event_id")
+    out = dedup_ops.exact_dedup(
+        ds, "props", "event_id", n_rows_hint=_nrows(sf_dir, "events")
+    )
     return out.select_columns(["event_id", "props"])
 
 
@@ -301,13 +308,17 @@ def _docs_with_near_dups(sf_dir: str, n_dups: int = 20) -> ray.data.Dataset:
 def q_minhash_pairs(sf_dir: str):
     ds = _docs_with_near_dups(sf_dir)
     return dedup_ops.minhash_lsh_dedup(
-        ds, "text", "doc_id", num_perm=64, bands=16, shingle_k=3, threshold=0.5
+        ds, "text", "doc_id", num_perm=64, bands=16, shingle_k=3, threshold=0.5,
+        n_rows_hint=_nrows(sf_dir, "documents") + 20,
     )
 
 
 def q_simhash_pairs(sf_dir: str):
     ds = _docs_with_near_dups(sf_dir)
-    return dedup_ops.simhash_near_dups(ds, "text", "doc_id", max_hamming=3)
+    return dedup_ops.simhash_near_dups(
+        ds, "text", "doc_id", max_hamming=3,
+        n_rows_hint=_nrows(sf_dir, "documents") + 20,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -431,7 +442,9 @@ def q_embedding_dedup(sf_dir: str):
     )
     ds = ray.data.from_arrow(pa.concat_tables([t, dup]))
     dim = len(t["embedding"][0])
-    return sim_ops.embedding_cosine_dedup(ds, dim=dim, threshold=0.99)
+    return sim_ops.embedding_cosine_dedup(
+        ds, dim=dim, threshold=0.99, n_rows_hint=t.num_rows + 10
+    )
 
 
 # ---------------------------------------------------------------------------

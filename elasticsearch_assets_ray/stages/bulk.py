@@ -39,26 +39,36 @@ def _pick_per_key(
 ) -> ray.data.Dataset:
     """One row per key: first row under ``order_cols`` ordering.
 
-    Two-level: per-batch local pick (combiner) → groupby(keys) global pick.
-    The shuffle moves ≤ one row per (batch, key) — for an update stream
-    with hot keys this is the pre-aggregation that keeps the exchange
-    small (SURVEY.md §4 skew row)."""
+    Two-level: per-batch local pick (combiner) → coarse-group global pick.
+    The shuffle moves ≤ one row per (batch, key), grouped by
+    ``hash(keys) % n_groups`` so the final pick is one vectorized
+    sort + first-mask per coarse group — NOT one Python call per distinct
+    key (for an update stream keyed by e.g. customer that would be
+    per-customer Python)."""
+    from elasticsearch_assets_ray.stages.relational import key_group_column
 
+    # sort by keys first so every key's rows are a contiguous run, then by
+    # the pick order within the run
+    key_sort = [(k, "ascending") for k in keys]
     sort_keys = list(order_cols)
+    n_groups = 64
 
     def local(batch: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(batch, sort_keys=sort_keys)
+        idx = pc.sort_indices(batch, sort_keys=key_sort + sort_keys)
         b = batch.take(idx)
         # first row per key after sort
         mask = _first_mask(b, keys)
-        return b.filter(mask)
+        b = b.filter(mask)
+        return b.append_column("__grp", key_group_column(b, keys, n_groups))
 
     def global_pick(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=sort_keys)
-        return group.take(idx[:1])
+        g = group.drop_columns(["__grp"])
+        idx = pc.sort_indices(g, sort_keys=key_sort + sort_keys)
+        g = g.take(idx)
+        return g.filter(_first_mask(g, keys))
 
     local_ds = ds.map_batches(local, batch_format="pyarrow")
-    return local_ds.groupby(keys).map_groups(global_pick, batch_format="pyarrow")
+    return local_ds.groupby("__grp").map_groups(global_pick, batch_format="pyarrow")
 
 
 def _first_mask(sorted_tbl: pa.Table, keys: list[str]) -> pa.Array:
@@ -158,13 +168,29 @@ def upsert(
     keys = [keys] if isinstance(keys, str) else list(keys)
     updated = update_fields(base, updates, keys, fields)
 
-    # insert side: update keys not present in base (driver-side small compute:
-    # base keys may be large — use a semi-join *from* updates against base keys
-    # materialized as a key-only table; key columns only, never full rows)
-    base_keys = pa.concat_tables(
-        list(base.select_columns(keys).iter_batches(batch_format="pyarrow"))
+    # insert side: update keys not present in base.  Inverted semi-join —
+    # the UPDATE set is the small side: broadcast its keys once, each base
+    # batch semi-joins and emits only its MATCHED update keys, so what
+    # comes back to the driver is bounded by |updates| (deduped per
+    # batch), never by |base| (the old code collected every base key).
+    upd_keys = updates.select(keys)
+    ukref = ray.put(upd_keys)
+
+    def matched_keys(batch: pa.Table) -> pa.Table:
+        m = batch.select(keys).join(
+            ray.get(ukref), keys=keys, join_type="left semi", use_threads=False
+        )
+        return m.group_by(keys, use_threads=False).aggregate([])
+
+    parts = list(
+        base.map_batches(matched_keys, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
     )
-    missing = updates.join(base_keys, keys=keys, join_type="left anti", use_threads=False)
+    matched = pa.concat_tables(parts) if parts else upd_keys.slice(0, 0)
+    if matched.num_rows:
+        matched = matched.group_by(keys, use_threads=False).aggregate([])
+    missing = updates.join(matched, keys=keys, join_type="left anti", use_threads=False)
     if missing.num_rows:
         schema = next(iter(updated.iter_batches(batch_format="pyarrow"))).schema
         cols = {}

@@ -39,46 +39,75 @@ def _content_hash(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     return polynomial_hash(col).astype(np.int64)
 
 
+def dynamic_n_groups(
+    n_rows_hint: int | None,
+    target_rows_per_group: int = 50_000,
+    lo: int = 64,
+    hi: int = 1 << 15,
+) -> int:
+    """Coarse-group count that scales with input size (power of two).
+
+    A FIXED group count means group size grows linearly with the corpus —
+    at 100 TB one group is ~terabytes.  Derive it from a row-count hint
+    (Parquet footer counts are free) so each ``map_groups`` group stays
+    ~``target_rows_per_group`` rows regardless of scale."""
+    import math
+
+    if not n_rows_hint or n_rows_hint <= 0:
+        return lo
+    want = max(1, n_rows_hint // target_rows_per_group)
+    return max(lo, min(hi, 1 << math.ceil(math.log2(want))))
+
+
 def exact_dedup(
-    ds: ray.data.Dataset, text_col: str, id_col: str
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    n_rows_hint: int | None = None,
 ) -> ray.data.Dataset:
     """Keep exactly one row (lowest ``id_col``) per distinct ``text_col``
-    value.  Hash-partition + per-group-first (the spec'd exact-dedup
-    pattern): batches shuffle only (content_hash, id) pairs; survivors are
-    re-joined to their batch of origin — content never crosses the wire."""
+    value.
+
+    ONE bounded shuffle, nothing through the driver: rows are hashed on
+    content and shuffled by ``hash % n_groups``; within each coarse group
+    a single vectorized sort by (hash, content, id) + first-run mask
+    picks the winners.  Comparing the CONTENT inside each hash run (it is
+    co-located anyway) makes a 64-bit hash collision harmless — two
+    distinct documents that collide sort into different runs and both
+    survive (at multi-billion-row scale 64-bit collisions are expected).
+    The winner set never materializes on the driver (the broadcast-winners
+    variant shipped a whole-corpus key table through the driver)."""
+    n_groups = dynamic_n_groups(n_rows_hint)
 
     def add_hash(batch: pa.Table) -> pa.Table:
         out = {n: batch[n] for n in batch.column_names}
-        out["__chash"] = pa.array(_content_hash(batch[text_col]))
+        h = _content_hash(batch[text_col])
+        out["__chash"] = pa.array(h)
+        out["__grp"] = pa.array(
+            (h.astype(np.uint64) % np.uint64(n_groups)).astype(np.int64)
+        )
         return pa.table(out)
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    names = ds.schema().names
 
-    # winners: min id per hash — partial-agg combiner then tiny groupby
-    def local_min(batch: pa.Table) -> pa.Table:
-        g = (
-            batch.select(["__chash", id_col])
-            .group_by(["__chash"], use_threads=False)
-            .aggregate([(id_col, "min")])
+    def pick(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("__chash", "ascending"),
+                (text_col, "ascending"),
+                (id_col, "ascending"),
+            ],
         )
-        return g.rename_columns(["__chash", id_col])
+        g = group.take(idx)
+        from elasticsearch_assets_ray.stages.bulk import _first_mask
 
-    winners_ds = hashed.map_batches(local_min, batch_format="pyarrow")
-    winners_ds = winners_ds.groupby("__chash").map_groups(
-        lambda g: g.take(pc.sort_indices(g, sort_keys=[(id_col, "ascending")])[:1]),
-        batch_format="pyarrow",
-    )
-    winners = pa.concat_tables(
-        list(winners_ds.iter_batches(batch_format="pyarrow"))
-    )
-    ref = ray.put(winners)
+        mask = _first_mask(g, ["__chash", text_col])
+        return g.filter(mask).select(names)
 
-    def keep_winners(batch: pa.Table) -> pa.Table:
-        w = ray.get(ref)
-        j = batch.join(w, keys=["__chash", id_col], join_type="left semi", use_threads=False)
-        return j.drop_columns(["__chash"])
-
-    return hashed.map_batches(keep_winners, batch_format="pyarrow")
+    return hashed.groupby("__grp").map_groups(pick, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -220,6 +249,7 @@ def minhash_lsh_dedup(
     shingle_k: int = 3,
     threshold: float = 0.8,
     concurrency: int | tuple[int, int] = (1, 8),
+    n_rows_hint: int | None = None,
 ) -> pa.Table:
     """Near-duplicate *pairs* via MinHash LSH, verified with exact shingle
     Jaccard.  Returns pa.Table (id_a, id_b, jaccard_sim) with id_a < id_b.
@@ -263,10 +293,13 @@ def minhash_lsh_dedup(
 
     # coarse shuffle key: groupby(band_key) would invoke Python once per
     # DISTINCT band key (≈ rows, mostly singleton buckets); hashing band
-    # keys into a bounded number of coarse groups keeps the shuffle but
-    # processes thousands of buckets per vectorized group call (same
-    # lesson as the (shard, bucket) posting merge).
-    n_groups = 64
+    # keys into coarse groups keeps the shuffle but processes thousands of
+    # buckets per vectorized group call (same lesson as the (shard,
+    # bucket) posting merge).  Group count scales with the exploded row
+    # count (rows × bands) so group payloads stay bounded at any corpus size.
+    n_groups = dynamic_n_groups(
+        (n_rows_hint or 0) * bands, target_rows_per_group=20_000
+    )
 
     def add_group(t: pa.Table) -> pa.Table:
         g = pc.bit_wise_and(t["band_key"], pa.scalar(n_groups - 1, pa.int64()))
@@ -373,6 +406,7 @@ def simhash_near_dups(
     *,
     max_hamming: int = 3,
     concurrency: int | tuple[int, int] = (1, 8),
+    n_rows_hint: int | None = None,
 ) -> pa.Table:
     """Near-dup pairs by SimHash: 4×16-bit chunk banding (a pair within
     Hamming ≤3 of 64 bits must agree exactly on ≥1 of 4 chunks) →
@@ -398,7 +432,7 @@ def simhash_near_dups(
             }
         )
 
-    n_groups = 64
+    n_groups = dynamic_n_groups((n_rows_hint or 0) * 4, target_rows_per_group=20_000)
 
     def add_group(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

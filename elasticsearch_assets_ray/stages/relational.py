@@ -89,37 +89,73 @@ def _partial_batch(batch: pa.Table, keys: list[str], aggs: list[AggSpec]) -> pa.
     return pa.table(out_cols)
 
 
-def _combine_group(group: pa.Table, keys: list[str], aggs: list[AggSpec]) -> pa.Table:
-    out: dict[str, object] = {k: [group[k][0].as_py()] for k in keys}
+def key_group_column(batch: pa.Table, keys: list[str], n_groups: int) -> pa.Array:
+    """Deterministic coarse shuffle key: hash(keys) % n_groups.  Groups by
+    THIS instead of the raw keys so the downstream ``map_groups`` runs one
+    vectorized Python call per coarse group (≤ n_groups total), never one
+    per distinct key — the per-distinct-key ``map_groups`` trap."""
+    from elasticsearch_assets_ray.stages.textstats import polynomial_hash
+
+    key = pc.cast(batch[keys[0]], pa.string()).fill_null("\x00null")
+    for k in keys[1:]:
+        key = pc.binary_join_element_wise(
+            key, pc.cast(batch[k], pa.string()).fill_null("\x00null"), "\x1f"
+        )
+    h = polynomial_hash(key.combine_chunks() if isinstance(key, pa.ChunkedArray) else key)
+    return pa.array((h % np.uint64(n_groups)).astype(np.int64))
+
+
+def _combine_group_vec(group: pa.Table, keys: list[str], aggs: list[AggSpec]) -> pa.Table:
+    """Final combine for ONE coarse group: a single vectorized Arrow
+    group_by over every distinct key hashed into this group (no per-key
+    Python)."""
+    plan: list[tuple[str, str]] = []
     for a in aggs:
-        col = group[f"p_{a.out}"]
         if a.kind in ("sum", "sum_cents", "count"):
-            out[a.out] = [pc.sum(col).as_py()]
-        elif a.kind == "min":
-            out[a.out] = [pc.min(col).as_py()]
-        elif a.kind == "max":
-            out[a.out] = [pc.max(col).as_py()]
-        else:  # mean / mean_cents: Σsum / Σn as float64
-            s = pc.sum(col).as_py()
-            n = pc.sum(group[f"p_{a.out}__n"]).as_py()
+            plan.append((f"p_{a.out}", "sum"))
+        elif a.kind in ("min", "max"):
+            plan.append((f"p_{a.out}", a.kind))
+        else:  # mean / mean_cents
+            plan.append((f"p_{a.out}", "sum"))
+            plan.append((f"p_{a.out}__n", "sum"))
+    g = group.group_by(keys, use_threads=False).aggregate(plan)
+    out: dict[str, pa.Array] = {k: g[k] for k in keys}
+    for a in aggs:
+        if a.kind in ("sum", "sum_cents", "count"):
+            out[a.out] = g[f"p_{a.out}_sum"]
+        elif a.kind in ("min", "max"):
+            out[a.out] = g[f"p_{a.out}_{a.kind}"]
+        else:
+            s = pc.cast(g[f"p_{a.out}_sum"], pa.float64())
+            n = pc.cast(g[f"p_{a.out}__n_sum"], pa.float64())
             if a.kind == "mean_cents":
-                out[a.out] = [(s / 100.0) / n if n else None]
-            else:
-                out[a.out] = [s / n if n else None]
-    return pa.Table.from_pydict(out)
+                s = pc.divide(s, pa.scalar(100.0))
+            out[a.out] = pc.divide(s, n)
+    return pa.table(out)
 
 
 def partial_agg(
-    ds: ray.data.Dataset, keys: list[str], aggs: list[AggSpec]
+    ds: ray.data.Dataset, keys: list[str], aggs: list[AggSpec], *, n_groups: int = 64
 ) -> ray.data.Dataset:
     """groupby(keys) with per-batch pre-aggregation (combiner) before the
     shuffle.  The shuffled relation has ≤ |batches| × |distinct keys in
-    batch| rows — at 100 TB the exchange moves partials, not data."""
+    batch| rows — at 100 TB the exchange moves partials, not data.
+
+    The shuffle groups by ``hash(keys) % n_groups`` (bounded), and each
+    group's final combine is ONE vectorized Arrow group_by over all its
+    keys — constant Python-call count regardless of key cardinality
+    (grouping by the raw keys would invoke Python once per distinct key,
+    e.g. once per customer)."""
     partial = ds.map_batches(
         lambda b: _partial_batch(b, keys, aggs), batch_format="pyarrow"
     )
-    return partial.groupby(keys).map_groups(
-        lambda g: _combine_group(g, keys, aggs), batch_format="pyarrow"
+    partial = partial.map_batches(
+        lambda b: b.append_column("__grp", key_group_column(b, keys, n_groups)),
+        batch_format="pyarrow",
+    )
+    return partial.groupby("__grp").map_groups(
+        lambda g: _combine_group_vec(g.drop_columns(["__grp"]), keys, aggs),
+        batch_format="pyarrow",
     )
 
 

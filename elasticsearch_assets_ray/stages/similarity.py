@@ -354,9 +354,12 @@ def embedding_cosine_dedup(
     n_tables: int = 6,
     n_planes: int = 10,
     concurrency: int | tuple[int, int] = (1, 8),
+    n_rows_hint: int | None = None,
 ) -> pa.Table:
     """Embedding-cosine near-dup pairs via LSH bucketing + in-bucket exact
     cosine.  Returns (id_a, id_b, sim) with id_a < id_b, sims ≥ threshold."""
+    from elasticsearch_assets_ray.stages.dedup import dynamic_n_groups
+
     indexer_kwargs = dict(dim=dim, n_tables=n_tables, n_planes=n_planes, vec_col=vec_col)
     exploded = ds.map_batches(
         LSHIndexer,
@@ -365,7 +368,9 @@ def embedding_cosine_dedup(
         concurrency=concurrency,
     )
 
-    n_groups = 64
+    n_groups = dynamic_n_groups(
+        (n_rows_hint or 0) * n_tables, target_rows_per_group=20_000
+    )
     import pyarrow.compute as pc
 
     exploded = exploded.map_batches(

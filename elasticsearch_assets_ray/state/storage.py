@@ -85,9 +85,10 @@ class DocstoreCache:
         """Vectorized enrich: miss keys are fetched with ONE filtered
         store read per batch; the loaded rows stay resident as an Arrow
         table and each batch hash-joins against it (no per-row Python).
-        The dict-based mget/mset API above keeps the reference's LRU
-        semantics for point lookups; this batch path keeps everything it
-        has loaded (actor lifetime ≪ cache_size in practice)."""
+        The resident table is bounded by ``cache_size`` rows: on overflow
+        the OLDEST rows are evicted (rows are appended in fetch order, so
+        keeping the tail is the segmented-LRU approximation — same policy
+        the dict-based mget path enforces exactly)."""
         if getattr(self, "_tbl", None) is None:
             self._tbl = self.store.to_table(
                 columns=[self.key_col, *self.value_cols],
@@ -106,6 +107,12 @@ class DocstoreCache:
                 filter=pc.field(self.key_col).isin(missing),
             )
             self._tbl = pa.concat_tables([self._tbl, fetched])
+            keep = max(self.cache_size, fetched.num_rows)  # never evict the
+            # rows the CURRENT batch is about to join against
+            if self._tbl.num_rows > keep:
+                # evict oldest-fetched rows; combine_chunks keeps the
+                # resident table from accumulating tiny chunks
+                self._tbl = self._tbl.slice(self._tbl.num_rows - keep).combine_chunks()
         self.hits += len(uniq) - len(missing)
         right = self._tbl.rename_columns([self.batch_key_col, *self.value_cols])
         return batch.join(
