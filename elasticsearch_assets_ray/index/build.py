@@ -63,6 +63,11 @@ from elasticsearch_assets_ray.stages.tokenizer import doc_term_freqs
 
 MANIFEST_VERSION = 1
 
+#: identifier of the term→shard routing hash recorded in every index
+#: manifest; a searcher must recompute shard routing with the SAME hash
+#: the index was built with or query terms silently miss their shard.
+TERM_HASH_ID = "poly64-1000003"
+
 
 @dataclass
 class IndexConfig:
@@ -493,6 +498,7 @@ def build_index(
         "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
         "n_term_partitions": int(manifests["n_terms_local"].sum()),
         "doc_shift": DOC_SHIFT,
+        "term_hash": TERM_HASH_ID,
         "codec": cfg.codec,
         "num_shards": cfg.num_shards,
         "runs_per_bucket": cfg.runs_per_bucket,

@@ -71,6 +71,16 @@ class Searcher:
         self.n_docs = int(self.manifest["n_docs"])
         self.avgdl = float(self.manifest["avgdl"])
         self.num_shards = int(self.manifest["num_shards"])
+        # shard routing must use the hash the index was BUILT with — a
+        # hash change without a manifest bump would silently miss terms
+        from elasticsearch_assets_ray.index.build import TERM_HASH_ID
+
+        th = self.manifest.get("term_hash", TERM_HASH_ID)
+        if th != TERM_HASH_ID:
+            raise RuntimeError(
+                f"index {index_dir} built with term hash {th!r}; this "
+                f"engine routes with {TERM_HASH_ID!r} — rebuild the index"
+            )
         self.prune = prune
         self._set_codec(self.manifest.get("codec", "varint"))
         self._seg = pads.dataset(

@@ -28,6 +28,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 ALPHABETS: dict[str, str] = {
@@ -52,21 +54,50 @@ def round_robin_assignment(alphabet: str, n_slicers: int) -> list[list[str]]:
 
 class KeyspaceIndex:
     """Sorted key column with O(log n) prefix/range count probes — the
-    free replacement for the reference's per-prefix ES count call."""
+    free replacement for the reference's per-prefix ES count call.
 
-    def __init__(self, keys: np.ndarray):
-        self.keys = np.sort(np.asarray(keys, dtype=object), kind="stable")
+    The column stays an ARROW array end-to-end (sorted with
+    ``pc.sort_indices``); probes are a driver-side binary search touching
+    O(log n) scalars — the whole key column is never converted to Python
+    strings (the ``to_pylist`` + object-dtype numpy sort variant
+    materialized every key as a PyObject on the driver)."""
+
+    def __init__(self, keys):
+        if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+            arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+            arr = arr.drop_null()
+            self.keys = arr.take(pc.sort_indices(arr))
+            self._arrow = True
+        else:
+            self.keys = np.sort(np.asarray(keys, dtype=object), kind="stable")
+            self._arrow = False
         self.n = len(self.keys)
 
     @classmethod
     def from_parquet(cls, path: str, key_col: str) -> "KeyspaceIndex":
-        t = pq.read_table(path, columns=[key_col])
-        return cls(np.asarray(t[key_col].to_pylist(), dtype=object))
+        return cls(pq.read_table(path, columns=[key_col])[key_col])
+
+    def key_at(self, i: int) -> str:
+        return self.keys[i].as_py() if self._arrow else str(self.keys[i])
+
+    def _lower_bound(self, x: str) -> int:
+        """First index with keys[i] >= x (binary search; O(log n) scalar
+        reads on the Arrow path)."""
+        if not self._arrow:
+            return int(np.searchsorted(self.keys, x, side="left"))
+        lo, hi = 0, self.n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self.keys[mid].as_py() < x:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
 
     def count_range(self, lo: str | None, hi: str | None) -> int:
         """Rows with lo <= key < hi (None = unbounded)."""
-        a = 0 if lo is None else int(np.searchsorted(self.keys, lo, side="left"))
-        b = self.n if hi is None else int(np.searchsorted(self.keys, hi, side="left"))
+        a = 0 if lo is None else self._lower_bound(lo)
+        b = self.n if hi is None else self._lower_bound(hi)
         return max(0, b - a)
 
     def count_prefix(self, prefix: str) -> int:
@@ -116,7 +147,11 @@ def prefix_dfs_partitions(
                     out.append(KeySlice(p, exact, exact=True))
                 walk(p, depth + 1)
 
-    # starting_key_depth: enumerate all prefixes of the starting depth
+    # starting_key_depth: enumerate all prefixes of the starting depth.
+    # Keys that END above the starting depth (variable-length keys shorter
+    # than starting_depth) are emitted as exact slices on the way down —
+    # descending without them would silently drop those keys from the
+    # slice plan's coverage.
     def seed(prefix: str, depth: int) -> None:
         if depth == starting_depth:
             walk(prefix, depth)
@@ -124,6 +159,9 @@ def prefix_dfs_partitions(
         for ch in alphabet:
             p = prefix + ch
             if ks.count_prefix(p) > 0:
+                exact = ks.count_range(p, p + "\x00")  # keys == p
+                if exact:
+                    out.append(KeySlice(p, exact, exact=True))
                 seed(p, depth + 1)
 
     seed("", 1)
@@ -139,4 +177,4 @@ def quantile_key_ranges(ks: KeyspaceIndex, n_parts: int) -> list[str]:
     if n_parts < 1:
         raise ValueError("n_parts must be >= 1")
     ranks = [(i * ks.n) // n_parts for i in range(1, n_parts)]
-    return [str(ks.keys[r]) for r in ranks]
+    return [ks.key_at(r) for r in ranks]

@@ -72,8 +72,34 @@ def predicate_count(path: str, filt=None) -> int:
 
 def min_max_probe(path: str, col: str) -> tuple[object, object]:
     """Discover [min, max] of a column — the reference's date-range probe
-    (two 1-doc sorted searches) done from Parquet row-group statistics
-    when available, else a single column scan."""
+    (two 1-doc sorted searches, ElasticsearchReaderAPI.ts:669-718) done
+    from Parquet row-group FOOTER statistics: zero data pages read when
+    every row group carries min/max for the column (the free count-probe
+    principle of SURVEY.md P3 applied to range discovery).  Falls back to
+    a single-column scan only when statistics are absent."""
+    import pyarrow.parquet as pq
+
     ds = pads.dataset(path)
+    los: list[object] = []
+    his: list[object] = []
+    from_stats = True
+    for f in ds.files:
+        meta = pq.ParquetFile(f).metadata
+        try:
+            ci = meta.schema.names.index(col)
+        except ValueError:
+            from_stats = False
+            break
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                from_stats = False
+                break
+            los.append(st.min)
+            his.append(st.max)
+        if not from_stats:
+            break
+    if from_stats and los:
+        return min(los), max(his)
     t = ds.to_table(columns=[col])
     return pc.min(t[col]).as_py(), pc.max(t[col]).as_py()

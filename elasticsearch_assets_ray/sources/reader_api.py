@@ -41,6 +41,11 @@ class ReaderSlice:
     query: str | None = None  # fulltext query (Q4)
     limit: int | None = None
     count: int | None = None  # filled by slicers (size hint)
+    # True: ``keys`` match by EQUALITY, not prefix.  Emitted by the DFS
+    # when a hot prefix is itself a key (KeySlice.exact) — translating it
+    # to starts_with would overlap every descendant slice and double-fetch
+    # those rows.
+    keys_exact: bool = False
 
 
 class ReaderAPI:
@@ -81,7 +86,10 @@ class ReaderAPI:
         if s.keys:
             kf = None
             for p in s.keys:
-                f = pc.starts_with(pc.field(self.key_col), p)
+                if s.keys_exact:
+                    f = pc.field(self.key_col) == p
+                else:
+                    f = pc.starts_with(pc.field(self.key_col), p)
                 kf = f if kf is None else (kf | f)
             filt = and_(filt, kf)
         return filt
@@ -142,10 +150,11 @@ class ReaderAPI:
     def make_date_slicer_ranges(self, n_slicers: int) -> list[ReaderSlice]:
         """Even division of [min, max] into n contiguous date ranges
         (reference divideRange date-helpers.ts:242-264 + the min/max
-        probe ElasticsearchReaderAPI.ts:669-718)."""
-        t = self._ds.to_table(columns=[self.date_col])
-        lo = pc.min(t[self.date_col]).as_py()
-        hi = pc.max(t[self.date_col]).as_py()
+        probe ElasticsearchReaderAPI.ts:669-718).  The probe reads Parquet
+        footer statistics only — no data pages."""
+        from elasticsearch_assets_ray.sources.reader import min_max_probe
+
+        lo, hi = min_max_probe(self.table_path, self.date_col)
         import datetime as _dt
 
         span = (hi - lo) / n_slicers if n_slicers else None
@@ -165,12 +174,8 @@ class ReaderAPI:
             prefix_dfs_partitions,
         )
 
-        keys = np.asarray(
-            self._ds.to_table(columns=[self.key_col])[self.key_col].to_pylist(),
-            dtype=object,
-        )
-        ks = KeyspaceIndex(keys)
+        ks = KeyspaceIndex(self._ds.to_table(columns=[self.key_col])[self.key_col])
         return [
-            ReaderSlice(keys=[sl.prefix], count=sl.count)
+            ReaderSlice(keys=[sl.prefix], count=sl.count, keys_exact=sl.exact)
             for sl in prefix_dfs_partitions(ks, alphabet, max_count)
         ]
