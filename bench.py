@@ -134,7 +134,7 @@ def bench_query_serving(index_dir: str) -> dict:
 
     queries = _corpus_queries()
     s = Searcher(index_dir)
-    s._load_doclens()
+    s._pid_map()
     lat = []
     for _ in range(BENCH_QUERY_REPEAT):
         for q in queries:

@@ -168,6 +168,8 @@ class MultiSearcher(Searcher):
             "total_tokens": total_tokens,
             "avgdl": self.avgdl,
             "num_shards": self.num_shards,
+            "doc_shift": self.children[0].manifest.get("doc_shift"),
+            "runs_per_bucket": self.children[0].manifest.get("runs_per_bucket", 32),
         }
         self._init_runtime_state()
 
@@ -177,20 +179,15 @@ class MultiSearcher(Searcher):
             return None
         return pa.concat_tables(parts)
 
-    def _load_doclens(self) -> None:
-        if self._doc_ids is not None:
-            return
-        ids_parts, len_parts = [], []
-        for c in self.children:
-            c._load_doclens()
-            ids_parts.append(c._doc_ids)
-            len_parts.append(c._doc_lens)
-        ids = np.concatenate(ids_parts)
-        lens = np.concatenate(len_parts)
-        order = np.argsort(ids, kind="stable")
-        self._doc_ids = ids[order]
-        self._doc_lens = lens[order]
-        self._build_dense_map()
+    def _pid_map(self) -> dict[int, str]:
+        """Union of the children's pid → docstore-file maps (pid spaces
+        are disjoint by construction, so this is a plain merge)."""
+        if self._pid_files is None:
+            m: dict[int, str] = {}
+            for c in self.children:
+                m.update(c._pid_map())
+            self._pid_files = m
+        return self._pid_files
 
     def hydrate(self, docids: np.ndarray, columns=None):
         parts = []

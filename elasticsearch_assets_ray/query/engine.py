@@ -101,8 +101,22 @@ class Searcher:
         __init__, e.g. MultiSearcher)."""
         from collections import OrderedDict
 
-        self._doc_ids: np.ndarray | None = None
-        self._doc_lens: np.ndarray | None = None
+        from elasticsearch_assets_ray.sources.partition import DOC_SHIFT
+
+        self._doc_shift = int(self.manifest.get("doc_shift", DOC_SHIFT))
+        self._rpb = int(self.manifest.get("runs_per_bucket", 32))
+        # pid -> docstore parquet path / row count (footer metadata only)
+        self._pid_files: dict[int, str] | None = None
+        self._pid_ndocs: dict[int, int] = {}
+        # pid -> doc_len int32 array, loaded lazily per pid an actor's
+        # queries actually touch — NEVER the whole corpus (at 1B docs the
+        # global doclen array is 8 GB per actor)
+        self._doclen_cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self._doclen_cache_bytes = 0
+        self.doclen_cache_budget = 1 << 28  # 256 MB of int32 doclens
+        # bucket -> (pids int64[], base-rank int64[]) for bucket-local
+        # dense scoring
+        self._bucket_state: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         # shard id -> (segment table, term -> row-index array); loaded once
         # per Searcher (i.e. once per actor), NOT per query
         self._shard_cache: dict[int, tuple[pa.Table, dict[str, np.ndarray]]] = {}
@@ -113,42 +127,72 @@ class Searcher:
         self.post_cache_budget = 1 << 30  # 24B/posting → ~45M cached postings
 
     # ---------- doc-length lookup (norms analog) ----------
-    def _load_doclens(self) -> None:
-        if self._doc_ids is not None:
-            return
-        t = pads.dataset(os.path.join(self.index_dir, "docstore")).to_table(
-            columns=["doc_id", "doc_len"]
-        )
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lens = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(ids, kind="stable")
-        self._doc_ids = ids[order]
-        self._doc_lens = lens[order]
-        self._build_dense_map()
+    def _pid_map(self) -> dict[int, str]:
+        """pid → docstore part file, from directory listing (docstore rows
+        of pid p are exactly docids p<<shift + row, in row order)."""
+        if self._pid_files is None:
+            import glob as _glob
 
-    def _build_dense_map(self) -> None:
-        """O(1) docID → dense-rank map: docIDs are doc_base(pid) + row
-        with contiguous rows per pid, so rank(d) = first_rank[pid(d)] +
-        (d − doc_base).  Replaces per-lookup binary search."""
-        from elasticsearch_assets_ray.sources.partition import DOC_SHIFT
+            m: dict[int, str] = {}
+            for f in _glob.glob(
+                os.path.join(self.index_dir, "docstore", "part-*.parquet")
+            ):
+                m[int(os.path.basename(f)[5:-8])] = f
+            self._pid_files = m
+        return self._pid_files
 
-        self._doc_shift = DOC_SHIFT
-        pids = (self._doc_ids >> DOC_SHIFT).astype(np.int64)
-        upids, first = np.unique(pids, return_index=True)
-        max_pid = int(upids[-1]) if upids.size else 0
-        base_rank = np.full(max_pid + 1, -1, dtype=np.int64)
-        base_rank[upids] = first
-        self._pid_base_rank = base_rank
-        self._max_pid = max_pid
+    def _pid_n_docs(self, pid: int) -> int:
+        n = self._pid_ndocs.get(pid)
+        if n is None:
+            import pyarrow.parquet as pq
 
-    def _dense_rank(self, docids: np.ndarray) -> np.ndarray:
-        pid = docids >> self._doc_shift
-        row = docids - (pid << self._doc_shift)
-        return self._pid_base_rank[pid] + row
+            n = pq.ParquetFile(self._pid_map()[pid]).metadata.num_rows
+            self._pid_ndocs[pid] = n
+        return n
+
+    def _doclens_pid(self, pid: int) -> np.ndarray:
+        hit = self._doclen_cache.get(pid)
+        if hit is not None:
+            self._doclen_cache.move_to_end(pid)
+            return hit
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self._pid_map()[pid], columns=["doc_len"])
+        arr = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.int32)
+        self._doclen_cache[pid] = arr
+        self._doclen_cache_bytes += arr.nbytes
+        while self._doclen_cache_bytes > self.doclen_cache_budget and len(self._doclen_cache) > 1:
+            _, old = self._doclen_cache.popitem(last=False)
+            self._doclen_cache_bytes -= old.nbytes
+        return arr
 
     def doclens_for(self, docids: np.ndarray) -> np.ndarray:
-        self._load_doclens()
-        return self._doc_lens[self._dense_rank(docids)]
+        """doc_len per docID, via the per-pid lazy cache (docids within a
+        pid are doc_base + row, so the lookup is a bare gather)."""
+        pid = docids >> self._doc_shift
+        out = np.empty(docids.size, dtype=np.int64)
+        for p in np.unique(pid):
+            mask = pid == p
+            base = int(p) << self._doc_shift
+            out[mask] = self._doclens_pid(int(p))[docids[mask] - base]
+        return out
+
+    def _bucket_rank_state(self, bucket: int) -> tuple[np.ndarray, np.ndarray]:
+        """(pids, base_ranks) of the bucket: pids sorted, base_ranks[i] =
+        Σ docs of earlier pids; base_ranks[-1] = total docs in bucket.
+        Bounds every per-query allocation to ONE bucket's doc count
+        (≤ runs_per_bucket × partition_rows) instead of the corpus."""
+        hit = self._bucket_state.get(bucket)
+        if hit is not None:
+            return hit
+        pids = np.array(
+            sorted(p for p in self._pid_map() if p // self._rpb == bucket),
+            dtype=np.int64,
+        )
+        counts = np.array([self._pid_n_docs(int(p)) for p in pids], dtype=np.int64)
+        base = np.concatenate(([0], np.cumsum(counts)))
+        self._bucket_state[bucket] = (pids, base)
+        return pids, base
 
     # ---------- segment lookup ----------
     def _load_shard(self, shard: int) -> tuple[pa.Table, dict[str, np.ndarray]]:
@@ -298,7 +342,7 @@ class Searcher:
             # terms iterated in sorted order → per-doc addition order is
             # pinned (rank-identity with the oracle)
             items = [(t, per_term[t]) for t in terms if t in per_term]
-            ids_b, scores_b = self._accumulate(items, idf_by_term)
+            ids_b, scores_b = self._accumulate(items, idf_by_term, int(b))
             # must / must_not masks within the bucket
             mask = np.ones(ids_b.size, dtype=bool)
             for t in must:
@@ -482,28 +526,56 @@ class Searcher:
         self,
         items: list[tuple[str, tuple]],
         idf_by_term: dict[str, float],
+        bucket: int,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Dense scatter-add accumulation: each term's contribution is
-        ``idf × cached sat`` written through the O(1) docID→rank map —
-        no sort, no np.unique, no per-query saturation recompute.
+        """Score accumulation bounded by ONE bucket's docID range.
 
-        Terms arrive in sorted order and each term touches a doc at most
-        once, so per-doc addition order matches the oracle's term-major
-        bincount exactly (bit-identical floats)."""
+        Dense path: scatter-add of ``idf × cached sat`` into an array
+        sized to the bucket's doc count (buckets are contiguous
+        ``pid // runs_per_bucket`` pid groups, so bucket-local rank =
+        base_rank[pid] + row).  Sparse path when the candidate postings
+        are far smaller than the bucket: term-major concat + bincount.
+        Both add each doc's term contributions in sorted-term order —
+        bit-identical to the oracle's term-major summation, and to each
+        other (np.bincount accumulates weights in array order, which is
+        term-major per doc here).  Per-query memory is O(bucket), never
+        O(corpus)."""
         if not items:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        self._load_doclens()
-        n = self._doc_ids.size
-        scores = np.zeros(n, dtype=np.float64)
-        hit = np.zeros(n, dtype=bool)
-        for t, h in items:
+        pids, base = self._bucket_rank_state(bucket)
+        total = int(base[-1])
+        n_postings = sum(h[0].size for _, h in items)
+        shift = self._doc_shift
+
+        def wsat_of(t, h):
             d, sat, wsat = h
-            if wsat is None:
-                wsat = idf_by_term[t] * sat
-            idx = self._dense_rank(d)
-            scores[idx] += wsat
+            return d, (idf_by_term[t] * sat if wsat is None else wsat)
+
+        if total > 4 * n_postings:
+            # sparse: candidate docids ≪ bucket size
+            d_parts, w_parts = [], []
+            for t, h in items:
+                d, w = wsat_of(t, h)
+                d_parts.append(d)
+                w_parts.append(w)
+            all_d = np.concatenate(d_parts)
+            all_w = np.concatenate(w_parts)
+            uniq, inv = np.unique(all_d, return_inverse=True)
+            sums = np.bincount(inv, weights=all_w, minlength=uniq.size)
+            return uniq.astype(np.int64), sums.astype(np.float64)
+
+        scores = np.zeros(total, dtype=np.float64)
+        hit = np.zeros(total, dtype=bool)
+        for t, h in items:
+            d, w = wsat_of(t, h)
+            p_idx = np.searchsorted(pids, d >> shift)
+            idx = base[p_idx] + (d - (pids[p_idx] << shift))
+            scores[idx] += w
             hit[idx] = True
-        return self._doc_ids[hit].astype(np.int64), scores[hit]
+        hidx = np.flatnonzero(hit)
+        p_idx = np.searchsorted(base, hidx, side="right") - 1
+        docids = (pids[p_idx] << shift) + (hidx - base[p_idx])
+        return docids.astype(np.int64), scores[hidx]
 
     # ---------- doc hydration ----------
     def hydrate(self, docids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
@@ -528,7 +600,7 @@ class QueryEngineActor:
 
     def __init__(self, index_dir: str, k: int = 10, prune: bool = True):
         self.searcher = Searcher(index_dir, prune=prune)
-        self.searcher._load_doclens()
+        self.searcher._pid_map()  # warm the docstore layout once per actor
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
