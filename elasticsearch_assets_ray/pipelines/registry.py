@@ -67,7 +67,8 @@ def documents_index(sf_dir: str) -> str:
     if sf_dir in _INDEX_CACHE:
         return _INDEX_CACHE[sf_dir]
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join("/tmp", "esr_index_cache", f"{tag}-documents")
+    # v2: content stored for phrase-adjacency verification
+    out = os.path.join("/tmp", "esr_index_cache", f"{tag}-documents-v2")
     build_index(
         _p(sf_dir, "documents"),
         out,
@@ -75,7 +76,7 @@ def documents_index(sf_dir: str) -> str:
             content_col="text",
             id_cols=("doc_id",),
             keep_cols=("lang", "source"),
-            store_content=False,
+            store_content=True,
         ),
     )
     _INDEX_CACHE[sf_dir] = out
@@ -105,6 +106,8 @@ BOOLEAN_QUERIES: list[str] = [
     "+key +value row",
     '"table scan" merge',
     "-the -a spark query",
+    'scan -"table scan"',
+    '+"row column" filter',
 ]
 
 SEARCH_K = 10
@@ -699,6 +702,80 @@ QUALIFY rank <= {k}
 """
 
 
+def _bm25_bool_sql(queries: list[str], k: int) -> str:
+    """DuckDB oracle for the boolean/phrase query surface, mirroring the
+    engine's semantics exactly: candidates match ≥1 scoring term; all
+    MUST terms present, no MUST_NOT term present; every phrase adjacent
+    (consecutive tokens — checked on the space-joined analyzed token
+    string), no negated phrase adjacent; score = bag-of-words BM25 over
+    the scoring terms."""
+    from elasticsearch_assets_ray.query.parser import parse_query
+
+    score_vals, must_vals, not_vals, phr_vals = [], [], [], []
+    for qid, qtext in enumerate(queries):
+        p = parse_query(qtext)
+        for t in p.scoring_terms:
+            score_vals.append(f"({qid}, '{t}')")
+        for t in sorted(set(p.must)):
+            must_vals.append(f"({qid}, '{t}')")
+        for t in sorted(set(p.must_not)):
+            not_vals.append(f"({qid}, '{t}')")
+        for ph in p.phrases:
+            phr_vals.append(f"({qid}, ' {' '.join(ph)} ', FALSE)")
+        for ph in p.not_phrases:
+            phr_vals.append(f"({qid}, ' {' '.join(ph)} ', TRUE)")
+
+    ctes = [
+        f"tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)",
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term)",
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id)",
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        "(SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl)",
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)",
+        f"q(query_id, term) AS (VALUES {', '.join(score_vals)})",
+        "scored AS (SELECT q.query_id, tf.doc_id, "
+        "sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+        "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score "
+        "FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+        "GROUP BY q.query_id, tf.doc_id)",
+    ]
+    preds = []
+    if must_vals:
+        ctes.append(f"mq(query_id, term) AS (VALUES {', '.join(must_vals)})")
+        preds.append(
+            "(SELECT count(*) FROM mq WHERE mq.query_id = sc.query_id) = "
+            "(SELECT count(*) FROM mq JOIN tf ON tf.term = mq.term "
+            "AND tf.doc_id = sc.doc_id WHERE mq.query_id = sc.query_id)"
+        )
+    if not_vals:
+        ctes.append(f"nq(query_id, term) AS (VALUES {', '.join(not_vals)})")
+        preds.append(
+            "NOT EXISTS (SELECT 1 FROM nq JOIN tf ON tf.term = nq.term "
+            "AND tf.doc_id = sc.doc_id WHERE nq.query_id = sc.query_id)"
+        )
+    if phr_vals:
+        ctes.append(
+            f"dstr AS (SELECT doc_id, ' ' || array_to_string({_TOK}, ' ') || ' ' AS s "
+            "FROM documents)"
+        )
+        ctes.append(f"ph(query_id, phrase, neg) AS (VALUES {', '.join(phr_vals)})")
+        preds.append(
+            "NOT EXISTS (SELECT 1 FROM ph JOIN dstr ON dstr.doc_id = sc.doc_id "
+            "WHERE ph.query_id = sc.query_id AND "
+            "((NOT ph.neg AND NOT contains(dstr.s, ph.phrase)) "
+            "OR (ph.neg AND contains(dstr.s, ph.phrase))))"
+        )
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT query_id, doc_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id) AS rank, "
+        "round(score, 6) AS score_r "
+        f"FROM scored sc{where} QUALIFY rank <= {k}"
+    )
+
+
 ORACLES: dict[str, str] = {
     "date_range_scan": (
         "SELECT event_id, ts, user_id, event_type, value FROM events "
@@ -819,6 +896,7 @@ ORACLES: dict[str, str] = {
         "SELECT r.part_id, s.k AS boundary_key FROM r JOIN s ON s.rn = r.rk"
     ),
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
+    "search_boolean": _bm25_bool_sql(BOOLEAN_QUERIES, SEARCH_K),
 }
 
 

@@ -243,16 +243,84 @@ class Searcher:
         """Top-k → pa.Table(doc_id int64, score float64), score desc,
         docID-asc tie-break."""
         q = parse_query(query) if isinstance(query, str) else query
-        ids, scores = self._score(q, k=k if self.prune else None)
-        ids, scores = bm25.sort_topk(ids, scores, k)
+        if q.has_phrases:
+            ids, scores = self._search_phrases(q, k)
+        else:
+            ids, scores = self._score(q, k=k if self.prune else None)
+            ids, scores = bm25.sort_topk(ids, scores, k)
         return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
 
     def all_scores(self, query: str | ParsedQuery) -> pa.Table:
         """Every matching doc's score (no pruning) — the oracle-comparable
         full result set."""
         q = parse_query(query) if isinstance(query, str) else query
-        ids, scores = self._score(q, k=None)
+        if q.has_phrases:
+            ids, scores = self._search_phrases(q, k=None)
+        else:
+            ids, scores = self._score(q, k=None)
         return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
+
+    # ---------- phrase filtering ----------
+    @staticmethod
+    def contains_phrase(tokens: list[str], phrase: tuple[str, ...]) -> bool:
+        """Consecutive-subsequence check over analyzed tokens."""
+        n, m = len(tokens), len(phrase)
+        first = phrase[0]
+        for i in range(n - m + 1):
+            if tokens[i] == first and tuple(tokens[i : i + m]) == phrase:
+                return True
+        return False
+
+    def _search_phrases(
+        self, q: ParsedQuery, k: int | None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Phrase-filtered search: score as bag-of-words (phrase terms are
+        MUST, so candidates already contain every phrase word), then
+        verify ADJACENCY against the docstore content, best-score-first in
+        chunks until k docs survive.  The postings store no positions —
+        verification re-analyzes only the candidate docs' content (one
+        docstore read per chunk), which is exact for any phrase length;
+        at index scale a positional postings variant would replace the
+        content fetch, the filter semantics are identical.
+
+        Lucene parity note: the candidate set and the adjacency filter
+        match Lucene's phrase semantics; scoring differs (Lucene scores
+        phrase frequency, we score the member terms' BM25)."""
+        from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+        content_col = self.manifest.get("content_col")
+        if not self.manifest.get("store_content", False) or not content_col:
+            raise RuntimeError(
+                "phrase queries need the docstore content "
+                "(build the index with store_content=True)"
+            )
+        ids, scores = self._score(q, k=None)
+        ids, scores = bm25.sort_topk(ids, scores, ids.size)
+        out_i: list[int] = []
+        out_s: list[float] = []
+        want = ids.size if k is None else k
+        chunk = max(64, 4 * want) if k is not None else ids.size
+        pos = 0
+        while pos < ids.size and len(out_i) < want:
+            cids = ids[pos : pos + chunk]
+            t = self.hydrate(cids, columns=["doc_id", content_col])
+            texts = dict(
+                zip(
+                    t["doc_id"].to_numpy(zero_copy_only=False),
+                    t[content_col].to_pylist(),
+                )
+            )
+            for j, d in enumerate(cids):
+                toks = tokenize_text(texts.get(int(d)) or "")
+                if all(self.contains_phrase(toks, p) for p in q.phrases) and not any(
+                    self.contains_phrase(toks, p) for p in q.not_phrases
+                ):
+                    out_i.append(int(d))
+                    out_s.append(float(scores[pos + j]))
+                    if len(out_i) >= want:
+                        break
+            pos += chunk
+        return np.array(out_i, dtype=np.int64), np.array(out_s, dtype=np.float64)
 
     # ---------- internals ----------
     def _score(self, q: ParsedQuery, k: int | None) -> tuple[np.ndarray, np.ndarray]:

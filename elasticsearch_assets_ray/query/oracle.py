@@ -28,6 +28,10 @@ class OracleIndex:
         2 GiB single-array limit still oracle-check."""
         self.n_docs = table.num_rows
         self.doc_ids = table[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # id → raw content, for phrase adjacency verification
+        self.contents: dict[int, str] = dict(
+            zip(self.doc_ids.tolist(), table[content_col].to_pylist())
+        )
         self.postings: dict[str, list] = {}
         total_tokens = 0
         for lo in range(0, self.n_docs, chunk_rows):
@@ -73,7 +77,22 @@ class OracleIndex:
         for t in set(pq_.must_not):
             have = self.postings.get(t, (np.empty(0, dtype=np.int64),))[0]
             mask &= ~np.isin(ids, have)
-        return ids[mask], scores[mask]
+        ids, scores = ids[mask], scores[mask]
+        if pq_.has_phrases:
+            from elasticsearch_assets_ray.query.engine import Searcher
+            from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+            keep = np.ones(ids.size, dtype=bool)
+            for i, d in enumerate(ids):
+                toks = tokenize_text(self.contents.get(int(d)) or "")
+                ok = all(
+                    Searcher.contains_phrase(toks, p) for p in pq_.phrases
+                ) and not any(
+                    Searcher.contains_phrase(toks, p) for p in pq_.not_phrases
+                )
+                keep[i] = ok
+            ids, scores = ids[keep], scores[keep]
+        return ids, scores
 
     def topk(self, query: str | ParsedQuery, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         ids, scores = self.all_scores(query)

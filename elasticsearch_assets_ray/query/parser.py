@@ -11,6 +11,14 @@ Grammar (lucene subset, whitespace-separated clauses):
 - bare clause   → SHOULD terms (ranked disjunction, BM25-summed)
 - ``+`` clause  → MUST terms (doc must contain every one; still scored)
 - ``-`` clause  → MUST_NOT terms (doc excluded if it contains any)
+- quoted multi-term text is a PHRASE: the doc must contain the terms
+  CONSECUTIVELY in order (Lucene query_string phrase semantics — the
+  reference hands these to Lucene, utils.ts:94-100).  ``"a b"`` and
+  ``+"a b"`` are conjunctive phrase filters whose terms also score;
+  ``-"a b"`` excludes docs containing the phrase (without excluding
+  docs that merely contain the words).  Scoring stays bag-of-words over
+  the phrase's terms (documented divergence: Lucene scores phrase
+  frequency; we score term frequencies — the adjacency FILTER matches).
 
 Each clause's text runs through the SAME analyzer as indexing
 (:mod:`..stages.tokenizer`), so ``+fooBar`` expands to must-terms
@@ -32,6 +40,9 @@ class ParsedQuery:
     should: list[str] = field(default_factory=list)
     must: list[str] = field(default_factory=list)
     must_not: list[str] = field(default_factory=list)
+    # consecutive-term filters (tuples of analyzed terms, len >= 2)
+    phrases: list[tuple[str, ...]] = field(default_factory=list)
+    not_phrases: list[tuple[str, ...]] = field(default_factory=list)
 
     @property
     def scoring_terms(self) -> list[str]:
@@ -39,12 +50,18 @@ class ParsedQuery:
         addition order engine- and oracle-side)."""
         return sorted(set(self.should) | set(self.must))
 
+    @property
+    def has_phrases(self) -> bool:
+        return bool(self.phrases or self.not_phrases)
+
     def to_string(self) -> str:
         """Canonical printable form (golden-string tests, Q8 analog)."""
         parts = (
             [f"+{t}" for t in sorted(set(self.must))]
             + [f"-{t}" for t in sorted(set(self.must_not))]
             + sorted(set(self.should))
+            + ['+"' + " ".join(p) + '"' for p in sorted(set(self.phrases))]
+            + ['-"' + " ".join(p) + '"' for p in sorted(set(self.not_phrases))]
         )
         return " ".join(parts)
 
@@ -56,6 +73,17 @@ def parse_query(q: str) -> ParsedQuery:
         text = quoted if quoted is not None else body
         terms = tokenize_text(text)
         if not terms:
+            continue
+        if quoted is not None and len(terms) >= 2:
+            if op == "-":
+                # exclude docs containing the phrase; the bare words alone
+                # do NOT exclude
+                out.not_phrases.append(tuple(terms))
+            else:
+                # phrase implies every term present → MUST; adjacency is
+                # verified by the engine's phrase filter
+                out.phrases.append(tuple(terms))
+                out.must.extend(terms)
             continue
         if op == "+":
             out.must.extend(terms)

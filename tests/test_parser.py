@@ -18,9 +18,11 @@ def test_must_and_not():
 
 def test_quoted_and_analysis():
     q = parse_query('+fooBar "read the File" -snake_case')
-    # clause text runs through the same analyzer as indexing
-    assert q.must == ["foo", "bar"]
-    assert q.should == ["read", "the", "file"]
+    # clause text runs through the same analyzer as indexing; a quoted
+    # multi-term clause is a PHRASE whose terms become MUST
+    assert q.phrases == [("read", "the", "file")]
+    assert q.must == ["foo", "bar", "read", "the", "file"]
+    assert q.should == []
     assert q.must_not == ["snake", "case"]
 
 
