@@ -427,15 +427,62 @@ def build_index(
                 import shutil
 
                 shutil.rmtree(p)
-        gm = os.path.join(out_dir, "manifest.json")
-        if os.path.exists(gm):
-            os.unlink(gm)
+        for f in ("manifest.json", "plan.json"):
+            p = os.path.join(out_dir, f)
+            if os.path.exists(p):
+                os.unlink(p)
+
+    # ---- stable pid registry (P11: slicer-count/plan redistribution) ----
+    # A completed partition is reusable across plan changes iff its
+    # (path, row_groups) grouping — and therefore its docID range — is
+    # unchanged.  plan.json pins pid per grouping key, so adding an input
+    # file or changing target_partition_rows re-buckets only the work that
+    # actually changed, instead of forcing a full rebuild (the reference's
+    # compactDivisions/expandDivisions recovery semantics,
+    # date-helpers.ts:148-240).  Groupings that left the plan have their
+    # artifacts deleted so phase 2 never merges stale runs.
+    reg_path = os.path.join(out_dir, "plan.json")
+    registry: dict[str, int] = {}
+    if resume and os.path.exists(reg_path):
+        with open(reg_path) as f:
+            registry = json.load(f)
+
+    def _key_of(s: PartitionSpec) -> str:
+        return f"{s.path}|{','.join(map(str, s.row_groups))}"
+
+    used = set(registry.values())
+    next_pid = max([pid_base - 1, *used]) + 1
+    remapped: list[PartitionSpec] = []
+    for s in specs:
+        k = _key_of(s)
+        pid = registry.get(k)
+        if pid is None:
+            pid = next_pid
+            next_pid += 1
+            registry[k] = pid
+        remapped.append(PartitionSpec(pid, s.path, list(s.row_groups), s.n_rows))
+    current_keys = {_key_of(s) for s in specs}
+    for k in [k for k in registry if k not in current_keys]:
+        stale_pid = registry.pop(k)
+        for sub, ext in (
+            ("manifests", ".json"),
+            ("runs", ".parquet"),
+            ("docstore", ".parquet"),
+        ):
+            p = os.path.join(out_dir, sub, f"part-{stale_pid:05d}{ext}")
+            if os.path.exists(p):
+                os.unlink(p)
+    _atomic_write_json(registry, reg_path)
+    specs = remapped
+    plan_fp = hashlib.sha256(
+        json.dumps(sorted(registry.items())).encode()
+    ).hexdigest()[:16]
 
     gm_path = os.path.join(out_dir, "manifest.json")
     if resume and os.path.exists(gm_path):
         with open(gm_path) as f:
             gm = json.load(f)
-        if gm.get("complete") and gm.get("n_partitions") == len(specs):
+        if gm.get("complete") and gm.get("plan_fingerprint") == plan_fp:
             return gm
 
     # ---- phase 1: per-partition build (skips completed partitions) ----
@@ -491,7 +538,9 @@ def build_index(
         "phase2_sec": round(_t2 - _t1, 3),
         "version": MANIFEST_VERSION,
         "complete": True,
+        "plan_fingerprint": plan_fp,
         "n_partitions": len(specs),
+        "max_pid": max(s.pid for s in specs),
         "n_docs": n_docs,
         "n_raw_rows": int(manifests["n_raw_rows"].sum()),
         "total_tokens": total_tokens,

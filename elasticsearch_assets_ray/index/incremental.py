@@ -133,7 +133,9 @@ class IncrementalIndex:
         }
         self.state["ticks"] = [t for t in self.state["ticks"] if t["tick_id"] != tick_id]
         self.state["ticks"].append(entry)
-        self.state["next_pid"] = pid_base + manifest["n_partitions"]
+        self.state["next_pid"] = manifest.get(
+            "max_pid", pid_base + manifest["n_partitions"] - 1
+        ) + 1
         self._save()
         return entry
 
