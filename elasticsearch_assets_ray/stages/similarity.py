@@ -16,6 +16,8 @@ reference never uses it); first-class training-data operator.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -179,11 +181,6 @@ def lsh_topk(
         def __init__(self):
             self.state = ray.get(ref)
             self.indexer = LSHIndexer(dim=dim, n_tables=n_tables, n_planes=n_planes, vec_col=vec_col)
-            # per query: set of its bucket keys
-            self.q_by_key: dict[int, list[int]] = {}
-            for qi in range(self.state["qkeys"].shape[0]):
-                for kk in self.state["qkeys"][qi]:
-                    self.q_by_key.setdefault(int(kk), []).append(qi)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -192,14 +189,16 @@ def lsh_topk(
             qid_out, vid_out, sim_out = [], [], []
             qmat = self.state["qmat"]
             qids = self.state["qids"]
-            # candidate rows per query: any table key matches
-            hit_q: dict[int, set[int]] = {}
-            for row in range(keys.shape[0]):
-                for kk in keys[row]:
-                    for qi in self.q_by_key.get(int(kk), ()):  # queries in this bucket
-                        hit_q.setdefault(qi, set()).add(row)
-            for qi, rows in hit_q.items():
-                ridx = np.fromiter(rows, dtype=np.int64)
+            qkeys = self.state["qkeys"]  # (Q, T)
+            # candidate mask per query, fully vectorized: a row is a
+            # candidate for query qi iff ANY of its table keys appears in
+            # qi's key set (np.isin over the (n, T) key matrix — the
+            # per-row Python dict walk was the hot-loop anti-pattern)
+            for qi in range(qkeys.shape[0]):
+                cand = np.isin(keys, qkeys[qi]).any(axis=1)
+                if not cand.any():
+                    continue
+                ridx = np.flatnonzero(cand)
                 sims = m[ridx] @ qmat[qi]
                 kk = min(k, len(ridx))
                 part = np.argpartition(-sims, kth=kk - 1)[:kk]
@@ -342,6 +341,155 @@ def ivf_topk(
              "rank": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
         )
     return _merge_topk(cands, k)
+
+
+def ivf_build(
+    ds: ray.data.Dataset,
+    out_dir: str,
+    *,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    train_sample: np.ndarray | None = None,
+    seed: int = 17,
+) -> dict:
+    """Build the cluster-PARTITIONED IVF layout: vectors are written as
+    ``out_dir/vectors/ivf_cluster=<c>/...`` Parquet (one directory per
+    coarse cell) plus the centroid matrix.  Query-time ``nprobe`` pruning
+    then happens AT THE SOURCE — ``read_parquet`` with an ``ivf_cluster``
+    filter only opens the probed partitions' files; unprobed cells never
+    leave storage (this is the layout the docstring of :func:`ivf_topk`
+    promises; that function remains the layout-free variant for ad-hoc
+    datasets)."""
+    import json
+
+    if train_sample is None:
+        head = ds.limit(4096)
+        train_sample = _matrix(
+            pa.concat_tables(list(head.iter_batches(batch_format="pyarrow")))[vec_col]
+        )
+    cent = train_centroids(train_sample, n_centroids, seed=seed)
+    cent_ref = ray.put(cent)
+    assigned = ds.map_batches(
+        IVFAssigner,
+        fn_constructor_kwargs=dict(centroids_ref=cent_ref, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    # partition on a COPY of the cluster id: partition_cols strips the
+    # column from the data files, and we want it both as directory layout
+    # (source pruning) and as a per-row column (in-batch probe masks)
+    assigned = assigned.map_batches(
+        lambda b: b.append_column("ivf_part", b["ivf_cluster"]),
+        batch_format="pyarrow",
+    )
+    vec_dir = os.path.join(out_dir, "vectors")
+    assigned.write_parquet(vec_dir, partition_cols=["ivf_part"])
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "centroids.npy"), cent)
+    man = {"n_centroids": int(cent.shape[0]), "dim": int(cent.shape[1]), "vec_col": vec_col}
+    with open(os.path.join(out_dir, "ivf.json"), "w") as f:
+        json.dump(man, f)
+    return man
+
+
+def ivf_search(
+    index_dir: str,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 4,
+) -> pa.Table:
+    """Search an :func:`ivf_build` layout: only the ``nprobe`` closest
+    clusters per query are READ (partition-pruned scan), then scored
+    exactly.  Same output schema as brute_force_topk."""
+    import json
+
+    with open(os.path.join(index_dir, "ivf.json")) as f:
+        man = json.load(f)
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    vec_col = man["vec_col"]
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qassign = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    probed = np.unique(qassign.reshape(-1))
+    import pyarrow.compute as pc
+
+    # source pruning: ONLY the probed clusters' partition directories are
+    # handed to the read — unprobed cells never leave storage
+    import glob as _glob
+
+    vec_dir = os.path.join(index_dir, "vectors")
+    paths = [
+        f
+        for c in probed
+        for f in sorted(
+            _glob.glob(os.path.join(vec_dir, f"ivf_part={int(c)}", "*.parquet"))
+        )
+    ]
+    if not paths:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+        )
+    ds = ray.data.read_parquet(paths)
+    ref = ray.put({"qids": np.asarray(query_ids), "qmat": qmat, "qassign": qassign})
+
+    def score(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        vids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_matrix(batch[vec_col]))
+        clus = (
+            pc.cast(batch["ivf_cluster"], pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        qid_o, vid_o, sim_o = [], [], []
+        for qi in range(st["qmat"].shape[0]):
+            cand = np.isin(clus, st["qassign"][qi])
+            if not cand.any():
+                continue
+            sims = m[cand] @ st["qmat"][qi]
+            kk = min(k, sims.size)
+            part = np.argpartition(-sims, kth=kk - 1)[:kk]
+            qid_o.extend([int(st["qids"][qi])] * kk)
+            vid_o.extend(vids[cand][part].tolist())
+            sim_o.extend(sims[part].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qid_o, pa.int64()),
+                "vec_id": pa.array(vid_o, pa.int64()),
+                "sim": pa.array(sim_o, pa.float64()),
+            }
+        )
+
+    cands_ds = ds.map_batches(score, batch_format="pyarrow")
+    cands = pa.concat_tables(list(cands_ds.iter_batches(batch_format="pyarrow")))
+    if cands.num_rows == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+        )
+    return _merge_topk(cands, k)
+
+
+def ivf_probed_files(index_dir: str, query_vecs: np.ndarray, nprobe: int) -> tuple[int, int]:
+    """(files the probe plan touches, total files) — the pruning
+    observability hook used by tests/benchmarks to prove unprobed
+    partitions are never opened."""
+    import glob as _glob
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qassign = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    probed = {int(c) for c in np.unique(qassign.reshape(-1))}
+    vec_dir = os.path.join(index_dir, "vectors")
+    total = touched = 0
+    for p in _glob.glob(os.path.join(vec_dir, "ivf_part=*", "*.parquet")):
+        total += 1
+        if int(os.path.basename(os.path.dirname(p)).split("=")[1]) in probed:
+            touched += 1
+    return touched, total
 
 
 def embedding_cosine_dedup(

@@ -97,3 +97,43 @@ def test_train_centroids_deterministic():
     b = sim.train_centroids(sample, 8)
     assert np.array_equal(a, b)
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_ivf_partitioned_layout_prunes_reads(ray_session, tmp_path):
+    """ivf_build writes one partition dir per cluster; a probe plan opens
+    ONLY the probed partitions' files, and search over the pruned read is
+    exact for a planted near-identical probe."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.similarity import (
+        ivf_build,
+        ivf_probed_files,
+        ivf_search,
+    )
+
+    rng = np.random.default_rng(23)
+    n, dim = 400, 16
+    mat = rng.standard_normal((n, dim))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1), pa.float32()), dim
+            ),
+        }
+    )
+    out = str(tmp_path / "ivf")
+    man = ivf_build(ray.data.from_arrow(t).repartition(4), out, n_centroids=8)
+    assert man["n_centroids"] == 8
+
+    # planted probes: source vectors + small shift -> exact NN is source
+    probe_ids = np.array([5, 100, 300])
+    probes = mat[probe_ids] + 0.01
+    touched, total = ivf_probed_files(out, probes, nprobe=2)
+    assert touched < total  # pruning is real: unprobed partitions unopened
+
+    res = ivf_search(out, probe_ids, probes, k=1, nprobe=2)
+    got = dict(zip(res["query_id"].to_pylist(), res["vec_id"].to_pylist()))
+    assert got == {int(i): int(i) for i in probe_ids}
