@@ -1,0 +1,222 @@
+"""DuckDB oracle SQL generators for the hash/sketch pipelines.
+
+Each generator REPLICATES the pipeline's arithmetic in SQL — same
+byte-level Horner hashes (HUGEINT mod 2^64 emulates uint64 wraparound),
+same minhash permutation constants (read from the live MinHasher so the
+two sides cannot drift), same banding — so the oracle equality is exact
+by construction, not a recall estimate.  The char→byte identity assumes
+an ASCII corpus (true of the synthetic tables; `unicode(c)` = utf-8 byte
+for ASCII).
+
+These close the `no_oracle` gaps for fingerprint, lang_id,
+simhash_pairs, minhash_pairs, prefix_dfs and embedding_dedup.
+"""
+
+from __future__ import annotations
+
+M64 = "CAST('18446744073709551616' AS HUGEINT)"  # 2^64
+I63 = "CAST('9223372036854775808' AS HUGEINT)"  # 2^63
+FNV = "CAST('1099511628211' AS HUGEINT)"  # shingle/band fold base
+
+
+def _horner(expr: str) -> str:
+    """uint64-wraparound Horner hash of a string's bytes (ASCII ==
+    codepoints), matching textstats.polynomial_hash bit for bit."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+        f"list_transform(split({expr}, ''), c -> CAST(unicode(c) AS HUGEINT))), "
+        f"(a, b) -> (a * 1000003 + b) % {M64})"
+    )
+
+
+def _wrap64(col: str) -> str:
+    """HUGEINT in [0, 2^64) → two's-complement BIGINT (numpy
+    uint64.astype(int64))."""
+    return f"CAST(CASE WHEN {col} >= {I63} THEN {col} - {M64} ELSE {col} END AS BIGINT)"
+
+
+def fingerprint_sql() -> str:
+    return (
+        f"SELECT doc_id, {_wrap64('h')} AS fingerprint FROM ("
+        "SELECT doc_id, CASE WHEN length(text) = 0 THEN CAST(0 AS HUGEINT) "
+        f"ELSE {_horner('text')} END AS h FROM documents)"
+    )
+
+
+def lang_id_sql() -> str:
+    """Replicates textstats.LanguageID: marker-word counts per language
+    (a word shared by two marker lists credits only its FIRST owner in
+    sorted-language order — index_in semantics), zh additionally counts
+    CJK chars; argmax with first-of-max tie-break; 'unknown' on all-zero."""
+    from elasticsearch_assets_ray.stages.textstats import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    owner: dict[str, str] = {}
+    for lg in langs:
+        for w in _LANG_MARKERS[lg]:
+            owner.setdefault(w, lg)
+    in_lists = {
+        lg: ", ".join(f"'{w}'" for w in _LANG_MARKERS[lg] if owner[w] == lg)
+        for lg in langs
+    }
+    score_cols = []
+    for lg in langs:
+        base = f"len(list_filter(T, x -> x IN ({in_lists[lg]})))"
+        if lg == "zh":
+            base += " + cjk"
+        score_cols.append(f"{base} AS s_{lg}")
+    # first-of-max in sorted-lang order
+    cases = []
+    for i, lg in enumerate(langs):
+        conds = [f"s_{lg} >= s_{o}" for o in langs[i + 1 :]]
+        cases.append(
+            f"WHEN {' AND '.join(conds)} THEN '{lg}'" if conds else f"ELSE '{lg}'"
+        )
+    greatest = ", ".join(f"s_{lg}" for lg in langs)
+    return (
+        "WITH b AS (SELECT doc_id, lang, "
+        r"regexp_split_to_array(lower(text), '[^\w一-鿿]+') AS T, "
+        "len(regexp_extract_all(text, '[一-鿿]')) AS cjk FROM documents), "
+        f"s AS (SELECT doc_id, lang, {', '.join(score_cols)} FROM b) "
+        "SELECT doc_id, lang, CASE WHEN greatest(" + greatest + ") = 0 "
+        "THEN 'unknown' " + " ".join(cases[:-1]) + " " + cases[-1] + " END AS pred_lang FROM s"
+    )
+
+
+def _near_dup_base_cte(n_dups: int = 20) -> str:
+    """documents ∪ mutated head docs — SQL mirror of
+    registry._docs_with_near_dups (words[:max(1, int(0.9·len))])."""
+    return (
+        "base AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 100000, "
+        "array_to_string((string_split(text, ' '))[1:greatest(1, "
+        "CAST(floor(len(string_split(text, ' ')) * 0.9) AS INT))], ' ') "
+        "FROM documents WHERE doc_id IN "
+        f"(SELECT doc_id FROM documents ORDER BY doc_id LIMIT {n_dups}))"
+    )
+
+
+def simhash_pairs_sql(max_hamming: int = 3, n_dups: int = 20) -> str:
+    """All-pairs Hamming ≤ t over SQL-computed 64-bit SimHashes.  The
+    pipeline's 4×16-bit chunk banding is recall-COMPLETE for t ≤ 3
+    (pigeonhole: ≤3 flipped bits leave ≥1 chunk intact), so all-pairs is
+    the exact oracle."""
+    pws = ", ".join(f"({b}, CAST('{1 << b}' AS HUGEINT))" for b in range(64))
+    return (
+        f"WITH {_near_dup_base_cte(n_dups)}, "
+        "tokl AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM base), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokl GROUP BY 1, 2), "
+        f"th AS (SELECT term, {_horner('term')} AS h FROM (SELECT DISTINCT term FROM tf)), "
+        f"p(b, pw) AS (VALUES {pws}), "
+        "bits AS (SELECT tf.doc_id, p.b, "
+        "sum(tf.tf * (CASE WHEN (th.h // p.pw) % 2 = 1 THEN 1 ELSE -1 END)) AS s "
+        "FROM tf JOIN th USING (term) CROSS JOIN p GROUP BY 1, 2), "
+        "hh AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN pw ELSE CAST(0 AS HUGEINT) END) AS h "
+        "FROM bits JOIN p USING (b) GROUP BY doc_id), "
+        f"sh AS (SELECT doc_id, {_wrap64('h')} AS v FROM hh) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.v, b.v)) AS BIGINT) AS hamming "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.v, b.v)) <= {max_hamming} ORDER BY id_a, id_b"
+    )
+
+
+def minhash_pairs_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    n_dups: int = 20,
+) -> str:
+    """Full SQL replication of the MinHash-LSH pipeline: token hashes →
+    k-shingle Horner hashes (short docs clamp the gather like the numpy
+    kernel) → the SAME 64 permutation constants (read from the live
+    MinHasher) → banded bucket keys → candidate pairs sharing ≥1 bucket →
+    exact shingle-set Jaccard ≥ threshold."""
+    assert shingle_k == 3, "SQL shingle expansion is generated for k=3"
+    from elasticsearch_assets_ray.stages.dedup import MinHasher
+
+    mh = MinHasher(num_perm=num_perm, shingle_k=shingle_k)
+    perms = ", ".join(
+        f"({i}, CAST('{int(a)}' AS HUGEINT), CAST('{int(b)}' AS HUGEINT))"
+        for i, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    rows_per = num_perm // bands
+    sh3 = (
+        f"((TH[i] * {FNV} + TH[i+1]) % {M64} * {FNV} + TH[i+2]) % {M64}"
+    )
+    return (
+        f"WITH {_near_dup_base_cte(n_dups)}, "
+        "tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS L FROM base), "
+        "thl AS (SELECT doc_id, list_transform(L, t -> "
+        f"{_horner('t')}) AS TH FROM tl), "
+        "shl AS (SELECT doc_id, list_distinct(CASE "
+        "WHEN len(TH) = 0 THEN [CAST(0 AS HUGEINT)] "
+        f"WHEN len(TH) = 1 THEN [((TH[1] * {FNV} + TH[1]) % {M64} * {FNV} + TH[1]) % {M64}] "
+        f"WHEN len(TH) = 2 THEN [((TH[1] * {FNV} + TH[2]) % {M64} * {FNV} + TH[2]) % {M64}] "
+        f"ELSE list_transform(range(1, len(TH) - 1), i -> {sh3}) END) AS SH FROM thl), "
+        "shr AS (SELECT doc_id, unnest(SH) AS s FROM shl), "
+        f"perm(pid, a, b) AS (VALUES {perms}), "
+        f"sig AS (SELECT doc_id, pid, min((a * s + b) % {M64}) AS sg "
+        "FROM shr CROSS JOIN perm GROUP BY 1, 2), "
+        "sigl AS (SELECT doc_id, list(sg ORDER BY pid) AS S FROM sig GROUP BY doc_id), "
+        "bk AS (SELECT doc_id, bnd, list_reduce(list_prepend(CAST(bnd + 1 AS HUGEINT), "
+        f"S[bnd * {rows_per} + 1 : bnd * {rows_per} + {rows_per}]), "
+        f"(x, y) -> (x * {FNV} + y) % {M64}) AS key "
+        f"FROM sigl, (SELECT unnest(range(0, {bands})) AS bnd)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bk a JOIN bk b ON a.bnd = b.bnd AND a.key = b.key AND a.doc_id < b.doc_id), "
+        "jac AS (SELECT c.id_a, c.id_b, len(list_intersect(x.SH, y.SH)) AS i, "
+        "len(x.SH) AS na, len(y.SH) AS nb FROM cand c "
+        "JOIN shl x ON x.doc_id = c.id_a JOIN shl y ON y.doc_id = c.id_b) "
+        "SELECT id_a, id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard_sim "
+        f"FROM jac WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {threshold} "
+        "ORDER BY id_a, id_b"
+    )
+
+
+def prefix_dfs_sql(
+    alphabet: str, max_count: int = 30, max_depth: int = 12, key_col: str = "source"
+) -> str:
+    """The idSlicer count-guided DFS as a recursive CTE: descend a prefix
+    while its count exceeds max_count (emitting an exact slice for keys
+    equal to the hot prefix), emit when ≤ max_count or at max_depth,
+    prune empty subtrees — the per-prefix ES count probe becomes a
+    correlated COUNT."""
+    chars = ", ".join(f"'{c}'" for c in alphabet)
+    return (
+        f"WITH RECURSIVE a(ch) AS (SELECT unnest([{chars}])), "
+        "r(prefix, depth, cnt, exact_cnt) AS ("
+        f"SELECT ch, 1, (SELECT count(*) FROM documents WHERE starts_with({key_col}, ch)), "
+        f"(SELECT count(*) FROM documents WHERE {key_col} = ch) FROM a "
+        "UNION ALL "
+        "SELECT r.prefix || a.ch, r.depth + 1, "
+        f"(SELECT count(*) FROM documents WHERE starts_with({key_col}, r.prefix || a.ch)), "
+        f"(SELECT count(*) FROM documents WHERE {key_col} = r.prefix || a.ch) "
+        f"FROM r, a WHERE r.cnt > {max_count} AND r.depth < {max_depth}) "
+        "SELECT prefix, cnt, exact FROM ("
+        f"SELECT prefix, CAST(cnt AS BIGINT) AS cnt, FALSE AS exact FROM r "
+        f"WHERE cnt > 0 AND cnt <= {max_count} "
+        "UNION ALL "
+        f"SELECT prefix, CAST(cnt AS BIGINT), FALSE FROM r WHERE cnt > {max_count} AND depth = {max_depth} "
+        "UNION ALL "
+        f"SELECT prefix, CAST(exact_cnt AS BIGINT), TRUE FROM r "
+        f"WHERE cnt > {max_count} AND depth < {max_depth} AND exact_cnt > 0"
+        ") ORDER BY prefix, exact"
+    )
+
+
+def embedding_dedup_sql(threshold: float = 0.99, n_dups: int = 10) -> str:
+    """All-pairs cosine ≥ threshold over embeddings ∪ planted exact
+    duplicates.  The pipeline's LSH bucketing finds identical vectors
+    with certainty (identical keys in every table), and no natural pair
+    reaches the threshold in this corpus, so all-pairs is exact."""
+    return (
+        "WITH u AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+        "UNION ALL SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings "
+        f"WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_dups})), "
+        "s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "list_cosine_similarity(a.e, b.e) AS sim FROM u a JOIN u b ON a.vec_id < b.vec_id) "
+        f"SELECT id_a, id_b, round(sim, 6) AS sim_r FROM s WHERE sim >= {threshold} "
+        "ORDER BY id_a, id_b"
+    )

@@ -484,8 +484,20 @@ def q_embedding_dedup(sf_dir: str):
     )
     ds = ray.data.from_arrow(pa.concat_tables([t, dup]))
     dim = len(t["embedding"][0])
-    return sim_ops.embedding_cosine_dedup(
+    pairs = sim_ops.embedding_cosine_dedup(
         ds, dim=dim, threshold=0.99, n_rows_hint=t.num_rows + 10
+    )
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "sim_r": pa.array([], pa.float64())}
+        )
+    return pa.table(
+        {
+            "id_a": pairs["id_a"],
+            "id_b": pairs["id_b"],
+            "sim_r": pc.round(pairs["sim"], ndigits=6),
+        }
     )
 
 
@@ -961,6 +973,24 @@ ORACLES: dict[str, str] = {
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "search_boolean": _bm25_bool_sql(BOOLEAN_QUERIES, SEARCH_K),
 }
+
+# hash/sketch oracles: SQL replicas of the pipelines' exact arithmetic
+# (uint64 Horner hashes, minhash permutation constants, banding) — see
+# pipelines/oracles_hard.py for the construction arguments.
+from elasticsearch_assets_ray.pipelines import oracles_hard as _oh  # noqa: E402
+
+ORACLES.update(
+    {
+        "fingerprint": _oh.fingerprint_sql(),
+        "lang_id": _oh.lang_id_sql(),
+        "simhash_pairs": _oh.simhash_pairs_sql(max_hamming=3),
+        "minhash_pairs": _oh.minhash_pairs_sql(
+            num_perm=64, bands=16, shingle_k=3, threshold=0.5
+        ),
+        "prefix_dfs": _oh.prefix_dfs_sql("abcdefghijklmnopqrstuvwxyz0123456789", 30),
+        "embedding_dedup": _oh.embedding_dedup_sql(threshold=0.99),
+    }
+)
 
 
 QUERIES = {
