@@ -29,6 +29,7 @@ from elasticsearch_assets_ray.index.build import IndexConfig, build_index
 from elasticsearch_assets_ray.query.engine import Searcher
 from elasticsearch_assets_ray.sources.reader import (
     date_range_read,
+    key_charclass_read,
     key_prefix_read,
     min_max_probe,
     predicate_count,
@@ -135,6 +136,15 @@ def q_key_prefix_scan(sf_dir: str):
     )
 
 
+def q_key_charclass_scan(sf_dir: str):
+    """Q3: reference-style regexp char-class key predicate ``src[0-3].*``
+    (utils.ts:72-81) as a starts_with OR-list pushdown."""
+    return key_charclass_read(
+        _p(sf_dir, "documents"), "source", "src[0-3].*",
+        columns=["doc_id", "source", "lang"],
+    )
+
+
 def q_projection(sf_dir: str):
     return projected_read(_p(sf_dir, "documents"), ["doc_id", "lang", "n_chars"])
 
@@ -195,6 +205,21 @@ def q_bulk_update_fields(sf_dir: str):
     upd = _order_balance_updates(sf_dir)
     out = bulk_ops.update_fields(cust, upd, "c_custkey", ["c_acctbal"])
     return out.select_columns(["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+
+
+def q_bulk_update_script(sf_dir: str):
+    """K4 scripted update: a registered vectorized UDF adds each
+    customer's order-total delta to their balance (the painless-script
+    analog, reference applyScript ElasticsearchBulkSender.ts:139-151)."""
+    cust = _rd(sf_dir, "customer")
+    u = _order_balance_updates(sf_dir)
+    upd = pa.table({"c_custkey": u["c_custkey"], "delta": u["c_acctbal"]})
+
+    def add_delta(j: pa.Table) -> dict:
+        return {"c_acctbal": pc.add(j["c_acctbal"], j["__u_delta"])}
+
+    out = bulk_ops.scripted_update(cust, upd, "c_custkey", add_delta, ["delta"])
+    return out.select_columns(["c_custkey", "c_name", "c_acctbal"])
 
 
 def q_bulk_upsert(sf_dir: str):
@@ -859,6 +884,19 @@ ORACLES: dict[str, str] = {
         "  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS newbal "
         "  FROM orders GROUP BY o_custkey) u ON u.o_custkey = c.c_custkey"
     ),
+    "key_charclass_scan": (
+        "SELECT doc_id, source, lang FROM documents "
+        "WHERE regexp_matches(source, '^src[0-3]')"
+    ),
+    "bulk_update_script": (
+        "WITH u AS (SELECT o_custkey, "
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS delta "
+        "FROM orders GROUP BY o_custkey) "
+        "SELECT c.c_custkey, c.c_name, "
+        "CASE WHEN u.o_custkey IS NULL THEN c.c_acctbal "
+        "ELSE c.c_acctbal + u.delta END AS c_acctbal "
+        "FROM customer c LEFT JOIN u ON u.o_custkey = c.c_custkey"
+    ),
     "bulk_upsert": (
         "WITH u AS (SELECT o_custkey + 100 AS k, "
         "   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS newbal "
@@ -1003,7 +1041,9 @@ QUERIES = {
     "bulk_create_first": q_bulk_create_first,
     "bulk_delete": q_bulk_delete,
     "bulk_update_fields": q_bulk_update_fields,
+    "bulk_update_script": q_bulk_update_script,
     "bulk_upsert": q_bulk_upsert,
+    "key_charclass_scan": q_key_charclass_scan,
     "tpch_q1": q_tpch_q1,
     "revenue_by_segment": q_revenue_by_segment,
     "top_orders": q_top_orders,

@@ -54,6 +54,51 @@ def key_prefix_read(
     return ray.data.read_parquet(path, columns=columns, filter=filt)
 
 
+def expand_charclass_prefix(pattern: str) -> list[str]:
+    """Expand a reference-style key regexp ``lit[class].*`` (the
+    recurse_optimization predicate, reference utils.ts:72-81 emits e.g.
+    ``regexp: {field: "a[b-f].*"}``) into its equivalent list of literal
+    prefixes — one per class member, ranges expanded.  ``^``-anchored
+    prefix semantics: the trailing ``.*`` (implicit if absent) matches any
+    remainder, so the regexp equals an OR of starts_with prefixes."""
+    import re as _re
+
+    m = _re.fullmatch(r"([^\[\]*.]*)\[([^\]]+)\](?:\.\*)?", pattern)
+    if not m:
+        raise ValueError(
+            f"unsupported char-class pattern {pattern!r} (expected 'lit[class].*')"
+        )
+    lit, cls = m.group(1), m.group(2)
+    chars: list[str] = []
+    i = 0
+    while i < len(cls):
+        if i + 2 < len(cls) and cls[i + 1] == "-":
+            lo, hi = ord(cls[i]), ord(cls[i + 2])
+            if hi < lo:
+                raise ValueError(f"bad range in class {cls!r}")
+            chars.extend(chr(c) for c in range(lo, hi + 1))
+            i += 3
+        else:
+            chars.append(cls[i])
+            i += 1
+    return [lit + c for c in dict.fromkeys(chars)]
+
+
+def key_charclass_read(
+    path: str,
+    key_col: str,
+    pattern: str,
+    *,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Q3: char-class regexp key predicate ``lit[class].*`` as a pushdown
+    scan — expanded to a starts_with OR-list so Parquet row-group pruning
+    still applies (a regexp kernel would scan every row)."""
+    return key_prefix_read(
+        path, key_col, expand_charclass_prefix(pattern), columns=columns
+    )
+
+
 def projected_read(path: str, columns: list[str]) -> ray.data.Dataset:
     """Q6: column projection at the read."""
     return ray.data.read_parquet(path, columns=columns)

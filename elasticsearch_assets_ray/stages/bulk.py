@@ -205,6 +205,63 @@ def upsert(
     return updated
 
 
+#: registered update scripts (the painless-script registry analog) —
+#: name → vectorized callable.  A script receives the joined batch (base
+#: columns + ``__u_<col>`` update params + ``__matched`` bool) and
+#: returns the replacement values for the columns it updates.
+SCRIPTS: dict[str, callable] = {}
+
+
+def register_script(name: str):
+    def deco(fn):
+        SCRIPTS[name] = fn
+        return fn
+
+    return deco
+
+
+def scripted_update(
+    base: ray.data.Dataset,
+    updates: pa.Table,
+    keys: str | list[str],
+    script: str | callable,
+    params: list[str],
+) -> ray.data.Dataset:
+    """ES scripted update (reference applyScript
+    ElasticsearchBulkSender.ts:139-151: a painless script fed
+    ``script_params`` extracted from the update record).  Here the script
+    is a registered *vectorized* Python UDF: updates are broadcast once
+    (``ray.put``); each base batch left-joins its update params and hands
+    the joined Arrow table to the script, which returns ``{col: array}``
+    replacements applied only where ``__matched``.  Never per-row Python;
+    unmatched rows pass through untouched."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    fn = SCRIPTS[script] if isinstance(script, str) else script
+    upd = updates.select(keys + params)
+    upd = upd.rename_columns(keys + [f"__u_{p}" for p in params])
+    upd = upd.append_column("__matched", pa.array([True] * upd.num_rows))
+    ref = ray.put(upd)
+
+    def apply(batch: pa.Table) -> pa.Table:
+        small = ray.get(ref)
+        j = batch.join(small, keys=keys, join_type="left outer", use_threads=False)
+        j = j.set_column(
+            j.schema.get_field_index("__matched"),
+            "__matched",
+            pc.fill_null(j["__matched"], False),
+        )
+        new_cols = fn(j)
+        out = {}
+        for name in batch.column_names:
+            if name in new_cols:
+                out[name] = pc.if_else(j["__matched"], new_cols[name], j[name])
+            else:
+                out[name] = j[name]
+        return pa.table(out)
+
+    return base.map_batches(apply, batch_format="pyarrow")
+
+
 def dead_letter_split(
     ds: ray.data.Dataset,
     required_cols: list[str],
