@@ -239,6 +239,33 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def distinct_pairs_ds(
+    pairs_ds: ray.data.Dataset, val_col: str, agg: str = "max", n_groups: int = 256
+) -> ray.data.Dataset:
+    """Distributed distinct over (id_a, id_b) pairs: coarse-group shuffle
+    + ONE vectorized Arrow group_by per group.  The scale path for pair
+    outputs too large to concat on the driver (the ``materialize=False``
+    branch of the near-dup pipelines)."""
+
+    def add_grp(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        g = ((a * np.uint64(1099511628211) + b) % np.uint64(n_groups)).astype(np.int64)
+        return t.append_column("__grp", pa.array(g))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = (
+            group.drop_columns(["__grp"])
+            .group_by(["id_a", "id_b"], use_threads=False)
+            .aggregate([(val_col, agg)])
+        )
+        return g.rename_columns(["id_a", "id_b", val_col])
+
+    return pairs_ds.map_batches(add_grp, batch_format="pyarrow").groupby(
+        "__grp"
+    ).map_groups(pick, batch_format="pyarrow")
+
+
 def minhash_lsh_dedup(
     ds: ray.data.Dataset,
     text_col: str,
@@ -250,9 +277,12 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     concurrency: int | tuple[int, int] = (1, 8),
     n_rows_hint: int | None = None,
-) -> pa.Table:
+    materialize: bool = True,
+) -> pa.Table | ray.data.Dataset:
     """Near-duplicate *pairs* via MinHash LSH, verified with exact shingle
-    Jaccard.  Returns pa.Table (id_a, id_b, jaccard_sim) with id_a < id_b.
+    Jaccard.  Returns pa.Table (id_a, id_b, jaccard_sim) with id_a < id_b
+    (``materialize=False`` → a Dataset deduped by a distributed
+    coarse-group distinct, for pair sets too large for the driver).
 
     Dataflow: map_batches(MinHasher) → flat_map to (band_key, id, shingles
     fingerprint) → groupby(band_key) emits candidate pairs → exact verify
@@ -353,10 +383,14 @@ def minhash_lsh_dedup(
     pairs_ds = exploded.groupby("grp").map_groups(
         verify_group, batch_format="pyarrow"
     )
+    if not materialize:
+        return distinct_pairs_ds(pairs_ds, "jaccard_sim", "max")
     pairs = pa.concat_tables(list(pairs_ds.iter_batches(batch_format="pyarrow")))
     if pairs.num_rows == 0:
         return pairs
-    # distinct pairs (same pair can surface from multiple bands)
+    # distinct pairs (same pair can surface from multiple bands); the
+    # driver-side concat is bounded by the RESULT size (verified pairs),
+    # not the corpus
     g = pairs.group_by(["id_a", "id_b"], use_threads=False).aggregate(
         [("jaccard_sim", "max")]
     )
@@ -407,7 +441,8 @@ def simhash_near_dups(
     max_hamming: int = 3,
     concurrency: int | tuple[int, int] = (1, 8),
     n_rows_hint: int | None = None,
-) -> pa.Table:
+    materialize: bool = True,
+) -> pa.Table | ray.data.Dataset:
     """Near-dup pairs by SimHash: 4×16-bit chunk banding (a pair within
     Hamming ≤3 of 64 bits must agree exactly on ≥1 of 4 chunks) →
     groupby(chunk value) → in-group Hamming verify.  Returns
@@ -480,6 +515,8 @@ def simhash_near_dups(
         )
 
     pairs_ds = exploded.groupby("grp").map_groups(verify, batch_format="pyarrow")
+    if not materialize:
+        return distinct_pairs_ds(pairs_ds, "hamming", "min")
     pairs = pa.concat_tables(list(pairs_ds.iter_batches(batch_format="pyarrow")))
     if pairs.num_rows == 0:
         return pairs

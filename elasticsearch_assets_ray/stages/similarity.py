@@ -503,9 +503,11 @@ def embedding_cosine_dedup(
     n_planes: int = 10,
     concurrency: int | tuple[int, int] = (1, 8),
     n_rows_hint: int | None = None,
-) -> pa.Table:
+    materialize: bool = True,
+) -> pa.Table | ray.data.Dataset:
     """Embedding-cosine near-dup pairs via LSH bucketing + in-bucket exact
-    cosine.  Returns (id_a, id_b, sim) with id_a < id_b, sims ≥ threshold."""
+    cosine.  Returns (id_a, id_b, sim) with id_a < id_b, sims ≥ threshold
+    (``materialize=False`` → distributed-distinct Dataset, the scale path)."""
     from elasticsearch_assets_ray.stages.dedup import dynamic_n_groups
 
     indexer_kwargs = dict(dim=dim, n_tables=n_tables, n_planes=n_planes, vec_col=vec_col)
@@ -566,6 +568,10 @@ def embedding_cosine_dedup(
         )
 
     pairs_ds = exploded.groupby("grp").map_groups(verify, batch_format="pyarrow")
+    if not materialize:
+        from elasticsearch_assets_ray.stages.dedup import distinct_pairs_ds
+
+        return distinct_pairs_ds(pairs_ds, "sim", "max")
     pairs = pa.concat_tables(list(pairs_ds.iter_batches(batch_format="pyarrow")))
     if pairs.num_rows == 0:
         return pairs

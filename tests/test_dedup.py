@@ -80,3 +80,29 @@ def test_minhash_signature_similarity_tracks_jaccard():
     est = (sigs[0] == sigs[3]).mean()
     true = dedup.ngram_jaccard(t["text"][0].as_py(), t["text"][3].as_py(), 3)
     assert abs(est - true) < 0.25
+
+
+def test_distinct_pairs_dataset_path(ray_session):
+    """materialize=False returns a Dataset whose distributed distinct
+    equals the driver-side path."""
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.dedup import minhash_lsh_dedup
+
+    texts = ["alpha beta gamma delta epsilon zeta " * 5] * 2 + [
+        f"unique doc {i} with words {i * 3} {i * 7} filler content here" for i in range(20)
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(3)
+    tbl = minhash_lsh_dedup(ds, "text", "doc_id", threshold=0.8)
+    lazy = minhash_lsh_dedup(
+        ray.data.from_arrow(t).repartition(3), "text", "doc_id", threshold=0.8,
+        materialize=False,
+    )
+    got = pa.concat_tables(list(lazy.iter_batches(batch_format="pyarrow"))).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+    assert got["id_a"].to_pylist() == tbl["id_a"].to_pylist()
+    assert got["id_b"].to_pylist() == tbl["id_b"].to_pylist()
+    assert got["jaccard_sim"].to_pylist() == tbl["jaccard_sim"].to_pylist()
