@@ -61,7 +61,7 @@ from elasticsearch_assets_ray.sources.partition import (
 )
 from elasticsearch_assets_ray.stages.tokenizer import doc_term_freqs
 
-MANIFEST_VERSION = 1
+MANIFEST_VERSION = 2  # v2: slim posting runs (int32 row offsets, no dls)
 
 #: identifier of the term→shard routing hash recorded in every index
 #: manifest; a searcher must recompute shard routing with the SAME hash
@@ -134,12 +134,27 @@ def _binary_from_offsets(values: np.ndarray, boundaries: np.ndarray) -> pa.Array
 
 
 def sha256_column(col: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Per-row sha256 hex of a string column (the input_hint invariant)."""
+    """Per-row sha256 hex of a string column (the input_hint invariant).
+
+    The per-row digest call is unavoidable in pure Python (Arrow has no
+    sha256 kernel), but the bytes are fed as zero-copy memoryview slices
+    of the Arrow data buffer — no to_pylist, no per-row str→bytes copy."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    arr = col.cast(pa.large_binary())
+    import numpy as _np
+
+    offs = _np.frombuffer(arr.buffers()[1], dtype=_np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    buf = arr.buffers()[2]
+    mv = memoryview(buf) if buf is not None else memoryview(b"")
+    nulls = arr.is_null().to_numpy(zero_copy_only=False) if arr.null_count else None
     out = [
-        hashlib.sha256(v.encode("utf-8")).hexdigest() if v is not None else None
-        for v in col.to_pylist()
+        None
+        if (nulls is not None and nulls[i])
+        else hashlib.sha256(mv[offs[i] : offs[i + 1]]).hexdigest()
+        for i in range(len(arr))
     ]
     return pa.array(out, type=pa.string())
 
@@ -163,15 +178,30 @@ def build_partition(
             saved = json.load(f)
         # lineage guard: a manifest from a DIFFERENT partition plan (other
         # input file / row groups — e.g. resume after target_partition_rows
-        # changed) must not be silently reused; docIDs would shift.
-        if saved.get("path") == spec.path and saved.get("row_groups") == list(spec.row_groups):
+        # changed) must not be silently reused; docIDs would shift.  A
+        # manifest from an older artifact-format version is rebuilt.
+        if (
+            saved.get("version") == MANIFEST_VERSION
+            and saved.get("path") == spec.path
+            and saved.get("row_groups") == list(spec.row_groups)
+        ):
             return saved
-        raise RuntimeError(
-            f"partition {spec.pid} manifest lineage mismatch: built from "
-            f"{saved.get('path')}#{saved.get('row_groups')}, plan wants "
-            f"{spec.path}#{list(spec.row_groups)} — the partition plan "
-            "changed; rebuild with resume=False"
-        )
+        if saved.get("version") != MANIFEST_VERSION:
+            for sub, ext in (
+                ("manifests", ".json"),
+                ("runs", ".parquet"),
+                ("docstore", ".parquet"),
+            ):
+                p = os.path.join(out_dir, sub, name + ext)
+                if os.path.exists(p):
+                    os.unlink(p)
+        else:
+            raise RuntimeError(
+                f"partition {spec.pid} manifest lineage mismatch: built from "
+                f"{saved.get('path')}#{saved.get('row_groups')}, plan wants "
+                f"{spec.path}#{list(spec.row_groups)} — the partition plan "
+                "changed; rebuild with resume=False"
+            )
 
     needed = list(
         dict.fromkeys([*cfg.id_cols, *cfg.keep_cols, cfg.content_col, *filter_cols])
@@ -227,12 +257,19 @@ def build_partition(
     # --- posting run: per-term docID-sorted arrays ---
     # tb pairs are sorted by (doc, term-code); resort by (term, doc).
     # np.unique on terms gives sorted term ids.
+    #
+    # SHUFFLE-SLIM layout (v2): postings ship as int32 ROW OFFSETS
+    # (docid − doc_base < 2^22) instead of absolute int64 docids, and
+    # doc lengths don't ship at all — the merge task reconstructs them
+    # from the docstore's doc_len column (≤ runs_per_bucket tiny column
+    # reads per group).  8 bytes/posting through the one all-to-all
+    # instead of 16 — the phase-2 exchange is plasma/network-bandwidth
+    # bound, so bytes are wall-clock.
     uterms, term_ids = np.unique(tb.terms, return_inverse=True)
     order = np.lexsort((tb.doc_idx, term_ids))
     s_tid = term_ids[order]
-    s_doc = doc_ids[tb.doc_idx[order]]
+    s_off = tb.doc_idx[order].astype(np.uint32)  # row offset within pid
     s_tf = tb.tfs[order].astype(np.int32)
-    s_dl = tb.doc_len[tb.doc_idx[order]].astype(np.int32)
     if len(s_tid):
         boundaries = np.concatenate(
             ([0], np.flatnonzero(np.diff(s_tid)) + 1, [len(s_tid)])
@@ -241,7 +278,11 @@ def build_partition(
         boundaries = np.zeros(1, dtype=np.int64)
     df_local = np.diff(boundaries)
     cf_local = np.add.reduceat(s_tf.astype(np.int64), boundaries[:-1]) if len(s_tid) else np.empty(0, dtype=np.int64)
-    min_docid = s_doc[boundaries[:-1]] if len(s_tid) else np.empty(0, dtype=np.int64)
+    min_docid = (
+        spec.doc_base + s_off[boundaries[:-1]].astype(np.int64)
+        if len(s_tid)
+        else np.empty(0, dtype=np.int64)
+    )
     run = pa.table(
         {
             "term": pa.array(uterms, type=pa.string()),
@@ -249,9 +290,8 @@ def build_partition(
             "min_docid": pa.array(min_docid),
             "df_local": pa.array(df_local.astype(np.int64)),
             "cf_local": pa.array(cf_local),
-            "docids_le": _binary_from_offsets(s_doc, boundaries),
+            "offs_le": _binary_from_offsets(s_off, boundaries),
             "tfs_le": _binary_from_offsets(s_tf, boundaries),
-            "dls_le": _binary_from_offsets(s_dl, boundaries),
         }
     )
     _atomic_write_table(run, os.path.join(out_dir, "runs", name + ".parquet"))
@@ -342,7 +382,9 @@ def _encode_many_pfor(docids, tfs, dls, term_offsets) -> dict:
     }
 
 
-def _merge_shard_bucket(group: pa.Table, codec: str = "varint") -> pa.Table:
+def _merge_shard_bucket(
+    group: pa.Table, codec: str = "varint", out_dir: str | None = None
+) -> pa.Table:
     """Phase-2 map_groups body: merge ONE (shard, bucket) group — i.e.
     every term's runs within that shard/bucket — fully vectorized.
 
@@ -352,7 +394,12 @@ def _merge_shard_bucket(group: pa.Table, codec: str = "varint") -> pa.Table:
     term's postings a contiguous docID-sorted segment of the flat arrays,
     which :func:`encode_postings_many` encodes in one pass — one Python
     call per (shard, bucket), NOT per term (the per-term map_groups
-    variant spent the whole phase in per-group overhead)."""
+    variant spent the whole phase in per-group overhead).
+
+    Postings arrive as int32 row offsets; absolute docids are
+    reconstructed from each row's pid, and doc lengths are gathered from
+    the docstore's doc_len columns (≤ runs_per_bucket small column reads
+    per group — the bucket's pids only)."""
     order = pc.sort_indices(
         group, sort_keys=[("term", "ascending"), ("min_docid", "ascending")]
     )
@@ -365,9 +412,23 @@ def _merge_shard_bucket(group: pa.Table, codec: str = "varint") -> pa.Table:
         first[1:] = neq.to_numpy(zero_copy_only=False)
     row_start = np.flatnonzero(first)
 
-    docids, counts = _flat_binary(g["docids_le"], np.int64)
+    offs32, counts = _flat_binary(g["offs_le"], np.uint32)
     tfs32, _ = _flat_binary(g["tfs_le"], np.int32)
-    dls32, _ = _flat_binary(g["dls_le"], np.int32)
+    row_pids = g["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    post_pid = np.repeat(row_pids, counts)
+    docids = (post_pid << DOC_SHIFT) + offs32.astype(np.int64)
+
+    # doc lengths for this bucket's pids, gathered from the docstore
+    dls32 = np.empty(len(docids), dtype=np.int32)
+    for p in np.unique(row_pids):
+        t = pq.read_table(
+            os.path.join(out_dir, "docstore", f"part-{int(p):05d}.parquet"),
+            columns=["doc_len"],
+        )
+        dl_arr = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.int32)
+        mask = post_pid == p
+        dls32[mask] = dl_arr[offs32[mask]]
+
     post_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
     term_offsets = np.concatenate((post_off[row_start], [post_off[-1]]))
 
@@ -528,7 +589,8 @@ def build_index(
     # per-term): each group merges+encodes all its terms vectorized.
     codec = cfg.codec
     segments = runs.groupby(["shard", "bucket"]).map_groups(
-        functools.partial(_merge_shard_bucket, codec=codec), batch_format="pyarrow"
+        functools.partial(_merge_shard_bucket, codec=codec, out_dir=out_dir),
+        batch_format="pyarrow",
     )
     segments.write_parquet(seg_dir, partition_cols=["shard"])
     _t2 = _time.perf_counter()
