@@ -382,6 +382,27 @@ def _encode_many_pfor(docids, tfs, dls, term_offsets) -> dict:
     }
 
 
+#: per-process doc_len cache for merge tasks (keyed on file mtime so a
+#: rebuild into the same out_dir can never serve stale lengths)
+_DOCLEN_CACHE: dict = {}
+
+
+def _doclen_for_pid(out_dir: str, pid: int) -> np.ndarray:
+    path = os.path.join(out_dir, "docstore", f"part-{pid:05d}.parquet")
+    key = (path, os.path.getmtime(path))
+    arr = _DOCLEN_CACHE.get(key)
+    if arr is None:
+        if len(_DOCLEN_CACHE) > 512:
+            _DOCLEN_CACHE.clear()
+        arr = (
+            pq.read_table(path, columns=["doc_len"])["doc_len"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int32)
+        )
+        _DOCLEN_CACHE[key] = arr
+    return arr
+
+
 def _merge_shard_bucket(
     group: pa.Table, codec: str = "varint", out_dir: str | None = None
 ) -> pa.Table:
@@ -419,13 +440,11 @@ def _merge_shard_bucket(
     docids = (post_pid << DOC_SHIFT) + offs32.astype(np.int64)
 
     # doc lengths for this bucket's pids, gathered from the docstore
+    # (via a per-worker-process cache: map_groups tasks reuse warm
+    # workers, and several groups of one bucket share the same pids)
     dls32 = np.empty(len(docids), dtype=np.int32)
     for p in np.unique(row_pids):
-        t = pq.read_table(
-            os.path.join(out_dir, "docstore", f"part-{int(p):05d}.parquet"),
-            columns=["doc_len"],
-        )
-        dl_arr = t["doc_len"].to_numpy(zero_copy_only=False).astype(np.int32)
+        dl_arr = _doclen_for_pid(out_dir, int(p))
         mask = post_pid == p
         dls32[mask] = dl_arr[offs32[mask]]
 

@@ -165,6 +165,66 @@ def q_min_max_probe(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# geo surface (Q5): lat/lon derived deterministically from event ids so
+# the same construction is expressible in the SQL oracle
+# ---------------------------------------------------------------------------
+
+_GEO_BOX = dict(top=30.0, left=-60.0, bottom=-10.0, right=40.0)
+_GEO_POINT = (12.3, 45.6)
+
+
+def _derive_latlon(b: pa.Table) -> pa.Table:
+    uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lat = (uid % 1800) / 10.0 - 90.0
+    lon = (eid % 3600) / 10.0 - 180.0
+    return pa.table(
+        {"event_id": b["event_id"], "lat": pa.array(lat), "lon": pa.array(lon)}
+    )
+
+
+_GEO_LATLON_SQL = (
+    "(user_id % 1800) / 10.0 - 90.0", "(event_id % 3600) / 10.0 - 180.0"
+)
+
+
+def q_geo_box_count(sf_dir: str):
+    """Q5 geo bounding box as a plain range predicate over float lat/lon
+    columns (reference geoBoundingBox, utils.ts:102-107)."""
+    from elasticsearch_assets_ray.sources.geo import geo_box_filter
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id"]).map_batches(
+        _derive_latlon, batch_format="pyarrow"
+    )
+    filt = geo_box_filter("lat", "lon", **_GEO_BOX)
+    n = ds.map_batches(lambda t: t.filter(filt), batch_format="pyarrow").count()
+    return pa.table({"cnt": pa.array([n], pa.int64())})
+
+
+def q_geo_distance_topk(sf_dir: str):
+    """Q5 ``_geo_distance`` ascending sort (reference geoSearch/
+    geoDistance sort, utils.ts:167-250) as streaming top-k."""
+    from elasticsearch_assets_ray.sources.geo import geo_distance_topk
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id"]).map_batches(
+        _derive_latlon, batch_format="pyarrow"
+    )
+    t = geo_distance_topk(
+        ds, "lat", "lon", point=_GEO_POINT, k=10, id_col="event_id"
+    )
+    d = t["distance_km"].to_numpy(zero_copy_only=False)
+    eid = t["event_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, np.round(d, 6)))
+    return pa.table(
+        {
+            "event_id": pa.array(eid[order]),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "dist_r": pa.array(np.round(d[order], 3)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # bulk action semantics (K3/K4)
 # ---------------------------------------------------------------------------
 
@@ -884,6 +944,24 @@ ORACLES: dict[str, str] = {
         "  SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS newbal "
         "  FROM orders GROUP BY o_custkey) u ON u.o_custkey = c.c_custkey"
     ),
+    "geo_box_count": (
+        "WITH g AS (SELECT event_id, "
+        f"{_GEO_LATLON_SQL[0]} AS lat, {_GEO_LATLON_SQL[1]} AS lon FROM events) "
+        f"SELECT count(*) AS cnt FROM g WHERE lat >= {_GEO_BOX['bottom']} "
+        f"AND lat <= {_GEO_BOX['top']} AND lon >= {_GEO_BOX['left']} "
+        f"AND lon <= {_GEO_BOX['right']}"
+    ),
+    "geo_distance_topk": (
+        "WITH g AS (SELECT event_id, "
+        f"{_GEO_LATLON_SQL[0]} AS lat, {_GEO_LATLON_SQL[1]} AS lon FROM events), "
+        "d AS (SELECT event_id, 2 * 6371.0088 * asin(sqrt("
+        f"pow(sin(radians({_GEO_POINT[0]} - lat) / 2), 2) + "
+        f"cos(radians(lat)) * cos(radians({_GEO_POINT[0]})) * "
+        f"pow(sin(radians({_GEO_POINT[1]} - lon) / 2), 2))) AS km FROM g) "
+        "SELECT event_id, row_number() OVER "
+        "(ORDER BY round(km, 6), event_id) AS rank, round(km, 3) AS dist_r "
+        "FROM d QUALIFY rank <= 10"
+    ),
     "key_charclass_scan": (
         "SELECT doc_id, source, lang FROM documents "
         "WHERE regexp_matches(source, '^src[0-3]')"
@@ -1044,6 +1122,8 @@ QUERIES = {
     "bulk_update_script": q_bulk_update_script,
     "bulk_upsert": q_bulk_upsert,
     "key_charclass_scan": q_key_charclass_scan,
+    "geo_box_count": q_geo_box_count,
+    "geo_distance_topk": q_geo_distance_topk,
     "tpch_q1": q_tpch_q1,
     "revenue_by_segment": q_revenue_by_segment,
     "top_orders": q_top_orders,

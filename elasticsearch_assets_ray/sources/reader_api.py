@@ -59,11 +59,17 @@ class ReaderAPI:
         key_col: str | None = None,
         index_dir: str | None = None,
         id_col: str = "doc_id",
+        max_result_window: int | None = None,
     ):
         self.table_path = table_path
         self.date_col = date_col
         self.key_col = key_col
         self.id_col = id_col
+        # F4 result-window guard (reference ElasticsearchReaderAPI.ts:
+        # 287-295: slice size must not exceed index.max_result_window).
+        # None (default) = unbounded — exact partition reads have no
+        # window; set it to mirror ES-compatible deployments.
+        self.max_result_window = max_result_window
         self._ds = pads.dataset(table_path)
         self._searcher = None
         if index_dir:
@@ -133,6 +139,15 @@ class ReaderAPI:
     ):
         """Execute a slice.  response_type ∈ {data_entities, data_frame,
         raw} (reference FetchResponseType, interfaces.ts:319-323)."""
+        if (
+            self.max_result_window is not None
+            and s.limit is not None
+            and s.limit > self.max_result_window
+        ):
+            raise ValueError(
+                f"your size of {s.limit} is larger than the result window "
+                f"of {self.max_result_window} (reference F4 guard)"
+            )
         t = self._fetch_table(s, columns=columns)
         self.records_fetched += t.num_rows
         if response_type == "data_frame":
