@@ -191,8 +191,11 @@ class Searcher:
         )
         counts = np.array([self._pid_n_docs(int(p)) for p in pids], dtype=np.int64)
         base = np.concatenate(([0], np.cumsum(counts)))
-        self._bucket_state[bucket] = (pids, base)
-        return pids, base
+        # contiguous pid range → rank lookup is pure arithmetic, no
+        # searchsorted (the common steady-state layout)
+        contig = bool(pids.size) and bool(np.all(np.diff(pids) == 1))
+        self._bucket_state[bucket] = (pids, base, contig)
+        return self._bucket_state[bucket]
 
     # ---------- segment lookup ----------
     def _load_shard(self, shard: int) -> tuple[pa.Table, dict[str, np.ndarray]]:
@@ -286,20 +289,47 @@ class Searcher:
         Lucene parity note: the candidate set and the adjacency filter
         match Lucene's phrase semantics; scoring differs (Lucene scores
         phrase frequency, we score the member terms' BM25)."""
-        from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
-
         content_col = self.manifest.get("content_col")
         if not self.manifest.get("store_content", False) or not content_col:
             raise RuntimeError(
                 "phrase queries need the docstore content "
                 "(build the index with store_content=True)"
             )
+        if k is not None and self.prune:
+            # iterative deepening: block-max-pruned top-k' with k' = 4k,
+            # verify; only re-score exhaustively when adjacency filtering
+            # ate past the pruned horizon.  Phrase words are MUST terms,
+            # so the candidate stream is already the conjunction.
+            kp = max(64, 4 * k)
+            while True:
+                ids, scores = self._score(q, k=kp)
+                ids, scores = bm25.sort_topk(ids, scores, kp)
+                exhausted = ids.size < kp  # fewer matches than the horizon
+                out = self._verify_phrases(q, ids, scores, k, content_col)
+                if len(out[0]) >= k or exhausted:
+                    return out
+                kp *= 4
         ids, scores = self._score(q, k=None)
         ids, scores = bm25.sort_topk(ids, scores, ids.size)
+        return self._verify_phrases(
+            q, ids, scores, ids.size if k is None else k, content_col
+        )
+
+    def _verify_phrases(
+        self,
+        q: ParsedQuery,
+        ids: np.ndarray,
+        scores: np.ndarray,
+        want: int,
+        content_col: str,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Adjacency-verify ``ids`` (already score-ordered) in chunks
+        until ``want`` survivors."""
+        from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
         out_i: list[int] = []
         out_s: list[float] = []
-        want = ids.size if k is None else k
-        chunk = max(64, 4 * want) if k is not None else ids.size
+        chunk = max(64, min(4 * want, 4096))
         pos = 0
         while pos < ids.size and len(out_i) < want:
             cids = ids[pos : pos + chunk]
@@ -610,7 +640,7 @@ class Searcher:
         O(corpus)."""
         if not items:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        pids, base = self._bucket_rank_state(bucket)
+        pids, base, contig = self._bucket_rank_state(bucket)
         total = int(base[-1])
         n_postings = sum(h[0].size for _, h in items)
         shift = self._doc_shift
@@ -634,9 +664,12 @@ class Searcher:
 
         scores = np.zeros(total, dtype=np.float64)
         hit = np.zeros(total, dtype=bool)
+        pid0 = int(pids[0])
         for t, h in items:
             d, w = wsat_of(t, h)
-            p_idx = np.searchsorted(pids, d >> shift)
+            p_idx = (
+                (d >> shift) - pid0 if contig else np.searchsorted(pids, d >> shift)
+            )
             idx = base[p_idx] + (d - (pids[p_idx] << shift))
             scores[idx] += w
             hit[idx] = True
