@@ -479,6 +479,38 @@ def _merge_shard_bucket(
     )
 
 
+def run_phase2(out_dir: str, cfg: IndexConfig) -> None:
+    """The ONE shuffle: runs → groupby(shard, bucket) → merged, encoded
+    segment rows partitioned by shard.  Reusable over any runs/docstore
+    directory pair with disjoint pid ranges (full builds AND delta
+    compaction)."""
+    import functools
+
+    seg_dir = os.path.join(out_dir, "segments")
+    if os.path.exists(seg_dir):
+        import shutil
+
+        shutil.rmtree(seg_dir)  # phase 2 is cheap relative to phase 1; redo whole
+    runs = ray.data.read_parquet(os.path.join(out_dir, "runs"))
+    rpb = cfg.runs_per_bucket
+    num_shards = cfg.num_shards
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "bucket", pc.divide(t["pid"], pa.scalar(rpb, pa.int64()))
+        )
+        return t.append_column("shard", pa.array(term_shard(t["term"], num_shards)))
+
+    runs = runs.map_batches(add_keys, batch_format="pyarrow")
+    # ONE shuffle, |groups| = num_shards × n_buckets (bounded, never
+    # per-term): each group merges+encodes all its terms vectorized.
+    segments = runs.groupby(["shard", "bucket"]).map_groups(
+        functools.partial(_merge_shard_bucket, codec=cfg.codec, out_dir=out_dir),
+        batch_format="pyarrow",
+    )
+    segments.write_parquet(seg_dir, partition_cols=["shard"])
+
+
 def build_index(
     paths: str | list[str],
     out_dir: str,
@@ -588,30 +620,7 @@ def build_index(
     _t1 = _time.perf_counter()
 
     # ---- phase 2: the term shuffle ----
-    seg_dir = os.path.join(out_dir, "segments")
-    if os.path.exists(seg_dir):
-        import shutil
-
-        shutil.rmtree(seg_dir)  # phase 2 is cheap relative to phase 1; redo whole
-    runs = ray.data.read_parquet(os.path.join(out_dir, "runs"))
-    rpb = cfg.runs_per_bucket
-    num_shards = cfg.num_shards
-
-    def add_keys(t: pa.Table) -> pa.Table:
-        t = t.append_column(
-            "bucket", pc.divide(t["pid"], pa.scalar(rpb, pa.int64()))
-        )
-        return t.append_column("shard", pa.array(term_shard(t["term"], num_shards)))
-
-    runs = runs.map_batches(add_keys, batch_format="pyarrow")
-    # ONE shuffle, |groups| = num_shards × n_buckets (bounded, never
-    # per-term): each group merges+encodes all its terms vectorized.
-    codec = cfg.codec
-    segments = runs.groupby(["shard", "bucket"]).map_groups(
-        functools.partial(_merge_shard_bucket, codec=codec, out_dir=out_dir),
-        batch_format="pyarrow",
-    )
-    segments.write_parquet(seg_dir, partition_cols=["shard"])
+    run_phase2(out_dir, cfg)
     _t2 = _time.perf_counter()
 
     global_manifest = {

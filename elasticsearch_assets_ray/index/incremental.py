@@ -111,6 +111,10 @@ class IncrementalIndex:
         for t in self.state["ticks"]:
             if t["tick_id"] == tick_id and t.get("complete"):
                 return t
+        if tick_id in self.state.get("compacted_ticks", []):
+            # window already absorbed into a compacted index (replay)
+            return {"tick_id": tick_id, "complete": True, "compacted": True,
+                    "n_docs": 0}
         out_dir = os.path.join(self.root, "deltas", tick_id)
         pid_base = _align_up(self.state["next_pid"], self.cfg.runs_per_bucket)
         filt = (pc.field(date_col) >= lo) & (pc.field(date_col) < hi)
@@ -142,6 +146,84 @@ class IncrementalIndex:
     def searcher(self, prune: bool = True) -> "MultiSearcher":
         dirs = [t["dir"] for t in self.state["ticks"] if t.get("complete")]
         return MultiSearcher(dirs, prune=prune)
+
+    def compact(self) -> dict:
+        """Merge every completed delta into ONE index (the force-merge
+        analog): docstore/run part files are HARDLINKED into a fresh dir
+        (pid spaces are disjoint, so this is a pure union — no data is
+        rewritten), then phase 2 re-runs once over the union, producing
+        a single segments tree with globally merged postings.  Query
+        results are identical to the MultiSearcher over the deltas (same
+        N, avgdl, per-term df — the stats are sums either way).  The
+        replaced ticks' ids are remembered so replayed windows stay
+        idempotent."""
+        import glob
+        import shutil
+
+        from elasticsearch_assets_ray.index.build import (
+            TERM_HASH_ID,
+            run_phase2,
+        )
+        from elasticsearch_assets_ray.sources.partition import DOC_SHIFT
+
+        ticks = [t for t in self.state["ticks"] if t.get("complete")]
+        if not ticks:
+            raise ValueError("nothing to compact")
+        gen = int(self.state.get("compact_gen", 0))
+        out = os.path.join(self.root, f"compacted-{gen:03d}")
+        shutil.rmtree(out, ignore_errors=True)
+        for sub in ("docstore", "runs"):
+            os.makedirs(os.path.join(out, sub))
+        n_docs = total_tokens = n_parts = n_raw = 0
+        child_manifest = None
+        for t in ticks:
+            with open(os.path.join(t["dir"], "manifest.json")) as fh:
+                m = json.load(fh)
+            child_manifest = child_manifest or m
+            n_docs += m["n_docs"]
+            total_tokens += m["total_tokens"]
+            n_parts += m["n_partitions"]
+            n_raw += m.get("n_raw_rows", 0)
+            for sub in ("docstore", "runs"):
+                for f in glob.glob(os.path.join(t["dir"], sub, "part-*.parquet")):
+                    os.link(f, os.path.join(out, sub, os.path.basename(f)))
+        run_phase2(out, self.cfg)
+        manifest = {
+            "version": m["version"],
+            "complete": True,
+            "compacted_from": [t["tick_id"] for t in ticks],
+            "n_partitions": n_parts,
+            "n_docs": n_docs,
+            "n_raw_rows": n_raw,
+            "total_tokens": total_tokens,
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+            "doc_shift": child_manifest.get("doc_shift", DOC_SHIFT),
+            "term_hash": TERM_HASH_ID,
+            "codec": self.cfg.codec,
+            "num_shards": self.cfg.num_shards,
+            "runs_per_bucket": self.cfg.runs_per_bucket,
+            "content_col": self.cfg.content_col,
+            "id_cols": list(self.cfg.id_cols),
+            "store_content": self.cfg.store_content,
+        }
+        with open(os.path.join(out, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh)
+        done_ids = set(self.state.get("compacted_ticks", []))
+        done_ids.update(t["tick_id"] for t in ticks)
+        entry = {
+            "tick_id": f"compacted-{gen:03d}",
+            "dir": out,
+            "n_partitions": n_parts,
+            "n_docs": n_docs,
+            "complete": True,
+        }
+        self.state["ticks"] = [
+            t for t in self.state["ticks"] if not t.get("complete")
+        ] + [entry]
+        self.state["compacted_ticks"] = sorted(done_ids)
+        self.state["compact_gen"] = gen + 1
+        self._save()
+        return entry
 
 
 def _ts(x) -> str:

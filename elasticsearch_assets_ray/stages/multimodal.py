@@ -116,6 +116,47 @@ class MediaDecodeStage:
         return pa.table(cols)
 
 
+class MediaResizeStage:
+    """Image resize plumbing: decode (stub codec) → nearest-neighbour
+    resample of the w×h byte grid to ``(out_w, out_h)`` (a REAL
+    vectorized kernel — only the codec is fake) → re-encode.  Output rows
+    keep the media schema so resize stages compose with decode/sample."""
+
+    suggested_batch_size = 32
+
+    def __init__(self, out_w: int = 16, out_h: int = 16, codec: str = "fake"):
+        if codec == "real":
+            raise NotImplementedError(
+                "real image resize needs PIL, not present in this "
+                "environment — use codec='fake'"
+            )
+        self.out_w = out_w
+        self.out_h = out_h
+        self._dec = MediaDecodeStage(codec=codec, drop_payload=False)
+
+    def _resize_one(self, payload: bytes) -> bytes:
+        w, h, body = self._dec._decode_one(payload)
+        grid = body[: w * h].reshape(h, w)
+        yi = (np.arange(self.out_h) * h // self.out_h).astype(np.int64)
+        xi = (np.arange(self.out_w) * w // self.out_w).astype(np.int64)
+        out = grid[yi][:, xi]
+        return (
+            _MAGIC
+            + np.uint16(self.out_w).tobytes()
+            + np.uint16(self.out_h).tobytes()
+            + out.tobytes()
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [self._resize_one(p.as_py()) for p in batch["payload"]]
+        cols = {n: batch[n] for n in batch.column_names}
+        cols["payload"] = pa.array(payloads, type=pa.large_binary())
+        cols["meta_bytes"] = pa.array(
+            [len(p) for p in payloads], type=pa.int64()
+        )
+        return pa.table(cols)
+
+
 class FrameSampleStage:
     """Video analog: split a payload into ``n_frames`` even chunks and
     emit one row per sampled frame (every ``stride``-th) — the flat_map

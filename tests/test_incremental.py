@@ -81,3 +81,60 @@ def test_delta_ticks_equal_monolith(dated_corpus, tmp_path, ray_session):
         kb = mono.hydrate(b["doc_id"].to_numpy(zero_copy_only=False), ["doc_id", "repo", "path"])
         assert ka["path"].to_pylist() == kb["path"].to_pylist()
         assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy(), rtol=0, atol=1e-12)
+
+
+def test_compaction_rank_identical(ray_session, tmp_path):
+    """compact() merges all deltas into one index; queries over the
+    compacted index are bit-identical to the MultiSearcher over the
+    deltas (same N, avgdl, per-term df), and replayed windows stay
+    idempotent afterwards."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_assets_ray.index.build import IndexConfig
+    from elasticsearch_assets_ray.index.incremental import IncrementalIndex
+    from elasticsearch_assets_ray.query.engine import Searcher
+
+    from datetime import datetime
+
+    rng = np.random.default_rng(9)
+    vocab = "alpha beta gamma delta index merge scan".split()
+    n = 400
+    src = str(tmp_path / "ev.parquet")
+    ts = [datetime(2024, 1, 1 + int(d)) for d in rng.integers(0, 20, n)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts),
+                "txt": pa.array([" ".join(rng.choice(vocab, 10)) for _ in range(n)]),
+            }
+        ),
+        src,
+    )
+    cfg = IndexConfig(
+        content_col="txt", id_cols=("event_id",), keep_cols=(),
+        store_content=False, target_partition_rows=128, runs_per_bucket=4,
+        num_shards=4,
+    )
+    inc = IncrementalIndex(str(tmp_path / "inc"), config=cfg)
+    w1 = (datetime(2024, 1, 1), datetime(2024, 1, 11))
+    w2 = (datetime(2024, 1, 11), datetime(2024, 1, 21))
+    inc.tick(src, w1, "ts")
+    inc.tick(src, w2, "ts")
+    multi = inc.searcher(prune=False)
+    before = multi.search("alpha merge scan", k=20)
+
+    entry = inc.compact()
+    s = Searcher(entry["dir"], prune=True)
+    after = s.search("alpha merge scan", k=20)
+    assert before["doc_id"].to_pylist() == after["doc_id"].to_pylist()
+    assert before["score"].to_pylist() == after["score"].to_pylist()
+    assert s.n_docs == n
+
+    # replayed (absorbed) window is a no-op; a NEW window still builds
+    replay = inc.tick(src, w1, "ts")
+    assert replay.get("compacted") and replay["complete"]
+    # searcher over post-compaction state still answers
+    assert inc.searcher(prune=False).search("alpha", k=5).num_rows == 5

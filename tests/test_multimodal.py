@@ -61,3 +61,35 @@ def test_frame_sampling_flatmap_shape():
     got = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
     assert got.num_rows == 6 * 4  # frames 0,2,4,6 per media
     assert set(got["frame"].to_pylist()) == {0, 2, 4, 6}
+
+
+def test_resize_stage_composes(ray_session):
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.multimodal import (
+        MediaDecodeStage,
+        MediaResizeStage,
+        synth_media_table,
+    )
+
+    t = synth_media_table(40)
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(
+        MediaResizeStage,
+        fn_constructor_kwargs=dict(out_w=12, out_h=10),
+        batch_size=MediaResizeStage.suggested_batch_size,
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).map_batches(
+        MediaDecodeStage,
+        batch_size=MediaDecodeStage.suggested_batch_size,
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    import pyarrow as pa
+
+    res = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    assert res.num_rows == 40
+    assert set(res["width"].to_pylist()) == {12}
+    assert set(res["height"].to_pylist()) == {10}
+    assert set(res["n_pixels"].to_pylist()) == {120}
