@@ -76,6 +76,10 @@ class IndexConfig:
     id_cols: tuple[str, ...] = ("repo", "path", "commit")
     keep_cols: tuple[str, ...] = ("lang",)  # extra docstore columns
     store_content: bool = True
+    # store per-posting token positions (int32) — enables index-native
+    # phrase verification without reading document content, at the cost
+    # of ~4 bytes per TOKEN of index size.  Off by default.
+    index_positions: bool = False
     target_partition_rows: int = 256 * 1024
     runs_per_bucket: int = 32  # bounds merge-group size (skew cap)
     num_shards: int = 32  # segment hash shards (also phase-2 parallelism)
@@ -238,7 +242,7 @@ def build_partition(
     doc_ids = spec.doc_base + np.arange(n_docs, dtype=np.int64)
 
     content = table[cfg.content_col]
-    tb = doc_term_freqs(content)
+    tb = doc_term_freqs(content, with_positions=cfg.index_positions)
     total_tokens = int(tb.doc_len.sum())
 
     # --- docstore shard ---
@@ -283,17 +287,33 @@ def build_partition(
         if len(s_tid)
         else np.empty(0, dtype=np.int64)
     )
-    run = pa.table(
-        {
-            "term": pa.array(uterms, type=pa.string()),
-            "pid": pa.array(np.full(len(uterms), spec.pid, dtype=np.int64)),
-            "min_docid": pa.array(min_docid),
-            "df_local": pa.array(df_local.astype(np.int64)),
-            "cf_local": pa.array(cf_local),
-            "offs_le": _binary_from_offsets(s_off, boundaries),
-            "tfs_le": _binary_from_offsets(s_tf, boundaries),
-        }
-    )
+    run_cols = {
+        "term": pa.array(uterms, type=pa.string()),
+        "pid": pa.array(np.full(len(uterms), spec.pid, dtype=np.int64)),
+        "min_docid": pa.array(min_docid),
+        "df_local": pa.array(df_local.astype(np.int64)),
+        "cf_local": pa.array(cf_local),
+        "offs_le": _binary_from_offsets(s_off, boundaries),
+        "tfs_le": _binary_from_offsets(s_tf, boundaries),
+    }
+    if cfg.index_positions:
+        # reorder each pair's position slice from (doc, term) to
+        # (term, doc) pair order: variable-length gather built from the
+        # pair permutation — no Python loop
+        src_start = tb.pos_off[:-1][order]
+        lens64 = tb.tfs[order]
+        total = int(lens64.sum())
+        dst_start = np.concatenate(([0], np.cumsum(lens64[:-1]))).astype(np.int64)
+        take = (
+            np.repeat(src_start, lens64)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(dst_start, lens64)
+        )
+        pos_sorted = tb.pos_flat[take]
+        # per-term position counts = Σ tf over the term's pairs = cf
+        pos_bounds = np.concatenate(([0], np.cumsum(cf_local))).astype(np.int64)
+        run_cols["pos_le"] = _binary_from_offsets(pos_sorted, pos_bounds)
+    run = pa.table(run_cols)
     _atomic_write_table(run, os.path.join(out_dir, "runs", name + ".parquet"))
 
     manifest = {
@@ -460,23 +480,28 @@ def _merge_shard_bucket(
     n_terms = len(row_start)
     shard = g["shard"][0].as_py()
     bucket = g["bucket"][0].as_py()
-    return pa.table(
-        {
-            "term": uterms,
-            "bucket": pa.array(np.full(n_terms, bucket, dtype=np.int64)),
-            "shard": pa.array(np.full(n_terms, shard, dtype=np.int64)),
-            "df": pa.array(enc["df"]),
-            "cf": pa.array(enc["cf"]),
-            "min_docid": pa.array(enc["min_docid"]),
-            "max_docid": pa.array(enc["max_docid"]),
-            "n_blocks": pa.array(enc["n_blocks"], type=pa.int32()),
-            "blob": _binary_from_offsets(enc["blob_buf"], enc["blob_offsets"]),
-            "block_last": _binary_from_offsets(enc["block_last"], enc["block_offsets"]),
-            "block_off": _binary_from_offsets(enc["block_off"], enc["block_offsets"]),
-            "block_maxtf": _binary_from_offsets(enc["block_maxtf"], enc["block_offsets"]),
-            "block_mindl": _binary_from_offsets(enc["block_mindl"], enc["block_offsets"]),
-        }
-    )
+    out = {
+        "term": uterms,
+        "bucket": pa.array(np.full(n_terms, bucket, dtype=np.int64)),
+        "shard": pa.array(np.full(n_terms, shard, dtype=np.int64)),
+        "df": pa.array(enc["df"]),
+        "cf": pa.array(enc["cf"]),
+        "min_docid": pa.array(enc["min_docid"]),
+        "max_docid": pa.array(enc["max_docid"]),
+        "n_blocks": pa.array(enc["n_blocks"], type=pa.int32()),
+        "blob": _binary_from_offsets(enc["blob_buf"], enc["blob_offsets"]),
+        "block_last": _binary_from_offsets(enc["block_last"], enc["block_offsets"]),
+        "block_off": _binary_from_offsets(enc["block_off"], enc["block_offsets"]),
+        "block_maxtf": _binary_from_offsets(enc["block_maxtf"], enc["block_offsets"]),
+        "block_mindl": _binary_from_offsets(enc["block_mindl"], enc["block_offsets"]),
+    }
+    if "pos_le" in g.column_names:
+        # flat positions follow the same (term, min_docid) row concat
+        # order as the postings; per-term slice length = cf (Σ tf)
+        pos_flat, _pc = _flat_binary(g["pos_le"], np.int32)
+        pos_bounds = np.concatenate(([0], np.cumsum(enc["cf"]))).astype(np.int64)
+        out["pos"] = _binary_from_offsets(pos_flat, pos_bounds)
+    return pa.table(out)
 
 
 def run_phase2(out_dir: str, cfg: IndexConfig) -> None:
@@ -644,6 +669,7 @@ def build_index(
         "content_col": cfg.content_col,
         "id_cols": list(cfg.id_cols),
         "store_content": cfg.store_content,
+        "index_positions": cfg.index_positions,
     }
     _atomic_write_json(global_manifest, gm_path)
     return global_manifest

@@ -68,8 +68,9 @@ def documents_index(sf_dir: str) -> str:
     if sf_dir in _INDEX_CACHE:
         return _INDEX_CACHE[sf_dir]
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    # v2: content stored for phrase-adjacency verification
-    out = os.path.join("/tmp", "esr_index_cache", f"{tag}-documents-v2")
+    # v3: positional postings — phrase queries verify via the index, the
+    # docstore content stays available for hydration
+    out = os.path.join("/tmp", "esr_index_cache", f"{tag}-documents-v3")
     build_index(
         _p(sf_dir, "documents"),
         out,
@@ -78,6 +79,7 @@ def documents_index(sf_dir: str) -> str:
             id_cols=("doc_id",),
             keep_cols=("lang", "source"),
             store_content=True,
+            index_positions=True,
         ),
     )
     _INDEX_CACHE[sf_dir] = out

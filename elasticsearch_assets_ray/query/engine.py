@@ -56,6 +56,7 @@ _SEG_COLS = [
     "block_maxtf",
     "block_mindl",
 ]
+_SEG_COLS_POS = _SEG_COLS + ["pos"]
 
 
 class Searcher:
@@ -206,8 +207,9 @@ class Searcher:
         hit = self._shard_cache.get(shard)
         if hit is not None:
             return hit
+        cols = _SEG_COLS_POS if self.manifest.get("index_positions") else _SEG_COLS
         tbl = self._seg.to_table(
-            columns=_SEG_COLS, filter=pc.field("shard") == shard
+            columns=cols, filter=pc.field("shard") == shard
         )
         terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
         order = np.argsort(terms, kind="stable")
@@ -290,10 +292,14 @@ class Searcher:
         match Lucene's phrase semantics; scoring differs (Lucene scores
         phrase frequency, we score the member terms' BM25)."""
         content_col = self.manifest.get("content_col")
-        if not self.manifest.get("store_content", False) or not content_col:
+        use_positions = bool(self.manifest.get("index_positions"))
+        if not use_positions and (
+            not self.manifest.get("store_content", False) or not content_col
+        ):
             raise RuntimeError(
-                "phrase queries need the docstore content "
-                "(build the index with store_content=True)"
+                "phrase queries need positional postings "
+                "(index_positions=True) or the docstore content "
+                "(store_content=True)"
             )
         if k is not None and self.prune:
             # iterative deepening: block-max-pruned top-k' with k' = 4k,
@@ -316,6 +322,83 @@ class Searcher:
         )
 
     def _verify_phrases(
+        self,
+        q: ParsedQuery,
+        ids: np.ndarray,
+        scores: np.ndarray,
+        want: int,
+        content_col: str,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Adjacency-verify ``ids`` (already score-ordered) until ``want``
+        survivors — via positional postings when the index carries them
+        (no content read at all), else via docstore content re-analysis."""
+        if self.manifest.get("index_positions"):
+            return self._verify_phrases_pos(q, ids, scores, want)
+        return self._verify_phrases_content(q, ids, scores, want, content_col)
+
+    def _verify_phrases_pos(
+        self, q: ParsedQuery, ids: np.ndarray, scores: np.ndarray, want: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Index-native phrase verification: each phrase term's postings
+        row carries per-posting position lists; a phrase matches doc d
+        iff ∃ p ∈ P(t₁, d) with p+i ∈ P(tᵢ₊₁, d) ∀i (vectorized isin
+        chain).  Decodes only the phrase terms' rows, once."""
+        terms = sorted(
+            {t for p in q.phrases for t in p} | {t for p in q.not_phrases for t in p}
+        )
+        seg = self._segment_rows(terms)
+        rows_by_term: dict[str, list[int]] = {t: [] for t in terms}
+        if seg is not None:
+            seg_term = seg["term"].to_pylist()
+            for i, t in enumerate(seg_term):
+                rows_by_term[t].append(i)
+        decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+        def row_data(i: int):
+            hit = decoded.get(i)
+            if hit is None:
+                d, tf = self._decode_postings(
+                    seg["blob"][i].as_py(), int(seg["df"][i].as_py())
+                )
+                pos = np.frombuffer(seg["pos"][i].as_py(), dtype=np.int32)
+                off = np.concatenate(([0], np.cumsum(tf))).astype(np.int64)
+                hit = (d, off, pos)
+                decoded[i] = hit
+            return hit
+
+        def positions(t: str, doc: int) -> np.ndarray:
+            for i in rows_by_term.get(t, ()):
+                if int(seg["min_docid"][i].as_py()) <= doc <= int(
+                    seg["max_docid"][i].as_py()
+                ):
+                    d, off, pos = row_data(i)
+                    j = int(np.searchsorted(d, doc))
+                    if j < d.size and d[j] == doc:
+                        return pos[off[j] : off[j + 1]]
+            return np.empty(0, dtype=np.int32)
+
+        def phrase_in(doc: int, phrase: tuple[str, ...]) -> bool:
+            cand = positions(phrase[0], doc)
+            for i, t in enumerate(phrase[1:], start=1):
+                if cand.size == 0:
+                    return False
+                cand = cand[np.isin(cand + i, positions(t, doc))]
+            return cand.size > 0
+
+        out_i: list[int] = []
+        out_s: list[float] = []
+        for j, d in enumerate(ids):
+            doc = int(d)
+            if all(phrase_in(doc, p) for p in q.phrases) and not any(
+                phrase_in(doc, p) for p in q.not_phrases
+            ):
+                out_i.append(doc)
+                out_s.append(float(scores[j]))
+                if len(out_i) >= want:
+                    break
+        return np.array(out_i, dtype=np.int64), np.array(out_s, dtype=np.float64)
+
+    def _verify_phrases_content(
         self,
         q: ParsedQuery,
         ids: np.ndarray,

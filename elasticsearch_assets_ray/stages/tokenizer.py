@@ -53,12 +53,20 @@ def tokenize_text(text: str) -> list[str]:
 @dataclass
 class TokenizedBatch:
     """Per-batch tokenization result (all arrays aligned to unique
-    (doc, term) pairs except ``doc_len`` which is per input row)."""
+    (doc, term) pairs except ``doc_len`` which is per input row).
+
+    With positions requested, ``pos_flat``/``pos_off`` hold each pair's
+    ascending token positions (index within the doc's KEPT tokens — the
+    same sequence :func:`tokenize_text` yields, so position adjacency ≡
+    token-list adjacency): pair i's positions are
+    ``pos_flat[pos_off[i]:pos_off[i+1]]`` (length = tfs[i])."""
 
     doc_idx: np.ndarray  # int64, index into the input batch rows
     terms: np.ndarray  # object/str array of terms
     tfs: np.ndarray  # int64 term frequency per (doc, term)
     doc_len: np.ndarray  # int64 kept-token count per input row
+    pos_flat: np.ndarray | None = None  # int32 positions (when requested)
+    pos_off: np.ndarray | None = None  # int64 offsets per pair
 
 
 def tokenize_column(col: pa.Array | pa.ChunkedArray) -> pa.Array:
@@ -70,12 +78,16 @@ def tokenize_column(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.split_pattern_regex(s, _SPLIT_RE_STR)
 
 
-def doc_term_freqs(col: pa.Array | pa.ChunkedArray) -> TokenizedBatch:
+def doc_term_freqs(
+    col: pa.Array | pa.ChunkedArray, with_positions: bool = False
+) -> TokenizedBatch:
     """Vectorized (doc, term, tf) + doc lengths for a batch of texts.
 
     Hot path of the index build: Arrow kernels for the string work, then
     dictionary-encode + np.unique for the tf counting — no Python loop
-    over rows or tokens.
+    over rows or tokens.  ``with_positions`` additionally emits each
+    pair's token positions (one stable argsort over the composite key —
+    within a pair, original token order = ascending position).
     """
     toks = tokenize_column(col)
     n_docs = len(toks)
@@ -114,4 +126,12 @@ def doc_term_freqs(col: pa.Array | pa.ChunkedArray) -> TokenizedBatch:
     u_doc = uniq // vocab_size
     u_code = uniq % vocab_size
     u_terms = np.asarray(vocab.take(pa.array(u_code)))
-    return TokenizedBatch(u_doc, u_terms, tfs.astype(np.int64), doc_len)
+    tb = TokenizedBatch(u_doc, u_terms, tfs.astype(np.int64), doc_len)
+    if with_positions:
+        # token position within its doc (among KEPT tokens)
+        doc_start = np.concatenate(([0], np.cumsum(doc_len[:-1])))
+        pos_all = (np.arange(len(codes), dtype=np.int64) - doc_start[doc_idx_all]).astype(np.int32)
+        order = np.argsort(key, kind="stable")  # groups pairs; keeps position order
+        tb.pos_flat = pos_all[order]
+        tb.pos_off = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+    return tb

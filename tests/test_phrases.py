@@ -87,3 +87,85 @@ def test_phrase_needs_content(tmp_path, ray_session, corpus_dir):
     s = Searcher(out)
     with pytest.raises(RuntimeError, match="store_content"):
         s.search('"def main"', 5)
+
+
+# ---------------------------------------------------------------------------
+# positional postings (index-native phrase verification)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def positional_index(ray_session, corpus_dir, tmp_path_factory):
+    from elasticsearch_assets_ray.index.build import build_index
+
+    out = str(tmp_path_factory.mktemp("posidx"))
+    build_index(
+        corpus_dir,
+        out,
+        target_partition_rows=128,
+        runs_per_bucket=2,
+        num_shards=4,
+        index_positions=True,
+        store_content=False,  # positions ALONE must carry phrase queries
+    )
+    return out
+
+
+@pytest.mark.parametrize("query", PHRASE_QUERIES)
+def test_positional_phrase_rank_identity(query, oracle, positional_index):
+    """Phrase results from positional postings (no content in the
+    docstore at all) are bit-identical to the content-based oracle."""
+    s = Searcher(positional_index)
+    assert s.manifest["index_positions"]
+    oi, osc = oracle.topk(query, 10)
+    r = s.search(query, 10)
+    assert np.array_equal(r["doc_id"].to_numpy(), oi), query
+    assert np.array_equal(r["score"].to_numpy(), osc), query
+
+
+def test_positional_vs_content_paths_agree(built_index, positional_index):
+    s_content = Searcher(built_index[0])
+    s_pos = Searcher(positional_index)
+    for q in ['"def main"', 'return -"def main"', '+"import os" load']:
+        a = s_content.search(q, 10)
+        b = s_pos.search(q, 10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+
+def test_positions_roundtrip_small(ray_session, tmp_path):
+    """Positions stored per (term, doc) are exactly the token indices."""
+    import pyarrow.parquet as pq
+
+    from elasticsearch_assets_ray.index.build import IndexConfig, build_index
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    texts = ["a b a c b a", "c c b", "x y z x y"]
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa_table := __import__("pyarrow").table(
+            {
+                "repo": ["r"] * 3,
+                "path": ["p0", "p1", "p2"],
+                "commit": ["c"] * 3,
+                "lang": ["t"] * 3,
+                "content": texts,
+            }
+        ),
+        src,
+    )
+    out = str(tmp_path / "idx")
+    build_index(src, out, index_positions=True, num_shards=2, runs_per_bucket=2)
+    s = Searcher(out)
+    seg = s._segment_rows(["a", "b", "x"])
+    import numpy as np_
+
+    for i in range(seg.num_rows):
+        term = seg["term"][i].as_py()
+        d, tf = s._decode_postings(seg["blob"][i].as_py(), int(seg["df"][i].as_py()))
+        pos = np_.frombuffer(seg["pos"][i].as_py(), dtype=np_.int32)
+        off = np_.concatenate(([0], np_.cumsum(tf)))
+        for j, doc in enumerate(d):
+            toks = tokenize_text(texts[int(doc)])
+            expect = [k for k, t in enumerate(toks) if t == term]
+            assert pos[off[j] : off[j + 1]].tolist() == expect, (term, doc)
