@@ -48,4 +48,16 @@ def __getattr__(name):  # lazy heavy imports
         from elasticsearch_assets_ray.sources.reader_api import ReaderSlice
 
         return ReaderSlice
+    if name == "SpacesReaderAPI":
+        from elasticsearch_assets_ray.sources.spaces import SpacesReaderAPI
+
+        return SpacesReaderAPI
+    if name == "SpacesAPIConfig":
+        from elasticsearch_assets_ray.sources.spaces import SpacesAPIConfig
+
+        return SpacesAPIConfig
+    if name == "VersionedStore":
+        from elasticsearch_assets_ray.state.versioned import VersionedStore
+
+        return VersionedStore
     raise AttributeError(name)

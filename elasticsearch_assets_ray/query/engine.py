@@ -211,18 +211,36 @@ class Searcher:
         tbl = self._seg.to_table(
             columns=cols, filter=pc.field("shard") == shard
         )
-        terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
-        order = np.argsort(terms, kind="stable")
-        sorted_terms = terms[order]
-        bounds = np.concatenate(
-            ([0], np.flatnonzero(sorted_terms[1:] != sorted_terms[:-1]) + 1, [len(order)])
-        ) if len(order) else np.zeros(1, dtype=np.int64)
-        index = {
-            str(sorted_terms[bounds[i]]): order[bounds[i] : bounds[i + 1]]
-            for i in range(len(bounds) - 1)
-        }
-        self._shard_cache[shard] = (tbl, index)
-        return tbl, index
+        # term dictionary stays an ARROW array: sorted index + binary
+        # search per query term (O(log n) scalar reads) instead of
+        # materializing every term of the shard as a Python string
+        arr = tbl["term"].combine_chunks()
+        order = pc.sort_indices(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        sorted_arr = arr.take(pa.array(order))
+        self._shard_cache[shard] = (tbl, (sorted_arr, order))
+        return self._shard_cache[shard]
+
+    @staticmethod
+    def _term_row_indices(index, term: str) -> np.ndarray:
+        """Row indices of ``term`` in a shard's segment table (binary
+        search over the sorted Arrow term array)."""
+        sorted_arr, order = index
+        n = len(sorted_arr)
+
+        def bisect(side: str) -> int:
+            lo, hi = 0, n
+            while lo < hi:
+                mid = (lo + hi) // 2
+                v = sorted_arr[mid].as_py()
+                if v < term or (side == "right" and v == term):
+                    lo = mid + 1
+                else:
+                    hi = mid
+            return lo
+
+        left = bisect("left")
+        right = bisect("right")
+        return order[left:right]
 
     def _segment_rows(self, terms: list[str]) -> pa.Table:
         """All (term, bucket) rows for the given terms from the per-shard
@@ -235,7 +253,11 @@ class Searcher:
         parts = []
         for s in sorted(set(shards.tolist())):
             tbl, index = self._load_shard(int(s))
-            rows = [index[t] for t, sh in zip(terms, shards) if sh == s and t in index]
+            rows = [
+                r
+                for t, sh in zip(terms, shards)
+                if sh == s and (r := self._term_row_indices(index, t)).size
+            ]
             if rows:
                 idx = np.concatenate(rows)
                 parts.append(tbl.take(pa.array(idx, type=pa.int64())))
