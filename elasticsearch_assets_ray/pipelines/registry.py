@@ -113,6 +113,14 @@ BOOLEAN_QUERIES: list[str] = [
     '+"row column" filter',
 ]
 
+PREFIX_QUERIES: list[str] = [
+    "s* table",           # multi-term expansion (spark, scan, sort, slow, ...)
+    "filter fa*",
+    "-b* value row",      # negative prefix excludes docs with any b-term
+    "qu* zz*",            # zz* matches nothing → contributes nothing
+    'wind* "table scan"',
+]
+
 SEARCH_K = 10
 _STOPWORD_SQL = ", ".join(f"'{w}'" for w in textstats._STOPWORDS)
 
@@ -642,6 +650,12 @@ def q_search_boolean(sf_dir: str):
     return _search_many(sf_dir, BOOLEAN_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
 
 
+def q_search_prefix(sf_dir: str):
+    """Trailing-star prefix queries expanded against the term dictionary
+    (the Lucene query_string wildcard surface)."""
+    return _search_many(sf_dir, PREFIX_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
 _BPE_ISH = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 
@@ -850,6 +864,7 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
     from elasticsearch_assets_ray.query.parser import parse_query
 
     score_vals, must_vals, not_vals, phr_vals = [], [], [], []
+    pre_arms, npre_vals = [], []
     for qid, qtext in enumerate(queries):
         p = parse_query(qtext)
         for t in p.scoring_terms:
@@ -862,6 +877,14 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
             phr_vals.append(f"({qid}, ' {' '.join(ph)} ', FALSE)")
         for ph in p.not_phrases:
             phr_vals.append(f"({qid}, ' {' '.join(ph)} ', TRUE)")
+        for pre in sorted(set(p.prefixes)):
+            # expansion terms become SHOULD/scoring terms (the engine's
+            # scoring rewrite of a trailing-star clause)
+            pre_arms.append(
+                f"SELECT {qid} AS query_id, term FROM df WHERE term LIKE '{pre}%'"
+            )
+        for pre in sorted(set(p.not_prefixes)):
+            npre_vals.append(f"({qid}, '{pre}%')")
 
     ctes = [
         f"tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)",
@@ -870,7 +893,13 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
         "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
         "(SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl)",
         "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)",
-        f"q(query_id, term) AS (VALUES {', '.join(score_vals)})",
+        "q AS ("
+        + " UNION ".join(
+            ([f"SELECT * FROM (VALUES {', '.join(score_vals)}) v(query_id, term)"]
+             if score_vals else [])
+            + pre_arms
+        )
+        + ")",
         "scored AS (SELECT q.query_id, tf.doc_id, "
         "sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
         "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score "
@@ -903,6 +932,12 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
             "WHERE ph.query_id = sc.query_id AND "
             "((NOT ph.neg AND NOT contains(dstr.s, ph.phrase)) "
             "OR (ph.neg AND contains(dstr.s, ph.phrase))))"
+        )
+    if npre_vals:
+        ctes.append(f"npre(query_id, pat) AS (VALUES {', '.join(npre_vals)})")
+        preds.append(
+            "NOT EXISTS (SELECT 1 FROM npre JOIN tf ON tf.doc_id = sc.doc_id "
+            "AND tf.term LIKE npre.pat WHERE npre.query_id = sc.query_id)"
         )
     where = (" WHERE " + " AND ".join(preds)) if preds else ""
     return (
@@ -1090,6 +1125,7 @@ ORACLES: dict[str, str] = {
     ),
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "search_boolean": _bm25_bool_sql(BOOLEAN_QUERIES, SEARCH_K),
+    "search_prefix": _bm25_bool_sql(PREFIX_QUERIES, SEARCH_K),
 }
 
 # hash/sketch oracles: SQL replicas of the pipelines' exact arithmetic
@@ -1143,6 +1179,7 @@ QUERIES = {
     "embedding_dedup": q_embedding_dedup,
     "search_topk": q_search_topk,
     "search_boolean": q_search_boolean,
+    "search_prefix": q_search_prefix,
     "state_enrich": q_state_enrich,
     "keyspace_plan": q_keyspace_plan,
     "prefix_dfs": q_prefix_dfs,

@@ -265,11 +265,65 @@ class Searcher:
             return None
         return pa.concat_tables(parts)
 
+    # ---------- prefix (wildcard) expansion ----------
+    def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
+        """All index terms starting with ``prefix`` (sorted), via binary
+        search over every shard's sorted term dictionary — no term scan.
+        Raises when the expansion exceeds ``max_expansions`` (the
+        deterministic analog of Lucene's rewrite cap)."""
+        hi_key = prefix + "\U0010ffff"
+        found: set[str] = set()
+        for s in range(self.num_shards):
+            _, (sorted_arr, order) = self._load_shard(s)
+            n = len(sorted_arr)
+
+            def bisect(x: str) -> int:
+                lo, hi = 0, n
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    if sorted_arr[mid].as_py() < x:
+                        lo = mid + 1
+                    else:
+                        hi = mid
+                return lo
+
+            left, right = bisect(prefix), bisect(hi_key)
+            if right > left:
+                found.update(sorted_arr.slice(left, right - left).to_pylist())
+            if len(found) > max_expansions:
+                raise ValueError(
+                    f"prefix {prefix!r}* expands to more than "
+                    f"{max_expansions} terms — narrow the prefix"
+                )
+        return sorted(found)
+
+    def _rewrite_prefixes(self, q: ParsedQuery) -> ParsedQuery:
+        """Expand trailing-star clauses against the term dictionary:
+        positive prefixes become SHOULD terms (each scored with its own
+        idf — Lucene's scoring rewrite), negative prefixes become
+        MUST_NOT terms.  An unmatched positive prefix contributes
+        nothing."""
+        if not q.has_prefixes:
+            return q
+        out = ParsedQuery(
+            should=list(q.should),
+            must=list(q.must),
+            must_not=list(q.must_not),
+            phrases=list(q.phrases),
+            not_phrases=list(q.not_phrases),
+        )
+        for p in q.prefixes:
+            out.should.extend(self.expand_prefix(p))
+        for p in q.not_prefixes:
+            out.must_not.extend(self.expand_prefix(p))
+        return out
+
     # ---------- search ----------
     def search(self, query: str | ParsedQuery, k: int = 10) -> pa.Table:
         """Top-k → pa.Table(doc_id int64, score float64), score desc,
         docID-asc tie-break."""
         q = parse_query(query) if isinstance(query, str) else query
+        q = self._rewrite_prefixes(q)
         if q.has_phrases:
             ids, scores = self._search_phrases(q, k)
         else:
@@ -281,6 +335,7 @@ class Searcher:
         """Every matching doc's score (no pruning) — the oracle-comparable
         full result set."""
         q = parse_query(query) if isinstance(query, str) else query
+        q = self._rewrite_prefixes(q)
         if q.has_phrases:
             ids, scores = self._search_phrases(q, k=None)
         else:

@@ -64,6 +64,25 @@ class OracleIndex:
         """(doc_ids, bm25) for every doc matching the query (must/must_not
         honoured), unordered-by-contract."""
         pq_ = parse_query(query) if isinstance(query, str) else query
+        if pq_.has_prefixes:
+            # same rewrite as the engine: positive prefixes → SHOULD
+            # terms, negative prefixes → MUST_NOT, from the term set
+            expanded = ParsedQuery(
+                should=list(pq_.should),
+                must=list(pq_.must),
+                must_not=list(pq_.must_not),
+                phrases=list(pq_.phrases),
+                not_phrases=list(pq_.not_phrases),
+            )
+            for p in pq_.prefixes:
+                expanded.should.extend(
+                    t for t in self.postings if t.startswith(p)
+                )
+            for p in pq_.not_prefixes:
+                expanded.must_not.extend(
+                    t for t in self.postings if t.startswith(p)
+                )
+            pq_ = expanded
         plist = [
             (len(self.postings[t][0]), *self.postings[t])
             for t in pq_.scoring_terms

@@ -43,6 +43,11 @@ class ParsedQuery:
     # consecutive-term filters (tuples of analyzed terms, len >= 2)
     phrases: list[tuple[str, ...]] = field(default_factory=list)
     not_phrases: list[tuple[str, ...]] = field(default_factory=list)
+    # trailing-star prefix clauses (`fie*` → prefix "fie"): expanded
+    # against the term dictionary at search time; expanded terms score
+    # individually (Lucene's scoring-rewrite of multi-term queries)
+    prefixes: list[str] = field(default_factory=list)
+    not_prefixes: list[str] = field(default_factory=list)
 
     @property
     def scoring_terms(self) -> list[str]:
@@ -54,6 +59,10 @@ class ParsedQuery:
     def has_phrases(self) -> bool:
         return bool(self.phrases or self.not_phrases)
 
+    @property
+    def has_prefixes(self) -> bool:
+        return bool(self.prefixes or self.not_prefixes)
+
     def to_string(self) -> str:
         """Canonical printable form (golden-string tests, Q8 analog)."""
         parts = (
@@ -62,6 +71,8 @@ class ParsedQuery:
             + sorted(set(self.should))
             + ['+"' + " ".join(p) + '"' for p in sorted(set(self.phrases))]
             + ['-"' + " ".join(p) + '"' for p in sorted(set(self.not_phrases))]
+            + [f"{p}*" for p in sorted(set(self.prefixes))]
+            + [f"-{p}*" for p in sorted(set(self.not_prefixes))]
         )
         return " ".join(parts)
 
@@ -71,6 +82,14 @@ def parse_query(q: str) -> ParsedQuery:
     for m in _CLAUSE_RE.finditer(q or ""):
         op, body, quoted = m.group(1), m.group(2), m.group(3)
         text = quoted if quoted is not None else body
+        if quoted is None and body.endswith("*") and len(body) > 1:
+            # trailing-star prefix clause (Lucene `fie*`); the stem runs
+            # through the analyzer and must stay a single token
+            stem = tokenize_text(body[:-1])
+            if len(stem) == 1:
+                (out.not_prefixes if op == "-" else out.prefixes).append(stem[0])
+                continue
+            # multi-token stems (e.g. fooBar*) degrade to plain terms
         terms = tokenize_text(text)
         if not terms:
             continue

@@ -169,3 +169,46 @@ def test_positions_roundtrip_small(ray_session, tmp_path):
             toks = tokenize_text(texts[int(doc)])
             expect = [k for k, t in enumerate(toks) if t == term]
             assert pos[off[j] : off[j + 1]].tolist() == expect, (term, doc)
+
+
+# ---------------------------------------------------------------------------
+# prefix (trailing-star) queries
+# ---------------------------------------------------------------------------
+
+
+def test_parser_prefix_clauses():
+    q = parse_query("fie* -bar* baz")
+    assert q.prefixes == ["fie"] and q.not_prefixes == ["bar"]
+    assert q.should == ["baz"]
+    # lone '*' and multi-token stems degrade gracefully
+    assert parse_query("*").prefixes == []
+    q2 = parse_query("fooBar*")
+    assert q2.prefixes == [] and q2.should == ["foo", "bar"]
+
+
+PREFIX_TEST_QUERIES = [
+    "def* load",
+    "ind* -ret*",
+    "zzqq* fallback",  # unmatched prefix scores nothing
+    'lo* "def main"',  # prefix + phrase combine
+]
+
+
+@pytest.mark.parametrize("query", PREFIX_TEST_QUERIES)
+def test_prefix_rank_identity(query, oracle, built_index):
+    s = Searcher(built_index[0])
+    oi, osc = oracle.topk(query, 10)
+    r = s.search(query, 10)
+    assert np.array_equal(r["doc_id"].to_numpy(), oi), query
+    assert np.array_equal(r["score"].to_numpy(), osc), query
+
+
+def test_prefix_expansion_cap(built_index):
+    s = Searcher(built_index[0])
+    terms = s.expand_prefix("de")
+    assert "def" in terms
+    with pytest.raises(ValueError, match="expands to more"):
+        # empty prefix = the whole vocabulary
+        from elasticsearch_assets_ray.query.parser import ParsedQuery
+
+        s.expand_prefix("", max_expansions=10)
