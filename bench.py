@@ -182,6 +182,9 @@ def bench_query_serving(index_dir: str) -> dict:
         "serial_qps": round(n_q / sum(lat), 1),
         "pool_qps": round(qtable.num_rows / pool_dt, 1),
         "pool_rows": n_out,
+        # pruning evidence: whole buckets and 128-doc block runs the
+        # block-max machinery never decoded across the serial query set
+        "prune": dict(s.stats),
     }
 
 

@@ -58,6 +58,33 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_tick(args) -> int:
+    """One persistent-mode window tick (delta build)."""
+    _ensure_ray()
+    from datetime import datetime
+
+    from elasticsearch_assets_ray.index.build import IndexConfig
+    from elasticsearch_assets_ray.index.incremental import IncrementalIndex
+
+    inc = IncrementalIndex(
+        args.root,
+        config=IndexConfig(content_col=args.content_col, id_cols=tuple(args.id_cols.split(","))),
+    )
+    window = (datetime.fromisoformat(args.start), datetime.fromisoformat(args.end))
+    print(json.dumps(inc.tick(args.input, window, args.date_col)))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    """Merge all completed deltas into one index (force-merge analog)."""
+    _ensure_ray()
+    from elasticsearch_assets_ray.index.incremental import IncrementalIndex
+
+    inc = IncrementalIndex(args.root)
+    print(json.dumps(inc.compact()))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -83,6 +110,20 @@ def main(argv=None) -> int:
     q.add_argument("--q", required=True)
     q.add_argument("-k", type=int, default=10)
     q.set_defaults(fn=cmd_query)
+
+    t = sub.add_parser("tick", help="persistent-mode delta build for one window")
+    t.add_argument("--root", required=True)
+    t.add_argument("--input", required=True)
+    t.add_argument("--date-col", required=True)
+    t.add_argument("--start", required=True, help="ISO datetime, inclusive")
+    t.add_argument("--end", required=True, help="ISO datetime, exclusive")
+    t.add_argument("--content-col", default="content")
+    t.add_argument("--id-cols", default="repo,path,commit")
+    t.set_defaults(fn=cmd_tick)
+
+    c = sub.add_parser("compact", help="merge all deltas into one index")
+    c.add_argument("--root", required=True)
+    c.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

@@ -187,7 +187,18 @@ class IncrementalIndex:
             for sub in ("docstore", "runs"):
                 for f in glob.glob(os.path.join(t["dir"], sub, "part-*.parquet")):
                     os.link(f, os.path.join(out, sub, os.path.basename(f)))
-        run_phase2(out, self.cfg)
+        # build settings come from the deltas' own manifests (a CLI
+        # compact may construct IncrementalIndex with a default config)
+        merge_cfg = IndexConfig(
+            codec=child_manifest.get("codec", "varint"),
+            num_shards=int(child_manifest.get("num_shards", 32)),
+            runs_per_bucket=int(child_manifest.get("runs_per_bucket", 32)),
+            content_col=child_manifest.get("content_col", "content"),
+            id_cols=tuple(child_manifest.get("id_cols", ())),
+            store_content=bool(child_manifest.get("store_content", False)),
+            index_positions=bool(child_manifest.get("index_positions", False)),
+        )
+        run_phase2(out, merge_cfg)
         manifest = {
             "version": m["version"],
             "complete": True,
@@ -199,12 +210,13 @@ class IncrementalIndex:
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
             "doc_shift": child_manifest.get("doc_shift", DOC_SHIFT),
             "term_hash": TERM_HASH_ID,
-            "codec": self.cfg.codec,
-            "num_shards": self.cfg.num_shards,
-            "runs_per_bucket": self.cfg.runs_per_bucket,
-            "content_col": self.cfg.content_col,
-            "id_cols": list(self.cfg.id_cols),
-            "store_content": self.cfg.store_content,
+            "codec": merge_cfg.codec,
+            "num_shards": merge_cfg.num_shards,
+            "runs_per_bucket": merge_cfg.runs_per_bucket,
+            "content_col": merge_cfg.content_col,
+            "id_cols": list(merge_cfg.id_cols),
+            "store_content": merge_cfg.store_content,
+            "index_positions": merge_cfg.index_positions,
         }
         with open(os.path.join(out, "manifest.json"), "w") as fh:
             json.dump(manifest, fh)

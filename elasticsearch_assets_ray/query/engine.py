@@ -126,6 +126,14 @@ class Searcher:
         self._post_cache: "OrderedDict[tuple[str, int], tuple]" = OrderedDict()
         self._post_cache_bytes = 0
         self.post_cache_budget = 1 << 30  # 24B/posting → ~45M cached postings
+        # pruning observability (cumulative across this searcher's queries)
+        self.stats = {
+            "buckets_considered": 0,
+            "buckets_skipped": 0,  # whole buckets never decoded (θ bound)
+            "rows_full_decode": 0,
+            "rows_partial_decode": 0,  # only surviving 128-doc blocks decoded
+            "rows_skipped": 0,  # rows with no surviving interval
+        }
 
     # ---------- doc-length lookup (norms analog) ----------
     def _pid_map(self) -> dict[int, str]:
@@ -587,11 +595,13 @@ class Searcher:
         if k is not None and not must and not q.must_not and len(terms) > 1:
             theta_seed = self._seed_theta(seg, seg_term, seg_df, idf_by_term, k)
 
-        for b in order:
+        for n_processed, b in enumerate(order):
             theta_eff = max(theta, theta_seed)
             can_break = heap_ids.size >= k if k is not None else False
             if k is not None and (can_break or theta_seed > -np.inf) and bounds[b] < theta_eff:
+                self.stats["buckets_skipped"] += len(order) - n_processed
                 break  # every remaining bucket bounded below θ — skip undecoded
+            self.stats["buckets_considered"] += 1
             rows = row_idx_by_bucket[b]
             per_term = self._decode_bucket_rows(
                 seg, rows, seg_term, seg_df, idf_by_term, int(b),
@@ -731,6 +741,7 @@ class Searcher:
             t = seg_term[i]
             w = idf_by_term.get(t)
             if not use_prune:
+                self.stats["rows_full_decode"] += 1
                 hit = self._decode_row_cached(seg, i, t, bucket, w=w)
             else:
                 key = (t, bucket)
@@ -743,13 +754,16 @@ class Searcher:
                     idx, valid = iv_block[n_i]
                     need = np.unique(idx[surviving & valid])
                     if need.size >= max(1, len(bl) // 2):
+                        self.stats["rows_full_decode"] += 1
                         hit = self._decode_row_cached(seg, i, t, bucket, w=w)
                     elif need.size == 0:
+                        self.stats["rows_skipped"] += 1
                         continue  # no surviving interval touches this term
                     else:
                         blob = seg["blob"][i].as_py()
                         offs = np.frombuffer(seg["block_off"][i].as_py(), dtype=np.int64)
                         df_i = int(seg_df[i])
+                        self.stats["rows_partial_decode"] += 1
                         dparts, tparts = [], []
                         for j in need:
                             prev_last = int(bl[j - 1]) if j > 0 else 0
