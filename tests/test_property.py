@@ -1,0 +1,138 @@
+"""Property-based invariants (hypothesis): tokenizer parity, codec
+roundtrips, first-mask correctness, top-k determinism — the randomized
+tier the reference's fixed-fixture suite lacks."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+TEXTS = st.lists(
+    st.text(
+        alphabet="abc XY_12.\n", min_size=0, max_size=60
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(TEXTS)
+def test_tokenizer_vectorized_matches_python(texts):
+    from elasticsearch_assets_ray.stages.tokenizer import (
+        doc_term_freqs,
+        tokenize_text,
+    )
+
+    tb = doc_term_freqs(pa.array(texts, pa.string()), with_positions=True)
+    for row, text in enumerate(texts):
+        toks = tokenize_text(text)
+        assert tb.doc_len[row] == len(toks)
+        got = {
+            str(tb.terms[i]): int(tb.tfs[i])
+            for i in range(len(tb.terms))
+            if tb.doc_idx[i] == row
+        }
+        assert got == dict(Counter(toks))
+        # positions are exactly the token indices, ascending per pair
+        for i in range(len(tb.terms)):
+            if tb.doc_idx[i] != row:
+                continue
+            pos = tb.pos_flat[tb.pos_off[i] : tb.pos_off[i + 1]].tolist()
+            assert pos == [j for j, t in enumerate(toks) if t == str(tb.terms[i])]
+
+
+POSTINGS = st.integers(1, 60).flatmap(
+    lambda n: st.tuples(
+        st.lists(st.integers(0, 1 << 40), min_size=n, max_size=n, unique=True),
+        st.lists(st.integers(1, 1000), min_size=n, max_size=n),
+        st.lists(st.integers(1, 5000), min_size=n, max_size=n),
+    )
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(POSTINGS)
+def test_codec_roundtrip_both_codecs(data):
+    from elasticsearch_assets_ray.index.codec import (
+        decode_postings,
+        decode_postings_pfor,
+        encode_postings,
+        encode_postings_pfor,
+    )
+
+    d, tf, dl = data
+    d = np.sort(np.array(d, dtype=np.int64))
+    tf = np.array(tf, dtype=np.int64)
+    dl = np.array(dl, dtype=np.int64)
+    for enc, dec in (
+        (encode_postings, decode_postings),
+        (encode_postings_pfor, decode_postings_pfor),
+    ):
+        ep = enc(d, tf, dl)
+        dd, dtf = dec(bytes(ep.blob), len(d))
+        assert np.array_equal(dd, d)
+        assert np.array_equal(dtf, tf)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=1, max_size=60)
+)
+def test_first_mask_matches_pandas(rows):
+    import pandas as pd
+
+    from elasticsearch_assets_ray.stages.bulk import _first_mask
+
+    t = pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "v": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    import pyarrow.compute as pc
+
+    s = t.take(pc.sort_indices(t, sort_keys=[("k", "ascending"), ("v", "ascending")]))
+    kept = s.filter(_first_mask(s, ["k"]))
+    exp = (
+        t.to_pandas()
+        .sort_values(["k", "v"])
+        .drop_duplicates("k", keep="first")
+        .reset_index(drop=True)
+    )
+    assert kept["k"].to_pylist() == exp["k"].tolist()
+    assert kept["v"].to_pylist() == exp["v"].tolist()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=200),
+    st.integers(1, 20),
+)
+def test_sort_topk_deterministic(scores, k):
+    from elasticsearch_assets_ray.query.bm25 import sort_topk
+
+    s = np.array(scores, dtype=np.float64)
+    ids = np.arange(s.size, dtype=np.int64)
+    gi, gs = sort_topk(ids, s, k)
+    order = np.lexsort((ids, -s))[:k]
+    assert np.array_equal(gi, ids[order])
+    assert np.array_equal(gs, s[order])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet="abcdef", min_size=0, max_size=3), st.sets(st.sampled_from("abcdef0123"), min_size=1, max_size=8))
+def test_charclass_expansion_matches_regex(lit, chars):
+    import re
+
+    from elasticsearch_assets_ray.sources.reader import expand_charclass_prefix
+
+    cls = "".join(sorted(chars))
+    pattern = f"{lit}[{cls}].*"
+    prefixes = expand_charclass_prefix(pattern)
+    rx = re.compile("^" + re.escape(lit) + f"[{cls}]")
+    probes = [lit + c + "tail" for c in "abcdef0123xyz"] + [lit, "zz"]
+    for p in probes:
+        assert any(p.startswith(pre) for pre in prefixes) == bool(rx.match(p)), p
