@@ -213,23 +213,38 @@ def q_geo_box_count(sf_dir: str):
 
 def q_geo_distance_topk(sf_dir: str):
     """Q5 ``_geo_distance`` ascending sort (reference geoSearch/
-    geoDistance sort, utils.ts:167-250) as streaming top-k."""
-    from elasticsearch_assets_ray.sources.geo import geo_distance_topk
+    geoDistance sort, utils.ts:167-250) as streaming top-k.
+
+    The top-k SELECTION runs on round(km, 6) with event_id tie-break —
+    the synthetic lat/lon grid produces huge exact-distance tie groups,
+    and raw-float selection would pick a different ulp-level subset than
+    the SQL engine (the rounded value is the cross-engine contract)."""
+    from elasticsearch_assets_ray.sources.geo import haversine_km
+    from elasticsearch_assets_ray.stages.relational import topk
+
+    lat0, lon0 = _GEO_POINT
+
+    def derive(b: pa.Table) -> pa.Table:
+        g = _derive_latlon(b)
+        d = haversine_km(
+            g["lat"].to_numpy(zero_copy_only=False),
+            g["lon"].to_numpy(zero_copy_only=False),
+            lat0,
+            lon0,
+        )
+        return pa.table(
+            {"event_id": g["event_id"], "km_r6": pa.array(np.round(d, 6))}
+        )
 
     ds = _rd(sf_dir, "events", columns=["event_id", "user_id"]).map_batches(
-        _derive_latlon, batch_format="pyarrow"
+        derive, batch_format="pyarrow"
     )
-    t = geo_distance_topk(
-        ds, "lat", "lon", point=_GEO_POINT, k=10, id_col="event_id"
-    )
-    d = t["distance_km"].to_numpy(zero_copy_only=False)
-    eid = t["event_id"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((eid, np.round(d, 6)))
+    t = topk(ds, [("km_r6", "ascending"), ("event_id", "ascending")], 10)
     return pa.table(
         {
-            "event_id": pa.array(eid[order]),
-            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
-            "dist_r": pa.array(np.round(d[order], 3)),
+            "event_id": t["event_id"],
+            "rank": pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)),
+            "dist_r": pc.round(t["km_r6"], ndigits=3),
         }
     )
 

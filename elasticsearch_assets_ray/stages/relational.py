@@ -147,10 +147,9 @@ def partial_agg(
     (grouping by the raw keys would invoke Python once per distinct key,
     e.g. once per customer)."""
     partial = ds.map_batches(
-        lambda b: _partial_batch(b, keys, aggs), batch_format="pyarrow"
-    )
-    partial = partial.map_batches(
-        lambda b: b.append_column("__grp", key_group_column(b, keys, n_groups)),
+        lambda b: (p := _partial_batch(b, keys, aggs)).append_column(
+            "__grp", key_group_column(p, keys, n_groups)
+        ),
         batch_format="pyarrow",
     )
     return partial.groupby("__grp").map_groups(
