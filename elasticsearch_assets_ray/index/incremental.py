@@ -259,15 +259,35 @@ class MultiSearcher(Searcher):
         total_tokens = sum(c.manifest["total_tokens"] for c in self.children)
         self.avgdl = (total_tokens / self.n_docs) if self.n_docs else 0.0
         self.num_shards = self.children[0].num_shards
+        c0 = self.children[0].manifest
         self.manifest = {
             "n_docs": self.n_docs,
             "total_tokens": total_tokens,
             "avgdl": self.avgdl,
             "num_shards": self.num_shards,
-            "doc_shift": self.children[0].manifest.get("doc_shift"),
-            "runs_per_bucket": self.children[0].manifest.get("runs_per_bucket", 32),
+            "doc_shift": c0.get("doc_shift"),
+            "runs_per_bucket": c0.get("runs_per_bucket", 32),
+            # phrase-path capabilities follow the children
+            "index_positions": all(
+                c.manifest.get("index_positions", False) for c in self.children
+            ),
+            "store_content": all(
+                c.manifest.get("store_content", False) for c in self.children
+            ),
+            "content_col": c0.get("content_col"),
         }
         self._init_runtime_state()
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
+        found: set[str] = set()
+        for c in self.children:
+            found.update(c.expand_prefix(prefix, max_expansions=max_expansions))
+            if len(found) > max_expansions:
+                raise ValueError(
+                    f"prefix {prefix!r}* expands to more than "
+                    f"{max_expansions} terms — narrow the prefix"
+                )
+        return sorted(found)
 
     def _segment_rows(self, terms: list[str]):
         parts = [t for t in (c._segment_rows(terms) for c in self.children) if t is not None]

@@ -138,3 +138,55 @@ def test_compaction_rank_identical(ray_session, tmp_path):
     assert replay.get("compacted") and replay["complete"]
     # searcher over post-compaction state still answers
     assert inc.searcher(prune=False).search("alpha", k=5).num_rows == 5
+
+
+def test_multisearcher_phrases_and_prefixes(ray_session, tmp_path):
+    """Phrase (positional) and prefix queries work across delta indexes
+    and agree with a single compacted index."""
+    from datetime import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_assets_ray.index.build import IndexConfig
+    from elasticsearch_assets_ray.index.incremental import IncrementalIndex
+    from elasticsearch_assets_ray.query.engine import Searcher
+
+    rng = np.random.default_rng(31)
+    vocab = "alpha beta gamma delta index merge scan alphabet".split()
+    n = 300
+    src = str(tmp_path / "ev.parquet")
+    ts = [datetime(2024, 1, 1 + int(d)) for d in rng.integers(0, 20, n)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts),
+                "txt": pa.array([" ".join(rng.choice(vocab, 8)) for _ in range(n)]),
+            }
+        ),
+        src,
+    )
+    cfg = IndexConfig(
+        content_col="txt", id_cols=("event_id",), keep_cols=(),
+        store_content=True, index_positions=True,
+        target_partition_rows=128, runs_per_bucket=4, num_shards=4,
+    )
+    inc = IncrementalIndex(str(tmp_path / "inc"), config=cfg)
+    inc.tick(src, (datetime(2024, 1, 1), datetime(2024, 1, 11)), "ts")
+    inc.tick(src, (datetime(2024, 1, 11), datetime(2024, 1, 21)), "ts")
+    ms = inc.searcher(prune=False)
+    assert ms.manifest["index_positions"]
+    assert set(ms.expand_prefix("alpha")) == {"alpha", "alphabet"}
+    r_phrase = ms.search('"alpha beta" merge', k=15)
+    r_prefix = ms.search("alph* scan", k=15)
+    entry = inc.compact()
+    s = Searcher(entry["dir"], prune=False)
+    c_phrase = s.search('"alpha beta" merge', k=15)
+    c_prefix = s.search("alph* scan", k=15)
+    assert r_phrase["doc_id"].to_pylist() == c_phrase["doc_id"].to_pylist()
+    assert r_phrase["score"].to_pylist() == c_phrase["score"].to_pylist()
+    assert r_prefix["doc_id"].to_pylist() == c_prefix["doc_id"].to_pylist()
+    assert r_prefix["score"].to_pylist() == c_prefix["score"].to_pylist()
+    assert r_phrase.num_rows > 0 and r_prefix.num_rows > 0
