@@ -511,12 +511,17 @@ def run_phase2(out_dir: str, cfg: IndexConfig) -> None:
     compaction)."""
     import functools
 
+    import glob as _glob
+
     seg_dir = os.path.join(out_dir, "segments")
     if os.path.exists(seg_dir):
         import shutil
 
         shutil.rmtree(seg_dir)  # phase 2 is cheap relative to phase 1; redo whole
-    runs = ray.data.read_parquet(os.path.join(out_dir, "runs"))
+    # explicit part-file glob: an interrupted atomic write can leave a
+    # stray *.tmp in the directory, which must never reach the reader
+    run_files = sorted(_glob.glob(os.path.join(out_dir, "runs", "part-*.parquet")))
+    runs = ray.data.read_parquet(run_files)
     rpb = cfg.runs_per_bucket
     num_shards = cfg.num_shards
 
@@ -614,6 +619,13 @@ def build_index(
     plan_fp = hashlib.sha256(
         json.dumps(sorted(registry.items())).encode()
     ).hexdigest()[:16]
+
+    # sweep stray .tmp files a crashed atomic write may have left
+    import glob as _glob
+
+    for sub in ("manifests", "runs", "docstore", "segments"):
+        for tmp in _glob.glob(os.path.join(out_dir, sub, "*.tmp")):
+            os.unlink(tmp)
 
     gm_path = os.path.join(out_dir, "manifest.json")
     if resume and os.path.exists(gm_path):
