@@ -643,14 +643,22 @@ def build_index(
     )
     import functools
 
-    manifests = spec_ds.map_batches(
+    man_ds = spec_ds.map_batches(
         functools.partial(
             _build_partition_batch, cfg=cfg, out_dir=out_dir,
             row_filter=row_filter, filter_cols=filter_cols,
         ),
         batch_format="pyarrow",
         num_cpus=cfg.phase1_num_cpus,
-    ).to_pandas()
+    )
+    manifests = man_ds.to_pandas()
+    if os.environ.get("ESR_PRINT_STATS"):
+        # the measure-don't-guess hook: per-stage wall/cpu/object-store
+        # numbers from Ray Data's own accounting
+        import sys as _sys
+
+        print("==== phase 1 Dataset stats ====", file=_sys.stderr)
+        print(man_ds.stats(), file=_sys.stderr)
 
     n_docs = int(manifests["n_docs"].sum())
     total_tokens = int(manifests["total_tokens"].sum())

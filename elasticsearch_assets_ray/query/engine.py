@@ -118,6 +118,12 @@ class Searcher:
         # bucket -> (pids int64[], base-rank int64[]) for bucket-local
         # dense scoring
         self._bucket_state: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # bucket -> reusable (scores, hit) scratch; only TOUCHED entries
+        # are reset after each use, so reuse is O(candidates) not O(bucket)
+        self._scratch: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # term -> its segment rows (a small pa.Table) | None when absent;
+        # repeated query terms skip the shard lookup + take entirely
+        self._term_rows_cache: dict[str, pa.Table | None] = {}
         # shard id -> (segment table, term -> row-index array); loaded once
         # per Searcher (i.e. once per actor), NOT per query
         self._shard_cache: dict[int, tuple[pa.Table, dict[str, np.ndarray]]] = {}
@@ -252,23 +258,24 @@ class Searcher:
 
     def _segment_rows(self, terms: list[str]) -> pa.Table:
         """All (term, bucket) rows for the given terms from the per-shard
-        cache (no per-query parquet scan)."""
+        cache (no per-query parquet scan).  Per-TERM results are memoized,
+        so repeated query terms cost a dict hit."""
         if not terms:
             return None
-        from elasticsearch_assets_ray.index.build import term_shard
+        missing = [t for t in terms if t not in self._term_rows_cache]
+        if missing:
+            from elasticsearch_assets_ray.index.build import term_shard
 
-        shards = term_shard(terms, self.num_shards)
-        parts = []
-        for s in sorted(set(shards.tolist())):
-            tbl, index = self._load_shard(int(s))
-            rows = [
-                r
-                for t, sh in zip(terms, shards)
-                if sh == s and (r := self._term_row_indices(index, t)).size
-            ]
-            if rows:
-                idx = np.concatenate(rows)
-                parts.append(tbl.take(pa.array(idx, type=pa.int64())))
+            shards = term_shard(missing, self.num_shards)
+            for t, sh in zip(missing, shards):
+                tbl, index = self._load_shard(int(sh))
+                r = self._term_row_indices(index, t)
+                self._term_rows_cache[t] = (
+                    tbl.take(pa.array(r, type=pa.int64())) if r.size else None
+                )
+        if len(self._term_rows_cache) > 200_000:
+            self._term_rows_cache.clear()  # coarse bound; refill on demand
+        parts = [p for t in terms if (p := self._term_rows_cache[t]) is not None]
         if not parts:
             return None
         return pa.concat_tables(parts)
@@ -836,8 +843,11 @@ class Searcher:
             sums = np.bincount(inv, weights=all_w, minlength=uniq.size)
             return uniq.astype(np.int64), sums.astype(np.float64)
 
-        scores = np.zeros(total, dtype=np.float64)
-        hit = np.zeros(total, dtype=bool)
+        scratch = self._scratch.get(bucket)
+        if scratch is None or scratch[0].size != total:
+            scratch = (np.zeros(total, dtype=np.float64), np.zeros(total, dtype=bool))
+            self._scratch[bucket] = scratch
+        scores, hit = scratch
         pid0 = int(pids[0])
         for t, h in items:
             d, w = wsat_of(t, h)
@@ -850,7 +860,11 @@ class Searcher:
         hidx = np.flatnonzero(hit)
         p_idx = np.searchsorted(base, hidx, side="right") - 1
         docids = (pids[p_idx] << shift) + (hidx - base[p_idx])
-        return docids.astype(np.int64), scores[hidx]
+        out_scores = scores[hidx].copy()
+        # reset only the touched entries — reuse stays O(candidates)
+        scores[hidx] = 0.0
+        hit[hidx] = False
+        return docids.astype(np.int64), out_scores
 
     # ---------- doc hydration ----------
     def hydrate(self, docids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
