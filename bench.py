@@ -190,13 +190,18 @@ def bench_query_serving(index_dir: str) -> dict:
 
 SF_BENCH_QUERIES = [
     "search_topk",
+    "search_boolean",
+    "search_prefix",
     "tpch_q1",
     "revenue_by_segment",
     "bulk_index_lww",
+    "bulk_update_script",
     "exact_dedup",
     "minhash_pairs",
     "token_stats",
     "embedding_topk",
+    "embedding_ivf_topk",
+    "geo_distance_topk",
     "state_enrich",
 ]
 
