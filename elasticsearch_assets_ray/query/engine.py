@@ -65,8 +65,15 @@ class Searcher:
     process/actor — this is the state the reference keeps in its
     state-storage/API-factory actors (SURVEY.md T1/T2)."""
 
-    def __init__(self, index_dir: str, prune: bool = True):
+    def __init__(self, index_dir: str, prune: bool = True, shard_resident: bool = True):
+        """``shard_resident=True`` (default) faults whole segment shards
+        into actor memory once — fastest, memory ∝ touched shards.
+        ``shard_resident=False`` is the COLD mode for indexes whose
+        shards exceed actor memory: every term lookup is a filtered
+        Parquet read (``term`` is sorted within segment files, so row-
+        group statistics prune the scan); memory ∝ query terms only."""
         self.index_dir = index_dir
+        self.shard_resident = shard_resident
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.n_docs = int(self.manifest["n_docs"])
@@ -267,12 +274,24 @@ class Searcher:
             from elasticsearch_assets_ray.index.build import term_shard
 
             shards = term_shard(missing, self.num_shards)
+            cold_cols = (
+                _SEG_COLS_POS if self.manifest.get("index_positions") else _SEG_COLS
+            )
             for t, sh in zip(missing, shards):
-                tbl, index = self._load_shard(int(sh))
-                r = self._term_row_indices(index, t)
-                self._term_rows_cache[t] = (
-                    tbl.take(pa.array(r, type=pa.int64())) if r.size else None
-                )
+                if self.shard_resident:
+                    tbl, index = self._load_shard(int(sh))
+                    r = self._term_row_indices(index, t)
+                    self._term_rows_cache[t] = (
+                        tbl.take(pa.array(r, type=pa.int64())) if r.size else None
+                    )
+                else:
+                    # cold mode: one filtered, statistics-pruned read
+                    got = self._seg.to_table(
+                        columns=cold_cols,
+                        filter=(pc.field("shard") == int(sh))
+                        & (pc.field("term") == t),
+                    )
+                    self._term_rows_cache[t] = got if got.num_rows else None
         if len(self._term_rows_cache) > 200_000:
             self._term_rows_cache.clear()  # coarse bound; refill on demand
         parts = [p for t in terms if (p := self._term_rows_cache[t]) is not None]
@@ -288,6 +307,19 @@ class Searcher:
         deterministic analog of Lucene's rewrite cap)."""
         hi_key = prefix + "\U0010ffff"
         found: set[str] = set()
+        if not self.shard_resident:
+            # cold mode: a single statistics-pruned range read over terms
+            got = self._seg.to_table(
+                columns=["term"],
+                filter=(pc.field("term") >= prefix) & (pc.field("term") < hi_key),
+            )
+            found = set(pc.unique(got["term"]).to_pylist())
+            if len(found) > max_expansions:
+                raise ValueError(
+                    f"prefix {prefix!r}* expands to more than "
+                    f"{max_expansions} terms — narrow the prefix"
+                )
+            return sorted(found)
         for s in range(self.num_shards):
             _, (sorted_arr, order) = self._load_shard(s)
             n = len(sorted_arr)

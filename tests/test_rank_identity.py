@@ -86,3 +86,28 @@ def test_hydrate_roundtrip(built_index, searchers):
     docs = pruned.hydrate(r["doc_id"].to_numpy(), columns=["doc_id", "repo", "path"])
     assert docs.num_rows == 5
     assert docs["doc_id"].to_pylist() == r["doc_id"].to_pylist()
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES[:6])
+def test_cold_mode_rank_identical(query, oracle, built_index):
+    """shard_resident=False (filtered-parquet term reads, memory bounded
+    by query terms) returns bit-identical results."""
+    idx_dir, _ = built_index
+    cold = Searcher(idx_dir, shard_resident=False)
+    assert not cold._shard_cache  # nothing resident
+    oi, osc = oracle.topk(query, 10)
+    r = cold.search(query, 10)
+    assert np.array_equal(r["doc_id"].to_numpy(), oi), query
+    assert np.array_equal(r["score"].to_numpy(), osc), query
+    assert not cold._shard_cache  # STILL nothing resident
+
+
+def test_cold_mode_prefix(built_index):
+    idx_dir, _ = built_index
+    warm = Searcher(idx_dir)
+    cold = Searcher(idx_dir, shard_resident=False)
+    assert cold.expand_prefix("de") == warm.expand_prefix("de")
+    a = warm.search("def* load", 10)
+    b = cold.search("def* load", 10)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
