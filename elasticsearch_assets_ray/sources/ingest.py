@@ -24,10 +24,31 @@ def jsonl_to_parquet(
     *,
     columns: list[str] | None = None,
     override_num_blocks: int | None = None,
+    unwrap_source: bool = False,
 ) -> str:
     """Stream NDJSON → Parquet.  ``columns`` prunes after parse (JSON has
-    no projection pushdown)."""
+    no projection pushdown).
+
+    ``unwrap_source=True`` handles Elasticsearch hit envelopes — the
+    shape a scroll/dump of the reference's indexes actually produces:
+    ``{"_id": ..., "_index": ..., "_source": {fields...}}`` flattens to
+    the ``_source`` fields plus an ``_id`` column (the ``_key`` metadata
+    the reference attaches to DataEntities,
+    docs/asset/apis/elasticsearch_reader_api.md:583-596)."""
     ds = ray.data.read_json(src, override_num_blocks=override_num_blocks)
+    if unwrap_source:
+        import pyarrow as pa
+
+        def unwrap(batch: "pa.Table") -> "pa.Table":
+            flat = batch["_source"]
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            cols = {"_id": batch["_id"]}
+            for f in flat.type:
+                cols[f.name] = flat.field(f.name)
+            return pa.table(cols)
+
+        ds = ds.map_batches(unwrap, batch_format="pyarrow")
     if columns:
         ds = ds.select_columns(columns)
     ds.write_parquet(out_dir)

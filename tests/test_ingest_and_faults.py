@@ -92,3 +92,30 @@ def test_crash_mid_partition_resumes_clean(corpus_dir, tmp_path, ray_session):
     exp = Searcher(fresh).search("def load index", k=5)
     assert got["doc_id"].to_pylist() == exp["doc_id"].to_pylist()
     assert got["score"].to_pylist() == exp["score"].to_pylist()
+
+
+def test_es_hit_envelope_unwrap(ray_session, tmp_path):
+    """A scroll dump of ES hit envelopes flattens to _source fields +
+    _id and feeds the index build directly."""
+    from elasticsearch_assets_ray.sources.ingest import jsonl_to_parquet
+
+    src = tmp_path / "hits.jsonl"
+    with open(src, "w") as f:
+        for i in range(30):
+            f.write(
+                json.dumps(
+                    {
+                        "_id": f"doc-{i}",
+                        "_index": "idx",
+                        "_source": {"uuid": f"u{i}", "bytes": i * 10, "created": "2024-01-01"},
+                    }
+                )
+                + "\n"
+            )
+    out = jsonl_to_parquet(str(src), str(tmp_path / "pq"), unwrap_source=True)
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(out).to_table()
+    assert t.num_rows == 30
+    assert set(t.column_names) == {"_id", "uuid", "bytes", "created"}
+    assert t.sort_by("bytes")["_id"][0].as_py() == "doc-0"
