@@ -300,16 +300,19 @@ def build_partition(
         # reorder each pair's position slice from (doc, term) to
         # (term, doc) pair order: variable-length gather built from the
         # pair permutation — no Python loop
-        src_start = tb.pos_off[:-1][order]
-        lens64 = tb.tfs[order]
-        total = int(lens64.sum())
-        dst_start = np.concatenate(([0], np.cumsum(lens64[:-1]))).astype(np.int64)
-        take = (
-            np.repeat(src_start, lens64)
-            + np.arange(total, dtype=np.int64)
-            - np.repeat(dst_start, lens64)
-        )
-        pos_sorted = tb.pos_flat[take]
+        if len(order):
+            src_start = tb.pos_off[:-1][order]
+            lens64 = tb.tfs[order]
+            total = int(lens64.sum())
+            dst_start = np.concatenate(([0], np.cumsum(lens64[:-1]))).astype(np.int64)
+            take = (
+                np.repeat(src_start, lens64)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(dst_start, lens64)
+            )
+            pos_sorted = tb.pos_flat[take]
+        else:
+            pos_sorted = np.empty(0, dtype=np.int32)
         # per-term position counts = Σ tf over the term's pairs = cf
         pos_bounds = np.concatenate(([0], np.cumsum(cf_local))).astype(np.int64)
         run_cols["pos_le"] = _binary_from_offsets(pos_sorted, pos_bounds)
@@ -521,6 +524,9 @@ def run_phase2(out_dir: str, cfg: IndexConfig) -> None:
     # explicit part-file glob: an interrupted atomic write can leave a
     # stray *.tmp in the directory, which must never reach the reader
     run_files = sorted(_glob.glob(os.path.join(out_dir, "runs", "part-*.parquet")))
+    if not run_files:
+        os.makedirs(seg_dir, exist_ok=True)  # empty but valid index
+        return
     runs = ray.data.read_parquet(run_files)
     rpb = cfg.runs_per_bucket
     num_shards = cfg.num_shards
@@ -539,6 +545,9 @@ def run_phase2(out_dir: str, cfg: IndexConfig) -> None:
         batch_format="pyarrow",
     )
     segments.write_parquet(seg_dir, partition_cols=["shard"])
+    # a zero-posting input writes no files at all — the directory must
+    # still exist for the searcher
+    os.makedirs(seg_dir, exist_ok=True)
 
 
 def build_index(

@@ -176,10 +176,12 @@ class IncrementalIndex:
             os.makedirs(os.path.join(out, sub))
         n_docs = total_tokens = n_parts = n_raw = 0
         child_manifest = None
+        seen_codecs: set[str] = set()
         for t in ticks:
             with open(os.path.join(t["dir"], "manifest.json")) as fh:
                 m = json.load(fh)
             child_manifest = child_manifest or m
+            seen_codecs.add(m.get("codec", "varint"))
             n_docs += m["n_docs"]
             total_tokens += m["total_tokens"]
             n_parts += m["n_partitions"]
@@ -187,6 +189,10 @@ class IncrementalIndex:
             for sub in ("docstore", "runs"):
                 for f in glob.glob(os.path.join(t["dir"], sub, "part-*.parquet")):
                     os.link(f, os.path.join(out, sub, os.path.basename(f)))
+        if len(seen_codecs) > 1:
+            raise ValueError(
+                f"cannot compact deltas with mixed codecs {sorted(seen_codecs)}"
+            )
         # build settings come from the deltas' own manifests (a CLI
         # compact may construct IncrementalIndex with a default config)
         merge_cfg = IndexConfig(
@@ -254,7 +260,15 @@ class MultiSearcher(Searcher):
             raise ValueError("no delta indexes yet")
         self.children = [Searcher(d, prune=prune) for d in dirs]
         self.prune = prune
-        self._set_codec(self.children[0].manifest.get("codec", "varint"))
+        codecs = {c.manifest.get("codec", "varint") for c in self.children}
+        if len(codecs) > 1:
+            # segment rows from every child decode through ONE codec —
+            # mixed codecs would silently produce garbage postings
+            raise ValueError(
+                f"delta indexes use mixed codecs {sorted(codecs)}; rebuild "
+                "the deltas with one codec (or compact each group separately)"
+            )
+        self._set_codec(codecs.pop())
         self.n_docs = sum(c.n_docs for c in self.children)
         total_tokens = sum(c.manifest["total_tokens"] for c in self.children)
         self.avgdl = (total_tokens / self.n_docs) if self.n_docs else 0.0

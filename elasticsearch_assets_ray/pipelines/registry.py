@@ -119,6 +119,7 @@ PREFIX_QUERIES: list[str] = [
     "-b* value row",      # negative prefix excludes docs with any b-term
     "qu* zz*",            # zz* matches nothing → contributes nothing
     'wind* "table scan"',
+    "+sp* merge",         # conjunctive: doc must contain ≥1 sp-term
 ]
 
 SEARCH_K = 10
@@ -879,7 +880,7 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
     from elasticsearch_assets_ray.query.parser import parse_query
 
     score_vals, must_vals, not_vals, phr_vals = [], [], [], []
-    pre_arms, npre_vals = [], []
+    pre_arms, npre_vals, mpre_vals = [], [], []
     for qid, qtext in enumerate(queries):
         p = parse_query(qtext)
         for t in p.scoring_terms:
@@ -892,12 +893,14 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
             phr_vals.append(f"({qid}, ' {' '.join(ph)} ', FALSE)")
         for ph in p.not_phrases:
             phr_vals.append(f"({qid}, ' {' '.join(ph)} ', TRUE)")
-        for pre in sorted(set(p.prefixes)):
+        for pre in sorted(set(p.prefixes) | set(p.must_prefixes)):
             # expansion terms become SHOULD/scoring terms (the engine's
             # scoring rewrite of a trailing-star clause)
             pre_arms.append(
                 f"SELECT {qid} AS query_id, term FROM df WHERE term LIKE '{pre}%'"
             )
+        for pre in sorted(set(p.must_prefixes)):
+            mpre_vals.append(f"({qid}, '{pre}%')")
         for pre in sorted(set(p.not_prefixes)):
             npre_vals.append(f"({qid}, '{pre}%')")
 
@@ -947,6 +950,15 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
             "WHERE ph.query_id = sc.query_id AND "
             "((NOT ph.neg AND NOT contains(dstr.s, ph.phrase)) "
             "OR (ph.neg AND contains(dstr.s, ph.phrase))))"
+        )
+    if mpre_vals:
+        # every must-prefix of the query must match ≥1 of the doc's terms
+        ctes.append(f"mpre(query_id, pat) AS (VALUES {', '.join(mpre_vals)})")
+        preds.append(
+            "(SELECT count(*) FROM mpre WHERE mpre.query_id = sc.query_id) = "
+            "(SELECT count(DISTINCT mpre.pat) FROM mpre JOIN tf "
+            "ON tf.doc_id = sc.doc_id AND tf.term LIKE mpre.pat "
+            "WHERE mpre.query_id = sc.query_id)"
         )
     if npre_vals:
         ctes.append(f"npre(query_id, pat) AS (VALUES {', '.join(npre_vals)})")

@@ -126,8 +126,15 @@ class Searcher:
         # dense scoring
         self._bucket_state: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         # bucket -> reusable (scores, hit) scratch; only TOUCHED entries
-        # are reset after each use, so reuse is O(candidates) not O(bucket)
-        self._scratch: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # are reset after each use, so reuse is O(candidates) not O(bucket).
+        # BYTE-budgeted LRU: without a bound a workload touching every
+        # bucket would accumulate ~9 bytes × corpus docs per actor — the
+        # very ceiling bucket-local scoring exists to avoid.
+        from collections import OrderedDict as _OD
+
+        self._scratch: "_OD[int, tuple[np.ndarray, np.ndarray]]" = _OD()
+        self._scratch_bytes = 0
+        self.scratch_budget = 1 << 28  # 256 MB of scratch per actor
         # term -> its segment rows (a small pa.Table) | None when absent;
         # repeated query terms skip the shard lookup + take entirely
         self._term_rows_cache: dict[str, pa.Table | None] = {}
@@ -229,6 +236,13 @@ class Searcher:
         if hit is not None:
             return hit
         cols = _SEG_COLS_POS if self.manifest.get("index_positions") else _SEG_COLS
+        if not self._seg.files:  # empty index (zero tokens)
+            empty = pa.table({"term": pa.array([], pa.string())})
+            self._shard_cache[shard] = (
+                empty,
+                (empty["term"].combine_chunks(), np.empty(0, dtype=np.int64)),
+            )
+            return self._shard_cache[shard]
         tbl = self._seg.to_table(
             columns=cols, filter=pc.field("shard") == shard
         )
@@ -269,6 +283,10 @@ class Searcher:
         so repeated query terms cost a dict hit."""
         if not terms:
             return None
+        if len(self._term_rows_cache) > 200_000:
+            # coarse bound, applied BEFORE this query's lookups so the
+            # entries about to be read are never cleared from under us
+            self._term_rows_cache.clear()
         missing = [t for t in terms if t not in self._term_rows_cache]
         if missing:
             from elasticsearch_assets_ray.index.build import term_shard
@@ -292,8 +310,6 @@ class Searcher:
                         & (pc.field("term") == t),
                     )
                     self._term_rows_cache[t] = got if got.num_rows else None
-        if len(self._term_rows_cache) > 200_000:
-            self._term_rows_cache.clear()  # coarse bound; refill on demand
         parts = [p for t in terms if (p := self._term_rows_cache[t]) is not None]
         if not parts:
             return None
@@ -358,9 +374,16 @@ class Searcher:
             must_not=list(q.must_not),
             phrases=list(q.phrases),
             not_phrases=list(q.not_phrases),
+            must_any=[list(g) for g in q.must_any],
         )
         for p in q.prefixes:
             out.should.extend(self.expand_prefix(p))
+        for p in q.must_prefixes:
+            terms = self.expand_prefix(p)
+            out.should.extend(terms)
+            # conjunctive: ≥1 expanded term must match (an empty
+            # expansion can match nothing — the group filters all docs)
+            out.must_any.append(terms)
         for p in q.not_prefixes:
             out.must_not.extend(self.expand_prefix(p))
         return out
@@ -586,6 +609,10 @@ class Searcher:
         for t in must:
             if t not in df_by_term:
                 return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        # a must_any group with no indexed member matches nothing
+        for grp in q.must_any:
+            if not any(t in df_by_term for t in grp):
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
         buckets = np.unique(seg_bucket)
         # rows grouped by bucket for scoring; per-bucket upper bounds
@@ -631,7 +658,13 @@ class Searcher:
         # best total score, so pruning can start before the heap fills.
         # Only filter-free queries: must/must_not could evict seed docs.
         theta_seed = -np.inf
-        if k is not None and not must and not q.must_not and len(terms) > 1:
+        if (
+            k is not None
+            and not must
+            and not q.must_not
+            and not q.must_any
+            and len(terms) > 1
+        ):
             theta_seed = self._seed_theta(seg, seg_term, seg_df, idf_by_term, k)
 
         for n_processed, b in enumerate(order):
@@ -654,6 +687,14 @@ class Searcher:
             mask = np.ones(ids_b.size, dtype=bool)
             for t in must:
                 have = per_term.get(t, (np.empty(0, dtype=np.int64),))[0]
+                mask &= np.isin(ids_b, have)
+            for grp in q.must_any:
+                # doc must contain ≥1 term of the group (a doc lives in
+                # exactly one bucket, so per-bucket evaluation is global)
+                parts = [
+                    per_term[t][0] for t in grp if t in per_term
+                ]
+                have = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
                 mask &= np.isin(ids_b, have)
             for t in set(q.must_not):
                 if t in per_term:
@@ -876,9 +917,15 @@ class Searcher:
             return uniq.astype(np.int64), sums.astype(np.float64)
 
         scratch = self._scratch.get(bucket)
-        if scratch is None or scratch[0].size != total:
+        if scratch is not None and scratch[0].size == total:
+            self._scratch.move_to_end(bucket)
+        else:
             scratch = (np.zeros(total, dtype=np.float64), np.zeros(total, dtype=bool))
             self._scratch[bucket] = scratch
+            self._scratch_bytes += scratch[0].nbytes + scratch[1].nbytes
+            while self._scratch_bytes > self.scratch_budget and len(self._scratch) > 1:
+                _, (osc, ohit) = self._scratch.popitem(last=False)
+                self._scratch_bytes -= osc.nbytes + ohit.nbytes
         scores, hit = scratch
         pid0 = int(pids[0])
         for t, h in items:

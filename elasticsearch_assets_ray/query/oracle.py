@@ -73,11 +73,16 @@ class OracleIndex:
                 must_not=list(pq_.must_not),
                 phrases=list(pq_.phrases),
                 not_phrases=list(pq_.not_phrases),
+                must_any=[list(g) for g in pq_.must_any],
             )
             for p in pq_.prefixes:
                 expanded.should.extend(
                     t for t in self.postings if t.startswith(p)
                 )
+            for p in pq_.must_prefixes:
+                terms = [t for t in self.postings if t.startswith(p)]
+                expanded.should.extend(terms)
+                expanded.must_any.append(terms)
             for p in pq_.not_prefixes:
                 expanded.must_not.extend(
                     t for t in self.postings if t.startswith(p)
@@ -96,6 +101,10 @@ class OracleIndex:
         for t in set(pq_.must_not):
             have = self.postings.get(t, (np.empty(0, dtype=np.int64),))[0]
             mask &= ~np.isin(ids, have)
+        for grp in pq_.must_any:
+            parts = [self.postings[t][0] for t in grp if t in self.postings]
+            have = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+            mask &= np.isin(ids, have)
         ids, scores = ids[mask], scores[mask]
         if pq_.has_phrases:
             from elasticsearch_assets_ray.query.engine import Searcher

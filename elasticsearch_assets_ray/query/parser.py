@@ -45,9 +45,14 @@ class ParsedQuery:
     not_phrases: list[tuple[str, ...]] = field(default_factory=list)
     # trailing-star prefix clauses (`fie*` → prefix "fie"): expanded
     # against the term dictionary at search time; expanded terms score
-    # individually (Lucene's scoring-rewrite of multi-term queries)
+    # individually (Lucene's scoring-rewrite of multi-term queries).
+    # `+fie*` is conjunctive: the doc must match ≥1 expanded term.
     prefixes: list[str] = field(default_factory=list)
+    must_prefixes: list[str] = field(default_factory=list)
     not_prefixes: list[str] = field(default_factory=list)
+    # conjunctive ANY-groups (filled by the engine's prefix rewrite):
+    # a doc must contain ≥1 term of EACH group
+    must_any: list[list[str]] = field(default_factory=list)
 
     @property
     def scoring_terms(self) -> list[str]:
@@ -61,7 +66,7 @@ class ParsedQuery:
 
     @property
     def has_prefixes(self) -> bool:
-        return bool(self.prefixes or self.not_prefixes)
+        return bool(self.prefixes or self.must_prefixes or self.not_prefixes)
 
     def to_string(self) -> str:
         """Canonical printable form (golden-string tests, Q8 analog)."""
@@ -72,6 +77,7 @@ class ParsedQuery:
             + ['+"' + " ".join(p) + '"' for p in sorted(set(self.phrases))]
             + ['-"' + " ".join(p) + '"' for p in sorted(set(self.not_phrases))]
             + [f"{p}*" for p in sorted(set(self.prefixes))]
+            + [f"+{p}*" for p in sorted(set(self.must_prefixes))]
             + [f"-{p}*" for p in sorted(set(self.not_prefixes))]
         )
         return " ".join(parts)
@@ -87,7 +93,12 @@ def parse_query(q: str) -> ParsedQuery:
             # through the analyzer and must stay a single token
             stem = tokenize_text(body[:-1])
             if len(stem) == 1:
-                (out.not_prefixes if op == "-" else out.prefixes).append(stem[0])
+                if op == "-":
+                    out.not_prefixes.append(stem[0])
+                elif op == "+":
+                    out.must_prefixes.append(stem[0])
+                else:
+                    out.prefixes.append(stem[0])
                 continue
             # multi-token stems (e.g. fooBar*) degrade to plain terms
         terms = tokenize_text(text)

@@ -89,11 +89,18 @@ def doc_term_freqs(
     pair's token positions (one stable argsort over the composite key —
     within a pair, original token order = ascending position).
     """
+    def _empty(doc_len: np.ndarray) -> TokenizedBatch:
+        e = np.empty(0, dtype=np.int64)
+        tb = TokenizedBatch(e, np.empty(0, dtype=object), e, doc_len)
+        if with_positions:
+            tb.pos_flat = np.empty(0, dtype=np.int32)
+            tb.pos_off = np.zeros(1, dtype=np.int64)
+        return tb
+
     toks = tokenize_column(col)
     n_docs = len(toks)
     if n_docs == 0:
-        empty = np.empty(0, dtype=np.int64)
-        return TokenizedBatch(empty, np.empty(0, dtype=object), empty, empty)
+        return _empty(np.empty(0, dtype=np.int64))
 
     # flatten with per-token doc index
     toks = toks.fill_null([])
@@ -112,8 +119,7 @@ def doc_term_freqs(
     doc_len = np.bincount(doc_idx_all, minlength=n_docs).astype(np.int64)
 
     if len(flat) == 0:
-        empty = np.empty(0, dtype=np.int64)
-        return TokenizedBatch(empty, np.empty(0, dtype=object), empty, doc_len)
+        return _empty(doc_len)
 
     # tf per (doc, term): dictionary-encode terms to int codes, then count
     # unique (doc_idx, code) pairs via a single composite int64 key.

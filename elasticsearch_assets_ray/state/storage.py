@@ -107,14 +107,16 @@ class DocstoreCache:
                 filter=pc.field(self.key_col).isin(missing),
             )
             self._tbl = pa.concat_tables([self._tbl, fetched])
-            keep = max(self.cache_size, fetched.num_rows)  # never evict the
-            # rows the CURRENT batch is about to join against
-            if self._tbl.num_rows > keep:
-                # evict oldest-fetched rows; combine_chunks keeps the
-                # resident table from accumulating tiny chunks
-                self._tbl = self._tbl.slice(self._tbl.num_rows - keep).combine_chunks()
         self.hits += len(uniq) - len(missing)
         right = self._tbl.rename_columns([self.batch_key_col, *self.value_cols])
-        return batch.join(
+        out = batch.join(
             right, keys=[self.batch_key_col], join_type="left outer", use_threads=False
         )
+        # evict AFTER the join so rows the current batch references (hits
+        # at the head included) are never dropped before they are used;
+        # the bound holds between calls
+        if self._tbl.num_rows > self.cache_size:
+            self._tbl = self._tbl.slice(
+                self._tbl.num_rows - self.cache_size
+            ).combine_chunks()
+        return out
