@@ -169,19 +169,33 @@ class IncrementalIndex:
         ticks = [t for t in self.state["ticks"] if t.get("complete")]
         if not ticks:
             raise ValueError("nothing to compact")
+        # validate EVERY merge-relevant setting across deltas BEFORE any
+        # file is linked: mixing codec / positional layout / shard count /
+        # bucket width would corrupt or crash the merge, and raising early
+        # leaves no partial compacted dir behind
+        manifests = []
+        for t in ticks:
+            with open(os.path.join(t["dir"], "manifest.json")) as fh:
+                manifests.append(json.load(fh))
+        for key, default in (
+            ("codec", "varint"),
+            ("index_positions", False),
+            ("num_shards", 32),
+            ("runs_per_bucket", 32),
+        ):
+            vals = {m.get(key, default) for m in manifests}
+            if len(vals) > 1:
+                raise ValueError(
+                    f"cannot compact deltas with mixed {key} settings: {sorted(map(str, vals))}"
+                )
         gen = int(self.state.get("compact_gen", 0))
         out = os.path.join(self.root, f"compacted-{gen:03d}")
         shutil.rmtree(out, ignore_errors=True)
         for sub in ("docstore", "runs"):
             os.makedirs(os.path.join(out, sub))
         n_docs = total_tokens = n_parts = n_raw = 0
-        child_manifest = None
-        seen_codecs: set[str] = set()
-        for t in ticks:
-            with open(os.path.join(t["dir"], "manifest.json")) as fh:
-                m = json.load(fh)
-            child_manifest = child_manifest or m
-            seen_codecs.add(m.get("codec", "varint"))
+        child_manifest = manifests[0]
+        for t, m in zip(ticks, manifests):
             n_docs += m["n_docs"]
             total_tokens += m["total_tokens"]
             n_parts += m["n_partitions"]
@@ -189,10 +203,6 @@ class IncrementalIndex:
             for sub in ("docstore", "runs"):
                 for f in glob.glob(os.path.join(t["dir"], sub, "part-*.parquet")):
                     os.link(f, os.path.join(out, sub, os.path.basename(f)))
-        if len(seen_codecs) > 1:
-            raise ValueError(
-                f"cannot compact deltas with mixed codecs {sorted(seen_codecs)}"
-            )
         # build settings come from the deltas' own manifests (a CLI
         # compact may construct IncrementalIndex with a default config)
         merge_cfg = IndexConfig(

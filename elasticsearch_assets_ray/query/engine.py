@@ -130,9 +130,7 @@ class Searcher:
         # BYTE-budgeted LRU: without a bound a workload touching every
         # bucket would accumulate ~9 bytes × corpus docs per actor — the
         # very ceiling bucket-local scoring exists to avoid.
-        from collections import OrderedDict as _OD
-
-        self._scratch: "_OD[int, tuple[np.ndarray, np.ndarray]]" = _OD()
+        self._scratch: "OrderedDict[int, tuple[np.ndarray, np.ndarray]]" = OrderedDict()
         self._scratch_bytes = 0
         self.scratch_budget = 1 << 28  # 256 MB of scratch per actor
         # term -> its segment rows (a small pa.Table) | None when absent;
@@ -302,6 +300,8 @@ class Searcher:
                     self._term_rows_cache[t] = (
                         tbl.take(pa.array(r, type=pa.int64())) if r.size else None
                     )
+                elif not self._seg.files:  # empty index (zero tokens)
+                    self._term_rows_cache[t] = None
                 else:
                     # cold mode: one filtered, statistics-pruned read
                     got = self._seg.to_table(
@@ -324,6 +324,8 @@ class Searcher:
         hi_key = prefix + "\U0010ffff"
         found: set[str] = set()
         if not self.shard_resident:
+            if not self._seg.files:  # empty index
+                return []
             # cold mode: a single statistics-pruned range read over terms
             got = self._seg.to_table(
                 columns=["term"],

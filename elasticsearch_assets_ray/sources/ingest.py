@@ -45,7 +45,10 @@ def jsonl_to_parquet(
                 flat = flat.combine_chunks()
             cols = {"_id": batch["_id"]}
             for f in flat.type:
-                cols[f.name] = flat.field(f.name)
+                # the envelope _id is the document key; a _source field of
+                # the same name must not clobber it
+                name = f.name if f.name not in cols else f"_source{f.name}"
+                cols[name] = flat.field(f.name)
             return pa.table(cols)
 
         ds = ds.map_batches(unwrap, batch_format="pyarrow")

@@ -73,20 +73,12 @@ def test_term_cache_clear_does_not_crash(built_index):
 
     s = Searcher(built_index[0])
     s.search("def load", 5)
-    # simulate a bloated cache just above the bound
-    for i in range(5):
-        s._term_rows_cache[f"__fake{i}"] = None
-    orig_bound = 200_000
-    try:
-        # shrink the effective bound by padding to > 200k is too slow;
-        # instead monkey-fill to the threshold via dict update
-        s._term_rows_cache.update({f"__pad{i}": None for i in range(200_001)})
-        r = s.search("def load index", 5)  # crosses bound → clears → refills
-        assert r.num_rows == 5
-        assert len(s._term_rows_cache) < 200_001
-    finally:
-        s._term_rows_cache.clear()
-        assert orig_bound == 200_000
+    # bloat the cache past the bound; the next query must clear-then-
+    # refill, not KeyError on its own terms
+    s._term_rows_cache.update({f"__pad{i}": None for i in range(200_001)})
+    r = s.search("def load index", 5)
+    assert r.num_rows == 5
+    assert len(s._term_rows_cache) < 200_001
 
 
 def test_positions_build_with_all_empty_content(ray_session, tmp_path):
@@ -139,3 +131,82 @@ def test_multisearcher_rejects_mixed_codecs(ray_session, tmp_path, corpus_dir):
     build_index(corpus_dir, b, target_partition_rows=512, codec="pfor")
     with pytest.raises(ValueError, match="mixed codecs"):
         MultiSearcher([a, b])
+
+
+def test_cold_mode_empty_index(ray_session, tmp_path):
+    from elasticsearch_assets_ray.index.build import build_index
+    from elasticsearch_assets_ray.query.engine import Searcher
+
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "repo": ["r"], "path": ["p"], "commit": ["c"], "lang": ["t"],
+                "content": ["!!!"],
+            }
+        ),
+        src,
+    )
+    out = str(tmp_path / "idx")
+    build_index(src, out, num_shards=2, runs_per_bucket=2)
+    cold = Searcher(out, shard_resident=False)
+    assert cold.search("anything", 5).num_rows == 0
+    assert cold.expand_prefix("a") == []
+
+
+def test_compact_rejects_mixed_positions(ray_session, tmp_path):
+    import json as _json
+    import os as _os
+
+    from datetime import datetime
+
+    from elasticsearch_assets_ray.index.build import IndexConfig
+    from elasticsearch_assets_ray.index.incremental import IncrementalIndex
+
+    src = str(tmp_path / "ev.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(20), pa.int64()),
+                "ts": pa.array([datetime(2024, 1, 1 + i % 10) for i in range(20)]),
+                "txt": pa.array(["alpha beta"] * 20),
+            }
+        ),
+        src,
+    )
+    cfg = IndexConfig(content_col="txt", id_cols=("event_id",), keep_cols=(),
+                      store_content=False, num_shards=2, runs_per_bucket=2)
+    inc = IncrementalIndex(str(tmp_path / "inc"), config=cfg)
+    t1 = inc.tick(src, (datetime(2024, 1, 1), datetime(2024, 1, 6)), "ts")
+    t2 = inc.tick(src, (datetime(2024, 1, 6), datetime(2024, 1, 11)), "ts")
+    # simulate a config change between ticks
+    mp = _os.path.join(t2["dir"], "manifest.json")
+    with open(mp) as f:
+        m = _json.load(f)
+    m["index_positions"] = True
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+    with pytest.raises(ValueError, match="mixed index_positions"):
+        inc.compact()
+    # early validation leaves no partial compacted dir behind
+    assert not [d for d in _os.listdir(str(tmp_path / "inc")) if d.startswith("compacted")]
+
+
+def test_ingest_source_id_collision(ray_session, tmp_path):
+    import json as _json
+
+    from elasticsearch_assets_ray.sources.ingest import jsonl_to_parquet
+
+    src = tmp_path / "hits.jsonl"
+    with open(src, "w") as f:
+        for i in range(5):
+            f.write(
+                _json.dumps({"_id": f"env-{i}", "_source": {"_id": "inner", "v": i}})
+                + "\n"
+            )
+    out = jsonl_to_parquet(str(src), str(tmp_path / "pq"), unwrap_source=True)
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(out).to_table().sort_by("v")
+    assert t["_id"].to_pylist() == [f"env-{i}" for i in range(5)]
+    assert t["_source_id"].to_pylist() == ["inner"] * 5
