@@ -92,6 +92,24 @@ class IndexConfig:
     phase1_num_cpus: float = 1.0
     extra: dict = field(default_factory=dict)
 
+    def __post_init__(self):
+        # validated config surface (the reference schema-validates every
+        # op config, e.g. elasticsearch_reader_api/schema.ts:16-247)
+        if self.codec not in ("varint", "pfor"):
+            raise ValueError(f"unknown codec {self.codec!r} (varint | pfor)")
+        if not self.content_col:
+            raise ValueError("content_col is required")
+        if self.target_partition_rows <= 0:
+            raise ValueError("target_partition_rows must be positive")
+        if self.runs_per_bucket <= 0:
+            raise ValueError("runs_per_bucket must be positive")
+        if self.num_shards <= 0:
+            raise ValueError("num_shards must be positive")
+        if self.phase1_num_cpus <= 0:
+            raise ValueError("phase1_num_cpus must be positive")
+        if self.content_col in self.id_cols:
+            raise ValueError("content_col cannot also be an id column")
+
 
 def term_shard(terms, num_shards: int) -> np.ndarray:
     """Stable term→shard hash, vectorized (polynomial hash over utf-8

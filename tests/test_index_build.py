@@ -151,3 +151,20 @@ def test_noop_rebuild_fast(built_index, corpus_dir):
         num_shards=4,
     )
     assert m2["n_docs"] == m1["n_docs"]
+
+
+def test_index_config_validation():
+    import pytest
+
+    from elasticsearch_assets_ray.index.build import IndexConfig
+
+    with pytest.raises(ValueError, match="codec"):
+        IndexConfig(codec="zstd")
+    with pytest.raises(ValueError, match="num_shards"):
+        IndexConfig(num_shards=0)
+    with pytest.raises(ValueError, match="runs_per_bucket"):
+        IndexConfig(runs_per_bucket=-1)
+    with pytest.raises(ValueError, match="content_col"):
+        IndexConfig(content_col="")
+    with pytest.raises(ValueError, match="id column"):
+        IndexConfig(content_col="repo")
