@@ -518,10 +518,16 @@ def _merge_shard_bucket(
     }
     if "pos_le" in g.column_names:
         # flat positions follow the same (term, min_docid) row concat
-        # order as the postings; per-term slice length = cf (Σ tf)
+        # order as the postings; delta+varint encode the WHOLE group once
+        # (first position of each posting absolute, rest deltas) and
+        # slice per-term byte ranges from the per-value byte counts
+        from elasticsearch_assets_ray.index.codec import encode_positions
+
         pos_flat, _pc = _flat_binary(g["pos_le"], np.int32)
-        pos_bounds = np.concatenate(([0], np.cumsum(enc["cf"]))).astype(np.int64)
-        out["pos"] = _binary_from_offsets(pos_flat, pos_bounds)
+        enc_bytes, nb = encode_positions(pos_flat, tfs32.astype(np.int64))
+        elem_bounds = np.concatenate(([0], np.cumsum(enc["cf"]))).astype(np.int64)
+        byte_ends = np.concatenate(([0], np.cumsum(nb))).astype(np.int64)
+        out["pos"] = _binary_from_offsets(enc_bytes, byte_ends[elem_bounds])
     return pa.table(out)
 
 
@@ -717,6 +723,7 @@ def build_index(
         "id_cols": list(cfg.id_cols),
         "store_content": cfg.store_content,
         "index_positions": cfg.index_positions,
+        "positions_codec": "varint-delta" if cfg.index_positions else None,
     }
     _atomic_write_json(global_manifest, gm_path)
     return global_manifest

@@ -428,3 +428,32 @@ def decode_block(
     tfs = vals[n:].astype(np.int64)
     docids = np.cumsum(deltas) + prev_last_docid
     return docids, tfs
+
+
+def encode_positions(pos_flat: np.ndarray, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Delta+LEB128-encode per-posting position lists (posting i holds
+    ``tfs[i]`` ascending positions; lists are concatenated in posting
+    order).  The first position of each posting is absolute, the rest are
+    deltas — all vectorized.  Returns (bytes uint8, per-value byte counts)
+    so callers can slice term boundaries out of one group-wide encode."""
+    if pos_flat.size == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(tfs)))[:-1].astype(np.int64)
+    d = pos_flat.astype(np.int64).copy()
+    d[1:] -= pos_flat[:-1].astype(np.int64)
+    d[starts] = pos_flat[starts]
+    return varint_encode_arr(d.astype(np.uint64))
+
+
+def decode_positions(blob: bytes, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions` for ONE posting run: returns
+    the flat int32 position array (slice per posting with cumsum(tfs))."""
+    total = int(np.asarray(tfs).sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int32)
+    d = varint_decode(blob, count=total).astype(np.int64)
+    lens = np.asarray(tfs, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    c = np.cumsum(d)
+    base = c[starts] - d[starts]
+    return (c - np.repeat(base, lens)).astype(np.int32)

@@ -233,6 +233,7 @@ class IncrementalIndex:
             "id_cols": list(merge_cfg.id_cols),
             "store_content": merge_cfg.store_content,
             "index_positions": merge_cfg.index_positions,
+            "positions_codec": child_manifest.get("positions_codec"),
         }
         with open(os.path.join(out, "manifest.json"), "w") as fh:
             json.dump(manifest, fh)
@@ -295,6 +296,7 @@ class MultiSearcher(Searcher):
             "index_positions": all(
                 c.manifest.get("index_positions", False) for c in self.children
             ),
+            "positions_codec": c0.get("positions_codec"),
             "store_content": all(
                 c.manifest.get("store_content", False) for c in self.children
             ),

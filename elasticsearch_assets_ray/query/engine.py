@@ -503,13 +503,21 @@ class Searcher:
                 rows_by_term[t].append(i)
         decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
+        pos_codec = self.manifest.get("positions_codec")
+
         def row_data(i: int):
             hit = decoded.get(i)
             if hit is None:
                 d, tf = self._decode_postings(
                     seg["blob"][i].as_py(), int(seg["df"][i].as_py())
                 )
-                pos = np.frombuffer(seg["pos"][i].as_py(), dtype=np.int32)
+                raw = seg["pos"][i].as_py()
+                if pos_codec == "varint-delta":
+                    from elasticsearch_assets_ray.index.codec import decode_positions
+
+                    pos = decode_positions(raw, tf)
+                else:  # raw little-endian int32 (pre-compression layout)
+                    pos = np.frombuffer(raw, dtype=np.int32)
                 off = np.concatenate(([0], np.cumsum(tf))).astype(np.int64)
                 hit = (d, off, pos)
                 decoded[i] = hit

@@ -160,10 +160,13 @@ def test_positions_roundtrip_small(ray_session, tmp_path):
     seg = s._segment_rows(["a", "b", "x"])
     import numpy as np_
 
+    from elasticsearch_assets_ray.index.codec import decode_positions
+
+    assert s.manifest["positions_codec"] == "varint-delta"
     for i in range(seg.num_rows):
         term = seg["term"][i].as_py()
         d, tf = s._decode_postings(seg["blob"][i].as_py(), int(seg["df"][i].as_py()))
-        pos = np_.frombuffer(seg["pos"][i].as_py(), dtype=np_.int32)
+        pos = decode_positions(seg["pos"][i].as_py(), tf)
         off = np_.concatenate(([0], np_.cumsum(tf)))
         for j, doc in enumerate(d):
             toks = tokenize_text(texts[int(doc)])

@@ -136,3 +136,28 @@ def test_charclass_expansion_matches_regex(lit, chars):
     probes = [lit + c + "tail" for c in "abcdef0123xyz"] + [lit, "zz"]
     for p in probes:
         assert any(p.startswith(pre) for pre in prefixes) == bool(rx.match(p)), p
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(1, 8), min_size=1, max_size=30).flatmap(
+        lambda tfs: st.tuples(
+            st.just(tfs),
+            st.lists(
+                st.lists(st.integers(0, 5000), unique=True, min_size=max(tfs), max_size=max(tfs)),
+                min_size=len(tfs),
+                max_size=len(tfs),
+            ),
+        )
+    )
+)
+def test_position_codec_roundtrip(data):
+    from elasticsearch_assets_ray.index.codec import decode_positions, encode_positions
+
+    tfs, pools = data
+    pos = np.concatenate(
+        [np.sort(np.array(pool[:t], dtype=np.int32)) for t, pool in zip(tfs, pools)]
+    )
+    tf_arr = np.array(tfs, dtype=np.int64)
+    b, _nb = encode_positions(pos, tf_arr)
+    assert np.array_equal(decode_positions(b.tobytes(), tf_arr), pos)
