@@ -102,10 +102,21 @@ class ReaderAPI:
 
     # ---------- API surface ----------
     def count(self, s: ReaderSlice) -> int:
-        """F3: the count probe every slicer decision uses."""
+        """F3: the count probe every slicer decision uses.  A fulltext
+        slice counts EVERY matching doc (the ES `count` call has no
+        result window), not the fetch top-k."""
         if s.query:
-            t = self._fetch_table(s)
-            return t.num_rows
+            if self._searcher is None:
+                raise ValueError("fulltext slice needs index_dir")
+            res = self._searcher.all_scores(s.query)
+            filt = self._filter(s)
+            if filt is None:
+                n = res.num_rows
+            else:
+                ids = res["doc_id"].to_numpy(zero_copy_only=False)
+                n = self._searcher.hydrate(ids).filter(filt).num_rows
+            # an explicit slice limit caps what fetch would return
+            return min(n, s.limit) if s.limit is not None else n
         filt = self._filter(s)
         if filt is None:
             return self._ds.count_rows()

@@ -70,3 +70,21 @@ def test_fulltext_slice(built_index):
     t = api.fetch(s, columns=["doc_id", "repo", "path"])
     assert t.num_rows == 5
     assert api.count(s) == 5
+
+
+def test_fulltext_count_is_full_match_count(ray_session, corpus_dir, built_index, tmp_path):
+    """F3: count of a fulltext slice = ALL matching docs, not the fetch
+    top-k (which defaults to 10)."""
+    import os
+
+    from elasticsearch_assets_ray.sources.reader_api import ReaderAPI, ReaderSlice
+
+    idx_dir, _ = built_index
+    api = ReaderAPI(
+        os.path.join(idx_dir, "docstore"), key_col="path", index_dir=idx_dir
+    )
+    n = api.count(ReaderSlice(query="def"))
+    assert n > 10  # 'def' appears in most synthetic code files
+    from elasticsearch_assets_ray.query.engine import Searcher
+
+    assert n == Searcher(idx_dir).all_scores("def").num_rows
