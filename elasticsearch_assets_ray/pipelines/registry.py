@@ -279,7 +279,14 @@ def q_bulk_delete(sf_dir: str):
 def _order_balance_updates(sf_dir: str, key_shift: int = 0) -> pa.Table:
     ds = _rd(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     agg = _collect(
-        partial_agg(ds, ["o_custkey"], [AggSpec("cents", "o_totalprice", "sum_cents")])
+        partial_agg(
+            ds,
+            ["o_custkey"],
+            [AggSpec("cents", "o_totalprice", "sum_cents")],
+            # the update table is collected for broadcast right after —
+            # bounded by customer-key cardinality by construction
+            distinct_hint=200_000,
+        )
     )
     key = pc.add(agg["o_custkey"], pa.scalar(key_shift, pa.int64()))
     newbal = pc.divide(pc.cast(agg["cents"], pa.float64()), pa.scalar(100.0))
@@ -336,6 +343,7 @@ def q_tpch_q1(sf_dir: str):
             AggSpec("avg_price", "l_extendedprice", "mean_cents"),
             AggSpec("count_order", "l_quantity", "count"),
         ],
+        distinct_hint=16,  # returnflag × linestatus
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -362,6 +370,7 @@ def q_revenue_by_segment(sf_dir: str):
         joined,
         ["c_mktsegment"],
         [AggSpec("rev_c", "o_totalprice", "sum_cents"), AggSpec("n_orders", "o_totalprice", "count")],
+        distinct_hint=8,  # market segments
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -461,6 +470,7 @@ def q_lang_stats(sf_dir: str):
         stats,
         ["lang"],
         [AggSpec("n_docs", "doc_id", "count"), AggSpec("avg_tokens", "token_count", "mean")],
+        distinct_hint=64,  # languages
     )
     return agg
 

@@ -144,6 +144,8 @@ class Searcher:
         self._post_cache: "OrderedDict[tuple[str, int], tuple]" = OrderedDict()
         self._post_cache_bytes = 0
         self.post_cache_budget = 1 << 30  # 24B/posting → ~45M cached postings
+        # hydrate pruning observability: docstore part files opened
+        self.hydrate_files_opened = 0
         # pruning observability (cumulative across this searcher's queries)
         self.stats = {
             "buckets_considered": 0,
@@ -958,15 +960,53 @@ class Searcher:
     # ---------- doc hydration ----------
     def hydrate(self, docids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
         """Fetch docstore rows for internal docIDs (the mget analog,
-        reference elasticsearch_state_storage/api.ts)."""
-        ds = pads.dataset(os.path.join(self.index_dir, "docstore"))
-        cols = columns
-        t = ds.to_table(columns=cols, filter=pc.field("doc_id").isin(pa.array(docids)))
-        # preserve requested order
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        pos = {int(d): i for i, d in enumerate(ids)}
-        take = [pos[int(d)] for d in docids if int(d) in pos]
-        return t.take(pa.array(take, type=pa.int64()))
+        reference elasticsearch_state_storage/api.ts).
+
+        Pid-pruned: docids encode their partition (``docid >> doc_shift``)
+        and docstore part file ``part-<pid>.parquet`` holds pid's rows in
+        row order (docid = pid<<shift + row), so only the part files the
+        requested ids actually touch are opened — a scan of the whole
+        docstore dataset per hydrate call (the round-2 shape) re-reads
+        every part's footer under every phrase verify chunk.  Opens are
+        counted in ``hydrate_files_opened`` so tests can assert pruning.
+        Unknown ids (pid absent or row out of range) are dropped, matching
+        the old isin-filter semantics."""
+        import pyarrow.parquet as pq
+
+        docids = np.asarray(docids, dtype=np.int64)
+        pmap = self._pid_map()
+        if docids.size == 0:
+            any_file = next(iter(pmap.values()))
+            schema = pq.read_schema(any_file)
+            t = schema.empty_table()
+            return t.select(columns) if columns is not None else t
+        pids = docids >> self._doc_shift
+        parts: list[pa.Table] = []
+        sels: list[np.ndarray] = []
+        for p in np.unique(pids):
+            f = pmap.get(int(p))
+            if f is None:
+                continue
+            sel = np.flatnonzero(pids == p)
+            rows = docids[sel] - (int(p) << self._doc_shift)
+            ok = rows < self._pid_n_docs(int(p))
+            sel, rows = sel[ok], rows[ok]
+            if sel.size == 0:
+                continue
+            t = pq.read_table(f, columns=columns)
+            self.hydrate_files_opened += 1
+            parts.append(t.take(pa.array(rows, type=pa.int64())))
+            sels.append(sel)
+        if not parts:
+            any_file = next(iter(pmap.values()))
+            t = pq.read_schema(any_file).empty_table()
+            return t.select(columns) if columns is not None else t
+        combined = pa.concat_tables(parts)
+        cat = np.concatenate(sels)
+        # out[i] = combined row j with cat[j] == i (requested order,
+        # minus dropped ids)
+        order = np.argsort(cat, kind="stable")
+        return combined.take(pa.array(order, type=pa.int64()))
 
 
 class QueryEngineActor:

@@ -114,7 +114,11 @@ class ReaderAPI:
                 n = res.num_rows
             else:
                 ids = res["doc_id"].to_numpy(zero_copy_only=False)
-                n = self._searcher.hydrate(ids).filter(filt).num_rows
+                # hydrate ONLY the columns the date/key filter references —
+                # a count probe on a common term must not materialize
+                # stored content for a large fraction of the corpus
+                fcols = [c for c in (self.date_col, self.key_col) if c]
+                n = self._searcher.hydrate(ids, columns=fcols).filter(filt).num_rows
             # an explicit slice limit caps what fetch would return
             return min(n, s.limit) if s.limit is not None else n
         filt = self._filter(s)

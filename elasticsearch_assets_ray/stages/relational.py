@@ -134,25 +134,87 @@ def _combine_group_vec(group: pa.Table, keys: list[str], aggs: list[AggSpec]) ->
     return pa.table(out)
 
 
+def _recombine_partials(t: pa.Table, keys: list[str], aggs: list[AggSpec]) -> pa.Table:
+    """Combine partial rows into FEWER partial rows (same ``p_`` column
+    layout) — sums stay sums, means stay (sum, n) pairs, so recombining
+    is associative and can run incrementally."""
+    plan: list[tuple[str, str]] = []
+    for a in aggs:
+        if a.kind in ("min", "max"):
+            plan.append((f"p_{a.out}", a.kind))
+        else:
+            plan.append((f"p_{a.out}", "sum"))
+        if a.kind in ("mean", "mean_cents"):
+            plan.append((f"p_{a.out}__n", "sum"))
+    g = t.group_by(keys, use_threads=False).aggregate(plan)
+    out: dict[str, pa.Array] = {k: g[k] for k in keys}
+    for a in aggs:
+        suffix = a.kind if a.kind in ("min", "max") else "sum"
+        out[f"p_{a.out}"] = g[f"p_{a.out}_{suffix}"]
+        if a.kind in ("mean", "mean_cents"):
+            out[f"p_{a.out}__n"] = g[f"p_{a.out}__n_sum"]
+    return pa.table(out)
+
+
+#: driver-combine allowed when the caller declares ≤ this many distinct keys
+SMALL_COMBINE_MAX_HINT = 200_000
+
+
 def partial_agg(
-    ds: ray.data.Dataset, keys: list[str], aggs: list[AggSpec], *, n_groups: int = 64
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: list[AggSpec],
+    *,
+    n_groups: int = 64,
+    distinct_hint: int | None = None,
 ) -> ray.data.Dataset:
     """groupby(keys) with per-batch pre-aggregation (combiner) before the
     shuffle.  The shuffled relation has ≤ |batches| × |distinct keys in
-    batch| rows — at 100 TB the exchange moves partials, not data.
+    batch| rows — at 100 TB the exchange moves partials, never data.
 
-    The shuffle groups by ``hash(keys) % n_groups`` (bounded), and each
-    group's final combine is ONE vectorized Arrow group_by over all its
-    keys — constant Python-call count regardless of key cardinality
-    (grouping by the raw keys would invoke Python once per distinct key,
-    e.g. once per customer)."""
+    Two final-combine strategies:
+
+    - ``distinct_hint`` set and ≤ :data:`SMALL_COMBINE_MAX_HINT` (the
+      caller KNOWS key cardinality is bounded — e.g. 6 returnflag×status
+      pairs, 5 market segments): stream the partial batches to the driver
+      and fold them with an incremental Arrow group_by.  No second Ray
+      stage at all — the ``groupby().map_groups`` shuffle costs a fixed
+      ~0.5 s of orchestration per query regardless of data size, which
+      dominates low-cardinality aggregates (round-2 tpch_q1 regression).
+      Driver memory is bounded: partials are re-combined every
+      ``2^16`` rows, and a hint that lies (true cardinality > 5× the
+      bound) raises instead of silently accumulating.
+    - otherwise (unbounded cardinality): shuffle by ``hash(keys) %
+      n_groups`` (bounded group count), each group combined by ONE
+      vectorized Arrow group_by — constant Python-call count regardless
+      of cardinality (grouping by the raw keys would invoke Python once
+      per distinct key, e.g. once per customer)."""
     partial = ds.map_batches(
-        lambda b: (p := _partial_batch(b, keys, aggs)).append_column(
-            "__grp", key_group_column(p, keys, n_groups)
-        ),
+        lambda b: _partial_batch(b, keys, aggs), batch_format="pyarrow"
+    )
+    if distinct_hint is not None and distinct_hint <= SMALL_COMBINE_MAX_HINT:
+        fold_every = max(65536, 2 * distinct_hint)
+        acc: pa.Table | None = None
+        for b in partial.iter_batches(batch_format="pyarrow"):
+            acc = b if acc is None else pa.concat_tables([acc, b])
+            if acc.num_rows >= fold_every:
+                acc = _recombine_partials(acc, keys, aggs)
+                if acc.num_rows > 5 * max(distinct_hint, 1):
+                    raise ValueError(
+                        f"partial_agg distinct_hint={distinct_hint} but "
+                        f"≥{acc.num_rows} distinct keys observed — drop the "
+                        "hint to use the shuffle combine"
+                    )
+        if acc is None:
+            sch = ds.schema()
+            empty = pa.table({n: pa.array([], type=t) for n, t in zip(sch.names, sch.types)})
+            acc = _partial_batch(empty, keys, aggs)
+        return ray.data.from_arrow(_combine_group_vec(acc, keys, aggs))
+    with_grp = partial.map_batches(
+        lambda p: p.append_column("__grp", key_group_column(p, keys, n_groups)),
         batch_format="pyarrow",
     )
-    return partial.groupby("__grp").map_groups(
+    return with_grp.groupby("__grp").map_groups(
         lambda g: _combine_group_vec(g.drop_columns(["__grp"]), keys, aggs),
         batch_format="pyarrow",
     )
