@@ -137,6 +137,84 @@ def bench_index_build(
     }
 
 
+#: drifted-corpus serving bench: regional vocabulary drift (per-segment
+#: pool permutations — per-project vocabularies in a repo-ordered crawl)
+#: makes per-block score maxima vary by docID region, the regime
+#: block-max pruning exists for.  The main REFERENCE_QUERIES set over the
+#: iid corpus measures the exhaustive floor (uniform block maxima —
+#: correctly nothing to skip); this one shows the pruning machinery's
+#: p50/p99 win with nonzero skip counters, pruned vs exhaustive on the
+#: SAME index and queries.
+DRIFT_CORPUS_DIR = "/tmp/bench_corpus_drift"
+DRIFT_CORPUS_FILES = 16_000
+DRIFT_INDEX_DIR = "/tmp/bench_idx_drift"
+#: identifier-term queries (template keywords like 'def'/'return' appear
+#: in every line of every region — including them flattens the bounds the
+#: drift creates; real scoped searches over identifiers look like these)
+DRIFT_QUERIES = [
+    # scoped searches: one regionally-concentrated high-idf repo token
+    # (df ≈ 200 contiguous docs → 1-2 blocks in ONE bucket) + common
+    # identifier terms.  θ is set by the scope term's hits; every other
+    # bucket bounds below it and is skipped without decoding.
+    "repo3 parse config",
+    "repo11 load index",
+    "repo19 merge shard",
+    "repo27 user token",
+    "repo35 cache store",
+    "repo43 query score",
+    "repo51 batch queue",
+    "repo59 client server",
+    "repo67 node edge",
+    "repo75 open close",
+    # unscoped identifier queries: the drift-only regime — saturation
+    # limits the bound spread, so these mostly measure the floor
+    "parse config",
+    "load index",
+]
+
+
+def bench_pruned_serving() -> dict:
+    import numpy as np
+
+    from elasticsearch_assets_ray.corpus import write_corpus
+    from elasticsearch_assets_ray.index.build import build_index
+    from elasticsearch_assets_ray.query.engine import Searcher
+
+    # drift_segments == bucket count: each bucket is hot for ONE region's
+    # syllable ranking, so most buckets bound below θ for a 2-3 term query
+    write_corpus(
+        DRIFT_CORPUS_DIR, DRIFT_CORPUS_FILES, files=8, row_group_size=512,
+        drift_segments=8,
+    )
+    shutil.rmtree(DRIFT_INDEX_DIR, ignore_errors=True)
+    build_index(
+        DRIFT_CORPUS_DIR,
+        DRIFT_INDEX_DIR,
+        target_partition_rows=512,
+        runs_per_bucket=4,  # 32 pids → 8 buckets: bucket-level skips visible
+        resume=False,
+    )
+    queries = DRIFT_QUERIES
+    out = {}
+    for label, prune in (("pruned", True), ("exhaustive", False)):
+        s = Searcher(DRIFT_INDEX_DIR, prune=prune)
+        s._pid_map()
+        lat = []
+        for _ in range(BENCH_QUERY_REPEAT):
+            for q in queries:
+                t0 = time.perf_counter()
+                s.search(q, k=10)
+                lat.append(time.perf_counter() - t0)
+        lm = np.array(lat) * 1e3
+        out[label] = {
+            "p50_ms": round(float(np.percentile(lm, 50)), 3),
+            "p99_ms": round(float(np.percentile(lm, 99)), 3),
+            "mean_ms": round(float(lm.mean()), 3),
+            "prune": dict(s.stats),
+        }
+    return out
+
+
 def bench_query_serving(index_dir: str) -> dict:
     """Query latency (serial p50/p99 on one Searcher) and QPS (actor-pool
     batch serving)."""
@@ -320,6 +398,7 @@ def main() -> None:
     idx_dir = "/tmp/bench_idx_main"
     build = bench_index_build(num_cpus, idx_dir)
     serving = bench_query_serving(idx_dir)
+    pruned = bench_pruned_serving()
     queries = bench_sf_queries(sf_dir)
     total = time.perf_counter() - t_all
 
@@ -334,6 +413,7 @@ def main() -> None:
                 "num_cpus": num_cpus,
                 "index_build": build,
                 "query_serving": serving,
+                "pruned_serving": pruned,
             }
         )
     )

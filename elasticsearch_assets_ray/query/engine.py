@@ -144,6 +144,16 @@ class Searcher:
         self._post_cache: "OrderedDict[tuple[str, int], tuple]" = OrderedDict()
         self._post_cache_bytes = 0
         self.post_cache_budget = 1 << 30  # 24B/posting → ~45M cached postings
+        # (term, bucket) -> (block_last, block_sat, sat_max): the
+        # query-invariant part of every block upper bound (idf scaling is
+        # per query).  One segment row per (term, shard, bucket) is a
+        # merge invariant, so the key is unique.  Without this cache the
+        # bounds pass re-runs frombuffer + tf_saturation over every
+        # term's block arrays on EVERY query — measured as the pruned
+        # path losing to exhaustive on warm queries.
+        self._blockub_cache: "OrderedDict[tuple[str, int], tuple]" = OrderedDict()
+        self._blockub_bytes = 0
+        self.blockub_budget = 1 << 28
         # hydrate pruning observability: docstore part files opened
         self.hydrate_files_opened = 0
         # pruning observability (cumulative across this searcher's queries)
@@ -634,8 +644,6 @@ class Searcher:
 
         bounds = {}
         if k is not None:
-            maxtf_col = seg["block_maxtf"]
-            mindl_col = seg["block_mindl"]
             for b, rows in row_idx_by_bucket.items():
                 ub = 0.0
                 for i in rows:
@@ -643,16 +651,7 @@ class Searcher:
                     w = idf_by_term.get(t)
                     if w is None:
                         continue  # must_not-only term: no score contribution
-                    mtf = np.frombuffer(maxtf_col[i].as_py(), dtype=np.int32)
-                    mdl = np.frombuffer(mindl_col[i].as_py(), dtype=np.int32)
-                    ub += float(
-                        np.max(
-                            bm25.tf_saturation(
-                                mtf.astype(np.float64), mdl.astype(np.float64), self.avgdl
-                            )
-                        )
-                        * w
-                    )
+                    ub += self._block_ub(seg, i, t, int(b))[2] * w
                 bounds[b] = ub
             order = sorted(bounds, key=lambda b: -bounds[b])
         else:
@@ -756,6 +755,29 @@ class Searcher:
             self._post_cache_bytes -= od.nbytes * 3
         return hit
 
+    def _block_ub(self, seg, i: int, term: str, bucket: int):
+        """(block_last int64[], block_sat float64[], sat_max float) for a
+        segment row — the query-invariant factors of its block upper
+        bounds, through a byte-budgeted LRU."""
+        key = (term, bucket)
+        hit = self._blockub_cache.get(key)
+        if hit is not None:
+            self._blockub_cache.move_to_end(key)
+            return hit
+        bl = np.frombuffer(seg["block_last"][i].as_py(), dtype=np.int64)
+        mtf = np.frombuffer(seg["block_maxtf"][i].as_py(), dtype=np.int32)
+        mdl = np.frombuffer(seg["block_mindl"][i].as_py(), dtype=np.int32)
+        sat = bm25.tf_saturation(
+            mtf.astype(np.float64), mdl.astype(np.float64), self.avgdl
+        )
+        hit = (bl, sat, float(sat.max()) if sat.size else 0.0)
+        self._blockub_cache[key] = hit
+        self._blockub_bytes += bl.nbytes + sat.nbytes
+        while self._blockub_bytes > self.blockub_budget and len(self._blockub_cache) > 1:
+            _, (obl, osat, _m) = self._blockub_cache.popitem(last=False)
+            self._blockub_bytes -= obl.nbytes + osat.nbytes
+        return hit
+
     def _seed_theta(self, seg, seg_term, seg_df, idf_by_term, k: int) -> float:
         """k-th best partial score of the rarest scoring term (θ seed)."""
         df_tot = {t: 0 for t in idf_by_term}
@@ -794,21 +816,22 @@ class Searcher:
         pivot walk (Ding & Suel's block-max metadata, public literature)."""
         per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
         use_prune = theta > -np.inf and len(rows) > 0
+        if use_prune and all(
+            (seg_term[i], bucket) in self._post_cache for i in rows
+        ):
+            # every term already decoded (warm query): skipping saves no
+            # decode work, and the grid build + posting mask would be pure
+            # overhead — serve the bare cached scatter-add instead
+            use_prune = False
         meta = None
         if use_prune:
             # per-row block metadata + upper bounds
             meta = []
             total_blocks = 0
             for i in rows:
-                bl = np.frombuffer(seg["block_last"][i].as_py(), dtype=np.int64)
-                mtf = np.frombuffer(seg["block_maxtf"][i].as_py(), dtype=np.int32)
-                mdl = np.frombuffer(seg["block_mindl"][i].as_py(), dtype=np.int32)
+                bl, sat, _m = self._block_ub(seg, i, seg_term[i], bucket)
                 w = idf_by_term.get(seg_term[i])
-                ub = (
-                    w * bm25.tf_saturation(mtf.astype(np.float64), mdl.astype(np.float64), self.avgdl)
-                    if w is not None
-                    else np.zeros(len(bl))
-                )
+                ub = w * sat if w is not None else np.zeros(len(bl))
                 meta.append((bl, ub))
                 total_blocks += len(bl)
             if total_blocks < 8:

@@ -152,3 +152,57 @@ def test_pfor_index_rank_identical(ray_session, tmp_path, corpus_dir):
         r = sp.search(q, 10)
         assert np.array_equal(r["doc_id"].to_numpy(), oi), q
         assert np.array_equal(r["score"].to_numpy(), osc), q
+
+
+@pytest.fixture(scope="module")
+def drift_index(ray_session, tmp_path_factory):
+    """Drifted-vocabulary corpus (per-segment syllable zipf, repo-ordered)
+    — the bench_pruned_serving regime at test scale."""
+    from elasticsearch_assets_ray.corpus import write_corpus
+    from elasticsearch_assets_ray.index.build import build_index
+
+    cd = str(tmp_path_factory.mktemp("driftcorpus"))
+    write_corpus(cd, 4000, files=4, row_group_size=256, drift_segments=8)
+    out = str(tmp_path_factory.mktemp("driftidx"))
+    build_index(cd, out, target_partition_rows=256, runs_per_bucket=2, num_shards=8)
+    return out
+
+
+def test_drift_scoped_queries_skip_and_match(drift_index):
+    """Scoped (rare repo token + common terms) queries must skip whole
+    buckets AND stay rank-identical to the exhaustive path."""
+    pruned = Searcher(drift_index, prune=True)
+    exact = Searcher(drift_index, prune=False)
+    for q in ["repo3 parse config", "repo11 load index", "repo19 merge shard"]:
+        for _ in range(2):  # cold + warm (cache-bypass path)
+            rp = pruned.search(q, k=10)
+            re_ = exact.search(q, k=10)
+            assert rp["doc_id"].to_pylist() == re_["doc_id"].to_pylist(), q
+            assert np.array_equal(
+                rp["score"].to_numpy(), re_["score"].to_numpy()
+            ), q
+    assert pruned.stats["buckets_skipped"] > 0
+    assert exact.stats["buckets_skipped"] == 0
+
+
+def test_hydrate_opens_only_touched_parts(built_index):
+    """Pid-pruned hydrate: requesting docids from one partition must open
+    ONE docstore part file, not scan the dataset."""
+    idx_dir, _ = built_index
+    s = Searcher(idx_dir)
+    pmap = s._pid_map()
+    assert len(pmap) > 1
+    pid = sorted(pmap)[0]
+    ids = np.array([(pid << s._doc_shift) + r for r in (0, 3, 5)], dtype=np.int64)
+    t = s.hydrate(ids, columns=["doc_id", "path"])
+    assert s.hydrate_files_opened == 1
+    assert t["doc_id"].to_pylist() == ids.tolist()
+    # requested order is preserved even when ids are unsorted across pids
+    pid2 = sorted(pmap)[1]
+    mixed = np.array(
+        [(pid2 << s._doc_shift) + 1, (pid << s._doc_shift) + 2, (pid2 << s._doc_shift) + 0],
+        dtype=np.int64,
+    )
+    t2 = s.hydrate(mixed, columns=["doc_id"])
+    assert t2["doc_id"].to_pylist() == mixed.tolist()
+    assert s.hydrate_files_opened == 3  # two more files for the second call
