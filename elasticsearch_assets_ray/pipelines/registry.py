@@ -773,13 +773,24 @@ def q_props_extract(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _keyspace_layout(sf_dir: str, table: str, col: str) -> str:
+    import hashlib
+
+    tag = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{table}|{col}".encode()).hexdigest()[:16]
+    return os.path.join("/tmp/esr_keyspace_cache", tag)
+
+
 def q_keyspace_plan(sf_dir: str):
     """Quantile range-partition boundaries over customer names (the
     idSlicerOptimized variable-width ranges taken to equal-count
     ranges)."""
-    from elasticsearch_assets_ray.sources.keyspace import KeyspaceIndex, quantile_key_ranges
+    from elasticsearch_assets_ray.sources.keyspace import SortedKeyspace, quantile_key_ranges
 
-    ks = KeyspaceIndex.from_parquet(_p(sf_dir, "customer"), "c_name")
+    # the distributed path: ONE ds.sort over the pruned key column, then
+    # boundary-metadata probes (driver memory ∝ files, not rows)
+    ks = SortedKeyspace.build(
+        _p(sf_dir, "customer"), "c_name", _keyspace_layout(sf_dir, "customer", "c_name")
+    )
     bounds = quantile_key_ranges(ks, 8)
     return pa.table(
         {
@@ -792,9 +803,11 @@ def q_keyspace_plan(sf_dir: str):
 def q_prefix_dfs(sf_dir: str):
     """idSlicer DFS over the documents 'source' keyspace (rows-only: the
     recursion is data-dependent; verified by invariant tests)."""
-    from elasticsearch_assets_ray.sources.keyspace import KeyspaceIndex, prefix_dfs_partitions
+    from elasticsearch_assets_ray.sources.keyspace import SortedKeyspace, prefix_dfs_partitions
 
-    ks = KeyspaceIndex.from_parquet(_p(sf_dir, "documents"), "source")
+    ks = SortedKeyspace.build(
+        _p(sf_dir, "documents"), "source", _keyspace_layout(sf_dir, "documents", "source")
+    )
     slices = prefix_dfs_partitions(ks, "abcdefghijklmnopqrstuvwxyz0123456789", 30)
     return pa.table(
         {

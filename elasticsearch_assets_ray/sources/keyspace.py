@@ -104,6 +104,149 @@ class KeyspaceIndex:
         return self.count_range(prefix, prefix + "\U0010ffff")
 
 
+class SortedKeyspace:
+    """Distributed keyspace planning state (the scale path KeyspaceIndex's
+    docstring promises): ONE ``ds.sort(key)`` over the pruned key column
+    writes a sorted parquet layout; per-file exact boundary keys (first +
+    last value, read once) form a tiny driver-side boundary table; every
+    count/rank probe bisects the boundaries and reads AT MOST one file's
+    key column through an LRU.  Driver memory ∝ number of files + LRU
+    budget — never the key column (the round-2 shape materialized every
+    key on the driver; at 1B keys that is GBs).
+
+    Same probe protocol as :class:`KeyspaceIndex` (``n``, ``key_at``,
+    ``count_range``, ``count_prefix``), so :func:`prefix_dfs_partitions`
+    and :func:`quantile_key_ranges` run unchanged on either.
+    Reference analog: the slicers' per-prefix remote count probes
+    (algorithms/idSlicer.ts:7-175) — here the "remote index" is the
+    sorted layout and a probe is an O(log files) bisect + one file read.
+    """
+
+    KEY = "key"
+
+    def __init__(self, layout_dir: str, cache_files: int = 8):
+        import glob
+        import os
+        from collections import OrderedDict
+
+        files = sorted(glob.glob(os.path.join(layout_dir, "*.parquet")))
+        firsts: list[str] = []
+        lasts: list[str] = []
+        counts: list[int] = []
+        metas = []
+        for f in files:
+            pf = pq.ParquetFile(f)
+            nrows = pf.metadata.num_rows
+            if nrows == 0:
+                continue
+            # exact boundary keys: parquet string statistics may be
+            # truncated, which breaks exact rank arithmetic — read the
+            # first and last row-group's key column once instead
+            first = pf.read_row_group(0, columns=[self.KEY])[self.KEY][0].as_py()
+            last_rg = pf.num_row_groups - 1
+            lcol = pf.read_row_group(last_rg, columns=[self.KEY])[self.KEY]
+            last = lcol[len(lcol) - 1].as_py()
+            metas.append((first, last, f, nrows))
+        metas.sort()  # global order: by (first, last) — ranges are disjoint
+        for first, last, f, nrows in metas:
+            firsts.append(first)
+            lasts.append(last)
+            counts.append(nrows)
+        self.files = [m[2] for m in metas]
+        self.firsts = firsts
+        self.lasts = lasts
+        self.cum = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        self.n = int(self.cum[-1])
+        self._lru: "OrderedDict[int, pa.Array]" = OrderedDict()
+        self._cache_files = cache_files
+
+    @classmethod
+    def build(
+        cls, parquet_path: str, key_col: str, layout_dir: str, *, overwrite: bool = False
+    ) -> "SortedKeyspace":
+        """Sort the key column (pruned read — only ``key_col`` leaves
+        storage) into ``layout_dir``.  Idempotent per (input files,
+        sizes, key_col) fingerprint unless ``overwrite``."""
+        import hashlib
+        import os
+        import shutil
+
+        import ray.data
+
+        paths = [parquet_path]
+        if os.path.isdir(parquet_path):
+            paths = sorted(
+                os.path.join(parquet_path, f)
+                for f in os.listdir(parquet_path)
+                if f.endswith(".parquet")
+            )
+        fp = hashlib.sha256()
+        for p in paths:
+            st = os.stat(p)
+            fp.update(f"{p}|{st.st_size}|{st.st_mtime_ns}|{key_col}\n".encode())
+        marker = os.path.join(layout_dir, ".fingerprint")
+        want = fp.hexdigest()
+        if not overwrite and os.path.exists(marker) and open(marker).read() == want:
+            return cls(layout_dir)
+        shutil.rmtree(layout_dir, ignore_errors=True)
+        os.makedirs(layout_dir, exist_ok=True)
+        ds = ray.data.read_parquet(paths, columns=[key_col])
+        ds = ds.map_batches(
+            lambda b: pa.table({cls.KEY: b[key_col].drop_null()}),
+            batch_format="pyarrow",
+        )
+        ds.sort(cls.KEY).write_parquet(layout_dir)
+        with open(marker, "w") as f:
+            f.write(want)
+        return cls(layout_dir)
+
+    def _keys_of(self, fi: int) -> pa.Array:
+        hit = self._lru.get(fi)
+        if hit is not None:
+            self._lru.move_to_end(fi)
+            return hit
+        arr = pq.read_table(self.files[fi], columns=[self.KEY])[self.KEY].combine_chunks()
+        self._lru[fi] = arr
+        while len(self._lru) > self._cache_files:
+            self._lru.popitem(last=False)
+        return arr
+
+    def _rank(self, x: str) -> int:
+        """Global count of keys < x.  File = FIRST whose last key >= x
+        (earlier files hold only keys < x; later files only keys >= x),
+        then one in-file binary search."""
+        import bisect
+
+        if self.n == 0:
+            return 0
+        fi = bisect.bisect_left(self.lasts, x)
+        if fi == len(self.files):
+            return self.n
+        keys = self._keys_of(fi)
+        lo, hi = 0, len(keys)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if keys[mid].as_py() < x:
+                lo = mid + 1
+            else:
+                hi = mid
+        return int(self.cum[fi]) + lo
+
+    def key_at(self, i: int) -> str:
+        import bisect
+
+        fi = bisect.bisect_right(self.cum, i) - 1
+        return self._keys_of(fi)[i - int(self.cum[fi])].as_py()
+
+    def count_range(self, lo: str | None, hi: str | None) -> int:
+        a = 0 if lo is None else self._rank(lo)
+        b = self.n if hi is None else self._rank(hi)
+        return max(0, b - a)
+
+    def count_prefix(self, prefix: str) -> int:
+        return self.count_range(prefix, prefix + "\U0010ffff")
+
+
 @dataclass(frozen=True)
 class KeySlice:
     """The ReaderSlice{keys:[prefix]} analog (reference

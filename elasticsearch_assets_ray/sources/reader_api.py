@@ -23,6 +23,7 @@ date/key slices work straight off the docstore/table parquet.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -77,6 +78,7 @@ class ReaderAPI:
 
             self._searcher = Searcher(index_dir)
         self.records_fetched = 0  # F6 gauge analog
+        self._keyspace = None  # lazy SortedKeyspace (see keyspace())
 
     # ---------- predicates ----------
     def _filter(self, s: ReaderSlice):
@@ -197,15 +199,33 @@ class ReaderAPI:
             out.append(ReaderSlice(start=s, end=e))
         return out
 
-    def make_id_slicer_ranges(self, alphabet: str, max_count: int) -> list[ReaderSlice]:
-        """Keyspace DFS plan (P7) as ReaderSlices."""
-        from elasticsearch_assets_ray.sources.keyspace import (
-            KeyspaceIndex,
-            prefix_dfs_partitions,
-        )
+    def keyspace(self):
+        """Distributed keyspace state for this table's key column: a
+        one-time sorted layout (fingerprint-cached under /tmp) whose
+        probes read boundary metadata + at most one file — never the
+        whole key column on the driver (at 1B keys that is GBs)."""
+        if self._keyspace is None:
+            import hashlib
 
-        ks = KeyspaceIndex(self._ds.to_table(columns=[self.key_col])[self.key_col])
+            from elasticsearch_assets_ray.sources.keyspace import SortedKeyspace
+
+            tag = hashlib.sha256(
+                f"{os.path.abspath(self.table_path)}|{self.key_col}".encode()
+            ).hexdigest()[:16]
+            layout = os.path.join(
+                os.environ.get("ESR_KEYSPACE_CACHE", "/tmp/esr_keyspace_cache"), tag
+            )
+            self._keyspace = SortedKeyspace.build(
+                self.table_path, self.key_col, layout
+            )
+        return self._keyspace
+
+    def make_id_slicer_ranges(self, alphabet: str, max_count: int) -> list[ReaderSlice]:
+        """Keyspace DFS plan (P7) as ReaderSlices, probing the sorted
+        layout (driver memory ∝ file boundaries, not rows)."""
+        from elasticsearch_assets_ray.sources.keyspace import prefix_dfs_partitions
+
         return [
             ReaderSlice(keys=[sl.prefix], count=sl.count, keys_exact=sl.exact)
-            for sl in prefix_dfs_partitions(ks, alphabet, max_count)
+            for sl in prefix_dfs_partitions(self.keyspace(), alphabet, max_count)
         ]

@@ -115,3 +115,47 @@ def test_quantile_ranges_match_sql():
     parts = [ks.count_range(lo, hi) for lo, hi in zip([None, *bounds], [*bounds, None])]
     assert sum(parts) == len(keys)
     assert max(parts) - min(parts) <= max(1, len(keys) // 100)
+
+
+def test_sorted_keyspace_matches_in_memory(ray_session, tmp_path):
+    """SortedKeyspace (distributed layout + boundary probes) must agree
+    with the in-memory KeyspaceIndex on every probe type."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_assets_ray.sources.keyspace import (
+        KeyspaceIndex,
+        SortedKeyspace,
+        prefix_dfs_partitions,
+        quantile_key_ranges,
+    )
+
+    rng = np.random.default_rng(7)
+    alpha = "abcd"
+    keys = [
+        "".join(rng.choice(list(alpha), size=rng.integers(1, 6)))
+        for _ in range(5000)
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    # several files, unsorted, with duplicates spanning files
+    t = pa.table({"k": pa.array(keys)})
+    for i in range(4):
+        pq.write_table(t.slice(i * 1250, 1250), str(src / f"f{i}.parquet"), row_group_size=300)
+    mem = KeyspaceIndex(pa.array(keys))
+    dist = SortedKeyspace.build(str(src), "k", str(tmp_path / "layout"))
+    assert dist.n == mem.n
+    for p in ["", "a", "ab", "abc", "d", "dd", "zz", "ba", "c"]:
+        assert dist.count_prefix(p) == mem.count_prefix(p), p
+    for lo, hi in [("a", "b"), (None, "c"), ("bc", None), ("aaa", "aab")]:
+        assert dist.count_range(lo, hi) == mem.count_range(lo, hi), (lo, hi)
+    for i in [0, 1, 17, 2499, 4999]:
+        assert dist.key_at(i) == mem.key_at(i), i
+    assert quantile_key_ranges(dist, 7) == quantile_key_ranges(mem, 7)
+    a = prefix_dfs_partitions(dist, alpha, 100)
+    b = prefix_dfs_partitions(mem, alpha, 100)
+    assert a == b
+    # fingerprint cache: rebuilding without input change reuses the layout
+    dist2 = SortedKeyspace.build(str(src), "k", str(tmp_path / "layout"))
+    assert dist2.n == dist.n
