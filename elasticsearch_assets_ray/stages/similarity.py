@@ -88,6 +88,80 @@ def _merge_topk(cands: pa.Table, k: int) -> pa.Table:
     )
 
 
+def _match_pairs(
+    keys_flat: np.ndarray,
+    row_of: np.ndarray,
+    qk_sorted: np.ndarray,
+    qk_qi: np.ndarray,
+    n_q: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch candidate generation shared by the ANN scorers: match every
+    (row, key) entry against the SORTED query-side key postings
+    (qk_sorted with parallel query ids qk_qi) in two searchsorted passes,
+    expand the hit ranges to (row, query) pairs, and dedupe — replacing
+    the per-query ``np.isin`` loop (fine at 3 gate queries, |Q|× the
+    batch work when serving thousands)."""
+    lo = np.searchsorted(qk_sorted, keys_flat, side="left")
+    hi = np.searchsorted(qk_sorted, keys_flat, side="right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    starts = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+    offs = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+    pair_qi = qk_qi[np.repeat(lo, cnt) + offs]
+    pair_row = np.repeat(row_of, cnt)
+    combo = np.unique(pair_row * np.int64(n_q) + pair_qi)
+    return combo // np.int64(n_q), combo % np.int64(n_q)
+
+
+def _pairs_local_topk(
+    m: np.ndarray,
+    vids: np.ndarray,
+    qmat: np.ndarray,
+    qids: np.ndarray,
+    pair_row: np.ndarray,
+    pair_qi: np.ndarray,
+    k: int,
+) -> pa.Table:
+    """Per-query local top-k over candidate (row, query) pairs: ONE fused
+    gather-dot (einsum) over every pair, then a lexsort + segment head-k
+    — no per-query matmul loop.  Deterministic (-sim, vec_id) order."""
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+    if pair_row.size == 0:
+        return empty
+    sims = np.einsum("ij,ij->i", m[pair_row], qmat[pair_qi])
+    srt = np.lexsort((vids[pair_row], -sims, pair_qi))
+    sq, srow, ssim = pair_qi[srt], pair_row[srt], sims[srt]
+    seg_start = np.concatenate(([True], sq[1:] != sq[:-1]))
+    seg_idx = np.cumsum(seg_start) - 1
+    first_of_seg = np.flatnonzero(seg_start)
+    pos = np.arange(sq.size) - first_of_seg[seg_idx]
+    keep = pos < k
+    return pa.table(
+        {
+            "query_id": pa.array(np.asarray(qids)[sq[keep]].astype(np.int64)),
+            "vec_id": pa.array(vids[srow[keep]].astype(np.int64)),
+            "sim": pa.array(ssim[keep].astype(np.float64)),
+        }
+    )
+
+
+def _sorted_query_postings(qkeys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a (Q, T) query key matrix into sorted (key, query-id)
+    postings arrays for :func:`_match_pairs`."""
+    qi_flat = np.repeat(np.arange(qkeys.shape[0], dtype=np.int64), qkeys.shape[1])
+    order = np.argsort(qkeys.reshape(-1), kind="stable")
+    return qkeys.reshape(-1)[order], qi_flat[order]
+
+
 def brute_force_topk(
     ds: ray.data.Dataset,
     query_ids: np.ndarray,
@@ -181,36 +255,24 @@ def lsh_topk(
         def __init__(self):
             self.state = ray.get(ref)
             self.indexer = LSHIndexer(dim=dim, n_tables=n_tables, n_planes=n_planes, vec_col=vec_col)
+            # query-side key postings, sorted once per actor — batch
+            # candidate generation is two searchsorted calls, with NO
+            # per-query Python loop (the round-2 shape looped |Q| times
+            # per batch: fine at 3 gate queries, not at thousands)
+            self.qk_sorted, self.qk_qi = _sorted_query_postings(self.state["qkeys"])
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             vids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             m = _normalize(_matrix(batch[vec_col]))
-            keys = self.indexer.key(m)  # (n, T)
-            qid_out, vid_out, sim_out = [], [], []
-            qmat = self.state["qmat"]
-            qids = self.state["qids"]
-            qkeys = self.state["qkeys"]  # (Q, T)
-            # candidate mask per query, fully vectorized: a row is a
-            # candidate for query qi iff ANY of its table keys appears in
-            # qi's key set (np.isin over the (n, T) key matrix — the
-            # per-row Python dict walk was the hot-loop anti-pattern)
-            for qi in range(qkeys.shape[0]):
-                cand = np.isin(keys, qkeys[qi]).any(axis=1)
-                if not cand.any():
-                    continue
-                ridx = np.flatnonzero(cand)
-                sims = m[ridx] @ qmat[qi]
-                kk = min(k, len(ridx))
-                part = np.argpartition(-sims, kth=kk - 1)[:kk]
-                qid_out.extend([int(qids[qi])] * kk)
-                vid_out.extend(vids[ridx[part]].tolist())
-                sim_out.extend(sims[part].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(qid_out, pa.int64()),
-                    "vec_id": pa.array(vid_out, pa.int64()),
-                    "sim": pa.array(sim_out, pa.float64()),
-                }
+            n = len(vids)
+            keys = self.indexer.key(m).reshape(-1)  # (n*T,)
+            row_of = np.repeat(np.arange(n, dtype=np.int64), n_tables)
+            n_q = self.state["qmat"].shape[0]
+            pair_row, pair_qi = _match_pairs(
+                keys, row_of, self.qk_sorted, self.qk_qi, n_q
+            )
+            return _pairs_local_topk(
+                m, vids, self.state["qmat"], self.state["qids"], pair_row, pair_qi, k
             )
 
     cands_ds = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=concurrency)
@@ -312,25 +374,22 @@ def ivf_topk(
         m = _normalize(_matrix(batch[vec_col]))
         assign = np.argmax(m @ cent_.T, axis=1)
         keep = np.isin(assign, st["probed"])
-        qid_o, vid_o, sim_o = [], [], []
-        if keep.any():
-            mk, vk, ak = m[keep], vids[keep], assign[keep]
-            for qi in range(st["qmat"].shape[0]):
-                cand = np.isin(ak, st["qassign"][qi])
-                if not cand.any():
-                    continue
-                sims = mk[cand] @ st["qmat"][qi]
-                kk = min(k, sims.size)
-                part = np.argpartition(-sims, kth=kk - 1)[:kk]
-                qid_o.extend([int(st["qids"][qi])] * kk)
-                vid_o.extend(vk[cand][part].tolist())
-                sim_o.extend(sims[part].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(qid_o, pa.int64()),
-                "vec_id": pa.array(vid_o, pa.int64()),
-                "sim": pa.array(sim_o, pa.float64()),
-            }
+        if not keep.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        mk, vk, ak = m[keep], vids[keep], assign[keep]
+        qk_sorted, qk_qi = _sorted_query_postings(st["qassign"])
+        pair_row, pair_qi = _match_pairs(
+            ak, np.arange(len(vk), dtype=np.int64), qk_sorted, qk_qi,
+            st["qmat"].shape[0],
+        )
+        return _pairs_local_topk(
+            mk, vk, st["qmat"], st["qids"], pair_row, pair_qi, k
         )
 
     cands_ds = ds.map_batches(score, batch_format="pyarrow")
@@ -444,23 +503,13 @@ def ivf_search(
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        qid_o, vid_o, sim_o = [], [], []
-        for qi in range(st["qmat"].shape[0]):
-            cand = np.isin(clus, st["qassign"][qi])
-            if not cand.any():
-                continue
-            sims = m[cand] @ st["qmat"][qi]
-            kk = min(k, sims.size)
-            part = np.argpartition(-sims, kth=kk - 1)[:kk]
-            qid_o.extend([int(st["qids"][qi])] * kk)
-            vid_o.extend(vids[cand][part].tolist())
-            sim_o.extend(sims[part].tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(qid_o, pa.int64()),
-                "vec_id": pa.array(vid_o, pa.int64()),
-                "sim": pa.array(sim_o, pa.float64()),
-            }
+        qk_sorted, qk_qi = _sorted_query_postings(st["qassign"])
+        pair_row, pair_qi = _match_pairs(
+            clus, np.arange(len(vids), dtype=np.int64), qk_sorted, qk_qi,
+            st["qmat"].shape[0],
+        )
+        return _pairs_local_topk(
+            m, vids, st["qmat"], st["qids"], pair_row, pair_qi, k
         )
 
     cands_ds = ds.map_batches(score, batch_format="pyarrow")

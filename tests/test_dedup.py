@@ -106,3 +106,60 @@ def test_distinct_pairs_dataset_path(ray_session):
     assert got["id_a"].to_pylist() == tbl["id_a"].to_pylist()
     assert got["id_b"].to_pylist() == tbl["id_b"].to_pylist()
     assert got["jaccard_sim"].to_pylist() == tbl["jaccard_sim"].to_pylist()
+
+
+def test_minhash_dup_heavy_buckets_vectorized(ray_session):
+    """Dup-heavy corpus (many multi-row LSH buckets): the vectorized
+    sorted-run verify must produce exactly the brute-force per-pair
+    Jaccard result."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.dedup import (
+        _shingle_hashes,
+        _token_lists,
+        jaccard,
+        minhash_lsh_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    texts, ids = [], []
+    docid = 0
+    for c in range(12):  # 12 clusters of 8 near-identical docs
+        base = [words[int(w)] for w in rng.integers(0, len(words), 30)]
+        for v in range(8):
+            t = list(base)
+            if v:  # mutate one word per variant
+                t[int(rng.integers(0, len(t)))] = words[int(rng.integers(0, len(words)))]
+            texts.append(" ".join(t))
+            ids.append(docid)
+            docid += 1
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl)
+    got = minhash_lsh_dedup(
+        ds, "text", "doc_id", num_perm=32, bands=16, shingle_k=3,
+        threshold=0.5, n_rows_hint=len(ids),
+    )
+    # brute force over ALL pairs (small corpus): candidate recall is up to
+    # LSH, but every emitted pair's similarity must be the exact Jaccard
+    th, off = _token_lists(tbl["text"])
+    flat, soff = _shingle_hashes(th, off, 3)
+    sets = [flat[soff[i]:soff[i + 1]] for i in range(len(ids))]
+    expect = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            s = jaccard(sets[i], sets[j])
+            if s >= 0.5:
+                expect[(i, j)] = s
+    got_pairs = {
+        (a, b): s
+        for a, b, s in zip(
+            got["id_a"].to_pylist(), got["id_b"].to_pylist(), got["jaccard_sim"].to_pylist()
+        )
+    }
+    # dup-heavy: clusters guarantee many multi-row buckets and many pairs
+    assert len(got_pairs) >= 12 * 21  # ≥ C(7,2) per cluster surviving
+    for k, s in got_pairs.items():
+        assert k in expect and abs(expect[k] - s) == 0.0, k

@@ -137,3 +137,54 @@ def test_ivf_partitioned_layout_prunes_reads(ray_session, tmp_path):
     res = ivf_search(out, probe_ids, probes, k=1, nprobe=2)
     got = dict(zip(res["query_id"].to_pylist(), res["vec_id"].to_pylist()))
     assert got == {int(i): int(i) for i in probe_ids}
+
+
+def test_batched_scorers_many_queries(ray_session, tmp_path):
+    """100-query batch serving: LSH and IVF candidates must contain the
+    true neighbor for planted probes, with per-query results equal to
+    brute force on the candidate sets (exercises the pair-expansion path,
+    not the 3-query gate loop)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_search,
+        lsh_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, n = 16, 2000
+    base = rng.normal(size=(n, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(base.astype(np.float64))),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    # planted probes: perturbed copies of 100 random rows
+    qsel = rng.choice(n, size=100, replace=False)
+    qvecs = base[qsel] + 0.01 * rng.normal(size=(100, dim))
+    qids = np.arange(100, dtype=np.int64)
+
+    bf = brute_force_topk(ds, qids, qvecs, k=1)
+    bf_map = dict(zip(bf["query_id"].to_pylist(), bf["vec_id"].to_pylist()))
+    assert all(bf_map[int(q)] == int(v) for q, v in zip(qids, qsel))
+
+    lsh = lsh_topk(
+        ray.data.from_arrow(tbl), qids, qvecs, dim=dim, k=1,
+        n_tables=12, n_planes=8,
+    )
+    lsh_map = dict(zip(lsh["query_id"].to_pylist(), lsh["vec_id"].to_pylist()))
+    hits = sum(1 for q in qids if lsh_map.get(int(q)) == int(qsel[q]))
+    assert hits >= 95  # near-dup probes: LSH recall must be high
+
+    idx = str(tmp_path / "ivf")
+    ivf_build(ray.data.from_arrow(tbl), idx, n_centroids=8)
+    ivf = ivf_search(idx, qids, qvecs, k=1, nprobe=3)
+    ivf_map = dict(zip(ivf["query_id"].to_pylist(), ivf["vec_id"].to_pylist()))
+    hits = sum(1 for q in qids if ivf_map.get(int(q)) == int(qsel[q]))
+    assert hits >= 95
