@@ -177,6 +177,17 @@ class IncrementalIndex:
         for t in ticks:
             with open(os.path.join(t["dir"], "manifest.json")) as fh:
                 manifests.append(json.load(fh))
+        from elasticsearch_assets_ray.index.build import MANIFEST_VERSION
+
+        # an old-layout delta (e.g. v1 runs without offs_le) would pass a
+        # mixed-value check if ALL deltas are old — require the current
+        # layout outright before any file is linked
+        for m in manifests:
+            if m.get("version") != MANIFEST_VERSION:
+                raise ValueError(
+                    f"delta manifest version {m.get('version')!r} != "
+                    f"{MANIFEST_VERSION}; rebuild the delta before compacting"
+                )
         for key, default in (
             ("codec", "varint"),
             ("index_positions", False),
@@ -216,7 +227,8 @@ class IncrementalIndex:
         )
         run_phase2(out, merge_cfg)
         manifest = {
-            "version": m["version"],
+            # the validated common value (NOT a leaked loop variable)
+            "version": child_manifest.get("version"),
             "complete": True,
             "compacted_from": [t["tick_id"] for t in ticks],
             "n_partitions": n_parts,
@@ -280,6 +292,16 @@ class MultiSearcher(Searcher):
                 "the deltas with one codec (or compact each group separately)"
             )
         self._set_codec(codecs.pop())
+        # positions / docID layout must also agree: mixed position
+        # encodings would silently decode garbage in _verify_phrases_pos
+        # and mixed doc_shift would mis-route docids — raise, don't guess
+        for key in ("positions_codec", "doc_shift"):
+            vals = {c.manifest.get(key) for c in self.children}
+            if len(vals) > 1:
+                raise ValueError(
+                    f"delta indexes disagree on {key}: {sorted(map(str, vals))}; "
+                    "rebuild with one setting or compact each group separately"
+                )
         self.n_docs = sum(c.n_docs for c in self.children)
         total_tokens = sum(c.manifest["total_tokens"] for c in self.children)
         self.avgdl = (total_tokens / self.n_docs) if self.n_docs else 0.0

@@ -276,6 +276,25 @@ def q_bulk_delete(sf_dir: str):
     return bulk_ops.delete_keys(ds, dels, "doc_id")
 
 
+def q_bulk_rekey(sf_dir: str):
+    """One-pass _delete_id re-key (reference createBulkMetadata
+    ElasticsearchBulkSender.ts:49-63): every src1 document moves to
+    doc_id + 1_000_000 with its source rewritten, deleting the old id and
+    indexing the new one in the same bulk pass."""
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    mv = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "source", "lang"])
+    mv = mv.filter(pc.equal(mv["source"], "src1"))
+    moves = pa.table(
+        {
+            "_delete_id": mv["doc_id"],
+            "doc_id": pc.add(mv["doc_id"], pa.scalar(1_000_000, pa.int64())),
+            "source": pa.array(["src1-moved"] * mv.num_rows, pa.string()),
+            "lang": mv["lang"],
+        }
+    )
+    return bulk_ops.rekey(ds, moves, "doc_id")
+
+
 def _order_balance_updates(sf_dir: str, key_shift: int = 0) -> pa.Table:
     ds = _rd(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     agg = _collect(
@@ -1024,6 +1043,14 @@ ORACLES: dict[str, str] = {
         "SELECT doc_id, source, lang FROM documents "
         "WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src0')"
     ),
+    "bulk_rekey": (
+        "WITH mv AS (SELECT doc_id AS old_id, doc_id + 1000000 AS doc_id, "
+        "  'src1-moved' AS source, lang FROM documents WHERE source = 'src1') "
+        "SELECT doc_id, source, lang FROM documents "
+        "WHERE doc_id NOT IN (SELECT old_id FROM mv) "
+        "  AND doc_id NOT IN (SELECT doc_id FROM mv) "
+        "UNION ALL SELECT doc_id, source, lang FROM mv"
+    ),
     "bulk_update_fields": (
         "SELECT c.c_custkey, c.c_name, c.c_mktsegment, "
         "coalesce(u.newbal, c.c_acctbal) AS c_acctbal "
@@ -1176,6 +1203,23 @@ ORACLES: dict[str, str] = {
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "search_boolean": _bm25_bool_sql(BOOLEAN_QUERIES, SEARCH_K),
     "search_prefix": _bm25_bool_sql(PREFIX_QUERIES, SEARCH_K),
+    # incremental_delta: per-window doc counts are plain range counts, and
+    # 'total_matched' is the windowed docs whose props tokenize to contain
+    # the probe term 'k' (tokenizer = lowercase [a-z0-9]+ runs, replicated
+    # as a boundary regex) — the window/merge machinery is what the Ray
+    # side tests, but the NUMBERS are SQL-checkable
+    "incremental_delta": (
+        "WITH w1 AS (SELECT count(*) AS c FROM events "
+        "  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-16'), "
+        "w2 AS (SELECT count(*) AS c FROM events "
+        "  WHERE ts >= TIMESTAMP '2024-01-16' AND ts < TIMESTAMP '2024-02-01'), "
+        "m AS (SELECT count(*) AS c FROM events "
+        "  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01' "
+        "  AND regexp_matches(lower(props), '(^|[^a-z0-9])k([^a-z0-9]|$)')) "
+        "SELECT '2024-01-01T00-00-00__2024-01-16T00-00-00' AS tick_id, c AS n_docs FROM w1 "
+        "UNION ALL SELECT '2024-01-16T00-00-00__2024-02-01T00-00-00', c FROM w2 "
+        "UNION ALL SELECT 'total_matched', c FROM m"
+    ),
 }
 
 # hash/sketch oracles: SQL replicas of the pipelines' exact arithmetic
@@ -1206,6 +1250,7 @@ QUERIES = {
     "bulk_index_lww": q_bulk_index_lww,
     "bulk_create_first": q_bulk_create_first,
     "bulk_delete": q_bulk_delete,
+    "bulk_rekey": q_bulk_rekey,
     "bulk_update_fields": q_bulk_update_fields,
     "bulk_update_script": q_bulk_update_script,
     "bulk_upsert": q_bulk_upsert,

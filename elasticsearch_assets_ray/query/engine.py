@@ -65,13 +65,29 @@ class Searcher:
     process/actor — this is the state the reference keeps in its
     state-storage/API-factory actors (SURVEY.md T1/T2)."""
 
-    def __init__(self, index_dir: str, prune: bool = True, shard_resident: bool = True):
+    def __init__(
+        self,
+        index_dir: str,
+        prune: bool = True,
+        shard_resident: bool = True,
+        phrase_scoring: str = "terms",
+    ):
         """``shard_resident=True`` (default) faults whole segment shards
         into actor memory once — fastest, memory ∝ touched shards.
         ``shard_resident=False`` is the COLD mode for indexes whose
         shards exceed actor memory: every term lookup is a filtered
         Parquet read (``term`` is sorted within segment files, so row-
-        group statistics prune the scan); memory ∝ query terms only."""
+        group statistics prune the scan); memory ∝ query terms only.
+
+        ``phrase_scoring``: ``"terms"`` (default) scores phrase members
+        as bag-of-words (adjacency is a pure filter — the documented
+        Lucene divergence); ``"phrase_freq"`` scores each phrase clause
+        like Lucene's PhraseQuery — Σ member idf × tf-saturation of the
+        phrase OCCURRENCE count — and stops scoring members individually.
+        Needs positional postings (``index_positions=True``)."""
+        if phrase_scoring not in ("terms", "phrase_freq"):
+            raise ValueError(f"unknown phrase_scoring {phrase_scoring!r}")
+        self.phrase_scoring = phrase_scoring
         self.index_dir = index_dir
         self.shard_resident = shard_resident
         with open(os.path.join(index_dir, "manifest.json")) as f:
@@ -113,6 +129,9 @@ class Searcher:
 
         self._doc_shift = int(self.manifest.get("doc_shift", DOC_SHIFT))
         self._rpb = int(self.manifest.get("runs_per_bucket", 32))
+        # subclasses that bypass __init__ (MultiSearcher) default to
+        # bag-of-words phrase scoring
+        self.phrase_scoring = getattr(self, "phrase_scoring", "terms")
         # pid -> docstore parquet path / row count (footer metadata only)
         self._pid_files: dict[int, str] | None = None
         self._pid_ndocs: dict[int, int] = {}
@@ -462,6 +481,8 @@ class Searcher:
                 "(index_positions=True) or the docstore content "
                 "(store_content=True)"
             )
+        if self.phrase_scoring == "phrase_freq":
+            return self._search_phrases_pfreq(q, k)
         if k is not None and self.prune:
             # iterative deepening: block-max-pruned top-k' with k' = 4k,
             # verify; only re-score exhaustively when adjacency filtering
@@ -497,13 +518,10 @@ class Searcher:
             return self._verify_phrases_pos(q, ids, scores, want)
         return self._verify_phrases_content(q, ids, scores, want, content_col)
 
-    def _verify_phrases_pos(
-        self, q: ParsedQuery, ids: np.ndarray, scores: np.ndarray, want: int
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Index-native phrase verification: each phrase term's postings
-        row carries per-posting position lists; a phrase matches doc d
-        iff ∃ p ∈ P(t₁, d) with p+i ∈ P(tᵢ₊₁, d) ∀i (vectorized isin
-        chain).  Decodes only the phrase terms' rows, once."""
+    def _phrase_pos_ctx(self, q: ParsedQuery):
+        """Positional-postings lookup context for the query's phrase
+        terms: returns ``positions(term, doc) -> int32[]`` backed by a
+        one-time decode of only the phrase terms' segment rows."""
         terms = sorted(
             {t for p in q.phrases for t in p} | {t for p in q.not_phrases for t in p}
         )
@@ -546,26 +564,108 @@ class Searcher:
                         return pos[off[j] : off[j + 1]]
             return np.empty(0, dtype=np.int32)
 
-        def phrase_in(doc: int, phrase: tuple[str, ...]) -> bool:
-            cand = positions(phrase[0], doc)
-            for i, t in enumerate(phrase[1:], start=1):
-                if cand.size == 0:
-                    return False
-                cand = cand[np.isin(cand + i, positions(t, doc))]
-            return cand.size > 0
+        return positions
 
+    @staticmethod
+    def _phrase_freq(positions, doc: int, phrase: tuple[str, ...]) -> int:
+        """Number of phrase occurrences in doc (valid start positions):
+        ∃ p ∈ P(t₁, d) with p+i ∈ P(tᵢ₊₁, d) ∀i — vectorized isin chain."""
+        cand = positions(phrase[0], doc)
+        for i, t in enumerate(phrase[1:], start=1):
+            if cand.size == 0:
+                return 0
+            cand = cand[np.isin(cand + i, positions(t, doc))]
+        return int(cand.size)
+
+    def _verify_phrases_pos(
+        self, q: ParsedQuery, ids: np.ndarray, scores: np.ndarray, want: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Index-native phrase verification: decodes only the phrase
+        terms' rows, once; a doc survives iff every positive phrase
+        occurs and no negative phrase does."""
+        positions = self._phrase_pos_ctx(q)
         out_i: list[int] = []
         out_s: list[float] = []
         for j, d in enumerate(ids):
             doc = int(d)
-            if all(phrase_in(doc, p) for p in q.phrases) and not any(
-                phrase_in(doc, p) for p in q.not_phrases
+            if all(self._phrase_freq(positions, doc, p) > 0 for p in q.phrases) and not any(
+                self._phrase_freq(positions, doc, p) > 0 for p in q.not_phrases
             ):
                 out_i.append(doc)
                 out_s.append(float(scores[j]))
                 if len(out_i) >= want:
                     break
         return np.array(out_i, dtype=np.int64), np.array(out_s, dtype=np.float64)
+
+    def _search_phrases_pfreq(
+        self, q: ParsedQuery, k: int | None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene-parity phrase scoring (``phrase_scoring="phrase_freq"``):
+        each positive phrase scores like one term — ``Σ member idf ×
+        tf_saturation(phrase occurrence count, dl)`` — and its members do
+        NOT also score individually (they remain the candidate filter).
+        Exhaustive over the phrase conjunction (phrases are selective);
+        standalone (non-member) terms keep their bag-of-words BM25,
+        accumulated by the normal scorer so float order stays pinned."""
+        if not self.manifest.get("index_positions"):
+            raise RuntimeError(
+                "phrase_scoring='phrase_freq' needs positional postings "
+                "(index_positions=True)"
+            )
+        # candidates: the full conjunction (must includes phrase members)
+        cand_ids, _ = self._score(q, k=None)
+        if cand_ids.size == 0:
+            return cand_ids, np.empty(0, dtype=np.float64)
+        positions = self._phrase_pos_ctx(q)
+        pfreq = np.zeros((cand_ids.size, len(q.phrases)), dtype=np.int64)
+        keep = np.ones(cand_ids.size, dtype=bool)
+        for j, d in enumerate(cand_ids):
+            doc = int(d)
+            for pi, p in enumerate(q.phrases):
+                f = self._phrase_freq(positions, doc, p)
+                if f == 0:
+                    keep[j] = False
+                    break
+                pfreq[j, pi] = f
+            if keep[j] and any(
+                self._phrase_freq(positions, doc, p) > 0 for p in q.not_phrases
+            ):
+                keep[j] = False
+        ids = cand_ids[keep]
+        if ids.size == 0:
+            return ids, np.empty(0, dtype=np.float64)
+        pfreq = pfreq[keep]
+        # base: standalone terms only (phrase members dropped from scoring)
+        members = {t for p in q.phrases for t in p}
+        standalone = sorted((set(q.should) | set(q.must)) - members)
+        base = np.zeros(ids.size, dtype=np.float64)
+        if standalone:
+            from elasticsearch_assets_ray.query.parser import ParsedQuery as _PQ
+
+            bids, bscores = self._score(_PQ(should=standalone), k=None)
+            j = np.searchsorted(bids, ids)
+            ok = (j < bids.size) & (bids[np.minimum(j, bids.size - 1)] == ids)
+            base[ok] = bscores[j[ok]]
+        # phrase clauses, in query order (pinned float addition order)
+        dls = self.doclens_for(ids).astype(np.float64)
+        score = base
+        for pi, p in enumerate(q.phrases):
+            idf_sum = sum(self._term_idf(t) for t in p)
+            score = score + idf_sum * bm25.tf_saturation(
+                pfreq[:, pi].astype(np.float64), dls, self.avgdl
+            )
+        if k is None:
+            order = np.lexsort((ids, -score))
+            return ids[order], score[order]
+        return bm25.sort_topk(ids, score, k)
+
+    def _term_idf(self, t: str) -> float:
+        """Global idf of one term (0.0 when absent)."""
+        seg = self._segment_rows([t])
+        if seg is None or seg.num_rows == 0:
+            return 0.0
+        df = int(pc.sum(seg["df"]).as_py())
+        return float(bm25.math_idf(df, self.n_docs))
 
     def _verify_phrases_content(
         self,

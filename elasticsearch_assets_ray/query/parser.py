@@ -16,9 +16,12 @@ Grammar (lucene subset, whitespace-separated clauses):
   reference hands these to Lucene, utils.ts:94-100).  ``"a b"`` and
   ``+"a b"`` are conjunctive phrase filters whose terms also score;
   ``-"a b"`` excludes docs containing the phrase (without excluding
-  docs that merely contain the words).  Scoring stays bag-of-words over
-  the phrase's terms (documented divergence: Lucene scores phrase
-  frequency; we score term frequencies — the adjacency FILTER matches).
+  docs that merely contain the words).  By default scoring stays
+  bag-of-words over the phrase's terms (documented divergence: Lucene
+  scores phrase frequency; the adjacency FILTER matches).
+  ``Searcher(phrase_scoring="phrase_freq")`` closes the divergence on
+  positional indexes: each phrase clause scores Σ member idf ×
+  tf-saturation of its occurrence count, Lucene PhraseQuery-style.
 
 Each clause's text runs through the SAME analyzer as indexing
 (:mod:`..stages.tokenizer`), so ``+fooBar`` expands to must-terms

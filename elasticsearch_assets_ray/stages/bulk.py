@@ -125,6 +125,18 @@ def delete_keys(
     return broadcast_join(ds, delete_set.select(keys), keys, join_type="anti")
 
 
+def _require_unique_keys(updates: pa.Table, keys: list[str], op: str) -> None:
+    """Duplicate update keys silently DUPLICATE base rows through the
+    left-outer join (row-count inflation), unlike ES update semantics
+    where later ops apply sequentially — reject them up front."""
+    n_unique = updates.group_by(keys, use_threads=False).aggregate([]).num_rows
+    if n_unique != updates.num_rows:
+        raise ValueError(
+            f"{op}: duplicate keys in updates ({updates.num_rows - n_unique} "
+            "extra rows) — collapse them first (e.g. last_writer_wins)"
+        )
+
+
 def update_fields(
     base: ray.data.Dataset,
     updates: pa.Table,
@@ -136,6 +148,7 @@ def update_fields(
     ``fields`` on matched keys; unmatched base rows unchanged.  Updates
     are broadcast (ray.put once); each batch left-joins and coalesces."""
     keys = [keys] if isinstance(keys, str) else list(keys)
+    _require_unique_keys(updates, keys, "update_fields")
     upd = updates.select(keys + fields)
     upd = upd.rename_columns(keys + [f"__u_{f}" for f in fields])
     ref = ray.put(upd)
@@ -237,6 +250,7 @@ def scripted_update(
     unmatched rows pass through untouched."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     fn = SCRIPTS[script] if isinstance(script, str) else script
+    _require_unique_keys(updates, keys, "scripted_update")
     upd = updates.select(keys + params)
     upd = upd.rename_columns(keys + [f"__u_{p}" for p in params])
     upd = upd.append_column("__matched", pa.array([True] * upd.num_rows))
@@ -260,6 +274,38 @@ def scripted_update(
         return pa.table(out)
 
     return base.map_batches(apply, batch_format="pyarrow")
+
+
+def rekey(
+    base: ray.data.Dataset,
+    moves: pa.Table,
+    key: str,
+    *,
+    delete_col: str = "_delete_id",
+) -> ray.data.Dataset:
+    """One-pass re-key — the reference's paired ``_delete_id`` bulk
+    metadata (createBulkMetadata ElasticsearchBulkSender.ts:49-63): each
+    move record DELETES its old id and INDEXES the record under its new
+    ``key`` in the same bulk pass.  ``moves`` carries the full new row
+    plus ``delete_col`` (the old key).  ES index semantics: a new key
+    that already exists in the base overwrites it, so the base drops
+    keys ∈ old ∪ new in one broadcast anti-join and the move rows are
+    appended as one extra block — exactly one pass over the base, never
+    separate delete + index scans."""
+    if delete_col not in moves.column_names:
+        raise ValueError(f"moves must carry {delete_col!r} (the old key)")
+    new_rows = moves.drop_columns([delete_col])
+    if key not in new_rows.column_names:
+        raise ValueError(f"moves must carry the new {key!r}")
+    # duplicate new keys would make the overwrite order ambiguous
+    n_unique = new_rows.group_by([key], use_threads=False).aggregate([]).num_rows
+    if n_unique != new_rows.num_rows:
+        raise ValueError("duplicate new keys in moves — re-key order is ambiguous")
+    old_keys = moves.select([delete_col]).rename_columns([key])
+    drop = pa.concat_tables([old_keys, new_rows.select([key])])
+    drop = drop.group_by([key], use_threads=False).aggregate([])
+    survived = delete_keys(base, drop, key)
+    return survived.union(ray.data.from_arrow(new_rows))
 
 
 def dead_letter_split(

@@ -96,3 +96,68 @@ def test_dead_letter_split():
     assert ok_t["k"].to_pylist() == [1, 4]
     assert dead_t.num_rows == 2
     assert "__ok" not in ok_t.column_names
+
+
+def test_rekey_one_pass(ray_session):
+    """_delete_id paired re-key: old id deleted, record indexed under the
+    new key, existing rows at the new key overwritten — one pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.bulk import rekey
+
+    base = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d", "e"]),
+        }
+    )
+    # move id 2 → 10 (fresh key) and id 3 → 4 (overwrites existing 4)
+    moves = pa.table(
+        {
+            "_delete_id": pa.array([2, 3], pa.int64()),
+            "id": pa.array([10, 4], pa.int64()),
+            "v": pa.array(["b2", "c2"]),
+        }
+    )
+    out = (
+        pa.concat_tables(
+            list(rekey(ray.data.from_arrow(base), moves, "id").iter_batches(batch_format="pyarrow"))
+        )
+        .sort_by([("id", "ascending")])
+    )
+    assert out["id"].to_pylist() == [1, 4, 5, 10]
+    assert out["v"].to_pylist() == ["a", "c2", "e", "b2"]
+
+
+def test_rekey_rejects_duplicate_new_keys(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.bulk import rekey
+
+    base = pa.table({"id": pa.array([1], pa.int64()), "v": pa.array(["a"])})
+    moves = pa.table(
+        {
+            "_delete_id": pa.array([1, 1], pa.int64()),
+            "id": pa.array([2, 2], pa.int64()),
+            "v": pa.array(["x", "y"]),
+        }
+    )
+    with pytest.raises(ValueError, match="duplicate new keys"):
+        rekey(ray.data.from_arrow(base), moves, "id")
+
+
+def test_update_fields_rejects_duplicate_update_keys(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.bulk import update_fields
+
+    base = pa.table({"id": pa.array([1, 2], pa.int64()), "v": pa.array([0.0, 0.0])})
+    upd = pa.table({"id": pa.array([1, 1], pa.int64()), "v": pa.array([1.0, 2.0])})
+    with pytest.raises(ValueError, match="duplicate keys"):
+        update_fields(ray.data.from_arrow(base), upd, "id", ["v"])

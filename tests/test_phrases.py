@@ -215,3 +215,80 @@ def test_prefix_expansion_cap(built_index):
         from elasticsearch_assets_ray.query.parser import ParsedQuery
 
         s.expand_prefix("", max_expansions=10)
+
+
+def test_phrase_freq_scoring_rank_identity(positional_index, corpus_dir):
+    """phrase_scoring='phrase_freq' must match a brute-force oracle that
+    scores each phrase as (Σ member idf) × tf_saturation(occurrences)
+    plus standalone-term BM25."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from elasticsearch_assets_ray.query import bm25
+    from elasticsearch_assets_ray.query.engine import Searcher
+    from elasticsearch_assets_ray.query.parser import parse_query
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    idx_dir = positional_index
+    s = Searcher(idx_dir, phrase_scoring="phrase_freq")
+    # the positional fixture stores no content: join docstore doc_ids to
+    # corpus rows by unique path
+    doc = pads.dataset(os.path.join(idx_dir, "docstore")).to_table(
+        columns=["doc_id", "path"]
+    )
+    src = pq.read_table(
+        sorted(glob.glob(os.path.join(corpus_dir, "*.parquet"))),
+        columns=["path", "content"],
+    )
+    content_by_path = dict(zip(src["path"].to_pylist(), src["content"].to_pylist()))
+    ids_all = doc["doc_id"].to_numpy(zero_copy_only=False)
+    texts = [content_by_path[p] for p in doc["path"].to_pylist()]
+    toks = [tokenize_text(t) for t in texts]
+    dls = np.array([len(t) for t in toks], dtype=np.float64)
+    n = len(toks)
+    avgdl = dls.sum() / n
+
+    def df(t):
+        return sum(1 for tk in toks if t in tk)
+
+    def occurrences(tk, phrase):
+        m = len(phrase)
+        return sum(
+            1 for i in range(len(tk) - m + 1) if tuple(tk[i : i + m]) == phrase
+        )
+
+    for qtext, k in [('"load index" parse', 5), ('+"def load" config', 10), ('"load index"', 7)]:
+        q = parse_query(qtext)
+        members = {t for p in q.phrases for t in p}
+        standalone = sorted((set(q.should) | set(q.must)) - members)
+        exp_ids, exp_scores = [], []
+        for j in range(n):
+            tk = toks[j]
+            occ = [occurrences(tk, p) for p in q.phrases]
+            if any(o == 0 for o in occ):
+                continue
+            sc = 0.0
+            for t in standalone:  # sorted order = engine accumulation order
+                tf = tk.count(t)
+                if tf:
+                    sc += bm25.math_idf(df(t), n) * float(
+                        bm25.tf_saturation(np.array([float(tf)]), np.array([dls[j]]), avgdl)[0]
+                    )
+            for pi, p in enumerate(q.phrases):
+                idf_sum = sum(bm25.math_idf(df(t), n) for t in p)
+                sc = sc + idf_sum * float(
+                    bm25.tf_saturation(np.array([float(occ[pi])]), np.array([dls[j]]), avgdl)[0]
+                )
+            exp_ids.append(int(ids_all[j]))
+            exp_scores.append(sc)
+        e_ids = np.array(exp_ids, dtype=np.int64)
+        e_sc = np.array(exp_scores, dtype=np.float64)
+        order = np.lexsort((e_ids, -e_sc))
+        e_ids, e_sc = e_ids[order][:k], e_sc[order][:k]
+        r = s.search(qtext, k=k)
+        assert r["doc_id"].to_pylist() == e_ids.tolist(), qtext
+        np.testing.assert_allclose(r["score"].to_numpy(), e_sc, rtol=1e-9)
