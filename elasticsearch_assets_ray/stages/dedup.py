@@ -375,6 +375,30 @@ def minhash_lsh_dedup(
                 if b < 2:
                     continue
                 sizes = counts[sel].astype(np.int64)
+                if b <= 8:
+                    # small bucket (the dominant LSH case): ≤28 pairs —
+                    # per-pair sorted intersections over zero-copy slices
+                    # beat the matrix machinery's fixed numpy overhead
+                    sets = [flat[offs[i] : offs[i + 1]] for i in sel]
+                    iu_l, ju_l, sim_l = [], [], []
+                    for x in range(b):
+                        for y in range(x + 1, b):
+                            inter = np.intersect1d(
+                                sets[x], sets[y], assume_unique=True
+                            ).size
+                            union = sets[x].size + sets[y].size - inter
+                            sim = inter / union if union else 1.0
+                            if sim >= threshold:
+                                iu_l.append(x)
+                                ju_l.append(y)
+                                sim_l.append(sim)
+                    if iu_l:
+                        a_parts.append(bids[np.array(iu_l)])
+                        b_parts.append(bids[np.array(ju_l)])
+                        s_parts.append(np.array(sim_l, dtype=np.float64))
+                    continue
+                # large (dup-heavy) bucket: sorted-run sweep — all pairs'
+                # intersections in one pass, no O(b²) Python
                 lab = np.repeat(np.arange(b, dtype=np.int64), sizes)
                 arr = np.concatenate([flat[offs[i] : offs[i + 1]] for i in sel])
                 srt = np.lexsort((lab, arr))
@@ -385,10 +409,19 @@ def minhash_lsh_dedup(
                 run_end = np.append(run_start[1:], a_s.size)
                 m = run_end - run_start
                 inter_m = np.zeros((b, b), dtype=np.int64)
-                for s_, e_ in zip(run_start[m >= 2], run_end[m >= 2]):
+                # runs shared by exactly 2 docs: one vectorized shot
+                two = run_start[m == 2]
+                li_all = [l_s[two]]
+                lj_all = [l_s[two + 1]]
+                for s_, e_ in zip(run_start[m > 2], run_end[m > 2]):
                     labs = l_s[s_:e_]  # sorted, distinct (sets are unique)
                     pi, pj = np.triu_indices(labs.size, 1)
-                    np.add.at(inter_m, (labs[pi], labs[pj]), 1)
+                    li_all.append(labs[pi])
+                    lj_all.append(labs[pj])
+                li = np.concatenate(li_all)
+                lj = np.concatenate(lj_all)
+                if li.size:
+                    np.add.at(inter_m, (li, lj), 1)
                 if threshold > 0:
                     iu, ju = np.nonzero(inter_m)  # disjoint pairs can't pass
                 else:
