@@ -302,9 +302,11 @@ def _order_balance_updates(sf_dir: str, key_shift: int = 0) -> pa.Table:
             ds,
             ["o_custkey"],
             [AggSpec("cents", "o_totalprice", "sum_cents")],
-            # the update table is collected for broadcast right after —
-            # bounded by customer-key cardinality by construction
-            distinct_hint=200_000,
+            # hint = the REAL key-cardinality bound (customer row count,
+            # free from the parquet footer).  Above the driver-combine
+            # cap partial_agg automatically takes the shuffle path — a
+            # fixed hint would trip the lying-hint guard at large SF
+            distinct_hint=pq.ParquetFile(_p(sf_dir, "customer")).metadata.num_rows,
         )
     )
     key = pc.add(agg["o_custkey"], pa.scalar(key_shift, pa.int64()))
@@ -792,13 +794,6 @@ def q_props_extract(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _keyspace_layout(sf_dir: str, table: str, col: str) -> str:
-    import hashlib
-
-    tag = hashlib.sha256(f"{os.path.abspath(sf_dir)}|{table}|{col}".encode()).hexdigest()[:16]
-    return os.path.join("/tmp/esr_keyspace_cache", tag)
-
-
 def q_keyspace_plan(sf_dir: str):
     """Quantile range-partition boundaries over customer names (the
     idSlicerOptimized variable-width ranges taken to equal-count
@@ -808,7 +803,9 @@ def q_keyspace_plan(sf_dir: str):
     # the distributed path: ONE ds.sort over the pruned key column, then
     # boundary-metadata probes (driver memory ∝ files, not rows)
     ks = SortedKeyspace.build(
-        _p(sf_dir, "customer"), "c_name", _keyspace_layout(sf_dir, "customer", "c_name")
+        _p(sf_dir, "customer"),
+        "c_name",
+        SortedKeyspace.default_layout_dir(_p(sf_dir, "customer"), "c_name"),
     )
     bounds = quantile_key_ranges(ks, 8)
     return pa.table(
@@ -825,7 +822,9 @@ def q_prefix_dfs(sf_dir: str):
     from elasticsearch_assets_ray.sources.keyspace import SortedKeyspace, prefix_dfs_partitions
 
     ks = SortedKeyspace.build(
-        _p(sf_dir, "documents"), "source", _keyspace_layout(sf_dir, "documents", "source")
+        _p(sf_dir, "documents"),
+        "source",
+        SortedKeyspace.default_layout_dir(_p(sf_dir, "documents"), "source"),
     )
     slices = prefix_dfs_partitions(ks, "abcdefghijklmnopqrstuvwxyz0123456789", 30)
     return pa.table(

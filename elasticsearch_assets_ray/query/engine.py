@@ -635,17 +635,39 @@ class Searcher:
         if ids.size == 0:
             return ids, np.empty(0, dtype=np.float64)
         pfreq = pfreq[keep]
-        # base: standalone terms only (phrase members dropped from scoring)
+        # base: standalone terms.  The parser adds phrase members to MUST,
+        # so must∩members are clause-members (filter only); should∩members
+        # were queried standalone TOO and keep their own TermQuery score —
+        # Lucene scores 'foo "foo bar"' as TermQuery(foo)+PhraseQuery.
+        # ('+foo "foo bar"' still conflates — parser limitation.)
         members = {t for p in q.phrases for t in p}
-        standalone = sorted((set(q.should) | set(q.must)) - members)
+        standalone = sorted(set(q.should) | (set(q.must) - members))
         base = np.zeros(ids.size, dtype=np.float64)
         if standalone:
-            from elasticsearch_assets_ray.query.parser import ParsedQuery as _PQ
-
-            bids, bscores = self._score(_PQ(should=standalone), k=None)
-            j = np.searchsorted(bids, ids)
-            ok = (j < bids.size) & (bids[np.minimum(j, bids.size - 1)] == ids)
-            base[ok] = bscores[j[ok]]
+            # gather per-term contributions AT THE CANDIDATES ONLY — a
+            # corpus-wide _score here would scatter-add every posting of
+            # every standalone term per query.  Sorted term iteration and
+            # one bucket row per (term, doc) pin the float addition order
+            # to the normal scorer's.
+            seg = self._segment_rows(standalone)
+            if seg is not None and seg.num_rows:
+                seg_term = np.asarray(seg["term"].to_pylist(), dtype=object)
+                seg_df = seg["df"].to_numpy(zero_copy_only=False)
+                seg_bucket = seg["bucket"].to_numpy(zero_copy_only=False)
+                df_by_term: dict[str, int] = {}
+                for t, d in zip(seg_term, seg_df):
+                    df_by_term[t] = df_by_term.get(t, 0) + int(d)
+                for t in standalone:
+                    if t not in df_by_term:
+                        continue
+                    w = bm25.math_idf(df_by_term[t], self.n_docs)
+                    for i in np.flatnonzero(seg_term == t):
+                        d, sat, _ = self._decode_row_cached(
+                            seg, int(i), t, int(seg_bucket[i]), w=w
+                        )
+                        j = np.searchsorted(d, ids)
+                        ok = (j < d.size) & (d[np.minimum(j, d.size - 1)] == ids)
+                        base[ok] += w * sat[j[ok]]
         # phrase clauses, in query order (pinned float addition order)
         dls = self.doclens_for(ids).astype(np.float64)
         score = base

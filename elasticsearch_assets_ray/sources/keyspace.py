@@ -160,13 +160,33 @@ class SortedKeyspace:
         self._lru: "OrderedDict[int, pa.Array]" = OrderedDict()
         self._cache_files = cache_files
 
+    @staticmethod
+    def default_layout_dir(parquet_path: str, key_col: str) -> str:
+        """Canonical cache location for a (table, key column) sorted
+        layout: ``$ESR_KEYSPACE_CACHE`` (default /tmp/esr_keyspace_cache)
+        / sha of the absolute path + column.  Shared by every caller so
+        one layout serves them all."""
+        import hashlib
+        import os
+
+        tag = hashlib.sha256(
+            f"{os.path.abspath(parquet_path)}|{key_col}".encode()
+        ).hexdigest()[:16]
+        return os.path.join(
+            os.environ.get("ESR_KEYSPACE_CACHE", "/tmp/esr_keyspace_cache"), tag
+        )
+
     @classmethod
     def build(
         cls, parquet_path: str, key_col: str, layout_dir: str, *, overwrite: bool = False
     ) -> "SortedKeyspace":
         """Sort the key column (pruned read — only ``key_col`` leaves
         storage) into ``layout_dir``.  Idempotent per (input files,
-        sizes, key_col) fingerprint unless ``overwrite``."""
+        sizes, key_col) fingerprint unless ``overwrite``.  The layout is
+        built in a scratch dir and PUBLISHED with one atomic rename, so
+        concurrent builders can never interleave files in the shared
+        cache path — whoever renames first wins, the loser discards its
+        scratch and reuses the winner's layout."""
         import hashlib
         import os
         import shutil
@@ -186,18 +206,39 @@ class SortedKeyspace:
             fp.update(f"{p}|{st.st_size}|{st.st_mtime_ns}|{key_col}\n".encode())
         marker = os.path.join(layout_dir, ".fingerprint")
         want = fp.hexdigest()
-        if not overwrite and os.path.exists(marker) and open(marker).read() == want:
+
+        def current() -> bool:
+            try:
+                return open(marker).read() == want
+            except OSError:
+                return False
+
+        if not overwrite and current():
             return cls(layout_dir)
-        shutil.rmtree(layout_dir, ignore_errors=True)
-        os.makedirs(layout_dir, exist_ok=True)
+        tmp = f"{layout_dir}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
         ds = ray.data.read_parquet(paths, columns=[key_col])
         ds = ds.map_batches(
             lambda b: pa.table({cls.KEY: b[key_col].drop_null()}),
             batch_format="pyarrow",
         )
-        ds.sort(cls.KEY).write_parquet(layout_dir)
-        with open(marker, "w") as f:
+        ds.sort(cls.KEY).write_parquet(tmp)
+        with open(os.path.join(tmp, ".fingerprint"), "w") as f:
             f.write(want)
+        if current() and not overwrite:
+            shutil.rmtree(tmp, ignore_errors=True)  # a concurrent builder won
+            return cls(layout_dir)
+        stale = f"{layout_dir}.stale-{os.getpid()}"
+        try:
+            if os.path.exists(layout_dir):
+                os.rename(layout_dir, stale)  # move stale layout aside atomically
+            os.rename(tmp, layout_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not current():
+                raise
+        shutil.rmtree(stale, ignore_errors=True)
         return cls(layout_dir)
 
     def _keys_of(self, fi: int) -> pa.Array:

@@ -205,18 +205,12 @@ class ReaderAPI:
         probes read boundary metadata + at most one file — never the
         whole key column on the driver (at 1B keys that is GBs)."""
         if self._keyspace is None:
-            import hashlib
-
             from elasticsearch_assets_ray.sources.keyspace import SortedKeyspace
 
-            tag = hashlib.sha256(
-                f"{os.path.abspath(self.table_path)}|{self.key_col}".encode()
-            ).hexdigest()[:16]
-            layout = os.path.join(
-                os.environ.get("ESR_KEYSPACE_CACHE", "/tmp/esr_keyspace_cache"), tag
-            )
             self._keyspace = SortedKeyspace.build(
-                self.table_path, self.key_col, layout
+                self.table_path,
+                self.key_col,
+                SortedKeyspace.default_layout_dir(self.table_path, self.key_col),
             )
         return self._keyspace
 

@@ -408,7 +408,6 @@ def minhash_lsh_dedup(
                 )
                 run_end = np.append(run_start[1:], a_s.size)
                 m = run_end - run_start
-                inter_m = np.zeros((b, b), dtype=np.int64)
                 # runs shared by exactly 2 docs: one vectorized shot
                 two = run_start[m == 2]
                 li_all = [l_s[two]]
@@ -420,15 +419,23 @@ def minhash_lsh_dedup(
                     lj_all.append(labs[pj])
                 li = np.concatenate(li_all)
                 lj = np.concatenate(lj_all)
-                if li.size:
-                    np.add.at(inter_m, (li, lj), 1)
+                # SPARSE pair counting: memory ∝ intersecting pairs, never
+                # a dense b×b matrix (a 30k-doc mass-duplicate bucket would
+                # make that 7 GB per map_groups worker)
                 if threshold > 0:
-                    iu, ju = np.nonzero(inter_m)  # disjoint pairs can't pass
+                    if li.size == 0:
+                        continue
+                    uc, inter = np.unique(li * np.int64(b) + lj, return_counts=True)
+                    iu, ju = uc // np.int64(b), uc % np.int64(b)
                 else:
+                    # threshold ≤ 0 keeps disjoint pairs: enumerate all
+                    # (output is O(b²) by contract here)
                     iu, ju = np.triu_indices(b, 1)
-                if iu.size == 0:
-                    continue
-                inter = inter_m[iu, ju]
+                    inter = np.zeros(iu.size, dtype=np.int64)
+                    if li.size:
+                        uc, cnt = np.unique(li * np.int64(b) + lj, return_counts=True)
+                        pos = np.searchsorted(iu * np.int64(b) + ju, uc)
+                        inter[pos] = cnt
                 union = sizes[iu] + sizes[ju] - inter
                 sim = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
                 keep = sim >= threshold

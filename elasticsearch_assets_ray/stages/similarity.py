@@ -361,8 +361,12 @@ def ivf_topk(
     qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
     qassign = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     probed = np.unique(qassign.reshape(-1))
+    qk_sorted, qk_qi = _sorted_query_postings(qassign)  # once, not per batch
     state_ref = ray.put(
-        {"qids": np.asarray(query_ids), "qmat": qmat, "qassign": qassign, "probed": probed}
+        {
+            "qids": np.asarray(query_ids), "qmat": qmat, "qassign": qassign,
+            "probed": probed, "qk_sorted": qk_sorted, "qk_qi": qk_qi,
+        }
     )
 
     import functools
@@ -383,9 +387,8 @@ def ivf_topk(
                 }
             )
         mk, vk, ak = m[keep], vids[keep], assign[keep]
-        qk_sorted, qk_qi = _sorted_query_postings(st["qassign"])
         pair_row, pair_qi = _match_pairs(
-            ak, np.arange(len(vk), dtype=np.int64), qk_sorted, qk_qi,
+            ak, np.arange(len(vk), dtype=np.int64), st["qk_sorted"], st["qk_qi"],
             st["qmat"].shape[0],
         )
         return _pairs_local_topk(
@@ -492,7 +495,13 @@ def ivf_search(
              "rank": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
         )
     ds = ray.data.read_parquet(paths)
-    ref = ray.put({"qids": np.asarray(query_ids), "qmat": qmat, "qassign": qassign})
+    qk_sorted, qk_qi = _sorted_query_postings(qassign)  # once, not per batch
+    ref = ray.put(
+        {
+            "qids": np.asarray(query_ids), "qmat": qmat, "qassign": qassign,
+            "qk_sorted": qk_sorted, "qk_qi": qk_qi,
+        }
+    )
 
     def score(batch: pa.Table) -> pa.Table:
         st = ray.get(ref)
@@ -503,9 +512,8 @@ def ivf_search(
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        qk_sorted, qk_qi = _sorted_query_postings(st["qassign"])
         pair_row, pair_qi = _match_pairs(
-            clus, np.arange(len(vids), dtype=np.int64), qk_sorted, qk_qi,
+            clus, np.arange(len(vids), dtype=np.int64), st["qk_sorted"], st["qk_qi"],
             st["qmat"].shape[0],
         )
         return _pairs_local_topk(

@@ -261,10 +261,17 @@ def test_phrase_freq_scoring_rank_identity(positional_index, corpus_dir):
             1 for i in range(len(tk) - m + 1) if tuple(tk[i : i + m]) == phrase
         )
 
-    for qtext, k in [('"load index" parse', 5), ('+"def load" config', 10), ('"load index"', 7)]:
+    for qtext, k in [
+        ('"load index" parse', 5),
+        ('+"def load" config', 10),
+        ('"load index"', 7),
+        ('load "load index"', 6),  # member queried standalone too: both score
+    ]:
         q = parse_query(qtext)
         members = {t for p in q.phrases for t in p}
-        standalone = sorted((set(q.should) | set(q.must)) - members)
+        # should∩members = standalone TermQuery clauses (scored); the
+        # parser-added must∩members are clause-members (filter only)
+        standalone = sorted(set(q.should) | (set(q.must) - members))
         exp_ids, exp_scores = [], []
         for j in range(n):
             tk = toks[j]
