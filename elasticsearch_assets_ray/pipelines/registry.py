@@ -794,6 +794,25 @@ def q_props_extract(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_date_interval_slices(sf_dir: str):
+    """Fixed-interval date slicing from a config string ("5d"): the
+    reference's interval vocabulary (date-helpers.ts dateOptions /
+    processInterval) producing per-window slice plans + counts."""
+    from elasticsearch_assets_ray.sources.reader_api import ReaderAPI
+
+    api = ReaderAPI(_p(sf_dir, "events"), date_col="ts")
+    slices = api.make_date_interval_ranges("5d")
+    cnts = [api.count(s) for s in slices]
+    return pa.table(
+        {
+            "slice_id": pa.array(range(len(slices)), pa.int64()),
+            "win_start": pa.array([s.start for s in slices], pa.timestamp("us")),
+            "win_end": pa.array([s.end for s in slices], pa.timestamp("us")),
+            "cnt": pa.array(cnts, pa.int64()),
+        }
+    )
+
+
 def q_keyspace_plan(sf_dir: str):
     """Quantile range-partition boundaries over customer names (the
     idSlicerOptimized variable-width ranges taken to equal-count
@@ -1193,6 +1212,18 @@ ORACLES: dict[str, str] = {
         "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS bpe_tokens "
         "FROM documents"
     ),
+    # window starts = generate_series over [min, max+1us) stepped 5 days;
+    # counts = events in [start, min(start+5d, hi))
+    "date_interval_slices": (
+        "WITH mm AS (SELECT min(ts) AS lo, max(ts) + INTERVAL 1 MICROSECOND AS hi FROM events), "
+        "st AS (SELECT unnest(generate_series(lo, hi, INTERVAL 5 DAY)) AS s FROM mm), "
+        "w AS (SELECT s, row_number() OVER (ORDER BY s) - 1 AS slice_id, "
+        "  least(s + INTERVAL 5 DAY, (SELECT hi FROM mm)) AS e "
+        "  FROM st WHERE s < (SELECT hi FROM mm)) "
+        "SELECT w.slice_id, w.s AS win_start, w.e AS win_end, "
+        "  (SELECT count(*) FROM events ev WHERE ev.ts >= w.s AND ev.ts < w.e) AS cnt "
+        "FROM w"
+    ),
     "keyspace_plan": (
         "WITH s AS (SELECT c_name AS k, row_number() OVER (ORDER BY c_name) AS rn FROM customer), "
         "n AS (SELECT count(*) AS cnt FROM customer), "
@@ -1275,6 +1306,7 @@ QUERIES = {
     "search_boolean": q_search_boolean,
     "search_prefix": q_search_prefix,
     "state_enrich": q_state_enrich,
+    "date_interval_slices": q_date_interval_slices,
     "keyspace_plan": q_keyspace_plan,
     "prefix_dfs": q_prefix_dfs,
     "props_extract": q_props_extract,

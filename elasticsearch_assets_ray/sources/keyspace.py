@@ -124,7 +124,7 @@ class SortedKeyspace:
 
     KEY = "key"
 
-    def __init__(self, layout_dir: str, cache_files: int = 8):
+    def __init__(self, layout_dir: str, cache_budget_bytes: int = 1 << 28):
         import glob
         import os
         from collections import OrderedDict
@@ -158,7 +158,10 @@ class SortedKeyspace:
         self.cum = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
         self.n = int(self.cum[-1])
         self._lru: "OrderedDict[int, pa.Array]" = OrderedDict()
-        self._cache_files = cache_files
+        # BYTE-budgeted: a sort block can hold millions of keys — a
+        # count-bounded LRU would pin GBs on the planner
+        self._lru_bytes = 0
+        self.cache_budget_bytes = cache_budget_bytes
 
     @staticmethod
     def default_layout_dir(parquet_path: str, key_col: str) -> str:
@@ -248,8 +251,10 @@ class SortedKeyspace:
             return hit
         arr = pq.read_table(self.files[fi], columns=[self.KEY])[self.KEY].combine_chunks()
         self._lru[fi] = arr
-        while len(self._lru) > self._cache_files:
-            self._lru.popitem(last=False)
+        self._lru_bytes += arr.nbytes
+        while self._lru_bytes > self.cache_budget_bytes and len(self._lru) > 1:
+            _, old = self._lru.popitem(last=False)
+            self._lru_bytes -= old.nbytes
         return arr
 
     def _rank(self, x: str) -> int:

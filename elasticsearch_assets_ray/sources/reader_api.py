@@ -214,6 +214,28 @@ class ReaderAPI:
             )
         return self._keyspace
 
+    def make_date_interval_ranges(self, interval: str) -> list[ReaderSlice]:
+        """Fixed-interval date slices from a config string ("5m", "2d",
+        "1month" — the reference's interval vocabulary, date-helpers.ts
+        dateOptions/processInterval): windows of exactly that length
+        stepped over [min, max] (footer-statistics probe; limit-inclusive
+        like make_date_slicer_ranges).  Calendar units step with real
+        calendar arithmetic."""
+        import datetime as _dt
+
+        from elasticsearch_assets_ray.sources.dates import (
+            interval_ranges,
+            process_interval,
+        )
+        from elasticsearch_assets_ray.sources.reader import min_max_probe
+
+        lo, hi = min_max_probe(self.table_path, self.date_col)
+        hi = hi + _dt.timedelta(microseconds=1)  # limit-inclusive
+        parsed = process_interval(interval, dates=(lo, hi))
+        return [
+            ReaderSlice(start=s, end=e) for s, e in interval_ranges(lo, hi, parsed)
+        ]
+
     def make_id_slicer_ranges(self, alphabet: str, max_count: int) -> list[ReaderSlice]:
         """Keyspace DFS plan (P7) as ReaderSlices, probing the sorted
         layout (driver memory ∝ file boundaries, not rows)."""
