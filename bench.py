@@ -235,10 +235,13 @@ def bench_query_serving(index_dir: str) -> dict:
             lat.append(time.perf_counter() - t0)
     lat_ms = np.array(lat) * 1e3
 
+    # 10× the serial set so the one-time actor-pool spin-up (~1.5 s)
+    # amortizes — pool_qps approximates steady state, not startup
+    pool_repeat = BENCH_QUERY_REPEAT * 10
     qtable = pa.table(
         {
-            "query_id": pa.array(range(len(queries) * BENCH_QUERY_REPEAT), pa.int64()),
-            "query": pa.array(queries * BENCH_QUERY_REPEAT, pa.string()),
+            "query_id": pa.array(range(len(queries) * pool_repeat), pa.int64()),
+            "query": pa.array(queries * pool_repeat, pa.string()),
         }
     )
     qds = ray.data.from_arrow(qtable)

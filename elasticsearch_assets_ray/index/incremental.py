@@ -32,19 +32,32 @@ from elasticsearch_assets_ray.index.build import IndexConfig, build_index
 from elasticsearch_assets_ray.query.engine import Searcher
 
 
+def _seconds(v: float | str) -> float:
+    """Seconds from a number or a reference-style interval string
+    ("30s", "5m" — date-helpers.ts vocabulary)."""
+    if isinstance(v, str):
+        from elasticsearch_assets_ray.sources.dates import interval_seconds
+
+        return interval_seconds(v)
+    return float(v)
+
+
 def delayed_stream_segment(
-    now: datetime, delay_s: float, interval_s: float
+    now: datetime, delay_s: float | str, interval_s: float | str
 ) -> tuple[datetime, datetime]:
     """The reference's latency-barrier window: [now−delay−interval,
-    now−delay)."""
-    hi = now - timedelta(seconds=delay_s)
-    lo = hi - timedelta(seconds=interval_s)
+    now−delay).  ``delay``/``interval`` accept seconds or the config
+    strings a reference job uses ("30s", "5m")."""
+    hi = now - timedelta(seconds=_seconds(delay_s))
+    lo = hi - timedelta(seconds=_seconds(interval_s))
     return lo, hi
 
 
-def next_window(window: tuple[datetime, datetime], interval_s: float) -> tuple[datetime, datetime]:
+def next_window(
+    window: tuple[datetime, datetime], interval_s: float | str
+) -> tuple[datetime, datetime]:
     lo, hi = window
-    step = timedelta(seconds=interval_s)
+    step = timedelta(seconds=_seconds(interval_s))
     return lo + step, hi + step
 
 
