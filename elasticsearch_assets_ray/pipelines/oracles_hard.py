@@ -127,6 +127,7 @@ def minhash_pairs_sql(
     shingle_k: int = 3,
     threshold: float = 0.5,
     n_dups: int = 20,
+    ctes_only: bool = False,
 ) -> str:
     """Full SQL replication of the MinHash-LSH pipeline: token hashes →
     k-shingle Horner hashes (short docs clamp the gather like the numpy
@@ -145,7 +146,7 @@ def minhash_pairs_sql(
     sh3 = (
         f"((TH[i] * {FNV} + TH[i+1]) % {M64} * {FNV} + TH[i+2]) % {M64}"
     )
-    return (
+    ctes = (
         f"WITH {_near_dup_base_cte(n_dups)}, "
         "tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS L FROM base), "
         "thl AS (SELECT doc_id, list_transform(L, t -> "
@@ -168,8 +169,12 @@ def minhash_pairs_sql(
         "FROM bk a JOIN bk b ON a.bnd = b.bnd AND a.key = b.key AND a.doc_id < b.doc_id), "
         "jac AS (SELECT c.id_a, c.id_b, len(list_intersect(x.SH, y.SH)) AS i, "
         "len(x.SH) AS na, len(y.SH) AS nb FROM cand c "
-        "JOIN shl x ON x.doc_id = c.id_a JOIN shl y ON y.doc_id = c.id_b) "
-        "SELECT id_a, id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard_sim "
+        "JOIN shl x ON x.doc_id = c.id_a JOIN shl y ON y.doc_id = c.id_b)"
+    )
+    if ctes_only:
+        return ctes
+    return (
+        ctes + " SELECT id_a, id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard_sim "
         f"FROM jac WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {threshold} "
         "ORDER BY id_a, id_b"
     )
@@ -219,4 +224,37 @@ def embedding_dedup_sql(threshold: float = 0.99, n_dups: int = 10) -> str:
         "list_cosine_similarity(a.e, b.e) AS sim FROM u a JOIN u b ON a.vec_id < b.vec_id) "
         f"SELECT id_a, id_b, round(sim, 6) AS sim_r FROM s WHERE sim >= {threshold} "
         "ORDER BY id_a, id_b"
+    )
+
+
+def neardup_clusters_sql(
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    n_dups: int = 20,
+) -> str:
+    """Connected components over the MinHash near-dup pair graph as a
+    recursive min-label CTE: a node reaches every smaller label along
+    edges; min(reached) = its component's canonical (minimum) doc_id.
+    Universe = documents ∪ the synthetic dup ids, so singletons are
+    their own canonical."""
+    ctes = minhash_pairs_sql(
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        threshold=threshold, n_dups=n_dups, ctes_only=True,
+    ).replace("WITH ", "WITH RECURSIVE ", 1)
+    return (
+        ctes
+        + f", pairs AS (SELECT id_a, id_b FROM jac "
+        f"  WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {threshold}), "
+        "ids AS (SELECT doc_id FROM base), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "  UNION ALL SELECT id_b, id_a FROM pairs), "
+        "reach(n, label) AS ("
+        "  SELECT doc_id, doc_id FROM ids "
+        "  UNION "
+        "  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.n "
+        "  WHERE r.label < e.a), "
+        "lab AS (SELECT n AS doc_id, min(label) AS canonical_id FROM reach GROUP BY n) "
+        "SELECT doc_id, canonical_id, (doc_id = canonical_id) AS keep FROM lab"
     )

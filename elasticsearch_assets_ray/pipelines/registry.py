@@ -457,6 +457,21 @@ def q_minhash_pairs(sf_dir: str):
     )
 
 
+def q_neardup_clusters(sf_dir: str):
+    """Keep-one-per-cluster: connected components over the MinHash pair
+    graph, canonical = min doc_id (vectorized min-label propagation).
+    The post-pair step an LLM training-data dedup actually applies."""
+    ds = _docs_with_near_dups(sf_dir)
+    pairs = dedup_ops.minhash_lsh_dedup(
+        ds, "text", "doc_id", num_perm=64, bands=16, shingle_k=3, threshold=0.5,
+        n_rows_hint=_nrows(sf_dir, "documents") + 20,
+    )
+    head = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id"])
+    dup_ids = pc.add(head.sort_by("doc_id").slice(0, 20)["doc_id"], pa.scalar(100000, pa.int64()))
+    universe = pa.concat_arrays([head["doc_id"].combine_chunks(), dup_ids.combine_chunks() if hasattr(dup_ids, "combine_chunks") else dup_ids])
+    return dedup_ops.neardup_components(pairs, universe)
+
+
 def q_simhash_pairs(sf_dir: str):
     ds = _docs_with_near_dups(sf_dir)
     return dedup_ops.simhash_near_dups(
@@ -1267,6 +1282,9 @@ ORACLES.update(
         ),
         "prefix_dfs": _oh.prefix_dfs_sql("abcdefghijklmnopqrstuvwxyz0123456789", 30),
         "embedding_dedup": _oh.embedding_dedup_sql(threshold=0.99),
+        "neardup_clusters": _oh.neardup_clusters_sql(
+            num_perm=64, bands=16, shingle_k=3, threshold=0.5
+        ),
     }
 )
 
@@ -1292,6 +1310,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
+    "neardup_clusters": q_neardup_clusters,
     "simhash_pairs": q_simhash_pairs,
     "token_stats": q_token_stats,
     "quality_stats": q_quality_stats,

@@ -239,6 +239,62 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def neardup_components(
+    pairs: pa.Table, all_ids: np.ndarray | pa.Array | None = None
+) -> pa.Table:
+    """Canonical-doc assignment over a near-dup PAIR graph — the
+    keep-one-per-cluster step a training pipeline runs after pair
+    generation.  Returns (doc_id, canonical_id, keep): every doc labeled
+    with its connected component's MINIMUM doc_id; ``keep`` marks the
+    canonical survivor.
+
+    Fully vectorized min-label propagation with pointer doubling (no
+    per-pair Python): O(log diameter) sweeps of ``np.minimum.at`` over
+    the edge arrays.  Work/memory ∝ |pairs| + |ids| — the pair list is
+    this op's input contract (it is the bounded OUTPUT of the near-dup
+    pipelines; at pair volumes beyond one machine, run the same
+    propagation as iterated ``map_batches`` joins over a
+    ``distinct_pairs_ds`` dataset).
+
+    ``all_ids``: the full doc universe (singletons become their own
+    canonical row); defaults to just the ids present in pairs."""
+    a = pairs["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if all_ids is None:
+        universe = np.unique(np.concatenate([a, b])) if len(a) else np.empty(0, np.int64)
+    else:
+        if isinstance(all_ids, (pa.Array, pa.ChunkedArray)):
+            all_ids = all_ids.to_numpy(zero_copy_only=False)
+        universe = np.unique(
+            np.concatenate([np.asarray(all_ids, dtype=np.int64), a, b])
+        )
+    n = universe.size
+    da = np.searchsorted(universe, a)
+    db = np.searchsorted(universe, b)
+    label = np.arange(n, dtype=np.int64)
+    while True:
+        before = label.copy()
+        if da.size:
+            m = np.minimum(label[da], label[db])
+            np.minimum.at(label, da, m)
+            np.minimum.at(label, db, m)
+        while True:  # pointer doubling: label ← label[label]
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(label, before):
+            break
+    canon = universe[label]
+    return pa.table(
+        {
+            "doc_id": pa.array(universe),
+            "canonical_id": pa.array(canon),
+            "keep": pa.array(universe == canon),
+        }
+    )
+
+
 def distinct_pairs_ds(
     pairs_ds: ray.data.Dataset, val_col: str, agg: str = "max", n_groups: int = 256
 ) -> ray.data.Dataset:

@@ -163,3 +163,29 @@ def test_minhash_dup_heavy_buckets_vectorized(ray_session):
     assert len(got_pairs) >= 12 * 21  # ≥ C(7,2) per cluster surviving
     for k, s in got_pairs.items():
         assert k in expect and abs(expect[k] - s) == 0.0, k
+
+
+def test_neardup_components_transitive():
+    """Min-label components: chains merge transitively, singletons keep
+    themselves, canonical = component minimum."""
+    import numpy as np
+    import pyarrow as pa
+
+    from elasticsearch_assets_ray.stages.dedup import neardup_components
+
+    pairs = pa.table(
+        {
+            # chain 5-3, 3-9 (component min 3); separate pair 10-20
+            "id_a": pa.array([5, 3, 10], pa.int64()),
+            "id_b": pa.array([3, 9, 20], pa.int64()),
+        }
+    )
+    out = neardup_components(pairs, np.array([3, 5, 9, 10, 20, 77], dtype=np.int64))
+    got = dict(zip(out["doc_id"].to_pylist(), out["canonical_id"].to_pylist()))
+    assert got == {3: 3, 5: 3, 9: 3, 10: 10, 20: 10, 77: 77}
+    keep = dict(zip(out["doc_id"].to_pylist(), out["keep"].to_pylist()))
+    assert [k for k, v in sorted(keep.items()) if v] == [3, 10, 77]
+    # empty pair set: everyone is canonical
+    empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    out2 = neardup_components(empty, np.array([1, 2], dtype=np.int64))
+    assert out2["keep"].to_pylist() == [True, True]
