@@ -295,6 +295,119 @@ def neardup_components(
     )
 
 
+def neardup_components_ds(
+    pairs_ds: ray.data.Dataset,
+    *,
+    universe: ray.data.Dataset | None = None,
+    num_partitions: int = 32,
+    max_iters: int = 50,
+) -> ray.data.Dataset:
+    """Distributed :func:`neardup_components` — for pair graphs too large
+    for one machine.  Iterative min-label propagation expressed in
+    Dataset relational ops: each round hash-joins the current labels onto
+    the (bidirectional) edge list and re-minimizes per node; the sum of
+    labels is monotonically non-increasing and integer, so fixpoint
+    detection is one cheap aggregate per round.  Rounds needed = graph
+    diameter (near-dup clusters are dense → few); ``max_iters`` bounds
+    pathological chains.
+
+    ``universe``: optional Dataset with a ``doc_id`` column adding
+    singleton docs.  Returns (doc_id, canonical_id, keep)."""
+
+    def bidir(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks() if isinstance(t["id_a"], pa.ChunkedArray) else t["id_a"]
+        b = t["id_b"].combine_chunks() if isinstance(t["id_b"], pa.ChunkedArray) else t["id_b"]
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+                "dst": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+            }
+        )
+
+    edges = pairs_ds.map_batches(bidir, batch_format="pyarrow")
+    # initial label(n) = min(n, min neighbor): one aggregate seeds a
+    # 1-hop-converged start
+    lab = edges.groupby("src").min("dst")
+    lab = lab.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["src"],
+                "label": pc.min_element_wise(t["src"], t["min(dst)"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    if universe is not None:
+        singles = universe.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pc.cast(t["doc_id"], pa.int64()),
+                    "label": pc.cast(t["doc_id"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        lab = lab.union(singles)
+        lab = lab.groupby("node").min("label").map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["min(label)"]}),
+            batch_format="pyarrow",
+        )
+    lab = lab.materialize()
+    prev_sum = lab.sum("label")
+    for _ in range(max_iters):
+        j = edges.join(
+            lab,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        )
+        cand = j.map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        merged = lab.union(cand).groupby("node").min("label")
+        lab = merged.map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["min(label)"]}),
+            batch_format="pyarrow",
+        )
+        # pointer doubling: label(n) ← label(label(n)) — every label is
+        # itself a node (edge endpoints + universe), so the inner
+        # self-join is total; this makes chain convergence logarithmic
+        dbl = lab.join(
+            lab,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("label",),
+            right_on=("node",),
+            left_suffix="",
+            right_suffix="_r",
+        )
+        lab = dbl.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "label": pc.min_element_wise(t["label"], t["label_r"]),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        s = lab.sum("label")
+        if s == prev_sum:  # integer, monotone → exact fixpoint test
+            break
+        prev_sum = s
+    return lab.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["node"],
+                "canonical_id": t["label"],
+                "keep": pc.equal(t["node"], t["label"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def distinct_pairs_ds(
     pairs_ds: ray.data.Dataset, val_col: str, agg: str = "max", n_groups: int = 256
 ) -> ray.data.Dataset:

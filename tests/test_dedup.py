@@ -189,3 +189,36 @@ def test_neardup_components_transitive():
     empty = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
     out2 = neardup_components(empty, np.array([1, 2], dtype=np.int64))
     assert out2["keep"].to_pylist() == [True, True]
+
+
+def test_neardup_components_ds_matches_driver(ray_session):
+    """Distributed min-label propagation must agree with the driver
+    union-find on a graph with a long chain (multiple rounds) plus
+    clusters and singletons."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.dedup import (
+        neardup_components,
+        neardup_components_ds,
+    )
+
+    rng = np.random.default_rng(5)
+    # chain 0-1-2-...-6 (multi-round diameter), plus random pairs among 100..200
+    a = list(range(6)) + rng.integers(100, 200, 40).tolist()
+    b = list(range(1, 7)) + rng.integers(100, 200, 40).tolist()
+    pairs = pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+    uni = np.arange(0, 210, dtype=np.int64)
+    want = neardup_components(pairs, uni)
+    got_ds = neardup_components_ds(
+        ray.data.from_arrow(pairs),
+        universe=ray.data.from_arrow(pa.table({"doc_id": pa.array(uni)})),
+        num_partitions=4,
+    )
+    got = pa.concat_tables(list(got_ds.iter_batches(batch_format="pyarrow")))
+    got = got.sort_by([("doc_id", "ascending")])
+    want = want.sort_by([("doc_id", "ascending")])
+    assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
+    assert got["canonical_id"].to_pylist() == want["canonical_id"].to_pylist()
+    assert got["keep"].to_pylist() == want["keep"].to_pylist()
