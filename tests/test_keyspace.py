@@ -159,3 +159,34 @@ def test_sorted_keyspace_matches_in_memory(ray_session, tmp_path):
     # fingerprint cache: rebuilding without input change reuses the layout
     dist2 = SortedKeyspace.build(str(src), "k", str(tmp_path / "layout"))
     assert dist2.n == dist.n
+
+
+def test_sorted_keyspace_publish_is_atomic(ray_session, tmp_path):
+    """A stale scratch dir and a stale (wrong-fingerprint) layout must
+    both be replaced by a clean rebuild; the fingerprint marker gates
+    reuse."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_assets_ray.sources.keyspace import SortedKeyspace
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(pa.table({"k": pa.array(list("dcba"))}), str(src / "a.parquet"))
+    layout = str(tmp_path / "layout")
+    # stale scratch from a crashed builder + a stale layout without marker
+    os.makedirs(layout + ".tmp-99999")
+    os.makedirs(layout)
+    with open(os.path.join(layout, "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    ks = SortedKeyspace.build(str(src), "k", layout)
+    assert ks.n == 4 and ks.key_at(0) == "a" and ks.count_prefix("c") == 1
+    # input change → fingerprint mismatch → rebuild picks up the new rows
+    pq.write_table(pa.table({"k": pa.array(list("xy"))}), str(src / "b.parquet"))
+    ks2 = SortedKeyspace.build(str(src), "k", layout)
+    assert ks2.n == 6 and ks2.count_prefix("x") == 1
+    # unchanged input → reuse (marker matches)
+    ks3 = SortedKeyspace.build(str(src), "k", layout)
+    assert ks3.n == 6

@@ -161,3 +161,65 @@ def test_position_codec_roundtrip(data):
     tf_arr = np.array(tfs, dtype=np.int64)
     b, _nb = encode_positions(pos, tf_arr)
     assert np.array_equal(decode_positions(b.tobytes(), tf_arr), pos)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=5), min_size=1, max_size=300
+    ),
+    st.text(alphabet="abc", min_size=0, max_size=4),
+)
+def test_keyspace_probe_properties(keys, probe):
+    """KeyspaceIndex invariants: count_prefix equals the naive count;
+    count_range('', None) covers everything; quantile boundaries are
+    monotone non-decreasing."""
+    import pyarrow as pa
+
+    from elasticsearch_assets_ray.sources.keyspace import (
+        KeyspaceIndex,
+        quantile_key_ranges,
+    )
+
+    ks = KeyspaceIndex(pa.array(keys, pa.string()))
+    naive = sum(1 for k in keys if k.startswith(probe))
+    assert ks.count_prefix(probe) == naive
+    assert ks.count_range(None, None) == len(keys)
+    bounds = quantile_key_ranges(ks, 4)
+    assert bounds == sorted(bounds)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(1, 500), st.sampled_from(["ms", "s", "m", "h", "d", "w"]))
+def test_interval_roundtrip(n, unit):
+    from elasticsearch_assets_ray.sources.dates import (
+        interval_ms,
+        process_interval,
+    )
+
+    parsed = process_interval(f"{n}{unit}")
+    assert parsed == (n, unit)
+    assert interval_ms(parsed) % n == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.datetimes(
+        min_value=__import__("datetime").datetime(2000, 1, 1),
+        max_value=__import__("datetime").datetime(2030, 1, 1),
+    ),
+    st.integers(1, 40),
+    st.sampled_from(["h", "d", "w", "M"]),
+    st.integers(1, 9),
+)
+def test_interval_ranges_properties(start, n, unit, spans):
+    """interval_ranges covers [start, limit) with disjoint, ordered,
+    touching windows regardless of unit (incl. calendar months)."""
+    from elasticsearch_assets_ray.sources.dates import calendar_add, interval_ranges
+
+    limit = calendar_add(start, (n * spans, unit if unit != "M" else "d"))
+    r = interval_ranges(start, limit, (n, unit))
+    assert r[0][0] == start and r[-1][1] == limit
+    for (a, b), (c, _d) in zip(r, r[1:]):
+        assert b == c and a < b
+    assert r[-1][0] < limit
