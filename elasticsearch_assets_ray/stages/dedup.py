@@ -738,7 +738,7 @@ def simhash_near_dups(
         ids = g["id"].to_numpy(zero_copy_only=False)
         sh = g["sh"].to_numpy(zero_copy_only=False)
         n = len(ids)
-        a_o, b_o, h_o = [], [], []
+        a_parts, b_parts, h_parts = [], [], []
         if n:
             starts = np.flatnonzero(np.concatenate(([True], bk[1:] != bk[:-1])))
             ends = np.append(starts[1:], n)
@@ -747,17 +747,35 @@ def simhash_near_dups(
                 bi, bs = ids[lo:hi], sh[lo:hi]
                 um = np.concatenate(([True], bi[1:] != bi[:-1]))
                 bi, bs = bi[um], bs[um]
-                for i in range(len(bi)):
-                    d = hamming64(np.full(len(bi) - i - 1, bs[i]), bs[i + 1 :])
-                    for j in np.where(d <= max_hamming)[0]:
-                        a_o.append(int(bi[i]))
-                        b_o.append(int(bi[i + 1 + j]))
-                        h_o.append(int(d[j]))
+                b = len(bi)
+                if b < 2:
+                    continue
+                # blocked upper-triangle Hamming sweep: one broadcast
+                # XOR/popcount per row block (no per-row Python loop),
+                # blocks bound the distance-matrix scratch to ~4M cells
+                # regardless of bucket size
+                step = max(1, 4_000_000 // b)
+                for s0 in range(0, b - 1, step):
+                    e0 = min(s0 + step, b - 1)
+                    D = hamming64(bs[s0:e0, None], bs[None, :])
+                    ii, jj = np.nonzero(D <= max_hamming)
+                    keep = jj > ii + s0  # strict upper triangle
+                    ii, jj = ii[keep], jj[keep]
+                    if ii.size:
+                        a_parts.append(bi[ii + s0])
+                        b_parts.append(bi[jj])
+                        h_parts.append(D[ii, jj])
+        if a_parts:
+            a_all = np.concatenate(a_parts)
+            b_all = np.concatenate(b_parts)
+            h_all = np.concatenate(h_parts)
+        else:
+            a_all = b_all = h_all = np.empty(0, dtype=np.int64)
         return pa.table(
             {
-                "id_a": pa.array(a_o, pa.int64()),
-                "id_b": pa.array(b_o, pa.int64()),
-                "hamming": pa.array(h_o, pa.int64()),
+                "id_a": pa.array(a_all.astype(np.int64)),
+                "id_b": pa.array(b_all.astype(np.int64)),
+                "hamming": pa.array(h_all.astype(np.int64)),
             }
         )
 
