@@ -610,12 +610,22 @@ def embedding_cosine_dedup(
                 if len(bi) < 2:
                     continue
                 m = mat[sel]
-                sims = m @ m.T
-                iu, ju = np.triu_indices(len(bi), k=1)
-                mask = sims[iu, ju] >= threshold
-                a_o.extend(bi[iu[mask]].tolist())
-                b_o.extend(bi[ju[mask]].tolist())
-                s_o.extend(sims[iu, ju][mask].tolist())
+                # blocked upper-triangle sweep: the similarity-matrix
+                # scratch stays ~4M cells regardless of bucket size (a
+                # mass-duplicate bucket would make the dense b×b matrix
+                # gigabytes)
+                b = len(bi)
+                step = max(1, 4_000_000 // b)
+                for s0 in range(0, b - 1, step):
+                    e0 = min(s0 + step, b - 1)
+                    S = m[s0:e0] @ m.T
+                    ii, jj = np.nonzero(S >= threshold)
+                    keep = jj > ii + s0  # strict upper triangle
+                    ii, jj = ii[keep], jj[keep]
+                    if ii.size:
+                        a_o.extend(bi[ii + s0].tolist())
+                        b_o.extend(bi[jj].tolist())
+                        s_o.extend(S[ii, jj].tolist())
         return pa.table(
             {
                 "id_a": pa.array(a_o, pa.int64()),
