@@ -680,6 +680,31 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
+def blocked_triangle_pairs(b, block_matrix, qualifies, cap_cells: int = 4_000_000):
+    """Strict-upper-triangle pair sweep over an implicit b×b pair matrix,
+    computed in row blocks so scratch never exceeds ``cap_cells`` cells no
+    matter how large the bucket (a mass-duplicate bucket would otherwise
+    allocate a gigabyte-scale dense matrix).
+
+    ``block_matrix(s0, e0, c0)`` returns the pair-statistic matrix for rows
+    ``[s0, e0)`` against columns ``[c0, b)`` — columns before ``c0 = s0+1``
+    are never requested because they lie entirely in the lower triangle,
+    halving the average per-block compute.  ``qualifies(M)`` returns the
+    boolean mask of qualifying cells.  Yields ``(rows, cols, vals)`` triples
+    of global indices for qualifying strict-upper-triangle pairs.
+    """
+    step = max(1, cap_cells // max(b, 1))
+    for s0 in range(0, b - 1, step):
+        e0 = min(s0 + step, b - 1)
+        c0 = s0 + 1
+        M = block_matrix(s0, e0, c0)
+        ii, jj = np.nonzero(qualifies(M))
+        keep = jj >= ii  # global col (jj+c0) > global row (ii+s0)
+        ii, jj = ii[keep], jj[keep]
+        if ii.size:
+            yield ii + s0, jj + c0, M[ii, jj]
+
+
 def simhash_near_dups(
     ds: ray.data.Dataset,
     text_col: str,
@@ -752,19 +777,15 @@ def simhash_near_dups(
                     continue
                 # blocked upper-triangle Hamming sweep: one broadcast
                 # XOR/popcount per row block (no per-row Python loop),
-                # blocks bound the distance-matrix scratch to ~4M cells
-                # regardless of bucket size
-                step = max(1, 4_000_000 // b)
-                for s0 in range(0, b - 1, step):
-                    e0 = min(s0 + step, b - 1)
-                    D = hamming64(bs[s0:e0, None], bs[None, :])
-                    ii, jj = np.nonzero(D <= max_hamming)
-                    keep = jj > ii + s0  # strict upper triangle
-                    ii, jj = ii[keep], jj[keep]
-                    if ii.size:
-                        a_parts.append(bi[ii + s0])
-                        b_parts.append(bi[jj])
-                        h_parts.append(D[ii, jj])
+                # scratch bounded by blocked_triangle_pairs
+                for ia, ja, dv in blocked_triangle_pairs(
+                    b,
+                    lambda s0, e0, c0: hamming64(bs[s0:e0, None], bs[None, c0:]),
+                    lambda D: D <= max_hamming,
+                ):
+                    a_parts.append(bi[ia])
+                    b_parts.append(bi[ja])
+                    h_parts.append(dv)
         if a_parts:
             a_all = np.concatenate(a_parts)
             b_all = np.concatenate(b_parts)

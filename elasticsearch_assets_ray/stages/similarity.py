@@ -565,7 +565,10 @@ def embedding_cosine_dedup(
     """Embedding-cosine near-dup pairs via LSH bucketing + in-bucket exact
     cosine.  Returns (id_a, id_b, sim) with id_a < id_b, sims ≥ threshold
     (``materialize=False`` → distributed-distinct Dataset, the scale path)."""
-    from elasticsearch_assets_ray.stages.dedup import dynamic_n_groups
+    from elasticsearch_assets_ray.stages.dedup import (
+        blocked_triangle_pairs,
+        dynamic_n_groups,
+    )
 
     indexer_kwargs = dict(dim=dim, n_tables=n_tables, n_planes=n_planes, vec_col=vec_col)
     exploded = ds.map_batches(
@@ -596,7 +599,7 @@ def embedding_cosine_dedup(
         keys = g["lsh_key"].to_numpy(zero_copy_only=False)
         ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(ids)
-        a_o, b_o, s_o = [], [], []
+        a_parts, b_parts, s_parts = [], [], []
         if n:
             mat = _normalize(_matrix(g[vec_col]))
             starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
@@ -610,27 +613,28 @@ def embedding_cosine_dedup(
                 if len(bi) < 2:
                     continue
                 m = mat[sel]
-                # blocked upper-triangle sweep: the similarity-matrix
-                # scratch stays ~4M cells regardless of bucket size (a
-                # mass-duplicate bucket would make the dense b×b matrix
-                # gigabytes)
-                b = len(bi)
-                step = max(1, 4_000_000 // b)
-                for s0 in range(0, b - 1, step):
-                    e0 = min(s0 + step, b - 1)
-                    S = m[s0:e0] @ m.T
-                    ii, jj = np.nonzero(S >= threshold)
-                    keep = jj > ii + s0  # strict upper triangle
-                    ii, jj = ii[keep], jj[keep]
-                    if ii.size:
-                        a_o.extend(bi[ii + s0].tolist())
-                        b_o.extend(bi[jj].tolist())
-                        s_o.extend(S[ii, jj].tolist())
+                # blocked upper-triangle sweep, scratch bounded by
+                # blocked_triangle_pairs regardless of bucket size
+                for ia, ja, sv in blocked_triangle_pairs(
+                    len(bi),
+                    lambda s0, e0, c0: m[s0:e0] @ m[c0:].T,
+                    lambda S: S >= threshold,
+                ):
+                    a_parts.append(bi[ia])
+                    b_parts.append(bi[ja])
+                    s_parts.append(sv)
+        if a_parts:
+            a_all = np.concatenate(a_parts)
+            b_all = np.concatenate(b_parts)
+            s_all = np.concatenate(s_parts)
+        else:
+            a_all = b_all = np.empty(0, dtype=np.int64)
+            s_all = np.empty(0, dtype=np.float64)
         return pa.table(
             {
-                "id_a": pa.array(a_o, pa.int64()),
-                "id_b": pa.array(b_o, pa.int64()),
-                "sim": pa.array(s_o, pa.float64()),
+                "id_a": pa.array(a_all.astype(np.int64)),
+                "id_b": pa.array(b_all.astype(np.int64)),
+                "sim": pa.array(s_all.astype(np.float64)),
             }
         )
 
