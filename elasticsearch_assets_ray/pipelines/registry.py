@@ -429,9 +429,15 @@ def q_exact_dedup(sf_dir: str):
     return out.select_columns(["event_id", "props"])
 
 
-def _docs_with_near_dups(sf_dir: str, n_dups: int = 20) -> ray.data.Dataset:
+#: near-dup demo workload shape, shared by the pair pipelines, the cluster
+#: pipeline's id universe, and the SQL oracles
+_NEARDUP_N = 20
+_NEARDUP_ID_OFFSET = 100000
+
+
+def _docs_with_near_dups(sf_dir: str, n_dups: int = _NEARDUP_N) -> ray.data.Dataset:
     """documents ∪ deterministic mutated copies of the first ``n_dups``
-    docs (id+100000, last ~10% of words dropped) — the near-dup workload
+    docs (id+offset, last ~10% of words dropped) — the near-dup workload
     for the LSH/simhash demos (the base corpus itself has no dups)."""
     t = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     head = t.slice(0, n_dups)
@@ -442,7 +448,7 @@ def _docs_with_near_dups(sf_dir: str, n_dups: int = 20) -> ray.data.Dataset:
         mutated.append(" ".join(words[: max(1, int(len(words) * 0.9))]))
     dup = pa.table(
         {
-            "doc_id": pc.add(head["doc_id"], pa.scalar(100000, pa.int64())),
+            "doc_id": pc.add(head["doc_id"], pa.scalar(_NEARDUP_ID_OFFSET, pa.int64())),
             "text": pa.array(mutated, pa.string()),
         }
     )
@@ -453,7 +459,7 @@ def q_minhash_pairs(sf_dir: str):
     ds = _docs_with_near_dups(sf_dir)
     return dedup_ops.minhash_lsh_dedup(
         ds, "text", "doc_id", num_perm=64, bands=16, shingle_k=3, threshold=0.5,
-        n_rows_hint=_nrows(sf_dir, "documents") + 20,
+        n_rows_hint=_nrows(sf_dir, "documents") + _NEARDUP_N,
     )
 
 
@@ -461,14 +467,15 @@ def q_neardup_clusters(sf_dir: str):
     """Keep-one-per-cluster: connected components over the MinHash pair
     graph, canonical = min doc_id (vectorized min-label propagation).
     The post-pair step an LLM training-data dedup actually applies."""
-    ds = _docs_with_near_dups(sf_dir)
-    pairs = dedup_ops.minhash_lsh_dedup(
-        ds, "text", "doc_id", num_perm=64, bands=16, shingle_k=3, threshold=0.5,
-        n_rows_hint=_nrows(sf_dir, "documents") + 20,
-    )
+    pairs = q_minhash_pairs(sf_dir)
     head = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id"])
-    dup_ids = pc.add(head.sort_by("doc_id").slice(0, 20)["doc_id"], pa.scalar(100000, pa.int64()))
-    universe = pa.concat_arrays([head["doc_id"].combine_chunks(), dup_ids.combine_chunks() if hasattr(dup_ids, "combine_chunks") else dup_ids])
+    dup_ids = pc.add(
+        head.sort_by("doc_id").slice(0, _NEARDUP_N)["doc_id"],
+        pa.scalar(_NEARDUP_ID_OFFSET, pa.int64()),
+    )
+    universe = pa.concat_arrays(
+        [head["doc_id"].combine_chunks(), dup_ids.combine_chunks()]
+    )
     return dedup_ops.neardup_components(pairs, universe)
 
 

@@ -10,7 +10,7 @@ that vocabulary.
 from __future__ import annotations
 
 import re
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 #: unit alias table (reference dateOptions, date-helpers.ts:13-54)
 _UNIT_ALIASES: dict[str, str] = {
@@ -35,7 +35,7 @@ _MS_PER_UNIT: dict[str, int] = {
     "w": 7 * 86_400_000,
 }
 
-_INTERVAL_RE = re.compile(r"(\d+)(\w+)", re.IGNORECASE)
+_INTERVAL_RE = re.compile(r"(\d+)\s*([A-Za-z]+)")
 
 
 def date_unit(value: str) -> str:
@@ -59,7 +59,7 @@ def process_interval(
     is CLAMPED to the span like the reference's ``compareInterval``: an
     interval longer than the data range collapses to the whole range
     (in seconds when ``time_resolution='s'``, else milliseconds)."""
-    m = _INTERVAL_RE.search(interval or "")
+    m = _INTERVAL_RE.fullmatch((interval or "").strip())
     if m is None:
         raise ValueError(
             "interval and/or delay are incorrectly formatted. Needs to "
@@ -68,10 +68,16 @@ def process_interval(
     parsed = (int(m.group(1)), date_unit(m.group(2)))
     if dates is not None:
         span_ms = int((dates[1] - dates[0]).total_seconds() * 1000)
-        if interval_ms(parsed) > span_ms:
+        # calendar units (M/y) have no fixed ms length — compare by
+        # stepping from the actual start, which is exact for this span
+        if parsed[1] in _MS_PER_UNIT:
+            longer = interval_ms(parsed) > span_ms
+        else:
+            longer = calendar_add(dates[0], parsed) > dates[1]
+        if longer:
             if time_resolution == "s":
                 return (max(1, -(-span_ms // 1000)), "s")  # ceil
-            return (span_ms, "ms")
+            return (max(1, span_ms), "ms")
     return parsed
 
 
@@ -122,15 +128,25 @@ def _days_in_month(year: int, month: int) -> int:
 
 def parse_date(date: str | datetime) -> datetime:
     """ISO-8601 (the reference's dateFormat / dateFormatSeconds) or epoch
-    seconds/milliseconds → datetime."""
+    seconds/milliseconds → NAIVE UTC datetime.  Everything in this engine
+    (parquet footer stats, window math, slicer ranges) is naive UTC;
+    tz-aware inputs are converted and stripped so results mix freely and
+    don't depend on the machine's local timezone."""
     if isinstance(date, datetime):
+        if date.tzinfo is not None:
+            return date.astimezone(timezone.utc).replace(tzinfo=None)
         return date
     s = str(date).strip()
     if re.fullmatch(r"\d{10}", s):
-        return datetime.fromtimestamp(int(s))
+        return datetime.fromtimestamp(int(s), tz=timezone.utc).replace(tzinfo=None)
     if re.fullmatch(r"\d{13}", s):
-        return datetime.fromtimestamp(int(s) / 1000.0)
-    return datetime.fromisoformat(s.replace("Z", "+00:00"))
+        return datetime.fromtimestamp(int(s) / 1000.0, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+    d = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if d.tzinfo is not None:
+        d = d.astimezone(timezone.utc).replace(tzinfo=None)
+    return d
 
 
 def interval_ranges(

@@ -1,6 +1,6 @@
 """Interval / date-math helpers (reference date-helpers.ts parity)."""
 
-from datetime import datetime
+from datetime import datetime, timedelta, timezone
 
 import pytest
 
@@ -31,6 +31,11 @@ def test_process_interval_parse_and_errors():
     assert process_interval("1hour") == (1, "h")
     with pytest.raises(ValueError, match="incorrectly formatted"):
         process_interval("abc")
+    # anchored parse: malformed strings are rejected, not misparsed
+    # ("1.5h" used to silently parse as 5 hours)
+    for bad in ("1.5h", "-5m", "5m!", "h5"):
+        with pytest.raises(ValueError, match="incorrectly formatted"):
+            process_interval(bad)
 
 
 def test_process_interval_clamps_to_span():
@@ -40,6 +45,17 @@ def test_process_interval_clamps_to_span():
     assert process_interval("1d", dates=(lo, hi)) == (30500, "ms")
     assert process_interval("1d", "s", dates=(lo, hi)) == (31, "s")
     assert process_interval("10s", dates=(lo, hi)) == (10, "s")  # fits
+    # calendar units clamp via calendar stepping instead of raising
+    assert process_interval("1month", dates=(lo, hi)) == (30500, "ms")
+    assert process_interval("1y", dates=(lo, datetime(2024, 3, 1))) == (
+        5184000000, "ms",
+    )
+    fits = process_interval("1M", dates=(datetime(2024, 1, 1), datetime(2024, 6, 1)))
+    assert fits == (1, "M")
+    # sub-millisecond span still yields a usable (nonzero) interval
+    tiny = process_interval("5d", dates=(lo, lo + timedelta(microseconds=1)))
+    assert tiny == (1, "ms")
+    assert interval_ranges(lo, lo + timedelta(microseconds=1), tiny)
 
 
 def test_interval_ms_parity():
@@ -63,7 +79,20 @@ def test_calendar_add_month_clamp():
 def test_parse_date():
     assert parse_date("2024-01-02T03:04:05.678") == datetime(2024, 1, 2, 3, 4, 5, 678000)
     assert parse_date(datetime(2024, 1, 1)) == datetime(2024, 1, 1)
-    assert parse_date("1704153600").year in (2024, 2023)  # tz-local epoch
+    # epoch seconds/ms → naive UTC, machine-timezone-independent
+    assert parse_date("1704153600") == datetime(2024, 1, 2)
+    assert parse_date("1704153600500") == datetime(2024, 1, 2, 0, 0, 0, 500000)
+    # tz-aware inputs converted to UTC then stripped: mixes freely with
+    # the engine's naive footer-stat datetimes
+    z = parse_date("2024-01-02T03:04:05+02:00")
+    assert z == datetime(2024, 1, 2, 1, 4, 5) and z.tzinfo is None
+    assert parse_date("2024-01-02T00:00:00Z").tzinfo is None
+    assert parse_date(
+        datetime(2024, 1, 2, tzinfo=timezone.utc)
+    ) == datetime(2024, 1, 2)
+    # Z-suffixed starts compare against naive limits without TypeError
+    r = interval_ranges(parse_date("2024-01-01T00:00:00Z"), datetime(2024, 1, 3), "1d")
+    assert len(r) == 2
 
 
 def test_interval_ranges_cover_disjoint():
