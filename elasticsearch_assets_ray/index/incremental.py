@@ -339,16 +339,11 @@ class MultiSearcher(Searcher):
         }
         self._init_runtime_state()
 
-    def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
-        found: set[str] = set()
+    def _term_dict_slices(self, lo: str | None = None, hi: str | None = None):
+        """Chain the children's term dictionaries — prefix, wildcard and
+        fuzzy expansion then work unchanged over the union."""
         for c in self.children:
-            found.update(c.expand_prefix(prefix, max_expansions=max_expansions))
-            if len(found) > max_expansions:
-                raise ValueError(
-                    f"prefix {prefix!r}* expands to more than "
-                    f"{max_expansions} terms — narrow the prefix"
-                )
-        return sorted(found)
+            yield from c._term_dict_slices(lo, hi)
 
     def _segment_rows(self, terms: list[str]):
         parts = [t for t in (c._segment_rows(terms) for c in self.children) if t is not None]

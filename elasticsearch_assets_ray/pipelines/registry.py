@@ -122,6 +122,26 @@ PREFIX_QUERIES: list[str] = [
     "+sp* merge",         # conjunctive: doc must contain ≥1 sp-term
 ]
 
+FUZZY_QUERIES: list[str] = [
+    "tabel~2 merge",      # transposed 'table' (plain-Levenshtein 2)
+    "spark~1 filter",
+    "scann~1 sort",
+    "+valeu~2 row",       # conjunctive: doc must contain a 2-edit match
+    "-quer~1 data",       # excludes docs with 'query'
+    "daat~2 window",      # multi-match: data(2) AND fast(2)
+    "zzzz~1 merge",       # fuzzy matching nothing contributes nothing
+]
+
+WILDCARD_QUERIES: list[str] = [
+    "t?ble scan",
+    "*ow key",            # leading wildcard: row, slow, window
+    "b?g filter",
+    "gr*up sort",
+    "+s?a* merge",        # conjunctive group: scan, small, spark, ...
+    "-*am* value",        # excludes docs with 'stream'
+    "c?stomer col?mn",
+]
+
 SEARCH_K = 10
 _STOPWORD_SQL = ", ".join(f"'{w}'" for w in textstats._STOPWORDS)
 
@@ -725,6 +745,20 @@ def q_search_prefix(sf_dir: str):
     return _search_many(sf_dir, PREFIX_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
 
 
+def q_search_fuzzy(sf_dir: str):
+    """Fuzzy `term~N` queries: length-banded vectorized Levenshtein over
+    the term dictionary, expansion terms scored individually (Lucene's
+    scoring rewrite; plain-Levenshtein divergence documented in
+    query/expand.py — matches DuckDB's levenshtein())."""
+    return _search_many(sf_dir, FUZZY_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
+def q_search_wildcard(sf_dir: str):
+    """General `?`/`*` wildcard queries: literal-prefix range narrowing +
+    one vectorized RE2 pass over the term dictionary."""
+    return _search_many(sf_dir, WILDCARD_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
 _BPE_ISH = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 
@@ -961,8 +995,11 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
     the scoring terms."""
     from elasticsearch_assets_ray.query.parser import parse_query
 
+    from elasticsearch_assets_ray.query.expand import wildcard_regex
+
     score_vals, must_vals, not_vals, phr_vals = [], [], [], []
     pre_arms, npre_vals, mpre_vals = [], [], []
+    mwild_vals, nwild_vals, mfz_vals, nfz_vals = [], [], [], []
     for qid, qtext in enumerate(queries):
         p = parse_query(qtext)
         for t in p.scoring_terms:
@@ -985,6 +1022,28 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
             mpre_vals.append(f"({qid}, '{pre}%')")
         for pre in sorted(set(p.not_prefixes)):
             npre_vals.append(f"({qid}, '{pre}%')")
+        # general wildcards: same anchored RE2 regex string engine- and
+        # oracle-side (pyarrow and DuckDB are both RE2)
+        for w in sorted(set(p.wildcards) | set(p.must_wildcards)):
+            pre_arms.append(
+                f"SELECT {qid} AS query_id, term FROM df "
+                f"WHERE regexp_matches(term, '{wildcard_regex(w)}')"
+            )
+        for w in sorted(set(p.must_wildcards)):
+            mwild_vals.append(f"({qid}, '{wildcard_regex(w)}')")
+        for w in sorted(set(p.not_wildcards)):
+            nwild_vals.append(f"({qid}, '{wildcard_regex(w)}')")
+        # fuzzy clauses: DuckDB levenshtein() is the same plain edit
+        # distance as the engine's vectorized DP (query/expand.py)
+        for t, n in sorted(set(p.fuzzies) | set(p.must_fuzzies)):
+            pre_arms.append(
+                f"SELECT {qid} AS query_id, term FROM df "
+                f"WHERE levenshtein(term, '{t}') <= {n}"
+            )
+        for t, n in sorted(set(p.must_fuzzies)):
+            mfz_vals.append(f"({qid}, '{t}', {n})")
+        for t, n in sorted(set(p.not_fuzzies)):
+            nfz_vals.append(f"({qid}, '{t}', {n})")
 
     ctes = [
         f"tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)",
@@ -1047,6 +1106,37 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
         preds.append(
             "NOT EXISTS (SELECT 1 FROM npre JOIN tf ON tf.doc_id = sc.doc_id "
             "AND tf.term LIKE npre.pat WHERE npre.query_id = sc.query_id)"
+        )
+    if mwild_vals:
+        # every must-wildcard of the query must match ≥1 of the doc's terms
+        ctes.append(f"mwild(query_id, rx) AS (VALUES {', '.join(mwild_vals)})")
+        preds.append(
+            "(SELECT count(*) FROM mwild WHERE mwild.query_id = sc.query_id) = "
+            "(SELECT count(DISTINCT mwild.rx) FROM mwild JOIN tf "
+            "ON tf.doc_id = sc.doc_id AND regexp_matches(tf.term, mwild.rx) "
+            "WHERE mwild.query_id = sc.query_id)"
+        )
+    if nwild_vals:
+        ctes.append(f"nwild(query_id, rx) AS (VALUES {', '.join(nwild_vals)})")
+        preds.append(
+            "NOT EXISTS (SELECT 1 FROM nwild JOIN tf ON tf.doc_id = sc.doc_id "
+            "AND regexp_matches(tf.term, nwild.rx) "
+            "WHERE nwild.query_id = sc.query_id)"
+        )
+    if mfz_vals:
+        ctes.append(f"mfz(query_id, stem, n) AS (VALUES {', '.join(mfz_vals)})")
+        preds.append(
+            "(SELECT count(*) FROM mfz WHERE mfz.query_id = sc.query_id) = "
+            "(SELECT count(DISTINCT mfz.stem || '~' || mfz.n) FROM mfz JOIN tf "
+            "ON tf.doc_id = sc.doc_id AND levenshtein(tf.term, mfz.stem) <= mfz.n "
+            "WHERE mfz.query_id = sc.query_id)"
+        )
+    if nfz_vals:
+        ctes.append(f"nfz(query_id, stem, n) AS (VALUES {', '.join(nfz_vals)})")
+        preds.append(
+            "NOT EXISTS (SELECT 1 FROM nfz JOIN tf ON tf.doc_id = sc.doc_id "
+            "AND levenshtein(tf.term, nfz.stem) <= nfz.n "
+            "WHERE nfz.query_id = sc.query_id)"
         )
     where = (" WHERE " + " AND ".join(preds)) if preds else ""
     return (
@@ -1255,6 +1345,8 @@ ORACLES: dict[str, str] = {
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "search_boolean": _bm25_bool_sql(BOOLEAN_QUERIES, SEARCH_K),
     "search_prefix": _bm25_bool_sql(PREFIX_QUERIES, SEARCH_K),
+    "search_fuzzy": _bm25_bool_sql(FUZZY_QUERIES, SEARCH_K),
+    "search_wildcard": _bm25_bool_sql(WILDCARD_QUERIES, SEARCH_K),
     # incremental_delta: per-window doc counts are plain range counts, and
     # 'total_matched' is the windowed docs whose props tokenize to contain
     # the probe term 'k' (tokenizer = lowercase [a-z0-9]+ runs, replicated
@@ -1331,6 +1423,8 @@ QUERIES = {
     "search_topk": q_search_topk,
     "search_boolean": q_search_boolean,
     "search_prefix": q_search_prefix,
+    "search_fuzzy": q_search_fuzzy,
+    "search_wildcard": q_search_wildcard,
     "state_enrich": q_state_enrich,
     "date_interval_slices": q_date_interval_slices,
     "keyspace_plan": q_keyspace_plan,

@@ -41,7 +41,21 @@ from elasticsearch_assets_ray.index.codec import (
     decode_postings_pfor,
 )
 from elasticsearch_assets_ray.query import bm25
+from elasticsearch_assets_ray.query import expand as expand_mod
 from elasticsearch_assets_ray.query.parser import ParsedQuery, parse_query
+
+
+def _bisect_sorted(sorted_arr: pa.Array, x: str) -> int:
+    """Leftmost insertion point of ``x`` in a sorted Arrow string array
+    (O(log n) scalar reads — the array itself stays Arrow)."""
+    lo, hi = 0, len(sorted_arr)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if sorted_arr[mid].as_py() < x:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
 
 _SEG_COLS = [
     "term",
@@ -346,46 +360,42 @@ class Searcher:
             return None
         return pa.concat_tables(parts)
 
-    # ---------- prefix (wildcard) expansion ----------
+    # ---------- multi-term (prefix / wildcard / fuzzy) expansion ----------
+    def _term_dict_slices(self, lo: str | None = None, hi: str | None = None):
+        """Yield the index's term-dictionary Arrow arrays, optionally
+        narrowed to the sorted range ``[lo, hi)``.  Warm mode: a
+        binary-searched slice of each resident shard's sorted term array;
+        cold mode: ONE statistics-pruned range read over the segment's
+        term column.  Arrays may repeat terms across shards/buckets —
+        callers dedupe."""
+        if not self.shard_resident:
+            if not self._seg.files:  # empty index
+                return
+            filt = (
+                (pc.field("term") >= lo) & (pc.field("term") < hi)
+                if lo is not None
+                else None
+            )
+            got = self._seg.to_table(columns=["term"], filter=filt)
+            yield pc.unique(got["term"])
+            return
+        for s in range(self.num_shards):
+            _, (sorted_arr, _order) = self._load_shard(s)
+            n = len(sorted_arr)
+            left, right = 0, n
+            if lo is not None:
+                left, right = _bisect_sorted(sorted_arr, lo), _bisect_sorted(sorted_arr, hi)
+            if right > left:
+                yield sorted_arr.slice(left, right - left)
+
     def expand_prefix(self, prefix: str, max_expansions: int = 1024) -> list[str]:
         """All index terms starting with ``prefix`` (sorted), via binary
         search over every shard's sorted term dictionary — no term scan.
         Raises when the expansion exceeds ``max_expansions`` (the
         deterministic analog of Lucene's rewrite cap)."""
-        hi_key = prefix + "\U0010ffff"
         found: set[str] = set()
-        if not self.shard_resident:
-            if not self._seg.files:  # empty index
-                return []
-            # cold mode: a single statistics-pruned range read over terms
-            got = self._seg.to_table(
-                columns=["term"],
-                filter=(pc.field("term") >= prefix) & (pc.field("term") < hi_key),
-            )
-            found = set(pc.unique(got["term"]).to_pylist())
-            if len(found) > max_expansions:
-                raise ValueError(
-                    f"prefix {prefix!r}* expands to more than "
-                    f"{max_expansions} terms — narrow the prefix"
-                )
-            return sorted(found)
-        for s in range(self.num_shards):
-            _, (sorted_arr, order) = self._load_shard(s)
-            n = len(sorted_arr)
-
-            def bisect(x: str) -> int:
-                lo, hi = 0, n
-                while lo < hi:
-                    mid = (lo + hi) // 2
-                    if sorted_arr[mid].as_py() < x:
-                        lo = mid + 1
-                    else:
-                        hi = mid
-                return lo
-
-            left, right = bisect(prefix), bisect(hi_key)
-            if right > left:
-                found.update(sorted_arr.slice(left, right - left).to_pylist())
+        for arr in self._term_dict_slices(prefix, prefix + "\U0010ffff"):
+            found.update(arr.to_pylist())
             if len(found) > max_expansions:
                 raise ValueError(
                     f"prefix {prefix!r}* expands to more than "
@@ -393,13 +403,61 @@ class Searcher:
                 )
         return sorted(found)
 
+    def expand_wildcard(self, pattern: str, max_expansions: int = 1024) -> list[str]:
+        """All index terms matching a Lucene wildcard pattern (``*`` any
+        run, ``?`` one char), sorted.  The literal run before the first
+        wildcard narrows the scan to a sorted range (binary search / a
+        statistics-pruned read); the residual match is ONE vectorized RE2
+        pass per term-dictionary slice — a leading-wildcard pattern scans
+        the whole dictionary, exactly Lucene's cost model."""
+        rx = expand_mod.wildcard_regex(pattern)
+        lit = expand_mod.wildcard_literal_prefix(pattern)
+        lo = lit if lit else None
+        hi = lit + "\U0010ffff" if lit else None
+        found: set[str] = set()
+        for arr in self._term_dict_slices(lo, hi):
+            m = pc.match_substring_regex(arr, rx)
+            found.update(arr.filter(m).to_pylist())
+            if len(found) > max_expansions:
+                raise ValueError(
+                    f"wildcard {pattern!r} expands to more than "
+                    f"{max_expansions} terms — narrow the pattern"
+                )
+        return sorted(found)
+
+    def expand_fuzzy(
+        self, term: str, max_edits: int, max_expansions: int = 1024
+    ) -> list[str]:
+        """All index terms within ``max_edits`` PLAIN Levenshtein edits of
+        ``term``, sorted (see query/expand.py for the documented
+        divergence from modern Lucene's transposition-aware automata).
+        Length-banded + numpy-vectorized DP over each term-dictionary
+        slice — no per-term Python."""
+        found: set[str] = set()
+        for arr in self._term_dict_slices():
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            mask = expand_mod.fuzzy_mask(term, arr, max_edits)
+            if mask.any():
+                found.update(
+                    arr.take(pa.array(np.flatnonzero(mask), type=pa.int64())).to_pylist()
+                )
+            if len(found) > max_expansions:
+                raise ValueError(
+                    f"fuzzy {term!r}~{max_edits} expands to more than "
+                    f"{max_expansions} terms — raise max_expansions or "
+                    "lower the edit distance"
+                )
+        return sorted(found)
+
     def _rewrite_prefixes(self, q: ParsedQuery) -> ParsedQuery:
-        """Expand trailing-star clauses against the term dictionary:
-        positive prefixes become SHOULD terms (each scored with its own
-        idf — Lucene's scoring rewrite), negative prefixes become
-        MUST_NOT terms.  An unmatched positive prefix contributes
-        nothing."""
-        if not q.has_prefixes:
+        """Expand every multi-term clause (trailing-star prefix, general
+        wildcard, fuzzy) against the term dictionary: positive expansions
+        become SHOULD terms (each scored with its own idf — Lucene's
+        scoring rewrite), ``+`` expansions additionally form a
+        conjunctive must_any group, negative expansions become MUST_NOT
+        terms.  An unmatched positive clause contributes nothing."""
+        if not q.has_multiterm:
             return q
         out = ParsedQuery(
             should=list(q.should),
@@ -409,16 +467,31 @@ class Searcher:
             not_phrases=list(q.not_phrases),
             must_any=[list(g) for g in q.must_any],
         )
-        for p in q.prefixes:
-            out.should.extend(self.expand_prefix(p))
-        for p in q.must_prefixes:
-            terms = self.expand_prefix(p)
-            out.should.extend(terms)
-            # conjunctive: ≥1 expanded term must match (an empty
-            # expansion can match nothing — the group filters all docs)
-            out.must_any.append(terms)
-        for p in q.not_prefixes:
-            out.must_not.extend(self.expand_prefix(p))
+        expansions: list[tuple[list, object]] = [
+            (q.prefixes, self.expand_prefix),
+            (q.must_prefixes, self.expand_prefix),
+            (q.not_prefixes, self.expand_prefix),
+            (q.wildcards, self.expand_wildcard),
+            (q.must_wildcards, self.expand_wildcard),
+            (q.not_wildcards, self.expand_wildcard),
+            (q.fuzzies, lambda tn: self.expand_fuzzy(*tn)),
+            (q.must_fuzzies, lambda tn: self.expand_fuzzy(*tn)),
+            (q.not_fuzzies, lambda tn: self.expand_fuzzy(*tn)),
+        ]
+        for (clauses, fn), kind in zip(
+            expansions, ["should", "must", "not"] * 3
+        ):
+            for c in clauses:
+                terms = fn(c)
+                if kind == "not":
+                    out.must_not.extend(terms)
+                else:
+                    out.should.extend(terms)
+                    if kind == "must":
+                        # conjunctive: ≥1 expanded term must match (an
+                        # empty expansion matches nothing — the group
+                        # filters all docs)
+                        out.must_any.append(terms)
         return out
 
     # ---------- search ----------

@@ -1,0 +1,129 @@
+"""Multi-term query expansion kernels — wildcard patterns and fuzzy
+(edit-distance) matching against the index term dictionary.
+
+The reference hands ``query_string`` clauses like ``t?ble`` and
+``spark~1`` to Lucene (reference utils.ts:94-100); our native engine
+expands them against its own term dictionary and scores the expansion
+terms individually (Lucene's scoring rewrite of multi-term queries),
+exactly like the trailing-star prefix path (query/engine.py
+``_rewrite_multiterm``).
+
+Divergence note (documented): fuzzy distance is PLAIN Levenshtein
+(insert/delete/substitute, each cost 1).  Modern Lucene's FuzzyQuery
+counts a transposition as ONE edit (Damerau/OSA); classic Lucene and
+DuckDB's ``levenshtein()`` — our SQL oracle — count it as two.  Plain
+Levenshtein keeps the engine bit-identical to the oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# the analyzer's token alphabet (stages/tokenizer.py: [a-z0-9]+ runs)
+_TERM_ALPHABET = "a-z0-9"
+_WILDCARD_OK = re.compile(r"^[a-z0-9*?]+$")
+
+
+def is_wildcard_pattern(s: str) -> bool:
+    """True when ``s`` (already lowercased) is a valid wildcard clause:
+    term-alphabet literals plus ``*``/``?``, with at least one literal
+    character (a bare ``*``/``?``/``**`` match-all is rejected — the
+    deterministic analog of Lucene's leading-wildcard guard)."""
+    return bool(_WILDCARD_OK.match(s)) and bool(re.search(r"[a-z0-9]", s))
+
+
+def wildcard_regex(pattern: str) -> str:
+    """Anchored RE2 regex for a Lucene wildcard pattern (``*`` = any run
+    of term characters, ``?`` = exactly one).  The same regex string runs
+    through pyarrow (engine side) and DuckDB ``regexp_matches`` (oracle
+    side) — both RE2, identical semantics."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(f"[{_TERM_ALPHABET}]*")
+        elif ch == "?":
+            out.append(f"[{_TERM_ALPHABET}]")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+def wildcard_literal_prefix(pattern: str) -> str:
+    """The literal run before the first wildcard — used to narrow the
+    term-dictionary scan to a sorted range before the regex pass."""
+    m = re.match(r"^[a-z0-9]*", pattern)
+    return m.group(0) if m else ""
+
+
+def _char_matrix(terms: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(N, L) uint8 char-code matrix (0-padded) + per-term lengths for an
+    ASCII Arrow string array — one vectorized scatter, no per-term Python
+    loop (terms are analyzer output: ``[a-z0-9]+``, always ASCII)."""
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    n = len(terms)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    offs = np.frombuffer(terms.buffers()[1], dtype=np.int32)[
+        terms.offset : terms.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(terms.buffers()[2] or b"", dtype=np.uint8)
+    lens = np.diff(offs)
+    length = int(lens.max()) if n else 0
+    mat = np.zeros((n, length), dtype=np.uint8)
+    cols = np.arange(length)
+    valid = cols < lens[:, None]
+    mat[valid] = data[(offs[:-1, None] + cols)[valid]]
+    return mat, lens
+
+
+def levenshtein_batch(query: str, terms: pa.Array) -> np.ndarray:
+    """Plain Levenshtein distance from ``query`` to every term of an
+    Arrow string array, vectorized over terms: the DP advances one
+    (query-char, term-position) cell per numpy op — O(|q|·L) vector ops
+    over all N candidates at once, no per-term Python."""
+    mat, lens = _char_matrix(terms)
+    n, length = mat.shape
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    q = np.frombuffer(query.encode("ascii", "replace"), dtype=np.uint8)
+    m = q.size
+    prev = np.broadcast_to(np.arange(length + 1, dtype=np.int64), (n, length + 1)).copy()
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = prev[:, :-1] + (mat != q[i - 1]).astype(np.int64)
+        dele = prev[:, 1:] + 1
+        best = np.minimum(sub, dele)
+        # insertion (left neighbor) has a sequential dependency along the
+        # term axis; L is a term length (≤ a few dozen), so this inner
+        # loop is L vector ops over all N candidates
+        for j in range(1, length + 1):
+            cur[:, j] = np.minimum(best[:, j - 1], cur[:, j - 1] + 1)
+        prev = cur
+    return prev[np.arange(n), lens]
+
+
+def fuzzy_mask(query: str, terms: pa.Array, max_edits: int) -> np.ndarray:
+    """Boolean mask of terms within ``max_edits`` plain-Levenshtein edits
+    of ``query``.  A length pre-band (||t|-|q|| ≤ n) prunes the DP input
+    first — cheap and exact (length difference lower-bounds distance)."""
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    n = len(terms)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    import pyarrow.compute as pc
+
+    lens = pc.utf8_length(terms).to_numpy(zero_copy_only=False)
+    band = np.abs(lens - len(query)) <= max_edits
+    out = np.zeros(n, dtype=bool)
+    idx = np.flatnonzero(band)
+    if idx.size == 0:
+        return out
+    cand = terms.take(pa.array(idx, type=pa.int64()))
+    out[idx] = levenshtein_batch(query, cand) <= max_edits
+    return out

@@ -64,9 +64,27 @@ class OracleIndex:
         """(doc_ids, bm25) for every doc matching the query (must/must_not
         honoured), unordered-by-contract."""
         pq_ = parse_query(query) if isinstance(query, str) else query
-        if pq_.has_prefixes:
-            # same rewrite as the engine: positive prefixes → SHOULD
-            # terms, negative prefixes → MUST_NOT, from the term set
+        if pq_.has_multiterm:
+            # same rewrite as the engine: positive expansions → SHOULD
+            # terms (+ a must_any group for `+` clauses), negative
+            # expansions → MUST_NOT, from the vocabulary — this reference
+            # scorer expands by brute force over every posting key
+            import re as _re
+
+            from elasticsearch_assets_ray.query import expand as _exp
+
+            def _lev(a: str, b: str) -> int:
+                prev = list(range(len(b) + 1))
+                for i, ca in enumerate(a, 1):
+                    cur = [i]
+                    for j, cb in enumerate(b, 1):
+                        cur.append(
+                            min(prev[j] + 1, cur[j - 1] + 1,
+                                prev[j - 1] + (ca != cb))
+                        )
+                    prev = cur
+                return prev[-1]
+
             expanded = ParsedQuery(
                 should=list(pq_.should),
                 must=list(pq_.must),
@@ -75,18 +93,33 @@ class OracleIndex:
                 not_phrases=list(pq_.not_phrases),
                 must_any=[list(g) for g in pq_.must_any],
             )
-            for p in pq_.prefixes:
-                expanded.should.extend(
-                    t for t in self.postings if t.startswith(p)
-                )
-            for p in pq_.must_prefixes:
-                terms = [t for t in self.postings if t.startswith(p)]
-                expanded.should.extend(terms)
-                expanded.must_any.append(terms)
-            for p in pq_.not_prefixes:
-                expanded.must_not.extend(
-                    t for t in self.postings if t.startswith(p)
-                )
+            sets = [
+                (pq_.prefixes, "should", lambda p: lambda t: t.startswith(p)),
+                (pq_.must_prefixes, "must", lambda p: lambda t: t.startswith(p)),
+                (pq_.not_prefixes, "not", lambda p: lambda t: t.startswith(p)),
+                (pq_.wildcards, "should",
+                 lambda w: lambda t, rx=_re.compile(_exp.wildcard_regex(w)): bool(rx.match(t))),
+                (pq_.must_wildcards, "must",
+                 lambda w: lambda t, rx=_re.compile(_exp.wildcard_regex(w)): bool(rx.match(t))),
+                (pq_.not_wildcards, "not",
+                 lambda w: lambda t, rx=_re.compile(_exp.wildcard_regex(w)): bool(rx.match(t))),
+                (pq_.fuzzies, "should",
+                 lambda tn: lambda t: _lev(tn[0], t) <= tn[1]),
+                (pq_.must_fuzzies, "must",
+                 lambda tn: lambda t: _lev(tn[0], t) <= tn[1]),
+                (pq_.not_fuzzies, "not",
+                 lambda tn: lambda t: _lev(tn[0], t) <= tn[1]),
+            ]
+            for clauses, kind, mk in sets:
+                for c in clauses:
+                    pred = mk(c)
+                    terms = sorted(t for t in self.postings if pred(t))
+                    if kind == "not":
+                        expanded.must_not.extend(terms)
+                    else:
+                        expanded.should.extend(terms)
+                        if kind == "must":
+                            expanded.must_any.append(terms)
             pq_ = expanded
         plist = [
             (len(self.postings[t][0]), *self.postings[t])

@@ -33,9 +33,11 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+from elasticsearch_assets_ray.query.expand import is_wildcard_pattern
 from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
 
 _CLAUSE_RE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
+_FUZZY_RE = re.compile(r"^(.+)~([0-2]?)$")
 
 
 @dataclass
@@ -53,6 +55,19 @@ class ParsedQuery:
     prefixes: list[str] = field(default_factory=list)
     must_prefixes: list[str] = field(default_factory=list)
     not_prefixes: list[str] = field(default_factory=list)
+    # general wildcard clauses (`t?ble`, `*ark`, `s*t`): lowercased
+    # patterns over the term alphabet + `*`/`?`, expanded against the
+    # term dictionary (regex over a prefix-narrowed sorted range);
+    # expansion terms score individually, like prefixes
+    wildcards: list[str] = field(default_factory=list)
+    must_wildcards: list[str] = field(default_factory=list)
+    not_wildcards: list[str] = field(default_factory=list)
+    # fuzzy clauses `spark~1` / `tabel~` (default 2): (analyzed stem,
+    # max plain-Levenshtein edits); see query/expand.py for the
+    # documented Lucene divergence (no transposition discount)
+    fuzzies: list[tuple[str, int]] = field(default_factory=list)
+    must_fuzzies: list[tuple[str, int]] = field(default_factory=list)
+    not_fuzzies: list[tuple[str, int]] = field(default_factory=list)
     # conjunctive ANY-groups (filled by the engine's prefix rewrite):
     # a doc must contain ≥1 term of EACH group
     must_any: list[list[str]] = field(default_factory=list)
@@ -71,6 +86,19 @@ class ParsedQuery:
     def has_prefixes(self) -> bool:
         return bool(self.prefixes or self.must_prefixes or self.not_prefixes)
 
+    @property
+    def has_multiterm(self) -> bool:
+        """Any clause that needs term-dictionary expansion (prefix,
+        wildcard or fuzzy) before scoring."""
+        return self.has_prefixes or bool(
+            self.wildcards
+            or self.must_wildcards
+            or self.not_wildcards
+            or self.fuzzies
+            or self.must_fuzzies
+            or self.not_fuzzies
+        )
+
     def to_string(self) -> str:
         """Canonical printable form (golden-string tests, Q8 analog)."""
         parts = (
@@ -82,6 +110,12 @@ class ParsedQuery:
             + [f"{p}*" for p in sorted(set(self.prefixes))]
             + [f"+{p}*" for p in sorted(set(self.must_prefixes))]
             + [f"-{p}*" for p in sorted(set(self.not_prefixes))]
+            + sorted(set(self.wildcards))
+            + [f"+{w}" for w in sorted(set(self.must_wildcards))]
+            + [f"-{w}" for w in sorted(set(self.not_wildcards))]
+            + [f"{t}~{n}" for t, n in sorted(set(self.fuzzies))]
+            + [f"+{t}~{n}" for t, n in sorted(set(self.must_fuzzies))]
+            + [f"-{t}~{n}" for t, n in sorted(set(self.not_fuzzies))]
         )
         return " ".join(parts)
 
@@ -91,6 +125,45 @@ def parse_query(q: str) -> ParsedQuery:
     for m in _CLAUSE_RE.finditer(q or ""):
         op, body, quoted = m.group(1), m.group(2), m.group(3)
         text = quoted if quoted is not None else body
+        if quoted is None:
+            fm = _FUZZY_RE.match(body)
+            if fm is not None:
+                # fuzzy clause `stem~` / `stem~N` (N ∈ 0..2, default 2);
+                # the stem runs through the analyzer and must stay one
+                # token, else the clause degrades to plain terms
+                stem = tokenize_text(fm.group(1))
+                if len(stem) == 1:
+                    n = int(fm.group(2)) if fm.group(2) else 2
+                    if op == "-":
+                        out.not_fuzzies.append((stem[0], n))
+                    elif op == "+":
+                        out.must_fuzzies.append((stem[0], n))
+                    else:
+                        out.fuzzies.append((stem[0], n))
+                    continue
+                if stem:
+                    # multi-token stem (fooBar~1): the fuzzy suffix drops,
+                    # the analyzed stem terms stay plain clauses
+                    if op == "+":
+                        out.must.extend(stem)
+                    elif op == "-":
+                        out.must_not.extend(stem)
+                    else:
+                        out.should.extend(stem)
+                    continue
+        if quoted is None and ("?" in body or "*" in body[:-1]):
+            # general wildcard (`t?ble`, `*ark`, `s*t`, `gr*up*`): must be
+            # a valid term-alphabet pattern after lowering, else the
+            # clause degrades to plain analyzed terms
+            low = body.lower()
+            if is_wildcard_pattern(low):
+                if op == "-":
+                    out.not_wildcards.append(low)
+                elif op == "+":
+                    out.must_wildcards.append(low)
+                else:
+                    out.wildcards.append(low)
+                continue
         if quoted is None and body.endswith("*") and len(body) > 1:
             # trailing-star prefix clause (Lucene `fie*`); the stem runs
             # through the analyzer and must stay a single token

@@ -1,0 +1,206 @@
+"""Fuzzy (`term~N`) and general wildcard (`t?ble`, `*ark`) query
+clauses: parser, term-dictionary expansion, and rank identity vs the
+brute-force oracle (the Lucene ``query_string`` multi-term surface the
+reference delegates — reference utils.ts:94-100)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+
+from elasticsearch_assets_ray.query import expand as exp
+from elasticsearch_assets_ray.query.engine import Searcher
+from elasticsearch_assets_ray.query.oracle import OracleIndex
+from elasticsearch_assets_ray.query.parser import parse_query
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def test_parser_fuzzy_clauses():
+    q = parse_query("retrun~2 error")
+    assert q.fuzzies == [("retrun", 2)]
+    assert q.should == ["error"]
+
+    q = parse_query("impart~1 +erro~ -quer~0")
+    assert q.fuzzies == [("impart", 1)]
+    assert q.must_fuzzies == [("erro", 2)]  # bare ~ defaults to 2
+    assert q.not_fuzzies == [("quer", 0)]
+
+    # multi-token stem degrades to plain terms (analyzer splits fooBar)
+    q = parse_query("fooBar~1")
+    assert q.fuzzies == [] and set(q.should) == {"foo", "bar"}
+
+
+def test_parser_wildcard_clauses():
+    q = parse_query("r?nk er*r -s*t +cl*s")
+    assert q.wildcards == ["r?nk", "er*r"]
+    assert q.not_wildcards == ["s*t"]
+    assert q.must_wildcards == ["cl*s"]
+
+    # trailing-star-only stays on the prefix fast path
+    q = parse_query("ret*")
+    assert q.prefixes == ["ret"] and q.wildcards == []
+
+    # bare match-all and non-alphabet patterns degrade
+    q = parse_query("*? f,o?x")
+    assert q.wildcards == []
+    assert "f" not in q.wildcards
+
+    q = parse_query("Imp?rt")  # lowercased like the analyzer
+    assert q.wildcards == ["imp?rt"]
+
+
+def test_to_string_roundtrip():
+    q = parse_query("r?nk retrun~2 -er*r +impart~1")
+    s = q.to_string()
+    assert "r?nk" in s and "retrun~2" in s and "-er*r" in s and "+impart~1" in s
+    # printable form reparses to the same clause sets
+    q2 = parse_query(s)
+    assert sorted(q2.wildcards) == sorted(q.wildcards)
+    assert sorted(q2.fuzzies) == sorted(q.fuzzies)
+    assert sorted(q2.not_wildcards) == sorted(q.not_wildcards)
+    assert sorted(q2.must_fuzzies) == sorted(q.must_fuzzies)
+
+
+# ---------------------------------------------------------------------------
+# expansion kernels
+# ---------------------------------------------------------------------------
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_batch_matches_scalar_reference():
+    import random
+
+    rng = random.Random(11)
+    al = "ab1"
+    for _ in range(50):
+        q = "".join(rng.choice(al) for _ in range(rng.randint(0, 6)))
+        cands = [
+            "".join(rng.choice(al) for _ in range(rng.randint(1, 8)))
+            for _ in range(25)
+        ]
+        got = exp.levenshtein_batch(q, pa.array(cands)).tolist()
+        assert got == [_lev_ref(q, c) for c in cands], (q, cands)
+
+
+def test_wildcard_regex_translation():
+    assert exp.wildcard_regex("t?ble") == "^t[a-z0-9]ble$"
+    assert exp.wildcard_regex("er*r") == "^er[a-z0-9]*r$"
+    assert exp.wildcard_literal_prefix("er*r") == "er"
+    assert exp.wildcard_literal_prefix("*ueue") == ""
+    assert exp.is_wildcard_pattern("t?ble")
+    assert not exp.is_wildcard_pattern("*")  # match-all rejected
+    assert not exp.is_wildcard_pattern("f,o?x")
+
+
+def test_expand_wildcard_and_fuzzy_against_index(built_index):
+    idx_dir, _ = built_index
+    s = Searcher(idx_dir)
+    got = set(s.expand_wildcard("er*r"))
+    assert "error" in got
+    assert all(t.startswith("er") and t.endswith("r") for t in got)
+    # leading wildcard scans the whole dictionary
+    assert "queue" in s.expand_wildcard("*ueue")
+
+    fz = set(s.expand_fuzzy("retrun", 2))
+    assert "return" in fz
+    assert all(_lev_ref("retrun", t) <= 2 for t in fz)
+    assert s.expand_fuzzy("return", 0) == ["return"]
+
+    with pytest.raises(ValueError, match="expands to more than"):
+        s.expand_wildcard("*", max_expansions=3) if exp.is_wildcard_pattern(
+            "*"
+        ) else s.expand_wildcard("e*", max_expansions=1)
+
+
+def test_cold_warm_expansion_agree(built_index):
+    idx_dir, _ = built_index
+    warm = Searcher(idx_dir)
+    cold = Searcher(idx_dir, shard_resident=False)
+    for pat in ["er*r", "*ueue", "r?nk", "s*t"]:
+        assert warm.expand_wildcard(pat) == cold.expand_wildcard(pat), pat
+    for t, n in [("retrun", 2), ("impart", 1), ("erro", 2)]:
+        assert warm.expand_fuzzy(t, n) == cold.expand_fuzzy(t, n), (t, n)
+
+
+# ---------------------------------------------------------------------------
+# rank identity vs the brute-force oracle
+# ---------------------------------------------------------------------------
+
+FW_QUERIES = [
+    "retrun~2 error",
+    "impart~1 batch",
+    "+erro~1 batch",          # conjunctive fuzzy group {err, error}
+    "-quer~2 merge",          # excludes query/queue within 2 edits
+    "r?nk score",
+    "er*r send",
+    "*ueue item",             # leading wildcard
+    "+cl*s batch",            # conjunctive wildcard group
+    "-s*t merge row",         # negative wildcard
+    "imp?rt retrun~1",        # mixed wildcard + fuzzy
+    "zz?qq merge",            # wildcard matching nothing contributes nothing
+    "zzz~1 merge",            # fuzzy matching nothing contributes nothing
+]
+
+
+@pytest.fixture(scope="module")
+def fw_oracle(built_index):
+    idx_dir, _ = built_index
+    doc = pads.dataset(os.path.join(idx_dir, "docstore")).to_table(
+        columns=["doc_id", "content"]
+    )
+    return OracleIndex(doc, content_col="content", id_col="doc_id")
+
+
+@pytest.mark.parametrize("query", FW_QUERIES)
+def test_fuzzy_wildcard_rank_identity(query, fw_oracle, built_index):
+    idx_dir, _ = built_index
+    s = Searcher(idx_dir)
+    oi, osc = fw_oracle.topk(query, 10)
+    r = s.search(query, 10)
+    assert np.array_equal(r["doc_id"].to_numpy(), oi), query
+    assert np.array_equal(r["score"].to_numpy(), osc), query
+
+
+def test_conjunctive_fuzzy_filters(built_index):
+    """`+erro~1` requires ≥1 term within 1 edit of 'erro' per doc; the
+    bare disjunction is a superset."""
+    idx_dir, _ = built_index
+    s = Searcher(idx_dir)
+    bag = s.all_scores("erro~1 batch")
+    conj = s.all_scores("+erro~1 batch")
+    assert set(conj["doc_id"].to_pylist()) <= set(bag["doc_id"].to_pylist())
+    # conjunctive docs all contain err or error
+    terms = set(s.expand_fuzzy("erro", 1))
+    hyd = s.hydrate(
+        conj["doc_id"].to_numpy(zero_copy_only=False), columns=["doc_id", "content"]
+    )
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    for c in hyd["content"].to_pylist():
+        assert terms & set(tokenize_text(c))
+
+
+def test_multisearcher_expansion(built_index, tmp_path):
+    """Wildcard/fuzzy expansion unions base + delta term dictionaries."""
+    from elasticsearch_assets_ray.index.incremental import MultiSearcher
+
+    idx_dir, _ = built_index
+    ms = MultiSearcher([idx_dir])
+    s = Searcher(idx_dir)
+    assert ms.expand_wildcard("er*r") == s.expand_wildcard("er*r")
+    assert ms.expand_fuzzy("retrun", 2) == s.expand_fuzzy("retrun", 2)
