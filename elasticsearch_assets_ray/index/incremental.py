@@ -338,6 +338,12 @@ class MultiSearcher(Searcher):
             "content_col": c0.get("content_col"),
         }
         self._init_runtime_state()
+        # children load their own tombstones (disjoint docID spaces →
+        # plain sorted union); _init_runtime_state reset ours to empty
+        # because a MultiSearcher has no single index_dir
+        tombs = [c._tombstones for c in self.children if c._tombstones.size]
+        if tombs:
+            self._tombstones = np.unique(np.concatenate(tombs))
 
     def _term_dict_slices(self, lo: str | None = None, hi: str | None = None):
         """Chain the children's term dictionaries — prefix, wildcard and

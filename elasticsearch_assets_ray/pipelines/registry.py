@@ -573,14 +573,26 @@ def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return ids[order], mat[order]
 
 
+def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
+    """DuckDB ROUND parity for doubles: half AWAY FROM ZERO in scaled
+    double space (``std::round(x*10^d)/10^d``), unlike numpy/pyarrow's
+    half-to-even — a score within 1 ulp of a decimal midpoint must round
+    the same way on both sides of the value-hash gate."""
+    p = 10.0 ** digits
+    return np.trunc(np.abs(x) * p + 0.5) * np.sign(x) / p
+
+
 def _rerank_rounded(res: pa.Table, k: int) -> pa.Table:
     """Re-rank by (round(sim,9) desc, vec_id asc) and report round(sim,6)
-    — the float-robust ranking contract shared with the SQL oracle."""
+    — the float-robust ranking contract shared with the SQL oracle.  The
+    reported value is half-up round6 of the RAW sim (DuckDB ROUND parity;
+    rounding the 9-rounded value would double-round)."""
     qid = res["query_id"].to_numpy(zero_copy_only=False)
     vid = res["vec_id"].to_numpy(zero_copy_only=False)
-    sim = np.round(res["sim"].to_numpy(zero_copy_only=False), 9)
+    sim_raw = res["sim"].to_numpy(zero_copy_only=False)
+    sim = np.round(sim_raw, 9)
     order = np.lexsort((vid, -sim, qid))
-    qid, vid, sim = qid[order], vid[order], sim[order]
+    qid, vid, sim_raw = qid[order], vid[order], sim_raw[order]
     starts = np.concatenate(([True], qid[1:] != qid[:-1]))
     first_idx = np.flatnonzero(starts)
     grp = np.cumsum(starts) - 1
@@ -591,7 +603,7 @@ def _rerank_rounded(res: pa.Table, k: int) -> pa.Table:
             "query_id": pa.array(qid[keep].astype(np.int64)),
             "vec_id": pa.array(vid[keep].astype(np.int64)),
             "rank": pa.array(rank[keep].astype(np.int64)),
-            "sim_r": pa.array(np.round(sim[keep], 6)),
+            "sim_r": pa.array(_round_half_up(sim_raw[keep], 6)),
         }
     )
 
@@ -680,7 +692,9 @@ def q_embedding_dedup(sf_dir: str):
         {
             "id_a": pairs["id_a"],
             "id_b": pairs["id_b"],
-            "sim_r": pc.round(pairs["sim"], ndigits=6),
+            "sim_r": pa.array(
+                _round_half_up(pairs["sim"].to_numpy(zero_copy_only=False), 6)
+            ),
         }
     )
 
@@ -690,8 +704,14 @@ def q_embedding_dedup(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
-def _search_many(sf_dir: str, queries: list[str], k: int, fetch_k: int) -> pa.Table:
-    idx = documents_index(sf_dir)
+def _search_many(
+    sf_dir: str,
+    queries: list[str],
+    k: int,
+    fetch_k: int,
+    index_dir: str | None = None,
+) -> pa.Table:
+    idx = index_dir or documents_index(sf_dir)
     s = Searcher(idx)
     parts = []
     for qid, q in enumerate(queries):
@@ -757,6 +777,90 @@ def q_search_wildcard(sf_dir: str):
     """General `?`/`*` wildcard queries: literal-prefix range narrowing +
     one vectorized RE2 pass over the term dictionary."""
     return _search_many(sf_dir, WILDCARD_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
+# ---------------------------------------------------------------------------
+# delete-by-query + expunge (the _delete_by_query / _forcemerge analogs)
+# ---------------------------------------------------------------------------
+
+DELETE_TERM = "stream"
+_DELETED_IDX_CACHE: dict[str, str] = {}
+_EXPUNGED_IDX_CACHE: dict[str, str] = {}
+
+
+def _linked_index_copy(src: str, dst: str) -> str:
+    """Hardlink copy of an index (manifest + segments + docstore): the
+    parquet payloads stay shared read-only; tombstones and any new files
+    land only in the copy."""
+    import shutil
+
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst, exist_ok=True)
+    for sub in ("segments", "docstore"):
+        for root, _dirs, files in os.walk(os.path.join(src, sub)):
+            rel = os.path.relpath(root, src)
+            os.makedirs(os.path.join(dst, rel), exist_ok=True)
+            for f in files:
+                os.link(os.path.join(root, f), os.path.join(dst, rel, f))
+    shutil.copy2(os.path.join(src, "manifest.json"), dst)
+    return dst
+
+
+def deleted_documents_index(sf_dir: str) -> str:
+    """Documents index copy with every DELETE_TERM match tombstoned."""
+    from elasticsearch_assets_ray.index.deletes import delete_by_query
+
+    if sf_dir in _DELETED_IDX_CACHE:
+        return _DELETED_IDX_CACHE[sf_dir]
+    dst = _linked_index_copy(
+        documents_index(sf_dir), documents_index(sf_dir) + "-del"
+    )
+    delete_by_query(dst, DELETE_TERM)
+    _DELETED_IDX_CACHE[sf_dir] = dst
+    return dst
+
+
+def expunged_documents_index(sf_dir: str) -> str:
+    """The tombstoned copy physically expunged (stats recomputed)."""
+    import shutil
+
+    from elasticsearch_assets_ray.index.deletes import expunge_deletes
+
+    if sf_dir in _EXPUNGED_IDX_CACHE:
+        return _EXPUNGED_IDX_CACHE[sf_dir]
+    ddir = deleted_documents_index(sf_dir)
+    out = ddir + "-exp"
+    shutil.rmtree(out, ignore_errors=True)
+    expunge_deletes(ddir, out)
+    _EXPUNGED_IDX_CACHE[sf_dir] = out
+    return out
+
+
+def q_delete_search(sf_dir: str):
+    """``_delete_by_query`` analog: tombstoned docs vanish from results
+    immediately while BM25 stats stay at FULL-corpus values until expunge
+    (Lucene deleted-doc semantics) — the oracle scores with full-corpus
+    stats and drops matching docs from the candidates only."""
+    return _search_many(
+        sf_dir,
+        DOC_QUERIES,
+        SEARCH_K,
+        fetch_k=SEARCH_K + 90,
+        index_dir=deleted_documents_index(sf_dir),
+    )
+
+
+def q_expunge_search(sf_dir: str):
+    """``_forcemerge?only_expunge_deletes`` analog: deleted docs are
+    physically removed and N/df/avgdl recomputed — the oracle is plain
+    BM25 over the filtered documents table."""
+    return _search_many(
+        sf_dir,
+        DOC_QUERIES,
+        SEARCH_K,
+        fetch_k=SEARCH_K + 90,
+        index_dir=expunged_documents_index(sf_dir),
+    )
 
 
 _BPE_ISH = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
@@ -944,9 +1048,20 @@ def q_state_enrich(sf_dir: str):
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
-def _bm25_sql(queries: list[str], k: int) -> str:
+def _bm25_sql(
+    queries: list[str],
+    k: int,
+    delete_term: str | None = None,
+    expunged: bool = False,
+) -> str:
     """DuckDB BM25 oracle over `documents`, matching the engine's pinned
-    analysis chain + scoring (k1=1.2, b=0.75, Lucene idf) exactly."""
+    analysis chain + scoring (k1=1.2, b=0.75, Lucene idf) exactly.
+
+    ``delete_term`` models the delete-by-query gates: with
+    ``expunged=False`` (tombstone semantics) stats stay FULL-corpus and
+    matching docs are only dropped from the candidates; with
+    ``expunged=True`` the whole computation runs over the filtered
+    corpus (stats recomputed)."""
     from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
 
     values = []
@@ -954,16 +1069,28 @@ def _bm25_sql(queries: list[str], k: int) -> str:
         for t in sorted(set(tokenize_text(q))):
             values.append(f"({qid}, '{t}')")
     vals = ", ".join(values)
+    docs = "SELECT * FROM documents"
+    if delete_term is not None and expunged:
+        docs = (
+            "SELECT * FROM documents WHERE doc_id NOT IN ("
+            f"SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest({_TOK}) "
+            f"AS term FROM documents) dt WHERE term = '{delete_term}')"
+        )
+    tombstone_where = (
+        f"WHERE tf.doc_id NOT IN (SELECT doc_id FROM tok WHERE term = '{delete_term}')"
+        if delete_term is not None and not expunged
+        else ""
+    )
     return f"""
-WITH tok AS (
-  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+WITH docs AS ({docs}), tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM docs
 ), tf AS (
   SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
 ), dl AS (
   SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id
 ), stats AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+  SELECT (SELECT count(*) FROM docs)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM docs) AS avgdl
 ), df AS (
   SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
 ), q(query_id, term) AS (VALUES {vals}),
@@ -976,6 +1103,7 @@ scored AS (
   JOIN df ON df.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
+  {tombstone_where}
   GROUP BY q.query_id, tf.doc_id
 )
 SELECT query_id, doc_id,
@@ -1343,6 +1471,10 @@ ORACLES: dict[str, str] = {
         "SELECT r.part_id, s.k AS boundary_key FROM r JOIN s ON s.rn = r.rk"
     ),
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
+    "delete_search": _bm25_sql(DOC_QUERIES, SEARCH_K, delete_term=DELETE_TERM),
+    "expunge_search": _bm25_sql(
+        DOC_QUERIES, SEARCH_K, delete_term=DELETE_TERM, expunged=True
+    ),
     "search_boolean": _bm25_bool_sql(BOOLEAN_QUERIES, SEARCH_K),
     "search_prefix": _bm25_bool_sql(PREFIX_QUERIES, SEARCH_K),
     "search_fuzzy": _bm25_bool_sql(FUZZY_QUERIES, SEARCH_K),
@@ -1421,6 +1553,8 @@ QUERIES = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_dedup": q_embedding_dedup,
     "search_topk": q_search_topk,
+    "delete_search": q_delete_search,
+    "expunge_search": q_expunge_search,
     "search_boolean": q_search_boolean,
     "search_prefix": q_search_prefix,
     "search_fuzzy": q_search_fuzzy,

@@ -187,6 +187,14 @@ class Searcher:
         self._blockub_cache: "OrderedDict[tuple[str, int], tuple]" = OrderedDict()
         self._blockub_bytes = 0
         self.blockub_budget = 1 << 28
+        # delete-by-query tombstones (index/deletes.py): sorted docids
+        # excluded from every search/count; BM25 stats intentionally
+        # UNCHANGED until expunge (Lucene deleted-doc semantics)
+        self._tombstones = np.empty(0, dtype=np.int64)
+        if getattr(self, "index_dir", None):
+            from elasticsearch_assets_ray.index.deletes import load_tombstones
+
+            self._tombstones = load_tombstones(self.index_dir)
         # hydrate pruning observability: docstore part files opened
         self.hydrate_files_opened = 0
         # pruning observability (cumulative across this searcher's queries)
@@ -905,6 +913,11 @@ class Searcher:
             for t in set(q.must_not):
                 if t in per_term:
                     mask &= ~np.isin(ids_b, per_term[t][0])
+            if self._tombstones.size:
+                # tombstones are sorted: membership via searchsorted
+                pos = np.searchsorted(self._tombstones, ids_b)
+                pos[pos >= self._tombstones.size] = 0
+                mask &= self._tombstones[pos] != ids_b
             ids_b, scores_b = ids_b[mask], scores_b[mask]
             if k is None:
                 all_ids.append(ids_b)
@@ -991,6 +1004,24 @@ class Searcher:
             hit = self._decode_row_cached(seg, int(i), rare, b, w=w)
             partials.append(hit[2])
         ps = np.concatenate(partials)
+        if self._tombstones.size:
+            # a tombstoned doc's partial must not seed θ — it can never
+            # appear in the result, so its score is not a valid bound
+            ids = np.concatenate(
+                [
+                    self._decode_row_cached(
+                        seg,
+                        int(i),
+                        rare,
+                        int(seg["bucket"][int(i)].as_py()),
+                        w=w,
+                    )[0]
+                    for i in np.flatnonzero(seg_term == rare)
+                ]
+            )
+            pos = np.searchsorted(self._tombstones, ids)
+            pos[pos >= self._tombstones.size] = 0
+            ps = ps[self._tombstones[pos] != ids]
         if ps.size < k:
             return -np.inf
         return float(np.partition(ps, ps.size - k)[ps.size - k])
