@@ -142,6 +142,16 @@ WILDCARD_QUERIES: list[str] = [
     "c?stomer col?mn",
 ]
 
+FILTERED_QUERIES: list[str] = [
+    "spark table merge lang:en",
+    "fast scan filter source:src3",
+    "key value row -lang:de",
+    "window agg lang:fr -source:src1",
+    '+merge "table scan" lang:en',
+    "sort part hash lang:xx",      # no such lang → matches nothing
+    "s* value lang:zh",            # prefix expansion + filter
+]
+
 SEARCH_K = 10
 _STOPWORD_SQL = ", ".join(f"'{w}'" for w in textstats._STOPWORDS)
 
@@ -779,6 +789,14 @@ def q_search_wildcard(sf_dir: str):
     return _search_many(sf_dir, WILDCARD_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
 
 
+def q_search_filtered(sf_dir: str):
+    """Fielded metadata filters (`lang:en`, `-source:src1`) — ES
+    bool.filter context over docstore columns: conjunctive, non-scoring,
+    stats untouched; evaluated as pid-local bitmap lookups inside the
+    candidate funnel (one column-pruned parquet read per touched pid)."""
+    return _search_many(sf_dir, FILTERED_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
 # ---------------------------------------------------------------------------
 # delete-by-query + expunge (the _delete_by_query / _forcemerge analogs)
 # ---------------------------------------------------------------------------
@@ -1128,8 +1146,21 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
     score_vals, must_vals, not_vals, phr_vals = [], [], [], []
     pre_arms, npre_vals, mpre_vals = [], [], []
     mwild_vals, nwild_vals, mfz_vals, nfz_vals = [], [], [], []
+    flt_conds: dict[int, list[str]] = {}
     for qid, qtext in enumerate(queries):
         p = parse_query(qtext)
+        # fielded metadata filters: conjunctive per-doc predicates over
+        # the documents row (filter context — stats untouched)
+        for fld, val in sorted(set(p.filters)):
+            v = val.replace("'", "''")
+            flt_conds.setdefault(qid, []).append(
+                f"COALESCE(d.{fld} = '{v}', FALSE)"
+            )
+        for fld, val in sorted(set(p.not_filters)):
+            v = val.replace("'", "''")
+            flt_conds.setdefault(qid, []).append(
+                f"NOT COALESCE(d.{fld} = '{v}', FALSE)"
+            )
         for t in p.scoring_terms:
             score_vals.append(f"({qid}, '{t}')")
         for t in sorted(set(p.must)):
@@ -1266,6 +1297,13 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
             "AND levenshtein(tf.term, nfz.stem) <= nfz.n "
             "WHERE nfz.query_id = sc.query_id)"
         )
+    if flt_conds:
+        arms = [
+            f"(sc.query_id <> {qid} OR (SELECT {' AND '.join(conds)} "
+            "FROM documents d WHERE d.doc_id = sc.doc_id))"
+            for qid, conds in sorted(flt_conds.items())
+        ]
+        preds.append("(" + " AND ".join(arms) + ")")
     where = (" WHERE " + " AND ".join(preds)) if preds else ""
     return (
         "WITH " + ",\n".join(ctes) + "\n"
@@ -1479,6 +1517,7 @@ ORACLES: dict[str, str] = {
     "search_prefix": _bm25_bool_sql(PREFIX_QUERIES, SEARCH_K),
     "search_fuzzy": _bm25_bool_sql(FUZZY_QUERIES, SEARCH_K),
     "search_wildcard": _bm25_bool_sql(WILDCARD_QUERIES, SEARCH_K),
+    "search_filtered": _bm25_bool_sql(FILTERED_QUERIES, SEARCH_K),
     # incremental_delta: per-window doc counts are plain range counts, and
     # 'total_matched' is the windowed docs whose props tokenize to contain
     # the probe term 'k' (tokenizer = lowercase [a-z0-9]+ runs, replicated
@@ -1559,6 +1598,7 @@ QUERIES = {
     "search_prefix": q_search_prefix,
     "search_fuzzy": q_search_fuzzy,
     "search_wildcard": q_search_wildcard,
+    "search_filtered": q_search_filtered,
     "state_enrich": q_state_enrich,
     "date_interval_slices": q_date_interval_slices,
     "keyspace_plan": q_keyspace_plan,

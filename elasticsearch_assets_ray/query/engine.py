@@ -33,6 +33,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 
 from elasticsearch_assets_ray.index.codec import (
     decode_block,
@@ -195,6 +196,14 @@ class Searcher:
             from elasticsearch_assets_ray.index.deletes import load_tombstones
 
             self._tombstones = load_tombstones(self.index_dir)
+        # fielded metadata filters (`lang:en`): (field, value, pid) ->
+        # bool row bitmap from the docstore part's column — byte-budgeted
+        # LRU so repeated filtered queries pay one column read per
+        # touched pid, never a corpus-wide scan
+        self._filterbits_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._filterbits_bytes = 0
+        self.filterbits_budget = 1 << 27  # 128 MB of bool rows per actor
+        self._docstore_fields: frozenset[str] | None = None
         # hydrate pruning observability: docstore part files opened
         self.hydrate_files_opened = 0
         # pruning observability (cumulative across this searcher's queries)
@@ -474,6 +483,8 @@ class Searcher:
             phrases=list(q.phrases),
             not_phrases=list(q.not_phrases),
             must_any=[list(g) for g in q.must_any],
+            filters=list(q.filters),
+            not_filters=list(q.not_filters),
         )
         expansions: list[tuple[list, object]] = [
             (q.prefixes, self.expand_prefix),
@@ -807,8 +818,80 @@ class Searcher:
             pos += chunk
         return np.array(out_i, dtype=np.int64), np.array(out_s, dtype=np.float64)
 
+    # ---------- fielded metadata filters ----------
+    def _filter_bits(self, fld: str, value: str, pid: int) -> np.ndarray:
+        """Bool bitmap (row-offset indexed) of the docstore part's rows
+        whose ``fld`` equals ``value`` — one column-pruned parquet read
+        per (field, value, pid), LRU-cached."""
+        key = (fld, value, pid)
+        hit = self._filterbits_cache.get(key)
+        if hit is not None:
+            self._filterbits_cache.move_to_end(key)
+            return hit
+        t = pq.read_table(self._pid_map()[pid], columns=[fld])
+        col = t[fld]
+        try:
+            scalar = pa.scalar(value).cast(col.type)
+        except pa.ArrowInvalid as e:
+            raise ValueError(
+                f"filter value {value!r} does not cast to column {fld!r} "
+                f"type {col.type}"
+            ) from e
+        bits = pc.fill_null(pc.equal(col, scalar), False).to_numpy(
+            zero_copy_only=False
+        )
+        self._filterbits_cache[key] = bits
+        self._filterbits_bytes += bits.nbytes
+        while self._filterbits_bytes > self.filterbits_budget and len(
+            self._filterbits_cache
+        ) > 1:
+            _, old = self._filterbits_cache.popitem(last=False)
+            self._filterbits_bytes -= old.nbytes
+        return bits
+
+    def _filter_ctx(self, q: ParsedQuery):
+        """Candidate mask for the query's fielded filter clauses, or
+        ``None`` when it has none.  Filters are FILTER CONTEXT (ES
+        bool.filter): conjunctive, non-scoring, and — like tombstones —
+        they leave collection statistics untouched."""
+        if not (q.filters or q.not_filters):
+            return None
+        if self._docstore_fields is None:
+            some = next(iter(self._pid_map().values()))
+            self._docstore_fields = frozenset(pq.read_schema(some).names)
+        specs = [(f, v, False) for f, v in q.filters] + [
+            (f, v, True) for f, v in q.not_filters
+        ]
+        for fld, _v, _n in specs:
+            if fld not in self._docstore_fields:
+                raise ValueError(
+                    f"unknown filter field {fld!r}; docstore has "
+                    f"{sorted(self._docstore_fields)}"
+                )
+
+        def mask(ids: np.ndarray) -> np.ndarray:
+            m = np.ones(ids.size, dtype=bool)
+            if ids.size == 0:
+                return m
+            pid = ids >> self._doc_shift
+            off = ids - (pid << self._doc_shift)
+            # contiguous pid runs (bucket candidates are docid-ascending)
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(np.diff(pid)) + 1, [ids.size])
+            )
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                o = off[a:b]
+                for fld, value, neg in specs:
+                    bits = self._filter_bits(fld, value, int(pid[a]))
+                    sel = bits[o]
+                    m[a:b] &= ~sel if neg else sel
+            return m
+
+        return mask
+
     # ---------- internals ----------
     def _score(self, q: ParsedQuery, k: int | None) -> tuple[np.ndarray, np.ndarray]:
+        fctx = self._filter_ctx(q)
         terms = q.scoring_terms
         need = sorted(set(terms) | set(q.must_not))
         seg = self._segment_rows(need)
@@ -877,6 +960,8 @@ class Searcher:
             and not must
             and not q.must_not
             and not q.must_any
+            and not q.filters
+            and not q.not_filters
             and len(terms) > 1
         ):
             theta_seed = self._seed_theta(seg, seg_term, seg_df, idf_by_term, k)
@@ -918,6 +1003,8 @@ class Searcher:
                 pos = np.searchsorted(self._tombstones, ids_b)
                 pos[pos >= self._tombstones.size] = 0
                 mask &= self._tombstones[pos] != ids_b
+            if fctx is not None:
+                mask &= fctx(ids_b)
             ids_b, scores_b = ids_b[mask], scores_b[mask]
             if k is None:
                 all_ids.append(ids_b)

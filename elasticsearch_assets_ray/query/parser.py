@@ -36,8 +36,15 @@ from dataclasses import dataclass, field
 from elasticsearch_assets_ray.query.expand import is_wildcard_pattern
 from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
 
-_CLAUSE_RE = re.compile(r'([+-]?)("([^"]*)"|\S+)')
+_CLAUSE_RE = re.compile(
+    # a clause is a quoted phrase, a fielded clause with a quoted value
+    # (`source:"web x"` — must come before \S+ or the space splits it),
+    # or a bare token
+    r'([+-]?)("([^"]*)"|[A-Za-z_][A-Za-z0-9_.]*:"[^"]*"|\S+)'
+)
 _FUZZY_RE = re.compile(r"^(.+)~([0-2]?)$")
+# fielded clause `field:value` — identifier-shaped field, nonempty value
+_FIELD_RE = re.compile(r'^([A-Za-z_][A-Za-z0-9_.]*):("(?:[^"]*)"|[^"\s]+)$')
 
 
 @dataclass
@@ -71,6 +78,14 @@ class ParsedQuery:
     # conjunctive ANY-groups (filled by the engine's prefix rewrite):
     # a doc must contain ≥1 term of EACH group
     must_any: list[list[str]] = field(default_factory=list)
+    # fielded clauses `field:value` over docstore METADATA columns —
+    # FILTER CONTEXT (ES bool.filter): conjunctive, non-scoring, exact
+    # keyword equality on the raw (unanalyzed) value.  Documented
+    # divergence from Lucene query_string, where a bare fielded term is
+    # a scoring should-clause over that field's own inverted index; our
+    # metadata columns are stored, not indexed, so they filter.
+    filters: list[tuple[str, str]] = field(default_factory=list)
+    not_filters: list[tuple[str, str]] = field(default_factory=list)
 
     @property
     def scoring_terms(self) -> list[str]:
@@ -116,6 +131,14 @@ class ParsedQuery:
             + [f"{t}~{n}" for t, n in sorted(set(self.fuzzies))]
             + [f"+{t}~{n}" for t, n in sorted(set(self.must_fuzzies))]
             + [f"-{t}~{n}" for t, n in sorted(set(self.not_fuzzies))]
+            + [
+                f'{f}:"{v}"' if " " in v else f"{f}:{v}"
+                for f, v in sorted(set(self.filters))
+            ]
+            + [
+                f'-{f}:"{v}"' if " " in v else f"-{f}:{v}"
+                for f, v in sorted(set(self.not_filters))
+            ]
         )
         return " ".join(parts)
 
@@ -126,6 +149,20 @@ def parse_query(q: str) -> ParsedQuery:
         op, body, quoted = m.group(1), m.group(2), m.group(3)
         text = quoted if quoted is not None else body
         if quoted is None:
+            km = _FIELD_RE.match(body)
+            if km is not None:
+                # fielded metadata filter clause `lang:en` /
+                # `source:"web x"`; `+` and bare are the same (filter
+                # context is always conjunctive), `-` excludes
+                val = km.group(2)
+                if len(val) >= 2 and val[0] == '"' and val[-1] == '"':
+                    val = val[1:-1]
+                if val:
+                    if op == "-":
+                        out.not_filters.append((km.group(1), val))
+                    else:
+                        out.filters.append((km.group(1), val))
+                    continue
             fm = _FUZZY_RE.match(body)
             if fm is not None:
                 # fuzzy clause `stem~` / `stem~N` (N ∈ 0..2, default 2);

@@ -1,0 +1,95 @@
+"""Fielded metadata filter clauses (`lang:python`) — ES bool.filter
+context over docstore columns: conjunctive, non-scoring, collection
+stats untouched."""
+
+import numpy as np
+import pytest
+
+from elasticsearch_assets_ray.query.engine import Searcher
+from elasticsearch_assets_ray.query.parser import parse_query
+
+
+def test_parser_fielded_clauses():
+    q = parse_query('spark lang:en -source:src3 src:"a b"')
+    assert q.filters == [("lang", "en"), ("src", "a b")]
+    assert q.not_filters == [("source", "src3")]
+    assert q.should == ["spark"]
+    # round-trip through the printer
+    q2 = parse_query(q.to_string())
+    assert sorted(q2.filters) == sorted(q.filters)
+    assert q2.not_filters == q.not_filters
+
+
+def test_parser_non_field_colons_stay_terms():
+    # digit-led / empty-value clauses are NOT fielded filters
+    q = parse_query("12:30 lang: spark")
+    assert q.filters == []
+    assert "spark" in q.should and "12" in q.should
+    # `+field:value` is the same conjunctive filter as the bare form
+    q = parse_query("+lang:en spark")
+    assert q.filters == [("lang", "en")]
+    assert q.must == []
+
+
+def _score_map(s, q):
+    t = s.all_scores(q)
+    return dict(
+        zip(
+            t["doc_id"].to_numpy(zero_copy_only=False).tolist(),
+            t["score"].to_pylist(),
+        )
+    )
+
+
+def test_filter_matches_brute_force_and_keeps_scores(built_index):
+    idx, _ = built_index
+    s = Searcher(idx)
+    base = _score_map(s, "def load index")
+    ids = np.array(sorted(base), dtype=np.int64)
+    langs = dict(
+        zip(
+            s.hydrate(ids, columns=["doc_id", "lang"])["doc_id"].to_pylist(),
+            s.hydrate(ids, columns=["doc_id", "lang"])["lang"].to_pylist(),
+        )
+    )
+    got = _score_map(s, "def load index lang:python")
+    want = {d: v for d, v in base.items() if langs[d] == "python"}
+    assert got == want  # filter context: same scores, subset of docs
+    assert 0 < len(got) < len(base)
+    # negation is the complement
+    got_neg = _score_map(s, "def load index -lang:python")
+    assert set(got_neg) == set(base) - set(got)
+    # two filters are conjunctive → empty for disjoint values
+    both = _score_map(s, "def load index lang:python lang:go")
+    assert both == {}
+
+
+def test_filtered_pruned_topk_matches_exhaustive(built_index):
+    idx, _ = built_index
+    sp = Searcher(idx, prune=True)
+    se = Searcher(idx, prune=False)
+    for q in ["def load index lang:go", "def value return -lang:java"]:
+        rp = sp.search(q, 10)
+        re_ = se.search(q, 10)
+        assert rp["doc_id"].to_pylist() == re_["doc_id"].to_pylist(), q
+        assert rp["score"].to_pylist() == re_["score"].to_pylist(), q
+
+
+def test_filter_with_phrase(built_index):
+    idx, _ = built_index
+    s = Searcher(idx)
+    r = s.all_scores('"def load" lang:python')
+    ids = r["doc_id"].to_numpy(zero_copy_only=False)
+    if ids.size:
+        h = s.hydrate(ids, columns=["doc_id", "lang"])
+        assert set(h["lang"].to_pylist()) == {"python"}
+    # phrase-filtered result ⊆ unfiltered phrase result
+    base = set(s.all_scores('"def load"')["doc_id"].to_pylist())
+    assert set(ids.tolist()) <= base
+
+
+def test_unknown_filter_field_raises(built_index):
+    idx, _ = built_index
+    s = Searcher(idx)
+    with pytest.raises(ValueError, match="unknown filter field"):
+        s.all_scores("def nosuchfield:x")
