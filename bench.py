@@ -59,6 +59,34 @@ SCALING_CORPUS_KW = dict(files=160, row_group_size=2048, min_lines=150, max_line
 WARMUP_CORPUS_DIR = "/tmp/bench_corpus_warmup"
 
 
+def machine_probe() -> dict:
+    """Machine-state canary: fixed-size compute and memory-bandwidth
+    probes recorded beside every timing.  This VM shares a host —
+    identical code has measured 5-10× apart hours apart (the
+    BENCH_r02-vs-r01 ambiguity; BASELINE.md "variance protocol").
+    Publishing the probe lets a reader normalize a round's numbers
+    against machine speed instead of guessing.  BASELINE.md records the
+    probe beside each committed spread; observed readings on this box
+    have ranged ~5-10× between windows (degraded floor measured at
+    ~16 GFLOPS / ~1.0 GB/s memcpy during a window where the unchanged
+    token_stats pipeline ran 10× its healthy time)."""
+    import numpy as np
+
+    a = np.ones((1500, 1500))
+    b = np.ones((1500, 1500))
+    a @ b  # BLAS warm-up outside the timed region
+    t0 = time.perf_counter()
+    for _ in range(4):
+        a @ b
+    gflops = 4 * 2 * 1500**3 / (time.perf_counter() - t0) / 1e9
+    buf = np.ones(1 << 25)  # 256 MB of float64
+    t0 = time.perf_counter()
+    for _ in range(4):
+        buf.copy()
+    gbps = 4 * 2 * buf.nbytes / (time.perf_counter() - t0) / 1e9  # read+write
+    return {"matmul_gflops": round(gflops, 1), "memcpy_gbps": round(gbps, 1)}
+
+
 def _init_ray(num_cpus: int):
     import ray
     import ray.data
@@ -332,6 +360,7 @@ def main() -> None:
 
         write_corpus(SCALING_CORPUS_DIR, SCALING_CORPUS_FILES, **SCALING_CORPUS_KW)
         trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
+        probe_start = machine_probe()
         pair_reports = []
         for pair in SCALING_PAIRS:
             lo, hi = pair["cpus"]
@@ -387,6 +416,10 @@ def main() -> None:
                     "cpus": primary["cpus"],
                     "speedup": primary["speedup"],
                     "pairs": pair_reports,
+                    "machine_probe": {
+                        "start": probe_start,
+                        "end": machine_probe(),
+                    },
                 }
             )
         )
@@ -395,6 +428,7 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
+    probe_start = machine_probe()
     _init_ray(num_cpus)
 
     t_all = time.perf_counter()
@@ -417,6 +451,10 @@ def main() -> None:
                 "index_build": build,
                 "query_serving": serving,
                 "pruned_serving": pruned,
+                "machine_probe": {
+                    "start": probe_start,
+                    "end": machine_probe(),
+                },
             }
         )
     )
