@@ -611,9 +611,16 @@ class Searcher:
         return self._verify_phrases_content(q, ids, scores, want, content_col)
 
     def _phrase_pos_ctx(self, q: ParsedQuery):
-        """Positional-postings lookup context for the query's phrase
-        terms: returns ``positions(term, doc) -> int32[]`` backed by a
-        one-time decode of only the phrase terms' segment rows."""
+        """Positional-postings batch context for the query's phrase
+        terms: returns ``freq_batch(cand, phrases) ->
+        int64[len(cand), len(phrases)]`` — per-candidate phrase
+        occurrence counts, backed by a one-time decode of only the
+        phrase terms' segment rows.  Fully vectorized: candidate docs
+        map to compact indices, each member term's positions restricted
+        to the candidates become sorted ``cidx << 32 | position`` keys
+        (one ragged gather per term), and the adjacency chain ``∃ p ∈
+        P(t₁,d): p+i ∈ P(tᵢ₊₁,d) ∀i`` is a searchsorted membership pass
+        per member — no per-document Python loop."""
         terms = sorted(
             {t for p in q.phrases for t in p} | {t for p in q.not_phrases for t in p}
         )
@@ -645,48 +652,106 @@ class Searcher:
                 decoded[i] = hit
             return hit
 
-        def positions(t: str, doc: int) -> np.ndarray:
+        def term_keys(t: str, cs: np.ndarray) -> np.ndarray:
+            """Sorted ``cidx << 32 | position`` keys of term ``t``'s
+            occurrences within the sorted candidate docs ``cs``.  A doc
+            lives in exactly one pid (hence one row per term), so keys
+            are unique."""
+            parts: list[np.ndarray] = []
             for i in rows_by_term.get(t, ()):
-                if int(seg["min_docid"][i].as_py()) <= doc <= int(
-                    seg["max_docid"][i].as_py()
-                ):
-                    d, off, pos = row_data(i)
-                    j = int(np.searchsorted(d, doc))
-                    if j < d.size and d[j] == doc:
-                        return pos[off[j] : off[j + 1]]
-            return np.empty(0, dtype=np.int32)
+                lo = int(seg["min_docid"][i].as_py())
+                hi = int(seg["max_docid"][i].as_py())
+                a = int(np.searchsorted(cs, lo))
+                b = int(np.searchsorted(cs, hi, side="right"))
+                if a == b:
+                    continue
+                d, off, pos = row_data(i)
+                j = np.searchsorted(d, cs[a:b])
+                ok = (j < d.size) & (d[np.minimum(j, d.size - 1)] == cs[a:b])
+                if not ok.any():
+                    continue
+                jj = j[ok]
+                cidx = (a + np.flatnonzero(ok)).astype(np.int64)
+                starts = off[jj]
+                lens = off[jj + 1] - starts
+                tot = int(lens.sum())
+                if tot == 0:
+                    continue
+                # ragged gather of pos[starts[g] : starts[g]+lens[g]]
+                cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                flat = np.repeat(starts - cum, lens) + np.arange(tot)
+                parts.append(
+                    (np.repeat(cidx, lens) << 32) | pos[flat].astype(np.int64)
+                )
+            if not parts:
+                return np.empty(0, dtype=np.int64)
+            out = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            out.sort()
+            return out
 
-        return positions
+        def freq_batch(
+            cand: np.ndarray, phrases: list[tuple[str, ...]]
+        ) -> np.ndarray:
+            m = np.zeros((cand.size, len(phrases)), dtype=np.int64)
+            if cand.size == 0 or not phrases:
+                return m
+            order = np.argsort(cand, kind="stable")
+            cs = cand[order].astype(np.int64)
+            keys_cache: dict[str, np.ndarray] = {}
 
-    @staticmethod
-    def _phrase_freq(positions, doc: int, phrase: tuple[str, ...]) -> int:
-        """Number of phrase occurrences in doc (valid start positions):
-        ∃ p ∈ P(t₁, d) with p+i ∈ P(tᵢ₊₁, d) ∀i — vectorized isin chain."""
-        cand = positions(phrase[0], doc)
-        for i, t in enumerate(phrase[1:], start=1):
-            if cand.size == 0:
-                return 0
-            cand = cand[np.isin(cand + i, positions(t, doc))]
-        return int(cand.size)
+            def keys(t: str) -> np.ndarray:
+                k = keys_cache.get(t)
+                if k is None:
+                    k = term_keys(t, cs)
+                    keys_cache[t] = k
+                return k
+
+            for pi, p in enumerate(phrases):
+                ck = keys(p[0])
+                for i, t in enumerate(p[1:], start=1):
+                    if ck.size == 0:
+                        break
+                    tk = keys(t)
+                    if tk.size == 0:
+                        ck = ck[:0]
+                        break
+                    tgt = ck + i
+                    sel = np.searchsorted(tk, tgt)
+                    hit = (sel < tk.size) & (
+                        tk[np.minimum(sel, tk.size - 1)] == tgt
+                    )
+                    ck = ck[hit]
+                if ck.size:
+                    m[order, pi] = np.bincount(ck >> 32, minlength=cs.size)
+            return m
+
+        return freq_batch
 
     def _verify_phrases_pos(
         self, q: ParsedQuery, ids: np.ndarray, scores: np.ndarray, want: int
     ) -> tuple[np.ndarray, np.ndarray]:
         """Index-native phrase verification: decodes only the phrase
         terms' rows, once; a doc survives iff every positive phrase
-        occurs and no negative phrase does."""
-        positions = self._phrase_pos_ctx(q)
+        occurs and no negative phrase does.  Vectorized in score-ordered
+        chunks so the common case stops after one batch."""
+        freq_batch = self._phrase_pos_ctx(q)
         out_i: list[int] = []
         out_s: list[float] = []
-        for j, d in enumerate(ids):
-            doc = int(d)
-            if all(self._phrase_freq(positions, doc, p) > 0 for p in q.phrases) and not any(
-                self._phrase_freq(positions, doc, p) > 0 for p in q.not_phrases
-            ):
-                out_i.append(doc)
-                out_s.append(float(scores[j]))
+        chunk = max(64, min(4 * want, 4096))
+        pos = 0
+        while pos < ids.size and len(out_i) < want:
+            cids = ids[pos : pos + chunk].astype(np.int64)
+            keep = np.ones(cids.size, dtype=bool)
+            if q.phrases:
+                keep &= np.all(freq_batch(cids, q.phrases) > 0, axis=1)
+            if q.not_phrases:
+                keep &= ~np.any(freq_batch(cids, q.not_phrases) > 0, axis=1)
+            for j in np.flatnonzero(keep):
+                out_i.append(int(cids[j]))
+                out_s.append(float(scores[pos + j]))
                 if len(out_i) >= want:
                     break
+            pos += chunk
         return np.array(out_i, dtype=np.int64), np.array(out_s, dtype=np.float64)
 
     def _search_phrases_pfreq(
@@ -708,21 +773,12 @@ class Searcher:
         cand_ids, _ = self._score(q, k=None)
         if cand_ids.size == 0:
             return cand_ids, np.empty(0, dtype=np.float64)
-        positions = self._phrase_pos_ctx(q)
-        pfreq = np.zeros((cand_ids.size, len(q.phrases)), dtype=np.int64)
-        keep = np.ones(cand_ids.size, dtype=bool)
-        for j, d in enumerate(cand_ids):
-            doc = int(d)
-            for pi, p in enumerate(q.phrases):
-                f = self._phrase_freq(positions, doc, p)
-                if f == 0:
-                    keep[j] = False
-                    break
-                pfreq[j, pi] = f
-            if keep[j] and any(
-                self._phrase_freq(positions, doc, p) > 0 for p in q.not_phrases
-            ):
-                keep[j] = False
+        freq_batch = self._phrase_pos_ctx(q)
+        cand = cand_ids.astype(np.int64)
+        pfreq = freq_batch(cand, q.phrases)
+        keep = np.all(pfreq > 0, axis=1)
+        if q.not_phrases:
+            keep &= ~np.any(freq_batch(cand, q.not_phrases) > 0, axis=1)
         ids = cand_ids[keep]
         if ids.size == 0:
             return ids, np.empty(0, dtype=np.float64)
