@@ -68,16 +68,15 @@ def documents_index(sf_dir: str) -> str:
     if sf_dir in _INDEX_CACHE:
         return _INDEX_CACHE[sf_dir]
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    # v3: positional postings — phrase queries verify via the index, the
-    # docstore content stays available for hydration
-    out = os.path.join("/tmp", "esr_index_cache", f"{tag}-documents-v3")
+    # v4: +n_chars metadata column (fielded range-filter gates)
+    out = os.path.join("/tmp", "esr_index_cache", f"{tag}-documents-v4")
     build_index(
         _p(sf_dir, "documents"),
         out,
         config=IndexConfig(
             content_col="text",
             id_cols=("doc_id",),
-            keep_cols=("lang", "source"),
+            keep_cols=("lang", "source", "n_chars"),
             store_content=True,
             index_positions=True,
         ),
@@ -150,6 +149,15 @@ FILTERED_QUERIES: list[str] = [
     '+merge "table scan" lang:en',
     "sort part hash lang:xx",      # no such lang → matches nothing
     "s* value lang:zh",            # prefix expansion + filter
+]
+
+RANGE_QUERIES: list[str] = [
+    "spark table merge n_chars:>=400",
+    "fast scan filter n_chars:[150 TO 300}",
+    "key value row -n_chars:{100 TO 450]",
+    "window agg lang:[de TO es] n_chars:<350",  # string range + comparator
+    '+merge "table scan" n_chars:[250 TO *]',   # phrase + open-ended range
+    "sort part hash n_chars:>600",              # beyond max → matches nothing
 ]
 
 SEARCH_K = 10
@@ -797,6 +805,14 @@ def q_search_filtered(sf_dir: str):
     return _search_many(sf_dir, FILTERED_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
 
 
+def q_search_range(sf_dir: str):
+    """Fielded RANGE filters (`n_chars:[150 TO 300}`, `n_chars:>=400`,
+    `lang:[de TO es]`) — the xLucene range clause the reference itself
+    emits for its date windows (SpacesReaderClient.ts:250); compared in
+    the column's type, evaluated like the equality filters."""
+    return _search_many(sf_dir, RANGE_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
 # ---------------------------------------------------------------------------
 # delete-by-query + expunge (the _delete_by_query / _forcemerge analogs)
 # ---------------------------------------------------------------------------
@@ -1132,6 +1148,28 @@ QUALIFY rank <= {k}
 """
 
 
+def _sql_range_lit(v: str) -> str:
+    """Range-bound literal: numeric-looking bounds stay numeric (the
+    engine casts bounds into the column's Arrow type — int columns
+    compare numerically), anything else is a quoted string."""
+    try:
+        float(v)
+        return v
+    except ValueError:
+        return "'" + v.replace("'", "''") + "'"
+
+
+def _range_sql(fld: str, lo, loi: bool, hi, hii: bool) -> str:
+    conds = []
+    if lo is not None:
+        conds.append(f"d.{fld} {'>=' if loi else '>'} {_sql_range_lit(lo)}")
+    if hi is not None:
+        conds.append(f"d.{fld} {'<=' if hii else '<'} {_sql_range_lit(hi)}")
+    if not conds:  # fully open `f:[* TO *]`: existence
+        conds.append(f"d.{fld} IS NOT NULL")
+    return " AND ".join(conds)
+
+
 def _bm25_bool_sql(queries: list[str], k: int) -> str:
     """DuckDB oracle for the boolean/phrase query surface, mirroring the
     engine's semantics exactly: candidates match ≥1 scoring term; all
@@ -1139,7 +1177,7 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
     (consecutive tokens — checked on the space-joined analyzed token
     string), no negated phrase adjacent; score = bag-of-words BM25 over
     the scoring terms."""
-    from elasticsearch_assets_ray.query.parser import parse_query
+    from elasticsearch_assets_ray.query.parser import _range_key, parse_query
 
     from elasticsearch_assets_ray.query.expand import wildcard_regex
 
@@ -1160,6 +1198,20 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
             v = val.replace("'", "''")
             flt_conds.setdefault(qid, []).append(
                 f"NOT COALESCE(d.{fld} = '{v}', FALSE)"
+            )
+        # fielded RANGE filters: same filter context; a bound that looks
+        # numeric stays a numeric literal (n_chars int column), anything
+        # else compares as a string — mirroring the engine's cast of the
+        # bound into the COLUMN's Arrow type
+        for fld, lo, loi, hi, hii in sorted(set(p.range_filters), key=_range_key):
+            flt_conds.setdefault(qid, []).append(
+                f"COALESCE({_range_sql(fld, lo, loi, hi, hii)}, FALSE)"
+            )
+        for fld, lo, loi, hi, hii in sorted(
+            set(p.not_range_filters), key=_range_key
+        ):
+            flt_conds.setdefault(qid, []).append(
+                f"NOT COALESCE({_range_sql(fld, lo, loi, hi, hii)}, FALSE)"
             )
         for t in p.scoring_terms:
             score_vals.append(f"({qid}, '{t}')")
@@ -1518,6 +1570,7 @@ ORACLES: dict[str, str] = {
     "search_fuzzy": _bm25_bool_sql(FUZZY_QUERIES, SEARCH_K),
     "search_wildcard": _bm25_bool_sql(WILDCARD_QUERIES, SEARCH_K),
     "search_filtered": _bm25_bool_sql(FILTERED_QUERIES, SEARCH_K),
+    "search_range": _bm25_bool_sql(RANGE_QUERIES, SEARCH_K),
     # incremental_delta: per-window doc counts are plain range counts, and
     # 'total_matched' is the windowed docs whose props tokenize to contain
     # the probe term 'k' (tokenizer = lowercase [a-z0-9]+ runs, replicated
@@ -1599,6 +1652,7 @@ QUERIES = {
     "search_fuzzy": q_search_fuzzy,
     "search_wildcard": q_search_wildcard,
     "search_filtered": q_search_filtered,
+    "search_range": q_search_range,
     "state_enrich": q_state_enrich,
     "date_interval_slices": q_date_interval_slices,
     "keyspace_plan": q_keyspace_plan,

@@ -485,6 +485,8 @@ class Searcher:
             must_any=[list(g) for g in q.must_any],
             filters=list(q.filters),
             not_filters=list(q.not_filters),
+            range_filters=list(q.range_filters),
+            not_range_filters=list(q.not_range_filters),
         )
         expansions: list[tuple[list, object]] = [
             (q.prefixes, self.expand_prefix),
@@ -875,27 +877,46 @@ class Searcher:
         return np.array(out_i, dtype=np.int64), np.array(out_s, dtype=np.float64)
 
     # ---------- fielded metadata filters ----------
-    def _filter_bits(self, fld: str, value: str, pid: int) -> np.ndarray:
+    def _filter_bits(self, pred: tuple, pid: int) -> np.ndarray:
         """Bool bitmap (row-offset indexed) of the docstore part's rows
-        whose ``fld`` equals ``value`` — one column-pruned parquet read
-        per (field, value, pid), LRU-cached."""
-        key = (fld, value, pid)
+        satisfying ``pred`` — ``("eq", fld, value)`` or ``("range", fld,
+        lo, lo_incl, hi, hi_incl)`` (None = open endpoint).  One
+        column-pruned parquet read per (pred, pid), LRU-cached.  Range
+        bounds compare in the COLUMN's type (numeric columns
+        numerically, strings lexicographically — ES range semantics)."""
+        key = (pred, pid)
         hit = self._filterbits_cache.get(key)
         if hit is not None:
             self._filterbits_cache.move_to_end(key)
             return hit
+        fld = pred[1]
         t = pq.read_table(self._pid_map()[pid], columns=[fld])
         col = t[fld]
-        try:
-            scalar = pa.scalar(value).cast(col.type)
-        except pa.ArrowInvalid as e:
-            raise ValueError(
-                f"filter value {value!r} does not cast to column {fld!r} "
-                f"type {col.type}"
-            ) from e
-        bits = pc.fill_null(pc.equal(col, scalar), False).to_numpy(
-            zero_copy_only=False
-        )
+
+        def bound(value: str) -> pa.Scalar:
+            try:
+                return pa.scalar(value).cast(col.type)
+            except pa.ArrowInvalid as e:
+                raise ValueError(
+                    f"filter value {value!r} does not cast to column "
+                    f"{fld!r} type {col.type}"
+                ) from e
+
+        if pred[0] == "eq":
+            cond = pc.equal(col, bound(pred[2]))
+        else:
+            _, _, lo, loi, hi, hii = pred
+            cond = None
+            if lo is not None:
+                cmp_ = pc.greater_equal if loi else pc.greater
+                cond = cmp_(col, bound(lo))
+            if hi is not None:
+                cmp_ = pc.less_equal if hii else pc.less
+                hc = cmp_(col, bound(hi))
+                cond = hc if cond is None else pc.and_(cond, hc)
+            if cond is None:  # fully open range `f:[* TO *]`: existence
+                cond = pc.is_valid(col)
+        bits = pc.fill_null(cond, False).to_numpy(zero_copy_only=False)
         self._filterbits_cache[key] = bits
         self._filterbits_bytes += bits.nbytes
         while self._filterbits_bytes > self.filterbits_budget and len(
@@ -910,18 +931,23 @@ class Searcher:
         ``None`` when it has none.  Filters are FILTER CONTEXT (ES
         bool.filter): conjunctive, non-scoring, and — like tombstones —
         they leave collection statistics untouched."""
-        if not (q.filters or q.not_filters):
+        if not (
+            q.filters or q.not_filters or q.range_filters or q.not_range_filters
+        ):
             return None
         if self._docstore_fields is None:
             some = next(iter(self._pid_map().values()))
             self._docstore_fields = frozenset(pq.read_schema(some).names)
-        specs = [(f, v, False) for f, v in q.filters] + [
-            (f, v, True) for f, v in q.not_filters
-        ]
-        for fld, _v, _n in specs:
-            if fld not in self._docstore_fields:
+        specs = (
+            [(("eq", f, v), False) for f, v in q.filters]
+            + [(("eq", f, v), True) for f, v in q.not_filters]
+            + [(("range", *r), False) for r in q.range_filters]
+            + [(("range", *r), True) for r in q.not_range_filters]
+        )
+        for pred, _n in specs:
+            if pred[1] not in self._docstore_fields:
                 raise ValueError(
-                    f"unknown filter field {fld!r}; docstore has "
+                    f"unknown filter field {pred[1]!r}; docstore has "
                     f"{sorted(self._docstore_fields)}"
                 )
 
@@ -937,8 +963,8 @@ class Searcher:
             )
             for a, b in zip(bounds[:-1], bounds[1:]):
                 o = off[a:b]
-                for fld, value, neg in specs:
-                    bits = self._filter_bits(fld, value, int(pid[a]))
+                for pred, neg in specs:
+                    bits = self._filter_bits(pred, int(pid[a]))
                     sel = bits[o]
                     m[a:b] &= ~sel if neg else sel
             return m
@@ -1018,6 +1044,8 @@ class Searcher:
             and not q.must_any
             and not q.filters
             and not q.not_filters
+            and not q.range_filters
+            and not q.not_range_filters
             and len(terms) > 1
         ):
             theta_seed = self._seed_theta(seg, seg_term, seg_df, idf_by_term, k)

@@ -39,12 +39,26 @@ from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
 _CLAUSE_RE = re.compile(
     # a clause is a quoted phrase, a fielded clause with a quoted value
     # (`source:"web x"` — must come before \S+ or the space splits it),
-    # or a bare token
-    r'([+-]?)("([^"]*)"|[A-Za-z_][A-Za-z0-9_.]*:"[^"]*"|\S+)'
+    # a fielded RANGE clause (`n:[10 TO 20}` — contains spaces), or a
+    # bare token
+    r'([+-]?)("([^"]*)"'
+    r'|[A-Za-z_][A-Za-z0-9_.]*:"[^"]*"'
+    r"|[A-Za-z_][A-Za-z0-9_.]*:[\[{][^\]}]*[\]}]"
+    r"|\S+)"
 )
 _FUZZY_RE = re.compile(r"^(.+)~([0-2]?)$")
 # fielded clause `field:value` — identifier-shaped field, nonempty value
 _FIELD_RE = re.compile(r'^([A-Za-z_][A-Za-z0-9_.]*):("(?:[^"]*)"|[^"\s]+)$')
+# fielded range `field:[lo TO hi]` — `[`/`]` inclusive, `{`/`}`
+# exclusive, `*` = open endpoint.  The mixed form `field:[a TO b}` is
+# exactly what the reference emits for its date windows
+# (SpacesReaderClient.ts:250: `${field}:[${start} TO ${end}}`).
+_RANGE_RE = re.compile(
+    r"^([A-Za-z_][A-Za-z0-9_.]*):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$"
+)
+# fielded comparator `field:>=v` / `:>v` / `:<=v` / `:<v` — sugar for a
+# half-open range
+_CMP_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_.]*):(>=|<=|>|<)([^\s\"]+)$")
 
 
 @dataclass
@@ -86,6 +100,17 @@ class ParsedQuery:
     # metadata columns are stored, not indexed, so they filter.
     filters: list[tuple[str, str]] = field(default_factory=list)
     not_filters: list[tuple[str, str]] = field(default_factory=list)
+    # fielded RANGE clauses `field:[lo TO hi}` / `field:>=v` — filter
+    # context like `filters`, compared in the COLUMN's type (numeric
+    # columns numerically, strings lexicographically — ES range
+    # semantics).  Tuple: (field, lo, lo_inclusive, hi, hi_inclusive);
+    # an open endpoint (`*`) is None with inclusive=True.
+    range_filters: list[tuple[str, str | None, bool, str | None, bool]] = field(
+        default_factory=list
+    )
+    not_range_filters: list[tuple[str, str | None, bool, str | None, bool]] = field(
+        default_factory=list
+    )
 
     @property
     def scoring_terms(self) -> list[str]:
@@ -139,8 +164,35 @@ class ParsedQuery:
                 f'-{f}:"{v}"' if " " in v else f"-{f}:{v}"
                 for f, v in sorted(set(self.not_filters))
             ]
+            + [
+                _range_str(r, neg=False)
+                for r in sorted(set(self.range_filters), key=_range_key)
+            ]
+            + [
+                _range_str(r, neg=True)
+                for r in sorted(set(self.not_range_filters), key=_range_key)
+            ]
         )
         return " ".join(parts)
+
+
+def _range_key(r):
+    """Sort key over mixed None/str endpoints (None sorts first)."""
+    f, lo, loi, hi, hii = r
+    return (f, lo is not None, lo or "", loi, hi is not None, hi or "", hii)
+
+
+def _range_str(r, neg: bool) -> str:
+    f, lo, loi, hi, hii = r
+    return (
+        ("-" if neg else "")
+        + f"{f}:"
+        + ("[" if loi else "{")
+        + (lo if lo is not None else "*")
+        + " TO "
+        + (hi if hi is not None else "*")
+        + ("]" if hii else "}")
+    )
 
 
 def parse_query(q: str) -> ParsedQuery:
@@ -149,6 +201,32 @@ def parse_query(q: str) -> ParsedQuery:
         op, body, quoted = m.group(1), m.group(2), m.group(3)
         text = quoted if quoted is not None else body
         if quoted is None:
+            rm = _RANGE_RE.match(body) or _CMP_RE.match(body)
+            if rm is not None:
+                # fielded range filter: bracket form `n:[10 TO 20}` or
+                # comparator sugar `n:>=10`; `-` negates the whole range
+                if rm.re is _RANGE_RE:
+                    fld, lob, lo, hi, hib = rm.groups()
+                    spec = (
+                        fld,
+                        None if lo == "*" else lo,
+                        lob == "[" or lo == "*",
+                        None if hi == "*" else hi,
+                        hib == "]" or hi == "*",
+                    )
+                else:
+                    fld, cmp_, v = rm.groups()
+                    spec = (
+                        fld,
+                        v if cmp_ in (">=", ">") else None,
+                        cmp_ != ">",
+                        v if cmp_ in ("<=", "<") else None,
+                        cmp_ != "<",
+                    )
+                (out.not_range_filters if op == "-" else out.range_filters).append(
+                    spec
+                )
+                continue
             km = _FIELD_RE.match(body)
             if km is not None:
                 # fielded metadata filter clause `lang:en` /
