@@ -160,6 +160,17 @@ RANGE_QUERIES: list[str] = [
     "sort part hash n_chars:>600",              # beyond max → matches nothing
 ]
 
+BOOLOP_QUERIES: list[str] = [
+    "(spark OR merge) AND table",
+    "scan AND NOT (window OR agg)",
+    "(key AND value) OR (row AND column)",   # DNF — flat +/- can't say this
+    "table AND (lang:en OR lang:fr)",        # filters inside the tree
+    "merge AND NOT lang:de AND n_chars:[200 TO 500]",
+    "sp* AND (filter OR scan)",              # expansion leaf in the tree
+    "((spark OR merge) AND (fast OR slow)) OR (key AND value AND row)",
+    "scan AND NOT (big AND data)",           # negated conjunction
+]
+
 SEARCH_K = 10
 _STOPWORD_SQL = ", ".join(f"'{w}'" for w in textstats._STOPWORDS)
 
@@ -805,6 +816,16 @@ def q_search_filtered(sf_dir: str):
     return _search_many(sf_dir, FILTERED_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
 
 
+def q_search_boolops(sf_dir: str):
+    """Lucene boolean expressions — AND / OR / NOT + parentheses, the
+    operator surface of the ``query_string`` queries the reference
+    passes to Lucene verbatim (utils.ts:94-100).  Match = tree
+    evaluation (incl. DNF shapes the flat +/- syntax cannot express);
+    score = Lucene's sum-of-matching-clauses over the positive-polarity
+    term leaves."""
+    return _search_many(sf_dir, BOOLOP_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
 def q_search_range(sf_dir: str):
     """Fielded RANGE filters (`n_chars:[150 TO 300}`, `n_chars:>=400`,
     `lang:[de TO es]`) — the xLucene range clause the reference itself
@@ -1170,6 +1191,76 @@ def _range_sql(fld: str, lo, loi: bool, hi, hii: bool) -> str:
     return " AND ".join(conds)
 
 
+_TERM_SCORE_SQL = (
+    "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+    "((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))))"
+)
+_TERM_SCORE_FROM = (
+    "FROM tf JOIN df ON df.term = tf.term "
+    "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+    "WHERE tf.doc_id = sc.doc_id AND "
+)
+
+
+def _tree_sql(node) -> tuple[str, str]:
+    """(match_sql, score_sql) for a boolean tree, both over
+    ``sc.doc_id`` — mirrors ``Searcher._tree_eval`` exactly: match =
+    tree evaluation; score = Lucene's sum-of-matching-clauses (an OR
+    sums its matching children left-to-right, a failed AND contributes
+    nothing, NOT and filter leaves never score; the per-term value is
+    idf × tf-saturation in the engine's multiplication order)."""
+    from elasticsearch_assets_ray.query.expand import wildcard_regex
+
+    kind = node[0]
+    cond = None
+    if kind == "term":
+        cond = f"tf.term = '{node[1]}'"
+    elif kind == "prefix":
+        cond = f"tf.term LIKE '{node[1]}%'"
+    elif kind == "wildcard":
+        cond = f"regexp_matches(tf.term, '{wildcard_regex(node[1])}')"
+    elif kind == "fuzzy":
+        cond = f"levenshtein(tf.term, '{node[1]}') <= {node[2]}"
+    if cond is not None:
+        return (
+            f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = sc.doc_id AND {cond})",
+            f"COALESCE((SELECT sum({_TERM_SCORE_SQL}) {_TERM_SCORE_FROM}{cond}), 0)",
+        )
+    if kind == "filter":
+        pred = node[1]
+        if pred[0] == "eq":
+            c = f"d.{pred[1]} = '{pred[2].replace(chr(39), chr(39) * 2)}'"
+        else:
+            c = _range_sql(pred[1], *pred[2:])
+        return (
+            f"COALESCE((SELECT {c} FROM documents d "
+            "WHERE d.doc_id = sc.doc_id), FALSE)",
+            "0",
+        )
+    if kind == "not":
+        m, _s = _tree_sql(node[1])
+        return f"(NOT {m})", "0"
+    parts = [_tree_sql(c) for c in node[1]]
+    score = "(" + " + ".join(p[1] for p in parts) + ")"
+    if kind == "and":
+        match = "(" + " AND ".join(p[0] for p in parts) + ")"
+        return match, f"(CASE WHEN {match} THEN {score} ELSE 0 END)"
+    return "(" + " OR ".join(p[0] for p in parts) + ")", score
+
+
+def _tree_multiterm_nodes(node, neg: bool = False) -> list:
+    """Positive-polarity prefix/wildcard/fuzzy leaves (their expansion
+    terms are scoring candidates, like the flat pre_arms)."""
+    kind = node[0]
+    if kind in ("prefix", "wildcard", "fuzzy"):
+        return [] if neg else [node]
+    if kind == "not":
+        return _tree_multiterm_nodes(node[1], not neg)
+    if kind in ("and", "or"):
+        return [x for c in node[1] for x in _tree_multiterm_nodes(c, neg)]
+    return []
+
+
 def _bm25_bool_sql(queries: list[str], k: int) -> str:
     """DuckDB oracle for the boolean/phrase query surface, mirroring the
     engine's semantics exactly: candidates match ≥1 scoring term; all
@@ -1185,8 +1276,39 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
     pre_arms, npre_vals, mpre_vals = [], [], []
     mwild_vals, nwild_vals, mfz_vals, nfz_vals = [], [], [], []
     flt_conds: dict[int, list[str]] = {}
+    tree_conds: dict[int, str] = {}
+    tree_scores: dict[int, str] = {}
     for qid, qtext in enumerate(queries):
         p = parse_query(qtext)
+        if p.bool_tree is not None:
+            # boolean-expression query: match predicate + clause-aware
+            # score printed straight from the tree (mirrors _tree_eval);
+            # candidates still come from the scored CTE (≥1 positive
+            # term — complete for grounded trees)
+            from elasticsearch_assets_ray.query.expand import (
+                wildcard_regex as _wrx,
+            )
+
+            tree_conds[qid], tree_scores[qid] = _tree_sql(p.bool_tree)
+            for t in p.scoring_terms:
+                score_vals.append(f"({qid}, '{t}')")
+            for leaf in _tree_multiterm_nodes(p.bool_tree):
+                if leaf[0] == "prefix":
+                    pre_arms.append(
+                        f"SELECT {qid} AS query_id, term FROM df "
+                        f"WHERE term LIKE '{leaf[1]}%'"
+                    )
+                elif leaf[0] == "wildcard":
+                    pre_arms.append(
+                        f"SELECT {qid} AS query_id, term FROM df "
+                        f"WHERE regexp_matches(term, '{_wrx(leaf[1])}')"
+                    )
+                else:
+                    pre_arms.append(
+                        f"SELECT {qid} AS query_id, term FROM df "
+                        f"WHERE levenshtein(term, '{leaf[1]}') <= {leaf[2]}"
+                    )
+            continue
         # fielded metadata filters: conjunctive per-doc predicates over
         # the documents row (filter context — stats untouched)
         for fld, val in sorted(set(p.filters)):
@@ -1356,12 +1478,23 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
             for qid, conds in sorted(flt_conds.items())
         ]
         preds.append("(" + " AND ".join(arms) + ")")
+    for qid, cond in sorted(tree_conds.items()):
+        preds.append(f"(sc.query_id <> {qid} OR {cond})")
+    score_expr = "sc.score"
+    if tree_scores:
+        score_expr = (
+            "(CASE sc.query_id "
+            + " ".join(
+                f"WHEN {qid} THEN {s}" for qid, s in sorted(tree_scores.items())
+            )
+            + " ELSE sc.score END)"
+        )
     where = (" WHERE " + " AND ".join(preds)) if preds else ""
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         f"SELECT query_id, doc_id, row_number() OVER "
-        "(PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id) AS rank, "
-        "round(score, 6) AS score_r "
+        f"(PARTITION BY query_id ORDER BY round({score_expr}, 9) DESC, doc_id) AS rank, "
+        f"round({score_expr}, 6) AS score_r "
         f"FROM scored sc{where} QUALIFY rank <= {k}"
     )
 
@@ -1571,6 +1704,7 @@ ORACLES: dict[str, str] = {
     "search_wildcard": _bm25_bool_sql(WILDCARD_QUERIES, SEARCH_K),
     "search_filtered": _bm25_bool_sql(FILTERED_QUERIES, SEARCH_K),
     "search_range": _bm25_bool_sql(RANGE_QUERIES, SEARCH_K),
+    "search_boolops": _bm25_bool_sql(BOOLOP_QUERIES, SEARCH_K),
     # incremental_delta: per-window doc counts are plain range counts, and
     # 'total_matched' is the windowed docs whose props tokenize to contain
     # the probe term 'k' (tokenizer = lowercase [a-z0-9]+ runs, replicated
@@ -1653,6 +1787,7 @@ QUERIES = {
     "search_wildcard": q_search_wildcard,
     "search_filtered": q_search_filtered,
     "search_range": q_search_range,
+    "search_boolops": q_search_boolops,
     "state_enrich": q_state_enrich,
     "date_interval_slices": q_date_interval_slices,
     "keyspace_plan": q_keyspace_plan,

@@ -43,6 +43,7 @@ from elasticsearch_assets_ray.index.codec import (
 )
 from elasticsearch_assets_ray.query import bm25
 from elasticsearch_assets_ray.query import expand as expand_mod
+from elasticsearch_assets_ray.query import parser as parser_mod
 from elasticsearch_assets_ray.query.parser import ParsedQuery, parse_query
 
 
@@ -474,6 +475,14 @@ class Searcher:
         scoring rewrite), ``+`` expansions additionally form a
         conjunctive must_any group, negative expansions become MUST_NOT
         terms.  An unmatched positive clause contributes nothing."""
+        if q.bool_tree is not None:
+            # boolean-expression mode: expand prefix/wildcard/fuzzy
+            # LEAVES in place (each becomes an OR group of its expansion
+            # terms — positive-polarity expansions score, Lucene's
+            # scoring rewrite; an empty expansion is a False leaf)
+            if parser_mod.tree_multiterm_leaves(q.bool_tree):
+                return ParsedQuery(bool_tree=self._rewrite_tree(q.bool_tree))
+            return q
         if not q.has_multiterm:
             return q
         out = ParsedQuery(
@@ -514,6 +523,104 @@ class Searcher:
                         # filters all docs)
                         out.must_any.append(terms)
         return out
+
+    def _rewrite_tree(self, node):
+        """Expand multi-term leaves of a boolean tree against the term
+        dictionary (prefix → sorted expansion terms, wildcard/fuzzy
+        likewise); structure nodes recurse, other leaves pass through."""
+        kind = node[0]
+        if kind == "prefix":
+            terms = self.expand_prefix(node[1])
+        elif kind == "wildcard":
+            terms = self.expand_wildcard(node[1])
+        elif kind == "fuzzy":
+            terms = self.expand_fuzzy(node[1], node[2])
+        elif kind == "not":
+            return ("not", self._rewrite_tree(node[1]))
+        elif kind in ("and", "or"):
+            return (kind, [self._rewrite_tree(c) for c in node[1]])
+        else:
+            return node
+        return ("or", [("term", t) for t in terms])
+
+    def _pred_mask(self, pred: tuple, ids: np.ndarray) -> np.ndarray:
+        """Per-doc bool mask for ONE metadata predicate over docID array
+        ``ids`` — the single-leaf form of the conjunctive filter context
+        (same pid-local `_filter_bits` bitmaps, same LRU)."""
+        if ids.size == 0:
+            return np.empty(0, dtype=bool)
+        pid = ids >> self._doc_shift
+        off = ids - (pid << self._doc_shift)
+        m = np.empty(ids.size, dtype=bool)
+        bounds = np.concatenate(([0], np.flatnonzero(np.diff(pid)) + 1, [ids.size]))
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            m[a:b] = self._filter_bits(pred, int(pid[a]))[off[a:b]]
+        return m
+
+    def _tree_eval(
+        self, node, ids: np.ndarray, per_term: dict, idf_by_term: dict
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized boolean-tree evaluation over candidate docIDs →
+        (match mask, clause score).  Term leaves are postings membership
+        with their BM25 contribution, filter leaves metadata bitmaps
+        (never scoring), structure nodes numpy logic.  Scoring follows
+        Lucene's BooleanQuery rule: an OR sums its MATCHING children, an
+        AND that fails contributes NOTHING (even when some of its terms
+        are present), anything under NOT never scores.  Children
+        accumulate left-to-right — the oracle prints the same explicit
+        addition order.  Candidates (docs holding ≥1 positive-polarity
+        term) are COMPLETE for grounded trees — see query/parser.py's
+        grammar notes."""
+        kind = node[0]
+        if kind == "term":
+            t = node[1]
+            hit = per_term.get(t)
+            m = np.zeros(ids.size, dtype=bool)
+            s = np.zeros(ids.size, dtype=np.float64)
+            if hit is not None and hit[0].size:
+                d, sat, wsat = hit
+                pos = np.minimum(np.searchsorted(d, ids), d.size - 1)
+                m = d[pos] == ids
+                if wsat is None:
+                    wsat = idf_by_term.get(t, 0.0) * sat
+                s[m] = wsat[pos[m]]
+            return m, s
+        if kind == "filter":
+            return self._pred_mask(node[1], ids), np.zeros(ids.size)
+        if kind == "not":
+            m, _s = self._tree_eval(node[1], ids, per_term, idf_by_term)
+            return ~m, np.zeros(ids.size)
+        child = [self._tree_eval(c, ids, per_term, idf_by_term) for c in node[1]]
+        if not child:
+            # an empty OR (a multi-term leaf that expanded to nothing)
+            # matches nothing; an empty AND is vacuously true
+            return (
+                np.full(ids.size, kind == "and", dtype=bool),
+                np.zeros(ids.size),
+            )
+        s = child[0][1].copy()
+        for _cm, cs in child[1:]:
+            s += cs
+        if kind == "and":
+            m = child[0][0].copy()
+            for cm, _cs in child[1:]:
+                m &= cm
+            s[~m] = 0.0  # a failed conjunction contributes nothing
+            return m, s
+        m = child[0][0].copy()
+        for cm, _cs in child[1:]:
+            m |= cm
+        return m, s
+
+    def _tree_filter_preds(self, node) -> list[tuple]:
+        kind = node[0]
+        if kind == "filter":
+            return [node[1]]
+        if kind == "not":
+            return self._tree_filter_preds(node[1])
+        if kind in ("and", "or"):
+            return [p for c in node[1] for p in self._tree_filter_preds(c)]
+        return []
 
     # ---------- search ----------
     def search(self, query: str | ParsedQuery, k: int = 10) -> pa.Table:
@@ -975,7 +1082,21 @@ class Searcher:
     def _score(self, q: ParsedQuery, k: int | None) -> tuple[np.ndarray, np.ndarray]:
         fctx = self._filter_ctx(q)
         terms = q.scoring_terms
-        need = sorted(set(terms) | set(q.must_not))
+        if q.bool_tree is not None:
+            parser_mod.check_tree_grounded(q.bool_tree)
+            if self._docstore_fields is None:
+                some = next(iter(self._pid_map().values()))
+                self._docstore_fields = frozenset(pq.read_schema(some).names)
+            for pred in self._tree_filter_preds(q.bool_tree):
+                if pred[1] not in self._docstore_fields:
+                    raise ValueError(
+                        f"unknown filter field {pred[1]!r}; docstore has "
+                        f"{sorted(self._docstore_fields)}"
+                    )
+            # NEGATIVE-polarity leaves need postings too (NOT evaluation)
+            need = sorted(set(terms) | parser_mod.tree_terms(q.bool_tree))
+        else:
+            need = sorted(set(terms) | set(q.must_not))
         seg = self._segment_rows(need)
         if seg is None or seg.num_rows == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -1046,6 +1167,7 @@ class Searcher:
             and not q.not_filters
             and not q.range_filters
             and not q.not_range_filters
+            and q.bool_tree is None
             and len(terms) > 1
         ):
             theta_seed = self._seed_theta(seg, seg_term, seg_df, idf_by_term, k)
@@ -1062,12 +1184,28 @@ class Searcher:
                 seg, rows, seg_term, seg_df, idf_by_term, int(b),
                 theta_eff if k is not None else -np.inf,
             )
-            # terms iterated in sorted order → per-doc addition order is
-            # pinned (rank-identity with the oracle)
-            items = [(t, per_term[t]) for t in terms if t in per_term]
-            ids_b, scores_b = self._accumulate(items, idf_by_term, int(b))
-            # must / must_not masks within the bucket
-            mask = np.ones(ids_b.size, dtype=bool)
+            if q.bool_tree is not None:
+                # boolean-expression mode: candidates = union of the
+                # positive-polarity terms' postings (complete for
+                # grounded trees); match + Lucene clause-aware score in
+                # one tree pass (a doc lives in exactly one bucket, so
+                # per-bucket evaluation is global)
+                parts = [per_term[t][0] for t in terms if t in per_term]
+                ids_b = (
+                    np.unique(np.concatenate(parts))
+                    if parts
+                    else np.empty(0, dtype=np.int64)
+                )
+                mask, scores_b = self._tree_eval(
+                    q.bool_tree, ids_b, per_term, idf_by_term
+                )
+            else:
+                # terms iterated in sorted order → per-doc addition order
+                # is pinned (rank-identity with the oracle)
+                items = [(t, per_term[t]) for t in terms if t in per_term]
+                ids_b, scores_b = self._accumulate(items, idf_by_term, int(b))
+                # must / must_not masks within the bucket
+                mask = np.ones(ids_b.size, dtype=bool)
             for t in must:
                 have = per_term.get(t, (np.empty(0, dtype=np.int64),))[0]
                 mask &= np.isin(ids_b, have)

@@ -60,6 +60,20 @@ _RANGE_RE = re.compile(
 # half-open range
 _CMP_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_.]*):(>=|<=|>|<)([^\s\"]+)$")
 
+# boolean-expression mode triggers: a standalone uppercase AND/OR/NOT
+# token or a parenthesis OUTSIDE quoted regions (Lucene query_string
+# boolean operators — the reference hands the whole string to Lucene,
+# utils.ts:94-100, so the operators are part of its accepted surface)
+_QUOTED_RE = re.compile(r'"[^"]*"')
+_BOOL_TRIGGER_RE = re.compile(r"(?:^|[\s(])(?:AND|OR|NOT)(?:[\s)]|$)|[()]")
+_BOOL_TOKEN_RE = re.compile(
+    r'"[^"]*"'
+    r'|[A-Za-z_][A-Za-z0-9_.]*:"[^"]*"'
+    r"|[A-Za-z_][A-Za-z0-9_.]*:[\[{][^\]}]*[\]}]"
+    r"|[()]"
+    r"|[^\s()]+"
+)
+
 
 @dataclass
 class ParsedQuery:
@@ -111,11 +125,23 @@ class ParsedQuery:
     not_range_filters: list[tuple[str, str | None, bool, str | None, bool]] = field(
         default_factory=list
     )
+    # boolean-expression mode (Lucene AND/OR/NOT + parentheses): when
+    # set, the query is the TREE and every flat field above is empty.
+    # Nodes are tuples: ("term", t), ("prefix", stem), ("wildcard", pat),
+    # ("fuzzy", stem, n), ("filter", pred) with pred = ("eq", fld, val) |
+    # ("range", fld, lo, loi, hi, hii), ("and", [nodes]), ("or",
+    # [nodes]), ("not", node).  Match = tree evaluation over per-doc
+    # term-presence / metadata predicates; score = bag-of-words BM25 over
+    # the POSITIVE-polarity term leaves the doc contains (Lucene's
+    # sum-of-matching-clauses rule — clauses under NOT never score).
+    bool_tree: tuple | None = None
 
     @property
     def scoring_terms(self) -> list[str]:
         """Sorted unique terms that contribute to BM25 (pins float
         addition order engine- and oracle-side)."""
+        if self.bool_tree is not None:
+            return sorted(tree_terms(self.bool_tree, polarity=True))
         return sorted(set(self.should) | set(self.must))
 
     @property
@@ -141,6 +167,8 @@ class ParsedQuery:
 
     def to_string(self) -> str:
         """Canonical printable form (golden-string tests, Q8 analog)."""
+        if self.bool_tree is not None:
+            return tree_to_string(self.bool_tree)
         parts = (
             [f"+{t}" for t in sorted(set(self.must))]
             + [f"-{t}" for t in sorted(set(self.must_not))]
@@ -195,7 +223,272 @@ def _range_str(r, neg: bool) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# boolean-expression mode (Lucene AND / OR / NOT + parentheses)
+# ---------------------------------------------------------------------------
+#
+# Grammar (documented subset of Lucene query_string):
+#
+#     expr  := and ((OR | juxtaposition) and)*      # juxtaposition ≡ OR
+#     and   := unary (AND unary)*                   # AND binds tighter
+#     unary := NOT unary | '(' expr ')' | leaf
+#     leaf  := bare term | prefix* | wild?card | fuzzy~N
+#            | field:value | field:[lo TO hi] | field:>=v
+#
+# Divergences (documented): quoted phrases and '+'/'-' clause prefixes
+# are rejected inside boolean expressions (use the flat syntax, or AND /
+# NOT); a bare token that analyzes to several terms becomes an OR group
+# (the default-operator reading).  A query must be GROUNDED: it may not
+# be satisfiable by a document containing none of its term leaves (e.g.
+# `a OR NOT b` matches every doc lacking both a and b — rejected, like
+# ES rejects unbounded pure-negative contexts).  Groundedness makes the
+# candidate set "docs containing ≥1 positive-polarity term" complete:
+# flipping only negative-polarity leaves True can never turn the
+# all-False evaluation (False, by groundedness) into True.
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _bool_leaf(tok: str):
+    """One boolean-mode token → leaf node (or None when the token
+    analyzes to nothing)."""
+    if tok.startswith('"'):
+        raise QueryParseError(
+            f"phrases are not supported inside boolean expressions "
+            f"({tok!r}); use the flat '+\"...\"' syntax"
+        )
+    if tok[0] in "+-" and len(tok) > 1:
+        raise QueryParseError(
+            f"'+'/'-' clause prefixes are not supported inside boolean "
+            f"expressions ({tok!r}); use AND / NOT"
+        )
+    rm = _RANGE_RE.match(tok) or _CMP_RE.match(tok)
+    if rm is not None:
+        if rm.re is _RANGE_RE:
+            fld, lob, lo, hi, hib = rm.groups()
+            pred = (
+                "range",
+                fld,
+                None if lo == "*" else lo,
+                lob == "[" or lo == "*",
+                None if hi == "*" else hi,
+                hib == "]" or hi == "*",
+            )
+        else:
+            fld, cmp_, v = rm.groups()
+            pred = (
+                "range",
+                fld,
+                v if cmp_ in (">=", ">") else None,
+                cmp_ != ">",
+                v if cmp_ in ("<=", "<") else None,
+                cmp_ != "<",
+            )
+        return ("filter", pred)
+    km = _FIELD_RE.match(tok)
+    if km is not None:
+        val = km.group(2)
+        if len(val) >= 2 and val[0] == '"' and val[-1] == '"':
+            val = val[1:-1]
+        if val:
+            return ("filter", ("eq", km.group(1), val))
+    fm = _FUZZY_RE.match(tok)
+    if fm is not None:
+        stem = tokenize_text(fm.group(1))
+        if len(stem) == 1:
+            return ("fuzzy", stem[0], int(fm.group(2)) if fm.group(2) else 2)
+    if "?" in tok or "*" in tok[:-1]:
+        low = tok.lower()
+        if is_wildcard_pattern(low):
+            return ("wildcard", low)
+    if tok.endswith("*") and len(tok) > 1:
+        stem = tokenize_text(tok[:-1])
+        if len(stem) == 1:
+            return ("prefix", stem[0])
+    terms = tokenize_text(tok)
+    if not terms:
+        return None
+    if len(terms) == 1:
+        return ("term", terms[0])
+    return ("or", [("term", t) for t in terms])
+
+
+def _parse_bool_tree(q: str):
+    toks = _BOOL_TOKEN_RE.findall(q)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def parse_expr():
+        nonlocal pos
+        nodes = [parse_and()]
+        while True:
+            t = peek()
+            if t == "OR":
+                pos += 1
+                nodes.append(parse_and())
+            elif t is not None and t != ")":
+                nodes.append(parse_and())  # juxtaposition ≡ OR
+            else:
+                break
+        nodes = [n for n in nodes if n is not None]
+        if not nodes:
+            return None
+        return nodes[0] if len(nodes) == 1 else ("or", nodes)
+
+    def parse_and():
+        nonlocal pos
+        nodes = [parse_unary()]
+        while peek() == "AND":
+            pos += 1
+            nodes.append(parse_unary())
+        nodes = [n for n in nodes if n is not None]
+        if not nodes:
+            return None
+        return nodes[0] if len(nodes) == 1 else ("and", nodes)
+
+    def parse_unary():
+        nonlocal pos
+        t = peek()
+        if t is None or t in (")", "AND", "OR"):
+            raise QueryParseError(f"expected a clause, got {t!r} in {q!r}")
+        if t == "NOT":
+            pos += 1
+            child = parse_unary()
+            # a NOT over an analyzed-to-nothing token is vacuous
+            return None if child is None else ("not", child)
+        if t == "(":
+            pos += 1
+            node = parse_expr()
+            if peek() != ")":
+                raise QueryParseError(f"unbalanced '(' in {q!r}")
+            pos += 1
+            return node
+        pos += 1
+        return _bool_leaf(t)
+
+    tree = parse_expr()
+    if pos < len(toks):
+        raise QueryParseError(f"unbalanced ')' in {q!r}")
+    return tree
+
+
+def tree_terms(node, polarity: bool | None = None, _neg: bool = False) -> set[str]:
+    """Term-leaf strings of a tree.  ``polarity=True`` → only leaves in
+    positive polarity (under an even number of NOTs — the scoring
+    terms), ``False`` → only negative-polarity leaves, ``None`` → all."""
+    if node is None:
+        return set()
+    kind = node[0]
+    if kind == "term":
+        return {node[1]} if polarity is None or polarity != _neg else set()
+    if kind in ("and", "or"):
+        out: set[str] = set()
+        for c in node[1]:
+            out |= tree_terms(c, polarity, _neg)
+        return out
+    if kind == "not":
+        return tree_terms(node[1], polarity, not _neg)
+    return set()  # prefix/wildcard/fuzzy (pre-expansion) and filter leaves
+
+
+def tree_multiterm_leaves(node) -> bool:
+    """True when the tree still holds unexpanded prefix/wildcard/fuzzy
+    leaves (the engine's dictionary rewrite replaces them)."""
+    if node is None:
+        return False
+    kind = node[0]
+    if kind in ("prefix", "wildcard", "fuzzy"):
+        return True
+    if kind in ("and", "or"):
+        return any(tree_multiterm_leaves(c) for c in node[1])
+    if kind == "not":
+        return tree_multiterm_leaves(node[1])
+    return False
+
+
+def _tree_possible(node) -> set[bool]:
+    """Possible truth values when every term-ish leaf is False (the doc
+    contains none of the query's terms) and filter leaves range free."""
+    kind = node[0]
+    if kind in ("term", "prefix", "wildcard", "fuzzy"):
+        return {False}
+    if kind == "filter":
+        return {True, False}
+    if kind == "not":
+        return {not v for v in _tree_possible(node[1])}
+    sets = [_tree_possible(c) for c in node[1]]
+    if kind == "and":
+        out = set()
+        if all(True in s for s in sets):
+            out.add(True)
+        if any(False in s for s in sets):
+            out.add(False)
+        return out
+    out = set()
+    if any(True in s for s in sets):
+        out.add(True)
+    if all(False in s for s in sets):
+        out.add(False)
+    return out
+
+
+def check_tree_grounded(node) -> None:
+    """Raise unless the tree is grounded (unsatisfiable by a doc that
+    contains none of its term leaves) — see the grammar notes above."""
+    if node is not None and True in _tree_possible(node):
+        raise QueryParseError(
+            "boolean query is not grounded: it can match documents "
+            "containing none of its terms (e.g. a pure-negative or "
+            "filter-only branch reachable at the top level)"
+        )
+
+
+def tree_to_string(node) -> str:
+    """Canonical printable form with minimal parentheses (AND binds
+    tighter than OR; NOT is prefix)."""
+    if node is None:
+        return ""
+    kind = node[0]
+    if kind == "term":
+        return node[1]
+    if kind == "prefix":
+        return node[1] + "*"
+    if kind == "wildcard":
+        return node[1]
+    if kind == "fuzzy":
+        return f"{node[1]}~{node[2]}"
+    if kind == "filter":
+        pred = node[1]
+        if pred[0] == "eq":
+            f, v = pred[1], pred[2]
+            return f'{f}:"{v}"' if " " in v else f"{f}:{v}"
+        return _range_str(pred[1:], neg=False)
+    if kind == "not":
+        inner = tree_to_string(node[1])
+        if node[1][0] in ("and", "or"):
+            inner = f"({inner})"
+        return f"NOT {inner}"
+    sep = " AND " if kind == "and" else " OR "
+    parts = []
+    for c in node[1]:
+        s = tree_to_string(c)
+        # an OR child of an AND needs parens (AND binds tighter)
+        if kind == "and" and c[0] == "or":
+            s = f"({s})"
+        parts.append(s)
+    return sep.join(parts)
+
+
 def parse_query(q: str) -> ParsedQuery:
+    stripped = _QUOTED_RE.sub(" ", q or "")
+    if _BOOL_TRIGGER_RE.search(stripped):
+        tree = _parse_bool_tree(q or "")
+        check_tree_grounded(tree)
+        return ParsedQuery(bool_tree=tree)
     out = ParsedQuery()
     for m in _CLAUSE_RE.finditer(q or ""):
         op, body, quoted = m.group(1), m.group(2), m.group(3)
