@@ -149,6 +149,7 @@ FILTERED_QUERIES: list[str] = [
     '+merge "table scan" lang:en',
     "sort part hash lang:xx",      # no such lang → matches nothing
     "s* value lang:zh",            # prefix expansion + filter
+    "spark table _exists_:lang",   # ES existence query (filter context)
 ]
 
 RANGE_QUERIES: list[str] = [
@@ -169,6 +170,9 @@ BOOLOP_QUERIES: list[str] = [
     "sp* AND (filter OR scan)",              # expansion leaf in the tree
     "((spark OR merge) AND (fast OR slow)) OR (key AND value AND row)",
     "scan AND NOT (big AND data)",           # negated conjunction
+    "(spark OR merge)^2 AND table",          # group boost reranks
+    "scan^3 OR window OR agg^0.5",           # leaf boosts
+    "table AND (merge OR scan)^1.5 AND _exists_:lang",  # boost + exists
 ]
 
 SEARCH_K = 10
@@ -1230,6 +1234,8 @@ def _tree_sql(node) -> tuple[str, str]:
         pred = node[1]
         if pred[0] == "eq":
             c = f"d.{pred[1]} = '{pred[2].replace(chr(39), chr(39) * 2)}'"
+        elif pred[0] == "exists":
+            c = f"d.{pred[1]} IS NOT NULL"
         else:
             c = _range_sql(pred[1], *pred[2:])
         return (
@@ -1237,6 +1243,9 @@ def _tree_sql(node) -> tuple[str, str]:
             "WHERE d.doc_id = sc.doc_id), FALSE)",
             "0",
         )
+    if kind == "boost":
+        m, s = _tree_sql(node[1])
+        return m, f"(({s}) * {node[2]!r})"
     if kind == "not":
         m, _s = _tree_sql(node[1])
         return f"(NOT {m})", "0"
@@ -1256,6 +1265,8 @@ def _tree_multiterm_nodes(node, neg: bool = False) -> list:
         return [] if neg else [node]
     if kind == "not":
         return _tree_multiterm_nodes(node[1], not neg)
+    if kind == "boost":
+        return _tree_multiterm_nodes(node[1], neg)
     if kind in ("and", "or"):
         return [x for c in node[1] for x in _tree_multiterm_nodes(c, neg)]
     return []
@@ -1335,6 +1346,10 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
             flt_conds.setdefault(qid, []).append(
                 f"NOT COALESCE({_range_sql(fld, lo, loi, hi, hii)}, FALSE)"
             )
+        for fld in sorted(set(p.exists_filters)):
+            flt_conds.setdefault(qid, []).append(f"d.{fld} IS NOT NULL")
+        for fld in sorted(set(p.not_exists_filters)):
+            flt_conds.setdefault(qid, []).append(f"d.{fld} IS NULL")
         for t in p.scoring_terms:
             score_vals.append(f"({qid}, '{t}')")
         for t in sorted(set(p.must)):

@@ -496,6 +496,8 @@ class Searcher:
             not_filters=list(q.not_filters),
             range_filters=list(q.range_filters),
             not_range_filters=list(q.not_range_filters),
+            exists_filters=list(q.exists_filters),
+            not_exists_filters=list(q.not_exists_filters),
         )
         expansions: list[tuple[list, object]] = [
             (q.prefixes, self.expand_prefix),
@@ -537,6 +539,8 @@ class Searcher:
             terms = self.expand_fuzzy(node[1], node[2])
         elif kind == "not":
             return ("not", self._rewrite_tree(node[1]))
+        elif kind == "boost":
+            return ("boost", self._rewrite_tree(node[1]), node[2])
         elif kind in ("and", "or"):
             return (kind, [self._rewrite_tree(c) for c in node[1]])
         else:
@@ -590,6 +594,9 @@ class Searcher:
         if kind == "not":
             m, _s = self._tree_eval(node[1], ids, per_term, idf_by_term)
             return ~m, np.zeros(ids.size)
+        if kind == "boost":
+            m, s = self._tree_eval(node[1], ids, per_term, idf_by_term)
+            return m, s * node[2]
         child = [self._tree_eval(c, ids, per_term, idf_by_term) for c in node[1]]
         if not child:
             # an empty OR (a multi-term leaf that expanded to nothing)
@@ -616,7 +623,7 @@ class Searcher:
         kind = node[0]
         if kind == "filter":
             return [node[1]]
-        if kind == "not":
+        if kind in ("not", "boost"):
             return self._tree_filter_preds(node[1])
         if kind in ("and", "or"):
             return [p for c in node[1] for p in self._tree_filter_preds(c)]
@@ -1011,6 +1018,8 @@ class Searcher:
 
         if pred[0] == "eq":
             cond = pc.equal(col, bound(pred[2]))
+        elif pred[0] == "exists":
+            cond = pc.is_valid(col)
         else:
             _, _, lo, loi, hi, hii = pred
             cond = None
@@ -1039,7 +1048,12 @@ class Searcher:
         bool.filter): conjunctive, non-scoring, and — like tombstones —
         they leave collection statistics untouched."""
         if not (
-            q.filters or q.not_filters or q.range_filters or q.not_range_filters
+            q.filters
+            or q.not_filters
+            or q.range_filters
+            or q.not_range_filters
+            or q.exists_filters
+            or q.not_exists_filters
         ):
             return None
         if self._docstore_fields is None:
@@ -1050,6 +1064,8 @@ class Searcher:
             + [(("eq", f, v), True) for f, v in q.not_filters]
             + [(("range", *r), False) for r in q.range_filters]
             + [(("range", *r), True) for r in q.not_range_filters]
+            + [(("exists", f), False) for f in q.exists_filters]
+            + [(("exists", f), True) for f in q.not_exists_filters]
         )
         for pred, _n in specs:
             if pred[1] not in self._docstore_fields:
@@ -1095,8 +1111,12 @@ class Searcher:
                     )
             # NEGATIVE-polarity leaves need postings too (NOT evaluation)
             need = sorted(set(terms) | parser_mod.tree_terms(q.bool_tree))
+            # score upper bounds must scale with boosts / duplicate
+            # positive occurrences (Σ path-products per term)
+            ub_mult = parser_mod.tree_boost_mults(q.bool_tree)
         else:
             need = sorted(set(terms) | set(q.must_not))
+            ub_mult = None
         seg = self._segment_rows(need)
         if seg is None or seg.num_rows == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -1140,6 +1160,8 @@ class Searcher:
                     w = idf_by_term.get(t)
                     if w is None:
                         continue  # must_not-only term: no score contribution
+                    if ub_mult is not None:
+                        w = w * ub_mult.get(t, 0.0)
                     ub += self._block_ub(seg, i, t, int(b))[2] * w
                 bounds[b] = ub
             order = sorted(bounds, key=lambda b: -bounds[b])
@@ -1167,6 +1189,8 @@ class Searcher:
             and not q.not_filters
             and not q.range_filters
             and not q.not_range_filters
+            and not q.exists_filters
+            and not q.not_exists_filters
             and q.bool_tree is None
             and len(terms) > 1
         ):
@@ -1183,6 +1207,7 @@ class Searcher:
             per_term = self._decode_bucket_rows(
                 seg, rows, seg_term, seg_df, idf_by_term, int(b),
                 theta_eff if k is not None else -np.inf,
+                ub_mult=ub_mult,
             )
             if q.bool_tree is not None:
                 # boolean-expression mode: candidates = union of the
@@ -1336,7 +1361,8 @@ class Searcher:
         return float(np.partition(ps, ps.size - k)[ps.size - k])
 
     def _decode_bucket_rows(
-        self, seg, rows, seg_term, seg_df, idf_by_term, bucket: int, theta: float
+        self, seg, rows, seg_term, seg_df, idf_by_term, bucket: int, theta: float,
+        ub_mult: dict | None = None,
     ) -> dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Decode one bucket's rows into per-term (docids, tfs, doclens).
 
@@ -1366,6 +1392,10 @@ class Searcher:
             for i in rows:
                 bl, sat, _m = self._block_ub(seg, i, seg_term[i], bucket)
                 w = idf_by_term.get(seg_term[i])
+                if w is not None and ub_mult is not None:
+                    # boosted / duplicated positive occurrences raise the
+                    # term's possible contribution (Σ path-products)
+                    w = w * ub_mult.get(seg_term[i], 0.0)
                 ub = w * sat if w is not None else np.zeros(len(bl))
                 meta.append((bl, ub))
                 total_blocks += len(bl)

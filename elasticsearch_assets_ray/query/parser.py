@@ -125,6 +125,10 @@ class ParsedQuery:
     not_range_filters: list[tuple[str, str | None, bool, str | None, bool]] = field(
         default_factory=list
     )
+    # `_exists_:field` clauses (ES existence query) — filter context:
+    # the doc's metadata column must hold a non-null value
+    exists_filters: list[str] = field(default_factory=list)
+    not_exists_filters: list[str] = field(default_factory=list)
     # boolean-expression mode (Lucene AND/OR/NOT + parentheses): when
     # set, the query is the TREE and every flat field above is empty.
     # Nodes are tuples: ("term", t), ("prefix", stem), ("wildcard", pat),
@@ -200,6 +204,8 @@ class ParsedQuery:
                 _range_str(r, neg=True)
                 for r in sorted(set(self.not_range_filters), key=_range_key)
             ]
+            + [f"_exists_:{f}" for f in sorted(set(self.exists_filters))]
+            + [f"-_exists_:{f}" for f in sorted(set(self.not_exists_filters))]
         )
         return " ".join(parts)
 
@@ -251,6 +257,13 @@ class QueryParseError(ValueError):
     pass
 
 
+# postfix boost `clause^2` / `(group)^1.5` (Lucene query_string boost:
+# the clause's score is multiplied by the factor; matching unchanged)
+_BOOST_RE = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
+# `_exists_:field` — ES existence query (field has a non-null value)
+_EXISTS_RE = re.compile(r"^_exists_:([A-Za-z_][A-Za-z0-9_.]*)$")
+
+
 def _bool_leaf(tok: str):
     """One boolean-mode token → leaf node (or None when the token
     analyzes to nothing)."""
@@ -264,6 +277,13 @@ def _bool_leaf(tok: str):
             f"'+'/'-' clause prefixes are not supported inside boolean "
             f"expressions ({tok!r}); use AND / NOT"
         )
+    bm = _BOOST_RE.match(tok)
+    if bm is not None and not _RANGE_RE.match(tok) and not _CMP_RE.match(tok):
+        inner = _bool_leaf(bm.group(1))
+        return None if inner is None else ("boost", inner, float(bm.group(2)))
+    em = _EXISTS_RE.match(tok)
+    if em is not None:
+        return ("filter", ("exists", em.group(1)))
     rm = _RANGE_RE.match(tok) or _CMP_RE.match(tok)
     if rm is not None:
         if rm.re is _RANGE_RE:
@@ -366,6 +386,12 @@ def _parse_bool_tree(q: str):
             if peek() != ")":
                 raise QueryParseError(f"unbalanced '(' in {q!r}")
             pos += 1
+            nxt = peek()
+            if nxt is not None and re.fullmatch(r"\^\d+(?:\.\d+)?", nxt):
+                # group boost `(a OR b)^2`
+                pos += 1
+                if node is not None:
+                    node = ("boost", node, float(nxt[1:]))
             return node
         pos += 1
         return _bool_leaf(t)
@@ -392,7 +418,34 @@ def tree_terms(node, polarity: bool | None = None, _neg: bool = False) -> set[st
         return out
     if kind == "not":
         return tree_terms(node[1], polarity, not _neg)
+    if kind == "boost":
+        return tree_terms(node[1], polarity, _neg)
     return set()  # prefix/wildcard/fuzzy (pre-expansion) and filter leaves
+
+
+def tree_boost_mults(node, _mult: float = 1.0, _neg: bool = False, _out=None):
+    """Per-term upper-bound multiplier: Σ over the term's
+    POSITIVE-polarity occurrences of the product of boosts along each
+    occurrence's path.  A doc matching several occurrences scores each
+    one (an OR sums its matching children), so the summed products bound
+    the term's total contribution — the block-max pruning bound must use
+    this, not a bare idf, or boosted/duplicated terms overrun it."""
+    out = {} if _out is None else _out
+    if node is None:
+        return out
+    kind = node[0]
+    if kind == "term":
+        if not _neg:
+            out[node[1]] = out.get(node[1], 0.0) + _mult
+        return out
+    if kind == "boost":
+        return tree_boost_mults(node[1], _mult * node[2], _neg, out)
+    if kind == "not":
+        return tree_boost_mults(node[1], _mult, not _neg, out)
+    if kind in ("and", "or"):
+        for c in node[1]:
+            tree_boost_mults(c, _mult, _neg, out)
+    return out
 
 
 def tree_multiterm_leaves(node) -> bool:
@@ -405,7 +458,7 @@ def tree_multiterm_leaves(node) -> bool:
         return True
     if kind in ("and", "or"):
         return any(tree_multiterm_leaves(c) for c in node[1])
-    if kind == "not":
+    if kind in ("not", "boost"):
         return tree_multiterm_leaves(node[1])
     return False
 
@@ -418,6 +471,8 @@ def _tree_possible(node) -> set[bool]:
         return {False}
     if kind == "filter":
         return {True, False}
+    if kind == "boost":
+        return _tree_possible(node[1])
     if kind == "not":
         return {not v for v in _tree_possible(node[1])}
     sets = [_tree_possible(c) for c in node[1]]
@@ -466,7 +521,15 @@ def tree_to_string(node) -> str:
         if pred[0] == "eq":
             f, v = pred[1], pred[2]
             return f'{f}:"{v}"' if " " in v else f"{f}:{v}"
+        if pred[0] == "exists":
+            return f"_exists_:{pred[1]}"
         return _range_str(pred[1:], neg=False)
+    if kind == "boost":
+        inner = tree_to_string(node[1])
+        if node[1][0] in ("and", "or", "not"):
+            inner = f"({inner})"
+        f = node[2]
+        return f"{inner}^{int(f) if f == int(f) else f}"
     if kind == "not":
         inner = tree_to_string(node[1])
         if node[1][0] in ("and", "or"):
@@ -494,6 +557,14 @@ def parse_query(q: str) -> ParsedQuery:
         op, body, quoted = m.group(1), m.group(2), m.group(3)
         text = quoted if quoted is not None else body
         if quoted is None:
+            em = _EXISTS_RE.match(body)
+            if em is not None:
+                # `_exists_:field` — filter context; `-` excludes docs
+                # where the column is non-null
+                (out.not_exists_filters if op == "-" else out.exists_filters).append(
+                    em.group(1)
+                )
+                continue
             rm = _RANGE_RE.match(body) or _CMP_RE.match(body)
             if rm is not None:
                 # fielded range filter: bracket form `n:[10 TO 20}` or

@@ -244,3 +244,72 @@ def test_unknown_tree_filter_field_raises(built_index):
     s = Searcher(idx)
     with pytest.raises(ValueError, match="unknown filter field"):
         s.all_scores("def AND nosuch:x")
+
+
+# ---------------------------------------------------------------------------
+# boosts (`clause^2`, `(group)^1.5`) — Lucene score multipliers
+# ---------------------------------------------------------------------------
+
+
+def test_parser_boosts():
+    q = parse_query("(spark OR merge)^2 AND table")
+    assert q.bool_tree == (
+        "and",
+        [
+            ("boost", ("or", [("term", "spark"), ("term", "merge")]), 2.0),
+            ("term", "table"),
+        ],
+    )
+    q = parse_query("scan^3 OR window OR agg^0.5")
+    assert q.bool_tree == (
+        "or",
+        [
+            ("boost", ("term", "scan"), 3.0),
+            ("term", "window"),
+            ("boost", ("term", "agg"), 0.5),
+        ],
+    )
+    # boosts are transparent to polarity/grounding
+    assert parse_query("a^2 AND NOT b^3").scoring_terms == ["a"]
+    # round-trip
+    for s in ["(spark OR merge)^2 AND table", "scan^3 OR window OR agg^0.5"]:
+        q = parse_query(s)
+        assert parse_query(q.to_string()).bool_tree == q.bool_tree
+    # a range clause is NOT mistaken for a boost (it still parses as a
+    # filter leaf → the filter-only query is rejected as ungrounded,
+    # not as a malformed boost)
+    with pytest.raises(QueryParseError, match="not grounded"):
+        parse_query("(n_chars:[1 TO 2])")
+
+
+def test_boost_scores_match_and_rerank(corpus_info):
+    s, info = corpus_info
+    plain = s.all_scores("(def OR load) AND index")
+    boosted = s.all_scores("(def OR load)^2 AND index")
+    pm = dict(zip(plain["doc_id"].to_pylist(), plain["score"].to_pylist()))
+    bm_ = dict(zip(boosted["doc_id"].to_pylist(), boosted["score"].to_pylist()))
+    assert set(pm) == set(bm_)  # matching unchanged
+    # boosted score = plain (def|load part)*2 + index part: verify via
+    # components
+    idx_only = s.all_scores("index")
+    im = dict(zip(idx_only["doc_id"].to_pylist(), idx_only["score"].to_pylist()))
+    for d in pm:
+        part = pm[d] - im[d]
+        assert bm_[d] == pytest.approx(part * 2.0 + im[d], rel=1e-12)
+
+
+def test_boost_pruned_topk_matches_exhaustive(built_index):
+    idx, _ = built_index
+    sp = Searcher(idx, prune=True)
+    se = Searcher(idx, prune=False)
+    for q in [
+        "(def OR load)^2 AND index",
+        "def^3 OR load OR index^0.5",
+        # duplicate positive occurrences double a term's contribution —
+        # the pruning bound must sum path-products, not use idf once
+        "(def AND value) OR (def AND index)",
+        "(def^2 AND value) OR (def AND index)",
+    ]:
+        rp, re_ = sp.search(q, 10), se.search(q, 10)
+        assert rp["doc_id"].to_pylist() == re_["doc_id"].to_pylist(), q
+        assert rp["score"].to_pylist() == re_["score"].to_pylist(), q

@@ -93,3 +93,68 @@ def test_unknown_filter_field_raises(built_index):
     s = Searcher(idx)
     with pytest.raises(ValueError, match="unknown filter field"):
         s.all_scores("def nosuchfield:x")
+
+
+# ---------------------------------------------------------------------------
+# `_exists_:field` (ES existence query — non-null metadata value)
+# ---------------------------------------------------------------------------
+
+
+def test_parser_exists_clauses():
+    q = parse_query("spark _exists_:lang -_exists_:source")
+    assert q.exists_filters == ["lang"]
+    assert q.not_exists_filters == ["source"]
+    assert q.filters == []
+    q2 = parse_query(q.to_string())
+    assert q2.exists_filters == q.exists_filters
+    assert q2.not_exists_filters == q.not_exists_filters
+
+
+@pytest.fixture(scope="module")
+def null_index(ray_session, tmp_path_factory):
+    """Index over a corpus whose `lang` is null for half the docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from elasticsearch_assets_ray.index.build import build_index
+
+    d = tmp_path_factory.mktemp("nullcorp")
+    n = 200
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i % 7}" for i in range(n)]),
+            "path": pa.array([f"p/{i}.py" for i in range(n)]),
+            "commit": pa.array(["c0"] * n),
+            "lang": pa.array(
+                [None if i % 2 else "python" for i in range(n)], pa.string()
+            ),
+            "content": pa.array(
+                [f"def load index value w{i % 11} x{i % 5}" for i in range(n)]
+            ),
+        }
+    )
+    pq.write_table(t, str(d / "part-0.parquet"))
+    out = str(tmp_path_factory.mktemp("nullidx"))
+    build_index(str(d), out, target_partition_rows=64, num_shards=4)
+    return out
+
+
+def test_exists_filters_nulls(null_index):
+    s = Searcher(null_index)
+    base = _score_map(s, "def load")
+    got = _score_map(s, "def load _exists_:lang")
+    neg = _score_map(s, "def load -_exists_:lang")
+    assert len(base) == 200
+    assert len(got) == 100 and len(neg) == 100
+    assert set(got) | set(neg) == set(base)
+    assert all(base[d] == v for d, v in got.items())  # non-scoring
+    # boolean-tree leaf form agrees with the flat form
+    tree = _score_map(s, "(def OR load) AND _exists_:lang")
+    assert set(tree) == set(got)
+    tree_neg = _score_map(s, "(def OR load) AND NOT _exists_:lang")
+    assert set(tree_neg) == set(neg)
+
+
+def test_exists_unknown_field_raises(null_index):
+    s = Searcher(null_index)
+    with pytest.raises(ValueError, match="unknown filter field"):
+        s.all_scores("def _exists_:nosuch")
