@@ -258,3 +258,92 @@ def neardup_clusters_sql(
         "lab AS (SELECT n AS doc_id, min(label) AS canonical_id FROM reach GROUP BY n) "
         "SELECT doc_id, canonical_id, (doc_id = canonical_id) AS keep FROM lab"
     )
+
+
+def _xor64(a: str, b: str) -> str:
+    """uint64 XOR in the HUGEINT-[0,2^64) domain via two's-complement
+    BIGINT round-trip."""
+    wa = f"CAST(CASE WHEN ({a}) >= {I63} THEN ({a}) - {M64} ELSE ({a}) END AS BIGINT)"
+    wb = f"CAST(CASE WHEN ({b}) >= {I63} THEN ({b}) - {M64} ELSE ({b}) END AS BIGINT)"
+    x = f"CAST(xor({wa}, {wb}) AS HUGEINT)"
+    return f"(CASE WHEN {x} < 0 THEN {x} + {M64} ELSE {x} END)"
+
+
+def _mul64(x: str, c: int) -> str:
+    """(x · c) mod 2^64 without overflowing INT128: split c into 32-bit
+    halves (x·c_lo < 2^96; (x mod 2^32)·c_hi < 2^64)."""
+    hi, lo = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"(((({x}) * {lo}) % {M64} + "
+        f"(((({x}) % 4294967296) * {hi}) % 4294967296) * 4294967296) % {M64})"
+    )
+
+
+def sm64_sql(z: str) -> str:
+    """splitmix64 finalizer in HUGEINT-[0,2^64) arithmetic, bit-matching
+    stages.sampling.splitmix64 (verified value-for-value)."""
+    z1 = _mul64(_xor64(z, f"(({z}) // {1 << 30})"), 0xBF58476D1CE4E5B9)
+    z2 = _mul64(_xor64(z1, f"(({z1}) // {1 << 27})"), 0x94D049BB133111EB)
+    return _xor64(z2, f"(({z2}) // {1 << 31})")
+
+
+def _id_hash_sql(salt: str, id_expr: str = "doc_id") -> str:
+    """HUGEINT replica of stages.sampling.id_hash: Horner over
+    ``f"{id}:{salt}"``, splitmix64-finalized."""
+    return sm64_sql(_horner(f"CAST({id_expr} AS VARCHAR) || ':{salt}'"))
+
+
+def _id_hash_ctes(salt: str, extra_cols: str = "") -> str:
+    """CTE chain computing the splitmix64-finalized id hash as ``h``
+    (staged so each splitmix64 step references its input once, keeping
+    the expression linear instead of exponentially nested)."""
+    z0 = _horner(f"CAST(doc_id AS VARCHAR) || ':{salt}'")
+    z1 = _mul64(_xor64("z", f"(z // {1 << 30})"), 0xBF58476D1CE4E5B9)
+    z2 = _mul64(_xor64("z", f"(z // {1 << 27})"), 0x94D049BB133111EB)
+    z3 = _xor64("z", f"(z // {1 << 31})")
+    return (
+        f"h0 AS (SELECT doc_id{extra_cols}, {z0} AS z FROM documents), "
+        f"h1 AS (SELECT doc_id{extra_cols}, {z1} AS z FROM h0), "
+        f"h2 AS (SELECT doc_id{extra_cols}, {z2} AS z FROM h1), "
+        f"hh AS (SELECT doc_id{extra_cols}, {z3} AS h FROM h2)"
+    )
+
+
+def split_assign_sql(ratios: dict[str, float], salt: str = "split") -> str:
+    """Replicates stages.sampling.split_batch: exact integer cumulative
+    thresholds floor(cum·2^64) (last bucket absorbs rounding), label =
+    first threshold with h <= T (searchsorted side='left')."""
+    from elasticsearch_assets_ray.stages.sampling import _cum_thresholds
+
+    labels, cum = _cum_thresholds(ratios)
+    arms = " ".join(
+        f"WHEN h <= CAST('{int(t)}' AS HUGEINT) THEN '{lab}'"
+        for lab, t in zip(labels[:-1], cum[:-1])
+    )
+    return (
+        f"WITH {_id_hash_ctes(salt)} "
+        f"SELECT doc_id, CASE {arms} ELSE '{labels[-1]}' END AS split FROM hh"
+    )
+
+
+def stratified_sample_sql(
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> str:
+    """Replicates stages.sampling.stratified_batch: keep iff
+    h < floor(fraction[key]·2^64) (strict), unknown keys use the
+    default fraction."""
+    from elasticsearch_assets_ray.stages.sampling import _threshold
+
+    arms = " ".join(
+        f"WHEN {key_col} = '{k}' THEN CAST('{int(_threshold(p))}' AS HUGEINT)"
+        for k, p in sorted(fractions.items())
+    )
+    dflt = int(_threshold(default_fraction))
+    return (
+        f"WITH {_id_hash_ctes(salt, ', ' + key_col)} "
+        f"SELECT doc_id, {key_col} FROM hh "
+        f"WHERE h < CASE {arms} ELSE CAST('{dflt}' AS HUGEINT) END"
+    )

@@ -820,6 +820,32 @@ def q_search_filtered(sf_dir: str):
     return _search_many(sf_dir, FILTERED_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
 
 
+SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
+STRATA_FRACTIONS = {"de": 0.5, "en": 0.25, "fr": 0.75, "es": 1.0}
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test assignment over the documents table
+    — one stateless map_batches, stable across runs/partitionings
+    (stages/sampling.py; beyond-the-reference training-data op)."""
+    from elasticsearch_assets_ray.stages.sampling import assign_splits
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id"])
+    return assign_splits(ds, SPLIT_RATIOS)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language Bernoulli sampling at different rates (downsample
+    high-resource langs, keep low-resource) — one index_in + one
+    compare per batch, no shuffle."""
+    from elasticsearch_assets_ray.stages.sampling import stratified_sample
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample(
+        ds, STRATA_FRACTIONS, key_col="lang", default_fraction=0.1
+    )
+
+
 def q_search_boolops(sf_dir: str):
     """Lucene boolean expressions — AND / OR / NOT + parentheses, the
     operator surface of the ``query_string`` queries the reference
@@ -1757,6 +1783,10 @@ ORACLES.update(
         "neardup_clusters": _oh.neardup_clusters_sql(
             num_perm=64, bands=16, shingle_k=3, threshold=0.5
         ),
+        "split_assign": _oh.split_assign_sql(SPLIT_RATIOS),
+        "stratified_sample": _oh.stratified_sample_sql(
+            STRATA_FRACTIONS, key_col="lang", default_fraction=0.1
+        ),
     }
 )
 
@@ -1810,5 +1840,7 @@ QUERIES = {
     "props_extract": q_props_extract,
     "incremental_delta": q_incremental_delta,
     "bpe_token_count": q_bpe_token_count,
+    "split_assign": q_split_assign,
+    "stratified_sample": q_stratified_sample,
     "media_decode": q_media_decode,
 }
