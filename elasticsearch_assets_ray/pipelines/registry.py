@@ -820,6 +820,21 @@ def q_search_filtered(sf_dir: str):
     return _search_many(sf_dir, FILTERED_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
 
 
+def q_facet_lang(sf_dir: str):
+    """ES terms-aggregation analog: per-language hit counts over every
+    doc matching a BOOLEAN query (aggregations see the full match set,
+    not the fetch page); column read is pid-pruned."""
+    s = Searcher(documents_index(sf_dir))
+    return s.facet("(spark OR merge) AND table", by="lang")
+
+
+def q_histogram_nchars(sf_dir: str):
+    """ES histogram-aggregation analog: doc-count per
+    floor(n_chars/100)·100 bucket over the match set."""
+    s = Searcher(documents_index(sf_dir))
+    return s.histogram("spark table", "n_chars", 100.0)
+
+
 SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
 STRATA_FRACTIONS = {"de": 0.5, "en": 0.25, "fr": 0.75, "es": 1.0}
 
@@ -1746,6 +1761,22 @@ ORACLES: dict[str, str] = {
     "search_filtered": _bm25_bool_sql(FILTERED_QUERIES, SEARCH_K),
     "search_range": _bm25_bool_sql(RANGE_QUERIES, SEARCH_K),
     "search_boolops": _bm25_bool_sql(BOOLOP_QUERIES, SEARCH_K),
+    # facet/histogram aggregations: count over the exhaustive match set
+    "facet_lang": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "m AS (SELECT doc_id FROM documents WHERE "
+        "(EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = documents.doc_id AND tok.term = 'spark') "
+        "OR EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = documents.doc_id AND tok.term = 'merge')) "
+        "AND EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = documents.doc_id AND tok.term = 'table')) "
+        "SELECT d.lang AS value, count(*) AS count FROM m JOIN documents d "
+        "ON d.doc_id = m.doc_id GROUP BY d.lang"
+    ),
+    "histogram_nchars": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'table')) "
+        "SELECT floor(d.n_chars / 100.0) * 100.0 AS bucket, count(*) AS count "
+        "FROM m JOIN documents d ON d.doc_id = m.doc_id GROUP BY bucket"
+    ),
     # incremental_delta: per-window doc counts are plain range counts, and
     # 'total_matched' is the windowed docs whose props tokenize to contain
     # the probe term 'k' (tokenizer = lowercase [a-z0-9]+ runs, replicated
@@ -1833,6 +1864,8 @@ QUERIES = {
     "search_filtered": q_search_filtered,
     "search_range": q_search_range,
     "search_boolops": q_search_boolops,
+    "facet_lang": q_facet_lang,
+    "histogram_nchars": q_histogram_nchars,
     "state_enrich": q_state_enrich,
     "date_interval_slices": q_date_interval_slices,
     "keyspace_plan": q_keyspace_plan,

@@ -642,6 +642,53 @@ class Searcher:
             ids, scores = bm25.sort_topk(ids, scores, k)
         return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
 
+    def facet(
+        self, query: str | ParsedQuery, by: str, size: int | None = None
+    ) -> pa.Table:
+        """ES ``terms`` aggregation analog: value counts of docstore
+        column ``by`` over every doc matching ``query`` →
+        pa.Table(value, count), count-desc / value-asc (the ES terms-agg
+        bucket order), optionally truncated to the top ``size`` buckets.
+        The match set is exhaustive (aggregations see all hits, not the
+        fetch page); the column read is pid-pruned via :meth:`hydrate`."""
+        ids = (
+            self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
+        )
+        vals = self.hydrate(np.sort(ids), columns=[by])[by]
+        # ES terms agg skips missing values
+        vc = pc.value_counts(
+            pc.drop_null(pc.cast(vals.combine_chunks(), pa.string()))
+        )
+        t = pa.table(
+            {"value": vc.field("values"), "count": vc.field("counts")}
+        )
+        t = t.sort_by([("count", "descending"), ("value", "ascending")])
+        return t.slice(0, size) if size is not None else t
+
+    def histogram(
+        self, query: str | ParsedQuery, field: str, interval: float
+    ) -> pa.Table:
+        """ES ``histogram`` aggregation analog over a numeric docstore
+        column: buckets keyed by ``floor(value / interval) * interval``
+        with hit counts → pa.Table(bucket, count), bucket-asc.  Empty
+        buckets are omitted (ES ``min_doc_count=1``)."""
+        if interval <= 0:
+            raise ValueError("interval must be positive")
+        ids = (
+            self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
+        )
+        vals = self.hydrate(np.sort(ids), columns=[field])[field]
+        v = (
+            pc.drop_null(vals.combine_chunks())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        bucket = np.floor(v / interval) * interval
+        uniq, counts = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(uniq), "count": pa.array(counts.astype(np.int64))}
+        )
+
     def all_scores(self, query: str | ParsedQuery) -> pa.Table:
         """Every matching doc's score (no pruning) — the oracle-comparable
         full result set."""

@@ -55,3 +55,31 @@ def sf_dir():
     if not os.path.isdir(SF_DIR):
         pytest.skip("testdata not present")
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def null_index(ray_session, tmp_path_factory):
+    """Index over a corpus whose `lang` is null for half the docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from elasticsearch_assets_ray.index.build import build_index
+
+    d = tmp_path_factory.mktemp("nullcorp")
+    n = 200
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i % 7}" for i in range(n)]),
+            "path": pa.array([f"p/{i}.py" for i in range(n)]),
+            "commit": pa.array(["c0"] * n),
+            "lang": pa.array(
+                [None if i % 2 else "python" for i in range(n)], pa.string()
+            ),
+            "content": pa.array(
+                [f"def load index value w{i % 11} x{i % 5}" for i in range(n)]
+            ),
+        }
+    )
+    pq.write_table(t, str(d / "part-0.parquet"))
+    out = str(tmp_path_factory.mktemp("nullidx"))
+    build_index(str(d), out, target_partition_rows=64, num_shards=4)
+    return out
