@@ -175,6 +175,16 @@ BOOLOP_QUERIES: list[str] = [
     "table AND (merge OR scan)^1.5 AND _exists_:lang",  # boost + exists
 ]
 
+# (query, minimum_should_match) pairs — the ES request parameter
+MSM_QUERIES: list[str] = [
+    "spark table merge join",
+    "key value row column part",
+    "fast scan filter",
+    "slow query big data dup",
+    "+merge spark table scan",   # must term + msm over the should set
+]
+MSM_NS: list[int] = [2, 3, 2, 4, 2]
+
 SEARCH_K = 10
 _STOPWORD_SQL = ", ".join(f"'{w}'" for w in textstats._STOPWORDS)
 
@@ -743,12 +753,15 @@ def _search_many(
     k: int,
     fetch_k: int,
     index_dir: str | None = None,
+    msm: list[int] | None = None,
 ) -> pa.Table:
     idx = index_dir or documents_index(sf_dir)
     s = Searcher(idx)
     parts = []
     for qid, q in enumerate(queries):
-        res = s.search(q, k=fetch_k)
+        res = s.search(
+            q, k=fetch_k, minimum_should_match=msm[qid] if msm else 0
+        )
         ids = res["doc_id"].to_numpy(zero_copy_only=False)
         if ids.size == 0:
             continue
@@ -818,6 +831,14 @@ def q_search_filtered(sf_dir: str):
     stats untouched; evaluated as pid-local bitmap lookups inside the
     candidate funnel (one column-pruned parquet read per touched pid)."""
     return _search_many(sf_dir, FILTERED_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
+def q_search_msm(sf_dir: str):
+    """ES minimum_should_match request parameter: each query requires at
+    least N distinct should terms present; scoring unchanged."""
+    return _search_many(
+        sf_dir, MSM_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90, msm=MSM_NS
+    )
 
 
 def q_facet_lang(sf_dir: str):
@@ -1313,7 +1334,7 @@ def _tree_multiterm_nodes(node, neg: bool = False) -> list:
     return []
 
 
-def _bm25_bool_sql(queries: list[str], k: int) -> str:
+def _bm25_bool_sql(queries: list[str], k: int, msm: list[int] | None = None) -> str:
     """DuckDB oracle for the boolean/phrase query surface, mirroring the
     engine's semantics exactly: candidates match ≥1 scoring term; all
     MUST terms present, no MUST_NOT term present; every phrase adjacent
@@ -1328,6 +1349,7 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
     pre_arms, npre_vals, mpre_vals = [], [], []
     mwild_vals, nwild_vals, mfz_vals, nfz_vals = [], [], [], []
     flt_conds: dict[int, list[str]] = {}
+    flt_msm: list[str] = []
     tree_conds: dict[int, str] = {}
     tree_scores: dict[int, str] = {}
     for qid, qtext in enumerate(queries):
@@ -1393,6 +1415,14 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
             flt_conds.setdefault(qid, []).append(f"d.{fld} IS NULL")
         for t in p.scoring_terms:
             score_vals.append(f"({qid}, '{t}')")
+        if msm and msm[qid] > 0:
+            # ES minimum_should_match: ≥ N distinct should terms present
+            sq = ", ".join(f"'{t}'" for t in sorted(set(p.should)))
+            flt_msm.append(
+                f"(sc.query_id <> {qid} OR (SELECT count(DISTINCT tf.term) "
+                f"FROM tf WHERE tf.doc_id = sc.doc_id AND tf.term IN ({sq})) "
+                f">= {msm[qid]})"
+            )
         for t in sorted(set(p.must)):
             must_vals.append(f"({qid}, '{t}')")
         for t in sorted(set(p.must_not)):
@@ -1534,6 +1564,7 @@ def _bm25_bool_sql(queries: list[str], k: int) -> str:
             for qid, conds in sorted(flt_conds.items())
         ]
         preds.append("(" + " AND ".join(arms) + ")")
+    preds.extend(flt_msm)
     for qid, cond in sorted(tree_conds.items()):
         preds.append(f"(sc.query_id <> {qid} OR {cond})")
     score_expr = "sc.score"
@@ -1761,6 +1792,7 @@ ORACLES: dict[str, str] = {
     "search_filtered": _bm25_bool_sql(FILTERED_QUERIES, SEARCH_K),
     "search_range": _bm25_bool_sql(RANGE_QUERIES, SEARCH_K),
     "search_boolops": _bm25_bool_sql(BOOLOP_QUERIES, SEARCH_K),
+    "search_msm": _bm25_bool_sql(MSM_QUERIES, SEARCH_K, msm=MSM_NS),
     # facet/histogram aggregations: count over the exhaustive match set
     "facet_lang": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
@@ -1864,6 +1896,7 @@ QUERIES = {
     "search_filtered": q_search_filtered,
     "search_range": q_search_range,
     "search_boolops": q_search_boolops,
+    "search_msm": q_search_msm,
     "facet_lang": q_facet_lang,
     "histogram_nchars": q_histogram_nchars,
     "state_enrich": q_state_enrich,

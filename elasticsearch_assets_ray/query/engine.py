@@ -498,6 +498,7 @@ class Searcher:
             not_range_filters=list(q.not_range_filters),
             exists_filters=list(q.exists_filters),
             not_exists_filters=list(q.not_exists_filters),
+            minimum_should_match=q.minimum_should_match,
         )
         expansions: list[tuple[list, object]] = [
             (q.prefixes, self.expand_prefix),
@@ -629,11 +630,38 @@ class Searcher:
             return [p for c in node[1] for p in self._tree_filter_preds(c)]
         return []
 
+    @staticmethod
+    def _apply_msm(q: ParsedQuery, minimum_should_match: int) -> ParsedQuery:
+        if minimum_should_match <= 0:
+            return q
+        if q.bool_tree is not None:
+            raise ValueError(
+                "minimum_should_match does not apply to boolean "
+                "expressions — the tree states the requirement explicitly"
+            )
+        if q.has_multiterm:
+            raise ValueError(
+                "minimum_should_match with prefix/wildcard/fuzzy clauses "
+                "is not supported (expansion terms would each count as a "
+                "clause)"
+            )
+        import dataclasses
+
+        return dataclasses.replace(q, minimum_should_match=minimum_should_match)
+
     # ---------- search ----------
-    def search(self, query: str | ParsedQuery, k: int = 10) -> pa.Table:
+    def search(
+        self,
+        query: str | ParsedQuery,
+        k: int = 10,
+        minimum_should_match: int = 0,
+    ) -> pa.Table:
         """Top-k → pa.Table(doc_id int64, score float64), score desc,
-        docID-asc tie-break."""
+        docID-asc tie-break.  ``minimum_should_match`` is the ES request
+        parameter: a matching doc must contain at least that many
+        distinct should terms (scoring unchanged)."""
         q = parse_query(query) if isinstance(query, str) else query
+        q = self._apply_msm(q, minimum_should_match)
         q = self._rewrite_prefixes(q)
         if q.has_phrases:
             ids, scores = self._search_phrases(q, k)
@@ -689,10 +717,13 @@ class Searcher:
             {"bucket": pa.array(uniq), "count": pa.array(counts.astype(np.int64))}
         )
 
-    def all_scores(self, query: str | ParsedQuery) -> pa.Table:
+    def all_scores(
+        self, query: str | ParsedQuery, minimum_should_match: int = 0
+    ) -> pa.Table:
         """Every matching doc's score (no pruning) — the oracle-comparable
         full result set."""
         q = parse_query(query) if isinstance(query, str) else query
+        q = self._apply_msm(q, minimum_should_match)
         q = self._rewrite_prefixes(q)
         if q.has_phrases:
             ids, scores = self._search_phrases(q, k=None)
@@ -1239,6 +1270,7 @@ class Searcher:
             and not q.exists_filters
             and not q.not_exists_filters
             and q.bool_tree is None
+            and q.minimum_should_match == 0
             and len(terms) > 1
         ):
             theta_seed = self._seed_theta(seg, seg_term, seg_df, idf_by_term, k)
@@ -1292,6 +1324,14 @@ class Searcher:
             for t in set(q.must_not):
                 if t in per_term:
                     mask &= ~np.isin(ids_b, per_term[t][0])
+            if q.minimum_should_match > 0:
+                # ES minimum_should_match: ≥ N DISTINCT should terms
+                cnt = np.zeros(ids_b.size, dtype=np.int32)
+                for t in sorted(set(q.should)):
+                    h = per_term.get(t)
+                    if h is not None:
+                        cnt += np.isin(ids_b, h[0])
+                mask &= cnt >= q.minimum_should_match
             if self._tombstones.size:
                 # tombstones are sorted: membership via searchsorted
                 pos = np.searchsorted(self._tombstones, ids_b)

@@ -129,6 +129,10 @@ class ParsedQuery:
     # the doc's metadata column must hold a non-null value
     exists_filters: list[str] = field(default_factory=list)
     not_exists_filters: list[str] = field(default_factory=list)
+    # ES minimum_should_match (request parameter, not query syntax):
+    # when > 0, a matching doc must contain at least this many DISTINCT
+    # should terms.  Scoring unchanged (all matched terms score).
+    minimum_should_match: int = 0
     # boolean-expression mode (Lucene AND/OR/NOT + parentheses): when
     # set, the query is the TREE and every flat field above is empty.
     # Nodes are tuples: ("term", t), ("prefix", stem), ("wildcard", pat),

@@ -130,3 +130,50 @@ def test_exists_unknown_field_raises(null_index):
     s = Searcher(null_index)
     with pytest.raises(ValueError, match="unknown filter field"):
         s.all_scores("def _exists_:nosuch")
+
+
+# ---------------------------------------------------------------------------
+# minimum_should_match (ES request parameter)
+# ---------------------------------------------------------------------------
+
+
+def test_msm_matches_brute_force(built_index):
+    idx, _ = built_index
+    s = Searcher(idx)
+    base = _score_map(s, "def load index value")
+    ids = np.array(sorted(base), dtype=np.int64)
+    h = s.hydrate(ids, columns=["doc_id", "content"])
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    toks = {
+        d: set(tokenize_text(c))
+        for d, c in zip(h["doc_id"].to_pylist(), h["content"].to_pylist())
+    }
+    terms = {"def", "load", "index", "value"}
+    for n in (1, 2, 3, 4):
+        r = s.all_scores("def load index value", minimum_should_match=n)
+        got = dict(zip(r["doc_id"].to_pylist(), r["score"].to_pylist()))
+        want = {d: v for d, v in base.items() if len(toks[d] & terms) >= n}
+        assert got == want, n  # filter only — scores unchanged
+    # n greater than the clause count matches nothing
+    assert s.all_scores("def load", minimum_should_match=3).num_rows == 0
+
+
+def test_msm_pruned_matches_exhaustive(built_index):
+    idx, _ = built_index
+    sp = Searcher(idx, prune=True)
+    se = Searcher(idx, prune=False)
+    for n in (2, 3):
+        a = sp.search("def load index value", 10, minimum_should_match=n)
+        b = se.search("def load index value", 10, minimum_should_match=n)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), n
+        assert a["score"].to_pylist() == b["score"].to_pylist(), n
+
+
+def test_msm_rejects_trees_and_multiterm(built_index):
+    idx, _ = built_index
+    s = Searcher(idx)
+    with pytest.raises(ValueError, match="boolean expressions"):
+        s.search("def AND load", minimum_should_match=2)
+    with pytest.raises(ValueError, match="prefix/wildcard/fuzzy"):
+        s.search("de* load", minimum_should_match=2)
