@@ -833,6 +833,20 @@ def q_search_filtered(sf_dir: str):
     return _search_many(sf_dir, FILTERED_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021):
+    duplicate-word fraction + character share of the most frequent word
+    2-/3-gram — one stateless vectorized map_batches (Arrow group_by per
+    batch, no shuffle)."""
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: textstats.repetition_stats(b, "text"), batch_format="pyarrow"
+    )
+    return out.select_columns(
+        ["doc_id", "dup_word_frac", "top2_char_frac", "top3_char_frac"]
+    )
+
+
 def q_search_msm(sf_dir: str):
     """ES minimum_should_match request parameter: each query requires at
     least N distinct should terms present; scoring unchanged."""
@@ -1793,6 +1807,34 @@ ORACLES: dict[str, str] = {
     "search_range": _bm25_bool_sql(RANGE_QUERIES, SEARCH_K),
     "search_boolops": _bm25_bool_sql(BOOLOP_QUERIES, SEARCH_K),
     "search_msm": _bm25_bool_sql(MSM_QUERIES, SEARCH_K, msm=MSM_NS),
+    # Gopher repetition signals — same float arithmetic order both sides
+    "repetition_stats": (
+        f"WITH tk AS (SELECT doc_id, {_TOK} AS T FROM documents), "
+        "base AS (SELECT doc_id, CAST(len(T) AS DOUBLE) AS nt, "
+        " CAST(len(list_distinct(T)) AS DOUBLE) AS nd, "
+        " CAST(COALESCE(list_sum(list_transform(T, t -> length(t))), 0) AS DOUBLE) AS chars "
+        "FROM tk), "
+        "ng2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(T) - 1), "
+        " i -> T[i] || ' ' || T[i + 1])) AS ng FROM tk WHERE len(T) >= 2), "
+        "c2 AS (SELECT doc_id, ng, CAST(count(*) AS DOUBLE) AS c, "
+        " CAST(length(ng) - 1 AS DOUBLE) AS w FROM ng2 GROUP BY doc_id, ng), "
+        "t2 AS (SELECT doc_id, c * w AS num FROM "
+        " (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, ng) AS rn FROM c2) "
+        " WHERE rn = 1), "
+        "ng3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(T) - 2), "
+        " i -> T[i] || ' ' || T[i + 1] || ' ' || T[i + 2])) AS ng FROM tk WHERE len(T) >= 3), "
+        "c3 AS (SELECT doc_id, ng, CAST(count(*) AS DOUBLE) AS c, "
+        " CAST(length(ng) - 2 AS DOUBLE) AS w FROM ng3 GROUP BY doc_id, ng), "
+        "t3 AS (SELECT doc_id, c * w AS num FROM "
+        " (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, ng) AS rn FROM c3) "
+        " WHERE rn = 1) "
+        "SELECT b.doc_id, "
+        " CASE WHEN b.nt > 0 THEN 1 - b.nd / b.nt ELSE 0.0 END AS dup_word_frac, "
+        " CASE WHEN b.chars > 0 THEN COALESCE(t2.num, 0) / b.chars ELSE 0.0 END AS top2_char_frac, "
+        " CASE WHEN b.chars > 0 THEN COALESCE(t3.num, 0) / b.chars ELSE 0.0 END AS top3_char_frac "
+        "FROM base b LEFT JOIN t2 ON t2.doc_id = b.doc_id "
+        "LEFT JOIN t3 ON t3.doc_id = b.doc_id"
+    ),
     # facet/histogram aggregations: count over the exhaustive match set
     "facet_lang": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
@@ -1906,6 +1948,7 @@ QUERIES = {
     "props_extract": q_props_extract,
     "incremental_delta": q_incremental_delta,
     "bpe_token_count": q_bpe_token_count,
+    "repetition_stats": q_repetition_stats,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "media_decode": q_media_decode,

@@ -216,3 +216,102 @@ def fingerprint(batch: pa.Table, text_col: str = "text", out_col: str = "fingerp
     cols = {name: batch[name] for name in batch.column_names}
     cols[out_col] = pa.array(h.astype(np.int64))
     return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style quality rules, Rae et al. 2021 —
+# public literature): fraction of characters inside the most frequent
+# word n-gram, and the duplicate-word fraction.  High values flag
+# boilerplate / spam documents in a training corpus.
+# ---------------------------------------------------------------------------
+
+
+def _flat_tokens(batch: pa.Table, text_col: str):
+    """(doc_idx int64[], token values StringArray, n_rows) for the
+    non-empty analyzed tokens of each row, document order preserved."""
+    s = pc.utf8_lower(batch[text_col])
+    toks = pc.split_pattern_regex(s, "[^a-z0-9]+")
+    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = flat.values
+    lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+    keep = lens > 0
+    n = len(flat)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+    return doc_idx[keep], vals.filter(pa.array(keep)), n
+
+
+def _top_ngram_frac(
+    doc_idx: np.ndarray, vals: pa.Array, n_rows: int, total_chars: np.ndarray, n: int
+) -> np.ndarray:
+    """Per-doc fraction of word characters covered by the most frequent
+    word n-gram (occurrences × n-gram word chars / total word chars);
+    ties break to the lexicographically smallest n-gram; 0 when the doc
+    has fewer than n tokens."""
+    if len(vals) < n:
+        return np.zeros(n_rows, dtype=np.float64)
+    # positions whose n consecutive tokens stay within one document
+    valid = doc_idx[: len(doc_idx) - n + 1] == doc_idx[n - 1 :]
+    if not valid.any():
+        return np.zeros(n_rows, dtype=np.float64)
+    parts = [vals.slice(j, len(vals) - n + 1) for j in range(n)]
+    ng = pc.binary_join_element_wise(*parts, pa.scalar(" "))
+    vmask = pa.array(valid)
+    tbl = pa.table(
+        {"doc": pa.array(doc_idx[: len(valid)][valid]), "ng": ng.filter(vmask)}
+    )
+    g = tbl.group_by(["doc", "ng"]).aggregate([("ng", "count")])
+    g = g.sort_by(
+        [("doc", "ascending"), ("ng_count", "descending"), ("ng", "ascending")]
+    )
+    docs = g["doc"].to_numpy(zero_copy_only=False)
+    first = np.ones(len(docs), dtype=bool)
+    first[1:] = docs[1:] != docs[:-1]
+    top_doc = docs[first]
+    top_cnt = g["ng_count"].to_numpy(zero_copy_only=False)[first].astype(np.float64)
+    top_chars = (
+        pc.utf8_length(g["ng"].combine_chunks().filter(pa.array(first)))
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+        - (n - 1)  # the n-1 joining spaces are not word characters
+    )
+    out = np.zeros(n_rows, dtype=np.float64)
+    tc = total_chars[top_doc]
+    nz = tc > 0
+    out[top_doc[nz]] = top_cnt[nz] * top_chars[nz] / tc[nz]
+    return out
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-row ``dup_word_frac`` (1 − distinct/total words),
+    ``top2_char_frac`` and ``top3_char_frac`` (character share of the
+    most frequent word 2-/3-gram) — the Gopher repetition signals."""
+    doc_idx, vals, n = _flat_tokens(batch, text_col)
+    lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False).astype(np.int64)
+    total_chars = np.bincount(doc_idx, weights=lens, minlength=n)
+    tok_count = np.bincount(doc_idx, minlength=n).astype(np.float64)
+
+    # distinct words per doc (dictionary codes → unique (doc, code))
+    if len(vals):
+        codes = (
+            pc.dictionary_encode(vals).indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        vocab = int(codes.max()) + 1
+        uniq = np.bincount(
+            np.unique(doc_idx * vocab + codes) // vocab, minlength=n
+        ).astype(np.float64)
+    else:
+        uniq = np.zeros(n, dtype=np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dup = np.where(tok_count > 0, 1.0 - uniq / tok_count, 0.0)
+
+    out = {name: batch[name] for name in batch.column_names}
+    out["dup_word_frac"] = pa.array(dup)
+    out["top2_char_frac"] = pa.array(
+        _top_ngram_frac(doc_idx, vals, n, total_chars, 2)
+    )
+    out["top3_char_frac"] = pa.array(
+        _top_ngram_frac(doc_idx, vals, n, total_chars, 3)
+    )
+    return pa.table(out)

@@ -68,3 +68,65 @@ def test_fingerprint_order_sensitive_and_stable():
             acc = (acc * textstats._FP_BASE + b) & 0xFFFFFFFFFFFFFFFF
         return np.uint64(acc).astype(np.int64)
     assert f[0] == scalar("abc def")
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_brute_force():
+    import collections
+
+    import pytest
+
+    from elasticsearch_assets_ray.stages.textstats import repetition_stats
+
+    texts = [
+        "spam spam spam eggs",               # heavy word + 2-gram repeats
+        "a b a b a b c",                     # dominant "a b"
+        "all words here are unique tokens",  # no repetition
+        "",                                  # empty
+        "one",                               # single token (no 2-grams)
+        "x y z x y z x y z",                 # dominant 3-gram
+        "Tie tie BREAK break tie break",     # case-folded + ties
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
+    out = repetition_stats(t)
+
+    def brute(text):
+        toks = [w for w in __import__("re").split(r"[^a-z0-9]+", text.lower()) if w]
+        nt, nd = len(toks), len(set(toks))
+        chars = sum(len(w) for w in toks)
+        dup = 1 - nd / nt if nt else 0.0
+        fr = []
+        for n in (2, 3):
+            if len(toks) < n or chars == 0:
+                fr.append(0.0)
+                continue
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            cnt = collections.Counter(grams)
+            best = min(cnt, key=lambda g: (-cnt[g], g))
+            fr.append(cnt[best] * (len(best) - (n - 1)) / chars)
+        return dup, fr[0], fr[1]
+
+    for i, text in enumerate(texts):
+        dup, f2, f3 = brute(text)
+        assert out["dup_word_frac"][i].as_py() == pytest.approx(dup, abs=1e-12), i
+        assert out["top2_char_frac"][i].as_py() == pytest.approx(f2, abs=1e-12), i
+        assert out["top3_char_frac"][i].as_py() == pytest.approx(f3, abs=1e-12), i
+    # sanity: the spammy docs score much higher than the unique one
+    assert out["dup_word_frac"][0].as_py() > 0.4
+    assert out["top2_char_frac"][1].as_py() > 0.5
+    assert out["dup_word_frac"][2].as_py() == 0.0
+
+
+def test_repetition_stats_no_cross_doc_ngrams():
+    from elasticsearch_assets_ray.stages.textstats import repetition_stats
+
+    # "b a" would be the top 2-gram only if grams leaked across rows
+    t = pa.table(
+        {"doc_id": pa.array([0, 1, 2]), "text": pa.array(["a b", "a b", "a b"])}
+    )
+    out = repetition_stats(t)
+    assert out["top2_char_frac"].to_pylist() == [1.0, 1.0, 1.0]
