@@ -368,15 +368,22 @@ class MultiSearcher(Searcher):
         return self._pid_files
 
     def hydrate(self, docids: np.ndarray, columns=None):
+        want = columns
+        if columns is not None and "doc_id" not in columns:
+            # the cross-child reorder below needs doc_id; restore the
+            # caller's projection afterwards
+            columns = ["doc_id"] + list(columns)
         parts = []
         for c in self.children:
             t = c.hydrate(docids, columns=columns)
             if t.num_rows:
                 parts.append(t)
         if not parts:
-            return self.children[0].hydrate(docids, columns=columns)
+            t = self.children[0].hydrate(docids, columns=columns)
+            return t.select(want) if want is not None else t
         t = pa.concat_tables(parts)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         pos = {int(d): i for i, d in enumerate(ids)}
         take = [pos[int(d)] for d in docids if int(d) in pos]
-        return t.take(pa.array(take, type=pa.int64()))
+        t = t.take(pa.array(take, type=pa.int64()))
+        return t.select(want) if want is not None else t

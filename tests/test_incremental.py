@@ -190,3 +190,43 @@ def test_multisearcher_phrases_and_prefixes(ray_session, tmp_path):
     assert r_prefix["doc_id"].to_pylist() == c_prefix["doc_id"].to_pylist()
     assert r_prefix["score"].to_pylist() == c_prefix["score"].to_pylist()
     assert r_phrase.num_rows > 0 and r_prefix.num_rows > 0
+
+
+def test_multisearcher_round3_query_surface(dated_corpus, tmp_path, ray_session):
+    """Boolean trees, range/exists filters, msm and facets all flow
+    through MultiSearcher unchanged (inherited funnel + overridden
+    pid-map/hydrate), matching a monolithic build over the union."""
+    cfg = IndexConfig(target_partition_rows=64, runs_per_bucket=2, num_shards=4)
+    inc = IncrementalIndex(str(tmp_path / "inc"), config=cfg)
+    inc.tick(dated_corpus, (datetime(2024, 3, 1, 0), datetime(2024, 3, 1, 6)), "ingested_at")
+    inc.tick(dated_corpus, (datetime(2024, 3, 1, 6), datetime(2024, 3, 1, 12)), "ingested_at")
+    mono_dir = str(tmp_path / "mono")
+    build_index(dated_corpus, mono_dir, config=cfg)
+    mono = Searcher(mono_dir, prune=False)
+    multi = inc.searcher(prune=False)
+
+    queries = [
+        "(def OR load) AND index",
+        "def AND NOT (load OR index)",
+        "(def OR load)^2 AND index AND _exists_:lang",
+        "def load doc_len:[50 TO 400}",
+    ]
+    for q in queries:
+        a, b = multi.search(q, k=8), mono.search(q, k=8)
+        ka = multi.hydrate(a["doc_id"].to_numpy(zero_copy_only=False), ["doc_id", "path"])
+        kb = mono.hydrate(b["doc_id"].to_numpy(zero_copy_only=False), ["doc_id", "path"])
+        assert ka["path"].to_pylist() == kb["path"].to_pylist(), q
+        assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy(), rtol=0, atol=1e-12), q
+
+    # msm filter identical across layouts
+    a = multi.search("def load index value", k=8, minimum_should_match=3)
+    b = mono.search("def load index value", k=8, minimum_should_match=3)
+    assert np.allclose(a["score"].to_numpy(), b["score"].to_numpy(), rtol=0, atol=1e-12)
+
+    # facet counts identical (value space is layout-independent)
+    fa = multi.facet("(def OR load) AND index", by="lang")
+    fb = mono.facet("(def OR load) AND index", by="lang")
+    assert fa.to_pydict() == fb.to_pydict()
+    ha = multi.histogram("def load", "doc_len", 100.0)
+    hb = mono.histogram("def load", "doc_len", 100.0)
+    assert ha.to_pydict() == hb.to_pydict()
