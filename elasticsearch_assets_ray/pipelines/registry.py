@@ -616,13 +616,9 @@ def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return ids[order], mat[order]
 
 
-def _round_half_up(x: np.ndarray, digits: int) -> np.ndarray:
-    """DuckDB ROUND parity for doubles: half AWAY FROM ZERO in scaled
-    double space (``std::round(x*10^d)/10^d``), unlike numpy/pyarrow's
-    half-to-even — a score within 1 ulp of a decimal midpoint must round
-    the same way on both sides of the value-hash gate."""
-    p = 10.0 ** digits
-    return np.trunc(np.abs(x) * p + 0.5) * np.sign(x) / p
+from elasticsearch_assets_ray.query.bm25 import (  # noqa: E402
+    round_half_up as _round_half_up,
+)
 
 
 def _rerank_rounded(res: pa.Table, k: int) -> pa.Table:
@@ -831,6 +827,68 @@ def q_search_filtered(sf_dir: str):
     stats untouched; evaluated as pid-local bitmap lookups inside the
     candidate funnel (one column-pruned parquet read per touched pid)."""
     return _search_many(sf_dir, FILTERED_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
+def q_search_page2(sf_dir: str):
+    """ES search_after cursor pagination: page 1's k-th hit (at round-9
+    ranking granularity) seeds the cursor; the engine returns the hits
+    strictly after it — compared against the oracle's rank 11..20
+    window.  Cursor position is (round9 score desc, docid asc), stable
+    under float noise."""
+    idx = documents_index(sf_dir)
+    s = Searcher(idx)
+    parts = []
+    for qid, q in enumerate(DOC_QUERIES):
+        r1 = s.search(q, k=SEARCH_K + 90)
+        ids = r1["doc_id"].to_numpy(zero_copy_only=False)
+        raw = r1["score"].to_numpy(zero_copy_only=False)
+        if ids.size <= SEARCH_K:
+            continue  # no second page
+        # k-th hit under the round9 ranking contract (internal docids
+        # are assigned in input order → ascending orig ids, so the
+        # tie-break order matches the oracle's)
+        order = np.lexsort((ids, -_round_half_up(raw, 9)))
+        cur = order[SEARCH_K - 1]
+        r2 = s.search(
+            q,
+            k=SEARCH_K + 90,
+            search_after=(float(raw[cur]), int(ids[cur])),
+        )
+        ids2 = r2["doc_id"].to_numpy(zero_copy_only=False)
+        if ids2.size == 0:
+            continue
+        orig = s.hydrate(ids2, columns=["doc_id", "orig_doc_id"])
+        m = dict(
+            zip(
+                orig["doc_id"].to_numpy(zero_copy_only=False),
+                orig["orig_doc_id"].to_numpy(zero_copy_only=False),
+            )
+        )
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids2.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(
+                        np.array([m[i] for i in ids2], dtype=np.int64)
+                    ),
+                    "sim": r2["score"],
+                }
+            )
+        )
+    if not parts:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()), "score_r": pa.array([], pa.float64())}
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
 
 
 def q_repetition_stats(sf_dir: str):
@@ -1188,6 +1246,7 @@ def _bm25_sql(
     k: int,
     delete_term: str | None = None,
     expunged: bool = False,
+    page: int = 1,
 ) -> str:
     """DuckDB BM25 oracle over `documents`, matching the engine's pinned
     analysis chain + scoring (k1=1.2, b=0.75, Lucene idf) exactly.
@@ -1242,10 +1301,12 @@ scored AS (
   GROUP BY q.query_id, tf.doc_id
 )
 SELECT query_id, doc_id,
-       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id) AS rank,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id)
+         - {(page - 1) * k} AS rank,
        round(score, 6) AS score_r
 FROM scored
-QUALIFY rank <= {k}
+QUALIFY rank + {(page - 1) * k} <= {page * k}
+   AND rank >= 1
 """
 
 
@@ -1795,6 +1856,7 @@ ORACLES: dict[str, str] = {
         "SELECT r.part_id, s.k AS boundary_key FROM r JOIN s ON s.rn = r.rk"
     ),
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
+    "search_page2": _bm25_sql(DOC_QUERIES, SEARCH_K, page=2),
     "delete_search": _bm25_sql(DOC_QUERIES, SEARCH_K, delete_term=DELETE_TERM),
     "expunge_search": _bm25_sql(
         DOC_QUERIES, SEARCH_K, delete_term=DELETE_TERM, expunged=True
@@ -1929,6 +1991,7 @@ QUERIES = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_dedup": q_embedding_dedup,
     "search_topk": q_search_topk,
+    "search_page2": q_search_page2,
     "delete_search": q_delete_search,
     "expunge_search": q_expunge_search,
     "search_boolean": q_search_boolean,

@@ -49,6 +49,16 @@ def term_max_score(idf_t: float, k1: float = K1) -> float:
     return idf_t * (k1 + 1.0)
 
 
+def round_half_up(x, digits: int):
+    """DuckDB ROUND parity for doubles: half AWAY FROM ZERO in scaled
+    double space (``std::round(x*10^d)/10^d``), unlike numpy/pyarrow's
+    half-to-even — a score within 1 ulp of a decimal midpoint must round
+    the same way on both sides of a value-hash gate or a pagination
+    cursor."""
+    p = 10.0 ** digits
+    return np.trunc(np.abs(x) * p + 0.5) * np.sign(x) / p
+
+
 def sort_topk(docids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic top-k: score desc, docid asc tie-break.
 

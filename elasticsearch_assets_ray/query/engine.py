@@ -499,6 +499,7 @@ class Searcher:
             exists_filters=list(q.exists_filters),
             not_exists_filters=list(q.not_exists_filters),
             minimum_should_match=q.minimum_should_match,
+            search_after=q.search_after,
         )
         expansions: list[tuple[list, object]] = [
             (q.prefixes, self.expand_prefix),
@@ -655,13 +656,27 @@ class Searcher:
         query: str | ParsedQuery,
         k: int = 10,
         minimum_should_match: int = 0,
+        search_after: tuple[float, int] | None = None,
     ) -> pa.Table:
         """Top-k → pa.Table(doc_id int64, score float64), score desc,
         docID-asc tie-break.  ``minimum_should_match`` is the ES request
         parameter: a matching doc must contain at least that many
-        distinct should terms (scoring unchanged)."""
+        distinct should terms (scoring unchanged).  ``search_after`` is
+        the ES cursor-pagination parameter: pass the last hit's
+        ``(score, doc_id)`` to fetch the next k hits strictly after that
+        sort position — position compares at round-9 score granularity
+        (the same granularity the value-hash / oracle ranking uses), so
+        pagination is stable under float noise."""
         q = parse_query(query) if isinstance(query, str) else query
         q = self._apply_msm(q, minimum_should_match)
+        if search_after is not None:
+            import dataclasses
+
+            s_raw, aid = search_after
+            q = dataclasses.replace(
+                q,
+                search_after=(float(bm25.round_half_up(s_raw, 9)), int(aid)),
+            )
         q = self._rewrite_prefixes(q)
         if q.has_phrases:
             ids, scores = self._search_phrases(q, k)
@@ -1271,6 +1286,7 @@ class Searcher:
             and not q.not_exists_filters
             and q.bool_tree is None
             and q.minimum_should_match == 0
+            and q.search_after is None
             and len(terms) > 1
         ):
             theta_seed = self._seed_theta(seg, seg_term, seg_df, idf_by_term, k)
@@ -1340,6 +1356,13 @@ class Searcher:
             if fctx is not None:
                 mask &= fctx(ids_b)
             ids_b, scores_b = ids_b[mask], scores_b[mask]
+            if q.search_after is not None and ids_b.size:
+                # cursor pagination: keep docs strictly AFTER the cursor
+                # in (round9 score desc, docid asc) order
+                a9, aid = q.search_after
+                r9 = bm25.round_half_up(scores_b, 9)
+                keep = (r9 < a9) | ((r9 == a9) & (ids_b > aid))
+                ids_b, scores_b = ids_b[keep], scores_b[keep]
             if k is None:
                 all_ids.append(ids_b)
                 all_scores.append(scores_b)

@@ -133,6 +133,11 @@ class ParsedQuery:
     # when > 0, a matching doc must contain at least this many DISTINCT
     # should terms.  Scoring unchanged (all matched terms score).
     minimum_should_match: int = 0
+    # ES search_after cursor (request parameter): ``(round9_score,
+    # doc_id)`` — only docs strictly AFTER that sort position in
+    # (score desc, doc_id asc) order match.  Set via
+    # ``Searcher.search(search_after=...)``, never by query syntax.
+    search_after: tuple[float, int] | None = None
     # boolean-expression mode (Lucene AND/OR/NOT + parentheses): when
     # set, the query is the TREE and every flat field above is empty.
     # Nodes are tuples: ("term", t), ("prefix", stem), ("wildcard", pat),

@@ -313,3 +313,63 @@ def test_boost_pruned_topk_matches_exhaustive(built_index):
         rp, re_ = sp.search(q, 10), se.search(q, 10)
         assert rp["doc_id"].to_pylist() == re_["doc_id"].to_pylist(), q
         assert rp["score"].to_pylist() == re_["score"].to_pylist(), q
+
+
+# ---------------------------------------------------------------------------
+# search_after cursor pagination (ES request parameter)
+# ---------------------------------------------------------------------------
+
+
+def _full_ranking(s, q):
+    from elasticsearch_assets_ray.query import bm25 as _bm
+
+    r = s.all_scores(q)
+    ids = r["doc_id"].to_numpy(zero_copy_only=False)
+    sc = r["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -_bm.round_half_up(sc, 9)))
+    return ids[order], sc[order]
+
+
+@pytest.mark.parametrize(
+    "q", ["def load index", "(def OR load) AND index", '"def load" index']
+)
+def test_search_after_walks_full_ranking(built_index, q):
+    idx, _ = built_index
+    s = Searcher(idx)
+    want_ids, _ = _full_ranking(s, q)
+    got = []
+    cursor = None
+    page = 5
+    while True:
+        r = (
+            s.search(q, k=page)
+            if cursor is None
+            else s.search(q, k=page, search_after=cursor)
+        )
+        ids = r["doc_id"].to_pylist()
+        if not ids:
+            break
+        got.extend(ids)
+        cursor = (r["score"][len(ids) - 1].as_py(), ids[-1])
+        if len(ids) < page:
+            break
+    # pages are disjoint and enumerate the whole ranking at round9
+    # granularity (within a tie group the page order is score-exact,
+    # so compare as sets per rank-9 group via the full walk)
+    assert len(got) == len(set(got)) == want_ids.size
+    assert set(got) == set(want_ids.tolist())
+
+
+def test_search_after_pruned_matches_exhaustive(built_index):
+    idx, _ = built_index
+    sp = Searcher(idx, prune=True)
+    se = Searcher(idx, prune=False)
+    for q in ["def load index", "(def OR load)^2 AND index"]:
+        first = se.search(q, 10)
+        cur = (first["score"][9].as_py(), first["doc_id"][9].as_py())
+        a = sp.search(q, 10, search_after=cur)
+        b = se.search(q, 10, search_after=cur)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+        # page 2 has no overlap with page 1 and strictly lower-or-tied scores
+        assert not set(a["doc_id"].to_pylist()) & set(first["doc_id"].to_pylist())
