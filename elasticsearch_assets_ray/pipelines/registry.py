@@ -829,6 +829,78 @@ def q_search_filtered(sf_dir: str):
     return _search_many(sf_dir, FILTERED_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
 
 
+MLT_SOURCES = [3, 57, 101]
+
+
+def q_collapse_source(sf_dir: str):
+    """ES field collapsing: top-10 hits for a bag-of-words query keeping
+    only the best hit per `source` value (winner + final rank both at
+    the round9 contract)."""
+    s = Searcher(documents_index(sf_dir))
+    r = s.search_collapse("spark table merge", k=SEARCH_K, collapse="source")
+    ids = r["doc_id"].to_numpy(zero_copy_only=False)
+    orig = s.hydrate(ids, columns=["doc_id", "orig_doc_id"])
+    m = dict(
+        zip(
+            orig["doc_id"].to_numpy(zero_copy_only=False),
+            orig["orig_doc_id"].to_numpy(zero_copy_only=False),
+        )
+    )
+    oid = np.array([m[i] for i in ids], dtype=np.int64)
+    raw = r["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((oid, -_round_half_up(raw, 9)))
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int64)),
+            "doc_id": pa.array(oid[order]),
+            "source": pc.take(r["source"].combine_chunks(), pa.array(order)),
+            "score_r": pa.array(_round_half_up(raw[order], 6)),
+        }
+    )
+
+
+def q_more_like_this(sf_dir: str):
+    """ES more_like_this analog: for each source doc, its top-25 tf×idf
+    terms run as a bag-of-words query, source excluded, top-10."""
+    s = Searcher(documents_index(sf_dir))
+    internal = s.lookup_docids(MLT_SOURCES)
+    parts = []
+    for src in MLT_SOURCES:
+        r = s.more_like_this(
+            internal[src], k=SEARCH_K + 90, fetch_k=SEARCH_K + 91
+        )
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        orig = s.hydrate(ids, columns=["doc_id", "orig_doc_id"])
+        m = dict(
+            zip(
+                orig["doc_id"].to_numpy(zero_copy_only=False),
+                orig["orig_doc_id"].to_numpy(zero_copy_only=False),
+            )
+        )
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, src, dtype=np.int64)),
+                    "vec_id": pa.array(
+                        np.array([m[i] for i in ids], dtype=np.int64)
+                    ),
+                    "sim": r["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
 def q_search_page2(sf_dir: str):
     """ES search_after cursor pagination: page 1's k-th hit (at round-9
     ranking granularity) seeds the cursor; the engine returns the hits
@@ -1857,6 +1929,51 @@ ORACLES: dict[str, str] = {
     ),
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "search_page2": _bm25_sql(DOC_QUERIES, SEARCH_K, page=2),
+    "collapse_source": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+        "q(term) AS (VALUES ('merge'), ('spark'), ('table')), "
+        "scored AS (SELECT tf.doc_id, sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+        " * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score "
+        " FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY tf.doc_id), "
+        "c AS (SELECT sc.doc_id, sc.score, d.source FROM scored sc "
+        " JOIN documents d ON d.doc_id = sc.doc_id), "
+        "w AS (SELECT *, row_number() OVER (PARTITION BY source "
+        " ORDER BY round(score, 9) DESC, doc_id) AS gr FROM c) "
+        "SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank, "
+        "doc_id, source, round(score, 6) AS score_r FROM w WHERE gr = 1 "
+        f"QUALIFY rank <= {SEARCH_K}"
+    ),
+    "more_like_this": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+        f"srcs(src) AS (VALUES {', '.join(f'({x})' for x in MLT_SOURCES)}), "
+        "ranked AS (SELECT tf.doc_id AS src, tf.term, row_number() OVER "
+        " (PARTITION BY tf.doc_id ORDER BY "
+        "  tf.tf * ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5)) DESC, tf.term) AS rn "
+        " FROM tf JOIN df ON df.term = tf.term CROSS JOIN stats st "
+        " WHERE tf.doc_id IN (SELECT src FROM srcs)), "
+        "sel AS (SELECT src, term FROM ranked WHERE rn <= 25), "
+        "scored AS (SELECT sel.src AS query_id, tf.doc_id, "
+        " sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+        " * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score "
+        " FROM sel JOIN tf ON tf.term = sel.term JOIN df ON df.term = sel.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+        " GROUP BY sel.src, tf.doc_id) "
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 9) DESC, doc_id) AS rank, round(score, 6) AS score_r "
+        "FROM scored WHERE doc_id <> query_id "
+        f"QUALIFY rank <= {SEARCH_K}"
+    ),
     "delete_search": _bm25_sql(DOC_QUERIES, SEARCH_K, delete_term=DELETE_TERM),
     "expunge_search": _bm25_sql(
         DOC_QUERIES, SEARCH_K, delete_term=DELETE_TERM, expunged=True
@@ -1992,6 +2109,8 @@ QUERIES = {
     "embedding_dedup": q_embedding_dedup,
     "search_topk": q_search_topk,
     "search_page2": q_search_page2,
+    "collapse_source": q_collapse_source,
+    "more_like_this": q_more_like_this,
     "delete_search": q_delete_search,
     "expunge_search": q_expunge_search,
     "search_boolean": q_search_boolean,

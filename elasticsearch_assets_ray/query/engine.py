@@ -685,6 +685,122 @@ class Searcher:
             ids, scores = bm25.sort_topk(ids, scores, k)
         return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
 
+    def lookup_docids(self, values, col: str = "orig_doc_id") -> dict:
+        """Reverse id lookup: docstore value → internal docID, via one
+        column-pruned read per part file (a gate/REPL convenience — at
+        serving scale keep the forward map from your own ingest)."""
+        vals = pa.array(values)
+        out: dict = {}
+        for _pid, f in sorted(self._pid_map().items()):
+            t = pq.read_table(f, columns=["doc_id", col])
+            m = pc.is_in(t[col], value_set=vals)
+            hit = t.filter(m)
+            for d, v in zip(hit["doc_id"].to_pylist(), hit[col].to_pylist()):
+                out[v] = int(d)
+        return out
+
+    def search_collapse(
+        self, query: str | ParsedQuery, k: int = 10, collapse: str = ""
+    ) -> pa.Table:
+        """ES field collapsing: top-k hits keeping only the BEST hit per
+        distinct value of docstore column ``collapse`` →
+        pa.Table(doc_id, score, <collapse>).  Winner-per-group and the
+        final ranking both compare at round-9 score granularity with
+        docid-asc tie-break (the oracle ranking contract).  Docs with a
+        null collapse value each form their own group (ES keeps them
+        as singletons)."""
+        if not collapse:
+            raise ValueError("collapse field is required")
+        r = self.all_scores(query)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        sc = r["score"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                    collapse: pa.array([], pa.string()),
+                }
+            )
+        order = np.argsort(ids)
+        ids, sc = ids[order], sc[order]
+        vals = self.hydrate(ids, columns=[collapse])[collapse]
+        vals = pc.cast(vals.combine_chunks(), pa.string())
+        # winner per group: sort by (value, r9 desc, id asc), first of run
+        r9 = bm25.round_half_up(sc, 9)
+        codes = pc.dictionary_encode(pc.fill_null(vals, "")).indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nullmask = pc.is_null(vals).to_numpy(zero_copy_only=False)
+        # null values stay singleton groups: give each its own code
+        codes = codes.copy()
+        codes[nullmask] = np.arange(nullmask.sum()) + codes.max() + 1
+        grp_order = np.lexsort((ids, -r9, codes))
+        g = codes[grp_order]
+        first = np.ones(g.size, dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        win = grp_order[first]
+        w_ids, w_sc = ids[win], sc[win]
+        top = np.lexsort((w_ids, -bm25.round_half_up(w_sc, 9)))[:k]
+        sel = win[top]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel]),
+                "score": pa.array(sc[sel]),
+                collapse: vals.take(pa.array(sel, type=pa.int64())),
+            }
+        )
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        k: int = 10,
+        max_query_terms: int = 25,
+        fetch_k: int | None = None,
+    ) -> pa.Table:
+        """ES more_like_this analog: select the source doc's
+        ``max_query_terms`` highest tf×idf terms (tie: term asc), run
+        them as a bag-of-words should query, and return the top-k hits
+        excluding the source doc itself."""
+        content_col = self.manifest.get("content_col")
+        if not self.manifest.get("store_content") or not content_col:
+            raise RuntimeError("more_like_this needs store_content=True")
+        src = self.hydrate(np.array([doc_id], dtype=np.int64), columns=[content_col])
+        if src.num_rows == 0:
+            raise ValueError(f"doc_id {doc_id} not found")
+        from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+        toks = tokenize_text(src[content_col][0].as_py())
+        if not toks:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        uniq, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        seg = self._segment_rows([str(t) for t in uniq])
+        df: dict[str, int] = {}
+        if seg is not None:
+            for t, d in zip(seg["term"].to_pylist(), seg["df"].to_pylist()):
+                df[t] = df.get(t, 0) + int(d)
+        w = np.array(
+            [
+                tf[i] * bm25.math_idf(df.get(str(t), 0), self.n_docs)
+                if str(t) in df
+                else -np.inf
+                for i, t in enumerate(uniq)
+            ]
+        )
+        order = np.lexsort((uniq.astype(str), -w))
+        sel = [str(uniq[i]) for i in order[:max_query_terms] if np.isfinite(w[i])]
+        if not sel:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        q = ParsedQuery(should=sorted(sel))
+        r = self.search(q, k=(fetch_k or k + 1))
+        keep = r["doc_id"].to_numpy(zero_copy_only=False) != doc_id
+        r = r.filter(pa.array(keep))
+        return r.slice(0, k)
+
     def facet(
         self, query: str | ParsedQuery, by: str, size: int | None = None
     ) -> pa.Table:

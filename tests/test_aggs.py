@@ -72,3 +72,81 @@ def test_facet_skips_nulls(null_index):
     # half the corpus has null lang — only 'python' buckets remain
     assert got["value"].to_pylist() == ["python"]
     assert got["count"].to_pylist() == [100]
+
+
+# ---------------------------------------------------------------------------
+# field collapsing + more_like_this
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_matches_brute_force(built_index):
+    from elasticsearch_assets_ray.query import bm25
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    q = "def load index"
+    r = s.search_collapse(q, k=8, collapse="lang")
+    # brute force: best (round9, -id) hit per lang, then top-8
+    allr = s.all_scores(q)
+    ids = allr["doc_id"].to_numpy(zero_copy_only=False)
+    sc = allr["score"].to_numpy(zero_copy_only=False)
+    h = s.hydrate(np.sort(ids), columns=["doc_id", "lang"])
+    lang = dict(zip(h["doc_id"].to_pylist(), h["lang"].to_pylist()))
+    best = {}
+    for d, v in sorted(zip(ids.tolist(), sc.tolist())):
+        key = lang[d]
+        r9 = float(bm25.round_half_up(v, 9))
+        if key not in best or (r9, -d) > (best[key][0], -best[key][1]):
+            best[key] = (r9, d, v)
+    want = sorted(
+        ((r9, d, v, k) for k, (r9, d, v) in best.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:8]
+    assert r["doc_id"].to_pylist() == [w[1] for w in want]
+    assert r["lang"].to_pylist() == [w[3] for w in want]
+    # one hit per group
+    assert len(set(r["lang"].to_pylist())) == r.num_rows
+    with pytest.raises(ValueError, match="collapse field"):
+        s.search_collapse(q, k=5)
+
+
+def test_collapse_null_values_are_singletons(null_index):
+    s = Searcher(null_index)
+    r = s.search_collapse("def load", k=10, collapse="lang")
+    vals = r["lang"].to_pylist()
+    # python docs collapse to ONE winner; null docs stay individual hits
+    assert vals.count("python") == 1
+    assert vals.count(None) == 9
+
+
+def test_more_like_this(built_index):
+    idx, _ = built_index
+    s = Searcher(idx)
+    src = int(s.all_scores("def load index")["doc_id"][0].as_py())
+    r = s.more_like_this(src, k=10)
+    ids = r["doc_id"].to_pylist()
+    assert src not in ids  # the like-doc is excluded
+    assert 0 < len(ids) <= 10
+    sc = r["score"].to_pylist()
+    assert sc == sorted(sc, reverse=True)
+    # the neighbors genuinely share vocabulary with the source
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    h = s.hydrate(np.array(sorted([src] + ids[:3])), columns=["doc_id", "content"])
+    toks = {
+        d: set(tokenize_text(c))
+        for d, c in zip(h["doc_id"].to_pylist(), h["content"].to_pylist())
+    }
+    for d in ids[:3]:
+        assert toks[d] & toks[src]
+    with pytest.raises(ValueError, match="not found"):
+        s.more_like_this(999_999_999)
+
+
+def test_lookup_docids(built_index):
+    idx, _ = built_index
+    s = Searcher(idx)
+    some = s.hydrate(np.array([5, 6], dtype=np.int64), columns=["doc_id", "path"])
+    paths = some["path"].to_pylist()
+    m = s.lookup_docids(paths, col="path")
+    assert sorted(m.values()) == [5, 6]
