@@ -223,3 +223,109 @@ def test_interval_ranges_properties(start, n, unit, spans):
     for (a, b), (c, _d) in zip(r, r[1:]):
         assert b == c and a < b
     assert r[-1][0] < limit
+
+
+# ---------------------------------------------------------------------------
+# boolean-expression trees: random tree ↔ string round-trip + semantics
+# ---------------------------------------------------------------------------
+
+_TERM_ST = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+
+
+def _trees(depth):
+    if depth == 0:
+        return st.builds(lambda t: ("term", t), _TERM_ST)
+    sub = _trees(depth - 1)
+    return st.one_of(
+        st.builds(lambda t: ("term", t), _TERM_ST),
+        st.builds(lambda c: ("not", c), sub),
+        st.builds(lambda a, b: ("and", [a, b]), sub, sub),
+        st.builds(lambda a, b: ("or", [a, b]), sub, sub),
+        st.builds(
+            lambda c, f: ("boost", c, float(f)),
+            sub,
+            st.integers(min_value=1, max_value=4),
+        ),
+    )
+
+
+def _eval_tree(node, present):
+    kind = node[0]
+    if kind == "term":
+        return node[1] in present
+    if kind == "not":
+        return not _eval_tree(node[1], present)
+    if kind == "boost":
+        return _eval_tree(node[1], present)
+    vals = [_eval_tree(c, present) for c in node[1]]
+    return all(vals) if kind == "and" else any(vals)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_trees(3))
+def test_tree_string_round_trip_preserves_semantics(tree):
+    from itertools import product
+
+    from elasticsearch_assets_ray.query.parser import (
+        _parse_bool_tree,
+        tree_to_string,
+    )
+
+    s = tree_to_string(tree)
+    back = _parse_bool_tree(s)
+    # the reparse may differ structurally (nested or-of-or flattens);
+    # semantics over every assignment of the 5 terms must be identical
+    terms = ["aa", "bb", "cc", "dd", "ee"]
+    for bits in product([False, True], repeat=5):
+        present = {t for t, b in zip(terms, bits) if b}
+        assert _eval_tree(tree, present) == _eval_tree(back, present), s
+
+
+@settings(max_examples=120, deadline=None)
+@given(_trees(3))
+def test_groundedness_check_is_exact(tree):
+    """`_tree_possible` says True is reachable with all terms absent IFF
+    the brute-force all-absent evaluation is True (no filter leaves →
+    the possible-set must be exact, not conservative)."""
+    from elasticsearch_assets_ray.query.parser import _tree_possible
+
+    assert (True in _tree_possible(tree)) == _eval_tree(tree, set())
+
+
+@settings(max_examples=60, deadline=None)
+@given(_trees(3))
+def test_boost_mults_bound_scores(tree):
+    """tree_boost_mults is an upper bound: for every doc assignment, the
+    clause-aware score ≤ Σ mult[t]·s(t) over present positive terms —
+    the invariant block-max pruning relies on."""
+    from itertools import product
+
+    from elasticsearch_assets_ray.query.parser import tree_boost_mults
+
+    W = {"aa": 1.0, "bb": 2.0, "cc": 0.5, "dd": 3.0, "ee": 1.5}
+
+    def score(node, present):
+        kind = node[0]
+        if kind == "term":
+            ok = node[1] in present
+            return ok, (W[node[1]] if ok else 0.0)
+        if kind == "not":
+            m, _ = score(node[1], present)
+            return not m, 0.0
+        if kind == "boost":
+            m, sc = score(node[1], present)
+            return m, sc * node[2]
+        res = [score(c, present) for c in node[1]]
+        sc = sum(x[1] for x in res)
+        if kind == "and":
+            m = all(x[0] for x in res)
+            return m, sc if m else 0.0
+        return any(x[0] for x in res), sc
+
+    mult = tree_boost_mults(tree)
+    terms = ["aa", "bb", "cc", "dd", "ee"]
+    for bits in product([False, True], repeat=5):
+        present = {t for t, b in zip(terms, bits) if b}
+        _, sc = score(tree, present)
+        ub = sum(mult.get(t, 0.0) * W[t] for t in present)
+        assert sc <= ub + 1e-9, (tree, present)
