@@ -297,6 +297,46 @@ def bench_query_serving(index_dir: str) -> dict:
     }
 
 
+def bench_query_surface(index_dir: str) -> dict:
+    """Mean latency (ms, 10 reps) of each round-3 query-surface feature
+    over the main bench index — evidence the extended surface performs,
+    without inflating the shared e2e query list."""
+    import numpy as np
+
+    from elasticsearch_assets_ray.query.engine import Searcher
+
+    s = Searcher(index_dir)
+    s._pid_map()
+    first = s.search("def load index", k=10)
+    cursor = (
+        (first["score"][-1].as_py(), first["doc_id"][-1].as_py())
+        if first.num_rows
+        else (0.0, 0)
+    )
+    src = int(first["doc_id"][0].as_py()) if first.num_rows else 0
+    cases = [
+        ("boolops", lambda: s.search("(def OR load) AND index AND NOT (value AND return)", k=10)),
+        ("bool_filter", lambda: s.search("index AND (lang:python OR lang:go)", k=10)),
+        ("boost", lambda: s.search("(def OR load)^2 AND index", k=10)),
+        ("range_filter", lambda: s.search("def load doc_len:[100 TO 500}", k=10)),
+        ("msm", lambda: s.search("def load index value", k=10, minimum_should_match=3)),
+        ("search_after", lambda: s.search("def load index", k=10, search_after=cursor)),
+        ("facet", lambda: s.facet("def load index", by="lang")),
+        ("histogram", lambda: s.histogram("def load", "doc_len", 100.0)),
+        ("collapse", lambda: s.search_collapse("def load index", k=10, collapse="lang")),
+        ("mlt", lambda: s.more_like_this(src, k=10)),
+    ]
+    out = {}
+    for name, fn in cases:
+        times = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        out[name] = round(float(np.mean(times)) * 1e3, 3)
+    return out
+
+
 SF_BENCH_QUERIES = [
     "search_topk",
     "search_boolean",
@@ -435,6 +475,7 @@ def main() -> None:
     idx_dir = "/tmp/bench_idx_main"
     build = bench_index_build(num_cpus, idx_dir)
     serving = bench_query_serving(idx_dir)
+    surface = bench_query_surface(idx_dir)
     pruned = bench_pruned_serving()
     queries = bench_sf_queries(sf_dir)
     total = time.perf_counter() - t_all
@@ -450,6 +491,7 @@ def main() -> None:
                 "num_cpus": num_cpus,
                 "index_build": build,
                 "query_serving": serving,
+                "query_surface_ms": surface,
                 "pruned_serving": pruned,
                 "machine_probe": {
                     "start": probe_start,
