@@ -279,20 +279,6 @@ def _mul64(x: str, c: int) -> str:
     )
 
 
-def sm64_sql(z: str) -> str:
-    """splitmix64 finalizer in HUGEINT-[0,2^64) arithmetic, bit-matching
-    stages.sampling.splitmix64 (verified value-for-value)."""
-    z1 = _mul64(_xor64(z, f"(({z}) // {1 << 30})"), 0xBF58476D1CE4E5B9)
-    z2 = _mul64(_xor64(z1, f"(({z1}) // {1 << 27})"), 0x94D049BB133111EB)
-    return _xor64(z2, f"(({z2}) // {1 << 31})")
-
-
-def _id_hash_sql(salt: str, id_expr: str = "doc_id") -> str:
-    """HUGEINT replica of stages.sampling.id_hash: Horner over
-    ``f"{id}:{salt}"``, splitmix64-finalized."""
-    return sm64_sql(_horner(f"CAST({id_expr} AS VARCHAR) || ':{salt}'"))
-
-
 def _id_hash_ctes(salt: str, extra_cols: str = "") -> str:
     """CTE chain computing the splitmix64-finalized id hash as ``h``
     (staged so each splitmix64 step references its input once, keeping

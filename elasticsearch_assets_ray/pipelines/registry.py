@@ -743,6 +743,19 @@ def q_embedding_dedup(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def _orig_ids(s: Searcher, ids: np.ndarray) -> np.ndarray:
+    """Internal docIDs → the documents table's orig_doc_id (pid-pruned
+    hydrate of just the id pair)."""
+    orig = s.hydrate(ids, columns=["doc_id", "orig_doc_id"])
+    m = dict(
+        zip(
+            orig["doc_id"].to_numpy(zero_copy_only=False),
+            orig["orig_doc_id"].to_numpy(zero_copy_only=False),
+        )
+    )
+    return np.array([m[i] for i in ids], dtype=np.int64)
+
+
 def _search_many(
     sf_dir: str,
     queries: list[str],
@@ -761,18 +774,11 @@ def _search_many(
         ids = res["doc_id"].to_numpy(zero_copy_only=False)
         if ids.size == 0:
             continue
-        orig = s.hydrate(ids, columns=["doc_id", "orig_doc_id"])
-        m = dict(
-            zip(
-                orig["doc_id"].to_numpy(zero_copy_only=False),
-                orig["orig_doc_id"].to_numpy(zero_copy_only=False),
-            )
-        )
         parts.append(
             pa.table(
                 {
                     "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
-                    "vec_id": pa.array(np.array([m[i] for i in ids], dtype=np.int64)),
+                    "vec_id": pa.array(_orig_ids(s, ids)),
                     "sim": res["score"],
                 }
             )
@@ -839,14 +845,7 @@ def q_collapse_source(sf_dir: str):
     s = Searcher(documents_index(sf_dir))
     r = s.search_collapse("spark table merge", k=SEARCH_K, collapse="source")
     ids = r["doc_id"].to_numpy(zero_copy_only=False)
-    orig = s.hydrate(ids, columns=["doc_id", "orig_doc_id"])
-    m = dict(
-        zip(
-            orig["doc_id"].to_numpy(zero_copy_only=False),
-            orig["orig_doc_id"].to_numpy(zero_copy_only=False),
-        )
-    )
-    oid = np.array([m[i] for i in ids], dtype=np.int64)
+    oid = _orig_ids(s, ids)
     raw = r["score"].to_numpy(zero_copy_only=False)
     order = np.lexsort((oid, -_round_half_up(raw, 9)))
     return pa.table(
@@ -872,20 +871,11 @@ def q_more_like_this(sf_dir: str):
         ids = r["doc_id"].to_numpy(zero_copy_only=False)
         if ids.size == 0:
             continue
-        orig = s.hydrate(ids, columns=["doc_id", "orig_doc_id"])
-        m = dict(
-            zip(
-                orig["doc_id"].to_numpy(zero_copy_only=False),
-                orig["orig_doc_id"].to_numpy(zero_copy_only=False),
-            )
-        )
         parts.append(
             pa.table(
                 {
                     "query_id": pa.array(np.full(ids.size, src, dtype=np.int64)),
-                    "vec_id": pa.array(
-                        np.array([m[i] for i in ids], dtype=np.int64)
-                    ),
+                    "vec_id": pa.array(_orig_ids(s, ids)),
                     "sim": r["score"],
                 }
             )
@@ -929,20 +919,11 @@ def q_search_page2(sf_dir: str):
         ids2 = r2["doc_id"].to_numpy(zero_copy_only=False)
         if ids2.size == 0:
             continue
-        orig = s.hydrate(ids2, columns=["doc_id", "orig_doc_id"])
-        m = dict(
-            zip(
-                orig["doc_id"].to_numpy(zero_copy_only=False),
-                orig["orig_doc_id"].to_numpy(zero_copy_only=False),
-            )
-        )
         parts.append(
             pa.table(
                 {
                     "query_id": pa.array(np.full(ids2.size, qid, dtype=np.int64)),
-                    "vec_id": pa.array(
-                        np.array([m[i] for i in ids2], dtype=np.int64)
-                    ),
+                    "vec_id": pa.array(_orig_ids(s, ids2)),
                     "sim": r2["score"],
                 }
             )
@@ -1943,7 +1924,10 @@ ORACLES: dict[str, str] = {
         " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY tf.doc_id), "
         "c AS (SELECT sc.doc_id, sc.score, d.source FROM scored sc "
         " JOIN documents d ON d.doc_id = sc.doc_id), "
-        "w AS (SELECT *, row_number() OVER (PARTITION BY source "
+        # null collapse values stay singleton groups (ES semantics,
+        # matching Searcher.search_collapse)
+        "w AS (SELECT *, row_number() OVER (PARTITION BY "
+        " CASE WHEN source IS NULL THEN 'n:' || doc_id ELSE 'v:' || source END "
         " ORDER BY round(score, 9) DESC, doc_id) AS gr FROM c) "
         "SELECT row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank, "
         "doc_id, source, round(score, 6) AS score_r FROM w WHERE gr = 1 "
@@ -2022,13 +2006,14 @@ ORACLES: dict[str, str] = {
         "OR EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = documents.doc_id AND tok.term = 'merge')) "
         "AND EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = documents.doc_id AND tok.term = 'table')) "
         "SELECT d.lang AS value, count(*) AS count FROM m JOIN documents d "
-        "ON d.doc_id = m.doc_id GROUP BY d.lang"
+        "ON d.doc_id = m.doc_id WHERE d.lang IS NOT NULL GROUP BY d.lang"
     ),
     "histogram_nchars": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
         "m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'table')) "
         "SELECT floor(d.n_chars / 100.0) * 100.0 AS bucket, count(*) AS count "
-        "FROM m JOIN documents d ON d.doc_id = m.doc_id GROUP BY bucket"
+        "FROM m JOIN documents d ON d.doc_id = m.doc_id "
+        "WHERE d.n_chars IS NOT NULL GROUP BY bucket"
     ),
     # incremental_delta: per-window doc counts are plain range counts, and
     # 'total_matched' is the windowed docs whose props tokenize to contain

@@ -479,9 +479,15 @@ class Searcher:
             # boolean-expression mode: expand prefix/wildcard/fuzzy
             # LEAVES in place (each becomes an OR group of its expansion
             # terms — positive-polarity expansions score, Lucene's
-            # scoring rewrite; an empty expansion is a False leaf)
+            # scoring rewrite; an empty expansion is a False leaf).
+            # Request parameters (the search_after cursor) must survive
+            # the rewrite — dropping them here silently re-served page 1
+            # to paginated multi-term tree queries.
             if parser_mod.tree_multiterm_leaves(q.bool_tree):
-                return ParsedQuery(bool_tree=self._rewrite_tree(q.bool_tree))
+                return ParsedQuery(
+                    bool_tree=self._rewrite_tree(q.bool_tree),
+                    search_after=q.search_after,
+                )
             return q
         if not q.has_multiterm:
             return q
@@ -548,6 +554,22 @@ class Searcher:
         else:
             return node
         return ("or", [("term", t) for t in terms])
+
+    def _require_docstore_fields(self, preds) -> None:
+        """Validate that every metadata predicate names an existing
+        docstore column (shared by the flat filter context and the
+        boolean-tree path)."""
+        if not preds:
+            return
+        if self._docstore_fields is None:
+            some = next(iter(self._pid_map().values()))
+            self._docstore_fields = frozenset(pq.read_schema(some).names)
+        for pred in preds:
+            if pred[1] not in self._docstore_fields:
+                raise ValueError(
+                    f"unknown filter field {pred[1]!r}; docstore has "
+                    f"{sorted(self._docstore_fields)}"
+                )
 
     def _pred_mask(self, pred: tuple, ids: np.ndarray) -> np.ndarray:
         """Per-doc bool mask for ONE metadata predicate over docID array
@@ -1265,9 +1287,11 @@ class Searcher:
             or q.not_exists_filters
         ):
             return None
-        if self._docstore_fields is None:
-            some = next(iter(self._pid_map().values()))
-            self._docstore_fields = frozenset(pq.read_schema(some).names)
+        self._require_docstore_fields(
+            [("eq", f, v) for f, v in q.filters + q.not_filters]
+            + [("range", *r) for r in q.range_filters + q.not_range_filters]
+            + [("exists", f) for f in q.exists_filters + q.not_exists_filters]
+        )
         specs = (
             [(("eq", f, v), False) for f, v in q.filters]
             + [(("eq", f, v), True) for f, v in q.not_filters]
@@ -1276,13 +1300,6 @@ class Searcher:
             + [(("exists", f), False) for f in q.exists_filters]
             + [(("exists", f), True) for f in q.not_exists_filters]
         )
-        for pred, _n in specs:
-            if pred[1] not in self._docstore_fields:
-                raise ValueError(
-                    f"unknown filter field {pred[1]!r}; docstore has "
-                    f"{sorted(self._docstore_fields)}"
-                )
-
         def mask(ids: np.ndarray) -> np.ndarray:
             m = np.ones(ids.size, dtype=bool)
             if ids.size == 0:
@@ -1309,15 +1326,7 @@ class Searcher:
         terms = q.scoring_terms
         if q.bool_tree is not None:
             parser_mod.check_tree_grounded(q.bool_tree)
-            if self._docstore_fields is None:
-                some = next(iter(self._pid_map().values()))
-                self._docstore_fields = frozenset(pq.read_schema(some).names)
-            for pred in self._tree_filter_preds(q.bool_tree):
-                if pred[1] not in self._docstore_fields:
-                    raise ValueError(
-                        f"unknown filter field {pred[1]!r}; docstore has "
-                        f"{sorted(self._docstore_fields)}"
-                    )
+            self._require_docstore_fields(self._tree_filter_preds(q.bool_tree))
             # NEGATIVE-polarity leaves need postings too (NOT evaluation)
             need = sorted(set(terms) | parser_mod.tree_terms(q.bool_tree))
             # score upper bounds must scale with boosts / duplicate

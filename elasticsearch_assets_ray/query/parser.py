@@ -58,7 +58,7 @@ _RANGE_RE = re.compile(
 )
 # fielded comparator `field:>=v` / `:>v` / `:<=v` / `:<v` — sugar for a
 # half-open range
-_CMP_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_.]*):(>=|<=|>|<)([^\s\"]+)$")
+_CMP_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_.]*):(>=|<=|>|<)([^\s\"^]+)$")
 
 # boolean-expression mode triggers: a standalone uppercase AND/OR/NOT
 # token or a parenthesis OUTSIDE quoted regions (Lucene query_string
@@ -69,7 +69,10 @@ _BOOL_TRIGGER_RE = re.compile(r"(?:^|[\s(])(?:AND|OR|NOT)(?:[\s)]|$)|[()]")
 _BOOL_TOKEN_RE = re.compile(
     r'"[^"]*"'
     r'|[A-Za-z_][A-Za-z0-9_.]*:"[^"]*"'
-    r"|[A-Za-z_][A-Za-z0-9_.]*:[\[{][^\]}]*[\]}]"
+    # range clause, keeping an attached boost (`n:[1 TO 2]^2`) in the
+    # SAME token — otherwise the `^2` would lex as a separate juxtaposed
+    # term "2" and silently OR into the query
+    r"|[A-Za-z_][A-Za-z0-9_.]*:[\[{][^\]}]*[\]}](?:\^\d+(?:\.\d+)?)?"
     r"|[()]"
     r"|[^\s()]+"
 )
@@ -346,6 +349,20 @@ def _bool_leaf(tok: str):
 
 def _parse_bool_tree(q: str):
     toks = _BOOL_TOKEN_RE.findall(q)
+    # binary-NOT sugar (Lucene query_string): `foo NOT bar` means
+    # `foo AND NOT bar`.  A NOT that FOLLOWS a clause or ')' (i.e. is
+    # not at expression start nor right after AND/OR/NOT/'(') desugars
+    # to AND NOT in the token stream; prefix NOT is untouched.
+    desugared: list[str] = []
+    for i, t in enumerate(toks):
+        if (
+            t == "NOT"
+            and i > 0
+            and toks[i - 1] not in ("AND", "OR", "NOT", "(")
+        ):
+            desugared.append("AND")
+        desugared.append(t)
+    toks = desugared
     pos = 0
 
     def peek():

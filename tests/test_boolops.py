@@ -373,3 +373,54 @@ def test_search_after_pruned_matches_exhaustive(built_index):
         assert a["score"].to_pylist() == b["score"].to_pylist(), q
         # page 2 has no overlap with page 1 and strictly lower-or-tied scores
         assert not set(a["doc_id"].to_pylist()) & set(first["doc_id"].to_pylist())
+
+
+# ---------------------------------------------------------------------------
+# code-review regression fixes
+# ---------------------------------------------------------------------------
+
+
+def test_binary_not_desugars_to_and_not():
+    # Lucene query_string: `foo NOT bar` ≡ foo AND NOT bar
+    q = parse_query("foo NOT bar")
+    assert q.bool_tree == ("and", [("term", "foo"), ("not", ("term", "bar"))])
+    # chains stay one AND group
+    q = parse_query("foo NOT bar AND baz")
+    assert q.bool_tree == (
+        "and",
+        [("term", "foo"), ("not", ("term", "bar")), ("term", "baz")],
+    )
+    # prefix NOT (after an operator / at start) is untouched
+    q = parse_query("foo AND NOT bar")
+    assert q.bool_tree == ("and", [("term", "foo"), ("not", ("term", "bar"))])
+    with pytest.raises(QueryParseError, match="not grounded"):
+        parse_query("NOT bar")  # still a pure-negative query
+
+
+def test_range_boost_parses_as_boost_not_stray_term():
+    q = parse_query("merge AND n_chars:[1 TO 2]^2")
+    assert q.bool_tree == (
+        "and",
+        [
+            ("term", "merge"),
+            ("boost", ("filter", ("range", "n_chars", "1", True, "2", True)), 2.0),
+        ],
+    )
+    # comparator boost too
+    q = parse_query("merge AND n_chars:>=5^2")
+    assert q.bool_tree[1][1] == (
+        "boost",
+        ("filter", ("range", "n_chars", "5", True, None, True)),
+        2.0,
+    )
+
+
+def test_search_after_survives_multiterm_tree_rewrite(built_index):
+    idx, _ = built_index
+    s = Searcher(idx)
+    q = "(de* OR load) AND index"
+    p1 = s.search(q, k=5)
+    cur = (p1["score"][4].as_py(), p1["doc_id"][4].as_py())
+    p2 = s.search(q, k=5, search_after=cur)
+    assert p2.num_rows > 0
+    assert not set(p2["doc_id"].to_pylist()) & set(p1["doc_id"].to_pylist())
