@@ -836,6 +836,14 @@ def q_search_filtered(sf_dir: str):
 
 
 MLT_SOURCES = [3, 57, 101]
+SUGGEST_TEXT = "spork tabel merg windoq"  # misspellings of corpus vocabulary
+
+
+def q_suggest_terms(sf_dir: str):
+    """ES term-suggester analog: per misspelled token, index terms
+    within 2 edits ranked (distance asc, df desc, term asc), top-5."""
+    s = Searcher(documents_index(sf_dir))
+    return s.suggest_terms(SUGGEST_TEXT, size=5, max_edits=2)
 
 
 def q_collapse_source(sf_dir: str):
@@ -1933,6 +1941,19 @@ ORACLES: dict[str, str] = {
         "doc_id, source, round(score, 6) AS score_r FROM w WHERE gr = 1 "
         f"QUALIFY rank <= {SEARCH_K}"
     ),
+    "suggest_terms": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term), "
+        "qt(token) AS (VALUES "
+        + ", ".join(f"('{t}')" for t in SUGGEST_TEXT.split())
+        + "), "
+        "cand AS (SELECT qt.token, df.term AS suggestion, "
+        " levenshtein(df.term, qt.token)::BIGINT AS distance, df.df, "
+        " row_number() OVER (PARTITION BY qt.token ORDER BY "
+        "  levenshtein(df.term, qt.token), df.df DESC, df.term) AS rn "
+        " FROM qt JOIN df ON levenshtein(df.term, qt.token) <= 2) "
+        "SELECT token, suggestion, distance, df FROM cand WHERE rn <= 5"
+    ),
     "more_like_this": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
         "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
@@ -2096,6 +2117,7 @@ QUERIES = {
     "search_page2": q_search_page2,
     "collapse_source": q_collapse_source,
     "more_like_this": q_more_like_this,
+    "suggest_terms": q_suggest_terms,
     "delete_search": q_delete_search,
     "expunge_search": q_expunge_search,
     "search_boolean": q_search_boolean,

