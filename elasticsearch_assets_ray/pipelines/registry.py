@@ -175,6 +175,15 @@ BOOLOP_QUERIES: list[str] = [
     "table AND (merge OR scan)^1.5 AND _exists_:lang",  # boost + exists
 ]
 
+REGEXP_QUERIES: list[str] = [
+    "/s[pt]ark?/ table",          # character classes + optional char
+    "-/m.rge/ scan value",        # negated regexp
+    "+/k.y/ value row",           # conjunctive regexp
+    "/colum(n|ns)/ filter",       # alternation
+    "/zz+q/ window",              # matches nothing → contributes nothing
+    "window AND (/t.ble/ OR scan)",  # regexp leaf inside a boolean tree
+]
+
 # (query, minimum_should_match) pairs — the ES request parameter
 MSM_QUERIES: list[str] = [
     "spark table merge join",
@@ -966,6 +975,13 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+def q_search_regexp(sf_dir: str):
+    """Lucene `/regexp/` term queries: anchored-RE2 expansion over the
+    sorted term dictionary (leading-literal range pruning), expansion
+    terms scoring individually; works flat and as boolean-tree leaves."""
+    return _search_many(sf_dir, REGEXP_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
 def q_search_msm(sf_dir: str):
     """ES minimum_should_match request parameter: each query requires at
     least N distinct should terms present; scoring unchanged."""
@@ -1421,6 +1437,8 @@ def _tree_sql(node) -> tuple[str, str]:
         cond = f"tf.term LIKE '{node[1]}%'"
     elif kind == "wildcard":
         cond = f"regexp_matches(tf.term, '{wildcard_regex(node[1])}')"
+    elif kind == "regexp":
+        cond = f"regexp_matches(tf.term, '^(?:{node[1]})$')"
     elif kind == "fuzzy":
         cond = f"levenshtein(tf.term, '{node[1]}') <= {node[2]}"
     if cond is not None:
@@ -1459,7 +1477,7 @@ def _tree_multiterm_nodes(node, neg: bool = False) -> list:
     """Positive-polarity prefix/wildcard/fuzzy leaves (their expansion
     terms are scoring candidates, like the flat pre_arms)."""
     kind = node[0]
-    if kind in ("prefix", "wildcard", "fuzzy"):
+    if kind in ("prefix", "wildcard", "fuzzy", "regexp"):
         return [] if neg else [node]
     if kind == "not":
         return _tree_multiterm_nodes(node[1], not neg)
@@ -1512,6 +1530,11 @@ def _bm25_bool_sql(queries: list[str], k: int, msm: list[int] | None = None) -> 
                     pre_arms.append(
                         f"SELECT {qid} AS query_id, term FROM df "
                         f"WHERE regexp_matches(term, '{_wrx(leaf[1])}')"
+                    )
+                elif leaf[0] == "regexp":
+                    pre_arms.append(
+                        f"SELECT {qid} AS query_id, term FROM df "
+                        f"WHERE regexp_matches(term, '^(?:{leaf[1]})$')"
                     )
                 else:
                     pre_arms.append(
@@ -1599,6 +1622,17 @@ def _bm25_bool_sql(queries: list[str], k: int, msm: list[int] | None = None) -> 
             mfz_vals.append(f"({qid}, '{t}', {n})")
         for t, n in sorted(set(p.not_fuzzies)):
             nfz_vals.append(f"({qid}, '{t}', {n})")
+        # regexp clauses `/pat/` use the anchored form on both sides
+        # (pyarrow and DuckDB are both RE2) and ride the wildcard lists
+        for r in sorted(set(p.regexps) | set(p.must_regexps)):
+            pre_arms.append(
+                f"SELECT {qid} AS query_id, term FROM df "
+                f"WHERE regexp_matches(term, '^(?:{r})$')"
+            )
+        for r in sorted(set(p.must_regexps)):
+            mwild_vals.append(f"({qid}, '^(?:{r})$')")
+        for r in sorted(set(p.not_regexps)):
+            nwild_vals.append(f"({qid}, '^(?:{r})$')")
 
     ctes = [
         f"tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents)",
@@ -1991,6 +2025,7 @@ ORACLES: dict[str, str] = {
     "search_range": _bm25_bool_sql(RANGE_QUERIES, SEARCH_K),
     "search_boolops": _bm25_bool_sql(BOOLOP_QUERIES, SEARCH_K),
     "search_msm": _bm25_bool_sql(MSM_QUERIES, SEARCH_K, msm=MSM_NS),
+    "search_regexp": _bm25_bool_sql(REGEXP_QUERIES, SEARCH_K),
     # Gopher repetition signals — same float arithmetic order both sides
     "repetition_stats": (
         f"WITH tk AS (SELECT doc_id, {_TOK} AS T FROM documents), "
@@ -2128,6 +2163,7 @@ QUERIES = {
     "search_range": q_search_range,
     "search_boolops": q_search_boolops,
     "search_msm": q_search_msm,
+    "search_regexp": q_search_regexp,
     "facet_lang": q_facet_lang,
     "histogram_nchars": q_histogram_nchars,
     "state_enrich": q_state_enrich,

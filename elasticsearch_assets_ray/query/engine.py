@@ -443,6 +443,32 @@ class Searcher:
                 )
         return sorted(found)
 
+    def expand_regexp(self, pattern: str, max_expansions: int = 1024) -> list[str]:
+        """All index terms fully matching a Lucene `/regexp/` pattern
+        (anchored), sorted — the regexp analog of :meth:`expand_wildcard`:
+        the pattern's leading literal run narrows the scan to a sorted
+        range, then ONE vectorized RE2 pass per dictionary slice."""
+        import re as _re
+
+        rx = f"^(?:{pattern})$"
+        try:
+            _re.compile(rx)
+        except _re.error as e:
+            raise ValueError(f"invalid regexp {pattern!r}: {e}") from e
+        lit = expand_mod.regex_literal_prefix(pattern)
+        lo = lit if lit else None
+        hi = lit + "\U0010ffff" if lit else None
+        found: set[str] = set()
+        for arr in self._term_dict_slices(lo, hi):
+            m = pc.match_substring_regex(arr, rx)
+            found.update(arr.filter(m).to_pylist())
+            if len(found) > max_expansions:
+                raise ValueError(
+                    f"regexp /{pattern}/ expands to more than "
+                    f"{max_expansions} terms — narrow the pattern"
+                )
+        return sorted(found)
+
     def expand_fuzzy(
         self, term: str, max_edits: int, max_expansions: int = 1024
     ) -> list[str]:
@@ -517,9 +543,12 @@ class Searcher:
             (q.fuzzies, lambda tn: self.expand_fuzzy(*tn)),
             (q.must_fuzzies, lambda tn: self.expand_fuzzy(*tn)),
             (q.not_fuzzies, lambda tn: self.expand_fuzzy(*tn)),
+            (q.regexps, self.expand_regexp),
+            (q.must_regexps, self.expand_regexp),
+            (q.not_regexps, self.expand_regexp),
         ]
         for (clauses, fn), kind in zip(
-            expansions, ["should", "must", "not"] * 3
+            expansions, ["should", "must", "not"] * 4
         ):
             for c in clauses:
                 terms = fn(c)
@@ -543,6 +572,8 @@ class Searcher:
             terms = self.expand_prefix(node[1])
         elif kind == "wildcard":
             terms = self.expand_wildcard(node[1])
+        elif kind == "regexp":
+            terms = self.expand_regexp(node[1])
         elif kind == "fuzzy":
             terms = self.expand_fuzzy(node[1], node[2])
         elif kind == "not":

@@ -127,3 +127,22 @@ def fuzzy_mask(query: str, terms: pa.Array, max_edits: int) -> np.ndarray:
     cand = terms.take(pa.array(idx, type=pa.int64()))
     out[idx] = levenshtein_batch(query, cand) <= max_edits
     return out
+
+
+_REGEX_META = set(".?*+()[]{}|\\^$")
+
+
+def regex_literal_prefix(pattern: str) -> str:
+    """Leading literal run of a regex (chars before the first
+    metacharacter) — narrows the term-dictionary scan to a sorted range,
+    the same cost model as the wildcard literal prefix.  Conservative: a
+    literal followed by `?`/`*`/`{` drops its last char too (that char
+    is optional/repeated, so it may not appear)."""
+    lit = []
+    for i, c in enumerate(pattern):
+        if c in _REGEX_META:
+            if c in "?*{" and lit:
+                lit.pop()
+            break
+        lit.append(c)
+    return "".join(lit)

@@ -93,6 +93,11 @@ class ParsedQuery:
     prefixes: list[str] = field(default_factory=list)
     must_prefixes: list[str] = field(default_factory=list)
     not_prefixes: list[str] = field(default_factory=list)
+    # regexp clauses (Lucene `/pat/` syntax): anchored-RE2 expansion
+    # against the term dictionary; expansion terms score individually
+    regexps: list[str] = field(default_factory=list)
+    must_regexps: list[str] = field(default_factory=list)
+    not_regexps: list[str] = field(default_factory=list)
     # general wildcard clauses (`t?ble`, `*ark`, `s*t`): lowercased
     # patterns over the term alphabet + `*`/`?`, expanded against the
     # term dictionary (regex over a prefix-narrowed sorted range);
@@ -179,6 +184,9 @@ class ParsedQuery:
             or self.fuzzies
             or self.must_fuzzies
             or self.not_fuzzies
+            or self.regexps
+            or self.must_regexps
+            or self.not_regexps
         )
 
     def to_string(self) -> str:
@@ -197,6 +205,9 @@ class ParsedQuery:
             + sorted(set(self.wildcards))
             + [f"+{w}" for w in sorted(set(self.must_wildcards))]
             + [f"-{w}" for w in sorted(set(self.not_wildcards))]
+            + [f"/{r}/" for r in sorted(set(self.regexps))]
+            + [f"+/{r}/" for r in sorted(set(self.must_regexps))]
+            + [f"-/{r}/" for r in sorted(set(self.not_regexps))]
             + [f"{t}~{n}" for t, n in sorted(set(self.fuzzies))]
             + [f"+{t}~{n}" for t, n in sorted(set(self.must_fuzzies))]
             + [f"-{t}~{n}" for t, n in sorted(set(self.not_fuzzies))]
@@ -326,6 +337,10 @@ def _bool_leaf(tok: str):
             val = val[1:-1]
         if val:
             return ("filter", ("eq", km.group(1), val))
+    if len(tok) > 2 and tok.startswith("/") and tok.endswith("/"):
+        # Lucene regexp leaf `/pat/` (patterns containing parentheses
+        # need the flat syntax — parens lex as grouping here)
+        return ("regexp", tok[1:-1].lower())
     fm = _FUZZY_RE.match(tok)
     if fm is not None:
         stem = tokenize_text(fm.group(1))
@@ -480,7 +495,7 @@ def tree_multiterm_leaves(node) -> bool:
     if node is None:
         return False
     kind = node[0]
-    if kind in ("prefix", "wildcard", "fuzzy"):
+    if kind in ("prefix", "wildcard", "fuzzy", "regexp"):
         return True
     if kind in ("and", "or"):
         return any(tree_multiterm_leaves(c) for c in node[1])
@@ -493,7 +508,7 @@ def _tree_possible(node) -> set[bool]:
     """Possible truth values when every term-ish leaf is False (the doc
     contains none of the query's terms) and filter leaves range free."""
     kind = node[0]
-    if kind in ("term", "prefix", "wildcard", "fuzzy"):
+    if kind in ("term", "prefix", "wildcard", "fuzzy", "regexp"):
         return {False}
     if kind == "filter":
         return {True, False}
@@ -540,6 +555,8 @@ def tree_to_string(node) -> str:
         return node[1] + "*"
     if kind == "wildcard":
         return node[1]
+    if kind == "regexp":
+        return f"/{node[1]}/"
     if kind == "fuzzy":
         return f"{node[1]}~{node[2]}"
     if kind == "filter":
@@ -656,6 +673,22 @@ def parse_query(q: str) -> ParsedQuery:
                     else:
                         out.should.extend(stem)
                     continue
+        if (
+            quoted is None
+            and len(body) > 2
+            and body.startswith("/")
+            and body.endswith("/")
+        ):
+            # Lucene regexp clause `/pat/`: anchored term-dictionary
+            # expansion (validated at expansion time)
+            pat = body[1:-1].lower()
+            if op == "-":
+                out.not_regexps.append(pat)
+            elif op == "+":
+                out.must_regexps.append(pat)
+            else:
+                out.regexps.append(pat)
+            continue
         if quoted is None and ("?" in body or "*" in body[:-1]):
             # general wildcard (`t?ble`, `*ark`, `s*t`, `gr*up*`): must be
             # a valid term-alphabet pattern after lowering, else the

@@ -243,3 +243,56 @@ def test_suggest_terms_ranking(built_index):
     # garbage with no near terms → no rows for that token
     rg = s.suggest_terms("zzzzqqqq", size=3)
     assert rg.num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# regexp term queries (/pat/)
+# ---------------------------------------------------------------------------
+
+
+def test_regexp_parse_and_expand(built_index):
+    from elasticsearch_assets_ray.query.engine import Searcher
+    from elasticsearch_assets_ray.query.parser import parse_query
+
+    q = parse_query("/lo[a-d]d/ index -/re?turns?/ +/v.lue/")
+    assert q.regexps == ["lo[a-d]d"]
+    assert q.not_regexps == ["re?turns?"]
+    assert q.must_regexps == ["v.lue"]
+    q2 = parse_query(q.to_string())
+    assert q2.regexps == q.regexps and q2.must_regexps == q.must_regexps
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    exp = s.expand_regexp("loa?d")
+    assert "load" in exp
+    assert all(__import__("re").fullmatch("loa?d", t) for t in exp)
+    # regexp expansion ≡ the explicit OR of its terms
+    a = s.all_scores("/loa?d/ index")
+    b = s.all_scores(" ".join(exp) + " index")
+    assert a.to_pydict() == b.to_pydict()
+    import pytest
+
+    with pytest.raises(ValueError, match="invalid regexp"):
+        s.all_scores("/lo[ad/ index")
+
+
+def test_regexp_in_boolean_tree(built_index):
+    from elasticsearch_assets_ray.query.engine import Searcher
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    exp = s.expand_regexp("lo.d")
+    a = s.all_scores("index AND (/lo.d/ OR value)")
+    b = s.all_scores("index AND ((" + " OR ".join(exp) + ") OR value)")
+    assert a.to_pydict() == b.to_pydict()
+
+
+def test_regex_literal_prefix():
+    from elasticsearch_assets_ray.query.expand import regex_literal_prefix
+
+    assert regex_literal_prefix("load") == "load"
+    assert regex_literal_prefix("lo[ad]d") == "lo"
+    assert regex_literal_prefix("loa?d") == "lo"   # optional char dropped
+    assert regex_literal_prefix("loa*") == "lo"
+    assert regex_literal_prefix(".*x") == ""
+    assert regex_literal_prefix("ab{2}") == "a"
