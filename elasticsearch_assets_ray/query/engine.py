@@ -421,15 +421,13 @@ class Searcher:
                 )
         return sorted(found)
 
-    def expand_wildcard(self, pattern: str, max_expansions: int = 1024) -> list[str]:
-        """All index terms matching a Lucene wildcard pattern (``*`` any
-        run, ``?`` one char), sorted.  The literal run before the first
-        wildcard narrows the scan to a sorted range (binary search / a
-        statistics-pruned read); the residual match is ONE vectorized RE2
-        pass per term-dictionary slice — a leading-wildcard pattern scans
-        the whole dictionary, exactly Lucene's cost model."""
-        rx = expand_mod.wildcard_regex(pattern)
-        lit = expand_mod.wildcard_literal_prefix(pattern)
+    def _expand_matching(
+        self, rx: str, lit: str, label: str, max_expansions: int
+    ) -> list[str]:
+        """Shared dictionary-expansion core for wildcard and regexp
+        clauses: the literal prefix narrows the scan to a sorted range
+        (binary search / a statistics-pruned read), then ONE vectorized
+        RE2 pass per term-dictionary slice."""
         lo = lit if lit else None
         hi = lit + "\U0010ffff" if lit else None
         found: set[str] = set()
@@ -438,36 +436,41 @@ class Searcher:
             found.update(arr.filter(m).to_pylist())
             if len(found) > max_expansions:
                 raise ValueError(
-                    f"wildcard {pattern!r} expands to more than "
-                    f"{max_expansions} terms — narrow the pattern"
+                    f"{label} expands to more than {max_expansions} "
+                    "terms — narrow the pattern"
                 )
         return sorted(found)
+
+    def expand_wildcard(self, pattern: str, max_expansions: int = 1024) -> list[str]:
+        """All index terms matching a Lucene wildcard pattern (``*`` any
+        run, ``?`` one char), sorted — a leading-wildcard pattern scans
+        the whole dictionary, exactly Lucene's cost model."""
+        return self._expand_matching(
+            expand_mod.wildcard_regex(pattern),
+            expand_mod.wildcard_literal_prefix(pattern),
+            f"wildcard {pattern!r}",
+            max_expansions,
+        )
 
     def expand_regexp(self, pattern: str, max_expansions: int = 1024) -> list[str]:
         """All index terms fully matching a Lucene `/regexp/` pattern
-        (anchored), sorted — the regexp analog of :meth:`expand_wildcard`:
-        the pattern's leading literal run narrows the scan to a sorted
-        range, then ONE vectorized RE2 pass per dictionary slice."""
-        import re as _re
-
+        (anchored), sorted — the regexp analog of :meth:`expand_wildcard`.
+        The pattern is validated against RE2 (the engine pyarrow AND the
+        DuckDB oracle actually run), not Python `re` — the two syntaxes
+        differ in both directions (lookaheads, some escape classes)."""
         rx = f"^(?:{pattern})$"
         try:
-            _re.compile(rx)
-        except _re.error as e:
+            # one-element probe: pyarrow skips regex compilation for
+            # empty inputs, so an empty-array probe validates nothing
+            pc.match_substring_regex(pa.array([""], pa.string()), rx)
+        except pa.ArrowInvalid as e:
             raise ValueError(f"invalid regexp {pattern!r}: {e}") from e
-        lit = expand_mod.regex_literal_prefix(pattern)
-        lo = lit if lit else None
-        hi = lit + "\U0010ffff" if lit else None
-        found: set[str] = set()
-        for arr in self._term_dict_slices(lo, hi):
-            m = pc.match_substring_regex(arr, rx)
-            found.update(arr.filter(m).to_pylist())
-            if len(found) > max_expansions:
-                raise ValueError(
-                    f"regexp /{pattern}/ expands to more than "
-                    f"{max_expansions} terms — narrow the pattern"
-                )
-        return sorted(found)
+        return self._expand_matching(
+            rx,
+            expand_mod.regex_literal_prefix(pattern),
+            f"regexp /{pattern}/",
+            max_expansions,
+        )
 
     def expand_fuzzy(
         self, term: str, max_edits: int, max_expansions: int = 1024
@@ -753,7 +756,16 @@ class Searcher:
 
         out_tok, out_sug, out_d, out_df = [], [], [], []
         for tok in tokenize_text(text):
-            cands = self.expand_fuzzy(tok, max_edits)
+            # per-token degradation, never a whole-request crash: a huge
+            # edit-neighborhood narrows to 1 edit, then drops the token
+            # (an ES suggester always answers)
+            cands = None
+            for edits in range(max_edits, 0, -1):
+                try:
+                    cands = self.expand_fuzzy(tok, edits, max_expansions=4096)
+                    break
+                except ValueError:
+                    continue
             if not cands:
                 continue
             seg = self._segment_rows(cands)

@@ -135,9 +135,13 @@ _REGEX_META = set(".?*+()[]{}|\\^$")
 def regex_literal_prefix(pattern: str) -> str:
     """Leading literal run of a regex (chars before the first
     metacharacter) — narrows the term-dictionary scan to a sorted range,
-    the same cost model as the wildcard literal prefix.  Conservative: a
-    literal followed by `?`/`*`/`{` drops its last char too (that char
-    is optional/repeated, so it may not appear)."""
+    the same cost model as the wildcard literal prefix.  Conservative:
+    a literal followed by `?`/`*`/`{` drops its last char too (that
+    char is optional/repeated, so it may not appear), and ANY top-level
+    alternation (`table|scan`) voids the prefix entirely — the leading
+    literal is only mandatory for the first alternative."""
+    if "|" in pattern:
+        return ""
     lit = []
     for i, c in enumerate(pattern):
         if c in _REGEX_META:
@@ -146,3 +150,21 @@ def regex_literal_prefix(pattern: str) -> str:
             break
         lit.append(c)
     return "".join(lit)
+
+
+def lower_regex_pattern(pattern: str) -> str:
+    """Lowercase a regex pattern's LITERAL characters while leaving
+    backslash escapes untouched — plain ``.lower()`` would corrupt
+    ``\\D``/``\\W``/``\\S``/``\\B`` into their inverted classes."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(c)
+            out.append(pattern[i + 1])
+            i += 2
+            continue
+        out.append(c.lower())
+        i += 1
+    return "".join(out)

@@ -33,7 +33,10 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from elasticsearch_assets_ray.query.expand import is_wildcard_pattern
+from elasticsearch_assets_ray.query.expand import (
+    is_wildcard_pattern,
+    lower_regex_pattern,
+)
 from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
 
 _CLAUSE_RE = re.compile(
@@ -65,9 +68,14 @@ _CMP_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_.]*):(>=|<=|>|<)([^\s\"^]+)$")
 # boolean operators — the reference hands the whole string to Lucene,
 # utils.ts:94-100, so the operators are part of its accepted surface)
 _QUOTED_RE = re.compile(r'"[^"]*"')
+# `/regexp/` spans are atomic: parens INSIDE a pattern are pattern
+# syntax, not boolean grouping — strip them (like quotes) before
+# boolean-mode detection, and lex them as one token
+_REGEXP_SPAN_RE = re.compile(r"/[^\s/]+/")
 _BOOL_TRIGGER_RE = re.compile(r"(?:^|[\s(])(?:AND|OR|NOT)(?:[\s)]|$)|[()]")
 _BOOL_TOKEN_RE = re.compile(
     r'"[^"]*"'
+    r"|[+-]?/[^\s/]+/"
     r'|[A-Za-z_][A-Za-z0-9_.]*:"[^"]*"'
     # range clause, keeping an attached boost (`n:[1 TO 2]^2`) in the
     # SAME token — otherwise the `^2` would lex as a separate juxtaposed
@@ -338,9 +346,9 @@ def _bool_leaf(tok: str):
         if val:
             return ("filter", ("eq", km.group(1), val))
     if len(tok) > 2 and tok.startswith("/") and tok.endswith("/"):
-        # Lucene regexp leaf `/pat/` (patterns containing parentheses
-        # need the flat syntax — parens lex as grouping here)
-        return ("regexp", tok[1:-1].lower())
+        # Lucene regexp leaf `/pat/` — the lexer keeps the whole span
+        # (incl. parens, which are pattern syntax) as one token
+        return ("regexp", lower_regex_pattern(tok[1:-1]))
     fm = _FUZZY_RE.match(tok)
     if fm is not None:
         stem = tokenize_text(fm.group(1))
@@ -590,7 +598,7 @@ def tree_to_string(node) -> str:
 
 
 def parse_query(q: str) -> ParsedQuery:
-    stripped = _QUOTED_RE.sub(" ", q or "")
+    stripped = _REGEXP_SPAN_RE.sub(" ", _QUOTED_RE.sub(" ", q or ""))
     if _BOOL_TRIGGER_RE.search(stripped):
         tree = _parse_bool_tree(q or "")
         check_tree_grounded(tree)
@@ -680,8 +688,9 @@ def parse_query(q: str) -> ParsedQuery:
             and body.endswith("/")
         ):
             # Lucene regexp clause `/pat/`: anchored term-dictionary
-            # expansion (validated at expansion time)
-            pat = body[1:-1].lower()
+            # expansion (validated at expansion time); literal chars
+            # lowercase, backslash escapes preserved
+            pat = lower_regex_pattern(body[1:-1])
             if op == "-":
                 out.not_regexps.append(pat)
             elif op == "+":

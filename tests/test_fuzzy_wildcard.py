@@ -231,10 +231,19 @@ def test_suggest_terms_ranking(built_index):
     for t, rows in by_tok.items():
         assert rows == sorted(rows), t          # (distance, df desc, term)
         assert len(rows) <= 5
-        for d, _negdf, sug in rows:
-            # distances honest vs a python reference
-            import difflib
+        def _lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
 
+        for d, _negdf, sug in rows:
+            assert d == _lev(t, sug)  # distances honest vs a reference
             assert d <= 2
     # an exact vocabulary word suggests itself at distance 0 first
     r0 = s.suggest_terms("load", size=3)
@@ -296,3 +305,40 @@ def test_regex_literal_prefix():
     assert regex_literal_prefix("loa*") == "lo"
     assert regex_literal_prefix(".*x") == ""
     assert regex_literal_prefix("ab{2}") == "a"
+
+
+def test_regexp_parens_and_alternation(built_index):
+    """Review regressions: parens inside /pat/ are pattern syntax (not
+    boolean grouping); top-level alternation voids the literal-prefix
+    pruning; escapes survive lowercasing; RE2-invalid patterns raise."""
+    import re
+
+    from elasticsearch_assets_ray.query.engine import Searcher
+    from elasticsearch_assets_ray.query.parser import parse_query
+
+    q = parse_query("/colum(n|ns)/ filter")
+    assert q.bool_tree is None  # regexp parens do NOT trigger boolean mode
+    assert q.regexps == ["colum(n|ns)"]
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    # top-level alternation must find BOTH alternatives (prefix pruning
+    # previously scanned only the 'load' range)
+    exp = s.expand_regexp("load|index")
+    assert set(exp) == {"load", "index"}
+    a = s.all_scores("/load|index/ value")
+    b = s.all_scores("load index value")
+    assert a.to_pydict() == b.to_pydict()
+    # escape classes survive the literal lowercasing
+    q = parse_query(r"/x\D+/ y")
+    assert q.regexps == ["x\\D+"]
+    # RE2-invalid (Python-valid) pattern raises cleanly
+    import pytest
+
+    with pytest.raises(ValueError, match="invalid regexp"):
+        s.expand_regexp("(?=a)b")
+    # regexp leaf with parens inside a boolean tree
+    q = parse_query("value AND /colum(n|ns)/")
+    assert q.bool_tree == (
+        "and", [("term", "value"), ("regexp", "colum(n|ns)")]
+    )
