@@ -175,6 +175,15 @@ BOOLOP_QUERIES: list[str] = [
     "table AND (merge OR scan)^1.5 AND _exists_:lang",  # boost + exists
 ]
 
+SLOPPY_QUERIES: list[str] = [
+    '"spark table"~2 merge',       # up to 2 interleaved tokens
+    '"key value"~1 row',
+    'scan -"table scan"~3',        # negated window
+    '"window agg group"~2',        # 3-term sloppy chain
+    '"spark merge"~0 table',       # ~0 ≡ exact adjacency
+    '"value key"~4',               # reversed order must NOT match as "key value"
+]
+
 REGEXP_QUERIES: list[str] = [
     "/s[pt]ark?/ table",          # character classes + optional char
     "-/m.rge/ scan value",        # negated regexp
@@ -975,6 +984,13 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+def q_search_sloppy(sf_dir: str):
+    """Sloppy phrases `"a b"~N` (Lucene slop, ordered-window contract):
+    terms in order with ≤ N interleaved tokens, verified on positional
+    postings via a greedy minimal chain."""
+    return _search_many(sf_dir, SLOPPY_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
 def q_search_regexp(sf_dir: str):
     """Lucene `/regexp/` term queries: anchored-RE2 expansion over the
     sorted term dictionary (leading-literal range pruning), expansion
@@ -1488,6 +1504,24 @@ def _tree_multiterm_nodes(node, neg: bool = False) -> list:
     return []
 
 
+def _sloppy_exists_sql(phrase: tuple, slop: int) -> str:
+    """EXISTS chain over the ``posn`` (doc, term, pos) CTE: ordered
+    positions p1 < … < pm with span ≤ m-1+slop — the engine's sloppy
+    ordered-window contract enumerated exactly."""
+    m = len(phrase)
+    aliases = [f"s{i}" for i in range(m)]
+    froms = ", ".join(f"posn {a}" for a in aliases)
+    conds = [f"{a}.doc_id = sc.doc_id" for a in aliases]
+    conds += [
+        f"{a}.term = '{t}'" for a, t in zip(aliases, phrase)
+    ]
+    conds += [
+        f"{aliases[i]}.pos > {aliases[i - 1]}.pos" for i in range(1, m)
+    ]
+    conds.append(f"{aliases[-1]}.pos - {aliases[0]}.pos <= {m - 1 + slop}")
+    return f"EXISTS (SELECT 1 FROM {froms} WHERE {' AND '.join(conds)})"
+
+
 def _bm25_bool_sql(queries: list[str], k: int, msm: list[int] | None = None) -> str:
     """DuckDB oracle for the boolean/phrase query surface, mirroring the
     engine's semantics exactly: candidates match ≥1 scoring term; all
@@ -1504,6 +1538,7 @@ def _bm25_bool_sql(queries: list[str], k: int, msm: list[int] | None = None) -> 
     mwild_vals, nwild_vals, mfz_vals, nfz_vals = [], [], [], []
     flt_conds: dict[int, list[str]] = {}
     flt_msm: list[str] = []
+    slp_conds: list[str] = []
     tree_conds: dict[int, str] = {}
     tree_scores: dict[int, str] = {}
     for qid, qtext in enumerate(queries):
@@ -1590,6 +1625,16 @@ def _bm25_bool_sql(queries: list[str], k: int, msm: list[int] | None = None) -> 
             phr_vals.append(f"({qid}, ' {' '.join(ph)} ', FALSE)")
         for ph in p.not_phrases:
             phr_vals.append(f"({qid}, ' {' '.join(ph)} ', TRUE)")
+        # sloppy phrases: ordered positions within span ≤ m-1+slop,
+        # enumerated as an EXISTS chain over the (doc, term, pos) table
+        for ph, slop in p.sloppy_phrases:
+            slp_conds.append(
+                f"(sc.query_id <> {qid} OR {_sloppy_exists_sql(ph, slop)})"
+            )
+        for ph, slop in p.not_sloppy_phrases:
+            slp_conds.append(
+                f"(sc.query_id <> {qid} OR NOT {_sloppy_exists_sql(ph, slop)})"
+            )
         for pre in sorted(set(p.prefixes) | set(p.must_prefixes)):
             # expansion terms become SHOULD/scoring terms (the engine's
             # scoring rewrite of a trailing-star clause)
@@ -1735,6 +1780,15 @@ def _bm25_bool_sql(queries: list[str], k: int, msm: list[int] | None = None) -> 
         ]
         preds.append("(" + " AND ".join(arms) + ")")
     preds.extend(flt_msm)
+    if slp_conds:
+        ctes.append(
+            f"tkl AS (SELECT doc_id, {_TOK} AS T FROM documents)"
+        )
+        ctes.append(
+            "posn AS (SELECT doc_id, unnest(T) AS term, "
+            "unnest(generate_series(1, len(T))) AS pos FROM tkl)"
+        )
+        preds.extend(slp_conds)
     for qid, cond in sorted(tree_conds.items()):
         preds.append(f"(sc.query_id <> {qid} OR {cond})")
     score_expr = "sc.score"
@@ -2026,6 +2080,7 @@ ORACLES: dict[str, str] = {
     "search_boolops": _bm25_bool_sql(BOOLOP_QUERIES, SEARCH_K),
     "search_msm": _bm25_bool_sql(MSM_QUERIES, SEARCH_K, msm=MSM_NS),
     "search_regexp": _bm25_bool_sql(REGEXP_QUERIES, SEARCH_K),
+    "search_sloppy": _bm25_bool_sql(SLOPPY_QUERIES, SEARCH_K),
     # Gopher repetition signals — same float arithmetic order both sides
     "repetition_stats": (
         f"WITH tk AS (SELECT doc_id, {_TOK} AS T FROM documents), "
@@ -2164,6 +2219,7 @@ QUERIES = {
     "search_boolops": q_search_boolops,
     "search_msm": q_search_msm,
     "search_regexp": q_search_regexp,
+    "search_sloppy": q_search_sloppy,
     "facet_lang": q_facet_lang,
     "histogram_nchars": q_histogram_nchars,
     "state_enrich": q_state_enrich,

@@ -526,6 +526,8 @@ class Searcher:
             must_not=list(q.must_not),
             phrases=list(q.phrases),
             not_phrases=list(q.not_phrases),
+            sloppy_phrases=list(q.sloppy_phrases),
+            not_sloppy_phrases=list(q.not_sloppy_phrases),
             must_any=[list(g) for g in q.must_any],
             filters=list(q.filters),
             not_filters=list(q.not_filters),
@@ -985,6 +987,31 @@ class Searcher:
                 return True
         return False
 
+    @staticmethod
+    def contains_sloppy(
+        tokens: list[str], phrase: tuple[str, ...], slop: int
+    ) -> bool:
+        """Ordered-window check: the phrase terms appear in order with
+        total span ≤ len-1+slop.  Greedy per start (each step takes the
+        earliest next occurrence) is exact — it minimizes the final
+        span for that start."""
+        limit = len(phrase) - 1 + slop
+        for i, tok in enumerate(tokens):
+            if tok != phrase[0]:
+                continue
+            p = i
+            ok = True
+            for t in phrase[1:]:
+                p += 1
+                while p < len(tokens) and tokens[p] != t:
+                    p += 1
+                if p >= len(tokens):
+                    ok = False
+                    break
+            if ok and p - i <= limit:
+                return True
+        return False
+
     def _search_phrases(
         self, q: ParsedQuery, k: int | None
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -1059,7 +1086,10 @@ class Searcher:
         P(t₁,d): p+i ∈ P(tᵢ₊₁,d) ∀i`` is a searchsorted membership pass
         per member — no per-document Python loop."""
         terms = sorted(
-            {t for p in q.phrases for t in p} | {t for p in q.not_phrases for t in p}
+            {t for p in q.phrases for t in p}
+            | {t for p in q.not_phrases for t in p}
+            | {t for p, _n in q.sloppy_phrases for t in p}
+            | {t for p, _n in q.not_sloppy_phrases for t in p}
         )
         seg = self._segment_rows(terms)
         rows_by_term: dict[str, list[int]] = {t: [] for t in terms}
@@ -1127,10 +1157,17 @@ class Searcher:
             return out
 
         def freq_batch(
-            cand: np.ndarray, phrases: list[tuple[str, ...]]
+            cand: np.ndarray, specs: list[tuple[tuple[str, ...], int]]
         ) -> np.ndarray:
-            m = np.zeros((cand.size, len(phrases)), dtype=np.int64)
-            if cand.size == 0 or not phrases:
+            """Per-candidate occurrence counts, one column per
+            ``(terms, slop)`` spec.  slop=0 walks the strict-adjacency
+            chain (`start + i ∈ P(tᵢ)`); slop>0 walks the GREEDY
+            minimal chain — each step takes the smallest same-doc
+            position strictly after the previous one, which minimizes
+            the final span for a given start, so `span ≤ m-1+slop` is
+            an exact existence test for the ordered-window contract."""
+            m = np.zeros((cand.size, len(specs)), dtype=np.int64)
+            if cand.size == 0 or not specs:
                 return m
             order = np.argsort(cand, kind="stable")
             cs = cand[order].astype(np.int64)
@@ -1143,23 +1180,37 @@ class Searcher:
                     keys_cache[t] = k
                 return k
 
-            for pi, p in enumerate(phrases):
-                ck = keys(p[0])
+            for pi, (p, slop) in enumerate(specs):
+                start = keys(p[0])
+                cur = start
                 for i, t in enumerate(p[1:], start=1):
-                    if ck.size == 0:
+                    if cur.size == 0:
                         break
                     tk = keys(t)
                     if tk.size == 0:
-                        ck = ck[:0]
+                        start = start[:0]
+                        cur = cur[:0]
                         break
-                    tgt = ck + i
-                    sel = np.searchsorted(tk, tgt)
-                    hit = (sel < tk.size) & (
-                        tk[np.minimum(sel, tk.size - 1)] == tgt
-                    )
-                    ck = ck[hit]
-                if ck.size:
-                    m[order, pi] = np.bincount(ck >> 32, minlength=cs.size)
+                    if slop == 0:
+                        tgt = start + i
+                        sel = np.searchsorted(tk, tgt)
+                        hit = (sel < tk.size) & (
+                            tk[np.minimum(sel, tk.size - 1)] == tgt
+                        )
+                        start = start[hit]
+                        cur = start + i
+                    else:
+                        sel = np.searchsorted(tk, cur + 1)
+                        ok = sel < tk.size
+                        nxt = tk[np.minimum(sel, tk.size - 1)]
+                        # same candidate doc (high 32 bits)
+                        ok &= (nxt >> 32) == (cur >> 32)
+                        start, cur = start[ok], nxt[ok]
+                if cur.size and slop > 0:
+                    within = (cur - start) <= (len(p) - 1 + slop)
+                    start = start[within]
+                if start.size:
+                    m[order, pi] = np.bincount(start >> 32, minlength=cs.size)
             return m
 
         return freq_batch
@@ -1172,6 +1223,8 @@ class Searcher:
         occurs and no negative phrase does.  Vectorized in score-ordered
         chunks so the common case stops after one batch."""
         freq_batch = self._phrase_pos_ctx(q)
+        pos_specs = [(p, 0) for p in q.phrases] + list(q.sloppy_phrases)
+        neg_specs = [(p, 0) for p in q.not_phrases] + list(q.not_sloppy_phrases)
         out_i: list[int] = []
         out_s: list[float] = []
         chunk = max(64, min(4 * want, 4096))
@@ -1179,10 +1232,10 @@ class Searcher:
         while pos < ids.size and len(out_i) < want:
             cids = ids[pos : pos + chunk].astype(np.int64)
             keep = np.ones(cids.size, dtype=bool)
-            if q.phrases:
-                keep &= np.all(freq_batch(cids, q.phrases) > 0, axis=1)
-            if q.not_phrases:
-                keep &= ~np.any(freq_batch(cids, q.not_phrases) > 0, axis=1)
+            if pos_specs:
+                keep &= np.all(freq_batch(cids, pos_specs) > 0, axis=1)
+            if neg_specs:
+                keep &= ~np.any(freq_batch(cids, neg_specs) > 0, axis=1)
             for j in np.flatnonzero(keep):
                 out_i.append(int(cids[j]))
                 out_s.append(float(scores[pos + j]))
@@ -1212,10 +1265,16 @@ class Searcher:
             return cand_ids, np.empty(0, dtype=np.float64)
         freq_batch = self._phrase_pos_ctx(q)
         cand = cand_ids.astype(np.int64)
-        pfreq = freq_batch(cand, q.phrases)
+        pfreq = freq_batch(cand, [(p, 0) for p in q.phrases])
         keep = np.all(pfreq > 0, axis=1)
-        if q.not_phrases:
-            keep &= ~np.any(freq_batch(cand, q.not_phrases) > 0, axis=1)
+        if q.sloppy_phrases:
+            # sloppy phrases stay FILTER-only even under phrase_freq
+            # scoring (their members keep bag-of-words scores) — Lucene
+            # weights sloppy matches 1/(distance+1); documented
+            keep &= np.all(freq_batch(cand, q.sloppy_phrases) > 0, axis=1)
+        if q.not_phrases or q.not_sloppy_phrases:
+            neg = [(p, 0) for p in q.not_phrases] + list(q.not_sloppy_phrases)
+            keep &= ~np.any(freq_batch(cand, neg) > 0, axis=1)
         ids = cand_ids[keep]
         if ids.size == 0:
             return ids, np.empty(0, dtype=np.float64)
@@ -1301,8 +1360,19 @@ class Searcher:
             )
             for j, d in enumerate(cids):
                 toks = tokenize_text(texts.get(int(d)) or "")
-                if all(self.contains_phrase(toks, p) for p in q.phrases) and not any(
-                    self.contains_phrase(toks, p) for p in q.not_phrases
+                if (
+                    all(self.contains_phrase(toks, p) for p in q.phrases)
+                    and all(
+                        self.contains_sloppy(toks, p, n)
+                        for p, n in q.sloppy_phrases
+                    )
+                    and not any(
+                        self.contains_phrase(toks, p) for p in q.not_phrases
+                    )
+                    and not any(
+                        self.contains_sloppy(toks, p, n)
+                        for p, n in q.not_sloppy_phrases
+                    )
                 ):
                     out_i.append(int(d))
                     out_s.append(float(scores[pos + j]))

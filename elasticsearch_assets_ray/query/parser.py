@@ -40,11 +40,12 @@ from elasticsearch_assets_ray.query.expand import (
 from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
 
 _CLAUSE_RE = re.compile(
-    # a clause is a quoted phrase, a fielded clause with a quoted value
+    # a clause is a quoted phrase (with an optional `~N` slop suffix —
+    # Lucene sloppy-phrase syntax), a fielded clause with a quoted value
     # (`source:"web x"` — must come before \S+ or the space splits it),
     # a fielded RANGE clause (`n:[10 TO 20}` — contains spaces), or a
     # bare token
-    r'([+-]?)("([^"]*)"'
+    r'([+-]?)("([^"]*)"(~\d+)?'
     r'|[A-Za-z_][A-Za-z0-9_.]*:"[^"]*"'
     r"|[A-Za-z_][A-Za-z0-9_.]*:[\[{][^\]}]*[\]}]"
     r"|\S+)"
@@ -94,6 +95,15 @@ class ParsedQuery:
     # consecutive-term filters (tuples of analyzed terms, len >= 2)
     phrases: list[tuple[str, ...]] = field(default_factory=list)
     not_phrases: list[tuple[str, ...]] = field(default_factory=list)
+    # sloppy phrases `"a b"~N` (Lucene slop): the terms must appear IN
+    # ORDER with total span ≤ (len-1) + slop — i.e. up to `slop` extra
+    # tokens interleaved.  (Documented divergence: Lucene's slop also
+    # admits reordering at cost 2 per transposition; ours is
+    # ordered-only.)  Tuple: (terms, slop).
+    sloppy_phrases: list[tuple[tuple[str, ...], int]] = field(default_factory=list)
+    not_sloppy_phrases: list[tuple[tuple[str, ...], int]] = field(
+        default_factory=list
+    )
     # trailing-star prefix clauses (`fie*` → prefix "fie"): expanded
     # against the term dictionary at search time; expanded terms score
     # individually (Lucene's scoring-rewrite of multi-term queries).
@@ -175,7 +185,12 @@ class ParsedQuery:
 
     @property
     def has_phrases(self) -> bool:
-        return bool(self.phrases or self.not_phrases)
+        return bool(
+            self.phrases
+            or self.not_phrases
+            or self.sloppy_phrases
+            or self.not_sloppy_phrases
+        )
 
     @property
     def has_prefixes(self) -> bool:
@@ -207,6 +222,14 @@ class ParsedQuery:
             + sorted(set(self.should))
             + ['+"' + " ".join(p) + '"' for p in sorted(set(self.phrases))]
             + ['-"' + " ".join(p) + '"' for p in sorted(set(self.not_phrases))]
+            + [
+                f'+"{" ".join(p)}"~{n}'
+                for p, n in sorted(set(self.sloppy_phrases))
+            ]
+            + [
+                f'-"{" ".join(p)}"~{n}'
+                for p, n in sorted(set(self.not_sloppy_phrases))
+            ]
             + [f"{p}*" for p in sorted(set(self.prefixes))]
             + [f"+{p}*" for p in sorted(set(self.must_prefixes))]
             + [f"-{p}*" for p in sorted(set(self.not_prefixes))]
@@ -606,6 +629,7 @@ def parse_query(q: str) -> ParsedQuery:
     out = ParsedQuery()
     for m in _CLAUSE_RE.finditer(q or ""):
         op, body, quoted = m.group(1), m.group(2), m.group(3)
+        slop = int(m.group(4)[1:]) if m.group(4) else None
         text = quoted if quoted is not None else body
         if quoted is None:
             em = _EXISTS_RE.match(body)
@@ -728,13 +752,20 @@ def parse_query(q: str) -> ParsedQuery:
         if not terms:
             continue
         if quoted is not None and len(terms) >= 2:
-            if op == "-":
+            if slop:
+                # sloppy phrase `"a b"~N`: ordered within a window
+                if op == "-":
+                    out.not_sloppy_phrases.append((tuple(terms), slop))
+                else:
+                    out.sloppy_phrases.append((tuple(terms), slop))
+                    out.must.extend(terms)
+            elif op == "-":
                 # exclude docs containing the phrase; the bare words alone
                 # do NOT exclude
                 out.not_phrases.append(tuple(terms))
             else:
                 # phrase implies every term present → MUST; adjacency is
-                # verified by the engine's phrase filter
+                # verified by the engine's phrase filter (`~0` ≡ exact)
                 out.phrases.append(tuple(terms))
                 out.must.extend(terms)
             continue

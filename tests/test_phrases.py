@@ -299,3 +299,73 @@ def test_phrase_freq_scoring_rank_identity(positional_index, corpus_dir):
         r = s.search(qtext, k=k)
         assert r["doc_id"].to_pylist() == e_ids.tolist(), qtext
         np.testing.assert_allclose(r["score"].to_numpy(), e_sc, rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# sloppy phrases `"a b"~N` (ordered-window contract)
+# ---------------------------------------------------------------------------
+
+
+def test_sloppy_parser_and_semantics(built_index):
+    from elasticsearch_assets_ray.query.parser import parse_query
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    q = parse_query('"def main"~2 return -"for i"~1')
+    assert q.sloppy_phrases == [(("def", "main"), 2)]
+    assert q.not_sloppy_phrases == [(("for", "i"), 1)]
+    assert set(q.must) >= {"def", "main"}
+    # round-trip
+    q2 = parse_query(q.to_string())
+    assert q2.sloppy_phrases == q.sloppy_phrases
+    assert q2.not_sloppy_phrases == q.not_sloppy_phrases
+    # ~0 is exact adjacency
+    q0 = parse_query('"def main"~0')
+    assert q0.phrases == [("def", "main")] and not q0.sloppy_phrases
+
+    idx_dir, _ = built_index
+    s = Searcher(idx_dir)
+    got = set(s.all_scores('"def main"~2')["doc_id"].to_pylist())
+    base = s.all_scores("+def +main")
+    ids = np.array(sorted(base["doc_id"].to_pylist()), dtype=np.int64)
+    h = s.hydrate(ids, columns=["doc_id", "content"])
+    want = {
+        d
+        for d, c in zip(h["doc_id"].to_pylist(), h["content"].to_pylist())
+        if Searcher.contains_sloppy(tokenize_text(c), ("def", "main"), 2)
+    }
+    assert got == want
+    # exact ⊆ slop-2 ⊆ conjunction
+    exact = set(s.all_scores('"def main"')["doc_id"].to_pylist())
+    assert exact <= got <= set(base["doc_id"].to_pylist())
+
+
+def test_sloppy_positional_equals_content(positional_index, built_index):
+    """The greedy positional chain and the content re-tokenize path
+    produce identical result sets and scores."""
+    idx_dir, _ = built_index
+    sc_ = Searcher(idx_dir)        # content path (no positions)
+    sp = Searcher(positional_index)  # positional path (no content)
+    for q in [
+        '"def main"~2 return',
+        '"for i range"~3',           # 3-term chain with a gap ("in" skipped)
+        'return -"def main"~4',
+        '"main def"~4',              # reversed order: ordered-only contract
+    ]:
+        a = sc_.all_scores(q)
+        b = sp.all_scores(q)
+        # docids differ across layouts? same corpus_dir, same partition
+        # planner → identical assignment; compare directly
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+
+def test_contains_sloppy_reference():
+    c = Searcher.contains_sloppy
+    toks = "a x b y c".split()
+    assert c(toks, ("a", "b"), 1)
+    assert not c(toks, ("a", "b"), 0)
+    assert c(toks, ("a", "b", "c"), 2)
+    assert not c(toks, ("a", "b", "c"), 1)
+    assert not c(toks, ("b", "a"), 4)      # order matters
+    assert c("a a b".split(), ("a", "b"), 0)   # later start succeeds
+    assert not c(toks, ("a", "z"), 9)
