@@ -1025,6 +1025,27 @@ SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
 STRATA_FRACTIONS = {"de": 0.5, "en": 0.25, "fr": 0.75, "es": 1.0}
 
 
+PACK_BUDGET = 1000
+
+
+def q_pack_documents(sf_dir: str):
+    """Token-budgeted greedy sequence packing (LLM training prep):
+    docs in id order fill a pack until the budget would overflow;
+    oversize docs stay whole in their own pack.  One shard here (the
+    distributed contract packs each partition independently with
+    partition-prefixed pack ids)."""
+    from elasticsearch_assets_ray.stages.packing import pack_documents
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    stats = ds.map_batches(
+        lambda b: textstats.token_stats(b, "text"), batch_format="pyarrow"
+    ).select_columns(["doc_id", "token_count"])
+    packed = pack_documents(
+        stats.repartition(1), budget=PACK_BUDGET, count_col="token_count"
+    )
+    return packed.select_columns(["doc_id", "token_count", "pack_id", "pack_pos"])
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test assignment over the documents table
     — one stateless map_batches, stable across runs/partitionings
@@ -2081,6 +2102,31 @@ ORACLES: dict[str, str] = {
     "search_msm": _bm25_bool_sql(MSM_QUERIES, SEARCH_K, msm=MSM_NS),
     "search_regexp": _bm25_bool_sql(REGEXP_QUERIES, SEARCH_K),
     "search_sloppy": _bm25_bool_sql(SLOPPY_QUERIES, SEARCH_K),
+    # greedy sequence packing: the pack boundaries replay in SQL as a
+    # recursive CTE over PACKS (each step jumps to the first overflowing
+    # row); pack_id prefix = min(doc_id) << 32, matching the engine's
+    # partition-prefixed ids on the single-shard gate layout
+    "pack_documents": (
+        f"WITH RECURSIVE counts AS (SELECT doc_id, CAST(len({_TOK}) AS BIGINT) "
+        " AS token_count FROM documents), "
+        "t AS (SELECT doc_id, token_count, row_number() OVER (ORDER BY doc_id) AS rn, "
+        " sum(token_count) OVER (ORDER BY doc_id) AS cum FROM counts), "
+        "packs(k, start_rn, start_cum) AS ( "
+        " SELECT 0, 1, CAST(0 AS HUGEINT) "
+        " UNION ALL "
+        " SELECT k + 1, "
+        f"  greatest((SELECT coalesce(min(rn), (SELECT max(rn) + 1 FROM t)) FROM t "
+        f"            WHERE t.cum > p.start_cum + {PACK_BUDGET}), p.start_rn + 1), "
+        f"  (SELECT cum FROM t WHERE rn = greatest((SELECT coalesce(min(rn), "
+        f"    (SELECT max(rn) + 1 FROM t)) FROM t WHERE t.cum > p.start_cum + {PACK_BUDGET}), "
+        "    p.start_rn + 1) - 1) "
+        " FROM packs p WHERE p.start_rn <= (SELECT max(rn) FROM t)) "
+        "SELECT t.doc_id, t.token_count, "
+        " (SELECT min(doc_id) FROM documents) * 4294967296 + "
+        " (SELECT max(k) FROM packs p WHERE p.start_rn <= t.rn) AS pack_id, "
+        " t.rn - (SELECT max(p.start_rn) FROM packs p WHERE p.start_rn <= t.rn) AS pack_pos "
+        "FROM t"
+    ),
     # Gopher repetition signals — same float arithmetic order both sides
     "repetition_stats": (
         f"WITH tk AS (SELECT doc_id, {_TOK} AS T FROM documents), "
@@ -2230,6 +2276,7 @@ QUERIES = {
     "incremental_delta": q_incremental_delta,
     "bpe_token_count": q_bpe_token_count,
     "repetition_stats": q_repetition_stats,
+    "pack_documents": q_pack_documents,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "media_decode": q_media_decode,
