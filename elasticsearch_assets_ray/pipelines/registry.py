@@ -175,6 +175,14 @@ BOOLOP_QUERIES: list[str] = [
     "table AND (merge OR scan)^1.5 AND _exists_:lang",  # boost + exists
 ]
 
+PHRASE_PREFIX_QUERIES: list[str] = [
+    '"spark ta*" merge',          # autocomplete-style phrase prefix
+    '"key va*" row',
+    'scan -"table sc*"',          # negated phrase prefix
+    '"window ag*" filter',
+    '"spark zz*" table',          # no expansion → clause matches nothing
+]
+
 SLOPPY_QUERIES: list[str] = [
     '"spark table"~2 merge',       # up to 2 interleaved tokens
     '"key value"~1 row',
@@ -984,6 +992,16 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+def q_search_phrase_prefix(sf_dir: str):
+    """ES match_phrase_prefix analog: complete terms adjacent in order,
+    immediately followed by any index term with the stem — verified on
+    positional postings with the prefix expansion as an alternatives
+    set in the chain's last step."""
+    return _search_many(
+        sf_dir, PHRASE_PREFIX_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90
+    )
+
+
 def q_search_sloppy(sf_dir: str):
     """Sloppy phrases `"a b"~N` (Lucene slop, ordered-window contract):
     terms in order with ≤ N interleaved tokens, verified on positional
@@ -1543,6 +1561,19 @@ def _sloppy_exists_sql(phrase: tuple, slop: int) -> str:
     return f"EXISTS (SELECT 1 FROM {froms} WHERE {' AND '.join(conds)})"
 
 
+def _phrase_prefix_exists_sql(terms: tuple, stem: str) -> str:
+    """EXISTS chain for a phrase-prefix: the complete terms strictly
+    adjacent, immediately followed by any token LIKE 'stem%'."""
+    m = len(terms)
+    aliases = [f"s{i}" for i in range(m + 1)]
+    froms = ", ".join(f"posn {a}" for a in aliases)
+    conds = [f"{a}.doc_id = sc.doc_id" for a in aliases]
+    conds += [f"s{i}.term = '{t}'" for i, t in enumerate(terms)]
+    conds += [f"s{i}.pos = s0.pos + {i}" for i in range(1, m + 1)]
+    conds.append(f"s{m}.term LIKE '{stem}%'")
+    return f"EXISTS (SELECT 1 FROM {froms} WHERE {' AND '.join(conds)})"
+
+
 def _bm25_bool_sql(queries: list[str], k: int, msm: list[int] | None = None) -> str:
     """DuckDB oracle for the boolean/phrase query surface, mirroring the
     engine's semantics exactly: candidates match ≥1 scoring term; all
@@ -1655,6 +1686,16 @@ def _bm25_bool_sql(queries: list[str], k: int, msm: list[int] | None = None) -> 
         for ph, slop in p.not_sloppy_phrases:
             slp_conds.append(
                 f"(sc.query_id <> {qid} OR NOT {_sloppy_exists_sql(ph, slop)})"
+            )
+        for ph, stem in p.phrase_prefixes:
+            slp_conds.append(
+                f"(sc.query_id <> {qid} OR "
+                f"{_phrase_prefix_exists_sql(ph, stem)})"
+            )
+        for ph, stem in p.not_phrase_prefixes:
+            slp_conds.append(
+                f"(sc.query_id <> {qid} OR NOT "
+                f"{_phrase_prefix_exists_sql(ph, stem)})"
             )
         for pre in sorted(set(p.prefixes) | set(p.must_prefixes)):
             # expansion terms become SHOULD/scoring terms (the engine's
@@ -2102,6 +2143,7 @@ ORACLES: dict[str, str] = {
     "search_msm": _bm25_bool_sql(MSM_QUERIES, SEARCH_K, msm=MSM_NS),
     "search_regexp": _bm25_bool_sql(REGEXP_QUERIES, SEARCH_K),
     "search_sloppy": _bm25_bool_sql(SLOPPY_QUERIES, SEARCH_K),
+    "search_phrase_prefix": _bm25_bool_sql(PHRASE_PREFIX_QUERIES, SEARCH_K),
     # greedy sequence packing: the pack boundaries replay in SQL as a
     # recursive CTE over PACKS (each step jumps to the first overflowing
     # row); pack_id prefix = min(doc_id) << 32, matching the engine's
@@ -2266,6 +2308,7 @@ QUERIES = {
     "search_msm": q_search_msm,
     "search_regexp": q_search_regexp,
     "search_sloppy": q_search_sloppy,
+    "search_phrase_prefix": q_search_phrase_prefix,
     "facet_lang": q_facet_lang,
     "histogram_nchars": q_histogram_nchars,
     "state_enrich": q_state_enrich,

@@ -528,6 +528,8 @@ class Searcher:
             not_phrases=list(q.not_phrases),
             sloppy_phrases=list(q.sloppy_phrases),
             not_sloppy_phrases=list(q.not_sloppy_phrases),
+            phrase_prefixes=list(q.phrase_prefixes),
+            not_phrase_prefixes=list(q.not_phrase_prefixes),
             must_any=[list(g) for g in q.must_any],
             filters=list(q.filters),
             not_filters=list(q.not_filters),
@@ -988,6 +990,38 @@ class Searcher:
         return False
 
     @staticmethod
+    def contains_spec(tokens: list[str], terms: tuple, slop: int) -> bool:
+        """Generalized ordered-window check: each element of ``terms``
+        is a term string or a frozenset of alternatives (phrase-prefix
+        expansions); slop 0 = strict adjacency."""
+
+        def ok(tok, t):
+            return tok in t if isinstance(t, frozenset) else tok == t
+
+        limit = len(terms) - 1 + slop
+        n = len(tokens)
+        for i in range(n):
+            if not ok(tokens[i], terms[0]):
+                continue
+            p = i
+            good = True
+            for t in terms[1:]:
+                p += 1
+                if slop == 0:
+                    if p >= n or not ok(tokens[p], t):
+                        good = False
+                        break
+                else:
+                    while p < n and not ok(tokens[p], t):
+                        p += 1
+                    if p >= n:
+                        good = False
+                        break
+            if good and p - i <= limit:
+                return True
+        return False
+
+    @staticmethod
     def contains_sloppy(
         tokens: list[str], phrase: tuple[str, ...], slop: int
     ) -> bool:
@@ -1074,6 +1108,22 @@ class Searcher:
             return self._verify_phrases_pos(q, ids, scores, want)
         return self._verify_phrases_content(q, ids, scores, want, content_col)
 
+    def _phrase_specs(
+        self, q: ParsedQuery
+    ) -> tuple[list[tuple[tuple, int]], list[tuple[tuple, int]]]:
+        """(positive, negative) verification specs ``(terms, slop)``:
+        exact phrases at slop 0, sloppy phrases at their slop, and
+        phrase-prefixes as an exact chain whose LAST element is the
+        frozenset of the stem's dictionary expansion (an empty
+        expansion makes the chain unmatchable)."""
+        pos = [(p, 0) for p in q.phrases] + list(q.sloppy_phrases)
+        neg = [(p, 0) for p in q.not_phrases] + list(q.not_sloppy_phrases)
+        for p, stem in q.phrase_prefixes:
+            pos.append((tuple(p) + (frozenset(self.expand_prefix(stem)),), 0))
+        for p, stem in q.not_phrase_prefixes:
+            neg.append((tuple(p) + (frozenset(self.expand_prefix(stem)),), 0))
+        return pos, neg
+
     def _phrase_pos_ctx(self, q: ParsedQuery):
         """Positional-postings batch context for the query's phrase
         terms: returns ``freq_batch(cand, phrases) ->
@@ -1085,12 +1135,15 @@ class Searcher:
         (one ragged gather per term), and the adjacency chain ``∃ p ∈
         P(t₁,d): p+i ∈ P(tᵢ₊₁,d) ∀i`` is a searchsorted membership pass
         per member — no per-document Python loop."""
-        terms = sorted(
-            {t for p in q.phrases for t in p}
-            | {t for p in q.not_phrases for t in p}
-            | {t for p, _n in q.sloppy_phrases for t in p}
-            | {t for p, _n in q.not_sloppy_phrases for t in p}
-        )
+        pos_specs, neg_specs = self._phrase_specs(q)
+        term_set: set[str] = set()
+        for p, _n in pos_specs + neg_specs:
+            for t in p:
+                if isinstance(t, frozenset):
+                    term_set |= t
+                else:
+                    term_set.add(t)
+        terms = sorted(term_set)
         seg = self._segment_rows(terms)
         rows_by_term: dict[str, list[int]] = {t: [] for t in terms}
         if seg is not None:
@@ -1171,12 +1224,23 @@ class Searcher:
                 return m
             order = np.argsort(cand, kind="stable")
             cs = cand[order].astype(np.int64)
-            keys_cache: dict[str, np.ndarray] = {}
+            keys_cache: dict = {}
 
-            def keys(t: str) -> np.ndarray:
+            def keys(t) -> np.ndarray:
                 k = keys_cache.get(t)
                 if k is None:
-                    k = term_keys(t, cs)
+                    if isinstance(t, frozenset):
+                        # phrase-prefix last element: union of the
+                        # expansion terms' position keys
+                        parts = [term_keys(x, cs) for x in sorted(t)]
+                        parts = [p for p in parts if p.size]
+                        k = (
+                            np.sort(np.concatenate(parts))
+                            if parts
+                            else np.empty(0, dtype=np.int64)
+                        )
+                    else:
+                        k = term_keys(t, cs)
                     keys_cache[t] = k
                 return k
 
@@ -1223,8 +1287,7 @@ class Searcher:
         occurs and no negative phrase does.  Vectorized in score-ordered
         chunks so the common case stops after one batch."""
         freq_batch = self._phrase_pos_ctx(q)
-        pos_specs = [(p, 0) for p in q.phrases] + list(q.sloppy_phrases)
-        neg_specs = [(p, 0) for p in q.not_phrases] + list(q.not_sloppy_phrases)
+        pos_specs, neg_specs = self._phrase_specs(q)
         out_i: list[int] = []
         out_s: list[float] = []
         chunk = max(64, min(4 * want, 4096))
@@ -1267,14 +1330,15 @@ class Searcher:
         cand = cand_ids.astype(np.int64)
         pfreq = freq_batch(cand, [(p, 0) for p in q.phrases])
         keep = np.all(pfreq > 0, axis=1)
-        if q.sloppy_phrases:
-            # sloppy phrases stay FILTER-only even under phrase_freq
-            # scoring (their members keep bag-of-words scores) — Lucene
-            # weights sloppy matches 1/(distance+1); documented
-            keep &= np.all(freq_batch(cand, q.sloppy_phrases) > 0, axis=1)
-        if q.not_phrases or q.not_sloppy_phrases:
-            neg = [(p, 0) for p in q.not_phrases] + list(q.not_sloppy_phrases)
-            keep &= ~np.any(freq_batch(cand, neg) > 0, axis=1)
+        pos_specs, neg_specs = self._phrase_specs(q)
+        extra = pos_specs[len(q.phrases) :]  # sloppy + phrase-prefix chains
+        if extra:
+            # these stay FILTER-only even under phrase_freq scoring
+            # (their members keep bag-of-words scores) — Lucene weights
+            # sloppy matches 1/(distance+1); documented
+            keep &= np.all(freq_batch(cand, extra) > 0, axis=1)
+        if neg_specs:
+            keep &= ~np.any(freq_batch(cand, neg_specs) > 0, axis=1)
         ids = cand_ids[keep]
         if ids.size == 0:
             return ids, np.empty(0, dtype=np.float64)
@@ -1345,6 +1409,7 @@ class Searcher:
         until ``want`` survivors."""
         from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
 
+        pos_specs, neg_specs = self._phrase_specs(q)
         out_i: list[int] = []
         out_s: list[float] = []
         chunk = max(64, min(4 * want, 4096))
@@ -1360,19 +1425,10 @@ class Searcher:
             )
             for j, d in enumerate(cids):
                 toks = tokenize_text(texts.get(int(d)) or "")
-                if (
-                    all(self.contains_phrase(toks, p) for p in q.phrases)
-                    and all(
-                        self.contains_sloppy(toks, p, n)
-                        for p, n in q.sloppy_phrases
-                    )
-                    and not any(
-                        self.contains_phrase(toks, p) for p in q.not_phrases
-                    )
-                    and not any(
-                        self.contains_sloppy(toks, p, n)
-                        for p, n in q.not_sloppy_phrases
-                    )
+                if all(
+                    self.contains_spec(toks, p, n) for p, n in pos_specs
+                ) and not any(
+                    self.contains_spec(toks, p, n) for p, n in neg_specs
                 ):
                     out_i.append(int(d))
                     out_s.append(float(scores[pos + j]))

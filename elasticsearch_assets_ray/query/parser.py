@@ -104,6 +104,16 @@ class ParsedQuery:
     not_sloppy_phrases: list[tuple[tuple[str, ...], int]] = field(
         default_factory=list
     )
+    # phrase-prefix `"quick bro*"` (ES match_phrase_prefix): the
+    # complete terms adjacent in order, immediately followed by ANY
+    # index term starting with the stem.  Tuple: (complete terms, stem).
+    # Complete terms are MUST and score; the prefix position is a
+    # match constraint only (documented divergence: Lucene scores the
+    # capped expansion too).
+    phrase_prefixes: list[tuple[tuple[str, ...], str]] = field(default_factory=list)
+    not_phrase_prefixes: list[tuple[tuple[str, ...], str]] = field(
+        default_factory=list
+    )
     # trailing-star prefix clauses (`fie*` → prefix "fie"): expanded
     # against the term dictionary at search time; expanded terms score
     # individually (Lucene's scoring-rewrite of multi-term queries).
@@ -190,6 +200,8 @@ class ParsedQuery:
             or self.not_phrases
             or self.sloppy_phrases
             or self.not_sloppy_phrases
+            or self.phrase_prefixes
+            or self.not_phrase_prefixes
         )
 
     @property
@@ -229,6 +241,14 @@ class ParsedQuery:
             + [
                 f'-"{" ".join(p)}"~{n}'
                 for p, n in sorted(set(self.not_sloppy_phrases))
+            ]
+            + [
+                f'+"{" ".join(p)} {st}*"'
+                for p, st in sorted(set(self.phrase_prefixes))
+            ]
+            + [
+                f'-"{" ".join(p)} {st}*"'
+                for p, st in sorted(set(self.not_phrase_prefixes))
             ]
             + [f"{p}*" for p in sorted(set(self.prefixes))]
             + [f"+{p}*" for p in sorted(set(self.must_prefixes))]
@@ -748,6 +768,29 @@ def parse_query(q: str) -> ParsedQuery:
                     out.prefixes.append(stem[0])
                 continue
             # multi-token stems (e.g. fooBar*) degrade to plain terms
+        if quoted is not None and slop is None and text.rstrip().endswith("*"):
+            # phrase-prefix `"quick bro*"` (ES match_phrase_prefix):
+            # complete terms adjacent, then any term with the stem
+            words = text.split()
+            stem = tokenize_text(words[-1][:-1] if words else "")
+            rest = tokenize_text(" ".join(words[:-1]))
+            if len(stem) == 1 and rest:
+                if op == "-":
+                    out.not_phrase_prefixes.append((tuple(rest), stem[0]))
+                else:
+                    out.phrase_prefixes.append((tuple(rest), stem[0]))
+                    out.must.extend(rest)
+                continue
+            if len(stem) == 1 and not rest:
+                # single-word quoted prefix degrades to a prefix clause
+                if op == "-":
+                    out.not_prefixes.append(stem[0])
+                elif op == "+":
+                    out.must_prefixes.append(stem[0])
+                else:
+                    out.prefixes.append(stem[0])
+                continue
+            # multi-token stem or empty → fall through to plain terms
         terms = tokenize_text(text)
         if not terms:
             continue

@@ -369,3 +369,67 @@ def test_contains_sloppy_reference():
     assert not c(toks, ("b", "a"), 4)      # order matters
     assert c("a a b".split(), ("a", "b"), 0)   # later start succeeds
     assert not c(toks, ("a", "z"), 9)
+
+
+# ---------------------------------------------------------------------------
+# phrase-prefix `"quick bro*"` (ES match_phrase_prefix)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_prefix_parser():
+    from elasticsearch_assets_ray.query.parser import parse_query
+
+    q = parse_query('"def lo*" index -"for ra*"')
+    assert q.phrase_prefixes == [(("def",), "lo")]
+    assert q.not_phrase_prefixes == [(("for",), "ra")]
+    assert "def" in q.must
+    q2 = parse_query(q.to_string())
+    assert q2.phrase_prefixes == q.phrase_prefixes
+    assert q2.not_phrase_prefixes == q.not_phrase_prefixes
+    # single-word quoted prefix degrades to a plain prefix clause
+    assert parse_query('"lo*"').prefixes == ["lo"]
+    assert parse_query('+"lo*"').must_prefixes == ["lo"]
+    # slop wins over a trailing star (star stripped by the analyzer)
+    q = parse_query('"def load*"~2')
+    assert q.sloppy_phrases and not q.phrase_prefixes
+
+
+def test_phrase_prefix_matches_brute_force(built_index, positional_index):
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    for idx in [built_index[0], positional_index]:
+        s = Searcher(idx)
+        got = set(s.all_scores('"def lo*" return')["doc_id"].to_pylist())
+        base = s.all_scores("+def return")
+        ids = np.array(sorted(base["doc_id"].to_pylist()), dtype=np.int64)
+        if s.manifest.get("store_content"):
+            h = s.hydrate(ids, columns=["doc_id", "content"])
+            texts = dict(zip(h["doc_id"].to_pylist(), h["content"].to_pylist()))
+        else:
+            # positional fixture stores no content: join the content
+            # index's docstore by doc_id (same corpus, same planner)
+            sc_ = Searcher(built_index[0])
+            h = sc_.hydrate(ids, columns=["doc_id", "content"])
+            texts = dict(zip(h["doc_id"].to_pylist(), h["content"].to_pylist()))
+        want = set()
+        for d, c in texts.items():
+            toks = tokenize_text(c)
+            if any(
+                toks[i] == "def"
+                and i + 1 < len(toks)
+                and toks[i + 1].startswith("lo")
+                for i in range(len(toks))
+            ):
+                want.add(d)
+        assert got == want, idx
+        # unmatched stem → clause matches nothing
+        assert s.all_scores('"def zzqq*" return').num_rows == 0
+
+
+def test_phrase_prefix_pruned_matches_exhaustive(positional_index):
+    sp = Searcher(positional_index, prune=True)
+    se = Searcher(positional_index, prune=False)
+    for q in ['"def lo*" return', 'return -"def lo*"']:
+        a, b = sp.search(q, 10), se.search(q, 10)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
