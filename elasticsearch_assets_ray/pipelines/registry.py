@@ -862,6 +862,37 @@ def q_search_filtered(sf_dir: str):
 
 
 MLT_SOURCES = [3, 57, 101]
+HIGHLIGHT_QUERIES = ["spark table merge", "key value row"]
+HIGHLIGHT_DOCS = [2, 47, 88, 301]
+HIGHLIGHT_WINDOW = 10
+
+
+def q_highlight(sf_dir: str):
+    """Deterministic highlighter: the 10-token window with the most
+    query terms (earliest on ties) per (query, doc) — the exact
+    span-selection contract, value-checked down to the snippet text."""
+    s = Searcher(documents_index(sf_dir))
+    internal = s.lookup_docids(HIGHLIGHT_DOCS)
+    ids = np.array([internal[d] for d in HIGHLIGHT_DOCS], dtype=np.int64)
+    parts = []
+    for qid, qtext in enumerate(HIGHLIGHT_QUERIES):
+        r = s.highlight(qtext, ids, window=HIGHLIGHT_WINDOW)
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(
+                        np.full(r.num_rows, qid, dtype=np.int64)
+                    ),
+                    "doc_id": pa.array(
+                        np.array(HIGHLIGHT_DOCS, dtype=np.int64)
+                    ),
+                    "start": r["start"],
+                    "n_matched": r["n_matched"],
+                    "snippet": r["snippet"],
+                }
+            )
+        )
+    return pa.concat_tables(parts)
 SUGGEST_TEXT = "spork tabel merg windoq"  # misspellings of corpus vocabulary
 
 
@@ -2091,6 +2122,32 @@ ORACLES: dict[str, str] = {
         "doc_id, source, round(score, 6) AS score_r FROM w WHERE gr = 1 "
         f"QUALIFY rank <= {SEARCH_K}"
     ),
+    "highlight": (
+        f"WITH tkl AS (SELECT doc_id, {_TOK} AS T FROM documents "
+        f" WHERE doc_id IN ({', '.join(map(str, HIGHLIGHT_DOCS))})), "
+        "posn AS (SELECT doc_id, unnest(T) AS term, "
+        " unnest(generate_series(1, len(T))) AS pos FROM tkl), "
+        "starts AS (SELECT doc_id, unnest(generate_series(1, len(T))) AS p FROM tkl), "
+        "qt(query_id, term) AS (VALUES "
+        + ", ".join(
+            f"({qid}, '{t}')"
+            for qid, qq in enumerate(HIGHLIGHT_QUERIES)
+            for t in sorted(set(qq.split()))
+        )
+        + "), "
+        "mt AS (SELECT qt.query_id, m.doc_id, m.pos FROM posn m "
+        " JOIN qt ON qt.term = m.term), "
+        "mc AS (SELECT s.doc_id, q.query_id, s.p, count(mt.pos) AS c "
+        " FROM starts s CROSS JOIN (SELECT DISTINCT query_id FROM qt) q "
+        " LEFT JOIN mt ON mt.query_id = q.query_id AND mt.doc_id = s.doc_id "
+        f"  AND mt.pos >= s.p AND mt.pos < s.p + {HIGHLIGHT_WINDOW} "
+        " GROUP BY 1, 2, 3), "
+        "best AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id "
+        " ORDER BY c DESC, p) AS rn FROM mc) "
+        "SELECT b.query_id, b.doc_id, b.p AS start, b.c AS n_matched, "
+        f"array_to_string(t.T[b.p : least(b.p + {HIGHLIGHT_WINDOW - 1}, len(t.T))], ' ') "
+        "AS snippet FROM best b JOIN tkl t ON t.doc_id = b.doc_id WHERE rn = 1"
+    ),
     "suggest_terms": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
         "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term), "
@@ -2296,6 +2353,7 @@ QUERIES = {
     "collapse_source": q_collapse_source,
     "more_like_this": q_more_like_this,
     "suggest_terms": q_suggest_terms,
+    "highlight": q_highlight,
     "delete_search": q_delete_search,
     "expunge_search": q_expunge_search,
     "search_boolean": q_search_boolean,

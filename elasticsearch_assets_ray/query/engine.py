@@ -801,6 +801,61 @@ class Searcher:
             }
         )
 
+    def highlight(
+        self,
+        query: str | ParsedQuery,
+        docids: np.ndarray,
+        window: int = 10,
+    ) -> pa.Table:
+        """Deterministic highlighter: for each doc, the ``window``-token
+        span containing the MOST of the query's analyzed scoring terms
+        (after multi-term expansion), earliest span on ties →
+        pa.Table(doc_id, start, n_matched, snippet).  ``start`` is the
+        1-based token index; a doc with no matching term reports
+        n_matched 0 with its leading window.  (ES highlighters re-run
+        the query per fragment; this is the vectorized-window analog —
+        the span-selection contract is exact and oracle-checked.)"""
+        if window <= 0:
+            raise ValueError("window must be positive")
+        content_col = self.manifest.get("content_col")
+        if not self.manifest.get("store_content") or not content_col:
+            raise RuntimeError("highlight needs store_content=True")
+        from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+        q = parse_query(query) if isinstance(query, str) else query
+        q = self._rewrite_prefixes(q)
+        terms = set(q.scoring_terms)
+        docids = np.asarray(docids, dtype=np.int64)
+        h = self.hydrate(np.sort(docids), columns=["doc_id", content_col])
+        texts = dict(
+            zip(h["doc_id"].to_pylist(), h[content_col].to_pylist())
+        )
+        out_d, out_s, out_n, out_t = [], [], [], []
+        for d in docids.tolist():
+            toks = tokenize_text(texts.get(int(d)) or "")
+            n = len(toks)
+            if n == 0:
+                out_d.append(d), out_s.append(1), out_n.append(0), out_t.append("")
+                continue
+            m = np.fromiter((t in terms for t in toks), dtype=np.int64, count=n)
+            # windowed match counts via cumsum difference (vectorized)
+            cum = np.concatenate(([0], np.cumsum(m)))
+            hi = np.minimum(np.arange(n) + window, n)
+            counts = cum[hi] - cum[:n]
+            best = int(np.argmax(counts))  # argmax takes the FIRST max
+            out_d.append(d)
+            out_s.append(best + 1)  # 1-based
+            out_n.append(int(counts[best]))
+            out_t.append(" ".join(toks[best : best + window]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "start": pa.array(out_s, pa.int64()),
+                "n_matched": pa.array(out_n, pa.int64()),
+                "snippet": pa.array(out_t, pa.string()),
+            }
+        )
+
     def lookup_docids(self, values, col: str = "orig_doc_id") -> dict:
         """Reverse id lookup: docstore value → internal docID, via one
         column-pruned read per part file (a gate/REPL convenience — at

@@ -150,3 +150,43 @@ def test_lookup_docids(built_index):
     paths = some["path"].to_pylist()
     m = s.lookup_docids(paths, col="path")
     assert sorted(m.values()) == [5, 6]
+
+
+# ---------------------------------------------------------------------------
+# highlighting (best-window snippet)
+# ---------------------------------------------------------------------------
+
+
+def test_highlight_best_window(built_index):
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    hits = s.search("def load index", k=4)
+    ids = hits["doc_id"].to_numpy(zero_copy_only=False)
+    r = s.highlight("def load index", ids, window=8)
+    assert r["doc_id"].to_pylist() == ids.tolist()  # input order kept
+    h = s.hydrate(np.sort(ids), columns=["doc_id", "content"])
+    texts = dict(zip(h["doc_id"].to_pylist(), h["content"].to_pylist()))
+    terms = {"def", "load", "index"}
+    for d, st, n, sn in zip(
+        r["doc_id"].to_pylist(),
+        r["start"].to_pylist(),
+        r["n_matched"].to_pylist(),
+        r["snippet"].to_pylist(),
+    ):
+        toks = tokenize_text(texts[d])
+        # brute-force best window: max count, earliest
+        best = max(
+            range(len(toks)),
+            key=lambda p: (sum(1 for t in toks[p : p + 8] if t in terms), -p),
+        )
+        want_n = sum(1 for t in toks[best : best + 8] if t in terms)
+        assert n == want_n and st == best + 1, d
+        assert sn == " ".join(toks[best : best + 8])
+        assert n >= 1  # these docs matched the query
+    # multi-term clauses highlight their expansions too
+    r2 = s.highlight("lo* index", ids, window=8)
+    assert all(n >= 1 for n in r2["n_matched"].to_pylist())
+    with pytest.raises(ValueError, match="window must be positive"):
+        s.highlight("def", ids, window=0)
