@@ -877,15 +877,14 @@ def q_highlight(sf_dir: str):
     parts = []
     for qid, qtext in enumerate(HIGHLIGHT_QUERIES):
         r = s.highlight(qtext, ids, window=HIGHLIGHT_WINDOW)
+        rids = r["doc_id"].to_numpy(zero_copy_only=False)
         parts.append(
             pa.table(
                 {
                     "query_id": pa.array(
                         np.full(r.num_rows, qid, dtype=np.int64)
                     ),
-                    "doc_id": pa.array(
-                        np.array(HIGHLIGHT_DOCS, dtype=np.int64)
-                    ),
+                    "doc_id": pa.array(_orig_ids(s, rids)),
                     "start": r["start"],
                     "n_matched": r["n_matched"],
                     "snippet": r["snippet"],

@@ -812,7 +812,9 @@ class Searcher:
         (after multi-term expansion), earliest span on ties →
         pa.Table(doc_id, start, n_matched, snippet).  ``start`` is the
         1-based token index; a doc with no matching term reports
-        n_matched 0 with its leading window.  (ES highlighters re-run
+        n_matched 0 with its leading window; a doc with no analyzable
+        content yields no row (ES returns no highlight).  (ES
+        highlighters re-run
         the query per fragment; this is the vectorized-window analog —
         the span-selection contract is exact and oracle-checked.)"""
         if window <= 0:
@@ -825,6 +827,9 @@ class Searcher:
         q = parse_query(query) if isinstance(query, str) else query
         q = self._rewrite_prefixes(q)
         terms = set(q.scoring_terms)
+        # phrase-prefix stems highlight their expansions too
+        for _p, stem in q.phrase_prefixes:
+            terms |= set(self.expand_prefix(stem))
         docids = np.asarray(docids, dtype=np.int64)
         h = self.hydrate(np.sort(docids), columns=["doc_id", content_col])
         texts = dict(
@@ -835,8 +840,7 @@ class Searcher:
             toks = tokenize_text(texts.get(int(d)) or "")
             n = len(toks)
             if n == 0:
-                out_d.append(d), out_s.append(1), out_n.append(0), out_t.append("")
-                continue
+                continue  # no analyzable content → no highlight (ES-like)
             m = np.fromiter((t in terms for t in toks), dtype=np.int64, count=n)
             # windowed match counts via cumsum difference (vectorized)
             cum = np.concatenate(([0], np.cumsum(m)))
@@ -1048,7 +1052,9 @@ class Searcher:
     def contains_spec(tokens: list[str], terms: tuple, slop: int) -> bool:
         """Generalized ordered-window check: each element of ``terms``
         is a term string or a frozenset of alternatives (phrase-prefix
-        expansions); slop 0 = strict adjacency."""
+        expansions); slop 0 = strict adjacency.  The single reference
+        implementation of the ordered-window contract — the positional
+        greedy chain in ``freq_batch`` must stay equivalent."""
 
         def ok(tok, t):
             return tok in t if isinstance(t, frozenset) else tok == t
@@ -1073,31 +1079,6 @@ class Searcher:
                         good = False
                         break
             if good and p - i <= limit:
-                return True
-        return False
-
-    @staticmethod
-    def contains_sloppy(
-        tokens: list[str], phrase: tuple[str, ...], slop: int
-    ) -> bool:
-        """Ordered-window check: the phrase terms appear in order with
-        total span ≤ len-1+slop.  Greedy per start (each step takes the
-        earliest next occurrence) is exact — it minimizes the final
-        span for that start."""
-        limit = len(phrase) - 1 + slop
-        for i, tok in enumerate(tokens):
-            if tok != phrase[0]:
-                continue
-            p = i
-            ok = True
-            for t in phrase[1:]:
-                p += 1
-                while p < len(tokens) and tokens[p] != t:
-                    p += 1
-                if p >= len(tokens):
-                    ok = False
-                    break
-            if ok and p - i <= limit:
                 return True
         return False
 
@@ -1128,6 +1109,10 @@ class Searcher:
             )
         if self.phrase_scoring == "phrase_freq":
             return self._search_phrases_pfreq(q, k)
+        # resolve phrase specs ONCE per search — each deepening round
+        # reuses them (expand_prefix per phrase-prefix stem is dictionary
+        # I/O; recomputing it per round repeated identical work)
+        specs = self._phrase_specs(q)
         if k is not None and self.prune:
             # iterative deepening: block-max-pruned top-k' with k' = 4k,
             # verify; only re-score exhaustively when adjacency filtering
@@ -1138,14 +1123,14 @@ class Searcher:
                 ids, scores = self._score(q, k=kp)
                 ids, scores = bm25.sort_topk(ids, scores, kp)
                 exhausted = ids.size < kp  # fewer matches than the horizon
-                out = self._verify_phrases(q, ids, scores, k, content_col)
+                out = self._verify_phrases(q, ids, scores, k, content_col, specs)
                 if len(out[0]) >= k or exhausted:
                     return out
                 kp *= 4
         ids, scores = self._score(q, k=None)
         ids, scores = bm25.sort_topk(ids, scores, ids.size)
         return self._verify_phrases(
-            q, ids, scores, ids.size if k is None else k, content_col
+            q, ids, scores, ids.size if k is None else k, content_col, specs
         )
 
     def _verify_phrases(
@@ -1155,13 +1140,18 @@ class Searcher:
         scores: np.ndarray,
         want: int,
         content_col: str,
+        specs: tuple | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Adjacency-verify ``ids`` (already score-ordered) until ``want``
         survivors — via positional postings when the index carries them
         (no content read at all), else via docstore content re-analysis."""
+        if specs is None:
+            specs = self._phrase_specs(q)
         if self.manifest.get("index_positions"):
-            return self._verify_phrases_pos(q, ids, scores, want)
-        return self._verify_phrases_content(q, ids, scores, want, content_col)
+            return self._verify_phrases_pos(q, ids, scores, want, specs)
+        return self._verify_phrases_content(
+            q, ids, scores, want, content_col, specs
+        )
 
     def _phrase_specs(
         self, q: ParsedQuery
@@ -1179,7 +1169,7 @@ class Searcher:
             neg.append((tuple(p) + (frozenset(self.expand_prefix(stem)),), 0))
         return pos, neg
 
-    def _phrase_pos_ctx(self, q: ParsedQuery):
+    def _phrase_pos_ctx(self, q: ParsedQuery, specs: tuple | None = None):
         """Positional-postings batch context for the query's phrase
         terms: returns ``freq_batch(cand, phrases) ->
         int64[len(cand), len(phrases)]`` — per-candidate phrase
@@ -1190,7 +1180,7 @@ class Searcher:
         (one ragged gather per term), and the adjacency chain ``∃ p ∈
         P(t₁,d): p+i ∈ P(tᵢ₊₁,d) ∀i`` is a searchsorted membership pass
         per member — no per-document Python loop."""
-        pos_specs, neg_specs = self._phrase_specs(q)
+        pos_specs, neg_specs = specs if specs is not None else self._phrase_specs(q)
         term_set: set[str] = set()
         for p, _n in pos_specs + neg_specs:
             for t in p:
@@ -1335,14 +1325,21 @@ class Searcher:
         return freq_batch
 
     def _verify_phrases_pos(
-        self, q: ParsedQuery, ids: np.ndarray, scores: np.ndarray, want: int
+        self,
+        q: ParsedQuery,
+        ids: np.ndarray,
+        scores: np.ndarray,
+        want: int,
+        specs: tuple | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Index-native phrase verification: decodes only the phrase
         terms' rows, once; a doc survives iff every positive phrase
         occurs and no negative phrase does.  Vectorized in score-ordered
         chunks so the common case stops after one batch."""
-        freq_batch = self._phrase_pos_ctx(q)
-        pos_specs, neg_specs = self._phrase_specs(q)
+        if specs is None:
+            specs = self._phrase_specs(q)
+        freq_batch = self._phrase_pos_ctx(q, specs)
+        pos_specs, neg_specs = specs
         out_i: list[int] = []
         out_s: list[float] = []
         chunk = max(64, min(4 * want, 4096))
@@ -1381,11 +1378,12 @@ class Searcher:
         cand_ids, _ = self._score(q, k=None)
         if cand_ids.size == 0:
             return cand_ids, np.empty(0, dtype=np.float64)
-        freq_batch = self._phrase_pos_ctx(q)
+        specs = self._phrase_specs(q)
+        freq_batch = self._phrase_pos_ctx(q, specs)
         cand = cand_ids.astype(np.int64)
         pfreq = freq_batch(cand, [(p, 0) for p in q.phrases])
         keep = np.all(pfreq > 0, axis=1)
-        pos_specs, neg_specs = self._phrase_specs(q)
+        pos_specs, neg_specs = specs
         extra = pos_specs[len(q.phrases) :]  # sloppy + phrase-prefix chains
         if extra:
             # these stay FILTER-only even under phrase_freq scoring
@@ -1459,12 +1457,15 @@ class Searcher:
         scores: np.ndarray,
         want: int,
         content_col: str,
+        specs: tuple | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Adjacency-verify ``ids`` (already score-ordered) in chunks
         until ``want`` survivors."""
         from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
 
-        pos_specs, neg_specs = self._phrase_specs(q)
+        pos_specs, neg_specs = (
+            specs if specs is not None else self._phrase_specs(q)
+        )
         out_i: list[int] = []
         out_s: list[float] = []
         chunk = max(64, min(4 * want, 4096))

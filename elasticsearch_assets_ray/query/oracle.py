@@ -91,6 +91,10 @@ class OracleIndex:
                 must_not=list(pq_.must_not),
                 phrases=list(pq_.phrases),
                 not_phrases=list(pq_.not_phrases),
+                sloppy_phrases=list(pq_.sloppy_phrases),
+                not_sloppy_phrases=list(pq_.not_sloppy_phrases),
+                phrase_prefixes=list(pq_.phrase_prefixes),
+                not_phrase_prefixes=list(pq_.not_phrase_prefixes),
                 must_any=[list(g) for g in pq_.must_any],
             )
             sets = [
@@ -143,13 +147,27 @@ class OracleIndex:
             from elasticsearch_assets_ray.query.engine import Searcher
             from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
 
+            # resolve every phrase form into the shared (terms, slop)
+            # spec shape — phrase-prefix stems expand over THIS
+            # reference's vocabulary (same contract as the engine's
+            # term dictionary)
+            pos_specs = [(p, 0) for p in pq_.phrases] + list(pq_.sloppy_phrases)
+            neg_specs = [(p, 0) for p in pq_.not_phrases] + list(
+                pq_.not_sloppy_phrases
+            )
+            for p, stem in pq_.phrase_prefixes:
+                exp = frozenset(t for t in self.postings if t.startswith(stem))
+                pos_specs.append((tuple(p) + (exp,), 0))
+            for p, stem in pq_.not_phrase_prefixes:
+                exp = frozenset(t for t in self.postings if t.startswith(stem))
+                neg_specs.append((tuple(p) + (exp,), 0))
             keep = np.ones(ids.size, dtype=bool)
             for i, d in enumerate(ids):
                 toks = tokenize_text(self.contents.get(int(d)) or "")
                 ok = all(
-                    Searcher.contains_phrase(toks, p) for p in pq_.phrases
+                    Searcher.contains_spec(toks, p, n) for p, n in pos_specs
                 ) and not any(
-                    Searcher.contains_phrase(toks, p) for p in pq_.not_phrases
+                    Searcher.contains_spec(toks, p, n) for p, n in neg_specs
                 )
                 keep[i] = ok
             ids, scores = ids[keep], scores[keep]

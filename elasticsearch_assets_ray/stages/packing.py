@@ -54,6 +54,14 @@ def pack_batch(
 ) -> pa.Table:
     """Append ``pack_id`` (partition-prefixed) and ``pack_pos`` columns.
     Rows are packed in ``id_col`` order; the output keeps that order."""
+    if not 0 <= partition < (1 << (63 - PACK_SHIFT)):
+        # the prefix must fit above the 32-bit local pack number; ids
+        # that are themselves composite (e.g. this engine's internal
+        # pid<<shift docIDs) would silently wrap — refuse instead
+        raise ValueError(
+            f"partition prefix {partition} outside [0, 2^{63 - PACK_SHIFT}) "
+            "— pack over the source table's plain ids, not composite ones"
+        )
     order = np.argsort(
         batch[id_col].to_numpy(zero_copy_only=False), kind="stable"
     )
@@ -86,8 +94,9 @@ def pack_documents(
 
     # one batch per block: batch_size=None keeps block boundaries
     def _f(batch: pa.Table) -> pa.Table:
-        # partition prefix: the block's minimum id makes the prefix
-        # deterministic regardless of task scheduling order
+        # partition prefix: the block's MINIMUM id — deterministic
+        # regardless of task scheduling order (validated to fit above
+        # the 32-bit local pack number by pack_batch)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         part = int(ids.min()) if ids.size else 0
         return pack_batch(batch, budget, count_col, partition=part, id_col=id_col)

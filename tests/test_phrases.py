@@ -331,7 +331,7 @@ def test_sloppy_parser_and_semantics(built_index):
     want = {
         d
         for d, c in zip(h["doc_id"].to_pylist(), h["content"].to_pylist())
-        if Searcher.contains_sloppy(tokenize_text(c), ("def", "main"), 2)
+        if Searcher.contains_spec(tokenize_text(c), ("def", "main"), 2)
     }
     assert got == want
     # exact ⊆ slop-2 ⊆ conjunction
@@ -359,8 +359,8 @@ def test_sloppy_positional_equals_content(positional_index, built_index):
         assert a["score"].to_pylist() == b["score"].to_pylist(), q
 
 
-def test_contains_sloppy_reference():
-    c = Searcher.contains_sloppy
+def test_contains_spec_reference():
+    c = lambda toks, p, n: Searcher.contains_spec(toks, p, n)
     toks = "a x b y c".split()
     assert c(toks, ("a", "b"), 1)
     assert not c(toks, ("a", "b"), 0)
