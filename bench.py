@@ -325,6 +325,11 @@ def bench_query_surface(index_dir: str) -> dict:
         ("histogram", lambda: s.histogram("def load", "doc_len", 100.0)),
         ("collapse", lambda: s.search_collapse("def load index", k=10, collapse="lang")),
         ("mlt", lambda: s.more_like_this(src, k=10)),
+        ("sloppy_phrase", lambda: s.search('"def load"~2 index', k=10)),
+        ("phrase_prefix", lambda: s.search('"def lo*" index', k=10)),
+        ("regexp", lambda: s.search("/lo[a-d]d/ index", k=10)),
+        ("suggest", lambda: s.suggest_terms("lod indx", size=5)),
+        ("highlight", lambda: s.highlight("def load index", first["doc_id"].to_numpy(zero_copy_only=False), window=10) if first.num_rows else None),
     ]
     out = {}
     for name, fn in cases:
