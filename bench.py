@@ -325,6 +325,10 @@ def bench_query_surface(index_dir: str) -> dict:
         ("histogram", lambda: s.histogram("def load", "doc_len", 100.0)),
         ("collapse", lambda: s.search_collapse("def load index", k=10, collapse="lang")),
         ("mlt", lambda: s.more_like_this(src, k=10)),
+        # NOTE: the main bench index stores no positions, so the two
+        # phrase features below measure the CONTENT-verification
+        # fallback (hydrate + re-tokenize candidates) — a positional
+        # index serves them at point-query latency
         ("sloppy_phrase", lambda: s.search('"def load"~2 index', k=10)),
         ("phrase_prefix", lambda: s.search('"def lo*" index', k=10)),
         ("regexp", lambda: s.search("/lo[a-d]d/ index", k=10)),
