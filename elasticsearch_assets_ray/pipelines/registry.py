@@ -1073,6 +1073,59 @@ SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
 STRATA_FRACTIONS = {"de": 0.5, "en": 0.25, "fr": 0.75, "es": 1.0}
 
 
+def q_events_daily(sf_dir: str):
+    """ES date_histogram + cardinality aggregation analog over the
+    events table: per UTC day, event count and DISTINCT active users.
+    Counts are combiner-first (`partial_agg`); the distinct-user side
+    dedups (day, user) pairs with ONE bounded shuffle before the final
+    count — the two-phase exact-cardinality shape that scales (a
+    HyperLogLog sketch would replace phase one at extreme cardinality)."""
+    ds = _rd(sf_dir, "events", columns=["ts", "user_id"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.cast(
+                    pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us")
+                ),
+                "user_id": b["user_id"],
+            }
+        )
+
+    days = ds.map_batches(_day, batch_format="pyarrow")
+    n_events = partial_agg(
+        days,
+        ["day"],
+        [AggSpec("n_events", "user_id", "count")],
+        distinct_hint=64,  # days in the window
+    )
+    pairs = partial_agg(
+        days,
+        ["day", "user_id"],
+        [AggSpec("n", "user_id", "count")],
+    ).drop_columns(["n"])
+    n_users = partial_agg(
+        pairs,
+        ["day"],
+        [AggSpec("n_users", "user_id", "count")],
+        distinct_hint=64,
+    )
+    a = _collect(n_events)
+    b = _collect(n_users)
+    bmap = dict(
+        zip(b["day"].to_pylist(), b["n_users"].to_pylist())
+    )
+    return pa.table(
+        {
+            "day": a["day"],
+            "n_events": a["n_events"],
+            "n_users": pa.array(
+                [bmap[d] for d in a["day"].to_pylist()], pa.int64()
+            ),
+        }
+    )
+
+
 PACK_BUDGET = 1000
 
 
@@ -2253,6 +2306,12 @@ ORACLES: dict[str, str] = {
         "FROM base b LEFT JOIN t2 ON t2.doc_id = b.doc_id "
         "LEFT JOIN t3 ON t3.doc_id = b.doc_id"
     ),
+    "events_daily": (
+        "SELECT date_trunc('day', ts) AS day, "
+        "count(*)::BIGINT AS n_events, "
+        "count(DISTINCT user_id)::BIGINT AS n_users "
+        "FROM events GROUP BY day"
+    ),
     # facet/histogram aggregations: count over the exhaustive match set
     "facet_lang": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
@@ -2368,6 +2427,7 @@ QUERIES = {
     "search_phrase_prefix": q_search_phrase_prefix,
     "facet_lang": q_facet_lang,
     "histogram_nchars": q_histogram_nchars,
+    "events_daily": q_events_daily,
     "state_enrich": q_state_enrich,
     "date_interval_slices": q_date_interval_slices,
     "keyspace_plan": q_keyspace_plan,

@@ -76,3 +76,28 @@ def test_topk_matches_sort(sf_dir):
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 7"""
     ).df()
     assert got["o_orderkey"].to_pylist() == list(want["o_orderkey"])
+
+
+def test_events_daily_matches_pandas(ray_session):
+    """date_histogram + exact cardinality gate kernel vs pandas."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from elasticsearch_assets_ray.pipelines.registry import q_events_daily
+
+    out = q_events_daily("/root/testdata/sf0.001")
+    df = out.to_pandas().sort_values("day").reset_index(drop=True)
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["ts", "user_id"])
+    ref = (
+        ev.assign(day=ev["ts"].dt.floor("D"))
+        .groupby("day")
+        .agg(n_events=("user_id", "size"), n_users=("user_id", "nunique"))
+        .reset_index()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert df["day"].tolist() == ref["day"].tolist()
+    assert df["n_events"].tolist() == ref["n_events"].tolist()
+    assert df["n_users"].tolist() == ref["n_users"].tolist()
+    assert (df["n_users"] <= df["n_events"]).all()
