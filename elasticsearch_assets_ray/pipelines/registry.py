@@ -1054,6 +1054,53 @@ def q_search_msm(sf_dir: str):
     )
 
 
+RESCORE_PAIRS = [
+    ("spark table merge", "key value row"),
+    ("fast scan filter", "window agg"),
+    ("key value row column", "spark merge"),
+]
+RESCORE_WINDOW = 40
+RESCORE_QW, RESCORE_RW = 1.0, 2.0
+
+
+def q_search_rescore(sf_dir: str):
+    """ES rescore API analog: the primary top-window reranked by
+    primary·qw + secondary·rw, secondary gathered at the window only
+    (never a corpus-wide second scoring pass)."""
+    s = Searcher(documents_index(sf_dir))
+    parts = []
+    for qid, (prim, resc) in enumerate(RESCORE_PAIRS):
+        r = s.rescore(
+            prim,
+            resc,
+            k=RESCORE_WINDOW,
+            window_size=RESCORE_WINDOW,
+            query_weight=RESCORE_QW,
+            rescore_weight=RESCORE_RW,
+        )
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(_orig_ids(s, ids)),
+                    "sim": r["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
 def q_facet_lang(sf_dir: str):
     """ES terms-aggregation analog: per-language hit counts over every
     doc matching a BOOLEAN query (aggregations see the full match set,
@@ -2306,6 +2353,44 @@ ORACLES: dict[str, str] = {
         "FROM base b LEFT JOIN t2 ON t2.doc_id = b.doc_id "
         "LEFT JOIN t3 ON t3.doc_id = b.doc_id"
     ),
+    "search_rescore": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+        "q1(query_id, term) AS (VALUES "
+        + ", ".join(
+            f"({qid}, '{t}')"
+            for qid, (p, _r) in enumerate(RESCORE_PAIRS)
+            for t in sorted(set(p.split()))
+        )
+        + "), q2(query_id, term) AS (VALUES "
+        + ", ".join(
+            f"({qid}, '{t}')"
+            for qid, (_p, r) in enumerate(RESCORE_PAIRS)
+            for t in sorted(set(r.split()))
+        )
+        + "), "
+        "s1 AS (SELECT q1.query_id, tf.doc_id, sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+        " * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score "
+        " FROM q1 JOIN tf ON tf.term = q1.term JOIN df ON df.term = q1.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY q1.query_id, tf.doc_id), "
+        "s2 AS (SELECT q2.query_id, tf.doc_id, sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+        " * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score "
+        " FROM q2 JOIN tf ON tf.term = q2.term JOIN df ON df.term = q2.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY q2.query_id, tf.doc_id), "
+        "w AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        " ORDER BY round(score, 9) DESC, doc_id) AS prk FROM s1), "
+        "comb AS (SELECT w.query_id, w.doc_id, "
+        f" w.score * {RESCORE_QW!r} + coalesce(s2.score, 0) * {RESCORE_RW!r} AS total "
+        " FROM w LEFT JOIN s2 ON s2.query_id = w.query_id AND s2.doc_id = w.doc_id "
+        f" WHERE w.prk <= {RESCORE_WINDOW}) "
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(total, 9) DESC, doc_id) AS rank, round(total, 6) AS score_r "
+        f"FROM comb QUALIFY rank <= {SEARCH_K}"
+    ),
     "events_daily": (
         "SELECT date_trunc('day', ts) AS day, "
         "count(*)::BIGINT AS n_events, "
@@ -2428,6 +2513,7 @@ QUERIES = {
     "facet_lang": q_facet_lang,
     "histogram_nchars": q_histogram_nchars,
     "events_daily": q_events_daily,
+    "search_rescore": q_search_rescore,
     "state_enrich": q_state_enrich,
     "date_interval_slices": q_date_interval_slices,
     "keyspace_plan": q_keyspace_plan,

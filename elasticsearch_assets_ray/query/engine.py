@@ -801,6 +801,71 @@ class Searcher:
             }
         )
 
+    def rescore(
+        self,
+        query: str | ParsedQuery,
+        rescore_query: str | ParsedQuery,
+        k: int = 10,
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+    ) -> pa.Table:
+        """ES rescore API analog: take the primary query's top
+        ``window_size`` hits (at the round-9 ranking contract), add the
+        rescore query's bag-of-words BM25 over JUST those docs, and
+        return the top-k by ``primary·query_weight +
+        secondary·rescore_weight``.  Docs in the window that don't
+        match the rescore query keep their primary score (×weight) —
+        the rescore query never filters, exactly ES semantics."""
+        r = self.all_scores(query)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        sc = r["score"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        order = np.lexsort((ids, -bm25.round_half_up(sc, 9)))[:window_size]
+        w_ids, w_sc = ids[order], sc[order]
+        # secondary contributions gathered AT THE WINDOW ONLY (the
+        # pfreq standalone-gather shape: per-term postings searchsorted
+        # into the sorted window — never a corpus-wide score)
+        q2 = parse_query(rescore_query) if isinstance(rescore_query, str) else rescore_query
+        q2 = self._rewrite_prefixes(q2)
+        if q2.has_phrases or q2.bool_tree is not None:
+            raise ValueError(
+                "rescore queries are bag-of-words (terms / prefixes / "
+                "wildcards / fuzzies); phrases and boolean expressions "
+                "belong in the primary query"
+            )
+        sort2 = np.argsort(w_ids, kind="stable")
+        sw = w_ids[sort2].astype(np.int64)
+        sec_sorted = np.zeros(sw.size, dtype=np.float64)
+        terms2 = q2.scoring_terms
+        seg = self._segment_rows(terms2) if terms2 else None
+        if seg is not None and seg.num_rows:
+            seg_term = np.asarray(seg["term"].to_pylist(), dtype=object)
+            seg_df = seg["df"].to_numpy(zero_copy_only=False)
+            seg_bucket = seg["bucket"].to_numpy(zero_copy_only=False)
+            df_by_term: dict[str, int] = {}
+            for t, d in zip(seg_term, seg_df):
+                df_by_term[t] = df_by_term.get(t, 0) + int(d)
+            for t in terms2:
+                if t not in df_by_term:
+                    continue
+                w = bm25.math_idf(df_by_term[t], self.n_docs)
+                for i in np.flatnonzero(seg_term == t):
+                    d, sat, _ = self._decode_row_cached(
+                        seg, int(i), t, int(seg_bucket[i]), w=w
+                    )
+                    j = np.searchsorted(d, sw)
+                    ok = (j < d.size) & (d[np.minimum(j, d.size - 1)] == sw)
+                    sec_sorted[ok] += w * sat[j[ok]]
+        sec = np.empty_like(sec_sorted)
+        sec[sort2] = sec_sorted
+        total = w_sc * query_weight + sec * rescore_weight
+        top_i, top_s = bm25.sort_topk(w_ids, total, k)
+        return pa.table({"doc_id": pa.array(top_i), "score": pa.array(top_s)})
+
     def highlight(
         self,
         query: str | ParsedQuery,

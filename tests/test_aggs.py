@@ -190,3 +190,46 @@ def test_highlight_best_window(built_index):
     assert all(n >= 1 for n in r2["n_matched"].to_pylist())
     with pytest.raises(ValueError, match="window must be positive"):
         s.highlight("def", ids, window=0)
+
+
+# ---------------------------------------------------------------------------
+# rescore (secondary-query window reranking)
+# ---------------------------------------------------------------------------
+
+
+def test_rescore_matches_brute_force(built_index):
+    from elasticsearch_assets_ray.query import bm25
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    prim, resc = "def load index", "return value"
+    r = s.rescore(prim, resc, k=15, window_size=30, query_weight=1.0, rescore_weight=2.0)
+    # brute force: top-30 primary window (round9, id), add secondary
+    p = s.all_scores(prim)
+    pid_ = p["doc_id"].to_numpy(zero_copy_only=False)
+    psc = p["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((pid_, -bm25.round_half_up(psc, 9)))[:30]
+    w_ids, w_sc = pid_[order], psc[order]
+    sec_all = s.all_scores(resc)
+    smap = dict(zip(sec_all["doc_id"].to_pylist(), sec_all["score"].to_pylist()))
+    total = {
+        int(d): float(v) * 1.0 + smap.get(int(d), 0.0) * 2.0
+        for d, v in zip(w_ids, w_sc)
+    }
+    want = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert r["doc_id"].to_pylist() == [d for d, _v in want]
+    for got, (_d, v) in zip(r["score"].to_pylist(), want):
+        assert got == pytest.approx(v, rel=1e-12)
+    # docs outside the window never appear even with huge secondary
+    assert set(r["doc_id"].to_pylist()) <= set(w_ids.tolist())
+    # the rescore query reorders but never filters
+    assert r.num_rows == 15
+
+
+def test_rescore_rejects_structured_secondary(built_index):
+    idx, _ = built_index
+    s = Searcher(idx)
+    with pytest.raises(ValueError, match="bag-of-words"):
+        s.rescore("def", '"load index"', k=5)
+    with pytest.raises(ValueError, match="bag-of-words"):
+        s.rescore("def", "load AND index", k=5)
