@@ -1054,6 +1054,38 @@ def q_search_msm(sf_dir: str):
     )
 
 
+def q_function_score(sf_dir: str):
+    """ES function_score / field_value_factor analog: BM25 ×
+    log1p(0.01 · n_chars) — length boosting from stored metadata."""
+    s = Searcher(documents_index(sf_dir))
+    parts = []
+    for qid, q in enumerate(DOC_QUERIES[:4]):
+        r = s.function_score(
+            q, "n_chars", k=SEARCH_K + 90, factor=0.01, modifier="log1p"
+        )
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(_orig_ids(s, ids)),
+                    "sim": r["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
 RESCORE_PAIRS = [
     ("spark table merge", "key value row"),
     ("fast scan filter", "window agg"),
@@ -2353,6 +2385,31 @@ ORACLES: dict[str, str] = {
         "FROM base b LEFT JOIN t2 ON t2.doc_id = b.doc_id "
         "LEFT JOIN t3 ON t3.doc_id = b.doc_id"
     ),
+    "function_score": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+        "q(query_id, term) AS (VALUES "
+        + ", ".join(
+            f"({qid}, '{t}')"
+            for qid, qq in enumerate(DOC_QUERIES[:4])
+            for t in sorted(set(qq.split()))
+        )
+        + "), "
+        "scored AS (SELECT q.query_id, tf.doc_id, sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+        " * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score "
+        " FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        "fs AS (SELECT sc.query_id, sc.doc_id, "
+        " sc.score * ln(1 + 0.01 * COALESCE(d.n_chars, 0)) AS total "
+        " FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id) "
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(total, 9) DESC, doc_id) AS rank, round(total, 6) AS score_r "
+        f"FROM fs QUALIFY rank <= {SEARCH_K}"
+    ),
     "search_rescore": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
         "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
@@ -2514,6 +2571,7 @@ QUERIES = {
     "histogram_nchars": q_histogram_nchars,
     "events_daily": q_events_daily,
     "search_rescore": q_search_rescore,
+    "function_score": q_function_score,
     "state_enrich": q_state_enrich,
     "date_interval_slices": q_date_interval_slices,
     "keyspace_plan": q_keyspace_plan,

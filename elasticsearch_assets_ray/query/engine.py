@@ -866,6 +866,46 @@ class Searcher:
         top_i, top_s = bm25.sort_topk(w_ids, total, k)
         return pa.table({"doc_id": pa.array(top_i), "score": pa.array(top_s)})
 
+    def function_score(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        k: int = 10,
+        factor: float = 1.0,
+        modifier: str = "log1p",
+        missing: float = 0.0,
+    ) -> pa.Table:
+        """ES function_score / field_value_factor analog: every hit's
+        BM25 score is MULTIPLIED by ``modifier(factor · field_value)``
+        (modifier ∈ none | log1p | sqrt; null field values use
+        ``missing``) — e.g. popularity or recency boosting from a
+        stored metadata column.  Exhaustive over the match set (the
+        factor is unbounded, so no score-only pruning bound holds);
+        field reads are pid-pruned via :meth:`hydrate`."""
+        mods = {
+            "none": lambda v: v,
+            "log1p": np.log1p,
+            "sqrt": np.sqrt,
+        }
+        if modifier not in mods:
+            raise ValueError(f"unknown modifier {modifier!r} ({sorted(mods)})")
+        r = self.all_scores(query)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        sc = r["score"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        order = np.argsort(ids)
+        ids, sc = ids[order], sc[order]
+        vals = self.hydrate(ids, columns=[field])[field].combine_chunks()
+        v = pc.fill_null(pc.cast(vals, pa.float64()), missing).to_numpy(
+            zero_copy_only=False
+        )
+        total = sc * mods[modifier](factor * v)
+        top_i, top_s = bm25.sort_topk(ids, total, k)
+        return pa.table({"doc_id": pa.array(top_i), "score": pa.array(top_s)})
+
     def highlight(
         self,
         query: str | ParsedQuery,

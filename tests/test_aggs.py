@@ -233,3 +233,21 @@ def test_rescore_rejects_structured_secondary(built_index):
         s.rescore("def", '"load index"', k=5)
     with pytest.raises(ValueError, match="bag-of-words"):
         s.rescore("def", "load AND index", k=5)
+
+
+def test_function_score_matches_brute_force(built_index):
+    idx, _ = built_index
+    s = Searcher(idx)
+    r = s.function_score("def load index", "doc_len", k=12, factor=0.01, modifier="log1p")
+    base = s.all_scores("def load index")
+    ids = base["doc_id"].to_numpy(zero_copy_only=False)
+    sc = base["score"].to_numpy(zero_copy_only=False)
+    h = s.hydrate(np.sort(ids), columns=["doc_id", "doc_len"])
+    dl = dict(zip(h["doc_id"].to_pylist(), h["doc_len"].to_pylist()))
+    total = {int(d): float(v) * float(np.log1p(0.01 * dl[int(d)])) for d, v in zip(ids, sc)}
+    want = sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:12]
+    assert r["doc_id"].to_pylist() == [d for d, _v in want]
+    for got, (_d, v) in zip(r["score"].to_pylist(), want):
+        assert got == pytest.approx(v, rel=1e-12)
+    with pytest.raises(ValueError, match="unknown modifier"):
+        s.function_score("def", "doc_len", modifier="exp")
