@@ -333,6 +333,8 @@ def bench_query_surface(index_dir: str) -> dict:
         ("phrase_prefix", lambda: s.search('"def lo*" index', k=10)),
         ("regexp", lambda: s.search("/lo[a-d]d/ index", k=10)),
         ("suggest", lambda: s.suggest_terms("lod indx", size=5)),
+        ("rescore", lambda: s.rescore("def load index", "return value", k=10, window_size=50)),
+        ("function_score", lambda: s.function_score("def load index", "doc_len", k=10, factor=0.01)),
         ("highlight", lambda: s.highlight("def load index", first["doc_id"].to_numpy(zero_copy_only=False), window=10) if first.num_rows else None),
     ]
     out = {}
