@@ -1172,22 +1172,30 @@ def q_events_daily(sf_dir: str):
         )
 
     days = ds.map_batches(_day, batch_format="pyarrow")
-    n_events = partial_agg(
-        days,
-        ["day"],
-        [AggSpec("n_events", "user_id", "count")],
-        distinct_hint=64,  # days in the window
-    )
+    # ONE scan + ONE bounded shuffle: the (day, user) pair counts carry
+    # both answers — n_events = Σ pair counts, n_users = non-null pair
+    # rows.  The pair table is small (≤ users × days); materialize it so
+    # the two final aggregations don't re-execute the events scan.
     pairs = partial_agg(
         days,
         ["day", "user_id"],
-        [AggSpec("n", "user_id", "count")],
-    ).drop_columns(["n"])
-    n_users = partial_agg(
+        [AggSpec("n", "day", "count")],
+    ).materialize()
+    n_events = partial_agg(
         pairs,
         ["day"],
+        [AggSpec("n_events", "n", "sum")],
+        distinct_hint=4096,  # ~11 years of days
+    )
+    # count(DISTINCT user_id) excludes nulls (SQL semantics)
+    non_null = pairs.map_batches(
+        lambda b: b.filter(pc.is_valid(b["user_id"])), batch_format="pyarrow"
+    )
+    n_users = partial_agg(
+        non_null,
+        ["day"],
         [AggSpec("n_users", "user_id", "count")],
-        distinct_hint=64,
+        distinct_hint=4096,
     )
     a = _collect(n_events)
     b = _collect(n_users)
@@ -1199,7 +1207,7 @@ def q_events_daily(sf_dir: str):
             "day": a["day"],
             "n_events": a["n_events"],
             "n_users": pa.array(
-                [bmap[d] for d in a["day"].to_pylist()], pa.int64()
+                [bmap.get(d, 0) for d in a["day"].to_pylist()], pa.int64()
             ),
         }
     )

@@ -801,6 +801,39 @@ class Searcher:
             }
         )
 
+    def _gather_term_scores(
+        self, terms: list[str], sorted_ids: np.ndarray
+    ) -> np.ndarray:
+        """Bag-of-words BM25 contributions of ``terms`` gathered at the
+        SORTED candidate docids only (per-term postings searchsorted
+        into the candidates — never a corpus-wide scatter-add).  Sorted
+        term iteration and one bucket row per (term, doc) pin the float
+        addition order to the normal scorer's."""
+        out = np.zeros(sorted_ids.size, dtype=np.float64)
+        if not terms or sorted_ids.size == 0:
+            return out
+        seg = self._segment_rows(terms)
+        if seg is None or not seg.num_rows:
+            return out
+        seg_term = np.asarray(seg["term"].to_pylist(), dtype=object)
+        seg_df = seg["df"].to_numpy(zero_copy_only=False)
+        seg_bucket = seg["bucket"].to_numpy(zero_copy_only=False)
+        df_by_term: dict[str, int] = {}
+        for t, d in zip(seg_term, seg_df):
+            df_by_term[t] = df_by_term.get(t, 0) + int(d)
+        for t in terms:
+            if t not in df_by_term:
+                continue
+            w = bm25.math_idf(df_by_term[t], self.n_docs)
+            for i in np.flatnonzero(seg_term == t):
+                d, sat, _ = self._decode_row_cached(
+                    seg, int(i), t, int(seg_bucket[i]), w=w
+                )
+                j = np.searchsorted(d, sorted_ids)
+                ok = (j < d.size) & (d[np.minimum(j, d.size - 1)] == sorted_ids)
+                out[ok] += w * sat[j[ok]]
+        return out
+
     def rescore(
         self,
         query: str | ParsedQuery,
@@ -817,6 +850,35 @@ class Searcher:
         secondary·rescore_weight``.  Docs in the window that don't
         match the rescore query keep their primary score (×weight) —
         the rescore query never filters, exactly ES semantics."""
+        if window_size <= 0 or k <= 0:
+            raise ValueError("k and window_size must be positive")
+        if k > window_size:
+            raise ValueError(
+                f"k ({k}) must not exceed window_size ({window_size}) — "
+                "hits below the window are not rescored; widen the window"
+            )
+        q2 = parse_query(rescore_query) if isinstance(rescore_query, str) else rescore_query
+        q2 = self._rewrite_prefixes(q2)
+        if (
+            q2.has_phrases
+            or q2.bool_tree is not None
+            or q2.must
+            or q2.must_not
+            or q2.must_any
+            or q2.filters
+            or q2.not_filters
+            or q2.range_filters
+            or q2.not_range_filters
+            or q2.exists_filters
+            or q2.not_exists_filters
+        ):
+            # the window gather sums SHOULD contributions; accepting
+            # match-constraining clauses here would silently ignore them
+            raise ValueError(
+                "rescore queries are bag-of-SHOULD-words (plain terms, "
+                "prefixes, wildcards, fuzzies); +must/-not/phrases/"
+                "filters/boolean expressions belong in the primary query"
+            )
         r = self.all_scores(query)
         ids = r["doc_id"].to_numpy(zero_copy_only=False)
         sc = r["score"].to_numpy(zero_copy_only=False)
@@ -826,40 +888,10 @@ class Searcher:
             )
         order = np.lexsort((ids, -bm25.round_half_up(sc, 9)))[:window_size]
         w_ids, w_sc = ids[order], sc[order]
-        # secondary contributions gathered AT THE WINDOW ONLY (the
-        # pfreq standalone-gather shape: per-term postings searchsorted
-        # into the sorted window — never a corpus-wide score)
-        q2 = parse_query(rescore_query) if isinstance(rescore_query, str) else rescore_query
-        q2 = self._rewrite_prefixes(q2)
-        if q2.has_phrases or q2.bool_tree is not None:
-            raise ValueError(
-                "rescore queries are bag-of-words (terms / prefixes / "
-                "wildcards / fuzzies); phrases and boolean expressions "
-                "belong in the primary query"
-            )
+        # secondary contributions gathered AT THE WINDOW ONLY
         sort2 = np.argsort(w_ids, kind="stable")
         sw = w_ids[sort2].astype(np.int64)
-        sec_sorted = np.zeros(sw.size, dtype=np.float64)
-        terms2 = q2.scoring_terms
-        seg = self._segment_rows(terms2) if terms2 else None
-        if seg is not None and seg.num_rows:
-            seg_term = np.asarray(seg["term"].to_pylist(), dtype=object)
-            seg_df = seg["df"].to_numpy(zero_copy_only=False)
-            seg_bucket = seg["bucket"].to_numpy(zero_copy_only=False)
-            df_by_term: dict[str, int] = {}
-            for t, d in zip(seg_term, seg_df):
-                df_by_term[t] = df_by_term.get(t, 0) + int(d)
-            for t in terms2:
-                if t not in df_by_term:
-                    continue
-                w = bm25.math_idf(df_by_term[t], self.n_docs)
-                for i in np.flatnonzero(seg_term == t):
-                    d, sat, _ = self._decode_row_cached(
-                        seg, int(i), t, int(seg_bucket[i]), w=w
-                    )
-                    j = np.searchsorted(d, sw)
-                    ok = (j < d.size) & (d[np.minimum(j, d.size - 1)] == sw)
-                    sec_sorted[ok] += w * sat[j[ok]]
+        sec_sorted = self._gather_term_scores(q2.scoring_terms, sw)
         sec = np.empty_like(sec_sorted)
         sec[sort2] = sec_sorted
         total = w_sc * query_weight + sec * rescore_weight
@@ -1508,32 +1540,11 @@ class Searcher:
         # ('+foo "foo bar"' still conflates — parser limitation.)
         members = {t for p in q.phrases for t in p}
         standalone = sorted(set(q.should) | (set(q.must) - members))
-        base = np.zeros(ids.size, dtype=np.float64)
-        if standalone:
-            # gather per-term contributions AT THE CANDIDATES ONLY — a
-            # corpus-wide _score here would scatter-add every posting of
-            # every standalone term per query.  Sorted term iteration and
-            # one bucket row per (term, doc) pin the float addition order
-            # to the normal scorer's.
-            seg = self._segment_rows(standalone)
-            if seg is not None and seg.num_rows:
-                seg_term = np.asarray(seg["term"].to_pylist(), dtype=object)
-                seg_df = seg["df"].to_numpy(zero_copy_only=False)
-                seg_bucket = seg["bucket"].to_numpy(zero_copy_only=False)
-                df_by_term: dict[str, int] = {}
-                for t, d in zip(seg_term, seg_df):
-                    df_by_term[t] = df_by_term.get(t, 0) + int(d)
-                for t in standalone:
-                    if t not in df_by_term:
-                        continue
-                    w = bm25.math_idf(df_by_term[t], self.n_docs)
-                    for i in np.flatnonzero(seg_term == t):
-                        d, sat, _ = self._decode_row_cached(
-                            seg, int(i), t, int(seg_bucket[i]), w=w
-                        )
-                        j = np.searchsorted(d, ids)
-                        ok = (j < d.size) & (d[np.minimum(j, d.size - 1)] == ids)
-                        base[ok] += w * sat[j[ok]]
+        # gather per-term contributions AT THE CANDIDATES ONLY — a
+        # corpus-wide _score here would scatter-add every posting of
+        # every standalone term per query (ids are bucket-ascending =
+        # sorted, as _gather_term_scores requires)
+        base = self._gather_term_scores(standalone, ids)
         # phrase clauses, in query order (pinned float addition order)
         dls = self.doclens_for(ids).astype(np.float64)
         score = base

@@ -229,10 +229,21 @@ def test_rescore_matches_brute_force(built_index):
 def test_rescore_rejects_structured_secondary(built_index):
     idx, _ = built_index
     s = Searcher(idx)
-    with pytest.raises(ValueError, match="bag-of-words"):
+    with pytest.raises(ValueError, match="bag-of-SHOULD"):
         s.rescore("def", '"load index"', k=5)
-    with pytest.raises(ValueError, match="bag-of-words"):
+    with pytest.raises(ValueError, match="bag-of-SHOULD"):
         s.rescore("def", "load AND index", k=5)
+    # must/not/filter secondaries would be silently mis-scored — reject
+    with pytest.raises(ValueError, match="bag-of-SHOULD"):
+        s.rescore("def", "+load index", k=5)
+    with pytest.raises(ValueError, match="bag-of-SHOULD"):
+        s.rescore("def", "load -index", k=5)
+    with pytest.raises(ValueError, match="bag-of-SHOULD"):
+        s.rescore("def", "load lang:python", k=5)
+    with pytest.raises(ValueError, match="must not exceed window_size"):
+        s.rescore("def", "load", k=100, window_size=50)
+    with pytest.raises(ValueError, match="must be positive"):
+        s.rescore("def", "load", k=5, window_size=-1)
 
 
 def test_function_score_matches_brute_force(built_index):

@@ -78,7 +78,7 @@ def test_topk_matches_sort(sf_dir):
     assert got["o_orderkey"].to_pylist() == list(want["o_orderkey"])
 
 
-def test_events_daily_matches_pandas(ray_session):
+def test_events_daily_matches_pandas(ray_session, sf_dir):
     """date_histogram + exact cardinality gate kernel vs pandas."""
     import numpy as np
     import pandas as pd
@@ -86,9 +86,9 @@ def test_events_daily_matches_pandas(ray_session):
 
     from elasticsearch_assets_ray.pipelines.registry import q_events_daily
 
-    out = q_events_daily("/root/testdata/sf0.001")
+    out = q_events_daily(sf_dir)
     df = out.to_pandas().sort_values("day").reset_index(drop=True)
-    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet", columns=["ts", "user_id"])
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
     ref = (
         ev.assign(day=ev["ts"].dt.floor("D"))
         .groupby("day")
@@ -101,3 +101,30 @@ def test_events_daily_matches_pandas(ray_session):
     assert df["n_events"].tolist() == ref["n_events"].tolist()
     assert df["n_users"].tolist() == ref["n_users"].tolist()
     assert (df["n_users"] <= df["n_events"]).all()
+
+
+def test_events_daily_null_users_excluded(ray_session, monkeypatch, tmp_path):
+    """count(DISTINCT user) excludes nulls while n_events counts all
+    rows — the SQL semantics the oracle uses."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elasticsearch_assets_ray.pipelines.registry import q_events_daily
+
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [pa.scalar(0).cast(pa.timestamp("us"))] * 0
+                + [i * 3_600_000_000 for i in range(6)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 2, None, None, 3], pa.int64()),
+        }
+    )
+    d = tmp_path / "evnull"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = q_events_daily(str(d))
+    assert out.num_rows == 1
+    assert out["n_events"][0].as_py() == 6   # nulls count as events
+    assert out["n_users"][0].as_py() == 3    # nulls are not users
