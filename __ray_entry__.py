@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from elasticsearch_assets_ray.pipelines.registry import ORACLES, QUERIES
+from elasticsearch_assets_ray.pipelines.gates import GATE_ORACLES, GATES
 
 
 def entry() -> Any:
@@ -27,8 +27,11 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    return dict(QUERIES)
+    # Consolidated gate layer (<= 50 entries; the driver verifies at most
+    # ~50): every operator from pipelines.registry sits under exactly one
+    # gate here, either 1:1 or inside a schema-aligned composite.
+    return dict(GATES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return dict(GATE_ORACLES)
