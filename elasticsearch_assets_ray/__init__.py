@@ -32,6 +32,10 @@ __version__ = "0.1.0"
 
 
 def __getattr__(name):  # lazy heavy imports
+    if name == "ShardedSearcher":
+        from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+        return ShardedSearcher
     if name == "IncrementalIndex":
         from elasticsearch_assets_ray.index.incremental import IncrementalIndex
 

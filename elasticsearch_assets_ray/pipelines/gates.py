@@ -264,6 +264,8 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "embedding_topk",
         "embedding_dedup",
         "search_topk",
+        "search_sharded",
+        "fulltext_count",
         "search_page2",
         "collapse_source",
         "more_like_this",

@@ -789,9 +789,10 @@ def _search_many(
     fetch_k: int,
     index_dir: str | None = None,
     msm: list[int] | None = None,
+    searcher=None,
 ) -> pa.Table:
     idx = index_dir or documents_index(sf_dir)
-    s = Searcher(idx)
+    s = searcher if searcher is not None else Searcher(idx)
     parts = []
     for qid, q in enumerate(queries):
         res = s.search(
@@ -827,6 +828,35 @@ def _search_many(
 
 def q_search_topk(sf_dir: str):
     return _search_many(sf_dir, DOC_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
+def q_search_sharded(sf_dir: str):
+    """DOC_QUERIES through the doc-partitioned scatter-gather serving
+    path (query/sharded.py): 4 bucket-range shard ACTORS each holding
+    1/4 of the postings, dfs_query_then_fetch global df, coordinator
+    top-k merge — the native analog of the reference's N-shard ES search
+    (ElasticsearchReaderClient.ts:53-86).  Rank/score-identical to
+    q_search_topk by construction; the oracle is the same BM25 SQL."""
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    idx = documents_index(sf_dir)
+    sh = ShardedSearcher(idx, n_shards=4, use_actors=True)
+    return _search_many(
+        sf_dir, DOC_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90, searcher=sh
+    )
+
+
+def q_fulltext_count(sf_dir: str):
+    """ES `count` analog, distributed AND score-free: each shard counts
+    its local match set from decoded postings + filter masks without any
+    BM25 arithmetic (Searcher.match_ids), coordinator sums K integers."""
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    idx = documents_index(sf_dir)
+    sh = ShardedSearcher(idx, n_shards=4, use_actors=True)
+    qids = np.arange(len(DOC_QUERIES), dtype=np.int64)
+    cnts = np.array([sh.count(q) for q in DOC_QUERIES], dtype=np.int64)
+    return pa.table({"query_id": pa.array(qids), "cnt": pa.array(cnts)})
 
 
 def q_search_boolean(sf_dir: str):
@@ -905,8 +935,12 @@ def q_suggest_terms(sf_dir: str):
 def q_collapse_source(sf_dir: str):
     """ES field collapsing: top-10 hits for a bag-of-words query keeping
     only the best hit per `source` value (winner + final rank both at
-    the round9 contract)."""
-    s = Searcher(documents_index(sf_dir))
+    the round9 contract).  Served through the distributed path: shards
+    return LOCAL collapsed top-k, the coordinator re-collapses (exact —
+    see Searcher.collapse_ids)."""
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    s = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
     r = s.search_collapse("spark table merge", k=SEARCH_K, collapse="source")
     ids = r["doc_id"].to_numpy(zero_copy_only=False)
     oid = _orig_ids(s, ids)
@@ -1135,17 +1169,24 @@ def q_search_rescore(sf_dir: str):
 
 def q_facet_lang(sf_dir: str):
     """ES terms-aggregation analog: per-language hit counts over every
-    doc matching a BOOLEAN query (aggregations see the full match set,
-    not the fetch page); column read is pid-pruned."""
-    s = Searcher(documents_index(sf_dir))
-    return s.facet("(spark OR merge) AND table", by="lang")
+    doc matching a BOOLEAN query, served through the DISTRIBUTED path —
+    each bucket-range shard actor aggregates its own match set and only
+    K small (value, count) partials reach the coordinator (ES computes
+    aggs shard-side; the match set never crosses the wire)."""
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    return sh.facet("(spark OR merge) AND table", by="lang")
 
 
 def q_histogram_nchars(sf_dir: str):
     """ES histogram-aggregation analog: doc-count per
-    floor(n_chars/100)·100 bucket over the match set."""
-    s = Searcher(documents_index(sf_dir))
-    return s.histogram("spark table", "n_chars", 100.0)
+    floor(n_chars/100)·100 bucket, shard-side partial buckets merged by
+    summing (same distributed-agg contract as q_facet_lang)."""
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    return sh.histogram("spark table", "n_chars", 100.0)
 
 
 SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -2237,6 +2278,20 @@ ORACLES: dict[str, str] = {
         "SELECT r.part_id, s.k AS boundary_key FROM r JOIN s ON s.rn = r.rk"
     ),
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
+    "search_sharded": _bm25_sql(DOC_QUERIES, SEARCH_K),
+    "fulltext_count": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "qt(query_id, term) AS (VALUES "
+        + ", ".join(
+            f"({qid}, '{t}')"
+            for qid, q in enumerate(DOC_QUERIES)
+            for t in sorted(set(q.split()))
+        )
+        + "), "
+        "m AS (SELECT DISTINCT qt.query_id, tok.doc_id FROM qt "
+        " JOIN tok ON tok.term = qt.term) "
+        "SELECT query_id, count(*) AS cnt FROM m GROUP BY query_id"
+    ),
     "search_page2": _bm25_sql(DOC_QUERIES, SEARCH_K, page=2),
     "collapse_source": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
@@ -2557,6 +2612,8 @@ QUERIES = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_dedup": q_embedding_dedup,
     "search_topk": q_search_topk,
+    "search_sharded": q_search_sharded,
+    "fulltext_count": q_fulltext_count,
     "search_page2": q_search_page2,
     "collapse_source": q_collapse_source,
     "more_like_this": q_more_like_this,

@@ -87,6 +87,7 @@ class Searcher:
         prune: bool = True,
         shard_resident: bool = True,
         phrase_scoring: str = "terms",
+        bucket_range: tuple[int, int] | None = None,
     ):
         """``shard_resident=True`` (default) faults whole segment shards
         into actor memory once — fastest, memory ∝ touched shards.
@@ -94,6 +95,13 @@ class Searcher:
         shards exceed actor memory: every term lookup is a filtered
         Parquet read (``term`` is sorted within segment files, so row-
         group statistics prune the scan); memory ∝ query terms only.
+
+        ``bucket_range=(lo, hi)`` restricts this searcher to the docID
+        buckets ``lo <= bucket < hi`` — the doc-partitioned serving
+        shard of :class:`ShardedSearcher` (query/sharded.py).  Postings
+        outside the range are never loaded (memory ∝ own range), so BM25
+        df must be injected globally via ``search_prepared``'s
+        ``df_override`` (the ES ``dfs_query_then_fetch`` contract).
 
         ``phrase_scoring``: ``"terms"`` (default) scores phrase members
         as bag-of-words (adjacency is a pure filter — the documented
@@ -106,6 +114,7 @@ class Searcher:
         self.phrase_scoring = phrase_scoring
         self.index_dir = index_dir
         self.shard_resident = shard_resident
+        self.bucket_range = bucket_range
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.manifest = json.load(f)
         self.n_docs = int(self.manifest["n_docs"])
@@ -205,6 +214,13 @@ class Searcher:
         self._filterbits_bytes = 0
         self.filterbits_budget = 1 << 27  # 128 MB of bool rows per actor
         self._docstore_fields: frozenset[str] | None = None
+        # global-df injection for doc-partitioned serving (set transiently
+        # by search_prepared; None ⇒ df summed from this searcher's own
+        # segment rows, which IS global for an unrestricted searcher)
+        self._df_override: dict[str, int] | None = None
+        self.bucket_range = getattr(self, "bucket_range", None)
+        # term -> global df memo for the coordinator's term_dfs()
+        self._df_cache: dict[str, int] = {}
         # hydrate pruning observability: docstore part files opened
         self.hydrate_files_opened = 0
         # pruning observability (cumulative across this searcher's queries)
@@ -214,6 +230,8 @@ class Searcher:
             "rows_full_decode": 0,
             "rows_partial_decode": 0,  # only surviving 128-doc blocks decoded
             "rows_skipped": 0,  # rows with no surviving interval
+            "count_score_free": 0,  # match_ids served without BM25 arithmetic
+            "count_fallback_scored": 0,  # match_ids fell back to the scorer
         }
 
     # ---------- doc-length lookup (norms analog) ----------
@@ -304,9 +322,11 @@ class Searcher:
                 (empty["term"].combine_chunks(), np.empty(0, dtype=np.int64)),
             )
             return self._shard_cache[shard]
-        tbl = self._seg.to_table(
-            columns=cols, filter=pc.field("shard") == shard
-        )
+        filt = pc.field("shard") == shard
+        if self.bucket_range is not None:
+            lo, hi = self.bucket_range
+            filt = filt & (pc.field("bucket") >= lo) & (pc.field("bucket") < hi)
+        tbl = self._seg.to_table(columns=cols, filter=filt)
         # term dictionary stays an ARROW array: sorted index + binary
         # search per query term (O(log n) scalar reads) instead of
         # materializing every term of the shard as a Python string
@@ -367,11 +387,11 @@ class Searcher:
                     self._term_rows_cache[t] = None
                 else:
                     # cold mode: one filtered, statistics-pruned read
-                    got = self._seg.to_table(
-                        columns=cold_cols,
-                        filter=(pc.field("shard") == int(sh))
-                        & (pc.field("term") == t),
-                    )
+                    filt = (pc.field("shard") == int(sh)) & (pc.field("term") == t)
+                    if self.bucket_range is not None:
+                        lo, hi = self.bucket_range
+                        filt = filt & (pc.field("bucket") >= lo) & (pc.field("bucket") < hi)
+                    got = self._seg.to_table(columns=cold_cols, filter=filt)
                     self._term_rows_cache[t] = got if got.num_rows else None
         parts = [p for t in terms if (p := self._term_rows_cache[t]) is not None]
         if not parts:
@@ -1024,8 +1044,21 @@ class Searcher:
         if not collapse:
             raise ValueError("collapse field is required")
         r = self.all_scores(query)
-        ids = r["doc_id"].to_numpy(zero_copy_only=False)
-        sc = r["score"].to_numpy(zero_copy_only=False)
+        return self.collapse_ids(
+            r["doc_id"].to_numpy(zero_copy_only=False),
+            r["score"].to_numpy(zero_copy_only=False),
+            k,
+            collapse,
+        )
+
+    def collapse_ids(
+        self, ids: np.ndarray, sc: np.ndarray, k: int, collapse: str
+    ) -> pa.Table:
+        """Field collapsing over an explicit scored match set — the
+        shard-side partial of distributed collapse.  Merging K shards'
+        local collapsed top-k and re-collapsing is EXACT: a group's
+        global winner is some shard's local winner, and if it missed that
+        shard's top-k then ≥k groups outrank it globally too."""
         if ids.size == 0:
             return pa.table(
                 {
@@ -1125,6 +1158,15 @@ class Searcher:
         ids = (
             self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
         )
+        return self.facet_ids(ids, by, size)
+
+    def facet_ids(
+        self, ids: np.ndarray, by: str, size: int | None = None
+    ) -> pa.Table:
+        """Value counts of docstore column ``by`` over an explicit match
+        set — the shard-side partial of the distributed terms agg (a
+        bucket-range searcher's match set is its local partial; the
+        coordinator merges K small bucket tables, never doc ids)."""
         vals = self.hydrate(np.sort(ids), columns=[by])[by]
         # ES terms agg skips missing values
         vc = pc.value_counts(
@@ -1148,6 +1190,13 @@ class Searcher:
         ids = (
             self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
         )
+        return self.histogram_ids(ids, field, interval)
+
+    def histogram_ids(
+        self, ids: np.ndarray, field: str, interval: float
+    ) -> pa.Table:
+        """Histogram buckets over an explicit match set (the shard-side
+        partial of the distributed histogram agg)."""
         vals = self.hydrate(np.sort(ids), columns=[field])[field]
         v = (
             pc.drop_null(vals.combine_chunks())
@@ -1563,8 +1612,192 @@ class Searcher:
         seg = self._segment_rows([t])
         if seg is None or seg.num_rows == 0:
             return 0.0
+        if self._df_override is not None and t in self._df_override:
+            return float(bm25.math_idf(self._df_override[t], self.n_docs))
         df = int(pc.sum(seg["df"]).as_py())
         return float(bm25.math_idf(df, self.n_docs))
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Document frequency per term summed over THIS searcher's
+        segment rows (global for an unrestricted searcher, local for a
+        ``bucket_range`` shard).  The ShardedSearcher coordinator calls
+        this on its full-index view to build the ``df_override`` it
+        scatters with every query.  Cold mode reads only the (term, df)
+        columns — no posting blobs."""
+        out: dict[str, int] = {}
+        missing: list[str] = []
+        for t in terms:
+            hit = self._df_cache.get(t)
+            if hit is not None:
+                out[t] = hit
+            else:
+                missing.append(t)
+        if missing:
+            if self.shard_resident or not self._seg.files:
+                seg = self._segment_rows(missing)
+                got: dict[str, int] = {}
+                if seg is not None:
+                    for t, d in zip(seg["term"].to_pylist(), seg["df"].to_pylist()):
+                        got[t] = got.get(t, 0) + int(d)
+            else:
+                from elasticsearch_assets_ray.index.build import term_shard
+
+                got = {}
+                shards = term_shard(missing, self.num_shards)
+                for t, sh in zip(missing, shards):
+                    filt = (pc.field("shard") == int(sh)) & (pc.field("term") == t)
+                    if self.bucket_range is not None:
+                        lo, hi = self.bucket_range
+                        filt = filt & (pc.field("bucket") >= lo) & (pc.field("bucket") < hi)
+                    tb = self._seg.to_table(columns=["df"], filter=filt)
+                    if tb.num_rows:
+                        got[t] = int(pc.sum(tb["df"]).as_py())
+            for t in missing:
+                if t in got:
+                    self._df_cache[t] = got[t]
+                    out[t] = got[t]
+        if len(self._df_cache) > 500_000:
+            self._df_cache.clear()
+        return out
+
+    def search_prepared(
+        self,
+        q: ParsedQuery,
+        k: int = 10,
+        df_override: dict[str, int] | None = None,
+    ) -> pa.Table:
+        """Serve an ALREADY parsed+rewritten query with externally
+        supplied global df — the shard-side half of the scatter-gather
+        protocol.  The coordinator did parse / minimum_should_match /
+        multi-term rewrite once; per-doc scoring here is bit-identical to
+        an unrestricted searcher because tf, doclen, avgdl, n_docs and
+        (via ``df_override``) idf are all partition-independent."""
+        self._df_override = df_override
+        try:
+            if q.has_phrases:
+                ids, scores = self._search_phrases(q, k)
+            else:
+                ids, scores = self._score(q, k=k if self.prune else None)
+                ids, scores = bm25.sort_topk(ids, scores, k)
+        finally:
+            self._df_override = None
+        return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
+
+    def match_ids(
+        self, query: str | ParsedQuery, minimum_should_match: int = 0
+    ) -> np.ndarray:
+        """Every matching docID — WITHOUT BM25 arithmetic for the common
+        flat query shapes.  This is the F3 count path: an ES ``count``
+        never scores, and scoring is the expensive half of a common-term
+        probe (tf-saturation + idf scatter-add over every posting).
+        Boolean-expression trees, phrase queries and cursors fall back to
+        the scored path (their match semantics need per-doc evaluation
+        the score-free walk doesn't replicate); ``stats`` records which
+        path served each call."""
+        q = parse_query(query) if isinstance(query, str) else query
+        q = self._apply_msm(q, minimum_should_match)
+        q = self._rewrite_prefixes(q)
+        return self._match_ids(q)
+
+    def match_ids_prepared(
+        self, q: ParsedQuery, df_override: dict[str, int] | None = None
+    ) -> np.ndarray:
+        """Shard-side ``match_ids`` for an already-rewritten query (df
+        only affects scores, which this path skips — accepted for
+        interface symmetry with ``search_prepared``)."""
+        self._df_override = df_override
+        try:
+            return self._match_ids(q)
+        finally:
+            self._df_override = None
+
+    def _match_ids(self, q: ParsedQuery) -> np.ndarray:
+        if q.has_phrases or q.bool_tree is not None or q.search_after is not None:
+            self.stats["count_fallback_scored"] += 1
+            if q.has_phrases:
+                ids, _ = self._search_phrases(q, k=None)
+            else:
+                ids, _ = self._score(q, k=None)
+            return ids
+        self.stats["count_score_free"] += 1
+        fctx = self._filter_ctx(q)
+        terms = q.scoring_terms
+        need = sorted(set(terms) | set(q.must_not))
+        seg = self._segment_rows(need)
+        if seg is None or seg.num_rows == 0:
+            return np.empty(0, dtype=np.int64)
+        seg_term = np.asarray(seg["term"].to_pylist(), dtype=object)
+        seg_bucket = seg["bucket"].to_numpy(zero_copy_only=False)
+        present = set(seg_term)
+        must = [t for t in set(q.must)]
+        for t in must:
+            if t not in present:
+                return np.empty(0, dtype=np.int64)
+        for grp in q.must_any:
+            if not any(t in present for t in grp):
+                return np.empty(0, dtype=np.int64)
+        out: list[np.ndarray] = []
+        for b in np.unique(seg_bucket):
+            rows = np.flatnonzero(seg_bucket == b)
+            per_term: dict[str, np.ndarray] = {}
+            for i in rows:
+                t = seg_term[i]
+                hit = self._post_cache.get((t, int(b)))
+                if hit is not None:
+                    per_term[t] = hit[0]
+                else:
+                    d, _tf = self._decode_postings(
+                        seg["blob"][int(i)].as_py(), int(seg["df"][int(i)].as_py())
+                    )
+                    per_term[t] = d
+            parts = [per_term[t] for t in terms if t in per_term]
+            if not parts:
+                continue
+            ids_b = np.unique(np.concatenate(parts))
+            mask = np.ones(ids_b.size, dtype=bool)
+            for t in must:
+                have = per_term.get(t, np.empty(0, dtype=np.int64))
+                mask &= np.isin(ids_b, have)
+            for grp in q.must_any:
+                hp = [per_term[t] for t in grp if t in per_term]
+                have = np.concatenate(hp) if hp else np.empty(0, dtype=np.int64)
+                mask &= np.isin(ids_b, have)
+            for t in set(q.must_not):
+                if t in per_term:
+                    mask &= ~np.isin(ids_b, per_term[t])
+            if q.minimum_should_match > 0:
+                cnt = np.zeros(ids_b.size, dtype=np.int32)
+                for t in sorted(set(q.should)):
+                    h = per_term.get(t)
+                    if h is not None:
+                        cnt += np.isin(ids_b, h)
+                mask &= cnt >= q.minimum_should_match
+            if self._tombstones.size:
+                pos = np.searchsorted(self._tombstones, ids_b)
+                pos[pos >= self._tombstones.size] = 0
+                mask &= self._tombstones[pos] != ids_b
+            if fctx is not None:
+                mask &= fctx(ids_b)
+            out.append(ids_b[mask])
+        if not out:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(out)
+
+    def all_scores_prepared(
+        self, q: ParsedQuery, df_override: dict[str, int] | None = None
+    ) -> pa.Table:
+        """``all_scores`` for an already-rewritten query with injected
+        global df (shard-side exhaustive match set — feeds the per-shard
+        partial aggregations)."""
+        self._df_override = df_override
+        try:
+            if q.has_phrases:
+                ids, scores = self._search_phrases(q, k=None)
+            else:
+                ids, scores = self._score(q, k=None)
+        finally:
+            self._df_override = None
+        return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
 
     def _verify_phrases_content(
         self,
@@ -1735,6 +1968,14 @@ class Searcher:
         df_by_term: dict[str, int] = {}
         for t, d in zip(seg_term, seg_df):
             df_by_term[t] = df_by_term.get(t, 0) + int(d)
+        if self._df_override is not None:
+            # doc-partitioned shard: the local row sum is partial — use
+            # the coordinator's global df (dfs_query_then_fetch).  KEY
+            # membership stays local: a term with no postings in this
+            # shard's buckets matches no local doc regardless of df.
+            df_by_term = {
+                t: self._df_override.get(t, d) for t, d in df_by_term.items()
+            }
 
         idf_by_term = {
             t: bm25.math_idf(df_by_term[t], self.n_docs)

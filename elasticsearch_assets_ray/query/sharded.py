@@ -1,0 +1,330 @@
+"""Doc-partitioned scatter-gather serving (the distributed search path).
+
+The reference delegates search to an N-shard Elasticsearch cluster
+(packages/elasticsearch-asset-apis/src/elasticsearch-reader-api/
+ElasticsearchReaderClient.ts:53-86 — every ``search``/``count`` fans out to
+doc shards and the coordinating node merges).  This module is the native
+Ray analog over our own index layout:
+
+- The index's phase-2 layout already buckets postings by disjoint ordered
+  docID ranges (``bucket = pid // runs_per_bucket``, index/build.py), so a
+  serving shard is simply a CONTIGUOUS BUCKET RANGE: ``Searcher(
+  bucket_range=(lo, hi))`` loads only its range's postings (memory and
+  decode work ∝ 1/K of the corpus) and its queries only ever hydrate its
+  own docstore partitions (pid-pruned).
+- BM25 global statistics: ``n_docs``/``avgdl`` come from the manifest
+  (partition-independent); per-term df is collected ONCE per query by the
+  coordinator from its full-index view (column-pruned ``(term, df)`` reads,
+  no posting blobs) and scattered as ``df_override`` — exactly ES
+  ``dfs_query_then_fetch``.  Shard-local scoring is then bit-identical to
+  a single-process searcher: tf, doclen and idf are all the same floats,
+  and per-doc accumulation order is bucket-local in both paths.
+- Query rewrite (prefix / wildcard / fuzzy / regexp expansion against the
+  term dictionary) happens once on the coordinator, so every shard serves
+  the SAME rewritten query (per-shard expansion could differ only in
+  ``max_expansions`` edge behavior; centralizing removes the edge).
+- Merging: top-k is a k-way merge under the engine's (score desc, docID
+  asc) comparator over bit-identical floats, so sharded top-k is
+  RANK-IDENTICAL to single-searcher top-k (tests/test_sharded.py pins
+  this).  Aggregations merge per-shard PARTIAL bucket tables — the match
+  set itself never leaves the shard actors (the scale fix for the
+  driver-side facet/histogram/collapse flagged in round 3).
+
+Actors: ``use_actors=True`` wraps each shard in a Ray actor
+(``num_cpus=1`` by default) — one scatter per query, ``ray.get`` gather.
+``use_actors=False`` runs the same shard objects in-process (tests /
+latency experiments without actor overhead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from elasticsearch_assets_ray.query import bm25
+from elasticsearch_assets_ray.query import parser as parser_mod
+from elasticsearch_assets_ray.query.engine import Searcher
+from elasticsearch_assets_ray.query.parser import ParsedQuery, parse_query
+
+
+class ShardWorker:
+    """One doc-partition serving shard: a bucket-range Searcher plus the
+    shard-side halves of search / count / aggregations.  Used directly
+    (in-process) or as the body of a Ray actor."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        bucket_range: tuple[int, int],
+        prune: bool = True,
+        phrase_scoring: str = "terms",
+        shard_resident: bool = True,
+    ):
+        self.s = Searcher(
+            index_dir,
+            prune=prune,
+            shard_resident=shard_resident,
+            phrase_scoring=phrase_scoring,
+            bucket_range=bucket_range,
+        )
+
+    def search(self, q: ParsedQuery, k: int, df: dict[str, int]) -> pa.Table:
+        return self.s.search_prepared(q, k, df)
+
+    def count(self, q: ParsedQuery, df: dict[str, int]) -> int:
+        return self.s.match_ids_prepared(q, df).size
+
+    def facet(self, q: ParsedQuery, by: str, df: dict[str, int]) -> pa.Table:
+        """Local partial terms-agg: UNTRUNCATED value counts over the
+        shard's match set (truncation is only valid after the merge)."""
+        ids = self.s.match_ids_prepared(q, df)
+        return self.s.facet_ids(ids, by, size=None)
+
+    def histogram(
+        self, q: ParsedQuery, field: str, interval: float, df: dict[str, int]
+    ) -> pa.Table:
+        ids = self.s.match_ids_prepared(q, df)
+        return self.s.histogram_ids(ids, field, interval)
+
+    def collapse(
+        self, q: ParsedQuery, k: int, collapse: str, df: dict[str, int]
+    ) -> pa.Table:
+        r = self.s.all_scores_prepared(q, df)
+        return self.s.collapse_ids(
+            r["doc_id"].to_numpy(zero_copy_only=False),
+            r["score"].to_numpy(zero_copy_only=False),
+            k,
+            collapse,
+        )
+
+    def hydrate(self, docids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
+        return self.s.hydrate(np.asarray(docids, dtype=np.int64), columns=columns)
+
+    def stats(self) -> dict:
+        return dict(self.s.stats)
+
+
+class ShardedSearcher:
+    """Scatter-gather coordinator over K bucket-range shards.
+
+    Public surface mirrors :class:`Searcher` for the operations that
+    distribute: ``search`` / ``count`` / ``facet`` / ``histogram`` /
+    ``search_collapse`` / ``hydrate``.  Results are rank-identical to a
+    single :class:`Searcher` over the same index (pinned by tests)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        n_shards: int = 4,
+        use_actors: bool = False,
+        prune: bool = True,
+        phrase_scoring: str = "terms",
+        num_cpus: float = 1.0,
+    ):
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            man = json.load(f)
+        rpb = int(man.get("runs_per_bucket", 32))
+        n_buckets = int(man["max_pid"]) // rpb + 1
+        n_shards = max(1, min(n_shards, n_buckets))
+        # contiguous even split of the bucket space: bucket docID ranges
+        # are ordered, so ranges are ordered doc partitions
+        edges = np.linspace(0, n_buckets, n_shards + 1).astype(int)
+        self.ranges = [
+            (int(edges[i]), int(edges[i + 1])) for i in range(n_shards)
+        ]
+        self.n_shards = n_shards
+        self.use_actors = use_actors
+        # coordinator: COLD full-index view — parse/rewrite (term-dict
+        # reads) and global df (term+df column reads); never postings
+        self.coord = Searcher(index_dir, shard_resident=False)
+        if use_actors:
+            import ray
+
+            Actor = ray.remote(num_cpus=num_cpus)(ShardWorker)
+            self.shards = [
+                Actor.remote(
+                    index_dir,
+                    r,
+                    prune=prune,
+                    phrase_scoring=phrase_scoring,
+                )
+                for r in self.ranges
+            ]
+        else:
+            self.shards = [
+                ShardWorker(index_dir, r, prune=prune, phrase_scoring=phrase_scoring)
+                for r in self.ranges
+            ]
+
+    # ---------- coordinator-side query preparation ----------
+    def prepare(
+        self,
+        query: str | ParsedQuery,
+        minimum_should_match: int = 0,
+        search_after: tuple[float, int] | None = None,
+    ) -> tuple[ParsedQuery, dict[str, int]]:
+        """Parse + msm + cursor + multi-term rewrite + global df — the
+        dfs phase.  Mirrors Searcher.search's pre-processing exactly."""
+        q = parse_query(query) if isinstance(query, str) else query
+        q = Searcher._apply_msm(q, minimum_should_match)
+        if search_after is not None:
+            s_raw, aid = search_after
+            q = dataclasses.replace(
+                q,
+                search_after=(float(bm25.round_half_up(s_raw, 9)), int(aid)),
+            )
+        q = self.coord._rewrite_prefixes(q)
+        need = set(q.scoring_terms) | set(q.must_not)
+        if q.bool_tree is not None:
+            need |= parser_mod.tree_terms(q.bool_tree)
+        for grp in q.must_any:
+            need |= set(grp)
+        df = self.coord.term_dfs(sorted(need))
+        return q, df
+
+    def _gather(self, method: str, *args) -> list:
+        if self.use_actors:
+            import ray
+
+            return ray.get([getattr(a, method).remote(*args) for a in self.shards])
+        return [getattr(s, method)(*args) for s in self.shards]
+
+    # ---------- distributed operations ----------
+    def search(
+        self,
+        query: str | ParsedQuery,
+        k: int = 10,
+        minimum_should_match: int = 0,
+        search_after: tuple[float, int] | None = None,
+    ) -> pa.Table:
+        q, df = self.prepare(query, minimum_should_match, search_after)
+        parts = self._gather("search", q, k, df)
+        ids = np.concatenate(
+            [p["doc_id"].to_numpy(zero_copy_only=False) for p in parts]
+        )
+        sc = np.concatenate(
+            [p["score"].to_numpy(zero_copy_only=False) for p in parts]
+        )
+        ids, sc = bm25.sort_topk(ids, sc, k)
+        return pa.table({"doc_id": pa.array(ids), "score": pa.array(sc)})
+
+    def count(self, query: str | ParsedQuery, minimum_should_match: int = 0) -> int:
+        q, df = self.prepare(query, minimum_should_match)
+        return int(sum(self._gather("count", q, df)))
+
+    def facet(
+        self, query: str | ParsedQuery, by: str, size: int | None = None
+    ) -> pa.Table:
+        """Distributed terms agg: shard-side partial value counts, merged
+        by summing — only K small bucket tables reach the coordinator."""
+        q, df = self.prepare(query)
+        parts = [p for p in self._gather("facet", q, by, df) if p.num_rows]
+        if not parts:
+            return pa.table(
+                {"value": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+            )
+        allp = pa.concat_tables(parts)
+        merged = allp.group_by("value").aggregate([("count", "sum")])
+        t = pa.table(
+            {
+                "value": merged["value"],
+                "count": merged["count_sum"].combine_chunks().cast(pa.int64()),
+            }
+        )
+        t = t.sort_by([("count", "descending"), ("value", "ascending")])
+        return t.slice(0, size) if size is not None else t
+
+    def histogram(
+        self, query: str | ParsedQuery, field: str, interval: float
+    ) -> pa.Table:
+        q, df = self.prepare(query)
+        parts = [
+            p for p in self._gather("histogram", q, field, interval, df) if p.num_rows
+        ]
+        if not parts:
+            return pa.table(
+                {"bucket": pa.array([], pa.float64()), "count": pa.array([], pa.int64())}
+            )
+        allp = pa.concat_tables(parts)
+        merged = allp.group_by("bucket").aggregate([("count", "sum")])
+        return pa.table(
+            {
+                "bucket": merged["bucket"],
+                "count": merged["count_sum"].combine_chunks().cast(pa.int64()),
+            }
+        ).sort_by([("bucket", "ascending")])
+
+    def search_collapse(
+        self, query: str | ParsedQuery, k: int = 10, collapse: str = ""
+    ) -> pa.Table:
+        """Distributed field collapsing: shards return local collapsed
+        top-k; re-collapsing the union is exact (see
+        Searcher.collapse_ids)."""
+        if not collapse:
+            raise ValueError("collapse field is required")
+        q, df = self.prepare(query)
+        parts = [p for p in self._gather("collapse", q, k, collapse, df)]
+        allp = pa.concat_tables(parts)
+        ids = allp["doc_id"].to_numpy(zero_copy_only=False)
+        sc = allp["score"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            return allp.slice(0, 0)
+        vals = pc.cast(allp[collapse].combine_chunks(), pa.string())
+        r9 = bm25.round_half_up(sc, 9)
+        codes = (
+            pc.dictionary_encode(pc.fill_null(vals, ""))
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        nullmask = pc.is_null(vals).to_numpy(zero_copy_only=False)
+        codes = codes.copy()
+        # null collapse values stay singleton groups ACROSS shards too:
+        # key them by doc_id, not by shard-local position
+        codes[nullmask] = ids[nullmask] + codes.max() + 1
+        grp_order = np.lexsort((ids, -r9, codes))
+        g = codes[grp_order]
+        first = np.ones(g.size, dtype=bool)
+        first[1:] = g[1:] != g[:-1]
+        win = grp_order[first]
+        top = np.lexsort((ids[win], -bm25.round_half_up(sc[win], 9)))[:k]
+        sel = win[top]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel]),
+                "score": pa.array(sc[sel]),
+                collapse: vals.take(pa.array(sel, type=pa.int64())),
+            }
+        )
+
+    def hydrate(
+        self, docids: np.ndarray, columns: list[str] | None = None
+    ) -> pa.Table:
+        """Route each docID to its owning shard (docids are bucket-range
+        partitioned, so this is a range lookup, not a broadcast)."""
+        docids = np.asarray(docids, dtype=np.int64)
+        if not self.use_actors:
+            return self.coord.hydrate(docids, columns=columns)
+        import ray
+
+        rpb = int(self.coord.manifest.get("runs_per_bucket", 32))
+        bucket = (docids >> self.coord._doc_shift) // rpb
+        lows = np.array([r[0] for r in self.ranges])
+        owner = np.clip(np.searchsorted(lows, bucket, side="right") - 1, 0, self.n_shards - 1)
+        futs, sels = [], []
+        for i in range(self.n_shards):
+            sel = np.flatnonzero(owner == i)
+            if sel.size:
+                futs.append(self.shards[i].hydrate.remote(docids[sel], columns))
+                sels.append(sel)
+        parts = ray.get(futs)
+        combined = pa.concat_tables(parts)
+        order = np.argsort(np.concatenate(sels), kind="stable")
+        return combined.take(pa.array(order, type=pa.int64()))
+
+    def stats(self) -> list[dict]:
+        return self._gather("stats")

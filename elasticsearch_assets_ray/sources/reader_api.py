@@ -110,12 +110,13 @@ class ReaderAPI:
         if s.query:
             if self._searcher is None:
                 raise ValueError("fulltext slice needs index_dir")
-            res = self._searcher.all_scores(s.query)
+            # SCORE-FREE match cardinality: an ES count never scores, and
+            # BM25 arithmetic is the expensive half of a common-term probe
+            ids = self._searcher.match_ids(s.query)
             filt = self._filter(s)
             if filt is None:
-                n = res.num_rows
+                n = ids.size
             else:
-                ids = res["doc_id"].to_numpy(zero_copy_only=False)
                 # hydrate ONLY the columns the date/key filter references —
                 # a count probe on a common term must not materialize
                 # stored content for a large fraction of the corpus

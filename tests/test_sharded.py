@@ -1,0 +1,178 @@
+"""Doc-partitioned scatter-gather serving: rank identity vs the single
+searcher, distributed aggregations, score-free count parity, and the
+memory-restriction contract of bucket-range shards.
+
+Reference analog: ElasticsearchReaderClient.ts:53-86 — every search/count
+fans out to doc shards; scores must come out identical to the one-index
+view (our dfs_query_then_fetch global-df contract)."""
+
+import numpy as np
+import pytest
+
+from elasticsearch_assets_ray.query.engine import Searcher
+from elasticsearch_assets_ray.query.sharded import ShardedSearcher, ShardWorker
+
+QUERIES = [
+    "def load index",
+    "def load index value",
+    "+def load -zset",
+    "def AND (load OR index)",
+    "def load NOT zset",
+    "lang:python def load",
+    "de* load",
+    "lo?d index",
+    "load~1 index",
+    '"def load"',
+    "doc_len:[100 TO 400] def load",
+    "(def OR load) AND NOT (index AND value)",
+    "def^2 load",
+]
+
+
+@pytest.fixture(scope="module")
+def single(built_index):
+    idx, _ = built_index
+    return Searcher(idx)
+
+
+@pytest.fixture(scope="module")
+def sharded(built_index):
+    idx, _ = built_index
+    return ShardedSearcher(idx, n_shards=3, use_actors=False)
+
+
+def _eq_tables(a, b):
+    assert a.num_rows == b.num_rows
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    sa = a["score"].to_numpy(zero_copy_only=False)
+    sb = b["score"].to_numpy(zero_copy_only=False)
+    # bit-identical scores: same floats, same addition order, global df
+    np.testing.assert_array_equal(sa, sb)
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_rank_identity_sharded_vs_single(single, sharded, q):
+    _eq_tables(sharded.search(q, k=12), single.search(q, k=12))
+
+
+def test_rank_identity_exceeds_local_topk(single, sharded):
+    # k larger than any single shard's match share: merge must interleave
+    _eq_tables(sharded.search("def load", k=200), single.search("def load", k=200))
+
+
+def test_msm_and_search_after(single, sharded):
+    _eq_tables(
+        sharded.search("def load index value", k=10, minimum_should_match=2),
+        single.search("def load index value", k=10, minimum_should_match=2),
+    )
+    p1 = single.search("def load", k=5)
+    cur = (p1["score"][-1].as_py(), p1["doc_id"][-1].as_py())
+    _eq_tables(
+        sharded.search("def load", k=5, search_after=cur),
+        single.search("def load", k=5, search_after=cur),
+    )
+
+
+def test_sharded_facet_histogram_collapse(single, sharded):
+    q = "def load index"
+    f1, f2 = single.facet(q, by="lang"), sharded.facet(q, by="lang")
+    assert f1.to_pylist() == f2.to_pylist()
+    f1s, f2s = single.facet(q, by="lang", size=2), sharded.facet(q, by="lang", size=2)
+    assert f1s.to_pylist() == f2s.to_pylist()
+    h1 = single.histogram(q, "doc_len", 50.0)
+    h2 = sharded.histogram(q, "doc_len", 50.0)
+    assert h1.to_pylist() == h2.to_pylist()
+    c1 = single.search_collapse(q, k=8, collapse="lang")
+    c2 = sharded.search_collapse(q, k=8, collapse="lang")
+    assert c1["doc_id"].to_pylist() == c2["doc_id"].to_pylist()
+    np.testing.assert_array_equal(
+        c1["score"].to_numpy(zero_copy_only=False),
+        c2["score"].to_numpy(zero_copy_only=False),
+    )
+    assert c1["lang"].to_pylist() == c2["lang"].to_pylist()
+
+
+def test_sharded_count_matches_all_scores(single, sharded):
+    for q in QUERIES:
+        assert sharded.count(q) == single.all_scores(q).num_rows, q
+
+
+def test_match_ids_score_free_parity(single):
+    """match_ids == all_scores doc set; flat shapes never hit the scorer."""
+    flat = [
+        "def load index",
+        "+def load -zset",
+        "lang:python def load",
+        "de* load",
+        "doc_len:[100 TO 400] def load",
+    ]
+    for q in flat:
+        base = single.stats["count_fallback_scored"]
+        ids = single.match_ids(q)
+        want = single.all_scores(q)["doc_id"].to_numpy(zero_copy_only=False)
+        assert sorted(ids.tolist()) == sorted(want.tolist()), q
+        assert single.stats["count_fallback_scored"] == base, q
+    assert single.stats["count_score_free"] >= len(flat)
+    # tree / phrase shapes fall back but stay correct
+    for q in ['"def load"', "def AND (load OR index)"]:
+        ids = single.match_ids(q)
+        want = single.all_scores(q)["doc_id"].to_numpy(zero_copy_only=False)
+        assert sorted(ids.tolist()) == sorted(want.tolist()), q
+
+
+def test_msm_match_ids(single):
+    ids = single.match_ids("def load index value", minimum_should_match=3)
+    want = single.all_scores(
+        "def load index value", minimum_should_match=3
+    )["doc_id"].to_numpy(zero_copy_only=False)
+    assert sorted(ids.tolist()) == sorted(want.tolist())
+
+
+def test_bucket_range_restricts_loaded_postings(built_index):
+    """A shard loads ONLY its bucket range's segment rows, and shard df
+    sums to global df (the partition-independence the df_override relies
+    on)."""
+    idx, _ = built_index
+    full = Searcher(idx)
+    seg_full = full._segment_rows(["def"])
+    buckets = sorted(set(seg_full["bucket"].to_pylist()))
+    assert len(buckets) >= 2, "fixture must span multiple buckets"
+    sh = ShardedSearcher(idx, n_shards=3, use_actors=False)
+    total_df = 0
+    for w, (lo, hi) in zip(sh.shards, sh.ranges):
+        seg = w.s._segment_rows(["def"])
+        if seg is None:
+            continue
+        got = seg["bucket"].to_pylist()
+        assert all(lo <= b < hi for b in got), (lo, hi, got)
+        total_df += sum(seg["df"].to_pylist())
+    assert total_df == sum(seg_full["df"].to_pylist())
+
+
+def test_shard_worker_local_results_disjoint(built_index):
+    idx, _ = built_index
+    sh = ShardedSearcher(idx, n_shards=3, use_actors=False)
+    q, df = sh.prepare("def load index")
+    seen: set[int] = set()
+    for w in sh.shards:
+        ids = w.search(q, 50, df)["doc_id"].to_pylist()
+        assert not (seen & set(ids))
+        seen |= set(ids)
+
+
+def test_sharded_actors_smoke(built_index):
+    """The actual Ray-actor scatter-gather path (one query is enough —
+    the merge logic is shared with the in-process path)."""
+    idx, _ = built_index
+    single = Searcher(idx)
+    sh = ShardedSearcher(idx, n_shards=2, use_actors=True)
+    _eq_tables(sh.search("def load index", k=10), single.search("def load index", k=10))
+    assert sh.count("def load") == single.all_scores("def load").num_rows
+    f1 = single.facet("def load", by="lang")
+    f2 = sh.facet("def load", by="lang")
+    assert f1.to_pylist() == f2.to_pylist()
+    # hydrate routes ids to their owning shard
+    ids = single.search("def load", k=7)["doc_id"].to_numpy(zero_copy_only=False)
+    h1 = single.hydrate(ids, columns=["doc_id", "lang"])
+    h2 = sh.hydrate(ids, columns=["doc_id", "lang"])
+    assert h1.to_pylist() == h2.to_pylist()
