@@ -1418,20 +1418,24 @@ def q_bpe_token_count(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal plumbing through the gate: deterministic synthetic
-    binary payloads → actor-pool decode stage → shape features
-    (rows-only: binary decode is not SQL)."""
+    """Multimodal decode through the gate — now a REAL codec: payloads
+    are genuine PNG bytes (pure-Python encoder), the actor-pool stage
+    inflates + unfilters them (stages/png.py), and the oracle predicts
+    width/height/pixel-sum in closed form because the synthetic image
+    content is a pure function of media_id (synth_media_table fmt="png").
+    A wrong decode (filter math, CRC, inflate framing) breaks the hash."""
     from elasticsearch_assets_ray.stages import multimodal as mm
 
-    t = mm.synth_media_table(200)
+    t = mm.synth_media_table(200, fmt="png")
     ds = ray.data.from_arrow(t)
     out = ds.map_batches(
         mm.MediaDecodeStage,
+        fn_constructor_kwargs={"codec": "png"},
         batch_size=mm.MediaDecodeStage.suggested_batch_size,
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
-    return out.select_columns(["media_id", "width", "height", "n_pixels"])
+    return out.select_columns(["media_id", "width", "height", "n_pixels", "pix_sum"])
 
 
 def q_incremental_delta(sf_dir: str):
@@ -2276,6 +2280,18 @@ ORACLES: dict[str, str] = {
         "n AS (SELECT count(*) AS cnt FROM customer), "
         "r AS (SELECT i AS part_id, (i * cnt) // 8 + 1 AS rk FROM range(1, 8) t(i), n) "
         "SELECT r.part_id, s.k AS boundary_key FROM r JOIN s ON s.rn = r.rk"
+    ),
+    # closed-form prediction of the PNG decode output: the synthetic
+    # image content is a pure function of media_id (q_media_decode)
+    "media_decode": (
+        "WITH m AS (SELECT i AS media_id, 8 + (i*7919) % 56 AS width, "
+        " 8 + (i*104729) % 56 AS height FROM range(0, 200) t(i)), "
+        "j AS (SELECT media_id, width, height, "
+        " unnest(range(0, width*height)) AS jj FROM m), "
+        "s AS (SELECT media_id, sum((media_id*31 + jj*17) % 256)::BIGINT AS pix_sum "
+        " FROM j GROUP BY media_id) "
+        "SELECT m.media_id, m.width, m.height, m.width*m.height AS n_pixels, "
+        "s.pix_sum FROM m JOIN s USING (media_id)"
     ),
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "search_sharded": _bm25_sql(DOC_QUERIES, SEARCH_K),

@@ -630,18 +630,24 @@ def minhash_lsh_dedup(
     pairs_ds = exploded.groupby("grp").map_groups(
         verify_group, batch_format="pyarrow"
     )
+    # distinct pairs (same pair can surface from multiple bands) ALWAYS
+    # dedup distributed (distinct_pairs_ds) — the gate path and the
+    # 100 TB path are the same code; ``materialize`` only chooses whether
+    # the already-distinct result (bounded by verified-pair count, with
+    # the band-duplication already removed cluster-side) is collected
+    out = distinct_pairs_ds(pairs_ds, "jaccard_sim", "max")
     if not materialize:
-        return distinct_pairs_ds(pairs_ds, "jaccard_sim", "max")
-    pairs = pa.concat_tables(list(pairs_ds.iter_batches(batch_format="pyarrow")))
-    if pairs.num_rows == 0:
-        return pairs
-    # distinct pairs (same pair can surface from multiple bands); the
-    # driver-side concat is bounded by the RESULT size (verified pairs),
-    # not the corpus
-    g = pairs.group_by(["id_a", "id_b"], use_threads=False).aggregate(
-        [("jaccard_sim", "max")]
-    )
-    return g.rename_columns(["id_a", "id_b", "jaccard_sim"]).sort_by(
+        return out
+    batches = list(out.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard_sim": pa.array([], pa.float64()),
+            }
+        )
+    return pa.concat_tables(batches).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")]
     )
 
@@ -801,13 +807,21 @@ def simhash_near_dups(
         )
 
     pairs_ds = exploded.groupby("grp").map_groups(verify, batch_format="pyarrow")
+    # one code path for gate and scale: distributed distinct, then an
+    # optional result-bounded collect (see minhash_lsh_dedup)
+    out = distinct_pairs_ds(pairs_ds, "hamming", "min")
     if not materialize:
-        return distinct_pairs_ds(pairs_ds, "hamming", "min")
-    pairs = pa.concat_tables(list(pairs_ds.iter_batches(batch_format="pyarrow")))
-    if pairs.num_rows == 0:
-        return pairs
-    g = pairs.group_by(["id_a", "id_b"], use_threads=False).aggregate([("hamming", "min")])
-    return g.rename_columns(["id_a", "id_b", "hamming"]).sort_by(
+        return out
+    batches = list(out.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(batches).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")]
     )
 

@@ -2,14 +2,16 @@
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-The image/audio codec libraries are NOT available in this environment, so
-the *decode kernels* are stubs — either a clearly-marked
-``NotImplementedError`` (``codec="real"``) or a deterministic fake codec
-(``codec="fake"``, the default) that parses the synthetic payload header
-written by :func:`synth_media_table`.  Everything around the kernel — the
-Arrow schema, small-batch sizing for large payloads, actor signature,
-lazy one-time codec init, output layout — is real and tested; swapping in
-PIL/ffmpeg later changes only ``_decode_one``.
+Codecs: ``codec="png"`` is a REAL pure-Python PNG decode (stdlib zlib +
+full filter reconstruction, :mod:`.png` — 8-bit grayscale subset);
+``codec="fake"`` parses the synthetic payload header written by
+:func:`synth_media_table` (the zero-dependency stub); ``codec="real"``
+(PIL/ffmpeg for arbitrary formats) raises a clearly-marked
+``NotImplementedError`` — those libraries are not in this environment.
+Everything around the kernel — the Arrow schema, small-batch sizing for
+large payloads, actor signature, one-time codec init, output layout — is
+shared by all three; swapping in PIL/ffmpeg later changes only
+``_decode_one``.
 
 Scale notes: binary payloads are large → callers should pass a SMALL
 ``batch_size`` (``suggested_batch_size``) so batch × concurrency fits the
@@ -35,23 +37,49 @@ MEDIA_SCHEMA = pa.schema(
 _MAGIC = b"FAKEMEDIA1"
 
 
-def synth_media_table(n: int, seed: int = 5, kind: str = "image") -> pa.Table:
-    """Deterministic fake payloads: 10-byte magic + uint16 width/height (or
-    sample-rate/frames) + raw bytes.  Stands in for real encoded media."""
-    rng = np.random.default_rng(seed)
+def synth_media_table(
+    n: int, seed: int = 5, kind: str = "image", fmt: str = "fake"
+) -> pa.Table:
+    """Deterministic synthetic payloads.
+
+    ``fmt="fake"``: 10-byte magic + uint16 width/height + raw bytes
+    (rng-seeded — stands in for opaque encoded media).
+
+    ``fmt="png"``: REAL PNG-encoded grayscale images whose dimensions and
+    pixels are CLOSED-FORM functions of ``media_id`` (so a SQL oracle can
+    predict the decoded output without decoding):
+    ``w = 8 + (id·7919) mod 56``, ``h = 8 + (id·104729) mod 56``,
+    ``pixel[j] = (id·31 + j·17) mod 256`` in row-major order."""
     ids = np.arange(n, dtype=np.int64)
-    w = rng.integers(8, 64, n).astype(np.uint16)
-    h = rng.integers(8, 64, n).astype(np.uint16)
-    payloads = []
-    for i in range(n):
-        body = rng.integers(0, 256, int(w[i]) * int(h[i]), dtype=np.uint8)
-        payloads.append(_MAGIC + w[i].tobytes() + h[i].tobytes() + body.tobytes())
+    if fmt == "png":
+        from elasticsearch_assets_ray.stages.png import png_encode
+
+        payloads = []
+        for i in range(n):
+            w = 8 + (i * 7919) % 56
+            h = 8 + (i * 104729) % 56
+            body = ((i * 31 + np.arange(w * h, dtype=np.int64) * 17) % 256).astype(
+                np.uint8
+            )
+            payloads.append(png_encode(body.reshape(h, w)))
+        meta = "image/png"
+    elif fmt == "fake":
+        rng = np.random.default_rng(seed)
+        w = rng.integers(8, 64, n).astype(np.uint16)
+        h = rng.integers(8, 64, n).astype(np.uint16)
+        payloads = []
+        for i in range(n):
+            body = rng.integers(0, 256, int(w[i]) * int(h[i]), dtype=np.uint8)
+            payloads.append(_MAGIC + w[i].tobytes() + h[i].tobytes() + body.tobytes())
+        meta = "fake/v1"
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}")
     return pa.table(
         {
             "media_id": pa.array(ids),
             "kind": pa.array([kind] * n),
             "payload": pa.array(payloads, type=pa.large_binary()),
-            "meta_format": pa.array(["fake/v1"] * n),
+            "meta_format": pa.array([meta] * n),
             "meta_bytes": pa.array([len(p) for p in payloads], type=pa.int64()),
         }
     )
@@ -71,18 +99,29 @@ class MediaDecodeStage:
     def __init__(self, codec: str = "fake", drop_payload: bool = True):
         if codec == "real":
             raise NotImplementedError(
-                "real image/audio decode needs PIL/ffmpeg, not present in "
-                "this environment — use codec='fake' (deterministic stub)"
+                "arbitrary-format decode needs PIL/ffmpeg, not present in "
+                "this environment — use codec='png' (real pure-Python PNG) "
+                "or codec='fake' (deterministic stub)"
             )
-        if codec != "fake":
+        if codec not in ("fake", "png"):
             raise ValueError(f"unknown codec {codec!r}")
         self.codec = codec
+        if codec == "png":
+            # one-time codec init per actor
+            from elasticsearch_assets_ray.stages.png import png_decode
+
+            self._png_decode = png_decode
         self.drop_payload = drop_payload
         # one-time 'model load': histogram bin edges
         self.bins = np.linspace(0, 256, 17)
 
     def _decode_one(self, payload: bytes) -> tuple[int, int, np.ndarray]:
-        """THE stub kernel — replace with a real codec call."""
+        """The decode kernel: real PNG (inflate + unfilter) or the fake
+        header stub."""
+        if self.codec == "png":
+            img = self._png_decode(payload)
+            h, w = img.shape
+            return w, h, img.reshape(-1)
         if not payload.startswith(_MAGIC):
             raise ValueError("bad magic: not a fake-media payload")
         w = int(np.frombuffer(payload[10:12], dtype=np.uint16)[0])
@@ -95,11 +134,13 @@ class MediaDecodeStage:
         n = batch.num_rows
         widths = np.zeros(n, dtype=np.int64)
         heights = np.zeros(n, dtype=np.int64)
+        sums = np.zeros(n, dtype=np.int64)
         feats = np.zeros((n, 16), dtype=np.float64)
         for i in range(n):  # per-payload decode is inherently per-item
             w, h, body = self._decode_one(payloads[i].as_py())
             widths[i] = w
             heights[i] = h
+            sums[i] = int(body.astype(np.int64).sum())
             hist, _ = np.histogram(body, bins=self.bins)
             feats[i] = hist / max(1, body.size)
         cols = {
@@ -110,6 +151,7 @@ class MediaDecodeStage:
         cols["width"] = pa.array(widths)
         cols["height"] = pa.array(heights)
         cols["n_pixels"] = pa.array(widths * heights)
+        cols["pix_sum"] = pa.array(sums)
         cols["feature"] = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.reshape(-1)), 16
         )

@@ -93,3 +93,64 @@ def test_resize_stage_composes(ray_session):
     assert set(res["width"].to_pylist()) == {12}
     assert set(res["height"].to_pylist()) == {10}
     assert set(res["n_pixels"].to_pylist()) == {120}
+
+
+# ---------------------------------------------------------------------------
+# pure-Python PNG codec (stages/png.py)
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    from elasticsearch_assets_ray.stages.png import png_decode, png_encode
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (23, 17), dtype=np.uint8)
+    for ft in range(5):  # None / Sub / Up / Average / Paeth
+        data = png_encode(img, filter_type=ft)
+        assert data[:8] == b"\x89PNG\r\n\x1a\n"
+        out = png_decode(data)
+        np.testing.assert_array_equal(out, img), ft
+
+
+def test_png_rejects_corruption():
+    import numpy as np
+    import pytest as _pt
+
+    from elasticsearch_assets_ray.stages.png import png_decode, png_encode
+
+    img = np.zeros((4, 4), dtype=np.uint8)
+    data = bytearray(png_encode(img))
+    data[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with _pt.raises(ValueError, match="CRC"):
+        png_decode(bytes(data))
+    with _pt.raises(ValueError, match="signature"):
+        png_decode(b"nope")
+
+
+def test_decode_stage_png_codec(ray_session):
+    import numpy as np
+    import ray.data
+
+    from elasticsearch_assets_ray.stages import multimodal as mm
+
+    t = mm.synth_media_table(12, fmt="png")
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(
+            mm.MediaDecodeStage,
+            fn_constructor_kwargs={"codec": "png"},
+            batch_size=4,
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .to_pandas()
+    )
+    for _, r in out.iterrows():
+        i = int(r.media_id)
+        w = 8 + (i * 7919) % 56
+        h = 8 + (i * 104729) % 56
+        assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+        want = int(((i * 31 + np.arange(w * h) * 17) % 256).sum())
+        assert int(r.pix_sum) == want
