@@ -223,6 +223,11 @@ class Searcher:
         self._df_cache: dict[str, int] = {}
         # hydrate pruning observability: docstore part files opened
         self.hydrate_files_opened = 0
+        # serving gauges (reference ReaderAPIFetcher.ts:22-33 records
+        # fetched/slice counters; these are the engine-side analogs,
+        # surfaced via metrics() into bench records and tests)
+        self.queries_served = 0
+        self.records_served = 0
         # pruning observability (cumulative across this searcher's queries)
         self.stats = {
             "buckets_considered": 0,
@@ -763,7 +768,20 @@ class Searcher:
         else:
             ids, scores = self._score(q, k=k if self.prune else None)
             ids, scores = bm25.sort_topk(ids, scores, k)
+        self.queries_served += 1
+        self.records_served += int(ids.size)
         return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
+
+    def metrics(self) -> dict:
+        """Serving gauges + pruning counters for observability exports
+        (bench records, tests): queries/records served, docstore part
+        files opened by hydrate, and the block-max pruning stats."""
+        return {
+            "queries_served": self.queries_served,
+            "records_served": self.records_served,
+            "hydrate_files_opened": self.hydrate_files_opened,
+            **self.stats,
+        }
 
     def suggest_terms(
         self, text: str, size: int = 5, max_edits: int = 2
@@ -1681,6 +1699,8 @@ class Searcher:
                 ids, scores = bm25.sort_topk(ids, scores, k)
         finally:
             self._df_override = None
+        self.queries_served += 1
+        self.records_served += int(ids.size)
         return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
 
     def match_ids(

@@ -78,7 +78,21 @@ class ReaderAPI:
 
             self._searcher = Searcher(index_dir)
         self.records_fetched = 0  # F6 gauge analog
+        self.count_probes = 0  # slicer count-probe gauge
         self._keyspace = None  # lazy SortedKeyspace (see keyspace())
+
+    def metrics(self) -> dict:
+        """Reader gauges (reference ReaderAPIFetcher.ts:22-33 exposes
+        records-fetched / slice counters to Teraslice's metrics API);
+        engine-side searcher gauges are folded in when an index backs
+        this reader."""
+        out = {
+            "records_fetched": self.records_fetched,
+            "count_probes": self.count_probes,
+        }
+        if self._searcher is not None:
+            out["engine"] = self._searcher.metrics()
+        return out
 
     # ---------- predicates ----------
     def _filter(self, s: ReaderSlice):
@@ -107,6 +121,7 @@ class ReaderAPI:
         """F3: the count probe every slicer decision uses.  A fulltext
         slice counts EVERY matching doc (the ES `count` call has no
         result window), not the fetch top-k."""
+        self.count_probes += 1
         if s.query:
             if self._searcher is None:
                 raise ValueError("fulltext slice needs index_dir")

@@ -83,6 +83,70 @@ def translate_slice(
     return " AND ".join(parts)
 
 
+class HttpTransport:
+    """Stdlib HTTP transport for :class:`SpacesReaderAPI` — the real
+    network half of the reference's SpacesReaderClient (retry loop,
+    bearer-token auth, timeout: SpacesReaderClient.ts:18-400).
+
+    POSTs ``{"q": <xlucene>, "variables": {...}}`` to
+    ``<endpoint>/<index>/_search`` (or ``_count``) with
+    ``Authorization: Bearer <token>``.  Retries up to ``config.retry``
+    times with exponential backoff on 429/5xx and connection/timeout
+    errors; 4xx auth/client errors raise immediately (the reference does
+    not retry non-retryable statuses).  Tested against a loopback
+    ``http.server`` — no external network."""
+
+    def __init__(self, backoff_s: float = 0.05, sleep=None):
+        import time
+
+        self.backoff_s = backoff_s
+        self._sleep = sleep or time.sleep
+        self.requests_sent = 0
+        self.retries = 0
+
+    def _post(self, path: str, xlucene: str, config: SpacesAPIConfig) -> dict:
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        url = f"{config.endpoint.rstrip('/')}/{config.index}/{path}"
+        body = _json.dumps({"q": xlucene, "variables": config.variables}).encode()
+        headers = {
+            "Authorization": f"Bearer {config.token}",
+            "Content-Type": "application/json",
+            **config.headers,
+        }
+        last: Exception | None = None
+        for attempt in range(config.retry + 1):
+            req = urllib.request.Request(url, data=body, headers=headers)
+            self.requests_sent += 1
+            try:
+                with urllib.request.urlopen(
+                    req, timeout=config.timeout_ms / 1000.0
+                ) as resp:
+                    return _json.loads(resp.read().decode("utf-8"))
+            except urllib.error.HTTPError as e:
+                if e.code == 429 or 500 <= e.code < 600:
+                    last = e  # retryable server-side failure
+                else:
+                    raise  # auth / client error: never retried
+            except (urllib.error.URLError, TimeoutError, OSError) as e:
+                last = e
+            if attempt < config.retry:
+                self.retries += 1
+                self._sleep(self.backoff_s * (2**attempt))
+        raise last
+
+    def __call__(self, xlucene: str, config: SpacesAPIConfig):
+        import pyarrow as pa
+
+        payload = self._post("_search", xlucene, config)
+        return pa.Table.from_pylist(payload.get("results", []))
+
+    def count(self, xlucene: str, config: SpacesAPIConfig) -> int:
+        return int(self._post("_count", xlucene, config)["count"])
+
+
 class SpacesReaderAPI:
     """The second ReaderClient backend: same count/fetch protocol as
     ReaderAPI.  ``transport`` is a callable ``(xlucene, config) →
@@ -110,6 +174,8 @@ class SpacesReaderAPI:
         )
 
     def count(self, s: ReaderSlice) -> int:
+        if self._transport is not None and hasattr(self._transport, "count"):
+            return self._transport.count(self.translate(s), self.config)
         if self._local is not None:
             return self._local.count(s)
         raise RuntimeError("no transport and no local backend configured")

@@ -88,3 +88,24 @@ def test_fulltext_count_is_full_match_count(ray_session, corpus_dir, built_index
     from elasticsearch_assets_ray.query.engine import Searcher
 
     assert n == Searcher(idx_dir).all_scores("def").num_rows
+
+
+def test_metrics_gauges(built_index, corpus_dir):
+    """T5: records-fetched / count-probe / engine serving gauges
+    (reference ReaderAPIFetcher.ts:22-33)."""
+    from elasticsearch_assets_ray.sources.reader_api import ReaderAPI, ReaderSlice
+
+    idx, _ = built_index
+    api = ReaderAPI(corpus_dir, key_col="repo", index_dir=idx)
+    t = api.fetch(ReaderSlice(keys=["repo1"]))
+    n1 = t.num_rows
+    assert api.metrics()["records_fetched"] == n1
+    api.count(ReaderSlice(query="def load"))
+    m = api.metrics()
+    assert m["count_probes"] == 1
+    assert m["engine"]["count_score_free"] == 1
+    s = api._searcher
+    s.search("def load", k=5)
+    m = api.metrics()["engine"]
+    assert m["queries_served"] == 1
+    assert m["records_served"] == 5

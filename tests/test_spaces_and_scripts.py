@@ -117,3 +117,140 @@ def test_scripted_update(ray_session, tmp_path):
     ).sort_by([("k", "ascending")])
     assert out["bal"].to_pylist() == [10.0, 25.0, 30.0, 39.0]
     assert out.column_names == ["k", "bal"]
+
+
+# ---------------------------------------------------------------------------
+# loopback HTTP transport (real sockets, stdlib http.server — no network)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def loopback_server():
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    state = {"fail_next": 0, "requests": [], "hang_next": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            state["requests"].append(
+                {"path": self.path, "auth": self.headers.get("Authorization"), "body": body}
+            )
+            if self.headers.get("Authorization") != "Bearer sekrit":
+                self.send_response(401)
+                self.end_headers()
+                return
+            if state["fail_next"] > 0:
+                state["fail_next"] -= 1
+                self.send_response(503)
+                self.end_headers()
+                return
+            if state["hang_next"] > 0:
+                state["hang_next"] -= 1
+                import time
+
+                time.sleep(0.5)  # longer than the client timeout
+            if self.path.endswith("/_count"):
+                out = {"count": 42}
+            else:
+                out = {"results": [{"id": 1, "q": body["q"]}, {"id": 2, "q": body["q"]}]}
+            payload = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", state
+    srv.shutdown()
+
+
+def _cfg(endpoint, **kw):
+    from elasticsearch_assets_ray.sources.spaces import SpacesAPIConfig
+
+    base = dict(endpoint=endpoint, token="sekrit", index="idx", retry=3, timeout_ms=200)
+    base.update(kw)
+    return SpacesAPIConfig(**base)
+
+
+def test_http_transport_fetch_and_count(loopback_server):
+    from elasticsearch_assets_ray.sources.reader_api import ReaderSlice
+    from elasticsearch_assets_ray.sources.spaces import HttpTransport, SpacesReaderAPI
+
+    endpoint, state = loopback_server
+    tr = HttpTransport(backoff_s=0.001)
+    api = SpacesReaderAPI(_cfg(endpoint), transport=tr)
+    s = ReaderSlice(keys=("ab",), keys_exact=False)
+    t = api.fetch(s)
+    assert t.num_rows == 2
+    # the xLucene translation went over the wire
+    assert state["requests"][-1]["body"]["q"] == "key:ab*"
+    assert state["requests"][-1]["path"] == "/idx/_search"
+    assert api.count(s) == 42
+    assert state["requests"][-1]["path"] == "/idx/_count"
+    assert api.records_fetched == 2
+
+
+def test_http_transport_retries_on_5xx(loopback_server):
+    from elasticsearch_assets_ray.sources.reader_api import ReaderSlice
+    from elasticsearch_assets_ray.sources.spaces import HttpTransport, SpacesReaderAPI
+
+    endpoint, state = loopback_server
+    state["fail_next"] = 2  # two 503s, then success
+    tr = HttpTransport(backoff_s=0.001)
+    api = SpacesReaderAPI(_cfg(endpoint), transport=tr)
+    t = api.fetch(ReaderSlice(query="spark"))
+    assert t.num_rows == 2
+    assert tr.retries == 2
+    assert tr.requests_sent == 3
+
+
+def test_http_transport_exhausts_retries(loopback_server):
+    import urllib.error
+
+    from elasticsearch_assets_ray.sources.reader_api import ReaderSlice
+    from elasticsearch_assets_ray.sources.spaces import HttpTransport, SpacesReaderAPI
+
+    endpoint, state = loopback_server
+    state["fail_next"] = 99
+    tr = HttpTransport(backoff_s=0.001)
+    api = SpacesReaderAPI(_cfg(endpoint, retry=2), transport=tr)
+    with pytest.raises(urllib.error.HTTPError):
+        api.fetch(ReaderSlice(query="spark"))
+    assert tr.requests_sent == 3  # 1 + 2 retries
+
+
+def test_http_transport_bad_token_not_retried(loopback_server):
+    import urllib.error
+
+    from elasticsearch_assets_ray.sources.reader_api import ReaderSlice
+    from elasticsearch_assets_ray.sources.spaces import HttpTransport, SpacesReaderAPI
+
+    endpoint, _state = loopback_server
+    tr = HttpTransport(backoff_s=0.001)
+    api = SpacesReaderAPI(_cfg(endpoint, token="wrong"), transport=tr)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        api.fetch(ReaderSlice(query="spark"))
+    assert ei.value.code == 401
+    assert tr.requests_sent == 1  # auth errors are terminal
+
+
+def test_http_transport_timeout_retries(loopback_server):
+    from elasticsearch_assets_ray.sources.reader_api import ReaderSlice
+    from elasticsearch_assets_ray.sources.spaces import HttpTransport, SpacesReaderAPI
+
+    endpoint, state = loopback_server
+    state["hang_next"] = 1  # first response sleeps past the 200 ms timeout
+    tr = HttpTransport(backoff_s=0.001)
+    api = SpacesReaderAPI(_cfg(endpoint), transport=tr)
+    t = api.fetch(ReaderSlice(query="spark"))
+    assert t.num_rows == 2
+    assert tr.requests_sent >= 2
