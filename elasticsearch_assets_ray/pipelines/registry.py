@@ -2305,8 +2305,13 @@ ORACLES: dict[str, str] = {
         )
         + "), "
         "m AS (SELECT DISTINCT qt.query_id, tok.doc_id FROM qt "
-        " JOIN tok ON tok.term = qt.term) "
-        "SELECT query_id, count(*) AS cnt FROM m GROUP BY query_id"
+        " JOIN tok ON tok.term = qt.term), "
+        "c AS (SELECT query_id, count(*) AS cnt FROM m GROUP BY query_id), "
+        "q2 AS (SELECT DISTINCT query_id FROM qt) "
+        # zero-match queries still emit a row (the engine side always
+        # reports every query_id)
+        "SELECT q2.query_id, COALESCE(c.cnt, 0)::BIGINT AS cnt "
+        "FROM q2 LEFT JOIN c USING (query_id)"
     ),
     "search_page2": _bm25_sql(DOC_QUERIES, SEARCH_K, page=2),
     "collapse_source": (

@@ -59,6 +59,35 @@ def _bisect_sorted(sorted_arr: pa.Array, x: str) -> int:
             hi = mid
     return lo
 
+def collapse_winners(
+    ids: np.ndarray, sc: np.ndarray, vals: pa.Array, k: int
+) -> np.ndarray:
+    """THE collapse winner-selection comparator, shared by the single
+    searcher and the sharded coordinator so the ranking contract cannot
+    diverge: winner per group = first of (value, round9-score desc,
+    doc_id asc); final top-k re-ranked the same way.  Null collapse
+    values stay singleton groups, keyed by doc_id (ES keeps them as
+    individual hits).  Returns selected row indices."""
+    from elasticsearch_assets_ray.query import bm25 as _bm25
+
+    r9 = _bm25.round_half_up(sc, 9)
+    codes = (
+        pc.dictionary_encode(pc.fill_null(vals, ""))
+        .indices.to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    nullmask = pc.is_null(vals).to_numpy(zero_copy_only=False)
+    codes = codes.copy()
+    codes[nullmask] = ids[nullmask] + codes.max() + 1
+    grp_order = np.lexsort((ids, -r9, codes))
+    g = codes[grp_order]
+    first = np.ones(g.size, dtype=bool)
+    first[1:] = g[1:] != g[:-1]
+    win = grp_order[first]
+    top = np.lexsort((ids[win], -_bm25.round_half_up(sc[win], 9)))[:k]
+    return win[top]
+
+
 _SEG_COLS = [
     "term",
     "bucket",
@@ -218,7 +247,18 @@ class Searcher:
         # by search_prepared; None ⇒ df summed from this searcher's own
         # segment rows, which IS global for an unrestricted searcher)
         self._df_override: dict[str, int] | None = None
+        # NOT redundant with __init__: MultiSearcher bypasses __init__
+        # and calls _init_runtime_state directly
         self.bucket_range = getattr(self, "bucket_range", None)
+        # ids-only decoded-postings LRU for the score-free count path
+        # (_match_ids): separate from _post_cache because its entries
+        # carry no tf-saturation floats (computing them is exactly the
+        # work the count path exists to skip)
+        from collections import OrderedDict as _OD
+
+        self._ids_cache: "_OD[tuple[str, int], np.ndarray]" = _OD()
+        self._ids_cache_bytes = 0
+        self.ids_cache_budget = 1 << 28
         # term -> global df memo for the coordinator's term_dfs()
         self._df_cache: dict[str, int] = {}
         # hydrate pruning observability: docstore part files opened
@@ -1004,7 +1044,7 @@ class Searcher:
         terms = set(q.scoring_terms)
         # phrase-prefix stems highlight their expansions too
         for _p, stem in q.phrase_prefixes:
-            terms |= set(self.expand_prefix(stem))
+            terms |= set(stem) if isinstance(stem, frozenset) else set(self.expand_prefix(stem))
         docids = np.asarray(docids, dtype=np.int64)
         h = self.hydrate(np.sort(docids), columns=["doc_id", content_col])
         texts = dict(
@@ -1089,23 +1129,7 @@ class Searcher:
         ids, sc = ids[order], sc[order]
         vals = self.hydrate(ids, columns=[collapse])[collapse]
         vals = pc.cast(vals.combine_chunks(), pa.string())
-        # winner per group: sort by (value, r9 desc, id asc), first of run
-        r9 = bm25.round_half_up(sc, 9)
-        codes = pc.dictionary_encode(pc.fill_null(vals, "")).indices.to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        nullmask = pc.is_null(vals).to_numpy(zero_copy_only=False)
-        # null values stay singleton groups: give each its own code
-        codes = codes.copy()
-        codes[nullmask] = np.arange(nullmask.sum()) + codes.max() + 1
-        grp_order = np.lexsort((ids, -r9, codes))
-        g = codes[grp_order]
-        first = np.ones(g.size, dtype=bool)
-        first[1:] = g[1:] != g[:-1]
-        win = grp_order[first]
-        w_ids, w_sc = ids[win], sc[win]
-        top = np.lexsort((w_ids, -bm25.round_half_up(w_sc, 9)))[:k]
-        sel = win[top]
+        sel = collapse_winners(ids, sc, vals, k)
         return pa.table(
             {
                 "doc_id": pa.array(ids[sel]),
@@ -1367,10 +1391,15 @@ class Searcher:
         expansion makes the chain unmatchable)."""
         pos = [(p, 0) for p in q.phrases] + list(q.sloppy_phrases)
         neg = [(p, 0) for p in q.not_phrases] + list(q.not_sloppy_phrases)
+        # a stem may arrive PRE-EXPANDED (a frozenset) from the sharded
+        # coordinator — expanding against a bucket-filtered local term
+        # dictionary could diverge on the max_expansions cap
         for p, stem in q.phrase_prefixes:
-            pos.append((tuple(p) + (frozenset(self.expand_prefix(stem)),), 0))
+            exp = stem if isinstance(stem, frozenset) else frozenset(self.expand_prefix(stem))
+            pos.append((tuple(p) + (exp,), 0))
         for p, stem in q.not_phrase_prefixes:
-            neg.append((tuple(p) + (frozenset(self.expand_prefix(stem)),), 0))
+            exp = stem if isinstance(stem, frozenset) else frozenset(self.expand_prefix(stem))
+            neg.append((tuple(p) + (exp,), 0))
         return pos, neg
 
     def _phrase_pos_ctx(self, q: ParsedQuery, specs: tuple | None = None):
@@ -1762,14 +1791,27 @@ class Searcher:
             per_term: dict[str, np.ndarray] = {}
             for i in rows:
                 t = seg_term[i]
-                hit = self._post_cache.get((t, int(b)))
+                key = (t, int(b))
+                hit = self._post_cache.get(key)
                 if hit is not None:
                     per_term[t] = hit[0]
-                else:
-                    d, _tf = self._decode_postings(
-                        seg["blob"][int(i)].as_py(), int(seg["df"][int(i)].as_py())
-                    )
-                    per_term[t] = d
+                    continue
+                ids_hit = self._ids_cache.get(key)
+                if ids_hit is not None:
+                    self._ids_cache.move_to_end(key)
+                    per_term[t] = ids_hit
+                    continue
+                d, _tf = self._decode_postings(
+                    seg["blob"][int(i)].as_py(), int(seg["df"][int(i)].as_py())
+                )
+                per_term[t] = d
+                # repeated count probes (one per slicer decision) must not
+                # re-decode the same blobs — ids-only LRU, no float work
+                self._ids_cache[key] = d
+                self._ids_cache_bytes += d.nbytes
+                while self._ids_cache_bytes > self.ids_cache_budget and self._ids_cache:
+                    _, old = self._ids_cache.popitem(last=False)
+                    self._ids_cache_bytes -= old.nbytes
             parts = [per_term[t] for t in terms if t in per_term]
             if not parts:
                 continue

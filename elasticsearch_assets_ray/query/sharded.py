@@ -48,7 +48,7 @@ import pyarrow.compute as pc
 
 from elasticsearch_assets_ray.query import bm25
 from elasticsearch_assets_ray.query import parser as parser_mod
-from elasticsearch_assets_ray.query.engine import Searcher
+from elasticsearch_assets_ray.query.engine import Searcher, collapse_winners
 from elasticsearch_assets_ray.query.parser import ParsedQuery, parse_query
 
 
@@ -179,6 +179,23 @@ class ShardedSearcher:
                 search_after=(float(bm25.round_half_up(s_raw, 9)), int(aid)),
             )
         q = self.coord._rewrite_prefixes(q)
+        if q.phrase_prefixes or q.not_phrase_prefixes:
+            # expand phrase-prefix stems ONCE against the full term
+            # dictionary — per-shard expansion over a bucket-filtered
+            # dictionary could pass a max_expansions cap the full
+            # dictionary would trip (behavioral divergence between the
+            # serving paths)
+            q = dataclasses.replace(
+                q,
+                phrase_prefixes=[
+                    (p, frozenset(self.coord.expand_prefix(st)) if not isinstance(st, frozenset) else st)
+                    for p, st in q.phrase_prefixes
+                ],
+                not_phrase_prefixes=[
+                    (p, frozenset(self.coord.expand_prefix(st)) if not isinstance(st, frozenset) else st)
+                    for p, st in q.not_phrase_prefixes
+                ],
+            )
         need = set(q.scoring_terms) | set(q.must_not)
         if q.bool_tree is not None:
             need |= parser_mod.tree_terms(q.bool_tree)
@@ -275,24 +292,10 @@ class ShardedSearcher:
         if ids.size == 0:
             return allp.slice(0, 0)
         vals = pc.cast(allp[collapse].combine_chunks(), pa.string())
-        r9 = bm25.round_half_up(sc, 9)
-        codes = (
-            pc.dictionary_encode(pc.fill_null(vals, ""))
-            .indices.to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        nullmask = pc.is_null(vals).to_numpy(zero_copy_only=False)
-        codes = codes.copy()
-        # null collapse values stay singleton groups ACROSS shards too:
-        # key them by doc_id, not by shard-local position
-        codes[nullmask] = ids[nullmask] + codes.max() + 1
-        grp_order = np.lexsort((ids, -r9, codes))
-        g = codes[grp_order]
-        first = np.ones(g.size, dtype=bool)
-        first[1:] = g[1:] != g[:-1]
-        win = grp_order[first]
-        top = np.lexsort((ids[win], -bm25.round_half_up(sc[win], 9)))[:k]
-        sel = win[top]
+        # re-collapse the union of local winners with the SAME comparator
+        # as the single searcher (shared helper — cannot diverge); null
+        # values stay singleton groups across shards (doc_id-keyed)
+        sel = collapse_winners(ids, sc, vals, k)
         return pa.table(
             {
                 "doc_id": pa.array(ids[sel]),
@@ -307,10 +310,15 @@ class ShardedSearcher:
         """Route each docID to its owning shard (docids are bucket-range
         partitioned, so this is a range lookup, not a broadcast)."""
         docids = np.asarray(docids, dtype=np.int64)
-        if not self.use_actors:
+        if not self.use_actors or docids.size == 0:
             return self.coord.hydrate(docids, columns=columns)
         import ray
 
+        # a shard may DROP unknown ids (the Searcher.hydrate contract),
+        # so alignment must come from the returned doc_id column, not
+        # from assuming every requested row came back
+        need_doc = columns is not None and "doc_id" not in columns
+        cols2 = (["doc_id"] + list(columns)) if need_doc else columns
         rpb = int(self.coord.manifest.get("runs_per_bucket", 32))
         bucket = (docids >> self.coord._doc_shift) // rpb
         lows = np.array([r[0] for r in self.ranges])
@@ -319,12 +327,28 @@ class ShardedSearcher:
         for i in range(self.n_shards):
             sel = np.flatnonzero(owner == i)
             if sel.size:
-                futs.append(self.shards[i].hydrate.remote(docids[sel], columns))
+                futs.append(self.shards[i].hydrate.remote(docids[sel], cols2))
                 sels.append(sel)
         parts = ray.get(futs)
+        kept: list[np.ndarray] = []
+        for part, sel in zip(parts, sels):
+            got = part["doc_id"].to_numpy(zero_copy_only=False)
+            # a shard returns its requested ids in order minus drops —
+            # a two-pointer walk recovers the surviving positions (and
+            # stays correct under duplicate requested ids)
+            req = docids[sel]
+            keep = np.empty(len(got), dtype=np.int64)
+            j = 0
+            for n_, g in enumerate(got):
+                while req[j] != g:
+                    j += 1
+                keep[n_] = sel[j]
+                j += 1
+            kept.append(keep)
         combined = pa.concat_tables(parts)
-        order = np.argsort(np.concatenate(sels), kind="stable")
-        return combined.take(pa.array(order, type=pa.int64()))
+        order = np.argsort(np.concatenate(kept), kind="stable")
+        out = combined.take(pa.array(order, type=pa.int64()))
+        return out.drop_columns(["doc_id"]) if need_doc else out
 
     def stats(self) -> list[dict]:
         return self._gather("stats")

@@ -176,3 +176,39 @@ def test_sharded_actors_smoke(built_index):
     h1 = single.hydrate(ids, columns=["doc_id", "lang"])
     h2 = sh.hydrate(ids, columns=["doc_id", "lang"])
     assert h1.to_pylist() == h2.to_pylist()
+
+
+def test_sharded_phrase_prefix_parity(single, sharded):
+    """Phrase-prefix stems expand on the COORDINATOR (full term dict) —
+    both paths must agree, including the verification chain."""
+    for q in ['"def lo*"', '"def lo*" index']:
+        _eq_tables(sharded.search(q, k=10), single.search(q, k=10))
+
+
+def test_match_ids_populates_ids_cache(built_index):
+    idx, _ = built_index
+    s = Searcher(idx)
+    s.match_ids("def load")
+    assert len(s._ids_cache) > 0
+    n_cached = len(s._ids_cache)
+    s.match_ids("def load")  # second probe: pure cache hits
+    assert len(s._ids_cache) == n_cached
+
+
+def test_sharded_hydrate_edge_cases(built_index):
+    """Actor-path hydrate: empty input and unknown-id drops must match
+    the single searcher's contract (empty table / partial rows)."""
+    idx, _ = built_index
+    single = Searcher(idx)
+    sh = ShardedSearcher(idx, n_shards=2, use_actors=True)
+    empty = sh.hydrate(np.array([], dtype=np.int64), columns=["doc_id", "lang"])
+    assert empty.num_rows == 0 and empty.column_names == ["doc_id", "lang"]
+    ids = single.search("def load", k=3)["doc_id"].to_numpy(zero_copy_only=False)
+    mixed = np.concatenate([ids, np.array([1 << 60], dtype=np.int64)])
+    h1 = single.hydrate(mixed, columns=["doc_id", "lang"])
+    h2 = sh.hydrate(mixed, columns=["doc_id", "lang"])
+    assert h1.to_pylist() == h2.to_pylist()
+    # columns WITHOUT doc_id still align via the internal doc_id fetch
+    h3 = sh.hydrate(ids, columns=["lang"])
+    assert h3.column_names == ["lang"]
+    assert h3.to_pylist() == single.hydrate(ids, columns=["lang"]).to_pylist()
