@@ -782,6 +782,7 @@ class Searcher:
         k: int = 10,
         minimum_should_match: int = 0,
         search_after: tuple[float, int] | None = None,
+        from_: int = 0,
     ) -> pa.Table:
         """Top-k → pa.Table(doc_id int64, score float64), score desc,
         docID-asc tie-break.  ``minimum_should_match`` is the ES request
@@ -791,7 +792,19 @@ class Searcher:
         ``(score, doc_id)`` to fetch the next k hits strictly after that
         sort position — position compares at round-9 score granularity
         (the same granularity the value-hash / oracle ranking uses), so
-        pagination is stable under float noise."""
+        pagination is stable under float noise.  ``from_`` is the ES
+        offset parameter: skip the first ``from_`` hits (fetches
+        ``from_ + k`` then slices — deep offsets cost O(from+k), the
+        same contract ES enforces via max_result_window; prefer
+        ``search_after`` for deep paging)."""
+        if from_ < 0:
+            raise ValueError("from_ must be >= 0")
+        if from_:
+            r = self.search(
+                query, k=from_ + k, minimum_should_match=minimum_should_match,
+                search_after=search_after,
+            )
+            return r.slice(from_, k)
         q = parse_query(query) if isinstance(query, str) else query
         q = self._apply_msm(q, minimum_should_match)
         if search_after is not None:

@@ -218,17 +218,22 @@ class ShardedSearcher:
         k: int = 10,
         minimum_should_match: int = 0,
         search_after: tuple[float, int] | None = None,
+        from_: int = 0,
     ) -> pa.Table:
+        if from_ < 0:
+            raise ValueError("from_ must be >= 0")
         q, df = self.prepare(query, minimum_should_match, search_after)
-        parts = self._gather("search", q, k, df)
+        # ES offset: each shard must return from_+k (any of them could
+        # own every one of the first from_+k global hits)
+        parts = self._gather("search", q, from_ + k, df)
         ids = np.concatenate(
             [p["doc_id"].to_numpy(zero_copy_only=False) for p in parts]
         )
         sc = np.concatenate(
             [p["score"].to_numpy(zero_copy_only=False) for p in parts]
         )
-        ids, sc = bm25.sort_topk(ids, sc, k)
-        return pa.table({"doc_id": pa.array(ids), "score": pa.array(sc)})
+        ids, sc = bm25.sort_topk(ids, sc, from_ + k)
+        return pa.table({"doc_id": pa.array(ids[from_:]), "score": pa.array(sc[from_:])})
 
     def count(self, query: str | ParsedQuery, minimum_should_match: int = 0) -> int:
         q, df = self.prepare(query, minimum_should_match)

@@ -1,0 +1,104 @@
+"""HyperLogLog distinct-count sketch (Flajolet et al., public algorithm).
+
+The exact-cardinality shape used by ``events_daily`` (dedup the (day,
+user) pairs, then count) is the right default, but at EXTREME cardinality
+(billions of distinct users per bucket at 100 TB) the pair shuffle itself
+is the bottleneck.  This sketch is the documented swap: per-batch partial
+registers inside ``map_batches`` (vectorized ``np.maximum.at``), merged by
+elementwise max — a 2^p-byte register array per group instead of one
+shuffled row per distinct pair.  Standard error ≈ 1.04/√(2^p) (~0.8 % at
+the default p=14, 16 KB per sketch).
+
+Beyond the reference's surface (the reference delegates ES ``cardinality``
+aggregation, which is HLL++ internally) — listed in SURVEY.md §2.7.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from elasticsearch_assets_ray.stages.sampling import splitmix64
+
+
+class HLL:
+    """Dense HyperLogLog with p index bits (m = 2^p registers)."""
+
+    def __init__(self, p: int = 14):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.regs = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        """Fold a batch of uint64 hashes into the registers (vectorized)."""
+        h = np.ascontiguousarray(h, dtype=np.uint64)
+        if h.size == 0:
+            return
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        low = h & np.uint64((1 << (64 - self.p)) - 1)
+        # rank = leading zeros within the low (64-p) bits + 1; for low>0,
+        # floor(log2(low)) via frexp is EXACT (values < 2^53 fit float64)
+        rank = np.full(h.size, 64 - self.p + 1, dtype=np.uint8)
+        nz = low > 0
+        if nz.any():
+            _, ex = np.frexp(low[nz].astype(np.float64))
+            rank[nz] = (64 - self.p - (ex - 1)).astype(np.uint8)
+        np.maximum.at(self.regs, idx, rank)
+
+    def add(self, values: np.ndarray) -> None:
+        """Hash int64/uint64 values through splitmix64 and fold them in."""
+        v = np.ascontiguousarray(values).astype(np.uint64, copy=False)
+        self.add_hashes(splitmix64(v))
+
+    def merge(self, other: "HLL") -> "HLL":
+        if other.p != self.p:
+            raise ValueError("cannot merge sketches of different p")
+        np.maximum(self.regs, other.regs, out=self.regs)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.regs.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, p: int = 14) -> "HLL":
+        h = cls(p)
+        regs = np.frombuffer(data, dtype=np.uint8)
+        if regs.size != h.m:
+            raise ValueError(f"register blob has {regs.size} bytes, want {h.m}")
+        h.regs = regs.copy()
+        return h
+
+    def count(self) -> int:
+        """Cardinality estimate with the standard small-range (linear
+        counting) correction; 64-bit hashes never need the large-range
+        correction."""
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)  # m >= 128 constant
+        est = alpha * m * m / float(np.sum(np.ldexp(1.0, -self.regs.astype(np.int64))))
+        zeros = int(np.count_nonzero(self.regs == 0))
+        if est <= 2.5 * m and zeros > 0:
+            est = m * np.log(m / zeros)  # linear counting regime
+        return int(round(est))
+
+
+def distinct_count_hll(ds, col: str, p: int = 14) -> int:
+    """Distributed approximate distinct count of an integer column:
+    per-batch partial registers inside ``map_batches`` (each batch emits
+    ONE 2^p-byte row), register-max merge at the driver — bytes moved are
+    O(#batches × 2^p), independent of cardinality."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = HLL(p)
+        col_arr = t[col].combine_chunks()
+        v = col_arr.drop_null().to_numpy(zero_copy_only=False)
+        h.add(v.astype(np.int64))
+        return pa.table({"regs": pa.array([h.to_bytes()], pa.large_binary())})
+
+    out = HLL(p)
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob in b["regs"]:
+            out.merge(HLL.from_bytes(blob.as_py(), p))
+    return out.count()

@@ -212,3 +212,14 @@ def test_sharded_hydrate_edge_cases(built_index):
     h3 = sh.hydrate(ids, columns=["lang"])
     assert h3.column_names == ["lang"]
     assert h3.to_pylist() == single.hydrate(ids, columns=["lang"]).to_pylist()
+
+
+def test_from_offset_pagination(single, sharded):
+    """ES `from` offset: page == the same window of the full ranking,
+    identical on both serving paths."""
+    full = single.search("def load", k=30)
+    page = single.search("def load", k=10, from_=10)
+    assert page["doc_id"].to_pylist() == full["doc_id"].to_pylist()[10:20]
+    sp = sharded.search("def load", k=10, from_=10)
+    _eq_tables(sp, page)
+    assert single.search("def load", k=10, from_=0).num_rows == 10

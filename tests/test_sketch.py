@@ -1,0 +1,52 @@
+"""HyperLogLog sketch: accuracy within theoretical bounds, merge =
+union, distributed partial-register path."""
+
+import numpy as np
+import pyarrow as pa
+
+from elasticsearch_assets_ray.stages.sketch import HLL, distinct_count_hll
+
+
+def test_hll_accuracy_bands():
+    # standard error ~ 1.04/sqrt(2^14) ≈ 0.81%; assert within 4 sigma
+    for n in (100, 5_000, 200_000):
+        h = HLL(p=14)
+        h.add(np.arange(n, dtype=np.int64) * 7 + 3)
+        err = abs(h.count() - n) / n
+        assert err < 0.033, (n, h.count())
+
+
+def test_hll_duplicates_do_not_inflate():
+    h = HLL(p=14)
+    vals = np.arange(1000, dtype=np.int64)
+    for _ in range(5):
+        h.add(vals)
+    assert abs(h.count() - 1000) / 1000 < 0.033
+
+
+def test_hll_merge_is_union():
+    a, b, u = HLL(), HLL(), HLL()
+    va = np.arange(0, 60_000, dtype=np.int64)
+    vb = np.arange(40_000, 100_000, dtype=np.int64)  # 20k overlap
+    a.add(va)
+    b.add(vb)
+    u.add(np.concatenate([va, vb]))
+    merged = HLL.from_bytes(a.to_bytes()).merge(b)
+    assert merged.count() == u.count()  # register-max == union, exactly
+    assert abs(merged.count() - 100_000) / 100_000 < 0.033
+
+
+def test_distinct_count_hll_dataset(ray_session):
+    import ray.data
+
+    n = 50_000
+    t = pa.table({"user": pa.array(np.arange(n, dtype=np.int64) % 17_000)})
+    ds = ray.data.from_arrow(t).repartition(8)
+    est = distinct_count_hll(ds, "user")
+    assert abs(est - 17_000) / 17_000 < 0.033
+
+
+def test_hll_linear_counting_small_range():
+    h = HLL(p=14)
+    h.add(np.arange(300, dtype=np.int64))
+    assert abs(h.count() - 300) <= 6  # linear-counting regime: near exact
