@@ -912,6 +912,11 @@ class Searcher:
         df_by_term: dict[str, int] = {}
         for t, d in zip(seg_term, seg_df):
             df_by_term[t] = df_by_term.get(t, 0) + int(d)
+        if self._df_override is not None:
+            # doc-partitioned shard: use the coordinator's global df
+            df_by_term = {
+                t: self._df_override.get(t, d) for t, d in df_by_term.items()
+            }
         for t in terms:
             if t not in df_by_term:
                 continue
@@ -1162,6 +1167,22 @@ class Searcher:
         ``max_query_terms`` highest tf×idf terms (tie: term asc), run
         them as a bag-of-words should query, and return the top-k hits
         excluding the source doc itself."""
+        sel = self._mlt_terms(doc_id, max_query_terms)
+        if not sel:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        q = ParsedQuery(should=sorted(sel))
+        r = self.search(q, k=(fetch_k or k + 1))
+        keep = r["doc_id"].to_numpy(zero_copy_only=False) != doc_id
+        r = r.filter(pa.array(keep))
+        return r.slice(0, k)
+
+    def _mlt_terms(self, doc_id: int, max_query_terms: int) -> list[str]:
+        """more_like_this term selection: the source doc's top
+        ``max_query_terms`` tf×idf terms (tie: term asc).  Shared with
+        the sharded coordinator (which runs it on its full-index view —
+        term_dfs there is global df by construction)."""
         content_col = self.manifest.get("content_col")
         if not self.manifest.get("store_content") or not content_col:
             raise RuntimeError("more_like_this needs store_content=True")
@@ -1172,34 +1193,19 @@ class Searcher:
 
         toks = tokenize_text(src[content_col][0].as_py())
         if not toks:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
-            )
+            return []
         uniq, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        seg = self._segment_rows([str(t) for t in uniq])
-        df: dict[str, int] = {}
-        if seg is not None:
-            for t, d in zip(seg["term"].to_pylist(), seg["df"].to_pylist()):
-                df[t] = df.get(t, 0) + int(d)
+        df = self.term_dfs([str(t) for t in uniq])
         w = np.array(
             [
-                tf[i] * bm25.math_idf(df.get(str(t), 0), self.n_docs)
+                tf[i] * bm25.math_idf(df[str(t)], self.n_docs)
                 if str(t) in df
                 else -np.inf
                 for i, t in enumerate(uniq)
             ]
         )
         order = np.lexsort((uniq.astype(str), -w))
-        sel = [str(uniq[i]) for i in order[:max_query_terms] if np.isfinite(w[i])]
-        if not sel:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
-            )
-        q = ParsedQuery(should=sorted(sel))
-        r = self.search(q, k=(fetch_k or k + 1))
-        keep = r["doc_id"].to_numpy(zero_copy_only=False) != doc_id
-        r = r.filter(pa.array(keep))
-        return r.slice(0, k)
+        return [str(uniq[i]) for i in order[:max_query_terms] if np.isfinite(w[i])]
 
     def facet(
         self, query: str | ParsedQuery, by: str, size: int | None = None

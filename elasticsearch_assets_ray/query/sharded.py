@@ -105,6 +105,40 @@ class ShardWorker:
     def hydrate(self, docids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
         return self.s.hydrate(np.asarray(docids, dtype=np.int64), columns=columns)
 
+    def function_score(
+        self,
+        q: ParsedQuery,
+        field: str,
+        k: int,
+        factor: float,
+        modifier: str,
+        missing: float,
+        df: dict[str, int],
+    ) -> pa.Table:
+        """Local function_score top-k: the field multiplier is per-doc,
+        so shard-local top-k merge is exact (same argument as search)."""
+        self.s._df_override = df
+        try:
+            return self.s.function_score(
+                q, field, k=k, factor=factor, modifier=modifier, missing=missing
+            )
+        finally:
+            self.s._df_override = None
+
+    def score_ids(
+        self, terms: list[str], ids: np.ndarray, df: dict[str, int]
+    ) -> np.ndarray:
+        """Bag-of-words BM25 contributions of ``terms`` at this shard's
+        ``ids`` (sorted) — the rescore-window gather, shard-local."""
+        self.s._df_override = df
+        try:
+            return self.s._gather_term_scores(terms, np.asarray(ids, dtype=np.int64))
+        finally:
+            self.s._df_override = None
+
+    def highlight_ids(self, q: ParsedQuery, docids: np.ndarray, window: int) -> pa.Table:
+        return self.s.highlight(q, np.asarray(docids, dtype=np.int64), window=window)
+
     def stats(self) -> dict:
         return dict(self.s.stats)
 
@@ -309,6 +343,133 @@ class ShardedSearcher:
             }
         )
 
+    def function_score(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        k: int = 10,
+        factor: float = 1.0,
+        modifier: str = "log1p",
+        missing: float = 0.0,
+    ) -> pa.Table:
+        """Distributed function_score: the field multiplier is per-doc,
+        so per-shard top-k + merge is exact (same shape as search)."""
+        q, df = self.prepare(query)
+        parts = self._gather("function_score", q, field, k, factor, modifier, missing, df)
+        ids = np.concatenate([p["doc_id"].to_numpy(zero_copy_only=False) for p in parts])
+        sc = np.concatenate([p["score"].to_numpy(zero_copy_only=False) for p in parts])
+        ids, sc = bm25.sort_topk(ids, sc, k)
+        return pa.table({"doc_id": pa.array(ids), "score": pa.array(sc)})
+
+    def rescore(
+        self,
+        query: str | ParsedQuery,
+        rescore_query: str | ParsedQuery,
+        k: int = 10,
+        window_size: int = 50,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+    ) -> pa.Table:
+        """Distributed rescore: the GLOBAL top-window (exact via sharded
+        search), then the secondary gather routed to each doc's owning
+        shard — window-sized work, never a second full query."""
+        if window_size <= 0 or k <= 0:
+            raise ValueError("k and window_size must be positive")
+        if k > window_size:
+            raise ValueError(
+                f"k ({k}) must not exceed window_size ({window_size}) — "
+                "hits below the window are not rescored; widen the window"
+            )
+        q2, df2 = self.prepare(rescore_query)
+        # the same bag-of-SHOULD contract the single-searcher API enforces
+        if (
+            q2.has_phrases or q2.bool_tree is not None or q2.must
+            or q2.must_not or q2.must_any or q2.filters or q2.not_filters
+            or q2.range_filters or q2.not_range_filters
+            or q2.exists_filters or q2.not_exists_filters
+        ):
+            raise ValueError(
+                "rescore queries are bag-of-SHOULD-words (plain terms, "
+                "prefixes, wildcards, fuzzies); +must/-not/phrases/"
+                "filters/boolean expressions belong in the primary query"
+            )
+        win = self.search(query, k=window_size)
+        w_ids = win["doc_id"].to_numpy(zero_copy_only=False)
+        w_sc = win["score"].to_numpy(zero_copy_only=False)
+        if w_ids.size == 0:
+            return win
+        sec = np.zeros(w_ids.size, dtype=np.float64)
+        owner = self._owners(w_ids)
+        args, sels = [], []
+        for i in range(self.n_shards):
+            sel = np.flatnonzero(owner == i)
+            if sel.size:
+                srt = sel[np.argsort(w_ids[sel], kind="stable")]
+                args.append((i, q2.scoring_terms, w_ids[srt], df2))
+                sels.append(srt)
+        if self.use_actors:
+            import ray
+
+            got = ray.get(
+                [self.shards[i].score_ids.remote(t, ids, df) for i, t, ids, df in args]
+            )
+        else:
+            got = [self.shards[i].score_ids(t, ids, df) for i, t, ids, df in args]
+        for srt, g in zip(sels, got):
+            sec[srt] = g
+        total = w_sc * query_weight + sec * rescore_weight
+        top_i, top_s = bm25.sort_topk(w_ids, total, k)
+        return pa.table({"doc_id": pa.array(top_i), "score": pa.array(top_s)})
+
+    def more_like_this(
+        self, doc_id: int, k: int = 10, max_query_terms: int = 25
+    ) -> pa.Table:
+        """Distributed MLT: term selection on the coordinator (source-doc
+        hydrate + global df), bag-of-words scatter like any search."""
+        sel = self.coord._mlt_terms(doc_id, max_query_terms)
+        if not sel:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        r = self.search(ParsedQuery(should=sorted(sel)), k=k + 1)
+        keep = r["doc_id"].to_numpy(zero_copy_only=False) != doc_id
+        return r.filter(pa.array(keep)).slice(0, k)
+
+    def suggest_terms(self, text: str, size: int = 5, max_edits: int = 2) -> pa.Table:
+        """Term suggester on the coordinator's full-index view: the term
+        dictionary and df are global there, so ranking is exact (a
+        dictionary/df read, no posting scatter needed)."""
+        return self.coord.suggest_terms(text, size=size, max_edits=max_edits)
+
+    def highlight(
+        self, query: str | ParsedQuery, docids: np.ndarray, window: int = 10
+    ) -> pa.Table:
+        """Distributed highlighting: each requested doc's snippet is
+        computed by its OWNING shard (content hydrate stays local)."""
+        docids = np.asarray(docids, dtype=np.int64)
+        q, _df = self.prepare(query)
+        if docids.size == 0 or not self.use_actors:
+            return self.coord.highlight(q, docids, window=window)
+        import ray
+
+        owner = self._owners(docids)
+        futs = []
+        for i in range(self.n_shards):
+            sel = np.flatnonzero(owner == i)
+            if sel.size:
+                futs.append(self.shards[i].highlight_ids.remote(q, docids[sel], window))
+        parts = ray.get(futs)
+        return pa.concat_tables(parts)
+
+    def _owners(self, docids: np.ndarray) -> np.ndarray:
+        """Owning shard per docID (bucket-range lookup)."""
+        rpb = int(self.coord.manifest.get("runs_per_bucket", 32))
+        bucket = (docids >> self.coord._doc_shift) // rpb
+        lows = np.array([r[0] for r in self.ranges])
+        return np.clip(
+            np.searchsorted(lows, bucket, side="right") - 1, 0, self.n_shards - 1
+        )
+
     def hydrate(
         self, docids: np.ndarray, columns: list[str] | None = None
     ) -> pa.Table:
@@ -324,10 +485,7 @@ class ShardedSearcher:
         # from assuming every requested row came back
         need_doc = columns is not None and "doc_id" not in columns
         cols2 = (["doc_id"] + list(columns)) if need_doc else columns
-        rpb = int(self.coord.manifest.get("runs_per_bucket", 32))
-        bucket = (docids >> self.coord._doc_shift) // rpb
-        lows = np.array([r[0] for r in self.ranges])
-        owner = np.clip(np.searchsorted(lows, bucket, side="right") - 1, 0, self.n_shards - 1)
+        owner = self._owners(docids)
         futs, sels = [], []
         for i in range(self.n_shards):
             sel = np.flatnonzero(owner == i)

@@ -223,3 +223,48 @@ def test_from_offset_pagination(single, sharded):
     sp = sharded.search("def load", k=10, from_=10)
     _eq_tables(sp, page)
     assert single.search("def load", k=10, from_=0).num_rows == 10
+
+
+def test_sharded_rescore_function_score_parity(single, sharded):
+    r1 = single.rescore("def load index", "return value", k=8, window_size=40)
+    r2 = sharded.rescore("def load index", "return value", k=8, window_size=40)
+    _eq_tables(r2, r1)
+    f1 = single.function_score("def load", "doc_len", k=8, factor=0.01)
+    f2 = sharded.function_score("def load", "doc_len", k=8, factor=0.01)
+    _eq_tables(f2, f1)
+
+
+def test_sharded_mlt_suggest_highlight_parity(single, sharded):
+    src = int(single.search("def load index", k=1)["doc_id"][0].as_py())
+    m1 = single.more_like_this(src, k=8)
+    m2 = sharded.more_like_this(src, k=8)
+    _eq_tables(m2, m1)
+    s1 = single.suggest_terms("lod indx", size=5)
+    s2 = sharded.suggest_terms("lod indx", size=5)
+    assert s1.to_pylist() == s2.to_pylist()
+    ids = single.search("def load index", k=5)["doc_id"].to_numpy(zero_copy_only=False)
+    h1 = single.highlight("def load index", ids, window=8)
+    h2 = sharded.highlight("def load index", ids, window=8)
+    assert sorted(h1.to_pylist(), key=lambda r: r["doc_id"]) == sorted(
+        h2.to_pylist(), key=lambda r: r["doc_id"]
+    )
+
+
+def test_sharded_rescore_actor_path(built_index):
+    idx, _ = built_index
+    single = Searcher(idx)
+    sh = ShardedSearcher(idx, n_shards=2, use_actors=True)
+    _eq_tables(
+        sh.rescore("def load index", "return value", k=5, window_size=30),
+        single.rescore("def load index", "return value", k=5, window_size=30),
+    )
+    _eq_tables(
+        sh.function_score("def load", "doc_len", k=5, factor=0.01),
+        single.function_score("def load", "doc_len", k=5, factor=0.01),
+    )
+    ids = single.search("def load", k=4)["doc_id"].to_numpy(zero_copy_only=False)
+    h1 = single.highlight("def load", ids, window=8)
+    h2 = sh.highlight("def load", ids, window=8)
+    assert sorted(h1.to_pylist(), key=lambda r: r["doc_id"]) == sorted(
+        h2.to_pylist(), key=lambda r: r["doc_id"]
+    )
