@@ -349,6 +349,54 @@ def bench_query_surface(index_dir: str) -> dict:
     return out
 
 
+POS_INDEX_DIR = "/tmp/bench_idx_pos"
+POS_CORPUS_DIR = "/tmp/bench_corpus_pos"
+
+
+def bench_positional_phrases() -> dict:
+    """Phrase-feature latency on a POSITIONAL index
+    (``index_positions=True``): exact/sloppy/phrase-prefix verify via
+    position lists — no content hydrate.  The main bench index stores no
+    positions, so query_surface_ms measures the content-verification
+    fallback for these features; this section is the point-query number
+    a positional deployment serves."""
+    import numpy as np
+
+    from elasticsearch_assets_ray.corpus import write_corpus
+    from elasticsearch_assets_ray.index.build import build_index
+    from elasticsearch_assets_ray.query.engine import Searcher
+
+    write_corpus(POS_CORPUS_DIR, 8000, files=8, row_group_size=1024)
+    shutil.rmtree(POS_INDEX_DIR, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(
+        POS_CORPUS_DIR,
+        POS_INDEX_DIR,
+        target_partition_rows=1024,
+        index_positions=True,
+        resume=False,
+    )
+    build_sec = time.perf_counter() - t0
+    s = Searcher(POS_INDEX_DIR)
+    s._pid_map()
+    cases = [
+        ("exact_phrase", '"def load"'),
+        ("sloppy_phrase", '"def load"~2 index'),
+        ("phrase_prefix", '"def lo*" index'),
+        ("phrase_and_terms", '"def load" index value'),
+    ]
+    out = {"build_sec": round(build_sec, 3)}
+    for name, q in cases:
+        s.search(q, k=10)  # warm (dictionary + postings decode)
+        times = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            s.search(q, k=10)
+            times.append(time.perf_counter() - t0)
+        out[name + "_ms"] = round(float(np.mean(times)) * 1e3, 3)
+    return out
+
+
 SF_BENCH_QUERIES = [
     "search_topk",
     "search_boolean",
@@ -545,6 +593,7 @@ def main() -> None:
     # → 4 real doc-range shards); single-searcher p50 on the same index
     # and queries is pruned_serving["pruned"]
     sharded = bench_sharded_serving(DRIFT_INDEX_DIR, queries=DRIFT_QUERIES)
+    positional = bench_positional_phrases()
     queries = bench_sf_queries(sf_dir)
     total = time.perf_counter() - t_all
 
@@ -560,6 +609,7 @@ def main() -> None:
                 "index_build": build,
                 "query_serving": serving,
                 "sharded_serving": sharded,
+                "positional_phrases": positional,
                 "query_surface_ms": surface,
                 "pruned_serving": pruned,
                 "machine_probe": {
