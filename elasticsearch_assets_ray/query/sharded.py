@@ -79,6 +79,9 @@ class ShardWorker:
     def count(self, q: ParsedQuery, df: dict[str, int]) -> int:
         return self.s.match_ids_prepared(q, df).size
 
+    def match_ids(self, q: ParsedQuery, df: dict[str, int]) -> np.ndarray:
+        return self.s.match_ids_prepared(q, df)
+
     def facet(self, q: ParsedQuery, by: str, df: dict[str, int]) -> pa.Table:
         """Local partial terms-agg: UNTRUNCATED value counts over the
         shard's match set (truncation is only valid after the merge)."""
@@ -141,6 +144,9 @@ class ShardWorker:
 
     def stats(self) -> dict:
         return dict(self.s.stats)
+
+    def metrics(self) -> dict:
+        return self.s.metrics()
 
 
 class ShardedSearcher:
@@ -272,6 +278,18 @@ class ShardedSearcher:
     def count(self, query: str | ParsedQuery, minimum_should_match: int = 0) -> int:
         q, df = self.prepare(query, minimum_should_match)
         return int(sum(self._gather("count", q, df)))
+
+    def match_ids(
+        self, query: str | ParsedQuery, minimum_should_match: int = 0
+    ) -> np.ndarray:
+        """Every matching docID, gathered score-free from the shards
+        (ReaderAPI's filtered-count path needs the ids, not just the
+        cardinality)."""
+        q, df = self.prepare(query, minimum_should_match)
+        parts = self._gather("match_ids", q, df)
+        return (
+            np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        )
 
     def facet(
         self, query: str | ParsedQuery, by: str, size: int | None = None
@@ -515,3 +533,7 @@ class ShardedSearcher:
 
     def stats(self) -> list[dict]:
         return self._gather("stats")
+
+    def metrics(self) -> dict:
+        """Per-shard serving gauges (T5 export, distributed form)."""
+        return {"n_shards": self.n_shards, "shards": self._gather("metrics")}

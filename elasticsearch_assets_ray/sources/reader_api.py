@@ -61,6 +61,7 @@ class ReaderAPI:
         index_dir: str | None = None,
         id_col: str = "doc_id",
         max_result_window: int | None = None,
+        serving_shards: int = 0,
     ):
         self.table_path = table_path
         self.date_col = date_col
@@ -74,9 +75,19 @@ class ReaderAPI:
         self._ds = pads.dataset(table_path)
         self._searcher = None
         if index_dir:
-            from elasticsearch_assets_ray.query.engine import Searcher
+            if serving_shards > 1:
+                # doc-partitioned scatter-gather serving (actor pool):
+                # the 100 TB layout — one node cannot hold the index;
+                # results are rank-identical to the single searcher
+                from elasticsearch_assets_ray.query.sharded import ShardedSearcher
 
-            self._searcher = Searcher(index_dir)
+                self._searcher = ShardedSearcher(
+                    index_dir, n_shards=serving_shards, use_actors=True
+                )
+            else:
+                from elasticsearch_assets_ray.query.engine import Searcher
+
+                self._searcher = Searcher(index_dir)
         self.records_fetched = 0  # F6 gauge analog
         self.count_probes = 0  # slicer count-probe gauge
         self._keyspace = None  # lazy SortedKeyspace (see keyspace())

@@ -268,3 +268,51 @@ def test_sharded_rescore_actor_path(built_index):
     assert sorted(h1.to_pylist(), key=lambda r: r["doc_id"]) == sorted(
         h2.to_pylist(), key=lambda r: r["doc_id"]
     )
+
+
+def test_reader_api_sharded_backend(built_index, corpus_dir):
+    """ReaderAPI(serving_shards=N): the fulltext path (search/count/
+    hydrate) served scatter-gather, same results as the single-searcher
+    backend."""
+    from elasticsearch_assets_ray.sources.reader_api import ReaderAPI, ReaderSlice
+
+    idx, _ = built_index
+    a1 = ReaderAPI(corpus_dir, key_col="repo", index_dir=idx)
+    a2 = ReaderAPI(corpus_dir, key_col="repo", index_dir=idx, serving_shards=2)
+    s = ReaderSlice(query="def load index", limit=15)
+    assert a2.count(s) == a1.count(s)
+    t1, t2 = a1.fetch(s), a2.fetch(s)
+    assert t1.num_rows == t2.num_rows
+    assert t1.sort_by("doc_id").equals(t2.sort_by("doc_id"))
+    sk = ReaderSlice(query="def load", keys=["repo1"])
+    assert a2.count(sk) == a1.count(sk)
+    m = a2.metrics()
+    assert m["engine"]["n_shards"] == 2
+
+
+def test_property_random_query_parity(single, sharded):
+    """Randomized bag-of-words / must / must_not combinations: sharded
+    results stay bit-identical to the single searcher."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = ["def", "load", "index", "value", "return", "parse", "config",
+             "table", "cache", "user", "token", "import"]
+    for trial in range(25):
+        n = rng.randint(1, 4)
+        terms = rng.sample(vocab, n)
+        parts = []
+        for t in terms:
+            r = rng.random()
+            parts.append(f"+{t}" if r < 0.2 else (f"-{t}" if r < 0.3 else t))
+        q = " ".join(parts)
+        try:
+            expect = single.search(q, k=15)
+        except ValueError:
+            continue  # e.g. all-negative queries rejected by the parser
+        got = sharded.search(q, k=15)
+        assert got["doc_id"].to_pylist() == expect["doc_id"].to_pylist(), q
+        np.testing.assert_array_equal(
+            got["score"].to_numpy(zero_copy_only=False),
+            expect["score"].to_numpy(zero_copy_only=False),
+        )
