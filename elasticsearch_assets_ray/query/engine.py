@@ -1779,7 +1779,26 @@ class Searcher:
         finally:
             self._df_override = None
 
-    def _match_ids(self, q: ParsedQuery) -> np.ndarray:
+    def match_count(
+        self,
+        query: str | ParsedQuery,
+        minimum_should_match: int = 0,
+        track_total_hits: int | None = None,
+    ) -> tuple[int, str]:
+        """ES ``track_total_hits`` (Q7): exact hit count up to the
+        threshold, then STOP — remaining buckets are never decoded.
+        Returns ``(value, relation)`` with the ES ``total`` contract:
+        ``(n, "eq")`` when the count is exact, ``(threshold, "gte")``
+        when counting stopped at the threshold."""
+        q = parse_query(query) if isinstance(query, str) else query
+        q = self._apply_msm(q, minimum_should_match)
+        q = self._rewrite_prefixes(q)
+        n = self._match_ids(q, up_to=track_total_hits).size
+        if track_total_hits is not None and n >= track_total_hits:
+            return (track_total_hits, "gte")
+        return (n, "eq")
+
+    def _match_ids(self, q: ParsedQuery, up_to: int | None = None) -> np.ndarray:
         if q.has_phrases or q.bool_tree is not None or q.search_after is not None:
             self.stats["count_fallback_scored"] += 1
             if q.has_phrases:
@@ -1860,6 +1879,14 @@ class Searcher:
             if fctx is not None:
                 mask &= fctx(ids_b)
             out.append(ids_b[mask])
+            if up_to is not None and sum(a.size for a in out) >= up_to:
+                # track_total_hits early exit: the caller only needs to
+                # know the total reached the threshold — every remaining
+                # bucket stays undecoded
+                self.stats["count_early_exit"] = (
+                    self.stats.get("count_early_exit", 0) + 1
+                )
+                break
         if not out:
             return np.empty(0, dtype=np.int64)
         return np.concatenate(out)

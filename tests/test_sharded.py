@@ -316,3 +316,18 @@ def test_property_random_query_parity(single, sharded):
             got["score"].to_numpy(zero_copy_only=False),
             expect["score"].to_numpy(zero_copy_only=False),
         )
+
+
+def test_track_total_hits_early_exit(built_index):
+    """Q7: counting stops at the threshold; remaining buckets undecoded."""
+    idx, _ = built_index
+    s = Searcher(idx)
+    exact = s.all_scores("def load").num_rows
+    assert exact > 5
+    v, rel = s.match_count("def load")
+    assert (v, rel) == (exact, "eq")
+    v, rel = s.match_count("def load", track_total_hits=5)
+    assert (v, rel) == (5, "gte")
+    assert s.stats.get("count_early_exit", 0) >= 1
+    v, rel = s.match_count("def load", track_total_hits=exact + 1000)
+    assert (v, rel) == (exact, "eq")
