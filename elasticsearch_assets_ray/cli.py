@@ -50,9 +50,16 @@ def cmd_build(args) -> int:
 
 def cmd_query(args) -> int:
     _ensure_ray()
-    from elasticsearch_assets_ray.query.engine import Searcher
+    if args.shards > 1:
+        # doc-partitioned scatter-gather serving (one actor per shard) —
+        # the multi-node layout; rank-identical to the single searcher
+        from elasticsearch_assets_ray.query.sharded import ShardedSearcher
 
-    s = Searcher(args.index)
+        s = ShardedSearcher(args.index, n_shards=args.shards, use_actors=True)
+    else:
+        from elasticsearch_assets_ray.query.engine import Searcher
+
+        s = Searcher(args.index)
     res = s.search(args.q, k=args.k)
     print(json.dumps(res.to_pydict()))
     return 0
@@ -109,6 +116,10 @@ def main(argv=None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--q", required=True)
     q.add_argument("-k", type=int, default=10)
+    q.add_argument(
+        "--shards", type=int, default=1,
+        help="serve doc-partitioned over N shard actors (scatter-gather)",
+    )
     q.set_defaults(fn=cmd_query)
 
     t = sub.add_parser("tick", help="persistent-mode delta build for one window")
