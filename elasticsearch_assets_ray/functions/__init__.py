@@ -16,6 +16,7 @@ from elasticsearch_assets_ray.stages.dedup import (  # noqa: F401
     band_keys,
     jaccard,
     ngram_jaccard,
+    ngram_jaccard_pairs,
     simhash,
 )
 from elasticsearch_assets_ray.stages.textstats import (  # noqa: F401

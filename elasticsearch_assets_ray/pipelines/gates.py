@@ -139,13 +139,22 @@ def g_bulk_customer(sf_dir: str) -> pa.Table:
 
 
 def g_neardup_pairs(sf_dir: str) -> pa.Table:
-    """MinHash-LSH + SimHash near-duplicate candidate pairs; metric is
-    jaccard similarity resp. hamming distance (cast to double)."""
+    """MinHash-LSH + SimHash + exact prefix-filtering n-gram Jaccard
+    near-duplicate pairs; metric is jaccard similarity resp. hamming
+    distance (cast to double)."""
     return _union(
-        [("minhash", "minhash_pairs"), ("simhash", "simhash_pairs")],
+        [
+            ("minhash", "minhash_pairs"),
+            ("simhash", "simhash_pairs"),
+            ("ngram", "ngram_pairs"),
+        ],
         ["id_a", "id_b", "metric"],
         casts={"metric": pa.float64()},
-        renames={"minhash": {"jaccard_sim": "metric"}, "simhash": {"hamming": "metric"}},
+        renames={
+            "minhash": {"jaccard_sim": "metric"},
+            "simhash": {"hamming": "metric"},
+            "ngram": {"jaccard_sim": "metric"},
+        },
     )(sf_dir)
 
 
@@ -331,6 +340,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         [
             ("minhash", "id_a, id_b, jaccard_sim AS metric", "minhash_pairs"),
             ("simhash", "id_a, id_b, CAST(hamming AS DOUBLE) AS metric", "simhash_pairs"),
+            ("ngram", "id_a, id_b, jaccard_sim AS metric", "ngram_pairs"),
         ],
         "id_a, id_b, metric",
     )

@@ -121,6 +121,42 @@ def simhash_pairs_sql(max_hamming: int = 3, n_dups: int = 20) -> str:
     )
 
 
+def _shingle_ctes() -> str:
+    """tl/thl/shl CTEs: per-doc sorted-distinct k=3 token-shingle Horner
+    hashes over ``base`` — the SQL mirror of dedup._shingle_hashes (short
+    docs clamp the gather like the numpy kernel; empty docs → [0])."""
+    sh3 = f"((TH[i] * {FNV} + TH[i+1]) % {M64} * {FNV} + TH[i+2]) % {M64}"
+    return (
+        "tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS L FROM base), "
+        "thl AS (SELECT doc_id, list_transform(L, t -> "
+        f"{_horner('t')}) AS TH FROM tl), "
+        "shl AS (SELECT doc_id, list_distinct(CASE "
+        "WHEN len(TH) = 0 THEN [CAST(0 AS HUGEINT)] "
+        f"WHEN len(TH) = 1 THEN [((TH[1] * {FNV} + TH[1]) % {M64} * {FNV} + TH[1]) % {M64}] "
+        f"WHEN len(TH) = 2 THEN [((TH[1] * {FNV} + TH[2]) % {M64} * {FNV} + TH[2]) % {M64}] "
+        f"ELSE list_transform(range(1, len(TH) - 1), i -> {sh3}) END) AS SH FROM thl)"
+    )
+
+
+def ngram_pairs_sql(threshold: float = 0.5, n_dups: int = 20) -> str:
+    """Exact oracle for the prefix-filtering similarity join: the join is
+    COMPLETE for J ≥ τ > 0, and any qualifying pair shares ≥ 1 shingle,
+    so the oracle needs no prefix logic at all — exact shingle-set
+    Jaccard over every pair sharing any shingle, filtered to ≥ τ."""
+    return (
+        f"WITH {_near_dup_base_cte(n_dups)}, {_shingle_ctes()}, "
+        "shr AS (SELECT doc_id, unnest(SH) AS s FROM shl), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id), "
+        "jac AS (SELECT c.id_a, c.id_b, len(list_intersect(x.SH, y.SH)) AS i, "
+        "len(x.SH) AS na, len(y.SH) AS nb FROM cand c "
+        "JOIN shl x ON x.doc_id = c.id_a JOIN shl y ON y.doc_id = c.id_b) "
+        "SELECT id_a, id_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard_sim "
+        f"FROM jac WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {threshold} "
+        "ORDER BY id_a, id_b"
+    )
+
+
 def minhash_pairs_sql(
     num_perm: int = 64,
     bands: int = 16,
@@ -143,19 +179,8 @@ def minhash_pairs_sql(
         for i, (a, b) in enumerate(zip(mh.a, mh.b))
     )
     rows_per = num_perm // bands
-    sh3 = (
-        f"((TH[i] * {FNV} + TH[i+1]) % {M64} * {FNV} + TH[i+2]) % {M64}"
-    )
     ctes = (
-        f"WITH {_near_dup_base_cte(n_dups)}, "
-        "tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS L FROM base), "
-        "thl AS (SELECT doc_id, list_transform(L, t -> "
-        f"{_horner('t')}) AS TH FROM tl), "
-        "shl AS (SELECT doc_id, list_distinct(CASE "
-        "WHEN len(TH) = 0 THEN [CAST(0 AS HUGEINT)] "
-        f"WHEN len(TH) = 1 THEN [((TH[1] * {FNV} + TH[1]) % {M64} * {FNV} + TH[1]) % {M64}] "
-        f"WHEN len(TH) = 2 THEN [((TH[1] * {FNV} + TH[2]) % {M64} * {FNV} + TH[2]) % {M64}] "
-        f"ELSE list_transform(range(1, len(TH) - 1), i -> {sh3}) END) AS SH FROM thl), "
+        f"WITH {_near_dup_base_cte(n_dups)}, {_shingle_ctes()}, "
         "shr AS (SELECT doc_id, unnest(SH) AS s FROM shl), "
         f"perm(pid, a, b) AS (VALUES {perms}), "
         f"sig AS (SELECT doc_id, pid, min((a * s + b) % {M64}) AS sg "

@@ -552,6 +552,17 @@ def q_minhash_pairs(sf_dir: str):
     )
 
 
+def q_ngram_pairs(sf_dir: str):
+    """Exact n-gram Jaccard self-join (prefix filtering — complete, no
+    LSH approximation); same corpus/threshold as the minhash gate so the
+    two operators' result sets are directly comparable."""
+    ds = _docs_with_near_dups(sf_dir)
+    return dedup_ops.ngram_jaccard_pairs(
+        ds, "text", "doc_id", shingle_k=3, threshold=0.5,
+        n_rows_hint=_nrows(sf_dir, "documents") + _NEARDUP_N,
+    )
+
+
 def q_neardup_clusters(sf_dir: str):
     """Keep-one-per-cluster: connected components over the MinHash pair
     graph, canonical = min doc_id (vectorized min-label propagation).
@@ -2587,6 +2598,7 @@ ORACLES.update(
         "minhash_pairs": _oh.minhash_pairs_sql(
             num_perm=64, bands=16, shingle_k=3, threshold=0.5
         ),
+        "ngram_pairs": _oh.ngram_pairs_sql(threshold=0.5),
         "prefix_dfs": _oh.prefix_dfs_sql("abcdefghijklmnopqrstuvwxyz0123456789", 30),
         "embedding_dedup": _oh.embedding_dedup_sql(threshold=0.99),
         "neardup_clusters": _oh.neardup_clusters_sql(
@@ -2621,6 +2633,7 @@ QUERIES = {
     "top_orders": q_top_orders,
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
+    "ngram_pairs": q_ngram_pairs,
     "neardup_clusters": q_neardup_clusters,
     "simhash_pairs": q_simhash_pairs,
     "token_stats": q_token_stats,

@@ -435,78 +435,12 @@ def distinct_pairs_ds(
     ).map_groups(pick, batch_format="pyarrow")
 
 
-def minhash_lsh_dedup(
-    ds: ray.data.Dataset,
-    text_col: str,
-    id_col: str,
-    *,
-    num_perm: int = 64,
-    bands: int = 16,
-    shingle_k: int = 3,
-    threshold: float = 0.8,
-    concurrency: int | tuple[int, int] = (1, 8),
-    n_rows_hint: int | None = None,
-    materialize: bool = True,
-) -> pa.Table | ray.data.Dataset:
-    """Near-duplicate *pairs* via MinHash LSH, verified with exact shingle
-    Jaccard.  Returns pa.Table (id_a, id_b, jaccard_sim) with id_a < id_b
-    (``materialize=False`` → a Dataset deduped by a distributed
-    coarse-group distinct, for pair sets too large for the driver).
-
-    Dataflow: map_batches(MinHasher) → flat_map to (band_key, id, shingles
-    fingerprint) → groupby(band_key) emits candidate pairs → exact verify
-    inside the group (shingle sets travel with the row — bounded by
-    bucket size, not corpus size) → global distinct on pairs."""
-    sigged = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, num_perm=num_perm, shingle_k=shingle_k
-        ),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
-
-    k = shingle_k
-
-    def explode(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        sigs = (
-            batch["minhash"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-            .astype(np.uint64).reshape(n, num_perm)
-        )
-        bk = band_keys(sigs, bands)  # (n, bands)
-        th, off = _token_lists(batch[text_col])
-        flat, soff = _shingle_hashes(th, off, k)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        from elasticsearch_assets_ray.index.build import _binary_from_offsets
-
-        sh_col = _binary_from_offsets(flat, soff)  # zero-copy per-doc cells
-        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
-        return pa.table(
-            {
-                "band_key": pa.array(bk.reshape(-1)),
-                "id": pa.array(np.repeat(ids, bands)),
-                "shingles": sh_col.take(rep),
-            }
-        )
-
-    # coarse shuffle key: groupby(band_key) would invoke Python once per
-    # DISTINCT band key (≈ rows, mostly singleton buckets); hashing band
-    # keys into coarse groups keeps the shuffle but processes thousands of
-    # buckets per vectorized group call (same lesson as the (shard,
-    # bucket) posting merge).  Group count scales with the exploded row
-    # count (rows × bands) so group payloads stay bounded at any corpus size.
-    n_groups = dynamic_n_groups(
-        (n_rows_hint or 0) * bands, target_rows_per_group=20_000
-    )
-
-    def add_group(t: pa.Table) -> pa.Table:
-        g = pc.bit_wise_and(t["band_key"], pa.scalar(n_groups - 1, pa.int64()))
-        return t.append_column("grp", g)
-
-    exploded = sigged.map_batches(explode, batch_format="pyarrow").map_batches(
-        add_group, batch_format="pyarrow"
-    )
+def _make_jaccard_verifier(threshold: float):
+    """Factory for the per-coarse-group exact-Jaccard candidate
+    verifier shared by :func:`minhash_lsh_dedup` (bucket key = LSH
+    band hash) and :func:`ngram_jaccard_pairs` (bucket key = prefix
+    shingle hash).  Input groups carry columns (band_key, id,
+    shingles); output is (id_a, id_b, jaccard_sim) with id_a < id_b."""
 
     def verify_group(group: pa.Table) -> pa.Table:
         """Exact-Jaccard verification of one coarse group's band buckets,
@@ -626,6 +560,84 @@ def minhash_lsh_dedup(
                 "jaccard_sim": pa.array(s_all.astype(np.float64)),
             }
         )
+
+    return verify_group
+
+
+def minhash_lsh_dedup(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    concurrency: int | tuple[int, int] = (1, 8),
+    n_rows_hint: int | None = None,
+    materialize: bool = True,
+) -> pa.Table | ray.data.Dataset:
+    """Near-duplicate *pairs* via MinHash LSH, verified with exact shingle
+    Jaccard.  Returns pa.Table (id_a, id_b, jaccard_sim) with id_a < id_b
+    (``materialize=False`` → a Dataset deduped by a distributed
+    coarse-group distinct, for pair sets too large for the driver).
+
+    Dataflow: map_batches(MinHasher) → flat_map to (band_key, id, shingles
+    fingerprint) → groupby(band_key) emits candidate pairs → exact verify
+    inside the group (shingle sets travel with the row — bounded by
+    bucket size, not corpus size) → global distinct on pairs."""
+    sigged = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, num_perm=num_perm, shingle_k=shingle_k
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    k = shingle_k
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sigs = (
+            batch["minhash"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            .astype(np.uint64).reshape(n, num_perm)
+        )
+        bk = band_keys(sigs, bands)  # (n, bands)
+        th, off = _token_lists(batch[text_col])
+        flat, soff = _shingle_hashes(th, off, k)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        from elasticsearch_assets_ray.index.build import _binary_from_offsets
+
+        sh_col = _binary_from_offsets(flat, soff)  # zero-copy per-doc cells
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+        return pa.table(
+            {
+                "band_key": pa.array(bk.reshape(-1)),
+                "id": pa.array(np.repeat(ids, bands)),
+                "shingles": sh_col.take(rep),
+            }
+        )
+
+    # coarse shuffle key: groupby(band_key) would invoke Python once per
+    # DISTINCT band key (≈ rows, mostly singleton buckets); hashing band
+    # keys into coarse groups keeps the shuffle but processes thousands of
+    # buckets per vectorized group call (same lesson as the (shard,
+    # bucket) posting merge).  Group count scales with the exploded row
+    # count (rows × bands) so group payloads stay bounded at any corpus size.
+    n_groups = dynamic_n_groups(
+        (n_rows_hint or 0) * bands, target_rows_per_group=20_000
+    )
+
+    def add_group(t: pa.Table) -> pa.Table:
+        g = pc.bit_wise_and(t["band_key"], pa.scalar(n_groups - 1, pa.int64()))
+        return t.append_column("grp", g)
+
+    exploded = sigged.map_batches(explode, batch_format="pyarrow").map_batches(
+        add_group, batch_format="pyarrow"
+    )
+
+    verify_group = _make_jaccard_verifier(threshold)
 
     pairs_ds = exploded.groupby("grp").map_groups(
         verify_group, batch_format="pyarrow"
@@ -835,3 +847,112 @@ def ngram_jaccard(
     th, off = _token_lists(ta)
     flat, soff = _shingle_hashes(th, off, k)
     return jaccard(flat[soff[0] : soff[1]], flat[soff[1] : soff[2]])
+
+
+def _collect_pairs(
+    out: ray.data.Dataset, val_col: str, materialize: bool
+) -> pa.Table | ray.data.Dataset:
+    """Collect an already-distinct pair dataset (or pass it through when
+    ``materialize=False`` — the 100 TB path)."""
+    if not materialize:
+        return out
+    batches = list(out.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                val_col: pa.array([], pa.float64()),
+            }
+        )
+    return pa.concat_tables(batches).sort_by(
+        [("id_a", "ascending"), ("id_b", "ascending")]
+    )
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    n_rows_hint: int | None = None,
+    materialize: bool = True,
+) -> pa.Table | ray.data.Dataset:
+    """EXACT n-gram Jaccard similarity self-join via prefix filtering
+    (the AllPairs / PPJoin family: Bayardo, Ma & Srikant WWW'07; Xiao et
+    al. WWW'08).  Unlike :func:`minhash_lsh_dedup` (probabilistic LSH
+    candidate recall), this join is COMPLETE: every pair with true
+    k-shingle Jaccard ≥ ``threshold`` is returned — no signature
+    approximation anywhere, no false negatives.
+
+    Candidate generation: each doc's shingle set is sorted under the
+    global order "shingle hash ascending".  For a qualifying pair,
+    I = |A∩B| ≥ ⌈τ·|A|⌉, and the globally-smallest common shingle
+    provably lies within the first |A| − ⌈τ·|A|⌉ + 1 shingles of BOTH
+    docs (prefix-filtering lemma: if it didn't, ≥ |A| − t_A + 1 non-
+    intersection elements of A would precede it, leaving I < t_A).  So
+    emitting only that prefix into a ``groupby(shingle)`` inverted index
+    loses nothing, and shuffle volume is Σ prefix lengths ≈ (1−τ)·total
+    shingles — never all-pairs.  Verification reuses the shared
+    vectorized per-bucket exact-Jaccard kernel, and pairs surfacing from
+    several shared prefix shingles dedup through the distributed
+    :func:`distinct_pairs_ds` (same code at gate scale and 100 TB).
+
+    Scale note: hash order is a uniform-random global order; the PPJoin
+    refinement (rarest-first document-frequency order, one extra df
+    pre-pass + broadcast rank table) shrinks hot buckets further and
+    slots in here without API change.
+    """
+    k = shingle_k
+    tau = float(threshold)
+
+    def explode_prefix(batch: pa.Table) -> pa.Table:
+        th, off = _token_lists(batch[text_col])
+        flat, soff = _shingle_hashes(th, off, k)
+        n = batch.num_rows
+        from elasticsearch_assets_ray.index.build import _binary_from_offsets
+
+        sh_col = _binary_from_offsets(flat, soff)
+        sizes = np.diff(soff)
+        if tau > 0:
+            # ceil(tau*s) with a downward float guard: erring DOWN only
+            # lengthens the prefix (still complete); erring up would not be
+            t_req = np.ceil(tau * sizes - 1e-9).astype(np.int64)
+            t_req = np.clip(t_req, 1, sizes)
+        else:
+            t_req = np.ones(n, dtype=np.int64)
+        plen = (sizes - t_req + 1).astype(np.int64)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), plen)
+        cum = np.concatenate(([0], np.cumsum(plen)))
+        j_within = np.arange(int(plen.sum()), dtype=np.int64) - cum[doc_of]
+        take = soff[:-1][doc_of] + j_within
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band_key": pa.array(flat[take].astype(np.int64)),
+                "id": pa.array(ids[doc_of]),
+                "shingles": sh_col.take(pa.array(doc_of)),
+            }
+        )
+
+    # exploded rows ≈ rows × (1−τ)·shingles-per-doc; coarse groups sized so
+    # vectorized verify calls see thousands of buckets each (same lesson as
+    # the minhash band shuffle)
+    n_groups = dynamic_n_groups(
+        int((n_rows_hint or 0) * 32), target_rows_per_group=20_000
+    )
+
+    def add_group(t: pa.Table) -> pa.Table:
+        g = pc.bit_wise_and(t["band_key"], pa.scalar(n_groups - 1, pa.int64()))
+        return t.append_column("grp", g)
+
+    exploded = ds.map_batches(explode_prefix, batch_format="pyarrow").map_batches(
+        add_group, batch_format="pyarrow"
+    )
+    pairs_ds = exploded.groupby("grp").map_groups(
+        _make_jaccard_verifier(threshold), batch_format="pyarrow"
+    )
+    out = distinct_pairs_ds(pairs_ds, "jaccard_sim", "max")
+    return _collect_pairs(out, "jaccard_sim", materialize)

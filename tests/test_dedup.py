@@ -222,3 +222,56 @@ def test_neardup_components_ds_matches_driver(ray_session):
     assert got["doc_id"].to_pylist() == want["doc_id"].to_pylist()
     assert got["canonical_id"].to_pylist() == want["canonical_id"].to_pylist()
     assert got["keep"].to_pylist() == want["keep"].to_pylist()
+
+
+def test_ngram_jaccard_pairs_exact_vs_bruteforce(ray_session):
+    """Prefix-filtering self-join is COMPLETE and exact: result equals the
+    all-pairs brute-force Jaccard at several thresholds, including empty
+    and shorter-than-k docs."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, int(rng.integers(0, 20)))) for _ in range(80)]
+    for i in range(12):  # planted near-dups
+        t = texts[i].split()
+        texts.append(" ".join(t[: max(1, int(len(t) * 0.9))]))
+    ids = list(range(len(texts)))
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(tbl)
+
+    th, off = dedup._token_lists(tbl["text"])
+    flat, soff = dedup._shingle_hashes(th, off, 3)
+    sets = [flat[soff[i] : soff[i + 1]] for i in ids]
+    for tau in (0.3, 0.6, 0.9):
+        got = dedup.ngram_jaccard_pairs(
+            ds, "text", "doc_id", threshold=tau, n_rows_hint=len(ids)
+        )
+        gset = {
+            (a, b): round(s, 12)
+            for a, b, s in zip(
+                got["id_a"].to_pylist(),
+                got["id_b"].to_pylist(),
+                got["jaccard_sim"].to_pylist(),
+            )
+        }
+        exp = {}
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                j = dedup.jaccard(sets[x], sets[y])
+                if j >= tau:
+                    exp[(x, y)] = round(j, 12)
+        assert gset == exp
+
+
+def test_ngram_jaccard_pairs_streaming_path(ray_session):
+    """materialize=False returns a Dataset with the same distinct pairs."""
+    t = _table_with_dups()
+    ds = ray.data.from_arrow(t.rename_columns(["doc_id", "text"]))
+    mat = dedup.ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.5)
+    stream = dedup.ngram_jaccard_pairs(
+        ds, "text", "doc_id", threshold=0.5, materialize=False
+    )
+    st = _collect(stream).sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+    assert mat.equals(st)
+    # exact dups (0,2) and (1,5) plus the near-dup (0,3)/(2,3) must be found
+    pairs = set(zip(mat["id_a"].to_pylist(), mat["id_b"].to_pylist()))
+    assert {(0, 2), (1, 5), (0, 3), (2, 3)} <= pairs
