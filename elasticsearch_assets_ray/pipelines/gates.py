@@ -222,9 +222,14 @@ def g_search_filtered_range(sf_dir: str) -> pa.Table:
 
 
 def g_search_positional(sf_dir: str) -> pa.Table:
-    """Positional queries: sloppy phrases and phrase-prefix."""
+    """Positional queries: sloppy phrases, phrase-prefix, and unordered
+    proximity `~uN`."""
     return _union(
-        [("sloppy", "search_sloppy"), ("phrase_prefix", "search_phrase_prefix")],
+        [
+            ("sloppy", "search_sloppy"),
+            ("phrase_prefix", "search_phrase_prefix"),
+            ("unordered", "search_unordered"),
+        ],
         _SEARCH_COLS,
     )(sf_dir)
 
@@ -383,7 +388,11 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 
     gates["search_positional"] = g_search_positional
     oracles["search_positional"] = _union_sql(
-        [("sloppy", None, "search_sloppy"), ("phrase_prefix", None, "search_phrase_prefix")],
+        [
+            ("sloppy", None, "search_sloppy"),
+            ("phrase_prefix", None, "search_phrase_prefix"),
+            ("unordered", None, "search_unordered"),
+        ],
         _SEARCH_SEL,
     )
 

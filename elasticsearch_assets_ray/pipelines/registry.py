@@ -192,6 +192,14 @@ SLOPPY_QUERIES: list[str] = [
     '"value key"~4',               # reversed order must NOT match as "key value"
 ]
 
+UNORDERED_QUERIES: list[str] = [
+    '"table spark"~u0 merge',      # reversed pair, adjacent (anagram window)
+    '"value key"~u1 row',          # reversed pair the ordered gate rejects
+    'scan -"scan table"~u2',       # negated unordered window
+    '"group window agg"~u1',       # 3 terms, any order, one extra slot
+    '"key key"~u4',                # duplicate term → two distinct positions
+]
+
 REGEXP_QUERIES: list[str] = [
     "/s[pt]ark?/ table",          # character classes + optional char
     "-/m.rge/ scan value",        # negated regexp
@@ -1084,6 +1092,14 @@ def q_search_sloppy(sf_dir: str):
     return _search_many(sf_dir, SLOPPY_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
 
 
+def q_search_unordered(sf_dir: str):
+    """Unordered proximity `"a b"~uN` (span_near in_order=false
+    extension): one distinct position per term instance, any order,
+    span width ≤ m+N — verified on positional postings via the
+    vectorized window-cover kernel."""
+    return _search_many(sf_dir, UNORDERED_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
+
+
 def q_search_regexp(sf_dir: str):
     """Lucene `/regexp/` term queries: anchored-RE2 expansion over the
     sorted term dictionary (leading-literal range pruning), expansion
@@ -1787,6 +1803,25 @@ def _sloppy_exists_sql(phrase: tuple, slop: int) -> str:
     return f"EXISTS (SELECT 1 FROM {froms} WHERE {' AND '.join(conds)})"
 
 
+def _unordered_exists_sql(phrase: tuple, n: int) -> str:
+    """EXISTS over ``posn`` for unordered proximity `"..."~uN`: one
+    DISTINCT position per term instance (duplicate query terms get a
+    canonical `<` chain), any order, span width ≤ m+N — the engine's
+    unordered-window contract enumerated exactly."""
+    m = len(phrase)
+    aliases = [f"u{i}" for i in range(m)]
+    froms = ", ".join(f"posn {a}" for a in aliases)
+    conds = [f"{a}.doc_id = sc.doc_id" for a in aliases]
+    conds += [f"{a}.term = '{t}'" for a, t in zip(aliases, phrase)]
+    for i in range(m):
+        for j in range(i + 1, m):
+            if phrase[i] == phrase[j]:
+                conds.append(f"{aliases[i]}.pos < {aliases[j]}.pos")
+    pos_list = ", ".join(f"{a}.pos" for a in aliases)
+    conds.append(f"greatest({pos_list}) - least({pos_list}) + 1 <= {m + n}")
+    return f"EXISTS (SELECT 1 FROM {froms} WHERE {' AND '.join(conds)})"
+
+
 def _phrase_prefix_exists_sql(terms: tuple, stem: str) -> str:
     """EXISTS chain for a phrase-prefix: the complete terms strictly
     adjacent, immediately followed by any token LIKE 'stem%'."""
@@ -1904,15 +1939,23 @@ def _bm25_bool_sql(queries: list[str], k: int, msm: list[int] | None = None) -> 
         for ph in p.not_phrases:
             phr_vals.append(f"({qid}, ' {' '.join(ph)} ', TRUE)")
         # sloppy phrases: ordered positions within span ≤ m-1+slop,
-        # enumerated as an EXISTS chain over the (doc, term, pos) table
+        # enumerated as an EXISTS chain over the (doc, term, pos) table;
+        # negative slop encodes unordered proximity `~uN` (distinct
+        # positions, any order, span width ≤ m+N)
         for ph, slop in p.sloppy_phrases:
-            slp_conds.append(
-                f"(sc.query_id <> {qid} OR {_sloppy_exists_sql(ph, slop)})"
+            ex = (
+                _unordered_exists_sql(ph, -slop - 1)
+                if slop < 0
+                else _sloppy_exists_sql(ph, slop)
             )
+            slp_conds.append(f"(sc.query_id <> {qid} OR {ex})")
         for ph, slop in p.not_sloppy_phrases:
-            slp_conds.append(
-                f"(sc.query_id <> {qid} OR NOT {_sloppy_exists_sql(ph, slop)})"
+            ex = (
+                _unordered_exists_sql(ph, -slop - 1)
+                if slop < 0
+                else _sloppy_exists_sql(ph, slop)
             )
+            slp_conds.append(f"(sc.query_id <> {qid} OR NOT {ex})")
         for ph, stem in p.phrase_prefixes:
             slp_conds.append(
                 f"(sc.query_id <> {qid} OR "
@@ -2426,6 +2469,7 @@ ORACLES: dict[str, str] = {
     "search_msm": _bm25_bool_sql(MSM_QUERIES, SEARCH_K, msm=MSM_NS),
     "search_regexp": _bm25_bool_sql(REGEXP_QUERIES, SEARCH_K),
     "search_sloppy": _bm25_bool_sql(SLOPPY_QUERIES, SEARCH_K),
+    "search_unordered": _bm25_bool_sql(UNORDERED_QUERIES, SEARCH_K),
     "search_phrase_prefix": _bm25_bool_sql(PHRASE_PREFIX_QUERIES, SEARCH_K),
     # greedy sequence packing: the pack boundaries replay in SQL as a
     # recursive CTE over PACKS (each step jumps to the first overflowing
@@ -2665,6 +2709,7 @@ QUERIES = {
     "search_msm": q_search_msm,
     "search_regexp": q_search_regexp,
     "search_sloppy": q_search_sloppy,
+    "search_unordered": q_search_unordered,
     "search_phrase_prefix": q_search_phrase_prefix,
     "facet_lang": q_facet_lang,
     "histogram_nchars": q_histogram_nchars,

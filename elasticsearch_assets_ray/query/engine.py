@@ -1297,14 +1297,44 @@ class Searcher:
 
     @staticmethod
     def contains_spec(tokens: list[str], terms: tuple, slop: int) -> bool:
-        """Generalized ordered-window check: each element of ``terms``
-        is a term string or a frozenset of alternatives (phrase-prefix
-        expansions); slop 0 = strict adjacency.  The single reference
-        implementation of the ordered-window contract — the positional
-        greedy chain in ``freq_batch`` must stay equivalent."""
+        """Generalized window check: each element of ``terms`` is a term
+        string or a frozenset of alternatives (phrase-prefix expansions);
+        slop 0 = strict adjacency, slop > 0 = ordered window, slop < 0 =
+        UNORDERED proximity (``"a b"~uN`` encoded as -(N+1)): one distinct
+        position per term instance, any order, span width ≤ len + N.  The
+        single reference implementation of both window contracts — the
+        positional kernels in ``freq_batch`` must stay equivalent."""
 
         def ok(tok, t):
             return tok in t if isinstance(t, frozenset) else tok == t
+
+        if slop < 0:
+            # unordered: slide a width-W window over candidate starts;
+            # each distinct matcher group needs its multiplicity inside.
+            # Exact because `~uN` slots are plain terms — matcher groups
+            # are identical-or-disjoint, so no assignment problem arises.
+            import bisect
+            from collections import Counter
+
+            width = len(terms) + (-slop - 1)
+            need = Counter(terms)
+            plists = {
+                t: [i for i, tok in enumerate(tokens) if ok(tok, t)]
+                for t in need
+            }
+            if any(len(plists[t]) < c for t, c in need.items()):
+                return False
+            for x in sorted({p for ps in plists.values() for p in ps}):
+                hit = True
+                for t, c in need.items():
+                    ps = plists[t]
+                    j = bisect.bisect_left(ps, x)
+                    if j + c > len(ps) or ps[j + c - 1] > x + width - 1:
+                        hit = False
+                        break
+                if hit:
+                    return True
+            return False
 
         limit = len(terms) - 1 + slop
         n = len(tokens)
@@ -1542,6 +1572,38 @@ class Searcher:
                 return k
 
             for pi, (p, slop) in enumerate(specs):
+                if slop < 0:
+                    # UNORDERED proximity (slop = -(N+1)): a doc matches
+                    # iff some start position x has, for every distinct
+                    # matcher group, its full multiplicity within
+                    # [x, x+W) in the same doc.  One searchsorted pass
+                    # per group over the merged candidate starts —
+                    # vectorized across all candidate docs at once.
+                    from collections import Counter
+
+                    width = len(p) + (-slop - 1)
+                    need = Counter(p)
+                    gkeys = {t: keys(t) for t in need}
+                    if any(gkeys[t].size < c for t, c in need.items()):
+                        continue
+                    starts = np.unique(np.concatenate(list(gkeys.values())))
+                    okm = np.ones(starts.size, dtype=bool)
+                    for t, c in need.items():
+                        tk = gkeys[t]
+                        j = np.searchsorted(tk, starts)
+                        valid = j + c <= tk.size
+                        v = tk[np.minimum(j + c - 1, tk.size - 1)]
+                        okm &= (
+                            valid
+                            & ((v >> 32) == (starts >> 32))
+                            & ((v - starts) <= (width - 1))
+                        )
+                    if okm.any():
+                        m[order, pi] = np.bincount(
+                            (starts[okm] >> 32).astype(np.int64),
+                            minlength=cs.size,
+                        )
+                    continue
                 start = keys(p[0])
                 cur = start
                 for i, t in enumerate(p[1:], start=1):

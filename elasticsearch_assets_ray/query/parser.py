@@ -40,17 +40,36 @@ from elasticsearch_assets_ray.query.expand import (
 from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
 
 _CLAUSE_RE = re.compile(
-    # a clause is a quoted phrase (with an optional `~N` slop suffix —
-    # Lucene sloppy-phrase syntax), a fielded clause with a quoted value
-    # (`source:"web x"` — must come before \S+ or the space splits it),
-    # a fielded RANGE clause (`n:[10 TO 20}` — contains spaces), or a
-    # bare token
-    r'([+-]?)("([^"]*)"(~\d+)?'
+    # a clause is a quoted phrase (with an optional `~N` ordered-slop or
+    # `~uN` unordered-proximity suffix — Lucene sloppy-phrase syntax plus
+    # our span_near(in_order=false) extension), a fielded clause with a
+    # quoted value (`source:"web x"` — must come before \S+ or the space
+    # splits it), a fielded RANGE clause (`n:[10 TO 20}` — contains
+    # spaces), or a bare token
+    r'([+-]?)("([^"]*)"(~u?\d+)?'
     r'|[A-Za-z_][A-Za-z0-9_.]*:"[^"]*"'
     r"|[A-Za-z_][A-Za-z0-9_.]*:[\[{][^\]}]*[\]}]"
     r"|\S+)"
 )
 _FUZZY_RE = re.compile(r"^(.+)~([0-2]?)$")
+
+
+def encode_unordered_slop(n: int) -> int:
+    """Unordered proximity `"a b"~uN` travels through the shared
+    ``(terms, slop)`` spec tuples as ``slop = -(N+1)`` so no consumer's
+    tuple shape changes; verifiers branch on ``slop < 0``."""
+    return -(int(n) + 1)
+
+
+def unordered_window(terms_len: int, slop: int) -> int | None:
+    """Max span WIDTH for an unordered spec (``terms_len + N``), or
+    ``None`` when ``slop`` encodes an ordered spec."""
+    return terms_len + (-slop - 1) if slop < 0 else None
+
+
+def _slop_suffix(slop: int) -> str:
+    """Canonical printed suffix after `~`: `N` ordered, `uN` unordered."""
+    return f"u{-slop - 1}" if slop < 0 else str(slop)
 # fielded clause `field:value` — identifier-shaped field, nonempty value
 _FIELD_RE = re.compile(r'^([A-Za-z_][A-Za-z0-9_.]*):("(?:[^"]*)"|[^"\s]+)$')
 # fielded range `field:[lo TO hi]` — `[`/`]` inclusive, `{`/`}`
@@ -98,8 +117,14 @@ class ParsedQuery:
     # sloppy phrases `"a b"~N` (Lucene slop): the terms must appear IN
     # ORDER with total span ≤ (len-1) + slop — i.e. up to `slop` extra
     # tokens interleaved.  (Documented divergence: Lucene's slop also
-    # admits reordering at cost 2 per transposition; ours is
+    # admits reordering at cost 2 per transposition; our `~N` is
     # ordered-only.)  Tuple: (terms, slop).
+    # UNORDERED proximity `"a b"~uN` (our span_near(in_order=false)
+    # extension): one DISTINCT position per term instance, in ANY order,
+    # within a span of width ≤ len + N.  Encoded in the same list with
+    # slop = -(N+1) (see encode_unordered_slop) so the shared
+    # (terms, slop) spec tuples flow unchanged through every verifier;
+    # consumers branch on slop < 0.
     sloppy_phrases: list[tuple[tuple[str, ...], int]] = field(default_factory=list)
     not_sloppy_phrases: list[tuple[tuple[str, ...], int]] = field(
         default_factory=list
@@ -235,11 +260,11 @@ class ParsedQuery:
             + ['+"' + " ".join(p) + '"' for p in sorted(set(self.phrases))]
             + ['-"' + " ".join(p) + '"' for p in sorted(set(self.not_phrases))]
             + [
-                f'+"{" ".join(p)}"~{n}'
+                f'+"{" ".join(p)}"~{_slop_suffix(n)}'
                 for p, n in sorted(set(self.sloppy_phrases))
             ]
             + [
-                f'-"{" ".join(p)}"~{n}'
+                f'-"{" ".join(p)}"~{_slop_suffix(n)}'
                 for p, n in sorted(set(self.not_sloppy_phrases))
             ]
             + [
@@ -649,7 +674,13 @@ def parse_query(q: str) -> ParsedQuery:
     out = ParsedQuery()
     for m in _CLAUSE_RE.finditer(q or ""):
         op, body, quoted = m.group(1), m.group(2), m.group(3)
-        slop = int(m.group(4)[1:]) if m.group(4) else None
+        slop = None
+        if m.group(4):
+            suf = m.group(4)[1:]  # strip '~'
+            if suf.startswith("u"):
+                slop = encode_unordered_slop(int(suf[1:]))
+            else:
+                slop = int(suf)
         text = quoted if quoted is not None else body
         if quoted is None:
             em = _EXISTS_RE.match(body)

@@ -433,3 +433,92 @@ def test_phrase_prefix_pruned_matches_exhaustive(positional_index):
         a, b = sp.search(q, 10), se.search(q, 10)
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
         assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+
+# ---------------------------------------------------------------------------
+# unordered proximity `"a b"~uN` (span_near in_order=false extension)
+# ---------------------------------------------------------------------------
+
+
+def test_unordered_parser_and_semantics(built_index):
+    from elasticsearch_assets_ray.query.parser import (
+        encode_unordered_slop,
+        parse_query,
+    )
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    q = parse_query('"def main"~u1 return -"i for"~u0')
+    assert q.sloppy_phrases == [(("def", "main"), encode_unordered_slop(1))]
+    assert q.not_sloppy_phrases == [(("i", "for"), encode_unordered_slop(0))]
+    assert set(q.must) >= {"def", "main"}
+    q2 = parse_query(q.to_string())
+    assert q2.sloppy_phrases == q.sloppy_phrases
+    assert q2.not_sloppy_phrases == q.not_sloppy_phrases
+
+    idx_dir, _ = built_index
+    s = Searcher(idx_dir)
+    spec = (("main", "def"), encode_unordered_slop(1))
+    got = set(s.all_scores('"main def"~u1')["doc_id"].to_pylist())
+    base = s.all_scores("+def +main")
+    ids = np.array(sorted(base["doc_id"].to_pylist()), dtype=np.int64)
+    h = s.hydrate(ids, columns=["doc_id", "content"])
+    want = {
+        d
+        for d, c in zip(h["doc_id"].to_pylist(), h["content"].to_pylist())
+        if Searcher.contains_spec(tokenize_text(c), *spec)
+    }
+    assert got == want
+    # ordered ~N ⊆ unordered ~uN at the same N (identical span bound,
+    # relaxed order), both ⊆ the bag-of-words conjunction
+    ordered = set(s.all_scores('"def main"~1')["doc_id"].to_pylist())
+    assert ordered <= set(
+        s.all_scores('"def main"~u1')["doc_id"].to_pylist()
+    ) <= set(base["doc_id"].to_pylist())
+
+
+def test_unordered_positional_equals_content(positional_index, built_index):
+    """The vectorized unordered window kernel over positional postings and
+    the content re-tokenize path produce identical results and scores."""
+    sc_ = Searcher(built_index[0])   # content path (no positions)
+    sp = Searcher(positional_index)  # positional path (no content)
+    for q in [
+        '"main def"~u2 return',
+        '"range i for"~u2',          # 3 terms, any order
+        'return -"main def"~u1',
+        '"def def"~u3',              # duplicate term: needs 2 distinct positions
+        '"import import"~u0',
+    ]:
+        a = sc_.all_scores(q)
+        b = sp.all_scores(q)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), q
+        assert a["score"].to_pylist() == b["score"].to_pylist(), q
+
+
+@pytest.mark.parametrize(
+    "query",
+    ['"main def"~u1', '"os import"~u0 load', 'return -"def main"~u2'],
+)
+def test_unordered_rank_identity(query, oracle, built_index, positional_index):
+    oi, osc = oracle.topk(query, 10)
+    for idx in (built_index[0], positional_index):
+        r = Searcher(idx).search(query, 10)
+        assert np.array_equal(r["doc_id"].to_numpy(), oi), (query, idx)
+        assert np.array_equal(r["score"].to_numpy(), osc), (query, idx)
+
+
+def test_contains_spec_unordered_reference():
+    from elasticsearch_assets_ray.query.parser import encode_unordered_slop as u
+
+    c = Searcher.contains_spec
+    toks = "the quick brown fox".split()
+    assert c(toks, ("brown", "quick"), u(0))       # reversed pair, adjacent
+    assert not c(toks, ("fox", "the"), u(0))       # width 4 > 2
+    assert c(toks, ("fox", "the"), u(2))
+    toks2 = "a the b the c".split()
+    assert not c(toks2, ("the", "the"), u(0))      # distinct positions 1,3
+    assert c(toks2, ("the", "the"), u(1))
+    toks3 = "x c a b y".split()
+    assert c(toks3, ("a", "b", "c"), u(0))         # anagram window
+    assert c(toks3, ("a", "b", "y"), u(0))         # span 2..4, width 3
+    assert not c(toks3, ("a", "b", "x"), u(0))     # width 4 > 3
+    assert not c(toks3, ("a", "b", "z"), u(9))     # missing term

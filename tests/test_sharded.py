@@ -23,6 +23,8 @@ QUERIES = [
     "lo?d index",
     "load~1 index",
     '"def load"',
+    '"load def"~u1 index',
+    'index -"load def"~u0',
     "doc_len:[100 TO 400] def load",
     "(def OR load) AND NOT (index AND value)",
     "def^2 load",
