@@ -300,6 +300,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "split_assign",
         "stratified_sample",
         "media_decode",
+        "audio_decode",
     ]
     for name in passthrough:
         gates[name] = R.QUERIES[name]

@@ -1465,6 +1465,30 @@ def q_media_decode(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "n_pixels", "pix_sum"])
 
 
+def q_audio_decode(sf_dir: str):
+    """Audio decode through the gate — REAL codec: payloads are genuine
+    WAV (RIFF PCM16 mono) bytes, the actor-pool stage walks the RIFF
+    chunks by hand (stages/wav.py), and the oracle predicts sample count
+    / exact sums / zero crossings in closed form because the synthetic
+    clip content is a pure function of media_id (synth fmt="wav").  A
+    wrong parse (chunk offsets, pad rule, sample framing) breaks the
+    hash."""
+    from elasticsearch_assets_ray.stages import multimodal as mm
+
+    t = mm.synth_media_table(200, kind="audio", fmt="wav")
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(
+        mm.AudioFeatureStage,
+        fn_constructor_kwargs={"codec": "wav"},
+        batch_size=mm.AudioFeatureStage.suggested_batch_size,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.select_columns(
+        ["media_id", "n_samples", "sample_rate", "samp_sum", "samp_sqsum", "n_zero_cross"]
+    )
+
+
 def q_incremental_delta(sf_dir: str):
     """Persistent-mode analog through the gate: two window ticks over the
     events table (content = props JSON text), then a merged-searcher term
@@ -2347,6 +2371,25 @@ ORACLES: dict[str, str] = {
         "SELECT m.media_id, m.width, m.height, m.width*m.height AS n_pixels, "
         "s.pix_sum FROM m JOIN s USING (media_id)"
     ),
+    # closed-form prediction of the WAV decode output: samples are a
+    # pure function of media_id (q_audio_decode): n = 64+(id*7919)%192,
+    # s[j] = (id*31 + j*17) % 257 - 128
+    "audio_decode": (
+        "WITH m AS (SELECT i AS media_id, 64 + (i*7919) % 192 AS n_samples "
+        " FROM range(0, 200) t(i)), "
+        "j AS (SELECT media_id, n_samples, "
+        " unnest(range(0, n_samples)) AS jj FROM m), "
+        "v AS (SELECT media_id, jj, "
+        " (media_id*31 + jj*17) % 257 - 128 AS s, "
+        " CASE WHEN jj > 0 THEN (media_id*31 + (jj-1)*17) % 257 - 128 END AS sp "
+        " FROM j), "
+        "agg AS (SELECT media_id, sum(s)::BIGINT AS samp_sum, "
+        " sum(s*s)::BIGINT AS samp_sqsum, "
+        " sum(CASE WHEN sp IS NOT NULL AND s * sp < 0 THEN 1 ELSE 0 END)::BIGINT "
+        "   AS n_zero_cross FROM v GROUP BY media_id) "
+        "SELECT m.media_id, m.n_samples, 8000 AS sample_rate, agg.samp_sum, "
+        "agg.samp_sqsum, agg.n_zero_cross FROM m JOIN agg USING (media_id)"
+    ),
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "search_sharded": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "fulltext_count": (
@@ -2728,4 +2771,5 @@ QUERIES = {
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "media_decode": q_media_decode,
+    "audio_decode": q_audio_decode,
 }

@@ -49,9 +49,22 @@ def synth_media_table(
     pixels are CLOSED-FORM functions of ``media_id`` (so a SQL oracle can
     predict the decoded output without decoding):
     ``w = 8 + (id·7919) mod 56``, ``h = 8 + (id·104729) mod 56``,
-    ``pixel[j] = (id·31 + j·17) mod 256`` in row-major order."""
+    ``pixel[j] = (id·31 + j·17) mod 256`` in row-major order.
+
+    ``fmt="wav"``: REAL WAV-encoded (RIFF PCM16 mono, 8 kHz) clips whose
+    samples are likewise closed-form:
+    ``n = 64 + (id·7919) mod 192``, ``s[j] = (id·31 + j·17) mod 257 − 128``."""
     ids = np.arange(n, dtype=np.int64)
-    if fmt == "png":
+    if fmt == "wav":
+        from elasticsearch_assets_ray.stages.wav import wav_encode
+
+        payloads = []
+        for i in range(n):
+            m = 64 + (i * 7919) % 192
+            s = ((i * 31 + np.arange(m, dtype=np.int64) * 17) % 257) - 128
+            payloads.append(wav_encode(s.astype(np.int16), sample_rate=8000))
+        meta = "audio/wav"
+    elif fmt == "png":
         from elasticsearch_assets_ray.stages.png import png_encode
 
         payloads = []
@@ -155,6 +168,59 @@ class MediaDecodeStage:
         cols["feature"] = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.reshape(-1)), 16
         )
+        return pa.table(cols)
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: WAV decode (real RIFF PCM parser,
+    :mod:`.wav`) → per-clip features (n_samples, sample_rate,
+    duration_ms, exact sample sums, zero crossings).  Same shape as
+    :class:`MediaDecodeStage`: codec bound once per actor in
+    ``__init__``, per-payload decode in ``__call__`` (audio decode is
+    inherently per-item; the feature math is vectorized per clip)."""
+
+    suggested_batch_size = 64
+
+    def __init__(self, codec: str = "wav", drop_payload: bool = True):
+        if codec == "real":
+            raise NotImplementedError(
+                "arbitrary-format audio decode needs ffmpeg/soundfile, not "
+                "present in this environment — use codec='wav' (real "
+                "pure-Python RIFF PCM)"
+            )
+        if codec != "wav":
+            raise ValueError(f"unknown codec {codec!r}")
+        from elasticsearch_assets_ray.stages.wav import audio_features, wav_decode
+
+        self._decode = wav_decode
+        self._features = audio_features
+        self.drop_payload = drop_payload
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        n = batch.num_rows
+        feats = {
+            k: np.zeros(n, dtype=np.float64 if k == "duration_ms" else np.int64)
+            for k in (
+                "n_samples",
+                "sample_rate",
+                "duration_ms",
+                "samp_sum",
+                "samp_sqsum",
+                "n_zero_cross",
+            )
+        }
+        for i in range(n):
+            samples, sr = self._decode(payloads[i].as_py())
+            for k, v in self._features(samples, sr).items():
+                feats[k][i] = v
+        cols = {
+            name: batch[name]
+            for name in batch.column_names
+            if not (self.drop_payload and name == "payload")
+        }
+        for k, v in feats.items():
+            cols[k] = pa.array(v)
         return pa.table(cols)
 
 

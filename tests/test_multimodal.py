@@ -154,3 +154,99 @@ def test_decode_stage_png_codec(ray_session):
         assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
         want = int(((i * 31 + np.arange(w * h) * 17) % 256).sum())
         assert int(r.pix_sum) == want
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (real RIFF PCM parser) + AudioFeatureStage
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_and_stdlib_parity():
+    import io
+    import wave as stdlib_wave
+
+    import numpy as np
+
+    from elasticsearch_assets_ray.stages.wav import wav_decode, wav_encode
+
+    rng = np.random.default_rng(9)
+    for n in (1, 7, 64, 255):  # odd sample counts exercise framing
+        s = rng.integers(-32768, 32767, n).astype(np.int16)
+        payload = wav_encode(s, sample_rate=16000)
+        got, sr = wav_decode(payload)
+        assert sr == 16000
+        assert np.array_equal(got, s.astype(np.int64))
+        # independent reference: stdlib wave reads the same frames
+        with stdlib_wave.open(io.BytesIO(payload)) as w:
+            ref = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        assert np.array_equal(got, ref.astype(np.int64))
+
+
+def test_wav_decoder_chunk_walk():
+    """The hand-rolled RIFF walker: trailing chunks skipped, odd-size pad
+    honoured, malformed containers rejected."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from elasticsearch_assets_ray.stages.wav import wav_decode, wav_encode
+
+    s = np.arange(-5, 5, dtype=np.int16)
+    base = wav_encode(s, sample_rate=8000)
+
+    def with_extra_chunk(payload, fourcc, body):
+        chunk = fourcc + struct.pack("<I", len(body)) + body + (b"\0" if len(body) % 2 else b"")
+        out = payload + chunk
+        return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
+
+    # trailing LIST chunk (odd-sized body → pad byte) is skipped cleanly
+    extra = with_extra_chunk(base, b"LIST", b"INFOabc")
+    got, sr = wav_decode(extra)
+    assert np.array_equal(got, s.astype(np.int64)) and sr == 8000
+    # ... even when it comes BEFORE data: rebuild with cue before data
+    hdr, rest = base[:12], base[12:]
+    cue = b"cue " + struct.pack("<I", 4) + b"\0\0\0\0"
+    moved = hdr[:4] + struct.pack("<I", len(hdr + cue + rest) - 8) + hdr[8:] + cue + rest
+    got2, _ = wav_decode(moved)
+    assert np.array_equal(got2, s.astype(np.int64))
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFX" + base[4:])          # bad magic
+    with pytest.raises(ValueError):
+        wav_decode(base[:20])                    # truncated
+    stereo = base.replace(b"\x01\x00\x01\x00", b"\x01\x00\x02\x00", 1)
+    with pytest.raises(ValueError):
+        wav_decode(stereo)                       # stereo rejected
+
+
+def test_audio_feature_stage(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_assets_ray.stages import multimodal as mm
+    from elasticsearch_assets_ray.stages.wav import audio_features, wav_decode
+
+    t = mm.synth_media_table(40, kind="audio", fmt="wav")
+    out = pa.concat_tables(
+        list(
+            ray.data.from_arrow(t)
+            .map_batches(
+                mm.AudioFeatureStage,
+                fn_constructor_kwargs={"codec": "wav"},
+                batch_size=16,
+                batch_format="pyarrow",
+                concurrency=(1, 2),
+            )
+            .iter_batches(batch_format="pyarrow")
+        )
+    ).sort_by("media_id")
+    assert out.num_rows == 40 and "payload" not in out.column_names
+    # per-row parity with the scalar reference on the raw payloads
+    for i in (0, 3, 17, 39):
+        row = {k: out[k][i].as_py() for k in out.column_names}
+        ref = audio_features(*wav_decode(t["payload"][i].as_py()))
+        for k, v in ref.items():
+            assert row[k] == v, (i, k)
+    # closed form: n = 64 + (id*7919) % 192
+    assert out["n_samples"].to_pylist()[:3] == [64, 64 + 7919 % 192, 64 + 2 * 7919 % 192]
