@@ -301,6 +301,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "stratified_sample",
         "media_decode",
         "audio_decode",
+        "match_stats",
     ]
     for name in passthrough:
         gates[name] = R.QUERIES[name]

@@ -1216,6 +1216,32 @@ def q_histogram_nchars(sf_dir: str):
     return sh.histogram("spark table", "n_chars", 100.0)
 
 
+def q_match_stats(sf_dir: str):
+    """ES extended_stats + (exact) percentiles aggregations over the
+    match set of a fulltext query, served through the DISTRIBUTED path:
+    each bucket-range shard actor returns a (value, count) partial
+    (size ∝ distinct n_chars values, never match size), counts merge as
+    exact integers, and the final float math runs once on the merged
+    table — bit-identical to the single-searcher path by construction."""
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    st = sh.stats_agg("spark table", "n_chars")
+    pct = sh.percentiles("spark table", "n_chars")
+    metrics = [
+        "count", "min", "max", "sum", "sum_of_squares",
+        "avg", "variance", "std_deviation",
+    ]
+    names = metrics + [f"p{int(p)}" for p in pct["percent"].to_pylist()]
+    vals = [float(st[m]) for m in metrics] + pct["value"].to_pylist()
+    return pa.table(
+        {
+            "metric": pa.array(names, pa.string()),
+            "value": pa.array([round(v, 6) for v in vals], pa.float64()),
+        }
+    )
+
+
 SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
 STRATA_FRACTIONS = {"de": 0.5, "en": 0.25, "fr": 0.75, "es": 1.0}
 
@@ -2653,6 +2679,31 @@ ORACLES: dict[str, str] = {
         "FROM m JOIN documents d ON d.doc_id = m.doc_id "
         "WHERE d.n_chars IS NOT NULL GROUP BY bucket"
     ),
+    # extended_stats + exact percentiles over the same OR match set; the
+    # float expressions mirror stats_from_value_counts structurally so
+    # the doubles are bit-comparable before the shared round(…, 6)
+    "match_stats": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'table')), "
+        "v AS (SELECT d.n_chars::DOUBLE AS x FROM m JOIN documents d "
+        " ON d.doc_id = m.doc_id WHERE d.n_chars IS NOT NULL), "
+        "s AS (SELECT count(*)::DOUBLE AS n, min(x) AS mn, max(x) AS mx, "
+        " sum(x) AS sm, sum(x*x) AS ss FROM v) "
+        "SELECT 'count' AS metric, round(n, 6) AS value FROM s "
+        "UNION ALL SELECT 'min', round(mn, 6) FROM s "
+        "UNION ALL SELECT 'max', round(mx, 6) FROM s "
+        "UNION ALL SELECT 'sum', round(sm, 6) FROM s "
+        "UNION ALL SELECT 'sum_of_squares', round(ss, 6) FROM s "
+        "UNION ALL SELECT 'avg', round(sm / n, 6) FROM s "
+        "UNION ALL SELECT 'variance', round(ss / n - (sm / n) * (sm / n), 6) FROM s "
+        "UNION ALL SELECT 'std_deviation', "
+        " round(sqrt(ss / n - (sm / n) * (sm / n)), 6) FROM s "
+        "UNION ALL SELECT 'p25', round(quantile_cont(x, 0.25), 6) FROM v "
+        "UNION ALL SELECT 'p50', round(quantile_cont(x, 0.50), 6) FROM v "
+        "UNION ALL SELECT 'p75', round(quantile_cont(x, 0.75), 6) FROM v "
+        "UNION ALL SELECT 'p95', round(quantile_cont(x, 0.95), 6) FROM v "
+        "UNION ALL SELECT 'p99', round(quantile_cont(x, 0.99), 6) FROM v"
+    ),
     # incremental_delta: per-window doc counts are plain range counts, and
     # 'total_matched' is the windowed docs whose props tokenize to contain
     # the probe term 'k' (tokenizer = lowercase [a-z0-9]+ runs, replicated
@@ -2755,6 +2806,7 @@ QUERIES = {
     "search_unordered": q_search_unordered,
     "search_phrase_prefix": q_search_phrase_prefix,
     "facet_lang": q_facet_lang,
+    "match_stats": q_match_stats,
     "histogram_nchars": q_histogram_nchars,
     "events_daily": q_events_daily,
     "search_rescore": q_search_rescore,

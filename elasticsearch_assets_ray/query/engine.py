@@ -1270,6 +1270,46 @@ class Searcher:
             {"bucket": pa.array(uniq), "count": pa.array(counts.astype(np.int64))}
         )
 
+    def value_counts_ids(self, ids: np.ndarray, field: str) -> pa.Table:
+        """(value, count) of a NUMERIC docstore column over an explicit
+        match set, value-ascending — the mergeable shard partial behind
+        the exact distributed ``stats`` / ``percentiles`` aggregations.
+        Partial size is bounded by the column's distinct cardinality,
+        never the match size (the t-digest sketch is the documented swap
+        for unbounded-cardinality fields)."""
+        vals = self.hydrate(np.sort(ids), columns=[field])[field]
+        vc = pc.value_counts(pc.drop_null(vals.combine_chunks()))
+        return pa.table(
+            {
+                "value": vc.field("values").cast(pa.float64()),
+                "count": vc.field("counts").cast(pa.int64()),
+            }
+        ).sort_by([("value", "ascending")])
+
+    def stats_agg(self, query: str | ParsedQuery, field: str) -> dict:
+        """ES ``extended_stats`` aggregation analog over a numeric
+        docstore column: count/min/max/sum/avg plus sum_of_squares,
+        population variance and std_deviation of every matching doc's
+        value (missing values skipped, ES semantics).  (Named ``_agg``
+        because ``self.stats`` is the engine's counter dict.)"""
+        ids = self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
+        return stats_from_value_counts(self.value_counts_ids(ids, field))
+
+    def percentiles(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0, 99.0),
+    ) -> pa.Table:
+        """ES ``percentiles`` aggregation analog (linear interpolation on
+        the exact sorted multiset — the rank convention of numpy
+        ``method='linear'`` / SQL ``quantile_cont``; ES itself t-digests,
+        which is approximate — ours is exact)."""
+        ids = self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
+        return percentiles_from_value_counts(
+            self.value_counts_ids(ids, field), percents
+        )
+
     def all_scores(
         self, query: str | ParsedQuery, minimum_should_match: int = 0
     ) -> pa.Table:
@@ -2672,3 +2712,96 @@ class QueryEngineActor:
                 "score": pa.array(np.concatenate(scores)),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# mergeable numeric-agg kernels (stats / percentiles over value-count
+# partials) — shared by Searcher and the ShardedSearcher coordinator so
+# the single-process and distributed paths are BIT-IDENTICAL: per-shard
+# counts merge as exact integers, and the final float math runs once on
+# the merged table in both cases.
+# ---------------------------------------------------------------------------
+
+
+def merge_value_counts(parts: list[pa.Table]) -> pa.Table:
+    """Sum (value, count) partials by value — exact (integer counts)."""
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {"value": pa.array([], pa.float64()), "count": pa.array([], pa.int64())}
+        )
+    allp = pa.concat_tables(parts)
+    merged = allp.group_by("value").aggregate([("count", "sum")])
+    return pa.table(
+        {
+            "value": merged["value"],
+            "count": merged["count_sum"].combine_chunks().cast(pa.int64()),
+        }
+    ).sort_by([("value", "ascending")])
+
+
+def stats_from_value_counts(vc: pa.Table) -> dict:
+    """ES extended_stats from a (value, count) table.  Sums are exact for
+    integer-valued fields (products stay below 2^53); variance uses the
+    textbook ``E[x²] − E[x]²`` form so a SQL oracle can replicate the
+    float operations structurally."""
+    v = vc["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    c = vc["count"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = int(c.sum())
+    if n == 0:
+        return {
+            "count": 0,
+            "min": None,
+            "max": None,
+            "sum": 0.0,
+            "avg": None,
+            "sum_of_squares": 0.0,
+            "variance": None,
+            "std_deviation": None,
+        }
+    s = float(np.dot(v, c))
+    ss = float(np.dot(v * v, c))
+    avg = s / n
+    var = ss / n - avg * avg
+    return {
+        "count": n,
+        "min": float(v[0]),
+        "max": float(v[-1]),
+        "sum": s,
+        "avg": avg,
+        "sum_of_squares": ss,
+        "variance": var,
+        "std_deviation": float(np.sqrt(var)) if var >= 0 else 0.0,
+    }
+
+
+def percentiles_from_value_counts(
+    vc: pa.Table, percents: tuple[float, ...]
+) -> pa.Table:
+    """Exact percentiles (linear interpolation, numpy ``method='linear'``
+    / SQL ``quantile_cont`` convention) from a value-ascending
+    (value, count) table: rank r = (n−1)·p/100, result = x⌊r⌋ +
+    (x⌈r⌉ − x⌊r⌋)·frac, positions resolved through cumulative counts —
+    never expanding the multiset."""
+    v = vc["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    c = vc["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if c.size else 0
+    ps, out = [], []
+    for p in percents:
+        ps.append(float(p))
+        if n == 0:
+            out.append(None)
+            continue
+        r = (n - 1) * (float(p) / 100.0)
+        lo = int(np.floor(r))
+        frac = r - lo
+        x_lo = float(v[np.searchsorted(cum, lo, side="right")])
+        if frac == 0.0:
+            out.append(x_lo)
+            continue
+        x_hi = float(v[np.searchsorted(cum, lo + 1, side="right")])
+        out.append(x_lo + (x_hi - x_lo) * frac)
+    return pa.table(
+        {"percent": pa.array(ps, pa.float64()), "value": pa.array(out, pa.float64())}
+    )

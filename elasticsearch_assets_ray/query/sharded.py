@@ -94,6 +94,15 @@ class ShardWorker:
         ids = self.s.match_ids_prepared(q, df)
         return self.s.histogram_ids(ids, field, interval)
 
+    def value_counts(
+        self, q: ParsedQuery, field: str, df: dict[str, int]
+    ) -> pa.Table:
+        """Local (value, count) partial of a numeric column over the
+        shard's match set — the exact mergeable unit behind distributed
+        stats/percentiles (size ∝ distinct values, not matches)."""
+        ids = self.s.match_ids_prepared(q, df)
+        return self.s.value_counts_ids(ids, field)
+
     def collapse(
         self, q: ParsedQuery, k: int, collapse: str, df: dict[str, int]
     ) -> pa.Table:
@@ -332,6 +341,37 @@ class ShardedSearcher:
                 "count": merged["count_sum"].combine_chunks().cast(pa.int64()),
             }
         ).sort_by([("bucket", "ascending")])
+
+    def stats_agg(self, query: str | ParsedQuery, field: str) -> dict:
+        """Distributed ES extended_stats: each shard returns its
+        (value, count) partial; integer-count merge is order-free, and
+        the final float math runs once on the merged table — BIT-identical
+        to the single-searcher path."""
+        from elasticsearch_assets_ray.query.engine import (
+            merge_value_counts,
+            stats_from_value_counts,
+        )
+
+        q, df = self.prepare(query)
+        vc = merge_value_counts(self._gather("value_counts", q, field, df))
+        return stats_from_value_counts(vc)
+
+    def percentiles(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0, 99.0),
+    ) -> pa.Table:
+        """Distributed exact percentiles over the merged value-count
+        partials (same bit-identity argument as :meth:`stats`)."""
+        from elasticsearch_assets_ray.query.engine import (
+            merge_value_counts,
+            percentiles_from_value_counts,
+        )
+
+        q, df = self.prepare(query)
+        vc = merge_value_counts(self._gather("value_counts", q, field, df))
+        return percentiles_from_value_counts(vc, percents)
 
     def search_collapse(
         self, query: str | ParsedQuery, k: int = 10, collapse: str = ""

@@ -333,3 +333,43 @@ def test_track_total_hits_early_exit(built_index):
     assert s.stats.get("count_early_exit", 0) >= 1
     v, rel = s.match_count("def load", track_total_hits=exact + 1000)
     assert (v, rel) == (exact, "eq")
+
+
+def test_stats_percentiles_distributed_bit_identity(single, sharded):
+    """stats_agg/percentiles: the sharded merge is bit-identical to the
+    single searcher (integer count merge + final math runs once), and
+    both match a numpy brute force over the hydrated match values."""
+    q = "def load"
+    st_s = single.stats_agg(q, "doc_len")
+    st_d = sharded.stats_agg(q, "doc_len")
+    assert st_s == st_d
+    p_s = single.percentiles(q, "doc_len")
+    p_d = sharded.percentiles(q, "doc_len")
+    assert p_s.equals(p_d)
+
+    ids = np.sort(
+        single.all_scores(q)["doc_id"].to_numpy(zero_copy_only=False)
+    )
+    vals = (
+        single.hydrate(ids, columns=["doc_len"])["doc_len"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    assert st_s["count"] == vals.size
+    assert st_s["min"] == vals.min() and st_s["max"] == vals.max()
+    assert st_s["sum"] == vals.sum()  # exact: integer-valued field
+    assert st_s["avg"] == vals.sum() / vals.size
+    np.testing.assert_allclose(
+        st_s["variance"], vals.var(), rtol=1e-9, atol=1e-9
+    )
+    got = p_s["value"].to_numpy(zero_copy_only=False)
+    want = np.percentile(vals, [25, 50, 75, 95, 99], method="linear")
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_stats_empty_match(single, sharded):
+    st = sharded.stats_agg("zzqqzznope", "doc_len")
+    assert st["count"] == 0 and st["min"] is None
+    assert st == single.stats_agg("zzqqzznope", "doc_len")
+    p = sharded.percentiles("zzqqzznope", "doc_len")
+    assert p["value"].null_count == p.num_rows
