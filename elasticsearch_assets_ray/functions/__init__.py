@@ -19,6 +19,12 @@ from elasticsearch_assets_ray.stages.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash,
 )
+from elasticsearch_assets_ray.stages.scrub import (  # noqa: F401
+    benchmark_shingles,
+    contamination_stats,
+    pii_stats,
+    redact_pii,
+)
 from elasticsearch_assets_ray.stages.textstats import (  # noqa: F401
     fingerprint,
     polynomial_hash,

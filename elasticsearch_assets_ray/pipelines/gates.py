@@ -165,6 +165,8 @@ _DOC_STAT_PARTS = [
     "fingerprint",
     "repetition_stats",
     "bpe_token_count",
+    "pii_stats",
+    "contamination_stats",
 ]
 
 

@@ -1455,6 +1455,115 @@ def q_expunge_search(sf_dir: str):
 _BPE_ISH = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 
+_PII_SUFFIX_SQL = (
+    "text || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || "
+    "'@example.com now' ELSE '' END) || (CASE WHEN doc_id % 5 = 0 THEN "
+    "' host 10.' || (doc_id % 256) || '.3.7 up' ELSE '' END) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-6789' ELSE '' END)"
+)
+
+
+def _inject_pii(batch):
+    """Deterministic PII injection for the gate corpus (the synthetic
+    text has none) — mirrored exactly by ``_PII_SUFFIX_SQL``."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch["text"].to_pylist()
+    out = []
+    for i, t in zip(ids, texts):
+        s = t
+        if i % 3 == 0:
+            s += f" contact user{i}@example.com now"
+        if i % 5 == 0:
+            s += f" host 10.{i % 256}.3.7 up"
+        if i % 7 == 0:
+            s += " id 123-45-6789"
+        out.append(s)
+    return pa.table({"doc_id": batch["doc_id"], "text": pa.array(out)})
+
+
+def _pii_stats_sql() -> str:
+    """Oracle for q_pii_stats: same injected corpus, same RE2 patterns
+    (DuckDB regexp_* is RE2), same replacement order."""
+    from elasticsearch_assets_ray.stages.scrub import PII_PATTERNS
+
+    pats = list(PII_PATTERNS.items())
+    counts = ", ".join(
+        "len(regexp_extract_all(text, '" + p + "'))::BIGINT AS n_" + k
+        for k, p in pats
+    )
+    red = "text"
+    for _k, p in pats:
+        red = "regexp_replace(" + red + ", '" + p + "', '[PII]', 'g')"
+    return (
+        "WITH base AS (SELECT doc_id, " + _PII_SUFFIX_SQL + " AS text "
+        "FROM documents) SELECT doc_id, " + counts + ", "
+        "length(" + red + ")::BIGINT AS n_chars_redacted FROM base"
+    )
+
+
+def _contamination_sql() -> str:
+    """Oracle for q_contamination_stats: shared shingle CTEs (k=3) over
+    ALL documents; benchmark = distinct shingles of the first 5 docs;
+    per-doc overlap via list_intersect."""
+    from elasticsearch_assets_ray.pipelines.oracles_hard import _shingle_ctes
+
+    return (
+        "WITH base AS (SELECT doc_id, text FROM documents), "
+        + _shingle_ctes()
+        + ", bench AS (SELECT DISTINCT unnest(SH) AS s FROM shl WHERE doc_id IN "
+        "(SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)), "
+        "bl AS (SELECT list(s) AS l FROM bench), "
+        "per AS (SELECT doc_id, len(SH) AS n_all, "
+        "len(list_intersect(SH, bl.l)) AS n_hit FROM shl CROSS JOIN bl) "
+        "SELECT doc_id, n_hit::BIGINT AS n_contam_shingles, "
+        "n_hit::DOUBLE / n_all AS contam_frac FROM per"
+    )
+
+
+def q_pii_stats(sf_dir: str):
+    """PII detection + redaction (stages/scrub.py): per-doc RE2 match
+    counts for email/ipv4/ssn plus the post-redaction char count, over
+    a corpus with deterministically-injected PII.  pyarrow and DuckDB
+    both run RE2, so one pattern string serves engine and oracle; a
+    wrong count OR a wrong replacement span breaks the hash."""
+    from elasticsearch_assets_ray.stages import scrub
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats_and_redact(b: pa.Table) -> pa.Table:
+        t = scrub.pii_stats(b, "text")
+        r = scrub.redact_pii(b, "text")
+        t = t.append_column(
+            "n_chars_redacted", pc.cast(pc.utf8_length(r["text"]), pa.int64())
+        )
+        return t.drop_columns(["text"])
+
+    return ds.map_batches(_inject_pii, batch_format="pyarrow").map_batches(
+        stats_and_redact, batch_format="pyarrow"
+    )
+
+
+def q_contamination_stats(sf_dir: str):
+    """Benchmark decontamination (stages/scrub.py): the 'benchmark' is
+    the first 5 documents; their k=3 shingle set is hashed once,
+    broadcast via ray.put, and every doc reports how many of its
+    distinct shingles appear in it (GPT-3 appendix-C style overlap scan;
+    k=13 is the production default, k=3 here so the SQL oracle reuses
+    the shared shingle CTEs)."""
+    from elasticsearch_assets_ray.stages import scrub
+
+    head = (
+        pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        .sort_by("doc_id")
+        .slice(0, 5)
+    )
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    out = scrub.contamination_stats(
+        ds, head["text"].combine_chunks(), text_col="text", k=3
+    )
+    return out.select_columns(["doc_id", "n_contam_shingles", "contam_frac"])
+
+
 def q_bpe_token_count(sf_dir: str):
     """BPE-ish pre-tokenizer counting (GPT-2-style word/number/punct
     pieces with leading-space attachment), vectorized Arrow regex;
@@ -2737,6 +2846,8 @@ ORACLES.update(
             num_perm=64, bands=16, shingle_k=3, threshold=0.5
         ),
         "ngram_pairs": _oh.ngram_pairs_sql(threshold=0.5),
+        "pii_stats": _pii_stats_sql(),
+        "contamination_stats": _contamination_sql(),
         "prefix_dfs": _oh.prefix_dfs_sql("abcdefghijklmnopqrstuvwxyz0123456789", 30),
         "embedding_dedup": _oh.embedding_dedup_sql(threshold=0.99),
         "neardup_clusters": _oh.neardup_clusters_sql(
@@ -2818,6 +2929,8 @@ QUERIES = {
     "props_extract": q_props_extract,
     "incremental_delta": q_incremental_delta,
     "bpe_token_count": q_bpe_token_count,
+    "pii_stats": q_pii_stats,
+    "contamination_stats": q_contamination_stats,
     "repetition_stats": q_repetition_stats,
     "pack_documents": q_pack_documents,
     "split_assign": q_split_assign,
