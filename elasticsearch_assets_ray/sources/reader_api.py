@@ -263,6 +263,85 @@ class ReaderAPI:
             ReaderSlice(start=s, end=e) for s, e in interval_ranges(lo, hi, parsed)
         ]
 
+    def make_adaptive_date_ranges(
+        self,
+        size: int,
+        *,
+        start_interval: str | None = None,
+        recurse_optimization: bool = True,
+        min_step_us: int = 1000,
+        max_probes: int = 10_000,
+    ) -> list[ReaderSlice]:
+        """P4 in full: COUNT-GUIDED adaptive slicing (the reference's
+        determineSlice recursion, dateSlicer.ts:95-180): each candidate
+        window is count-probed; an over-full window (count > size)
+        shrinks its end by ratio ``size/count`` (the reference's
+        `recurse_optimization`; plain halving otherwise) and re-probes;
+        an under-full window lets the NEXT window grow proportionally
+        (the reference's expanded-slice behavior); zero-count windows are
+        skipped, not emitted (hole handling, P5).  Sequential by design —
+        each window's end depends on the previous probe, exactly like the
+        reference slicer — and driver-side CHEAP: probes are pruned
+        counts, the heavy fetch stays distributed.  Every emitted slice
+        satisfies ``count <= size`` unless the window already shrank to
+        ``min_step_us`` (the reference's one-millisecond floor)."""
+        import datetime as _dt
+
+        from elasticsearch_assets_ray.sources.dates import (
+            interval_seconds,
+            process_interval,
+        )
+        from elasticsearch_assets_ray.sources.reader import min_max_probe
+
+        if size <= 0:
+            raise ValueError("size must be positive")
+        lo, hi = min_max_probe(self.table_path, self.date_col)
+        hi = hi + _dt.timedelta(microseconds=1)  # limit-inclusive
+        total_span = hi - lo
+        if start_interval is not None:
+            step = _dt.timedelta(
+                seconds=interval_seconds(process_interval(start_interval))
+            )
+        else:
+            step = total_span / 16  # self-tunes from here
+        min_step = _dt.timedelta(microseconds=min_step_us)
+        step = max(step, min_step)
+        out: list[ReaderSlice] = []
+        cur = lo
+        probes = 0
+        while cur < hi:
+            end = min(cur + step, hi)
+            while True:
+                probes += 1
+                if probes > max_probes:
+                    raise RuntimeError(
+                        f"adaptive slicer exceeded {max_probes} count probes; "
+                        "raise size or min_step_us"
+                    )
+                c = self.count(ReaderSlice(start=cur, end=end))
+                span = end - cur
+                if c <= size or span <= min_step:
+                    break
+                ratio = (
+                    max(min(size / c, 0.9), 1e-3) if recurse_optimization else 0.5
+                )
+                span = max(
+                    _dt.timedelta(seconds=span.total_seconds() * ratio), min_step
+                )
+                end = min(cur + span, hi)
+                if end <= cur:
+                    end = min(cur + min_step, hi)
+            if c > 0:
+                out.append(ReaderSlice(start=cur, end=end, count=c))
+            # under-full → grow the next window (expanded-slice analog);
+            # exactly-full → keep; the shrink loop handles over-full
+            grown = end - cur
+            if c < size // 2:
+                grown = grown * 2
+            step = max(min(grown, total_span), min_step)
+            cur = end
+        return out
+
     def make_id_slicer_ranges(self, alphabet: str, max_count: int) -> list[ReaderSlice]:
         """Keyspace DFS plan (P7) as ReaderSlices, probing the sorted
         layout (driver memory ∝ file boundaries, not rows)."""

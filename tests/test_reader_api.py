@@ -109,3 +109,57 @@ def test_metrics_gauges(built_index, corpus_dir):
     m = api.metrics()["engine"]
     assert m["queries_served"] == 1
     assert m["records_served"] == 5
+
+
+def test_adaptive_date_ranges_skewed(tmp_path):
+    """P4: count-guided recursion — slices shrink where data is dense,
+    grow where sparse; every slice is within budget; disjoint cover."""
+    import datetime as dt
+
+    import duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1)
+    rng = np.random.default_rng(7)
+    # 5000 rows in one dense hour, 200 rows across a sparse month, a hole
+    dense = [base + dt.timedelta(seconds=int(x)) for x in rng.integers(0, 3600, 5000)]
+    sparse = [
+        base + dt.timedelta(days=10) + dt.timedelta(seconds=int(x))
+        for x in rng.integers(0, 20 * 86400, 200)
+    ]
+    ts = sorted(dense + sparse)
+    path = str(tmp_path / "skew.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array(ts, pa.timestamp("us")), "v": range(len(ts))}),
+        path,
+    )
+    api = ReaderAPI(path, date_col="ts")
+    size = 400
+    slices = api.make_adaptive_date_ranges(size)
+    # budget: every slice within size (none hits the 1ms floor here)
+    assert all(s.count <= size for s in slices)
+    assert all(s.count > 0 for s in slices)
+    # disjoint cover: counts sum to the full table
+    assert sum(s.count for s in slices) == len(ts)
+    for a, b in zip(slices, slices[1:]):
+        assert a.end <= b.start
+    # recounting each emitted slice agrees with its recorded count
+    assert all(api.count(s) == s.count for s in slices[:5])
+    # adaptivity: dense-hour slices are much narrower than sparse ones
+    spans = [(s.end - s.start).total_seconds() for s in slices]
+    dense_spans = [
+        sp for s, sp in zip(slices, spans) if s.start < base + dt.timedelta(hours=2)
+    ]
+    sparse_spans = [
+        sp for s, sp in zip(slices, spans) if s.start > base + dt.timedelta(days=5)
+    ]
+    assert dense_spans and sparse_spans
+    assert max(dense_spans) < min(sparse_spans)
+    # plain halving mode also satisfies the contract
+    halved = api.make_adaptive_date_ranges(size, recurse_optimization=False)
+    assert sum(s.count for s in halved) == len(ts)
+    assert all(s.count <= size for s in halved)
+    # oracle: total rows
+    want = duckdb.sql(f"SELECT count(*) FROM '{path}'").fetchone()[0]
+    assert sum(s.count for s in slices) == want
