@@ -1226,8 +1226,15 @@ def q_match_stats(sf_dir: str):
     from elasticsearch_assets_ray.query.sharded import ShardedSearcher
 
     sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
-    st = sh.stats_agg("spark table", "n_chars")
-    pct = sh.percentiles("spark table", "n_chars")
+    from elasticsearch_assets_ray.query.engine import (
+        percentiles_from_value_counts,
+        stats_from_value_counts,
+    )
+
+    # ONE distributed match + value-count scatter feeds both finalizers
+    vc = sh.value_counts("spark table", "n_chars")
+    st = stats_from_value_counts(vc)
+    pct = percentiles_from_value_counts(vc, (25.0, 50.0, 75.0, 95.0, 99.0))
     metrics = [
         "count", "min", "max", "sum", "sum_of_squares",
         "avg", "variance", "std_deviation",

@@ -1286,14 +1286,21 @@ class Searcher:
             }
         ).sort_by([("value", "ascending")])
 
+    def value_counts(self, query: str | ParsedQuery, field: str) -> pa.Table:
+        """(value, count) multiset of a numeric column over the query's
+        match set — the one match-set pass behind stats_agg/percentiles;
+        callers wanting both should compute this once and feed both
+        finalizers."""
+        ids = self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
+        return self.value_counts_ids(ids, field)
+
     def stats_agg(self, query: str | ParsedQuery, field: str) -> dict:
         """ES ``extended_stats`` aggregation analog over a numeric
         docstore column: count/min/max/sum/avg plus sum_of_squares,
         population variance and std_deviation of every matching doc's
         value (missing values skipped, ES semantics).  (Named ``_agg``
         because ``self.stats`` is the engine's counter dict.)"""
-        ids = self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
-        return stats_from_value_counts(self.value_counts_ids(ids, field))
+        return stats_from_value_counts(self.value_counts(query, field))
 
     def percentiles(
         self,
@@ -1305,10 +1312,7 @@ class Searcher:
         the exact sorted multiset — the rank convention of numpy
         ``method='linear'`` / SQL ``quantile_cont``; ES itself t-digests,
         which is approximate — ours is exact)."""
-        ids = self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
-        return percentiles_from_value_counts(
-            self.value_counts_ids(ids, field), percents
-        )
+        return percentiles_from_value_counts(self.value_counts(query, field), percents)
 
     def all_scores(
         self, query: str | ParsedQuery, minimum_should_match: int = 0
@@ -1356,7 +1360,7 @@ class Searcher:
             import bisect
             from collections import Counter
 
-            width = len(terms) + (-slop - 1)
+            width = parser_mod.unordered_window(len(terms), slop)
             need = Counter(terms)
             plists = {
                 t: [i for i, tok in enumerate(tokens) if ok(tok, t)]
@@ -1621,7 +1625,7 @@ class Searcher:
                     # vectorized across all candidate docs at once.
                     from collections import Counter
 
-                    width = len(p) + (-slop - 1)
+                    width = parser_mod.unordered_window(len(p), slop)
                     need = Counter(p)
                     gkeys = {t: keys(t) for t in need}
                     if any(gkeys[t].size < c for t, c in need.items()):
@@ -1895,8 +1899,12 @@ class Searcher:
         q = parse_query(query) if isinstance(query, str) else query
         q = self._apply_msm(q, minimum_should_match)
         q = self._rewrite_prefixes(q)
-        n = self._match_ids(q, up_to=track_total_hits).size
-        if track_total_hits is not None and n >= track_total_hits:
+        # count to threshold+1: a total EXACTLY equal to the threshold is
+        # complete and must report "eq" (ES: relation gte only when the
+        # count was truncated), so truncation needs a strict >
+        up_to = None if track_total_hits is None else track_total_hits + 1
+        n = self._match_ids(q, up_to=up_to).size
+        if track_total_hits is not None and n > track_total_hits:
             return (track_total_hits, "gte")
         return (n, "eq")
 

@@ -137,6 +137,21 @@ class ShardWorker:
         finally:
             self.s._df_override = None
 
+    def search_window(self, q: ParsedQuery, w: int, df: dict[str, int]) -> pa.Table:
+        """Local rescore-window half: top-w by the engine rescore's
+        (round-9 score desc, docID asc) comparator — NOT raw-score
+        ``sort_topk`` — with RAW scores preserved in the output.  Using
+        the same total order locally and at the merge makes the global
+        window selection exact (k-way-merge property); raw ordering
+        here could pick different members inside a round-9 tie group."""
+        r = self.s.all_scores_prepared(q, df)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        sc = r["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -bm25.round_half_up(sc, 9)))[:w]
+        return pa.table(
+            {"doc_id": pa.array(ids[order]), "score": pa.array(sc[order])}
+        )
+
     def score_ids(
         self, terms: list[str], ids: np.ndarray, df: dict[str, int]
     ) -> np.ndarray:
@@ -342,19 +357,24 @@ class ShardedSearcher:
             }
         ).sort_by([("bucket", "ascending")])
 
-    def stats_agg(self, query: str | ParsedQuery, field: str) -> dict:
-        """Distributed ES extended_stats: each shard returns its
-        (value, count) partial; integer-count merge is order-free, and
-        the final float math runs once on the merged table — BIT-identical
-        to the single-searcher path."""
-        from elasticsearch_assets_ray.query.engine import (
-            merge_value_counts,
-            stats_from_value_counts,
-        )
+    def value_counts(self, query: str | ParsedQuery, field: str) -> pa.Table:
+        """Merged (value, count) multiset of a numeric column over the
+        match set: each shard returns its partial (size ∝ distinct
+        values, never match size); integer-count merge is order-free.
+        This is the ONE distributed pass behind stats_agg/percentiles —
+        callers wanting both should gather it once and feed both
+        finalizers."""
+        from elasticsearch_assets_ray.query.engine import merge_value_counts
 
         q, df = self.prepare(query)
-        vc = merge_value_counts(self._gather("value_counts", q, field, df))
-        return stats_from_value_counts(vc)
+        return merge_value_counts(self._gather("value_counts", q, field, df))
+
+    def stats_agg(self, query: str | ParsedQuery, field: str) -> dict:
+        """Distributed ES extended_stats: the final float math runs once
+        on the merged table — BIT-identical to the single-searcher path."""
+        from elasticsearch_assets_ray.query.engine import stats_from_value_counts
+
+        return stats_from_value_counts(self.value_counts(query, field))
 
     def percentiles(
         self,
@@ -363,15 +383,12 @@ class ShardedSearcher:
         percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0, 99.0),
     ) -> pa.Table:
         """Distributed exact percentiles over the merged value-count
-        partials (same bit-identity argument as :meth:`stats`)."""
+        partials (same bit-identity argument as :meth:`stats_agg`)."""
         from elasticsearch_assets_ray.query.engine import (
-            merge_value_counts,
             percentiles_from_value_counts,
         )
 
-        q, df = self.prepare(query)
-        vc = merge_value_counts(self._gather("value_counts", q, field, df))
-        return percentiles_from_value_counts(vc, percents)
+        return percentiles_from_value_counts(self.value_counts(query, field), percents)
 
     def search_collapse(
         self, query: str | ParsedQuery, k: int = 10, collapse: str = ""
@@ -451,11 +468,24 @@ class ShardedSearcher:
                 "prefixes, wildcards, fuzzies); +must/-not/phrases/"
                 "filters/boolean expressions belong in the primary query"
             )
-        win = self.search(query, k=window_size)
-        w_ids = win["doc_id"].to_numpy(zero_copy_only=False)
-        w_sc = win["score"].to_numpy(zero_copy_only=False)
+        # window selection must use the SAME (round-9 desc, docID asc)
+        # comparator as Searcher.rescore (engine.py:985) — self.search's
+        # raw-score ordering could pick different members inside a
+        # round-9 tie group, breaking sharded-vs-single rank identity
+        q1, df1 = self.prepare(query)
+        parts = self._gather("search_window", q1, window_size, df1)
+        w_ids = np.concatenate(
+            [p["doc_id"].to_numpy(zero_copy_only=False) for p in parts]
+        )
+        w_sc = np.concatenate(
+            [p["score"].to_numpy(zero_copy_only=False) for p in parts]
+        )
+        order = np.lexsort((w_ids, -bm25.round_half_up(w_sc, 9)))[:window_size]
+        w_ids, w_sc = w_ids[order], w_sc[order]
         if w_ids.size == 0:
-            return win
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
         sec = np.zeros(w_ids.size, dtype=np.float64)
         owner = self._owners(w_ids)
         args, sels = [], []
@@ -517,7 +547,14 @@ class ShardedSearcher:
             if sel.size:
                 futs.append(self.shards[i].highlight_ids.remote(q, docids[sel], window))
         parts = ray.get(futs)
-        return pa.concat_tables(parts)
+        out = pa.concat_tables(parts)
+        # restore the CALLER's docids order (the single-searcher contract:
+        # one row per input docid in input order, content-less ids dropped)
+        # — the raw concat comes back grouped by owning shard
+        got = out["doc_id"].to_numpy(zero_copy_only=False)
+        sort_in = np.argsort(docids, kind="stable")
+        pos = sort_in[np.searchsorted(docids[sort_in], got)]
+        return out.take(pa.array(np.argsort(pos, kind="stable")))
 
     def _owners(self, docids: np.ndarray) -> np.ndarray:
         """Owning shard per docID (bucket-range lookup)."""

@@ -295,6 +295,10 @@ class ReaderAPI:
 
         if size <= 0:
             raise ValueError("size must be positive")
+        if min_step_us <= 0:
+            # a zero floor would pin end == cur (grown=0) and spin the
+            # probe loop until max_probes instead of ever advancing
+            raise ValueError("min_step_us must be positive")
         lo, hi = min_max_probe(self.table_path, self.date_col)
         hi = hi + _dt.timedelta(microseconds=1)  # limit-inclusive
         total_span = hi - lo

@@ -648,20 +648,7 @@ def minhash_lsh_dedup(
     # the already-distinct result (bounded by verified-pair count, with
     # the band-duplication already removed cluster-side) is collected
     out = distinct_pairs_ds(pairs_ds, "jaccard_sim", "max")
-    if not materialize:
-        return out
-    batches = list(out.iter_batches(batch_format="pyarrow"))
-    if not batches:
-        return pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "jaccard_sim": pa.array([], pa.float64()),
-            }
-        )
-    return pa.concat_tables(batches).sort_by(
-        [("id_a", "ascending"), ("id_b", "ascending")]
-    )
+    return _collect_pairs(out, "jaccard_sim", materialize)
 
 
 # ---------------------------------------------------------------------------
@@ -822,20 +809,7 @@ def simhash_near_dups(
     # one code path for gate and scale: distributed distinct, then an
     # optional result-bounded collect (see minhash_lsh_dedup)
     out = distinct_pairs_ds(pairs_ds, "hamming", "min")
-    if not materialize:
-        return out
-    batches = list(out.iter_batches(batch_format="pyarrow"))
-    if not batches:
-        return pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "hamming": pa.array([], pa.int64()),
-            }
-        )
-    return pa.concat_tables(batches).sort_by(
-        [("id_a", "ascending"), ("id_b", "ascending")]
-    )
+    return _collect_pairs(out, "hamming", materialize, val_type=pa.int64())
 
 
 def ngram_jaccard(
@@ -850,7 +824,10 @@ def ngram_jaccard(
 
 
 def _collect_pairs(
-    out: ray.data.Dataset, val_col: str, materialize: bool
+    out: ray.data.Dataset,
+    val_col: str,
+    materialize: bool,
+    val_type: pa.DataType | None = None,
 ) -> pa.Table | ray.data.Dataset:
     """Collect an already-distinct pair dataset (or pass it through when
     ``materialize=False`` — the 100 TB path)."""
@@ -862,7 +839,7 @@ def _collect_pairs(
             {
                 "id_a": pa.array([], pa.int64()),
                 "id_b": pa.array([], pa.int64()),
-                val_col: pa.array([], pa.float64()),
+                val_col: pa.array([], val_type or pa.float64()),
             }
         )
     return pa.concat_tables(batches).sort_by(

@@ -75,7 +75,17 @@ class HLL:
         counting) correction; 64-bit hashes never need the large-range
         correction."""
         m = float(self.m)
-        alpha = 0.7213 / (1.0 + 1.079 / m)  # m >= 128 constant
+        # Flajolet et al. 2007 bias-correction constants: the closed form
+        # 0.7213/(1+1.079/m) is only valid for m >= 128; p in [4,6] uses
+        # the paper's tabulated alpha_16/alpha_32/alpha_64
+        if self.p == 4:
+            alpha = 0.673
+        elif self.p == 5:
+            alpha = 0.697
+        elif self.p == 6:
+            alpha = 0.709
+        else:
+            alpha = 0.7213 / (1.0 + 1.079 / m)
         est = alpha * m * m / float(np.sum(np.ldexp(1.0, -self.regs.astype(np.int64))))
         zeros = int(np.count_nonzero(self.regs == 0))
         if est <= 2.5 * m and zeros > 0:

@@ -247,9 +247,8 @@ def test_sharded_mlt_suggest_highlight_parity(single, sharded):
     ids = single.search("def load index", k=5)["doc_id"].to_numpy(zero_copy_only=False)
     h1 = single.highlight("def load index", ids, window=8)
     h2 = sharded.highlight("def load index", ids, window=8)
-    assert sorted(h1.to_pylist(), key=lambda r: r["doc_id"]) == sorted(
-        h2.to_pylist(), key=lambda r: r["doc_id"]
-    )
+    # full contract: one row per input docid IN INPUT ORDER on both paths
+    assert h1.to_pylist() == h2.to_pylist()
 
 
 def test_sharded_rescore_actor_path(built_index):
@@ -265,11 +264,12 @@ def test_sharded_rescore_actor_path(built_index):
         single.function_score("def load", "doc_len", k=5, factor=0.01),
     )
     ids = single.search("def load", k=4)["doc_id"].to_numpy(zero_copy_only=False)
+    # shuffle the request order so the order-restoration logic is actually
+    # exercised (shards return rows grouped by owner)
+    ids = ids[::-1].copy()
     h1 = single.highlight("def load", ids, window=8)
     h2 = sh.highlight("def load", ids, window=8)
-    assert sorted(h1.to_pylist(), key=lambda r: r["doc_id"]) == sorted(
-        h2.to_pylist(), key=lambda r: r["doc_id"]
-    )
+    assert h1.to_pylist() == h2.to_pylist()
 
 
 def test_reader_api_sharded_backend(built_index, corpus_dir):
@@ -332,6 +332,10 @@ def test_track_total_hits_early_exit(built_index):
     assert (v, rel) == (5, "gte")
     assert s.stats.get("count_early_exit", 0) >= 1
     v, rel = s.match_count("def load", track_total_hits=exact + 1000)
+    assert (v, rel) == (exact, "eq")
+    # boundary: a total EXACTLY equal to the threshold is complete → "eq"
+    # (ES reports relation gte only for truncated counts)
+    v, rel = s.match_count("def load", track_total_hits=exact)
     assert (v, rel) == (exact, "eq")
 
 
