@@ -236,6 +236,91 @@ def g_search_positional(sf_dir: str) -> pa.Table:
     )(sf_dir)
 
 
+def g_agg_suite(sf_dir: str) -> pa.Table:
+    """ES aggregation suite under ONE composite gate: terms (facet_lang),
+    terms+avg sub-agg (facet_metric), significant_terms (JLH), range agg,
+    and terms+top_hits sub-agg — all served through the DISTRIBUTED
+    shard-actor path, projected to (gate, value, count, metric_r)."""
+    import pyarrow.compute as pc
+
+    tabs = []
+    f = _to_table(R.QUERIES["facet_lang"](sf_dir))
+    tabs.append(
+        pa.table(
+            {
+                "gate": pa.array(["facet"] * f.num_rows),
+                "value": f["value"].combine_chunks().cast(pa.string()),
+                "count": f["count"].combine_chunks().cast(pa.int64()),
+                "metric_r": pa.array([0.0] * f.num_rows, pa.float64()),
+            }
+        )
+    )
+    fm = _to_table(R.QUERIES["facet_metric"](sf_dir))
+    tabs.append(
+        pa.table(
+            {
+                "gate": pa.array(["facet_metric"] * fm.num_rows),
+                "value": fm["value"].combine_chunks().cast(pa.string()),
+                "count": fm["count"].combine_chunks().cast(pa.int64()),
+                "metric_r": fm["avg_r"].combine_chunks(),
+            }
+        )
+    )
+    st = _to_table(R.QUERIES["significant_terms"](sf_dir))
+    tabs.append(
+        pa.table(
+            {
+                "gate": pa.array(["sig_terms"] * st.num_rows),
+                "value": st["term"].combine_chunks().cast(pa.string()),
+                "count": st["fg"].combine_chunks().cast(pa.int64()),
+                "metric_r": st["score_r"].combine_chunks(),
+            }
+        )
+    )
+    ra = _to_table(R.QUERIES["range_agg"](sf_dir))
+    tabs.append(
+        pa.table(
+            {
+                "gate": pa.array(["range"] * ra.num_rows),
+                "value": ra["value"].combine_chunks().cast(pa.string()),
+                "count": ra["count"].combine_chunks().cast(pa.int64()),
+                "metric_r": pa.array([0.0] * ra.num_rows, pa.float64()),
+            }
+        )
+    )
+    th = _to_table(R.QUERIES["top_hits"](sf_dir))
+    lbl = pc.binary_join_element_wise(
+        th["value"].combine_chunks().cast(pa.string()),
+        th["rank"].combine_chunks().cast(pa.string()),
+        "#",
+    )
+    tabs.append(
+        pa.table(
+            {
+                "gate": pa.array(["top_hits"] * th.num_rows),
+                "value": lbl,
+                "count": th["doc_id"].combine_chunks().cast(pa.int64()),
+                "metric_r": th["score_r"].combine_chunks(),
+            }
+        )
+    )
+    return pa.concat_tables(tabs)
+
+
+AGG_SUITE_SQL_PARTS = [
+    ("facet", "value, count, 0.0 AS metric_r", "facet_lang"),
+    ("facet_metric", "value, count, avg_r AS metric_r", "facet_metric"),
+    ("sig_terms", "term AS value, fg AS count, score_r AS metric_r", "significant_terms"),
+    ("range", "value, count, 0.0 AS metric_r", "range_agg"),
+    (
+        "top_hits",
+        "value || '#' || CAST(rank AS VARCHAR) AS value, doc_id AS count, "
+        "score_r AS metric_r",
+        "top_hits",
+    ),
+]
+
+
 def g_embedding_ann(sf_dir: str) -> pa.Table:
     """LSH-bucketed and IVF-partitioned approximate nearest neighbour."""
     return _union(
@@ -287,7 +372,6 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "more_like_this",
         "suggest_terms",
         "highlight",
-        "facet_lang",
         "histogram_nchars",
         "events_daily",
         "search_rescore",
@@ -314,6 +398,11 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     oracles["key_scan"] = _union_sql(
         [("prefix", None, "key_prefix_scan"), ("charclass", None, "key_charclass_scan")],
         "doc_id, source, lang",
+    )
+
+    gates["agg_suite"] = g_agg_suite
+    oracles["agg_suite"] = _union_sql(
+        [(tag, sel, key) for tag, sel, key in AGG_SUITE_SQL_PARTS], ""
     )
 
     gates["scalar_probes"] = g_scalar_probes

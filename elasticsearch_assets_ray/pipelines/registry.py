@@ -1249,6 +1249,84 @@ def q_match_stats(sf_dir: str):
     )
 
 
+AGG_RANGES: list[tuple[float | None, float | None]] = [
+    (None, 200.0),
+    (200.0, 400.0),
+    (400.0, None),
+]
+
+
+def q_facet_metric(sf_dir: str):
+    """ES terms agg + avg metric SUB-aggregation (the bucket+metric
+    shape ES composes per shard), served distributed: shard actors
+    return (value, metric, count) integer partials; the float math runs
+    once after the exact merge."""
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    t = sh.facet_metric("spark table", by="lang", metric="n_chars")
+    return pa.table(
+        {
+            "value": t["value"],
+            "count": t["count"],
+            "avg_r": pa.array(
+                [round(x, 6) for x in t["avg"].to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
+def q_significant_terms(sf_dir: str):
+    """ES significant_terms (JLH) over the match set of a fulltext
+    query, distributed: each shard tokenizes ITS matching docs into a
+    (term, fg) partial; background df comes from the coordinator's term
+    dictionary; exact — unlike ES's default shard-local approximation."""
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    t = sh.significant_terms("spark table", size=10, min_doc_count=3)
+    return pa.table(
+        {
+            "term": t["term"],
+            "fg": t["fg"],
+            "bg": t["bg"],
+            "score_r": pa.array(
+                [round(x, 6) for x in t["score"].to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
+def q_range_agg(sf_dir: str):
+    """ES range aggregation ([from, to) half-open buckets, independent
+    counting, ES `lo-hi` keys) over the fulltext match set — one
+    value_counts scatter, binned once on the coordinator."""
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    return sh.range_agg("spark table", "n_chars", AGG_RANGES)
+
+
+def q_top_hits(sf_dir: str):
+    """ES terms agg + top_hits SUB-aggregation: per-lang top-3 hits at
+    the round-9/docID ranking contract, shard-local per-bucket top-n
+    partials re-selected by the shared comparator (exact merge)."""
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    t = sh.top_hits("spark table", by="lang", n=3)
+    return pa.table(
+        {
+            "value": t["value"],
+            "rank": t["rank"],
+            "doc_id": t["doc_id"],
+            "score_r": pa.array(
+                [round(x, 6) for x in t["score"].to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 SPLIT_RATIOS = {"train": 0.8, "val": 0.1, "test": 0.1}
 STRATA_FRACTIONS = {"de": 0.5, "en": 0.25, "fr": 0.75, "es": 1.0}
 
@@ -2795,6 +2873,69 @@ ORACLES: dict[str, str] = {
         "FROM m JOIN documents d ON d.doc_id = m.doc_id "
         "WHERE d.n_chars IS NOT NULL GROUP BY bucket"
     ),
+    # terms agg + avg sub-agg: integer n_chars sums are exact in float64,
+    # so the engine's Σ(metric·count)/Σcount equals SQL's sum(x)/count(*)
+    "facet_metric": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'table')) "
+        "SELECT d.lang AS value, count(*) AS count, "
+        "round(sum(d.n_chars)::DOUBLE / count(*), 6) AS avg_r "
+        "FROM m JOIN documents d ON d.doc_id = m.doc_id "
+        "WHERE d.lang IS NOT NULL AND d.n_chars IS NOT NULL GROUP BY d.lang"
+    ),
+    # significant_terms JLH: fgPct = fg/|match|, bgPct = df/n_docs;
+    # the float expression mirrors significant_terms_from_partials
+    # term-by-term so the doubles agree before the shared round(…, 6)
+    "significant_terms": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "dt AS (SELECT DISTINCT doc_id, term FROM tok), "
+        "m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'table')), "
+        "fg AS (SELECT term, count(*)::BIGINT AS fg FROM dt "
+        " WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY term), "
+        "bg AS (SELECT term, count(*)::BIGINT AS bg FROM dt GROUP BY term), "
+        "tot AS (SELECT (SELECT count(*) FROM m)::DOUBLE AS fgt, "
+        " (SELECT count(*) FROM documents)::DOUBLE AS n), "
+        "sc AS (SELECT fg.term, fg.fg, bg.bg, "
+        " ((fg.fg / t.fgt) - (bg.bg / t.n)) * ((fg.fg / t.fgt) / (bg.bg / t.n)) AS score "
+        " FROM fg JOIN bg USING (term) CROSS JOIN tot t "
+        " WHERE fg.fg >= 3 AND (fg.fg / t.fgt) > (bg.bg / t.n)) "
+        "SELECT term, fg, bg, round(score, 6) AS score_r FROM sc "
+        "QUALIFY row_number() OVER (ORDER BY round(score, 9) DESC, term) <= 10"
+    ),
+    # range agg: [from, to) half-open, each bucket counted independently;
+    # the label literals are pinned by tests to engine.range_label
+    "range_agg": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'table')), "
+        "v AS (SELECT d.n_chars::DOUBLE AS x FROM m JOIN documents d "
+        " ON d.doc_id = m.doc_id WHERE d.n_chars IS NOT NULL) "
+        "SELECT '*-200.0' AS value, (SELECT count(*) FROM v WHERE x < 200.0) AS count "
+        "UNION ALL SELECT '200.0-400.0', "
+        " (SELECT count(*) FROM v WHERE x >= 200.0 AND x < 400.0) "
+        "UNION ALL SELECT '400.0-*', (SELECT count(*) FROM v WHERE x >= 400.0)"
+    ),
+    # terms agg + top_hits sub-agg: full BM25 (same CTE structure as
+    # _bm25_sql) then per-lang rank at round-9/docID granularity
+    "top_hits": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+        "q(term) AS (VALUES ('spark'), ('table')), "
+        "scored AS (SELECT tf.doc_id, "
+        " sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+        "  * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score "
+        " FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY tf.doc_id) "
+        "SELECT d.lang AS value, "
+        " row_number() OVER (PARTITION BY d.lang ORDER BY round(sc.score, 9) DESC, sc.doc_id) AS rank, "
+        " sc.doc_id, round(sc.score, 6) AS score_r "
+        "FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id "
+        "WHERE d.lang IS NOT NULL "
+        "QUALIFY rank <= 3"
+    ),
     # extended_stats + exact percentiles over the same OR match set; the
     # float expressions mirror stats_from_value_counts structurally so
     # the doubles are bit-comparable before the shared round(…, 6)
@@ -2926,6 +3067,10 @@ QUERIES = {
     "facet_lang": q_facet_lang,
     "match_stats": q_match_stats,
     "histogram_nchars": q_histogram_nchars,
+    "facet_metric": q_facet_metric,
+    "significant_terms": q_significant_terms,
+    "range_agg": q_range_agg,
+    "top_hits": q_top_hits,
     "events_daily": q_events_daily,
     "search_rescore": q_search_rescore,
     "function_score": q_function_score,

@@ -1314,6 +1314,145 @@ class Searcher:
         which is approximate — ours is exact)."""
         return percentiles_from_value_counts(self.value_counts(query, field), percents)
 
+    # ---------- terms agg + metric sub-agg / significant_terms /
+    # ---------- range agg / top_hits ----------
+
+    def group_value_counts_ids(
+        self, ids: np.ndarray, by: str, metric: str
+    ) -> pa.Table:
+        """Distinct (bucket value, metric value) pairs with integer
+        counts over an explicit match set — the mergeable shard partial
+        behind :meth:`facet_metric` (ES ``terms`` agg with a metric
+        sub-agg).  Rows missing EITHER column are skipped (ES sub-aggs
+        skip missing).  Partial size is bounded by the product of the two
+        columns' distinct cardinalities over the match set, never by the
+        match size; integer-count merge keeps the sharded path
+        bit-identical (all float math runs once, after the merge)."""
+        t = self.hydrate(np.sort(np.asarray(ids, dtype=np.int64)), columns=[by, metric])
+        vals = pc.cast(t[by].combine_chunks(), pa.string())
+        mv = pc.cast(t[metric].combine_chunks(), pa.float64())
+        keep = pc.and_(pc.is_valid(vals), pc.is_valid(mv))
+        sub = pa.table({"value": vals.filter(keep), "metric": mv.filter(keep)})
+        g = sub.group_by(["value", "metric"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "value": g["value"],
+                "metric": g["metric"],
+                "count": g["count_all"].combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    def facet_metric(
+        self, query: str | ParsedQuery, by: str, metric: str, size: int | None = None
+    ) -> pa.Table:
+        """ES ``terms`` aggregation with an ``avg`` metric sub-agg:
+        per-bucket doc count AND mean of a numeric column →
+        pa.Table(value, count, avg), count-desc / value-asc bucket order.
+        Single-searcher path = one-partial merge of the same shard
+        partial the distributed path uses, so both are bit-identical."""
+        ids = self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
+        pairs = merge_group_value_counts([self.group_value_counts_ids(ids, by, metric)])
+        return facet_metric_from_pairs(pairs, size)
+
+    def sig_terms_ids(self, ids: np.ndarray) -> pa.Table:
+        """Per-term DISTINCT-doc counts over an explicit match set (the
+        foreground half of ``significant_terms``) — shard-local: content
+        hydrate + tokenize of only the matching docs, one row per
+        (term), integer counts.  Cost ∝ matched content, the natural
+        lower bound for a foreground term scan."""
+        content_col = self.manifest.get("content_col")
+        if not self.manifest.get("store_content") or not content_col:
+            raise RuntimeError("significant_terms needs store_content=True")
+        from elasticsearch_assets_ray.stages.tokenizer import doc_term_freqs
+
+        h = self.hydrate(
+            np.sort(np.asarray(ids, dtype=np.int64)), columns=[content_col]
+        )
+        tb = doc_term_freqs(h[content_col])
+        # tb rows are unique (doc, term) pairs → occurrences per term are
+        # exactly the distinct-doc counts
+        if tb.terms.size == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "fg": pa.array([], pa.int64())}
+            )
+        terms, counts = np.unique(tb.terms.astype(str), return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "fg": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def significant_terms(
+        self,
+        query: str | ParsedQuery,
+        size: int = 10,
+        min_doc_count: int = 3,
+    ) -> pa.Table:
+        """ES ``significant_terms`` aggregation analog (JLH scoring):
+        terms over-represented in the query's match set versus the whole
+        index.  fgPct = fg/fg_total over the match set, bgPct = df/n_docs
+        from the term dictionary; JLH = (fgPct − bgPct)·(fgPct/bgPct),
+        keeping terms with fg ≥ ``min_doc_count`` and fgPct > bgPct →
+        pa.Table(term, fg, bg, score), score-desc (round-9) / term-asc,
+        top ``size``.  (ES scores shard-local by default and admits
+        approximation; this implementation merges EXACT integer partials
+        first, so single and sharded paths are bit-identical.)"""
+        ids = self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
+        fg = merge_sig_partials([self.sig_terms_ids(ids)])
+        dfs = self.term_dfs(fg["term"].to_pylist())
+        return significant_terms_from_partials(
+            fg, int(ids.size), dfs, int(self.manifest["n_docs"]), size, min_doc_count
+        )
+
+    def range_agg(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        ranges: list[tuple[float | None, float | None]],
+    ) -> pa.Table:
+        """ES ``range`` aggregation analog: doc counts per half-open
+        [from, to) bucket of a numeric column (ES range semantics:
+        ``from`` inclusive, ``to`` exclusive, ``None`` = open end;
+        buckets may overlap — each is counted independently) →
+        pa.Table(value, count) with ES-style ``lo-hi`` labels, in the
+        caller's range order (empty ranges kept at count 0, ES keyed
+        ranges).  Computed from the merged (value, count) partials, so
+        the distributed cost is the same one value_counts scatter as
+        stats/percentiles."""
+        return range_agg_from_value_counts(self.value_counts(query, field), ranges)
+
+    def top_hits(
+        self, query: str | ParsedQuery, by: str, n: int = 3
+    ) -> pa.Table:
+        """ES ``terms`` agg with a ``top_hits`` sub-agg: per distinct
+        value of docstore column ``by``, the top-``n`` matching docs at
+        the (round-9 score desc, docID asc) ranking contract →
+        pa.Table(value, rank, doc_id, score), value-asc / rank-asc.
+        Docs with a null bucket value are skipped (ES terms agg skips
+        missing)."""
+        r = self.all_scores(query)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        sc = r["score"].to_numpy(zero_copy_only=False)
+        return self.top_hits_ids(ids, sc, by, n)
+
+    def top_hits_ids(
+        self, ids: np.ndarray, sc: np.ndarray, by: str, n: int
+    ) -> pa.Table:
+        """Per-bucket top-n over an explicit scored match set — the
+        shard-side partial AND the merge step of the distributed
+        top_hits (selection commutes with union under a per-doc
+        comparator: every bucket's global top-n is contained in the
+        union of the shards' local top-n for that bucket)."""
+        if n <= 0:
+            raise ValueError("n must be positive")
+        vals = self.hydrate(np.sort(np.asarray(ids, dtype=np.int64)), columns=["doc_id", by])
+        # align hydrated bucket values back to the (ids, sc) order
+        got = vals["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(got, ids)
+        col = vals[by].combine_chunks().take(pa.array(pos))
+        return tophits_select(ids, sc, col, n)
+
     def all_scores(
         self, query: str | ParsedQuery, minimum_should_match: int = 0
     ) -> pa.Table:
@@ -2812,4 +2951,204 @@ def percentiles_from_value_counts(
         out.append(x_lo + (x_hi - x_lo) * frac)
     return pa.table(
         {"percent": pa.array(ps, pa.float64()), "value": pa.array(out, pa.float64())}
+    )
+
+
+def merge_group_value_counts(parts: list[pa.Table]) -> pa.Table:
+    """Sum (value, metric, count) shard partials by (value, metric) —
+    exact integer merge; output sorted (value asc, metric asc) so every
+    later float reduction runs in ONE fixed order regardless of shard
+    count."""
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                "value": pa.array([], pa.string()),
+                "metric": pa.array([], pa.float64()),
+                "count": pa.array([], pa.int64()),
+            }
+        )
+    allp = pa.concat_tables(parts)
+    merged = allp.group_by(["value", "metric"]).aggregate([("count", "sum")])
+    return pa.table(
+        {
+            "value": merged["value"],
+            "metric": merged["metric"],
+            "count": merged["count_sum"].combine_chunks().cast(pa.int64()),
+        }
+    ).sort_by([("value", "ascending"), ("metric", "ascending")])
+
+
+def facet_metric_from_pairs(pairs: pa.Table, size: int | None = None) -> pa.Table:
+    """Finalize a merged (value, metric, count) table into the terms-agg
+    bucket table (value, count, avg): per-bucket count = Σcount and
+    avg = Σ(metric·count)/Σcount, reduced in the merge's (value, metric)
+    sort order via ``np.add.reduceat`` — one deterministic left-to-right
+    float summation, identical for 1 or K shards."""
+    if pairs.num_rows == 0:
+        return pa.table(
+            {
+                "value": pa.array([], pa.string()),
+                "count": pa.array([], pa.int64()),
+                "avg": pa.array([], pa.float64()),
+            }
+        )
+    v = pairs["value"].to_numpy(zero_copy_only=False)
+    m = pairs["metric"].to_numpy(zero_copy_only=False).astype(np.float64)
+    c = pairs["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    first = np.ones(v.size, dtype=bool)
+    first[1:] = v[1:] != v[:-1]
+    starts = np.flatnonzero(first)
+    cnt = np.add.reduceat(c, starts)
+    wsum = np.add.reduceat(m * c, starts)
+    t = pa.table(
+        {
+            "value": pa.array(v[starts].astype(str), pa.string()),
+            "count": pa.array(cnt.astype(np.int64)),
+            "avg": pa.array(wsum / cnt, pa.float64()),
+        }
+    ).sort_by([("count", "descending"), ("value", "ascending")])
+    return t.slice(0, size) if size is not None else t
+
+
+def merge_sig_partials(parts: list[pa.Table]) -> pa.Table:
+    """Sum (term, fg) foreground partials by term — exact integers."""
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "fg": pa.array([], pa.int64())}
+        )
+    allp = pa.concat_tables(parts)
+    merged = allp.group_by("term").aggregate([("fg", "sum")])
+    return pa.table(
+        {
+            "term": merged["term"],
+            "fg": merged["fg_sum"].combine_chunks().cast(pa.int64()),
+        }
+    ).sort_by([("term", "ascending")])
+
+
+def significant_terms_from_partials(
+    fg: pa.Table,
+    fg_total: int,
+    term_df: dict[str, int],
+    n_docs: int,
+    size: int,
+    min_doc_count: int,
+) -> pa.Table:
+    """JLH finalizer over the merged foreground counts: score =
+    (fgPct − bgPct)·(fgPct/bgPct), terms kept when fg ≥ min_doc_count and
+    fgPct > bgPct; top-``size`` at (round-9 score desc, term asc)."""
+    if fg.num_rows == 0 or fg_total == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "fg": pa.array([], pa.int64()),
+                "bg": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    terms = fg["term"].to_pylist()
+    fgc = fg["fg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bgc = np.array([int(term_df.get(t, 0)) for t in terms], dtype=np.int64)
+    # a term seen in matching content is in the dictionary by construction;
+    # guard df=0 anyway (e.g. a term indexed under a different analyzer)
+    bgc = np.maximum(bgc, 1)
+    fg_pct = fgc / float(fg_total)
+    bg_pct = bgc / float(n_docs)
+    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+    keep = (fgc >= min_doc_count) & (fg_pct > bg_pct)
+    terms_a = np.array(terms, dtype=object)[keep]
+    fgc, bgc, score = fgc[keep], bgc[keep], score[keep]
+    order = np.lexsort((terms_a, -round_half_up_np(score, 9)))[:size]
+    return pa.table(
+        {
+            "term": pa.array(terms_a[order].astype(str), pa.string()),
+            "fg": pa.array(fgc[order]),
+            "bg": pa.array(bgc[order]),
+            "score": pa.array(score[order], pa.float64()),
+        }
+    )
+
+
+def round_half_up_np(x: np.ndarray, digits: int) -> np.ndarray:
+    """Shared round-half-up (the ranking-granularity convention)."""
+    return bm25.round_half_up(np.asarray(x, dtype=np.float64), digits)
+
+
+def range_agg_from_value_counts(
+    vc: pa.Table, ranges: list[tuple[float | None, float | None]]
+) -> pa.Table:
+    """ES range-agg finalizer over a merged (value, count) table: each
+    half-open [from, to) bucket counts independently (ES allows
+    overlaps); labels are the ES ``from-to`` keys with ``*`` for open
+    ends, formatted from the CALLER's literals so an SQL oracle can emit
+    the identical strings."""
+    v = vc["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    c = vc["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    labels, counts = [], []
+    for lo, hi in ranges:
+        labels.append(range_label(lo, hi))
+        mask = np.ones(v.size, dtype=bool)
+        if lo is not None:
+            mask &= v >= float(lo)
+        if hi is not None:
+            mask &= v < float(hi)
+        counts.append(int(c[mask].sum()))
+    return pa.table(
+        {
+            "value": pa.array(labels, pa.string()),
+            "count": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def range_label(lo: float | None, hi: float | None) -> str:
+    """ES range-bucket key: ``lo-hi`` with ``*`` for an open end, bounds
+    printed with one decimal (the ES float key format, e.g. ``*-100.0``)."""
+    fmt = lambda x: "*" if x is None else f"{float(x):.1f}"  # noqa: E731
+    return f"{fmt(lo)}-{fmt(hi)}"
+
+
+def tophits_select(
+    ids: np.ndarray, sc: np.ndarray, vals: pa.Array | pa.ChunkedArray, n: int
+) -> pa.Table:
+    """THE per-bucket top-n comparator, shared by the single searcher and
+    the sharded merge (same pattern as :func:`collapse_winners`): within
+    each distinct bucket value, rank hits by (round-9 score desc, docID
+    asc) and keep the first n; null bucket values are skipped (ES terms
+    agg skips missing) → (value, rank, doc_id, score), value-asc/rank-asc."""
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+    sel0 = np.flatnonzero(valid)
+    if sel0.size == 0:
+        return pa.table(
+            {
+                "value": pa.array([], pa.string()),
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    svals = pc.cast(vals.take(pa.array(sel0)), pa.string())
+    ids2, sc2 = ids[sel0], sc[sel0]
+    varr = np.asarray(svals.to_numpy(zero_copy_only=False), dtype=object)
+    r9 = bm25.round_half_up(sc2, 9)
+    order = np.lexsort((ids2, -r9, varr))
+    g = varr[order]
+    first = np.ones(g.size, dtype=bool)
+    first[1:] = g[1:] != g[:-1]
+    grp_id = np.cumsum(first) - 1
+    starts = np.flatnonzero(first)
+    rank = np.arange(g.size, dtype=np.int64) - starts[grp_id] + 1
+    keep = rank <= n
+    kept = order[keep]
+    return pa.table(
+        {
+            "value": pa.array(varr[order][keep].astype(str), pa.string()),
+            "rank": pa.array(rank[keep]),
+            "doc_id": pa.array(ids2[kept].astype(np.int64)),
+            "score": pa.array(sc2[kept], pa.float64()),
+        }
     )

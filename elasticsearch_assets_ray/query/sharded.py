@@ -103,6 +103,33 @@ class ShardWorker:
         ids = self.s.match_ids_prepared(q, df)
         return self.s.value_counts_ids(ids, field)
 
+    def group_value_counts(
+        self, q: ParsedQuery, by: str, metric: str, df: dict[str, int]
+    ) -> pa.Table:
+        """Local (value, metric, count) partial of the terms-agg-with-
+        metric sub-agg (size ∝ distinct pairs, never matches)."""
+        ids = self.s.match_ids_prepared(q, df)
+        return self.s.group_value_counts_ids(ids, by, metric)
+
+    def sig_terms(self, q: ParsedQuery, df: dict[str, int]) -> tuple[pa.Table, int]:
+        """Local (term, fg) foreground partial + local match count for
+        significant_terms (content tokenization stays on the shard)."""
+        ids = self.s.match_ids_prepared(q, df)
+        return self.s.sig_terms_ids(ids), int(ids.size)
+
+    def top_hits(
+        self, q: ParsedQuery, by: str, n: int, df: dict[str, int]
+    ) -> pa.Table:
+        """Local per-bucket top-n (the global per-bucket top-n is inside
+        the union of these — same comparator both levels)."""
+        r = self.s.all_scores_prepared(q, df)
+        return self.s.top_hits_ids(
+            r["doc_id"].to_numpy(zero_copy_only=False),
+            r["score"].to_numpy(zero_copy_only=False),
+            by,
+            n,
+        )
+
     def collapse(
         self, q: ParsedQuery, k: int, collapse: str, df: dict[str, int]
     ) -> pa.Table:
@@ -389,6 +416,91 @@ class ShardedSearcher:
         )
 
         return percentiles_from_value_counts(self.value_counts(query, field), percents)
+
+    def facet_metric(
+        self, query: str | ParsedQuery, by: str, metric: str, size: int | None = None
+    ) -> pa.Table:
+        """Distributed terms agg + avg metric sub-agg: shard-side
+        (value, metric, count) partials, exact integer merge, then the
+        float math ONCE on the merged table (bit-identical to the
+        single-searcher path by construction)."""
+        from elasticsearch_assets_ray.query.engine import (
+            facet_metric_from_pairs,
+            merge_group_value_counts,
+        )
+
+        q, df = self.prepare(query)
+        pairs = merge_group_value_counts(
+            self._gather("group_value_counts", q, by, metric, df)
+        )
+        return facet_metric_from_pairs(pairs, size)
+
+    def significant_terms(
+        self, query: str | ParsedQuery, size: int = 10, min_doc_count: int = 3
+    ) -> pa.Table:
+        """Distributed significant_terms: each shard tokenizes ITS
+        matching docs into a (term, fg) partial; the coordinator merges
+        integer counts, reads background df from its full-index term
+        dictionary, and runs the JLH math once — exact, unlike ES's
+        default shard-local approximation."""
+        from elasticsearch_assets_ray.query.engine import (
+            merge_sig_partials,
+            significant_terms_from_partials,
+        )
+
+        q, df = self.prepare(query)
+        got = self._gather("sig_terms", q, df)
+        fg = merge_sig_partials([t for t, _n in got])
+        fg_total = int(sum(n for _t, n in got))
+        dfs = self.coord.term_dfs(fg["term"].to_pylist())
+        return significant_terms_from_partials(
+            fg,
+            fg_total,
+            dfs,
+            int(self.coord.manifest["n_docs"]),
+            size,
+            min_doc_count,
+        )
+
+    def range_agg(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        ranges: list[tuple[float | None, float | None]],
+    ) -> pa.Table:
+        """Distributed ES range agg — same one value_counts scatter as
+        stats/percentiles, binned once on the coordinator."""
+        from elasticsearch_assets_ray.query.engine import range_agg_from_value_counts
+
+        return range_agg_from_value_counts(self.value_counts(query, field), ranges)
+
+    def top_hits(
+        self, query: str | ParsedQuery, by: str, n: int = 3
+    ) -> pa.Table:
+        """Distributed per-bucket top_hits: shard-local per-bucket top-n
+        partials re-selected with the SAME comparator (tophits_select) —
+        exact because a bucket's global top-n is inside the union of the
+        shards' local top-n for that bucket."""
+        from elasticsearch_assets_ray.query.engine import tophits_select
+
+        q, df = self.prepare(query)
+        parts = [p for p in self._gather("top_hits", q, by, n, df) if p.num_rows]
+        if not parts:
+            return pa.table(
+                {
+                    "value": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        allp = pa.concat_tables(parts)
+        return tophits_select(
+            allp["doc_id"].to_numpy(zero_copy_only=False),
+            allp["score"].to_numpy(zero_copy_only=False),
+            allp["value"].combine_chunks(),
+            n,
+        )
 
     def search_collapse(
         self, query: str | ParsedQuery, k: int = 10, collapse: str = ""

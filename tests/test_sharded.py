@@ -377,3 +377,114 @@ def test_stats_empty_match(single, sharded):
     assert st == single.stats_agg("zzqqzznope", "doc_len")
     p = sharded.percentiles("zzqqzznope", "doc_len")
     assert p["value"].null_count == p.num_rows
+
+
+def test_facet_metric_distributed_bit_identity(single, sharded):
+    """terms agg + avg sub-agg: integer partials merge exactly; the float
+    math runs once → sharded == single bit-for-bit, and both match a
+    numpy brute force over the hydrated match set."""
+    q = "def load"
+    t1 = single.facet_metric(q, "lang", "doc_len")
+    t2 = sharded.facet_metric(q, "lang", "doc_len")
+    assert t1.to_pylist() == t2.to_pylist()
+    # brute force
+    ids = single.all_scores(q)["doc_id"].to_numpy(zero_copy_only=False)
+    h = single.hydrate(np.sort(ids), columns=["lang", "doc_len"])
+    import collections
+
+    agg = collections.defaultdict(lambda: [0, 0.0])
+    for lang, dl in zip(h["lang"].to_pylist(), h["doc_len"].to_pylist()):
+        if lang is None or dl is None:
+            continue
+        agg[lang][0] += 1
+        agg[lang][1] += float(dl)
+    for row in t1.to_pylist():
+        cnt, sm = agg[row["value"]]
+        assert row["count"] == cnt
+        assert abs(row["avg"] - sm / cnt) < 1e-9
+    # size truncation keeps the count-desc/value-asc bucket order
+    assert single.facet_metric(q, "lang", "doc_len", size=2).num_rows <= 2
+
+
+def test_significant_terms_distributed_and_jlh(single, sharded):
+    q = "def load"
+    t1 = single.significant_terms(q, size=10, min_doc_count=2)
+    t2 = sharded.significant_terms(q, size=10, min_doc_count=2)
+    assert t1.to_pylist() == t2.to_pylist()
+    assert t1.num_rows > 0
+    rows = t1.to_pylist()
+    n_docs = int(single.manifest["n_docs"])
+    fg_total = int(single.all_scores(q).num_rows)
+    for r in rows:
+        fg_pct = r["fg"] / fg_total
+        bg_pct = r["bg"] / n_docs
+        assert fg_pct > bg_pct  # only over-represented terms survive
+        assert abs(r["score"] - (fg_pct - bg_pct) * (fg_pct / bg_pct)) < 1e-12
+    # scores are rank-sorted (round-9 desc, term asc)
+    import elasticsearch_assets_ray.query.bm25 as bm25
+
+    r9 = bm25.round_half_up(
+        np.array([r["score"] for r in rows]), 9
+    )
+    assert all(r9[i] >= r9[i + 1] for i in range(len(rows) - 1))
+
+
+def test_range_agg_distributed_and_labels(single, sharded):
+    from elasticsearch_assets_ray.query.engine import range_label
+
+    # pin the label literals the SQL oracle hardcodes
+    assert range_label(None, 200.0) == "*-200.0"
+    assert range_label(200.0, 400.0) == "200.0-400.0"
+    assert range_label(400.0, None) == "400.0-*"
+    q = "def load"
+    ranges = [(None, 150.0), (100.0, 300.0), (300.0, None)]
+    t1 = single.range_agg(q, "doc_len", ranges)
+    t2 = sharded.range_agg(q, "doc_len", ranges)
+    assert t1.to_pylist() == t2.to_pylist()
+    # overlapping ranges count independently (ES semantics); empty kept
+    ids = single.all_scores(q)["doc_id"].to_numpy(zero_copy_only=False)
+    v = single.hydrate(np.sort(ids), columns=["doc_len"])["doc_len"].to_numpy(
+        zero_copy_only=False
+    ).astype(float)
+    expect = [
+        int((v < 150.0).sum()),
+        int(((v >= 100.0) & (v < 300.0)).sum()),
+        int((v >= 300.0).sum()),
+    ]
+    assert [r["count"] for r in t1.to_pylist()] == expect
+
+
+def test_top_hits_distributed_bit_identity(single, sharded):
+    q = "def load"
+    t1 = single.top_hits(q, "lang", n=3)
+    t2 = sharded.top_hits(q, "lang", n=3)
+    assert t1.to_pylist() == t2.to_pylist()
+    # per-bucket rank is 1..n and scores within a bucket are non-increasing
+    # at round-9 granularity with docid tie-break
+    import elasticsearch_assets_ray.query.bm25 as bm25
+
+    rows = t1.to_pylist()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["value"], []).append(r)
+    for v, rs in by_bucket.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        r9 = bm25.round_half_up(np.array([r["score"] for r in rs]), 9)
+        for i in range(len(rs) - 1):
+            assert (r9[i], -rs[i]["doc_id"]) >= (r9[i + 1], -rs[i + 1]["doc_id"])
+    # every bucket's hits are genuinely the bucket's best: spot-check via
+    # a brute force on one bucket
+    ids = single.all_scores(q)["doc_id"].to_numpy(zero_copy_only=False)
+    sc = single.all_scores(q)["score"].to_numpy(zero_copy_only=False)
+    h = single.hydrate(np.sort(ids), columns=["doc_id", "lang"])
+    lang_of = dict(zip(h["doc_id"].to_pylist(), h["lang"].to_pylist()))
+    some = rows[0]["value"]
+    cand = [
+        (float(bm25.round_half_up(np.array([s]), 9)[0]), -int(d))
+        for d, s in zip(ids, sc)
+        if lang_of.get(int(d)) == some
+    ]
+    cand.sort(reverse=True)
+    want = [-c[1] for c in cand[:3]]
+    got = [r["doc_id"] for r in rows if r["value"] == some]
+    assert got == want
