@@ -216,6 +216,8 @@ class ShardedSearcher:
         prune: bool = True,
         phrase_scoring: str = "terms",
         num_cpus: float = 1.0,
+        max_restarts: int = 2,
+        max_task_retries: int = 2,
     ):
         with open(os.path.join(index_dir, "manifest.json")) as f:
             man = json.load(f)
@@ -236,7 +238,17 @@ class ShardedSearcher:
         if use_actors:
             import ray
 
-            Actor = ray.remote(num_cpus=num_cpus)(ShardWorker)
+            # shard workers are stateless beyond caches (the index lives
+            # on disk/shared storage), so a crashed actor can restart and
+            # transparently re-serve the failed call: max_restarts
+            # re-creates the process, max_task_retries re-submits the
+            # in-flight calls — on a 256-node cluster worker loss is
+            # routine, not exceptional
+            Actor = ray.remote(
+                num_cpus=num_cpus,
+                max_restarts=max_restarts,
+                max_task_retries=max_task_retries,
+            )(ShardWorker)
             self.shards = [
                 Actor.remote(
                     index_dir,

@@ -488,3 +488,22 @@ def test_top_hits_distributed_bit_identity(single, sharded):
     want = [-c[1] for c in cand[:3]]
     got = [r["doc_id"] for r in rows if r["value"] == some]
     assert got == want
+
+
+def test_shard_actor_crash_recovery(built_index):
+    """A killed shard actor restarts and re-serves (max_restarts +
+    max_task_retries): the query AFTER the crash is still rank-identical.
+    On a multi-node cluster worker loss is routine; serving must not
+    need a coordinator rebuild."""
+    import ray
+
+    idx, _ = built_index
+    single = Searcher(idx)
+    sh = ShardedSearcher(idx, n_shards=2, use_actors=True)
+    before = sh.search("def load index", k=10)
+    _eq_tables(before, single.search("def load index", k=10))
+    # simulate a node loss for one shard (restart allowed)
+    ray.kill(sh.shards[0], no_restart=False)
+    after = sh.search("def load index", k=10)
+    _eq_tables(after, before)
+    assert sh.count("def load") == single.all_scores("def load").num_rows
