@@ -467,20 +467,48 @@ def bench_sharded_serving(index_dir: str, queries: list[str] | None = None) -> d
             sh.search(q, k=10)
             lat.append(time.perf_counter() - t0)
     lm = np.array(lat) * 1e3
+    # _msearch: the whole query set in ONE scatter per repeat — the
+    # RPC-amortized batch path vs the per-query loop above
+    reps = max(2, BENCH_QUERY_REPEAT // 4)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sh.msearch(queries, k=10)
+    msearch_s = time.perf_counter() - t0
+    msearch_qps = (reps * len(queries)) / msearch_s
     t0 = time.perf_counter()
     f = sh.facet(queries[0], by="lang")
     facet_ms = (time.perf_counter() - t0) * 1e3
     t0 = time.perf_counter()
     c = sh.count(queries[0])
     count_ms = (time.perf_counter() - t0) * 1e3
+    # distributed aggregation suite (shard-side partials, small merges)
+    aggs_ms = {}
+    for name, fn in [
+        ("facet_metric", lambda: sh.facet_metric(queries[0], "lang", "doc_len")),
+        ("significant_terms", lambda: sh.significant_terms(queries[0], size=10)),
+        (
+            "range_agg",
+            lambda: sh.range_agg(
+                queries[0], "doc_len", [(None, 150.0), (150.0, 300.0), (300.0, None)]
+            ),
+        ),
+        ("top_hits", lambda: sh.top_hits(queries[0], "lang", n=3)),
+        ("stats_percentiles_one_pass", lambda: sh.value_counts(queries[0], "doc_len")),
+    ]:
+        t0 = time.perf_counter()
+        fn()
+        aggs_ms[name] = round((time.perf_counter() - t0) * 1e3, 3)
     return {
         "n_shards": sh.n_shards,
         "p50_ms": round(float(np.percentile(lm, 50)), 3),
         "p99_ms": round(float(np.percentile(lm, 99)), 3),
+        "qps_sequential": round(len(lat) / (np.array(lat).sum()), 1),
+        "qps_msearch": round(msearch_qps, 1),
         "facet_ms": round(facet_ms, 3),
         "count_ms": round(count_ms, 3),
         "count_rows": int(c),
         "facet_buckets": int(f.num_rows),
+        "distributed_aggs_ms": aggs_ms,
         "shard_stats": sh.stats(),
     }
 

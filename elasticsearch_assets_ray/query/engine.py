@@ -1400,9 +1400,13 @@ class Searcher:
         first, so single and sharded paths are bit-identical.)"""
         ids = self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
         fg = merge_sig_partials([self.sig_terms_ids(ids)])
-        dfs = self.term_dfs(fg["term"].to_pylist())
         return significant_terms_from_partials(
-            fg, int(ids.size), dfs, int(self.manifest["n_docs"]), size, min_doc_count
+            fg,
+            int(ids.size),
+            self.term_dfs,
+            int(self.manifest["n_docs"]),
+            size,
+            min_doc_count,
         )
 
     def range_agg(
@@ -1452,6 +1456,14 @@ class Searcher:
         pos = np.searchsorted(got, ids)
         col = vals[by].combine_chunks().take(pa.array(pos))
         return tophits_select(ids, sc, col, n)
+
+    def msearch(
+        self, queries: list[str | ParsedQuery], k: int = 10
+    ) -> list[pa.Table]:
+        """ES ``_msearch`` analog (API parity with ShardedSearcher.msearch
+        — the single-process engine has no RPC to amortize, so this is a
+        plain loop)."""
+        return [self.search(q, k=k) for q in queries]
 
     def all_scores(
         self, query: str | ParsedQuery, minimum_should_match: int = 0
@@ -3031,42 +3043,82 @@ def merge_sig_partials(parts: list[pa.Table]) -> pa.Table:
 def significant_terms_from_partials(
     fg: pa.Table,
     fg_total: int,
-    term_df: dict[str, int],
+    df_fn,
     n_docs: int,
     size: int,
     min_doc_count: int,
+    chunk: int = 512,
 ) -> pa.Table:
     """JLH finalizer over the merged foreground counts: score =
     (fgPct − bgPct)·(fgPct/bgPct), terms kept when fg ≥ min_doc_count and
-    fgPct > bgPct; top-``size`` at (round-9 score desc, term asc)."""
+    fgPct > bgPct; top-``size`` at (round-9 score desc, term asc).
+
+    ``df_fn(terms) -> {term: df}`` fetches background df LAZILY in
+    fg-descending chunks with an EXACT early stop: bg ≥ fg always, so a
+    candidate's best possible score is ub(fg) = (fg/fgt − fg/n)·(n/fgt)
+    (attained at bg = fg), which is increasing in fg — once the running
+    top-``size``'s worst round-9 score beats ub(next chunk's max fg) the
+    remaining candidates are provably out.  A common-term query over a
+    large match set surfaces ~vocabulary-many candidates; without the
+    bound every one needs a dictionary df read."""
+    empty = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "fg": pa.array([], pa.int64()),
+            "bg": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
     if fg.num_rows == 0 or fg_total == 0:
-        return pa.table(
-            {
-                "term": pa.array([], pa.string()),
-                "fg": pa.array([], pa.int64()),
-                "bg": pa.array([], pa.int64()),
-                "score": pa.array([], pa.float64()),
-            }
-        )
-    terms = fg["term"].to_pylist()
+        return empty
+    terms = np.array(fg["term"].to_pylist(), dtype=object)
     fgc = fg["fg"].to_numpy(zero_copy_only=False).astype(np.int64)
-    bgc = np.array([int(term_df.get(t, 0)) for t in terms], dtype=np.int64)
-    # a term seen in matching content is in the dictionary by construction;
-    # guard df=0 anyway (e.g. a term indexed under a different analyzer)
-    bgc = np.maximum(bgc, 1)
-    fg_pct = fgc / float(fg_total)
-    bg_pct = bgc / float(n_docs)
-    score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
-    keep = (fgc >= min_doc_count) & (fg_pct > bg_pct)
-    terms_a = np.array(terms, dtype=object)[keep]
-    fgc, bgc, score = fgc[keep], bgc[keep], score[keep]
-    order = np.lexsort((terms_a, -round_half_up_np(score, 9)))[:size]
+    m = fgc >= min_doc_count
+    terms, fgc = terms[m], fgc[m]
+    if terms.size == 0:
+        return empty
+    # fg desc (term asc within ties, for determinism of the scan order —
+    # the RESULT is order-independent, the stop bound only needs fg-desc)
+    order = np.lexsort((terms, -fgc))
+    terms, fgc = terms[order], fgc[order]
+    fgt, n = float(fg_total), float(n_docs)
+    kept_t: list = []
+    kept_fg: list = []
+    kept_bg: list = []
+    kept_sc: list = []
+    for lo in range(0, terms.size, chunk):
+        if len(kept_sc) >= size:
+            kth = np.sort(round_half_up_np(np.array(kept_sc), 9))[-size]
+            ub = (fgc[lo] / fgt - fgc[lo] / n) * (n / fgt)
+            if round_half_up_np(np.array([ub]), 9)[0] < kth:
+                break
+        tchunk = terms[lo : lo + chunk]
+        fchunk = fgc[lo : lo + chunk]
+        dfs = df_fn([str(t) for t in tchunk])
+        bgc = np.maximum(
+            np.array([int(dfs.get(str(t), 0)) for t in tchunk], dtype=np.int64), 1
+        )
+        fg_pct = fchunk / fgt
+        bg_pct = bgc / n
+        score = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        keep = fg_pct > bg_pct
+        kept_t.extend(tchunk[keep])
+        kept_fg.extend(fchunk[keep])
+        kept_bg.extend(bgc[keep])
+        kept_sc.extend(score[keep])
+    if not kept_t:
+        return empty
+    ta = np.array(kept_t, dtype=object)
+    fa = np.array(kept_fg, dtype=np.int64)
+    ba = np.array(kept_bg, dtype=np.int64)
+    sa = np.array(kept_sc, dtype=np.float64)
+    top = np.lexsort((ta, -round_half_up_np(sa, 9)))[:size]
     return pa.table(
         {
-            "term": pa.array(terms_a[order].astype(str), pa.string()),
-            "fg": pa.array(fgc[order]),
-            "bg": pa.array(bgc[order]),
-            "score": pa.array(score[order], pa.float64()),
+            "term": pa.array(ta[top].astype(str), pa.string()),
+            "fg": pa.array(fa[top]),
+            "bg": pa.array(ba[top]),
+            "score": pa.array(sa[top], pa.float64()),
         }
     )
 

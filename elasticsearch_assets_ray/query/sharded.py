@@ -76,6 +76,15 @@ class ShardWorker:
     def search(self, q: ParsedQuery, k: int, df: dict[str, int]) -> pa.Table:
         return self.s.search_prepared(q, k, df)
 
+    def msearch(
+        self, qs: list[ParsedQuery], k: int, dfs: list[dict[str, int]]
+    ) -> list[pa.Table]:
+        """ES ``_msearch`` shard half: serve a BATCH of prepared queries
+        in one actor call — same per-query results as :meth:`search`,
+        but one RPC per shard per batch instead of one per query (the
+        actor round-trip dominates warm point-query latency)."""
+        return [self.s.search_prepared(q, k, df) for q, df in zip(qs, dfs)]
+
     def count(self, q: ParsedQuery, df: dict[str, int]) -> int:
         return self.s.match_ids_prepared(q, df).size
 
@@ -338,6 +347,37 @@ class ShardedSearcher:
         ids, sc = bm25.sort_topk(ids, sc, from_ + k)
         return pa.table({"doc_id": pa.array(ids[from_:]), "score": pa.array(sc[from_:])})
 
+    def msearch(
+        self, queries: list[str | ParsedQuery], k: int = 10
+    ) -> list[pa.Table]:
+        """ES ``_msearch``: serve a batch of queries with ONE scatter —
+        each shard receives the whole prepared batch in a single actor
+        call and returns all its local top-k tables; the coordinator
+        merges per query.  Per-query results are identical to
+        :meth:`search` (same prepare, same shard half, same merge);
+        throughput wins come purely from amortizing the actor RPC."""
+        prepared = [self.prepare(q) for q in queries]
+        qs = [p[0] for p in prepared]
+        dfs = [p[1] for p in prepared]
+        parts = self._gather("msearch", qs, k, dfs)  # [shard][query]
+        out = []
+        for qi in range(len(queries)):
+            ids = np.concatenate(
+                [
+                    parts[si][qi]["doc_id"].to_numpy(zero_copy_only=False)
+                    for si in range(self.n_shards)
+                ]
+            )
+            sc = np.concatenate(
+                [
+                    parts[si][qi]["score"].to_numpy(zero_copy_only=False)
+                    for si in range(self.n_shards)
+                ]
+            )
+            ids, sc = bm25.sort_topk(ids, sc, k)
+            out.append(pa.table({"doc_id": pa.array(ids), "score": pa.array(sc)}))
+        return out
+
     def count(self, query: str | ParsedQuery, minimum_should_match: int = 0) -> int:
         q, df = self.prepare(query, minimum_should_match)
         return int(sum(self._gather("count", q, df)))
@@ -464,11 +504,10 @@ class ShardedSearcher:
         got = self._gather("sig_terms", q, df)
         fg = merge_sig_partials([t for t, _n in got])
         fg_total = int(sum(n for _t, n in got))
-        dfs = self.coord.term_dfs(fg["term"].to_pylist())
         return significant_terms_from_partials(
             fg,
             fg_total,
-            dfs,
+            self.coord.term_dfs,
             int(self.coord.manifest["n_docs"]),
             size,
             min_doc_count,

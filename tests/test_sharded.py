@@ -507,3 +507,41 @@ def test_shard_actor_crash_recovery(built_index):
     after = sh.search("def load index", k=10)
     _eq_tables(after, before)
     assert sh.count("def load") == single.all_scores("def load").num_rows
+
+
+def test_msearch_identical_to_per_query(single, sharded, built_index):
+    """_msearch: one scatter serving the whole batch — per-query results
+    bit-identical to search() on both serving paths."""
+    batch = ["def load index", "+def load -zset", '"def load"', "de* load"]
+    m1 = single.msearch(batch, k=10)
+    m2 = sharded.msearch(batch, k=10)
+    for q, a, b in zip(batch, m1, m2):
+        _eq_tables(b, a)
+        _eq_tables(a, single.search(q, k=10))
+    # actor path too (the RPC-amortization case msearch exists for)
+    idx, _ = built_index
+    sh = ShardedSearcher(idx, n_shards=2, use_actors=True)
+    for q, t in zip(batch, sh.msearch(batch, k=10)):
+        _eq_tables(t, single.search(q, k=10))
+
+
+def test_significant_terms_lazy_stop_is_exact(single):
+    """The fg-desc threshold stop (bg >= fg upper bound) returns exactly
+    the unpruned result — tiny chunks force many stop checks."""
+    from elasticsearch_assets_ray.query.engine import (
+        merge_sig_partials,
+        significant_terms_from_partials,
+    )
+
+    q = "def load"
+    ids = single.all_scores(q)["doc_id"].to_numpy(zero_copy_only=False)
+    fg = merge_sig_partials([single.sig_terms_ids(ids)])
+    n = int(single.manifest["n_docs"])
+    full = significant_terms_from_partials(
+        fg, ids.size, single.term_dfs, n, 5, 2, chunk=10**9
+    )
+    pruned = significant_terms_from_partials(
+        fg, ids.size, single.term_dfs, n, 5, 2, chunk=3
+    )
+    assert full.to_pylist() == pruned.to_pylist()
+    assert full.num_rows > 0
