@@ -1314,6 +1314,19 @@ class Searcher:
         which is approximate — ours is exact)."""
         return percentiles_from_value_counts(self.value_counts(query, field), percents)
 
+    def tdigest_ids(self, ids: np.ndarray, field: str, delta: float = 200.0) -> bytes:
+        """Fixed-size t-digest partial of a numeric column over an
+        explicit match set — the documented swap for
+        :meth:`value_counts_ids` when the column's distinct cardinality
+        is unbounded (the exact partial's size bound no longer holds)."""
+        from elasticsearch_assets_ray.stages.tdigest import TDigest
+
+        vals = self.hydrate(np.sort(np.asarray(ids, dtype=np.int64)), columns=[field])[field]
+        v = pc.drop_null(vals.combine_chunks()).to_numpy(zero_copy_only=False)
+        d = TDigest(delta)
+        d.add(v.astype(np.float64))
+        return d.to_bytes()
+
     # ---------- terms agg + metric sub-agg / significant_terms /
     # ---------- range agg / top_hits ----------
 

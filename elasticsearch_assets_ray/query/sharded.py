@@ -126,6 +126,12 @@ class ShardWorker:
         ids = self.s.match_ids_prepared(q, df)
         return self.s.sig_terms_ids(ids), int(ids.size)
 
+    def tdigest(self, q: ParsedQuery, field: str, delta: float, df: dict[str, int]) -> bytes:
+        """Fixed-size quantile-sketch partial (unbounded-cardinality swap
+        for the exact value_counts partial)."""
+        ids = self.s.match_ids_prepared(q, df)
+        return self.s.tdigest_ids(ids, field, delta)
+
     def top_hits(
         self, q: ParsedQuery, by: str, n: int, df: dict[str, int]
     ) -> pa.Table:
@@ -468,6 +474,33 @@ class ShardedSearcher:
         )
 
         return percentiles_from_value_counts(self.value_counts(query, field), percents)
+
+    def percentiles_approx(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        percents: tuple[float, ...] = (25.0, 50.0, 75.0, 95.0, 99.0),
+        delta: float = 200.0,
+    ) -> pa.Table:
+        """t-digest percentiles over the match set — the ES-semantics
+        (ES's percentiles agg IS t-digest backed) swap for
+        :meth:`percentiles` when the field's distinct cardinality is too
+        high for the exact (value, count) partial: each shard ships a
+        fixed ~δ-centroid blob regardless of match size or cardinality;
+        the merged digest is independent of shard arrival order."""
+        from elasticsearch_assets_ray.stages.tdigest import TDigest
+
+        q, df = self.prepare(query)
+        out = TDigest(delta)
+        for blob in self._gather("tdigest", q, field, delta, df):
+            out.merge(TDigest.from_bytes(blob))
+        vals = out.quantiles([p / 100.0 for p in percents])
+        return pa.table(
+            {
+                "percent": pa.array([float(p) for p in percents], pa.float64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
 
     def facet_metric(
         self, query: str | ParsedQuery, by: str, metric: str, size: int | None = None
