@@ -93,6 +93,78 @@ class HLL:
         return int(round(est))
 
 
+def grouped_distinct_hll(
+    ds, key_col: str, col: str, p: int = 12
+) -> pa.Table:
+    """Per-key approximate distinct counts (the ES ``date_histogram`` +
+    ``cardinality`` shape, and the extreme-cardinality swap for
+    ``events_daily``'s exact (day, user) pair dedup): inside each
+    ``map_batches`` call, ONE vectorized register fold per (key, register)
+    via a composite index — each batch emits one 2^p-byte blob per
+    distinct key it saw; the driver merges register-max per key.  Bytes
+    moved are O(#batches × keys-per-batch × 2^p), independent of the
+    value cardinality that breaks the exact pair shuffle.  Returns
+    (key, distinct) key-ascending."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].combine_chunks()
+        vals = t[col].combine_chunks()
+        valid = pa.compute.and_(
+            pa.compute.is_valid(keys), pa.compute.is_valid(vals)
+        )
+        keys, vals = keys.filter(valid), vals.filter(valid)
+        if len(keys) == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], keys.type),
+                    "regs": pa.array([], pa.large_binary()),
+                }
+            )
+        enc = pa.compute.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uk = enc.dictionary
+        n_keys = len(uk)
+        h = splitmix64(
+            np.ascontiguousarray(
+                vals.to_numpy(zero_copy_only=False)
+            ).astype(np.uint64, copy=False)
+        )
+        m = 1 << p
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        low = h & np.uint64((1 << (64 - p)) - 1)
+        rank = np.full(h.size, 64 - p + 1, dtype=np.uint8)
+        nz = low > 0
+        if nz.any():
+            _, ex = np.frexp(low[nz].astype(np.float64))
+            rank[nz] = (64 - p - (ex - 1)).astype(np.uint8)
+        # one scatter-max over ALL keys at once: flat (key, register) grid
+        grid = np.zeros(n_keys * m, dtype=np.uint8)
+        np.maximum.at(grid, codes * m + idx, rank)
+        blobs = [grid[i * m : (i + 1) * m].tobytes() for i in range(n_keys)]
+        return pa.table(
+            {"key": uk, "regs": pa.array(blobs, pa.large_binary())}
+        )
+
+    merged: dict = {}
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for k, blob in zip(b["key"].to_pylist(), b["regs"]):
+            h = HLL.from_bytes(blob.as_py(), p)
+            if k in merged:
+                merged[k].merge(h)
+            else:
+                merged[k] = h
+    keys = sorted(merged)
+    return pa.table(
+        {
+            "key": pa.array(keys),
+            "distinct": pa.array(
+                [merged[k].count() for k in keys], pa.int64()
+            ),
+        }
+    )
+
+
 def distinct_count_hll(ds, col: str, p: int = 14) -> int:
     """Distributed approximate distinct count of an integer column:
     per-batch partial registers inside ``map_batches`` (each batch emits

@@ -50,3 +50,47 @@ def test_hll_linear_counting_small_range():
     h = HLL(p=14)
     h.add(np.arange(300, dtype=np.int64))
     assert abs(h.count() - 300) <= 6  # linear-counting regime: near exact
+
+
+def test_grouped_distinct_hll_accuracy(ray_session):
+    """Per-key sketches track exact per-key distincts within the HLL
+    error band; keys arriving across many batches merge by register-max."""
+    import ray.data
+
+    rng = np.random.default_rng(23)
+    n = 120_000
+    keys = rng.integers(0, 7, n)
+    # per-key distinct pools of very different sizes
+    vals = rng.integers(0, (keys + 1) * 500, n) + keys * 10_000_000
+    t = pa.table({"day": pa.array(keys.astype("int64")), "user": pa.array(vals.astype("int64"))})
+    ds = ray.data.from_arrow(t).repartition(16)
+    from elasticsearch_assets_ray.stages.sketch import grouped_distinct_hll
+
+    out = grouped_distinct_hll(ds, "day", "user", p=12)
+    got = dict(zip(out["key"].to_pylist(), out["distinct"].to_pylist()))
+    import collections
+
+    exact = collections.defaultdict(set)
+    for k, v in zip(keys.tolist(), vals.tolist()):
+        exact[k].add(v)
+    assert sorted(got) == sorted(exact)
+    for k in exact:
+        e = len(exact[k])
+        # 4 sigma at p=12: 4 * 1.04/sqrt(4096) ~ 6.5%
+        assert abs(got[k] - e) <= max(0.065 * e, 8), (k, got[k], e)
+
+
+def test_grouped_distinct_hll_skips_nulls(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "day": pa.array([1, 1, None, 2], pa.int64()),
+            "user": pa.array([10, None, 5, 20], pa.int64()),
+        }
+    )
+    from elasticsearch_assets_ray.stages.sketch import grouped_distinct_hll
+
+    out = grouped_distinct_hll(ray.data.from_arrow(t), "day", "user", p=8)
+    got = dict(zip(out["key"].to_pylist(), out["distinct"].to_pylist()))
+    assert got == {1: 1, 2: 1}
