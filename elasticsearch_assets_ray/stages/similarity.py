@@ -314,6 +314,108 @@ def train_centroids(
     return cent
 
 
+def kmeans_distributed(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    n_centroids: int,
+    n_iters: int = 10,
+    seed: int = 17,
+    init_sample: int = 4096,
+) -> tuple[np.ndarray, dict]:
+    """FULL-corpus spherical k-means (cosine), the scale path when a
+    driver-side sample (:func:`train_centroids`) is not representative:
+    per iteration the centers broadcast ONCE via ``ray.put`` and every
+    batch emits per-cluster (vector-sum, count) partials — one small row
+    per cluster per batch, merged on the driver.  The corpus streams; no
+    shuffle, no materialization, bytes to the driver are
+    O(batches × k × dim) per iteration.
+
+    Deterministic given a fixed input partitioning: partials merge in a
+    sorted order (cluster id, then serialized sum bytes) so driver float
+    addition has one fixed order regardless of batch completion order.
+
+    Returns (centroids row-normalized (k, dim) float64, stats with
+    per-iteration inertia proxy and cluster sizes)."""
+    import ray as _ray
+
+    # deterministic seeding: first init_sample rows (corpus order), the
+    # same convention the IVF build uses for its quantizer sample
+    head = pa.concat_tables(
+        list(ds.limit(init_sample).iter_batches(batch_format="pyarrow"))
+    )
+    sample = _matrix(head[vec_col])
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    k = min(n_centroids, sample.shape[0])
+    cent = sample[rng.choice(sample.shape[0], size=k, replace=False)].copy()
+    dim = cent.shape[1]
+    stats: dict = {"iters": [], "n_centroids": k}
+
+    for it in range(n_iters):
+        cent_ref = _ray.put(cent)
+
+        def partial(t: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = _ray.get(_ref)
+            m = _normalize(_matrix(t[vec_col]))
+            assign = np.argmax(m @ c.T, axis=1)
+            sim = (m * c[assign]).sum(axis=1)
+            order = np.argsort(assign, kind="stable")
+            a_sorted = assign[order]
+            first = np.ones(a_sorted.size, dtype=bool)
+            first[1:] = a_sorted[1:] != a_sorted[:-1]
+            starts = np.flatnonzero(first)
+            sums = np.add.reduceat(m[order], starts, axis=0)
+            cnts = np.add.reduceat(np.ones(a_sorted.size), starts)
+            return pa.table(
+                {
+                    "cluster": pa.array(a_sorted[starts].astype(np.int64)),
+                    "vecsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "count": pa.array(cnts.astype(np.int64)),
+                    "simsum": pa.array(
+                        np.add.reduceat(sim[order], starts), pa.float64()
+                    ),
+                }
+            )
+
+        rows = pa.concat_tables(
+            list(
+                ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"
+                )
+            )
+        )
+        cl = rows["cluster"].to_numpy(zero_copy_only=False)
+        vs = _matrix(rows["vecsum"])
+        cn = rows["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ss = rows["simsum"].to_numpy(zero_copy_only=False)
+        # fixed merge order: (cluster, partial bytes) — batch completion
+        # order cannot change the float summation order
+        keys = [(int(c), vs[i].tobytes()) for i, c in enumerate(cl)]
+        order = sorted(range(len(keys)), key=lambda i: keys[i])
+        new = cent.copy()
+        sizes = np.zeros(k, dtype=np.int64)
+        acc = np.zeros((k, dim), dtype=np.float64)
+        total_sim = 0.0
+        for i in order:
+            acc[cl[i]] += vs[i]
+            sizes[cl[i]] += cn[i]
+            total_sim += ss[i]
+        for c in range(k):
+            if sizes[c]:
+                norm = np.linalg.norm(acc[c])
+                if norm > 0:
+                    new[c] = acc[c] / norm
+        stats["iters"].append(
+            {
+                "mean_cosine": round(float(total_sim / max(sizes.sum(), 1)), 6),
+                "nonempty": int((sizes > 0).sum()),
+            }
+        )
+        cent = new
+    stats["sizes"] = sizes.tolist()
+    return cent, stats
+
+
 class IVFAssigner:
     """Actor-pool stage: adds ``ivf_cluster`` = nearest centroid id per
     row.  Centroids are broadcast once via ray.put and loaded per actor."""

@@ -188,3 +188,23 @@ def test_batched_scorers_many_queries(ray_session, tmp_path):
     ivf_map = dict(zip(ivf["query_id"].to_pylist(), ivf["vec_id"].to_pylist()))
     hits = sum(1 for q in qids if ivf_map.get(int(q)) == int(qsel[q]))
     assert hits >= 95
+
+
+def test_kmeans_distributed_converges_and_deterministic(ray_session):
+    """Full-corpus spherical k-means: Lloyd monotonicity (mean cosine
+    non-decreasing), normalized centers, and run-to-run determinism on a
+    fixed partitioning."""
+    import numpy as np
+
+    from elasticsearch_assets_ray.stages.similarity import kmeans_distributed
+
+    emb_ds = ray.data.from_arrow(_vectors(n=400, d=16)).repartition(8)
+    c1, s1 = kmeans_distributed(emb_ds, "embedding", 6, n_iters=4)
+    assert c1.shape[0] == 6
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, rtol=1e-12)
+    mc = [it["mean_cosine"] for it in s1["iters"]]
+    assert all(mc[i + 1] >= mc[i] - 1e-9 for i in range(len(mc) - 1)), mc
+    assert sum(s1["sizes"]) == emb_ds.count()
+    c2, s2 = kmeans_distributed(emb_ds, "embedding", 6, n_iters=4)
+    np.testing.assert_array_equal(c1, c2)
+    assert s1["sizes"] == s2["sizes"]
