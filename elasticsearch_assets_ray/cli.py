@@ -60,7 +60,27 @@ def cmd_query(args) -> int:
         from elasticsearch_assets_ray.query.engine import Searcher
 
         s = Searcher(args.index)
-    res = s.search(args.q, k=args.k)
+    if args.agg:
+        kind, _, field = args.agg.partition(":")
+        if kind == "facet":
+            res = s.facet(args.q, by=field or "lang")
+        elif kind == "sig_terms":
+            res = s.significant_terms(args.q, size=args.k)
+        elif kind == "top_hits":
+            res = s.top_hits(args.q, by=field or "lang", n=min(args.k, 10))
+        elif kind == "stats":
+            import pyarrow as pa
+
+            st = s.stats_agg(args.q, field)
+            res = pa.table(
+                {"metric": pa.array(list(st)), "value": pa.array([float(v) for v in st.values()])}
+            )
+        elif kind == "percentiles":
+            res = s.percentiles(args.q, field)
+        else:
+            raise SystemExit(f"unknown agg '{kind}' (facet|sig_terms|top_hits|stats|percentiles)")
+    else:
+        res = s.search(args.q, k=args.k)
     print(json.dumps(res.to_pydict()))
     return 0
 
@@ -119,6 +139,11 @@ def main(argv=None) -> int:
     q.add_argument(
         "--shards", type=int, default=1,
         help="serve doc-partitioned over N shard actors (scatter-gather)",
+    )
+    q.add_argument(
+        "--agg", default="",
+        help="aggregation instead of hits: facet:<col> | sig_terms | "
+        "top_hits:<col> | stats:<col> | percentiles:<col>",
     )
     q.set_defaults(fn=cmd_query)
 
