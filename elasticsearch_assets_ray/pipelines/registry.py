@@ -150,6 +150,10 @@ FILTERED_QUERIES: list[str] = [
     "sort part hash lang:xx",      # no such lang → matches nothing
     "s* value lang:zh",            # prefix expansion + filter
     "spark table _exists_:lang",   # ES existence query (filter context)
+    # analyzed multi-field match (`field.text:token`): non-scoring token
+    # membership under the shared analyzer — scoring stays "spark table"
+    "spark table text.text:vector",
+    "merge join -text.text:vector lang:en",
 ]
 
 RANGE_QUERIES: list[str] = [
@@ -1991,6 +1995,13 @@ def _tree_sql(node) -> tuple[str, str]:
         pred = node[1]
         if pred[0] == "eq":
             c = f"d.{pred[1]} = '{pred[2].replace(chr(39), chr(39) * 2)}'"
+        elif pred[0] == "match":
+            # analyzed `field.text:token`: token membership under the
+            # shared analyzer, the SQL twin of engine._filter_bits "match"
+            c = (
+                f"list_contains(regexp_extract_all(lower(d.{pred[1]}), "
+                f"'[a-z0-9]+'), '{pred[2]}')"
+            )
         elif pred[0] == "exists":
             c = f"d.{pred[1]} IS NOT NULL"
         else:
@@ -2145,6 +2156,18 @@ def _bm25_bool_sql(queries: list[str], k: int, msm: list[int] | None = None) -> 
             v = val.replace("'", "''")
             flt_conds.setdefault(qid, []).append(
                 f"NOT COALESCE(d.{fld} = '{v}', FALSE)"
+            )
+        # analyzed `field.text:token` match filters (token membership
+        # under the shared analyzer — engine._filter_bits "match" twin)
+        for fld, tok in sorted(set(p.match_filters)):
+            flt_conds.setdefault(qid, []).append(
+                f"COALESCE(list_contains(regexp_extract_all(lower(d.{fld}), "
+                f"'[a-z0-9]+'), '{tok}'), FALSE)"
+            )
+        for fld, tok in sorted(set(p.not_match_filters)):
+            flt_conds.setdefault(qid, []).append(
+                f"NOT COALESCE(list_contains(regexp_extract_all(lower(d.{fld}), "
+                f"'[a-z0-9]+'), '{tok}'), FALSE)"
             )
         # fielded RANGE filters: same filter context; a bound that looks
         # numeric stays a numeric literal (n_chars int column), anything

@@ -598,6 +598,8 @@ class Searcher:
             must_any=[list(g) for g in q.must_any],
             filters=list(q.filters),
             not_filters=list(q.not_filters),
+            match_filters=list(q.match_filters),
+            not_match_filters=list(q.not_match_filters),
             range_filters=list(q.range_filters),
             not_range_filters=list(q.not_range_filters),
             exists_filters=list(q.exists_filters),
@@ -963,6 +965,8 @@ class Searcher:
             or q2.must_any
             or q2.filters
             or q2.not_filters
+            or q2.match_filters
+            or q2.not_match_filters
             or q2.range_filters
             or q2.not_range_filters
             or q2.exists_filters
@@ -2252,6 +2256,21 @@ class Searcher:
 
         if pred[0] == "eq":
             cond = pc.equal(col, bound(pred[2]))
+        elif pred[0] == "match":
+            # analyzed match (`field.text:token`): token membership in
+            # tokenize(column) — ES text-field match semantics over a
+            # stored column, vectorized through the shared analyzer
+            from elasticsearch_assets_ray.stages.tokenizer import tokenize_column
+
+            toks = tokenize_column(col.combine_chunks()).fill_null([])
+            offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = pc.fill_null(pc.equal(toks.values, pa.scalar(pred[2])), False).to_numpy(
+                zero_copy_only=False
+            )
+            doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(offsets))
+            bits = np.zeros(t.num_rows, dtype=bool)
+            bits[doc_idx[hit]] = True
+            cond = pa.array(bits)
         elif pred[0] == "exists":
             cond = pc.is_valid(col)
         else:
@@ -2284,6 +2303,8 @@ class Searcher:
         if not (
             q.filters
             or q.not_filters
+            or q.match_filters
+            or q.not_match_filters
             or q.range_filters
             or q.not_range_filters
             or q.exists_filters
@@ -2292,12 +2313,15 @@ class Searcher:
             return None
         self._require_docstore_fields(
             [("eq", f, v) for f, v in q.filters + q.not_filters]
+            + [("match", f, t) for f, t in q.match_filters + q.not_match_filters]
             + [("range", *r) for r in q.range_filters + q.not_range_filters]
             + [("exists", f) for f in q.exists_filters + q.not_exists_filters]
         )
         specs = (
             [(("eq", f, v), False) for f, v in q.filters]
             + [(("eq", f, v), True) for f, v in q.not_filters]
+            + [(("match", f, t), False) for f, t in q.match_filters]
+            + [(("match", f, t), True) for f, t in q.not_match_filters]
             + [(("range", *r), False) for r in q.range_filters]
             + [(("range", *r), True) for r in q.not_range_filters]
             + [(("exists", f), False) for f in q.exists_filters]
@@ -2416,6 +2440,8 @@ class Searcher:
             and not q.must_any
             and not q.filters
             and not q.not_filters
+            and not q.match_filters
+            and not q.not_match_filters
             and not q.range_filters
             and not q.not_range_filters
             and not q.exists_filters

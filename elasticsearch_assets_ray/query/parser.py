@@ -61,6 +61,23 @@ def encode_unordered_slop(n: int) -> int:
     return -(int(n) + 1)
 
 
+def _match_clause(fld: str, val: str) -> tuple[str, str]:
+    """`field.text:value` → (base_field, analyzed_token).  The value
+    must analyze to exactly one token (ES match-in-filter over multiple
+    tokens is OR-by-default; one clause per token keeps the semantics
+    explicit)."""
+    base = fld[: -len(".text")]
+    if not base:
+        raise ValueError("'.text' needs a base field name")
+    toks = tokenize_text(val)
+    if len(toks) != 1:
+        raise ValueError(
+            f"{fld}:{val!r} must analyze to exactly one token (got "
+            f"{toks}); write one clause per token"
+        )
+    return (base, toks[0])
+
+
 def unordered_window(terms_len: int, slop: int) -> int | None:
     """Max span WIDTH for an unordered spec (``terms_len + N``), or
     ``None`` when ``slop`` encodes an ordered spec."""
@@ -186,6 +203,14 @@ class ParsedQuery:
     not_range_filters: list[tuple[str, str | None, bool, str | None, bool]] = field(
         default_factory=list
     )
+    # ANALYZED fielded clauses `field.text:value` — the ES multi-field
+    # convention inverted (ES: `field` text / `field.keyword` raw; here
+    # `field` raw / `field.text` analyzed): the value runs through the
+    # shared analyzer and must stay ONE token; a doc matches when the
+    # token appears in tokenize(column).  Filter context like `filters`.
+    # Tuple: (base_field, analyzed_token).
+    match_filters: list[tuple[str, str]] = field(default_factory=list)
+    not_match_filters: list[tuple[str, str]] = field(default_factory=list)
     # `_exists_:field` clauses (ES existence query) — filter context:
     # the doc's metadata column must hold a non-null value
     exists_filters: list[str] = field(default_factory=list)
@@ -294,6 +319,13 @@ class ParsedQuery:
             + [
                 f'-{f}:"{v}"' if " " in v else f"-{f}:{v}"
                 for f, v in sorted(set(self.not_filters))
+            ]
+            + [
+                f"{f}.text:{t}" for f, t in sorted(set(self.match_filters))
+            ]
+            + [
+                f"-{f}.text:{t}"
+                for f, t in sorted(set(self.not_match_filters))
             ]
             + [
                 _range_str(r, neg=False)
@@ -412,6 +444,8 @@ def _bool_leaf(tok: str):
         if len(val) >= 2 and val[0] == '"' and val[-1] == '"':
             val = val[1:-1]
         if val:
+            if km.group(1).endswith(".text"):
+                return ("filter", ("match", *_match_clause(km.group(1), val)))
             return ("filter", ("eq", km.group(1), val))
     if len(tok) > 2 and tok.startswith("/") and tok.endswith("/"):
         # Lucene regexp leaf `/pat/` — the lexer keeps the whole span
@@ -642,6 +676,8 @@ def tree_to_string(node) -> str:
             return f'{f}:"{v}"' if " " in v else f"{f}:{v}"
         if pred[0] == "exists":
             return f"_exists_:{pred[1]}"
+        if pred[0] == "match":
+            return f"{pred[1]}.text:{pred[2]}"
         return _range_str(pred[1:], neg=False)
     if kind == "boost":
         inner = tree_to_string(node[1])
@@ -726,7 +762,13 @@ def parse_query(q: str) -> ParsedQuery:
                 if len(val) >= 2 and val[0] == '"' and val[-1] == '"':
                     val = val[1:-1]
                 if val:
-                    if op == "-":
+                    if km.group(1).endswith(".text"):
+                        spec = _match_clause(km.group(1), val)
+                        if op == "-":
+                            out.not_match_filters.append(spec)
+                        else:
+                            out.match_filters.append(spec)
+                    elif op == "-":
                         out.not_filters.append((km.group(1), val))
                     else:
                         out.filters.append((km.group(1), val))

@@ -656,6 +656,7 @@ class ShardedSearcher:
         if (
             q2.has_phrases or q2.bool_tree is not None or q2.must
             or q2.must_not or q2.must_any or q2.filters or q2.not_filters
+            or q2.match_filters or q2.not_match_filters
             or q2.range_filters or q2.not_range_filters
             or q2.exists_filters or q2.not_exists_filters
         ):

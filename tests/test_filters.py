@@ -177,3 +177,56 @@ def test_msm_rejects_trees_and_multiterm(built_index):
         s.search("def AND load", minimum_should_match=2)
     with pytest.raises(ValueError, match="prefix/wildcard/fuzzy"):
         s.search("de* load", minimum_should_match=2)
+
+
+def test_analyzed_match_filter_parse_and_print():
+    """`field.text:token` — the ES multi-field convention inverted (here
+    the raw column is the default and `.text` selects analyzed match)."""
+    import pytest
+
+    from elasticsearch_assets_ray.query.parser import parse_query
+
+    q = parse_query("def load path.text:Mod71")
+    assert q.match_filters == [("path", "mod71")]  # query side analyzed
+    assert q.to_string() == "def load path.text:mod71"
+    q = parse_query("def -path.text:utils")
+    assert q.not_match_filters == [("path", "utils")]
+    # multi-token values are ambiguous (ES match defaults to OR) → error
+    with pytest.raises(ValueError, match="exactly one token"):
+        parse_query('def path.text:"src utils"')
+    # a bare `.text:foo` is not a fielded clause (no base field) — it
+    # falls through to plain term analysis, never to the match parser
+    q = parse_query("def .text:foo")
+    assert q.match_filters == [] and "foo" in q.should
+
+
+def test_analyzed_match_filter_engine(built_index):
+    """Filter context: non-scoring token membership in tokenize(column),
+    exact vs a brute force over the hydrated match set; unknown base
+    fields still error."""
+    import numpy as np
+    import pytest
+
+    from elasticsearch_assets_ray.query.engine import Searcher
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    allr = s.all_scores("def load")
+    ids = allr["doc_id"].to_numpy(zero_copy_only=False)
+    h = s.hydrate(np.sort(ids), columns=["doc_id", "path"])
+    toks = {d: tokenize_text(p) for d, p in zip(h["doc_id"].to_pylist(), h["path"].to_pylist())}
+    some = next(t for t in toks[int(ids[0])] if t not in ("src",))
+    want = {d for d, tk in toks.items() if some in tk}
+    got = set(s.all_scores(f"def load path.text:{some}")["doc_id"].to_pylist())
+    assert got == want and got
+    # scores are unchanged by the filter (filter context never scores)
+    full = dict(zip(allr["doc_id"].to_pylist(), allr["score"].to_pylist()))
+    filt = s.all_scores(f"def load path.text:{some}")
+    for d, sc in zip(filt["doc_id"].to_pylist(), filt["score"].to_pylist()):
+        assert sc == full[d]
+    # negation is the complement within the match set
+    neg = set(s.all_scores(f"def load -path.text:{some}")["doc_id"].to_pylist())
+    assert neg == set(full) - want
+    with pytest.raises(ValueError, match="unknown filter field"):
+        s.search("def load nosuch.text:foo", k=3)
