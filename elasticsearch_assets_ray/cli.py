@@ -71,11 +71,15 @@ def cmd_query(args) -> int:
         elif kind == "stats":
             import pyarrow as pa
 
+            if not field:
+                raise SystemExit("--agg stats:<col> needs a column name")
             st = s.stats_agg(args.q, field)
             res = pa.table(
                 {"metric": pa.array(list(st)), "value": pa.array([float(v) for v in st.values()])}
             )
         elif kind == "percentiles":
+            if not field:
+                raise SystemExit("--agg percentiles:<col> needs a column name")
             res = s.percentiles(args.q, field)
         else:
             raise SystemExit(f"unknown agg '{kind}' (facet|sig_terms|top_hits|stats|percentiles)")

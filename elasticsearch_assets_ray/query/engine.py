@@ -1467,10 +1467,18 @@ class Searcher:
         union of the shards' local top-n for that bucket)."""
         if n <= 0:
             raise ValueError("n must be positive")
-        vals = self.hydrate(np.sort(np.asarray(ids, dtype=np.int64)), columns=["doc_id", by])
-        # align hydrated bucket values back to the (ids, sc) order
+        ids = np.asarray(ids, dtype=np.int64)
+        sc = np.asarray(sc, dtype=np.float64)
+        vals = self.hydrate(np.sort(ids), columns=["doc_id", by])
+        # align hydrated bucket values back to the (ids, sc) order;
+        # hydrate DROPS unknown ids (e.g. stale ids after a rebuild) so
+        # membership must be checked — a blind searchsorted would shift
+        # every later doc onto the wrong bucket value
         got = vals["doc_id"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(got, ids)
+        present = pos < got.size
+        present[present] &= got[pos[present]] == ids[present]
+        ids, sc, pos = ids[present], sc[present], pos[present]
         col = vals[by].combine_chunks().take(pa.array(pos))
         return tophits_select(ids, sc, col, n)
 

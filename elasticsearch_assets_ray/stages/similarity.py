@@ -350,6 +350,7 @@ def kmeans_distributed(
     cent = sample[rng.choice(sample.shape[0], size=k, replace=False)].copy()
     dim = cent.shape[1]
     stats: dict = {"iters": [], "n_centroids": k}
+    sizes = np.zeros(k, dtype=np.int64)  # bound even when n_iters == 0
 
     for it in range(n_iters):
         cent_ref = _ray.put(cent)

@@ -21,6 +21,22 @@ import pyarrow as pa
 from elasticsearch_assets_ray.stages.sampling import splitmix64
 
 
+def hash_registers(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """THE hash → (register index, rank) derivation, shared by
+    :meth:`HLL.add_hashes` and :func:`grouped_distinct_hll` so the
+    float53-exactness subtlety lives in one place: index = top p bits;
+    rank = leading zeros of the low (64−p) bits + 1, where for low>0
+    floor(log2(low)) via frexp is EXACT (values < 2^53 fit float64)."""
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    low = h & np.uint64((1 << (64 - p)) - 1)
+    rank = np.full(h.size, 64 - p + 1, dtype=np.uint8)
+    nz = low > 0
+    if nz.any():
+        _, ex = np.frexp(low[nz].astype(np.float64))
+        rank[nz] = (64 - p - (ex - 1)).astype(np.uint8)
+    return idx, rank
+
+
 class HLL:
     """Dense HyperLogLog with p index bits (m = 2^p registers)."""
 
@@ -36,15 +52,7 @@ class HLL:
         h = np.ascontiguousarray(h, dtype=np.uint64)
         if h.size == 0:
             return
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        low = h & np.uint64((1 << (64 - self.p)) - 1)
-        # rank = leading zeros within the low (64-p) bits + 1; for low>0,
-        # floor(log2(low)) via frexp is EXACT (values < 2^53 fit float64)
-        rank = np.full(h.size, 64 - self.p + 1, dtype=np.uint8)
-        nz = low > 0
-        if nz.any():
-            _, ex = np.frexp(low[nz].astype(np.float64))
-            rank[nz] = (64 - self.p - (ex - 1)).astype(np.uint8)
+        idx, rank = hash_registers(h, self.p)
         np.maximum.at(self.regs, idx, rank)
 
     def add(self, values: np.ndarray) -> None:
@@ -130,13 +138,7 @@ def grouped_distinct_hll(
             ).astype(np.uint64, copy=False)
         )
         m = 1 << p
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        low = h & np.uint64((1 << (64 - p)) - 1)
-        rank = np.full(h.size, 64 - p + 1, dtype=np.uint8)
-        nz = low > 0
-        if nz.any():
-            _, ex = np.frexp(low[nz].astype(np.float64))
-            rank[nz] = (64 - p - (ex - 1)).astype(np.uint8)
+        idx, rank = hash_registers(h, p)
         # one scatter-max over ALL keys at once: flat (key, register) grid
         grid = np.zeros(n_keys * m, dtype=np.uint8)
         np.maximum.at(grid, codes * m + idx, rank)

@@ -42,14 +42,23 @@ class TDigest:
 
     def add(self, values: np.ndarray, weights: np.ndarray | None = None) -> "TDigest":
         v = np.asarray(values, dtype=np.float64)
-        v = v[~np.isnan(v)]
-        if v.size == 0:
-            return self
-        w = (
-            np.ones(v.size, dtype=np.float64)
-            if weights is None
-            else np.asarray(weights, dtype=np.float64)[: v.size]
-        )
+        if weights is None:
+            v = v[~np.isnan(v)]
+            if v.size == 0:
+                return self
+            w = np.ones(v.size, dtype=np.float64)
+        else:
+            w = np.asarray(weights, dtype=np.float64)
+            if w.shape != v.shape:
+                raise ValueError(
+                    f"weights shape {w.shape} != values shape {v.shape}"
+                )
+            # the NaN mask must drop the VALUE AND ITS WEIGHT together —
+            # masking values alone shifts every later weight one slot
+            keep = ~np.isnan(v)
+            v, w = v[keep], w[keep]
+            if v.size == 0:
+                return self
         self._buf_m.append(v)
         self._buf_w.append(w)
         self._buf_n += v.size
@@ -80,7 +89,10 @@ class TDigest:
         return (self.delta / (2.0 * np.pi)) * np.arcsin(2.0 * q - 1.0)
 
     def _compress(self) -> None:
-        if self._buf_n == 0 and self.means.size == 0:
+        if self._buf_n == 0:
+            # nothing buffered: recompression is idempotent (verified by
+            # test), so re-merging the existing centroids is pure waste —
+            # repeated quantile() calls must not pay O(centroids) each
             return
         m = np.concatenate([self.means] + self._buf_m) if self._buf_m else self.means
         w = np.concatenate([self.weights] + self._buf_w) if self._buf_w else self.weights

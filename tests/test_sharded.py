@@ -545,3 +545,18 @@ def test_significant_terms_lazy_stop_is_exact(single):
     )
     assert full.to_pylist() == pruned.to_pylist()
     assert full.num_rows > 0
+
+
+def test_top_hits_ids_tolerates_dropped_ids(single):
+    """Stale/unknown docids must be dropped with alignment intact (the
+    hydrate contract drops them) — not silently shift bucket values."""
+    r = single.all_scores("def load")
+    ids = r["doc_id"].to_numpy(zero_copy_only=False)
+    sc = r["score"].to_numpy(zero_copy_only=False)
+    want = single.top_hits_ids(ids, sc, "lang", 3)
+    # splice in unknown ids (beyond any pid) at the front and back
+    bad = np.array([ids.max() + 10_000_000], dtype=np.int64)
+    ids2 = np.concatenate([bad, ids, bad + 1])
+    sc2 = np.concatenate([[99.0], sc, [98.0]])
+    got = single.top_hits_ids(ids2, sc2, "lang", 3)
+    assert got.to_pylist() == want.to_pylist()

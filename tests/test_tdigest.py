@@ -115,3 +115,14 @@ def test_percentiles_approx_sharded_vs_exact(built_index):
     for p in ex:
         rank = np.searchsorted(sv, ap[p]) / sv.size
         assert abs(rank - p / 100.0) <= 0.05, (p, ap[p], ex[p])
+
+
+def test_add_weights_nan_alignment():
+    """NaN values drop WITH their weights; mismatched shapes rejected."""
+    d = TDigest(50.0)
+    d.add(np.array([1.0, np.nan, 3.0]), weights=np.array([10.0, 20.0, 30.0]))
+    assert d.count() == 40.0  # 10 + 30, never the NaN's 20
+    # weighted median of {1.0 x10, 3.0 x30} is 3.0
+    assert d.quantile(0.9) == 3.0
+    with pytest.raises(ValueError, match="shape"):
+        TDigest(50.0).add(np.array([1.0, 2.0]), weights=np.array([1.0]))
