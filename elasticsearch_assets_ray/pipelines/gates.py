@@ -236,6 +236,35 @@ def g_search_positional(sf_dir: str) -> pa.Table:
     )(sf_dir)
 
 
+def g_events_daily(sf_dir: str) -> pa.Table:
+    """Exact two-phase (day, user)-dedup cardinality UNION the grouped
+    HyperLogLog swap — the sketch's REGISTERS are replicated in the SQL
+    arm (splitmix64 + bin()-length ranks), so this hash-checks the
+    sketch itself, not just an error band."""
+    ex = _to_table(R.QUERIES["events_daily"](sf_dir))
+    hl = _to_table(R.QUERIES["events_daily_hll"](sf_dir))
+    return pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "gate": pa.array(["exact"] * ex.num_rows),
+                    "day": ex["day"],
+                    "n_events": ex["n_events"].combine_chunks().cast(pa.int64()),
+                    "n_users": ex["n_users"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            pa.table(
+                {
+                    "gate": pa.array(["hll"] * hl.num_rows),
+                    "day": hl["day"],
+                    "n_events": pa.array([0] * hl.num_rows, pa.int64()),
+                    "n_users": hl["n_users_approx"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+        ]
+    )
+
+
 def g_agg_suite(sf_dir: str) -> pa.Table:
     """ES aggregation suite under ONE composite gate: terms (facet_lang),
     terms+avg sub-agg (facet_metric), significant_terms (JLH), range agg,
@@ -373,7 +402,6 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "suggest_terms",
         "highlight",
         "histogram_nchars",
-        "events_daily",
         "search_rescore",
         "function_score",
         "state_enrich",
@@ -398,6 +426,19 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     oracles["key_scan"] = _union_sql(
         [("prefix", None, "key_prefix_scan"), ("charclass", None, "key_charclass_scan")],
         "doc_id, source, lang",
+    )
+
+    gates["events_daily"] = g_events_daily
+    oracles["events_daily"] = _union_sql(
+        [
+            ("exact", "day, n_events, n_users", "events_daily"),
+            (
+                "hll",
+                "day, 0 AS n_events, n_users_approx AS n_users",
+                "events_daily_hll",
+            ),
+        ],
+        "",
     )
 
     gates["agg_suite"] = g_agg_suite

@@ -320,6 +320,46 @@ def _id_hash_ctes(salt: str, extra_cols: str = "") -> str:
     )
 
 
+def events_daily_hll_sql(p: int = 12) -> str:
+    """Exact-by-construction SQL replica of
+    ``stages.sketch.grouped_distinct_hll`` over the events table: the
+    splitmix64 hash (staged ``_mul64``/``_xor64`` uint64 emulation), the
+    register derivation (index = top p bits; rank = leading zeros of the
+    low 64−p bits + 1, with floor(log2(low)) EXACT via
+    ``length(bin(low))−1`` — string length, no float log), register-max
+    per (day, index), and the estimator with the linear-counting branch.
+    At gate cardinalities the linear-counting regime fires, so the final
+    value is a pure function of the integer zero-register count —
+    float-order independent; both sides round via floor(x + 0.5)."""
+    mask = 1 << (64 - p)
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    z1 = _mul64(_xor64("z", f"(z // {1 << 30})"), 0xBF58476D1CE4E5B9)
+    z2 = _mul64(_xor64("z", f"(z // {1 << 27})"), 0x94D049BB133111EB)
+    z3 = _xor64("z", f"(z // {1 << 31})")
+    return (
+        "WITH e AS (SELECT date_trunc('day', ts) AS day, user_id "
+        "FROM events WHERE user_id IS NOT NULL), "
+        f"h0 AS (SELECT day, (CASE WHEN user_id < 0 THEN CAST(user_id AS "
+        f"HUGEINT) + {M64} ELSE CAST(user_id AS HUGEINT) END) AS z FROM e), "
+        f"h1 AS (SELECT day, {z1} AS z FROM h0), "
+        f"h2 AS (SELECT day, {z2} AS z FROM h1), "
+        f"hh AS (SELECT day, {z3} AS h FROM h2), "
+        f"reg AS (SELECT day, CAST(h // {mask} AS BIGINT) AS idx, "
+        f"CAST(h % {mask} AS BIGINT) AS low FROM hh), "
+        f"rk AS (SELECT day, idx, max(CASE WHEN low = 0 THEN {64 - p + 1} "
+        f"ELSE {64 - p} - (length(bin(low)) - 1) END) AS rank "
+        "FROM reg GROUP BY day, idx), "
+        "agg AS (SELECT day, count(*) AS present, "
+        "sum(power(2.0, -rank)) AS sp FROM rk GROUP BY day), "
+        f"fin AS (SELECT day, (CAST({alpha!r} AS DOUBLE) * {m}.0 * {m}.0) / "
+        f"(sp + ({m} - present)) AS raw, {m} - present AS zeros FROM agg) "
+        f"SELECT day, CAST(floor((CASE WHEN raw <= {2.5 * m} AND zeros > 0 "
+        f"THEN {m}.0 * ln({m}.0 / zeros) ELSE raw END) + 0.5) AS BIGINT) "
+        "AS n_users_approx FROM fin"
+    )
+
+
 def split_assign_sql(ratios: dict[str, float], salt: str = "split") -> str:
     """Replicates stages.sampling.split_batch: exact integer cumulative
     thresholds floor(cum·2^64) (last bucket absorbs rounding), label =

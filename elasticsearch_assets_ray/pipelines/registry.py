@@ -1253,6 +1253,32 @@ def q_match_stats(sf_dir: str):
     )
 
 
+def q_events_daily_hll(sf_dir: str):
+    """events_daily's distinct-user side through the GROUPED HLL sketch
+    (the extreme-cardinality swap: one 2^p-byte register blob per
+    (batch, day) instead of a (day, user) pair shuffle).  The oracle
+    replicates the registers in SQL (splitmix64 + bin()-length ranks),
+    so the sketch itself — not just its error band — is verified."""
+    ds = _rd(sf_dir, "events", columns=["ts", "user_id"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.cast(
+                    pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us")
+                ),
+                "user_id": b["user_id"],
+            }
+        )
+
+    from elasticsearch_assets_ray.stages.sketch import grouped_distinct_hll
+
+    t = grouped_distinct_hll(
+        ds.map_batches(_day, batch_format="pyarrow"), "day", "user_id", p=12
+    )
+    return pa.table({"day": t["key"], "n_users_approx": t["distinct"]})
+
+
 AGG_RANGES: list[tuple[float | None, float | None]] = [
     (None, 200.0),
     (200.0, 400.0),
@@ -3017,6 +3043,7 @@ ORACLES.update(
             num_perm=64, bands=16, shingle_k=3, threshold=0.5
         ),
         "ngram_pairs": _oh.ngram_pairs_sql(threshold=0.5),
+        "events_daily_hll": _oh.events_daily_hll_sql(p=12),
         "pii_stats": _pii_stats_sql(),
         "contamination_stats": _contamination_sql(),
         "prefix_dfs": _oh.prefix_dfs_sql("abcdefghijklmnopqrstuvwxyz0123456789", 30),
@@ -3095,6 +3122,7 @@ QUERIES = {
     "range_agg": q_range_agg,
     "top_hits": q_top_hits,
     "events_daily": q_events_daily,
+    "events_daily_hll": q_events_daily_hll,
     "search_rescore": q_search_rescore,
     "function_score": q_function_score,
     "state_enrich": q_state_enrich,

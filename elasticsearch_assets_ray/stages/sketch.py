@@ -98,7 +98,10 @@ class HLL:
         zeros = int(np.count_nonzero(self.regs == 0))
         if est <= 2.5 * m and zeros > 0:
             est = m * np.log(m / zeros)  # linear counting regime
-        return int(round(est))
+        # floor(x + 0.5), not round(): Python round() is banker's at .5
+        # while SQL round() is half-away — the SQL register replica
+        # (events_daily_hll oracle) must land on the same integer
+        return int(np.floor(est + 0.5))
 
 
 def grouped_distinct_hll(

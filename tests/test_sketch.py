@@ -94,3 +94,20 @@ def test_grouped_distinct_hll_skips_nulls(ray_session):
     out = grouped_distinct_hll(ray.data.from_arrow(t), "day", "user", p=8)
     got = dict(zip(out["key"].to_pylist(), out["distinct"].to_pylist()))
     assert got == {1: 1, 2: 1}
+
+
+def test_events_daily_hll_matches_sql_register_replica(ray_session):
+    """The grouped-HLL gate is exact-by-construction: the DuckDB oracle
+    rebuilds the registers (splitmix64 + bin()-length ranks) and must
+    land on the SAME integers, not just inside an error band."""
+    import duckdb
+
+    from elasticsearch_assets_ray.pipelines import registry as R
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    rdf = R.QUERIES["events_daily_hll"](sf).to_pandas().sort_values("day")
+    odf = con.sql(R.ORACLES["events_daily_hll"]).df().sort_values("day")
+    assert rdf["n_users_approx"].tolist() == odf["n_users_approx"].tolist()
+    assert len(rdf) > 0
