@@ -89,11 +89,34 @@ _SEARCH_COLS = ["query_id", "doc_id", "rank", "score_r"]
 
 def g_key_scan(sf_dir: str) -> pa.Table:
     """S2/Q2 prefix scan + Q3 char-class scan (reference idSlicer read
-    shapes) under one gate."""
-    return _union(
+    shapes), plus the percolator's (doc, query) matches — each
+    registered percolate query becomes its own ``perc:<name>`` gate tag
+    and its doc rows hydrate (source, lang) so the arms share one
+    schema."""
+    base = _union(
         [("prefix", "key_prefix_scan"), ("charclass", "key_charclass_scan")],
         ["doc_id", "source", "lang"],
     )(sf_dir)
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    perc = _to_table(R.QUERIES["percolate"](sf_dir))
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    )
+    j = perc.join(docs, keys="doc_id", join_type="inner")
+    tag = pc.binary_join_element_wise(
+        pa.array(["perc"] * j.num_rows), j["query_name"].combine_chunks(), ":"
+    )
+    perc_rows = pa.table(
+        {
+            "gate": tag,
+            "doc_id": j["doc_id"].combine_chunks().cast(pa.int64()),
+            "source": j["source"].combine_chunks().cast(pa.string()),
+            "lang": j["lang"].combine_chunks().cast(pa.string()),
+        }
+    )
+    return pa.concat_tables([base, perc_rows])
 
 
 def g_scalar_probes(sf_dir: str) -> pa.Table:
@@ -423,9 +446,14 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             oracles[name] = R.ORACLES[name]
 
     gates["key_scan"] = g_key_scan
-    oracles["key_scan"] = _union_sql(
-        [("prefix", None, "key_prefix_scan"), ("charclass", None, "key_charclass_scan")],
-        "doc_id, source, lang",
+    oracles["key_scan"] = (
+        _union_sql(
+            [("prefix", None, "key_prefix_scan"), ("charclass", None, "key_charclass_scan")],
+            "doc_id, source, lang",
+        )
+        + " UNION ALL SELECT 'perc:' || p.query_name AS gate, p.doc_id, "
+        "d.source, d.lang FROM (" + R.ORACLES["percolate"] + ") p "
+        "JOIN documents d ON d.doc_id = p.doc_id"
     )
 
     gates["events_daily"] = g_events_daily

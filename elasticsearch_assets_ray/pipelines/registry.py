@@ -1253,6 +1253,71 @@ def q_match_stats(sf_dir: str):
     )
 
 
+PERC_QUERIES: dict[str, str] = {
+    "spark_tables": "spark table",
+    "must_merge": "+merge join",
+    "scan_phrase": '"table scan"',
+    "no_vector": "batch -vector",
+    "en_stream": "stream lang:en",
+    "not_phrase": 'key -"table scan"',
+}
+
+
+def _percolate_sql(queries: dict[str, str]) -> str:
+    """UNION ALL of per-query match predicates over documents — built
+    from the SAME query strings the percolator registers, mirroring the
+    engine's flat semantics (candidates ≥1 positive term; must all
+    present; must_not absent; phrases adjacent on the space-joined
+    analyzed token string; eq filters)."""
+    from elasticsearch_assets_ray.query.parser import parse_query
+
+    arms = []
+    for name in sorted(queries):
+        p = parse_query(queries[name])
+        conds = []
+        ex = (
+            "EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = d.doc_id "
+            "AND tok.term = '{t}')"
+        )
+        if p.should and not p.must and not p.phrases:
+            ors = " OR ".join(ex.format(t=t) for t in sorted(set(p.should)))
+            conds.append(f"({ors})")
+        for t in sorted(set(p.must)):
+            conds.append(ex.format(t=t))
+        for t in sorted(set(p.must_not)):
+            conds.append("NOT " + ex.format(t=t))
+        for phr in p.phrases:
+            conds.append(f"ts.s LIKE '% {' '.join(phr)} %'")
+        for phr in p.not_phrases:
+            conds.append(f"ts.s NOT LIKE '% {' '.join(phr)} %'")
+        for f, v in sorted(set(p.filters)):
+            conds.append(f"COALESCE(d.{f} = '{v}', FALSE)")
+        arms.append(
+            f"SELECT d.doc_id, '{name}' AS query_name FROM documents d "
+            "JOIN ts ON ts.doc_id = d.doc_id WHERE "
+            + " AND ".join(conds)
+        )
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "ts AS (SELECT doc_id, ' ' || array_to_string("
+        f"{_TOK}, ' ') || ' ' AS s FROM documents) "
+        + " UNION ALL ".join(arms)
+    )
+
+
+def q_percolate(sf_dir: str):
+    """ES percolate (reverse search): the registered query set compiled
+    once and broadcast; documents stream through an actor pool emitting
+    (doc_id, query_name) matches — rule-based routing/tagging at ingest
+    scale (no shuffle, per-batch work ∝ relevant-term hits)."""
+    from elasticsearch_assets_ray.stages.percolate import percolate
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = percolate(ds, PERC_QUERIES)
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return t.sort_by([("query_name", "ascending"), ("doc_id", "ascending")])
+
+
 def q_events_daily_hll(sf_dir: str):
     """events_daily's distinct-user side through the GROUPED HLL sketch
     (the extreme-cardinality swap: one 2^p-byte register blob per
@@ -3044,6 +3109,7 @@ ORACLES.update(
         ),
         "ngram_pairs": _oh.ngram_pairs_sql(threshold=0.5),
         "events_daily_hll": _oh.events_daily_hll_sql(p=12),
+        "percolate": _percolate_sql(PERC_QUERIES),
         "pii_stats": _pii_stats_sql(),
         "contamination_stats": _contamination_sql(),
         "prefix_dfs": _oh.prefix_dfs_sql("abcdefghijklmnopqrstuvwxyz0123456789", 30),
@@ -3123,6 +3189,7 @@ QUERIES = {
     "top_hits": q_top_hits,
     "events_daily": q_events_daily,
     "events_daily_hll": q_events_daily_hll,
+    "percolate": q_percolate,
     "search_rescore": q_search_rescore,
     "function_score": q_function_score,
     "state_enrich": q_state_enrich,
