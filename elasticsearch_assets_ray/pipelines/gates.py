@@ -136,7 +136,11 @@ def g_scalar_probes(sf_dir: str) -> pa.Table:
 def g_bulk_events(sf_dir: str) -> pa.Table:
     """K3 index (last-write-wins) + create (first-wins) bulk semantics."""
     return _union(
-        [("index_lww", "bulk_index_lww"), ("create_first", "bulk_create_first")],
+        [
+            ("index_lww", "bulk_index_lww"),
+            ("create_first", "bulk_create_first"),
+            ("reindex_x2", "reindex_events"),
+        ],
         ["user_id", "event_id", "event_type", "value", "ts"],
     )(sf_dir)
 
@@ -482,7 +486,11 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 
     gates["bulk_events"] = g_bulk_events
     oracles["bulk_events"] = _union_sql(
-        [("index_lww", None, "bulk_index_lww"), ("create_first", None, "bulk_create_first")],
+        [
+            ("index_lww", None, "bulk_index_lww"),
+            ("create_first", None, "bulk_create_first"),
+            ("reindex_x2", None, "reindex_events"),
+        ],
         "user_id, event_id, event_type, value, ts",
     )
 

@@ -370,6 +370,40 @@ def q_bulk_create_first(sf_dir: str):
     return out.select_columns(_EV_COLS)
 
 
+def q_reindex_events(sf_dir: str):
+    """The reference's flagship reader→processor→sender composition as
+    one resumable pipeline (pipelines/reindex.py): even date slices
+    planned driver-side, one checkpointed Ray task per slice, a
+    vectorized transform (value × 2) in flight.  The gate re-reads the
+    partitioned output — so it verifies the WRITTEN files, not an
+    in-memory table."""
+    import tempfile
+
+    from elasticsearch_assets_ray.pipelines.reindex import reindex
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"esr_reindex_gate_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def x2(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("value"), "value", pc.multiply(t["value"], 2.0)
+        )
+
+    reindex(_p(sf_dir, "events"), out_dir, date_col="ts", n_slices=6, transform=x2)
+    import glob as _glob
+
+    t = pa.concat_tables(
+        pq.read_table(f)
+        for f in sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    )
+    return t.select(_EV_COLS).sort_by([("event_id", "ascending")])
+
+
 def q_bulk_delete(sf_dir: str):
     ds = _rd(sf_dir, "documents", columns=["doc_id", "source", "lang"])
     dels = pq.read_table(_p(sf_dir, "documents"), columns=["doc_id", "source"])
@@ -2512,6 +2546,10 @@ ORACLES: dict[str, str] = {
         "SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase' AND value > 50"
     ),
     "min_max_probe": "SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM events",
+    "reindex_events": (
+        "SELECT user_id, event_id, event_type, value * 2 AS value, ts "
+        "FROM events"
+    ),
     "bulk_index_lww": (
         "SELECT user_id, event_id, event_type, value, ts FROM events "
         "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
@@ -3132,6 +3170,7 @@ QUERIES = {
     "predicate_count": q_predicate_count,
     "min_max_probe": q_min_max_probe,
     "bulk_index_lww": q_bulk_index_lww,
+    "reindex_events": q_reindex_events,
     "bulk_create_first": q_bulk_create_first,
     "bulk_delete": q_bulk_delete,
     "bulk_rekey": q_bulk_rekey,
