@@ -344,6 +344,18 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
             }
         )
     )
+    for tag, qname in (("filters", "filters_agg"), ("adjacency", "adjacency_matrix")):
+        fa = _to_table(R.QUERIES[qname](sf_dir))
+        tabs.append(
+            pa.table(
+                {
+                    "gate": pa.array([tag] * fa.num_rows),
+                    "value": fa["value"].combine_chunks().cast(pa.string()),
+                    "count": fa["count"].combine_chunks().cast(pa.int64()),
+                    "metric_r": pa.array([0.0] * fa.num_rows, pa.float64()),
+                }
+            )
+        )
     th = _to_table(R.QUERIES["top_hits"](sf_dir))
     lbl = pc.binary_join_element_wise(
         th["value"].combine_chunks().cast(pa.string()),
@@ -368,6 +380,8 @@ AGG_SUITE_SQL_PARTS = [
     ("facet_metric", "value, count, avg_r AS metric_r", "facet_metric"),
     ("sig_terms", "term AS value, fg AS count, score_r AS metric_r", "significant_terms"),
     ("range", "value, count, 0.0 AS metric_r", "range_agg"),
+    ("filters", "value, count, 0.0 AS metric_r", "filters_agg"),
+    ("adjacency", "value, count, 0.0 AS metric_r", "adjacency_matrix"),
     (
         "top_hits",
         "value || '#' || CAST(rank AS VARCHAR) AS value, doc_id AS count, "

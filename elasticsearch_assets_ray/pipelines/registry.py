@@ -1339,6 +1339,56 @@ def _percolate_sql(queries: dict[str, str]) -> str:
     )
 
 
+ADJ_QUERIES: dict[str, str] = {
+    "spark": "spark",
+    "table": "table",
+    "merge_must": "+merge join",
+}
+
+
+def q_filters_agg(sf_dir: str):
+    """ES filters aggregation: doc count per named query, distributed —
+    ONE scatter carries the whole named set; shard counts sum exactly."""
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    return sh.filters_agg(ADJ_QUERIES)
+
+
+def q_adjacency_matrix(sf_dir: str):
+    """ES adjacency_matrix aggregation: named filters plus pairwise
+    `a&b` intersections, distributed exactly (doc-partitioned shards ⇒
+    intersection counts sum; ids never cross the wire)."""
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    return sh.adjacency_matrix(ADJ_QUERIES)
+
+
+def _filters_agg_sql(queries: dict[str, str]) -> str:
+    """Singles from the percolate-style match predicates."""
+    return (
+        f"WITH P AS ({_percolate_sql(queries)}) "
+        "SELECT query_name AS value, count(*)::BIGINT AS count "
+        "FROM P GROUP BY query_name"
+    )
+
+
+def _adjacency_sql(queries: dict[str, str]) -> str:
+    """Singles + pairwise intersections via a doc_id self-join on the
+    percolate match set (non-empty buckets only, ES behavior)."""
+    return (
+        f"WITH P AS ({_percolate_sql(queries)}) "
+        "SELECT query_name AS value, count(*)::BIGINT AS count FROM P "
+        "GROUP BY query_name "
+        "UNION ALL "
+        "SELECT a.query_name || '&' || b.query_name AS value, "
+        "count(*)::BIGINT AS count FROM P a JOIN P b "
+        "ON a.doc_id = b.doc_id AND a.query_name < b.query_name "
+        "GROUP BY a.query_name, b.query_name"
+    )
+
+
 def q_percolate(sf_dir: str):
     """ES percolate (reverse search): the registered query set compiled
     once and broadcast; documents stream through an actor pool emitting
@@ -3148,6 +3198,8 @@ ORACLES.update(
         "ngram_pairs": _oh.ngram_pairs_sql(threshold=0.5),
         "events_daily_hll": _oh.events_daily_hll_sql(p=12),
         "percolate": _percolate_sql(PERC_QUERIES),
+        "filters_agg": _filters_agg_sql(ADJ_QUERIES),
+        "adjacency_matrix": _adjacency_sql(ADJ_QUERIES),
         "pii_stats": _pii_stats_sql(),
         "contamination_stats": _contamination_sql(),
         "prefix_dfs": _oh.prefix_dfs_sql("abcdefghijklmnopqrstuvwxyz0123456789", 30),
@@ -3229,6 +3281,8 @@ QUERIES = {
     "events_daily": q_events_daily,
     "events_daily_hll": q_events_daily_hll,
     "percolate": q_percolate,
+    "filters_agg": q_filters_agg,
+    "adjacency_matrix": q_adjacency_matrix,
     "search_rescore": q_search_rescore,
     "function_score": q_function_score,
     "state_enrich": q_state_enrich,

@@ -1318,6 +1318,32 @@ class Searcher:
         which is approximate — ours is exact)."""
         return percentiles_from_value_counts(self.value_counts(query, field), percents)
 
+    def filters_agg(self, queries: dict[str, str | ParsedQuery]) -> pa.Table:
+        """ES ``filters`` aggregation analog: doc count per NAMED query
+        → pa.Table(value, count), name-ascending.  Score-free (the
+        match_ids path) — an agg never needs BM25 arithmetic."""
+        names = sorted(queries)
+        return pa.table(
+            {
+                "value": pa.array(names, pa.string()),
+                "count": pa.array(
+                    [int(self.match_ids(queries[n]).size) for n in names],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def adjacency_matrix(self, queries: dict[str, str | ParsedQuery]) -> pa.Table:
+        """ES ``adjacency_matrix`` aggregation analog: doc counts for
+        each named filter AND each pairwise intersection (keys
+        ``a&b``, names sorted — the ES key format), empty buckets
+        omitted (ES behavior) → pa.Table(value, count), name-asc.
+        Score-free; see ShardedSearcher.adjacency_matrix for why the
+        doc-partitioned merge is exact."""
+        names = sorted(queries)
+        ids = {n: np.sort(self.match_ids(queries[n])) for n in names}
+        return adjacency_from_ids(ids)
+
     def tdigest_ids(self, ids: np.ndarray, field: str, delta: float = 200.0) -> bytes:
         """Fixed-size t-digest partial of a numeric column over an
         explicit match set — the documented swap for
@@ -3010,6 +3036,30 @@ def percentiles_from_value_counts(
         out.append(x_lo + (x_hi - x_lo) * frac)
     return pa.table(
         {"percent": pa.array(ps, pa.float64()), "value": pa.array(out, pa.float64())}
+    )
+
+
+def adjacency_from_ids(ids: dict[str, np.ndarray]) -> pa.Table:
+    """Singles + pairwise-intersection counts from per-name SORTED match
+    id arrays (the shard-local half of adjacency_matrix; also the whole
+    computation on a single searcher).  Empty buckets omitted."""
+    names = sorted(ids)
+    vals, counts = [], []
+    for i, a in enumerate(names):
+        if ids[a].size:
+            vals.append(a)
+            counts.append(int(ids[a].size))
+        for b in names[i + 1 :]:
+            inter = np.intersect1d(ids[a], ids[b], assume_unique=True)
+            if inter.size:
+                vals.append(f"{a}&{b}")
+                counts.append(int(inter.size))
+    order = np.argsort(np.array(vals, dtype=object))
+    return pa.table(
+        {
+            "value": pa.array(np.array(vals, dtype=object)[order].astype(str), pa.string()),
+            "count": pa.array(np.array(counts, dtype=np.int64)[order]),
+        }
     )
 
 

@@ -126,6 +126,26 @@ class ShardWorker:
         ids = self.s.match_ids_prepared(q, df)
         return self.s.sig_terms_ids(ids), int(ids.size)
 
+    def filters_counts(
+        self, qs: list[ParsedQuery], dfs: list[dict[str, int]]
+    ) -> list[int]:
+        """Local score-free match counts for a BATCH of named filters
+        (one actor call for the whole filters agg)."""
+        return [int(self.s.match_ids_prepared(q, df).size) for q, df in zip(qs, dfs)]
+
+    def adjacency(
+        self, names: list[str], qs: list[ParsedQuery], dfs: list[dict[str, int]]
+    ) -> pa.Table:
+        """Local singles + pairwise-intersection counts (the
+        adjacency_matrix shard half) — ids never leave the shard."""
+        from elasticsearch_assets_ray.query.engine import adjacency_from_ids
+
+        ids = {
+            n: np.sort(self.s.match_ids_prepared(q, df))
+            for n, q, df in zip(names, qs, dfs)
+        }
+        return adjacency_from_ids(ids)
+
     def tdigest(self, q: ParsedQuery, field: str, delta: float, df: dict[str, int]) -> bytes:
         """Fixed-size quantile-sketch partial (unbounded-cardinality swap
         for the exact value_counts partial)."""
@@ -474,6 +494,44 @@ class ShardedSearcher:
         )
 
         return percentiles_from_value_counts(self.value_counts(query, field), percents)
+
+    def filters_agg(self, queries: dict[str, str | ParsedQuery]) -> pa.Table:
+        """Distributed ES filters agg: ONE scatter carries every named
+        query; per-shard score-free counts sum exactly (each doc lives
+        in exactly one bucket-range shard)."""
+        names = sorted(queries)
+        prepared = [self.prepare(queries[n]) for n in names]
+        qs = [p[0] for p in prepared]
+        dfs = [p[1] for p in prepared]
+        parts = self._gather("filters_counts", qs, dfs)  # [shard][query]
+        totals = [int(sum(p[i] for p in parts)) for i in range(len(names))]
+        return pa.table(
+            {"value": pa.array(names, pa.string()), "count": pa.array(totals, pa.int64())}
+        )
+
+    def adjacency_matrix(self, queries: dict[str, str | ParsedQuery]) -> pa.Table:
+        """Distributed ES adjacency_matrix: shards compute their local
+        singles + pairwise-intersection counts and the coordinator SUMS
+        by key — exact because shards partition the doc space (a doc
+        contributes to an intersection on exactly one shard), so ids
+        never cross the wire."""
+        names = sorted(queries)
+        prepared = [self.prepare(queries[n]) for n in names]
+        qs = [p[0] for p in prepared]
+        dfs = [p[1] for p in prepared]
+        parts = [p for p in self._gather("adjacency", names, qs, dfs) if p.num_rows]
+        if not parts:
+            return pa.table(
+                {"value": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+            )
+        allp = pa.concat_tables(parts)
+        merged = allp.group_by("value").aggregate([("count", "sum")])
+        return pa.table(
+            {
+                "value": merged["value"],
+                "count": merged["count_sum"].combine_chunks().cast(pa.int64()),
+            }
+        ).sort_by([("value", "ascending")])
 
     def percentiles_approx(
         self,

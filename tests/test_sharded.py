@@ -560,3 +560,24 @@ def test_top_hits_ids_tolerates_dropped_ids(single):
     sc2 = np.concatenate([[99.0], sc, [98.0]])
     got = single.top_hits_ids(ids2, sc2, "lang", 3)
     assert got.to_pylist() == want.to_pylist()
+
+
+def test_filters_and_adjacency_matrix(single, sharded):
+    """ES filters + adjacency_matrix aggs: distributed == single (the
+    doc-partition sum argument), and counts match brute force."""
+    qs = {"a": "def", "b": "load", "c": "+index value"}
+    f1 = single.filters_agg(qs)
+    f2 = sharded.filters_agg(qs)
+    assert f1.to_pylist() == f2.to_pylist()
+    for row in f1.to_pylist():
+        assert row["count"] == single.all_scores(qs[row["value"]]).num_rows
+    a1 = single.adjacency_matrix(qs)
+    a2 = sharded.adjacency_matrix(qs)
+    assert a1.to_pylist() == a2.to_pylist()
+    got = dict(zip(a1["value"].to_pylist(), a1["count"].to_pylist()))
+    ids = {n: set(single.all_scores(q)["doc_id"].to_pylist()) for n, q in qs.items()}
+    for n in qs:
+        assert got.get(n, 0) == len(ids[n])
+    for x, y in [("a", "b"), ("a", "c"), ("b", "c")]:
+        want = len(ids[x] & ids[y])
+        assert got.get(f"{x}&{y}", 0) == want
