@@ -440,7 +440,6 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "search_page2",
         "collapse_source",
         "more_like_this",
-        "suggest_terms",
         "highlight",
         "histogram_nchars",
         "search_rescore",
@@ -485,6 +484,48 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ),
         ],
         "",
+    )
+
+    def g_suggest(sf_dir: str) -> pa.Table:
+        """Term ("did you mean") + completion (prefix autosuggest)
+        suggesters under one gate; the completion arm has no edit
+        distance, so it contributes distance 0."""
+        term = _to_table(R.QUERIES["suggest_terms"](sf_dir))
+        comp = _to_table(R.QUERIES["suggest_completion"](sf_dir))
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "gate": pa.array(["term"] * term.num_rows),
+                        "token": term["token"].combine_chunks(),
+                        "suggestion": term["suggestion"].combine_chunks(),
+                        "distance": term["distance"].combine_chunks().cast(pa.int64()),
+                        "df": term["df"].combine_chunks().cast(pa.int64()),
+                    }
+                ),
+                pa.table(
+                    {
+                        "gate": pa.array(["completion"] * comp.num_rows),
+                        "token": comp["prefix"].combine_chunks(),
+                        "suggestion": comp["suggestion"].combine_chunks(),
+                        "distance": pa.array([0] * comp.num_rows, pa.int64()),
+                        "df": comp["df"].combine_chunks().cast(pa.int64()),
+                    }
+                ),
+            ]
+        )
+
+    gates["suggest"] = g_suggest
+    oracles["suggest"] = _union_sql(
+        [
+            ("term", None, "suggest_terms"),
+            (
+                "completion",
+                "prefix AS token, suggestion, 0 AS distance, df",
+                "suggest_completion",
+            ),
+        ],
+        "token, suggestion, distance, df",
     )
 
     gates["agg_suite"] = g_agg_suite

@@ -989,6 +989,13 @@ def q_suggest_terms(sf_dir: str):
     return s.suggest_terms(SUGGEST_TEXT, size=5, max_edits=2)
 
 
+def q_suggest_completion(sf_dir: str):
+    """ES completion-suggester analog: prefix autosuggest ranked by
+    df desc / term asc — a term-dictionary read, no postings."""
+    s = Searcher(documents_index(sf_dir))
+    return s.suggest_completion("s", size=5)
+
+
 def q_collapse_source(sf_dir: str):
     """ES field collapsing: top-10 hits for a bag-of-words query keeping
     only the best hit per `source` value (winner + final rank both at
@@ -2882,6 +2889,14 @@ ORACLES: dict[str, str] = {
         f"array_to_string(t.T[b.p : least(b.p + {HIGHLIGHT_WINDOW - 1}, len(t.T))], ' ') "
         "AS snippet FROM best b JOIN tkl t ON t.doc_id = b.doc_id WHERE rn = 1"
     ),
+    "suggest_completion": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term), "
+        "cand AS (SELECT 's' AS prefix, term AS suggestion, df, "
+        " row_number() OVER (ORDER BY df DESC, term) AS rn "
+        " FROM df WHERE term LIKE 's%') "
+        "SELECT prefix, suggestion, df FROM cand WHERE rn <= 5"
+    ),
     "suggest_terms": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
         "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term), "
@@ -3256,6 +3271,7 @@ QUERIES = {
     "collapse_source": q_collapse_source,
     "more_like_this": q_more_like_this,
     "suggest_terms": q_suggest_terms,
+    "suggest_completion": q_suggest_completion,
     "highlight": q_highlight,
     "delete_search": q_delete_search,
     "expunge_search": q_expunge_search,

@@ -894,6 +894,33 @@ class Searcher:
             }
         )
 
+    def suggest_completion(
+        self, prefix: str, size: int = 5, max_expansions: int = 4096
+    ) -> pa.Table:
+        """ES completion-suggester analog (prefix autosuggest): index
+        terms starting with the analyzed ``prefix``, ranked by df desc /
+        term asc (ES ranks by suggestion weight; df is the natural
+        corpus-derived weight) → pa.Table(prefix, suggestion, df), top
+        ``size``.  A dictionary read only — no postings, no scoring."""
+        from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+        toks = tokenize_text(prefix)
+        if len(toks) != 1:
+            raise ValueError(
+                f"completion prefix {prefix!r} must analyze to one token "
+                f"(got {toks})"
+            )
+        cands = self.expand_prefix(toks[0], max_expansions)
+        dfs = self.term_dfs(cands)
+        ranked = sorted(((-dfs.get(c, 0), c) for c in cands if dfs.get(c)))[:size]
+        return pa.table(
+            {
+                "prefix": pa.array([toks[0]] * len(ranked), pa.string()),
+                "suggestion": pa.array([c for _n, c in ranked], pa.string()),
+                "df": pa.array([-n for n, _c in ranked], pa.int64()),
+            }
+        )
+
     def _gather_term_scores(
         self, terms: list[str], sorted_ids: np.ndarray
     ) -> np.ndarray:

@@ -784,6 +784,11 @@ class ShardedSearcher:
         dictionary/df read, no posting scatter needed)."""
         return self.coord.suggest_terms(text, size=size, max_edits=max_edits)
 
+    def suggest_completion(self, prefix: str, size: int = 5) -> pa.Table:
+        """Completion suggester on the coordinator's full-index view
+        (same global-dictionary argument as :meth:`suggest_terms`)."""
+        return self.coord.suggest_completion(prefix, size=size)
+
     def highlight(
         self, query: str | ParsedQuery, docids: np.ndarray, window: int = 10
     ) -> pa.Table:

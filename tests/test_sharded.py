@@ -581,3 +581,16 @@ def test_filters_and_adjacency_matrix(single, sharded):
     for x, y in [("a", "b"), ("a", "c"), ("b", "c")]:
         want = len(ids[x] & ids[y])
         assert got.get(f"{x}&{y}", 0) == want
+
+
+def test_suggest_completion(single, sharded):
+    t = single.suggest_completion("lo", size=4)
+    assert t.num_rows > 0 and t.num_rows <= 4
+    assert all(s.startswith("lo") for s in t["suggestion"].to_pylist())
+    dfs = t["df"].to_pylist()
+    assert dfs == sorted(dfs, reverse=True)
+    assert sharded.suggest_completion("lo", size=4).to_pylist() == t.to_pylist()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="one token"):
+        single.suggest_completion("two words")
