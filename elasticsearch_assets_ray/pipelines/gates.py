@@ -218,12 +218,14 @@ def g_deleted_search(sf_dir: str) -> pa.Table:
 
 def g_search_struct(sf_dir: str) -> pa.Table:
     """Lucene structural queries: +/- boolean, AND/OR/NOT trees,
-    minimum_should_match."""
+    minimum_should_match, plus the ES compound queries (boosting /
+    constant_score / dis_max, served distributed)."""
     return _union(
         [
             ("boolean", "search_boolean"),
             ("boolops", "search_boolops"),
             ("msm", "search_msm"),
+            ("compound", "search_compound"),
         ],
         _SEARCH_COLS,
     )(sf_dir)
@@ -590,6 +592,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("boolean", None, "search_boolean"),
             ("boolops", None, "search_boolops"),
             ("msm", None, "search_msm"),
+            ("compound", None, "search_compound"),
         ],
         _SEARCH_SEL,
     )

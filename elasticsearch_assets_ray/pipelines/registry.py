@@ -989,6 +989,98 @@ def q_suggest_terms(sf_dir: str):
     return s.suggest_terms(SUGGEST_TEXT, size=5, max_edits=2)
 
 
+def q_search_compound(sf_dir: str):
+    """ES compound queries through the DISTRIBUTED path: boosting
+    (negative matches demoted ×0.25, never filtered), constant_score
+    (every match scores the boost; docID-asc tie-break), dis_max
+    (best subquery + 0.5 × the rest).  All three are per-doc score
+    functions, so shard-local top-k merges are exact."""
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    idx = documents_index(sf_dir)
+    sh = ShardedSearcher(idx, n_shards=4, use_actors=True)
+    s = Searcher(idx)
+    fetch_k = SEARCH_K + 90
+    runs = [
+        sh.boosting("spark table", "dup", negative_boost=0.25, k=fetch_k),
+        sh.constant_score("spark table", boost=1.5, k=fetch_k),
+        sh.dis_max(["spark table", "merge join"], tie_breaker=0.5, k=fetch_k),
+    ]
+    parts = []
+    for qid, res in enumerate(runs):
+        ids = res["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(_orig_ids(s, ids)),
+                    "sim": res["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+def _compound_sql() -> str:
+    """Oracle for q_search_compound: the shared BM25 CTE skeleton, then
+    one arm per compound kind (the dis_max sum has two addends, so
+    max + tb·(sum − max) is float-order free and mirrors the engine's
+    expression exactly)."""
+    base = (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+    )
+    score = (
+        "sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+        "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) )"
+    )
+
+    def scored(cte: str, terms: list[str]) -> str:
+        vals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+        return (
+            f"{cte}(doc_id, score) AS (SELECT tf.doc_id, {score} "
+            f"FROM (VALUES {vals}) q(term) "
+            "JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+            "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+            "GROUP BY tf.doc_id)"
+        )
+
+    return (
+        base
+        + scored("s_pos", ["spark", "table"]) + ", "
+        + scored("s_mj", ["merge", "join"]) + ", "
+        "neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'dup'), "
+        "boosted AS (SELECT doc_id, CASE WHEN doc_id IN (SELECT doc_id FROM neg) "
+        " THEN score * 0.25 ELSE score END AS score FROM s_pos), "
+        "dm AS (SELECT doc_id, max(score) + 0.5 * (sum(score) - max(score)) AS score "
+        " FROM (SELECT doc_id, score FROM s_pos UNION ALL SELECT doc_id, score FROM s_mj) "
+        " GROUP BY doc_id), "
+        "allq AS ("
+        " SELECT 0 AS query_id, doc_id, score FROM boosted "
+        " UNION ALL SELECT 1, doc_id, 1.5 FROM s_pos "
+        " UNION ALL SELECT 2, doc_id, score FROM dm) "
+        "SELECT query_id, doc_id, "
+        " row_number() OVER (PARTITION BY query_id "
+        "  ORDER BY round(score, 9) DESC, doc_id) AS rank, "
+        " round(score, 6) AS score_r FROM allq "
+        f"QUALIFY rank <= {SEARCH_K}"
+    )
+
+
 def q_suggest_completion(sf_dir: str):
     """ES completion-suggester analog: prefix autosuggest ranked by
     df desc / term asc — a term-dictionary read, no postings."""
@@ -2889,6 +2981,7 @@ ORACLES: dict[str, str] = {
         f"array_to_string(t.T[b.p : least(b.p + {HIGHLIGHT_WINDOW - 1}, len(t.T))], ' ') "
         "AS snippet FROM best b JOIN tkl t ON t.doc_id = b.doc_id WHERE rn = 1"
     ),
+    "search_compound": _compound_sql(),
     "suggest_completion": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
         "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term), "
@@ -3272,6 +3365,7 @@ QUERIES = {
     "more_like_this": q_more_like_this,
     "suggest_terms": q_suggest_terms,
     "suggest_completion": q_suggest_completion,
+    "search_compound": q_search_compound,
     "highlight": q_highlight,
     "delete_search": q_delete_search,
     "expunge_search": q_expunge_search,

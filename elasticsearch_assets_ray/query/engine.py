@@ -1345,6 +1345,75 @@ class Searcher:
         which is approximate — ours is exact)."""
         return percentiles_from_value_counts(self.value_counts(query, field), percents)
 
+    # ---------- compound queries (boosting / constant_score / dis_max) ----------
+
+    def boosting(
+        self,
+        positive: str | ParsedQuery,
+        negative: str | ParsedQuery,
+        negative_boost: float = 0.5,
+        k: int = 10,
+    ) -> pa.Table:
+        """ES ``boosting`` query: positive matches ranked by BM25, with
+        docs ALSO matching ``negative`` demoted by ``negative_boost``
+        (multiplied, never filtered — exactly ES semantics).  The
+        negative side is evaluated score-free (match_ids)."""
+        r = self.all_scores(positive)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        sc = r["score"].to_numpy(zero_copy_only=False).copy()
+        neg = np.sort(self.match_ids(negative))
+        if neg.size and ids.size:
+            pos = np.searchsorted(neg, ids)
+            pos[pos >= neg.size] = 0
+            sc[neg[pos] == ids] *= float(negative_boost)
+        ids, sc = bm25.sort_topk(ids, sc, k)
+        return pa.table({"doc_id": pa.array(ids), "score": pa.array(sc)})
+
+    def constant_score(
+        self, query: str | ParsedQuery, boost: float = 1.0, k: int = 10
+    ) -> pa.Table:
+        """ES ``constant_score``: every matching doc scores exactly
+        ``boost`` (filter-context evaluation, no BM25 arithmetic), so
+        top-k is the k smallest docIDs (the docID-asc tie-break)."""
+        ids = np.sort(self.match_ids(query))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "score": pa.array(np.full(ids.size, float(boost))),
+            }
+        )
+
+    def dis_max(
+        self,
+        queries: list[str | ParsedQuery],
+        tie_breaker: float = 0.0,
+        k: int = 10,
+    ) -> pa.Table:
+        """ES ``dis_max``: per doc, score = best subquery score +
+        ``tie_breaker`` × (sum of the other matching subqueries' scores).
+        Candidates = union of subquery matches.  Per-doc combination is
+        computed over an index-ordered score matrix (one fixed float
+        order — the sharded path reuses this method per shard, so both
+        serving paths agree bit-for-bit)."""
+        parts = [self.all_scores(q) for q in queries]
+        if not parts:
+            raise ValueError("dis_max needs at least one subquery")
+        union = np.unique(
+            np.concatenate(
+                [p["doc_id"].to_numpy(zero_copy_only=False) for p in parts]
+            )
+        )
+        mat = np.zeros((len(parts), union.size), dtype=np.float64)
+        for i, p in enumerate(parts):
+            d = p["doc_id"].to_numpy(zero_copy_only=False)
+            s = p["score"].to_numpy(zero_copy_only=False)
+            mat[i, np.searchsorted(union, d)] = s
+        best = mat.max(axis=0)
+        total = mat.sum(axis=0)
+        score = best + float(tie_breaker) * (total - best)
+        ids, sc = bm25.sort_topk(union, score, k)
+        return pa.table({"doc_id": pa.array(ids), "score": pa.array(sc)})
+
     def filters_agg(self, queries: dict[str, str | ParsedQuery]) -> pa.Table:
         """ES ``filters`` aggregation analog: doc count per NAMED query
         → pa.Table(value, count), name-ascending.  Score-free (the

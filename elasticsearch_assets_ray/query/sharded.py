@@ -126,6 +126,25 @@ class ShardWorker:
         ids = self.s.match_ids_prepared(q, df)
         return self.s.sig_terms_ids(ids), int(ids.size)
 
+    def compound(
+        self, kind: str, args: tuple, k: int, df: dict[str, int]
+    ) -> pa.Table:
+        """Local half of the compound queries (boosting / dis_max): the
+        score is a PER-DOC function of subquery scores, so shard-local
+        top-k union contains the global top-k (same merge argument as
+        search).  ``df`` is the union of every subquery's global df."""
+        self.s._df_override = df
+        try:
+            if kind == "boosting":
+                qpos, qneg, nb = args
+                return self.s.boosting(qpos, qneg, negative_boost=nb, k=k)
+            if kind == "dis_max":
+                qs, tb = args
+                return self.s.dis_max(list(qs), tie_breaker=tb, k=k)
+            raise ValueError(kind)
+        finally:
+            self.s._df_override = None
+
     def filters_counts(
         self, qs: list[ParsedQuery], dfs: list[dict[str, int]]
     ) -> list[int]:
@@ -494,6 +513,60 @@ class ShardedSearcher:
         )
 
         return percentiles_from_value_counts(self.value_counts(query, field), percents)
+
+    def boosting(
+        self,
+        positive: str | ParsedQuery,
+        negative: str | ParsedQuery,
+        negative_boost: float = 0.5,
+        k: int = 10,
+    ) -> pa.Table:
+        """Distributed ES boosting query: per-doc demotion is shard-local
+        (a doc and its negative-match status live on one shard), so the
+        local top-k merge is exact."""
+        qp, dfp = self.prepare(positive)
+        qn, dfn = self.prepare(negative)
+        df = {**dfp, **dfn}
+        parts = self._gather("compound", "boosting", (qp, qn, float(negative_boost)), k, df)
+        return self._merge_topk_parts(parts, k)
+
+    def constant_score(
+        self, query: str | ParsedQuery, boost: float = 1.0, k: int = 10
+    ) -> pa.Table:
+        """Distributed constant_score: score-free match ids gathered,
+        k smallest docIDs win (all scores equal → docID-asc tie-break)."""
+        ids = np.sort(self.match_ids(query))[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "score": pa.array(np.full(ids.size, float(boost))),
+            }
+        )
+
+    def dis_max(
+        self,
+        queries: list[str | ParsedQuery],
+        tie_breaker: float = 0.0,
+        k: int = 10,
+    ) -> pa.Table:
+        """Distributed dis_max (same per-doc-function merge argument)."""
+        prepared = [self.prepare(q) for q in queries]
+        df: dict[str, int] = {}
+        for _q, d in prepared:
+            df.update(d)
+        qs = tuple(p[0] for p in prepared)
+        parts = self._gather("compound", "dis_max", (qs, float(tie_breaker)), k, df)
+        return self._merge_topk_parts(parts, k)
+
+    def _merge_topk_parts(self, parts: list[pa.Table], k: int) -> pa.Table:
+        ids = np.concatenate(
+            [p["doc_id"].to_numpy(zero_copy_only=False) for p in parts]
+        )
+        sc = np.concatenate(
+            [p["score"].to_numpy(zero_copy_only=False) for p in parts]
+        )
+        ids, sc = bm25.sort_topk(ids, sc, k)
+        return pa.table({"doc_id": pa.array(ids), "score": pa.array(sc)})
 
     def filters_agg(self, queries: dict[str, str | ParsedQuery]) -> pa.Table:
         """Distributed ES filters agg: ONE scatter carries every named

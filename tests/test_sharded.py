@@ -594,3 +594,37 @@ def test_suggest_completion(single, sharded):
 
     with _pytest.raises(ValueError, match="one token"):
         single.suggest_completion("two words")
+
+
+def test_compound_queries_parity_and_semantics(single, sharded):
+    """ES boosting / constant_score / dis_max: sharded == single
+    bit-for-bit, and the combination math matches brute force."""
+    b1 = single.boosting("def load", "zset", negative_boost=0.25, k=10)
+    b2 = sharded.boosting("def load", "zset", negative_boost=0.25, k=10)
+    _eq_tables(b2, b1)
+    # demotion: every demoted doc's score is exactly 0.25x its BM25
+    full = dict(
+        zip(
+            single.all_scores("def load")["doc_id"].to_pylist(),
+            single.all_scores("def load")["score"].to_pylist(),
+        )
+    )
+    neg = set(single.match_ids("zset").tolist())
+    for d, s in zip(b1["doc_id"].to_pylist(), b1["score"].to_pylist()):
+        want = full[d] * 0.25 if d in neg else full[d]
+        assert s == want
+    c1 = single.constant_score("def load", boost=2.5, k=7)
+    c2 = sharded.constant_score("def load", boost=2.5, k=7)
+    assert c1.to_pylist() == c2.to_pylist()
+    assert set(c1["score"].to_pylist()) == {2.5}
+    assert c1["doc_id"].to_pylist() == sorted(single.match_ids("def load"))[:7]
+    d1 = single.dis_max(["def load", "index value"], tie_breaker=0.5, k=10)
+    d2 = sharded.dis_max(["def load", "index value"], tie_breaker=0.5, k=10)
+    _eq_tables(d2, d1)
+    sa = dict(zip(single.all_scores("def load")["doc_id"].to_pylist(),
+                  single.all_scores("def load")["score"].to_pylist()))
+    sb = dict(zip(single.all_scores("index value")["doc_id"].to_pylist(),
+                  single.all_scores("index value")["score"].to_pylist()))
+    for d, s in zip(d1["doc_id"].to_pylist(), d1["score"].to_pylist()):
+        a, b = sa.get(d, 0.0), sb.get(d, 0.0)
+        assert s == max(a, b) + 0.5 * min(a, b)
