@@ -412,6 +412,12 @@ SF_BENCH_QUERIES = [
     "embedding_ivf_topk",
     "geo_distance_topk",
     "state_enrich",
+    # round-4 continuation surface
+    "percolate",
+    "reindex_events",
+    "search_compound",
+    "significant_terms",
+    "events_daily_hll",
 ]
 
 
