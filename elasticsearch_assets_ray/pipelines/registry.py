@@ -60,6 +60,23 @@ def _collect(ds: ray.data.Dataset) -> pa.Table:
 
 
 _INDEX_CACHE: dict[str, str] = {}
+_SHARDED_CACHE: dict[str, object] = {}
+
+
+def sharded_searcher(idx: str, n_shards: int = 4):
+    """Process-wide ShardedSearcher cache (the T2 APIFactory instance
+    cache, serving side): the distributed gates each need the SAME
+    4-actor pool over the same index — re-creating actors (and a cold
+    coordinator) per gate call multiplies actor spin-up across the gate
+    sweep and the bench for no isolation benefit."""
+    key = f"{idx}|{n_shards}"
+    if key not in _SHARDED_CACHE:
+        from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+        _SHARDED_CACHE[key] = ShardedSearcher(
+            idx, n_shards=n_shards, use_actors=True
+        )
+    return _SHARDED_CACHE[key]
 
 
 def documents_index(sf_dir: str) -> str:
@@ -894,10 +911,8 @@ def q_search_sharded(sf_dir: str):
     top-k merge — the native analog of the reference's N-shard ES search
     (ElasticsearchReaderClient.ts:53-86).  Rank/score-identical to
     q_search_topk by construction; the oracle is the same BM25 SQL."""
-    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
-
     idx = documents_index(sf_dir)
-    sh = ShardedSearcher(idx, n_shards=4, use_actors=True)
+    sh = sharded_searcher(idx)
     return _search_many(
         sf_dir, DOC_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90, searcher=sh
     )
@@ -907,10 +922,8 @@ def q_fulltext_count(sf_dir: str):
     """ES `count` analog, distributed AND score-free: each shard counts
     its local match set from decoded postings + filter masks without any
     BM25 arithmetic (Searcher.match_ids), coordinator sums K integers."""
-    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
-
     idx = documents_index(sf_dir)
-    sh = ShardedSearcher(idx, n_shards=4, use_actors=True)
+    sh = sharded_searcher(idx)
     qids = np.arange(len(DOC_QUERIES), dtype=np.int64)
     cnts = np.array([sh.count(q) for q in DOC_QUERIES], dtype=np.int64)
     return pa.table({"query_id": pa.array(qids), "cnt": pa.array(cnts)})
@@ -995,10 +1008,8 @@ def q_search_compound(sf_dir: str):
     (every match scores the boost; docID-asc tie-break), dis_max
     (best subquery + 0.5 × the rest).  All three are per-doc score
     functions, so shard-local top-k merges are exact."""
-    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
-
     idx = documents_index(sf_dir)
-    sh = ShardedSearcher(idx, n_shards=4, use_actors=True)
+    sh = sharded_searcher(idx)
     s = Searcher(idx)
     fetch_k = SEARCH_K + 90
     runs = [
@@ -1094,9 +1105,7 @@ def q_collapse_source(sf_dir: str):
     the round9 contract).  Served through the distributed path: shards
     return LOCAL collapsed top-k, the coordinator re-collapses (exact —
     see Searcher.collapse_ids)."""
-    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
-
-    s = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    s = sharded_searcher(documents_index(sf_dir))
     r = s.search_collapse("spark table merge", k=SEARCH_K, collapse="source")
     ids = r["doc_id"].to_numpy(zero_copy_only=False)
     oid = _orig_ids(s, ids)
@@ -1337,9 +1346,7 @@ def q_facet_lang(sf_dir: str):
     each bucket-range shard actor aggregates its own match set and only
     K small (value, count) partials reach the coordinator (ES computes
     aggs shard-side; the match set never crosses the wire)."""
-    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
-
-    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    sh = sharded_searcher(documents_index(sf_dir))
     return sh.facet("(spark OR merge) AND table", by="lang")
 
 
@@ -1347,9 +1354,7 @@ def q_histogram_nchars(sf_dir: str):
     """ES histogram-aggregation analog: doc-count per
     floor(n_chars/100)·100 bucket, shard-side partial buckets merged by
     summing (same distributed-agg contract as q_facet_lang)."""
-    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
-
-    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    sh = sharded_searcher(documents_index(sf_dir))
     return sh.histogram("spark table", "n_chars", 100.0)
 
 
@@ -1360,9 +1365,7 @@ def q_match_stats(sf_dir: str):
     (size ∝ distinct n_chars values, never match size), counts merge as
     exact integers, and the final float math runs once on the merged
     table — bit-identical to the single-searcher path by construction."""
-    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
-
-    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    sh = sharded_searcher(documents_index(sf_dir))
     from elasticsearch_assets_ray.query.engine import (
         percentiles_from_value_counts,
         stats_from_value_counts,
@@ -1448,9 +1451,7 @@ ADJ_QUERIES: dict[str, str] = {
 def q_filters_agg(sf_dir: str):
     """ES filters aggregation: doc count per named query, distributed —
     ONE scatter carries the whole named set; shard counts sum exactly."""
-    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
-
-    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    sh = sharded_searcher(documents_index(sf_dir))
     return sh.filters_agg(ADJ_QUERIES)
 
 
@@ -1458,9 +1459,7 @@ def q_adjacency_matrix(sf_dir: str):
     """ES adjacency_matrix aggregation: named filters plus pairwise
     `a&b` intersections, distributed exactly (doc-partitioned shards ⇒
     intersection counts sum; ids never cross the wire)."""
-    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
-
-    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    sh = sharded_searcher(documents_index(sf_dir))
     return sh.adjacency_matrix(ADJ_QUERIES)
 
 
@@ -1539,9 +1538,7 @@ def q_facet_metric(sf_dir: str):
     shape ES composes per shard), served distributed: shard actors
     return (value, metric, count) integer partials; the float math runs
     once after the exact merge."""
-    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
-
-    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    sh = sharded_searcher(documents_index(sf_dir))
     t = sh.facet_metric("spark table", by="lang", metric="n_chars")
     return pa.table(
         {
@@ -1559,9 +1556,7 @@ def q_significant_terms(sf_dir: str):
     query, distributed: each shard tokenizes ITS matching docs into a
     (term, fg) partial; background df comes from the coordinator's term
     dictionary; exact — unlike ES's default shard-local approximation."""
-    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
-
-    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    sh = sharded_searcher(documents_index(sf_dir))
     t = sh.significant_terms("spark table", size=10, min_doc_count=3)
     return pa.table(
         {
@@ -1579,9 +1574,7 @@ def q_range_agg(sf_dir: str):
     """ES range aggregation ([from, to) half-open buckets, independent
     counting, ES `lo-hi` keys) over the fulltext match set — one
     value_counts scatter, binned once on the coordinator."""
-    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
-
-    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    sh = sharded_searcher(documents_index(sf_dir))
     return sh.range_agg("spark table", "n_chars", AGG_RANGES)
 
 
@@ -1589,9 +1582,7 @@ def q_top_hits(sf_dir: str):
     """ES terms agg + top_hits SUB-aggregation: per-lang top-3 hits at
     the round-9/docID ranking contract, shard-local per-bucket top-n
     partials re-selected by the shared comparator (exact merge)."""
-    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
-
-    sh = ShardedSearcher(documents_index(sf_dir), n_shards=4, use_actors=True)
+    sh = sharded_searcher(documents_index(sf_dir))
     t = sh.top_hits("spark table", by="lang", n=3)
     return pa.table(
         {
