@@ -383,14 +383,7 @@ class ShardedSearcher:
         # ES offset: each shard must return from_+k (any of them could
         # own every one of the first from_+k global hits)
         parts = self._gather("search", q, from_ + k, df)
-        ids = np.concatenate(
-            [p["doc_id"].to_numpy(zero_copy_only=False) for p in parts]
-        )
-        sc = np.concatenate(
-            [p["score"].to_numpy(zero_copy_only=False) for p in parts]
-        )
-        ids, sc = bm25.sort_topk(ids, sc, from_ + k)
-        return pa.table({"doc_id": pa.array(ids[from_:]), "score": pa.array(sc[from_:])})
+        return self._merge_topk_parts(parts, from_ + k).slice(from_)
 
     def msearch(
         self, queries: list[str | ParsedQuery], k: int = 10
@@ -405,23 +398,10 @@ class ShardedSearcher:
         qs = [p[0] for p in prepared]
         dfs = [p[1] for p in prepared]
         parts = self._gather("msearch", qs, k, dfs)  # [shard][query]
-        out = []
-        for qi in range(len(queries)):
-            ids = np.concatenate(
-                [
-                    parts[si][qi]["doc_id"].to_numpy(zero_copy_only=False)
-                    for si in range(self.n_shards)
-                ]
-            )
-            sc = np.concatenate(
-                [
-                    parts[si][qi]["score"].to_numpy(zero_copy_only=False)
-                    for si in range(self.n_shards)
-                ]
-            )
-            ids, sc = bm25.sort_topk(ids, sc, k)
-            out.append(pa.table({"doc_id": pa.array(ids), "score": pa.array(sc)}))
-        return out
+        return [
+            self._merge_topk_parts([parts[si][qi] for si in range(self.n_shards)], k)
+            for qi in range(len(queries))
+        ]
 
     def count(self, query: str | ParsedQuery, minimum_should_match: int = 0) -> int:
         q, df = self.prepare(query, minimum_should_match)
@@ -439,47 +419,44 @@ class ShardedSearcher:
             np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
         )
 
+    @staticmethod
+    def _sum_counts(
+        parts: list[pa.Table], key: str, key_type: pa.DataType
+    ) -> pa.Table:
+        """Integer-exact count merge shared by every bucket-table
+        aggregation (facet / histogram / adjacency_matrix): concat the
+        non-empty shard partials and sum counts per key, key-ascending."""
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return pa.table(
+                {key: pa.array([], key_type), "count": pa.array([], pa.int64())}
+            )
+        merged = pa.concat_tables(parts).group_by(key).aggregate([("count", "sum")])
+        return pa.table(
+            {
+                key: merged[key],
+                "count": merged["count_sum"].combine_chunks().cast(pa.int64()),
+            }
+        ).sort_by([(key, "ascending")])
+
     def facet(
         self, query: str | ParsedQuery, by: str, size: int | None = None
     ) -> pa.Table:
         """Distributed terms agg: shard-side partial value counts, merged
         by summing — only K small bucket tables reach the coordinator."""
         q, df = self.prepare(query)
-        parts = [p for p in self._gather("facet", q, by, df) if p.num_rows]
-        if not parts:
-            return pa.table(
-                {"value": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
-            )
-        allp = pa.concat_tables(parts)
-        merged = allp.group_by("value").aggregate([("count", "sum")])
-        t = pa.table(
-            {
-                "value": merged["value"],
-                "count": merged["count_sum"].combine_chunks().cast(pa.int64()),
-            }
-        )
-        t = t.sort_by([("count", "descending"), ("value", "ascending")])
+        t = self._sum_counts(
+            self._gather("facet", q, by, df), "value", pa.string()
+        ).sort_by([("count", "descending"), ("value", "ascending")])
         return t.slice(0, size) if size is not None else t
 
     def histogram(
         self, query: str | ParsedQuery, field: str, interval: float
     ) -> pa.Table:
         q, df = self.prepare(query)
-        parts = [
-            p for p in self._gather("histogram", q, field, interval, df) if p.num_rows
-        ]
-        if not parts:
-            return pa.table(
-                {"bucket": pa.array([], pa.float64()), "count": pa.array([], pa.int64())}
-            )
-        allp = pa.concat_tables(parts)
-        merged = allp.group_by("bucket").aggregate([("count", "sum")])
-        return pa.table(
-            {
-                "bucket": merged["bucket"],
-                "count": merged["count_sum"].combine_chunks().cast(pa.int64()),
-            }
-        ).sort_by([("bucket", "ascending")])
+        return self._sum_counts(
+            self._gather("histogram", q, field, interval, df), "bucket", pa.float64()
+        )
 
     def value_counts(self, query: str | ParsedQuery, field: str) -> pa.Table:
         """Merged (value, count) multiset of a numeric column over the
@@ -592,19 +569,9 @@ class ShardedSearcher:
         prepared = [self.prepare(queries[n]) for n in names]
         qs = [p[0] for p in prepared]
         dfs = [p[1] for p in prepared]
-        parts = [p for p in self._gather("adjacency", names, qs, dfs) if p.num_rows]
-        if not parts:
-            return pa.table(
-                {"value": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
-            )
-        allp = pa.concat_tables(parts)
-        merged = allp.group_by("value").aggregate([("count", "sum")])
-        return pa.table(
-            {
-                "value": merged["value"],
-                "count": merged["count_sum"].combine_chunks().cast(pa.int64()),
-            }
-        ).sort_by([("value", "ascending")])
+        return self._sum_counts(
+            self._gather("adjacency", names, qs, dfs), "value", pa.string()
+        )
 
     def percentiles_approx(
         self,
