@@ -116,7 +116,21 @@ def g_key_scan(sf_dir: str) -> pa.Table:
             "lang": j["lang"].combine_chunks().cast(pa.string()),
         }
     )
-    return pa.concat_tables([base, perc_rows])
+    # mixture upsampling rows: the 0-based copy index rides the gate tag
+    mix = _to_table(R.QUERIES["mixture_sample"](sf_dir))
+    mix_rows = pa.table(
+        {
+            "gate": pc.binary_join_element_wise(
+                pa.array(["mix"] * mix.num_rows),
+                mix["epoch"].combine_chunks().cast(pa.string()),
+                ":",
+            ),
+            "doc_id": mix["doc_id"].combine_chunks().cast(pa.int64()),
+            "source": mix["source"].combine_chunks().cast(pa.string()),
+            "lang": mix["lang"].combine_chunks().cast(pa.string()),
+        }
+    )
+    return pa.concat_tables([base, perc_rows, mix_rows])
 
 
 def g_scalar_probes(sf_dir: str) -> pa.Table:
@@ -473,6 +487,10 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         + " UNION ALL SELECT 'perc:' || p.query_name AS gate, p.doc_id, "
         "d.source, d.lang FROM (" + R.ORACLES["percolate"] + ") p "
         "JOIN documents d ON d.doc_id = p.doc_id"
+        + " UNION ALL SELECT 'mix:' || CAST(m.epoch AS VARCHAR) AS gate, "
+        "m.doc_id, m.source, m.lang FROM ("
+        + R.ORACLES["mixture_sample"]
+        + ") m"
     )
 
     gates["events_daily"] = g_events_daily

@@ -320,6 +320,41 @@ def _id_hash_ctes(salt: str, extra_cols: str = "") -> str:
     )
 
 
+def mixture_sample_sql(
+    epochs: dict[str, float],
+    key_col: str = "lang",
+    default_epochs: float = 1.0,
+    salt: str = "mix",
+) -> str:
+    """Replicates stages.sampling.mixture_batch over documents:
+    reps = floor(e[key]) + (hash(id:salt) < frac(e)·2^64), one output
+    row per (doc, epoch 0..reps-1).  Thresholds are the same exact
+    integers the engine computes."""
+    import math
+
+    from elasticsearch_assets_ray.stages.sampling import _threshold
+
+    def rep_expr(e: float) -> str:
+        base = int(math.floor(e))
+        thr = int(_threshold(e - base))
+        return (
+            f"{base} + (CASE WHEN h < CAST('{thr}' AS HUGEINT) "
+            "THEN 1 ELSE 0 END)"
+        )
+
+    arms = " ".join(
+        f"WHEN '{k}' THEN {rep_expr(float(epochs[k]))}"
+        for k in sorted(epochs)
+    )
+    return (
+        f"WITH {_id_hash_ctes(salt, extra_cols=f', {key_col}')} , "
+        f"r AS (SELECT doc_id, CASE {key_col} {arms} "
+        f"ELSE {rep_expr(float(default_epochs))} END AS reps FROM hh) "
+        "SELECT d.doc_id, d.source, d.lang, unnest(range(0, r.reps)) AS epoch "
+        "FROM r JOIN documents d ON d.doc_id = r.doc_id"
+    )
+
+
 def events_daily_hll_sql(p: int = 12) -> str:
     """Exact-by-construction SQL replica of
     ``stages.sketch.grouped_distinct_hll`` over the events table: the

@@ -1389,6 +1389,23 @@ def q_match_stats(sf_dir: str):
     )
 
 
+MIX_EPOCHS: dict[str, float] = {"en": 2.5, "fr": 0.5, "de": 0.0}
+
+
+def q_mixture_sample(sf_dir: str):
+    """Training-data domain mixing: per-domain epoch weights upsample
+    (e>1), downsample (e<1) or drop (e=0) — floor(e) whole copies plus
+    an exact-integer-threshold Bernoulli for the fraction, a pure
+    function of (id, salt): partitioning-invariant, no shuffle, the
+    corpus streams.  ``epoch`` is the 0-based copy index."""
+    from elasticsearch_assets_ray.stages.sampling import mixture_sample
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    out = mixture_sample(ds, MIX_EPOCHS, key_col="lang", default_epochs=1.0)
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return t.sort_by([("doc_id", "ascending"), ("epoch", "ascending")])
+
+
 PERC_QUERIES: dict[str, str] = {
     "spark_tables": "spark table",
     "must_merge": "+merge join",
@@ -3297,6 +3314,9 @@ ORACLES.update(
         "ngram_pairs": _oh.ngram_pairs_sql(threshold=0.5),
         "events_daily_hll": _oh.events_daily_hll_sql(p=12),
         "percolate": _percolate_sql(PERC_QUERIES),
+        "mixture_sample": _oh.mixture_sample_sql(
+            MIX_EPOCHS, key_col="lang", default_epochs=1.0, salt="mix"
+        ),
         "filters_agg": _filters_agg_sql(ADJ_QUERIES),
         "adjacency_matrix": _adjacency_sql(ADJ_QUERIES),
         "pii_stats": _pii_stats_sql(),
@@ -3382,6 +3402,7 @@ QUERIES = {
     "events_daily": q_events_daily,
     "events_daily_hll": q_events_daily_hll,
     "percolate": q_percolate,
+    "mixture_sample": q_mixture_sample,
     "filters_agg": q_filters_agg,
     "adjacency_matrix": q_adjacency_matrix,
     "search_rescore": q_search_rescore,

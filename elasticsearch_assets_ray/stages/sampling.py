@@ -180,3 +180,68 @@ def stratified_sample(
             default_fraction=default_fraction,
         ),
     )
+
+
+def mixture_batch(
+    batch: pa.Table,
+    epochs: dict[str, float],
+    key_col: str,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_epochs: float = 1.0,
+) -> pa.Table:
+    """Domain-mixture upsampling: each row repeats ``epochs[key]`` times
+    — ``floor(e)`` whole copies plus one more iff hash(id:salt) <
+    frac(e)·2^64 (the same exact-integer Bernoulli convention as
+    :func:`bernoulli_batch`, so the expected per-domain epoch count is
+    exactly ``e`` and the decision is a pure function of (id, salt) —
+    partitioning-invariant, reproducible, no shuffle).  An ``epoch``
+    column (0-based copy index) distinguishes repeats so downstream
+    shuffling/packing can keep copies apart."""
+    keys = sorted(epochs)
+    evals = np.array(
+        [float(epochs[k]) for k in keys] + [float(default_epochs)], dtype=np.float64
+    )
+    if (evals < 0).any():
+        raise ValueError("epochs must be >= 0")
+    base = np.floor(evals).astype(np.int64)
+    fracs = evals - base
+    thr = np.array([_threshold(float(f)) for f in fracs], dtype=np.uint64)
+    codes = pc.index_in(
+        pc.cast(batch[key_col], pa.string()), pa.array(keys, pa.string())
+    )
+    codes = pc.fill_null(codes, len(keys)).to_numpy(zero_copy_only=False)
+    h = id_hash(batch[id_col], salt)
+    reps = base[codes] + (h < thr[codes]).astype(np.int64)
+    idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), reps)
+    out = batch.take(pa.array(idx))
+    starts = np.concatenate(([0], np.cumsum(reps)))[:-1]
+    epoch = np.arange(idx.size, dtype=np.int64) - starts[idx]
+    return out.append_column("epoch", pa.array(epoch))
+
+
+def mixture_sample(
+    ds,
+    epochs: dict[str, float],
+    key_col: str,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_epochs: float = 1.0,
+):
+    """Dataset-level mixture upsampling (training-data domain mixing:
+    epochs > 1 upsample a domain, < 1 downsample, 0 drops it)."""
+    for e in list(epochs.values()) + [default_epochs]:
+        if e < 0:
+            raise ValueError("epochs must be >= 0")
+        _threshold(float(e) - np.floor(float(e)))  # validate fractional part
+    return ds.map_batches(
+        mixture_batch,
+        batch_format="pyarrow",
+        fn_kwargs=dict(
+            epochs=epochs,
+            key_col=key_col,
+            id_col=id_col,
+            salt=salt,
+            default_epochs=default_epochs,
+        ),
+    )

@@ -115,3 +115,60 @@ def test_dataset_wrappers(ray_session):
     )
     st = pa.concat_tables(list(strat.iter_batches(batch_format="pyarrow")))
     assert set(st["lang"].to_pylist()) <= {"de"}
+
+
+def test_mixture_sample_semantics(ray_session):
+    """Domain mixing: floor(e) whole copies + fractional Bernoulli,
+    partitioning-invariant, epoch indices 0..reps-1."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.sampling import (
+        _threshold,
+        id_hash,
+        mixture_sample,
+    )
+
+    n = 4000
+    langs = np.array(["en", "fr", "de", "zh"])[np.arange(n) % 4]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(langs.astype(str)),
+        }
+    )
+    epochs = {"en": 2.5, "fr": 0.5, "de": 0.0}
+    out1 = mixture_sample(
+        ray.data.from_arrow(t).repartition(7), epochs, key_col="lang", id_col="doc_id"
+    )
+    r1 = pa.concat_tables(list(out1.iter_batches(batch_format="pyarrow")))
+    r1 = r1.sort_by([("doc_id", "ascending"), ("epoch", "ascending")])
+    # partitioning invariance
+    out2 = mixture_sample(
+        ray.data.from_arrow(t).repartition(2), epochs, key_col="lang", id_col="doc_id"
+    )
+    r2 = pa.concat_tables(list(out2.iter_batches(batch_format="pyarrow")))
+    r2 = r2.sort_by([("doc_id", "ascending"), ("epoch", "ascending")])
+    assert r1.to_pylist() == r2.to_pylist()
+    # brute force per-row reps
+    h = id_hash(t["doc_id"], "mix")
+    import collections
+
+    reps = collections.Counter(r1["doc_id"].to_pylist())
+    for d, lang, hv in zip(t["doc_id"].to_pylist(), langs, h):
+        e = epochs.get(lang, 1.0)
+        want = int(e) + (1 if hv < _threshold(e - int(e)) else 0)
+        assert reps.get(d, 0) == want, (d, lang, want)
+    # de dropped entirely; zh (default 1.0) exactly once
+    assert all(lang != "de" for lang in r1["lang"].to_pylist())
+    assert sum(1 for l in r1["lang"].to_pylist() if l == "zh") == n // 4
+    # en averages ~2.5 epochs
+    en_n = sum(1 for l in r1["lang"].to_pylist() if l == "en")
+    assert abs(en_n / (n // 4) - 2.5) < 0.1
+    # epoch indices are 0..reps-1 per doc
+    by_doc = collections.defaultdict(list)
+    for d, e in zip(r1["doc_id"].to_pylist(), r1["epoch"].to_pylist()):
+        by_doc[d].append(e)
+    for d, es in by_doc.items():
+        assert es == list(range(len(es)))
