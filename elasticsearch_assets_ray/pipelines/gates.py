@@ -106,7 +106,7 @@ def g_key_scan(sf_dir: str) -> pa.Table:
     )
     j = perc.join(docs, keys="doc_id", join_type="inner")
     tag = pc.binary_join_element_wise(
-        pa.array(["perc"] * j.num_rows), j["query_name"].combine_chunks(), ":"
+        pa.array(["perc"] * j.num_rows, pa.string()), j["query_name"].combine_chunks(), ":"
     )
     perc_rows = pa.table(
         {
@@ -121,7 +121,7 @@ def g_key_scan(sf_dir: str) -> pa.Table:
     mix_rows = pa.table(
         {
             "gate": pc.binary_join_element_wise(
-                pa.array(["mix"] * mix.num_rows),
+                pa.array(["mix"] * mix.num_rows, pa.string()),
                 mix["epoch"].combine_chunks().cast(pa.string()),
                 ":",
             ),
@@ -290,7 +290,7 @@ def g_events_daily(sf_dir: str) -> pa.Table:
         [
             pa.table(
                 {
-                    "gate": pa.array(["exact"] * ex.num_rows),
+                    "gate": pa.array(["exact"] * ex.num_rows, pa.string()),
                     "day": ex["day"],
                     "n_events": ex["n_events"].combine_chunks().cast(pa.int64()),
                     "n_users": ex["n_users"].combine_chunks().cast(pa.int64()),
@@ -298,7 +298,7 @@ def g_events_daily(sf_dir: str) -> pa.Table:
             ),
             pa.table(
                 {
-                    "gate": pa.array(["hll"] * hl.num_rows),
+                    "gate": pa.array(["hll"] * hl.num_rows, pa.string()),
                     "day": hl["day"],
                     "n_events": pa.array([0] * hl.num_rows, pa.int64()),
                     "n_users": hl["n_users_approx"].combine_chunks().cast(pa.int64()),
@@ -320,7 +320,7 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(
         pa.table(
             {
-                "gate": pa.array(["facet"] * f.num_rows),
+                "gate": pa.array(["facet"] * f.num_rows, pa.string()),
                 "value": f["value"].combine_chunks().cast(pa.string()),
                 "count": f["count"].combine_chunks().cast(pa.int64()),
                 "metric_r": pa.array([0.0] * f.num_rows, pa.float64()),
@@ -331,7 +331,7 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(
         pa.table(
             {
-                "gate": pa.array(["facet_metric"] * fm.num_rows),
+                "gate": pa.array(["facet_metric"] * fm.num_rows, pa.string()),
                 "value": fm["value"].combine_chunks().cast(pa.string()),
                 "count": fm["count"].combine_chunks().cast(pa.int64()),
                 "metric_r": fm["avg_r"].combine_chunks(),
@@ -342,7 +342,7 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(
         pa.table(
             {
-                "gate": pa.array(["sig_terms"] * st.num_rows),
+                "gate": pa.array(["sig_terms"] * st.num_rows, pa.string()),
                 "value": st["term"].combine_chunks().cast(pa.string()),
                 "count": st["fg"].combine_chunks().cast(pa.int64()),
                 "metric_r": st["score_r"].combine_chunks(),
@@ -353,7 +353,7 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(
         pa.table(
             {
-                "gate": pa.array(["range"] * ra.num_rows),
+                "gate": pa.array(["range"] * ra.num_rows, pa.string()),
                 "value": ra["value"].combine_chunks().cast(pa.string()),
                 "count": ra["count"].combine_chunks().cast(pa.int64()),
                 "metric_r": pa.array([0.0] * ra.num_rows, pa.float64()),
@@ -381,7 +381,7 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(
         pa.table(
             {
-                "gate": pa.array(["top_hits"] * th.num_rows),
+                "gate": pa.array(["top_hits"] * th.num_rows, pa.string()),
                 "value": lbl,
                 "count": th["doc_id"].combine_chunks().cast(pa.int64()),
                 "metric_r": th["score_r"].combine_chunks(),
@@ -516,7 +516,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             [
                 pa.table(
                     {
-                        "gate": pa.array(["term"] * term.num_rows),
+                        "gate": pa.array(["term"] * term.num_rows, pa.string()),
                         "token": term["token"].combine_chunks(),
                         "suggestion": term["suggestion"].combine_chunks(),
                         "distance": term["distance"].combine_chunks().cast(pa.int64()),
@@ -525,7 +525,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
                 ),
                 pa.table(
                     {
-                        "gate": pa.array(["completion"] * comp.num_rows),
+                        "gate": pa.array(["completion"] * comp.num_rows, pa.string()),
                         "token": comp["prefix"].combine_chunks(),
                         "suggestion": comp["suggestion"].combine_chunks(),
                         "distance": pa.array([0] * comp.num_rows, pa.int64()),

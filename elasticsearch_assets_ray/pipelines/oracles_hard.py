@@ -342,14 +342,17 @@ def mixture_sample_sql(
             "THEN 1 ELSE 0 END)"
         )
 
+    default_arm = rep_expr(float(default_epochs))
     arms = " ".join(
         f"WHEN '{k}' THEN {rep_expr(float(epochs[k]))}"
         for k in sorted(epochs)
     )
+    # a default-only mixture has no WHEN arm — CASE with zero arms is a
+    # syntax error, so emit the default expression directly
+    reps = f"CASE {key_col} {arms} ELSE {default_arm} END" if epochs else default_arm
     return (
         f"WITH {_id_hash_ctes(salt, extra_cols=f', {key_col}')} , "
-        f"r AS (SELECT doc_id, CASE {key_col} {arms} "
-        f"ELSE {rep_expr(float(default_epochs))} END AS reps FROM hh) "
+        f"r AS (SELECT doc_id, {reps} AS reps FROM hh) "
         "SELECT d.doc_id, d.source, d.lang, unnest(range(0, r.reps)) AS epoch "
         "FROM r JOIN documents d ON d.doc_id = r.doc_id"
     )
@@ -368,7 +371,9 @@ def events_daily_hll_sql(p: int = 12) -> str:
     float-order independent; both sides round via floor(x + 0.5)."""
     mask = 1 << (64 - p)
     m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # mirror HLL.count's alpha exactly, incl. the tabulated small-m
+    # constants for p in [4, 6] (stages/sketch.py)
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1.0 + 1.079 / m))
     z1 = _mul64(_xor64("z", f"(z // {1 << 30})"), 0xBF58476D1CE4E5B9)
     z2 = _mul64(_xor64("z", f"(z // {1 << 27})"), 0x94D049BB133111EB)
     z3 = _xor64("z", f"(z // {1 << 31})")

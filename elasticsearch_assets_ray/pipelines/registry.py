@@ -394,30 +394,30 @@ def q_reindex_events(sf_dir: str):
     vectorized transform (value × 2) in flight.  The gate re-reads the
     partitioned output — so it verifies the WRITTEN files, not an
     in-memory table."""
+    import glob as _glob
+    import shutil
     import tempfile
 
     from elasticsearch_assets_ray.pipelines.reindex import reindex
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"esr_reindex_gate_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    import shutil
-
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # a UNIQUE output dir per invocation: a fixed /tmp path keyed on the
+    # sf basename races concurrent gate/bench runs (one rmtree's while
+    # the other's slice tasks are writing)
+    out_dir = tempfile.mkdtemp(prefix="esr_reindex_gate_")
 
     def x2(t: pa.Table) -> pa.Table:
         return t.set_column(
             t.schema.get_field_index("value"), "value", pc.multiply(t["value"], 2.0)
         )
 
-    reindex(_p(sf_dir, "events"), out_dir, date_col="ts", n_slices=6, transform=x2)
-    import glob as _glob
-
-    t = pa.concat_tables(
-        pq.read_table(f)
-        for f in sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet")))
-    )
+    try:
+        reindex(_p(sf_dir, "events"), out_dir, date_col="ts", n_slices=6, transform=x2)
+        t = pa.concat_tables(
+            pq.read_table(f)
+            for f in sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet")))
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     return t.select(_EV_COLS).sort_by([("event_id", "ascending")])
 
 
@@ -1010,7 +1010,6 @@ def q_search_compound(sf_dir: str):
     functions, so shard-local top-k merges are exact."""
     idx = documents_index(sf_dir)
     sh = sharded_searcher(idx)
-    s = Searcher(idx)
     fetch_k = SEARCH_K + 90
     runs = [
         sh.boosting("spark table", "dup", negative_boost=0.25, k=fetch_k),
@@ -1026,7 +1025,9 @@ def q_search_compound(sf_dir: str):
             pa.table(
                 {
                     "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
-                    "vec_id": pa.array(_orig_ids(s, ids)),
+                    # the cached sharded searcher's hydrate serves the id
+                    # map — no second full-index Searcher needed
+                    "vec_id": pa.array(_orig_ids(sh, ids)),
                     "sim": res["score"],
                 }
             )
@@ -1481,11 +1482,16 @@ def q_adjacency_matrix(sf_dir: str):
 
 
 def _filters_agg_sql(queries: dict[str, str]) -> str:
-    """Singles from the percolate-style match predicates."""
+    """Singles from the percolate-style match predicates.  The engine
+    emits EVERY named filter (count 0 included — ES filters-agg
+    behavior), so the oracle left-joins the name list rather than
+    grouping only matched names."""
+    names = ", ".join(f"('{n}')" for n in sorted(queries))
     return (
-        f"WITH P AS ({_percolate_sql(queries)}) "
-        "SELECT query_name AS value, count(*)::BIGINT AS count "
-        "FROM P GROUP BY query_name"
+        f"WITH P AS ({_percolate_sql(queries)}), "
+        f"N(value) AS (VALUES {names}) "
+        "SELECT N.value, COALESCE(count(P.doc_id), 0)::BIGINT AS count "
+        "FROM N LEFT JOIN P ON P.query_name = N.value GROUP BY N.value"
     )
 
 

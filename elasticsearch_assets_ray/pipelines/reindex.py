@@ -120,6 +120,15 @@ def reindex(
         else:
             raise ValueError("need date_col, key_col or explicit slices")
     os.makedirs(out_dir, exist_ok=True)
+    # a RE-plan with FEWER slices must remove the previous run's tail
+    # parts — glob consumers would otherwise silently read stale rows
+    # alongside the new output
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(out_dir, "part-*")):
+        stem = os.path.basename(f).split(".")[0]
+        if int(stem.split("-")[1]) >= len(slices):
+            os.unlink(f)
     futures, done, entries = [], 0, []
     for i, s in enumerate(slices):
         out_file = os.path.join(out_dir, f"part-{i:05d}.parquet")

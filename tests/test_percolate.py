@@ -127,3 +127,43 @@ def test_percolate_candidate_pruning():
     assert out["doc_id"].to_pylist() == [2]
     # trigger terms are the MUST terms only (fewer candidates)
     assert list(prog["term_to_q"]) == ["needle"]
+
+
+def test_filters_agg_zero_count_bucket_and_sql(ray_session, built_index):
+    """ES filters agg emits EVERY named bucket, count 0 included; the
+    SQL oracle generator left-joins the name list to match."""
+    import duckdb
+
+    from elasticsearch_assets_ray.pipelines.registry import _filters_agg_sql
+    from elasticsearch_assets_ray.query.engine import Searcher
+
+    idx, _ = built_index
+    s = Searcher(idx)
+    t = s.filters_agg({"hit": "def", "miss": "qqqqzzzz"})
+    got = dict(zip(t["value"].to_pylist(), t["count"].to_pylist()))
+    assert got["miss"] == 0 and got["hit"] > 0
+    # oracle shape: zero-count name still yields a row
+    sql = _filters_agg_sql({"hit": "spark", "miss": "qqqqzzzz"})
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    rows = dict(con.sql(sql).fetchall())
+    assert rows["miss"] == 0 and rows["hit"] > 0
+
+
+def test_mixture_sql_default_only():
+    from elasticsearch_assets_ray.pipelines.oracles_hard import mixture_sample_sql
+
+    sql = mixture_sample_sql({}, key_col="lang", default_epochs=2.0)
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
+    out = con.sql(sql).df()
+    assert len(out) == 2 * n_docs  # every doc exactly 2 epochs

@@ -83,3 +83,14 @@ def test_reindex_manifest_lineage(ray_session, out):
     for e in man["entries"]:
         assert os.path.exists(f"{out}/{e['file']}")
         assert e["rows_in"] == e["rows_out"]
+
+
+def test_reindex_shrink_replan_removes_stale_parts(ray_session, out):
+    reindex(SRC, out, date_col="ts", n_slices=6)
+    m = reindex(SRC, out, date_col="ts", n_slices=4)
+    assert m["n_slices"] == 4
+    # the previous run's tail parts are gone — glob readers see ONLY the
+    # new plan's output (no silent duplication)
+    assert _rows(f"{out}/part-*.parquet") == _rows(SRC)
+    assert not os.path.exists(f"{out}/part-00005.parquet")
+    assert not os.path.exists(f"{out}/part-00005.done.json")
