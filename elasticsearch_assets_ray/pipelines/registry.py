@@ -1002,6 +1002,28 @@ def q_suggest_terms(sf_dir: str):
     return s.suggest_terms(SUGGEST_TEXT, size=5, max_edits=2)
 
 
+def q_term_vectors(sf_dir: str):
+    """ES _termvectors analog for one doc: (term, tf, position) rows
+    (the positions flattened so the oracle hash covers them)."""
+    s = Searcher(documents_index(sf_dir))
+    tv = s.term_vectors(7)
+    terms, tfs, poss = [], [], []
+    for t, tf, ps in zip(
+        tv["term"].to_pylist(), tv["tf"].to_pylist(), tv["positions"].to_pylist()
+    ):
+        for p in ps:
+            terms.append(t)
+            tfs.append(tf)
+            poss.append(int(p))
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.int64()),
+            "pos": pa.array(poss, pa.int64()),
+        }
+    )
+
+
 def q_search_compound(sf_dir: str):
     """ES compound queries through the DISTRIBUTED path: boosting
     (negative matches demoted ×0.25, never filtered), constant_score
@@ -2996,6 +3018,13 @@ ORACLES: dict[str, str] = {
         "AS snippet FROM best b JOIN tkl t ON t.doc_id = b.doc_id WHERE rn = 1"
     ),
     "search_compound": _compound_sql(),
+    "term_vectors": (
+        f"WITH tl AS (SELECT unnest({_TOK}) AS term, "
+        f"generate_subscripts({_TOK}, 1) AS p FROM documents WHERE doc_id = 7) "
+        "SELECT tl.term, tf.tf, (tl.p - 1)::BIGINT AS pos FROM tl "
+        "JOIN (SELECT term, count(*)::BIGINT AS tf FROM tl GROUP BY term) tf "
+        "USING (term)"
+    ),
     "suggest_completion": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
         "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term), "
@@ -3383,6 +3412,7 @@ QUERIES = {
     "suggest_terms": q_suggest_terms,
     "suggest_completion": q_suggest_completion,
     "search_compound": q_search_compound,
+    "term_vectors": q_term_vectors,
     "highlight": q_highlight,
     "delete_search": q_delete_search,
     "expunge_search": q_expunge_search,

@@ -894,6 +894,53 @@ class Searcher:
             }
         )
 
+    def scan(self, query: str | ParsedQuery, page_size: int = 1000):
+        """ES scroll/PIT analog: iterate the FULL match set in stable
+        (round-9 score desc, docID asc) order as bounded pages, driven
+        by ``search_after`` cursors — a generator, so callers stream
+        without ever holding the whole match set (the deep-pagination
+        path ES routes to scroll instead of from/size)."""
+        if page_size <= 0:
+            raise ValueError("page_size must be positive")
+        cursor = None
+        while True:
+            page = self.search(query, k=page_size, search_after=cursor)
+            if page.num_rows == 0:
+                return
+            yield page
+            if page.num_rows < page_size:
+                return
+            cursor = (
+                float(page["score"][-1].as_py()),
+                int(page["doc_id"][-1].as_py()),
+            )
+
+    def term_vectors(self, doc_id: int) -> pa.Table:
+        """ES ``_termvectors`` analog: the doc's (term, tf) — and token
+        positions when the index is positional — straight from a
+        docstore content re-analysis (one pid-pruned hydrate), term-asc
+        → pa.Table(term, tf, positions list<int32>)."""
+        content_col = self.manifest.get("content_col")
+        if not self.manifest.get("store_content") or not content_col:
+            raise RuntimeError("term_vectors needs store_content=True")
+        from elasticsearch_assets_ray.stages.tokenizer import doc_term_freqs
+
+        h = self.hydrate(np.array([doc_id], dtype=np.int64), columns=[content_col])
+        if h.num_rows == 0:
+            raise KeyError(f"unknown doc_id {doc_id}")
+        tb = doc_term_freqs(h[content_col], with_positions=True)
+        order = np.argsort(tb.terms.astype(str), kind="stable")
+        pos_lists = [
+            tb.pos_flat[tb.pos_off[i] : tb.pos_off[i + 1]].tolist() for i in order
+        ]
+        return pa.table(
+            {
+                "term": pa.array(tb.terms[order].astype(str), pa.string()),
+                "tf": pa.array(tb.tfs[order].astype(np.int64)),
+                "positions": pa.array(pos_lists, pa.list_(pa.int32())),
+            }
+        )
+
     def suggest_completion(
         self, prefix: str, size: int = 5, max_expansions: int = 4096
     ) -> pa.Table:

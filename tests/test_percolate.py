@@ -167,3 +167,49 @@ def test_mixture_sql_default_only():
     n_docs = con.sql("SELECT count(*) FROM documents").fetchone()[0]
     out = con.sql(sql).df()
     assert len(out) == 2 * n_docs  # every doc exactly 2 epochs
+
+
+def test_percolate_many_queries_scale(ray_session):
+    """The trigger-index contract at a larger registry: 120 queries over
+    300 docs, exact vs brute force."""
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=12)), "en") for i in range(300)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _t, _l in docs], pa.int64()),
+            "text": pa.array([x for _d, x, _l in docs]),
+        }
+    )
+    qs = {}
+    for i in range(120):
+        a, b = rng.choice(vocab, size=2, replace=False)
+        kind = i % 3
+        if kind == 0:
+            qs[f"q{i:03d}"] = f"{a} {b}"
+        elif kind == 1:
+            qs[f"q{i:03d}"] = f"+{a} {b}"
+        else:
+            qs[f"q{i:03d}"] = f"{a} -{b}"
+    st = PercolateStage(queries=qs)
+    out = st(t)
+    got = set(zip(out["doc_id"].to_pylist(), out["query_name"].to_pylist()))
+    want = set()
+    for d, text, _l in docs:
+        s = set(tokenize_text(text))
+        for name, q in qs.items():
+            parts = q.split()
+            if q.startswith("+"):
+                a, b = parts[0][1:], parts[1]
+                ok = a in s
+            elif "-" in q:
+                a, b = parts[0], parts[1][1:]
+                ok = a in s and b not in s
+            else:
+                a, b = parts
+                ok = a in s or b in s
+            if ok:
+                want.add((d, name))
+    assert got == want

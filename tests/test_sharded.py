@@ -630,3 +630,54 @@ def test_compound_queries_parity_and_semantics(single, sharded):
         # the engine (and the SQL oracle) compute best + tb*(sum - best);
         # fl(a+b) - max != min in general, so mirror the exact expression
         assert s == max(a, b) + 0.5 * ((a + b) - max(a, b))
+
+
+def test_scan_pages_cover_match_set(single):
+    """ES scroll analog: concatenated pages == the full match set in the
+    stable (round-9 desc, docID asc) order, page size bounded."""
+    import elasticsearch_assets_ray.query.bm25 as bm25
+
+    q = "def load"
+    full = single.all_scores(q)
+    ids = full["doc_id"].to_numpy(zero_copy_only=False)
+    sc = full["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -bm25.round_half_up(sc, 9)))
+    want = ids[order].tolist()
+    got, n_pages = [], 0
+    for page in single.scan(q, page_size=7):
+        assert page.num_rows <= 7
+        got.extend(page["doc_id"].to_pylist())
+        n_pages += 1
+    assert got == want
+    assert n_pages == (len(want) + 6) // 7
+    # no matches → no pages
+    assert list(single.scan("qqqqzzzz", page_size=5)) == []
+
+
+def test_term_vectors(single):
+    """_termvectors: (term, tf, positions) straight from re-analysis."""
+    import pytest as _pytest
+
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    did = int(single.search("def load", k=1)["doc_id"][0].as_py())
+    tv = single.term_vectors(did)
+    toks = tokenize_text(
+        single.hydrate(np.array([did]), columns=["content"])["content"][0].as_py()
+    )
+    import collections
+
+    want_tf = collections.Counter(toks)
+    got = {
+        t: (tf, ps)
+        for t, tf, ps in zip(
+            tv["term"].to_pylist(), tv["tf"].to_pylist(), tv["positions"].to_pylist()
+        )
+    }
+    assert set(got) == set(want_tf)
+    for t, (tf, ps) in got.items():
+        assert tf == want_tf[t]
+        assert ps == [i for i, tok in enumerate(toks) if tok == t]
+    assert tv["term"].to_pylist() == sorted(got)
+    with _pytest.raises(KeyError):
+        single.term_vectors(10**15)
