@@ -184,8 +184,10 @@ class Searcher:
         self._doc_shift = int(self.manifest.get("doc_shift", DOC_SHIFT))
         self._rpb = int(self.manifest.get("runs_per_bucket", 32))
         # subclasses that bypass __init__ (MultiSearcher) default to
-        # bag-of-words phrase scoring
+        # bag-of-words phrase scoring and resident segments (children
+        # manage their own residency)
         self.phrase_scoring = getattr(self, "phrase_scoring", "terms")
+        self.shard_resident = getattr(self, "shard_resident", True)
         # pid -> docstore parquet path / row count (footer metadata only)
         self._pid_files: dict[int, str] | None = None
         self._pid_ndocs: dict[int, int] = {}

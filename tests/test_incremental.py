@@ -230,3 +230,60 @@ def test_multisearcher_round3_query_surface(dated_corpus, tmp_path, ray_session)
     ha = multi.histogram("def load", "doc_len", 100.0)
     hb = mono.histogram("def load", "doc_len", 100.0)
     assert ha.to_pydict() == hb.to_pydict()
+
+
+def test_multisearcher_round4_agg_surface(dated_corpus, tmp_path, ray_session):
+    """The round-4 aggregation/compound surface flows through
+    MultiSearcher (delta layouts) unchanged: every op below only uses
+    all_scores / match_ids / hydrate / term_dfs, all of which the
+    delta-union overrides serve."""
+    cfg = IndexConfig(target_partition_rows=64, runs_per_bucket=2, num_shards=4)
+    inc = IncrementalIndex(str(tmp_path / "inc4"), config=cfg)
+    inc.tick(dated_corpus, (datetime(2024, 3, 1, 0), datetime(2024, 3, 1, 6)), "ingested_at")
+    inc.tick(dated_corpus, (datetime(2024, 3, 1, 6), datetime(2024, 3, 1, 12)), "ingested_at")
+    mono_dir = str(tmp_path / "mono4")
+    build_index(dated_corpus, mono_dir, config=cfg)
+    mono = Searcher(mono_dir, prune=False)
+    multi = inc.searcher(prune=False)
+    q = "def load"
+    assert multi.stats_agg(q, "doc_len") == mono.stats_agg(q, "doc_len")
+    assert multi.percentiles(q, "doc_len").to_pydict() == mono.percentiles(q, "doc_len").to_pydict()
+    assert (
+        multi.facet_metric(q, "lang", "doc_len").to_pydict()
+        == mono.facet_metric(q, "lang", "doc_len").to_pydict()
+    )
+    r = [(None, 150.0), (150.0, None)]
+    assert multi.range_agg(q, "doc_len", r).to_pydict() == mono.range_agg(q, "doc_len", r).to_pydict()
+    qs = {"a": "def", "b": "load index"}
+    assert multi.filters_agg(qs).to_pydict() == mono.filters_agg(qs).to_pydict()
+    assert multi.adjacency_matrix(qs).to_pydict() == mono.adjacency_matrix(qs).to_pydict()
+    st_a = multi.significant_terms(q, size=5, min_doc_count=2)
+    st_b = mono.significant_terms(q, size=5, min_doc_count=2)
+    assert st_a.to_pydict() == st_b.to_pydict()
+    # compound queries: internal docIDs are LAYOUT-dependent, so compare
+    # hydrated keys + scores (the same convention the search tests use)
+    def paths(s, ids):
+        h = s.hydrate(np.asarray(ids, dtype=np.int64), ["doc_id", "path"])
+        m = dict(zip(h["doc_id"].to_pylist(), h["path"].to_pylist()))
+        return [m[i] for i in ids]
+
+    ca = multi.boosting("def load", "index", negative_boost=0.5, k=6)
+    cb = mono.boosting("def load", "index", negative_boost=0.5, k=6)
+    assert paths(multi, ca["doc_id"].to_pylist()) == paths(mono, cb["doc_id"].to_pylist())
+    assert np.allclose(ca["score"].to_numpy(), cb["score"].to_numpy(), rtol=0, atol=1e-12)
+    # constant_score tie-breaks on the (layout-dependent) internal id —
+    # with k >= matches the SETS must agree
+    sa = multi.constant_score(q, boost=2.0, k=10**6)
+    sb = mono.constant_score(q, boost=2.0, k=10**6)
+    assert sorted(paths(multi, sa["doc_id"].to_pylist())) == sorted(
+        paths(mono, sb["doc_id"].to_pylist())
+    )
+    # scroll pages cover the same doc set
+    ma = [d for p in multi.scan(q, page_size=9) for d in p["doc_id"].to_pylist()]
+    mb = [d for p in mono.scan(q, page_size=9) for d in p["doc_id"].to_pylist()]
+    assert sorted(paths(multi, ma)) == sorted(paths(mono, mb))
+    # term vectors identical for the SAME document across layouts
+    d_mono = int(mono.search(q, k=1)["doc_id"][0].as_py())
+    p0 = paths(mono, [d_mono])[0]
+    d_multi = multi.lookup_docids([p0], col="path")[p0]
+    assert multi.term_vectors(d_multi).to_pydict() == mono.term_vectors(d_mono).to_pydict()
