@@ -1706,6 +1706,70 @@ def q_events_daily(sf_dir: str):
     )
 
 
+def q_pipeline_daily(sf_dir: str):
+    """ES pipeline aggregations over a date_histogram parent: the daily
+    event counts are built DISTRIBUTED (combiner-first ``partial_agg``,
+    the shuffle moves per-batch partials), then the pipeline chain —
+    derivative, cumulative_sum, moving_fn(avg, window=3), serial_diff
+    (lag 2), bucket_selector(n ≥ avg) + bucket_sort(top 5), and the
+    sibling ``*_bucket`` stats — runs ONCE on the merged bucket table,
+    exactly ES's reduce-phase placement (pipeline aggs never touch data
+    nodes).  Output is tall: (part, value, count, metric_r), one row per
+    bucket per pipeline stage, nulls (warm-up buckets) omitted."""
+    from elasticsearch_assets_ray.query import pipeline_aggs as pl
+
+    ds = _rd(sf_dir, "events", columns=["ts"])
+    days = ds.map_batches(
+        lambda b: pa.table(
+            {"day": pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us"))}
+        ),
+        batch_format="pyarrow",
+    )
+    b = _collect(
+        partial_agg(days, ["day"], [AggSpec("n", "day", "count")], distinct_hint=4096)
+    ).sort_by([("day", "ascending")])
+    b = pl.derivative(b, "n")
+    b = pl.cumulative_sum(b, "n")
+    b = pl.moving_fn(b, "n", window=3)
+    b = pl.serial_diff(b, "n", lag=2)
+    ds_ = pc.strftime(b["day"], format="%Y-%m-%d").to_pylist()
+    n = b["n"].to_pylist()
+    deriv = b["n_deriv"].to_pylist()
+    csum = b["n_cumsum"].to_pylist()
+    mavg = b["n_mavg"].to_pylist()
+    d2 = b["n_diff2"].to_pylist()
+    rows: list[tuple[str, str, int, float]] = []
+    for i in range(b.num_rows):
+        if deriv[i] is not None:
+            rows.append(("deriv", ds_[i], int(deriv[i]), 0.0))
+        rows.append(("cumsum", ds_[i], int(csum[i]), 0.0))
+        if mavg[i] is not None:
+            rows.append(("mavg", ds_[i], 0, round(float(mavg[i]), 6)))
+        if d2[i] is not None:
+            rows.append(("diff2", ds_[i], int(d2[i]), 0.0))
+    sib = pl.sibling_stats(b, "n")
+    # bucket_selector(n >= avg_bucket) then bucket_sort(n desc, day asc, 5)
+    kept = pl.bucket_selector(b, "n", "gte", sib["avg"])
+    top = pl.bucket_sort(
+        kept, [("n", "descending"), ("day", "ascending")], size=5
+    )
+    tds = pc.strftime(top["day"], format="%Y-%m-%d").to_pylist()
+    tn = top["n"].to_pylist()
+    for r, (d, v) in enumerate(zip(tds, tn), start=1):
+        rows.append(("top", d, int(v), float(r)))
+    for k in ("count", "min", "max", "sum"):
+        rows.append(("sibling", k, int(sib[k]), 0.0))
+    rows.append(("sibling", "avg", 0, round(float(sib["avg"]), 6)))
+    return pa.table(
+        {
+            "part": pa.array([r[0] for r in rows], pa.string()),
+            "value": pa.array([r[1] for r in rows], pa.string()),
+            "count": pa.array([r[2] for r in rows], pa.int64()),
+            "metric_r": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
 PACK_BUDGET = 1000
 
 
@@ -3209,6 +3273,32 @@ ORACLES: dict[str, str] = {
         "count(DISTINCT user_id)::BIGINT AS n_users "
         "FROM events GROUP BY day"
     ),
+    # pipeline aggregations: SQL window functions over the same daily
+    # buckets mirror the reduce-phase chain stage by stage (integer
+    # counts sum exactly in float64, so mavg doubles agree bit-for-bit)
+    "pipeline_daily": (
+        "WITH b AS (SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n "
+        " FROM events GROUP BY day), "
+        "w AS (SELECT day, strftime(day, '%Y-%m-%d') AS ds, n, "
+        " n - lag(n) OVER (ORDER BY day) AS deriv, "
+        " sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS csum, "
+        " round(avg(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS mavg, "
+        " n - lag(n, 2) OVER (ORDER BY day) AS d2 FROM b) "
+        "SELECT 'deriv' AS part, ds AS value, deriv AS count, 0.0 AS metric_r "
+        " FROM w WHERE deriv IS NOT NULL "
+        "UNION ALL SELECT 'cumsum', ds, csum, 0.0 FROM w "
+        "UNION ALL SELECT 'mavg', ds, 0, mavg FROM w WHERE mavg IS NOT NULL "
+        "UNION ALL SELECT 'diff2', ds, d2, 0.0 FROM w WHERE d2 IS NOT NULL "
+        "UNION ALL SELECT 'top', ds, n, "
+        " CAST(row_number() OVER (ORDER BY n DESC, day) AS DOUBLE) FROM w "
+        " WHERE n >= (SELECT avg(n) FROM b) "
+        " QUALIFY row_number() OVER (ORDER BY n DESC, day) <= 5 "
+        "UNION ALL SELECT 'sibling', 'count', count(*), 0.0 FROM b "
+        "UNION ALL SELECT 'sibling', 'min', min(n), 0.0 FROM b "
+        "UNION ALL SELECT 'sibling', 'max', max(n), 0.0 FROM b "
+        "UNION ALL SELECT 'sibling', 'sum', sum(n), 0.0 FROM b "
+        "UNION ALL SELECT 'sibling', 'avg', 0, round(avg(n), 6) FROM b"
+    ),
     # facet/histogram aggregations: count over the exhaustive match set
     "facet_lang": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
@@ -3437,6 +3527,7 @@ QUERIES = {
     "top_hits": q_top_hits,
     "events_daily": q_events_daily,
     "events_daily_hll": q_events_daily_hll,
+    "pipeline_daily": q_pipeline_daily,
     "percolate": q_percolate,
     "mixture_sample": q_mixture_sample,
     "filters_agg": q_filters_agg,

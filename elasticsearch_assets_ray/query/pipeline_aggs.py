@@ -1,0 +1,164 @@
+"""ES pipeline aggregations — reduce-phase transforms over a merged
+bucket table.
+
+In Elasticsearch, pipeline aggregations (``derivative``,
+``cumulative_sum``, ``moving_fn``, ``serial_diff``, ``bucket_selector``,
+``bucket_sort`` and the sibling ``*_bucket`` family) do NOT run on the
+data nodes: they execute on the coordinating node during the reduce
+phase, over the already-merged bucket list of their parent aggregation
+(the reference delegates the whole aggregation tree to ES at
+packages/elasticsearch-asset-apis/src/elasticsearch-reader-api/
+ElasticsearchReaderClient.ts:53-86).  That is exactly the architecture
+here: the parent buckets are produced distributed (shard-side partials,
+integer-exact merge — see ``ShardedSearcher.histogram`` /
+``partial_agg`` date histograms), and these functions run ONCE on the
+small merged table.  Their cost is O(buckets), never O(docs), so they
+are scale-free by construction.
+
+Inputs must be bucket-ascending (the parent agg's natural order); every
+function is a pure table → table transform so they compose like ES's
+pipeline chains.
+
+Float determinism: bucket counts are integers, and integer sums below
+2^53 are exact in float64 regardless of association order, so
+``moving_fn('avg')`` and ``avg_bucket`` produce bit-identical doubles to
+a SQL window/aggregate over the same buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_OPS = {
+    "gt": lambda a, b: a > b,
+    "gte": lambda a, b: a >= b,
+    "lt": lambda a, b: a < b,
+    "lte": lambda a, b: a <= b,
+    "eq": lambda a, b: a == b,
+}
+
+
+def _vals(t: pa.Table, col: str) -> np.ndarray:
+    return t[col].to_numpy(zero_copy_only=False)
+
+
+def _metric_dtype(t: pa.Table, col: str):
+    return np.float64 if pa.types.is_floating(t.schema.field(col).type) else np.int64
+
+
+def derivative(t: pa.Table, col: str, out: str | None = None) -> pa.Table:
+    """ES ``derivative``: bucket[i] − bucket[i−1]; the first bucket has
+    no derivative (ES omits the field — here: null)."""
+    v = _vals(t, col).astype(_metric_dtype(t, col))
+    d = np.zeros(v.size, dtype=v.dtype)
+    if v.size:
+        d[1:] = v[1:] - v[:-1]
+    mask = np.zeros(v.size, dtype=bool)
+    if v.size:
+        mask[0] = True
+    return t.append_column(out or f"{col}_deriv", pa.array(d, mask=mask))
+
+
+def serial_diff(t: pa.Table, col: str, lag: int = 1, out: str | None = None) -> pa.Table:
+    """ES ``serial_diff``: bucket[i] − bucket[i−lag] (null for the first
+    ``lag`` buckets)."""
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+    v = _vals(t, col).astype(_metric_dtype(t, col))
+    d = np.zeros(v.size, dtype=v.dtype)
+    mask = np.ones(v.size, dtype=bool)
+    if v.size > lag:
+        d[lag:] = v[lag:] - v[:-lag]
+        mask[lag:] = False
+    return t.append_column(out or f"{col}_diff{lag}", pa.array(d, mask=mask))
+
+
+def cumulative_sum(t: pa.Table, col: str, out: str | None = None) -> pa.Table:
+    """ES ``cumulative_sum`` over the bucket order (integer-exact)."""
+    v = _vals(t, col).astype(np.int64)
+    return t.append_column(out or f"{col}_cumsum", pa.array(np.cumsum(v)))
+
+
+def moving_fn(
+    t: pa.Table,
+    col: str,
+    window: int,
+    fn: str = "avg",
+    shift: int = 0,
+    out: str | None = None,
+) -> pa.Table:
+    """ES ``moving_fn``: a sliding window over the bucket order.  With
+    ES's default ``shift=0`` the window for bucket i is the *previous*
+    ``window`` buckets ``[i−window, i)`` — the current bucket excluded;
+    ``shift=1`` slides it to include the current bucket.  Partial
+    windows (near the start) use whatever buckets exist, and an empty
+    window yields null — both exactly the SQL
+    ``OVER (ROWS BETWEEN window PRECEDING AND 1 PRECEDING)`` semantics,
+    which is how the oracle states it."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    v = _vals(t, col).astype(np.float64)
+    n = v.size
+    outv = np.zeros(n, dtype=np.float64)
+    mask = np.zeros(n, dtype=bool)
+    # integer-count windows sum exactly in float64, so a per-window
+    # O(buckets·window) loop over the SMALL merged table is both simple
+    # and bit-stable (no running-sum cancellation)
+    for i in range(n):
+        lo = max(0, i - window + shift)
+        hi = min(n, i + shift)
+        if hi <= lo:
+            mask[i] = True
+            continue
+        w = v[lo:hi]
+        if fn == "avg":
+            outv[i] = float(np.sum(w)) / (hi - lo)
+        elif fn == "sum":
+            outv[i] = float(np.sum(w))
+        elif fn == "min":
+            outv[i] = float(np.min(w))
+        elif fn == "max":
+            outv[i] = float(np.max(w))
+        else:
+            raise ValueError(f"unknown moving_fn {fn!r}")
+    return t.append_column(out or f"{col}_m{fn}", pa.array(outv, mask=mask))
+
+
+def bucket_selector(t: pa.Table, col: str, op: str, value: float) -> pa.Table:
+    """ES ``bucket_selector``: keep only buckets whose metric satisfies
+    the predicate (the HAVING of the aggregation tree)."""
+    v = _vals(t, col)
+    return t.filter(pa.array(_OPS[op](v, value)))
+
+
+def bucket_sort(
+    t: pa.Table,
+    sort: list[tuple[str, str]],
+    size: int | None = None,
+    from_: int = 0,
+) -> pa.Table:
+    """ES ``bucket_sort``: re-order / truncate / page the parent's
+    buckets.  ``sort`` entries are (column, 'ascending'|'descending');
+    ties broken by the pre-sort bucket order (stable sort), which is the
+    deterministic analog of ES's insertion-order tie behavior."""
+    out = t.sort_by(sort) if sort else t
+    out = out.slice(from_)
+    return out.slice(0, size) if size is not None else out
+
+
+def sibling_stats(t: pa.Table, col: str) -> dict:
+    """The sibling ``*_bucket`` family in one pass: ``min_bucket`` /
+    ``max_bucket`` (with ES's bucket-key lists for ties), ``sum_bucket``,
+    ``avg_bucket`` and ``stats_bucket`` share these numbers."""
+    v = _vals(t, col).astype(np.int64)
+    if v.size == 0:
+        return {"count": 0, "min": None, "max": None, "sum": 0, "avg": None}
+    s = int(v.sum())
+    return {
+        "count": int(v.size),
+        "min": int(v.min()),
+        "max": int(v.max()),
+        "sum": s,
+        "avg": float(s) / v.size,
+    }

@@ -1,0 +1,114 @@
+"""ES pipeline aggregations: reduce-phase transforms over merged bucket
+tables (derivative / cumulative_sum / moving_fn / serial_diff /
+bucket_selector / bucket_sort / sibling *_bucket)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from elasticsearch_assets_ray.query import pipeline_aggs as pl
+
+
+def _buckets(ns):
+    return pa.table(
+        {
+            "day": pa.array(list(range(len(ns))), pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+        }
+    )
+
+
+def test_derivative_and_serial_diff():
+    t = _buckets([10, 13, 9, 9, 20])
+    d = pl.derivative(t, "n")["n_deriv"].to_pylist()
+    assert d == [None, 3, -4, 0, 11]
+    s2 = pl.serial_diff(t, "n", lag=2)["n_diff2"].to_pylist()
+    assert s2 == [None, None, -1, -4, 11]
+    with pytest.raises(ValueError):
+        pl.serial_diff(t, "n", lag=0)
+
+
+def test_derivative_float_metric():
+    t = pa.table({"n": pa.array([1.5, 2.25], pa.float64())})
+    assert pl.derivative(t, "n")["n_deriv"].to_pylist() == [None, 0.75]
+
+
+def test_cumulative_sum():
+    t = _buckets([1, 2, 3])
+    assert pl.cumulative_sum(t, "n")["n_cumsum"].to_pylist() == [1, 3, 6]
+
+
+def test_moving_fn_default_shift_excludes_current():
+    # ES shift=0: window for bucket i is [i-window, i) — current excluded
+    t = _buckets([2, 4, 6, 8])
+    m = pl.moving_fn(t, "n", window=2)["n_mavg"].to_pylist()
+    assert m[0] is None  # empty window
+    assert m[1] == 2.0  # [2]
+    assert m[2] == 3.0  # [2, 4]
+    assert m[3] == 5.0  # [4, 6]
+
+
+def test_moving_fn_shift_one_includes_current():
+    t = _buckets([2, 4, 6, 8])
+    m = pl.moving_fn(t, "n", window=2, shift=1)["n_mavg"].to_pylist()
+    assert m == [2.0, 3.0, 5.0, 7.0]
+
+
+def test_moving_fn_kinds_and_validation():
+    t = _buckets([5, 1, 9])
+    assert pl.moving_fn(t, "n", 3, fn="sum", shift=1)["n_msum"].to_pylist() == [
+        5.0,
+        6.0,
+        15.0,
+    ]
+    assert pl.moving_fn(t, "n", 3, fn="min", shift=1)["n_mmin"].to_pylist() == [
+        5.0,
+        1.0,
+        1.0,
+    ]
+    assert pl.moving_fn(t, "n", 3, fn="max", shift=1)["n_mmax"].to_pylist() == [
+        5.0,
+        5.0,
+        9.0,
+    ]
+    with pytest.raises(ValueError):
+        pl.moving_fn(t, "n", 0)
+    with pytest.raises(ValueError):
+        pl.moving_fn(t, "n", 2, fn="median")
+
+
+def test_bucket_selector_and_sort():
+    t = _buckets([10, 3, 7, 7, 1])
+    kept = pl.bucket_selector(t, "n", "gte", 7)
+    assert kept["day"].to_pylist() == [0, 2, 3]
+    top = pl.bucket_sort(kept, [("n", "descending"), ("day", "ascending")], size=2)
+    assert top["day"].to_pylist() == [0, 2]
+    paged = pl.bucket_sort(kept, [("n", "descending"), ("day", "ascending")], size=2, from_=1)
+    assert paged["day"].to_pylist() == [2, 3]
+
+
+def test_sibling_stats():
+    t = _buckets([4, 6, 2])
+    s = pl.sibling_stats(t, "n")
+    assert s == {"count": 3, "min": 2, "max": 6, "sum": 12, "avg": 4.0}
+    assert pl.sibling_stats(_buckets([]), "n")["count"] == 0
+
+
+def test_pipeline_daily_matches_oracle(sf_dir):
+    """The registry's tall pipeline table equals its DuckDB window-SQL
+    oracle row for row (the driver gate's exact comparison)."""
+    import duckdb
+
+    from elasticsearch_assets_ray.pipelines import registry as R
+
+    t = R.QUERIES["pipeline_daily"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    o = con.sql(R.ORACLES["pipeline_daily"]).df()
+    cols = sorted(t.columns)
+    assert sorted(o.columns) == cols
+    a = t[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = o[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c], b[c].astype(a[c].dtype)
+        assert ((av == bv) | (av.isna() & bv.isna())).all(), c
