@@ -1706,6 +1706,40 @@ def q_events_daily(sf_dir: str):
     )
 
 
+COMPOSITE_SOURCES: tuple = (("lang", None), ("n_chars", 200.0))
+COMPOSITE_PAGE = 7
+
+
+def q_composite_agg(sf_dir: str):
+    """ES ``composite`` aggregation: the after_key-paginated bucket scan,
+    served DISTRIBUTED (per-page scatter of size-bounded shard partials,
+    exact merged counts) and driven to exhaustion here — every page
+    is emitted with its page number, so the oracle checks both the
+    bucket space AND the pagination boundaries."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    pages = []
+    after = None
+    for pageno in range(1000):  # hard stop; the scan exhausts long before
+        t, after = sh.composite(
+            "spark table", COMPOSITE_SOURCES, size=COMPOSITE_PAGE, after=after
+        )
+        if t.num_rows == 0:
+            break
+        pages.append(
+            pa.table(
+                {
+                    "page": pa.array([pageno] * t.num_rows, pa.int64()),
+                    "lang": t["lang"],
+                    "bucket": t["n_chars"],
+                    "count": t["count"],
+                }
+            )
+        )
+        if t.num_rows < COMPOSITE_PAGE:
+            break
+    return pa.concat_tables(pages)
+
+
 def q_pipeline_daily(sf_dir: str):
     """ES pipeline aggregations over a date_histogram parent: the daily
     event counts are built DISTRIBUTED (combiner-first ``partial_agg``,
@@ -3273,6 +3307,18 @@ ORACLES: dict[str, str] = {
         "count(DISTINCT user_id)::BIGINT AS n_users "
         "FROM events GROUP BY day"
     ),
+    # composite agg: the full bucket space in key order, row_number
+    # assigning pages of COMPOSITE_PAGE (the after_key pagination walks
+    # the same order, so page boundaries land identically)
+    "composite_agg": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'table')), "
+        "k AS (SELECT d.lang AS lang, floor(d.n_chars / 200.0) * 200.0 AS bucket, "
+        " count(*)::BIGINT AS count FROM m JOIN documents d ON d.doc_id = m.doc_id "
+        " WHERE d.lang IS NOT NULL AND d.n_chars IS NOT NULL GROUP BY lang, bucket) "
+        "SELECT CAST(floor((row_number() OVER (ORDER BY lang, bucket) - 1) "
+        f"/ {COMPOSITE_PAGE}) AS BIGINT) AS page, lang, bucket, count FROM k"
+    ),
     # pipeline aggregations: SQL window functions over the same daily
     # buckets mirror the reduce-phase chain stage by stage (integer
     # counts sum exactly in float64, so mavg doubles agree bit-for-bit)
@@ -3528,6 +3574,7 @@ QUERIES = {
     "events_daily": q_events_daily,
     "events_daily_hll": q_events_daily_hll,
     "pipeline_daily": q_pipeline_daily,
+    "composite_agg": q_composite_agg,
     "percolate": q_percolate,
     "mixture_sample": q_mixture_sample,
     "filters_agg": q_filters_agg,

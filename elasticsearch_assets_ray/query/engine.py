@@ -1366,6 +1366,70 @@ class Searcher:
             }
         ).sort_by([("value", "ascending")])
 
+    def composite_ids(
+        self,
+        ids: np.ndarray,
+        sources: tuple[tuple[str, float | None], ...],
+        size: int | None = None,
+        after: tuple | None = None,
+    ) -> pa.Table:
+        """ES ``composite`` aggregation over an explicit match set — the
+        shard-side partial of the paginated bucket scan.  ``sources`` is
+        a tuple of (field, interval): interval None means a ``terms``
+        source (string key), a float means a ``histogram`` source
+        (``floor(v/interval)·interval`` key).  Buckets are ordered
+        ascending by the key tuple (ES's default source order); rows
+        with ANY null source value are skipped (ES default
+        ``missing_bucket: false``); ``after`` keeps only keys strictly
+        greater in tuple-lexicographic order; ``size`` truncates AFTER
+        the ordering, making the partial exactly "my first ``size``
+        buckets after the cursor"."""
+        names = [f for f, _ in sources]
+        tab = self.hydrate(np.sort(ids), columns=names)
+        keys: dict[str, pa.Array] = {}
+        for f, interval in sources:
+            arr = tab[f].combine_chunks()
+            if interval is None:
+                keys[f] = pc.cast(arr, pa.string())
+            else:
+                v = pc.cast(arr, pa.float64())
+                keys[f] = pc.multiply(
+                    pc.floor(pc.divide(v, pa.scalar(float(interval)))),
+                    pa.scalar(float(interval)),
+                )
+        kt = pa.table(keys)
+        valid = None
+        for c in names:
+            m = pc.is_valid(kt[c])
+            valid = m if valid is None else pc.and_(valid, m)
+        if valid is not None:
+            kt = kt.filter(valid)
+        g = kt.group_by(names).aggregate([([], "count_all")])
+        g = pa.table(
+            {**{c: g[c] for c in names}, "count": g["count_all"].cast(pa.int64())}
+        ).sort_by([(c, "ascending") for c in names])
+        if after is not None:
+            g = g.filter(_after_mask(g, names, after))
+        return g.slice(0, size) if size is not None else g
+
+    def composite(
+        self,
+        query: str | ParsedQuery,
+        sources: tuple[tuple[str, float | None], ...],
+        size: int = 10,
+        after: tuple | None = None,
+    ) -> tuple[pa.Table, tuple | None]:
+        """ES ``composite`` aggregation (single-process path): one page
+        of ``size`` buckets after the ``after`` cursor, plus the
+        ``after_key`` to resume from (None when the page is empty).
+        Unlike ``terms``, composite never ranks by count — it scans the
+        bucket space in key order, which is what makes it paginate a
+        bucket space too large to materialize (the ES-blessed way to
+        stream ALL buckets at 100 TB)."""
+        ids = self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
+        page = self.composite_ids(ids, sources, size, after)
+        return page, _composite_after_key(page, [f for f, _ in sources])
+
     def value_counts(self, query: str | ParsedQuery, field: str) -> pa.Table:
         """(value, count) multiset of a numeric column over the query's
         match set — the one match-set pass behind stats_agg/percentiles;
@@ -3098,6 +3162,48 @@ class QueryEngineActor:
 # counts merge as exact integers, and the final float math runs once on
 # the merged table in both cases.
 # ---------------------------------------------------------------------------
+
+
+def _after_mask(g: pa.Table, names: list[str], after: tuple) -> pa.Array:
+    """Tuple-lexicographic ``key > after`` over bucket-key columns (the
+    composite agg cursor filter)."""
+    if len(after) != len(names):
+        raise ValueError("after key arity != number of sources")
+    cond = np.zeros(g.num_rows, dtype=bool)
+    eq = np.ones(g.num_rows, dtype=bool)
+    for c, a in zip(names, after):
+        v = g[c].to_numpy(zero_copy_only=False)
+        cond |= eq & (v > a)
+        eq &= v == a
+    return pa.array(cond)
+
+
+def _composite_after_key(page: pa.Table, names: list[str]) -> tuple | None:
+    if page.num_rows == 0:
+        return None
+    return tuple(page[c][page.num_rows - 1].as_py() for c in names)
+
+
+def merge_composite_parts(
+    parts: list[pa.Table], names: list[str], size: int
+) -> pa.Table:
+    """Coordinator half of the distributed composite agg: sum the
+    per-shard partial counts by key tuple, re-sort, keep the first
+    ``size``.  Exact by the standard ES composite argument: if a bucket
+    is among the global first ``size`` in key order, then on every shard
+    holding it fewer than ``size`` local buckets precede it (key order
+    is global), so each such shard reported its full local count — the
+    merged count is complete."""
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {**{c: pa.array([], pa.string()) for c in names}, "count": pa.array([], pa.int64())}
+        )
+    g = pa.concat_tables(parts).group_by(names).aggregate([("count", "sum")])
+    g = pa.table(
+        {**{c: g[c] for c in names}, "count": g["count_sum"].cast(pa.int64())}
+    ).sort_by([(c, "ascending") for c in names])
+    return g.slice(0, size)
 
 
 def merge_value_counts(parts: list[pa.Table]) -> pa.Table:

@@ -165,6 +165,19 @@ class ShardWorker:
         }
         return adjacency_from_ids(ids)
 
+    def composite(
+        self,
+        q: ParsedQuery,
+        sources: tuple,
+        size: int,
+        after: tuple | None,
+        df: dict[str, int],
+    ) -> pa.Table:
+        """Local composite-agg page: my first ``size`` buckets (key
+        order) after the cursor, with full local counts."""
+        ids = self.s.match_ids_prepared(q, df)
+        return self.s.composite_ids(ids, sources, size, after)
+
     def tdigest(self, q: ParsedQuery, field: str, delta: float, df: dict[str, int]) -> bytes:
         """Fixed-size quantile-sketch partial (unbounded-cardinality swap
         for the exact value_counts partial)."""
@@ -572,6 +585,32 @@ class ShardedSearcher:
         return self._sum_counts(
             self._gather("adjacency", names, qs, dfs), "value", pa.string()
         )
+
+    def composite(
+        self,
+        query: str | ParsedQuery,
+        sources: tuple[tuple[str, float | None], ...],
+        size: int = 10,
+        after: tuple | None = None,
+    ) -> tuple[pa.Table, tuple | None]:
+        """Distributed ES ``composite`` aggregation — the paginated
+        bucket scan that streams an unbounded bucket space in key order
+        (ES's answer to deep terms-agg pagination, and the shape that
+        scales: each page is ONE scatter of ``size``-bounded partials,
+        never the whole bucket space).  Each shard returns its first
+        ``size`` local buckets after the cursor; the merged first
+        ``size`` have exact counts (see merge_composite_parts), and the
+        returned ``after_key`` resumes the scan."""
+        from elasticsearch_assets_ray.query.engine import (
+            _composite_after_key,
+            merge_composite_parts,
+        )
+
+        q, df = self.prepare(query)
+        names = [f for f, _ in sources]
+        parts = self._gather("composite", q, tuple(sources), size, after, df)
+        page = merge_composite_parts(parts, names, size)
+        return page, _composite_after_key(page, names)
 
     def percentiles_approx(
         self,
