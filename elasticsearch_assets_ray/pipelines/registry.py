@@ -1740,6 +1740,78 @@ def q_composite_agg(sf_dir: str):
     return pa.concat_tables(pages)
 
 
+def q_rare_terms(sf_dir: str):
+    """ES rare_terms (long-tail buckets, exact): untruncated per-shard
+    facet partials merged THEN filtered to count ≤ 2 — ES approximates
+    with a CuckooFilter, this path is exact."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    return sh.rare_terms("spark table", by="n_chars", max_doc_count=2)
+
+
+def q_multi_terms(sf_dir: str):
+    """ES multi_terms ((lang, source) tuple buckets, count-desc),
+    distributed with untruncated tuple-key partials."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    t = sh.multi_terms("spark table", ("lang", "source"), size=10)
+    return t.append_column(
+        "rank", pa.array(range(1, t.num_rows + 1), pa.int64())
+    )
+
+
+def q_mad_nchars(sf_dir: str):
+    """ES median_absolute_deviation over the match set — exact, from the
+    same one value_counts scatter as stats/percentiles."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    v = sh.mad("spark table", "n_chars")
+    return pa.table({"mad_r": pa.array([round(float(v), 6)], pa.float64())})
+
+
+def q_weighted_avg(sf_dir: str):
+    """ES terms + weighted_avg sub-agg over the lineitem table: average
+    extended price weighted by quantity, per returnflag.  Money is
+    summed in integer cents and weights in integer units (combiner-first
+    partial_agg), so the one final float division is exact-input —
+    bit-identical to the SQL twin."""
+    ds = _rd(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def der(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0))), pa.int64()
+        )
+        qty = pc.cast(b["l_quantity"], pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "vw": pc.multiply(cents, qty),
+                "w": qty,
+            }
+        )
+
+    t = _collect(
+        partial_agg(
+            ds.map_batches(der, batch_format="pyarrow"),
+            ["l_returnflag"],
+            [AggSpec("sum_vw", "vw", "sum"), AggSpec("sum_w", "w", "sum")],
+            distinct_hint=8,
+        )
+    ).sort_by([("l_returnflag", "ascending")])
+    wavg = [
+        round((vw / 100.0) / w, 6)
+        for vw, w in zip(t["sum_vw"].to_pylist(), t["sum_w"].to_pylist())
+    ]
+    return pa.table(
+        {
+            "l_returnflag": t["l_returnflag"],
+            "sum_w": t["sum_w"].combine_chunks().cast(pa.int64()),
+            "wavg_r": pa.array(wavg, pa.float64()),
+        }
+    )
+
+
 def q_pipeline_daily(sf_dir: str):
     """ES pipeline aggregations over a date_histogram parent: the daily
     event counts are built DISTRIBUTED (combiner-first ``partial_agg``,
@@ -3319,6 +3391,42 @@ ORACLES: dict[str, str] = {
         "SELECT CAST(floor((row_number() OVER (ORDER BY lang, bucket) - 1) "
         f"/ {COMPOSITE_PAGE}) AS BIGINT) AS page, lang, bucket, count FROM k"
     ),
+    # rare_terms: global counts first, THEN the ≤ filter (rarest-first)
+    "rare_terms": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'table')) "
+        "SELECT CAST(d.n_chars AS VARCHAR) AS value, count(*)::BIGINT AS count "
+        "FROM m JOIN documents d ON d.doc_id = m.doc_id "
+        "WHERE d.n_chars IS NOT NULL GROUP BY d.n_chars HAVING count(*) <= 2"
+    ),
+    # multi_terms: tuple buckets, count-desc then keys-asc, top 10
+    "multi_terms": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'table')) "
+        "SELECT d.lang, d.source, count(*)::BIGINT AS count, "
+        "row_number() OVER (ORDER BY count(*) DESC, d.lang, d.source) AS rank "
+        "FROM m JOIN documents d ON d.doc_id = m.doc_id "
+        "WHERE d.lang IS NOT NULL AND d.source IS NOT NULL "
+        "GROUP BY d.lang, d.source QUALIFY rank <= 10"
+    ),
+    # median_absolute_deviation: both medians at quantile_cont convention
+    "mad_nchars": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'table')), "
+        "v AS (SELECT d.n_chars::DOUBLE AS x FROM m JOIN documents d "
+        " ON d.doc_id = m.doc_id WHERE d.n_chars IS NOT NULL), "
+        "med AS (SELECT quantile_cont(x, 0.5) AS mm FROM v) "
+        "SELECT round(quantile_cont(abs(v.x - med.mm), 0.5), 6) AS mad_r "
+        "FROM v CROSS JOIN med GROUP BY med.mm"
+    ),
+    # weighted_avg: integer-cents × integer-quantity partials
+    "weighted_avg": (
+        "SELECT l_returnflag, sum(CAST(l_quantity AS BIGINT)) AS sum_w, "
+        "round((sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+        " * CAST(l_quantity AS BIGINT)) / 100.0) "
+        " / sum(CAST(l_quantity AS BIGINT)), 6) AS wavg_r "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
     # pipeline aggregations: SQL window functions over the same daily
     # buckets mirror the reduce-phase chain stage by stage (integer
     # counts sum exactly in float64, so mavg doubles agree bit-for-bit)
@@ -3575,6 +3683,10 @@ QUERIES = {
     "events_daily_hll": q_events_daily_hll,
     "pipeline_daily": q_pipeline_daily,
     "composite_agg": q_composite_agg,
+    "rare_terms": q_rare_terms,
+    "multi_terms": q_multi_terms,
+    "mad_nchars": q_mad_nchars,
+    "weighted_avg": q_weighted_avg,
     "percolate": q_percolate,
     "mixture_sample": q_mixture_sample,
     "filters_agg": q_filters_agg,

@@ -1412,6 +1412,37 @@ class Searcher:
             g = g.filter(_after_mask(g, names, after))
         return g.slice(0, size) if size is not None else g
 
+    def rare_terms(
+        self, query: str | ParsedQuery, by: str, max_doc_count: int = 1
+    ) -> pa.Table:
+        """ES ``rare_terms`` aggregation: the long tail — buckets whose
+        TOTAL count is ≤ ``max_doc_count``, ordered count-ascending then
+        value-ascending (rarest first).  Needs untruncated global counts
+        (a term locally rare may be globally common), which is why the
+        distributed path merges full per-shard facet partials before
+        filtering — ES approximates this with a CuckooFilter; ours is
+        exact."""
+        ids = self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
+        return rare_from_facet(self.facet_ids(ids, by, size=None), max_doc_count)
+
+    def multi_terms(
+        self, query: str | ParsedQuery, fields: tuple[str, ...], size: int | None = None
+    ) -> pa.Table:
+        """ES ``multi_terms`` aggregation: buckets keyed by a tuple of
+        fields, count-descending (then keys ascending), docs missing any
+        key skipped — the composite key machinery reused with the terms
+        agg's ordering."""
+        ids = self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
+        part = self.composite_ids(ids, tuple((f, None) for f in fields))
+        return multi_terms_from_parts([part], list(fields), size)
+
+    def mad(self, query: str | ParsedQuery, field: str) -> float | None:
+        """ES ``median_absolute_deviation`` aggregation — exact (ES
+        itself computes it over t-digests): median of |x − median(x)|,
+        both medians at the linear-interpolation convention shared with
+        :meth:`percentiles` / SQL ``quantile_cont``."""
+        return mad_from_value_counts(self.value_counts(query, field))
+
     def composite(
         self,
         query: str | ParsedQuery,
@@ -3204,6 +3235,52 @@ def merge_composite_parts(
         {**{c: g[c] for c in names}, "count": g["count_sum"].cast(pa.int64())}
     ).sort_by([(c, "ascending") for c in names])
     return g.slice(0, size)
+
+
+def rare_from_facet(merged: pa.Table, max_doc_count: int) -> pa.Table:
+    """rare_terms finalizer over merged (value, count) buckets: keep
+    count ≤ max_doc_count, rarest first."""
+    keep = pc.less_equal(merged["count"], pa.scalar(max_doc_count, pa.int64()))
+    return merged.filter(keep).sort_by(
+        [("count", "ascending"), ("value", "ascending")]
+    )
+
+
+def multi_terms_from_parts(
+    parts: list[pa.Table], names: list[str], size: int | None
+) -> pa.Table:
+    """multi_terms finalizer: sum untruncated per-shard tuple-key
+    partials (exact — no shard truncation happened), order by count
+    desc then keys asc, truncate."""
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table(
+            {**{c: pa.array([], pa.string()) for c in names}, "count": pa.array([], pa.int64())}
+        )
+    g = pa.concat_tables(parts).group_by(names).aggregate([("count", "sum")])
+    g = pa.table(
+        {**{c: g[c] for c in names}, "count": g["count_sum"].cast(pa.int64())}
+    ).sort_by([("count", "descending"), *[(c, "ascending") for c in names]])
+    return g.slice(0, size) if size is not None else g
+
+
+def mad_from_value_counts(vc: pa.Table) -> float | None:
+    """median_absolute_deviation from an exact (value, count) multiset:
+    median via the shared linear-interpolation percentile, then the
+    median of the |x − med| multiset (unique abs-deviations re-counted —
+    never expanding the data)."""
+    if vc.num_rows == 0:
+        return None
+    med = percentiles_from_value_counts(vc, (50.0,))["value"][0].as_py()
+    v = np.abs(vc["value"].to_numpy(zero_copy_only=False).astype(np.float64) - med)
+    c = vc["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    # collapse equal abs-deviations (argsort groups them adjacently)
+    uniq, start = np.unique(v, return_index=True)
+    sums = np.add.reduceat(c, start)
+    dev = pa.table({"value": pa.array(uniq), "count": pa.array(sums)})
+    return percentiles_from_value_counts(dev, (50.0,))["value"][0].as_py()
 
 
 def merge_value_counts(parts: list[pa.Table]) -> pa.Table:

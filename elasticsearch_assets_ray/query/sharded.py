@@ -178,6 +178,15 @@ class ShardWorker:
         ids = self.s.match_ids_prepared(q, df)
         return self.s.composite_ids(ids, sources, size, after)
 
+    def multi_facet(
+        self, q: ParsedQuery, fields: tuple, df: dict[str, int]
+    ) -> pa.Table:
+        """Untruncated tuple-key value counts (the multi_terms shard
+        partial — truncation is only valid after the merge, same rule as
+        :meth:`facet`)."""
+        ids = self.s.match_ids_prepared(q, df)
+        return self.s.composite_ids(ids, tuple((f, None) for f in fields))
+
     def tdigest(self, q: ParsedQuery, field: str, delta: float, df: dict[str, int]) -> bytes:
         """Fixed-size quantile-sketch partial (unbounded-cardinality swap
         for the exact value_counts partial)."""
@@ -585,6 +594,38 @@ class ShardedSearcher:
         return self._sum_counts(
             self._gather("adjacency", names, qs, dfs), "value", pa.string()
         )
+
+    def rare_terms(
+        self, query: str | ParsedQuery, by: str, max_doc_count: int = 1
+    ) -> pa.Table:
+        """Distributed ES rare_terms: merge UNTRUNCATED per-shard facet
+        partials, then filter to the long tail — exact (a locally-rare
+        term's other occurrences live on other shards, so the ≤ filter
+        can only run after the global sum; ES approximates this with a
+        per-shard CuckooFilter)."""
+        q, df = self.prepare(query)
+        merged = self._sum_counts(self._gather("facet", q, by, df), "value", pa.string())
+        from elasticsearch_assets_ray.query.engine import rare_from_facet
+
+        return rare_from_facet(merged, max_doc_count)
+
+    def multi_terms(
+        self, query: str | ParsedQuery, fields: tuple[str, ...], size: int | None = None
+    ) -> pa.Table:
+        """Distributed ES multi_terms: untruncated tuple-key partials,
+        summed exactly, ordered count-desc at the merge."""
+        from elasticsearch_assets_ray.query.engine import multi_terms_from_parts
+
+        q, df = self.prepare(query)
+        parts = self._gather("multi_facet", q, tuple(fields), df)
+        return multi_terms_from_parts(parts, list(fields), size)
+
+    def mad(self, query: str | ParsedQuery, field: str) -> float | None:
+        """Distributed median_absolute_deviation — same one value_counts
+        scatter as stats/percentiles, both medians on the coordinator."""
+        from elasticsearch_assets_ray.query.engine import mad_from_value_counts
+
+        return mad_from_value_counts(self.value_counts(query, field))
 
     def composite(
         self,
