@@ -317,6 +317,18 @@ _GEO_LATLON_SQL = (
 )
 
 
+def _geohash_grid_oracle() -> str:
+    from elasticsearch_assets_ray.sources.geo import geohash_grid_sql
+
+    cell = geohash_grid_sql("lat", "lon", GEOHASH_PRECISION)
+    return (
+        "WITH g AS (SELECT event_id, "
+        f"{_GEO_LATLON_SQL[0]} AS lat, {_GEO_LATLON_SQL[1]} AS lon FROM events), "
+        f"c AS (SELECT {cell} AS geohash FROM g) "
+        "SELECT geohash, count(*)::BIGINT AS count FROM c GROUP BY geohash"
+    )
+
+
 def q_geo_box_count(sf_dir: str):
     """Q5 geo bounding box as a plain range predicate over float lat/lon
     columns (reference geoBoundingBox, utils.ts:102-107)."""
@@ -1738,6 +1750,23 @@ def q_composite_agg(sf_dir: str):
         if t.num_rows < COMPOSITE_PAGE:
             break
     return pa.concat_tables(pages)
+
+
+GEOHASH_PRECISION = 2  # 32×32 world grid — bounded bucket count at any sf
+
+
+def q_geohash_grid(sf_dir: str):
+    """ES geohash_grid aggregation over the derived event lat/lon:
+    vectorized integer bit-interleave encode per batch, combiner-first
+    count partials, exact merge.  Geohash (not Mercator geotile) is the
+    oracle-checked grid because its quantizer has no transcendentals —
+    the SQL twin computes the identical cell."""
+    from elasticsearch_assets_ray.sources.geo import geohash_grid
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id"]).map_batches(
+        _derive_latlon, batch_format="pyarrow"
+    )
+    return geohash_grid(ds, "lat", "lon", precision=GEOHASH_PRECISION)
 
 
 def q_rare_terms(sf_dir: str):
@@ -3391,6 +3420,9 @@ ORACLES: dict[str, str] = {
         "SELECT CAST(floor((row_number() OVER (ORDER BY lang, bucket) - 1) "
         f"/ {COMPOSITE_PAGE}) AS BIGINT) AS page, lang, bucket, count FROM k"
     ),
+    # geohash_grid: the generated SQL twin of geohash_encode (same
+    # quantize/interleave/base-32 arithmetic) applied per event
+    "geohash_grid": _geohash_grid_oracle(),
     # rare_terms: global counts first, THEN the ≤ filter (rarest-first)
     "rare_terms": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
@@ -3683,6 +3715,7 @@ QUERIES = {
     "events_daily_hll": q_events_daily_hll,
     "pipeline_daily": q_pipeline_daily,
     "composite_agg": q_composite_agg,
+    "geohash_grid": q_geohash_grid,
     "rare_terms": q_rare_terms,
     "multi_terms": q_multi_terms,
     "mad_nchars": q_mad_nchars,

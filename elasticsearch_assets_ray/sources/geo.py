@@ -96,3 +96,110 @@ def geo_distance_topk(
         t, sort_keys=[("distance_km", "ascending"), (id_col, "ascending")]
     )[:k]
     return t.take(idx)
+
+
+# ---------------------------------------------------------------------------
+# geohash grid aggregation (ES geohash_grid)
+# ---------------------------------------------------------------------------
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(
+    lat: np.ndarray, lon: np.ndarray, precision: int = 5
+) -> np.ndarray:
+    """Vectorized geohash (the classic base-32 Z-order code).  Geohash is
+    PURE integer subdivision — quantize lat/lon on an equirectangular
+    grid, bit-interleave starting with a longitude bit, emit 5-bit
+    base-32 chars.  No transcendentals anywhere, so a SQL twin computes
+    the identical cell (the reason this grid — and not Mercator
+    geotile_grid, whose y needs ln/tan — is the oracle-checked one;
+    geotile differs only in the quantizer)."""
+    if not 1 <= precision <= 12:
+        raise ValueError("precision must be in [1, 12]")
+    nbits = precision * 5
+    nlon = (nbits + 1) // 2  # first (most significant) bit is longitude
+    nlat = nbits // 2
+    latq = np.floor((lat.astype(np.float64) + 90.0) / 180.0 * (1 << nlat)).astype(
+        np.int64
+    )
+    lonq = np.floor((lon.astype(np.float64) + 180.0) / 360.0 * (1 << nlon)).astype(
+        np.int64
+    )
+    np.clip(latq, 0, (1 << nlat) - 1, out=latq)  # lat=+90 / lon=+180 edge
+    np.clip(lonq, 0, (1 << nlon) - 1, out=lonq)
+    g = np.zeros(latq.shape, dtype=np.int64)
+    bl, bt = nlon - 1, nlat - 1
+    for k in range(nbits):
+        g <<= 1
+        if k % 2 == 0:
+            g |= (lonq >> bl) & 1
+            bl -= 1
+        else:
+            g |= (latq >> bt) & 1
+            bt -= 1
+    chars = np.array(list(GEOHASH32))
+    out = chars[(g >> (5 * (precision - 1))) & 31]
+    for c in range(1, precision):
+        out = np.char.add(out, chars[(g >> (5 * (precision - 1 - c))) & 31])
+    return out
+
+
+def geohash_grid(
+    ds: ray.data.Dataset, lat_col: str, lon_col: str, precision: int = 5
+) -> pa.Table:
+    """ES ``geohash_grid`` aggregation over a Dataset: per-batch encode +
+    combiner-first count partials (the shuffle moves ≤ 32^precision cell
+    partials per batch, never points), merged exactly; buckets ordered
+    count-desc then cell-asc (the ES grid bucket order)."""
+    from elasticsearch_assets_ray.stages.relational import AggSpec, partial_agg
+
+    def enc(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        return pa.table({"geohash": pa.array(geohash_encode(lat, lon, precision))})
+
+    cells = ds.map_batches(enc, batch_format="pyarrow")
+    agg = partial_agg(cells, ["geohash"], [AggSpec("count", "geohash", "count")])
+    parts = list(agg.iter_batches(batch_format="pyarrow"))
+    t = pa.concat_tables(parts) if parts else pa.table(
+        {"geohash": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+    )
+    return pa.table(
+        {
+            "geohash": t["geohash"].combine_chunks(),
+            "count": t["count"].combine_chunks().cast(pa.int64()),
+        }
+    ).sort_by([("count", "descending"), ("geohash", "ascending")])
+
+
+def geohash_grid_sql(lat_expr: str, lon_expr: str, precision: int) -> str:
+    """The SQL twin of :func:`geohash_encode` as a scalar expression over
+    ``lat_expr``/``lon_expr`` — identical quantize + interleave + base-32
+    arithmetic, generated for the given precision."""
+    nbits = precision * 5
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    latq = f"CAST(floor((({lat_expr}) + 90.0) / 180.0 * {1 << nlat}) AS BIGINT)"
+    lonq = f"CAST(floor((({lon_expr}) + 180.0) / 360.0 * {1 << nlon}) AS BIGINT)"
+    # interleaved integer: walk output bits MSB→LSB, alternating lon/lat
+    terms = []
+    bl, bt = nlon - 1, nlat - 1
+    for k in range(nbits):
+        pos = nbits - 1 - k
+        if k % 2 == 0:
+            terms.append(f"(((lonq >> {bl}) & 1) << {pos})")
+            bl -= 1
+        else:
+            terms.append(f"(((latq >> {bt}) & 1) << {pos})")
+            bt -= 1
+    g = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{GEOHASH32}', CAST(((g >> {5 * (precision - 1 - c)}) & 31) AS INTEGER) + 1, 1)"
+        for c in range(precision)
+    )
+    return (
+        f"(SELECT {chars} FROM (SELECT {g} AS g FROM (SELECT "
+        f"LEAST(GREATEST({latq}, 0), {(1 << nlat) - 1}) AS latq, "
+        f"LEAST(GREATEST({lonq}, 0), {(1 << nlon) - 1}) AS lonq)))"
+    )

@@ -1,0 +1,81 @@
+"""Geohash grid aggregation: canonical test vectors, edge clamping, and
+the generated SQL twin (bit-identical cells — geohash has no
+transcendentals, which is why it's the oracle-checked grid)."""
+
+import numpy as np
+import pytest
+
+from elasticsearch_assets_ray.sources.geo import (
+    geohash_encode,
+    geohash_grid,
+    geohash_grid_sql,
+)
+
+
+def test_canonical_vectors():
+    # the two classic published examples
+    assert geohash_encode(np.array([57.64911]), np.array([10.40744]), 11)[0] == (
+        "u4pruydqqvj"
+    )
+    assert geohash_encode(np.array([42.605]), np.array([-5.603]), 5)[0] == "ezs42"
+
+
+def test_prefix_property():
+    """A finer geohash refines (is prefixed by) the coarser one."""
+    lat = np.array([48.8566, -33.8688, 35.6762])
+    lon = np.array([2.3522, 151.2093, 139.6503])
+    g8 = geohash_encode(lat, lon, 8)
+    for p in (1, 3, 5):
+        gp = geohash_encode(lat, lon, p)
+        assert all(f.startswith(c) for f, c in zip(g8, gp))
+
+
+def test_poles_and_antimeridian_clamped():
+    g = geohash_encode(np.array([90.0, -90.0]), np.array([180.0, -180.0]), 4)
+    assert list(g) == ["zzzz", "0000"]
+
+
+def test_precision_validated():
+    with pytest.raises(ValueError):
+        geohash_encode(np.array([0.0]), np.array([0.0]), 0)
+    with pytest.raises(ValueError):
+        geohash_encode(np.array([0.0]), np.array([0.0]), 13)
+
+
+@pytest.mark.parametrize("precision", [1, 2, 5])
+def test_sql_twin_bit_identical(precision):
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-90, 90, 200)
+    lon = rng.uniform(-180, 180, 200)
+    want = geohash_encode(lat, lon, precision)
+    con = duckdb.connect()
+    con.register(
+        "pts",
+        __import__("pandas").DataFrame({"lat": lat, "lon": lon}),
+    )
+    cell = geohash_grid_sql("lat", "lon", precision)
+    got = con.sql(f"SELECT {cell} AS g FROM pts").df()["g"].to_numpy()
+    assert (got == want).all()
+
+
+def test_geohash_grid_dataset(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-90, 90, 1000)
+    lon = rng.uniform(-180, 180, 1000)
+    ds = ray.data.from_items(
+        [{"lat": float(a), "lon": float(o)} for a, o in zip(lat, lon)]
+    )
+    t = geohash_grid(ds, "lat", "lon", precision=1)
+    # exact counts vs numpy
+    import collections
+
+    want = collections.Counter(geohash_encode(lat, lon, 1))
+    got = dict(zip(t["geohash"].to_pylist(), t["count"].to_pylist()))
+    assert got == dict(want)
+    # ES bucket order: count desc, cell asc
+    rows = list(zip(t["count"].to_pylist(), t["geohash"].to_pylist()))
+    assert rows == sorted(rows, key=lambda cv: (-cv[0], cv[1]))
