@@ -317,6 +317,20 @@ _GEO_LATLON_SQL = (
 )
 
 
+def _auto_histo_oracle() -> str:
+    from elasticsearch_assets_ray.sources.dates import auto_interval_sql
+
+    case = auto_interval_sql(AUTO_HISTO_TARGET)
+    return (
+        "WITH e AS (SELECT epoch_us(ts) AS us FROM events), "
+        "r AS (SELECT min(us) AS mn, max(us) AS mx FROM e), "
+        f"iv AS (SELECT CAST({case} AS BIGINT) AS i FROM r) "
+        "SELECT make_timestamp((e.us // iv.i) * iv.i) AS bucket, "
+        "count(*)::BIGINT AS count, iv.i AS interval_us "
+        "FROM e CROSS JOIN iv GROUP BY bucket, iv.i"
+    )
+
+
 def _geohash_grid_oracle() -> str:
     from elasticsearch_assets_ray.sources.geo import geohash_grid_sql
 
@@ -1750,6 +1764,63 @@ def q_composite_agg(sf_dir: str):
         if t.num_rows < COMPOSITE_PAGE:
             break
     return pa.concat_tables(pages)
+
+
+def q_matrix_stats(sf_dir: str):
+    """ES matrix_stats over (n_chars, token_count): integer co-moment
+    partials per batch (one tiny row each), exact sums, all float math
+    once at the end — mean / sample variance / covariance / Pearson
+    correlation, bit-replicated by the SQL twin's identical E-form
+    expressions."""
+    from elasticsearch_assets_ray.stages.relational import matrix_stats
+    from elasticsearch_assets_ray.stages.textstats import token_stats
+
+    ds = _rd(sf_dir, "documents", columns=["text", "n_chars"]).map_batches(
+        token_stats, batch_format="pyarrow"
+    )
+    return matrix_stats(ds, ["n_chars", "token_count"])
+
+
+AUTO_HISTO_TARGET = 20
+
+
+def q_auto_date_histogram(sf_dir: str):
+    """ES auto_date_histogram: the interval comes off a fixed rounding
+    ladder — the smallest whose aligned bucket count fits the target —
+    then the bucketing is a plain combiner-first date histogram.  The
+    chosen interval is emitted on every row so the oracle verifies the
+    ladder choice, not just the buckets."""
+    from elasticsearch_assets_ray.sources.dates import auto_interval_us
+    from elasticsearch_assets_ray.sources.reader import min_max_probe
+
+    lo, hi = min_max_probe(_p(sf_dir, "events"), "ts")
+    mn = int(pa.scalar(lo, pa.timestamp("us")).cast(pa.int64()).as_py())
+    mx = int(pa.scalar(hi, pa.timestamp("us")).cast(pa.int64()).as_py())
+    iv = auto_interval_us(mn, mx, AUTO_HISTO_TARGET)
+
+    ds = _rd(sf_dir, "events", columns=["ts"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        us = b["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"bucket": pa.array((us // iv) * iv, pa.int64())}
+        )
+
+    t = _collect(
+        partial_agg(
+            ds.map_batches(bucketize, batch_format="pyarrow"),
+            ["bucket"],
+            [AggSpec("count", "bucket", "count")],
+            distinct_hint=AUTO_HISTO_TARGET * 2,
+        )
+    ).sort_by([("bucket", "ascending")])
+    return pa.table(
+        {
+            "bucket": t["bucket"].combine_chunks().cast(pa.timestamp("us")),
+            "count": t["count"].combine_chunks().cast(pa.int64()),
+            "interval_us": pa.array([iv] * t.num_rows, pa.int64()),
+        }
+    )
 
 
 GEOHASH_PRECISION = 2  # 32×32 world grid — bounded bucket count at any sf
@@ -3423,6 +3494,34 @@ ORACLES: dict[str, str] = {
     # geohash_grid: the generated SQL twin of geohash_encode (same
     # quantize/interleave/base-32 arithmetic) applied per event
     "geohash_grid": _geohash_grid_oracle(),
+    # matrix_stats: identical E-form float expressions over the same
+    # exact integer sums (sum(x*x) of BIGINT promotes losslessly; every
+    # operand is cast to DOUBLE at the same point as the Python side)
+    "matrix_stats": (
+        f"WITH f AS (SELECT n_chars::BIGINT AS x, len({_TOK})::BIGINT AS y "
+        " FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL), "
+        "s AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, "
+        " sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx, sum(y*y)::BIGINT AS syy, "
+        " sum(x*y)::BIGINT AS sxy FROM f), "
+        "d AS (SELECT n, "
+        " (sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n) / (n - 1) AS vx, "
+        " (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n) / (n - 1) AS vy, "
+        " (sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) / (n - 1) AS cv, "
+        " sx::DOUBLE / n AS mx, sy::DOUBLE / n AS my FROM s) "
+        "SELECT 'count' AS stat, 'n_chars' AS fx, 'n_chars' AS fy, "
+        " CAST(n AS DOUBLE) AS value_r FROM d "
+        "UNION ALL SELECT 'count', 'token_count', 'token_count', CAST(n AS DOUBLE) FROM d "
+        "UNION ALL SELECT 'mean', 'n_chars', 'n_chars', round(mx, 6) FROM d "
+        "UNION ALL SELECT 'mean', 'token_count', 'token_count', round(my, 6) FROM d "
+        "UNION ALL SELECT 'variance', 'n_chars', 'n_chars', round(vx, 6) FROM d "
+        "UNION ALL SELECT 'variance', 'token_count', 'token_count', round(vy, 6) FROM d "
+        "UNION ALL SELECT 'covariance', 'n_chars', 'token_count', round(cv, 6) FROM d "
+        "UNION ALL SELECT 'correlation', 'n_chars', 'token_count', "
+        " round(cv / sqrt(vx * vy), 6) FROM d"
+    ),
+    # auto_date_histogram: the CASE ladder must pick the same interval,
+    # then the bucket key is the same integer floor-multiple
+    "auto_date_histogram": _auto_histo_oracle(),
     # rare_terms: global counts first, THEN the ≤ filter (rarest-first)
     "rare_terms": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
@@ -3716,6 +3815,8 @@ QUERIES = {
     "pipeline_daily": q_pipeline_daily,
     "composite_agg": q_composite_agg,
     "geohash_grid": q_geohash_grid,
+    "matrix_stats": q_matrix_stats,
+    "auto_date_histogram": q_auto_date_histogram,
     "rare_terms": q_rare_terms,
     "multi_terms": q_multi_terms,
     "mad_nchars": q_mad_nchars,

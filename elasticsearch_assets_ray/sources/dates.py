@@ -167,3 +167,45 @@ def interval_ranges(
         out.append((t, min(nxt, limit)))
         t = nxt
     return out
+
+
+# ---------------------------------------------------------------------------
+# auto_date_histogram (ES): pick the interval from a fixed rounding
+# ladder so the bucket count fits the target
+# ---------------------------------------------------------------------------
+
+#: the rounding ladder, ascending, in microseconds.  ES's ladder uses
+#: calendar months/years; ours approximates them with fixed 30/90/180/365
+#: day intervals (documented divergence — fixed intervals keep bucket
+#: keys a pure integer function of the epoch, which the SQL twin and the
+#: distributed bucketing both rely on).
+AUTO_INTERVALS_US: tuple[int, ...] = tuple(
+    s * 1_000_000
+    for s in (
+        1, 5, 10, 30, 60, 300, 600, 1800, 3600,
+        3 * 3600, 12 * 3600, 86_400, 7 * 86_400,
+        30 * 86_400, 90 * 86_400, 180 * 86_400, 365 * 86_400,
+    )
+)
+
+
+def auto_interval_us(mn_us: int, mx_us: int, target_buckets: int) -> int:
+    """The smallest ladder interval whose aligned bucket count
+    (``mx//i − mn//i + 1``) fits ``target_buckets`` — exactly the
+    expression the generated SQL twin evaluates."""
+    if target_buckets < 1:
+        raise ValueError("target_buckets must be >= 1")
+    for i in AUTO_INTERVALS_US:
+        if mx_us // i - mn_us // i + 1 <= target_buckets:
+            return i
+    return AUTO_INTERVALS_US[-1]
+
+
+def auto_interval_sql(target_buckets: int) -> str:
+    """SQL twin of :func:`auto_interval_us` as a CASE over (mn, mx)
+    epoch-microsecond columns."""
+    arms = " ".join(
+        f"WHEN (mx // {i} - mn // {i} + 1) <= {target_buckets} THEN {i}"
+        for i in AUTO_INTERVALS_US
+    )
+    return f"CASE {arms} ELSE {AUTO_INTERVALS_US[-1]} END"

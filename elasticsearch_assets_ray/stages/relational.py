@@ -284,3 +284,89 @@ def topk(
     t = pa.concat_tables(batches)
     idx = pc.sort_indices(t, sort_keys=sort_keys)[:k]
     return t.take(idx)
+
+
+# ---------------------------------------------------------------------------
+# matrix_stats (ES): exact multi-field moment/covariance/correlation
+# ---------------------------------------------------------------------------
+
+
+def matrix_stats_partials(ds: ray.data.Dataset, fields: list[str]) -> dict[str, int]:
+    """Integer co-moment partials over INTEGER-valued fields: n, Σxᵢ and
+    Σxᵢxⱼ (i ≤ j), combined per batch inside ``map_batches`` and summed
+    as Python ints on the driver (one tiny row per batch crosses the
+    wire).  Rows with ANY null field are skipped (ES matrix_stats
+    semantics).  Integer sums make the distributed result independent of
+    batch/shard order and bit-replicable in SQL; fields whose Σx² would
+    overflow int64 need the t-digest/float swap (documented, not
+    needed for the bounded metadata fields this serves)."""
+
+    def part(b: pa.Table) -> pa.Table:
+        valid = None
+        for f in fields:
+            m = pc.is_valid(b[f])
+            valid = m if valid is None else pc.and_(valid, m)
+        if valid is not None:
+            b = b.filter(valid)
+        cols = [
+            b[f].to_numpy(zero_copy_only=False).astype(np.int64) for f in fields
+        ]
+        out: dict[str, list[int]] = {"n": [b.num_rows]}
+        for i, f in enumerate(fields):
+            out[f"s_{i}"] = [int(cols[i].sum())]
+            for j in range(i, len(fields)):
+                out[f"p_{i}_{j}"] = [int(np.dot(cols[i], cols[j]))]
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    sums: dict[str, int] = {}
+    for batch in ds.map_batches(part, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        # iter_batches may coalesce several per-block partial rows into
+        # one batch — fold EVERY row
+        for name in batch.column_names:
+            sums[name] = sums.get(name, 0) + int(pc.sum(batch[name]).as_py())
+    return sums
+
+
+def matrix_stats(ds: ray.data.Dataset, fields: list[str]) -> pa.Table:
+    """ES ``matrix_stats`` aggregation: count, per-field mean and sample
+    variance, pairwise sample covariance and Pearson correlation — all
+    finalized ONCE from the exact integer partials (the float expressions
+    are written in the textbook E-form so a SQL twin evaluates the
+    identical doubles).  Output: (stat, fx, fy, value_r) rows."""
+    s = matrix_stats_partials(ds, fields)
+    n = s["n"]
+    if n < 2:
+        raise ValueError("matrix_stats needs >= 2 complete rows")
+    rows: list[tuple[str, str, str, float]] = []
+    means: list[float] = []
+    var: list[float] = []
+    for i, f in enumerate(fields):
+        rows.append(("count", f, f, float(n)))
+        m = float(s[f"s_{i}"]) / n
+        means.append(m)
+        v = (float(s[f"p_{i}_{i}"]) - float(s[f"s_{i}"]) * float(s[f"s_{i}"]) / n) / (
+            n - 1
+        )
+        var.append(v)
+        rows.append(("mean", f, f, round(m, 6)))
+        rows.append(("variance", f, f, round(v, 6)))
+    for i, fx in enumerate(fields):
+        for j in range(i + 1, len(fields)):
+            fy = fields[j]
+            cov = (
+                float(s[f"p_{i}_{j}"]) - float(s[f"s_{i}"]) * float(s[f"s_{j}"]) / n
+            ) / (n - 1)
+            rows.append(("covariance", fx, fy, round(cov, 6)))
+            rows.append(
+                ("correlation", fx, fy, round(cov / np.sqrt(var[i] * var[j]), 6))
+            )
+    return pa.table(
+        {
+            "stat": pa.array([r[0] for r in rows], pa.string()),
+            "fx": pa.array([r[1] for r in rows], pa.string()),
+            "fy": pa.array([r[2] for r in rows], pa.string()),
+            "value_r": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
