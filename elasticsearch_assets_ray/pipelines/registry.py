@@ -1766,6 +1766,30 @@ def q_composite_agg(sf_dir: str):
     return pa.concat_tables(pages)
 
 
+def q_search_explain(sf_dir: str):
+    """ES _explain over the top-3 hits of a query: per-term BM25
+    breakdown whose contributions the SQL twin re-derives from the same
+    formula — and whose sorted-order sum IS the hit's score (pinned
+    bit-exactly in tests)."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    top = sh.search("spark table", k=3)
+    rows = []
+    for d in top["doc_id"].to_pylist():
+        e = sh.explain("spark table", int(d))
+        for t, tf, c in zip(
+            e["term"].to_pylist(), e["tf"].to_pylist(), e["contribution"].to_pylist()
+        ):
+            rows.append((t, int(d), int(tf), round(float(c), 6)))
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "tf": pa.array([r[2] for r in rows], pa.int64()),
+            "contribution_r": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
 def q_matrix_stats(sf_dir: str):
     """ES matrix_stats over (n_chars, token_count): integer co-moment
     partials per batch (one tiny row each), exact sums, all float math
@@ -3494,6 +3518,27 @@ ORACLES: dict[str, str] = {
     # geohash_grid: the generated SQL twin of geohash_encode (same
     # quantize/interleave/base-32 arithmetic) applied per event
     "geohash_grid": _geohash_grid_oracle(),
+    # _explain: per-term contribution = the BM25 summand itself; top-3
+    # docs re-derived by the same full ranking (round-9/docID order)
+    "search_explain": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+        "q(term) AS (VALUES ('spark'), ('table')), "
+        "contrib AS (SELECT tf.doc_id, tf.term, tf.tf, "
+        " ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+        "  * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) AS c "
+        " FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s), "
+        "scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id), "
+        "top AS (SELECT doc_id FROM scored "
+        " QUALIFY row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) <= 3) "
+        "SELECT c.term, c.doc_id, c.tf, round(c.c, 6) AS contribution_r "
+        "FROM contrib c JOIN top USING (doc_id)"
+    ),
     # matrix_stats: identical E-form float expressions over the same
     # exact integer sums (sum(x*x) of BIGINT promotes losslessly; every
     # operand is cast to DOUBLE at the same point as the Python side)
@@ -3815,6 +3860,7 @@ QUERIES = {
     "pipeline_daily": q_pipeline_daily,
     "composite_agg": q_composite_agg,
     "geohash_grid": q_geohash_grid,
+    "search_explain": q_search_explain,
     "matrix_stats": q_matrix_stats,
     "auto_date_histogram": q_auto_date_histogram,
     "rare_terms": q_rare_terms,

@@ -1412,6 +1412,49 @@ class Searcher:
             g = g.filter(_after_mask(g, names, after))
         return g.slice(0, size) if size is not None else g
 
+    def explain(self, query: str | ParsedQuery, doc_id: int) -> pa.Table:
+        """ES ``_explain`` analog: the per-term BM25 breakdown of one
+        (query, doc) pair — (term, tf, df, idf, tf_norm, contribution)
+        for every matching scoring term, in sorted term order.  The
+        floats route through the SAME kernels as scoring (math_idf /
+        tf_saturation), and sorted-term-order summation is the engine's
+        accumulation order, so Σ contribution reproduces the search
+        score BIT-exactly (pinned in tests).  Flat bag-of-words queries
+        only — trees/phrases score through compound paths whose
+        breakdown isn't a per-term sum."""
+        q = parse_query(query) if isinstance(query, str) else query
+        q = self._rewrite_prefixes(q)
+        if q.bool_tree is not None or q.has_phrases:
+            raise ValueError("explain supports flat bag-of-words queries")
+        terms = q.scoring_terms
+        tv = self.term_vectors(doc_id)
+        tf_by = dict(zip(tv["term"].to_pylist(), tv["tf"].to_pylist()))
+        dfs = self.term_dfs(terms)
+        if self._df_override is not None:
+            dfs = {t: self._df_override.get(t, d) for t, d in dfs.items()}
+        dl = self.doclens_for(np.array([doc_id], dtype=np.int64)).astype(np.float64)
+        rows = []
+        for t in terms:
+            tf = int(tf_by.get(t, 0))
+            df_t = int(dfs.get(t, 0))
+            if tf == 0 or df_t == 0:
+                continue  # ES explain lists only matching clauses
+            w = bm25.math_idf(df_t, self.n_docs)
+            sat = float(
+                bm25.tf_saturation(np.array([tf], dtype=np.float64), dl, self.avgdl)[0]
+            )
+            rows.append((t, tf, df_t, w, sat, float(w * sat)))
+        return pa.table(
+            {
+                "term": pa.array([r[0] for r in rows], pa.string()),
+                "tf": pa.array([r[1] for r in rows], pa.int64()),
+                "df": pa.array([r[2] for r in rows], pa.int64()),
+                "idf": pa.array([r[3] for r in rows], pa.float64()),
+                "tf_norm": pa.array([r[4] for r in rows], pa.float64()),
+                "contribution": pa.array([r[5] for r in rows], pa.float64()),
+            }
+        )
+
     def rare_terms(
         self, query: str | ParsedQuery, by: str, max_doc_count: int = 1
     ) -> pa.Table:

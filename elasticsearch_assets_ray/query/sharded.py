@@ -595,6 +595,14 @@ class ShardedSearcher:
             self._gather("adjacency", names, qs, dfs), "value", pa.string()
         )
 
+    def explain(self, query: str | ParsedQuery, doc_id: int) -> pa.Table:
+        """ES ``_explain`` through the sharded service: the breakdown is
+        a pure function of (tf, dl, global df, n_docs, avgdl), all of
+        which the coordinator's full-index view owns — identical to the
+        owning shard's answer under the scattered df, with no scatter
+        needed."""
+        return self.coord.explain(query, doc_id)
+
     def rare_terms(
         self, query: str | ParsedQuery, by: str, max_doc_count: int = 1
     ) -> pa.Table:
