@@ -1766,6 +1766,29 @@ def q_composite_agg(sf_dir: str):
     return pa.concat_tables(pages)
 
 
+def q_search_alias(sf_dir: str):
+    """ES filtered alias (filter-context bool.filter): search through an
+    alias whose filter query silently restricts the match set — scores
+    are the RAW query's BM25, untouched (filters never score), evaluated
+    shard-locally."""
+    from elasticsearch_assets_ray.query.templates import AliasStore
+
+    sh = sharded_searcher(documents_index(sf_dir))
+    aliases = AliasStore()
+    aliases.put("spark_docs", sh, filter="merge join")
+    t = aliases.search("spark_docs", "spark table", k=10)
+    return pa.table(
+        {
+            "query_id": pa.array([0] * t.num_rows, pa.int64()),
+            "doc_id": t["doc_id"],
+            "rank": pa.array(range(1, t.num_rows + 1), pa.int64()),
+            "score_r": pa.array(
+                [round(x, 6) for x in t["score"].to_pylist()], pa.float64()
+            ),
+        }
+    )
+
+
 def q_search_explain(sf_dir: str):
     """ES _explain over the top-3 hits of a query: per-term BM25
     breakdown whose contributions the SQL twin re-derives from the same
@@ -3518,6 +3541,28 @@ ORACLES: dict[str, str] = {
     # geohash_grid: the generated SQL twin of geohash_encode (same
     # quantize/interleave/base-32 arithmetic) applied per event
     "geohash_grid": _geohash_grid_oracle(),
+    # filtered alias: raw BM25 of the query, match set intersected with
+    # the filter's (filter context — never scores)
+    "search_alias": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+        "q(term) AS (VALUES ('spark'), ('table')), "
+        "flt AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('merge', 'join')), "
+        "scored AS (SELECT tf.doc_id, "
+        " sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+        "  * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score "
+        " FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY tf.doc_id) "
+        "SELECT 0 AS query_id, sc.doc_id, row_number() OVER "
+        "(ORDER BY round(sc.score, 9) DESC, sc.doc_id) AS rank, "
+        "round(sc.score, 6) AS score_r "
+        "FROM scored sc JOIN flt ON flt.doc_id = sc.doc_id "
+        "QUALIFY rank <= 10"
+    ),
     # _explain: per-term contribution = the BM25 summand itself; top-3
     # docs re-derived by the same full ranking (round-9/docID order)
     "search_explain": (
@@ -3861,6 +3906,7 @@ QUERIES = {
     "composite_agg": q_composite_agg,
     "geohash_grid": q_geohash_grid,
     "search_explain": q_search_explain,
+    "search_alias": q_search_alias,
     "matrix_stats": q_matrix_stats,
     "auto_date_histogram": q_auto_date_histogram,
     "rare_terms": q_rare_terms,

@@ -943,6 +943,75 @@ class Searcher:
             }
         )
 
+    def analyze(self, text: str) -> pa.Table:
+        """ES ``_analyze`` analog: the index's canonical analysis chain
+        over one string → (token, position, start_offset, end_offset),
+        offsets into the original text (stages/tokenizer.analyze)."""
+        from elasticsearch_assets_ray.stages.tokenizer import analyze
+
+        return analyze(text)
+
+    def field_caps(self) -> pa.Table:
+        """ES ``_field_caps`` analog: every docstore field with its
+        ES-mapped type and capability flags, derived from the stored
+        Parquet schema (one footer read).  The indexed content column is
+        ``text`` (searchable, not aggregatable); strings map to
+        ``keyword``, integers to ``long``, floats to ``double`` —
+        searchable-as-filter and aggregatable."""
+        import pyarrow.parquet as pq
+
+        some = next(iter(self._pid_map().values()))
+        schema = pq.read_schema(some)
+        content_col = self.manifest.get("content_col")
+        rows = []
+        for f in schema:
+            if f.name == content_col:
+                es_type = "text"
+                agg = False
+            elif pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+                es_type = "keyword"
+                agg = True
+            elif pa.types.is_integer(f.type):
+                es_type = "long"
+                agg = True
+            elif pa.types.is_floating(f.type):
+                es_type = "double"
+                agg = True
+            else:
+                es_type = str(f.type)
+                agg = False
+            rows.append((f.name, es_type, True, agg))
+        return pa.table(
+            {
+                "field": pa.array([r[0] for r in rows], pa.string()),
+                "type": pa.array([r[1] for r in rows], pa.string()),
+                "searchable": pa.array([r[2] for r in rows], pa.bool_()),
+                "aggregatable": pa.array([r[3] for r in rows], pa.bool_()),
+            }
+        ).sort_by([("field", "ascending")])
+
+    def mget(self, doc_ids, columns: list[str] | None = None) -> pa.Table:
+        """ES ``_mget`` analog: one row PER REQUESTED id, in request
+        order (duplicates kept), with a ``found`` flag — missing ids keep
+        their slot with null fields, exactly the ES multi-get envelope.
+        One pid-pruned hydrate serves the whole batch."""
+        req = np.asarray(list(doc_ids), dtype=np.int64)
+        cols = None if columns is None else ["doc_id", *[c for c in columns if c != "doc_id"]]
+        uniq = np.unique(req) if req.size else req
+        h = self.hydrate(uniq, columns=cols)
+        got = h["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(got, req)
+        pos_c = np.clip(pos, 0, max(got.size - 1, 0))
+        found = (got[pos_c] == req) if got.size else np.zeros(req.size, dtype=bool)
+        idx = pa.array(
+            np.where(found, pos_c, 0), type=pa.int64(), mask=~found
+        )  # masked take → null row for misses
+        body = h.take(idx)
+        body = body.set_column(
+            body.schema.get_field_index("doc_id"), "doc_id", pa.array(req)
+        )
+        return body.append_column("found", pa.array(found))
+
     def suggest_completion(
         self, prefix: str, size: int = 5, max_expansions: int = 4096
     ) -> pa.Table:
@@ -1411,6 +1480,39 @@ class Searcher:
         if after is not None:
             g = g.filter(_after_mask(g, names, after))
         return g.slice(0, size) if size is not None else g
+
+    def search_filtered_by(
+        self,
+        query: str | ParsedQuery,
+        filter_query: str | ParsedQuery,
+        k: int = 10,
+    ) -> pa.Table:
+        """FILTER-CONTEXT composition (ES bool.filter / filtered alias):
+        rank ``query``'s matches restricted to ``filter_query``'s match
+        set — the filter is evaluated score-free and hit scores are the
+        raw query's, unchanged (filters never contribute to BM25)."""
+        r = self.all_scores(query)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        sc = r["score"].to_numpy(zero_copy_only=False)
+        fids = np.sort(self.match_ids(filter_query))
+        if fids.size and ids.size:
+            pos = np.searchsorted(fids, ids)
+            pos[pos >= fids.size] = 0
+            keep = fids[pos] == ids
+            ids, sc = ids[keep], sc[keep]
+        else:
+            ids = np.empty(0, dtype=np.int64)
+            sc = np.empty(0, dtype=np.float64)
+        ids, sc = bm25.sort_topk(ids, sc, k)
+        return pa.table({"doc_id": pa.array(ids), "score": pa.array(sc)})
+
+    def count_filtered_by(
+        self, query: str | ParsedQuery, filter_query: str | ParsedQuery
+    ) -> int:
+        """Score-free count of the filter-context intersection."""
+        a = np.sort(self.match_ids(query))
+        b = np.sort(self.match_ids(filter_query))
+        return int(np.intersect1d(a, b, assume_unique=True).size)
 
     def explain(self, query: str | ParsedQuery, doc_id: int) -> pa.Table:
         """ES ``_explain`` analog: the per-term BM25 breakdown of one

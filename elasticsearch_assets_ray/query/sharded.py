@@ -178,6 +178,21 @@ class ShardWorker:
         ids = self.s.match_ids_prepared(q, df)
         return self.s.composite_ids(ids, sources, size, after)
 
+    def alias_search(
+        self, q: ParsedQuery, qf: ParsedQuery, k: int, df: dict[str, int]
+    ) -> pa.Table:
+        """Local filter-context top-k (filtered alias / bool.filter):
+        membership is a per-doc predicate, so shard-local top-k union
+        contains the global top-k (same merge argument as search)."""
+        self.s._df_override = df
+        try:
+            return self.s.search_filtered_by(q, qf, k=k)
+        finally:
+            self.s._df_override = None
+
+    def alias_count(self, q: ParsedQuery, qf: ParsedQuery) -> int:
+        return int(self.s.count_filtered_by(q, qf))
+
     def multi_facet(
         self, q: ParsedQuery, fields: tuple, df: dict[str, int]
     ) -> pa.Table:
@@ -594,6 +609,40 @@ class ShardedSearcher:
         return self._sum_counts(
             self._gather("adjacency", names, qs, dfs), "value", pa.string()
         )
+
+    def search_filtered_by(
+        self,
+        query: str | ParsedQuery,
+        filter_query: str | ParsedQuery,
+        k: int = 10,
+    ) -> pa.Table:
+        """Distributed filter-context search (ES filtered alias /
+        bool.filter): both queries prepared once on the coordinator, the
+        filter evaluated score-free INSIDE each shard (ids never cross
+        the wire), scores are the raw query's — exact merge because
+        filtered membership is per-doc."""
+        q, df = self.prepare(query)
+        qf, _dff = self.prepare(filter_query)  # filter never scores
+        parts = self._gather("alias_search", q, qf, k, df)
+        return self._merge_topk_parts(parts, k)
+
+    def count_filtered_by(
+        self, query: str | ParsedQuery, filter_query: str | ParsedQuery
+    ) -> int:
+        q, _ = self.prepare(query)
+        qf, _ = self.prepare(filter_query)
+        return int(sum(self._gather("alias_count", q, qf)))
+
+    def mget(self, doc_ids, columns: list[str] | None = None) -> pa.Table:
+        """ES ``_mget`` through the sharded service (the coordinator's
+        pid-pruned docstore view serves the whole batch)."""
+        return self.coord.mget(doc_ids, columns=columns)
+
+    def field_caps(self) -> pa.Table:
+        return self.coord.field_caps()
+
+    def analyze(self, text: str) -> pa.Table:
+        return self.coord.analyze(text)
 
     def explain(self, query: str | ParsedQuery, doc_id: int) -> pa.Table:
         """ES ``_explain`` through the sharded service: the breakdown is

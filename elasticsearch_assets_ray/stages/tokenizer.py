@@ -141,3 +141,47 @@ def doc_term_freqs(
         tb.pos_flat = pos_all[order]
         tb.pos_off = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
     return tb
+
+
+def analyze(text: str) -> pa.Table:
+    """ES ``_analyze`` analog: run the canonical chain over one string
+    and return (token, position, start_offset, end_offset) with offsets
+    into the ORIGINAL text.  Token sequence is exactly
+    :func:`tokenize_text`'s (pinned by tests): alnum fragments of the
+    original split at camelCase boundaries, lowercased, overlong tokens
+    dropped (positions count KEPT tokens, the doc_term_freqs
+    convention)."""
+    toks: list[str] = []
+    pos: list[int] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    p = 0
+    for frag in re.finditer(r"[A-Za-z0-9]+", text or ""):
+        s = frag.start()
+        sub = frag.group(0)
+        # camel boundaries inside the fragment (lower/digit → UPPER)
+        cut = 0
+        for m in _CAMEL_RE.finditer(sub):
+            piece = sub[cut : m.start() + 1]
+            if 0 < len(piece) <= MAX_TOKEN_LEN:
+                toks.append(piece.lower())
+                pos.append(p)
+                starts.append(s + cut)
+                ends.append(s + cut + len(piece))
+                p += 1
+            cut = m.start() + 1
+        piece = sub[cut:]
+        if 0 < len(piece) <= MAX_TOKEN_LEN:
+            toks.append(piece.lower())
+            pos.append(p)
+            starts.append(s + cut)
+            ends.append(s + cut + len(piece))
+            p += 1
+    return pa.table(
+        {
+            "token": pa.array(toks, pa.string()),
+            "position": pa.array(pos, pa.int64()),
+            "start_offset": pa.array(starts, pa.int64()),
+            "end_offset": pa.array(ends, pa.int64()),
+        }
+    )
