@@ -410,7 +410,11 @@ AGG_SUITE_SQL_PARTS = [
 def g_embedding_ann(sf_dir: str) -> pa.Table:
     """LSH-bucketed and IVF-partitioned approximate nearest neighbour."""
     return _union(
-        [("lsh", "embedding_lsh_topk"), ("ivf", "embedding_ivf_topk")],
+        [
+            ("lsh", "embedding_lsh_topk"),
+            ("ivf", "embedding_ivf_topk"),
+            ("pq", "embedding_pq_topk"),
+        ],
         ["query_id", "vec_id", "rank", "sim_r"],
     )(sf_dir)
 
@@ -644,7 +648,11 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 
     gates["embedding_ann"] = g_embedding_ann
     oracles["embedding_ann"] = _union_sql(
-        [("lsh", None, "embedding_lsh_topk"), ("ivf", None, "embedding_ivf_topk")],
+        [
+            ("lsh", None, "embedding_lsh_topk"),
+            ("ivf", None, "embedding_ivf_topk"),
+            ("pq", None, "embedding_pq_topk"),
+        ],
         "query_id, vec_id, rank, sim_r",
     )
 

@@ -834,6 +834,24 @@ def q_embedding_ivf_topk(sf_dir: str):
     return _rerank_rounded(res, 1)
 
 
+def q_embedding_pq_topk(sf_dir: str):
+    """Product-quantization ANN: ADC candidate generation over uint8 codes
+    (m=8 subspaces × 16 centroids → 8 bytes/vector instead of 256) then
+    exact-cosine rerank of only the candidates — oracle-checked via
+    planted probes (top-1 retrieval, same brute-force SQL as LSH/IVF)."""
+    qids, qvecs = _probe_vectors(sf_dir)
+    ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cands = sim_ops.pq_topk(ds, qids, qvecs, k=10, m=8, ksub=16)
+    res = sim_ops.exact_rerank(
+        _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        cands, qids, qvecs, k=1,
+    )
+    res = pa.table(
+        {"query_id": res["query_id"], "vec_id": res["vec_id"], "sim": res["sim"]}
+    )
+    return _rerank_rounded(res, 1)
+
+
 def q_embedding_dedup(sf_dir: str):
     t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     head = t.slice(0, 10)
@@ -3191,6 +3209,18 @@ ORACLES: dict[str, str] = {
         " round(sim, 6) AS sim_r "
         "FROM s QUALIFY rank <= 1"
     ),
+    "embedding_pq_topk": (
+        "WITH q AS (SELECT vec_id AS query_id, "
+        "  list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS qv "
+        "  FROM embeddings WHERE vec_id IN (0, 1, 2)), "
+        "s AS (SELECT q.query_id, e.vec_id, "
+        "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
+        "  FROM embeddings e CROSS JOIN q) "
+        "SELECT query_id, vec_id, "
+        " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
+        " round(sim, 6) AS sim_r "
+        "FROM s QUALIFY rank <= 1"
+    ),
     "embedding_ivf_topk": (
         "WITH q AS (SELECT vec_id AS query_id, "
         "  list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS qv "
@@ -3867,6 +3897,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
+    "embedding_pq_topk": q_embedding_pq_topk,
     "embedding_dedup": q_embedding_dedup,
     "search_topk": q_search_topk,
     "search_sharded": q_search_sharded,

@@ -753,3 +753,201 @@ def embedding_cosine_dedup(
     return g.rename_columns(["id_a", "id_b", "sim"]).sort_by(
         [("id_a", "ascending"), ("id_b", "ascending")]
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bounded ANN path: m bytes per
+# vector instead of 4·dim, with asymmetric-distance (ADC) search
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    sample: np.ndarray, m: int = 8, ksub: int = 16, n_iters: int = 15, seed: int = 23
+) -> np.ndarray:
+    """Train PQ codebooks: split the (normalized) vectors into ``m``
+    contiguous subspaces and run seeded Lloyd k-means (plain L2 — the
+    subvectors are not unit) with ``ksub`` centroids in each.  Returns
+    (m, ksub, dsub) float64.  Deterministic: same sample/seed → same
+    codebooks (the distributed encoder and the tests rely on it)."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    n, dim = x.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if ksub > 256:
+        raise ValueError("ksub > 256 does not fit uint8 codes")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        kj = min(ksub, n)
+        cent = sub[rng.choice(n, size=kj, replace=False)].copy()
+        for _ in range(n_iters):
+            # assign by squared L2 (‖x‖² constant per row → argmin over
+            # ‖c‖² − 2x·c), update = cluster mean
+            d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+            assign = np.argmin(d, axis=1)
+            for c in range(kj):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        if kj < ksub:  # degenerate tiny sample: pad by repeating
+            cent = np.vstack([cent, np.repeat(cent[:1], ksub - kj, axis=0)])
+        books[j] = cent
+    return books
+
+
+def pq_encode(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Encode (normalized) vectors → (n, m) uint8 nearest-centroid codes
+    per subspace.  Vectorized per subspace: one (n, ksub) distance
+    matrix, argmin."""
+    x = _normalize(np.asarray(mat, dtype=np.float64))
+    m, ksub, dsub = codebooks.shape
+    codes = np.empty((x.shape[0], m), dtype=np.uint8)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cent = codebooks[j]
+        d = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
+        codes[:, j] = np.argmin(d, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_adc_scores(codes: np.ndarray, codebooks: np.ndarray, qvec: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance cosine estimate for ONE query against (n, m)
+    codes: sim ≈ Σⱼ q_subⱼ · centroidⱼ[codeⱼ] — an (m, ksub) lookup
+    table per query, then one fancy-index + row sum.  O(n·m) per query
+    with NO decode of the original vectors."""
+    m, ksub, dsub = codebooks.shape
+    lut = np.einsum("jkd,jd->jk", codebooks, qvec.reshape(m, dsub))
+    return lut[np.arange(m)[None, :], codes].sum(axis=1)
+
+
+def pq_topk(
+    ds: "ray.data.Dataset",
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    train_sample: int = 2048,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> pa.Table:
+    """PQ-compressed approximate cosine top-k over the full corpus.
+
+    Scale shape: codebooks train once on a deterministic head sample
+    (driver-side — m·ksub·dsub floats), broadcast via ``ray.put``; each
+    batch encodes to uint8 codes and scores every query against the
+    CODES ONLY (per-query LUT + gather-sum), keeping a local top-k.  The
+    wire carries k rows per (query, block).  At 100 TB the codes are
+    4·dim/m× smaller than the vectors — the corpus-resident footprint
+    that makes exhaustive ANN affordable where floats don't fit;
+    persisting the codes table + codebooks (pq_encode over a written
+    layout, IVF-style) is the documented productionization.
+
+    Output schema matches brute_force_topk (query_id, vec_id, rank, sim)
+    with sim the ADC estimate."""
+    head = pa.concat_tables(
+        list(ds.limit(train_sample).iter_batches(batch_format="pyarrow"))
+    )
+    books = pq_train(_matrix(head[vec_col]), m=m, ksub=ksub)
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    ref = ray.put({"books": books, "qids": np.asarray(query_ids), "qmat": qmat})
+
+    class Scorer:
+        def __init__(self):
+            self.state = ray.get(ref)
+            b = self.state["books"]
+            qm = self.state["qmat"]
+            mm, kk, dd = b.shape
+            # per-actor: all query LUTs at once, flattened to (Q, m*ksub)
+            # so each batch scores with ONE fancy-index gather + row sum
+            self.luts = np.einsum(
+                "jkd,qjd->qjk", b, qm.reshape(qm.shape[0], mm, dd)
+            ).reshape(qm.shape[0], mm * kk)
+            self.m, self.ksub = mm, kk
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+            vids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if vids.size == 0:
+                return empty
+            codes = pq_encode(_matrix(batch[vec_col]), self.state["books"])
+            # flat LUT index per (row, subspace); gather gives (Q, n, m)
+            flat = np.arange(self.m, dtype=np.int64) * self.ksub + codes
+            sims = self.luts[:, flat].sum(axis=2)  # (Q, n)
+            kk = min(k, vids.size)
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (Q, kk)
+            qids = self.state["qids"]
+            return pa.table(
+                {
+                    "query_id": pa.array(np.repeat(qids, kk).astype(np.int64)),
+                    "vec_id": pa.array(vids[part].ravel()),
+                    "sim": pa.array(
+                        np.take_along_axis(sims, part, axis=1).ravel().astype(np.float64)
+                    ),
+                }
+            )
+
+    cands_ds = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=concurrency)
+    cands = pa.concat_tables(list(cands_ds.iter_batches(batch_format="pyarrow")))
+    if cands.num_rows == 0:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+        )
+    return _merge_topk(cands, k)
+
+
+def exact_rerank(
+    ds: "ray.data.Dataset",
+    cands: pa.Table,
+    query_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> pa.Table:
+    """Exact-cosine rerank of an ANN candidate table (query_id, vec_id, …):
+    the standard PQ production pattern — ADC generates a small candidate
+    set, then ONLY those vectors are re-fetched (a semi-join pushed into
+    ``map_batches``; at 100 TB this reads Q*k rows, not the corpus) and
+    scored with true cosine.  Returns (query_id, vec_id, rank, sim)."""
+    need = np.unique(cands["vec_id"].to_numpy(zero_copy_only=False)).astype(np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, need)))
+
+    got = pa.concat_tables(
+        list(ds.map_batches(pick, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    )
+    vids = got[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _normalize(_matrix(got[vec_col]))
+    qmat = _normalize(np.asarray(query_vecs, dtype=np.float64))
+    qids_arr = np.asarray(query_ids, dtype=np.int64)
+
+    cq = cands["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cv = cands["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # align candidate rows to fetched vectors / query matrix via searchsorted
+    vorder = np.argsort(vids, kind="stable")
+    row = vorder[np.searchsorted(vids[vorder], cv)]
+    qorder = np.argsort(qids_arr, kind="stable")
+    qrow = qorder[np.searchsorted(qids_arr[qorder], cq)]
+    sims = np.einsum("ij,ij->i", qmat[qrow], mat[row])
+    return _merge_topk(
+        pa.table(
+            {
+                "query_id": pa.array(cq),
+                "vec_id": pa.array(cv),
+                "sim": pa.array(sims.astype(np.float64)),
+            }
+        ),
+        k,
+    )

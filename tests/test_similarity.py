@@ -208,3 +208,42 @@ def test_kmeans_distributed_converges_and_deterministic(ray_session):
     c2, s2 = kmeans_distributed(emb_ds, "embedding", 6, n_iters=4)
     np.testing.assert_array_equal(c1, c2)
     assert s1["sizes"] == s2["sizes"]
+
+
+def test_pq_roundtrip_and_adc_accuracy():
+    """PQ codebooks are deterministic; ADC sims approximate true cosine
+    (planted near-dup probes rank first through the compressed codes)."""
+    t = _vectors(n=400, d=32, seed=7)
+    m = sim._normalize(sim._matrix(t["embedding"]))
+    books1 = sim.pq_train(m, m=8, ksub=16, seed=5)
+    books2 = sim.pq_train(m, m=8, ksub=16, seed=5)
+    np.testing.assert_array_equal(books1, books2)
+    codes = sim.pq_encode(m, books1)
+    assert codes.shape == (400, 8) and codes.dtype == np.uint8
+    # ADC of a planted probe (vector 17 + small noise) ranks 17 first
+    q = m[17] + 0.01
+    adc = sim.pq_adc_scores(codes, books1, sim._normalize(q[None, :])[0])
+    assert int(np.argmax(adc)) == 17
+
+
+def test_pq_topk_with_exact_rerank_finds_planted(ray_session):
+    """pq_topk (ADC candidates) + exact_rerank retrieves every planted
+    probe's source vector at rank 1 with the TRUE cosine as sim."""
+    t = _vectors(n=400, d=32, seed=11)
+    ds = ray.data.from_arrow(t).repartition(4)
+    m = sim._matrix(t["embedding"])
+    qids = np.array([3, 40, 250], dtype=np.int64)
+    qvecs = m[[3, 40, 250]] + 0.01
+    cands = sim.pq_topk(ds, qids, qvecs, k=8, m=8, ksub=16)
+    assert set(cands.column_names) == {"query_id", "vec_id", "rank", "sim"}
+    res = sim.exact_rerank(ray.data.from_arrow(t), cands, qids, qvecs, k=1)
+    got = dict(zip(res["query_id"].to_pylist(), res["vec_id"].to_pylist()))
+    assert got == {3: 3, 40: 40, 250: 250}
+    # sim is the exact cosine, not the ADC estimate
+    mn = sim._normalize(m.astype(np.float64))
+    qn = sim._normalize(qvecs.astype(np.float64))
+    for row_q, row_v, row_s in zip(
+        res["query_id"].to_pylist(), res["vec_id"].to_pylist(), res["sim"].to_pylist()
+    ):
+        expect = float(mn[row_v] @ qn[list(qids).index(row_q)])
+        assert abs(row_s - expect) < 1e-12
