@@ -232,14 +232,16 @@ def g_deleted_search(sf_dir: str) -> pa.Table:
 
 def g_search_struct(sf_dir: str) -> pa.Table:
     """Lucene structural queries: +/- boolean, AND/OR/NOT trees,
-    minimum_should_match, plus the ES compound queries (boosting /
-    constant_score / dis_max, served distributed)."""
+    minimum_should_match, the ES compound queries (boosting /
+    constant_score / dis_max, served distributed), and ES 8.x hybrid
+    retrieval (BM25 + vector rankings fused by RRF)."""
     return _union(
         [
             ("boolean", "search_boolean"),
             ("boolops", "search_boolops"),
             ("msm", "search_msm"),
             ("compound", "search_compound"),
+            ("hybrid", "hybrid_rrf"),
         ],
         _SEARCH_COLS,
     )(sf_dir)
@@ -615,6 +617,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("boolops", None, "search_boolops"),
             ("msm", None, "search_msm"),
             ("compound", None, "search_compound"),
+            ("hybrid", None, "hybrid_rrf"),
         ],
         _SEARCH_SEL,
     )

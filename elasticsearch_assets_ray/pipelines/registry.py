@@ -26,6 +26,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from elasticsearch_assets_ray.index.build import IndexConfig, build_index
+from elasticsearch_assets_ray.query import hybrid
 from elasticsearch_assets_ray.query.engine import Searcher
 from elasticsearch_assets_ray.sources.reader import (
     date_range_read,
@@ -959,6 +960,38 @@ def q_search_sharded(sf_dir: str):
     sh = sharded_searcher(idx)
     return _search_many(
         sf_dir, DOC_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90, searcher=sh
+    )
+
+
+_HYBRID_W = 20  # per-list rank window for RRF
+_HYBRID_K = 10
+
+
+def q_hybrid_rrf(sf_dir: str):
+    """ES 8.x hybrid search (`rrf` retriever): BM25 top-W for the first 3
+    DOC_QUERIES + exact-cosine top-W for the planted probe vectors, fused
+    by reciprocal-rank fusion (query/hybrid.py).  Both input rankings are
+    the round-9-contract rankings already pinned by the search_topk and
+    embedding ANN gates, so the fused ranking is exactly SQL-checkable."""
+    from elasticsearch_assets_ray.query.hybrid import rrf_fuse
+
+    queries = DOC_QUERIES[:3]
+    bm = _search_many(sf_dir, queries, _HYBRID_W, fetch_k=_HYBRID_W + 90)
+    qids, qvecs = _probe_vectors(sf_dir)
+    ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    co = _rerank_rounded(
+        sim_ops.brute_force_topk(ds, qids, qvecs, k=_HYBRID_W + 45), _HYBRID_W
+    )
+    fused = rrf_fuse([bm, co], k=_HYBRID_K, id_cols=["doc_id", "vec_id"])
+    return pa.table(
+        {
+            "query_id": fused["query_id"],
+            "doc_id": fused["doc_id"],
+            "rank": fused["rank"],
+            "score_r": pa.array(
+                _round_half_up(fused["rrf"].to_numpy(zero_copy_only=False), 6)
+            ),
+        }
     )
 
 
@@ -2577,6 +2610,23 @@ QUALIFY rank + {(page - 1) * k} <= {page * k}
 """
 
 
+def _cosine_probe_sql(k: int) -> str:
+    """Shared planted-probe cosine top-k oracle (the LSH/IVF/PQ gate SQL,
+    parameterized by window size)."""
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, "
+        "  list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS qv "
+        "  FROM embeddings WHERE vec_id IN (0, 1, 2)), "
+        "s AS (SELECT q.query_id, e.vec_id, "
+        "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
+        "  FROM embeddings e CROSS JOIN q) "
+        "SELECT query_id, vec_id, "
+        " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
+        " round(sim, 6) AS sim_r "
+        f"FROM s QUALIFY rank <= {k}"
+    )
+
+
 def _sql_range_lit(v: str) -> str:
     """Range-bound literal: numeric-looking bounds stay numeric (the
     engine casts bounds into the column's Arrow type — int columns
@@ -3295,6 +3345,11 @@ ORACLES: dict[str, str] = {
         "agg.samp_sqsum, agg.n_zero_cross FROM m JOIN agg USING (media_id)"
     ),
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
+    "hybrid_rrf": hybrid.rrf_sql(
+        _bm25_sql(DOC_QUERIES[:3], _HYBRID_W),
+        _cosine_probe_sql(_HYBRID_W),
+        k=_HYBRID_K,
+    ),
     "search_sharded": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "fulltext_count": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
@@ -3901,6 +3956,7 @@ QUERIES = {
     "embedding_dedup": q_embedding_dedup,
     "search_topk": q_search_topk,
     "search_sharded": q_search_sharded,
+    "hybrid_rrf": q_hybrid_rrf,
     "fulltext_count": q_fulltext_count,
     "search_page2": q_search_page2,
     "collapse_source": q_collapse_source,
