@@ -208,6 +208,7 @@ _DOC_STAT_PARTS = [
     "bpe_token_count",
     "pii_stats",
     "contamination_stats",
+    "dup_span_stats",
 ]
 
 

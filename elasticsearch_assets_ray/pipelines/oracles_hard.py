@@ -438,3 +438,28 @@ def stratified_sample_sql(
         f"SELECT doc_id, {key_col} FROM hh "
         f"WHERE h < CASE {arms} ELSE CAST('{dflt}' AS HUGEINT) END"
     )
+
+
+def dup_span_stats_sql() -> str:
+    """Per-doc duplicated k=3-shingle SPAN counts over the full documents
+    table — the SQL mirror of dedup.duplicated_span_stats (positional
+    shingles WITH multiplicity, no within-doc dedup, docs shorter than k
+    contribute no span), zero-filled via LEFT JOIN."""
+    sh3 = f"((TH[i] * {FNV} + TH[i+1]) % {M64} * {FNV} + TH[i+2]) % {M64}"
+    return (
+        "WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS L "
+        "FROM documents), "
+        f"thl AS (SELECT doc_id, list_transform(L, t -> {_horner('t')}) AS TH FROM tl), "
+        "sp AS (SELECT doc_id, unnest(CASE WHEN len(TH) >= 3 THEN "
+        f"list_transform(range(1, len(TH) - 1), i -> {sh3}) "
+        "ELSE CAST([] AS HUGEINT[]) END) AS sh FROM thl), "
+        "cnt AS (SELECT sh, count(*) AS c FROM sp GROUP BY sh), "
+        "per AS (SELECT sp.doc_id, "
+        "  count(*) FILTER (WHERE c >= 2) AS dp, "
+        "  count(DISTINCT sp.sh) FILTER (WHERE c >= 2) AS dd "
+        "  FROM sp JOIN cnt USING (sh) GROUP BY sp.doc_id) "
+        "SELECT t.doc_id, greatest(len(TH) - 2, 0) AS ngram_spans, "
+        "coalesce(per.dp, 0) AS dup_ngram_positions, "
+        "coalesce(per.dd, 0) AS distinct_dup_ngrams "
+        "FROM thl t LEFT JOIN per ON per.doc_id = t.doc_id ORDER BY t.doc_id"
+    )

@@ -1321,6 +1321,50 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+def q_dup_span_stats(sf_dir: str):
+    """Duplicated n-gram SPAN statistics (Lee et al. 2107.06499): per doc,
+    how many k=3-token positions start a shingle that occurs >= 2 times in
+    the whole corpus, plus the distinct duplicated shingles.  The op is
+    the classic bounded inverted-index exchange (stages/dedup.py
+    duplicated_span_stats); zero-fill + total-span count happen here via
+    one cheap token-count pass (at 100 TB this join is the same
+    partial_agg shape, keyed by doc_id)."""
+    n_docs = pq.read_metadata(_p(sf_dir, "documents")).num_rows
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    dups = dedup_ops.duplicated_span_stats(ds, k=3, n_rows_hint=n_docs)
+    dup_t = pa.concat_tables(list(dups.iter_batches(batch_format="pyarrow")))
+
+    def spans(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"].combine_chunks()), "[^a-z0-9]+"
+        )
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.utf8_length(toks.values).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), np.diff(off))
+        nt = np.bincount(doc_of, weights=(lens > 0), minlength=len(toks)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ngram_spans": pa.array(np.maximum(nt - 2, 0)),
+            }
+        )
+
+    tot = pa.concat_tables(
+        list(
+            _rd(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(spans, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    td = tot.to_pandas().merge(
+        dup_t.to_pandas(), on="doc_id", how="left"
+    )
+    for c in ("dup_ngram_positions", "distinct_dup_ngrams"):
+        td[c] = td[c].fillna(0).astype(np.int64)
+    td = td[["doc_id", "ngram_spans", "dup_ngram_positions", "distinct_dup_ngrams"]]
+    return pa.Table.from_pandas(td.sort_values("doc_id"), preserve_index=False)
+
+
 def q_search_phrase_prefix(sf_dir: str):
     """ES match_phrase_prefix analog: complete terms adjacent in order,
     immediately followed by any index term with the stem — verified on
@@ -3891,6 +3935,7 @@ from elasticsearch_assets_ray.pipelines import oracles_hard as _oh  # noqa: E402
 ORACLES.update(
     {
         "fingerprint": _oh.fingerprint_sql(),
+        "dup_span_stats": _oh.dup_span_stats_sql(),
         "lang_id": _oh.lang_id_sql(),
         "simhash_pairs": _oh.simhash_pairs_sql(max_hamming=3),
         "minhash_pairs": _oh.minhash_pairs_sql(
@@ -4016,6 +4061,7 @@ QUERIES = {
     "pii_stats": q_pii_stats,
     "contamination_stats": q_contamination_stats,
     "repetition_stats": q_repetition_stats,
+    "dup_span_stats": q_dup_span_stats,
     "pack_documents": q_pack_documents,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,

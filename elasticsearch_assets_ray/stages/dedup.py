@@ -933,3 +933,117 @@ def ngram_jaccard_pairs(
     )
     out = distinct_pairs_ds(pairs_ds, "jaccard_sim", "max")
     return _collect_pairs(out, "jaccard_sim", materialize)
+
+
+# ---------------------------------------------------------------------------
+# Duplicated n-gram SPAN statistics (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499 — the
+# repeated-substring signal, computed at shingle granularity)
+# ---------------------------------------------------------------------------
+
+
+def _position_shingles(
+    tok_hash: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-POSITION k-token shingle hashes with multiplicity (one shingle
+    per starting position; docs shorter than k tokens contribute none) —
+    unlike :func:`_shingle_hashes` there is no within-doc dedup and no
+    short-doc clamping, because span statistics count positions.
+    Returns (doc_idx int64, shingle uint64), both length Σ max(len-k+1, 0)."""
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    m = np.maximum(lens - k + 1, 0).astype(np.int64)
+    total = int(m.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.uint64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), m)
+    cum = np.concatenate(([0], np.cumsum(m)))
+    starts = offsets[:-1][doc_of] + (np.arange(total, dtype=np.int64) - cum[doc_of])
+    B = np.uint64(1099511628211)
+    sh = np.zeros(total, dtype=np.uint64)
+    for p in range(k):
+        sh = sh * B + tok_hash[starts + p]
+    return doc_of, sh
+
+
+def duplicated_span_stats(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_rows_hint: int | None = None,
+) -> ray.data.Dataset:
+    """Per-document duplicated-span counts: a position is DUPLICATED when
+    its k-token shingle occurs ≥ 2 times in the whole corpus (any doc,
+    any position — including elsewhere in the same doc).  Returns a
+    Dataset of (doc_id, dup_ngram_positions, distinct_dup_ngrams); docs
+    with no duplicated span are absent (zero-fill is the caller's join).
+
+    Scale shape (the classic inverted-index exchange, every stage bounded):
+    1. map_batches: tokenize + per-position shingles, then ONE lexsort →
+       per-(doc, shingle) occurrence rows — the shuffled relation is
+       pre-combined within batch, ≤ distinct (doc, shingle) pairs.
+    2. groupby(shingle-hash coarse group): vectorized total-per-shingle
+       (sort + reduceat), keep rows of shingles with total ≥ 2.
+    3. partial_agg by doc_id: sums — output is ≤ one row per doc.
+    """
+    from elasticsearch_assets_ray.stages.relational import AggSpec, partial_agg
+
+    nb = dynamic_n_groups(n_rows_hint)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        th, off = _token_lists(batch[text_col])
+        doc_of, sh = _position_shingles(th, off, k)
+        if sh.size == 0:
+            return pa.table(
+                {"grp": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                 "sh": pa.array([], pa.uint64()), "occ": pa.array([], pa.int64())}
+            )
+        order = np.lexsort((sh, doc_of))
+        sd, sv = doc_of[order], sh[order]
+        first = np.concatenate(([True], (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])))
+        idx = np.flatnonzero(first)
+        occ = np.diff(np.concatenate((idx, [sd.size])))
+        sd, sv = sd[idx], sv[idx]
+        return pa.table(
+            {
+                "grp": pa.array((sv % np.uint64(nb)).astype(np.int64)),
+                "doc_id": pa.array(ids[sd]),
+                "sh": pa.array(sv),
+                "occ": pa.array(occ.astype(np.int64)),
+            }
+        )
+
+    def keep_dups(group: pa.Table) -> pa.Table:
+        sh = group["sh"].to_numpy(zero_copy_only=False)
+        occ = group["occ"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(sh, kind="stable")
+        sh, occ, doc = sh[order], occ[order], doc[order]
+        first = np.concatenate(([True], sh[1:] != sh[:-1]))
+        idx = np.flatnonzero(first)
+        totals = np.add.reduceat(occ, idx)
+        grp_of = np.cumsum(first) - 1
+        dup = (totals >= 2)[grp_of]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[dup]),
+                "dup_ngram_positions": pa.array(occ[dup]),
+                "distinct_dup_ngrams": pa.array(np.ones(int(dup.sum()), dtype=np.int64)),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    dups = exploded.groupby("grp").map_groups(keep_dups, batch_format="pyarrow")
+    return partial_agg(
+        dups,
+        ["doc_id"],
+        [
+            AggSpec("dup_ngram_positions", "dup_ngram_positions", "sum"),
+            AggSpec("distinct_dup_ngrams", "distinct_dup_ngrams", "sum"),
+        ],
+        n_groups=nb,
+    )

@@ -275,3 +275,56 @@ def test_ngram_jaccard_pairs_streaming_path(ray_session):
     # exact dups (0,2) and (1,5) plus the near-dup (0,3)/(2,3) must be found
     pairs = set(zip(mat["id_a"].to_pylist(), mat["id_b"].to_pylist()))
     assert {(0, 2), (1, 5), (0, 3), (2, 3)} <= pairs
+
+
+def test_duplicated_span_stats_brute_force(ray_session):
+    """duplicated_span_stats matches a per-position brute-force count on a
+    corpus with planted repeated 3-grams (across docs AND within a doc)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.dedup import duplicated_span_stats
+
+    texts = [
+        "alpha beta gamma delta",          # "alpha beta gamma" also in doc 1
+        "zz alpha beta gamma yy",
+        "rep rep rep rep",                 # "rep rep rep" twice WITHIN the doc
+        "unique words only here",
+        "xy",                              # shorter than k: no spans
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": pa.array(texts)})
+    ).repartition(3)
+    out = pa.concat_tables(
+        list(
+            duplicated_span_stats(ds, k=3, n_rows_hint=5).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    got = {
+        d: (p, u)
+        for d, p, u in zip(
+            out["doc_id"].to_pylist(),
+            out["dup_ngram_positions"].to_pylist(),
+            out["distinct_dup_ngrams"].to_pylist(),
+        )
+    }
+    # brute force over token windows
+    from collections import Counter
+
+    shingles = {
+        i: [tuple(t.split()[j : j + 3]) for j in range(max(len(t.split()) - 2, 0))]
+        for i, t in enumerate(texts)
+    }
+    corpus = Counter(s for lst in shingles.values() for s in lst)
+    expect = {}
+    for i, lst in shingles.items():
+        dp = sum(1 for s in lst if corpus[s] >= 2)
+        du = len({s for s in lst if corpus[s] >= 2})
+        if dp:
+            expect[i] = (dp, du)
+    assert got == expect
+    assert 2 in got and got[2] == (2, 1)  # within-doc repeat counts both positions
+    assert 4 not in got and 3 not in got
