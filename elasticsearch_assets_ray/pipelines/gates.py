@@ -417,6 +417,8 @@ def g_embedding_ann(sf_dir: str) -> pa.Table:
             ("lsh", "embedding_lsh_topk"),
             ("ivf", "embedding_ivf_topk"),
             ("pq", "embedding_pq_topk"),
+            ("knn", "embedding_knn"),
+            ("knn_filtered", "embedding_knn_filtered"),
         ],
         ["query_id", "vec_id", "rank", "sim_r"],
     )(sf_dir)
@@ -656,6 +658,8 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("lsh", None, "embedding_lsh_topk"),
             ("ivf", None, "embedding_ivf_topk"),
             ("pq", None, "embedding_pq_topk"),
+            ("knn", None, "embedding_knn"),
+            ("knn_filtered", None, "embedding_knn_filtered"),
         ],
         "query_id, vec_id, rank, sim_r",
     )

@@ -853,6 +853,56 @@ def q_embedding_pq_topk(sf_dir: str):
     return _rerank_rounded(res, 1)
 
 
+def _vectors_attached_index(sf_dir: str) -> str:
+    """documents_index with the embeddings table attached as the ES
+    dense_vector sidecar (index/vectors.py) — idempotent per cache dir."""
+    idx = documents_index(sf_dir)
+    from elasticsearch_assets_ray.index.vectors import attach_vectors
+
+    ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    attach_vectors(ds, idx)
+    return idx
+
+
+def q_embedding_knn(sf_dir: str):
+    """ES `knn` search served FROM the index through the doc-partitioned
+    scatter-gather path: each shard actor scores only ITS resident
+    vector parts (exact cosine), coordinator merge is exact.  Planted
+    probes, top-1, same brute-force SQL oracle as the ANN family."""
+    qids, qvecs = _probe_vectors(sf_dir)
+    idx = _vectors_attached_index(sf_dir)
+    sh = sharded_searcher(idx)
+    res = sh.knn(qids, qvecs, k=1)
+    ids = res["doc_id"].to_numpy(zero_copy_only=False)
+    res = pa.table(
+        {
+            "query_id": res["query_id"],
+            "vec_id": pa.array(_orig_ids(sh.coord, ids)),
+            "sim": res["sim"],
+        }
+    )
+    return _rerank_rounded(res, 1)
+
+
+def q_embedding_knn_filtered(sf_dir: str):
+    """ES FILTERED kNN (the `knn.filter` clause): candidates restricted
+    to the score-free match set of a fulltext filter, per shard, before
+    any cosine — docs without the term never touch the vector math."""
+    qids, qvecs = _probe_vectors(sf_dir)
+    idx = _vectors_attached_index(sf_dir)
+    sh = sharded_searcher(idx)
+    res = sh.knn(qids, qvecs, k=3, filter_query="data")
+    ids = res["doc_id"].to_numpy(zero_copy_only=False)
+    res = pa.table(
+        {
+            "query_id": res["query_id"],
+            "vec_id": pa.array(_orig_ids(sh.coord, ids)),
+            "sim": res["sim"],
+        }
+    )
+    return _rerank_rounded(res, 3)
+
+
 def q_embedding_dedup(sf_dir: str):
     t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     head = t.slice(0, 10)
@@ -3303,6 +3353,32 @@ ORACLES: dict[str, str] = {
         " round(sim, 6) AS sim_r "
         "FROM s QUALIFY rank <= 1"
     ),
+    "embedding_knn": (
+        "WITH q AS (SELECT vec_id AS query_id, "
+        "  list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS qv "
+        "  FROM embeddings WHERE vec_id IN (0, 1, 2)), "
+        "s AS (SELECT q.query_id, e.vec_id, "
+        "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
+        "  FROM embeddings e CROSS JOIN q) "
+        "SELECT query_id, vec_id, "
+        " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
+        " round(sim, 6) AS sim_r "
+        "FROM s QUALIFY rank <= 1"
+    ),
+    "embedding_knn_filtered": (
+        "WITH q AS (SELECT vec_id AS query_id, "
+        "  list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS qv "
+        "  FROM embeddings WHERE vec_id IN (0, 1, 2)), "
+        "m AS (SELECT doc_id FROM documents "
+        "  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'data')), "
+        "s AS (SELECT q.query_id, e.vec_id, "
+        "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
+        "  FROM embeddings e JOIN m ON m.doc_id = e.vec_id CROSS JOIN q) "
+        "SELECT query_id, vec_id, "
+        " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
+        " round(sim, 6) AS sim_r "
+        "FROM s QUALIFY rank <= 3"
+    ),
     "embedding_pq_topk": (
         "WITH q AS (SELECT vec_id AS query_id, "
         "  list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS qv "
@@ -3998,6 +4074,8 @@ QUERIES = {
     "embedding_lsh_topk": q_embedding_lsh_topk,
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_pq_topk": q_embedding_pq_topk,
+    "embedding_knn": q_embedding_knn,
+    "embedding_knn_filtered": q_embedding_knn_filtered,
     "embedding_dedup": q_embedding_dedup,
     "search_topk": q_search_topk,
     "search_sharded": q_search_sharded,

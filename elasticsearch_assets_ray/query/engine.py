@@ -88,6 +88,31 @@ def collapse_winners(
     return win[top]
 
 
+def knn_rank(q: np.ndarray, d: np.ndarray, s: np.ndarray, k: int) -> pa.Table:
+    """THE kNN ranking comparator, shared by the single searcher and the
+    sharded coordinator (exact merge: the doc space is partitioned, so
+    the global top-k is in the union of local top-k's): per query, rank
+    by (round9(sim) desc, docID asc), keep k, report raw sim."""
+    from elasticsearch_assets_ray.query import bm25 as _bm25
+
+    r9 = _bm25.round_half_up(s, 9)
+    order = np.lexsort((d, -r9, q))
+    q, d, s = q[order], d[order], s[order]
+    seg = np.concatenate(([True], q[1:] != q[:-1]))
+    first = np.flatnonzero(seg)
+    grp = np.cumsum(seg) - 1
+    rank = np.arange(q.size) - first[grp] + 1
+    keep = rank <= k
+    return pa.table(
+        {
+            "query_id": pa.array(q[keep].astype(np.int64)),
+            "doc_id": pa.array(d[keep].astype(np.int64)),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+            "sim": pa.array(s[keep].astype(np.float64)),
+        }
+    )
+
+
 _SEG_COLS = [
     "term",
     "bucket",
@@ -263,6 +288,14 @@ class Searcher:
         self.ids_cache_budget = 1 << 28
         # term -> global df memo for the coordinator's term_dfs()
         self._df_cache: dict[str, int] = {}
+        # index-resident dense vectors (index/vectors.py sidecar): meta
+        # loaded lazily on first knn(); per-pid (mmap vecs, mask, norms)
+        # in a byte-budgeted LRU (norms are the only resident floats —
+        # the matrices stay mmapped and page in under OS control)
+        self._vec_meta: dict | None | bool = False  # False = not probed yet
+        self._vec_cache: "_OD[int, tuple]" = _OD()
+        self._vec_cache_bytes = 0
+        self.vec_cache_budget = 1 << 27
         # hydrate pruning observability: docstore part files opened
         self.hydrate_files_opened = 0
         # serving gauges (reference ReaderAPIFetcher.ts:22-33 records
@@ -1900,6 +1933,168 @@ class Searcher:
         — the single-process engine has no RPC to amortize, so this is a
         plain loop)."""
         return [self.search(q, k=k) for q in queries]
+
+    # ---------- index-resident kNN (ES dense_vector / knn search) ----------
+    def _vector_meta(self) -> dict | None:
+        if self._vec_meta is False:
+            from elasticsearch_assets_ray.index import vectors as vec_mod
+
+            self._vec_meta = vec_mod.load_meta(self.index_dir)
+        return self._vec_meta
+
+    def _knn_pids(self) -> list[int]:
+        """pids this searcher serves (bucket_range-restricted, like the
+        postings) — the shard's resident vector set."""
+        pids = sorted(self._pid_map())
+        if self.bucket_range is not None:
+            lo, hi = self.bucket_range
+            pids = [p for p in pids if lo <= p // self._rpb < hi]
+        return pids
+
+    def _pid_vec_state(self, pid: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(vectors mmap (n, dim) float32, present mask bool, row norms
+        float64) for one pid, LRU'd by the norms' bytes (the matrices are
+        mmapped — resident memory is the OS page cache's problem)."""
+        hit = self._vec_cache.get(pid)
+        if hit is not None:
+            self._vec_cache.move_to_end(pid)
+            return hit
+        from elasticsearch_assets_ray.index import vectors as vec_mod
+
+        meta = self._vector_meta()
+        vecs, mask = vec_mod.load_part(
+            self.index_dir, pid, int(meta["dim"]), self._pid_n_docs(pid)
+        )
+        norms = np.linalg.norm(np.asarray(vecs, dtype=np.float64), axis=1)
+        norms[norms == 0] = 1.0
+        state = (vecs, mask, norms)
+        self._vec_cache[pid] = state
+        self._vec_cache_bytes += norms.nbytes + mask.nbytes
+        while self._vec_cache_bytes > self.vec_cache_budget and len(self._vec_cache) > 1:
+            _, (_, om, on) = self._vec_cache.popitem(last=False)
+            self._vec_cache_bytes -= on.nbytes + om.nbytes
+        return state
+
+    def knn(
+        self,
+        query_ids: np.ndarray,
+        query_vecs: np.ndarray,
+        k: int = 10,
+        filter_query: str | ParsedQuery | None = None,
+        minimum_should_match: int = 0,
+    ) -> pa.Table:
+        """ES ``knn`` search served FROM the index (exact mode): cosine
+        top-k per query over the sidecar vectors attached by
+        index/vectors.py, restricted to this searcher's docID range.
+        ``filter_query`` is ES kNN pre-filtering — the candidate set is
+        the SCORE-FREE match set of the filter (Searcher.match_ids), so
+        filtered kNN never runs BM25 arithmetic.  Returns (query_id,
+        doc_id, rank, sim) ranked by the engine-wide (round9 desc, docID
+        asc) contract; raw cosine in ``sim``."""
+        qf = None
+        if filter_query is not None:
+            qf = parse_query(filter_query) if isinstance(filter_query, str) else filter_query
+            qf = self._apply_msm(qf, minimum_should_match)
+            qf = self._rewrite_prefixes(qf)
+        return self.knn_prepared(query_ids, query_vecs, k, qf, None)
+
+    def knn_prepared(
+        self,
+        query_ids: np.ndarray,
+        query_vecs: np.ndarray,
+        k: int,
+        qf: "ParsedQuery | None" = None,
+        df_override: dict[str, int] | None = None,
+    ) -> pa.Table:
+        """Shard-side kNN for an already-rewritten filter (mirrors
+        match_ids_prepared: filter MEMBERSHIP is local, so no df is
+        needed for correctness — accepted for signature symmetry)."""
+        meta = self._vector_meta()
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if meta is None:
+            raise RuntimeError(
+                f"index {self.index_dir} has no vector sidecar — run "
+                "index.vectors.attach_vectors first"
+            )
+        qmat = np.asarray(query_vecs, dtype=np.float64)
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        qmat = qmat / qn
+        qids = np.asarray(query_ids, dtype=np.int64)
+        allowed: np.ndarray | None = None
+        if qf is not None:
+            allowed = np.sort(
+                self.match_ids_prepared(qf, df_override)
+                if df_override is not None
+                else self._match_ids(qf)
+            )
+        cq, cd, cs = [], [], []
+        for pid in self._knn_pids():
+            vecs, mask, norms = self._pid_vec_state(pid)
+            n = mask.size
+            base = pid << self._doc_shift
+            if allowed is not None:
+                lo = np.searchsorted(allowed, base)
+                hi = np.searchsorted(allowed, base + n)
+                rows = (allowed[lo:hi] - base).astype(np.int64)
+                rows = rows[mask[rows]]
+            else:
+                rows = np.flatnonzero(mask)
+            if rows.size == 0:
+                continue
+            sims = (np.asarray(vecs[rows], dtype=np.float64) @ qmat.T) / norms[rows][:, None]
+            kk = min(k, rows.size)
+            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+            for qi in range(qids.size):
+                sel = part[:, qi]
+                cq.append(np.full(kk, qids[qi], dtype=np.int64))
+                cd.append(base + rows[sel])
+                cs.append(sims[sel, qi])
+        if not cq:
+            return empty
+        q = np.concatenate(cq)
+        d = np.concatenate(cd)
+        s = np.concatenate(cs)
+        return knn_rank(q, d, s, k)
+
+    def hybrid(
+        self,
+        query: str | ParsedQuery,
+        query_vec: np.ndarray,
+        k: int = 10,
+        *,
+        window: int = 20,
+        rank_constant: int = 60,
+        filter_query: str | ParsedQuery | None = None,
+    ) -> pa.Table:
+        """ES 8.x `rrf` retriever: BM25 + index-resident kNN rankings
+        fused by reciprocal-rank fusion.  Returns (doc_id, rank, rrf)."""
+        from elasticsearch_assets_ray.query.hybrid import rrf_fuse
+
+        bm = self.search(query, k=window)
+        bm_ids = bm["doc_id"].to_numpy(zero_copy_only=False)
+        bm_t = pa.table(
+            {
+                "query_id": pa.array(np.zeros(bm_ids.size, dtype=np.int64)),
+                "doc_id": bm["doc_id"],
+                "rank": pa.array(np.arange(1, bm_ids.size + 1, dtype=np.int64)),
+            }
+        )
+        kn = self.knn(
+            np.zeros(1, dtype=np.int64),
+            np.asarray(query_vec, dtype=np.float64)[None, :],
+            k=window,
+            filter_query=filter_query,
+        )
+        fused = rrf_fuse([bm_t, kn], k=k, rank_constant=rank_constant)
+        return fused.drop_columns(["query_id"])
 
     def all_scores(
         self, query: str | ParsedQuery, minimum_should_match: int = 0

@@ -48,7 +48,7 @@ import pyarrow.compute as pc
 
 from elasticsearch_assets_ray.query import bm25
 from elasticsearch_assets_ray.query import parser as parser_mod
-from elasticsearch_assets_ray.query.engine import Searcher, collapse_winners
+from elasticsearch_assets_ray.query.engine import Searcher, collapse_winners, knn_rank
 from elasticsearch_assets_ray.query.parser import ParsedQuery, parse_query
 
 
@@ -231,6 +231,18 @@ class ShardWorker:
             k,
             collapse,
         )
+
+    def knn(
+        self,
+        qids: np.ndarray,
+        qmat: np.ndarray,
+        k: int,
+        qf: "ParsedQuery | None",
+        df: dict[str, int] | None,
+    ) -> pa.Table:
+        """Local kNN top-k over the shard's resident vector parts (ES
+        knn: each shard scores its own vectors; the merge is exact)."""
+        return self.s.knn_prepared(qids, qmat, k, qf, df)
 
     def hydrate(self, docids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
         return self.s.hydrate(np.asarray(docids, dtype=np.int64), columns=columns)
@@ -609,6 +621,46 @@ class ShardedSearcher:
         return self._sum_counts(
             self._gather("adjacency", names, qs, dfs), "value", pa.string()
         )
+
+    def knn(
+        self,
+        query_ids: np.ndarray,
+        query_vecs: np.ndarray,
+        k: int = 10,
+        filter_query: str | ParsedQuery | None = None,
+        minimum_should_match: int = 0,
+    ) -> pa.Table:
+        """ES knn search, scatter-gathered: each shard runs exact cosine
+        over ITS resident vector parts (index/vectors.py sidecar) and
+        returns a local top-k; the coordinator re-ranks with the SAME
+        comparator (knn_rank) — exact because the shards partition the
+        doc space.  ``filter_query`` is prepared ONCE on the coordinator
+        (rewrites + expansion caps), membership stays shard-local."""
+        qf, df = None, None
+        if filter_query is not None:
+            qf, df = self.prepare(filter_query, minimum_should_match)
+        qids = np.asarray(query_ids, dtype=np.int64)
+        qmat = np.asarray(query_vecs, dtype=np.float64)
+        parts = [
+            p for p in self._gather("knn", qids, qmat, k, qf, df) if p.num_rows
+        ]
+        if not parts:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                 "rank": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
+        t = pa.concat_tables(parts)
+        return knn_rank(
+            t["query_id"].to_numpy(zero_copy_only=False),
+            t["doc_id"].to_numpy(zero_copy_only=False),
+            t["sim"].to_numpy(zero_copy_only=False),
+            k,
+        )
+
+    # ES 8.x rrf retriever over the distributed serving path: reuses the
+    # single-searcher implementation verbatim — it only composes
+    # self.search and self.knn, both of which distribute here
+    hybrid = Searcher.hybrid
 
     def search_filtered_by(
         self,
