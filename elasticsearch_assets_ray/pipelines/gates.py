@@ -262,9 +262,14 @@ def g_search_expand(sf_dir: str) -> pa.Table:
 
 
 def g_search_filtered_range(sf_dir: str) -> pa.Table:
-    """Fielded filters and fielded range filters on fulltext queries."""
+    """Fielded filters and fielded range filters on fulltext queries,
+    plus ES field-sorted search (score-free, distributed)."""
     return _union(
-        [("filtered", "search_filtered"), ("range", "search_range")],
+        [
+            ("filtered", "search_filtered"),
+            ("range", "search_range"),
+            ("sort", "sort_search"),
+        ],
         _SEARCH_COLS,
     )(sf_dir)
 
@@ -363,7 +368,11 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
             }
         )
     )
-    for tag, qname in (("filters", "filters_agg"), ("adjacency", "adjacency_matrix")):
+    for tag, qname in (
+        ("filters", "filters_agg"),
+        ("adjacency", "adjacency_matrix"),
+        ("cardinality", "cardinality_agg"),
+    ):
         fa = _to_table(R.QUERIES[qname](sf_dir))
         tabs.append(
             pa.table(
@@ -401,6 +410,7 @@ AGG_SUITE_SQL_PARTS = [
     ("range", "value, count, 0.0 AS metric_r", "range_agg"),
     ("filters", "value, count, 0.0 AS metric_r", "filters_agg"),
     ("adjacency", "value, count, 0.0 AS metric_r", "adjacency_matrix"),
+    ("cardinality", "value, count, 0.0 AS metric_r", "cardinality_agg"),
     (
         "top_hits",
         "value || '#' || CAST(rank AS VARCHAR) AS value, doc_id AS count, "
@@ -638,7 +648,11 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 
     gates["search_filtered_range"] = g_search_filtered_range
     oracles["search_filtered_range"] = _union_sql(
-        [("filtered", None, "search_filtered"), ("range", None, "search_range")],
+        [
+            ("filtered", None, "search_filtered"),
+            ("range", None, "search_range"),
+            ("sort", None, "sort_search"),
+        ],
         _SEARCH_SEL,
     )
 

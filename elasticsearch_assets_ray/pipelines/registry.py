@@ -1045,6 +1045,94 @@ def q_hybrid_rrf(sf_dir: str):
     )
 
 
+_SORT_QUERIES = [
+    ("data", "n_chars", True),
+    ("spark", "n_chars", False),
+    ("join value", "n_chars", True),
+]
+
+
+def q_sort_search(sf_dir: str):
+    """ES field-sorted search (sort: [{field: order}]), distributed AND
+    score-free: each shard walks its match ids without BM25 arithmetic,
+    reads the sort column for just those docs (pid-pruned), returns a
+    local (value, docID) top-k; the coordinator merge is exact."""
+    idx = documents_index(sf_dir)
+    sh = sharded_searcher(idx)
+    parts = []
+    for qid, (q, field, desc) in enumerate(_SORT_QUERIES):
+        res = sh.sort_by_field(q, field, k=SEARCH_K, desc=desc)
+        ids = res["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "doc_id": pa.array(_orig_ids(sh.coord, ids)),
+                    "rank": pa.array(np.arange(1, ids.size + 1, dtype=np.int64)),
+                    "score_r": pa.array(
+                        _round_half_up(res["value"].to_numpy(zero_copy_only=False), 6)
+                    ),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _sort_search_sql() -> str:
+    arms = []
+    for qid, (q, field, desc) in enumerate(_SORT_QUERIES):
+        toks = sorted(set(q.split()))
+        match = " OR ".join(
+            f"list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), '{t}')"
+            for t in toks
+        )
+        order = "DESC" if desc else "ASC"
+        arms.append(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"row_number() OVER (ORDER BY {field} {order}, doc_id) AS rank, "
+            f"round(CAST({field} AS DOUBLE), 6) AS score_r "
+            f"FROM documents WHERE {match} QUALIFY rank <= {SEARCH_K}"
+        )
+    return " UNION ALL ".join(arms)
+
+
+_CARD_QUERIES = ["data", "spark join", "merge"]
+
+
+def q_cardinality_agg(sf_dir: str):
+    """ES `cardinality` aggregation, distributed and EXACT: per shard
+    the wire carries the distinct values of the field over ITS match
+    set (the value_counts partial), never the matches; the merged
+    distinct count is exact.  ES itself returns an HLL++ approximation
+    — stages/sketch.py is our sketch swap at unbounded cardinality."""
+    idx = documents_index(sf_dir)
+    sh = sharded_searcher(idx)
+    return pa.table(
+        {
+            "value": pa.array(_CARD_QUERIES, pa.string()),
+            "count": pa.array(
+                [sh.cardinality(q, "n_chars") for q in _CARD_QUERIES], pa.int64()
+            ),
+        }
+    )
+
+
+def _cardinality_sql() -> str:
+    arms = []
+    for q in _CARD_QUERIES:
+        match = " OR ".join(
+            f"list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), '{t}')"
+            for t in sorted(set(q.split()))
+        )
+        arms.append(
+            f"SELECT '{q}' AS value, count(DISTINCT n_chars) AS count "
+            f"FROM documents WHERE {match}"
+        )
+    return " UNION ALL ".join(arms)
+
+
 def q_fulltext_count(sf_dir: str):
     """ES `count` analog, distributed AND score-free: each shard counts
     its local match set from decoded postings + filter masks without any
@@ -3465,6 +3553,8 @@ ORACLES: dict[str, str] = {
         "agg.samp_sqsum, agg.n_zero_cross FROM m JOIN agg USING (media_id)"
     ),
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
+    "sort_search": _sort_search_sql(),
+    "cardinality_agg": _cardinality_sql(),
     "hybrid_rrf": hybrid.rrf_sql(
         _bm25_sql(DOC_QUERIES[:3], _HYBRID_W),
         _cosine_probe_sql(_HYBRID_W),
@@ -4080,6 +4170,8 @@ QUERIES = {
     "search_topk": q_search_topk,
     "search_sharded": q_search_sharded,
     "hybrid_rrf": q_hybrid_rrf,
+    "sort_search": q_sort_search,
+    "cardinality_agg": q_cardinality_agg,
     "fulltext_count": q_fulltext_count,
     "search_page2": q_search_page2,
     "collapse_source": q_collapse_source,

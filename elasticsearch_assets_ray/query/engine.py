@@ -1647,6 +1647,14 @@ class Searcher:
         ids = self.all_scores(query)["doc_id"].to_numpy(zero_copy_only=False)
         return self.value_counts_ids(ids, field)
 
+    def cardinality(self, query: str | ParsedQuery, field: str) -> int:
+        """ES `cardinality` aggregation, EXACT: distinct non-null values
+        of a docstore column over the match set (score-free ids + one
+        pid-pruned column read).  ES itself serves this from an HLL++
+        sketch; stages/sketch.py HLL is the documented swap when the
+        distinct set no longer fits the exact merge."""
+        return self.value_counts_ids(self.match_ids(query), field).num_rows
+
     def stats_agg(self, query: str | ParsedQuery, field: str) -> dict:
         """ES ``extended_stats`` aggregation analog over a numeric
         docstore column: count/min/max/sum/avg plus sum_of_squares,
@@ -1933,6 +1941,47 @@ class Searcher:
         — the single-process engine has no RPC to amortize, so this is a
         plain loop)."""
         return [self.search(q, k=k) for q in queries]
+
+    # ---------- ES sort-by-field search (sort: [{field: order}]) ----------
+    def sort_ids(
+        self, ids: np.ndarray, field: str, k: int, desc: bool = True
+    ) -> pa.Table:
+        """Top-k of an explicit match set ordered by a docstore column —
+        THE shared shard/single kernel (value, docID-asc tie-break in
+        both directions, so shard merges are exact).  Null field values
+        are dropped (ES `missing` docs sort last and never enter a
+        top-k smaller than the match set).  Score-free by construction."""
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+        if ids.size == 0:
+            return empty
+        t = self.hydrate(np.sort(ids), columns=["doc_id", field])
+        vals = t[field].combine_chunks()
+        ok = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        v = t[field].cast(pa.float64()).to_numpy(zero_copy_only=False)[ok]
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[ok]
+        order = np.lexsort((d, -v if desc else v))[:k]
+        return pa.table({"doc_id": pa.array(d[order]), "value": pa.array(v[order])})
+
+    def sort_by_field(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        k: int = 10,
+        desc: bool = True,
+        minimum_should_match: int = 0,
+    ) -> pa.Table:
+        """ES field-sorted search: the match set comes from the
+        SCORE-FREE id walk (match_ids — ES skips scoring when the sort
+        clause has no _score), values from one pid-pruned docstore read
+        of just the matches."""
+        return self.sort_ids(
+            self.match_ids(query, minimum_should_match), field, k, desc
+        )
 
     # ---------- index-resident kNN (ES dense_vector / knn search) ----------
     def _vector_meta(self) -> dict | None:

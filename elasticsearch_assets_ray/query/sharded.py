@@ -232,6 +232,13 @@ class ShardWorker:
             collapse,
         )
 
+    def sort_by(
+        self, q: ParsedQuery, field: str, k: int, desc: bool, df: dict[str, int]
+    ) -> pa.Table:
+        """Local field-sorted top-k over the shard's score-free match
+        set (exact merge: shards partition the doc space)."""
+        return self.s.sort_ids(self.s.match_ids_prepared(q, df), field, k, desc)
+
     def knn(
         self,
         qids: np.ndarray,
@@ -519,6 +526,12 @@ class ShardedSearcher:
         q, df = self.prepare(query)
         return merge_value_counts(self._gather("value_counts", q, field, df))
 
+    def cardinality(self, query: str | ParsedQuery, field: str) -> int:
+        """Distributed EXACT ES `cardinality`: distinct count from the
+        merged value_counts partials (the wire carries distinct values
+        per shard, never matches)."""
+        return self.value_counts(query, field).num_rows
+
     def stats_agg(self, query: str | ParsedQuery, field: str) -> dict:
         """Distributed ES extended_stats: the final float math runs once
         on the merged table — BIT-identical to the single-searcher path."""
@@ -621,6 +634,32 @@ class ShardedSearcher:
         return self._sum_counts(
             self._gather("adjacency", names, qs, dfs), "value", pa.string()
         )
+
+    def sort_by_field(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        k: int = 10,
+        desc: bool = True,
+        minimum_should_match: int = 0,
+    ) -> pa.Table:
+        """ES field-sorted search, scatter-gathered score-free: each
+        shard returns its local (value, docID) top-k via the shared
+        Searcher.sort_ids kernel; the coordinator re-sorts the ≤ K·k
+        candidate rows with the SAME comparator — exact."""
+        q, df = self.prepare(query, minimum_should_match)
+        parts = [
+            p for p in self._gather("sort_by", q, field, k, desc, df) if p.num_rows
+        ]
+        if not parts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "value": pa.array([], pa.float64())}
+            )
+        t = pa.concat_tables(parts)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -v if desc else v))[:k]
+        return pa.table({"doc_id": pa.array(d[order]), "value": pa.array(v[order])})
 
     def knn(
         self,

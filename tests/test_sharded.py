@@ -681,3 +681,42 @@ def test_term_vectors(single):
     assert tv["term"].to_pylist() == sorted(got)
     with _pytest.raises(KeyError):
         single.term_vectors(10**15)
+
+
+def test_sort_by_field_score_free_and_sharded_parity(single, sharded):
+    """ES field-sorted search: single vs scatter-gather identity in both
+    directions, score-free match set, value/doc order contract."""
+    for desc in (True, False):
+        a = single.sort_by_field("def load", "doc_len", k=9, desc=desc)
+        b = sharded.sort_by_field("def load", "doc_len", k=9, desc=desc)
+        assert a.equals(b)
+        v = a["value"].to_numpy(zero_copy_only=False)
+        d = a["doc_id"].to_numpy(zero_copy_only=False)
+        key = np.lexsort((d, -v if desc else v))
+        assert list(key) == list(range(len(key)))  # already in contract order
+    # values are the real doc_len of the matches
+    ids = np.sort(single.match_ids("def load"))
+    t = single.hydrate(ids, columns=["doc_id", "doc_len"])
+    m = dict(zip(t["doc_id"].to_pylist(), t["doc_len"].to_pylist()))
+    top = single.sort_by_field("def load", "doc_len", k=5, desc=True)
+    for did, val in zip(top["doc_id"].to_pylist(), top["value"].to_pylist()):
+        assert m[did] == val
+    assert top["value"].to_pylist() == sorted(
+        (float(x) for x in m.values()), reverse=True
+    )[:5]
+
+
+def test_sort_by_field_empty_match(single, sharded):
+    a = single.sort_by_field("qqqqzzzz", "doc_len", k=5)
+    b = sharded.sort_by_field("qqqqzzzz", "doc_len", k=5)
+    assert a.num_rows == 0 and b.num_rows == 0
+
+
+def test_cardinality_exact_and_sharded_parity(single, sharded):
+    a = single.cardinality("def load", "doc_len")
+    b = sharded.cardinality("def load", "doc_len")
+    assert a == b
+    ids = np.sort(single.match_ids("def load"))
+    vals = single.hydrate(ids, columns=["doc_len"])["doc_len"].to_pylist()
+    assert a == len(set(vals))
+    assert single.cardinality("qqqqzzzz", "doc_len") == 0
