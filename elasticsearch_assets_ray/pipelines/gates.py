@@ -243,6 +243,7 @@ def g_search_struct(sf_dir: str) -> pa.Table:
             ("msm", "search_msm"),
             ("compound", "search_compound"),
             ("hybrid", "hybrid_rrf"),
+            ("synonyms", "search_synonyms"),
         ],
         _SEARCH_COLS,
     )(sf_dir)
@@ -631,6 +632,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("msm", None, "search_msm"),
             ("compound", None, "search_compound"),
             ("hybrid", None, "hybrid_rrf"),
+            ("synonyms", None, "search_synonyms"),
         ],
         _SEARCH_SEL,
     )

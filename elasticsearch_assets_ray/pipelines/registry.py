@@ -1045,6 +1045,95 @@ def q_hybrid_rrf(sf_dir: str):
     )
 
 
+_SYN_QUERIES: list[tuple[str, dict[str, list[str]]]] = [
+    ("fast scan", {"fast": ["slow"], "scan": ["filter"]}),
+    ("merge join", {"merge": ["join"]}),
+    ("window agg", {"agg": ["group", "sort"]}),
+]
+
+
+def q_search_synonyms(sf_dir: str):
+    """Lucene SynonymQuery (ES query-time synonym_graph): each query
+    term + synonyms scores as ONE pseudo-term (tf = Σ member tfs BEFORE
+    saturation, idf from max member df) — NOT a plain OR.  Served
+    distributed: coordinator injects global member dfs, shard scores are
+    bit-identical, merge via the shared comparator."""
+    idx = documents_index(sf_dir)
+    sh = sharded_searcher(idx)
+    parts = []
+    for qid, (q, syn) in enumerate(_SYN_QUERIES):
+        res = sh.search_synonyms(q, syn, k=SEARCH_K + 90)
+        ids = res["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(_orig_ids(sh.coord, ids)),
+                    "sim": res["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+def _synonym_sql(k: int) -> str:
+    """SynonymQuery oracle: the _bm25_sql stats CTEs with group-level
+    (max df, summed tf) scoring."""
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    values = []
+    for qid, (q, syn) in enumerate(_SYN_QUERIES):
+        for base in sorted(set(tokenize_text(q))):
+            for m in sorted({base, *syn.get(base, ())}):
+                values.append(f"({qid}, '{base}', '{m}')")
+    vals = ", ".join(values)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOK}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), q(query_id, grp, term) AS (VALUES {vals}),
+gdf AS (
+  SELECT q.query_id, q.grp, max(df.df) AS df
+  FROM q JOIN df USING (term) GROUP BY q.query_id, q.grp
+), gtf AS (
+  SELECT q.query_id, q.grp, tf.doc_id, sum(tf.tf) AS tf
+  FROM q JOIN tf ON tf.term = q.term GROUP BY q.query_id, q.grp, tf.doc_id
+), scored AS (
+  SELECT g.query_id, g.doc_id,
+         sum( ln(1 + (s.n - gd.df + 0.5) / (gd.df + 0.5))
+              * (g.tf * 2.2) / (g.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score
+  FROM gtf g
+  JOIN gdf gd ON gd.query_id = g.query_id AND gd.grp = g.grp
+  JOIN dl ON dl.doc_id = g.doc_id
+  CROSS JOIN stats s
+  GROUP BY g.query_id, g.doc_id
+)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id) AS rank,
+       round(score, 6) AS score_r
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 _SORT_QUERIES = [
     ("data", "n_chars", True),
     ("spark", "n_chars", False),
@@ -3555,6 +3644,7 @@ ORACLES: dict[str, str] = {
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "sort_search": _sort_search_sql(),
     "cardinality_agg": _cardinality_sql(),
+    "search_synonyms": _synonym_sql(SEARCH_K),
     "hybrid_rrf": hybrid.rrf_sql(
         _bm25_sql(DOC_QUERIES[:3], _HYBRID_W),
         _cosine_probe_sql(_HYBRID_W),
@@ -4172,6 +4262,7 @@ QUERIES = {
     "hybrid_rrf": q_hybrid_rrf,
     "sort_search": q_sort_search,
     "cardinality_agg": q_cardinality_agg,
+    "search_synonyms": q_search_synonyms,
     "fulltext_count": q_fulltext_count,
     "search_page2": q_search_page2,
     "collapse_source": q_collapse_source,

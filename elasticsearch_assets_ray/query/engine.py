@@ -1942,6 +1942,128 @@ class Searcher:
         plain loop)."""
         return [self.search(q, k=k) for q in queries]
 
+    # ---------- Lucene SynonymQuery (ES synonym_graph at query time) ------
+    def search_synonyms(
+        self,
+        query: str | ParsedQuery,
+        synonyms: dict[str, list[str]],
+        k: int = 10,
+    ) -> pa.Table:
+        """Query-time synonyms with Lucene ``SynonymQuery`` scoring: each
+        query term and its synonyms score as ONE pseudo-term — per doc
+        ``tf = Σ member tfs`` (summed BEFORE saturation), ``idf`` from
+        ``df = max(member dfs)`` — so a doc mentioning any member is not
+        double-counted the way a plain OR would.  v1 supports flat
+        should-term queries (no phrases/trees/filters); raises otherwise."""
+        q = parse_query(query) if isinstance(query, str) else query
+        if (
+            q.has_phrases
+            or q.bool_tree is not None
+            or q.must
+            or q.must_not
+            or q.must_any
+            or q.filters
+            or q.not_filters
+            or q.range_filters
+            or q.not_range_filters
+        ):
+            raise ValueError(
+                "search_synonyms supports flat should-term queries only"
+            )
+        groups = {
+            t: tuple(sorted({t, *synonyms.get(t, ())}))
+            for t in sorted(set(q.scoring_terms))
+        }
+        return self.synonyms_prepared(groups, k, None)
+
+    def synonyms_prepared(
+        self,
+        groups: dict[str, tuple[str, ...]],
+        k: int,
+        df_override: dict[str, int] | None,
+    ) -> pa.Table:
+        """Shard-side synonym scoring for pre-built groups.  Per-doc
+        scores are a pure function of (member postings, global member
+        dfs), so doc-partitioned serving is exact with coordinator df
+        injection (dfs_query_then_fetch), like search_prepared.
+        Exhaustive over this searcher's buckets (no θ pruning — the
+        summed-tf upper bound differs from the per-term block metadata;
+        documented trade-off)."""
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
+        need = sorted({m for g in groups.values() for m in g})
+        seg = self._segment_rows(need)
+        if seg is None or seg.num_rows == 0:
+            return empty
+        seg_term = seg["term"].to_pylist()
+        seg_bucket = seg["bucket"].to_numpy(zero_copy_only=False)
+        seg_df = seg["df"].to_numpy(zero_copy_only=False)
+        df_by_term: dict[str, int] = {}
+        for t, d in zip(seg_term, seg_df):
+            df_by_term[t] = df_by_term.get(t, 0) + int(d)
+        if df_override is not None:
+            df_by_term = {
+                t: df_override.get(t, d) for t, d in df_by_term.items()
+            }
+        # Lucene SynonymQuery: docFreq = max over members (per group)
+        gidf: dict[str, float] = {}
+        for key, members in groups.items():
+            dfs = [df_by_term[m] for m in members if m in df_by_term]
+            if dfs:
+                gidf[key] = bm25.math_idf(max(dfs), self.n_docs)
+        if not gidf:
+            return empty
+        rows_of: dict[tuple[str, int], int] = {
+            (t, int(b)): i for i, (t, b) in enumerate(zip(seg_term, seg_bucket))
+        }
+        all_ids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        for b in np.unique(seg_bucket):
+            b = int(b)
+            d_parts: list[np.ndarray] = []
+            w_parts: list[np.ndarray] = []
+            for key in sorted(gidf):  # sorted-group addition order
+                mem_d, mem_tf = [], []
+                for m in groups[key]:
+                    i = rows_of.get((m, b))
+                    if i is None:
+                        continue
+                    d, tf = self._decode_postings(
+                        seg["blob"][i].as_py(), int(seg["df"][i].as_py())
+                    )
+                    mem_d.append(d)
+                    mem_tf.append(tf.astype(np.float64))
+                if not mem_d:
+                    continue
+                cd = np.concatenate(mem_d)
+                ctf = np.concatenate(mem_tf)
+                uniq, inv = np.unique(cd, return_inverse=True)
+                tf_sum = np.bincount(inv, weights=ctf, minlength=uniq.size)
+                dl = self.doclens_for(uniq)
+                sat = bm25.tf_saturation(tf_sum, dl, self.avgdl)
+                d_parts.append(uniq)
+                w_parts.append(gidf[key] * sat)
+            if not d_parts:
+                continue
+            cd = np.concatenate(d_parts)
+            cw = np.concatenate(w_parts)
+            uniq, inv = np.unique(cd, return_inverse=True)
+            sums = np.bincount(inv, weights=cw, minlength=uniq.size)
+            if self._tombstones.size:
+                pos = np.searchsorted(self._tombstones, uniq)
+                pos[pos >= self._tombstones.size] = 0
+                keep = self._tombstones[pos] != uniq
+                uniq, sums = uniq[keep], sums[keep]
+            all_ids.append(uniq.astype(np.int64))
+            all_scores.append(sums.astype(np.float64))
+        if not all_ids:
+            return empty
+        ids, scores = bm25.sort_topk(
+            np.concatenate(all_ids), np.concatenate(all_scores), k
+        )
+        return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
+
     # ---------- ES sort-by-field search (sort: [{field: order}]) ----------
     def sort_ids(
         self, ids: np.ndarray, field: str, k: int, desc: bool = True

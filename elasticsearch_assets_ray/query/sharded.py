@@ -232,6 +232,13 @@ class ShardWorker:
             collapse,
         )
 
+    def synonyms(
+        self, groups: dict[str, tuple[str, ...]], k: int, df: dict[str, int]
+    ) -> pa.Table:
+        """Local SynonymQuery top-k with coordinator-injected member dfs
+        (scores are per-doc functions of global df ⇒ exact merge)."""
+        return self.s.synonyms_prepared(groups, k, df)
+
     def sort_by(
         self, q: ParsedQuery, field: str, k: int, desc: bool, df: dict[str, int]
     ) -> pa.Table:
@@ -634,6 +641,39 @@ class ShardedSearcher:
         return self._sum_counts(
             self._gather("adjacency", names, qs, dfs), "value", pa.string()
         )
+
+    def search_synonyms(
+        self,
+        query: str | ParsedQuery,
+        synonyms: dict[str, list[str]],
+        k: int = 10,
+    ) -> pa.Table:
+        """Distributed Lucene SynonymQuery: groups built once on the
+        coordinator, GLOBAL member dfs injected (dfs_query_then_fetch),
+        shard-local scoring is bit-identical to the single searcher, and
+        the top-k merge uses the shared score comparator."""
+        q = parse_query(query) if isinstance(query, str) else query
+        groups = {
+            t: tuple(sorted({t, *synonyms.get(t, ())}))
+            for t in sorted(set(q.scoring_terms))
+        }
+        # validate the same flat-query contract as the single searcher
+        if (
+            q.has_phrases or q.bool_tree is not None or q.must or q.must_not
+            or q.must_any or q.filters or q.not_filters
+            or q.range_filters or q.not_range_filters
+        ):
+            raise ValueError(
+                "search_synonyms supports flat should-term queries only"
+            )
+        need = sorted({m for g in groups.values() for m in g})
+        df = self.coord.term_dfs(need)
+        parts = [p for p in self._gather("synonyms", groups, k, df) if p.num_rows]
+        if not parts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        return self._merge_topk_parts(parts, k)
 
     def sort_by_field(
         self,

@@ -720,3 +720,47 @@ def test_cardinality_exact_and_sharded_parity(single, sharded):
     vals = single.hydrate(ids, columns=["doc_len"])["doc_len"].to_pylist()
     assert a == len(set(vals))
     assert single.cardinality("qqqqzzzz", "doc_len") == 0
+
+
+def test_synonym_query_semantics_and_parity(single, sharded):
+    """Lucene SynonymQuery: tf sums BEFORE saturation (≠ plain OR),
+    idf from max member df; sharded bit-identity; validation."""
+    syn = {"def": ["load"]}
+    a = single.search_synonyms("def index", syn, k=12)
+    b = sharded.search_synonyms("def index", syn, k=12)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    np.testing.assert_array_equal(
+        a["score"].to_numpy(zero_copy_only=False),
+        b["score"].to_numpy(zero_copy_only=False),
+    )
+    # manual SynonymQuery score for the top doc
+    from elasticsearch_assets_ray.query import bm25
+
+    top = int(a["doc_id"][0].as_py())
+    dfs = single.term_dfs(["def", "load", "index"])
+    dl = float(single.doclens_for(np.array([top]))[0])
+    tv = single.term_vectors(top)
+    tf = dict(zip(tv["term"].to_pylist(), tv["tf"].to_pylist()))
+    sat = lambda t: bm25.tf_saturation(
+        np.array([float(t)]), np.array([dl]), single.avgdl
+    )[0]
+    want = bm25.math_idf(max(dfs["def"], dfs["load"]), single.n_docs) * sat(
+        tf.get("def", 0) + tf.get("load", 0)
+    ) + bm25.math_idf(dfs["index"], single.n_docs) * sat(tf.get("index", 0))
+    np.testing.assert_allclose(a["score"][0].as_py(), want, rtol=1e-12)
+    # differs from plain OR on the same terms (no double idf counting)
+    plain = single.search("def load index", k=12)
+    assert a["score"].to_pylist() != plain["score"].to_pylist()
+    # unknown synonym degrades to the bare term
+    c = single.search_synonyms("index", {"index": ["zzzznotaword"]}, k=5)
+    d = single.search("index", k=5)
+    assert c["doc_id"].to_pylist() == d["doc_id"].to_pylist()
+    np.testing.assert_allclose(
+        c["score"].to_numpy(zero_copy_only=False),
+        d["score"].to_numpy(zero_copy_only=False),
+        rtol=1e-12,
+    )
+    with pytest.raises(ValueError, match="flat should-term"):
+        single.search_synonyms('+def "load index"', {}, k=5)
+    with pytest.raises(ValueError, match="flat should-term"):
+        sharded.search_synonyms("def AND load", {}, k=5)
