@@ -479,7 +479,6 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "highlight",
         "histogram_nchars",
         "search_rescore",
-        "function_score",
         "state_enrich",
         "date_interval_slices",
         "keyspace_plan",
@@ -665,6 +664,15 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("phrase_prefix", None, "search_phrase_prefix"),
             ("unordered", None, "search_unordered"),
         ],
+        _SEARCH_SEL,
+    )
+
+    # function_score family: field_value_factor + the decay functions
+    gates["function_score"] = _union(
+        [("fvf", "function_score"), ("decay", "decay_score")], _SEARCH_COLS
+    )
+    oracles["function_score"] = _union_sql(
+        [("fvf", None, "function_score"), ("decay", None, "decay_score")],
         _SEARCH_SEL,
     )
 

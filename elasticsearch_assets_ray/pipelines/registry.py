@@ -1134,6 +1134,83 @@ QUALIFY rank <= {k}
 """
 
 
+_DECAY_SPECS = [
+    # (kind, query, origin, scale, offset, decay) over n_chars
+    ("gauss", DOC_QUERIES[0], 300.0, 100.0, 0.0, 0.5),
+    ("exp", DOC_QUERIES[1], 200.0, 150.0, 20.0, 0.5),
+    ("linear", DOC_QUERIES[2], 400.0, 200.0, 0.0, 0.5),
+]
+
+
+def q_decay_score(sf_dir: str):
+    """ES function_score DECAY functions (gauss/exp/linear over a stored
+    numeric column), served distributed: the multiplier is per-doc, so
+    shard-local top-k merges are exact."""
+    idx = documents_index(sf_dir)
+    sh = sharded_searcher(idx)
+    parts = []
+    for qid, (kind, q, origin, scale, offset, dec) in enumerate(_DECAY_SPECS):
+        r = sh.decay_score(
+            q, "n_chars", kind, origin, scale,
+            offset=offset, decay=dec, k=SEARCH_K + 90,
+        )
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(_orig_ids(sh.coord, ids)),
+                    "sim": r["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+def _decay_sql(k: int) -> str:
+    from elasticsearch_assets_ray.query.engine import decay_sql_expr
+
+    values = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, (_, q, *_r) in enumerate(_DECAY_SPECS)
+        for t in sorted(set(q.split()))
+    )
+    cases = " ".join(
+        f"WHEN sc.query_id = {qid} THEN "
+        + decay_sql_expr(kind, "COALESCE(d.n_chars, 0)", origin, scale, offset, dec)
+        for qid, (kind, _q, origin, scale, offset, dec) in enumerate(_DECAY_SPECS)
+    )
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {values}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+        " * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score "
+        " FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        f"fs AS (SELECT sc.query_id, sc.doc_id, sc.score * (CASE {cases} END) AS total "
+        " FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id) "
+        "SELECT query_id, doc_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY round(total, 9) DESC, doc_id) AS rank, "
+        "round(total, 6) AS score_r "
+        f"FROM fs QUALIFY rank <= {k}"
+    )
+
+
 _SORT_QUERIES = [
     ("data", "n_chars", True),
     ("spark", "n_chars", False),
@@ -3645,6 +3722,7 @@ ORACLES: dict[str, str] = {
     "sort_search": _sort_search_sql(),
     "cardinality_agg": _cardinality_sql(),
     "search_synonyms": _synonym_sql(SEARCH_K),
+    "decay_score": _decay_sql(SEARCH_K),
     "hybrid_rrf": hybrid.rrf_sql(
         _bm25_sql(DOC_QUERIES[:3], _HYBRID_W),
         _cosine_probe_sql(_HYBRID_W),
@@ -4263,6 +4341,7 @@ QUERIES = {
     "sort_search": q_sort_search,
     "cardinality_agg": q_cardinality_agg,
     "search_synonyms": q_search_synonyms,
+    "decay_score": q_decay_score,
     "fulltext_count": q_fulltext_count,
     "search_page2": q_search_page2,
     "collapse_source": q_collapse_source,

@@ -88,6 +88,45 @@ def collapse_winners(
     return win[top]
 
 
+def decay_multiplier(
+    kind: str, v: np.ndarray, origin: float, scale: float, offset: float, decay: float
+) -> np.ndarray:
+    """ES decay-function multipliers (Lucene FunctionScoreQuery docs):
+    distance = max(0, |v − origin| − offset); the multiplier equals
+    ``decay`` exactly at distance == scale.  Shared by the engine and the
+    SQL-twin generator (same precomputed constants → same doubles)."""
+    dist = np.maximum(np.abs(v - origin) - offset, 0.0)
+    if kind == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * np.log(decay))
+        return np.exp(-(dist * dist) / (2.0 * sigma2))
+    if kind == "exp":
+        lam = np.log(decay) / scale
+        return np.exp(lam * dist)
+    if kind == "linear":
+        s = scale / (1.0 - decay)
+        return np.maximum((s - dist) / s, 0.0)
+    raise ValueError(f"unknown decay kind {kind!r} (gauss | exp | linear)")
+
+
+def decay_sql_expr(
+    kind: str, col: str, origin: float, scale: float, offset: float, decay: float
+) -> str:
+    """The DuckDB expression twin of :func:`decay_multiplier` — constants
+    precomputed in Python and embedded via repr (round-trip-exact
+    doubles)."""
+    dist = f"greatest(abs({col} - {origin!r}) - {offset!r}, 0.0)"
+    if kind == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * float(np.log(decay)))
+        return f"exp(-({dist} * {dist}) / (2.0 * {sigma2!r}))"
+    if kind == "exp":
+        lam = float(np.log(decay)) / scale
+        return f"exp({lam!r} * {dist})"
+    if kind == "linear":
+        s = scale / (1.0 - decay)
+        return f"greatest(({s!r} - {dist}) / {s!r}, 0.0)"
+    raise ValueError(f"unknown decay kind {kind!r}")
+
+
 def knn_rank(q: np.ndarray, d: np.ndarray, s: np.ndarray, k: int) -> pa.Table:
     """THE kNN ranking comparator, shared by the single searcher and the
     sharded coordinator (exact merge: the doc space is partitioned, so
@@ -1199,6 +1238,14 @@ class Searcher:
         }
         if modifier not in mods:
             raise ValueError(f"unknown modifier {modifier!r} ({sorted(mods)})")
+        return self._field_scored(
+            query, field, k, missing, lambda v: mods[modifier](factor * v)
+        )
+
+    def _field_scored(self, query, field, k, missing, mult_fn) -> pa.Table:
+        """Shared body of the field-multiplier scoring family
+        (function_score / decay_score): exhaustive match-set scores ×
+        a per-doc multiplier of one pid-pruned docstore column."""
         r = self.all_scores(query)
         ids = r["doc_id"].to_numpy(zero_copy_only=False)
         sc = r["score"].to_numpy(zero_copy_only=False)
@@ -1212,9 +1259,32 @@ class Searcher:
         v = pc.fill_null(pc.cast(vals, pa.float64()), missing).to_numpy(
             zero_copy_only=False
         )
-        total = sc * mods[modifier](factor * v)
+        total = sc * mult_fn(v)
         top_i, top_s = bm25.sort_topk(ids, total, k)
         return pa.table({"doc_id": pa.array(top_i), "score": pa.array(top_s)})
+
+    def decay_score(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        kind: str,
+        origin: float,
+        scale: float,
+        offset: float = 0.0,
+        decay: float = 0.5,
+        k: int = 10,
+        missing: float = 0.0,
+    ) -> pa.Table:
+        """ES function_score DECAY functions (gauss | exp | linear):
+        BM25 × decay(|field − origin|), the distance-based boosting ES
+        documents for recency/geo/price proximity.  Multiplier formulas
+        match ES exactly (decay value reached at distance ``scale``
+        beyond ``offset``); constants are precomputed so the SQL twin
+        embeds the identical doubles."""
+        return self._field_scored(
+            query, field, k, missing,
+            lambda v: decay_multiplier(kind, v, origin, scale, offset, decay),
+        )
 
     def highlight(
         self,

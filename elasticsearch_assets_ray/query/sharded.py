@@ -281,6 +281,29 @@ class ShardWorker:
         finally:
             self.s._df_override = None
 
+    def decay(
+        self,
+        q: ParsedQuery,
+        field: str,
+        kind: str,
+        origin: float,
+        scale: float,
+        offset: float,
+        decay_v: float,
+        k: int,
+        missing: float,
+        df: dict[str, int],
+    ) -> pa.Table:
+        """Local decay-function top-k (per-doc multiplier ⇒ exact merge)."""
+        self.s._df_override = df
+        try:
+            return self.s.decay_score(
+                q, field, kind, origin, scale,
+                offset=offset, decay=decay_v, k=k, missing=missing,
+            )
+        finally:
+            self.s._df_override = None
+
     def search_window(self, q: ParsedQuery, w: int, df: dict[str, int]) -> pa.Table:
         """Local rescore-window half: top-w by the engine rescore's
         (round-9 score desc, docID asc) comparator — NOT raw-score
@@ -997,6 +1020,35 @@ class ShardedSearcher:
         sc = np.concatenate([p["score"].to_numpy(zero_copy_only=False) for p in parts])
         ids, sc = bm25.sort_topk(ids, sc, k)
         return pa.table({"doc_id": pa.array(ids), "score": pa.array(sc)})
+
+    def decay_score(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        kind: str,
+        origin: float,
+        scale: float,
+        offset: float = 0.0,
+        decay: float = 0.5,
+        k: int = 10,
+        missing: float = 0.0,
+    ) -> pa.Table:
+        """Distributed ES decay functions (gauss | exp | linear): the
+        decay multiplier is a per-doc function of one stored column, so
+        per-shard top-k + merge is exact."""
+        q, df = self.prepare(query)
+        parts = [
+            p
+            for p in self._gather(
+                "decay", q, field, kind, origin, scale, offset, decay, k, missing, df
+            )
+            if p.num_rows
+        ]
+        if not parts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        return self._merge_topk_parts(parts, k)
 
     def rescore(
         self,

@@ -764,3 +764,29 @@ def test_synonym_query_semantics_and_parity(single, sharded):
         single.search_synonyms('+def "load index"', {}, k=5)
     with pytest.raises(ValueError, match="flat should-term"):
         sharded.search_synonyms("def AND load", {}, k=5)
+
+
+def test_decay_score_semantics_and_parity(single, sharded):
+    """ES decay functions: multiplier formulas (decay value reached at
+    distance == scale), sharded parity, unknown kind rejected."""
+    from elasticsearch_assets_ray.query.engine import decay_multiplier
+
+    v = np.array([100.0, 200.0, 300.0, 150.0])
+    for kind in ("gauss", "exp", "linear"):
+        m = decay_multiplier(kind, v, origin=200.0, scale=100.0, offset=0.0, decay=0.5)
+        np.testing.assert_allclose(m[1], 1.0)           # at the origin
+        np.testing.assert_allclose(m[0], 0.5)           # at distance == scale
+        np.testing.assert_allclose(m[2], 0.5)
+        assert m[3] > 0.5                               # inside the scale
+        a = single.decay_score("def load", "doc_len", kind, 200.0, 100.0, k=8)
+        b = sharded.decay_score("def load", "doc_len", kind, 200.0, 100.0, k=8)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        np.testing.assert_array_equal(
+            a["score"].to_numpy(zero_copy_only=False),
+            b["score"].to_numpy(zero_copy_only=False),
+        )
+    # linear clamps to zero beyond scale/(1-decay)
+    far = decay_multiplier("linear", np.array([10_000.0]), 0.0, 100.0, 0.0, 0.5)
+    assert far[0] == 0.0
+    with pytest.raises(ValueError, match="unknown decay kind"):
+        single.decay_score("def", "doc_len", "cosine", 0.0, 1.0, k=1)
