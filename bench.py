@@ -336,6 +336,10 @@ def bench_query_surface(index_dir: str) -> dict:
         ("suggest", lambda: s.suggest_terms("lod indx", size=5)),
         ("rescore", lambda: s.rescore("def load index", "return value", k=10, window_size=50)),
         ("function_score", lambda: s.function_score("def load index", "doc_len", k=10, factor=0.01)),
+        ("decay_score", lambda: s.decay_score("def load index", "doc_len", "gauss", 200.0, 100.0, k=10)),
+        ("synonyms", lambda: s.search_synonyms("def index", {"def": ["load"]}, k=10)),
+        ("sort_by_field", lambda: s.sort_by_field("def load", "doc_len", k=10)),
+        ("cardinality", lambda: s.cardinality("def load", "doc_len")),
         ("highlight", lambda: s.highlight("def load index", first["doc_id"].to_numpy(zero_copy_only=False), window=10) if first.num_rows else None),
     ]
     out = {}
@@ -347,6 +351,85 @@ def bench_query_surface(index_dir: str) -> dict:
             times.append(time.perf_counter() - t0)
         out[name] = round(float(np.mean(times)) * 1e3, 3)
     return out
+
+
+def bench_knn_serving(index_dir: str) -> dict:
+    """Index-resident kNN + hybrid RRF serving over synthetic 64-d
+    vectors attached to the bench index (attach is idempotent; timings
+    cover the single searcher and the 4-shard scatter-gather path)."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from elasticsearch_assets_ray.index.vectors import attach_vectors, load_meta
+    from elasticsearch_assets_ray.query.engine import Searcher
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    dim = 64
+    t_attach = 0.0
+    if load_meta(index_dir) is None:
+        ids = np.concatenate(
+            [
+                pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy()
+                for f in sorted(
+                    _glob.glob(os.path.join(index_dir, "docstore", "part-*.parquet"))
+                )
+            ]
+        ).astype(np.int64)
+        rng = np.random.default_rng(7)
+        mat = rng.standard_normal((ids.size, dim)).astype(np.float32)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array(ids),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(mat.reshape(-1)), dim
+                    ),
+                }
+            )
+        )
+        t0 = time.perf_counter()
+        attach_vectors(ds, index_dir, key_col="vid", doc_key="doc_id")
+        t_attach = time.perf_counter() - t0
+    meta = load_meta(index_dir)
+
+    qrng = np.random.default_rng(11)
+    qmat = qrng.standard_normal((16, dim))
+    qids = np.arange(16, dtype=np.int64)
+    s = Searcher(index_dir)
+    s.knn(qids, qmat, k=10)  # warm (mmap + norms)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s.knn(qids, qmat, k=10)
+    knn_qps = (reps * 16) / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s.knn(qids, qmat, k=10, filter_query="def load")
+    knn_filtered_qps = (reps * 16) / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        s.hybrid("def load index", qmat[0], k=10)
+    hybrid_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    sh = ShardedSearcher(index_dir, n_shards=4, use_actors=True)
+    sh.knn(qids, qmat, k=10)  # warm actors
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sh.knn(qids, qmat, k=10)
+    sharded_qps = (reps * 16) / (time.perf_counter() - t0)
+    return {
+        "n_vectors": meta["n_vectors"],
+        "dim": meta["dim"],
+        "attach_sec": round(t_attach, 3),
+        "knn_qps": round(knn_qps, 1),
+        "knn_filtered_qps": round(knn_filtered_qps, 1),
+        "knn_sharded_qps": round(sharded_qps, 1),
+        "hybrid_ms": round(hybrid_ms, 3),
+    }
 
 
 POS_INDEX_DIR = "/tmp/bench_idx_pos"
@@ -627,6 +710,7 @@ def main() -> None:
     # → 4 real doc-range shards); single-searcher p50 on the same index
     # and queries is pruned_serving["pruned"]
     sharded = bench_sharded_serving(DRIFT_INDEX_DIR, queries=DRIFT_QUERIES)
+    knn = bench_knn_serving(idx_dir)
     positional = bench_positional_phrases()
     queries = bench_sf_queries(sf_dir)
     total = time.perf_counter() - t_all
@@ -643,6 +727,7 @@ def main() -> None:
                 "index_build": build,
                 "query_serving": serving,
                 "sharded_serving": sharded,
+                "knn_serving": knn,
                 "positional_phrases": positional,
                 "query_surface_ms": surface,
                 "pruned_serving": pruned,

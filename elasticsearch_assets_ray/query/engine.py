@@ -327,6 +327,13 @@ class Searcher:
         self.ids_cache_budget = 1 << 28
         # term -> global df memo for the coordinator's term_dfs()
         self._df_cache: dict[str, int] = {}
+        # (field, pid) -> float64 column array: the numeric-column analog
+        # of the doclen cache, behind sort-by-field / value_counts /
+        # stats / percentiles — repeated agg queries pay one column read
+        # per touched pid, not one per call
+        self._numcol_cache: "_OD[tuple[str, int], np.ndarray]" = _OD()
+        self._numcol_bytes = 0
+        self.numcol_budget = 1 << 28
         # index-resident dense vectors (index/vectors.py sidecar): meta
         # loaded lazily on first knn(); per-pid (mmap vecs, mask, norms)
         # in a byte-budgeted LRU (norms are the only resident floats —
@@ -392,6 +399,37 @@ class Searcher:
             _, old = self._doclen_cache.popitem(last=False)
             self._doclen_cache_bytes -= old.nbytes
         return arr
+
+    def _numcol_pid(self, pid: int, field: str) -> np.ndarray:
+        """One docstore part's numeric column as float64 (NaN for nulls),
+        LRU'd by bytes — the doclen-cache pattern generalized to any
+        numeric agg/sort field."""
+        key = (field, pid)
+        hit = self._numcol_cache.get(key)
+        if hit is not None:
+            self._numcol_cache.move_to_end(key)
+            return hit
+        import pyarrow.parquet as pq
+
+        col = pq.read_table(self._pid_map()[pid], columns=[field])[field]
+        arr = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        self._numcol_cache[key] = arr
+        self._numcol_bytes += arr.nbytes
+        while self._numcol_bytes > self.numcol_budget and len(self._numcol_cache) > 1:
+            _, old = self._numcol_cache.popitem(last=False)
+            self._numcol_bytes -= old.nbytes
+        return arr
+
+    def field_values_for(self, docids: np.ndarray, field: str) -> np.ndarray:
+        """float64 value per docID (NaN where null) via the per-pid
+        column cache — a bare gather, like doclens_for."""
+        pid = docids >> self._doc_shift
+        out = np.empty(docids.size, dtype=np.float64)
+        for p in np.unique(pid):
+            mask = pid == p
+            base = int(p) << self._doc_shift
+            out[mask] = self._numcol_pid(int(p), field)[docids[mask] - base]
+        return out
 
     def doclens_for(self, docids: np.ndarray) -> np.ndarray:
         """doc_len per docID, via the per-pid lazy cache (docids within a
@@ -1255,10 +1293,8 @@ class Searcher:
             )
         order = np.argsort(ids)
         ids, sc = ids[order], sc[order]
-        vals = self.hydrate(ids, columns=[field])[field].combine_chunks()
-        v = pc.fill_null(pc.cast(vals, pa.float64()), missing).to_numpy(
-            zero_copy_only=False
-        )
+        v = self.field_values_for(ids.astype(np.int64), field)
+        v = np.where(np.isnan(v), missing, v)
         total = sc * mult_fn(v)
         top_i, top_s = bm25.sort_topk(ids, total, k)
         return pa.table({"doc_id": pa.array(top_i), "score": pa.array(top_s)})
@@ -1529,14 +1565,15 @@ class Searcher:
         Partial size is bounded by the column's distinct cardinality,
         never the match size (the t-digest sketch is the documented swap
         for unbounded-cardinality fields)."""
-        vals = self.hydrate(np.sort(ids), columns=[field])[field]
-        vc = pc.value_counts(pc.drop_null(vals.combine_chunks()))
+        v = self.field_values_for(np.asarray(ids, dtype=np.int64), field)
+        v = v[~np.isnan(v)]
+        uniq, counts = np.unique(v, return_counts=True)
         return pa.table(
             {
-                "value": vc.field("values").cast(pa.float64()),
-                "count": vc.field("counts").cast(pa.int64()),
+                "value": pa.array(uniq.astype(np.float64)),
+                "count": pa.array(counts.astype(np.int64)),
             }
-        ).sort_by([("value", "ascending")])
+        )
 
     def composite_ids(
         self,
@@ -2151,11 +2188,10 @@ class Searcher:
         )
         if ids.size == 0:
             return empty
-        t = self.hydrate(np.sort(ids), columns=["doc_id", field])
-        vals = t[field].combine_chunks()
-        ok = pc.is_valid(vals).to_numpy(zero_copy_only=False)
-        v = t[field].cast(pa.float64()).to_numpy(zero_copy_only=False)[ok]
-        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[ok]
+        d = np.asarray(ids, dtype=np.int64)
+        v = self.field_values_for(d, field)
+        ok = ~np.isnan(v)
+        v, d = v[ok], d[ok]
         order = np.lexsort((d, -v if desc else v))[:k]
         return pa.table({"doc_id": pa.array(d[order]), "value": pa.array(v[order])})
 
