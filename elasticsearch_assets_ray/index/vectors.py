@@ -126,7 +126,17 @@ def attach_vectors(
         buf = col.buffers()
         off_all = np.frombuffer(buf[1], dtype=np.int32)
         off = off_all[col.offset : col.offset + n_rows + 1].astype(np.int64)
-        nb = int(off[1] - off[0]) if n_rows else 0
+        lens = np.diff(off)
+        nb = int(lens[0]) if n_rows else 0
+        if n_rows and not np.all(lens == nb):
+            raise ValueError(
+                f"pid {pid}: inconsistent vector byte lengths "
+                f"{sorted(set(lens.tolist()))} — all embeddings must share one dim"
+            )
+        if np.unique(did).size != did.size:
+            raise ValueError(
+                f"pid {pid}: duplicate vector keys — one vector per doc required"
+            )
         dim = nb // 4
         data = np.frombuffer(buf[2], dtype=np.uint8)
         # rows may be non-contiguous after the shuffle: one uint8 gather

@@ -2958,16 +2958,25 @@ QUALIFY rank + {(page - 1) * k} <= {page * k}
 """
 
 
-def _cosine_probe_sql(k: int) -> str:
-    """Shared planted-probe cosine top-k oracle (the LSH/IVF/PQ gate SQL,
-    parameterized by window size)."""
+def _cosine_probe_sql(k: int, filter_term: str | None = None) -> str:
+    """THE planted-probe cosine top-k oracle, shared by every ANN gate
+    (LSH / IVF / PQ / index-resident kNN) so the probe construction
+    lives in ONE place; ``filter_term`` restricts candidates to docs
+    containing the token (the filtered-kNN twin)."""
+    corpus = "embeddings e"
+    if filter_term is not None:
+        corpus = (
+            "embeddings e JOIN (SELECT doc_id FROM documents "
+            "WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), "
+            f"'{filter_term}')) m ON m.doc_id = e.vec_id"
+        )
     return (
         "WITH q AS (SELECT vec_id AS query_id, "
         "  list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS qv "
         "  FROM embeddings WHERE vec_id IN (0, 1, 2)), "
         "s AS (SELECT q.query_id, e.vec_id, "
         "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
-        "  FROM embeddings e CROSS JOIN q) "
+        f"  FROM {corpus} CROSS JOIN q) "
         "SELECT query_id, vec_id, "
         " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
         " round(sim, 6) AS sim_r "
@@ -3595,68 +3604,11 @@ ORACLES: dict[str, str] = {
         " round(sim, 6) AS sim_r "
         f"FROM s QUALIFY rank <= {_ANN_K}"
     ),
-    "embedding_lsh_topk": (
-        "WITH q AS (SELECT vec_id AS query_id, "
-        "  list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS qv "
-        "  FROM embeddings WHERE vec_id IN (0, 1, 2)), "
-        "s AS (SELECT q.query_id, e.vec_id, "
-        "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
-        "  FROM embeddings e CROSS JOIN q) "
-        "SELECT query_id, vec_id, "
-        " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
-        " round(sim, 6) AS sim_r "
-        "FROM s QUALIFY rank <= 1"
-    ),
-    "embedding_knn": (
-        "WITH q AS (SELECT vec_id AS query_id, "
-        "  list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS qv "
-        "  FROM embeddings WHERE vec_id IN (0, 1, 2)), "
-        "s AS (SELECT q.query_id, e.vec_id, "
-        "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
-        "  FROM embeddings e CROSS JOIN q) "
-        "SELECT query_id, vec_id, "
-        " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
-        " round(sim, 6) AS sim_r "
-        "FROM s QUALIFY rank <= 1"
-    ),
-    "embedding_knn_filtered": (
-        "WITH q AS (SELECT vec_id AS query_id, "
-        "  list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS qv "
-        "  FROM embeddings WHERE vec_id IN (0, 1, 2)), "
-        "m AS (SELECT doc_id FROM documents "
-        "  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'data')), "
-        "s AS (SELECT q.query_id, e.vec_id, "
-        "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
-        "  FROM embeddings e JOIN m ON m.doc_id = e.vec_id CROSS JOIN q) "
-        "SELECT query_id, vec_id, "
-        " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
-        " round(sim, 6) AS sim_r "
-        "FROM s QUALIFY rank <= 3"
-    ),
-    "embedding_pq_topk": (
-        "WITH q AS (SELECT vec_id AS query_id, "
-        "  list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS qv "
-        "  FROM embeddings WHERE vec_id IN (0, 1, 2)), "
-        "s AS (SELECT q.query_id, e.vec_id, "
-        "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
-        "  FROM embeddings e CROSS JOIN q) "
-        "SELECT query_id, vec_id, "
-        " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
-        " round(sim, 6) AS sim_r "
-        "FROM s QUALIFY rank <= 1"
-    ),
-    "embedding_ivf_topk": (
-        "WITH q AS (SELECT vec_id AS query_id, "
-        "  list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS qv "
-        "  FROM embeddings WHERE vec_id IN (0, 1, 2)), "
-        "s AS (SELECT q.query_id, e.vec_id, "
-        "  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sim "
-        "  FROM embeddings e CROSS JOIN q) "
-        "SELECT query_id, vec_id, "
-        " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
-        " round(sim, 6) AS sim_r "
-        "FROM s QUALIFY rank <= 1"
-    ),
+    "embedding_lsh_topk": _cosine_probe_sql(1),
+    "embedding_knn": _cosine_probe_sql(1),
+    "embedding_knn_filtered": _cosine_probe_sql(3, filter_term="data"),
+    "embedding_pq_topk": _cosine_probe_sql(1),
+    "embedding_ivf_topk": _cosine_probe_sql(1),
     "state_enrich": (
         "SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment "
         "FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id"

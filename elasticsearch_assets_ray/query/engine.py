@@ -88,6 +88,15 @@ def collapse_winners(
     return win[top]
 
 
+def _validate_decay(scale: float, decay: float) -> None:
+    """ES rejects these at parse time; silently-wrong multipliers
+    (decay=1 → no-op, decay>1 → boosts FAR docs) must not slip through."""
+    if not scale > 0:
+        raise ValueError(f"decay scale must be > 0, got {scale!r}")
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1), got {decay!r}")
+
+
 def decay_multiplier(
     kind: str, v: np.ndarray, origin: float, scale: float, offset: float, decay: float
 ) -> np.ndarray:
@@ -95,6 +104,7 @@ def decay_multiplier(
     distance = max(0, |v − origin| − offset); the multiplier equals
     ``decay`` exactly at distance == scale.  Shared by the engine and the
     SQL-twin generator (same precomputed constants → same doubles)."""
+    _validate_decay(scale, decay)
     dist = np.maximum(np.abs(v - origin) - offset, 0.0)
     if kind == "gauss":
         sigma2 = -(scale * scale) / (2.0 * np.log(decay))
@@ -114,6 +124,7 @@ def decay_sql_expr(
     """The DuckDB expression twin of :func:`decay_multiplier` — constants
     precomputed in Python and embedded via repr (round-trip-exact
     doubles)."""
+    _validate_decay(scale, decay)
     dist = f"greatest(abs({col} - {origin!r}) - {offset!r}, 0.0)"
     if kind == "gauss":
         sigma2 = -(scale * scale) / (2.0 * float(np.log(decay)))
@@ -412,6 +423,18 @@ class Searcher:
         import pyarrow.parquet as pq
 
         col = pq.read_table(self._pid_map()[pid], columns=[field])[field]
+        if pa.types.is_integer(col.type):
+            # float64 carries 53 mantissa bits: int64 values beyond that
+            # (e.g. ns-epoch timestamps) would silently COLLAPSE distinct
+            # values in cardinality/value_counts — refuse loudly and
+            # point at the sketch paths
+            mx = pc.max(pc.abs(col)).as_py()
+            if mx is not None and int(mx) > (1 << 53):
+                raise ValueError(
+                    f"field {field!r} holds integers beyond 2^53 — exact "
+                    "float64 aggregation would lose precision; use the "
+                    "t-digest/HLL sketch paths or re-scale the field"
+                )
         arr = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
         self._numcol_cache[key] = arr
         self._numcol_bytes += arr.nbytes
@@ -2110,13 +2133,20 @@ class Searcher:
         for t, d in zip(seg_term, seg_df):
             df_by_term[t] = df_by_term.get(t, 0) + int(d)
         if df_override is not None:
-            df_by_term = {
-                t: df_override.get(t, d) for t, d in df_by_term.items()
-            }
+            # the group idf is max over ALL members' GLOBAL dfs — a
+            # member with no postings in this shard's doc range still
+            # contributes its df (unlike plain BM25, where a locally
+            # absent term can simply be skipped), so take the override
+            # for every member it covers, not just locally-present ones
+            merged = dict(df_by_term)
+            for m in need:
+                if m in df_override:
+                    merged[m] = df_override[m]
+            df_by_term = merged
         # Lucene SynonymQuery: docFreq = max over members (per group)
         gidf: dict[str, float] = {}
         for key, members in groups.items():
-            dfs = [df_by_term[m] for m in members if m in df_by_term]
+            dfs = [df_by_term[m] for m in members if m in df_by_term and df_by_term[m] > 0]
             if dfs:
                 gidf[key] = bm25.math_idf(max(dfs), self.n_docs)
         if not gidf:
@@ -2242,7 +2272,15 @@ class Searcher:
         vecs, mask = vec_mod.load_part(
             self.index_dir, pid, int(meta["dim"]), self._pid_n_docs(pid)
         )
-        norms = np.linalg.norm(np.asarray(vecs, dtype=np.float64), axis=1)
+        # chunked norm pass: the mmapped float32 matrix is never
+        # materialized as a whole-part float64 copy (norms are the only
+        # resident floats, as promised)
+        n = vecs.shape[0]
+        norms = np.empty(n, dtype=np.float64)
+        step = 1 << 16
+        for lo in range(0, n, step):
+            blk = np.asarray(vecs[lo : lo + step], dtype=np.float64)
+            norms[lo : lo + step] = np.linalg.norm(blk, axis=1)
         norms[norms == 0] = 1.0
         state = (vecs, mask, norms)
         self._vec_cache[pid] = state
@@ -2313,6 +2351,7 @@ class Searcher:
                 else self._match_ids(qf)
             )
         cq, cd, cs = [], [], []
+        step = 1 << 16  # score in row blocks: O(chunk × Q) scratch, not O(part)
         for pid in self._knn_pids():
             vecs, mask, norms = self._pid_vec_state(pid)
             n = mask.size
@@ -2324,16 +2363,33 @@ class Searcher:
                 rows = rows[mask[rows]]
             else:
                 rows = np.flatnonzero(mask)
+                if self._tombstones.size:
+                    # deleted docs never surface from kNN (Lucene
+                    # deleted-doc semantics, same as every search path;
+                    # the filtered branch inherits this via match_ids)
+                    dead = np.searchsorted(self._tombstones, base + rows)
+                    dead[dead >= self._tombstones.size] = 0
+                    rows = rows[self._tombstones[dead] != base + rows]
             if rows.size == 0:
                 continue
-            sims = (np.asarray(vecs[rows], dtype=np.float64) @ qmat.T) / norms[rows][:, None]
-            kk = min(k, rows.size)
-            part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
-            for qi in range(qids.size):
-                sel = part[:, qi]
-                cq.append(np.full(kk, qids[qi], dtype=np.int64))
-                cd.append(base + rows[sel])
-                cs.append(sims[sel, qi])
+            for blo in range(0, rows.size, step):
+                rsel = rows[blo : blo + step]
+                sims = (
+                    np.asarray(vecs[rsel], dtype=np.float64) @ qmat.T
+                ) / norms[rsel][:, None]
+                r9 = bm25.round_half_up(sims, 9)
+                kk = min(k, rsel.size)
+                for qi in range(qids.size):
+                    col = r9[:, qi]
+                    # keep the full round-9 tie group at the k boundary
+                    # so the (round9 desc, docID asc) contract cannot
+                    # drop the docID winner (same argument as
+                    # bm25.sort_topk's tie extension)
+                    thr = np.partition(col, col.size - kk)[col.size - kk]
+                    sel = np.flatnonzero(col >= thr)
+                    cq.append(np.full(sel.size, qids[qi], dtype=np.int64))
+                    cd.append(base + rsel[sel])
+                    cs.append(sims[sel, qi])
         if not cq:
             return empty
         q = np.concatenate(cq)

@@ -74,8 +74,12 @@ def rrf_fuse(
     idx = np.flatnonzero(starts)
     rrf = np.add.reduceat(c, idx)
     gq, gd = q[idx], d[idx]
-    # rank within query by (round9(rrf) desc, doc asc)
-    r9 = np.round(rrf, 9)
+    # rank within query by (round9(rrf) desc, doc asc) — half-UP rounding
+    # (bm25.round_half_up), matching DuckDB round() in the SQL twin;
+    # np.round is half-to-even and can flip a midpoint tie-break
+    from elasticsearch_assets_ray.query import bm25
+
+    r9 = bm25.round_half_up(rrf, 9)
     srt = np.lexsort((gd, -r9, gq))
     gq, gd, rrf = gq[srt], gd[srt], rrf[srt]
     seg = np.concatenate(([True], gq[1:] != gq[:-1]))

@@ -136,3 +136,79 @@ def test_attach_idempotent_and_missing_sidecar(built_index, tmp_path):
     s._vec_meta = False
     with pytest.raises(RuntimeError, match="no vector sidecar"):
         s.knn(np.array([0]), np.zeros((1, DIM)), k=1)
+
+
+def test_knn_excludes_tombstoned_docs(vec_index):
+    """Deleted docs never surface from kNN (Lucene deleted-doc
+    semantics) — regression for the unfiltered path skipping the
+    tombstone mask."""
+    idx, keep, mat = vec_index
+    s = Searcher(idx)
+    rng = np.random.default_rng(12)
+    qvec = rng.standard_normal(DIM)
+    top = s.knn(np.array([0]), qvec[None, :], k=3)
+    victim = int(top["doc_id"][0].as_py())
+    s2 = Searcher(idx)
+    s2._tombstones = np.array([victim], dtype=np.int64)
+    after = s2.knn(np.array([0]), qvec[None, :], k=3)
+    assert victim not in after["doc_id"].to_pylist()
+    # filtered path inherits the exclusion through match_ids
+    after_f = s2.knn(np.array([0]), qvec[None, :], k=9, filter_query="def load")
+    assert victim not in after_f["doc_id"].to_pylist()
+
+
+def test_knn_duplicate_vector_tie_breaks_by_doc_id(built_index, tmp_path, ray_session):
+    """Two bit-identical vectors both equal to the query: the k=1 result
+    must be the LOWER docID (the round9/docID contract) — regression for
+    raw-sim argpartition dropping the tie group at the boundary."""
+    import shutil
+
+    idx_src, _ = built_index
+    idx = str(tmp_path / "idx")
+    shutil.copytree(idx_src, idx)
+    shutil.rmtree(os.path.join(idx, "vectors"), ignore_errors=True)
+    all_ids = _docstore_ids(idx)
+    rng = np.random.default_rng(21)
+    mat = rng.standard_normal((all_ids.size, DIM)).astype(np.float32)
+    probe = rng.standard_normal(DIM).astype(np.float32)
+    hi_pair = np.sort(all_ids)[[5, 50]]  # two docs, same vector
+    for d in hi_pair:
+        mat[np.flatnonzero(all_ids == d)[0]] = probe
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(all_ids),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1)), DIM
+                ),
+            }
+        )
+    )
+    attach_vectors(ds, idx, key_col="vid", doc_key="doc_id")
+    s = Searcher(idx)
+    res = s.knn(np.array([0]), probe.astype(np.float64)[None, :], k=1)
+    assert res["doc_id"].to_pylist() == [int(hi_pair[0])]
+    res2 = s.knn(np.array([0]), probe.astype(np.float64)[None, :], k=2)
+    assert res2["doc_id"].to_pylist() == [int(hi_pair[0]), int(hi_pair[1])]
+
+
+def test_attach_rejects_mixed_dims_and_duplicate_keys(built_index, tmp_path, ray_session):
+    import shutil
+
+    idx_src, _ = built_index
+    idx = str(tmp_path / "idx2")
+    shutil.copytree(idx_src, idx)
+    shutil.rmtree(os.path.join(idx, "vectors"), ignore_errors=True)
+    ids = _docstore_ids(idx)[:4]
+    dup = pa.table(
+        {
+            "vid": pa.array(np.concatenate([ids, ids[:1]])),
+            "embedding": pa.array(
+                [[0.0] * DIM] * 5, pa.list_(pa.float32())
+            ),
+        }
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="duplicate vector keys"):
+        attach_vectors(ray.data.from_arrow(dup), idx, key_col="vid", doc_key="doc_id")

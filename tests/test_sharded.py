@@ -790,3 +790,40 @@ def test_decay_score_semantics_and_parity(single, sharded):
     assert far[0] == 0.0
     with pytest.raises(ValueError, match="unknown decay kind"):
         single.decay_score("def", "doc_len", "cosine", 0.0, 1.0, k=1)
+
+
+def test_synonym_df_override_covers_shard_absent_members(single, sharded):
+    """A synonym member with NO postings in a shard's doc range must
+    still contribute its coordinator-injected GLOBAL df to the group's
+    max-df idf — regression for the override only rewriting
+    locally-present terms."""
+    from elasticsearch_assets_ray.query import bm25
+
+    shard = sharded.shards[0].s  # a bucket-range Searcher
+    base = "def"
+    mem = "zsynonlyelsewhere"  # absent from this shard (and corpus)
+    big_df = single.n_docs // 2  # larger than df(def) by construction
+    assert single.term_dfs([base])[base] < big_df
+    out = shard.synonyms_prepared(
+        {base: (base, mem)}, 5, {base: single.term_dfs([base])[base], mem: big_df}
+    )
+    assert out.num_rows > 0
+    top = int(out["doc_id"][0].as_py())
+    tv = single.term_vectors(top)
+    tf = dict(zip(tv["term"].to_pylist(), tv["tf"].to_pylist()))
+    dl = float(single.doclens_for(np.array([top]))[0])
+    want = bm25.math_idf(big_df, shard.n_docs) * bm25.tf_saturation(
+        np.array([float(tf[base])]), np.array([dl]), shard.avgdl
+    )[0]
+    np.testing.assert_allclose(out["score"][0].as_py(), want, rtol=1e-12)
+
+
+def test_decay_rejects_bad_constants(single):
+    from elasticsearch_assets_ray.query.engine import decay_sql_expr
+
+    with pytest.raises(ValueError, match="decay must be in"):
+        single.decay_score("def", "doc_len", "gauss", 0.0, 100.0, decay=1.0, k=1)
+    with pytest.raises(ValueError, match="scale must be"):
+        single.decay_score("def", "doc_len", "exp", 0.0, 0.0, k=1)
+    with pytest.raises(ValueError, match="decay must be in"):
+        decay_sql_expr("linear", "x", 0.0, 10.0, 0.0, 1.5)
