@@ -209,6 +209,8 @@ _DOC_STAT_PARTS = [
     "pii_stats",
     "contamination_stats",
     "dup_span_stats",
+    "unigram_ppl",
+    "gopher_filter",
 ]
 
 

@@ -1669,6 +1669,49 @@ def q_dup_span_stats(sf_dir: str):
     return pa.Table.from_pandas(td.sort_values("doc_id"), preserve_index=False)
 
 
+def q_unigram_ppl(sf_dir: str):
+    """CCNet-style LM quality signal (arXiv:1911.00359): per-doc
+    perplexity under the corpus's own unigram model, computed exactly.
+    Pass 1 builds the (term, cnt) model via one bounded coarse-key
+    groupby; the vocabulary-sized table broadcasts via ray.put; pass 2
+    scores every doc in an actor-pool map_batches (model loaded once per
+    actor, sorted-hash lookup per batch)."""
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    model = textstats.unigram_counts(ds)
+    ref = ray.put(model)
+    out = (
+        _rd(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(
+            textstats.UnigramPerplexity,
+            fn_constructor_kwargs={"model_ref": ref},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .select_columns(["doc_id", "unigram_ppl"])
+    )
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "unigram_ppl_r": pa.array(
+                _round_half_up(t["unigram_ppl"].to_numpy(zero_copy_only=False), 6)
+            ),
+        }
+    ).sort_by([("doc_id", "ascending")])
+
+
+def q_gopher_filter(sf_dir: str):
+    """Gopher quality FILTER verdict (Rae et al. 2021 Table A1 rules
+    composed): one stateless vectorized map_batches, no shuffle."""
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: textstats.gopher_filter(b, "text"), batch_format="pyarrow"
+    ).select_columns(["doc_id", "gopher_keep", "gopher_fail_mask"])
+    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow"))).sort_by(
+        [("doc_id", "ascending")]
+    )
+
+
 def q_search_phrase_prefix(sf_dir: str):
     """ES match_phrase_prefix analog: complete terms adjacent in order,
     immediately followed by any index term with the stem — verified on
@@ -4222,6 +4265,15 @@ ORACLES.update(
     {
         "fingerprint": _oh.fingerprint_sql(),
         "dup_span_stats": _oh.dup_span_stats_sql(),
+    "unigram_ppl": (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "cnt AS (SELECT term, count(*)::DOUBLE AS c FROM tok GROUP BY term), "
+        "tot AS (SELECT count(*)::DOUBLE AS n FROM tok), "
+        "d AS (SELECT tok.doc_id, sum(ln(cnt.c / t.n)) AS s, count(*)::DOUBLE AS m "
+        " FROM tok JOIN cnt USING (term) CROSS JOIN tot t GROUP BY tok.doc_id) "
+        "SELECT doc.doc_id, coalesce(round(exp(-d.s / d.m), 6), 0.0) AS unigram_ppl_r "
+        "FROM documents doc LEFT JOIN d USING (doc_id) ORDER BY doc_id"
+    ),
         "lang_id": _oh.lang_id_sql(),
         "simhash_pairs": _oh.simhash_pairs_sql(max_hamming=3),
         "minhash_pairs": _oh.minhash_pairs_sql(
@@ -4247,6 +4299,23 @@ ORACLES.update(
             STRATA_FRACTIONS, key_col="lang", default_fraction=0.1
         ),
     }
+)
+
+# Gopher filter verdict: the SAME CASE logic over the quality/repetition
+# oracle CTEs (inputs bit-identical → threshold comparisons deterministic)
+ORACLES["gopher_filter"] = (
+    f"WITH q AS ({ORACLES['quality_stats']}), "
+    f"r AS ({ORACLES['repetition_stats']}), "
+    "t AS (SELECT q.doc_id, "
+    " (CASE WHEN q.n_words < 30 OR q.n_words > 100000 THEN 1 ELSE 0 END) "
+    "+ (CASE WHEN q.mean_word_len < 3.0 OR q.mean_word_len > 10.0 THEN 2 ELSE 0 END) "
+    "+ (CASE WHEN q.stopword_ratio < 0.02 THEN 4 ELSE 0 END) "
+    "+ (CASE WHEN r.dup_word_frac > 0.6 THEN 8 ELSE 0 END) "
+    "+ (CASE WHEN r.top2_char_frac > 0.20 THEN 16 ELSE 0 END) "
+    "+ (CASE WHEN r.top3_char_frac > 0.18 THEN 32 ELSE 0 END) AS f "
+    "FROM q JOIN r USING (doc_id)) "
+    "SELECT doc_id, CASE WHEN f = 0 THEN 1 ELSE 0 END AS gopher_keep, "
+    "f AS gopher_fail_mask FROM t ORDER BY doc_id"
 )
 
 
@@ -4354,6 +4423,8 @@ QUERIES = {
     "contamination_stats": q_contamination_stats,
     "repetition_stats": q_repetition_stats,
     "dup_span_stats": q_dup_span_stats,
+    "unigram_ppl": q_unigram_ppl,
+    "gopher_filter": q_gopher_filter,
     "pack_documents": q_pack_documents,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,

@@ -315,3 +315,135 @@ def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
         _top_ngram_frac(doc_idx, vals, n, total_chars, 3)
     )
     return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model perplexity (the CCNet quality signal, Wenzek et
+# al. arXiv:1911.00359 — CCNet scores with a KenLM 5-gram; the honest
+# in-sandbox analog is the corpus's own unigram LM, computed exactly)
+# ---------------------------------------------------------------------------
+
+
+def unigram_counts(
+    ds: "ray.data.Dataset", text_col: str = "text", n_groups: int = 64
+) -> pa.Table:
+    """Corpus unigram model: (term, cnt) + the grand total, via per-batch
+    pre-aggregation and ONE bounded coarse-key groupby (the partial_agg
+    shape).  The result is vocabulary-sized — the standard broadcast-side
+    table of every LM-scoring pass (vocab ≪ corpus)."""
+    import ray.data  # noqa: F811
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_idx, vals, _n = _flat_tokens(batch, text_col)
+        if len(vals) == 0:
+            return pa.table(
+                {"grp": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        vc = pc.value_counts(vals)
+        terms = vc.field("values")
+        h = polynomial_hash(terms).astype(np.uint64)
+        return pa.table(
+            {
+                "grp": pa.array((h % np.uint64(n_groups)).astype(np.int64)),
+                "term": terms,
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        t = group.group_by("term").aggregate([("cnt", "sum")])
+        return pa.table({"term": t["term"], "cnt": t["cnt_sum"]})
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+    return pa.concat_tables(list(parts.iter_batches(batch_format="pyarrow")))
+
+
+class UnigramPerplexity:
+    """Actor-pool stage: per-doc perplexity under the corpus unigram LM —
+    ``exp(−Σ ln p(tᵢ) / n)`` over token POSITIONS (duplicates count).
+    The (term, cnt) model is built once (broadcast via ``ray.put``);
+    lookup is a sorted-hash searchsorted per batch, no Python loop.
+    Empty docs score 0 (no tokens, no evidence)."""
+
+    def __init__(self, model_ref, text_col: str = "text", out_col: str = "unigram_ppl"):
+        import ray
+
+        model: pa.Table = ray.get(model_ref)
+        h = polynomial_hash(model["term"].combine_chunks()).astype(np.uint64)
+        order = np.argsort(h, kind="stable")
+        self._hash = h[order]
+        cnt = model["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)[order]
+        total = float(cnt.sum())
+        self._logp = np.log(cnt / total)
+        self.text_col = text_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_idx, vals, n = _flat_tokens(batch, self.text_col)
+        out = {name: batch[name] for name in batch.column_names}
+        if len(vals) == 0:
+            out[self.out_col] = pa.array(np.zeros(n, dtype=np.float64))
+            return pa.table(out)
+        th = polynomial_hash(vals).astype(np.uint64)
+        pos = np.searchsorted(self._hash, th)
+        pos = np.minimum(pos, self._hash.size - 1)
+        known = self._hash[pos] == th  # OOV only if the model table is partial
+        lp = np.where(known, self._logp[pos], np.log(0.5 / max(self._logp.size, 1)))
+        s = np.bincount(doc_idx, weights=lp, minlength=n)
+        m = np.bincount(doc_idx, minlength=n).astype(np.float64)
+        ppl = np.zeros(n, dtype=np.float64)
+        nz = m > 0
+        ppl[nz] = np.exp(-s[nz] / m[nz])
+        out[self.out_col] = pa.array(ppl)
+        return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality FILTER (Rae et al. 2021, Table A1 rules composed into a
+# keep/drop verdict with a per-rule fail bitmask)
+# ---------------------------------------------------------------------------
+
+
+def gopher_filter(
+    batch: pa.Table,
+    text_col: str = "text",
+    *,
+    min_words: int = 30,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopword_ratio: float = 0.02,
+    max_dup_word_frac: float = 0.6,
+    max_top2_char_frac: float = 0.20,
+    max_top3_char_frac: float = 0.18,
+) -> pa.Table:
+    """Per-row Gopher keep/drop verdict: ``gopher_keep`` (1 iff every
+    rule passes) and ``gopher_fail_mask`` (bit i set ⇔ rule i failed:
+    0 word-count, 1 mean-word-length, 2 stopword ratio, 3 dup-word
+    fraction, 4 top-2-gram chars, 5 top-3-gram chars).  All signals are
+    the exact rationals of quality_stats / repetition_stats, so the
+    threshold comparisons are bit-deterministic against the SQL twin."""
+    q = quality_stats(batch, text_col)
+    r = repetition_stats(batch, text_col)
+    nw = q["n_words"].to_numpy(zero_copy_only=False)
+    mwl = q["mean_word_len"].to_numpy(zero_copy_only=False)
+    sr = q["stopword_ratio"].to_numpy(zero_copy_only=False)
+    dup = r["dup_word_frac"].to_numpy(zero_copy_only=False)
+    t2 = r["top2_char_frac"].to_numpy(zero_copy_only=False)
+    t3 = r["top3_char_frac"].to_numpy(zero_copy_only=False)
+    fails = np.zeros(len(nw), dtype=np.int64)
+    fails |= ((nw < min_words) | (nw > max_words)) * 1
+    fails |= ((mwl < min_mean_word_len) | (mwl > max_mean_word_len)) * 2
+    fails |= (sr < min_stopword_ratio) * 4
+    fails |= (dup > max_dup_word_frac) * 8
+    fails |= (t2 > max_top2_char_frac) * 16
+    fails |= (t3 > max_top3_char_frac) * 32
+    out = {name: batch[name] for name in batch.column_names}
+    out["gopher_keep"] = pa.array((fails == 0).astype(np.int64))
+    out["gopher_fail_mask"] = pa.array(fails)
+    return pa.table(out)

@@ -130,3 +130,60 @@ def test_repetition_stats_no_cross_doc_ngrams():
     )
     out = repetition_stats(t)
     assert out["top2_char_frac"].to_pylist() == [1.0, 1.0, 1.0]
+
+
+def test_unigram_perplexity_manual(ray_session):
+    """Perplexity = exp(−mean ln p(token)) under the corpus unigram LM,
+    duplicates counted; empty doc scores 0."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.textstats import (
+        UnigramPerplexity,
+        unigram_counts,
+    )
+
+    texts = ["a a b", "b c", ""]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(texts)})
+    ).repartition(2)
+    model = unigram_counts(ds)
+    got = dict(zip(model["term"].to_pylist(), model["cnt"].to_pylist()))
+    assert got == {"a": 2, "b": 2, "c": 1}
+    stage = UnigramPerplexity(ray.put(model))
+    out = stage(pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(texts)}))
+    ppl = out["unigram_ppl"].to_pylist()
+    p = {t: c / 5.0 for t, c in got.items()}
+    want0 = math.exp(-(2 * math.log(p["a"]) + math.log(p["b"])) / 3)
+    want1 = math.exp(-(math.log(p["b"]) + math.log(p["c"])) / 2)
+    np.testing.assert_allclose(ppl[0], want0, rtol=1e-12)
+    np.testing.assert_allclose(ppl[1], want1, rtol=1e-12)
+    assert ppl[2] == 0.0
+    # rarer tokens -> higher perplexity
+    assert ppl[1] > ppl[0]
+
+
+def test_gopher_filter_rules_and_mask():
+    import pyarrow as pa
+
+    from elasticsearch_assets_ray.stages.textstats import gopher_filter
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and it runs far away "
+        "with many fine words that keep going on and on for quite a while "
+        "until the quota of thirty words is comfortably reached today",  # keep
+        "tiny doc",                                  # fails word count (+stopwords)
+        "word " * 40,                                # massive duplication
+    ]
+    out = gopher_filter(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(texts)})
+    )
+    keep = out["gopher_keep"].to_pylist()
+    mask = out["gopher_fail_mask"].to_pylist()
+    assert keep[0] == 1 and mask[0] == 0
+    assert keep[1] == 0 and mask[1] & 1  # word-count bit
+    assert keep[2] == 0 and mask[2] & 8  # dup-word bit
