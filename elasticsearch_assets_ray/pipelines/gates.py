@@ -553,6 +553,15 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
                         "df": comp["df"].combine_chunks().cast(pa.int64()),
                     }
                 ),
+                (lambda te: pa.table(
+                    {
+                        "gate": pa.array(["terms_enum"] * te.num_rows, pa.string()),
+                        "token": te["prefix"].combine_chunks(),
+                        "suggestion": te["suggestion"].combine_chunks(),
+                        "distance": pa.array([0] * te.num_rows, pa.int64()),
+                        "df": te["df"].combine_chunks().cast(pa.int64()),
+                    }
+                ))(_to_table(R.QUERIES["terms_enum"](sf_dir))),
             ]
         )
 
@@ -564,6 +573,11 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
                 "completion",
                 "prefix AS token, suggestion, 0 AS distance, df",
                 "suggest_completion",
+            ),
+            (
+                "terms_enum",
+                "prefix AS token, suggestion, 0 AS distance, df",
+                "terms_enum",
             ),
         ],
         "token, suggestion, distance, df",

@@ -1503,6 +1503,20 @@ def q_suggest_completion(sf_dir: str):
     return s.suggest_completion("s", size=5)
 
 
+def q_terms_enum(sf_dir: str):
+    """ES `_terms_enum`: index terms with a prefix, ascending, with df —
+    a sorted-dictionary read (no postings decode)."""
+    s = Searcher(documents_index(sf_dir))
+    t = s.terms_enum("s", size=8)
+    return pa.table(
+        {
+            "prefix": pa.array(["s"] * t.num_rows, pa.string()),
+            "suggestion": t["term"],
+            "df": t["df"],
+        }
+    )
+
+
 def q_collapse_source(sf_dir: str):
     """ES field collapsing: top-10 hits for a bag-of-words query keeping
     only the best hit per `source` value (winner + final rank both at
@@ -4265,6 +4279,11 @@ ORACLES.update(
     {
         "fingerprint": _oh.fingerprint_sql(),
         "dup_span_stats": _oh.dup_span_stats_sql(),
+    "terms_enum": (
+        f"SELECT 's' AS prefix, term AS suggestion, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+        f"FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents) "
+        "WHERE starts_with(term, 's') GROUP BY term ORDER BY term LIMIT 8"
+    ),
     "unigram_ppl": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
         "cnt AS (SELECT term, count(*)::DOUBLE AS c FROM tok GROUP BY term), "
@@ -4425,6 +4444,7 @@ QUERIES = {
     "dup_span_stats": q_dup_span_stats,
     "unigram_ppl": q_unigram_ppl,
     "gopher_filter": q_gopher_filter,
+    "terms_enum": q_terms_enum,
     "pack_documents": q_pack_documents,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,

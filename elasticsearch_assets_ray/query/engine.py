@@ -1050,6 +1050,21 @@ class Searcher:
                 int(page["doc_id"][-1].as_py()),
             )
 
+    def terms_enum(
+        self, string: str, size: int = 10, max_expansions: int = 2048
+    ) -> pa.Table:
+        """ES ``_terms_enum`` analog: index terms beginning with
+        ``string``, ascending, with df — a sorted-dictionary read (the
+        autocomplete API; no postings decode)."""
+        terms = sorted(self.expand_prefix(string, max_expansions=max_expansions))[:size]
+        dfs = self.term_dfs(terms)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "df": pa.array([dfs[t] for t in terms], pa.int64()),
+            }
+        )
+
     def term_vectors(self, doc_id: int) -> pa.Table:
         """ES ``_termvectors`` analog: the doc's (term, tf) — and token
         positions when the index is positional — straight from a

@@ -471,6 +471,59 @@ class ShardedSearcher:
         parts = self._gather("search", q, from_ + k, df)
         return self._merge_topk_parts(parts, from_ + k).slice(from_)
 
+    def scan(
+        self,
+        query: str | ParsedQuery,
+        page_size: int = 1000,
+        slice_id: int | None = None,
+    ):
+        """ES scroll with SLICING: ``slice_id`` restricts the scroll to
+        one serving shard's doc range — the disjoint-cover parallel
+        scroll ES recommends pinning to shards (``slice.max == number of
+        shards``).  Each slice pages independently (shard-local
+        search_after cursors with coordinator-injected global df, so
+        scores match the unsliced scroll); the union of all slices is
+        exactly the full match set.  ``slice_id=None`` scrolls the
+        merged global order (the plain distributed scroll)."""
+        if page_size <= 0:
+            raise ValueError("page_size must be positive")
+        if slice_id is None:
+            cursor = None
+            while True:
+                page = self.search(query, k=page_size, search_after=cursor)
+                if page.num_rows == 0:
+                    return
+                yield page
+                if page.num_rows < page_size:
+                    return
+                cursor = (
+                    float(page["score"][-1].as_py()),
+                    int(page["doc_id"][-1].as_py()),
+                )
+            return
+        if not 0 <= slice_id < self.n_shards:
+            raise ValueError(f"slice_id must be in [0, {self.n_shards})")
+        cursor = None
+        while True:
+            q, df = self.prepare(query, search_after=cursor)
+            page = self._gather_one(slice_id, "search", q, page_size, df)
+            if page.num_rows == 0:
+                return
+            yield page
+            if page.num_rows < page_size:
+                return
+            cursor = (
+                float(page["score"][-1].as_py()),
+                int(page["doc_id"][-1].as_py()),
+            )
+
+    def _gather_one(self, i: int, method: str, *args):
+        if self.use_actors:
+            import ray
+
+            return ray.get(getattr(self.shards[i], method).remote(*args))
+        return getattr(self.shards[i], method)(*args)
+
     def msearch(
         self, queries: list[str | ParsedQuery], k: int = 10
     ) -> list[pa.Table]:

@@ -827,3 +827,41 @@ def test_decay_rejects_bad_constants(single):
         single.decay_score("def", "doc_len", "exp", 0.0, 0.0, k=1)
     with pytest.raises(ValueError, match="decay must be in"):
         decay_sql_expr("linear", "x", 0.0, 10.0, 0.0, 1.5)
+
+
+def test_sliced_scroll_partitions_the_match_set(single, sharded):
+    """Union of per-slice scrolls == the unsliced scroll's match set,
+    slices are disjoint, scores carry global df (identical to the
+    single searcher's), and pages respect page_size."""
+    full = {
+        int(d): float(s)
+        for page in single.scan("def load", page_size=7)
+        for d, s in zip(page["doc_id"].to_pylist(), page["score"].to_pylist())
+    }
+    seen = {}
+    for sl in range(sharded.n_shards):
+        for page in sharded.scan("def load", page_size=7, slice_id=sl):
+            assert page.num_rows <= 7
+            for d, s in zip(page["doc_id"].to_pylist(), page["score"].to_pylist()):
+                assert d not in seen  # slices are disjoint
+                seen[int(d)] = float(s)
+    assert seen == full
+    # unsliced distributed scroll matches too
+    merged = {
+        int(d): float(s)
+        for page in sharded.scan("def load", page_size=11)
+        for d, s in zip(page["doc_id"].to_pylist(), page["score"].to_pylist())
+    }
+    assert merged == full
+    with pytest.raises(ValueError, match="slice_id"):
+        next(sharded.scan("def", slice_id=99))
+
+
+def test_terms_enum_matches_dictionary(single):
+    t = single.terms_enum("de", size=5)
+    terms = t["term"].to_pylist()
+    assert terms == sorted(terms)
+    assert all(x.startswith("de") for x in terms)
+    # df agrees with term_dfs
+    dfs = single.term_dfs(terms)
+    assert t["df"].to_pylist() == [dfs[x] for x in terms]
