@@ -471,7 +471,6 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "neardup_clusters",
         "lang_stats",
         "embedding_topk",
-        "embedding_dedup",
         "search_topk",
         "search_sharded",
         "fulltext_count",
@@ -681,6 +680,16 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("unordered", None, "search_unordered"),
         ],
         _SEARCH_SEL,
+    )
+
+    # embedding near-dup family: LSH-bucketed + SemDeDup cluster-partitioned
+    gates["embedding_dedup"] = _union(
+        [("lsh", "embedding_dedup"), ("semdedup", "semdedup")],
+        ["id_a", "id_b", "sim_r"],
+    )
+    oracles["embedding_dedup"] = _union_sql(
+        [("lsh", None, "embedding_dedup"), ("semdedup", None, "semdedup")],
+        "id_a, id_b, sim_r",
     )
 
     # function_score family: field_value_factor + the decay functions

@@ -1017,6 +1017,38 @@ _HYBRID_W = 20  # per-list rank window for RRF
 _HYBRID_K = 10
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (arXiv:2303.09540): k-means partitions the embedding
+    space, within-cluster blocked cosine sweep.  Planted EXACT copies
+    (identical vectors ⇒ identical cluster assignment, so recall on the
+    gate set is provably complete) against the same brute-force SQL
+    oracle as the LSH-bucketed dedup."""
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    head = t.slice(0, 10)
+    dup = pa.table(
+        {
+            "vec_id": pc.add(head["vec_id"], pa.scalar(100000, pa.int64())),
+            "embedding": head["embedding"],
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([t, dup]))
+    pairs = sim_ops.semdedup(ds, threshold=0.99, n_centroids=8, n_iters=4)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "sim_r": pa.array([], pa.float64())}
+        )
+    return pa.table(
+        {
+            "id_a": pairs["id_a"],
+            "id_b": pairs["id_b"],
+            "sim_r": pa.array(
+                _round_half_up(pairs["sim"].to_numpy(zero_copy_only=False), 6)
+            ),
+        }
+    )
+
+
 def q_hybrid_rrf(sf_dir: str):
     """ES 8.x hybrid search (`rrf` retriever): BM25 top-W for the first 3
     DOC_QUERIES + exact-cosine top-W for the planted probe vectors, fused
@@ -4310,6 +4342,7 @@ ORACLES.update(
         "contamination_stats": _contamination_sql(),
         "prefix_dfs": _oh.prefix_dfs_sql("abcdefghijklmnopqrstuvwxyz0123456789", 30),
         "embedding_dedup": _oh.embedding_dedup_sql(threshold=0.99),
+        "semdedup": _oh.embedding_dedup_sql(threshold=0.99),
         "neardup_clusters": _oh.neardup_clusters_sql(
             num_perm=64, bands=16, shingle_k=3, threshold=0.5
         ),
@@ -4445,6 +4478,7 @@ QUERIES = {
     "unigram_ppl": q_unigram_ppl,
     "gopher_filter": q_gopher_filter,
     "terms_enum": q_terms_enum,
+    "semdedup": q_semdedup,
     "pack_documents": q_pack_documents,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,

@@ -951,3 +951,94 @@ def exact_rerank(
         ),
         k,
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+# k-means partitioning + within-cluster cosine
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    n_iters: int = 6,
+    block_rows: int = 4096,
+) -> pa.Table:
+    """Semantic near-dup PAIRS: spherical k-means partitions the
+    embedding space (all-dataset, deterministic — kmeans_distributed),
+    then each cluster runs an exact blocked-triangle cosine sweep.
+
+    Scale shape: assignment is one broadcast-centers map_batches; the
+    only shuffle is ONE groupby(cluster); within a cluster the pairwise
+    sweep is blocked (``block_rows``² scratch, never |cluster|²).
+    Pairs found = pairs whose BOTH ends share a cluster — the SemDeDup
+    trade (recall loss only for near-dups straddling a k-means boundary;
+    EXACT duplicates always co-locate, identical vectors get identical
+    assignments).  Returns (id_a, id_b, sim), id_a < id_b, distinct."""
+    centers, _stats = kmeans_distributed(ds, vec_col, n_centroids, n_iters=n_iters)
+    ref = ray.put(centers)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_matrix(batch[vec_col]))
+        cl = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(cl),
+                id_col: batch[id_col],
+                vec_col: batch[vec_col],
+            }
+        )
+
+    def sweep(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_matrix(group[vec_col]))
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        out_a, out_b, out_s = [], [], []
+        n = ids.size
+        for i0 in range(0, n, block_rows):
+            a = m[i0 : i0 + block_rows]
+            for j0 in range(i0, n, block_rows):
+                b = m[j0 : j0 + block_rows]
+                sims = a @ b.T
+                if i0 == j0:
+                    iu = np.triu_indices(a.shape[0], k=1, m=b.shape[0])
+                    mask = sims[iu] >= threshold
+                    ra, rb = iu[0][mask] + i0, iu[1][mask] + j0
+                    ss = sims[iu][mask]
+                else:
+                    ra, rb = np.nonzero(sims >= threshold)
+                    ss = sims[ra, rb]
+                    ra, rb = ra + i0, rb + j0
+                if ra.size:
+                    out_a.append(ids[ra])
+                    out_b.append(ids[rb])
+                    out_s.append(ss)
+        if not out_a:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+                "sim": pa.array(np.concatenate(out_s).astype(np.float64)),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(sweep, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(list(pairs.iter_batches(batch_format="pyarrow")))
+    if t.num_rows == 0:
+        return t
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])

@@ -247,3 +247,28 @@ def test_pq_topk_with_exact_rerank_finds_planted(ray_session):
     ):
         expect = float(mn[row_v] @ qn[list(qids).index(row_q)])
         assert abs(row_s - expect) < 1e-12
+
+
+def test_semdedup_finds_planted_and_blocks_correctly(ray_session):
+    """SemDeDup: exact planted copies co-locate (identical assignment)
+    and every within-cluster pair above threshold is found even when
+    the blocked triangle spans multiple blocks."""
+    t = _vectors(n=300, d=16, seed=13)
+    import pyarrow.compute as pc
+
+    head = t.slice(0, 8)
+    dup = pa.table(
+        {
+            "vec_id": pc.add(head["vec_id"], pa.scalar(1000, pa.int64())),
+            "embedding": head["embedding"],
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([t, dup])).repartition(4)
+    pairs = sim.semdedup(ds, threshold=0.99, n_centroids=4, n_iters=3, block_rows=32)
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert {(i, i + 1000) for i in range(8)} <= got
+    # all returned sims really are >= threshold
+    assert all(s >= 0.99 for s in pairs["sim"].to_pylist())
+    # tiny block size changes nothing (blocking is exact)
+    pairs2 = sim.semdedup(ds, threshold=0.99, n_centroids=4, n_iters=3, block_rows=7)
+    assert pairs.equals(pairs2)
