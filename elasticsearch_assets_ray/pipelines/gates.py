@@ -475,7 +475,6 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "search_sharded",
         "fulltext_count",
         "search_page2",
-        "collapse_source",
         "more_like_this",
         "highlight",
         "histogram_nchars",
@@ -680,6 +679,67 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("unordered", None, "search_unordered"),
         ],
         _SEARCH_SEL,
+    )
+
+    # collapse family: winner-only collapse + collapse-with-inner_hits
+    def g_collapse(sf_dir: str) -> pa.Table:
+        cs = _to_table(R.QUERIES["collapse_source"](sf_dir))
+        ci = _to_table(R.QUERIES["collapse_inner"](sf_dir))
+        import pyarrow.compute as _pc
+
+        lbl = _pc.binary_join_element_wise(
+            ci["value"].combine_chunks().cast(pa.string()),
+            _pc.binary_join_element_wise(
+                ci["group_rank"].combine_chunks().cast(pa.string()),
+                ci["inner_rank"].combine_chunks().cast(pa.string()),
+                ".",
+            ),
+            "#",
+        )
+        gr = ci["group_rank"].to_numpy(zero_copy_only=False)
+        ir = ci["inner_rank"].to_numpy(zero_copy_only=False)
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "gate": pa.array(["winner"] * cs.num_rows, pa.string()),
+                        "value": _pc.fill_null(
+                            cs["source"].combine_chunks().cast(pa.string()), ""
+                        ),
+                        "rank": cs["rank"].combine_chunks().cast(pa.int64()),
+                        "doc_id": cs["doc_id"].combine_chunks().cast(pa.int64()),
+                        "score_r": cs["score_r"].combine_chunks(),
+                    }
+                ),
+                pa.table(
+                    {
+                        "gate": pa.array(["inner"] * ci.num_rows, pa.string()),
+                        "value": lbl,
+                        "rank": pa.array(gr * 100 + ir),
+                        "doc_id": ci["doc_id"].combine_chunks().cast(pa.int64()),
+                        "score_r": ci["score_r"].combine_chunks(),
+                    }
+                ),
+            ]
+        )
+
+    gates["collapse_source"] = g_collapse
+    oracles["collapse_source"] = _union_sql(
+        [
+            (
+                "winner",
+                "coalesce(source, '') AS value, rank, doc_id, score_r",
+                "collapse_source",
+            ),
+            (
+                "inner",
+                "value || '#' || CAST(group_rank AS VARCHAR) || '.' || "
+                "CAST(inner_rank AS VARCHAR) AS value, "
+                "group_rank * 100 + inner_rank AS rank, doc_id, score_r",
+                "collapse_inner",
+            ),
+        ],
+        "value, rank, doc_id, score_r",
     )
 
     # embedding near-dup family: LSH-bucketed + SemDeDup cluster-partitioned

@@ -1049,6 +1049,55 @@ def q_semdedup(sf_dir: str):
     )
 
 
+def q_collapse_inner(sf_dir: str):
+    """ES collapse + inner_hits: top-5 collapsed `source` groups each
+    expanded to their top-3 hits, served distributed (composes the two
+    distributed primitives — collapse winners + per-bucket top_hits)."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    r = sh.collapse_inner_hits("spark table merge", k=5, collapse="source", inner_n=3)
+    ids = r["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "value": r["value"],
+            "group_rank": r["group_rank"],
+            "inner_rank": r["inner_rank"],
+            "doc_id": pa.array(
+                _orig_ids(sh.coord, ids) if ids.size else np.array([], dtype=np.int64)
+            ),
+            "score_r": pa.array(
+                _round_half_up(r["score"].to_numpy(zero_copy_only=False), 6)
+            ),
+        }
+    )
+
+
+def _collapse_inner_sql(k: int, n: int) -> str:
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+        "q(term) AS (VALUES ('merge'), ('spark'), ('table')), "
+        "scored AS (SELECT tf.doc_id, sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+        " * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score "
+        " FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY tf.doc_id), "
+        "g AS (SELECT sc.doc_id, sc.score, d.source AS value FROM scored sc "
+        " JOIN documents d ON d.doc_id = sc.doc_id WHERE d.source IS NOT NULL), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY value "
+        " ORDER BY round(score, 9) DESC, doc_id) AS inner_rank FROM g), "
+        "w AS (SELECT value, doc_id AS wdoc, score AS wscore FROM r WHERE inner_rank = 1), "
+        "gr AS (SELECT value, row_number() OVER (ORDER BY round(wscore, 9) DESC, wdoc) "
+        " AS group_rank FROM w) "
+        "SELECT r.value, gr.group_rank, r.inner_rank, r.doc_id, "
+        "round(r.score, 6) AS score_r "
+        "FROM r JOIN gr ON gr.value = r.value "
+        f"WHERE gr.group_rank <= {k} AND r.inner_rank <= {n}"
+    )
+
+
 def q_hybrid_rrf(sf_dir: str):
     """ES 8.x hybrid search (`rrf` retriever): BM25 top-W for the first 3
     DOC_QUERIES + exact-cosine top-W for the planted probe vectors, fused
@@ -4311,6 +4360,7 @@ ORACLES.update(
     {
         "fingerprint": _oh.fingerprint_sql(),
         "dup_span_stats": _oh.dup_span_stats_sql(),
+    "collapse_inner": _collapse_inner_sql(5, 3),
     "terms_enum": (
         f"SELECT 's' AS prefix, term AS suggestion, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
         f"FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents) "
@@ -4479,6 +4529,7 @@ QUERIES = {
     "gopher_filter": q_gopher_filter,
     "terms_enum": q_terms_enum,
     "semdedup": q_semdedup,
+    "collapse_inner": q_collapse_inner,
     "pack_documents": q_pack_documents,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,

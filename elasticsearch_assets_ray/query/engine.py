@@ -2079,6 +2079,45 @@ class Searcher:
         col = vals[by].combine_chunks().take(pa.array(pos))
         return tophits_select(ids, sc, col, n)
 
+    def collapse_inner_hits(
+        self,
+        query: str | ParsedQuery,
+        k: int = 10,
+        collapse: str = "",
+        inner_n: int = 3,
+    ) -> pa.Table:
+        """ES field collapsing WITH ``inner_hits``: the top-k collapsed
+        groups (winner ranking = :meth:`search_collapse`) each expanded
+        to their top-``inner_n`` hits under the SAME comparator — the
+        group winner is inner rank 1 by construction.  Composes the two
+        already-distributed primitives (collapse + top_hits), so the
+        ShardedSearcher alias is exact with zero extra merge logic.
+        Null collapse values are excluded (ES terms/top_hits skip
+        missing).  Returns (value, group_rank, inner_rank, doc_id,
+        score), group-rank-asc / inner-rank-asc."""
+        win = self.search_collapse(query, k=k, collapse=collapse)
+        vals = win[collapse].combine_chunks()
+        nonnull = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        wvals = [v for v, ok in zip(vals.to_pylist(), nonnull) if ok]
+        rank_of = {v: i + 1 for i, v in enumerate(wvals)}
+        th = self.top_hits(query, collapse, inner_n)
+        tvals = th["value"].to_pylist()
+        keep = [i for i, v in enumerate(tvals) if v in rank_of]
+        th = th.take(pa.array(keep, pa.int64()))
+        grank = pa.array([rank_of[v] for v in th["value"].to_pylist()], pa.int64())
+        out = pa.table(
+            {
+                "value": th["value"],
+                "group_rank": grank,
+                "inner_rank": th["rank"],
+                "doc_id": th["doc_id"],
+                "score": th["score"],
+            }
+        )
+        return out.sort_by(
+            [("group_rank", "ascending"), ("inner_rank", "ascending")]
+        )
+
     def msearch(
         self, queries: list[str | ParsedQuery], k: int = 10
     ) -> list[pa.Table]:

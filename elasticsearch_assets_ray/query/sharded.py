@@ -816,6 +816,9 @@ class ShardedSearcher:
     # single-searcher implementation verbatim — it only composes
     # self.search and self.knn, both of which distribute here
     hybrid = Searcher.hybrid
+    # collapse + inner_hits composes search_collapse and top_hits, both
+    # distributed here, so the single-searcher body is exact verbatim
+    collapse_inner_hits = Searcher.collapse_inner_hits
 
     def search_filtered_by(
         self,

@@ -865,3 +865,28 @@ def test_terms_enum_matches_dictionary(single):
     # df agrees with term_dfs
     dfs = single.term_dfs(terms)
     assert t["df"].to_pylist() == [dfs[x] for x in terms]
+
+
+def test_collapse_inner_hits_composition(single, sharded):
+    """Collapse + inner_hits: group winner is inner rank 1, inner hits
+    ordered by the shared comparator, sharded identical to single."""
+    a = single.collapse_inner_hits("def load index", k=4, collapse="lang", inner_n=3)
+    b = sharded.collapse_inner_hits("def load index", k=4, collapse="lang", inner_n=3)
+    assert a.equals(b)
+    win = single.search_collapse("def load index", k=4, collapse="lang")
+    # winner of group g == inner rank 1 of group rank g
+    for g, (wd, wv) in enumerate(
+        zip(win["doc_id"].to_pylist(), win["lang"].to_pylist()), start=1
+    ):
+        rows = [
+            (ir, d)
+            for gr, ir, d, v in zip(
+                a["group_rank"].to_pylist(),
+                a["inner_rank"].to_pylist(),
+                a["doc_id"].to_pylist(),
+                a["value"].to_pylist(),
+            )
+            if gr == g
+        ]
+        assert rows[0] == (1, wd)
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
