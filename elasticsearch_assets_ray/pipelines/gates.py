@@ -154,6 +154,7 @@ def g_bulk_events(sf_dir: str) -> pa.Table:
             ("index_lww", "bulk_index_lww"),
             ("create_first", "bulk_create_first"),
             ("reindex_x2", "reindex_events"),
+            ("ingest", "ingest_events"),
         ],
         ["user_id", "event_id", "event_type", "value", "ts"],
     )(sf_dir)
@@ -598,6 +599,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("index_lww", None, "bulk_index_lww"),
             ("create_first", None, "bulk_create_first"),
             ("reindex_x2", None, "reindex_events"),
+            ("ingest", None, "ingest_events"),
         ],
         "user_id, event_id, event_type, value, ts",
     )

@@ -414,6 +414,32 @@ def q_bulk_create_first(sf_dir: str):
     return out.select_columns(_EV_COLS)
 
 
+@bulk_ops.register_script("value_x3")
+def _script_value_x3(t: pa.Table) -> dict:
+    return {"value": pc.multiply(t["value"], pa.scalar(3.0, pa.float64()))}
+
+
+def q_ingest_events(sf_dir: str):
+    """ES ingest pipeline (`_ingest/pipeline` processor chain): uppercase
+    → gsub → stored-script → convert, compiled once and applied with
+    map_batches (every processor a vectorized Arrow kernel).  The same
+    callable plugs into reindex's transform seam and the bulk sender —
+    the reference's processor slot in reader→processor→sender jobs."""
+    from elasticsearch_assets_ray.pipelines.ingest import IngestPipeline
+
+    pipe = IngestPipeline(
+        [
+            {"type": "uppercase", "field": "event_type"},
+            {"type": "gsub", "field": "event_type", "pattern": "O", "replacement": "0"},
+            {"type": "script", "name": "value_x3"},
+            {"type": "convert", "field": "user_id", "to": "long"},
+        ]
+    )
+    ds = _rd(sf_dir, "events", columns=_EV_COLS)
+    out = pipe.run(ds).select_columns(_EV_COLS)
+    return pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+
+
 def q_reindex_events(sf_dir: str):
     """The reference's flagship reader→processor→sender composition as
     one resumable pipeline (pipelines/reindex.py): even date slices
@@ -4361,6 +4387,11 @@ ORACLES.update(
         "fingerprint": _oh.fingerprint_sql(),
         "dup_span_stats": _oh.dup_span_stats_sql(),
     "collapse_inner": _collapse_inner_sql(5, 3),
+    "ingest_events": (
+        "SELECT user_id, event_id, "
+        "regexp_replace(upper(event_type), 'O', '0', 'g') AS event_type, "
+        "value * 3 AS value, ts FROM events"
+    ),
     "terms_enum": (
         f"SELECT 's' AS prefix, term AS suggestion, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
         f"FROM (SELECT doc_id, unnest({_TOK}) AS term FROM documents) "
@@ -4530,6 +4561,7 @@ QUERIES = {
     "terms_enum": q_terms_enum,
     "semdedup": q_semdedup,
     "collapse_inner": q_collapse_inner,
+    "ingest_events": q_ingest_events,
     "pack_documents": q_pack_documents,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
