@@ -489,7 +489,6 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "pack_documents",
         "split_assign",
         "stratified_sample",
-        "media_decode",
         "audio_decode",
         "match_stats",
     ]
@@ -681,6 +680,16 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("unordered", None, "search_unordered"),
         ],
         _SEARCH_SEL,
+    )
+
+    # media decode family: PNG image decode + MJPNG video frame sampling
+    gates["media_decode"] = _union(
+        [("image", "media_decode"), ("video", "video_frames")],
+        ["media_id", "width", "height", "n_pixels", "pix_sum"],
+    )
+    oracles["media_decode"] = _union_sql(
+        [("image", None, "media_decode"), ("video", None, "video_frames")],
+        "media_id, width, height, n_pixels, pix_sum",
     )
 
     # collapse family: winner-only collapse + collapse-with-inner_hits

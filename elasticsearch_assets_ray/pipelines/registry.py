@@ -2879,6 +2879,39 @@ def q_media_decode(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "n_pixels", "pix_sum"])
 
 
+def q_video_frames(sf_dir: str):
+    """Video frame sampling through the gate — REAL bytes end to end:
+    MJPNG containers (length-prefixed genuine PNG frames), every 2nd
+    frame decoded by the pure-Python PNG codec in an actor-pool
+    flat_map stage; the oracle predicts each sampled frame's dims and
+    pixel sum in closed form (synth_media_table fmt="mjpng")."""
+    from elasticsearch_assets_ray.stages import multimodal as mm
+
+    t = mm.synth_media_table(120, fmt="mjpng", kind="video")
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(
+        mm.VideoFrameSampleStage,
+        fn_constructor_kwargs={"stride": 2},
+        batch_size=mm.VideoFrameSampleStage.suggested_batch_size,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    r = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    mid = r["media_id"].to_numpy(zero_copy_only=False)
+    fr = r["frame"].to_numpy(zero_copy_only=False)
+    w = r["width"].to_numpy(zero_copy_only=False)
+    h = r["height"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "media_id": pa.array(mid * 100 + fr),
+            "width": r["width"],
+            "height": r["height"],
+            "n_pixels": pa.array(w * h),
+            "pix_sum": r["pix_sum"],
+        }
+    )
+
+
 def q_audio_decode(sf_dir: str):
     """Audio decode through the gate — REAL codec: payloads are genuine
     WAV (RIFF PCM16 mono) bytes, the actor-pool stage walks the RIFF
@@ -3815,6 +3848,19 @@ ORACLES: dict[str, str] = {
         "SELECT m.media_id, m.width, m.height, m.width*m.height AS n_pixels, "
         "s.pix_sum FROM m JOIN s USING (media_id)"
     ),
+    "video_frames": (
+        "WITH m AS (SELECT i AS id, 4 + (i*13) % 9 AS nf FROM range(0, 120) t(i)), "
+        "fr AS (SELECT id, unnest(range(0, nf, 2)) AS f FROM m), "
+        "d AS (SELECT id, f, 8 + (id*7919 + f*101) % 24 AS width, "
+        " 8 + (id*104729 + f*59) % 24 AS height FROM fr), "
+        "j AS (SELECT id, f, width, height, "
+        " unnest(range(0, width*height)) AS jj FROM d), "
+        "s AS (SELECT id, f, sum((id*31 + f*7 + jj*17) % 256)::BIGINT AS pix_sum "
+        " FROM j GROUP BY id, f) "
+        "SELECT d.id*100 + d.f AS media_id, d.width, d.height, "
+        "d.width*d.height AS n_pixels, s.pix_sum "
+        "FROM d JOIN s ON s.id = d.id AND s.f = d.f"
+    ),
     # closed-form prediction of the WAV decode output: samples are a
     # pure function of media_id (q_audio_decode): n = 64+(id*7919)%192,
     # s[j] = (id*31 + j*17) % 257 - 128
@@ -4562,6 +4608,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "collapse_inner": q_collapse_inner,
     "ingest_events": q_ingest_events,
+    "video_frames": q_video_frames,
     "pack_documents": q_pack_documents,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,

@@ -76,6 +76,32 @@ def synth_media_table(
             )
             payloads.append(png_encode(body.reshape(h, w)))
         meta = "image/png"
+    elif fmt == "mjpng":
+        # REAL video container: b"MJPN" + uint32 frame count + per frame
+        # (uint32 length + a genuine PNG).  Frame content is closed-form
+        # in (media_id, frame_idx): n_frames = 4 + (id*13) % 9,
+        # w = 8 + (id*7919 + f*101) % 24, h = 8 + (id*104729 + f*59) % 24,
+        # pixel[j] = (id*31 + f*7 + j*17) % 256 — so a SQL oracle predicts
+        # every sampled frame's dimensions and pixel sum without decoding.
+        import struct
+
+        from elasticsearch_assets_ray.stages.png import png_encode
+
+        payloads = []
+        for i in range(n):
+            nf = 4 + (i * 13) % 9
+            parts = [b"MJPN", struct.pack("<I", nf)]
+            for f in range(nf):
+                w = 8 + (i * 7919 + f * 101) % 24
+                h = 8 + (i * 104729 + f * 59) % 24
+                body = (
+                    (i * 31 + f * 7 + np.arange(w * h, dtype=np.int64) * 17) % 256
+                ).astype(np.uint8)
+                png = png_encode(body.reshape(h, w))
+                parts.append(struct.pack("<I", len(png)))
+                parts.append(png)
+            payloads.append(b"".join(parts))
+        meta = "video/mjpng"
     elif fmt == "fake":
         rng = np.random.default_rng(seed)
         w = rng.integers(8, 64, n).astype(np.uint16)
@@ -291,5 +317,61 @@ class FrameSampleStage:
                 "media_id": pa.array(ids, pa.int64()),
                 "frame": pa.array(frames, pa.int64()),
                 "frame_bytes": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+
+class VideoFrameSampleStage:
+    """REAL video frame sampling: parses the MJPNG container (magic +
+    frame count + length-prefixed PNGs), decodes every ``stride``-th
+    frame with the pure-Python PNG codec (stages/png.py) and emits one
+    row per sampled frame — the flat_map decode shape of a video
+    pipeline with genuine bytes end to end.  Actor-pool stage: the codec
+    module import / setup happens once per actor."""
+
+    suggested_batch_size = 16
+
+    def __init__(self, stride: int = 2, drop_payload: bool = True):
+        import struct
+
+        from elasticsearch_assets_ray.stages import png as png_mod
+
+        if stride <= 0:
+            raise ValueError("stride must be positive")
+        self.stride = stride
+        self.drop_payload = drop_payload
+        self._struct = struct
+        self._png = png_mod
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        st = self._struct
+        ids, frames, ws, hs, sums = [], [], [], [], []
+        for i in range(batch.num_rows):
+            payload = batch["payload"][i].as_py()
+            if payload[:4] != b"MJPN":
+                raise ValueError("not an MJPNG container")
+            (nf,) = st.unpack_from("<I", payload, 4)
+            off = 8
+            mid = batch["media_id"][i].as_py()
+            for f in range(nf):
+                (ln,) = st.unpack_from("<I", payload, off)
+                off += 4
+                blob = payload[off : off + ln]
+                off += ln
+                if f % self.stride != 0:
+                    continue
+                img = self._png.png_decode(blob)
+                ids.append(mid)
+                frames.append(f)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                sums.append(int(img.astype(np.int64).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame": pa.array(frames, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "pix_sum": pa.array(sums, pa.int64()),
             }
         )

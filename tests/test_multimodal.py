@@ -250,3 +250,54 @@ def test_audio_feature_stage(ray_session):
             assert row[k] == v, (i, k)
     # closed form: n = 64 + (id*7919) % 192
     assert out["n_samples"].to_pylist()[:3] == [64, 64 + 7919 % 192, 64 + 2 * 7919 % 192]
+
+
+def test_video_frame_sampling_real_codec(ray_session):
+    """MJPNG container: every stride-th frame decodes to the closed-form
+    content; stride=1 yields every frame; bad magic rejected."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.multimodal import (
+        VideoFrameSampleStage,
+        synth_media_table,
+    )
+
+    t = synth_media_table(6, fmt="mjpng", kind="video")
+    out = VideoFrameSampleStage(stride=1)(t)
+    # per-video frame counts = 4 + (id*13) % 9
+    import collections
+
+    cnt = collections.Counter(out["media_id"].to_pylist())
+    for i in range(6):
+        assert cnt[i] == 4 + (i * 13) % 9
+    # closed-form pixel sums for a couple of (id, f) pairs
+    for mid, f, w, h, s in zip(
+        out["media_id"].to_pylist(), out["frame"].to_pylist(),
+        out["width"].to_pylist(), out["height"].to_pylist(),
+        out["pix_sum"].to_pylist(),
+    ):
+        assert w == 8 + (mid * 7919 + f * 101) % 24
+        assert h == 8 + (mid * 104729 + f * 59) % 24
+        want = int(((mid * 31 + f * 7 + np.arange(w * h, dtype=np.int64) * 17) % 256).sum())
+        assert s == want
+    # stride=3 samples frames 0,3,6,...
+    out3 = VideoFrameSampleStage(stride=3)(t)
+    assert all(f % 3 == 0 for f in out3["frame"].to_pylist())
+    with pytest.raises(ValueError, match="MJPNG"):
+        VideoFrameSampleStage()(
+            pa.table({"media_id": pa.array([0], pa.int64()),
+                      "payload": pa.array([b"XXXX1234"], pa.large_binary())})
+        )
+    with pytest.raises(ValueError, match="stride"):
+        VideoFrameSampleStage(stride=0)
+    # actor-pool path over a Dataset
+    ds = ray.data.from_arrow(t)
+    r = pa.concat_tables(list(
+        ds.map_batches(VideoFrameSampleStage, fn_constructor_kwargs={"stride": 2},
+                       batch_format="pyarrow", concurrency=(1, 2))
+        .iter_batches(batch_format="pyarrow")
+    ))
+    assert r.num_rows == sum(-(-(4 + (i * 13) % 9) // 2) for i in range(6))
