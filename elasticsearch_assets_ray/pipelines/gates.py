@@ -463,7 +463,6 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         # operator gates kept 1:1 from the fine-grained registry
         "date_range_scan",
         "projection",
-        "geo_box_count",
         "geo_distance_topk",
         "tpch_q1",
         "revenue_by_segment",
@@ -680,6 +679,38 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("unordered", None, "search_unordered"),
         ],
         _SEARCH_SEL,
+    )
+
+    # geo family: bounding-box count + geo_distance aggregation
+    def g_geo_box(sf_dir: str) -> pa.Table:
+        box = _to_table(R.QUERIES["geo_box_count"](sf_dir))
+        da = _to_table(R.QUERIES["geo_distance_agg"](sf_dir))
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "gate": pa.array(["box"], pa.string()),
+                        "value": pa.array(["box"], pa.string()),
+                        "count": box["cnt"].combine_chunks().cast(pa.int64()),
+                    }
+                ),
+                pa.table(
+                    {
+                        "gate": pa.array(["dist"] * da.num_rows, pa.string()),
+                        "value": da["value"].combine_chunks(),
+                        "count": da["count"].combine_chunks().cast(pa.int64()),
+                    }
+                ),
+            ]
+        )
+
+    gates["geo_box_count"] = g_geo_box
+    oracles["geo_box_count"] = _union_sql(
+        [
+            ("box", "'box' AS value, cnt AS count", "geo_box_count"),
+            ("dist", None, "geo_distance_agg"),
+        ],
+        "value, count",
     )
 
     # media decode family: PNG image decode + MJPNG video frame sampling

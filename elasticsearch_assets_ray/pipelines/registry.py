@@ -344,6 +344,57 @@ def _geohash_grid_oracle() -> str:
     )
 
 
+_GEO_DIST_RANGES: list[tuple[float | None, float | None]] = [
+    (None, 5000.0),
+    (5000.0, 10000.0),
+    (8000.0, 15000.0),  # overlapping on purpose (ES counts independently)
+    (10000.0, None),
+]
+_GEO_ORIGIN = (37.77, -122.42)
+
+
+def q_geo_distance_agg(sf_dir: str):
+    """ES geo_distance aggregation: counts per distance range from an
+    origin (overlapping ranges counted independently); per-batch partial
+    counts, driver sums a vector — no shuffle."""
+    from elasticsearch_assets_ray.sources.geo import geo_distance_agg
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id"]).map_batches(
+        _derive_latlon, batch_format="pyarrow"
+    )
+    return geo_distance_agg(
+        ds, "lat", "lon", point=_GEO_ORIGIN, ranges=_GEO_DIST_RANGES
+    )
+
+
+def _geo_distance_agg_sql() -> str:
+    lat0, lon0 = _GEO_ORIGIN
+    km = (
+        "round(2 * 6371.0088 * asin(sqrt("
+        f" pow(sin(radians({lat0} - lat) / 2), 2) + "
+        f" cos(radians(lat)) * cos(radians({lat0})) * "
+        f" pow(sin(radians({lon0} - lon) / 2), 2))), 6)"
+    )
+    arms = []
+    for lo, hi in _GEO_DIST_RANGES:
+        a = "*" if lo is None else f"{lo:.1f}"
+        b = "*" if hi is None else f"{hi:.1f}"
+        conds = []
+        if lo is not None:
+            conds.append(f"km >= {lo}")
+        if hi is not None:
+            conds.append(f"km < {hi}")
+        where = " AND ".join(conds) or "TRUE"
+        arms.append(
+            f"SELECT '{a}-{b}' AS value, count(*) FILTER (WHERE {where}) AS count FROM d"
+        )
+    return (
+        "WITH g AS (SELECT event_id, "
+        f"{_GEO_LATLON_SQL[0]} AS lat, {_GEO_LATLON_SQL[1]} AS lon FROM events), "
+        f"d AS (SELECT {km} AS km FROM g) " + " UNION ALL ".join(arms)
+    )
+
+
 def q_geo_box_count(sf_dir: str):
     """Q5 geo bounding box as a plain range predicate over float lat/lon
     columns (reference geoBoundingBox, utils.ts:102-107)."""
@@ -3708,6 +3759,7 @@ ORACLES: dict[str, str] = {
         f"AND lat <= {_GEO_BOX['top']} AND lon >= {_GEO_BOX['left']} "
         f"AND lon <= {_GEO_BOX['right']}"
     ),
+    "geo_distance_agg": _geo_distance_agg_sql(),
     "geo_distance_topk": (
         "WITH g AS (SELECT event_id, "
         f"{_GEO_LATLON_SQL[0]} AS lat, {_GEO_LATLON_SQL[1]} AS lon FROM events), "
@@ -4609,6 +4661,7 @@ QUERIES = {
     "collapse_inner": q_collapse_inner,
     "ingest_events": q_ingest_events,
     "video_frames": q_video_frames,
+    "geo_distance_agg": q_geo_distance_agg,
     "pack_documents": q_pack_documents,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,

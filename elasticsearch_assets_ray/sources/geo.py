@@ -203,3 +203,67 @@ def geohash_grid_sql(lat_expr: str, lon_expr: str, precision: int) -> str:
         f"LEAST(GREATEST({latq}, 0), {(1 << nlat) - 1}) AS latq, "
         f"LEAST(GREATEST({lonq}, 0), {(1 << nlon) - 1}) AS lonq)))"
     )
+
+
+def geo_distance_agg(
+    ds: ray.data.Dataset,
+    lat_col: str,
+    lon_col: str,
+    *,
+    point: tuple[float, float],
+    ranges: list[tuple[float | None, float | None]],
+) -> pa.Table:
+    """ES ``geo_distance`` aggregation: document counts per distance
+    range from an origin (half-open [from, to); ranges may overlap —
+    each is counted independently, the ES contract; ``None`` = open
+    end).  Keys use the ES ``from-to`` convention with ``*`` for open
+    ends.  Per-batch partial counts (one small vector per batch) sum on
+    the driver — no shuffle, corpus streams.
+
+    Bucket membership compares ``round(km, 6)`` on BOTH engine and SQL
+    sides (the repo-wide float contract: libm trig may differ by ulps
+    between numpy and DuckDB)."""
+    lat0, lon0 = point
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        km = np.round(haversine_km(lat, lon, lat0, lon0), 6)
+        counts = []
+        for lo, hi in ranges:
+            m = np.ones(km.size, dtype=bool)
+            if lo is not None:
+                m &= km >= lo
+            if hi is not None:
+                m &= km < hi
+            counts.append(int(m.sum()))
+        return pa.table(
+            {
+                "ridx": pa.array(range(len(ranges)), pa.int64()),
+                "count": pa.array(counts, pa.int64()),
+            }
+        )
+
+    totals = np.zeros(len(ranges), dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        # a delivered batch may CONCATENATE several per-block partials →
+        # repeated ridx values; fancy-index += would drop duplicates
+        np.add.at(
+            totals,
+            b["ridx"].to_numpy(zero_copy_only=False),
+            b["count"].to_numpy(zero_copy_only=False),
+        )
+
+    def key(lo, hi):
+        a = "*" if lo is None else f"{lo:.1f}"
+        b = "*" if hi is None else f"{hi:.1f}"
+        return f"{a}-{b}"
+
+    return pa.table(
+        {
+            "value": pa.array([key(lo, hi) for lo, hi in ranges], pa.string()),
+            "count": pa.array(totals),
+        }
+    )

@@ -96,3 +96,32 @@ def test_versioned_store_retry_on_conflict(ray_session):
             return (v or 0) + 1
 
         update_with_retry(store, "f", fight, retries=2)
+
+
+def test_geo_distance_agg_overlapping_ranges(ray_session):
+    """Overlapping ranges count independently; round-6 bucketing; open
+    ends; partial-batch accumulation survives concatenated partials."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_assets_ray.sources.geo import geo_distance_agg, haversine_km
+
+    rng = np.random.default_rng(3)
+    lat = rng.uniform(-60, 60, 500)
+    lon = rng.uniform(-170, 170, 500)
+    ds = ray.data.from_arrow(
+        pa.table({"lat": pa.array(lat), "lon": pa.array(lon)})
+    ).repartition(8)
+    ranges = [(None, 4000.0), (2000.0, 8000.0), (4000.0, None)]
+    out = geo_distance_agg(ds, "lat", "lon", point=(10.0, 20.0), ranges=ranges)
+    km = np.round(haversine_km(lat, lon, 10.0, 20.0), 6)
+    want = [
+        int((km < 4000.0).sum()),
+        int(((km >= 2000.0) & (km < 8000.0)).sum()),
+        int((km >= 4000.0).sum()),
+    ]
+    assert out["count"].to_pylist() == want
+    assert out["value"].to_pylist() == ["*-4000.0", "2000.0-8000.0", "4000.0-*"]
+    # overlap really counted twice
+    assert sum(want) > 500
