@@ -962,6 +962,36 @@ class Searcher:
         self.records_served += int(ids.size)
         return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
 
+    def profile(self, query: str | ParsedQuery, k: int = 10) -> dict:
+        """ES ``profile: true`` analog: run the query once and return a
+        per-stage timing breakdown (parse / rewrite / df+segment lookup /
+        score) plus the pruning-counter DELTAS this query caused
+        (buckets considered/skipped, rows fully/partially decoded) — the
+        engine-side observability ES exposes per shard."""
+        import time as _time
+
+        before = dict(self.stats)
+        t0 = _time.perf_counter()
+        q = parse_query(query) if isinstance(query, str) else query
+        t1 = _time.perf_counter()
+        q = self._rewrite_prefixes(q)
+        t2 = _time.perf_counter()
+        need = sorted(set(q.scoring_terms) | set(q.must_not))
+        self._segment_rows(need)
+        t3 = _time.perf_counter()
+        res = self.search(q, k=k)
+        t4 = _time.perf_counter()
+        deltas = {f"d_{k_}": self.stats[k_] - before.get(k_, 0) for k_ in self.stats}
+        return {
+            "parse_ms": round((t1 - t0) * 1e3, 3),
+            "rewrite_ms": round((t2 - t1) * 1e3, 3),
+            "segments_ms": round((t3 - t2) * 1e3, 3),
+            "search_ms": round((t4 - t3) * 1e3, 3),
+            "total_ms": round((t4 - t0) * 1e3, 3),
+            "hits": res.num_rows,
+            **deltas,
+        }
+
     def metrics(self) -> dict:
         """Serving gauges + pruning counters for observability exports
         (bench records, tests): queries/records served, docstore part

@@ -890,3 +890,12 @@ def test_collapse_inner_hits_composition(single, sharded):
         ]
         assert rows[0] == (1, wd)
         assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_profile_breakdown(single):
+    p = single.profile("def load index", k=5)
+    assert p["hits"] == 5
+    assert p["total_ms"] >= p["search_ms"] > 0
+    for key in ("parse_ms", "rewrite_ms", "segments_ms"):
+        assert p[key] >= 0
+    assert "d_buckets_considered" in p and p["d_buckets_considered"] >= 0
