@@ -267,12 +267,14 @@ def g_search_expand(sf_dir: str) -> pa.Table:
 
 def g_search_filtered_range(sf_dir: str) -> pa.Table:
     """Fielded filters and fielded range filters on fulltext queries,
-    plus ES field-sorted search (score-free, distributed)."""
+    plus ES field-sorted search (score-free, distributed) and search
+    through a filtered index alias."""
     return _union(
         [
             ("filtered", "search_filtered"),
             ("range", "search_range"),
             ("sort", "sort_search"),
+            ("alias", "search_alias"),
         ],
         _SEARCH_COLS,
     )(sf_dir)
@@ -404,6 +406,74 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
             }
         )
     )
+
+    def _proj(tag: str, t: pa.Table, value, count, metric) -> pa.Table:
+        """Project an agg output onto (gate, value, count, metric_r).
+        ``value``/``count``/``metric`` are column names, literals, or
+        lists of column names to be '#'-joined (matching the SQL arm)."""
+
+        def col(spec, typ):
+            if isinstance(spec, list):
+                parts = [t[c].combine_chunks().cast(pa.string()) for c in spec]
+                return pc.binary_join_element_wise(*parts, "#")
+            if isinstance(spec, str) and spec in t.column_names:
+                return t[spec].combine_chunks().cast(typ)
+            return pa.array([spec] * t.num_rows, typ)
+
+        return pa.table(
+            {
+                "gate": pa.array([tag] * t.num_rows, pa.string()),
+                "value": col(value, pa.string()),
+                "count": col(count, pa.int64()),
+                "metric_r": col(metric, pa.float64()),
+            }
+        )
+
+    # --- later-round agg/API operators, projected onto the same shape ---
+    gh = _to_table(R.QUERIES["geohash_grid"](sf_dir))
+    tabs.append(_proj("geohash", gh, "geohash", "count", 0.0))
+    rt = _to_table(R.QUERIES["rare_terms"](sf_dir))
+    tabs.append(_proj("rare", rt, "value", "count", 0.0))
+    mt = _to_table(R.QUERIES["multi_terms"](sf_dir))
+    tabs.append(_proj("multi", mt, ["lang", "source"], "count", "rank"))
+    ms = _to_table(R.QUERIES["matrix_stats"](sf_dir))
+    tabs.append(_proj("matrix", ms, ["stat", "fx", "fy"], 0, "value_r"))
+    md = _to_table(R.QUERIES["mad_nchars"](sf_dir))
+    tabs.append(_proj("mad", md, "nchars", 0, "mad_r"))
+    wa = _to_table(R.QUERIES["weighted_avg"](sf_dir))
+    tabs.append(_proj("wavg", wa, "l_returnflag", "sum_w", "wavg_r"))
+    adh = _to_table(R.QUERIES["auto_date_histogram"](sf_dir))
+    adh = adh.set_column(
+        0,
+        "bucket",
+        # cast to second precision first: pyarrow's %S prints fractional
+        # seconds for sub-second timestamp types, DuckDB's does not
+        pc.strftime(adh["bucket"].combine_chunks().cast(pa.timestamp("s")), format="%Y-%m-%dT%H:%M:%S"),
+    )
+    tabs.append(_proj("auto_dh", adh, "bucket", "count", "interval_us"))
+    ca = _to_table(R.QUERIES["composite_agg"](sf_dir))
+    tabs.append(_proj("composite", ca, ["page", "lang"], "count", "bucket"))
+    ex = _to_table(R.QUERIES["search_explain"](sf_dir))
+    tabs.append(_proj("explain", ex, ["term", "doc_id"], "tf", "contribution_r"))
+    tv = _to_table(R.QUERIES["term_vectors"](sf_dir))
+    tabs.append(_proj("termvec", tv, ["term", "pos"], "tf", 0.0))
+    # pipeline aggs: the part column is its own sub-discriminator
+    pl = _to_table(R.QUERIES["pipeline_daily"](sf_dir))
+    tag = pc.binary_join_element_wise(
+        pa.array(["pl"] * pl.num_rows, pa.string()),
+        pl["part"].combine_chunks(),
+        ":",
+    )
+    tabs.append(
+        pa.table(
+            {
+                "gate": tag,
+                "value": pl["value"].combine_chunks(),
+                "count": pl["count"].combine_chunks().cast(pa.int64()),
+                "metric_r": pl["metric_r"].combine_chunks(),
+            }
+        )
+    )
     return pa.concat_tables(tabs)
 
 
@@ -420,6 +490,48 @@ AGG_SUITE_SQL_PARTS = [
         "value || '#' || CAST(rank AS VARCHAR) AS value, doc_id AS count, "
         "score_r AS metric_r",
         "top_hits",
+    ),
+    ("geohash", "geohash AS value, count, 0.0 AS metric_r", "geohash_grid"),
+    ("rare", "value, count, 0.0 AS metric_r", "rare_terms"),
+    (
+        "multi",
+        "lang || '#' || source AS value, count, CAST(rank AS DOUBLE) AS metric_r",
+        "multi_terms",
+    ),
+    (
+        "matrix",
+        "stat || '#' || fx || '#' || fy AS value, 0 AS count, value_r AS metric_r",
+        "matrix_stats",
+    ),
+    ("mad", "'nchars' AS value, 0 AS count, mad_r AS metric_r", "mad_nchars"),
+    (
+        "wavg",
+        "l_returnflag AS value, sum_w AS count, wavg_r AS metric_r",
+        "weighted_avg",
+    ),
+    (
+        "auto_dh",
+        "strftime(bucket, '%Y-%m-%dT%H:%M:%S') AS value, count, "
+        "CAST(interval_us AS DOUBLE) AS metric_r",
+        "auto_date_histogram",
+    ),
+    (
+        "composite",
+        "CAST(page AS VARCHAR) || '#' || lang AS value, count, "
+        "bucket AS metric_r",
+        "composite_agg",
+    ),
+    (
+        "explain",
+        "term || '#' || CAST(doc_id AS VARCHAR) AS value, tf AS count, "
+        "contribution_r AS metric_r",
+        "search_explain",
+    ),
+    (
+        "termvec",
+        "term || '#' || CAST(pos AS VARCHAR) AS value, tf AS count, "
+        "0.0 AS metric_r",
+        "term_vectors",
     ),
 ]
 
@@ -581,8 +693,10 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     )
 
     gates["agg_suite"] = g_agg_suite
-    oracles["agg_suite"] = _union_sql(
-        [(tag, sel, key) for tag, sel, key in AGG_SUITE_SQL_PARTS], ""
+    oracles["agg_suite"] = (
+        _union_sql([(tag, sel, key) for tag, sel, key in AGG_SUITE_SQL_PARTS], "")
+        + " UNION ALL SELECT 'pl:' || part AS gate, value, count, metric_r "
+        "FROM (" + R.ORACLES["pipeline_daily"] + ")"
     )
 
     gates["scalar_probes"] = g_scalar_probes
@@ -667,6 +781,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("filtered", None, "search_filtered"),
             ("range", None, "search_range"),
             ("sort", None, "sort_search"),
+            ("alias", None, "search_alias"),
         ],
         _SEARCH_SEL,
     )
