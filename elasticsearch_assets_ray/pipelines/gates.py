@@ -161,9 +161,14 @@ def g_bulk_events(sf_dir: str) -> pa.Table:
 
 
 def g_bulk_docs(sf_dir: str) -> pa.Table:
-    """K3 delete + rekey (routing migration) bulk semantics."""
+    """K3 delete + rekey (routing migration) bulk semantics, plus ES
+    _update_by_query (engine-selected ids → broadcast scripted update)."""
     return _union(
-        [("delete", "bulk_delete"), ("rekey", "bulk_rekey")],
+        [
+            ("delete", "bulk_delete"),
+            ("rekey", "bulk_rekey"),
+            ("ubq", "update_by_query"),
+        ],
         ["doc_id", "source", "lang"],
     )(sf_dir)
 
@@ -718,7 +723,11 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
 
     gates["bulk_docs"] = g_bulk_docs
     oracles["bulk_docs"] = _union_sql(
-        [("delete", None, "bulk_delete"), ("rekey", None, "bulk_rekey")],
+        [
+            ("delete", None, "bulk_delete"),
+            ("rekey", None, "bulk_rekey"),
+            ("ubq", None, "update_by_query"),
+        ],
         "doc_id, source, lang",
     )
 
@@ -909,12 +918,21 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "id_a, id_b, sim_r",
     )
 
-    # function_score family: field_value_factor + the decay functions
+    # function_score family: field_value_factor + decay + seeded random
     gates["function_score"] = _union(
-        [("fvf", "function_score"), ("decay", "decay_score")], _SEARCH_COLS
+        [
+            ("fvf", "function_score"),
+            ("decay", "decay_score"),
+            ("random", "random_score"),
+        ],
+        _SEARCH_COLS,
     )
     oracles["function_score"] = _union_sql(
-        [("fvf", None, "function_score"), ("decay", None, "decay_score")],
+        [
+            ("fvf", None, "function_score"),
+            ("decay", None, "decay_score"),
+            ("random", None, "random_score"),
+        ],
         _SEARCH_SEL,
     )
 

@@ -551,6 +551,45 @@ def q_bulk_rekey(sf_dir: str):
     return bulk_ops.rekey(ds, moves, "doc_id")
 
 
+_UBQ_QUERY = "+spark +table"
+
+
+@bulk_ops.register_script("ubq_tag_source")
+def _script_ubq_tag(t: pa.Table) -> dict:
+    return {
+        "source": pc.binary_join_element_wise(
+            t["source"], pa.scalar("ubq", pa.string()), "-"
+        )
+    }
+
+
+def q_update_by_query(sf_dir: str):
+    """ES ``_update_by_query``: the fulltext query selects docs on the
+    SHARDED engine (score-free match_ids — no BM25 arithmetic), and the
+    matched id set drives a broadcast scripted update over the source
+    table.  Output is the full post-update docstore state."""
+    idx = documents_index(sf_dir)
+    sh = sharded_searcher(idx)
+    ids = sh.match_ids(_UBQ_QUERY)
+    orig = (
+        _orig_ids(sh.coord, np.sort(ids.astype(np.int64)))
+        if ids.size
+        else np.array([], dtype=np.int64)
+    )
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    return bulk_ops.update_by_query(ds, "doc_id", orig, "ubq_tag_source")
+
+
+def _update_by_query_sql() -> str:
+    toks = sorted(set(t.lstrip("+") for t in _UBQ_QUERY.split()))
+    pred = " AND ".join(f"list_contains({_TOK}, '{t}')" for t in toks)
+    return (
+        "SELECT doc_id, "
+        f"CASE WHEN {pred} THEN source || '-ubq' ELSE source END AS source, "
+        "lang FROM documents"
+    )
+
+
 def _order_balance_updates(sf_dir: str, key_shift: int = 0) -> pa.Table:
     ds = _rd(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     agg = _collect(
@@ -1362,6 +1401,77 @@ def _decay_sql(k: int) -> str:
         " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
         f"fs AS (SELECT sc.query_id, sc.doc_id, sc.score * (CASE {cases} END) AS total "
         " FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id) "
+        "SELECT query_id, doc_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY round(total, 9) DESC, doc_id) AS rank, "
+        "round(total, 6) AS score_r "
+        f"FROM fs QUALIFY rank <= {k}"
+    )
+
+
+_RANDOM_SEED = "rs4"
+_RANDOM_QUERIES = [DOC_QUERIES[0], DOC_QUERIES[4], DOC_QUERIES[5]]
+
+
+def q_random_score(sf_dir: str):
+    """ES function_score ``random_score`` (seeded): BM25 × a per-doc
+    uniform variate derived from splitmix64(horner(f"{id}:{seed}")),
+    served distributed (per-doc multiplier ⇒ exact shard merges).  The
+    SQL twin REBUILDS the variate with the HUGEINT uint64 emulation, so
+    the hash itself is value-checked, not just the ranking."""
+    idx = documents_index(sf_dir)
+    sh = sharded_searcher(idx)
+    parts = []
+    for qid, q in enumerate(_RANDOM_QUERIES):
+        r = sh.random_score(q, seed=_RANDOM_SEED, k=SEARCH_K + 90, id_field="orig_doc_id")
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(_orig_ids(sh.coord, ids)),
+                    "sim": r["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+def _random_sql(k: int) -> str:
+    """BM25 skeleton (shared with _decay_sql) × the splitmix64 variate:
+    u = CAST(h // 2^11 AS DOUBLE) / 2^53 — both divisions exact."""
+    from elasticsearch_assets_ray.pipelines.oracles_hard import _id_hash_ctes
+
+    values = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in enumerate(_RANDOM_QUERIES)
+        for t in sorted(set(q.split()))
+    )
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {values}), "
+        "scored AS (SELECT q.query_id, tf.doc_id, sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+        " * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score "
+        " FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY q.query_id, tf.doc_id), "
+        + _id_hash_ctes(_RANDOM_SEED)
+        + ", fs AS (SELECT sc.query_id, sc.doc_id, "
+        "sc.score * (CAST(hh.h // 2048 AS DOUBLE) / 9007199254740992.0) AS total "
+        " FROM scored sc JOIN hh ON hh.doc_id = sc.doc_id) "
         "SELECT query_id, doc_id, "
         "row_number() OVER (PARTITION BY query_id ORDER BY round(total, 9) DESC, doc_id) AS rank, "
         "round(total, 6) AS score_r "
@@ -3937,6 +4047,8 @@ ORACLES: dict[str, str] = {
     "cardinality_agg": _cardinality_sql(),
     "search_synonyms": _synonym_sql(SEARCH_K),
     "decay_score": _decay_sql(SEARCH_K),
+    "random_score": _random_sql(SEARCH_K),
+    "update_by_query": _update_by_query_sql(),
     "hybrid_rrf": hybrid.rrf_sql(
         _bm25_sql(DOC_QUERIES[:3], _HYBRID_W),
         _cosine_probe_sql(_HYBRID_W),
@@ -4594,6 +4706,8 @@ QUERIES = {
     "cardinality_agg": q_cardinality_agg,
     "search_synonyms": q_search_synonyms,
     "decay_score": q_decay_score,
+    "random_score": q_random_score,
+    "update_by_query": q_update_by_query,
     "fulltext_count": q_fulltext_count,
     "search_page2": q_search_page2,
     "collapse_source": q_collapse_source,

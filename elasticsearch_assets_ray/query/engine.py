@@ -1390,6 +1390,46 @@ class Searcher:
             lambda v: decay_multiplier(kind, v, origin, scale, offset, decay),
         )
 
+    def random_score(
+        self,
+        query: str | ParsedQuery,
+        seed: str = "0",
+        k: int = 10,
+        id_field: str | None = None,
+    ) -> pa.Table:
+        """ES function_score ``random_score`` (seeded, reproducible):
+        BM25 × u(doc) with u = (splitmix64(horner(f"{id}:{seed}"))
+        >> 11) / 2^53 ∈ [0, 1).  ES derives the variate from the seed
+        plus a per-document field (default ``_seq_no``); here the id is
+        the internal docID, or a stored numeric id column when
+        ``id_field`` names one (e.g. ``orig_doc_id``, which is what the
+        SQL twin hashes).  Either way the multiplier is a pure per-doc
+        function, so shard-local top-k merges are exact (same argument
+        as decay).  The >>11 keeps the dividend under 2^53, so the
+        float64 quotient is exact and the DuckDB twin (HUGEINT
+        splitmix64 emulation, pipelines/oracles_hard.py) reproduces it
+        bit-for-bit."""
+        from elasticsearch_assets_ray.stages.sampling import id_hash
+
+        r = self.all_scores(query)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        sc = r["score"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        ids = ids.astype(np.int64)
+        if id_field is None:
+            keys = ids
+        else:
+            # stored id columns are integers < 2^53 — the float64
+            # round-trip through the numeric column cache is exact
+            keys = self.field_values_for(ids, id_field).astype(np.int64)
+        h = id_hash(pa.array(keys), seed) >> np.uint64(11)
+        total = sc * (h.astype(np.float64) / float(1 << 53))
+        top_i, top_s = bm25.sort_topk(ids, total, k)
+        return pa.table({"doc_id": pa.array(top_i), "score": pa.array(top_s)})
+
     def highlight(
         self,
         query: str | ParsedQuery,

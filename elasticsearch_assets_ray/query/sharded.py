@@ -304,6 +304,16 @@ class ShardWorker:
         finally:
             self.s._df_override = None
 
+    def random_score(
+        self, q: ParsedQuery, seed: str, k: int, id_field: str | None, df: dict[str, int]
+    ) -> pa.Table:
+        """Local random_score top-k (per-doc multiplier ⇒ exact merge)."""
+        self.s._df_override = df
+        try:
+            return self.s.random_score(q, seed=seed, k=k, id_field=id_field)
+        finally:
+            self.s._df_override = None
+
     def search_window(self, q: ParsedQuery, w: int, df: dict[str, int]) -> pa.Table:
         """Local rescore-window half: top-w by the engine rescore's
         (round-9 score desc, docID asc) comparator — NOT raw-score
@@ -1098,6 +1108,27 @@ class ShardedSearcher:
             for p in self._gather(
                 "decay", q, field, kind, origin, scale, offset, decay, k, missing, df
             )
+            if p.num_rows
+        ]
+        if not parts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        return self._merge_topk_parts(parts, k)
+
+    def random_score(
+        self,
+        query: str | ParsedQuery,
+        seed: str = "0",
+        k: int = 10,
+        id_field: str | None = None,
+    ) -> pa.Table:
+        """Distributed seeded random_score: the variate is a pure per-doc
+        hash, so per-shard top-k + merge is exact."""
+        q, df = self.prepare(query)
+        parts = [
+            p
+            for p in self._gather("random_score", q, seed, k, id_field, df)
             if p.num_rows
         ]
         if not parts:

@@ -276,6 +276,27 @@ def scripted_update(
     return base.map_batches(apply, batch_format="pyarrow")
 
 
+def update_by_query(
+    base: ray.data.Dataset,
+    key: str,
+    matched_ids,
+    script: str | callable,
+    params: list[str] | tuple = (),
+) -> ray.data.Dataset:
+    """ES ``_update_by_query``: the query half runs on the search engine
+    (score-free ``match_ids``, distributed over the serving shards), and
+    the matched key set — bounded by the match count, never the corpus —
+    is broadcast once into a :func:`scripted_update` pass over the
+    source dataset.  Exactly ES's architecture: search selects, then a
+    bulk scripted update applies (the reference pairs its reader query
+    with UpdateActions the same way, ElasticsearchBulkSender.ts:139-151)."""
+    import numpy as np
+
+    ids = np.unique(np.asarray(matched_ids, dtype=np.int64))
+    upd = pa.table({key: pa.array(ids)})
+    return scripted_update(base, upd, key, script, list(params))
+
+
 def rekey(
     base: ray.data.Dataset,
     moves: pa.Table,

@@ -161,3 +161,31 @@ def test_update_fields_rejects_duplicate_update_keys(ray_session):
     upd = pa.table({"id": pa.array([1, 1], pa.int64()), "v": pa.array([1.0, 2.0])})
     with pytest.raises(ValueError, match="duplicate keys"):
         update_fields(ray.data.from_arrow(base), upd, "id", ["v"])
+
+
+def test_update_by_query(ray_session):
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    from elasticsearch_assets_ray.stages import bulk as bulk_ops
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "source": pa.array(["a", "b", "c", "d"]),
+            }
+        )
+    )
+
+    def tag(t):
+        return {"source": pc.binary_join_element_wise(t["source"], "x", "-")}
+
+    # duplicate matched ids must not duplicate rows (np.unique inside)
+    out = bulk_ops.update_by_query(
+        ds, "doc_id", np.array([2, 4, 4]), tag
+    ).take_all()
+    got = {r["doc_id"]: r["source"] for r in out}
+    assert got == {1: "a", 2: "b-x", 3: "c", 4: "d-x"}
+    assert len(out) == 4

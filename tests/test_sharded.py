@@ -899,3 +899,32 @@ def test_profile_breakdown(single):
     for key in ("parse_ms", "rewrite_ms", "segments_ms"):
         assert p[key] >= 0
     assert "d_buckets_considered" in p and p["d_buckets_considered"] >= 0
+
+
+def test_random_score_seeded_and_parity(single, sharded):
+    """ES random_score: deterministic for a seed, seed-sensitive,
+    variates in [0, 1), sharded parity bit-exact."""
+    a1 = single.random_score("def load", seed="a", k=8)
+    a2 = single.random_score("def load", seed="a", k=8)
+    assert a1.equals(a2)  # reproducible
+    b = sharded.random_score("def load", seed="a", k=8)
+    assert a1["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    np.testing.assert_array_equal(
+        a1["score"].to_numpy(zero_copy_only=False),
+        b["score"].to_numpy(zero_copy_only=False),
+    )
+    # a different seed reorders (overwhelmingly likely on 8+ hits)
+    c = single.random_score("def load", seed="b", k=8)
+    assert c["doc_id"].to_pylist() != a1["doc_id"].to_pylist() or not np.array_equal(
+        c["score"].to_numpy(zero_copy_only=False),
+        a1["score"].to_numpy(zero_copy_only=False),
+    )
+    # multiplier stays within [0, 1): random scores never exceed BM25
+    plain = dict(
+        zip(
+            single.search("def load", k=500)["doc_id"].to_pylist(),
+            single.search("def load", k=500)["score"].to_pylist(),
+        )
+    )
+    for d, s in zip(a1["doc_id"].to_pylist(), a1["score"].to_pylist()):
+        assert 0.0 <= s <= plain[d]
