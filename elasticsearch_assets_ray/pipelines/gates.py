@@ -280,6 +280,7 @@ def g_search_filtered_range(sf_dir: str) -> pa.Table:
             ("range", "search_range"),
             ("sort", "sort_search"),
             ("alias", "search_alias"),
+            ("runtime", "runtime_sort"),
         ],
         _SEARCH_COLS,
     )(sf_dir)
@@ -383,6 +384,8 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
         ("filters", "filters_agg"),
         ("adjacency", "adjacency_matrix"),
         ("cardinality", "cardinality_agg"),
+        ("sampler", "sampler_agg"),
+        ("div_sampler", "diversified_sampler"),
     ):
         fa = _to_table(R.QUERIES[qname](sf_dir))
         tabs.append(
@@ -435,6 +438,8 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
         )
 
     # --- later-round agg/API operators, projected onto the same shape ---
+    sm = _to_table(R.QUERIES["scripted_metric"](sf_dir))
+    tabs.append(_proj("scripted", sm, "value", "count", "metric_r"))
     gh = _to_table(R.QUERIES["geohash_grid"](sf_dir))
     tabs.append(_proj("geohash", gh, "geohash", "count", 0.0))
     rt = _to_table(R.QUERIES["rare_terms"](sf_dir))
@@ -490,12 +495,15 @@ AGG_SUITE_SQL_PARTS = [
     ("filters", "value, count, 0.0 AS metric_r", "filters_agg"),
     ("adjacency", "value, count, 0.0 AS metric_r", "adjacency_matrix"),
     ("cardinality", "value, count, 0.0 AS metric_r", "cardinality_agg"),
+    ("sampler", "value, count, 0.0 AS metric_r", "sampler_agg"),
+    ("div_sampler", "value, count, 0.0 AS metric_r", "diversified_sampler"),
     (
         "top_hits",
         "value || '#' || CAST(rank AS VARCHAR) AS value, doc_id AS count, "
         "score_r AS metric_r",
         "top_hits",
     ),
+    ("scripted", "value, count, metric_r", "scripted_metric"),
     ("geohash", "geohash AS value, count, 0.0 AS metric_r", "geohash_grid"),
     ("rare", "value, count, 0.0 AS metric_r", "rare_terms"),
     (
@@ -791,6 +799,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("range", None, "search_range"),
             ("sort", None, "sort_search"),
             ("alias", None, "search_alias"),
+            ("runtime", None, "runtime_sort"),
         ],
         _SEARCH_SEL,
     )

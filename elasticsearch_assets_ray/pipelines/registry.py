@@ -27,7 +27,7 @@ import ray.data
 
 from elasticsearch_assets_ray.index.build import IndexConfig, build_index
 from elasticsearch_assets_ray.query import hybrid
-from elasticsearch_assets_ray.query.engine import Searcher
+from elasticsearch_assets_ray.query.engine import Searcher, register_runtime_field
 from elasticsearch_assets_ray.sources.reader import (
     date_range_read,
     key_charclass_read,
@@ -1484,6 +1484,56 @@ _SORT_QUERIES = [
     ("spark", "n_chars", False),
     ("join value", "n_chars", True),
 ]
+
+# ES runtime field (runtime_mappings): ln(1 + n_chars), registered once
+# at import — queryable with NO reindex anywhere a stored numeric field
+# is.  np.log(1.0 + v) and DuckDB ln(1 + n_chars) hit the same libm log
+# on the same exact double (n_chars ints < 2^53), so values hash-match.
+register_runtime_field("log_chars", "n_chars", lambda v: np.log(1.0 + v))
+
+_RUNTIME_SORT_QUERIES = [("merge", True), ("fast data", False)]
+
+
+def q_runtime_sort(sf_dir: str):
+    """ES runtime-field sort: sort_by_field over the query-time
+    ``log_chars`` runtime field (distributed, score-free — the script
+    runs shard-side on the gathered base column)."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    parts = []
+    for qid, (q, desc) in enumerate(_RUNTIME_SORT_QUERIES):
+        res = sh.sort_by_field(q, "log_chars", k=SEARCH_K, desc=desc)
+        ids = res["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "doc_id": pa.array(_orig_ids(sh.coord, ids)),
+                    "rank": pa.array(np.arange(1, ids.size + 1, dtype=np.int64)),
+                    "score_r": pa.array(
+                        _round_half_up(res["value"].to_numpy(zero_copy_only=False), 6)
+                    ),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _runtime_sort_sql() -> str:
+    arms = []
+    for qid, (q, desc) in enumerate(_RUNTIME_SORT_QUERIES):
+        match = " OR ".join(
+            f"list_contains({_TOK}, '{t}')" for t in sorted(set(q.split()))
+        )
+        order = "DESC" if desc else "ASC"
+        arms.append(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"row_number() OVER (ORDER BY ln(1 + n_chars) {order}, doc_id) AS rank, "
+            f"round(ln(1 + n_chars), 6) AS score_r "
+            f"FROM documents WHERE {match} QUALIFY rank <= {SEARCH_K}"
+        )
+    return " UNION ALL ".join(arms)
 
 
 def q_sort_search(sf_dir: str):
@@ -3247,6 +3297,114 @@ def q_state_enrich(sf_dir: str):
 _TOK = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
+_SAMPLER_QUERY = DOC_QUERIES[1]  # "fast scan filter"
+_SAMPLER_N = 60
+_DIV_QUERY = DOC_QUERIES[0]  # "spark table merge join"
+_DIV_N, _DIV_CAP, _DIV_SCAN = 25, 2, 250
+
+
+def q_sampler_agg(sf_dir: str):
+    """ES sampler agg: terms sub-agg over only the top-N best-scoring
+    matches (global deterministic sample; see
+    ShardedSearcher.sampler_terms for the shard_size note)."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    return sh.sampler_terms(_SAMPLER_QUERY, by="lang", sample_size=_SAMPLER_N)
+
+
+def q_diversified_sampler(sf_dir: str):
+    """ES diversified_sampler agg: best-first sample capped at
+    max_per_value docs per source, terms sub-agg over the kept set."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    return sh.diversified_sampler_terms(
+        _DIV_QUERY,
+        dedup_field="source",
+        by="lang",
+        sample_size=_DIV_N,
+        max_per_value=_DIV_CAP,
+        scan_cap=_DIV_SCAN,
+    )
+
+
+_SM_QUERIES = ["spark table", "merge", "fast filter"]
+
+
+def _var_map(values: np.ndarray, counts: np.ndarray) -> tuple:
+    """scripted_metric map/combine state for a population variance:
+    exact integer (n, Σv·c, Σv²·c) from the merged value_counts."""
+    vi = values.astype(np.int64)
+    return (
+        int(counts.sum()),
+        int((vi * counts).sum()),
+        int((vi * vi * counts).sum()),
+    )
+
+
+def _var_reduce(state: tuple) -> dict:
+    n, s, ss = (float(x) for x in state)
+    if n == 0:
+        return {"n": 0, "var": None}
+    # the SQL twin states the identical IEEE expression over the same
+    # exact integer aggregates, so the double is bit-identical
+    return {"n": int(state[0]), "var": (ss - s * s / n) / n}
+
+
+def q_scripted_metric(sf_dir: str):
+    """ES scripted_metric agg (population variance of n_chars over each
+    query's match set): shard-side integer partials, one reduce."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    rows = []
+    for q in _SM_QUERIES:
+        out = sh.scripted_metric(q, "n_chars", _var_map, _var_reduce)
+        var_r = float(_round_half_up(out["var"], 6)) if out["var"] is not None else 0.0
+        rows.append((q, out["n"], var_r))
+    return pa.table(
+        {
+            "value": pa.array([r[0] for r in rows], pa.string()),
+            "count": pa.array([r[1] for r in rows], pa.int64()),
+            "metric_r": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _scripted_metric_sql() -> str:
+    arms = []
+    for q in _SM_QUERIES:
+        match = " OR ".join(
+            f"list_contains({_TOK}, '{t}')" for t in sorted(set(q.split()))
+        )
+        arms.append(
+            f"SELECT '{q}' AS value, count(*)::BIGINT AS count, "
+            "round((CAST(sum(n_chars * n_chars) AS DOUBLE) "
+            " - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE) "
+            "   / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE), 6) "
+            "AS metric_r "
+            f"FROM documents WHERE {match}"
+        )
+    return " UNION ALL ".join(arms)
+
+
+def _sampler_sql() -> str:
+    return (
+        f"SELECT d.lang AS value, count(*)::BIGINT AS count "
+        f"FROM ({_bm25_sql([_SAMPLER_QUERY], _SAMPLER_N)}) r "
+        "JOIN documents d USING (doc_id) GROUP BY d.lang"
+    )
+
+
+def _diversified_sampler_sql() -> str:
+    return (
+        f"WITH ranked AS (SELECT r.rank, r.doc_id, d.source, d.lang "
+        f"FROM ({_bm25_sql([_DIV_QUERY], _DIV_SCAN)}) r "
+        "JOIN documents d USING (doc_id)), "
+        "div AS (SELECT *, row_number() OVER "
+        "(PARTITION BY source ORDER BY rank) AS pv FROM ranked), "
+        "kept AS (SELECT *, row_number() OVER (ORDER BY rank) AS kk "
+        f"FROM div WHERE pv <= {_DIV_CAP}) "
+        "SELECT lang AS value, count(*)::BIGINT AS count "
+        f"FROM kept WHERE kk <= {_DIV_N} GROUP BY lang"
+    )
+
+
 def _bm25_sql(
     queries: list[str],
     k: int,
@@ -4049,6 +4207,10 @@ ORACLES: dict[str, str] = {
     "decay_score": _decay_sql(SEARCH_K),
     "random_score": _random_sql(SEARCH_K),
     "update_by_query": _update_by_query_sql(),
+    "sampler_agg": _sampler_sql(),
+    "diversified_sampler": _diversified_sampler_sql(),
+    "scripted_metric": _scripted_metric_sql(),
+    "runtime_sort": _runtime_sort_sql(),
     "hybrid_rrf": hybrid.rrf_sql(
         _bm25_sql(DOC_QUERIES[:3], _HYBRID_W),
         _cosine_probe_sql(_HYBRID_W),
@@ -4708,6 +4870,10 @@ QUERIES = {
     "decay_score": q_decay_score,
     "random_score": q_random_score,
     "update_by_query": q_update_by_query,
+    "sampler_agg": q_sampler_agg,
+    "diversified_sampler": q_diversified_sampler,
+    "scripted_metric": q_scripted_metric,
+    "runtime_sort": q_runtime_sort,
     "fulltext_count": q_fulltext_count,
     "search_page2": q_search_page2,
     "collapse_source": q_collapse_source,

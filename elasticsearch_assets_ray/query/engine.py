@@ -47,6 +47,22 @@ from elasticsearch_assets_ray.query import parser as parser_mod
 from elasticsearch_assets_ray.query.parser import ParsedQuery, parse_query
 
 
+#: ES runtime fields (runtime_mappings / script_fields): name →
+#: (base stored column, vectorized float64→float64 script).  Resolved
+#: inside Searcher.field_values_for, so a runtime field is usable
+#: anywhere a stored numeric field is — sorting, value_counts-family
+#: aggregations, function_score — at query time, with no reindex
+#: (exactly ES's pitch for runtime fields).
+RUNTIME_FIELDS: dict[str, tuple[str, "callable"]] = {}
+
+
+def register_runtime_field(name: str, base_field: str, fn) -> None:
+    """Register an ES-style runtime field.  ``fn`` must be a pure
+    vectorized numpy transform (NaN in → NaN out for nulls); the SQL
+    oracle states the identical expression over the base column."""
+    RUNTIME_FIELDS[name] = (base_field, fn)
+
+
 def _bisect_sorted(sorted_arr: pa.Array, x: str) -> int:
     """Leftmost insertion point of ``x`` in a sorted Arrow string array
     (O(log n) scalar reads — the array itself stays Arrow)."""
@@ -445,7 +461,17 @@ class Searcher:
 
     def field_values_for(self, docids: np.ndarray, field: str) -> np.ndarray:
         """float64 value per docID (NaN where null) via the per-pid
-        column cache — a bare gather, like doclens_for."""
+        column cache — a bare gather, like doclens_for.  A registered
+        RUNTIME field (ES runtime_mappings / script_fields) resolves
+        here too: the base column gathers from the same cache and the
+        script applies vectorized, so every consumer of this seam —
+        sort_by_field, value_counts/stats/percentiles/cardinality,
+        function_score, scripted_metric — accepts runtime fields with
+        no further plumbing.  Runtime names take precedence over stored
+        columns (the ES shadowing rule)."""
+        rt = RUNTIME_FIELDS.get(field)
+        if rt is not None:
+            return rt[1](self.field_values_for(docids, rt[0]))
         pid = docids >> self._doc_shift
         out = np.empty(docids.size, dtype=np.float64)
         for p in np.unique(pid):

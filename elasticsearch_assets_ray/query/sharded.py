@@ -64,7 +64,16 @@ class ShardWorker:
         prune: bool = True,
         phrase_scoring: str = "terms",
         shard_resident: bool = True,
+        runtime_fields: dict | None = None,
     ):
+        if runtime_fields:
+            # runtime fields are registered in the COORDINATOR process;
+            # an actor is a fresh interpreter, so the definitions ship
+            # with construction (cloudpickle carries the script fns) and
+            # land in this process's module registry
+            from elasticsearch_assets_ray.query import engine as _eng
+
+            _eng.RUNTIME_FIELDS.update(runtime_fields)
         self.s = Searcher(
             index_dir,
             prune=prune,
@@ -399,12 +408,17 @@ class ShardedSearcher:
                 max_restarts=max_restarts,
                 max_task_retries=max_task_retries,
             )(ShardWorker)
+            from elasticsearch_assets_ray.query.engine import RUNTIME_FIELDS
+
             self.shards = [
                 Actor.remote(
                     index_dir,
                     r,
                     prune=prune,
                     phrase_scoring=phrase_scoring,
+                    # actors are fresh interpreters: ship the runtime-
+                    # field registry (register before pool construction)
+                    runtime_fields=dict(RUNTIME_FIELDS),
                 )
                 for r in self.ranges
             ]
@@ -1039,6 +1053,106 @@ class ShardedSearcher:
             allp["score"].to_numpy(zero_copy_only=False),
             allp["value"].combine_chunks(),
             n,
+        )
+
+    def _sample_values(
+        self, ids: np.ndarray, columns: list[str]
+    ) -> dict[str, pa.Array]:
+        """Hydrate ``columns`` for sample ids, RANK-ALIGNED: hydrate
+        wants/returns sorted unique ids, so gather back by searchsorted
+        (every sample id came from search, so all are present)."""
+        uniq = np.unique(ids)
+        need = list(dict.fromkeys(columns))  # dedupe, order-preserving
+        h = self.hydrate(uniq, columns=["doc_id"] + need)
+        got = h["doc_id"].to_numpy(zero_copy_only=False)
+        pos = pa.array(np.searchsorted(got, ids), type=pa.int64())
+        return {c: h[c].combine_chunks().take(pos) for c in need}
+
+    @staticmethod
+    def _terms_table(vals: pa.Array) -> pa.Table:
+        vc = pc.value_counts(vals)
+        return pa.table(
+            {
+                "value": vc.field("values").cast(pa.string()),
+                "count": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    def scripted_metric(self, query: str | ParsedQuery, field: str, map_fn, reduce_fn):
+        """ES ``scripted_metric`` aggregation: the map+combine halves run
+        data-side — each shard contributes (value, count) partials over
+        ITS match set (the same one-pass value_counts scatter that
+        feeds stats/percentiles; the match set never crosses the wire)
+        — and ``reduce_fn`` folds the merged partials once on the
+        coordinator.  ``map_fn(values, counts) -> state`` and
+        ``reduce_fn(state) -> result`` are registered *vectorized*
+        callables: the engine-side analog of the painless
+        init/map/combine/reduce quadruple (init is the callables'
+        closure; combine is the exact integer merge of the scatter)."""
+        vc = self.value_counts(query, field)
+        v = vc["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = vc["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return reduce_fn(map_fn(v, c))
+
+    def sampler_terms(
+        self, query: str | ParsedQuery, by: str, sample_size: int = 100
+    ) -> pa.Table:
+        """ES ``sampler`` aggregation: the sub-agg (terms over ``by``)
+        sees only the ``sample_size`` best-scoring matches.  ES samples
+        per shard (``shard_size``), which makes results depend on the
+        shard count; here the sample is the GLOBAL top ``sample_size``
+        under the engine's total order (round-9 score desc, docID asc)
+        — deterministic, shard-count independent, and hash-checkable.
+        The sample gathers via the exact distributed search; the terms
+        agg runs over the bounded sample (id-routed hydrate, never a
+        corpus read)."""
+        if sample_size <= 0:
+            raise ValueError("sample_size must be positive")
+        r = self.search(query, k=sample_size)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size == 0:
+            return self._terms_table(pa.array([], pa.string()))
+        return self._terms_table(self._sample_values(ids, [by])[by])
+
+    def diversified_sampler_terms(
+        self,
+        query: str | ParsedQuery,
+        dedup_field: str,
+        by: str,
+        sample_size: int = 30,
+        max_per_value: int = 1,
+        scan_cap: int | None = None,
+    ) -> pa.Table:
+        """ES ``diversified_sampler``: walk hits best-first keeping at
+        most ``max_per_value`` docs per ``dedup_field`` value until
+        ``sample_size`` are kept, then run the sub-agg over the kept
+        sample.  The candidate window is the top ``scan_cap`` (default
+        10 × sample_size) under the engine's total order — the
+        documented, oracle-replicable analog of ES's shard_size knob."""
+        if sample_size <= 0 or max_per_value <= 0:
+            raise ValueError("sample_size and max_per_value must be positive")
+        cap = scan_cap if scan_cap is not None else sample_size * 10
+        r = self.search(query, k=cap)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids.size == 0:
+            return self._terms_table(pa.array([], pa.string()))
+        cols = self._sample_values(ids, [dedup_field, by])
+        dv = cols[dedup_field].cast(pa.string()).to_numpy(zero_copy_only=False)
+        # within-value occurrence index in rank order, vectorized
+        _, inv = np.unique(dv, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        sorted_inv = inv[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sorted_inv[1:] != sorted_inv[:-1]))
+        )
+        group_start = np.repeat(
+            starts, np.diff(np.concatenate((starts, [inv.size])))
+        )
+        occ = np.empty(inv.size, dtype=np.int64)
+        occ[order] = np.arange(inv.size) - group_start
+        kept = np.flatnonzero(occ < max_per_value)[:sample_size]
+        return self._terms_table(
+            cols[by].take(pa.array(kept, type=pa.int64()))
         )
 
     def search_collapse(

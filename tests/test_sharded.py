@@ -928,3 +928,76 @@ def test_random_score_seeded_and_parity(single, sharded):
     )
     for d, s in zip(a1["doc_id"].to_pylist(), a1["score"].to_pylist()):
         assert 0.0 <= s <= plain[d]
+
+
+def test_sampler_and_diversified_sampler(built_index):
+    """ES sampler / diversified_sampler: global deterministic sample,
+    shard-count independence, per-value cap honored."""
+    idx, _ = built_index
+    sh2 = ShardedSearcher(idx, n_shards=2, use_actors=False)
+    sh3 = ShardedSearcher(idx, n_shards=3, use_actors=False)
+
+    a = sh2.sampler_terms("def load index", by="repo", sample_size=40)
+    b = sh3.sampler_terms("def load index", by="repo", sample_size=40)
+    assert a.sort_by("value").equals(b.sort_by("value"))  # shard-count independent
+    assert sum(a["count"].to_pylist()) == 40
+
+    d = sh2.diversified_sampler_terms(
+        "def load index", dedup_field="repo", by="lang",
+        sample_size=10, max_per_value=3,
+    )
+    d3 = sh3.diversified_sampler_terms(
+        "def load index", dedup_field="repo", by="lang",
+        sample_size=10, max_per_value=3,
+    )
+    assert d.sort_by("value").equals(d3.sort_by("value"))
+    assert sum(d["count"].to_pylist()) <= 10
+    # cap respected: re-run keyed by the dedup field itself
+    caps = sh2.diversified_sampler_terms(
+        "def load index", dedup_field="repo", by="repo",
+        sample_size=50, max_per_value=3,
+    )
+    assert max(caps["count"].to_pylist()) <= 3
+    with pytest.raises(ValueError):
+        sh2.sampler_terms("def", by="repo", sample_size=0)
+
+
+def test_runtime_field_and_scripted_metric(built_index):
+    """ES runtime fields: registered query-time script usable anywhere a
+    stored numeric field is (sort, stats, scripted_metric); actor
+    processes receive the registry at pool construction."""
+    from elasticsearch_assets_ray.query.engine import (
+        RUNTIME_FIELDS,
+        Searcher,
+        register_runtime_field,
+    )
+
+    idx, _ = built_index
+    register_runtime_field("neg_len", "doc_len", lambda v: -v)
+    try:
+        single = Searcher(idx)
+        a = single.sort_by_field("def load", "neg_len", k=6, desc=True)
+        # neg_len desc == doc_len asc
+        b = single.sort_by_field("def load", "doc_len", k=6, desc=False)
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        np.testing.assert_array_equal(
+            a["value"].to_numpy(zero_copy_only=False),
+            -b["value"].to_numpy(zero_copy_only=False),
+        )
+        # actor path: registry ships at construction
+        sh = ShardedSearcher(idx, n_shards=2, use_actors=True)
+        c = sh.sort_by_field("def load", "neg_len", k=6, desc=True)
+        assert c["doc_id"].to_pylist() == a["doc_id"].to_pylist()
+
+        # scripted_metric over the runtime field: mean == -mean(doc_len)
+        mean = sh.scripted_metric(
+            "def load",
+            "neg_len",
+            lambda v, c_: (int(c_.sum()), float((v * c_).sum())),
+            lambda st: st[1] / st[0],
+        )
+        ids = sh.match_ids("def load")
+        dl = single.doclens_for(np.sort(ids.astype(np.int64)))
+        np.testing.assert_allclose(mean, -dl.mean())
+    finally:
+        RUNTIME_FIELDS.pop("neg_len", None)
