@@ -217,6 +217,7 @@ _DOC_STAT_PARTS = [
     "dup_span_stats",
     "unigram_ppl",
     "gopher_filter",
+    "blocklist_stats",
 ]
 
 
@@ -440,6 +441,8 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     # --- later-round agg/API operators, projected onto the same shape ---
     sm = _to_table(R.QUERIES["scripted_metric"](sf_dir))
     tabs.append(_proj("scripted", sm, "value", "count", "metric_r"))
+    dr = _to_table(R.QUERIES["date_range_agg"](sf_dir))
+    tabs.append(_proj("date_range", dr, "value", "count", "metric_r"))
     gh = _to_table(R.QUERIES["geohash_grid"](sf_dir))
     tabs.append(_proj("geohash", gh, "geohash", "count", 0.0))
     rt = _to_table(R.QUERIES["rare_terms"](sf_dir))
@@ -504,6 +507,7 @@ AGG_SUITE_SQL_PARTS = [
         "top_hits",
     ),
     ("scripted", "value, count, metric_r", "scripted_metric"),
+    ("date_range", "value, count, metric_r", "date_range_agg"),
     ("geohash", "geohash AS value, count, 0.0 AS metric_r", "geohash_grid"),
     ("rare", "value, count, 0.0 AS metric_r", "rare_terms"),
     (

@@ -841,6 +841,53 @@ def q_fingerprint(sf_dir: str):
     return out.select_columns(["doc_id", "fingerprint"])
 
 
+# seed blocklist: the content fingerprints of every doc with
+# doc_id % _BLOCK_MOD == _BLOCK_RESIDUE (a stand-in for an external
+# contamination / opt-out list — small by construction)
+_BLOCK_MOD, _BLOCK_RESIDUE = 37, 5
+
+
+def q_blocklist_stats(sf_dir: str):
+    """Bloom-filter blocklist membership by CONTENT fingerprint: a doc is
+    blocked iff its rolling-hash fingerprint matches any seed doc's —
+    exact-duplicate content of a blocked doc is blocked too.  The 100-TB
+    shape: fingerprints are a 2-int-column byproduct of the scan, the
+    seed set is tiny and becomes a broadcast Bloom filter probed inside
+    ``map_batches``; no shuffle join anywhere."""
+    from elasticsearch_assets_ray.stages.bloom import blocklist_flag
+
+    fps = (
+        _rd(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(lambda b: textstats.fingerprint(b, "text"), batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint"])
+        .materialize()  # 2 int64 cols — tiny relative to the corpus
+    )
+    seeds = fps.map_batches(
+        lambda b: b.filter(
+            pa.array(
+                b["doc_id"].to_numpy(zero_copy_only=False) % _BLOCK_MOD
+                == _BLOCK_RESIDUE
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    seeds = _collect(seeds)  # the seed list is small by construction
+    block = seeds["fingerprint"].to_numpy(zero_copy_only=False)
+    out = blocklist_flag(fps, "fingerprint", block)
+    return out.select_columns(["doc_id", "blocked"])
+
+
+def _blocklist_sql() -> str:
+    from elasticsearch_assets_ray.pipelines import oracles_hard
+
+    return (
+        f"WITH fps AS ({oracles_hard.fingerprint_sql()}) "
+        "SELECT f.doc_id, CAST(f.fingerprint IN "
+        f"(SELECT fingerprint FROM fps WHERE doc_id % {_BLOCK_MOD} = {_BLOCK_RESIDUE})"
+        " AS BIGINT) AS blocked FROM fps f"
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -3325,6 +3372,105 @@ def q_diversified_sampler(sf_dir: str):
     )
 
 
+# ES date_range agg: (label, from_inclusive, to_exclusive) — ranges may
+# OVERLAP and be open-ended, exactly ES's contract (a plain histogram
+# cannot express either)
+_DATE_RANGES = [
+    ("early", None, "2024-01-11"),
+    ("mid", "2024-01-11", "2024-01-21"),
+    ("late", "2024-01-21", None),
+    ("first_half", None, "2024-01-16"),  # overlaps early + mid
+]
+
+
+def q_date_range_agg(sf_dir: str):
+    """ES ``date_range`` aggregation over events: per named range, the
+    event count AND the exact distinct active users.  One scan emits
+    (range, user) membership rows (a row lands in EVERY overlapping
+    range); the (range, user) pair counts then carry both answers with
+    ONE bounded shuffle — the events_daily two-phase shape."""
+    ds = _rd(sf_dir, "events", columns=["ts", "user_id"])
+    ranges = [
+        (
+            label,
+            None if lo is None else np.datetime64(lo, "us"),
+            None if hi is None else np.datetime64(hi, "us"),
+        )
+        for label, lo, hi in _DATE_RANGES
+    ]
+
+    def expand(b: pa.Table) -> pa.Table:
+        outs = []
+        for label, lo, hi in ranges:
+            cond = None
+            if lo is not None:
+                cond = pc.greater_equal(b["ts"], pa.scalar(lo, pa.timestamp("us")))
+            if hi is not None:
+                c2 = pc.less(b["ts"], pa.scalar(hi, pa.timestamp("us")))
+                cond = c2 if cond is None else pc.and_(cond, c2)
+            f = b if cond is None else b.filter(cond)
+            outs.append(
+                pa.table(
+                    {
+                        "range": pa.array([label] * f.num_rows, pa.string()),
+                        "user_id": f["user_id"],
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    pairs = partial_agg(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        ["range", "user_id"],
+        [AggSpec("n", "range", "count")],
+    ).materialize()
+    n_events = _collect(
+        partial_agg(
+            pairs, ["range"], [AggSpec("n_events", "n", "sum")], distinct_hint=64
+        )
+    )
+    non_null = pairs.map_batches(
+        lambda b: b.filter(pc.is_valid(b["user_id"])), batch_format="pyarrow"
+    )
+    n_users = _collect(
+        partial_agg(
+            non_null, ["range"], [AggSpec("n_users", "user_id", "count")],
+            distinct_hint=64,
+        )
+    )
+    umap = dict(zip(n_users["range"].to_pylist(), n_users["n_users"].to_pylist()))
+    return pa.table(
+        {
+            "value": n_events["range"],
+            "count": n_events["n_events"].combine_chunks().cast(pa.int64()),
+            "metric_r": pa.array(
+                [
+                    float(umap.get(r, 0))
+                    for r in n_events["range"].to_pylist()
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _date_range_sql() -> str:
+    arms = []
+    for label, lo, hi in _DATE_RANGES:
+        conds = []
+        if lo is not None:
+            conds.append(f"ts >= TIMESTAMP '{lo}'")
+        if hi is not None:
+            conds.append(f"ts < TIMESTAMP '{hi}'")
+        where = f"WHERE {' AND '.join(conds)}" if conds else ""
+        arms.append(
+            f"SELECT '{label}' AS value, count(*)::BIGINT AS count, "
+            "CAST(count(DISTINCT user_id) AS DOUBLE) AS metric_r "
+            f"FROM events {where}"
+        )
+    return " UNION ALL ".join(arms)
+
+
 _SM_QUERIES = ["spark table", "merge", "fast filter"]
 
 
@@ -4211,6 +4357,8 @@ ORACLES: dict[str, str] = {
     "diversified_sampler": _diversified_sampler_sql(),
     "scripted_metric": _scripted_metric_sql(),
     "runtime_sort": _runtime_sort_sql(),
+    "date_range_agg": _date_range_sql(),
+    "blocklist_stats": _blocklist_sql(),
     "hybrid_rrf": hybrid.rrf_sql(
         _bm25_sql(DOC_QUERIES[:3], _HYBRID_W),
         _cosine_probe_sql(_HYBRID_W),
@@ -4874,6 +5022,8 @@ QUERIES = {
     "diversified_sampler": q_diversified_sampler,
     "scripted_metric": q_scripted_metric,
     "runtime_sort": q_runtime_sort,
+    "date_range_agg": q_date_range_agg,
+    "blocklist_stats": q_blocklist_stats,
     "fulltext_count": q_fulltext_count,
     "search_page2": q_search_page2,
     "collapse_source": q_collapse_source,

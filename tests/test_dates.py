@@ -106,3 +106,27 @@ def test_interval_ranges_cover_disjoint():
     assert [x[0] for x in rm] == [
         datetime(2024, 1, 31), datetime(2024, 2, 29), datetime(2024, 3, 29),
     ]
+
+
+def test_date_range_agg_matches_oracle(ray_session, sf_dir):
+    """ES date_range agg: overlapping + open-ended named ranges, each
+    carrying event count and exact distinct users, vs its SQL twin."""
+    import duckdb
+
+    from elasticsearch_assets_ray.pipelines import registry as R
+
+    t = R.QUERIES["date_range_agg"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    o = con.sql(R.ORACLES["date_range_agg"]).df()
+    cols = sorted(t.columns)
+    assert sorted(o.columns) == cols
+    a = t[cols].sort_values(cols).reset_index(drop=True)
+    b = o[cols].sort_values(cols).reset_index(drop=True)
+    assert a["value"].tolist() == b["value"].tolist()
+    assert a["count"].tolist() == [int(x) for x in b["count"]]
+    assert a["metric_r"].tolist() == [float(x) for x in b["metric_r"]]
+    # the overlapping range really overlaps: first_half ⊆ early+mid
+    byname = dict(zip(a["value"], a["count"]))
+    assert byname["first_half"] <= byname["early"] + byname["mid"]
+    assert sum(byname[k] for k in ("early", "mid", "late")) >= byname["first_half"]
