@@ -253,6 +253,8 @@ def g_search_struct(sf_dir: str) -> pa.Table:
             ("compound", "search_compound"),
             ("hybrid", "hybrid_rrf"),
             ("synonyms", "search_synonyms"),
+            ("terms_set", "search_terms_set"),
+            ("pinned", "search_pinned"),
         ],
         _SEARCH_COLS,
     )(sf_dir)
@@ -781,6 +783,8 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("compound", None, "search_compound"),
             ("hybrid", None, "hybrid_rrf"),
             ("synonyms", None, "search_synonyms"),
+            ("terms_set", None, "search_terms_set"),
+            ("pinned", None, "search_pinned"),
         ],
         _SEARCH_SEL,
     )
@@ -937,6 +941,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("fvf", "function_score"),
             ("decay", "decay_score"),
             ("random", "random_score"),
+            ("rank_feature", "rank_feature"),
         ],
         _SEARCH_COLS,
     )
@@ -945,6 +950,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("fvf", None, "function_score"),
             ("decay", None, "decay_score"),
             ("random", None, "random_score"),
+            ("rank_feature", None, "rank_feature"),
         ],
         _SEARCH_SEL,
     )

@@ -1861,6 +1861,218 @@ def _compound_sql() -> str:
     )
 
 
+# ES rank_feature: one (query, function, params) shape per query_id so
+# all three ES feature curves are oracle-checked
+RANK_FEATURE_SPECS: list[tuple[str, str, dict]] = [
+    ("spark table merge", "saturation", {"boost": 2.0, "pivot": 500.0}),
+    ("fast scan filter", "log", {"boost": 0.7, "scaling": 1.0}),
+    ("key value row", "sigmoid", {"boost": 1.5, "pivot": 400.0, "exponent": 2.0}),
+]
+
+
+def q_rank_feature(sf_dir: str):
+    """ES rank_feature query (saturation / log / sigmoid over a stored
+    numeric feature column, ADDED to BM25 — ES's bool-should contract),
+    served through the DISTRIBUTED path (per-doc addend ⇒ exact shard
+    merges)."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    parts = []
+    for qid, (q, fn, kw) in enumerate(RANK_FEATURE_SPECS):
+        r = sh.rank_feature(q, "n_chars", k=SEARCH_K + 90, function=fn, **kw)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(_orig_ids(sh, ids)),
+                    "sim": r["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+_BM25_BASE_CTES = (
+    f"WITH tok AS (SELECT doc_id, unnest({{tok}}) AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+    "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id), "
+    "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+    " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+    "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+)
+_BM25_TERM_EXPR = (
+    "sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+    "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) )"
+)
+
+
+def _rank_feature_sql() -> str:
+    """Twin of q_rank_feature: per query_id, total = BM25 + boost·f(v)
+    with the engine's exact double constants embedded."""
+    curves = []
+    for qid, (_q, fn, kw) in enumerate(RANK_FEATURE_SPECS):
+        x = "CAST(d.n_chars AS DOUBLE)"
+        if fn == "saturation":
+            expr = f"{kw['boost']!r} * ({x} / ({x} + {kw['pivot']!r}))"
+        elif fn == "log":
+            expr = f"{kw['boost']!r} * ln({kw['scaling']!r} + {x})"
+        else:  # sigmoid
+            e, p = kw["exponent"], kw["pivot"]
+            expr = (
+                f"{kw['boost']!r} * (power({x}, {e!r}) / "
+                f"(power({x}, {e!r}) + power({p!r}, {e!r})))"
+            )
+        curves.append(f"WHEN sc.query_id = {qid} THEN {expr}")
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, (q, _fn, _kw) in enumerate(RANK_FEATURE_SPECS)
+        for t in sorted(set(q.split()))
+    )
+    return (
+        _BM25_BASE_CTES.format(tok=_TOK)
+        + f"q(query_id, term) AS (VALUES {vals}), "
+        f"scored AS (SELECT q.query_id, tf.doc_id, {_BM25_TERM_EXPR} AS score "
+        " FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+        " GROUP BY q.query_id, tf.doc_id), "
+        "fs AS (SELECT sc.query_id, sc.doc_id, sc.score + (CASE "
+        + " ".join(curves)
+        + " END) AS total FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id) "
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(total, 9) DESC, doc_id) AS rank, round(total, 6) AS score_r "
+        f"FROM fs QUALIFY rank <= {SEARCH_K}"
+    )
+
+
+TERMS_SET_TERMS = ["spark", "table", "merge", "filter"]
+
+
+def q_search_terms_set(sf_dir: str):
+    """ES terms_set query: ≥ m of the given terms must appear, m read
+    PER DOC from a numeric field (minimum_should_match_field; here
+    m = 1 + n_chars % 4 so every requirement level occurs).  Scoring is
+    bool-should BM25 over the present terms; served distributed
+    (membership and requirement are both doc-local facts)."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    r = sh.terms_set(
+        TERMS_SET_TERMS, "n_chars", k=SEARCH_K + 90, min_offset=1, min_mod=4
+    )
+    ids = r["doc_id"].to_numpy(zero_copy_only=False)
+    t = pa.table(
+        {
+            "query_id": pa.array(np.zeros(ids.size, dtype=np.int64)),
+            "vec_id": pa.array(_orig_ids(sh, ids)),
+            "sim": r["score"],
+        }
+    )
+    res = _rerank_rounded(t, SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+def _terms_set_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in sorted(set(TERMS_SET_TERMS)))
+    return (
+        _BM25_BASE_CTES.format(tok=_TOK)
+        + f"q(term) AS (VALUES {vals}), "
+        f"scored AS (SELECT tf.doc_id, count(*)::BIGINT AS cnt, {_BM25_TERM_EXPR} AS score "
+        " FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s GROUP BY tf.doc_id), "
+        "sel AS (SELECT sc.doc_id, sc.score FROM scored sc "
+        " JOIN documents d ON d.doc_id = sc.doc_id "
+        " WHERE sc.cnt >= (d.n_chars % 4) + 1) "
+        "SELECT 0 AS query_id, doc_id, row_number() OVER ("
+        "ORDER BY round(score, 9) DESC, doc_id) AS rank, round(score, 6) AS score_r "
+        f"FROM sel QUALIFY rank <= {SEARCH_K}"
+    )
+
+
+PINNED_QUERY, PINNED_SEED_QUERY, PINNED_N = "spark table", "merge join", 3
+
+
+def q_search_pinned(sf_dir: str):
+    """ES pinned query: promoted ids rank first in the order given
+    (artificial descending scores above any BM25), organic results
+    follow with the pins removed.  The pin list is derived from a seed
+    query's round-9 top-3 REVERSED (layout-independent — the SQL twin
+    derives the identical list), so the gate exercises both the pin
+    ordering and the organic exclusion."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    seed = sh.search(PINNED_SEED_QUERY, k=PINNED_N + 90)
+    sids = seed["doc_id"].to_numpy(zero_copy_only=False)
+    soid = _orig_ids(sh, sids)
+    ssc = seed["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((soid, -_round_half_up(ssc, 9)))[:PINNED_N]
+    pins_internal = sids[order][::-1]
+    r = sh.pinned(list(pins_internal), PINNED_QUERY, k=SEARCH_K + 90)
+    ids = r["doc_id"].to_numpy(zero_copy_only=False)
+    t = pa.table(
+        {
+            "query_id": pa.array(np.zeros(ids.size, dtype=np.int64)),
+            "vec_id": pa.array(_orig_ids(sh, ids)),
+            "sim": r["score"],
+        }
+    )
+    res = _rerank_rounded(t, SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+def _pinned_sql() -> str:
+    """Twin of q_search_pinned: the seed query's round-9 top-3 reversed
+    become pins scored 1e9 − position; organic BM25 follows."""
+
+    def scored(cte: str, q: str) -> str:
+        vals = ", ".join(f"('{t}')" for t in sorted(set(q.split())))
+        return (
+            f"{cte}(doc_id, score) AS (SELECT tf.doc_id, {_BM25_TERM_EXPR} "
+            f"FROM (VALUES {vals}) q(term) "
+            "JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+            "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+            "GROUP BY tf.doc_id)"
+        )
+
+    return (
+        _BM25_BASE_CTES.format(tok=_TOK)
+        + scored("s_seed", PINNED_SEED_QUERY) + ", "
+        + scored("s_org", PINNED_QUERY) + ", "
+        "seed AS (SELECT doc_id, row_number() OVER ("
+        " ORDER BY round(score, 9) DESC, doc_id) AS rk FROM s_seed "
+        f" QUALIFY rk <= {PINNED_N}), "
+        # reversed: the rank-3 seed doc is pin position 0 (highest score)
+        f"pins AS (SELECT doc_id, 1000000000.0 - CAST({PINNED_N} - rk AS DOUBLE) "
+        " AS score FROM seed), "
+        "organic AS (SELECT doc_id, score FROM s_org "
+        " WHERE doc_id NOT IN (SELECT doc_id FROM pins)), "
+        "allr AS (SELECT * FROM pins UNION ALL SELECT * FROM organic) "
+        "SELECT 0 AS query_id, doc_id, row_number() OVER ("
+        "ORDER BY round(score, 9) DESC, doc_id) AS rank, round(score, 6) AS score_r "
+        f"FROM allr QUALIFY rank <= {SEARCH_K}"
+    )
+
+
 def q_suggest_completion(sf_dir: str):
     """ES completion-suggester analog: prefix autosuggest ranked by
     df desc / term asc — a term-dictionary read, no postings."""
@@ -4359,6 +4571,9 @@ ORACLES: dict[str, str] = {
     "runtime_sort": _runtime_sort_sql(),
     "date_range_agg": _date_range_sql(),
     "blocklist_stats": _blocklist_sql(),
+    "rank_feature": _rank_feature_sql(),
+    "search_terms_set": _terms_set_sql(),
+    "search_pinned": _pinned_sql(),
     "hybrid_rrf": hybrid.rrf_sql(
         _bm25_sql(DOC_QUERIES[:3], _HYBRID_W),
         _cosine_probe_sql(_HYBRID_W),
@@ -5024,6 +5239,9 @@ QUERIES = {
     "runtime_sort": q_runtime_sort,
     "date_range_agg": q_date_range_agg,
     "blocklist_stats": q_blocklist_stats,
+    "rank_feature": q_rank_feature,
+    "search_terms_set": q_search_terms_set,
+    "search_pinned": q_search_pinned,
     "fulltext_count": q_fulltext_count,
     "search_page2": q_search_page2,
     "collapse_source": q_collapse_source,

@@ -1371,13 +1371,14 @@ class Searcher:
         if modifier not in mods:
             raise ValueError(f"unknown modifier {modifier!r} ({sorted(mods)})")
         return self._field_scored(
-            query, field, k, missing, lambda v: mods[modifier](factor * v)
+            query, field, k, missing, lambda sc, v: sc * mods[modifier](factor * v)
         )
 
-    def _field_scored(self, query, field, k, missing, mult_fn) -> pa.Table:
-        """Shared body of the field-multiplier scoring family
-        (function_score / decay_score): exhaustive match-set scores ×
-        a per-doc multiplier of one pid-pruned docstore column."""
+    def _field_scored(self, query, field, k, missing, score_fn) -> pa.Table:
+        """Shared body of the field-scoring family (function_score /
+        decay_score multipliers, rank_feature addends): exhaustive
+        match-set scores combined per doc with one pid-pruned docstore
+        column via ``score_fn(scores, values)``."""
         r = self.all_scores(query)
         ids = r["doc_id"].to_numpy(zero_copy_only=False)
         sc = r["score"].to_numpy(zero_copy_only=False)
@@ -1389,9 +1390,134 @@ class Searcher:
         ids, sc = ids[order], sc[order]
         v = self.field_values_for(ids.astype(np.int64), field)
         v = np.where(np.isnan(v), missing, v)
-        total = sc * mult_fn(v)
+        total = score_fn(sc, v)
         top_i, top_s = bm25.sort_topk(ids, total, k)
         return pa.table({"doc_id": pa.array(top_i), "score": pa.array(top_s)})
+
+    def rank_feature(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        k: int = 10,
+        boost: float = 1.0,
+        function: str = "saturation",
+        pivot: float = 1.0,
+        scaling: float = 1.0,
+        exponent: float = 1.0,
+        missing: float = 0.0,
+    ) -> pa.Table:
+        """ES ``rank_feature`` query in a bool-should context: each hit's
+        BM25 score gets ``boost · f(v)`` ADDED, where v is the doc's
+        value of a stored numeric feature column and f is one of ES's
+        three monotone shapes — saturation v/(v+pivot), log
+        ln(scaling + v), sigmoid v^exp/(v^exp + pivot^exp)
+        (www.elastic.co/docs rank-feature-query; the reference delegates
+        this via its raw-search escape hatch).  ES derives a default
+        pivot from the index's approximate feature median; here pivot is
+        explicit so results are deterministic.  Candidates = the text
+        query's matches (the feature clause boosts, never selects)."""
+        fns = {
+            "saturation": lambda v: v / (v + pivot),
+            "log": lambda v: np.log(scaling + v),
+            "sigmoid": lambda v: v**exponent / (v**exponent + pivot**exponent),
+        }
+        if function not in fns:
+            raise ValueError(f"unknown rank_feature function {function!r} ({sorted(fns)})")
+        return self._field_scored(
+            query, field, k, missing, lambda sc, v: sc + boost * fns[function](v)
+        )
+
+    def terms_set(
+        self,
+        terms: list[str],
+        min_field: str,
+        k: int = 10,
+        min_offset: int = 0,
+        min_mod: int = 0,
+    ) -> pa.Table:
+        """ES ``terms_set`` query with ``minimum_should_match_field``:
+        a doc matches iff at least m DISTINCT terms of ``terms`` appear
+        in it, where m is the doc's own value of numeric docstore column
+        ``min_field`` (Lucene CoveringQuery semantics: candidates are
+        the union of the per-term match sets, so m ≤ 0 admits every doc
+        containing ≥1 term, and m > len(terms) can never match).
+        Scoring is bool-should BM25 over the PRESENT terms.  The stored
+        value can be affine-adjusted (m = offset + value, or
+        offset + value % mod when ``min_mod`` > 0) so any numeric column
+        can serve as the requirement field.  Per-term membership is
+        score-free (match_ids); only the surviving docs' BM25 comes from
+        the scored pass."""
+        uniq = sorted(set(terms))
+        if not uniq:
+            raise ValueError("terms_set needs at least one term")
+        r = self.all_scores(" ".join(uniq))
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        sc = r["score"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        order = np.argsort(ids)
+        ids, sc = ids[order], sc[order]
+        cnt = np.zeros(ids.size, dtype=np.int64)
+        for t in uniq:
+            m = np.sort(self.match_ids(t))
+            if m.size == 0:
+                continue
+            pos = np.searchsorted(m, ids)
+            pos[pos >= m.size] = 0
+            cnt += (m[pos] == ids).astype(np.int64)
+        need = self.field_values_for(ids.astype(np.int64), min_field)
+        if min_mod > 0:
+            need = np.mod(need, float(min_mod))
+        need = need + float(min_offset)
+        keep = cnt >= need  # NaN requirement (missing field) never matches
+        top_i, top_s = bm25.sort_topk(ids[keep], sc[keep], k)
+        return pa.table({"doc_id": pa.array(top_i), "score": pa.array(top_s)})
+
+    # pinned docs outrank any BM25 score; spaced so round(score, 9) keeps
+    # the given pin order exactly
+    PINNED_BASE = 1.0e9
+
+    def pinned(
+        self, pin_ids: list[int], query: str | ParsedQuery, k: int = 10
+    ) -> pa.Table:
+        """ES ``pinned`` query: the given internal docIDs rank first IN
+        THE ORDER GIVEN (artificial descending scores PINNED_BASE − i,
+        above any organic BM25 — ES uses the same trick with
+        Float.MAX_VALUE/2 − rank), organic matches follow by BM25 with
+        the pinned ids removed.  Pinned ids absent from the index are
+        dropped (ES only surfaces pins that resolve)."""
+        pins = list(dict.fromkeys(int(i) for i in pin_ids))  # order-keeping dedup
+        present = self.hydrate(
+            np.array(pins, dtype=np.int64), columns=["doc_id"]
+        )["doc_id"].to_numpy(zero_copy_only=False)
+        pset = set(present.tolist())
+        pins = [i for i in pins if i in pset][:k]
+        r = self.all_scores(query)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        sc = r["score"].to_numpy(zero_copy_only=False)
+        if pins:
+            mask = ~np.isin(ids, np.array(pins, dtype=ids.dtype if ids.size else np.int64))
+            ids, sc = ids[mask], sc[mask]
+        o_ids, o_sc = bm25.sort_topk(ids, sc, max(0, k - len(pins)))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [np.array(pins, dtype=np.int64), o_ids.astype(np.int64)]
+                    )
+                ),
+                "score": pa.array(
+                    np.concatenate(
+                        [
+                            self.PINNED_BASE - np.arange(len(pins), dtype=np.float64),
+                            o_sc,
+                        ]
+                    )
+                ),
+            }
+        )
 
     def decay_score(
         self,
@@ -1413,7 +1539,7 @@ class Searcher:
         embeds the identical doubles."""
         return self._field_scored(
             query, field, k, missing,
-            lambda v: decay_multiplier(kind, v, origin, scale, offset, decay),
+            lambda sc, v: sc * decay_multiplier(kind, v, origin, scale, offset, decay),
         )
 
     def random_score(

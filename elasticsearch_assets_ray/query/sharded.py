@@ -323,6 +323,49 @@ class ShardWorker:
         finally:
             self.s._df_override = None
 
+    def rank_feature(
+        self,
+        q: ParsedQuery,
+        field: str,
+        k: int,
+        boost: float,
+        function: str,
+        pivot: float,
+        scaling: float,
+        exponent: float,
+        missing: float,
+        df: dict[str, int],
+    ) -> pa.Table:
+        """Local rank_feature top-k (per-doc addend ⇒ exact merge)."""
+        self.s._df_override = df
+        try:
+            return self.s.rank_feature(
+                q, field, k=k, boost=boost, function=function,
+                pivot=pivot, scaling=scaling, exponent=exponent, missing=missing,
+            )
+        finally:
+            self.s._df_override = None
+
+    def terms_set(
+        self,
+        terms: list[str],
+        min_field: str,
+        k: int,
+        min_offset: int,
+        min_mod: int,
+        df: dict[str, int],
+    ) -> pa.Table:
+        """Local terms_set top-k: membership counting and the per-doc
+        requirement are both doc-local, and BM25 uses the coordinator's
+        global dfs, so shard-local results merge exactly."""
+        self.s._df_override = df
+        try:
+            return self.s.terms_set(
+                terms, min_field, k=k, min_offset=min_offset, min_mod=min_mod
+            )
+        finally:
+            self.s._df_override = None
+
     def search_window(self, q: ParsedQuery, w: int, df: dict[str, int]) -> pa.Table:
         """Local rescore-window half: top-w by the engine rescore's
         (round-9 score desc, docID asc) comparator — NOT raw-score
@@ -1250,6 +1293,108 @@ class ShardedSearcher:
                 {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
             )
         return self._merge_topk_parts(parts, k)
+
+    def rank_feature(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        k: int = 10,
+        boost: float = 1.0,
+        function: str = "saturation",
+        pivot: float = 1.0,
+        scaling: float = 1.0,
+        exponent: float = 1.0,
+        missing: float = 0.0,
+    ) -> pa.Table:
+        """Distributed rank_feature: the feature addend is a pure per-doc
+        function of one stored column, so per-shard top-k + merge is
+        exact (the function_score argument)."""
+        q, df = self.prepare(query)
+        parts = [
+            p
+            for p in self._gather(
+                "rank_feature", q, field, k, boost, function,
+                pivot, scaling, exponent, missing, df,
+            )
+            if p.num_rows
+        ]
+        if not parts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        return self._merge_topk_parts(parts, k)
+
+    def terms_set(
+        self,
+        terms: list[str],
+        min_field: str,
+        k: int = 10,
+        min_offset: int = 0,
+        min_mod: int = 0,
+    ) -> pa.Table:
+        """Distributed terms_set: each doc lives in exactly one shard, so
+        its distinct-matching-term count and its per-doc requirement are
+        both shard-local facts; with the coordinator's global dfs the
+        local BM25 is bit-identical and the top-k merge is exact."""
+        uniq = sorted(set(terms))
+        if not uniq:
+            raise ValueError("terms_set needs at least one term")
+        _q, df = self.prepare(" ".join(uniq))
+        parts = [
+            p
+            for p in self._gather(
+                "terms_set", uniq, min_field, k, min_offset, min_mod, df
+            )
+            if p.num_rows
+        ]
+        if not parts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        return self._merge_topk_parts(parts, k)
+
+    def pinned(
+        self, pin_ids: list[int], query: str | ParsedQuery, k: int = 10
+    ) -> pa.Table:
+        """Distributed pinned query: pins are a coordinator concern —
+        shards serve the ORGANIC top-k (fetching k each is enough: a doc
+        in the global organic top-(k−|pins|) after pin removal is within
+        its own shard's top-k even if every pin landed in that shard),
+        the coordinator drops pinned ids, fills k−|pins| organic slots,
+        and prepends the pins with the engine's artificial descending
+        scores."""
+        from elasticsearch_assets_ray.query.engine import Searcher
+
+        pins = list(dict.fromkeys(int(i) for i in pin_ids))
+        present = self.hydrate(
+            np.array(pins, dtype=np.int64), columns=["doc_id"]
+        )["doc_id"].to_numpy(zero_copy_only=False)
+        pset = set(present.tolist())
+        pins = [i for i in pins if i in pset][:k]
+        organic = self.search(query, k=k + len(pins))
+        ids = organic["doc_id"].to_numpy(zero_copy_only=False)
+        sc = organic["score"].to_numpy(zero_copy_only=False)
+        if pins:
+            mask = ~np.isin(ids, np.array(pins, dtype=np.int64))
+            ids, sc = ids[mask], sc[mask]
+        n_org = max(0, k - len(pins))
+        ids, sc = ids[:n_org], sc[:n_org]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([np.array(pins, dtype=np.int64), ids.astype(np.int64)])
+                ),
+                "score": pa.array(
+                    np.concatenate(
+                        [
+                            Searcher.PINNED_BASE
+                            - np.arange(len(pins), dtype=np.float64),
+                            sc,
+                        ]
+                    )
+                ),
+            }
+        )
 
     def rescore(
         self,

@@ -1001,3 +1001,67 @@ def test_runtime_field_and_scripted_metric(built_index):
         np.testing.assert_allclose(mean, -dl.mean())
     finally:
         RUNTIME_FIELDS.pop("neg_len", None)
+
+
+def test_rank_feature_parity_and_monotonicity(single, sharded):
+    """rank_feature: sharded == single bit-for-bit for all three ES
+    curves, and a huge boost strictly reorders by the feature."""
+    for fn, kw in [
+        ("saturation", {"pivot": 20.0}),
+        ("log", {"scaling": 1.0}),
+        ("sigmoid", {"pivot": 20.0, "exponent": 2.0}),
+    ]:
+        a = single.rank_feature("def load", "doc_len", k=8, boost=1.5, function=fn, **kw)
+        b = sharded.rank_feature("def load", "doc_len", k=8, boost=1.5, function=fn, **kw)
+        _eq_tables(b, a)
+    # additive semantics: boost=0 degenerates to plain BM25
+    _eq_tables(
+        single.rank_feature("def load", "doc_len", k=8, boost=0.0, pivot=20.0),
+        single.search("def load", k=8),
+    )
+    with pytest.raises(ValueError):
+        single.rank_feature("def load", "doc_len", function="nope")
+
+
+def test_terms_set_requirement_and_parity(single, sharded):
+    """terms_set: per-doc requirement from a stored field filters
+    exactly; sharded == single."""
+    terms = ["def", "load", "index", "value"]
+    a = single.terms_set(terms, "doc_len", k=10, min_offset=1, min_mod=3)
+    b = sharded.terms_set(terms, "doc_len", k=10, min_offset=1, min_mod=3)
+    _eq_tables(b, a)
+    # recompute the requirement by hand for the returned docs
+    ids = a["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if ids.size:
+        import numpy as _np
+
+        cnt = _np.zeros(ids.size)
+        for t in terms:
+            m = _np.sort(single.match_ids(t))
+            if m.size:
+                pos = _np.searchsorted(m, ids).clip(0, m.size - 1)
+                cnt += (m[pos] == ids).astype(float)
+        need = single.field_values_for(ids, "doc_len") % 3 + 1
+        assert (cnt >= need).all()
+    # a requirement above len(terms) can never match
+    empty = single.terms_set(["def"], "doc_len", k=10, min_offset=99)
+    assert empty.num_rows == 0
+    with pytest.raises(ValueError):
+        single.terms_set([], "doc_len")
+
+
+def test_pinned_order_exclusion_and_parity(single, sharded):
+    """pinned: pins come first in the given order with artificial
+    descending scores, organic results never repeat a pin, absent ids
+    are dropped, and sharded == single."""
+    org = single.search("def load", k=6)["doc_id"].to_pylist()
+    pins = [org[3], org[1], 2**60]  # one id that does not exist
+    a = single.pinned(pins, "def load", k=6)
+    b = sharded.pinned(pins, "def load", k=6)
+    _eq_tables(b, a)
+    got = a["doc_id"].to_pylist()
+    assert got[:2] == [org[3], org[1]]
+    sc = a["score"].to_numpy(zero_copy_only=False)
+    assert sc[0] > sc[1] > sc[2]  # pin scores strictly above organic
+    assert len(set(got)) == len(got)  # exclusion: no pin repeats
+    assert a.num_rows == 6
