@@ -472,6 +472,8 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(_proj("explain", ex, ["term", "doc_id"], "tf", "contribution_r"))
     tv = _to_table(R.QUERIES["term_vectors"](sf_dir))
     tabs.append(_proj("termvec", tv, ["term", "pos"], "tf", 0.0))
+    rv = _to_table(R.QUERIES["rank_eval"](sf_dir))
+    tabs.append(_proj("rank_eval", rv, ["metric", "query_id"], 0, "value_r"))
     # pipeline aggs: the part column is its own sub-discriminator
     pl = _to_table(R.QUERIES["pipeline_daily"](sf_dir))
     tag = pc.binary_join_element_wise(
@@ -551,6 +553,12 @@ AGG_SUITE_SQL_PARTS = [
         "term || '#' || CAST(pos AS VARCHAR) AS value, tf AS count, "
         "0.0 AS metric_r",
         "term_vectors",
+    ),
+    (
+        "rank_eval",
+        "metric || '#' || CAST(query_id AS VARCHAR) AS value, 0 AS count, "
+        "value_r AS metric_r",
+        "rank_eval",
     ),
 ]
 

@@ -3836,7 +3836,8 @@ def _cosine_probe_sql(k: int, filter_term: str | None = None) -> str:
     """THE planted-probe cosine top-k oracle, shared by every ANN gate
     (LSH / IVF / PQ / index-resident kNN) so the probe construction
     lives in ONE place; ``filter_term`` restricts candidates to docs
-    containing the token (the filtered-kNN twin)."""
+    containing the token (the filtered-kNN twin).  (rank_eval helpers
+    directly below reuse _bm25_sql the same way.)"""
     corpus = "embeddings e"
     if filter_term is not None:
         corpus = (
@@ -3855,6 +3856,129 @@ def _cosine_probe_sql(k: int, filter_term: str | None = None) -> str:
         " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
         " round(sim, 6) AS sim_r "
         f"FROM s QUALIFY rank <= {k}"
+    )
+
+
+RANK_EVAL_QUERIES = DOC_QUERIES[:4]
+
+
+def _rank_eval_sql(queries: list[str], k: int) -> str:
+    """DuckDB twin of the ``_rank_eval`` metrics: the _bm25_sql ranked
+    list, per-doc graded ratings (distinct query terms present), and the
+    five ES metrics as window/group expressions.  The ERR prefix product
+    is exp(Σ ln(1-R)) — the SAME float expression the engine evaluates
+    (query/rank_eval.py:metric_values), so round-6 compare is stable."""
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in enumerate(queries)
+        for t in sorted(set(tokenize_text(q)))
+    )
+    return f"""
+WITH ranked AS (SELECT * FROM ({_bm25_sql(queries, k)})),
+q(query_id, term) AS (VALUES {vals}),
+qn AS (SELECT query_id, count(*)::BIGINT AS n_terms FROM q GROUP BY query_id),
+dt AS (SELECT DISTINCT doc_id, term FROM (
+        SELECT doc_id, unnest({_TOK}) AS term FROM documents)),
+ratings AS (
+  SELECT q.query_id, dt.doc_id, count(*)::BIGINT AS g
+  FROM q JOIN dt ON dt.term = q.term
+  GROUP BY q.query_id, dt.doc_id),
+rr AS (
+  SELECT r.query_id, r.rank, coalesce(g.g, 0) AS g
+  FROM ranked r
+  LEFT JOIN ratings g ON g.query_id = r.query_id AND g.doc_id = r.doc_id),
+tot AS (SELECT query_id, count(*)::DOUBLE AS total_rel
+        FROM ratings GROUP BY query_id),
+ideal AS (SELECT query_id, g,
+                 row_number() OVER (PARTITION BY query_id ORDER BY g DESC) AS rn
+          FROM ratings),
+idcg AS (SELECT query_id, sum((pow(2, g) - 1.0) / log2(rn + 1.0)) AS idcg
+         FROM ideal WHERE rn <= {k} GROUP BY query_id),
+errt AS (
+  SELECT rr.query_id, rr.rank,
+         (pow(2, rr.g) - 1.0) / pow(2, qn.n_terms) AS r
+  FROM rr JOIN qn USING (query_id)),
+errw AS (
+  SELECT query_id, rank, r,
+         coalesce(sum(ln(1.0 - r)) OVER (
+            PARTITION BY query_id ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS lnacc
+  FROM errt),
+errq AS (SELECT query_id, sum((r / rank) * exp(lnacc)) AS err
+         FROM errw GROUP BY query_id),
+comp AS (
+  SELECT query_id,
+         count(*)::DOUBLE AS retrieved,
+         sum(CASE WHEN g >= 1 THEN 1 ELSE 0 END)::DOUBLE AS rel_ret,
+         coalesce(max(CASE WHEN g >= 1 THEN 1.0 / rank END), 0.0) AS mrr,
+         sum((pow(2, g) - 1.0) / log2(rank + 1.0)) AS dcg
+  FROM rr GROUP BY query_id),
+perq AS (
+  SELECT c.query_id,
+         c.rel_ret / c.retrieved AS p_prec,
+         c.rel_ret / t.total_rel AS p_recall,
+         c.mrr AS p_mrr,
+         c.dcg / i.idcg AS p_ndcg,
+         coalesce(e.err, 0.0) AS p_err
+  FROM comp c
+  JOIN tot t USING (query_id)
+  JOIN idcg i USING (query_id)
+  LEFT JOIN errq e USING (query_id)),
+tall AS (
+  SELECT query_id, 'precision' AS metric, p_prec AS v FROM perq
+  UNION ALL SELECT query_id, 'recall', p_recall FROM perq
+  UNION ALL SELECT query_id, 'mrr', p_mrr FROM perq
+  UNION ALL SELECT query_id, 'ndcg', p_ndcg FROM perq
+  UNION ALL SELECT query_id, 'err', p_err FROM perq)
+SELECT query_id, metric, round(v, 6) AS value_r FROM tall
+UNION ALL
+SELECT -1 AS query_id, metric, round(avg(v), 6) AS value_r
+FROM tall GROUP BY metric
+"""
+
+
+def q_rank_eval(sf_dir: str):
+    """ES ``_rank_eval`` API (query/rank_eval.py): the four rated
+    requests run through the DISTRIBUTED scatter-gather serving path
+    (the same pinned round-9 ranked contract as search_topk), ratings
+    for the retrieved docs come from a bounded 4·k-row read, and the
+    corpus rating histogram (recall denominator + NDCG ideal ordering)
+    is a distributed one-pass map_batches reduce — nothing per-doc on
+    the driver."""
+    from elasticsearch_assets_ray.query import rank_eval as re_mod
+
+    idx = documents_index(sf_dir)
+    sh = sharded_searcher(idx)
+    ranked = _search_many(
+        sf_dir, RANK_EVAL_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90, searcher=sh
+    )
+    hists = re_mod.rating_histograms(
+        _rd(sf_dir, "documents", columns=["text"]), RANK_EVAL_QUERIES
+    )
+    ids = ranked["doc_id"].to_numpy(zero_copy_only=False)
+    texts: dict[int, str] = {}
+    if ids.size:
+        uniq = np.unique(ids)
+        t = _collect(
+            _rd(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+                lambda b, u=uniq: b.filter(pc.is_in(b["doc_id"], pa.array(u))),
+                batch_format="pyarrow",
+            )
+        )
+        texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    gains_by_query: dict[int, list[int]] = {}
+    qarr = ranked["query_id"].to_numpy(zero_copy_only=False)
+    rarr = ranked["rank"].to_numpy(zero_copy_only=False)
+    for qid, qtext in enumerate(RANK_EVAL_QUERIES):
+        sel = np.flatnonzero(qarr == qid)
+        sel = sel[np.argsort(rarr[sel], kind="stable")]
+        gains_by_query[qid] = re_mod._gains_for(
+            [texts[int(d)] for d in ids[sel]], re_mod.query_terms(qtext)
+        )
+    return re_mod.rank_eval_from_gains(
+        RANK_EVAL_QUERIES, gains_by_query, hists, SEARCH_K
     )
 
 
@@ -4559,6 +4683,7 @@ ORACLES: dict[str, str] = {
         "agg.samp_sqsum, agg.n_zero_cross FROM m JOIN agg USING (media_id)"
     ),
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
+    "rank_eval": _rank_eval_sql(RANK_EVAL_QUERIES, SEARCH_K),
     "sort_search": _sort_search_sql(),
     "cardinality_agg": _cardinality_sql(),
     "search_synonyms": _synonym_sql(SEARCH_K),
@@ -5226,6 +5351,7 @@ QUERIES = {
     "embedding_dedup": q_embedding_dedup,
     "search_topk": q_search_topk,
     "search_sharded": q_search_sharded,
+    "rank_eval": q_rank_eval,
     "hybrid_rrf": q_hybrid_rrf,
     "sort_search": q_sort_search,
     "cardinality_agg": q_cardinality_agg,
