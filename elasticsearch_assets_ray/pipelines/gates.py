@@ -474,6 +474,8 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(_proj("termvec", tv, ["term", "pos"], "tf", 0.0))
     rv = _to_table(R.QUERIES["rank_eval"](sf_dir))
     tabs.append(_proj("rank_eval", rv, ["metric", "query_id"], 0, "value_r"))
+    psu = _to_table(R.QUERIES["phrase_suggest"](sf_dir))
+    tabs.append(_proj("phrase_sugg", psu, ["query_id", "suggestion"], "rank", "score_r"))
     # pipeline aggs: the part column is its own sub-discriminator
     pl = _to_table(R.QUERIES["pipeline_daily"](sf_dir))
     tag = pc.binary_join_element_wise(
@@ -559,6 +561,12 @@ AGG_SUITE_SQL_PARTS = [
         "metric || '#' || CAST(query_id AS VARCHAR) AS value, 0 AS count, "
         "value_r AS metric_r",
         "rank_eval",
+    ),
+    (
+        "phrase_sugg",
+        "CAST(query_id AS VARCHAR) || '#' || suggestion AS value, "
+        "rank AS count, score_r AS metric_r",
+        "phrase_suggest",
     ),
 ]
 

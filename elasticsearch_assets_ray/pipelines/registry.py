@@ -3859,6 +3859,103 @@ def _cosine_probe_sql(k: int, filter_term: str | None = None) -> str:
     )
 
 
+PHRASE_SUGG_INPUTS = ["sor ro vlue", "prt ky tble"]
+PHRASE_SUGG_SIZE = 5
+PHRASE_SUGG_EDITS = 2
+PHRASE_SUGG_PER_TOKEN = 5
+
+_PHRASE_LM_CACHE: dict[str, object] = {}
+
+
+def q_phrase_suggest(sf_dir: str):
+    """ES phrase suggester (query/phrase_suggest.py): distributed bigram
+    LM build (one vectorized map_batches pass + combiner-first
+    partial_agg), then exact stupid-backoff scoring of the per-token
+    edit-neighborhood product space for two misspelled inputs."""
+    from elasticsearch_assets_ray.query import phrase_suggest as ps
+
+    if sf_dir not in _PHRASE_LM_CACHE:
+        _PHRASE_LM_CACHE[sf_dir] = ps.build_phrase_lm(
+            _rd(sf_dir, "documents", columns=["text"]), "text"
+        )
+    lm = _PHRASE_LM_CACHE[sf_dir]
+    parts = []
+    for qid, text in enumerate(PHRASE_SUGG_INPUTS):
+        t = ps.suggest_phrases(
+            lm,
+            text,
+            size=PHRASE_SUGG_SIZE,
+            max_edits=PHRASE_SUGG_EDITS,
+            per_token=PHRASE_SUGG_PER_TOKEN,
+        )
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array([qid] * t.num_rows, pa.int64()),
+                    "rank": t["rank"],
+                    "suggestion": t["suggestion"],
+                    "score_r": t["score_r"],
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _phrase_suggest_sql(
+    inputs: list[str], size: int, max_edits: int, per_token: int
+) -> str:
+    """DuckDB twin of the phrase suggester: the same bigram counts from
+    a zipped-unnest token stream, the same banded-Levenshtein candidate
+    ranking, and the stupid-backoff score written with the engine's
+    float-op order (ln of the division, left-to-right addition)."""
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    cand_ctes, phrase_sels = [], []
+    for qid, text in enumerate(inputs):
+        toks = tokenize_text(text)
+        for i, tok in enumerate(toks):
+            cand_ctes.append(
+                f"c_{qid}_{i} AS (SELECT term, cnt FROM ("
+                f"SELECT u.term, u.cnt, row_number() OVER (ORDER BY "
+                f"levenshtein(u.term, '{tok}'), u.cnt DESC, u.term) AS rn "
+                f"FROM uni u WHERE levenshtein(u.term, '{tok}') <= {max_edits}"
+                f") WHERE rn <= {per_token})"
+            )
+        sel = [f"c_{qid}_0 c0 CROSS JOIN tot t"]
+        score = ["ln(c0.cnt::DOUBLE / t.n)"]
+        for i in range(1, len(toks)):
+            sel.append(f"CROSS JOIN c_{qid}_{i} c{i}")
+            sel.append(
+                f"LEFT JOIN bi b{i} ON b{i}.v = c{i-1}.term AND b{i}.w = c{i}.term"
+            )
+            score.append(
+                f"coalesce(ln(b{i}.nb::DOUBLE / c{i-1}.cnt), "
+                f"ln(0.4 * c{i}.cnt::DOUBLE / t.n))"
+            )
+        sugg = " || ' ' || ".join(f"c{i}.term" for i in range(len(toks)))
+        phrase_sels.append(
+            f"SELECT {qid} AS query_id, {sugg} AS suggestion, "
+            + " + ".join(score)
+            + " AS score FROM "
+            + " ".join(sel)
+        )
+    return (
+        f"WITH tl AS (SELECT doc_id, unnest({_TOK}) AS term, "
+        f"generate_subscripts({_TOK}, 1) AS p FROM documents), "
+        "uni AS (SELECT term, count(*)::BIGINT AS cnt FROM tl GROUP BY term), "
+        "tot AS (SELECT sum(cnt)::DOUBLE AS n FROM uni), "
+        "bi AS (SELECT a.term AS v, b.term AS w, count(*)::BIGINT AS nb "
+        " FROM tl a JOIN tl b ON b.doc_id = a.doc_id AND b.p = a.p + 1 "
+        " GROUP BY a.term, b.term), "
+        + ", ".join(cand_ctes)
+        + ", ph AS ("
+        + " UNION ALL ".join(phrase_sels)
+        + ") SELECT query_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 9) DESC, suggestion) AS rank, suggestion, "
+        f"round(score, 6) AS score_r FROM ph QUALIFY rank <= {size}"
+    )
+
+
 RANK_EVAL_QUERIES = DOC_QUERIES[:4]
 
 
@@ -4684,6 +4781,9 @@ ORACLES: dict[str, str] = {
     ),
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "rank_eval": _rank_eval_sql(RANK_EVAL_QUERIES, SEARCH_K),
+    "phrase_suggest": _phrase_suggest_sql(
+        PHRASE_SUGG_INPUTS, PHRASE_SUGG_SIZE, PHRASE_SUGG_EDITS, PHRASE_SUGG_PER_TOKEN
+    ),
     "sort_search": _sort_search_sql(),
     "cardinality_agg": _cardinality_sql(),
     "search_synonyms": _synonym_sql(SEARCH_K),
@@ -5352,6 +5452,7 @@ QUERIES = {
     "search_topk": q_search_topk,
     "search_sharded": q_search_sharded,
     "rank_eval": q_rank_eval,
+    "phrase_suggest": q_phrase_suggest,
     "hybrid_rrf": q_hybrid_rrf,
     "sort_search": q_sort_search,
     "cardinality_agg": q_cardinality_agg,
