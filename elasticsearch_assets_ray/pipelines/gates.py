@@ -290,13 +290,15 @@ def g_search_filtered_range(sf_dir: str) -> pa.Table:
 
 
 def g_search_positional(sf_dir: str) -> pa.Table:
-    """Positional queries: sloppy phrases, phrase-prefix, and unordered
-    proximity `~uN`."""
+    """Positional queries: sloppy phrases, phrase-prefix, unordered
+    proximity `~uN`, and ES span queries (span_first / span_not /
+    span_near via the structured DSL, query/spans.py)."""
     return _union(
         [
             ("sloppy", "search_sloppy"),
             ("phrase_prefix", "search_phrase_prefix"),
             ("unordered", "search_unordered"),
+            ("spans", "span_search"),
         ],
         _SEARCH_COLS,
     )(sf_dir)
@@ -834,6 +836,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("sloppy", None, "search_sloppy"),
             ("phrase_prefix", None, "search_phrase_prefix"),
             ("unordered", None, "search_unordered"),
+            ("spans", None, "span_search"),
         ],
         _SEARCH_SEL,
     )

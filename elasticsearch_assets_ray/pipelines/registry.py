@@ -3859,6 +3859,144 @@ def _cosine_probe_sql(k: int, filter_term: str | None = None) -> str:
     )
 
 
+SPAN_SPECS: list[dict] = [
+    {"span_first": {"match": {"span_term": "scan"}, "end": 5}},
+    {
+        "span_not": {
+            "include": {"span_term": "value"},
+            "exclude": {"span_term": "small"},
+            "pre": 1,
+            "post": 1,
+        }
+    },
+    {
+        "span_near": {
+            "clauses": [{"span_term": "window"}, {"span_term": "join"}],
+            "slop": 1,
+            "in_order": True,
+        }
+    },
+]
+
+
+def q_span_search(sf_dir: str):
+    """ES span queries (query/spans.py): span_first / span_not /
+    span_near over positional postings — positional constraints FILTER
+    exactly, scoring is bag-of-words BM25 over the positive terms (the
+    repo's phrase contract)."""
+    from elasticsearch_assets_ray.query import spans as span_mod
+
+    idx = documents_index(sf_dir)
+    s = Searcher(idx)
+    parts = []
+    for qid, spec in enumerate(SPAN_SPECS):
+        res = span_mod.span_search(s, spec, k=SEARCH_K + 90)
+        ids = res["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(_orig_ids(s, ids)),
+                    "sim": res["score"],
+                }
+            )
+        )
+    if not parts:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "score_r": pa.array([], pa.float64()),
+            }
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+def _span_cand_sql(spec: dict) -> tuple[str, list[str]]:
+    """(candidate-docs SQL condition over ``tl``, positive terms) for the
+    pinned SPAN_SPECS shapes — the DuckDB twin of query/spans.py's
+    evaluator (greedy-chain existence ⟺ the join conditions here)."""
+    if "span_first" in spec:
+        t = spec["span_first"]["match"]["span_term"]
+        e = int(spec["span_first"]["end"])
+        return (
+            f"SELECT DISTINCT doc_id FROM tl WHERE term = '{t}' AND p + 1 <= {e}",
+            [t],
+        )
+    if "span_not" in spec:
+        s = spec["span_not"]
+        ti = s["include"]["span_term"]
+        tx = s["exclude"]["span_term"]
+        pre, post = int(s.get("pre", 0)), int(s.get("post", 0))
+        return (
+            f"SELECT DISTINCT i.doc_id FROM tl i WHERE i.term = '{ti}' "
+            f"AND NOT EXISTS (SELECT 1 FROM tl x WHERE x.doc_id = i.doc_id "
+            f"AND x.term = '{tx}' AND x.p < i.p + 1 + {post} "
+            f"AND x.p + 1 > i.p - {pre})",
+            [ti],
+        )
+    if "span_near" in spec:
+        s = spec["span_near"]
+        terms = [c["span_term"] for c in s["clauses"]]
+        slop = int(s.get("slop", 0))
+        m = len(terms)
+        joins = [f"tl a0"]
+        conds = [f"a0.term = '{terms[0]}'"]
+        for i in range(1, m):
+            joins.append(
+                f"JOIN tl a{i} ON a{i}.doc_id = a0.doc_id "
+                f"AND a{i}.p >= a{i-1}.p + 1"
+            )
+            conds.append(f"a{i}.term = '{terms[i]}'")
+        conds.append(f"a{m-1}.p - a0.p <= {slop + m - 1}")
+        return (
+            "SELECT DISTINCT a0.doc_id FROM "
+            + " ".join(joins)
+            + " WHERE "
+            + " AND ".join(conds),
+            terms,
+        )
+    raise ValueError(f"unsupported span spec for SQL: {sorted(spec)}")
+
+
+def _span_sql(specs: list[dict], k: int) -> str:
+    arms = []
+    for qid, spec in enumerate(specs):
+        cand, terms = _span_cand_sql(spec)
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        arms.append(
+            f"SELECT {qid} AS query_id, tf.doc_id, sum({_TERM_SCORE_SQL}) AS score "
+            f"FROM tf JOIN df ON df.term = tf.term "
+            f"JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+            f"WHERE tf.term IN ({tlist}) AND tf.doc_id IN ({cand}) "
+            f"GROUP BY tf.doc_id"
+        )
+    return (
+        f"WITH tl AS (SELECT doc_id, unnest({_TOK}) AS term, "
+        f"generate_subscripts({_TOK}, 1) - 1 AS p FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tl GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tl GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+        "scored AS (" + " UNION ALL ".join(arms) + ") "
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 9) DESC, doc_id) AS rank, round(score, 6) AS score_r "
+        f"FROM scored QUALIFY rank <= {k}"
+    )
+
+
 PHRASE_SUGG_INPUTS = ["sor ro vlue", "prt ky tble"]
 PHRASE_SUGG_SIZE = 5
 PHRASE_SUGG_EDITS = 2
@@ -4781,6 +4919,7 @@ ORACLES: dict[str, str] = {
     ),
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "rank_eval": _rank_eval_sql(RANK_EVAL_QUERIES, SEARCH_K),
+    "span_search": _span_sql(SPAN_SPECS, SEARCH_K),
     "phrase_suggest": _phrase_suggest_sql(
         PHRASE_SUGG_INPUTS, PHRASE_SUGG_SIZE, PHRASE_SUGG_EDITS, PHRASE_SUGG_PER_TOKEN
     ),
@@ -5452,6 +5591,7 @@ QUERIES = {
     "search_topk": q_search_topk,
     "search_sharded": q_search_sharded,
     "rank_eval": q_rank_eval,
+    "span_search": q_span_search,
     "phrase_suggest": q_phrase_suggest,
     "hybrid_rrf": q_hybrid_rrf,
     "sort_search": q_sort_search,
