@@ -478,6 +478,16 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(_proj("rank_eval", rv, ["metric", "query_id"], 0, "value_r"))
     psu = _to_table(R.QUERIES["phrase_suggest"](sf_dir))
     tabs.append(_proj("phrase_sugg", psu, ["query_id", "suggestion"], "rank", "score_r"))
+    bx = _to_table(R.QUERIES["boxplot_nchars"](sf_dir))
+    tabs.append(_proj("boxplot", bx, "metric", 0, "value_r"))
+    prk = _to_table(R.QUERIES["percentile_ranks"](sf_dir))
+    tabs.append(_proj("pct_rank", prk, "value_s", 0, "rank_r"))
+    sst = _to_table(R.QUERIES["string_stats"](sf_dir))
+    tabs.append(_proj("str_stats", sst, "metric", 0, "value_r"))
+    tt = _to_table(R.QUERIES["t_test_values"](sf_dir))
+    tabs.append(_proj("t_test", tt, "pair", 0, "t_r"))
+    gcb = _to_table(R.QUERIES["geo_centroid"](sf_dir))
+    tabs.append(_proj("geo_cb", gcb, "metric", 0, "value_r"))
     # pipeline aggs: the part column is its own sub-discriminator
     pl = _to_table(R.QUERIES["pipeline_daily"](sf_dir))
     tag = pc.binary_join_element_wise(
@@ -570,6 +580,15 @@ AGG_SUITE_SQL_PARTS = [
         "rank AS count, score_r AS metric_r",
         "phrase_suggest",
     ),
+    ("boxplot", "metric AS value, 0 AS count, value_r AS metric_r", "boxplot_nchars"),
+    (
+        "pct_rank",
+        "value_s AS value, 0 AS count, rank_r AS metric_r",
+        "percentile_ranks",
+    ),
+    ("str_stats", "metric AS value, 0 AS count, value_r AS metric_r", "string_stats"),
+    ("t_test", "pair AS value, 0 AS count, t_r AS metric_r", "t_test_values"),
+    ("geo_cb", "metric AS value, 0 AS count, value_r AS metric_r", "geo_centroid"),
 ]
 
 

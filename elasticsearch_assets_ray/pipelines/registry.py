@@ -4217,6 +4217,231 @@ def q_rank_eval(sf_dir: str):
     )
 
 
+PCT_RANK_VALUES = (150.0, 306.0, 450.0)
+TTEST_GROUPS = ("click", "view")
+
+
+def q_boxplot_nchars(sf_dir: str):
+    """ES boxplot aggregation over the match set of 'spark table' —
+    exact quartiles + IQR whiskers from the same DISTRIBUTED
+    value_counts scatter as match_stats (per-shard (value, count)
+    partials, driver finalize)."""
+    from elasticsearch_assets_ray.query.engine import boxplot_from_value_counts
+
+    sh = sharded_searcher(documents_index(sf_dir))
+    vc = sh.value_counts("spark table", "n_chars")
+    bx = boxplot_from_value_counts(vc)
+    names = ["min", "max", "q1", "q2", "q3", "lower", "upper"]
+    return pa.table(
+        {
+            "metric": pa.array(names, pa.string()),
+            "value_r": pa.array([round(float(bx[m]), 6) for m in names], pa.float64()),
+        }
+    )
+
+
+def q_percentile_ranks(sf_dir: str):
+    """ES percentile_ranks over the same match set (midpoint convention,
+    see percentile_ranks_from_value_counts)."""
+    from elasticsearch_assets_ray.query.engine import (
+        percentile_ranks_from_value_counts,
+    )
+
+    sh = sharded_searcher(documents_index(sf_dir))
+    vc = sh.value_counts("spark table", "n_chars")
+    pr = percentile_ranks_from_value_counts(vc, PCT_RANK_VALUES)
+    return pa.table(
+        {
+            "value_s": pa.array(["%g" % x for x in pr["value"].to_pylist()], pa.string()),
+            "rank_r": pa.array(
+                [round(v, 6) if v is not None else None for v in pr["rank"].to_pylist()],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def q_string_stats(sf_dir: str):
+    """ES string_stats over documents.source: count, length min/max/avg,
+    Shannon entropy (log2, char distribution) — one distributed pass,
+    alphabet-bounded reduce (stages/textstats.py:string_stats)."""
+    st = textstats.string_stats(_rd(sf_dir, "documents", columns=["source"]), "source")
+    names = ["count", "min_length", "max_length", "avg_length", "entropy"]
+    return pa.table(
+        {
+            "metric": pa.array(names, pa.string()),
+            "value_r": pa.array(
+                [round(float(st[m]), 6) for m in names], pa.float64()
+            ),
+        }
+    )
+
+
+def q_t_test(sf_dir: str):
+    """ES t_test aggregation (unpaired heteroscedastic = Welch) between
+    the 'click' and 'view' event values: per-group (n, Σx, Σx²) partials
+    through the combiner-first partial_agg, the t statistic computed
+    once on the driver with sample variance (n−1) — the exact formula
+    the SQL twin writes out."""
+    import math
+
+    ds = _rd(sf_dir, "events", columns=["event_type", "value"])
+    g1, g2 = TTEST_GROUPS
+    ds = ds.map_batches(
+        lambda b, keep=TTEST_GROUPS: b.filter(pc.is_in(b["event_type"], pa.array(list(keep)))),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b["event_type"],
+                "x": b["value"],
+                "xx": pc.multiply(b["value"], b["value"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    t = _collect(
+        partial_agg(
+            ds,
+            ["event_type"],
+            [
+                AggSpec("n", "x", "count"),
+                AggSpec("s", "x", "sum"),
+                AggSpec("ss", "xx", "sum"),
+            ],
+        )
+    )
+    row = {
+        et: (int(n), float(s), float(ss))
+        for et, n, s, ss in zip(
+            t["event_type"].to_pylist(),
+            t["n"].to_pylist(),
+            t["s"].to_pylist(),
+            t["ss"].to_pylist(),
+        )
+    }
+
+    def mv(et):
+        n, s, ss = row[et]
+        m = s / n
+        var = (ss - s * s / n) / (n - 1)
+        return n, m, var
+
+    n1, m1, v1 = mv(g1)
+    n2, m2, v2 = mv(g2)
+    tval = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    return pa.table(
+        {
+            "pair": pa.array([f"{g1}#{g2}"], pa.string()),
+            "t_r": pa.array([round(tval, 6)], pa.float64()),
+        }
+    )
+
+
+def q_geo_centroid(sf_dir: str):
+    """ES geo_centroid + geo_bounds over the derived event lat/lon —
+    seven-number per-batch partials, no shuffle (sources/geo.py)."""
+    from elasticsearch_assets_ray.sources.geo import geo_centroid_bounds
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id"]).map_batches(
+        _derive_latlon, batch_format="pyarrow"
+    )
+    cb = geo_centroid_bounds(ds, "lat", "lon")
+    names = ["centroid_lat", "centroid_lon", "top", "bottom", "left", "right", "count"]
+    return pa.table(
+        {
+            "metric": pa.array(names, pa.string()),
+            "value_r": pa.array([round(float(cb[m]), 6) for m in names], pa.float64()),
+        }
+    )
+
+
+_MATCH_SET_SQL = (
+    f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+    "m AS (SELECT DISTINCT doc_id FROM tok WHERE term IN ('spark', 'table')), "
+    "v AS (SELECT d.n_chars::DOUBLE AS x FROM m JOIN documents d "
+    " ON d.doc_id = m.doc_id WHERE d.n_chars IS NOT NULL) "
+)
+
+
+def _boxplot_sql() -> str:
+    return (
+        _MATCH_SET_SQL
+        + ", q AS (SELECT quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.50) AS q2, "
+        "quantile_cont(x, 0.75) AS q3 FROM v), "
+        "f AS (SELECT q1, q2, q3, q1 - 1.5 * (q3 - q1) AS lo, "
+        "q3 + 1.5 * (q3 - q1) AS hi FROM q) "
+        "SELECT 'min' AS metric, round(min(x), 6) AS value_r FROM v "
+        "UNION ALL SELECT 'max', round(max(x), 6) FROM v "
+        "UNION ALL SELECT 'q1', round(q1, 6) FROM f "
+        "UNION ALL SELECT 'q2', round(q2, 6) FROM f "
+        "UNION ALL SELECT 'q3', round(q3, 6) FROM f "
+        "UNION ALL SELECT 'lower', round((SELECT min(x) FROM v, f WHERE x >= f.lo), 6) FROM f "
+        "UNION ALL SELECT 'upper', round((SELECT max(x) FROM v, f WHERE x <= f.hi), 6) FROM f"
+    )
+
+
+def _pct_rank_sql() -> str:
+    arms = []
+    for x in PCT_RANK_VALUES:
+        arms.append(
+            f"SELECT '{'%g' % x}' AS value_s, round(100.0 * "
+            f"(sum(CASE WHEN x < {x} THEN 1 ELSE 0 END) + "
+            f"0.5 * sum(CASE WHEN x = {x} THEN 1 ELSE 0 END)) / count(*), 6) "
+            "AS rank_r FROM v"
+        )
+    return _MATCH_SET_SQL + " ".join(
+        ("UNION ALL " if i else "") + a for i, a in enumerate(arms)
+    )
+
+
+def _string_stats_sql() -> str:
+    return (
+        "WITH vals AS (SELECT source AS s FROM documents WHERE source IS NOT NULL), "
+        "ch AS (SELECT unnest(regexp_extract_all(s, '.')) AS c FROM vals), "
+        "cc AS (SELECT c, count(*)::DOUBLE AS n FROM ch GROUP BY c), "
+        "tot AS (SELECT sum(n) AS t FROM cc) "
+        "SELECT 'count' AS metric, round(count(*), 6) AS value_r FROM vals "
+        "UNION ALL SELECT 'min_length', round(min(length(s)), 6) FROM vals "
+        "UNION ALL SELECT 'max_length', round(max(length(s)), 6) FROM vals "
+        "UNION ALL SELECT 'avg_length', "
+        " round(sum(length(s))::DOUBLE / count(*), 6) FROM vals "
+        "UNION ALL SELECT 'entropy', "
+        " round(-sum((n / t) * log2(n / t)), 6) FROM cc CROSS JOIN tot"
+    )
+
+
+def _t_test_sql() -> str:
+    g1, g2 = TTEST_GROUPS
+    part = (
+        "SELECT count(*)::BIGINT AS n, sum(value) AS s, sum(value * value) AS ss "
+        "FROM events WHERE event_type = '{g}'"
+    )
+    return (
+        f"WITH a AS ({part.format(g=g1)}), b AS ({part.format(g=g2)}), "
+        "fa AS (SELECT n, s / n AS m, (ss - s * s / n) / (n - 1) AS v FROM a), "
+        "fb AS (SELECT n, s / n AS m, (ss - s * s / n) / (n - 1) AS v FROM b) "
+        f"SELECT '{g1}#{g2}' AS pair, "
+        "round((fa.m - fb.m) / sqrt(fa.v / fa.n + fb.v / fb.n), 6) AS t_r "
+        "FROM fa, fb"
+    )
+
+
+def _geo_centroid_sql() -> str:
+    lat, lon = _GEO_LATLON_SQL
+    return (
+        f"WITH g AS (SELECT {lat} AS lat, {lon} AS lon FROM events) "
+        "SELECT 'centroid_lat' AS metric, round(sum(lat) / count(*), 6) AS value_r FROM g "
+        "UNION ALL SELECT 'centroid_lon', round(sum(lon) / count(*), 6) FROM g "
+        "UNION ALL SELECT 'top', round(max(lat), 6) FROM g "
+        "UNION ALL SELECT 'bottom', round(min(lat), 6) FROM g "
+        "UNION ALL SELECT 'left', round(min(lon), 6) FROM g "
+        "UNION ALL SELECT 'right', round(max(lon), 6) FROM g "
+        "UNION ALL SELECT 'count', round(count(*), 6) FROM g"
+    )
+
+
 def _sql_range_lit(v: str) -> str:
     """Range-bound literal: numeric-looking bounds stay numeric (the
     engine casts bounds into the column's Arrow type — int columns
@@ -4920,6 +5145,11 @@ ORACLES: dict[str, str] = {
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "rank_eval": _rank_eval_sql(RANK_EVAL_QUERIES, SEARCH_K),
     "span_search": _span_sql(SPAN_SPECS, SEARCH_K),
+    "boxplot_nchars": _boxplot_sql(),
+    "percentile_ranks": _pct_rank_sql(),
+    "string_stats": _string_stats_sql(),
+    "t_test_values": _t_test_sql(),
+    "geo_centroid": _geo_centroid_sql(),
     "phrase_suggest": _phrase_suggest_sql(
         PHRASE_SUGG_INPUTS, PHRASE_SUGG_SIZE, PHRASE_SUGG_EDITS, PHRASE_SUGG_PER_TOKEN
     ),
@@ -5592,6 +5822,11 @@ QUERIES = {
     "search_sharded": q_search_sharded,
     "rank_eval": q_rank_eval,
     "span_search": q_span_search,
+    "boxplot_nchars": q_boxplot_nchars,
+    "percentile_ranks": q_percentile_ranks,
+    "string_stats": q_string_stats,
+    "t_test_values": q_t_test,
+    "geo_centroid": q_geo_centroid,
     "phrase_suggest": q_phrase_suggest,
     "hybrid_rrf": q_hybrid_rrf,
     "sort_search": q_sort_search,

@@ -4316,6 +4316,57 @@ def percentiles_from_value_counts(
     )
 
 
+def boxplot_from_value_counts(vc: pa.Table) -> dict:
+    """ES ``boxplot`` aggregation from a (value, count) table: exact
+    q1/q2/q3 (the linear-interpolation convention of
+    :func:`percentiles_from_value_counts`, = SQL ``quantile_cont``) plus
+    ES's IQR whiskers — ``lower`` = smallest value ≥ q1 − 1.5·IQR,
+    ``upper`` = largest value ≤ q3 + 1.5·IQR.  (ES computes these on a
+    t-digest; this repo's serving path has the exact value histogram, so
+    the pinned contract is the exact boxplot.)"""
+    v = vc["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    if v.size == 0:
+        return {}
+    q = percentiles_from_value_counts(vc, (25.0, 50.0, 75.0))
+    q1, q2, q3 = q["value"].to_pylist()
+    iqr = q3 - q1
+    lo_fence, hi_fence = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+    lower = float(v[np.searchsorted(v, lo_fence, side="left")])
+    upper = float(v[np.searchsorted(v, hi_fence, side="right") - 1])
+    return {
+        "min": float(v[0]),
+        "max": float(v[-1]),
+        "q1": q1,
+        "q2": q2,
+        "q3": q3,
+        "lower": lower,
+        "upper": upper,
+    }
+
+
+def percentile_ranks_from_value_counts(
+    vc: pa.Table, values: tuple[float, ...]
+) -> pa.Table:
+    """ES ``percentile_ranks`` from a (value, count) table with the
+    midpoint convention (pinned, SQL-replicable):
+    ``rank(x) = 100 · (#{v < x} + 0.5 · #{v = x}) / n``."""
+    v = vc["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    c = vc["count"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = float(c.sum())
+    xs, out = [], []
+    for x in values:
+        xs.append(float(x))
+        if n == 0:
+            out.append(None)
+            continue
+        lt = float(c[v < x].sum())
+        eq = float(c[v == x].sum())
+        out.append(100.0 * (lt + 0.5 * eq) / n)
+    return pa.table(
+        {"value": pa.array(xs, pa.float64()), "rank": pa.array(out, pa.float64())}
+    )
+
+
 def adjacency_from_ids(ids: dict[str, np.ndarray]) -> pa.Table:
     """Singles + pairwise-intersection counts from per-name SORTED match
     id arrays (the shard-local half of adjacency_matrix; also the whole

@@ -267,3 +267,103 @@ def geo_distance_agg(
             "count": pa.array(totals),
         }
     )
+
+
+def geo_centroid_bounds(ds: ray.data.Dataset, lat_col: str, lon_col: str) -> dict:
+    """ES ``geo_centroid`` + ``geo_bounds`` aggregations in ONE pass:
+    per-batch partials (n, Σlat, Σlon, min/max lat/lon) — seven numbers
+    per batch, merged on the driver.  Centroid is the arithmetic mean of
+    the coordinates (ES computes it on encoded geopoints, quantized to
+    ~1e-7°; this repo pins the exact float mean — documented
+    divergence); bounds is the tight lat/lon envelope.  No shuffle, the
+    corpus streams."""
+
+    def part(b: pa.Table) -> pa.Table:
+        la = b[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = b[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "n": pa.array([la.size], pa.int64()),
+                "lat_sum": pa.array([float(la.sum())], pa.float64()),
+                "lon_sum": pa.array([float(lo.sum())], pa.float64()),
+                "lat_min": pa.array([float(la.min()) if la.size else None], pa.float64()),
+                "lat_max": pa.array([float(la.max()) if la.size else None], pa.float64()),
+                "lon_min": pa.array([float(lo.min()) if lo.size else None], pa.float64()),
+                "lon_max": pa.array([float(lo.max()) if lo.size else None], pa.float64()),
+            }
+        )
+
+    t = pa.concat_tables(
+        list(ds.map_batches(part, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    )
+    n = int(pc.sum(t["n"]).as_py() or 0)
+    if n == 0:
+        return {}
+    return {
+        "centroid_lat": float(pc.sum(t["lat_sum"]).as_py()) / n,
+        "centroid_lon": float(pc.sum(t["lon_sum"]).as_py()) / n,
+        "top": float(pc.max(t["lat_max"]).as_py()),
+        "bottom": float(pc.min(t["lat_min"]).as_py()),
+        "left": float(pc.min(t["lon_min"]).as_py()),
+        "right": float(pc.max(t["lon_max"]).as_py()),
+        "count": n,
+    }
+
+
+def geotile_encode(
+    lat: np.ndarray, lon: np.ndarray, zoom: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Web-Mercator ``z/x/y`` tile coordinates (the ES geotile_grid
+    quantizer), vectorized.  NOT oracle-gated: the y quantizer runs
+    ``ln∘tan`` through ``floor``, so a 1-ulp library difference can flip
+    a boundary point's tile — geohash_grid (integer bit-interleave, no
+    transcendentals) is the hash-checked grid; geotile is pytest-pinned
+    against this reference implementation (same rationale as
+    q_geohash_grid's docstring)."""
+    nt = float(1 << zoom)
+    x = np.floor((lon + 180.0) / 360.0 * nt)
+    latr = np.radians(np.clip(lat, -85.05112878, 85.05112878))
+    y = np.floor((1.0 - np.log(np.tan(latr) + 1.0 / np.cos(latr)) / np.pi) / 2.0 * nt)
+    x = np.clip(x, 0, nt - 1).astype(np.int64)
+    y = np.clip(y, 0, nt - 1).astype(np.int64)
+    return x, y
+
+
+def geotile_grid(
+    ds: ray.data.Dataset, lat_col: str, lon_col: str, zoom: int
+) -> pa.Table:
+    """ES ``geotile_grid`` aggregation: per-batch vectorized tile encode
+    + count partials, exact integer merge via ``partial_agg`` — the same
+    combiner-first shape as geohash_grid.  Output (tile, count) with the
+    ES key format ``z/x/y``, count-desc / tile-asc."""
+    from elasticsearch_assets_ray.stages.relational import AggSpec, partial_agg
+
+    def part(b: pa.Table) -> pa.Table:
+        la = b[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = b[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x, y = geotile_encode(la, lo, zoom)
+        key = x << 32 | y
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "tkey": pa.array(uk, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    merged = pa.concat_tables(
+        list(
+            partial_agg(
+                ds.map_batches(part, batch_format="pyarrow"),
+                ["tkey"],
+                [AggSpec("count", "n", "sum")],
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    k = merged["tkey"].to_numpy(zero_copy_only=False)
+    cnt = merged["count"].to_numpy(zero_copy_only=False)
+    tiles = [f"{zoom}/{int(kk) >> 32}/{int(kk) & 0xFFFFFFFF}" for kk in k]
+    t = pa.table(
+        {"tile": pa.array(tiles, pa.string()), "count": pa.array(cnt, pa.int64())}
+    )
+    return t.sort_by([("count", "descending"), ("tile", "ascending")])

@@ -447,3 +447,95 @@ def gopher_filter(
     out["gopher_keep"] = pa.array((fails == 0).astype(np.int64))
     out["gopher_fail_mask"] = pa.array(fails)
     return pa.table(out)
+
+
+def string_stats_partials(batch: pa.Table, col: str) -> pa.Table:
+    """Per-batch partial for the ES ``string_stats`` aggregation over a
+    keyword column: one row per distinct CHARACTER with its count, plus
+    sentinel rows (char='') carrying (n values, Σ length, min len, max
+    len) — vectorized via a flat byte view, no Python per row.  Merge
+    with ``partial_agg`` on ``char`` (counts/sums sum; min/max via the
+    matching combiners)."""
+    vals = batch[col]
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    vals = vals.drop_null()
+    n = len(vals)
+    if n == 0:
+        return pa.table(
+            {
+                "char": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "n_vals": pa.array([], pa.int64()),
+                "len_sum": pa.array([], pa.int64()),
+                "len_min": pa.array([], pa.int64()),
+                "len_max": pa.array([], pa.int64()),
+            }
+        )
+    lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+    offs, data = _str_byte_view(vals)
+    bc = np.bincount(data[offs[0] : offs[-1]], minlength=256)
+    nz = np.flatnonzero(bc)
+    chars = [chr(b) for b in nz] + [""]
+    cnts = [int(bc[b]) for b in nz] + [0]
+    return pa.table(
+        {
+            "char": pa.array(chars, pa.string()),
+            "cnt": pa.array(cnts, pa.int64()),
+            "n_vals": pa.array([0] * len(nz) + [n], pa.int64()),
+            "len_sum": pa.array([0] * len(nz) + [int(lens.sum())], pa.int64()),
+            "len_min": pa.array([0] * len(nz) + [int(lens.min())], pa.int64()),
+            "len_max": pa.array([0] * len(nz) + [int(lens.max())], pa.int64()),
+        }
+    )
+
+
+def string_stats(ds, col: str) -> dict:
+    """Distributed ES ``string_stats``: count, min/max/avg length and
+    Shannon entropy (log2 over the character distribution of all values
+    concatenated — the ES ``show_distribution`` base).  One map_batches
+    pass; the reduce is bounded by the alphabet (≤ 256 rows for the
+    ASCII corpora this repo targets).  NOTE: byte-view char counting —
+    exact for ASCII; multi-byte corpora would count bytes (documented)."""
+    from elasticsearch_assets_ray.stages.relational import AggSpec, partial_agg
+
+    parts = ds.map_batches(
+        lambda b: string_stats_partials(b, col), batch_format="pyarrow"
+    )
+    merged = pa.concat_tables(
+        list(
+            partial_agg(
+                parts,
+                ["char"],
+                [
+                    AggSpec("cnt", "cnt", "sum"),
+                    AggSpec("n_vals", "n_vals", "sum"),
+                    AggSpec("len_sum", "len_sum", "sum"),
+                    AggSpec("len_min", "len_min", "min"),
+                    AggSpec("len_max", "len_max", "max"),
+                ],
+            ).iter_batches(batch_format="pyarrow")
+        )
+    )
+    chars = merged["char"].to_pylist()
+    cnt = merged["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sent = [i for i, c in enumerate(chars) if c == ""]
+    n_vals = int(merged["n_vals"].to_numpy(zero_copy_only=False)[sent].sum())
+    len_sum = int(merged["len_sum"].to_numpy(zero_copy_only=False)[sent].sum())
+    # sentinel min/max merged across batches by the partial_agg combiners;
+    # several sentinel rows never exist (one per (char='') group), but the
+    # zero-filled char rows force a mask here
+    len_min = int(merged["len_min"].to_numpy(zero_copy_only=False)[sent].min())
+    len_max = int(merged["len_max"].to_numpy(zero_copy_only=False)[sent].max())
+    keep = np.array([c != "" for c in chars], dtype=bool)
+    c = cnt[keep]
+    total = float(c.sum())
+    p = c / total
+    entropy = float(-(p * np.log2(p)).sum())
+    return {
+        "count": n_vals,
+        "min_length": len_min,
+        "max_length": len_max,
+        "avg_length": len_sum / n_vals if n_vals else None,
+        "entropy": entropy,
+    }
