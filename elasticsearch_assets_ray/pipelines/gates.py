@@ -255,6 +255,7 @@ def g_search_struct(sf_dir: str) -> pa.Table:
             ("synonyms", "search_synonyms"),
             ("terms_set", "search_terms_set"),
             ("pinned", "search_pinned"),
+            ("multi_match", "multi_match"),
         ],
         _SEARCH_COLS,
     )(sf_dir)
@@ -822,6 +823,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("synonyms", None, "search_synonyms"),
             ("terms_set", None, "search_terms_set"),
             ("pinned", None, "search_pinned"),
+            ("multi_match", None, "multi_match"),
         ],
         _SEARCH_SEL,
     )

@@ -4217,6 +4217,164 @@ def q_rank_eval(sf_dir: str):
     )
 
 
+def documents_source_index(sf_dir: str) -> str:
+    """Second per-field index (field = ``source``) over the same corpus
+    — the Lucene one-postings-per-field storage shape multi_match needs
+    (see query/multi_match.py)."""
+    key = sf_dir + "|source"
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join("/tmp", "esr_index_cache", f"{tag}-documents-source-v1")
+    build_index(
+        _p(sf_dir, "documents"),
+        out,
+        config=IndexConfig(
+            content_col="source",
+            id_cols=("doc_id",),
+            store_content=False,
+        ),
+    )
+    _INDEX_CACHE[key] = out
+    return out
+
+
+MULTI_MATCH_QUERY = "spark table src3"
+MULTI_MATCH_TB = 0.3
+
+
+def q_multi_match(sf_dir: str):
+    """ES multi_match over (text, source) per-field indexes: query_id
+    0 = best_fields (tie_breaker 0.3), 1 = most_fields, 2 = cross_fields
+    (blended max-df term statistics)."""
+    from elasticsearch_assets_ray.query import multi_match as mm
+
+    searchers = {
+        "text": Searcher(documents_index(sf_dir)),
+        "source": Searcher(documents_source_index(sf_dir)),
+    }
+    parts = []
+    for qid, typ in enumerate(mm.MM_TYPES):
+        res = mm.multi_match(
+            searchers,
+            MULTI_MATCH_QUERY,
+            mm_type=typ,
+            tie_breaker=MULTI_MATCH_TB,
+            k=SEARCH_K + 90,
+        )
+        ids = res["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(ids),  # multi_match returns ORIG ids
+                    "sim": res["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+def _multi_match_sql(query: str, k: int, tb: float) -> str:
+    """DuckDB twin of the three multi_match types over per-field token
+    streams with PER-FIELD statistics (df/dl/avgdl), mirroring the
+    engine's combine arithmetic exactly."""
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    terms = sorted(set(tokenize_text(query)))
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    fields = {"text": "lower(text)", "source": "lower(source)"}
+    ctes = ["nd AS (SELECT count(*)::DOUBLE AS n FROM documents)"]
+    for f, expr in fields.items():
+        tokf = f"regexp_extract_all({expr}, '[a-z0-9]+')"
+        ctes.append(
+            f"tok_{f} AS (SELECT doc_id, unnest({tokf}) AS term FROM documents)"
+        )
+        ctes.append(
+            f"tf_{f} AS (SELECT doc_id, term, count(*)::BIGINT AS tf "
+            f"FROM tok_{f} GROUP BY doc_id, term)"
+        )
+        ctes.append(
+            f"dl_{f} AS (SELECT doc_id, count(*)::BIGINT AS dl "
+            f"FROM tok_{f} GROUP BY doc_id)"
+        )
+        ctes.append(
+            f"st_{f} AS (SELECT (SELECT sum(dl) FROM dl_{f})::DOUBLE / nd.n AS avgdl, "
+            f"nd.n AS n FROM nd)"
+        )
+        ctes.append(
+            f"df_{f} AS (SELECT term, count(*)::BIGINT AS df FROM tf_{f} GROUP BY term)"
+        )
+        # per-doc total field score over the query terms (field stats)
+        ctes.append(
+            f"fs_{f} AS (SELECT tf.doc_id, sum("
+            f"ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * "
+            f"(tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))"
+            f") AS score FROM tf_{f} tf JOIN df_{f} df ON df.term = tf.term "
+            f"JOIN dl_{f} dl ON dl.doc_id = tf.doc_id CROSS JOIN st_{f} s "
+            f"WHERE tf.term IN ({tlist}) GROUP BY tf.doc_id)"
+        )
+        # per-(doc, term) contribution with the BLENDED df (cross_fields)
+        ctes.append(
+            f"xs_{f} AS (SELECT tf.doc_id, tf.term, "
+            f"ln(1 + (s.n - bd.df + 0.5) / (bd.df + 0.5)) * "
+            f"(tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))"
+            f" AS score FROM tf_{f} tf JOIN bdf bd ON bd.term = tf.term "
+            f"JOIN dl_{f} dl ON dl.doc_id = tf.doc_id CROSS JOIN st_{f} s "
+            f"WHERE tf.term IN ({tlist}))"
+        )
+    bdf = (
+        "bdf AS (SELECT term, max(df)::BIGINT AS df FROM "
+        "(SELECT term, df FROM df_text UNION ALL SELECT term, df FROM df_source) "
+        f"WHERE term IN ({tlist}) GROUP BY term)"
+    )
+    # field-name order pinned: source, text (sorted) for the sums
+    both = (
+        "bb AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, "
+        "coalesce(a.score, 0.0) AS s_src, coalesce(b.score, 0.0) AS s_txt "
+        "FROM fs_source a FULL OUTER JOIN fs_text b ON b.doc_id = a.doc_id)"
+    )
+    cross = (
+        "crossx AS (SELECT doc_id, sum(best) AS score FROM ("
+        "SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, "
+        "greatest(coalesce(a.score, 0.0), coalesce(b.score, 0.0)) AS best "
+        "FROM xs_source a FULL OUTER JOIN xs_text b "
+        "ON b.doc_id = a.doc_id AND b.term = a.term) GROUP BY doc_id)"
+    )
+    arms = [
+        # best_fields: max + tb*(sum - max)
+        "SELECT 0 AS query_id, doc_id, greatest(s_src, s_txt) + "
+        f"{tb} * ((s_src + s_txt) - greatest(s_src, s_txt)) AS score FROM bb",
+        # most_fields: sum in sorted field order (source + text)
+        "SELECT 1 AS query_id, doc_id, s_src + s_txt AS score FROM bb",
+        "SELECT 2 AS query_id, doc_id, score FROM crossx",
+    ]
+    # bdf must precede the xs_ CTEs that reference it: emit CTEs in two
+    # groups (duckdb resolves WITH items in order)
+    head = [c for c in ctes if c.startswith(("nd ", "tok_", "tf_", "dl_", "st_", "df_"))]
+    tail = [c for c in ctes if c.startswith("fs_")] + [bdf] + [
+        c for c in ctes if c.startswith("xs_")
+    ] + [both, cross]
+    return (
+        "WITH "
+        + ", ".join(head + tail)
+        + " SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 9) DESC, doc_id) AS rank, round(score, 6) AS score_r "
+        "FROM (" + " UNION ALL ".join(arms) + ") "
+        f"QUALIFY rank <= {k}"
+    )
+
+
 PCT_RANK_VALUES = (150.0, 306.0, 450.0)
 TTEST_GROUPS = ("click", "view")
 
@@ -5150,6 +5308,7 @@ ORACLES: dict[str, str] = {
     "string_stats": _string_stats_sql(),
     "t_test_values": _t_test_sql(),
     "geo_centroid": _geo_centroid_sql(),
+    "multi_match": _multi_match_sql(MULTI_MATCH_QUERY, SEARCH_K, MULTI_MATCH_TB),
     "phrase_suggest": _phrase_suggest_sql(
         PHRASE_SUGG_INPUTS, PHRASE_SUGG_SIZE, PHRASE_SUGG_EDITS, PHRASE_SUGG_PER_TOKEN
     ),
@@ -5827,6 +5986,7 @@ QUERIES = {
     "string_stats": q_string_stats,
     "t_test_values": q_t_test,
     "geo_centroid": q_geo_centroid,
+    "multi_match": q_multi_match,
     "phrase_suggest": q_phrase_suggest,
     "hybrid_rrf": q_hybrid_rrf,
     "sort_search": q_sort_search,

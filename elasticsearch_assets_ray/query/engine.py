@@ -308,6 +308,8 @@ class Searcher:
         # decoded-postings LRU: (term, bucket) -> (docids, tfs, doclens);
         # hot query terms decode once per actor, not once per query
         self._post_cache: "OrderedDict[tuple[str, int], tuple]" = OrderedDict()
+        # idf each key's cached wsat was computed with (df_override safety)
+        self._post_cache_w: dict[tuple[str, int], float] = {}
         self._post_cache_bytes = 0
         self.post_cache_budget = 1 << 30  # 24B/posting → ~45M cached postings
         # (term, bucket) -> (block_last, block_sat, sat_max): the
@@ -3775,9 +3777,16 @@ class Searcher:
         hit = self._post_cache.get(key)
         if hit is not None:
             self._post_cache.move_to_end(key)
-            if hit[2] is None and w is not None:
+            # wsat is only valid for the idf it was computed with: a
+            # df_override (dfs_query_then_fetch, cross_fields blending)
+            # changes w for the SAME (term, bucket) — recompute from the
+            # cached sat instead of serving a stale product
+            if w is not None and (
+                hit[2] is None or self._post_cache_w.get(key) != w
+            ):
                 hit = (hit[0], hit[1], w * hit[1])
                 self._post_cache[key] = hit
+                self._post_cache_w[key] = w
             return hit
         d, tf = self._decode_postings(
             seg["blob"][i].as_py(), int(seg["df"][i].as_py())
@@ -3786,9 +3795,12 @@ class Searcher:
         sat = bm25.tf_saturation(tf, dl, self.avgdl)
         hit = (d, sat, (w * sat) if w is not None else None)
         self._post_cache[key] = hit
+        if w is not None:
+            self._post_cache_w[key] = w
         self._post_cache_bytes += d.nbytes * 3
         while self._post_cache_bytes > self.post_cache_budget and self._post_cache:
-            _, (od, *_rest) = self._post_cache.popitem(last=False)
+            okey, (od, *_rest) = self._post_cache.popitem(last=False)
+            self._post_cache_w.pop(okey, None)
             self._post_cache_bytes -= od.nbytes * 3
         return hit
 
