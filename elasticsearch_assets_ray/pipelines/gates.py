@@ -133,6 +133,61 @@ def g_key_scan(sf_dir: str) -> pa.Table:
     return pa.concat_tables([base, perc_rows, mix_rows])
 
 
+def g_top_orders(sf_dir: str) -> pa.Table:
+    """Relational top-k + the ES join-field family (has_child /
+    has_parent / children agg over orders↔lineitem) on one
+    (gate, key, k2, value_r) schema."""
+    import pyarrow.compute as pc
+
+    def arm(tag: str, name: str, key: str, k2: str, val) -> pa.Table:
+        t = _to_table(R.QUERIES[name](sf_dir))
+        return pa.table(
+            {
+                "gate": pa.array([tag] * t.num_rows, pa.string()),
+                "key": t[key].cast(pa.int64()),
+                "k2": t[k2].cast(pa.int64()),
+                "value_r": val(t),
+            }
+        )
+
+    ch = _to_table(R.QUERIES["children_by_priority"](sf_dir))
+    children_rows = pa.table(
+        {
+            "gate": pa.array(["children"] * ch.num_rows, pa.string()),
+            # '1-URGENT' … '5-LOW' → leading digit as the bucket key
+            "key": pc.utf8_slice_codeunits(ch["o_orderpriority"], 0, 1).cast(
+                pa.int64()
+            ),
+            "k2": ch["n_children"].cast(pa.int64()),
+            "value_r": pc.divide(
+                pc.cast(ch["revenue_cents"], pa.float64()), pa.scalar(100.0)
+            ),
+        }
+    )
+    return pa.concat_tables(
+        [
+            arm("orders", "top_orders", "o_orderkey", "o_custkey", lambda t: t["o_totalprice"].cast(pa.float64())),
+            arm("has_child", "has_child_orders", "o_orderkey", "n_children", lambda t: t["score"].cast(pa.float64())),
+            arm("has_parent", "has_parent_lines", "l_orderkey", "l_linenumber", lambda t: t["score"].cast(pa.float64())),
+            children_rows,
+        ]
+    )
+
+
+_TOP_ORDERS_SQL = (
+    "SELECT 'orders' AS gate, o_orderkey AS key, o_custkey AS k2, "
+    "o_totalprice AS value_r FROM ({orders}) "
+    "UNION ALL SELECT 'has_child' AS gate, o_orderkey AS key, "
+    "n_children AS k2, score AS value_r FROM ({hc}) "
+    "UNION ALL SELECT 'has_parent' AS gate, l_orderkey AS key, "
+    "l_linenumber AS k2, score AS value_r FROM ({hp}) "
+    "UNION ALL SELECT 'children' AS gate, "
+    "CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS key, "
+    "n_children AS k2, CAST(revenue_cents AS DOUBLE) / 100.0 AS value_r "
+    "FROM ({ch})"
+)
+
+
 def g_scalar_probes(sf_dir: str) -> pa.Table:
     """F3 count + Q9 min/max date probe (reference dateSlicer boundary
     probes) as one single-row gate."""
@@ -635,7 +690,6 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "geo_distance_topk",
         "tpch_q1",
         "revenue_by_segment",
-        "top_orders",
         "exact_dedup",
         "neardup_clusters",
         "lang_stats",
@@ -664,6 +718,14 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         gates[name] = R.QUERIES[name]
         if name in R.ORACLES:
             oracles[name] = R.ORACLES[name]
+
+    gates["top_orders"] = g_top_orders
+    oracles["top_orders"] = _TOP_ORDERS_SQL.format(
+        orders=R.ORACLES["top_orders"],
+        hc=R.ORACLES["has_child_orders"],
+        hp=R.ORACLES["has_parent_lines"],
+        ch=R.ORACLES["children_by_priority"],
+    )
 
     gates["key_scan"] = g_key_scan
     oracles["key_scan"] = (

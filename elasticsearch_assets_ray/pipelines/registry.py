@@ -707,6 +707,121 @@ def q_top_orders(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# ES join field (parent/child) over orders (parents) / lineitem (children)
+# ---------------------------------------------------------------------------
+
+
+def q_has_child_orders(sf_dir: str):
+    """ES ``has_child``: orders with ≥2 returned ('R') lineitems,
+    score_mode=sum over the child's discounted revenue (integer cents ⇒
+    combine-order independent), top 50 by (score desc, orderkey)."""
+    from elasticsearch_assets_ray.stages.parentchild import has_child
+
+    parents = _rd(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    children = _rd(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def child_fn(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], pa.scalar("R")))
+        rev = pc.multiply(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            ),
+            pa.scalar(100.0),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                # price*.75 × (1-d) × 100 CAN be an exact .5 double —
+                # mirror DuckDB round() (half away from zero), not
+                # Arrow's default half-to-even
+                "score_cents": pc.cast(
+                    pc.round(rev, round_mode="half_towards_infinity"), pa.int64()
+                ),
+            }
+        )
+
+    out = has_child(
+        parents,
+        children,
+        parent_key="o_orderkey",
+        child_key="l_orderkey",
+        child_fn=child_fn,
+        score_mode="sum",
+        min_children=2,
+    )
+    t = topk(out, [("score", "descending"), ("o_orderkey", "ascending")], 50)
+    return t.select(["o_orderkey", "n_children", "score"])
+
+
+def q_has_parent_lines(sf_dir: str):
+    """ES ``has_parent`` with score=true: lineitems of 1-URGENT orders,
+    each child carrying the parent's o_totalprice as its relevance;
+    top 50 by (score desc, orderkey, linenumber)."""
+    from elasticsearch_assets_ray.stages.parentchild import has_parent
+
+    parents = _rd(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    children = _rd(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def parent_fn(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["o_orderpriority"], pa.scalar("1-URGENT")))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "score_cents": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    out = has_parent(
+        parents,
+        children,
+        parent_key="o_orderkey",
+        child_key="l_orderkey",
+        parent_fn=parent_fn,
+    )
+    t = topk(
+        out,
+        [
+            ("score", "descending"),
+            ("l_orderkey", "ascending"),
+            ("l_linenumber", "ascending"),
+        ],
+        50,
+    )
+    return t.select(["l_orderkey", "l_linenumber", "score"])
+
+
+def q_children_by_priority(sf_dir: str):
+    """ES terms agg on a parent field (o_orderpriority) with a nested
+    ``children`` aggregation: lineitem count + revenue (cents) + avg
+    extendedprice per parent bucket."""
+    from elasticsearch_assets_ray.stages.parentchild import children_terms_agg
+
+    parents = _rd(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    children = _rd(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    out = children_terms_agg(
+        parents,
+        children,
+        parent_key="o_orderkey",
+        child_key="l_orderkey",
+        bucket_col="o_orderpriority",
+        child_aggs=[
+            AggSpec("n_children", "l_extendedprice", "count"),
+            AggSpec("revenue_cents", "l_extendedprice", "sum_cents"),
+            AggSpec("avg_price", "l_extendedprice", "mean_cents"),
+        ],
+        bucket_hint=5,
+    )
+    return _collect(out).sort_by([("o_orderpriority", "ascending")])
+
+
+# ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
 
@@ -5182,6 +5297,32 @@ ORACLES: dict[str, str] = {
         "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
         "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
     ),
+    "has_child_orders": (
+        "WITH c AS (SELECT l_orderkey, "
+        "  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents "
+        "  FROM lineitem WHERE l_returnflag = 'R'), "
+        "agg AS (SELECT l_orderkey AS o_orderkey, count(*) AS n_children, "
+        "  sum(cents) AS sum_c FROM c GROUP BY 1) "
+        "SELECT o.o_orderkey, a.n_children, a.sum_c / 100.0 AS score "
+        "FROM orders o JOIN agg a USING (o_orderkey) WHERE a.n_children >= 2 "
+        "ORDER BY score DESC, o.o_orderkey LIMIT 50"
+    ),
+    "has_parent_lines": (
+        "WITH p AS (SELECT o_orderkey, "
+        "  CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+        "  FROM orders WHERE o_orderpriority = '1-URGENT') "
+        "SELECT l.l_orderkey, l.l_linenumber, p.cents / 100.0 AS score "
+        "FROM lineitem l JOIN p ON p.o_orderkey = l.l_orderkey "
+        "ORDER BY score DESC, l.l_orderkey, l.l_linenumber LIMIT 50"
+    ),
+    "children_by_priority": (
+        "SELECT o.o_orderpriority, count(*) AS n_children, "
+        "sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_cents, "
+        "(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) "
+        " / 100.0) / CAST(count(*) AS DOUBLE) AS avg_price "
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"
+    ),
     "exact_dedup": (
         "SELECT event_id, props FROM events "
         "QUALIFY row_number() OVER (PARTITION BY props ORDER BY event_id) = 1"
@@ -5960,6 +6101,9 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "revenue_by_segment": q_revenue_by_segment,
     "top_orders": q_top_orders,
+    "has_child_orders": q_has_child_orders,
+    "has_parent_lines": q_has_parent_lines,
+    "children_by_priority": q_children_by_priority,
     "exact_dedup": q_exact_dedup,
     "minhash_pairs": q_minhash_pairs,
     "ngram_pairs": q_ngram_pairs,

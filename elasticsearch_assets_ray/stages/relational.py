@@ -59,7 +59,16 @@ def _partial_batch(batch: pa.Table, keys: list[str], aggs: list[AggSpec]) -> pa.
     for i, a in enumerate(aggs):
         cname = f"__a{i}"
         if a.kind in ("sum_cents", "mean_cents"):
-            v = pc.cast(pc.round(pc.multiply(batch[a.col], pa.scalar(100.0))), pa.int64())
+            # half away from zero = DuckDB/SQL round(); Arrow's default
+            # half-to-even diverges on exact .5 doubles (possible when the
+            # scaled value is dyadic, e.g. x.75 × 0.94 × 100)
+            v = pc.cast(
+                pc.round(
+                    pc.multiply(batch[a.col], pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
         elif a.kind == "count":
             v = pa.nulls(batch.num_rows, pa.int64()).fill_null(1)
         else:
