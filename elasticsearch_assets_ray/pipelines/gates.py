@@ -1044,6 +1044,8 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("decay", "decay_score"),
             ("random", "random_score"),
             ("rank_feature", "rank_feature"),
+            ("distance_feature", "distance_feature"),
+            ("script_score", "script_score"),
         ],
         _SEARCH_COLS,
     )
@@ -1053,6 +1055,8 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("decay", None, "decay_score"),
             ("random", None, "random_score"),
             ("rank_feature", None, "rank_feature"),
+            ("distance_feature", None, "distance_feature"),
+            ("script_score", None, "script_score"),
         ],
         _SEARCH_SEL,
     )

@@ -27,7 +27,11 @@ import ray.data
 
 from elasticsearch_assets_ray.index.build import IndexConfig, build_index
 from elasticsearch_assets_ray.query import hybrid
-from elasticsearch_assets_ray.query.engine import Searcher, register_runtime_field
+from elasticsearch_assets_ray.query.engine import (
+    Searcher,
+    register_runtime_field,
+    register_score_script,
+)
 from elasticsearch_assets_ray.sources.reader import (
     date_range_read,
     key_charclass_read,
@@ -2062,6 +2066,151 @@ def _rank_feature_sql() -> str:
         " GROUP BY q.query_id, tf.doc_id), "
         "fs AS (SELECT sc.query_id, sc.doc_id, sc.score + (CASE "
         + " ".join(curves)
+        + " END) AS total FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id) "
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(total, 9) DESC, doc_id) AS rank, round(total, 6) AS score_r "
+        f"FROM fs QUALIFY rank <= {SEARCH_K}"
+    )
+
+
+def _score_runs_table(sh, runs) -> pa.Table:
+    """Assemble (query_id, doc_id, rank, score_r) from per-query result
+    tables — the shared tail of the score-function pipelines."""
+    parts = []
+    for qid, r in runs:
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(_orig_ids(sh, ids)),
+                    "sim": r["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+# ES distance_feature: proximity-to-origin boosting over a stored numeric
+# column (recency/geo/price analog), one (query, params) shape per query_id
+DISTANCE_FEATURE_SPECS: list[tuple[str, dict]] = [
+    ("spark table merge", {"origin": 300.0, "pivot": 50.0, "boost": 2.5}),
+    ("fast scan filter", {"origin": 150.0, "pivot": 200.0, "boost": 1.0}),
+    ("key value row", {"origin": 420.0, "pivot": 25.0, "boost": 3.0}),
+]
+
+
+def q_distance_feature(sf_dir: str):
+    """ES distance_feature query (boost·pivot/(pivot+|v−origin|) ADDED
+    to BM25), served through the DISTRIBUTED path (per-doc addend ⇒
+    exact shard merges)."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    return _score_runs_table(
+        sh,
+        [
+            (qid, sh.distance_feature(q, "n_chars", k=SEARCH_K + 90, **kw))
+            for qid, (q, kw) in enumerate(DISTANCE_FEATURE_SPECS)
+        ],
+    )
+
+
+def _distance_feature_sql() -> str:
+    """Twin of q_distance_feature with the exact double constants."""
+    x = "CAST(d.n_chars AS DOUBLE)"
+    arms = []
+    for qid, (_q, kw) in enumerate(DISTANCE_FEATURE_SPECS):
+        o, p, b = kw["origin"], kw["pivot"], kw["boost"]
+        arms.append(
+            f"WHEN sc.query_id = {qid} THEN "
+            f"{b!r} * ({p!r} / ({p!r} + abs({x} - {o!r})))"
+        )
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, (q, _kw) in enumerate(DISTANCE_FEATURE_SPECS)
+        for t in sorted(set(q.split()))
+    )
+    return (
+        _BM25_BASE_CTES.format(tok=_TOK)
+        + f"q(query_id, term) AS (VALUES {vals}), "
+        f"scored AS (SELECT q.query_id, tf.doc_id, {_BM25_TERM_EXPR} AS score "
+        " FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+        " GROUP BY q.query_id, tf.doc_id), "
+        "fs AS (SELECT sc.query_id, sc.doc_id, sc.score + (CASE "
+        + " ".join(arms)
+        + " END) AS total FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id) "
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(total, 9) DESC, doc_id) AS rank, round(total, 6) AS score_r "
+        f"FROM fs QUALIFY rank <= {SEARCH_K}"
+    )
+
+
+@register_score_script("length_weighted")
+def _script_length_weighted(sc: np.ndarray, v: np.ndarray, params: dict) -> np.ndarray:
+    """Demo score script: _score·0.5 + ln(1+len)·w (always ≥ 0)."""
+    return sc * 0.5 + np.log1p(v) * params["w"]
+
+
+#: (query, w) per query_id for the script_score gate
+SCRIPT_SCORE_SPECS: list[tuple[str, float]] = [
+    ("spark table merge", 0.3),
+    ("window agg", 1.0),
+    ("fast scan filter", 0.05),
+]
+
+
+def q_script_score(sf_dir: str):
+    """ES script_score query: the registered script REPLACES the score
+    (computed from _score + one doc-values column); the coordinator
+    resolves the script and ships the callable to each shard by value
+    (ES ships script source with the request)."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    return _score_runs_table(
+        sh,
+        [
+            (
+                qid,
+                sh.script_score(
+                    q, "n_chars", "length_weighted",
+                    k=SEARCH_K + 90, params={"w": w},
+                ),
+            )
+            for qid, (q, w) in enumerate(SCRIPT_SCORE_SPECS)
+        ],
+    )
+
+
+def _script_score_sql() -> str:
+    """Twin of q_script_score: total = score·0.5 + ln(1+n_chars)·w."""
+    x = "CAST(d.n_chars AS DOUBLE)"
+    arms = [
+        f"WHEN sc.query_id = {qid} THEN (sc.score * 0.5) + (ln(1 + {x}) * {w!r})"
+        for qid, (_q, w) in enumerate(SCRIPT_SCORE_SPECS)
+    ]
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, (q, _w) in enumerate(SCRIPT_SCORE_SPECS)
+        for t in sorted(set(q.split()))
+    )
+    return (
+        _BM25_BASE_CTES.format(tok=_TOK)
+        + f"q(query_id, term) AS (VALUES {vals}), "
+        f"scored AS (SELECT q.query_id, tf.doc_id, {_BM25_TERM_EXPR} AS score "
+        " FROM q JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+        " JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+        " GROUP BY q.query_id, tf.doc_id), "
+        "fs AS (SELECT sc.query_id, sc.doc_id, (CASE "
+        + " ".join(arms)
         + " END) AS total FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id) "
         "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
         "ORDER BY round(total, 9) DESC, doc_id) AS rank, round(total, 6) AS score_r "
@@ -5466,6 +5615,8 @@ ORACLES: dict[str, str] = {
     "date_range_agg": _date_range_sql(),
     "blocklist_stats": _blocklist_sql(),
     "rank_feature": _rank_feature_sql(),
+    "distance_feature": _distance_feature_sql(),
+    "script_score": _script_score_sql(),
     "search_terms_set": _terms_set_sql(),
     "search_pinned": _pinned_sql(),
     "hybrid_rrf": hybrid.rrf_sql(
@@ -6197,6 +6348,8 @@ QUERIES = {
     "adjacency_matrix": q_adjacency_matrix,
     "search_rescore": q_search_rescore,
     "function_score": q_function_score,
+    "distance_feature": q_distance_feature,
+    "script_score": q_script_score,
     "state_enrich": q_state_enrich,
     "date_interval_slices": q_date_interval_slices,
     "keyspace_plan": q_keyspace_plan,

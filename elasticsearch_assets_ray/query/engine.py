@@ -55,6 +55,22 @@ from elasticsearch_assets_ray.query.parser import ParsedQuery, parse_query
 #: (exactly ES's pitch for runtime fields).
 RUNTIME_FIELDS: dict[str, tuple[str, "callable"]] = {}
 
+#: named score scripts for ES ``script_score`` — vectorized
+#: fn(scores, values, params) -> np.ndarray.  Registered driver-side and
+#: shipped to shard actors by VALUE (cloudpickle), the way ES ships
+#: script source to shards with the request.
+_SCORE_SCRIPTS: dict[str, "callable"] = {}
+
+
+def register_score_script(name: str):
+    """Decorator: register a vectorized score script under ``name``."""
+
+    def deco(fn):
+        _SCORE_SCRIPTS[name] = fn
+        return fn
+
+    return deco
+
 
 def register_runtime_field(name: str, base_field: str, fn) -> None:
     """Register an ES-style runtime field.  ``fn`` must be a pure
@@ -1428,6 +1444,59 @@ class Searcher:
         return self._field_scored(
             query, field, k, missing, lambda sc, v: sc + boost * fns[function](v)
         )
+
+    def distance_feature(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        origin: float,
+        pivot: float,
+        k: int = 10,
+        boost: float = 1.0,
+        missing: float = 0.0,
+    ) -> pa.Table:
+        """ES ``distance_feature`` query in a bool-should context:
+        ``boost · pivot / (pivot + |v − origin|)`` ADDED to BM25 —
+        proximity boosting for dates/numbers/geo (www.elastic.co/docs
+        distance-feature-query; the score halves at distance ``pivot``).
+        Like rank_feature the addend is a pure per-doc function of one
+        stored column, so shard-local top-k merges stay exact."""
+        if pivot <= 0:
+            raise ValueError("distance_feature pivot must be > 0")
+        return self._field_scored(
+            query, field, k, missing,
+            lambda sc, v: sc + boost * (pivot / (pivot + np.abs(v - origin))),
+        )
+
+    def script_score(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        script,
+        k: int = 10,
+        params: dict | None = None,
+        missing: float = 0.0,
+    ) -> pa.Table:
+        """ES ``script_score`` query: the script REPLACES the relevance
+        score, computed from ``_score`` and one stored numeric column
+        (doc values).  ``script`` is a registered score-script name (see
+        :func:`register_score_script`) or a vectorized callable
+        ``fn(scores, values, params) -> np.ndarray``; negative outputs
+        raise, matching ES's script_score contract."""
+        fn = _SCORE_SCRIPTS[script] if isinstance(script, str) else script
+        p = dict(params or {})
+
+        def combine(sc: np.ndarray, v: np.ndarray) -> np.ndarray:
+            out = np.asarray(fn(sc, v, p), dtype=np.float64)
+            if out.shape != sc.shape:
+                raise ValueError("score script must return one score per hit")
+            if out.size and float(out.min()) < 0.0:
+                raise ValueError(
+                    "script_score produced a negative score (ES forbids this)"
+                )
+            return out
+
+        return self._field_scored(query, field, k, missing, combine)
 
     def terms_set(
         self,

@@ -323,6 +323,46 @@ class ShardWorker:
         finally:
             self.s._df_override = None
 
+    def distance_feature(
+        self,
+        q: ParsedQuery,
+        field: str,
+        origin: float,
+        pivot: float,
+        boost: float,
+        k: int,
+        missing: float,
+        df: dict[str, int],
+    ) -> pa.Table:
+        """Local distance_feature top-k (per-doc addend ⇒ exact merge)."""
+        self.s._df_override = df
+        try:
+            return self.s.distance_feature(
+                q, field, origin, pivot, k=k, boost=boost, missing=missing
+            )
+        finally:
+            self.s._df_override = None
+
+    def script_score(
+        self,
+        q: ParsedQuery,
+        field: str,
+        fn,
+        params: dict | None,
+        k: int,
+        missing: float,
+        df: dict[str, int],
+    ) -> pa.Table:
+        """Local script_score top-k — the script callable arrives by
+        VALUE from the coordinator (per-doc replacement ⇒ exact merge)."""
+        self.s._df_override = df
+        try:
+            return self.s.script_score(
+                q, field, fn, k=k, params=params, missing=missing
+            )
+        finally:
+            self.s._df_override = None
+
     def rank_feature(
         self,
         q: ParsedQuery,
@@ -1286,6 +1326,60 @@ class ShardedSearcher:
         parts = [
             p
             for p in self._gather("random_score", q, seed, k, id_field, df)
+            if p.num_rows
+        ]
+        if not parts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        return self._merge_topk_parts(parts, k)
+
+    def distance_feature(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        origin: float,
+        pivot: float,
+        k: int = 10,
+        boost: float = 1.0,
+        missing: float = 0.0,
+    ) -> pa.Table:
+        """Distributed ES distance_feature: proximity addend is per-doc,
+        so per-shard top-k + merge is exact."""
+        q, df = self.prepare(query)
+        parts = [
+            p
+            for p in self._gather(
+                "distance_feature", q, field, origin, pivot, boost, k, missing, df
+            )
+            if p.num_rows
+        ]
+        if not parts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        return self._merge_topk_parts(parts, k)
+
+    def script_score(
+        self,
+        query: str | ParsedQuery,
+        field: str,
+        script,
+        k: int = 10,
+        params: dict | None = None,
+        missing: float = 0.0,
+    ) -> pa.Table:
+        """Distributed ES script_score: the script is resolved to a
+        callable ON THE COORDINATOR (driver-side registry) and shipped
+        by value to each shard, like ES ships script source with the
+        request; per-doc replacement ⇒ exact merge."""
+        from elasticsearch_assets_ray.query.engine import _SCORE_SCRIPTS
+
+        fn = _SCORE_SCRIPTS[script] if isinstance(script, str) else script
+        q, df = self.prepare(query)
+        parts = [
+            p
+            for p in self._gather("script_score", q, field, fn, params, k, missing, df)
             if p.num_rows
         ]
         if not parts:

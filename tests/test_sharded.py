@@ -1065,3 +1065,55 @@ def test_pinned_order_exclusion_and_parity(single, sharded):
     assert sc[0] > sc[1] > sc[2]  # pin scores strictly above organic
     assert len(set(got)) == len(got)  # exclusion: no pin repeats
     assert a.num_rows == 6
+
+
+def test_distance_feature_parity_and_semantics(single, sharded):
+    """distance_feature: sharded == single bit-for-bit; the addend is
+    maximal (== boost) at origin and decays with |v − origin|."""
+    a = single.distance_feature("def load", "doc_len", origin=30.0, pivot=10.0, k=8, boost=2.0)
+    b = sharded.distance_feature("def load", "doc_len", origin=30.0, pivot=10.0, k=8, boost=2.0)
+    _eq_tables(b, a)
+    # boost=0 degenerates to plain BM25
+    _eq_tables(
+        single.distance_feature("def load", "doc_len", origin=30.0, pivot=10.0, k=8, boost=0.0),
+        single.search("def load", k=8),
+    )
+    # recompute the addend by hand for the returned docs
+    ids = a["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    base = single.all_scores("def load")
+    bmap = dict(
+        zip(
+            base["doc_id"].to_numpy(zero_copy_only=False).tolist(),
+            base["score"].to_numpy(zero_copy_only=False).tolist(),
+        )
+    )
+    v = single.field_values_for(ids, "doc_len")
+    want = np.array([bmap[i] for i in ids.tolist()]) + 2.0 * (10.0 / (10.0 + np.abs(v - 30.0)))
+    np.testing.assert_array_equal(a["score"].to_numpy(zero_copy_only=False), want)
+    with pytest.raises(ValueError):
+        single.distance_feature("def load", "doc_len", origin=0.0, pivot=0.0)
+
+
+def test_script_score_parity_and_negative_guard(single, sharded):
+    """script_score: callable ships to shards by value, sharded ==
+    single; negative script outputs raise (ES contract)."""
+    from elasticsearch_assets_ray.query.engine import register_score_script
+
+    @register_score_script("t_half_plus_len")
+    def _script(sc, v, params):
+        return sc * 0.5 + np.log1p(v) * params["w"]
+
+    a = single.script_score("def load", "doc_len", "t_half_plus_len", k=8, params={"w": 0.2})
+    b = sharded.script_score("def load", "doc_len", "t_half_plus_len", k=8, params={"w": 0.2})
+    _eq_tables(b, a)
+    # script REPLACES the score: w=0 halves plain BM25 exactly
+    plain = single.search("def load", k=8)
+    half = single.script_score("def load", "doc_len", "t_half_plus_len", k=8, params={"w": 0.0})
+    np.testing.assert_array_equal(
+        half["score"].to_numpy(zero_copy_only=False),
+        plain["score"].to_numpy(zero_copy_only=False) * 0.5,
+    )
+    with pytest.raises(ValueError):
+        single.script_score("def load", "doc_len", lambda sc, v, p: sc - 1e9, k=5)
+    with pytest.raises(KeyError):
+        single.script_score("def load", "doc_len", "no_such_script", k=5)
