@@ -307,6 +307,7 @@ def g_search_struct(sf_dir: str) -> pa.Table:
             ("msm", "search_msm"),
             ("compound", "search_compound"),
             ("hybrid", "hybrid_rrf"),
+            ("hybrid_linear", "hybrid_linear"),
             ("synonyms", "search_synonyms"),
             ("terms_set", "search_terms_set"),
             ("pinned", "search_pinned"),
@@ -513,6 +514,10 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(_proj("matrix", ms, ["stat", "fx", "fy"], 0, "value_r"))
     md = _to_table(R.QUERIES["mad_nchars"](sf_dir))
     tabs.append(_proj("mad", md, "nchars", 0, "mad_r"))
+    tm = _to_table(R.QUERIES["top_metrics_agg"](sf_dir))
+    tabs.append(
+        _proj("top_metrics", tm, ["query_id", "rank", "lang", "source"], "doc_id", "sort_r")
+    )
     wa = _to_table(R.QUERIES["weighted_avg"](sf_dir))
     tabs.append(_proj("wavg", wa, "l_returnflag", "sum_w", "wavg_r"))
     adh = _to_table(R.QUERIES["auto_date_histogram"](sf_dir))
@@ -595,6 +600,12 @@ AGG_SUITE_SQL_PARTS = [
         "matrix_stats",
     ),
     ("mad", "'nchars' AS value, 0 AS count, mad_r AS metric_r", "mad_nchars"),
+    (
+        "top_metrics",
+        "CAST(query_id AS VARCHAR) || '#' || CAST(rank AS VARCHAR) || '#' || "
+        "lang || '#' || source AS value, doc_id AS count, sort_r AS metric_r",
+        "top_metrics_agg",
+    ),
     (
         "wavg",
         "l_returnflag AS value, sum_w AS count, wavg_r AS metric_r",
@@ -882,6 +893,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("msm", None, "search_msm"),
             ("compound", None, "search_compound"),
             ("hybrid", None, "hybrid_rrf"),
+            ("hybrid_linear", None, "hybrid_linear"),
             ("synonyms", None, "search_synonyms"),
             ("terms_set", None, "search_terms_set"),
             ("pinned", None, "search_pinned"),

@@ -1408,6 +1408,43 @@ def q_hybrid_rrf(sf_dir: str):
     )
 
 
+#: linear-retriever weights (bm25, knn)
+_LINEAR_W = (0.7, 0.3)
+
+
+def q_hybrid_linear(sf_dir: str):
+    """ES 8.18 `linear` retriever: BM25 + kNN rankings min-max
+    normalized per query over their rank windows and combined as
+    0.7·bm25 + 0.3·knn (query/hybrid.linear_fuse); normalization runs
+    over the ROUND-6 reported scores so the SQL twin is exact."""
+    from elasticsearch_assets_ray.query.hybrid import linear_fuse
+
+    queries = DOC_QUERIES[:3]
+    bm = _search_many(sf_dir, queries, _HYBRID_W, fetch_k=_HYBRID_W + 90)
+    qids, qvecs = _probe_vectors(sf_dir)
+    ds = _rd(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    co = _rerank_rounded(
+        sim_ops.brute_force_topk(ds, qids, qvecs, k=_HYBRID_W + 45), _HYBRID_W
+    )
+    fused = linear_fuse(
+        [bm, co],
+        weights=list(_LINEAR_W),
+        k=_HYBRID_K,
+        id_cols=["doc_id", "vec_id"],
+        score_cols=["score_r", "sim_r"],
+    )
+    return pa.table(
+        {
+            "query_id": fused["query_id"],
+            "doc_id": fused["doc_id"],
+            "rank": fused["rank"],
+            "score_r": pa.array(
+                _round_half_up(fused["fused"].to_numpy(zero_copy_only=False), 6)
+            ),
+        }
+    )
+
+
 _SYN_QUERIES: list[tuple[str, dict[str, list[str]]]] = [
     ("fast scan", {"fast": ["slow"], "scan": ["filter"]}),
     ("merge join", {"merge": ["join"]}),
@@ -1744,6 +1781,60 @@ def _sort_search_sql() -> str:
             f"row_number() OVER (ORDER BY {field} {order}, doc_id) AS rank, "
             f"round(CAST({field} AS DOUBLE), 6) AS score_r "
             f"FROM documents WHERE {match} QUALIFY rank <= {SEARCH_K}"
+        )
+    return " UNION ALL ".join(arms)
+
+
+#: (query, desc) per query_id for the top_metrics gate
+_TOP_METRICS_QUERIES = [("data", True), ("spark join", False)]
+
+
+def q_top_metrics(sf_dir: str):
+    """ES ``top_metrics`` aggregation: the metric columns (lang, source)
+    of the top-3 docs by n_chars over each query's match set, served
+    DISTRIBUTED (exact score-free sort merge + routed hydrate of just
+    the winners)."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    parts = []
+    for qid, (q, desc) in enumerate(_TOP_METRICS_QUERIES):
+        t = sh.top_metrics(
+            q, "n_chars", ["orig_doc_id", "lang", "source"], size=3, desc=desc
+        )
+        n = t.num_rows
+        if n == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(n, qid, dtype=np.int64)),
+                    "doc_id": t["orig_doc_id"].cast(pa.int64()),
+                    "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                    "lang": t["lang"],
+                    "source": t["source"],
+                    "sort_r": pa.array(
+                        _round_half_up(
+                            t["sort_value"].to_numpy(zero_copy_only=False), 6
+                        )
+                    ),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _top_metrics_sql() -> str:
+    arms = []
+    for qid, (q, desc) in enumerate(_TOP_METRICS_QUERIES):
+        match = " OR ".join(
+            f"list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), '{t}')"
+            for t in sorted(set(q.split()))
+        )
+        order = "DESC" if desc else "ASC"
+        arms.append(
+            f"SELECT {qid} AS query_id, doc_id, "
+            f"row_number() OVER (ORDER BY n_chars {order}, doc_id) AS rank, "
+            "lang, source, round(CAST(n_chars AS DOUBLE), 6) AS sort_r "
+            f"FROM documents WHERE {match} QUALIFY rank <= 3"
         )
     return " UNION ALL ".join(arms)
 
@@ -5603,6 +5694,7 @@ ORACLES: dict[str, str] = {
         PHRASE_SUGG_INPUTS, PHRASE_SUGG_SIZE, PHRASE_SUGG_EDITS, PHRASE_SUGG_PER_TOKEN
     ),
     "sort_search": _sort_search_sql(),
+    "top_metrics_agg": _top_metrics_sql(),
     "cardinality_agg": _cardinality_sql(),
     "search_synonyms": _synonym_sql(SEARCH_K),
     "decay_score": _decay_sql(SEARCH_K),
@@ -5622,6 +5714,13 @@ ORACLES: dict[str, str] = {
     "hybrid_rrf": hybrid.rrf_sql(
         _bm25_sql(DOC_QUERIES[:3], _HYBRID_W),
         _cosine_probe_sql(_HYBRID_W),
+        k=_HYBRID_K,
+    ),
+    "hybrid_linear": hybrid.linear_sql(
+        _bm25_sql(DOC_QUERIES[:3], _HYBRID_W),
+        _cosine_probe_sql(_HYBRID_W),
+        w_bm25=_LINEAR_W[0],
+        w_knn=_LINEAR_W[1],
         k=_HYBRID_K,
     ),
     "search_sharded": _bm25_sql(DOC_QUERIES, SEARCH_K),
@@ -6284,7 +6383,9 @@ QUERIES = {
     "multi_match": q_multi_match,
     "phrase_suggest": q_phrase_suggest,
     "hybrid_rrf": q_hybrid_rrf,
+    "hybrid_linear": q_hybrid_linear,
     "sort_search": q_sort_search,
+    "top_metrics_agg": q_top_metrics,
     "cardinality_agg": q_cardinality_agg,
     "search_synonyms": q_search_synonyms,
     "decay_score": q_decay_score,

@@ -2588,6 +2588,32 @@ class Searcher:
             self.match_ids(query, minimum_should_match), field, k, desc
         )
 
+    def top_metrics(
+        self,
+        query: str | ParsedQuery,
+        sort_field: str,
+        metrics: list[str],
+        size: int = 1,
+        desc: bool = True,
+        minimum_should_match: int = 0,
+    ) -> pa.Table:
+        """ES ``top_metrics`` aggregation: the metric columns of the top
+        ``size`` docs by a sort field (ES reports the metrics of the
+        extremum doc(s), not an aggregate).  Built on the score-free
+        sort kernel — the (value, docID) comparator is sort_by_field's,
+        so the scatter-gather form is exact — plus ONE pid-pruned
+        hydrate of just the winners."""
+        t = self.sort_by_field(
+            query, sort_field, k=size, desc=desc,
+            minimum_should_match=minimum_should_match,
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols: dict = {"doc_id": t["doc_id"], "sort_value": t["value"]}
+        h = self.hydrate(ids, columns=["doc_id", *metrics])
+        for m in metrics:
+            cols[m] = h[m]
+        return pa.table(cols)
+
     # ---------- index-resident kNN (ES dense_vector / knn search) ----------
     def _vector_meta(self) -> dict | None:
         if self._vec_meta is False:

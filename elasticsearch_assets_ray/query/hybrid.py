@@ -122,3 +122,124 @@ SELECT query_id, doc_id,
 FROM fused
 QUALIFY rank <= {k}
 """
+
+
+def linear_fuse(
+    rankings: list[pa.Table],
+    *,
+    weights: list[float],
+    k: int = 10,
+    id_cols: list[str] | None = None,
+    score_cols: list[str] | None = None,
+) -> pa.Table:
+    """ES 8.18 ``linear`` retriever: fused = Σᵢ wᵢ · minmaxᵢ(score),
+    min-max normalized per (list, query) over the list's rank window;
+    docs missing from a list contribute 0 there; a degenerate window
+    (max == min) normalizes to 0.
+
+    Determinism contract: inputs carry the engine's ROUND-6 reported
+    scores (the same doubles the SQL twins produce), so the
+    normalization arithmetic — and therefore the fused ranking under the
+    round-9 comparator — is exactly reproducible in SQL.  With ≤ 2 lists
+    the per-doc sum is order-free IEEE addition.
+    """
+    if len(weights) != len(rankings):
+        raise ValueError("one weight per ranking")
+    if id_cols is None:
+        id_cols = ["doc_id"] * len(rankings)
+    if score_cols is None:
+        score_cols = ["score_r"] * len(rankings)
+    qs, ds_, cs = [], [], []
+    for t, idc, scc, w in zip(rankings, id_cols, score_cols, weights):
+        if t.num_rows == 0:
+            continue
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[idc].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t[scc].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(q, kind="stable")
+        q, d, s = q[order], d[order], s[order]
+        starts = np.concatenate(([True], q[1:] != q[:-1]))
+        idx = np.flatnonzero(starts)
+        mins = np.minimum.reduceat(s, idx)
+        maxs = np.maximum.reduceat(s, idx)
+        grp = np.cumsum(starts) - 1
+        mn, mx = mins[grp], maxs[grp]
+        span = mx - mn
+        norm = np.where(span > 0, (s - mn) / np.where(span > 0, span, 1.0), 0.0)
+        qs.append(q)
+        ds_.append(d)
+        cs.append(w * norm)
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "fused": pa.array([], pa.float64()),
+        }
+    )
+    if not qs:
+        return empty
+    q = np.concatenate(qs)
+    d = np.concatenate(ds_)
+    c = np.concatenate(cs)
+    order = np.lexsort((d, q))
+    q, d, c = q[order], d[order], c[order]
+    starts = np.concatenate(([True], (q[1:] != q[:-1]) | (d[1:] != d[:-1])))
+    idx = np.flatnonzero(starts)
+    fused = np.add.reduceat(c, idx)
+    gq, gd = q[idx], d[idx]
+    from elasticsearch_assets_ray.query import bm25
+
+    r9 = bm25.round_half_up(fused, 9)
+    srt = np.lexsort((gd, -r9, gq))
+    gq, gd, fused = gq[srt], gd[srt], fused[srt]
+    seg = np.concatenate(([True], gq[1:] != gq[:-1]))
+    first = np.flatnonzero(seg)
+    grp = np.cumsum(seg) - 1
+    rank = np.arange(gq.size) - first[grp] + 1
+    keep = rank <= k
+    return pa.table(
+        {
+            "query_id": pa.array(gq[keep]),
+            "doc_id": pa.array(gd[keep]),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+            "fused": pa.array(fused[keep]),
+        }
+    )
+
+
+def linear_sql(
+    bm25_sql: str,
+    cosine_sql: str,
+    *,
+    w_bm25: float,
+    w_knn: float,
+    k: int = 10,
+    cosine_id_col: str = "vec_id",
+) -> str:
+    """DuckDB twin of :func:`linear_fuse` over the two ranked-window
+    oracle SQLs (bm25 → score_r, cosine → sim_r)."""
+    return f"""
+WITH bm AS ({bm25_sql}), co AS ({cosine_sql}),
+bmn AS (
+  SELECT query_id, doc_id,
+         {w_bm25!r} * (CASE WHEN mx > mn THEN (score_r - mn) / (mx - mn) ELSE 0.0 END) AS c
+  FROM (SELECT query_id, doc_id, score_r,
+               min(score_r) OVER (PARTITION BY query_id) AS mn,
+               max(score_r) OVER (PARTITION BY query_id) AS mx FROM bm)
+), con AS (
+  SELECT query_id, {cosine_id_col} AS doc_id,
+         {w_knn!r} * (CASE WHEN mx > mn THEN (sim_r - mn) / (mx - mn) ELSE 0.0 END) AS c
+  FROM (SELECT query_id, {cosine_id_col}, sim_r,
+               min(sim_r) OVER (PARTITION BY query_id) AS mn,
+               max(sim_r) OVER (PARTITION BY query_id) AS mx FROM co)
+), fused AS (
+  SELECT query_id, doc_id, sum(c) AS s
+  FROM (SELECT * FROM bmn UNION ALL SELECT * FROM con) GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(s, 9) DESC, doc_id) AS rank,
+       round(s, 6) AS score_r
+FROM fused
+QUALIFY rank <= {k}
+"""

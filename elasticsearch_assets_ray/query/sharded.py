@@ -884,6 +884,29 @@ class ShardedSearcher:
         order = np.lexsort((d, -v if desc else v))[:k]
         return pa.table({"doc_id": pa.array(d[order]), "value": pa.array(v[order])})
 
+    def top_metrics(
+        self,
+        query: str | ParsedQuery,
+        sort_field: str,
+        metrics: list[str],
+        size: int = 1,
+        desc: bool = True,
+        minimum_should_match: int = 0,
+    ) -> pa.Table:
+        """ES top_metrics, scatter-gathered: exact sort merge (the
+        sort_by_field comparator) + the routed hydrate for the winners'
+        metric columns."""
+        t = self.sort_by_field(
+            query, sort_field, k=size, desc=desc,
+            minimum_should_match=minimum_should_match,
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols: dict = {"doc_id": t["doc_id"], "sort_value": t["value"]}
+        h = self.hydrate(ids, columns=["doc_id", *metrics])
+        for m in metrics:
+            cols[m] = h[m]
+        return pa.table(cols)
+
     def knn(
         self,
         query_ids: np.ndarray,
