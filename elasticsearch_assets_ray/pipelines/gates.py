@@ -312,6 +312,7 @@ def g_search_struct(sf_dir: str) -> pa.Table:
             ("terms_set", "search_terms_set"),
             ("pinned", "search_pinned"),
             ("multi_match", "multi_match"),
+            ("combined", "combined_fields"),
         ],
         _SEARCH_COLS,
     )(sf_dir)
@@ -898,6 +899,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("terms_set", None, "search_terms_set"),
             ("pinned", None, "search_pinned"),
             ("multi_match", None, "multi_match"),
+            ("combined", None, "combined_fields"),
         ],
         _SEARCH_SEL,
     )

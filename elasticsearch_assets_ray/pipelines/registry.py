@@ -4730,6 +4730,124 @@ def _multi_match_sql(query: str, k: int, tb: float) -> str:
     )
 
 
+#: combined_fields specs: (query, per-field weights ≥ 1)
+COMBINED_FIELDS_SPECS: list[tuple[str, dict[str, float]]] = [
+    ("spark table src3", {"source": 2.0}),
+    ("fast scan src1", {"source": 3.0}),
+]
+
+
+def q_combined_fields(sf_dir: str):
+    """ES combined_fields query over (text, source): BM25 over ONE
+    synthetic merged field (weighted tf/dl sums, blended max-df term
+    stats) — NOT a per-field score combiner like multi_match."""
+    from elasticsearch_assets_ray.query import multi_match as mm
+
+    searchers = {
+        "text": Searcher(documents_index(sf_dir)),
+        "source": Searcher(documents_source_index(sf_dir)),
+    }
+    parts = []
+    for qid, (q, wts) in enumerate(COMBINED_FIELDS_SPECS):
+        res = mm.combined_fields(searchers, q, weights=wts, k=SEARCH_K + 90)
+        ids = res["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(ids),  # already ORIG ids
+                    "sim": res["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+def _combined_fields_sql(k: int) -> str:
+    """DuckDB twin of q_combined_fields: weighted tf/dl merge (field
+    order pinned source, text — 2-addend sums are order-free), blended
+    max df, the engine's exact BM25 constants."""
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    fields = {"text": "lower(text)", "source": "lower(source)"}
+    ctes = ["nd AS (SELECT count(*)::DOUBLE AS n FROM documents)"]
+    for f, expr in fields.items():
+        tokf = f"regexp_extract_all({expr}, '[a-z0-9]+')"
+        ctes.append(
+            f"tok_{f} AS (SELECT doc_id, unnest({tokf}) AS term FROM documents)"
+        )
+        ctes.append(
+            f"tf_{f} AS (SELECT doc_id, term, count(*)::DOUBLE AS tf "
+            f"FROM tok_{f} GROUP BY doc_id, term)"
+        )
+        ctes.append(
+            f"dl_{f} AS (SELECT doc_id, count(*)::DOUBLE AS dl "
+            f"FROM tok_{f} GROUP BY doc_id)"
+        )
+        ctes.append(
+            f"df_{f} AS (SELECT term, count(*)::BIGINT AS df FROM tf_{f} GROUP BY term)"
+        )
+        ctes.append(
+            f"av_{f} AS (SELECT (SELECT sum(dl) FROM dl_{f}) / (SELECT n FROM nd) AS a)"
+        )
+    arms = []
+    for qid, (q, wts) in enumerate(COMBINED_FIELDS_SPECS):
+        terms = sorted(set(tokenize_text(q)))
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        ws = float(wts.get("source", 1.0))
+        wt = float(wts.get("text", 1.0))
+        ctes.append(
+            f"bdf_{qid} AS (SELECT term, max(df)::BIGINT AS df FROM "
+            "(SELECT term, df FROM df_text UNION ALL SELECT term, df FROM df_source) "
+            f"WHERE term IN ({tlist}) GROUP BY term)"
+        )
+        # weighted tf merge: ≤2 addends per (doc, term) — order-free
+        ctes.append(
+            f"tfc_{qid} AS (SELECT term, doc_id, sum(wtf) AS tfc FROM ("
+            f"SELECT term, doc_id, {ws!r} * tf AS wtf FROM tf_source "
+            f"WHERE term IN ({tlist}) "
+            f"UNION ALL SELECT term, doc_id, {wt!r} * tf FROM tf_text "
+            f"WHERE term IN ({tlist})) GROUP BY term, doc_id)"
+        )
+        ctes.append(
+            f"dlc_{qid} AS (SELECT d.doc_id, "
+            f"{ws!r} * coalesce(s.dl, 0.0) + {wt!r} * coalesce(t.dl, 0.0) AS dlc "
+            "FROM documents d LEFT JOIN dl_source s ON s.doc_id = d.doc_id "
+            "LEFT JOIN dl_text t ON t.doc_id = d.doc_id)"
+        )
+        ctes.append(
+            f"avc_{qid} AS (SELECT {ws!r} * (SELECT a FROM av_source) + "
+            f"{wt!r} * (SELECT a FROM av_text) AS v)"
+        )
+        arms.append(
+            f"SELECT {qid} AS query_id, u.doc_id, "
+            "sum( ln(1 + (nd.n - bd.df + 0.5) / (bd.df + 0.5)) "
+            "* (u.tfc * 2.2) / (u.tfc + 1.2 * (0.25 + 0.75 * (dl.dlc / av.v))) ) AS score "
+            f"FROM tfc_{qid} u JOIN bdf_{qid} bd ON bd.term = u.term "
+            f"JOIN dlc_{qid} dl ON dl.doc_id = u.doc_id "
+            f"CROSS JOIN nd CROSS JOIN avc_{qid} av "
+            "WHERE bd.df > 0 GROUP BY u.doc_id"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 9) DESC, doc_id) AS rank, round(score, 6) AS score_r "
+        "FROM (" + " UNION ALL ".join(arms) + ") "
+        f"QUALIFY rank <= {k}"
+    )
+
+
 PCT_RANK_VALUES = (150.0, 306.0, 450.0)
 TTEST_GROUPS = ("click", "view")
 
@@ -5690,6 +5808,7 @@ ORACLES: dict[str, str] = {
     "t_test_values": _t_test_sql(),
     "geo_centroid": _geo_centroid_sql(),
     "multi_match": _multi_match_sql(MULTI_MATCH_QUERY, SEARCH_K, MULTI_MATCH_TB),
+    "combined_fields": _combined_fields_sql(SEARCH_K),
     "phrase_suggest": _phrase_suggest_sql(
         PHRASE_SUGG_INPUTS, PHRASE_SUGG_SIZE, PHRASE_SUGG_EDITS, PHRASE_SUGG_PER_TOKEN
     ),
@@ -6381,6 +6500,7 @@ QUERIES = {
     "t_test_values": q_t_test,
     "geo_centroid": q_geo_centroid,
     "multi_match": q_multi_match,
+    "combined_fields": q_combined_fields,
     "phrase_suggest": q_phrase_suggest,
     "hybrid_rrf": q_hybrid_rrf,
     "hybrid_linear": q_hybrid_linear,

@@ -3373,6 +3373,34 @@ class Searcher:
         finally:
             self._df_override = None
 
+    def term_postings(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Raw (internal docIDs, tf) postings of ONE analyzed term across
+        this searcher's buckets — the per-field building block
+        ``combined_fields`` needs (Lucene's CombinedFieldQuery reads
+        per-field postings the same way).  Tombstoned docs are filtered
+        like every other query path; ids come back sorted."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        seg = self._segment_rows([term])
+        if seg is None or seg.num_rows == 0:
+            return empty
+        ids_p, tf_p = [], []
+        for i in range(seg.num_rows):
+            d, tf = self._decode_postings(
+                seg["blob"][i].as_py(), int(seg["df"][i].as_py())
+            )
+            ids_p.append(d)
+            tf_p.append(tf)
+        ids = np.concatenate(ids_p).astype(np.int64)
+        tf = np.concatenate(tf_p).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, tf = ids[order], tf[order]
+        if self._tombstones.size:
+            pos = np.searchsorted(self._tombstones, ids)
+            pos[pos >= self._tombstones.size] = 0
+            keep = self._tombstones[pos] != ids
+            ids, tf = ids[keep], tf[keep]
+        return ids, tf
+
     def match_count(
         self,
         query: str | ParsedQuery,

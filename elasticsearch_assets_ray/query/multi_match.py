@@ -125,3 +125,89 @@ def multi_match(
         sel = np.lexsort((uids, -sc))[:k]
         uids, sc = uids[sel], sc[sel]
     return pa.table({"doc_id": pa.array(uids), "score": pa.array(sc)})
+
+
+def combined_fields(
+    searchers: dict[str, object],
+    query: str,
+    weights: dict[str, float] | None = None,
+    k: int = 10,
+) -> pa.Table:
+    """ES ``combined_fields`` query (Lucene CombinedFieldQuery): the
+    fields are merged into one SYNTHETIC field and scored with plain
+    BM25 over it —
+
+        tf_c(d, t)  = Σ_f w_f · tf_f(d, t)
+        dl_c(d)     = Σ_f w_f · dl_f(d)
+        avgdl_c     = Σ_f w_f · avgdl_f
+        df_blend(t) = max_f df_f(t)          (blended term statistics)
+        score(d)    = Σ_t idf(df_blend) · sat(tf_c, dl_c, avgdl_c)
+
+    summed in sorted-term order with fields folded in sorted-field-name
+    order (pinned float arithmetic; ≤2-field sums are order-free
+    anyway).  ES requires per-field weights ≥ 1 and a shared analyzer;
+    the per-field indexes here index the SAME corpus with the same
+    builder, so internal docIDs align across fields (checked via
+    n_docs).  Works on raw per-field postings (Searcher.term_postings),
+    not per-field scores — combined_fields is NOT a score combiner like
+    multi_match."""
+    from elasticsearch_assets_ray.query import bm25
+
+    fields = sorted(searchers)
+    w = {f: 1.0 for f in fields}
+    for f, v in (weights or {}).items():
+        if f not in w:
+            raise KeyError(f"unknown combined_fields field {f!r}")
+        if v < 1.0:
+            raise ValueError("ES combined_fields requires field weights >= 1")
+        w[f] = float(v)
+    s0 = searchers[fields[0]]
+    n = s0.n_docs
+    for f in fields[1:]:
+        if searchers[f].n_docs != n:
+            raise ValueError(
+                "combined_fields needs row-aligned per-field indexes "
+                "(same corpus, same build)"
+            )
+    terms = sorted(set(tokenize_text(query)))
+    avgdl_c = sum(w[f] * searchers[f].avgdl for f in fields)
+    per_term = []
+    union: list[np.ndarray] = []
+    for t in terms:
+        plist = {f: searchers[f].term_postings(t) for f in fields}
+        df_blend = max(searchers[f].term_dfs([t]).get(t, 0) for f in fields)
+        per_term.append((t, df_blend, plist))
+        union.extend(p[0] for p in plist.values())
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+    )
+    union = [u for u in union if u.size]
+    if not union:
+        return empty
+    cand = np.unique(np.concatenate(union))
+    dl_c = np.zeros(cand.size, dtype=np.float64)
+    for f in fields:
+        dl_c += w[f] * searchers[f].doclens_for(cand).astype(np.float64)
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t, df_blend, plist in per_term:
+        if df_blend == 0:
+            continue
+        tf_c = np.zeros(cand.size, dtype=np.float64)
+        for f in fields:
+            ids_f, tf_f = plist[f]
+            if ids_f.size:
+                tf_c[np.searchsorted(cand, ids_f)] += w[f] * tf_f
+        m = tf_c > 0
+        if not m.any():
+            continue
+        idf_t = bm25.math_idf(df_blend, n)
+        scores[m] += idf_t * bm25.tf_saturation(tf_c[m], dl_c[m], avgdl_c)
+    hit = scores > 0
+    ids, sc = cand[hit], scores[hit]
+    if ids.size > k:
+        sel = np.lexsort((ids, -sc))[:k]
+        ids, sc = ids[sel], sc[sel]
+    else:
+        sel = np.lexsort((ids, -sc))
+        ids, sc = ids[sel], sc[sel]
+    return pa.table({"doc_id": pa.array(_orig_map(s0, ids)), "score": pa.array(sc)})

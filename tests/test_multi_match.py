@@ -89,3 +89,45 @@ def test_cross_fields_blends_df(field_searchers):
 def test_unknown_type_raises(field_searchers):
     with pytest.raises(ValueError):
         mm.multi_match(field_searchers, "alpha", "phrase_fields")
+
+
+def test_combined_fields_hand_computed(field_searchers):
+    """combined_fields == hand-computed BM25 over the weighted synthetic
+    field (tf/dl weighted sums, blended max df)."""
+    from elasticsearch_assets_ray.query import bm25
+
+    s = field_searchers
+    out = _scores(
+        mm.combined_fields(s, "alpha", weights={"title": 2.0}, k=10)
+    )
+    # corpus facts: title tfs alpha: d0=1, d2=1; body tfs alpha: d1=1, d3=1
+    # dl_title = [2,2,2,1]; dl_body = [6,5,3,4]
+    n = 4
+    w = {"body": 1.0, "title": 2.0}
+    dl_t = np.array([2, 2, 2, 1], dtype=np.float64)
+    dl_b = np.array([6, 5, 3, 4], dtype=np.float64)
+    dl_c = w["body"] * dl_b + w["title"] * dl_t
+    avgdl_c = w["body"] * (dl_b.sum() / n) + w["title"] * (dl_t.sum() / n)
+    tf_t = np.array([1, 0, 1, 0], dtype=np.float64)
+    tf_b = np.array([0, 1, 0, 1], dtype=np.float64)
+    tf_c = w["body"] * tf_b + w["title"] * tf_t
+    df_blend = 2  # alpha: df_title=2, df_body=2
+    want = bm25.math_idf(df_blend, n) * bm25.tf_saturation(tf_c, dl_c, avgdl_c)
+    for d in range(4):
+        assert out[d] == want[d]
+    # ES contract: weights below 1 are rejected; unknown fields too
+    with pytest.raises(ValueError):
+        mm.combined_fields(s, "alpha", weights={"title": 0.5})
+    with pytest.raises(KeyError):
+        mm.combined_fields(s, "alpha", weights={"nope": 2.0})
+
+
+def test_combined_fields_single_field_is_plain_bm25(field_searchers):
+    """Over ONE field with weight 1 the synthetic field IS the field:
+    scores equal the plain search scores."""
+    s = {"body": field_searchers["body"]}
+    a = _scores(mm.combined_fields(s, "alpha filler", k=10))
+    r = field_searchers["body"].search("alpha filler", k=10)
+    # combined_fields returns orig ids; this corpus has doc_id == internal
+    b = dict(zip(r["doc_id"].to_pylist(), r["score"].to_pylist()))
+    assert a == b
