@@ -548,6 +548,15 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(_proj("str_stats", sst, "metric", 0, "value_r"))
     tt = _to_table(R.QUERIES["t_test_values"](sf_dir))
     tabs.append(_proj("t_test", tt, "pair", 0, "t_r"))
+    cp = _to_table(R.QUERIES["change_point"](sf_dir))
+    cp = cp.set_column(
+        0,
+        "cp_day",
+        pc.strftime(cp["cp_day"].combine_chunks().cast(pa.timestamp("s")), format="%Y-%m-%dT%H:%M:%S"),
+    )
+    tabs.append(_proj("change_point", cp, "cp_day", "cp_index", "score_r"))
+    fis = _to_table(R.QUERIES["frequent_item_sets"](sf_dir))
+    tabs.append(_proj("item_sets", fis, "itemset", "support", "size"))
     gcb = _to_table(R.QUERIES["geo_centroid"](sf_dir))
     tabs.append(_proj("geo_cb", gcb, "metric", 0, "value_r"))
     # pipeline aggs: the part column is its own sub-discriminator
@@ -656,6 +665,17 @@ AGG_SUITE_SQL_PARTS = [
     ),
     ("str_stats", "metric AS value, 0 AS count, value_r AS metric_r", "string_stats"),
     ("t_test", "pair AS value, 0 AS count, t_r AS metric_r", "t_test_values"),
+    (
+        "change_point",
+        "strftime(cp_day, '%Y-%m-%dT%H:%M:%S') AS value, cp_index AS count, "
+        "score_r AS metric_r",
+        "change_point",
+    ),
+    (
+        "item_sets",
+        "itemset AS value, support AS count, CAST(size AS DOUBLE) AS metric_r",
+        "frequent_item_sets",
+    ),
     ("geo_cb", "metric AS value, 0 AS count, value_r AS metric_r", "geo_centroid"),
 ]
 

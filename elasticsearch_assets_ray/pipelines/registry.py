@@ -2985,6 +2985,107 @@ def q_events_daily_hll(sf_dir: str):
     return pa.table({"day": t["key"], "n_users_approx": t["distinct"]})
 
 
+def q_change_point(sf_dir: str):
+    """ES change_point aggregation (step_change detector) over the
+    daily event-count series: the daily buckets come from the
+    distributed combiner-first date_histogram; the O(n²) split scan is
+    a driver-side pass over the n bucket values (ES also detects over
+    the bucket series, never the raw docs)."""
+    from elasticsearch_assets_ray.query import pipeline_aggs as pl
+
+    ds = _rd(sf_dir, "events", columns=["ts"])
+
+    def _day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"day": pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us"))}
+        )
+
+    daily = partial_agg(
+        ds.map_batches(_day, batch_format="pyarrow"),
+        ["day"],
+        [AggSpec("n", "day", "count")],
+        distinct_hint=5000,
+    )
+    t = _collect(daily).sort_by([("day", "ascending")])
+    cp = pl.change_point(t, "n")
+    return pa.table(
+        {
+            "cp_day": t["day"].slice(cp["index"] - 1, 1),
+            "cp_index": pa.array([cp["index"]], pa.int64()),
+            "score_r": pa.array([_round_half_up(np.array([cp["score"]]), 6)[0]]),
+        }
+    )
+
+
+def _change_point_sql() -> str:
+    """Twin of q_change_point: the same pinned SSE expression per split,
+    argmin by (sse, split)."""
+    return (
+        "WITH daily AS (SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n "
+        " FROM events GROUP BY day), "
+        "idx AS (SELECT day, n, row_number() OVER (ORDER BY day) AS i FROM daily), "
+        "tot AS (SELECT count(*)::BIGINT AS nn, sum(n)::BIGINT AS s, "
+        " sum(n * n)::BIGINT AS q FROM idx), "
+        "pre AS (SELECT i, sum(n) OVER (ORDER BY i)::BIGINT AS sl, "
+        " sum(n * n) OVER (ORDER BY i)::BIGINT AS ql FROM idx), "
+        "scored AS (SELECT p.i AS split, "
+        " (p.ql - (p.sl * p.sl) / CAST(p.i AS DOUBLE)) "
+        " + ((t.q - p.ql) - ((t.s - p.sl) * (t.s - p.sl)) / CAST(t.nn - p.i AS DOUBLE)) AS sse, "
+        " t.q - (t.s * t.s) / CAST(t.nn AS DOUBLE) AS sse0 "
+        " FROM pre p CROSS JOIN tot t WHERE p.i < t.nn), "
+        "best AS (SELECT split, sse, sse0, "
+        " row_number() OVER (ORDER BY sse, split) AS rn FROM scored) "
+        "SELECT (SELECT day FROM idx WHERE i = b.split + 1) AS cp_day, "
+        "b.split + 1 AS cp_index, round(b.sse0 - b.sse, 6) AS score_r "
+        "FROM best b WHERE rn = 1"
+    )
+
+
+#: the five synthetic event types (sorted) — the frequent_item_sets alphabet
+EVENT_TYPE_ITEMS = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_frequent_item_sets(sf_dir: str):
+    """ES frequent_item_sets aggregation: transactions = the distinct
+    event types per user (bitmask alphabet), support counted exactly via
+    two combiner-first shuffles + a driver mask closure
+    (stages/itemsets.py)."""
+    from elasticsearch_assets_ray.stages.itemsets import frequent_item_sets
+
+    ds = _rd(sf_dir, "events", columns=["user_id", "event_type"])
+    out = frequent_item_sets(
+        ds, "user_id", "event_type", EVENT_TYPE_ITEMS, min_support=1, min_size=2
+    )
+    return out.sort_by([("itemset", "ascending")])
+
+
+def _frequent_item_sets_sql() -> str:
+    flags = ", ".join(
+        f"max(CASE WHEN event_type = '{it}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, it in enumerate(EVENT_TYPE_ITEMS)
+    )
+    arms = []
+    n = len(EVENT_TYPE_ITEMS)
+    for s in range(1, 1 << n):
+        size = bin(s).count("1")
+        if size < 2:
+            continue
+        label = "+".join(it for i, it in enumerate(EVENT_TYPE_ITEMS) if s >> i & 1)
+        cond = " AND ".join(f"f{i} = 1" for i in range(n) if s >> i & 1)
+        arms.append(
+            f"SELECT '{label}' AS itemset, {size} AS size, "
+            f"count(*)::BIGINT AS support FROM f WHERE {cond}"
+        )
+    return (
+        "WITH f AS (SELECT user_id, "
+        + flags
+        + " FROM events GROUP BY user_id) "
+        "SELECT itemset, size, support FROM ("
+        + " UNION ALL ".join(arms)
+        + ") WHERE support >= 1 ORDER BY itemset"
+    )
+
+
 AGG_RANGES: list[tuple[float | None, float | None]] = [
     (None, 200.0),
     (200.0, 400.0),
@@ -5814,6 +5915,8 @@ ORACLES: dict[str, str] = {
     ),
     "sort_search": _sort_search_sql(),
     "top_metrics_agg": _top_metrics_sql(),
+    "change_point": _change_point_sql(),
+    "frequent_item_sets": _frequent_item_sets_sql(),
     "cardinality_agg": _cardinality_sql(),
     "search_synonyms": _synonym_sql(SEARCH_K),
     "decay_score": _decay_sql(SEARCH_K),
@@ -6551,6 +6654,8 @@ QUERIES = {
     "range_agg": q_range_agg,
     "top_hits": q_top_hits,
     "events_daily": q_events_daily,
+    "change_point": q_change_point,
+    "frequent_item_sets": q_frequent_item_sets,
     "events_daily_hll": q_events_daily_hll,
     "pipeline_daily": q_pipeline_daily,
     "composite_agg": q_composite_agg,

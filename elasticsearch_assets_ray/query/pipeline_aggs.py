@@ -162,3 +162,42 @@ def sibling_stats(t: pa.Table, col: str) -> dict:
         "sum": s,
         "avg": float(s) / v.size,
     }
+
+
+def change_point(t: pa.Table, col: str) -> dict:
+    """ES ``change_point`` aggregation, step-change detector: over an
+    ordered bucket series the split minimizing total within-segment SSE
+    (binary segmentation, the classic CUSUM-equivalent formulation; ES
+    runs several detectors — this is the deterministic ``step_change``
+    subset, documented as such).
+
+    Exactness contract: the series values are integers, prefix sums are
+    exact Python ints, and the per-split SSE uses ONE pinned float
+    expression ``(ql - (sl*sl)/nl) + (qr - (sr*sr)/nr)`` whose SQL twin
+    is written operator-for-operator, so the argmin (ties → smallest
+    split index) reproduces bit-for-bit.  Needs ≥ 4 buckets (ES requires
+    22 for its p-value machinery; the detector itself needs only a
+    2-bucket segment on each side).
+
+    Returns {index (1-based, first bucket of the NEW regime),
+    score (SSE reduction vs no split)}.
+    """
+    y = [int(v) for v in t[col].to_pylist()]
+    n = len(y)
+    if n < 4:
+        raise ValueError("change_point needs at least 4 buckets")
+    cum = [0]
+    cumsq = [0]
+    for v in y:
+        cum.append(cum[-1] + v)
+        cumsq.append(cumsq[-1] + v * v)
+    s_tot, q_tot = cum[-1], cumsq[-1]
+    best_t, best_sse = None, None
+    for split in range(1, n):
+        sl, ql, nl = cum[split], cumsq[split], split
+        sr, qr, nr = s_tot - sl, q_tot - ql, n - split
+        sse = (ql - (sl * sl) / nl) + (qr - (sr * sr) / nr)
+        if best_sse is None or sse < best_sse:
+            best_t, best_sse = split, sse
+    sse0 = q_tot - (s_tot * s_tot) / n
+    return {"index": best_t + 1, "score": sse0 - best_sse}
