@@ -339,6 +339,9 @@ def bench_query_surface(index_dir: str) -> dict:
         ("decay_score", lambda: s.decay_score("def load index", "doc_len", "gauss", 200.0, 100.0, k=10)),
         ("synonyms", lambda: s.search_synonyms("def index", {"def": ["load"]}, k=10)),
         ("sort_by_field", lambda: s.sort_by_field("def load", "doc_len", k=10)),
+        ("top_metrics", lambda: s.top_metrics("def load", "doc_len", ["doc_len"], size=3)),
+        ("distance_feature", lambda: s.distance_feature("def load index", "doc_len", origin=200.0, pivot=50.0, k=10)),
+        ("script_score", lambda: s.script_score("def load index", "doc_len", lambda sc, v, p: sc * 0.5 + np.log1p(v), k=10)),
         ("cardinality", lambda: s.cardinality("def load", "doc_len")),
         ("highlight", lambda: s.highlight("def load index", first["doc_id"].to_numpy(zero_copy_only=False), window=10) if first.num_rows else None),
     ]
@@ -501,6 +504,13 @@ SF_BENCH_QUERIES = [
     "search_compound",
     "significant_terms",
     "events_daily_hll",
+    # round-4 session-5 surface
+    "has_child_orders",
+    "combined_fields",
+    "hybrid_linear",
+    "frequent_item_sets",
+    "change_point",
+    "top_metrics_agg",
 ]
 
 
