@@ -4841,12 +4841,15 @@ COMBINED_FIELDS_SPECS: list[tuple[str, dict[str, float]]] = [
 def q_combined_fields(sf_dir: str):
     """ES combined_fields query over (text, source): BM25 over ONE
     synthetic merged field (weighted tf/dl sums, blended max-df term
-    stats) — NOT a per-field score combiner like multi_match."""
+    stats) — NOT a per-field score combiner like multi_match.  Served
+    DISTRIBUTED: per-field ShardedSearchers (the duck-typed raw surface)
+    — global stats from the coordinators, candidate postings + doclens
+    scatter-gathered from the range shards."""
     from elasticsearch_assets_ray.query import multi_match as mm
 
     searchers = {
-        "text": Searcher(documents_index(sf_dir)),
-        "source": Searcher(documents_source_index(sf_dir)),
+        "text": sharded_searcher(documents_index(sf_dir)),
+        "source": sharded_searcher(documents_source_index(sf_dir)),
     }
     parts = []
     for qid, (q, wts) in enumerate(COMBINED_FIELDS_SPECS):

@@ -270,6 +270,14 @@ class ShardWorker:
     def hydrate(self, docids: np.ndarray, columns: list[str] | None = None) -> pa.Table:
         return self.s.hydrate(np.asarray(docids, dtype=np.int64), columns=columns)
 
+    def term_postings(self, term: str):
+        """Raw (ids, tf) of ONE term within this shard's range — the
+        fetch leg of distributed combined_fields."""
+        return self.s.term_postings(term)
+
+    def doclens(self, docids: np.ndarray) -> np.ndarray:
+        return self.s.doclens_for(np.asarray(docids, dtype=np.int64))
+
     def function_score(
         self,
         q: ParsedQuery,
@@ -560,6 +568,47 @@ class ShardedSearcher:
 
             return ray.get([getattr(a, method).remote(*args) for a in self.shards])
         return [getattr(s, method)(*args) for s in self.shards]
+
+    # ---------- per-field building blocks (combined_fields duck-type) ----------
+    # A ShardedSearcher quacks like a Searcher for the raw per-field
+    # surface combined_fields consumes (term_postings / term_dfs /
+    # doclens_for / n_docs / avgdl / hydrate), so
+    # multi_match.combined_fields runs UNCHANGED over per-field
+    # ShardedSearchers: global stats come from the coordinator (the dfs
+    # phase), per-term candidate postings + their doclens come from the
+    # range shards (the fetch phase) — the wire carries df-bounded
+    # candidate rows, never corpus columns.
+
+    @property
+    def n_docs(self) -> int:
+        return self.coord.n_docs
+
+    @property
+    def avgdl(self) -> float:
+        return self.coord.avgdl
+
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        return self.coord.term_dfs(terms)
+
+    def term_postings(self, term: str):
+        """Scatter-gathered raw postings: ranges are ordered disjoint doc
+        partitions, so the range-ordered concat is globally sorted."""
+        parts = self._gather("term_postings", term)
+        ids = np.concatenate([p[0] for p in parts])
+        tf = np.concatenate([p[1] for p in parts])
+        return ids.astype(np.int64), tf.astype(np.float64)
+
+    def doclens_for(self, docids: np.ndarray) -> np.ndarray:
+        """Routed doclens: each id's owning range shard answers (the
+        fetch-phase analog of the routed hydrate)."""
+        docids = np.asarray(docids, dtype=np.int64)
+        out = np.empty(docids.size, dtype=np.int64)
+        owner = self._owners(docids)
+        for i in range(self.n_shards):
+            sel = np.flatnonzero(owner == i)
+            if sel.size:
+                out[sel] = self._gather_one(i, "doclens", docids[sel])
+        return out
 
     # ---------- distributed operations ----------
     def search(

@@ -131,3 +131,30 @@ def test_combined_fields_single_field_is_plain_bm25(field_searchers):
     # combined_fields returns orig ids; this corpus has doc_id == internal
     b = dict(zip(r["doc_id"].to_pylist(), r["score"].to_pylist()))
     assert a == b
+
+
+def test_combined_fields_sharded_parity(sf_dir):
+    """combined_fields over per-field ShardedSearchers (duck-typed raw
+    surface) == per-field single Searchers, bit-for-bit."""
+    from elasticsearch_assets_ray.pipelines.registry import (
+        documents_index,
+        documents_source_index,
+        sharded_searcher,
+    )
+    from elasticsearch_assets_ray.query.engine import Searcher
+
+    single = {
+        "text": Searcher(documents_index(sf_dir)),
+        "source": Searcher(documents_source_index(sf_dir)),
+    }
+    shard = {
+        "text": sharded_searcher(documents_index(sf_dir)),
+        "source": sharded_searcher(documents_source_index(sf_dir)),
+    }
+    a = mm.combined_fields(single, "spark table src3", weights={"source": 2.0}, k=25)
+    b = mm.combined_fields(shard, "spark table src3", weights={"source": 2.0}, k=25)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    np.testing.assert_array_equal(
+        a["score"].to_numpy(zero_copy_only=False),
+        b["score"].to_numpy(zero_copy_only=False),
+    )
