@@ -78,8 +78,14 @@ def sharded_searcher(idx: str, n_shards: int = 4):
     if key not in _SHARDED_CACHE:
         from elasticsearch_assets_ray.query.sharded import ShardedSearcher
 
+        # fractional CPU per serving actor: shard workers are
+        # mostly-idle RPC servers, and pools at num_cpus=1 pin whole
+        # cores — with several pools up (text + source field indexes)
+        # they reserve EVERY core of a small session and Ray Data
+        # pipelines in the same process starve (observed deadlock:
+        # 4/4 CPU held by idle actors, map_batches tasks pending forever)
         _SHARDED_CACHE[key] = ShardedSearcher(
-            idx, n_shards=n_shards, use_actors=True
+            idx, n_shards=n_shards, use_actors=True, num_cpus=0.25
         )
     return _SHARDED_CACHE[key]
 
@@ -775,8 +781,13 @@ def q_has_parent_lines(sf_dir: str):
         return pa.table(
             {
                 "o_orderkey": t["o_orderkey"],
+                # half away from zero = SQL round(); 2-decimal money never
+                # lands on .5 but keep every cents path on ONE rounding mode
                 "score_cents": pc.cast(
-                    pc.round(pc.multiply(t["o_totalprice"], pa.scalar(100.0))),
+                    pc.round(
+                        pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+                        round_mode="half_towards_infinity",
+                    ),
                     pa.int64(),
                 ),
             }
@@ -3028,10 +3039,18 @@ def _change_point_sql() -> str:
         " sum(n * n)::BIGINT AS q FROM idx), "
         "pre AS (SELECT i, sum(n) OVER (ORDER BY i)::BIGINT AS sl, "
         " sum(n * n) OVER (ORDER BY i)::BIGINT AS ql FROM idx), "
+        # every operand cast to DOUBLE BEFORE multiply/subtract — the
+        # engine computes in float64 end-to-end, and BIGINT*BIGINT stays
+        # exact past 2^53 where doubles round (argmin near-ties would flip)
         "scored AS (SELECT p.i AS split, "
-        " (p.ql - (p.sl * p.sl) / CAST(p.i AS DOUBLE)) "
-        " + ((t.q - p.ql) - ((t.s - p.sl) * (t.s - p.sl)) / CAST(t.nn - p.i AS DOUBLE)) AS sse, "
-        " t.q - (t.s * t.s) / CAST(t.nn AS DOUBLE) AS sse0 "
+        " (CAST(p.ql AS DOUBLE) - (CAST(p.sl AS DOUBLE) * CAST(p.sl AS DOUBLE))"
+        "  / CAST(p.i AS DOUBLE)) "
+        " + ((CAST(t.q AS DOUBLE) - CAST(p.ql AS DOUBLE))"
+        "  - ((CAST(t.s AS DOUBLE) - CAST(p.sl AS DOUBLE))"
+        "     * (CAST(t.s AS DOUBLE) - CAST(p.sl AS DOUBLE)))"
+        "  / CAST(t.nn - p.i AS DOUBLE)) AS sse, "
+        " CAST(t.q AS DOUBLE) - (CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE))"
+        "  / CAST(t.nn AS DOUBLE) AS sse0 "
         " FROM pre p CROSS JOIN tot t WHERE p.i < t.nn), "
         "best AS (SELECT split, sse, sse0, "
         " row_number() OVER (ORDER BY sse, split) AS rn FROM scored) "

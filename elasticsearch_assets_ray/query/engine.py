@@ -129,6 +129,31 @@ def _validate_decay(scale: float, decay: float) -> None:
         raise ValueError(f"decay must be in (0, 1), got {decay!r}")
 
 
+def top_metrics_impl(
+    s,
+    query,
+    sort_field: str,
+    metrics: list[str],
+    size: int,
+    desc: bool,
+    minimum_should_match: int,
+) -> "pa.Table":
+    """Shared ES top_metrics body over any object exposing
+    ``sort_by_field`` + ``hydrate`` (Searcher and ShardedSearcher): the
+    winners' metric columns ride ONE hydrate, aligned by the hydrate
+    request-order contract."""
+    t = s.sort_by_field(
+        query, sort_field, k=size, desc=desc,
+        minimum_should_match=minimum_should_match,
+    )
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cols: dict = {"doc_id": t["doc_id"], "sort_value": t["value"]}
+    h = s.hydrate(ids, columns=["doc_id", *metrics])
+    for m in metrics:
+        cols[m] = h[m]
+    return pa.table(cols)
+
+
 def decay_multiplier(
     kind: str, v: np.ndarray, origin: float, scale: float, offset: float, decay: float
 ) -> np.ndarray:
@@ -1490,6 +1515,10 @@ class Searcher:
             out = np.asarray(fn(sc, v, p), dtype=np.float64)
             if out.shape != sc.shape:
                 raise ValueError("score script must return one score per hit")
+            # NaN/inf must be rejected BEFORE the sign check: nan < 0.0
+            # is False, so a min()-only guard silently passes NaN through
+            if out.size and not np.isfinite(out).all():
+                raise ValueError("script_score produced a non-finite score")
             if out.size and float(out.min()) < 0.0:
                 raise ValueError(
                     "script_score produced a negative score (ES forbids this)"
@@ -2602,17 +2631,12 @@ class Searcher:
         extremum doc(s), not an aggregate).  Built on the score-free
         sort kernel — the (value, docID) comparator is sort_by_field's,
         so the scatter-gather form is exact — plus ONE pid-pruned
-        hydrate of just the winners."""
-        t = self.sort_by_field(
-            query, sort_field, k=size, desc=desc,
-            minimum_should_match=minimum_should_match,
+        hydrate of just the winners.  Shared with ShardedSearcher via
+        :func:`top_metrics_impl` (any object with sort_by_field +
+        hydrate)."""
+        return top_metrics_impl(
+            self, query, sort_field, metrics, size, desc, minimum_should_match
         )
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cols: dict = {"doc_id": t["doc_id"], "sort_value": t["value"]}
-        h = self.hydrate(ids, columns=["doc_id", *metrics])
-        for m in metrics:
-            cols[m] = h[m]
-        return pa.table(cols)
 
     # ---------- index-resident kNN (ES dense_vector / knn search) ----------
     def _vector_meta(self) -> dict | None:
@@ -3394,12 +3418,30 @@ class Searcher:
         tf = np.concatenate(tf_p).astype(np.float64)
         order = np.argsort(ids, kind="stable")
         ids, tf = ids[order], tf[order]
-        if self._tombstones.size:
-            pos = np.searchsorted(self._tombstones, ids)
-            pos[pos >= self._tombstones.size] = 0
-            keep = self._tombstones[pos] != ids
+        keep = self._tombstone_keep(ids)
+        if keep is not None:
             ids, tf = ids[keep], tf[keep]
         return ids, tf
+
+    def _tombstone_keep(self, ids: np.ndarray) -> np.ndarray | None:
+        """Boolean keep-mask over ``ids`` vs the sorted tombstone array,
+        or None when there are no tombstones.  The pos>=size clamp-to-0
+        is sound only because searchsorted-left guarantees a clamped id
+        is greater than every tombstone (so != tombstones[0]) — this
+        helper exists to carry that invariant in ONE place (several
+        older inline copies of the idiom predate it)."""
+        if not self._tombstones.size:
+            return None
+        pos = np.searchsorted(self._tombstones, ids)
+        pos[pos >= self._tombstones.size] = 0
+        return self._tombstones[pos] != ids
+
+    def term_postings_many(
+        self, terms: list[str]
+    ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """Batch form of :meth:`term_postings` (one call per query, not
+        per term — the sharded duck-type turns this into ONE scatter)."""
+        return {t: self.term_postings(t) for t in terms}
 
     def match_count(
         self,

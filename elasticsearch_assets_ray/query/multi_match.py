@@ -171,11 +171,15 @@ def combined_fields(
             )
     terms = sorted(set(tokenize_text(query)))
     avgdl_c = sum(w[f] * searchers[f].avgdl for f in fields)
+    # batched stats + postings: ONE term_dfs and ONE postings fetch per
+    # FIELD (a scatter each on the sharded duck-type), never per term
+    dfs = {f: searchers[f].term_dfs(terms) for f in fields}
+    posts = {f: searchers[f].term_postings_many(terms) for f in fields}
     per_term = []
     union: list[np.ndarray] = []
     for t in terms:
-        plist = {f: searchers[f].term_postings(t) for f in fields}
-        df_blend = max(searchers[f].term_dfs([t]).get(t, 0) for f in fields)
+        plist = {f: posts[f][t] for f in fields}
+        df_blend = max(dfs[f].get(t, 0) for f in fields)
         per_term.append((t, df_blend, plist))
         union.extend(p[0] for p in plist.values())
     empty = pa.table(
@@ -204,10 +208,6 @@ def combined_fields(
         scores[m] += idf_t * bm25.tf_saturation(tf_c[m], dl_c[m], avgdl_c)
     hit = scores > 0
     ids, sc = cand[hit], scores[hit]
-    if ids.size > k:
-        sel = np.lexsort((ids, -sc))[:k]
-        ids, sc = ids[sel], sc[sel]
-    else:
-        sel = np.lexsort((ids, -sc))
-        ids, sc = ids[sel], sc[sel]
+    sel = np.lexsort((ids, -sc))[:k]
+    ids, sc = ids[sel], sc[sel]
     return pa.table({"doc_id": pa.array(_orig_map(s0, ids)), "score": pa.array(sc)})

@@ -172,12 +172,15 @@ def change_point(t: pa.Table, col: str) -> dict:
     subset, documented as such).
 
     Exactness contract: the series values are integers, prefix sums are
-    exact Python ints, and the per-split SSE uses ONE pinned float
-    expression ``(ql - (sl*sl)/nl) + (qr - (sr*sr)/nr)`` whose SQL twin
-    is written operator-for-operator, so the argmin (ties → smallest
-    split index) reproduces bit-for-bit.  Needs ≥ 4 buckets (ES requires
-    22 for its p-value machinery; the detector itself needs only a
-    2-bucket segment on each side).
+    exact Python ints, and the per-split SSE uses ONE pinned DOUBLE
+    expression ``(ql - (sl·sl)/nl) + (qr - (sr·sr)/nr)`` — every operand
+    converted to float64 FIRST (``float(sl) * float(sl)``), matching the
+    SQL twin's CAST(… AS DOUBLE) arithmetic at every magnitude.  (A
+    Python int·int/int would stay exact past 2^53 where the double twin
+    rounds, silently flipping near-tie argmins at large daily counts.)
+    Ties → smallest split index.  Needs ≥ 4 buckets (ES requires 22 for
+    its p-value machinery; the detector itself needs only a 2-bucket
+    segment on each side).
 
     Returns {index (1-based, first bucket of the NEW regime),
     score (SSE reduction vs no split)}.
@@ -194,10 +197,12 @@ def change_point(t: pa.Table, col: str) -> dict:
     s_tot, q_tot = cum[-1], cumsq[-1]
     best_t, best_sse = None, None
     for split in range(1, n):
-        sl, ql, nl = cum[split], cumsq[split], split
-        sr, qr, nr = s_tot - sl, q_tot - ql, n - split
+        sl, ql, nl = float(cum[split]), float(cumsq[split]), float(split)
+        sr = float(s_tot) - sl
+        qr = float(q_tot) - ql
+        nr = float(n - split)
         sse = (ql - (sl * sl) / nl) + (qr - (sr * sr) / nr)
         if best_sse is None or sse < best_sse:
             best_t, best_sse = split, sse
-    sse0 = q_tot - (s_tot * s_tot) / n
+    sse0 = float(q_tot) - (float(s_tot) * float(s_tot)) / float(n)
     return {"index": best_t + 1, "score": sse0 - best_sse}

@@ -275,6 +275,10 @@ class ShardWorker:
         fetch leg of distributed combined_fields."""
         return self.s.term_postings(term)
 
+    def terms_postings(self, terms: list[str]):
+        """Batch fetch leg: every query term in one actor call."""
+        return [self.s.term_postings(t) for t in terms]
+
     def doclens(self, docids: np.ndarray) -> np.ndarray:
         return self.s.doclens_for(np.asarray(docids, dtype=np.int64))
 
@@ -593,21 +597,46 @@ class ShardedSearcher:
     def term_postings(self, term: str):
         """Scatter-gathered raw postings: ranges are ordered disjoint doc
         partitions, so the range-ordered concat is globally sorted."""
-        parts = self._gather("term_postings", term)
-        ids = np.concatenate([p[0] for p in parts])
-        tf = np.concatenate([p[1] for p in parts])
-        return ids.astype(np.int64), tf.astype(np.float64)
+        return self.term_postings_many([term])[term]
+
+    def term_postings_many(
+        self, terms: list[str]
+    ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """ALL query terms in ONE scatter (one actor call per shard)."""
+        per_shard = self._gather("terms_postings", terms)
+        out = {}
+        for i, t in enumerate(terms):
+            ids = np.concatenate([p[i][0] for p in per_shard])
+            tf = np.concatenate([p[i][1] for p in per_shard])
+            out[t] = (ids.astype(np.int64), tf.astype(np.float64))
+        return out
 
     def doclens_for(self, docids: np.ndarray) -> np.ndarray:
         """Routed doclens: each id's owning range shard answers (the
-        fetch-phase analog of the routed hydrate)."""
+        fetch-phase analog of the routed hydrate).  All shard calls are
+        submitted before any result is awaited — one round-trip, not
+        n_shards sequential ones."""
         docids = np.asarray(docids, dtype=np.int64)
         out = np.empty(docids.size, dtype=np.int64)
         owner = self._owners(docids)
-        for i in range(self.n_shards):
-            sel = np.flatnonzero(owner == i)
-            if sel.size:
-                out[sel] = self._gather_one(i, "doclens", docids[sel])
+        sels = [np.flatnonzero(owner == i) for i in range(self.n_shards)]
+        if self.use_actors:
+            import ray
+
+            futs = [
+                self.shards[i].doclens.remote(docids[sel])
+                for i, sel in enumerate(sels)
+                if sel.size
+            ]
+            parts = ray.get(futs)
+        else:
+            parts = [
+                self.shards[i].doclens(docids[sel])
+                for i, sel in enumerate(sels)
+                if sel.size
+            ]
+        for sel, part in zip((s for s in sels if s.size), parts):
+            out[sel] = part
         return out
 
     # ---------- distributed operations ----------
@@ -944,17 +973,12 @@ class ShardedSearcher:
     ) -> pa.Table:
         """ES top_metrics, scatter-gathered: exact sort merge (the
         sort_by_field comparator) + the routed hydrate for the winners'
-        metric columns."""
-        t = self.sort_by_field(
-            query, sort_field, k=size, desc=desc,
-            minimum_should_match=minimum_should_match,
+        metric columns (shared body: engine.top_metrics_impl)."""
+        from elasticsearch_assets_ray.query.engine import top_metrics_impl
+
+        return top_metrics_impl(
+            self, query, sort_field, metrics, size, desc, minimum_should_match
         )
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cols: dict = {"doc_id": t["doc_id"], "sort_value": t["value"]}
-        h = self.hydrate(ids, columns=["doc_id", *metrics])
-        for m in metrics:
-            cols[m] = h[m]
-        return pa.table(cols)
 
     def knn(
         self,

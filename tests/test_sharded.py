@@ -1117,3 +1117,16 @@ def test_script_score_parity_and_negative_guard(single, sharded):
         single.script_score("def load", "doc_len", lambda sc, v, p: sc - 1e9, k=5)
     with pytest.raises(KeyError):
         single.script_score("def load", "doc_len", "no_such_script", k=5)
+
+
+def test_script_score_rejects_non_finite(single):
+    """NaN/inf script outputs must raise, not flow into rankings (a
+    min()-only guard lets NaN through: nan < 0 is False)."""
+    with pytest.raises(ValueError, match="non-finite"):
+        single.script_score(
+            "def load", "doc_len", lambda sc, v, p: sc * np.nan, k=5
+        )
+    with pytest.raises(ValueError, match="non-finite"):
+        single.script_score(
+            "def load", "doc_len", lambda sc, v, p: sc + np.inf, k=5
+        )
