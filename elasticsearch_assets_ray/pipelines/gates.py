@@ -174,6 +174,46 @@ def g_top_orders(sf_dir: str) -> pa.Table:
     )
 
 
+def g_neardup_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup clustering (MinHash components) + ExactSubstr dedup
+    (Lee et al. duplicated-substring REMOVAL) over the same
+    planted-duplicate corpus, on one (gate, doc_id, k2, v2, info)
+    schema: clusters → (canonical_id, keep, ''), exact_substr →
+    (n_tokens, n_removed, clean_text)."""
+    cl = _to_table(R.QUERIES["neardup_clusters"](sf_dir))
+    es = _to_table(R.QUERIES["exact_substr"](sf_dir))
+    return pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "gate": pa.array(["clusters"] * cl.num_rows, pa.string()),
+                    "doc_id": cl["doc_id"].cast(pa.int64()),
+                    "k2": cl["canonical_id"].cast(pa.int64()),
+                    "v2": cl["keep"].cast(pa.int64()),
+                    "info": pa.array([""] * cl.num_rows, pa.string()),
+                }
+            ),
+            pa.table(
+                {
+                    "gate": pa.array(["exact_substr"] * es.num_rows, pa.string()),
+                    "doc_id": es["doc_id"].cast(pa.int64()),
+                    "k2": es["n_tokens"].cast(pa.int64()),
+                    "v2": es["n_removed"].cast(pa.int64()),
+                    "info": es["clean_text"].cast(pa.string()),
+                }
+            ),
+        ]
+    )
+
+
+_NEARDUP_CLUSTERS_SQL = (
+    "SELECT 'clusters' AS gate, doc_id, canonical_id AS k2, "
+    "CAST(keep AS BIGINT) AS v2, '' AS info FROM ({cl}) "
+    "UNION ALL SELECT 'exact_substr' AS gate, doc_id, n_tokens AS k2, "
+    "n_removed AS v2, clean_text AS info FROM ({es})"
+)
+
+
 _TOP_ORDERS_SQL = (
     "SELECT 'orders' AS gate, o_orderkey AS key, o_custkey AS k2, "
     "o_totalprice AS value_r FROM ({orders}) "
@@ -723,7 +763,6 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "tpch_q1",
         "revenue_by_segment",
         "exact_dedup",
-        "neardup_clusters",
         "lang_stats",
         "embedding_topk",
         "search_topk",
@@ -750,6 +789,12 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         gates[name] = R.QUERIES[name]
         if name in R.ORACLES:
             oracles[name] = R.ORACLES[name]
+
+    gates["neardup_clusters"] = g_neardup_clusters
+    oracles["neardup_clusters"] = _NEARDUP_CLUSTERS_SQL.format(
+        cl=R.ORACLES["neardup_clusters"],
+        es=R.ORACLES["exact_substr"],
+    )
 
     gates["top_orders"] = g_top_orders
     oracles["top_orders"] = _TOP_ORDERS_SQL.format(

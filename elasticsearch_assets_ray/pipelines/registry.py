@@ -915,6 +915,65 @@ def q_neardup_clusters(sf_dir: str):
     return dedup_ops.neardup_components(pairs, universe)
 
 
+#: shingle width for the ExactSubstr gate (token granularity; Lee et al.
+#: use 50 BPE tokens at production scale — 8 keeps the synthetic corpus's
+#: planted duplicated passages detectable without wiping natural text)
+_EXACT_SUBSTR_K = 8
+
+
+def q_exact_substr(sf_dir: str):
+    """ExactSubstr dedup (Lee et al. 2107.06499): duplicated ≥k-token
+    substrings REMOVED from every doc of the planted-duplicate corpus
+    (documents ∪ mutated head copies share long prefixes — real spans to
+    cut).  Output = per-doc cleaned token stream + removal counts."""
+    out = dedup_ops.exact_substr_dedup(
+        _docs_with_near_dups(sf_dir),
+        text_col="text",
+        id_col="doc_id",
+        k=_EXACT_SUBSTR_K,
+        n_rows_hint=_nrows(sf_dir, "documents") + _NEARDUP_N,
+    )
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
+def _exact_substr_sql() -> str:
+    """Twin of q_exact_substr over the shared near-dup base CTE: same
+    Horner shingles (HUGEINT mod 2^64), same coverage semantics, kept
+    tokens re-joined with ' ' in position order."""
+    from elasticsearch_assets_ray.pipelines import oracles_hard as _oh
+
+    k = _EXACT_SUBSTR_K
+    expr = "TH[i]"
+    for p in range(1, k):
+        expr = f"({expr} * {_oh.FNV} + TH[i+{p}]) % {_oh.M64}"
+    return (
+        f"WITH {_oh._near_dup_base_cte(_NEARDUP_N)}, "
+        "tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS L "
+        "FROM base), "
+        f"thl AS (SELECT doc_id, L, list_transform(L, t -> {_oh._horner('t')}) AS TH "
+        "FROM tl), "
+        "sp AS (SELECT doc_id, unnest(ps) AS p, unnest(shs) AS sh FROM ("
+        f"  SELECT doc_id, CASE WHEN len(TH) >= {k} THEN range(1, len(TH) - {k} + 2) "
+        "   ELSE CAST([] AS BIGINT[]) END AS ps, "
+        f"  CASE WHEN len(TH) >= {k} THEN list_transform(range(1, len(TH) - {k} + 2), "
+        f"   i -> {expr}) ELSE CAST([] AS HUGEINT[]) END AS shs FROM thl)), "
+        "cnt AS (SELECT sh, count(*) AS c FROM sp GROUP BY sh), "
+        "dup AS (SELECT sp.doc_id, sp.p FROM sp JOIN cnt USING (sh) WHERE c >= 2), "
+        "tok AS (SELECT doc_id, unnest(L) AS tok, "
+        "  unnest(range(1, len(L) + 1)) AS i FROM tl), "
+        "rem AS (SELECT DISTINCT t.doc_id, t.i FROM tok t JOIN dup d "
+        f"  ON d.doc_id = t.doc_id AND t.i BETWEEN d.p AND d.p + {k} - 1), "
+        "kept AS (SELECT t.doc_id, t.i, t.tok FROM tok t LEFT JOIN rem r "
+        "  ON r.doc_id = t.doc_id AND r.i = t.i WHERE r.i IS NULL), "
+        "ka AS (SELECT doc_id, count(*) AS kc, "
+        "  string_agg(tok, ' ' ORDER BY i) AS txt FROM kept GROUP BY doc_id) "
+        "SELECT th.doc_id, len(th.TH) AS n_tokens, "
+        "len(th.TH) - coalesce(ka.kc, 0) AS n_removed, "
+        "coalesce(ka.txt, '') AS clean_text "
+        "FROM thl th LEFT JOIN ka ON ka.doc_id = th.doc_id ORDER BY th.doc_id"
+    )
+
+
 def q_simhash_pairs(sf_dir: str):
     ds = _docs_with_near_dups(sf_dir)
     return dedup_ops.simhash_near_dups(
@@ -6509,6 +6568,7 @@ ORACLES.update(
     {
         "fingerprint": _oh.fingerprint_sql(),
         "dup_span_stats": _oh.dup_span_stats_sql(),
+        "exact_substr": _exact_substr_sql(),
     "collapse_inner": _collapse_inner_sql(5, 3),
     "ingest_events": (
         "SELECT user_id, event_id, "
@@ -6602,6 +6662,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "ngram_pairs": q_ngram_pairs,
     "neardup_clusters": q_neardup_clusters,
+    "exact_substr": q_exact_substr,
     "simhash_pairs": q_simhash_pairs,
     "token_stats": q_token_stats,
     "quality_stats": q_quality_stats,

@@ -115,9 +115,11 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _token_lists(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    """(flat token hash array uint64, offsets) for lowercase [a-z0-9]+
-    tokens of each row."""
+def _token_lists_full(
+    col: pa.Array | pa.ChunkedArray,
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """(kept token strings, flat token hash array uint64, offsets) for
+    lowercase [a-z0-9]+ tokens of each row."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     toks = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z0-9]+")
@@ -133,6 +135,13 @@ def _token_lists(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarra
     # rebuild offsets over kept tokens
     counts = np.bincount(doc_idx, minlength=n)
     new_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    return vals, th, new_off
+
+
+def _token_lists(col: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token hash array uint64, offsets) for lowercase [a-z0-9]+
+    tokens of each row."""
+    _vals, th, new_off = _token_lists_full(col)
     return th, new_off
 
 
@@ -944,27 +953,29 @@ def ngram_jaccard_pairs(
 
 def _position_shingles(
     tok_hash: np.ndarray, offsets: np.ndarray, k: int
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-POSITION k-token shingle hashes with multiplicity (one shingle
     per starting position; docs shorter than k tokens contribute none) —
     unlike :func:`_shingle_hashes` there is no within-doc dedup and no
     short-doc clamping, because span statistics count positions.
-    Returns (doc_idx int64, shingle uint64), both length Σ max(len-k+1, 0)."""
+    Returns (doc_idx int64, shingle uint64, doc-local start position
+    int64), each of length Σ max(len-k+1, 0)."""
     n = len(offsets) - 1
     lens = np.diff(offsets)
     m = np.maximum(lens - k + 1, 0).astype(np.int64)
     total = int(m.sum())
     if total == 0:
         e = np.empty(0, dtype=np.int64)
-        return e, np.empty(0, dtype=np.uint64)
+        return e, np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     doc_of = np.repeat(np.arange(n, dtype=np.int64), m)
     cum = np.concatenate(([0], np.cumsum(m)))
-    starts = offsets[:-1][doc_of] + (np.arange(total, dtype=np.int64) - cum[doc_of])
+    local = np.arange(total, dtype=np.int64) - cum[doc_of]
+    starts = offsets[:-1][doc_of] + local
     B = np.uint64(1099511628211)
     sh = np.zeros(total, dtype=np.uint64)
     for p in range(k):
         sh = sh * B + tok_hash[starts + p]
-    return doc_of, sh
+    return doc_of, sh, local
 
 
 def duplicated_span_stats(
@@ -996,7 +1007,7 @@ def duplicated_span_stats(
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         th, off = _token_lists(batch[text_col])
-        doc_of, sh = _position_shingles(th, off, k)
+        doc_of, sh, _pos = _position_shingles(th, off, k)
         if sh.size == 0:
             return pa.table(
                 {"grp": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
@@ -1046,4 +1057,143 @@ def duplicated_span_stats(
             AggSpec("distinct_dup_ngrams", "distinct_dup_ngrams", "sum"),
         ],
         n_groups=nb,
+    )
+
+
+def exact_substr_dedup(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    n_rows_hint: int | None = None,
+) -> ray.data.Dataset:
+    """ExactSubstr deduplication (Lee et al., arXiv:2107.06499 §4.1):
+    remove from every document each token covered by a k-token window
+    whose shingle occurs ≥ 2 times ANYWHERE in the corpus (any doc, any
+    position — including elsewhere in the same doc), i.e. delete every
+    duplicated substring of ≥ k tokens at k-token granularity.  The
+    paper scans a suffix array; this is the same relation re-expressed
+    Ray-Data-first as an inverted shingle exchange.
+
+    Output rows: (doc_id, n_tokens, n_removed, clean_text) for EVERY
+    input doc, where clean_text is the kept TOKEN stream joined by ' '
+    (token-space normalization — lowercased, punctuation-split — which
+    the SQL twin mirrors exactly).
+
+    Scale shape — two bounded exchanges, no join:
+    1. map_batches: per-position shingles (the token-sized relation the
+       algorithm fundamentally needs — the cost class of the suffix
+       array it replaces);
+    2. groupby(shingle % nb).map_groups: positions whose shingle is
+       corpus-duplicated → (doc_id, pos) rows, ≤ duplicated positions;
+    3. docs ∪ dup-positions tagged union, ONE groupby(hash(doc_id) % nb)
+       cogroup, vectorized difference-array coverage + Arrow list
+       rebuild per coarse group — the text crosses the wire exactly
+       once, and no groupby output ever feeds a Dataset.join (the
+       zero-column empty-block hazard).
+    """
+    nb = dynamic_n_groups(n_rows_hint)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        th, off = _token_lists(batch[text_col])
+        doc_of, sh, pos = _position_shingles(th, off, k)
+        return pa.table(
+            {
+                "grp": pa.array((sh % np.uint64(nb)).astype(np.int64)),
+                "doc_id": pa.array(ids[doc_of]),
+                "sh": pa.array(sh),
+                "pos": pa.array(pos),
+            }
+        )
+
+    def keep_dup_positions(group: pa.Table) -> pa.Table:
+        sh = group["sh"].to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = group["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(sh, kind="stable")
+        sh, doc, pos = sh[order], doc[order], pos[order]
+        first = np.concatenate(([True], sh[1:] != sh[:-1]))
+        idx = np.flatnonzero(first)
+        totals = np.diff(np.concatenate((idx, [sh.size])))
+        dup = (totals >= 2)[np.cumsum(first) - 1]
+        return pa.table({"doc_id": pa.array(doc[dup]), "pos": pa.array(pos[dup])})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    dup_pos = exploded.groupby("grp").map_groups(
+        lambda g: keep_dup_positions(g.drop_columns(["grp", ])),
+        batch_format="pyarrow",
+    )
+
+    docs_tagged = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b[id_col].cast(pa.int64()),
+                "text": b[text_col],
+                "pos": pa.nulls(b.num_rows, pa.int64()).fill_null(-1),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    dups_tagged = dup_pos.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": pa.nulls(b.num_rows, pa.string()),
+                "pos": b["pos"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    unioned = docs_tagged.union(dups_tagged)
+
+    from elasticsearch_assets_ray.stages.relational import key_group_column
+
+    with_grp = unioned.map_batches(
+        lambda b: b.append_column("__grp", key_group_column(b, ["doc_id"], nb)),
+        batch_format="pyarrow",
+    )
+
+    def clean(group: pa.Table) -> pa.Table:
+        pos_all = group["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_doc = pos_all < 0
+        docs = group.filter(pa.array(is_doc))
+        ids_d = docs["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sort_d = np.argsort(ids_d, kind="stable")
+        ids_d = ids_d[sort_d]
+        texts = docs["text"].combine_chunks().take(pa.array(sort_d, pa.int64()))
+        vals, _th, off = _token_lists_full(texts)
+        total = int(off[-1])
+        ids_p = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[~is_doc]
+        pos_p = pos_all[~is_doc]
+        row = np.searchsorted(ids_d, ids_p)
+        # difference-array interval coverage: dup start p covers tokens
+        # [p, p+k-1] (p+k <= doc len by shingle construction)
+        arr = np.zeros(total + 1, dtype=np.int64)
+        lo = off[:-1][row] + pos_p
+        np.add.at(arr, lo, 1)
+        np.add.at(arr, lo + k, -1)
+        covered = np.cumsum(arr[:-1]) > 0
+        keep = ~covered
+        cumk = np.concatenate(([0], np.cumsum(keep.astype(np.int64))))
+        kept_per_doc = cumk[off[1:]] - cumk[off[:-1]]
+        new_off = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        kept_vals = vals.filter(pa.array(keep))
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_off, pa.int32()), kept_vals.combine_chunks()
+            if isinstance(kept_vals, pa.ChunkedArray) else kept_vals
+        )
+        n_tokens = np.diff(off)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_d),
+                "n_tokens": pa.array(n_tokens.astype(np.int64)),
+                "n_removed": pa.array((n_tokens - kept_per_doc).astype(np.int64)),
+                "clean_text": pc.binary_join(lst, pa.scalar(" ")),
+            }
+        )
+
+    return with_grp.groupby("__grp").map_groups(
+        lambda g: clean(g.drop_columns(["__grp"])), batch_format="pyarrow"
     )

@@ -328,3 +328,73 @@ def test_duplicated_span_stats_brute_force(ray_session):
     assert got == expect
     assert 2 in got and got[2] == (2, 1)  # within-doc repeat counts both positions
     assert 4 not in got and 3 not in got
+
+
+def test_exact_substr_dedup_semantics():
+    """Duplicated >= k-token substrings removed everywhere; unique text
+    survives; within-doc repeats count too."""
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.dedup import exact_substr_dedup
+
+    shared = "one two three four"  # 4-token span duplicated across docs
+    t = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                f"alpha {shared} beta",
+                f"gamma delta {shared}",
+                "totally unique words here",
+                # within-doc repeat: the span appears twice in ONE doc
+                f"{shared} filler {shared}",
+            ],
+        }
+    )
+    out = (
+        pa.concat_tables(
+            list(
+                exact_substr_dedup(
+                    ray.data.from_arrow(t).repartition(2), k=4
+                ).iter_batches(batch_format="pyarrow")
+            )
+        )
+        .sort_by([("doc_id", "ascending")])
+        .to_pydict()
+    )
+    assert out["clean_text"] == [
+        "alpha beta",
+        "gamma delta",
+        "totally unique words here",
+        "filler",
+    ]
+    assert out["n_tokens"] == [6, 6, 4, 9]
+    assert out["n_removed"] == [4, 4, 0, 8]
+
+
+def test_exact_substr_overlapping_spans_merge():
+    """Overlapping duplicated windows cover their union, not 2k tokens."""
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.dedup import exact_substr_dedup
+
+    # docs share a 5-token run -> two overlapping 4-shingles; coverage is
+    # exactly the 5 shared tokens in each doc
+    t = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": ["x a b c d e y", "z a b c d e w"],
+        }
+    )
+    out = (
+        pa.concat_tables(
+            list(
+                exact_substr_dedup(
+                    ray.data.from_arrow(t), k=4
+                ).iter_batches(batch_format="pyarrow")
+            )
+        )
+        .sort_by([("doc_id", "ascending")])
+        .to_pydict()
+    )
+    assert out["clean_text"] == ["x y", "z w"]
+    assert out["n_removed"] == [5, 5]
