@@ -597,6 +597,8 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(_proj("change_point", cp, "cp_day", "cp_index", "score_r"))
     fis = _to_table(R.QUERIES["frequent_item_sets"](sf_dir))
     tabs.append(_proj("item_sets", fis, "itemset", "support", "size"))
+    rs = _to_table(R.QUERIES["random_sampler"](sf_dir))
+    tabs.append(_proj("random_sampler", rs, "p0.2", "n_sampled", "sum_nchars"))
     gcb = _to_table(R.QUERIES["geo_centroid"](sf_dir))
     tabs.append(_proj("geo_cb", gcb, "metric", 0, "value_r"))
     # pipeline aggs: the part column is its own sub-discriminator
@@ -716,6 +718,11 @@ AGG_SUITE_SQL_PARTS = [
         "itemset AS value, support AS count, CAST(size AS DOUBLE) AS metric_r",
         "frequent_item_sets",
     ),
+    (
+        "random_sampler",
+        "'p0.2' AS value, n_sampled AS count, CAST(sum_nchars AS DOUBLE) AS metric_r",
+        "random_sampler",
+    ),
     ("geo_cb", "metric AS value, 0 AS count, value_r AS metric_r", "geo_centroid"),
 ]
 
@@ -728,6 +735,7 @@ def g_embedding_ann(sf_dir: str) -> pa.Table:
             ("ivf", "embedding_ivf_topk"),
             ("pq", "embedding_pq_topk"),
             ("knn", "embedding_knn"),
+            ("knn_sim", "embedding_knn_sim"),
             ("knn_filtered", "embedding_knn_filtered"),
         ],
         ["query_id", "vec_id", "rank", "sim_r"],
@@ -1147,6 +1155,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("ivf", None, "embedding_ivf_topk"),
             ("pq", None, "embedding_pq_topk"),
             ("knn", None, "embedding_knn"),
+            ("knn_sim", None, "embedding_knn_sim"),
             ("knn_filtered", None, "embedding_knn_filtered"),
         ],
         "query_id, vec_id, rank, sim_r",

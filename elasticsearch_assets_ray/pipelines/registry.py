@@ -987,6 +987,56 @@ def q_simhash_pairs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+_RANDOM_SAMPLER_P = 0.2
+_RANDOM_SAMPLER_SALT = "rnds"
+
+
+def q_random_sampler(sf_dir: str):
+    """ES ``random_sampler`` aggregation: deterministic probability-p
+    hash sample (splitmix64(horner(id:salt)) < p·2^64, the engine-wide
+    sampling primitive) with metrics over the sample — a map_batches
+    filter + combiner-first aggregation; sampled rows never leave the
+    workers."""
+    from elasticsearch_assets_ray.stages.sampling import _threshold, id_hash
+
+    thr = _threshold(_RANDOM_SAMPLER_P)
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def samp(b: pa.Table) -> pa.Table:
+        h = id_hash(b["doc_id"], _RANDOM_SAMPLER_SALT)
+        t = b.filter(pa.array(h < thr))
+        return pa.table(
+            {
+                "k": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+                "n_chars": t["n_chars"],
+            }
+        )
+
+    agg = partial_agg(
+        ds.map_batches(samp, batch_format="pyarrow"),
+        ["k"],
+        [
+            AggSpec("n_sampled", "n_chars", "count"),
+            AggSpec("sum_nchars", "n_chars", "sum"),
+        ],
+        distinct_hint=1,
+    )
+    t = _collect(agg)
+    return t.drop_columns(["k"])
+
+
+def _random_sampler_sql() -> str:
+    from elasticsearch_assets_ray.pipelines import oracles_hard as _oh
+    from elasticsearch_assets_ray.stages.sampling import _threshold
+
+    thr = int(_threshold(_RANDOM_SAMPLER_P))
+    return (
+        f"WITH {_oh._id_hash_ctes(_RANDOM_SAMPLER_SALT, ', n_chars')} "
+        "SELECT count(*)::BIGINT AS n_sampled, sum(n_chars)::BIGINT AS sum_nchars "
+        f"FROM hh WHERE h < CAST('{thr}' AS HUGEINT)"
+    )
+
+
 def q_token_stats(sf_dir: str):
     ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(lambda b: textstats.token_stats(b, "text"), batch_format="pyarrow")
@@ -1234,6 +1284,29 @@ def q_embedding_knn(sf_dir: str):
         }
     )
     return _rerank_rounded(res, 1)
+
+
+#: ES knn `similarity` cutoff for the gate (cuts inside the probes' top-10)
+_KNN_SIM_THRESHOLD = 0.29
+
+
+def q_embedding_knn_sim(sf_dir: str):
+    """ES kNN with the ``similarity`` cutoff: top-10 per planted probe,
+    hits below round9(sim) ≥ threshold dropped (a per-row predicate —
+    identical through the scatter-gather merge)."""
+    qids, qvecs = _probe_vectors(sf_dir)
+    idx = _vectors_attached_index(sf_dir)
+    sh = sharded_searcher(idx)
+    res = sh.knn(qids, qvecs, k=10, similarity=_KNN_SIM_THRESHOLD)
+    ids = res["doc_id"].to_numpy(zero_copy_only=False)
+    res = pa.table(
+        {
+            "query_id": res["query_id"],
+            "vec_id": pa.array(_orig_ids(sh.coord, ids)),
+            "sim": res["sim"],
+        }
+    )
+    return _rerank_rounded(res, 10)
 
 
 def q_embedding_knn_filtered(sf_dir: str):
@@ -4366,7 +4439,9 @@ QUALIFY rank + {(page - 1) * k} <= {page * k}
 """
 
 
-def _cosine_probe_sql(k: int, filter_term: str | None = None) -> str:
+def _cosine_probe_sql(
+    k: int, filter_term: str | None = None, min_sim: float | None = None
+) -> str:
     """THE planted-probe cosine top-k oracle, shared by every ANN gate
     (LSH / IVF / PQ / index-resident kNN) so the probe construction
     lives in ONE place; ``filter_term`` restricts candidates to docs
@@ -4389,7 +4464,10 @@ def _cosine_probe_sql(k: int, filter_term: str | None = None) -> str:
         "SELECT query_id, vec_id, "
         " row_number() OVER (PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id) AS rank, "
         " round(sim, 6) AS sim_r "
-        f"FROM s QUALIFY rank <= {k}"
+        # the similarity cutoff keeps a PREFIX of the ranking, so
+        # WHERE-before-window yields identical survivor ranks
+        + (f"FROM s WHERE round(sim, 9) >= {min_sim!r} " if min_sim is not None else "FROM s ")
+        + f"QUALIFY rank <= {k}"
     )
 
 
@@ -5904,6 +5982,7 @@ ORACLES: dict[str, str] = {
     ),
     "embedding_lsh_topk": _cosine_probe_sql(1),
     "embedding_knn": _cosine_probe_sql(1),
+    "embedding_knn_sim": _cosine_probe_sql(10, min_sim=_KNN_SIM_THRESHOLD),
     "embedding_knn_filtered": _cosine_probe_sql(3, filter_term="data"),
     "embedding_pq_topk": _cosine_probe_sql(1),
     "embedding_ivf_topk": _cosine_probe_sql(1),
@@ -5998,6 +6077,7 @@ ORACLES: dict[str, str] = {
     "top_metrics_agg": _top_metrics_sql(),
     "change_point": _change_point_sql(),
     "frequent_item_sets": _frequent_item_sets_sql(),
+    "random_sampler": _random_sampler_sql(),
     "cardinality_agg": _cardinality_sql(),
     "search_synonyms": _synonym_sql(SEARCH_K),
     "decay_score": _decay_sql(SEARCH_K),
@@ -6674,6 +6754,7 @@ QUERIES = {
     "embedding_ivf_topk": q_embedding_ivf_topk,
     "embedding_pq_topk": q_embedding_pq_topk,
     "embedding_knn": q_embedding_knn,
+    "embedding_knn_sim": q_embedding_knn_sim,
     "embedding_knn_filtered": q_embedding_knn_filtered,
     "embedding_dedup": q_embedding_dedup,
     "search_topk": q_search_topk,
@@ -6698,6 +6779,7 @@ QUERIES = {
     "random_score": q_random_score,
     "update_by_query": q_update_by_query,
     "sampler_agg": q_sampler_agg,
+    "random_sampler": q_random_sampler,
     "diversified_sampler": q_diversified_sampler,
     "scripted_metric": q_scripted_metric,
     "runtime_sort": q_runtime_sort,

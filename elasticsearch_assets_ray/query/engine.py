@@ -195,6 +195,18 @@ def decay_sql_expr(
     raise ValueError(f"unknown decay kind {kind!r}")
 
 
+def knn_similarity_cut(t: pa.Table, similarity: float | None) -> pa.Table:
+    """ES knn ``similarity`` cutoff: drop hits with round9(sim) below it.
+    Rows are already (round9 desc, docID) ranked, so survivors are a
+    per-query PREFIX and the existing rank values stay contiguous."""
+    if similarity is None or t.num_rows == 0:
+        return t
+    from elasticsearch_assets_ray.query import bm25 as _bm25
+
+    r9 = _bm25.round_half_up(t["sim"].to_numpy(zero_copy_only=False), 9)
+    return t.filter(pa.array(r9 >= similarity))
+
+
 def knn_rank(q: np.ndarray, d: np.ndarray, s: np.ndarray, k: int) -> pa.Table:
     """THE kNN ranking comparator, shared by the single searcher and the
     sharded coordinator (exact merge: the doc space is partitioned, so
@@ -2694,21 +2706,26 @@ class Searcher:
         k: int = 10,
         filter_query: str | ParsedQuery | None = None,
         minimum_should_match: int = 0,
+        similarity: float | None = None,
     ) -> pa.Table:
         """ES ``knn`` search served FROM the index (exact mode): cosine
         top-k per query over the sidecar vectors attached by
         index/vectors.py, restricted to this searcher's docID range.
         ``filter_query`` is ES kNN pre-filtering — the candidate set is
         the SCORE-FREE match set of the filter (Searcher.match_ids), so
-        filtered kNN never runs BM25 arithmetic.  Returns (query_id,
-        doc_id, rank, sim) ranked by the engine-wide (round9 desc, docID
-        asc) contract; raw cosine in ``sim``."""
+        filtered kNN never runs BM25 arithmetic.  ``similarity`` is ES's
+        minimum-cosine cutoff: hits below it are dropped (compared on
+        round9(sim), the ranking contract, so the cutoff can't flip on
+        engine-vs-oracle ulps).  Returns (query_id, doc_id, rank, sim)
+        ranked by the engine-wide (round9 desc, docID asc) contract; raw
+        cosine in ``sim``."""
         qf = None
         if filter_query is not None:
             qf = parse_query(filter_query) if isinstance(filter_query, str) else filter_query
             qf = self._apply_msm(qf, minimum_should_match)
             qf = self._rewrite_prefixes(qf)
-        return self.knn_prepared(query_ids, query_vecs, k, qf, None)
+        res = self.knn_prepared(query_ids, query_vecs, k, qf, None)
+        return knn_similarity_cut(res, similarity)
 
     def knn_prepared(
         self,

@@ -987,13 +987,18 @@ class ShardedSearcher:
         k: int = 10,
         filter_query: str | ParsedQuery | None = None,
         minimum_should_match: int = 0,
+        similarity: float | None = None,
     ) -> pa.Table:
         """ES knn search, scatter-gathered: each shard runs exact cosine
         over ITS resident vector parts (index/vectors.py sidecar) and
         returns a local top-k; the coordinator re-ranks with the SAME
         comparator (knn_rank) — exact because the shards partition the
         doc space.  ``filter_query`` is prepared ONCE on the coordinator
-        (rewrites + expansion caps), membership stays shard-local."""
+        (rewrites + expansion caps), membership stays shard-local; the
+        ``similarity`` cutoff is a per-row predicate, applied once after
+        the merge (same result as per-shard)."""
+        from elasticsearch_assets_ray.query.engine import knn_similarity_cut
+
         qf, df = None, None
         if filter_query is not None:
             qf, df = self.prepare(filter_query, minimum_should_match)
@@ -1008,11 +1013,14 @@ class ShardedSearcher:
                  "rank": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
             )
         t = pa.concat_tables(parts)
-        return knn_rank(
-            t["query_id"].to_numpy(zero_copy_only=False),
-            t["doc_id"].to_numpy(zero_copy_only=False),
-            t["sim"].to_numpy(zero_copy_only=False),
-            k,
+        return knn_similarity_cut(
+            knn_rank(
+                t["query_id"].to_numpy(zero_copy_only=False),
+                t["doc_id"].to_numpy(zero_copy_only=False),
+                t["sim"].to_numpy(zero_copy_only=False),
+                k,
+            ),
+            similarity,
         )
 
     # ES 8.x rrf retriever over the distributed serving path: reuses the

@@ -212,3 +212,27 @@ def test_attach_rejects_mixed_dims_and_duplicate_keys(built_index, tmp_path, ray
 
     with _pytest.raises(Exception, match="duplicate vector keys"):
         attach_vectors(ray.data.from_arrow(dup), idx, key_col="vid", doc_key="doc_id")
+
+
+def test_knn_similarity_cutoff_prefix():
+    """similarity keeps a per-query PREFIX with contiguous ranks."""
+    import numpy as np
+    import pyarrow as pa
+
+    from elasticsearch_assets_ray.query.engine import knn_similarity_cut
+
+    t = pa.table(
+        {
+            "query_id": [0, 0, 0, 1, 1],
+            "doc_id": [5, 6, 7, 8, 9],
+            "rank": [1, 2, 3, 1, 2],
+            "sim": [0.9, 0.5, 0.1, 0.4, 0.39999999999],
+        }
+    )
+    out = knn_similarity_cut(t, 0.4)
+    # round9 contract: 0.39999999999 rounds to exactly 0.4 -> doc 9 kept
+    assert out["doc_id"].to_pylist() == [5, 6, 8, 9]
+    assert out["rank"].to_pylist() == [1, 2, 1, 2]
+    out3 = knn_similarity_cut(t, 0.45)
+    assert out3["doc_id"].to_pylist() == [5, 6]
+    assert knn_similarity_cut(t, None) is t
