@@ -599,6 +599,8 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(_proj("item_sets", fis, "itemset", "support", "size"))
     rs = _to_table(R.QUERIES["random_sampler"](sf_dir))
     tabs.append(_proj("random_sampler", rs, "p0.2", "n_sampled", "sum_nchars"))
+    tp = _to_table(R.QUERIES["transform_pivot"](sf_dir))
+    tabs.append(_proj("transform", tp, ["event_type", "n"], "revenue_cents", "avg_value"))
     gcb = _to_table(R.QUERIES["geo_centroid"](sf_dir))
     tabs.append(_proj("geo_cb", gcb, "metric", 0, "value_r"))
     # pipeline aggs: the part column is its own sub-discriminator
@@ -722,6 +724,12 @@ AGG_SUITE_SQL_PARTS = [
         "random_sampler",
         "'p0.2' AS value, n_sampled AS count, CAST(sum_nchars AS DOUBLE) AS metric_r",
         "random_sampler",
+    ),
+    (
+        "transform",
+        "event_type || '#' || CAST(n AS VARCHAR) AS value, "
+        "revenue_cents AS count, avg_value AS metric_r",
+        "transform_pivot",
     ),
     ("geo_cb", "metric AS value, 0 AS count, value_r AS metric_r", "geo_centroid"),
 ]

@@ -987,6 +987,51 @@ def q_simhash_pairs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_transform_pivot(sf_dir: str):
+    """ES _transform API (pivot, CONTINUOUS mode): events pivoted to
+    per-event_type (n, revenue, avg) through TWO checkpointed ticks —
+    first the rows before the date midpoint, then the full table (only
+    rows past the checkpoint fold) — proving the associative-partials
+    dest gives bit-identical results to one batch run (the SQL twin is
+    the plain full GROUP BY)."""
+    import shutil
+
+    from elasticsearch_assets_ray.stages.transform import PivotTransform
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    dest = os.path.join("/tmp", "esr_transform_cache", f"{tag}-events-pivot")
+    shutil.rmtree(dest, ignore_errors=True)
+    tr = PivotTransform(
+        dest,
+        ["event_type"],
+        [
+            AggSpec("n", "value", "count"),
+            AggSpec("revenue_cents", "value", "sum_cents"),
+            AggSpec("avg_value", "value", "mean_cents"),
+        ],
+        "ts",
+        distinct_hint=16,
+    )
+    ds = _rd(sf_dir, "events", columns=["event_type", "value", "ts"])
+    mid = pa.scalar(datetime(2024, 1, 15), pa.timestamp("us"))
+    first = ds.map_batches(
+        lambda b: b.filter(pc.less(b["ts"], mid)), batch_format="pyarrow"
+    )
+    tr.tick(first)
+    assert tr.checkpoint() is not None
+    tr.tick(ds)  # continuous: folds ONLY rows past the checkpoint
+    return tr.result().sort_by([("event_type", "ascending")])
+
+
+_TRANSFORM_PIVOT_SQL = (
+    "SELECT event_type, count(*)::BIGINT AS n, "
+    "sum(CAST(round(value * 100) AS BIGINT)) AS revenue_cents, "
+    "(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0) "
+    " / CAST(count(*) AS DOUBLE) AS avg_value "
+    "FROM events GROUP BY event_type ORDER BY event_type"
+)
+
+
 _RANDOM_SAMPLER_P = 0.2
 _RANDOM_SAMPLER_SALT = "rnds"
 
@@ -6078,6 +6123,7 @@ ORACLES: dict[str, str] = {
     "change_point": _change_point_sql(),
     "frequent_item_sets": _frequent_item_sets_sql(),
     "random_sampler": _random_sampler_sql(),
+    "transform_pivot": _TRANSFORM_PIVOT_SQL,
     "cardinality_agg": _cardinality_sql(),
     "search_synonyms": _synonym_sql(SEARCH_K),
     "decay_score": _decay_sql(SEARCH_K),
@@ -6780,6 +6826,7 @@ QUERIES = {
     "update_by_query": q_update_by_query,
     "sampler_agg": q_sampler_agg,
     "random_sampler": q_random_sampler,
+    "transform_pivot": q_transform_pivot,
     "diversified_sampler": q_diversified_sampler,
     "scripted_metric": q_scripted_metric,
     "runtime_sort": q_runtime_sort,
