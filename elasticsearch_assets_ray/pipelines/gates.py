@@ -601,6 +601,27 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(_proj("random_sampler", rs, "p0.2", "n_sampled", "sum_nchars"))
     tp = _to_table(R.QUERIES["transform_pivot"](sf_dir))
     tabs.append(_proj("transform", tp, ["event_type", "n"], "revenue_cents", "avg_value"))
+    dsm = _to_table(R.QUERIES["downsample"](sf_dir))
+    dsm = dsm.set_column(
+        1,
+        "day",
+        pc.strftime(dsm["day"].combine_chunks().cast(pa.timestamp("s")), format="%Y-%m-%d"),
+    )
+    for c in ("vmin", "vmax"):
+        dsm = dsm.set_column(
+            dsm.column_names.index(c),
+            c,
+            pc.cast(
+                pc.round(
+                    pc.multiply(dsm[c].combine_chunks(), pa.scalar(100.0)),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            ),
+        )
+    tabs.append(
+        _proj("downsample", dsm, ["event_type", "day", "n", "vmin", "vmax"], "sum_cents", 0.0)
+    )
     gcb = _to_table(R.QUERIES["geo_centroid"](sf_dir))
     tabs.append(_proj("geo_cb", gcb, "metric", 0, "value_r"))
     # pipeline aggs: the part column is its own sub-discriminator
@@ -730,6 +751,16 @@ AGG_SUITE_SQL_PARTS = [
         "event_type || '#' || CAST(n AS VARCHAR) AS value, "
         "revenue_cents AS count, avg_value AS metric_r",
         "transform_pivot",
+    ),
+    (
+        # vmin/vmax ride as INTEGER cents: double->string formatting is
+        # not portable across engines ("55" vs "55.0")
+        "downsample",
+        "event_type || '#' || strftime(day, '%Y-%m-%d') || '#' || "
+        "CAST(n AS VARCHAR) || '#' || CAST(CAST(round(vmin * 100) AS BIGINT) AS VARCHAR) "
+        "|| '#' || CAST(CAST(round(vmax * 100) AS BIGINT) AS VARCHAR) AS value, "
+        "sum_cents AS count, 0.0 AS metric_r",
+        "downsample",
     ),
     ("geo_cb", "metric AS value, 0 AS count, value_r AS metric_r", "geo_centroid"),
 ]

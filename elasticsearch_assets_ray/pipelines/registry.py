@@ -1032,6 +1032,52 @@ _TRANSFORM_PIVOT_SQL = (
 )
 
 
+def q_downsample(sf_dir: str):
+    """ES ``_downsample`` (TSDB rollup): events rolled up to fixed UTC-day
+    buckets per event_type with the ES downsample metric set
+    (count/min/max/sum) — the PivotTransform machinery with a derived
+    time-bucket group key (a rollup IS a pivot whose key includes the
+    truncated timestamp)."""
+    import shutil
+
+    from elasticsearch_assets_ray.stages.transform import PivotTransform
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    dest = os.path.join("/tmp", "esr_transform_cache", f"{tag}-events-downsample")
+    shutil.rmtree(dest, ignore_errors=True)
+    tr = PivotTransform(
+        dest,
+        ["event_type", "day"],
+        [
+            AggSpec("n", "value", "count"),
+            AggSpec("vmin", "value", "min"),
+            AggSpec("vmax", "value", "max"),
+            AggSpec("sum_cents", "value", "sum_cents"),
+        ],
+        "ts",
+        distinct_hint=5000,
+    )
+    ds = _rd(sf_dir, "events", columns=["event_type", "value", "ts"])
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "day", pc.cast(pc.floor_temporal(b["ts"], unit="day"), pa.timestamp("us"))
+        )
+
+    tr.tick(ds.map_batches(bucketed, batch_format="pyarrow"))
+    return tr.result().sort_by(
+        [("event_type", "ascending"), ("day", "ascending")]
+    )
+
+
+_DOWNSAMPLE_SQL = (
+    "SELECT event_type, date_trunc('day', ts) AS day, count(*)::BIGINT AS n, "
+    "min(value) AS vmin, max(value) AS vmax, "
+    "sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents "
+    "FROM events GROUP BY event_type, day ORDER BY event_type, day"
+)
+
+
 _RANDOM_SAMPLER_P = 0.2
 _RANDOM_SAMPLER_SALT = "rnds"
 
@@ -6124,6 +6170,7 @@ ORACLES: dict[str, str] = {
     "frequent_item_sets": _frequent_item_sets_sql(),
     "random_sampler": _random_sampler_sql(),
     "transform_pivot": _TRANSFORM_PIVOT_SQL,
+    "downsample": _DOWNSAMPLE_SQL,
     "cardinality_agg": _cardinality_sql(),
     "search_synonyms": _synonym_sql(SEARCH_K),
     "decay_score": _decay_sql(SEARCH_K),
@@ -6827,6 +6874,7 @@ QUERIES = {
     "sampler_agg": q_sampler_agg,
     "random_sampler": q_random_sampler,
     "transform_pivot": q_transform_pivot,
+    "downsample": q_downsample,
     "diversified_sampler": q_diversified_sampler,
     "scripted_metric": q_scripted_metric,
     "runtime_sort": q_runtime_sort,
