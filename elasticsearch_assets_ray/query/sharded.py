@@ -275,6 +275,15 @@ class ShardWorker:
         fetch leg of distributed combined_fields."""
         return self.s.term_postings(term)
 
+    def all_scores(self, q: ParsedQuery, df: dict[str, int]) -> pa.Table:
+        """Local FULL match-set scores (the retriever-tree rescorer's
+        secondary gather leg)."""
+        self.s._df_override = df
+        try:
+            return self.s.all_scores_prepared(q, df)
+        finally:
+            self.s._df_override = None
+
     def terms_postings(self, terms: list[str]):
         """Batch fetch leg: every query term in one actor call."""
         return [self.s.term_postings(t) for t in terms]
@@ -593,6 +602,19 @@ class ShardedSearcher:
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         return self.coord.term_dfs(terms)
+
+    def all_scores(self, query: str | ParsedQuery) -> pa.Table:
+        """Scatter-gathered FULL match-set scores: doc spaces are
+        disjoint, so the concat is the exact global match set (used by
+        the retriever-tree rescorer; bit-identical to a single Searcher
+        under the scattered global df)."""
+        q, df = self.prepare(query)
+        parts = [p for p in self._gather("all_scores", q, df) if p.num_rows]
+        if not parts:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        return pa.concat_tables(parts)
 
     def term_postings(self, term: str):
         """Scatter-gathered raw postings: ranges are ordered disjoint doc
