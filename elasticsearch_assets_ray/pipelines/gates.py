@@ -597,6 +597,8 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(_proj("change_point", cp, "cp_day", "cp_index", "score_r"))
     fis = _to_table(R.QUERIES["frequent_item_sets"](sf_dir))
     tabs.append(_proj("item_sets", fis, "itemset", "support", "size"))
+    eq = _to_table(R.QUERIES["eql_funnel"](sf_dir))
+    tabs.append(_proj("eql", eq, ["user_id"], "t_start_us", "span_us"))
     rs = _to_table(R.QUERIES["random_sampler"](sf_dir))
     tabs.append(_proj("random_sampler", rs, "p0.2", "n_sampled", "sum_nchars"))
     tp = _to_table(R.QUERIES["transform_pivot"](sf_dir))
@@ -740,6 +742,12 @@ AGG_SUITE_SQL_PARTS = [
         "item_sets",
         "itemset AS value, support AS count, CAST(size AS DOUBLE) AS metric_r",
         "frequent_item_sets",
+    ),
+    (
+        "eql",
+        "CAST(user_id AS VARCHAR) AS value, t_start_us AS count, "
+        "span_us AS metric_r",
+        "eql_funnel",
     ),
     (
         "random_sampler",

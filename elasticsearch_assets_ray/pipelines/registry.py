@@ -1032,6 +1032,62 @@ _TRANSFORM_PIVOT_SQL = (
 )
 
 
+#: EQL funnel: view -> click -> purchase within 7 days, per user
+_EQL_STEPS = ("view", "click", "purchase")
+_EQL_MAXSPAN_US = 7 * 86_400 * 1_000_000
+
+
+def q_eql_funnel(sf_dir: str):
+    """ES EQL ``sequence by user_id with maxspan=7d [view][click]
+    [purchase]``: earliest span-bounded ordered chain per user (greedy
+    earliest-next is optimal per start — stages/eql.py)."""
+    from elasticsearch_assets_ray.stages.eql import eql_sequence
+
+    ds = _rd(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def step(name: str):
+        return lambda b: pc.equal(b["event_type"], pa.scalar(name))
+
+    t = eql_sequence(
+        ds,
+        [step(n) for n in _EQL_STEPS],
+        key_col="user_id",
+        ts_col="ts",
+        maxspan_us=_EQL_MAXSPAN_US,
+    )
+    return pa.table(
+        {
+            "user_id": t["k"],
+            "t_start_us": t["t_start"],
+            "t_end_us": t["t_end"],
+            "span_us": pc.cast(
+                pc.subtract(t["t_end"], t["t_start"]), pa.float64()
+            ),
+        }
+    )
+
+
+def _eql_funnel_sql() -> str:
+    a, b, c = _EQL_STEPS
+    return (
+        f"WITH s1 AS (SELECT user_id AS k, epoch_us(ts) AS t FROM events "
+        f"  WHERE event_type = '{a}'), "
+        f"s2 AS (SELECT user_id AS k, epoch_us(ts) AS t FROM events "
+        f"  WHERE event_type = '{b}'), "
+        f"s3 AS (SELECT user_id AS k, epoch_us(ts) AS t FROM events "
+        f"  WHERE event_type = '{c}'), "
+        "c2 AS (SELECT s1.k, s1.t AS t1, min(s2.t) AS t2 FROM s1 "
+        "  JOIN s2 ON s2.k = s1.k AND s2.t > s1.t GROUP BY s1.k, s1.t), "
+        "c3 AS (SELECT c2.k, c2.t1, min(s3.t) AS t_end FROM c2 "
+        "  JOIN s3 ON s3.k = c2.k AND s3.t > c2.t2 GROUP BY c2.k, c2.t1), "
+        f"v AS (SELECT k, t1, t_end FROM c3 WHERE t_end - t1 <= {_EQL_MAXSPAN_US}), "
+        "r AS (SELECT k, t1, t_end, "
+        "  row_number() OVER (PARTITION BY k ORDER BY t1) AS rn FROM v) "
+        "SELECT k AS user_id, t1 AS t_start_us, t_end AS t_end_us, "
+        "CAST(t_end - t1 AS DOUBLE) AS span_us FROM r WHERE rn = 1 ORDER BY k"
+    )
+
+
 def q_downsample(sf_dir: str):
     """ES ``_downsample`` (TSDB rollup): events rolled up to fixed UTC-day
     buckets per event_type with the ES downsample metric set
@@ -6171,6 +6227,7 @@ ORACLES: dict[str, str] = {
     "random_sampler": _random_sampler_sql(),
     "transform_pivot": _TRANSFORM_PIVOT_SQL,
     "downsample": _DOWNSAMPLE_SQL,
+    "eql_funnel": _eql_funnel_sql(),
     "cardinality_agg": _cardinality_sql(),
     "search_synonyms": _synonym_sql(SEARCH_K),
     "decay_score": _decay_sql(SEARCH_K),
@@ -6875,6 +6932,7 @@ QUERIES = {
     "random_sampler": q_random_sampler,
     "transform_pivot": q_transform_pivot,
     "downsample": q_downsample,
+    "eql_funnel": q_eql_funnel,
     "diversified_sampler": q_diversified_sampler,
     "scripted_metric": q_scripted_metric,
     "runtime_sort": q_runtime_sort,
