@@ -15,11 +15,11 @@ Ray-Data-first analog (exactness-preserving):
   (:func:`_recombine_partials`).  Finalization (mean division, cents →
   currency) happens at READ time, so any number of ticks produces
   bit-identical results to one batch run.
-- A tick is atomic + idempotent: new dest parquet and ``_meta.json``
-  (checkpoint = max sync value folded, plus the spec fingerprint) are
-  written to a temp name and renamed; a crashed tick leaves the old
-  checkpoint, and re-running folds the same rows again to the same
-  result.
+- A tick is atomic + idempotent: the new dest parquet carries the
+  checkpoint (max sync value folded, plus the spec fingerprint) in its
+  SCHEMA METADATA, so data and checkpoint commit in one ``os.replace``;
+  a crashed tick leaves the old (data, checkpoint) pair intact and
+  re-running folds the same rows again to the same result.
 - Group cardinality: ES pivots produce dashboard-sized tables, so the
   tick combine is driver-side (bounded by ``distinct_hint``, enforced
   like partial_agg's small path).  The unbounded-cardinality variant is
@@ -73,19 +73,23 @@ class PivotTransform:
             sort_keys=True,
         )
 
-    def _meta_path(self) -> str:
-        return os.path.join(self.dest, "_meta.json")
+    def _read_meta(self) -> dict | None:
+        """State rides the partials parquet's SCHEMA METADATA, so the
+        (partials, checkpoint) pair commits in ONE os.replace — a crash
+        can never leave new partials under an old checkpoint (which
+        would re-fold rows and double-count)."""
+        if not os.path.exists(self._partials_path()):
+            return None
+        md = pq.read_schema(self._partials_path()).metadata or {}
+        raw = md.get(b"pivot_meta")
+        return json.loads(raw) if raw else None
 
     def checkpoint(self):
         """Last folded sync value (None before the first tick); a spec
         change invalidates the destination (ES requires a transform
         reset on config change)."""
-        try:
-            with open(self._meta_path()) as f:
-                meta = json.load(f)
-        except FileNotFoundError:
-            return None
-        if meta.get("spec") != self._spec():
+        meta = self._read_meta()
+        if meta is None or meta.get("spec") != self._spec():
             return None
         v = meta["checkpoint"]
         if isinstance(v, str):
@@ -104,6 +108,11 @@ class PivotTransform:
         rows folded.  The per-batch combiner runs distributed; only
         ≤ |batches| × |keys-in-batch| partial rows reach the driver."""
         ckpt = self.checkpoint()
+        if ckpt is None and os.path.exists(self._partials_path()):
+            # no valid checkpoint but partials on disk = a spec change —
+            # stale partials must not survive into the new transform
+            # (re-folding everything over them would double-count)
+            os.remove(self._partials_path())
         sync = self.sync_field
 
         def part(b: pa.Table) -> pa.Table:
@@ -156,24 +165,21 @@ class PivotTransform:
         merged = _recombine_partials(
             pa.concat_tables(parts), self.group_by, self.aggs
         )
-        # atomic swap: partials first, then meta (a crash between the two
-        # re-folds the same rows on the next tick — idempotent by the
-        # strict > checkpoint filter re-reading them into the OLD state)
+        # ONE atomic commit: partials + checkpoint travel together in the
+        # parquet schema metadata
+        meta = json.dumps(
+            {
+                "spec": self._spec(),
+                "checkpoint": new_ckpt.isoformat()
+                if hasattr(new_ckpt, "isoformat")
+                else new_ckpt,
+            }
+        )
+        merged = merged.replace_schema_metadata({b"pivot_meta": meta.encode()})
         fd, tmp = tempfile.mkstemp(dir=self.dest, suffix=".parquet")
         os.close(fd)
         pq.write_table(merged, tmp)
         os.replace(tmp, self._partials_path())
-        with open(self._meta_path() + ".tmp", "w") as f:
-            json.dump(
-                {
-                    "spec": self._spec(),
-                    "checkpoint": new_ckpt.isoformat()
-                    if hasattr(new_ckpt, "isoformat")
-                    else new_ckpt,
-                },
-                f,
-            )
-        os.replace(self._meta_path() + ".tmp", self._meta_path())
         return folded
 
     # ---------- reads ----------
