@@ -353,6 +353,7 @@ def g_search_struct(sf_dir: str) -> pa.Table:
             ("pinned", "search_pinned"),
             ("multi_match", "multi_match"),
             ("combined", "combined_fields"),
+            ("bool_prefix", "match_bool_prefix"),
         ],
         _SEARCH_COLS,
     )(sf_dir)
@@ -1020,6 +1021,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("pinned", None, "search_pinned"),
             ("multi_match", None, "multi_match"),
             ("combined", None, "combined_fields"),
+            ("bool_prefix", None, "match_bool_prefix"),
         ],
         _SEARCH_SEL,
     )

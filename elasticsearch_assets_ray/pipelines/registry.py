@@ -2361,6 +2361,102 @@ def _compound_sql() -> str:
     )
 
 
+# ES match_bool_prefix (search-as-you-type): (complete terms..., stem)
+MBP_QUERIES: list[str] = ["spark table s", "merge join qu", "gr"]
+
+
+def q_match_bool_prefix(sf_dir: str):
+    """ES ``match_bool_prefix`` through the DISTRIBUTED path: every term
+    but the last is a scoring should clause, the last is a prefix query
+    rewritten constant-score (each match adds exactly 1.0 — the pinned
+    Lucene CONSTANT_SCORE rewrite).  Stem expansion happens ONCE on the
+    coordinator; the per-doc score function makes shard merges exact."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    parts = []
+    for qid, q in enumerate(MBP_QUERIES):
+        r = sh.match_bool_prefix(q, k=SEARCH_K + 90)
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(_orig_ids(sh, ids)),
+                    "sim": r["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+def _match_bool_prefix_sql() -> str:
+    """Twin of q_match_bool_prefix: per query, BM25 over the complete
+    terms FULL-OUTER-JOINed with the DISTINCT prefix-match set (term
+    LIKE 'stem%'), score = coalesce(bm25, 0) + 1.0·[prefix match] —
+    the same addend order as the engine."""
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    base = (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+    )
+    score = (
+        "sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+        "* (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) )"
+    )
+    ctes, arms = [], []
+    for qid, q in enumerate(MBP_QUERIES):
+        toks = tokenize_text(q)
+        complete, stem = toks[:-1], toks[-1]
+        ctes.append(
+            f"p_q{qid} AS (SELECT DISTINCT doc_id FROM tok "
+            f"WHERE term LIKE '{stem}%')"
+        )
+        if complete:
+            vals = ", ".join(f"('{t}')" for t in sorted(set(complete)))
+            ctes.append(
+                f"s_q{qid}(doc_id, score) AS (SELECT tf.doc_id, {score} "
+                f"FROM (VALUES {vals}) q(term) "
+                "JOIN tf ON tf.term = q.term JOIN df ON df.term = q.term "
+                "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+                "GROUP BY tf.doc_id)"
+            )
+            arms.append(
+                f"SELECT {qid} AS query_id, "
+                "coalesce(s.doc_id, p.doc_id) AS doc_id, "
+                "coalesce(s.score, 0) + CASE WHEN p.doc_id IS NOT NULL "
+                "THEN 1.0 ELSE 0.0 END AS sc "
+                f"FROM s_q{qid} s FULL JOIN p_q{qid} p ON s.doc_id = p.doc_id"
+            )
+        else:
+            arms.append(
+                f"SELECT {qid} AS query_id, doc_id, 1.0 AS sc FROM p_q{qid}"
+            )
+    return (
+        base
+        + ", ".join(ctes)
+        + ", allq AS (" + " UNION ALL ".join(arms) + ") "
+        "SELECT query_id, doc_id, "
+        "row_number() OVER (PARTITION BY query_id "
+        " ORDER BY round(sc, 9) DESC, doc_id) AS rank, "
+        "round(sc, 6) AS score_r FROM allq "
+        f"QUALIFY rank <= {SEARCH_K}"
+    )
+
+
 # ES rank_feature: one (query, function, params) shape per query_id so
 # all three ES feature curves are oracle-checked
 RANK_FEATURE_SPECS: list[tuple[str, str, dict]] = [
@@ -6326,6 +6422,7 @@ ORACLES: dict[str, str] = {
         "AS snippet FROM best b JOIN tkl t ON t.doc_id = b.doc_id WHERE rn = 1"
     ),
     "search_compound": _compound_sql(),
+    "match_bool_prefix": _match_bool_prefix_sql(),
     "term_vectors": (
         f"WITH tl AS (SELECT unnest({_TOK}) AS term, "
         f"generate_subscripts({_TOK}, 1) AS p FROM documents WHERE doc_id = 7) "
@@ -6948,6 +7045,7 @@ QUERIES = {
     "suggest_terms": q_suggest_terms,
     "suggest_completion": q_suggest_completion,
     "search_compound": q_search_compound,
+    "match_bool_prefix": q_match_bool_prefix,
     "term_vectors": q_term_vectors,
     "highlight": q_highlight,
     "delete_search": q_delete_search,

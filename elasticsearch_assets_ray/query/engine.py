@@ -2223,6 +2223,75 @@ class Searcher:
         ids, sc = bm25.sort_topk(union, score, k)
         return pa.table({"doc_id": pa.array(ids), "score": pa.array(sc)})
 
+    def match_bool_prefix(
+        self, text: str, k: int = 10
+    ) -> pa.Table:
+        """ES ``match_bool_prefix`` (the search-as-you-type staple,
+        www.elastic.co/guide query-dsl-match-bool-prefix-query): the
+        analyzed text becomes a bool query — every term but the LAST is
+        a scoring ``should`` term clause, the last is a ``prefix`` query.
+        Lucene rewrites a prefix inside bool to constant-score, so a doc
+        containing ANY dictionary expansion of the stem adds exactly
+        1.0 to its score (documented divergence: we pin the plain
+        CONSTANT_SCORE rewrite, not blended).  Match = union of the
+        clauses (pure-prefix matches rank by docID among themselves)."""
+        from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+        toks = tokenize_text(text)
+        if not toks:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        complete, stem = toks[:-1], toks[-1]
+        return self.match_bool_prefix_prepared(
+            parse_query(" ".join(complete)) if complete else None,
+            self.expand_prefix(stem),
+            k,
+            None,
+        )
+
+    def match_bool_prefix_prepared(
+        self,
+        q_complete: ParsedQuery | None,
+        pterms: list[str],
+        k: int,
+        df_override: dict[str, int] | None,
+    ) -> pa.Table:
+        """Shard half of :meth:`match_bool_prefix`: the score is a
+        per-doc function (BM25 of the complete terms + the constant
+        prefix contribution), so doc-partitioned top-k merges are exact
+        with coordinator df injection.  ``pterms`` is the stem's
+        dictionary expansion, computed ONCE against the full dictionary
+        (per-shard expansion could trip the max_expansions cap a full
+        dictionary wouldn't — same policy as phrase_prefix)."""
+        old = self._df_override
+        if df_override is not None:
+            self._df_override = df_override
+        try:
+            if q_complete is not None:
+                r = self.all_scores(q_complete)
+                ids = r["doc_id"].to_numpy(zero_copy_only=False)
+                sc = r["score"].to_numpy(zero_copy_only=False).copy()
+            else:
+                ids = np.array([], dtype=np.int64)
+                sc = np.array([], dtype=np.float64)
+            pids = (
+                np.sort(self.match_ids(parse_query(" ".join(pterms))))
+                if pterms
+                else np.array([], dtype=np.int64)
+            )
+        finally:
+            self._df_override = old
+        if pids.size:
+            extra = pids[~np.isin(pids, ids)]
+            ids = np.concatenate([ids, extra])
+            sc = np.concatenate([sc, np.zeros(extra.size)])
+            pos = np.searchsorted(pids, ids)
+            pos[pos >= pids.size] = 0
+            sc = sc + (pids[pos] == ids).astype(np.float64)
+        ids, sc = bm25.sort_topk(ids, sc, k)
+        return pa.table({"doc_id": pa.array(ids), "score": pa.array(sc)})
+
     def filters_agg(self, queries: dict[str, str | ParsedQuery]) -> pa.Table:
         """ES ``filters`` aggregation analog: doc count per NAMED query
         → pa.Table(value, count), name-ascending.  Score-free (the

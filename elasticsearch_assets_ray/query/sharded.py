@@ -150,6 +150,11 @@ class ShardWorker:
             if kind == "dis_max":
                 qs, tb = args
                 return self.s.dis_max(list(qs), tie_breaker=tb, k=k)
+            if kind == "match_bool_prefix":
+                qc, pterms = args
+                # df is already the coordinator's global override for the
+                # complete terms; the prefix set is score-free local
+                return self.s.match_bool_prefix_prepared(qc, list(pterms), k, df)
             raise ValueError(kind)
         finally:
             self.s._df_override = None
@@ -885,6 +890,31 @@ class ShardedSearcher:
             df.update(d)
         qs = tuple(p[0] for p in prepared)
         parts = self._gather("compound", "dis_max", (qs, float(tie_breaker)), k, df)
+        return self._merge_topk_parts(parts, k)
+
+    def match_bool_prefix(self, text: str, k: int = 10) -> pa.Table:
+        """Distributed ES ``match_bool_prefix``: complete-term global dfs
+        from the coordinator (dfs_query_then_fetch), the prefix clause
+        expands against each shard's own dictionary (complete for its doc
+        range), and the per-doc score function makes shard-local top-k
+        merges exact — bit-identical to the single searcher."""
+        from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+        toks = tokenize_text(text)
+        if not toks:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        complete, stem = toks[:-1], toks[-1]
+        if complete:
+            qc, df = self.prepare(" ".join(complete))
+        else:
+            qc, df = None, {}
+        # expand ONCE against the full coordinator dictionary (cap
+        # consistency with the single path — same policy as prepare's
+        # phrase_prefix expansion)
+        pterms = tuple(self.coord.expand_prefix(stem))
+        parts = self._gather("compound", "match_bool_prefix", (qc, pterms), k, df)
         return self._merge_topk_parts(parts, k)
 
     def _merge_topk_parts(self, parts: list[pa.Table], k: int) -> pa.Table:

@@ -632,6 +632,36 @@ def test_compound_queries_parity_and_semantics(single, sharded):
         assert s == max(a, b) + 0.5 * ((a + b) - max(a, b))
 
 
+def test_match_bool_prefix_parity_and_semantics(single, sharded):
+    """ES match_bool_prefix: sharded == single bit-for-bit; score =
+    BM25(complete terms) + 1.0 iff the doc contains any dictionary
+    expansion of the stem (pinned CONSTANT_SCORE prefix rewrite)."""
+    r1 = single.match_bool_prefix("def load in", k=12)
+    r2 = sharded.match_bool_prefix("def load in", k=12)
+    _eq_tables(r2, r1)
+    full = dict(
+        zip(
+            single.all_scores("def load")["doc_id"].to_pylist(),
+            single.all_scores("def load")["score"].to_pylist(),
+        )
+    )
+    pref = set(single.match_ids("in*").tolist())
+    assert pref, "fixture corpus must contain in* terms"
+    for d, s in zip(r1["doc_id"].to_pylist(), r1["score"].to_pylist()):
+        assert s == full.get(d, 0.0) + (1.0 if d in pref else 0.0)
+    # at least one hit must be prefix-boosted for the test to bite
+    assert any(d in pref for d in r1["doc_id"].to_pylist())
+    # pure-stem query: constant 1.0, docID-ascending tie-break
+    p1 = single.match_bool_prefix("lo", k=8)
+    p2 = sharded.match_bool_prefix("lo", k=8)
+    _eq_tables(p2, p1)
+    assert set(p1["score"].to_pylist()) == {1.0}
+    assert p1["doc_id"].to_pylist() == sorted(single.match_ids("lo*"))[:8]
+    # text that analyzes to nothing
+    assert single.match_bool_prefix("!!!", k=5).num_rows == 0
+    assert sharded.match_bool_prefix("!!!", k=5).num_rows == 0
+
+
 def test_scan_pages_cover_match_set(single):
     """ES scroll analog: concatenated pages == the full match set in the
     stable (round-9 desc, docID asc) order, page size bounded."""
