@@ -176,12 +176,14 @@ def g_top_orders(sf_dir: str) -> pa.Table:
 
 def g_neardup_clusters(sf_dir: str) -> pa.Table:
     """Near-dup clustering (MinHash components) + ExactSubstr dedup
-    (Lee et al. duplicated-substring REMOVAL) over the same
-    planted-duplicate corpus, on one (gate, doc_id, k2, v2, info)
-    schema: clusters → (canonical_id, keep, ''), exact_substr →
-    (n_tokens, n_removed, clean_text)."""
+    (Lee et al. duplicated-substring REMOVAL) + RefinedWeb/C4 line-level
+    dedup over the same planted-duplicate corpus, on one
+    (gate, doc_id, k2, v2, info) schema: clusters →
+    (canonical_id, keep, ''), exact_substr / line_dedup →
+    (n_tokens|n_lines, n_removed, clean_text)."""
     cl = _to_table(R.QUERIES["neardup_clusters"](sf_dir))
     es = _to_table(R.QUERIES["exact_substr"](sf_dir))
+    ld = _to_table(R.QUERIES["line_dedup"](sf_dir))
     return pa.concat_tables(
         [
             pa.table(
@@ -202,6 +204,15 @@ def g_neardup_clusters(sf_dir: str) -> pa.Table:
                     "info": es["clean_text"].cast(pa.string()),
                 }
             ),
+            pa.table(
+                {
+                    "gate": pa.array(["line_dedup"] * ld.num_rows, pa.string()),
+                    "doc_id": ld["doc_id"].cast(pa.int64()),
+                    "k2": ld["n_lines"].cast(pa.int64()),
+                    "v2": ld["n_removed"].cast(pa.int64()),
+                    "info": ld["clean_text"].cast(pa.string()),
+                }
+            ),
         ]
     )
 
@@ -210,7 +221,9 @@ _NEARDUP_CLUSTERS_SQL = (
     "SELECT 'clusters' AS gate, doc_id, canonical_id AS k2, "
     "CAST(keep AS BIGINT) AS v2, '' AS info FROM ({cl}) "
     "UNION ALL SELECT 'exact_substr' AS gate, doc_id, n_tokens AS k2, "
-    "n_removed AS v2, clean_text AS info FROM ({es})"
+    "n_removed AS v2, clean_text AS info FROM ({es}) "
+    "UNION ALL SELECT 'line_dedup' AS gate, doc_id, n_lines AS k2, "
+    "n_removed AS v2, clean_text AS info FROM ({ld})"
 )
 
 
@@ -850,6 +863,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     oracles["neardup_clusters"] = _NEARDUP_CLUSTERS_SQL.format(
         cl=R.ORACLES["neardup_clusters"],
         es=R.ORACLES["exact_substr"],
+        ld=R.ORACLES["line_dedup"],
     )
 
     gates["top_orders"] = g_top_orders

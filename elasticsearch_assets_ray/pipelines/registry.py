@@ -974,6 +974,58 @@ def _exact_substr_sql() -> str:
     )
 
 
+_LINE_SEG = 6  # fixed-window segment size for the line-dedup gate
+
+
+def q_line_dedup(sf_dir: str):
+    """RefinedWeb/C4-style line-level dedup (stages/linededup.py) over
+    the planted-duplicate corpus, fixed 6-token segments (the synthetic
+    docs have no newlines): any segment occurring in ≥2 distinct docs is
+    boilerplate and is removed; each doc is rebuilt from its surviving
+    segments in order.  One (segment, count) shuffle + a broadcast
+    frequent set — text never crosses the wire twice."""
+    from elasticsearch_assets_ray.stages.linededup import line_dedup
+
+    out = line_dedup(
+        _docs_with_near_dups(sf_dir),
+        "text",
+        "doc_id",
+        min_docs=2,
+        seg_tokens=_LINE_SEG,
+    )
+    return _collect(out).sort_by([("doc_id", "ascending")])
+
+
+def _line_dedup_sql() -> str:
+    """Twin of q_line_dedup: same fixed-window chunking via token
+    ordinality, distinct-doc counts per chunk string, survivors
+    re-joined in window order."""
+    from elasticsearch_assets_ray.pipelines import oracles_hard as _oh
+
+    s = _LINE_SEG
+    return (
+        f"WITH {_oh._near_dup_base_cte(_NEARDUP_N)}, "
+        "tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS L "
+        "FROM base), "
+        "tok AS (SELECT doc_id, unnest(L) AS tok, "
+        "unnest(range(1, len(L) + 1)) AS i FROM tl), "
+        f"ch AS (SELECT doc_id, (i - 1) // {s} AS c, "
+        "string_agg(tok, ' ' ORDER BY i) AS seg FROM tok GROUP BY doc_id, c), "
+        "cnt AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM ch GROUP BY seg), "
+        "keepc AS (SELECT ch.doc_id, ch.c, ch.seg FROM ch "
+        "JOIN cnt USING (seg) WHERE nd < 2), "
+        "tot AS (SELECT doc_id, count(*) AS nl FROM ch GROUP BY doc_id), "
+        "ka AS (SELECT doc_id, count(*) AS kc, "
+        "string_agg(seg, ' ' ORDER BY c) AS txt FROM keepc GROUP BY doc_id) "
+        "SELECT b.doc_id, coalesce(t.nl, 0) AS n_lines, "
+        "coalesce(t.nl, 0) - coalesce(ka.kc, 0) AS n_removed, "
+        "coalesce(ka.txt, '') AS clean_text "
+        "FROM (SELECT doc_id FROM base) b "
+        "LEFT JOIN tot t USING (doc_id) LEFT JOIN ka USING (doc_id) "
+        "ORDER BY b.doc_id"
+    )
+
+
 def q_simhash_pairs(sf_dir: str):
     ds = _docs_with_near_dups(sf_dir)
     return dedup_ops.simhash_near_dups(
@@ -6896,6 +6948,7 @@ ORACLES.update(
         "fingerprint": _oh.fingerprint_sql(),
         "dup_span_stats": _oh.dup_span_stats_sql(),
         "exact_substr": _exact_substr_sql(),
+        "line_dedup": _line_dedup_sql(),
     "collapse_inner": _collapse_inner_sql(5, 3),
     "ingest_events": (
         "SELECT user_id, event_id, "
@@ -6990,6 +7043,7 @@ QUERIES = {
     "ngram_pairs": q_ngram_pairs,
     "neardup_clusters": q_neardup_clusters,
     "exact_substr": q_exact_substr,
+    "line_dedup": q_line_dedup,
     "simhash_pairs": q_simhash_pairs,
     "token_stats": q_token_stats,
     "quality_stats": q_quality_stats,

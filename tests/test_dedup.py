@@ -398,3 +398,98 @@ def test_exact_substr_overlapping_spans_merge():
     )
     assert out["clean_text"] == ["x y", "z w"]
     assert out["n_removed"] == [5, 5]
+
+
+def test_line_dedup_delim_and_window_modes(ray_session):
+    """RefinedWeb/C4 line dedup: boilerplate lines (>= min_docs distinct
+    docs) removed, text rebuilt in order; both segmentation modes."""
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.linededup import line_dedup
+
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "keep me\ncommon footer\nunique a",
+                "common footer\nunique b",
+                "common footer",
+                "clean doc\n\nx",
+            ],
+        }
+    )
+    out = (
+        pa.concat_tables(
+            list(
+                line_dedup(
+                    ray.data.from_arrow(docs), min_docs=3, delim="\n"
+                ).iter_batches(batch_format="pyarrow")
+            )
+        )
+        .sort_by("doc_id")
+    )
+    assert out["clean_text"].to_pylist() == [
+        "keep me\nunique a",
+        "unique b",
+        "",
+        "clean doc\n\nx",
+    ]
+    assert out["n_lines"].to_pylist() == [3, 2, 1, 3]
+    assert out["n_removed"].to_pylist() == [1, 1, 1, 0]
+    # fixed-token-window mode: "a b c" shared by all three docs
+    docs2 = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c d e f g", "a b c x y z", "a b c q"],
+        }
+    )
+    out2 = (
+        pa.concat_tables(
+            list(
+                line_dedup(
+                    ray.data.from_arrow(docs2), min_docs=3, seg_tokens=3
+                ).iter_batches(batch_format="pyarrow")
+            )
+        )
+        .sort_by("doc_id")
+    )
+    assert out2["clean_text"].to_pylist() == ["d e f g", "x y z", "q"]
+    assert out2["n_lines"].to_pylist() == [3, 2, 2]
+    # a doc repeating the same segment internally counts ONCE toward
+    # the distinct-doc threshold
+    docs3 = pa.table(
+        {"doc_id": [1, 2], "text": ["p q\np q\nz", "only here"]}
+    )
+    out3 = (
+        pa.concat_tables(
+            list(
+                line_dedup(
+                    ray.data.from_arrow(docs3), min_docs=2, delim="\n"
+                ).iter_batches(batch_format="pyarrow")
+            )
+        )
+        .sort_by("doc_id")
+    )
+    assert out3["n_removed"].to_pylist() == [0, 0]
+
+
+def test_line_dedup_registry_oracle_parity(ray_session, sf_dir):
+    """q_line_dedup vs its DuckDB twin at sf0.001."""
+    import duckdb
+
+    from elasticsearch_assets_ray.pipelines import registry as R
+
+    got = R.QUERIES["line_dedup"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = con.sql(R.ORACLES["line_dedup"]).df()
+    assert len(got) == len(want)
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert (g["n_lines"] == w["n_lines"]).all()
+    assert (g["n_removed"] == w["n_removed"]).all()
+    assert (g["clean_text"] == w["clean_text"]).all()
+    assert int(g["n_removed"].sum()) > 0, "planted dups must trigger removals"
