@@ -326,6 +326,7 @@ _DOC_STAT_PARTS = [
     "unigram_ppl",
     "gopher_filter",
     "blocklist_stats",
+    "dsir",
 ]
 
 

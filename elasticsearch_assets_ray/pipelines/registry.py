@@ -3096,6 +3096,77 @@ def q_gopher_filter(sf_dir: str):
     )
 
 
+_DSIR_BUCKETS = 64
+_DSIR_K = 100
+
+
+def q_dsir(sf_dir: str):
+    """DSIR data selection (Xie et al. 2302.03169, stages/dsir.py):
+    hashed unigram+bigram multinomial importance log-weights of every
+    doc — target distribution = the ``lang='en'`` slice, raw = the full
+    corpus — plus the deterministic top-100 selection flag.  Two
+    n_buckets-bounded count shuffles, a broadcast λ vector, one
+    stateless scoring pass."""
+    from elasticsearch_assets_ray.stages.dsir import dsir_select
+
+    raw = _rd(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    target = raw.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow"
+    )
+    out = dsir_select(
+        raw, target, "text", "doc_id", n_buckets=_DSIR_BUCKETS, k=_DSIR_K
+    )
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow"))).sort_by(
+        [("doc_id", "ascending")]
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "dsir_logw_r": pa.array(
+                _round_half_up(t["logw"].to_numpy(zero_copy_only=False), 6)
+            ),
+            "dsir_sel": t["selected"].combine_chunks().cast(pa.int64()),
+        }
+    )
+
+
+def _dsir_sql() -> str:
+    """Twin of q_dsir: the same Horner-hashed unigram+bigram buckets
+    (HUGEINT mod 2^64 — oracles_hard._horner is bit-identical to
+    textstats.polynomial_hash), add-one-smoothed multinomial
+    log-ratio, per-doc sum, top-K at the round-9/docID contract."""
+    from elasticsearch_assets_ray.pipelines import oracles_hard as _oh
+
+    nb, k = _DSIR_BUCKETS, _DSIR_K
+    return (
+        "WITH tl AS (SELECT doc_id, lang, "
+        "regexp_extract_all(lower(text), '[a-z0-9]+') AS L FROM documents), "
+        "ug AS (SELECT doc_id, lang, unnest(L) AS g FROM tl), "
+        "bg AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(L)), "
+        "i -> L[i] || ' ' || L[i+1])) AS g FROM tl), "
+        "ng AS (SELECT * FROM ug UNION ALL SELECT * FROM bg), "
+        f"nb AS (SELECT doc_id, lang, CAST({_oh._horner('g')} % {nb} AS BIGINT) AS b "
+        "FROM ng), "
+        "tcnt AS (SELECT b, count(*)::BIGINT AS c FROM nb WHERE lang = 'en' GROUP BY b), "
+        "rcnt AS (SELECT b, count(*)::BIGINT AS c FROM nb GROUP BY b), "
+        "tt AS (SELECT count(*)::DOUBLE AS t FROM nb WHERE lang = 'en'), "
+        "rt AS (SELECT count(*)::DOUBLE AS t FROM nb), "
+        "lam AS (SELECT r.b, "
+        f"ln((coalesce(t.c, 0) + 1)::DOUBLE / (tt.t + {nb})) - "
+        f"ln((r.c + 1)::DOUBLE / (rt.t + {nb})) AS l "
+        "FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tt CROSS JOIN rt), "
+        "w AS (SELECT nb.doc_id, sum(lam.l) AS lw FROM nb "
+        "JOIN lam USING (b) GROUP BY nb.doc_id), "
+        "wa AS (SELECT d.doc_id, coalesce(w.lw, 0.0) AS lw "
+        "FROM documents d LEFT JOIN w USING (doc_id)), "
+        "rk AS (SELECT doc_id, lw, row_number() OVER "
+        "(ORDER BY round(lw, 9) DESC, doc_id) AS rn FROM wa) "
+        "SELECT doc_id, round(lw, 6) AS dsir_logw_r, "
+        f"CASE WHEN rn <= {k} THEN 1 ELSE 0 END AS dsir_sel "
+        "FROM rk ORDER BY doc_id"
+    )
+
+
 def q_search_phrase_prefix(sf_dir: str):
     """ES match_phrase_prefix analog: complete terms adjacent in order,
     immediately followed by any index term with the stem — verified on
@@ -6999,6 +7070,7 @@ ORACLES.update(
 
 # Gopher filter verdict: the SAME CASE logic over the quality/repetition
 # oracle CTEs (inputs bit-identical → threshold comparisons deterministic)
+ORACLES["dsir"] = _dsir_sql()
 ORACLES["gopher_filter"] = (
     f"WITH q AS ({ORACLES['quality_stats']}), "
     f"r AS ({ORACLES['repetition_stats']}), "
@@ -7159,6 +7231,7 @@ QUERIES = {
     "dup_span_stats": q_dup_span_stats,
     "unigram_ppl": q_unigram_ppl,
     "gopher_filter": q_gopher_filter,
+    "dsir": q_dsir,
     "terms_enum": q_terms_enum,
     "semdedup": q_semdedup,
     "collapse_inner": q_collapse_inner,
