@@ -1075,10 +1075,12 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         _SEARCH_SEL,
     )
 
-    # geo family: bounding-box count + geo_distance aggregation
+    # geo family: bounding-box count + geo_distance aggregation +
+    # geo_polygon membership count
     def g_geo_box(sf_dir: str) -> pa.Table:
         box = _to_table(R.QUERIES["geo_box_count"](sf_dir))
         da = _to_table(R.QUERIES["geo_distance_agg"](sf_dir))
+        poly = _to_table(R.QUERIES["geo_polygon_count"](sf_dir))
         return pa.concat_tables(
             [
                 pa.table(
@@ -1095,6 +1097,13 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
                         "count": da["count"].combine_chunks().cast(pa.int64()),
                     }
                 ),
+                pa.table(
+                    {
+                        "gate": pa.array(["poly"], pa.string()),
+                        "value": pa.array(["poly"], pa.string()),
+                        "count": poly["cnt"].combine_chunks().cast(pa.int64()),
+                    }
+                ),
             ]
         )
 
@@ -1103,6 +1112,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         [
             ("box", "'box' AS value, cnt AS count", "geo_box_count"),
             ("dist", None, "geo_distance_agg"),
+            ("poly", "'poly' AS value, cnt AS count", "geo_polygon_count"),
         ],
         "value, count",
     )

@@ -418,6 +418,64 @@ def q_geo_box_count(sf_dir: str):
     return pa.table({"cnt": pa.array([n], pa.int64())})
 
 
+# ES geo_polygon query: (lat, lon) vertices, implicitly closed, no
+# horizontal edges (see sources.geo.point_in_polygon)
+# vertices sit inside the derived grid's populated region (lat starts
+# at -90 and grows with user-id range, lon with event-id range — the
+# sf0.001 corpus only covers lat ≤ -88.6)
+_GEO_POLYGON: list[tuple[float, float]] = [
+    (-89.95, -170.0),
+    (-88.73, -150.07),
+    (-89.1, -100.3),
+    (-89.62, -90.2),
+    (-89.87, -140.1),
+]
+
+
+def q_geo_polygon_count(sf_dir: str):
+    """ES ``geo_polygon`` query analog: crossing-number membership over
+    the derived lat/lon grid, one stateless vectorized filter pass (the
+    polygon is a handful of floats — it ships in the task closure)."""
+    from elasticsearch_assets_ray.sources.geo import point_in_polygon
+
+    ds = _rd(sf_dir, "events", columns=["event_id", "user_id"]).map_batches(
+        _derive_latlon, batch_format="pyarrow"
+    )
+
+    def filt(t: pa.Table) -> pa.Table:
+        m = point_in_polygon(
+            t["lat"].to_numpy(zero_copy_only=False),
+            t["lon"].to_numpy(zero_copy_only=False),
+            _GEO_POLYGON,
+        )
+        return t.filter(pa.array(m))
+
+    n = ds.map_batches(filt, batch_format="pyarrow").count()
+    return pa.table({"cnt": pa.array([n], pa.int64())})
+
+
+def _geo_polygon_sql() -> str:
+    """Twin of q_geo_polygon_count: the identical crossing-number
+    expression per edge (same float64 ops, same order), odd parity =
+    inside — so boundary-adjacent grid points classify identically."""
+    terms = []
+    n = len(_GEO_POLYGON)
+    for i in range(n):
+        yi, xi = _GEO_POLYGON[i]
+        yj, xj = _GEO_POLYGON[(i + 1) % n]
+        terms.append(
+            f"CASE WHEN (({yi!r} > lat) <> ({yj!r} > lat)) AND "
+            f"(lon < ({xj!r} - {xi!r}) * (lat - {yi!r}) / ({yj!r} - {yi!r}) "
+            f"+ {xi!r}) THEN 1 ELSE 0 END"
+        )
+    parity = " + ".join(terms)
+    return (
+        f"WITH g AS (SELECT {_GEO_LATLON_SQL[0]} AS lat, "
+        f"{_GEO_LATLON_SQL[1]} AS lon FROM events) "
+        f"SELECT count(*)::BIGINT AS cnt FROM g WHERE ({parity}) % 2 = 1"
+    )
+
+
 def q_geo_distance_topk(sf_dir: str):
     """Q5 ``_geo_distance`` ascending sort (reference geoSearch/
     geoDistance sort, utils.ts:167-250) as streaming top-k.
@@ -6227,6 +6285,7 @@ ORACLES: dict[str, str] = {
         f"AND lon <= {_GEO_BOX['right']}"
     ),
     "geo_distance_agg": _geo_distance_agg_sql(),
+    "geo_polygon_count": _geo_polygon_sql(),
     "geo_distance_topk": (
         "WITH g AS (SELECT event_id, "
         f"{_GEO_LATLON_SQL[0]} AS lat, {_GEO_LATLON_SQL[1]} AS lon FROM events), "
@@ -7238,6 +7297,7 @@ QUERIES = {
     "ingest_events": q_ingest_events,
     "video_frames": q_video_frames,
     "geo_distance_agg": q_geo_distance_agg,
+    "geo_polygon_count": q_geo_polygon_count,
     "pack_documents": q_pack_documents,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,

@@ -44,6 +44,34 @@ def geo_box_filter(
     )
 
 
+def point_in_polygon(
+    lat: np.ndarray, lon: np.ndarray, polygon: list[tuple[float, float]]
+) -> np.ndarray:
+    """ES ``geo_polygon`` query membership test: crossing-number
+    (ray-casting, even-odd rule — what Lucene's polygon tessellation
+    implements for simple polygons).  ``polygon`` is a list of
+    (lat, lon) vertices, implicitly closed, and must contain NO
+    horizontal edge (equal adjacent latitudes would divide by zero —
+    split such an edge).  Boundary behavior is pinned to this exact
+    float64 expression; the SQL oracle computes the identical formula
+    term-for-term, so even points numerically ON an edge classify the
+    same way in both engines."""
+    n = len(polygon)
+    if n < 3:
+        raise ValueError("polygon needs at least 3 vertices")
+    for i in range(n):
+        if polygon[i][0] == polygon[(i + 1) % n][0]:
+            raise ValueError("horizontal polygon edges are not supported")
+    inside = np.zeros(lat.shape, dtype=bool)
+    for i in range(n):
+        yi, xi = polygon[i]
+        yj, xj = polygon[(i + 1) % n]
+        cond = (yi > lat) != (yj > lat)
+        xint = (xj - xi) * (lat - yi) / (yj - yi) + xi
+        inside ^= cond & (lon < xint)
+    return inside
+
+
 def haversine_km(
     lat1: np.ndarray, lon1: np.ndarray, lat2: float, lon2: float
 ) -> np.ndarray:

@@ -79,3 +79,23 @@ def test_geohash_grid_dataset(ray_session):
     # ES bucket order: count desc, cell asc
     rows = list(zip(t["count"].to_pylist(), t["geohash"].to_pylist()))
     assert rows == sorted(rows, key=lambda cv: (-cv[0], cv[1]))
+
+
+def test_point_in_polygon_crossing_number():
+    """geo_polygon membership: classic ray-casting on a diamond."""
+    import numpy as np
+    import pytest
+
+    from elasticsearch_assets_ray.sources.geo import point_in_polygon
+
+    # diamond centered at origin (no horizontal edges)
+    poly = [(1.0, 0.0), (0.0, 1.0), (-1.0, 0.0), (0.0, -1.0)]
+    lat = np.array([0.0, 0.9, 0.0, 2.0, -0.49, 0.51])
+    lon = np.array([0.0, 0.0, 0.99, 0.0, 0.49, 0.51])
+    got = point_in_polygon(lat, lon, poly).tolist()
+    assert got == [True, True, True, False, True, False]
+    # degenerate polygons rejected
+    with pytest.raises(ValueError):
+        point_in_polygon(lat, lon, [(0.0, 0.0), (1.0, 1.0)])
+    with pytest.raises(ValueError):
+        point_in_polygon(lat, lon, [(0.0, 0.0), (0.0, 2.0), (1.0, 1.0)])
