@@ -412,6 +412,7 @@ def g_search_positional(sf_dir: str) -> pa.Table:
             ("phrase_prefix", "search_phrase_prefix"),
             ("unordered", "search_unordered"),
             ("spans", "span_search"),
+            ("intervals", "intervals_search"),
         ],
         _SEARCH_COLS,
     )(sf_dir)
@@ -1071,6 +1072,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("phrase_prefix", None, "search_phrase_prefix"),
             ("unordered", None, "search_unordered"),
             ("spans", None, "span_search"),
+            ("intervals", None, "intervals_search"),
         ],
         _SEARCH_SEL,
     )

@@ -5033,6 +5033,119 @@ def _span_sql(specs: list[dict], k: int) -> str:
     )
 
 
+# ES intervals query: one spec per query_id covering the three sources
+INTERVALS_SPECS: list[dict] = [
+    {"match": {"query": "key value", "max_gaps": 2, "ordered": True}},
+    {
+        "any_of": {
+            "intervals": [
+                {"match": {"query": "spark table", "max_gaps": 0, "ordered": True}},
+                {"match": {"query": "merge join", "max_gaps": 0, "ordered": True}},
+            ]
+        }
+    },
+    {
+        "all_of": {
+            "intervals": [
+                {"match": {"query": "fast scan", "max_gaps": 0, "ordered": True}},
+                {"match": {"query": "filter"}},
+            ],
+            "max_gaps": 3,
+            "ordered": True,
+        }
+    },
+]
+
+
+def q_intervals_search(sf_dir: str):
+    """ES ``intervals`` query (query/intervals.py) through the
+    DISTRIBUTED path: match (ordered, max_gaps) / any_of / all_of
+    lowered onto the span evaluator; interval existence FILTERS, the
+    bag-of-words BM25 over the spec's terms scores (the repo's
+    positional contract)."""
+    sh = sharded_searcher(documents_index(sf_dir))
+    parts = []
+    for qid, spec in enumerate(INTERVALS_SPECS):
+        res = sh.intervals(spec, k=SEARCH_K + 90)
+        ids = res["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(_orig_ids(sh, ids)),
+                    "sim": res["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+def _intervals_sql() -> str:
+    """Twin of q_intervals_search over the _span_sql skeleton.  Each
+    EXISTS condition is the greedy chain's existence test (exact — see
+    the per-shape derivations in the conditions below)."""
+    # q0 match("key value", gaps 2): value at [pk+1, pk+3]
+    cand0 = (
+        "SELECT DISTINCT a.doc_id FROM tl a JOIN tl b ON b.doc_id = a.doc_id "
+        "AND a.term = 'key' AND b.term = 'value' "
+        "AND b.p >= a.p + 1 AND b.p <= a.p + 3"
+    )
+    # q1 any_of(adjacent "spark table", adjacent "merge join")
+    cand1 = (
+        "SELECT DISTINCT a.doc_id FROM tl a JOIN tl b ON b.doc_id = a.doc_id "
+        "AND ((a.term = 'spark' AND b.term = 'table') "
+        "  OR (a.term = 'merge' AND b.term = 'join')) AND b.p = a.p + 1"
+    )
+    # q2 all_of([adjacent "fast scan", "filter"], gaps 3): filter at
+    # [pf+2, pf+5] (gap beyond the 3-token minimal width <= 3)
+    cand2 = (
+        "SELECT DISTINCT a.doc_id FROM tl a "
+        "JOIN tl b ON b.doc_id = a.doc_id AND a.term = 'fast' "
+        "AND b.term = 'scan' AND b.p = a.p + 1 "
+        "JOIN tl c ON c.doc_id = a.doc_id AND c.term = 'filter' "
+        "AND c.p >= a.p + 2 AND c.p <= a.p + 5"
+    )
+    arms = []
+    for qid, (cand, terms) in enumerate(
+        [
+            (cand0, ["key", "value"]),
+            (cand1, ["join", "merge", "spark", "table"]),
+            (cand2, ["fast", "filter", "scan"]),
+        ]
+    ):
+        tlist = ", ".join(f"'{t}'" for t in terms)
+        arms.append(
+            f"SELECT {qid} AS query_id, tf.doc_id, sum({_TERM_SCORE_SQL}) AS score "
+            f"FROM tf JOIN df ON df.term = tf.term "
+            f"JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s "
+            f"WHERE tf.term IN ({tlist}) AND tf.doc_id IN ({cand}) "
+            f"GROUP BY tf.doc_id"
+        )
+    return (
+        f"WITH tl AS (SELECT doc_id, unnest({_TOK}) AS term, "
+        f"generate_subscripts({_TOK}, 1) - 1 AS p FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tl GROUP BY doc_id, term), "
+        "dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tl GROUP BY doc_id), "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        " (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+        "scored AS (" + " UNION ALL ".join(arms) + ") "
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 9) DESC, doc_id) AS rank, round(score, 6) AS score_r "
+        f"FROM scored QUALIFY rank <= {SEARCH_K}"
+    )
+
+
 PHRASE_SUGG_INPUTS = ["sor ro vlue", "prt ky tble"]
 PHRASE_SUGG_SIZE = 5
 PHRASE_SUGG_EDITS = 2
@@ -6488,6 +6601,7 @@ ORACLES: dict[str, str] = {
     "search_topk": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "rank_eval": _rank_eval_sql(RANK_EVAL_QUERIES, SEARCH_K),
     "span_search": _span_sql(SPAN_SPECS, SEARCH_K),
+    "intervals_search": _intervals_sql(),
     "boxplot_nchars": _boxplot_sql(),
     "percentile_ranks": _pct_rank_sql(),
     "string_stats": _string_stats_sql(),
@@ -7193,6 +7307,7 @@ QUERIES = {
     "search_sharded": q_search_sharded,
     "rank_eval": q_rank_eval,
     "span_search": q_span_search,
+    "intervals_search": q_intervals_search,
     "boxplot_nchars": q_boxplot_nchars,
     "percentile_ranks": q_percentile_ranks,
     "string_stats": q_string_stats,

@@ -159,6 +159,18 @@ class ShardWorker:
         finally:
             self.s._df_override = None
 
+    def intervals(self, spec: dict, k: int, df: dict[str, int]) -> pa.Table:
+        """Local half of the ES intervals query: translation + span
+        evaluation over this shard's doc range with the coordinator's
+        global dfs (per-doc filter + per-doc score ⇒ exact merge)."""
+        from elasticsearch_assets_ray.query.intervals import intervals_search
+
+        self.s._df_override = df
+        try:
+            return intervals_search(self.s, spec, k)
+        finally:
+            self.s._df_override = None
+
     def filters_counts(
         self, qs: list[ParsedQuery], dfs: list[dict[str, int]]
     ) -> list[int]:
@@ -890,6 +902,21 @@ class ShardedSearcher:
             df.update(d)
         qs = tuple(p[0] for p in prepared)
         parts = self._gather("compound", "dis_max", (qs, float(tie_breaker)), k, df)
+        return self._merge_topk_parts(parts, k)
+
+    def intervals(self, spec: dict, k: int = 10) -> pa.Table:
+        """Distributed ES intervals query: the spec ships verbatim to
+        every shard with the coordinator's global dfs for ALL the
+        spec's terms (dfs_query_then_fetch); shard-local top-k merges
+        are exact because both the interval filter and the bag-of-words
+        score are per-doc functions."""
+        from elasticsearch_assets_ray.query import intervals as iv
+        from elasticsearch_assets_ray.query import spans as span_mod
+
+        sspec = iv.intervals_to_spans(spec)  # validate on the coordinator
+        terms = span_mod.all_terms(sspec)
+        df = self.coord.term_dfs(sorted(set(terms)))
+        parts = self._gather("intervals", spec, k, df)
         return self._merge_topk_parts(parts, k)
 
     def match_bool_prefix(self, text: str, k: int = 10) -> pa.Table:

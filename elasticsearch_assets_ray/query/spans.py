@@ -65,6 +65,10 @@ def positive_terms(spec: dict) -> list[str]:
             walk(s["span_first"]["match"])
         elif "span_not" in s:
             walk(s["span_not"]["include"])
+        elif "span_or" in s:
+            # no single term is guaranteed by a disjunction — an OR
+            # contributes nothing to the conjunctive candidate set
+            pass
         else:
             raise ValueError(f"unknown span spec: {sorted(s)}")
 
@@ -73,22 +77,28 @@ def positive_terms(spec: dict) -> list[str]:
 
 
 def all_terms(spec: dict) -> list[str]:
-    """Every term the evaluator needs positions for (include + exclude)."""
-    out = positive_terms(spec)
+    """Every term the evaluator needs positions for (include + exclude +
+    every OR branch), in first-appearance order."""
+    out: list[str] = []
+
     def walk(s: dict) -> None:
-        if "span_near" in s:
+        if "span_term" in s:
+            if s["span_term"] not in out:
+                out.append(s["span_term"])
+        elif "span_near" in s:
             for c in s["span_near"]["clauses"]:
                 walk(c)
         elif "span_first" in s:
             walk(s["span_first"]["match"])
         elif "span_not" in s:
             walk(s["span_not"]["include"])
-            for t in positive_terms(s["span_not"]["exclude"]):
-                if t not in out:
-                    out.append(t)
             walk(s["span_not"]["exclude"])
-        elif "span_term" not in s:
+        elif "span_or" in s:
+            for c in s["span_or"]["clauses"]:
+                walk(c)
+        else:
             raise ValueError(f"unknown span spec: {sorted(s)}")
+
     walk(spec)
     return out
 
@@ -199,6 +209,19 @@ def eval_spans(
             m = (width - mwidth) <= slop
             start0, ep = start0[m], ep[m]
         return start0, ep
+    if "span_or" in spec:
+        # Lucene SpanOrQuery / intervals any_of: the UNION of the
+        # clauses' span sets, normalized to the minimal end per start
+        # (the minimal-interval convention — a wider same-start span can
+        # never be needed by an enclosing near/first/not)
+        parts = [eval_spans(c, keys) for c in spec["span_or"]["clauses"]]
+        parts = [(sk, ep) for sk, ep in parts if sk.size]
+        if not parts:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.copy()
+        sk = np.concatenate([p[0] for p in parts])
+        ep = np.concatenate([p[1] for p in parts])
+        return _min_end_per_start(sk, ep)
     if "span_not" in spec:
         s = spec["span_not"]
         pre = int(s.get("pre", 0))
@@ -249,6 +272,8 @@ def _min_width(spec: dict) -> int:
         return sum(_min_width(c) for c in spec["span_near"]["clauses"])
     if "span_not" in spec:
         return _min_width(spec["span_not"]["include"])
+    if "span_or" in spec:
+        return min(_min_width(c) for c in spec["span_or"]["clauses"])
     raise ValueError(f"unknown span spec: {sorted(spec)}")
 
 
@@ -261,6 +286,11 @@ def span_search(searcher, spec: dict, k: int = 10) -> pa.Table:
     construction); the chunked best-first sweep of the phrase verifier
     is the drop-in upgrade if a span query is ever broad."""
     pos = positive_terms(spec)
+    if not pos:
+        raise ValueError(
+            "span spec guarantees no term (pure disjunction) — serve it "
+            "through intervals_search, whose candidates are the OR match set"
+        )
     qstr = " ".join(f"+{t}" for t in pos)
     n, _rel = searcher.match_count(qstr)
     if n == 0:

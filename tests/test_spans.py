@@ -181,3 +181,89 @@ def test_span_search_matches_brute_force(span_index, spec):
     )
     assert ids.size == expect
     assert expect > 0, "gate spec should actually match something"
+
+
+def test_intervals_query_parity_and_semantics(span_index):
+    """ES intervals query (query/intervals.py): sharded == single
+    bit-for-bit; an ordered match with max_gaps g is exactly the
+    sloppy-phrase filter with slop g (same chain bound); any_of unions
+    branch matches; all_of bounds the inter-interval gap."""
+    import pytest as _pytest
+
+    from elasticsearch_assets_ray.query.engine import Searcher
+    from elasticsearch_assets_ray.query.intervals import intervals_search
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    single = Searcher(span_index)
+    sharded = ShardedSearcher(span_index, n_shards=3, use_actors=False)
+
+    def eq(a, b):
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+        np.testing.assert_array_equal(
+            a["score"].to_numpy(zero_copy_only=False),
+            b["score"].to_numpy(zero_copy_only=False),
+        )
+
+    spec = {"match": {"query": "def load", "max_gaps": 1, "ordered": True}}
+    r1 = intervals_search(single, spec, k=12)
+    r2 = sharded.intervals(spec, k=12)
+    eq(r1, r2)
+    assert r1.num_rows > 0
+    # identical contract to the sloppy phrase query (filter + the same
+    # bag-of-words scoring) — tables must match exactly
+    sl = single.search('"def load"~1', k=12)
+    eq(r1, sl)
+    # any_of: union of the two adjacency branches
+    spec_or = {
+        "any_of": {
+            "intervals": [
+                {"match": {"query": "def load", "max_gaps": 0, "ordered": True}},
+                {"match": {"query": "load def", "max_gaps": 0, "ordered": True}},
+            ]
+        }
+    }
+    o1 = intervals_search(single, spec_or, k=500)
+    o2 = sharded.intervals(spec_or, k=500)
+    eq(o1, o2)
+    a = set(single.match_ids('"def load"').tolist())
+    b = set(single.match_ids('"load def"').tolist())
+    assert a and set(o1["doc_id"].to_pylist()) == (a | b)
+    # all_of with a gap budget: hits ⊆ adjacent-"def load" docs that
+    # also contain index, with index within the window
+    spec_all = {
+        "all_of": {
+            "intervals": [
+                {"match": {"query": "def load", "max_gaps": 0, "ordered": True}},
+                {"match": {"query": "index"}},
+            ],
+            "max_gaps": 2,
+            "ordered": True,
+        }
+    }
+    g1 = intervals_search(single, spec_all, k=500)
+    g2 = sharded.intervals(spec_all, k=500)
+    eq(g1, g2)
+    both = set(single.match_ids('+index "def load"').tolist())
+    assert both, "fixture corpus must contain def-load + index docs"
+    assert set(g1["doc_id"].to_pylist()) <= both
+    # brute-force positional re-check of every hit and every miss over
+    # the candidate superset (the gap budget decides membership)
+    hits = set(g1["doc_id"].to_pylist())
+    for d in sorted(both):
+        toks = tokenize_text(
+            single.hydrate(np.array([d]), columns=["doc_id", "content"])[
+                "content"
+            ][0].as_py()
+        )
+        ok = False
+        for i in range(len(toks) - 1):
+            if toks[i] == "def" and toks[i + 1] == "load":
+                for j in range(i + 2, min(i + 6, len(toks))):
+                    if toks[j] == "index":
+                        ok = True
+        assert ok == (d in hits), d
+    # unordered trees are rejected with guidance
+    with _pytest.raises(ValueError):
+        intervals_search(
+            single, {"match": {"query": "def load", "ordered": False}}, k=5
+        )
