@@ -466,6 +466,17 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
             }
         )
     )
+    at = _to_table(R.QUERIES["approx_terms"](sf_dir))
+    tabs.append(
+        pa.table(
+            {
+                "gate": pa.array(["approx_terms"] * at.num_rows, pa.string()),
+                "value": at["value"].combine_chunks().cast(pa.string()),
+                "count": at["count"].combine_chunks().cast(pa.int64()),
+                "metric_r": at["error_bound"].combine_chunks().cast(pa.float64()),
+            }
+        )
+    )
     fm = _to_table(R.QUERIES["facet_metric"](sf_dir))
     tabs.append(
         pa.table(
@@ -664,6 +675,11 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
 
 AGG_SUITE_SQL_PARTS = [
     ("facet", "value, count, 0.0 AS metric_r", "facet_lang"),
+    (
+        "approx_terms",
+        "value, count, CAST(error_bound AS DOUBLE) AS metric_r",
+        "approx_terms",
+    ),
     ("facet_metric", "value, count, avg_r AS metric_r", "facet_metric"),
     ("sig_terms", "term AS value, fg AS count, score_r AS metric_r", "significant_terms"),
     ("range", "value, count, 0.0 AS metric_r", "range_agg"),

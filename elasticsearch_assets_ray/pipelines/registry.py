@@ -3344,6 +3344,53 @@ def q_search_rescore(sf_dir: str):
     )
 
 
+def q_approx_terms(sf_dir: str):
+    """ES terms-agg distributed ACCURACY contract
+    (stages/relational.approx_terms_agg): per-shard top-shard_size
+    candidate truncation over a deterministic doc%4 hash partition,
+    merged counts + per-bucket doc_count_error_upper_bound +
+    sum_other_doc_count.  The one thing an exact single-node facet can
+    never show: what a multi-shard ES cluster's terms agg actually
+    returns."""
+    from elasticsearch_assets_ray.stages.relational import approx_terms_agg
+
+    return approx_terms_agg(
+        _rd(sf_dir, "documents", columns=["doc_id", "lang"]),
+        "lang",
+        "doc_id",
+        size=3,
+        shard_size=3,
+        n_shards=4,
+        distinct_hint=8,
+    )
+
+
+def _approx_terms_sql() -> str:
+    """Twin of q_approx_terms: the same truncate-then-merge with window
+    functions (a shard that returned fewer than shard_size buckets has
+    a complete list — its hidden-count bound is 0)."""
+    return (
+        "WITH c AS (SELECT doc_id % 4 AS sh, lang AS v, count(*)::BIGINT AS n "
+        "FROM documents WHERE lang IS NOT NULL GROUP BY sh, v), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY sh ORDER BY n DESC, v) AS rk, "
+        "count(*) OVER (PARTITION BY sh) AS nv FROM c), "
+        "ret AS (SELECT * FROM r WHERE rk <= 3), "
+        "lastc AS (SELECT sh, CASE WHEN max(nv) > 3 THEN min(n) ELSE 0 END AS l "
+        "FROM ret GROUP BY sh), "
+        "m AS (SELECT v, sum(n)::BIGINT AS cnt FROM ret GROUP BY v), "
+        "e AS (SELECT m.v, m.cnt, (SELECT coalesce(sum(l), 0) FROM lastc "
+        "WHERE lastc.sh NOT IN (SELECT sh FROM ret WHERE ret.v = m.v)) AS err FROM m), "
+        "tot AS (SELECT coalesce(sum(n), 0) AS t FROM c), "
+        "gb AS (SELECT coalesce(sum(l), 0) AS g FROM lastc), "
+        "top AS (SELECT *, row_number() OVER (ORDER BY cnt DESC, v) AS rk FROM e), "
+        "sel AS (SELECT v, cnt, err FROM top WHERE rk <= 3) "
+        "SELECT v AS value, cnt AS count, err AS error_bound FROM sel "
+        "UNION ALL SELECT '__other__', "
+        "(SELECT t FROM tot) - (SELECT coalesce(sum(cnt), 0) FROM sel), "
+        "(SELECT g FROM gb)"
+    )
+
+
 def q_facet_lang(sf_dir: str):
     """ES terms-aggregation analog: per-language hit counts over every
     doc matching a BOOLEAN query, served through the DISTRIBUTED path —
@@ -7058,6 +7105,7 @@ ORACLES: dict[str, str] = {
         "UNION ALL SELECT 'sibling', 'sum', sum(n), 0.0 FROM b "
         "UNION ALL SELECT 'sibling', 'avg', 0, round(avg(n), 6) FROM b"
     ),
+    "approx_terms": _approx_terms_sql(),
     # facet/histogram aggregations: count over the exhaustive match set
     "facet_lang": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
@@ -7363,6 +7411,7 @@ QUERIES = {
     "search_unordered": q_search_unordered,
     "search_phrase_prefix": q_search_phrase_prefix,
     "facet_lang": q_facet_lang,
+    "approx_terms": q_approx_terms,
     "match_stats": q_match_stats,
     "histogram_nchars": q_histogram_nchars,
     "facet_metric": q_facet_metric,

@@ -379,3 +379,126 @@ def matrix_stats(ds: ray.data.Dataset, fields: list[str]) -> pa.Table:
             "value_r": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
+
+
+def approx_terms_agg(
+    ds: ray.data.Dataset,
+    key_col: str,
+    id_col: str,
+    *,
+    size: int = 10,
+    shard_size: int = 3,
+    n_shards: int = 4,
+    distinct_hint: int | None = None,
+) -> pa.Table:
+    """The ES ``terms`` aggregation ACCURACY contract under
+    doc-partitioned sharding — the approximate mode every multi-shard ES
+    cluster actually serves (terms-aggregation docs,
+    ``doc_count_error_upper_bound`` / ``sum_other_doc_count``):
+
+    - shard = ``id % n_shards`` (a deterministic hash partition — the
+      stand-in for the index's doc ranges, SQL-replicable);
+    - each shard contributes only its local top ``shard_size`` buckets
+      (count desc, key asc — the ES shard response order);
+    - merged count per candidate key sums over the shards that returned
+      it; a shard that omitted the key may hide at most its SMALLEST
+      returned count — and exactly 0 if it returned fewer than
+      ``shard_size`` buckets (its list was complete);
+    - the final page is the top ``size`` by (merged count desc, key asc),
+      each with its per-bucket ``doc_count_error_upper_bound``; an extra
+      ``__other__`` row carries ``sum_other_doc_count`` (docs in
+      non-returned buckets) and the global upper bound (the worst case
+      for a key no shard returned).
+
+    Shape: ONE combiner-first ``(shard, key)`` count shuffle
+    (``partial_agg``), a per-shard ``map_groups`` truncation (the wire
+    carries ≤ n_shards × shard_size candidate rows + one total), driver
+    merge over that bounded table.  Null keys are skipped (ES
+    ``missing`` semantics)."""
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b[key_col]))
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("__shard", pa.array(ids % n_shards))
+
+    counts = partial_agg(
+        ds.map_batches(add_shard, batch_format="pyarrow"),
+        ["__shard", key_col],
+        [AggSpec("n", id_col, "count")],
+        distinct_hint=distinct_hint,
+    )
+    if isinstance(counts, pa.Table):
+        counts_ds = ray.data.from_arrow(counts)
+    else:
+        counts_ds = counts.materialize()
+    total = int(counts_ds.sum("n") or 0)
+
+    def truncate(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            # groupby().map_groups emits zero-column blocks for empty
+            # sort partitions — drop them (schema restored at concat)
+            return pa.table(
+                {
+                    "__shard": pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "__last": pa.array([], pa.int64()),
+                }
+            )
+        kept = g.sort_by(
+            [("n", "descending"), (key_col, "ascending")]
+        ).slice(0, shard_size)
+        last = (
+            int(kept["n"][-1].as_py()) if g.num_rows > shard_size else 0
+        )
+        return kept.select(["__shard", key_col, "n"]).append_column(
+            "__last", pa.array([last] * kept.num_rows, pa.int64())
+        )
+
+    trunc = pa.concat_tables(
+        [
+            t
+            for t in counts_ds.groupby("__shard")
+            .map_groups(truncate, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+            if t.num_columns
+        ]
+    ) if total else pa.table(
+        {
+            "__shard": pa.array([], pa.int64()),
+            key_col: pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "__last": pa.array([], pa.int64()),
+        }
+    )
+    shards = trunc["__shard"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = trunc[key_col].to_pylist()
+    ns = trunc["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    last_by_shard: dict[int, int] = {}
+    for s, l in zip(
+        shards, trunc["__last"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ):
+        last_by_shard[int(s)] = int(l)
+    global_bound = sum(last_by_shard.values())
+    merged: dict[object, int] = {}
+    returned_by: dict[object, set] = {}
+    for s, v, c in zip(shards, vals, ns):
+        merged[v] = merged.get(v, 0) + int(c)
+        returned_by.setdefault(v, set()).add(int(s))
+    cand = sorted(merged, key=lambda v: (-merged[v], str(v)))[:size]
+    err = {
+        v: sum(
+            l for s, l in last_by_shard.items() if s not in returned_by[v]
+        )
+        for v in cand
+    }
+    other = total - sum(merged[v] for v in cand)
+    return pa.table(
+        {
+            "value": pa.array([str(v) for v in cand] + ["__other__"], pa.string()),
+            "count": pa.array([merged[v] for v in cand] + [other], pa.int64()),
+            "error_bound": pa.array(
+                [err[v] for v in cand] + [global_bound], pa.int64()
+            ),
+        }
+    )

@@ -128,3 +128,51 @@ def test_events_daily_null_users_excluded(ray_session, monkeypatch, tmp_path):
     assert out.num_rows == 1
     assert out["n_events"][0].as_py() == 6   # nulls count as events
     assert out["n_users"][0].as_py() == 3    # nulls are not users
+
+
+def test_approx_terms_agg_contract(ray_session):
+    """ES terms-agg accuracy contract: per-shard top-shard_size
+    truncation, merged counts, per-bucket doc_count_error_upper_bound,
+    sum_other_doc_count — hand-checked on a 2-shard layout."""
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.relational import approx_terms_agg
+
+    ids = [0, 2, 4, 6, 8, 10, 1, 3, 5, 7, 12, 14, 9, 11, 13]
+    keys = ["a", "a", "a", "b", "b", "c", "a", "b", "b", "b", "d", "d", "c", "c", "d"]
+    ds = ray.data.from_arrow(pa.table({"id": ids, "k": keys}))
+    out = approx_terms_agg(ds, "k", "id", size=2, shard_size=2, n_shards=2)
+    # shard0 (even ids): a3 b2 c1 d2 → returns a3, b2 (key-asc tie), last 2
+    # shard1 (odd ids):  a1 b3 c2 d1 → returns b3, c2, last 2
+    # merged: b=5 (both shards, err 0), a=3 (missing shard1, err 2)
+    # total 15 → other = 15 − 8 = 7; global bound = 2 + 2 = 4
+    assert out.to_pydict() == {
+        "value": ["b", "a", "__other__"],
+        "count": [5, 3, 7],
+        "error_bound": [0, 2, 4],
+    }
+    # ES invariant: merged count ≤ true count ≤ merged + error_bound
+    import collections
+
+    true = collections.Counter(keys)
+    for v, c, e in zip(
+        out["value"].to_pylist(), out["count"].to_pylist(), out["error_bound"].to_pylist()
+    ):
+        if v == "__other__":
+            continue
+        assert c <= true[v] <= c + e
+    # a shard with a COMPLETE list contributes no error: big shard_size
+    exact = approx_terms_agg(ds, "k", "id", size=4, shard_size=10, n_shards=2)
+    d = exact.to_pydict()
+    assert d["error_bound"] == [0, 0, 0, 0, 0]
+    got = dict(zip(d["value"], d["count"]))
+    assert {k: got[k] for k in true} == dict(true)
+    assert got["__other__"] == 0
+    # null keys skipped (ES missing semantics)
+    ds2 = ray.data.from_arrow(
+        pa.table({"id": [1, 2, 3], "k": pa.array(["a", None, "a"])})
+    )
+    out2 = approx_terms_agg(ds2, "k", "id", size=2, shard_size=2, n_shards=2)
+    g = dict(zip(out2["value"].to_pylist(), out2["count"].to_pylist()))
+    assert g == {"a": 2, "__other__": 0}
