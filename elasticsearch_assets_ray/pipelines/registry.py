@@ -4096,6 +4096,12 @@ def q_pipeline_daily(sf_dir: str):
     b = pl.cumulative_sum(b, "n")
     b = pl.moving_fn(b, "n", window=3)
     b = pl.serial_diff(b, "n", lag=2)
+    # bucket_script (share of the running total) + normalize methods
+    b = pl.bucket_script(
+        b, ["n", "n_cumsum"], lambda n, c: n / c, "n_share"
+    )
+    b = pl.normalize(b, "n", "percent_of_sum", out="n_pct")
+    b = pl.normalize(b, "n", "z-score", out="n_z")
     ds_ = pc.strftime(b["day"], format="%Y-%m-%d").to_pylist()
     n = b["n"].to_pylist()
     deriv = b["n_deriv"].to_pylist()
@@ -4103,6 +4109,9 @@ def q_pipeline_daily(sf_dir: str):
     mavg = b["n_mavg"].to_pylist()
     d2 = b["n_diff2"].to_pylist()
     rows: list[tuple[str, str, int, float]] = []
+    share = b["n_share"].to_pylist()
+    npct = b["n_pct"].to_pylist()
+    nz = b["n_z"].to_pylist()
     for i in range(b.num_rows):
         if deriv[i] is not None:
             rows.append(("deriv", ds_[i], int(deriv[i]), 0.0))
@@ -4111,6 +4120,39 @@ def q_pipeline_daily(sf_dir: str):
             rows.append(("mavg", ds_[i], 0, round(float(mavg[i]), 6)))
         if d2[i] is not None:
             rows.append(("diff2", ds_[i], int(d2[i]), 0.0))
+        rows.append(("bscript", ds_[i], 0, _round_half_up(float(share[i]), 6)))
+        rows.append(("norm_pct", ds_[i], 0, _round_half_up(float(npct[i]), 6)))
+        rows.append(("norm_z", ds_[i], 0, _round_half_up(float(nz[i]), 6)))
+    # cumulative_cardinality: distinct users ever seen, per day — a
+    # bounded (day,user) dedup shuffle, first-seen fold on the driver
+    pairs = _collect(
+        partial_agg(
+            _rd(sf_dir, "events", columns=["ts", "user_id"]).map_batches(
+                lambda t: pa.table(
+                    {
+                        "day": pc.cast(
+                            pc.floor_temporal(t["ts"], unit="day"),
+                            pa.timestamp("us"),
+                        ),
+                        "user_id": t["user_id"],
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["day", "user_id"],
+            [AggSpec("c", "user_id", "count")],
+        )
+    )
+    fu = (
+        pairs.group_by("user_id")
+        .aggregate([("day", "min")])
+        .column("day_min")
+        .to_numpy(zero_copy_only=False)
+    )
+    days_np = b["day"].to_numpy(zero_copy_only=False)
+    cc = np.searchsorted(np.sort(fu), days_np, side="right")
+    for i in range(b.num_rows):
+        rows.append(("cumcard", ds_[i], int(cc[i]), 0.0))
     sib = pl.sibling_stats(b, "n")
     # bucket_selector(n >= avg_bucket) then bucket_sort(n desc, day asc, 5)
     kept = pl.bucket_selector(b, "n", "gte", sib["avg"])
@@ -7085,6 +7127,8 @@ ORACLES: dict[str, str] = {
     "pipeline_daily": (
         "WITH b AS (SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n "
         " FROM events GROUP BY day), "
+        "fu AS (SELECT user_id, min(date_trunc('day', ts)) AS fd "
+        " FROM events GROUP BY user_id), "
         "w AS (SELECT day, strftime(day, '%Y-%m-%d') AS ds, n, "
         " n - lag(n) OVER (ORDER BY day) AS deriv, "
         " sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS csum, "
@@ -7095,6 +7139,17 @@ ORACLES: dict[str, str] = {
         "UNION ALL SELECT 'cumsum', ds, csum, 0.0 FROM w "
         "UNION ALL SELECT 'mavg', ds, 0, mavg FROM w WHERE mavg IS NOT NULL "
         "UNION ALL SELECT 'diff2', ds, d2, 0.0 FROM w WHERE d2 IS NOT NULL "
+        "UNION ALL SELECT 'bscript', ds, 0, "
+        " round(CAST(n AS DOUBLE) / CAST(csum AS DOUBLE), 6) FROM w "
+        "UNION ALL SELECT 'norm_pct', ds, 0, "
+        " round(CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS DOUBLE) FROM b), 6) FROM w "
+        "UNION ALL SELECT 'norm_z', ds, 0, "
+        " round((CAST(n AS DOUBLE) - (SELECT avg(n) FROM b)) / "
+        "  (SELECT sqrt(sum((CAST(n AS DOUBLE) - (SELECT avg(n) FROM b)) * "
+        "   (CAST(n AS DOUBLE) - (SELECT avg(n) FROM b))) / count(*)) FROM b), 6) "
+        " FROM w "
+        "UNION ALL SELECT 'cumcard', ds, "
+        " (SELECT count(*) FROM fu WHERE fu.fd <= w.day), 0.0 FROM w "
         "UNION ALL SELECT 'top', ds, n, "
         " CAST(row_number() OVER (ORDER BY n DESC, day) AS DOUBLE) FROM w "
         " WHERE n >= (SELECT avg(n) FROM b) "

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _OPS = {
     "gt": lambda a, b: a > b,
@@ -206,3 +207,76 @@ def change_point(t: pa.Table, col: str) -> dict:
             best_t, best_sse = split, sse
     sse0 = float(q_tot) - (float(s_tot) * float(s_tot)) / float(n)
     return {"index": best_t + 1, "score": sse0 - best_sse}
+
+
+def bucket_script(
+    t: pa.Table, cols: list[str], fn, out: str
+) -> pa.Table:
+    """ES ``bucket_script``: a new per-bucket metric computed from the
+    parent's existing metrics (the reduce-phase calculator — never
+    touches data nodes).  ``fn`` receives one float64 numpy array per
+    column, in ``cols`` order, and must return an array; buckets where
+    any input is null come back null (ES ``skip`` gap policy)."""
+    vs = [_vals(t, c).astype(np.float64) for c in cols]
+    nulls = np.zeros(t.num_rows, dtype=bool)
+    for c in cols:
+        col = t[c]
+        if col.null_count:
+            nulls |= ~np.asarray(
+                pc.is_valid(col.combine_chunks()), dtype=bool
+            )
+    outv = np.asarray(fn(*vs), dtype=np.float64)
+    return t.append_column(out, pa.array(outv, mask=nulls))
+
+
+def normalize(
+    t: pa.Table, col: str, method: str, out: str | None = None
+) -> pa.Table:
+    """ES ``normalize`` pipeline aggregation — every method of the
+    spec (normalize-aggregation docs): ``rescale_0_1``,
+    ``rescale_0_100``, ``percent_of_sum``, ``mean`` (value − mean,
+    rescaled by the range), ``z-score``, ``softmax``.  Runs on the
+    merged bucket table (reduce phase), float64 throughout."""
+    v = _vals(t, col).astype(np.float64)
+    n = v.size
+    if n == 0:
+        return t.append_column(out or f"{col}_norm", pa.array([], pa.float64()))
+    rng = v.max() - v.min()
+    if method == "rescale_0_1":
+        o = (v - v.min()) / rng if rng else np.zeros(n)
+    elif method == "rescale_0_100":
+        o = (v - v.min()) / rng * 100.0 if rng else np.zeros(n)
+    elif method == "percent_of_sum":
+        o = v / v.sum()
+    elif method == "mean":
+        o = (v - v.sum() / n) / rng if rng else np.zeros(n)
+    elif method == "z-score":
+        mean = v.sum() / n
+        std = np.sqrt(np.sum((v - mean) ** 2) / n)
+        o = (v - mean) / std if std else np.zeros(n)
+    elif method == "softmax":
+        e = np.exp(v)
+        o = e / e.sum()
+    else:
+        raise ValueError(f"unknown normalize method {method!r}")
+    return t.append_column(out or f"{col}_norm", pa.array(o, pa.float64()))
+
+
+def cumulative_cardinality(
+    first_seen_counts: pa.Table, day_col: str, count_col: str
+) -> pa.Table:
+    """ES ``cumulative_cardinality`` finalizer: given per-bucket counts
+    of keys whose FIRST occurrence falls in that bucket (the mergeable
+    unit — a key contributes exactly once, at its min bucket), the
+    running distinct count is their cumulative sum.  The first-seen
+    table comes from a bounded (bucket, key) dedup shuffle upstream
+    (the events_daily shape; an HLL sketch swaps in at extreme
+    cardinality, losing exactness like ES itself does)."""
+    s = first_seen_counts.sort_by([(day_col, "ascending")])
+    v = s[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            day_col: s[day_col],
+            "cumulative_cardinality": pa.array(np.cumsum(v), pa.int64()),
+        }
+    )

@@ -112,3 +112,63 @@ def test_pipeline_daily_matches_oracle(sf_dir):
     for c in cols:
         av, bv = a[c], b[c].astype(a[c].dtype)
         assert ((av == bv) | (av.isna() & bv.isna())).all(), c
+
+
+def test_bucket_script_and_gap_policy():
+    """bucket_script: vectorized metric-of-metrics; null inputs stay null."""
+    import numpy as np
+    import pyarrow as pa
+
+    from elasticsearch_assets_ray.query import pipeline_aggs as pl
+
+    t = pa.table(
+        {"n": pa.array([2.0, None, 6.0]), "d": pa.array([4.0, 5.0, 12.0])}
+    )
+    out = pl.bucket_script(t, ["n", "d"], lambda n, d: n / d, "r")
+    assert out["r"].to_pylist() == [0.5, None, 0.5]
+
+
+def test_normalize_methods():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from elasticsearch_assets_ray.query import pipeline_aggs as pl
+
+    t = pa.table({"n": pa.array([1.0, 3.0, 4.0])})
+    assert pl.normalize(t, "n", "rescale_0_1")["n_norm"].to_pylist() == [
+        0.0,
+        2 / 3,
+        1.0,
+    ]
+    assert pl.normalize(t, "n", "rescale_0_100")["n_norm"].to_pylist() == [
+        0.0,
+        (2 / 3) * 100.0,
+        100.0,
+    ]
+    assert pl.normalize(t, "n", "percent_of_sum")["n_norm"].to_pylist() == [
+        0.125,
+        0.375,
+        0.5,
+    ]
+    sm = pl.normalize(t, "n", "softmax")["n_norm"].to_numpy()
+    np.testing.assert_allclose(sm.sum(), 1.0)
+    z = pl.normalize(t, "n", "z-score")["n_norm"].to_numpy()
+    np.testing.assert_allclose(z.mean(), 0.0, atol=1e-12)
+    with pytest.raises(ValueError):
+        pl.normalize(t, "n", "bogus")
+    # constant series: range-based methods degrade to zeros, not NaN
+    c = pa.table({"n": pa.array([5.0, 5.0])})
+    assert pl.normalize(c, "n", "rescale_0_1")["n_norm"].to_pylist() == [0.0, 0.0]
+    assert pl.normalize(c, "n", "z-score")["n_norm"].to_pylist() == [0.0, 0.0]
+
+
+def test_cumulative_cardinality_finalizer():
+    import pyarrow as pa
+
+    from elasticsearch_assets_ray.query import pipeline_aggs as pl
+
+    t = pa.table({"day": [3, 1, 2], "first_seen": [2, 5, 0]})
+    out = pl.cumulative_cardinality(t, "day", "first_seen")
+    assert out["day"].to_pylist() == [1, 2, 3]
+    assert out["cumulative_cardinality"].to_pylist() == [5, 5, 7]
