@@ -4153,6 +4153,30 @@ def q_pipeline_daily(sf_dir: str):
     cc = np.searchsorted(np.sort(fu), days_np, side="right")
     for i in range(b.num_rows):
         rows.append(("cumcard", ds_[i], int(cc[i]), 0.0))
+    # moving_percentiles (exact backing): per-(day, value) partials from
+    # ONE combiner-first shuffle, window merge + quantile on the driver
+    dvc = _collect(
+        partial_agg(
+            _rd(sf_dir, "events", columns=["ts", "value"]).map_batches(
+                lambda t: pa.table(
+                    {
+                        "day": pc.cast(
+                            pc.floor_temporal(t["ts"], unit="day"),
+                            pa.timestamp("us"),
+                        ),
+                        "value": t["value"],
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["day", "value"],
+            [AggSpec("count", "value", "count")],
+        )
+    )
+    mp = pl.moving_percentiles(dvc, "day", window=3, percent=50.0)
+    mp_ds = pc.strftime(mp["day"], format="%Y-%m-%d").to_pylist()
+    for d, v in zip(mp_ds, mp["value"].to_pylist()):
+        rows.append(("mperc", d, 0, _round_half_up(float(v), 6)))
     sib = pl.sibling_stats(b, "n")
     # bucket_selector(n >= avg_bucket) then bucket_sort(n desc, day asc, 5)
     kept = pl.bucket_selector(b, "n", "gte", sib["avg"])
@@ -7129,6 +7153,12 @@ ORACLES: dict[str, str] = {
         " FROM events GROUP BY day), "
         "fu AS (SELECT user_id, min(date_trunc('day', ts)) AS fd "
         " FROM events GROUP BY user_id), "
+        "pv AS (SELECT date_trunc('day', ts) AS day, value FROM events), "
+        "di AS (SELECT day, row_number() OVER (ORDER BY day) AS i "
+        " FROM (SELECT DISTINCT day FROM pv)), "
+        "mp AS (SELECT a.day, round(quantile_cont(p.value, 0.5), 6) AS p50 "
+        " FROM di a JOIN di b ON b.i BETWEEN a.i - 2 AND a.i "
+        " JOIN pv p ON p.day = b.day GROUP BY a.day), "
         "w AS (SELECT day, strftime(day, '%Y-%m-%d') AS ds, n, "
         " n - lag(n) OVER (ORDER BY day) AS deriv, "
         " sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS csum, "
@@ -7150,6 +7180,7 @@ ORACLES: dict[str, str] = {
         " FROM w "
         "UNION ALL SELECT 'cumcard', ds, "
         " (SELECT count(*) FROM fu WHERE fu.fd <= w.day), 0.0 FROM w "
+        "UNION ALL SELECT 'mperc', strftime(day, '%Y-%m-%d'), 0, p50 FROM mp "
         "UNION ALL SELECT 'top', ds, n, "
         " CAST(row_number() OVER (ORDER BY n DESC, day) AS DOUBLE) FROM w "
         " WHERE n >= (SELECT avg(n) FROM b) "

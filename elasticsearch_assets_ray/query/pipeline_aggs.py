@@ -280,3 +280,59 @@ def cumulative_cardinality(
             "cumulative_cardinality": pa.array(np.cumsum(v), pa.int64()),
         }
     )
+
+
+def moving_percentiles(
+    day_value_counts: pa.Table,
+    bucket_col: str,
+    *,
+    window: int = 3,
+    percent: float = 50.0,
+) -> pa.Table:
+    """ES ``moving_percentiles`` with EXACT backing: the upstream
+    shuffle produces per-bucket ``(value, count)`` partials (the same
+    mergeable unit as the exact percentiles agg — ES slides t-digests
+    instead, trading exactness; stages/tdigest.py is the documented
+    swap), and each bucket's percentile is computed over the trailing
+    ``window`` buckets INCLUDING the current one (bucket-position
+    window over the buckets present — the pinned contract).  Returns
+    (bucket, value) with the interpolated quantile_cont convention."""
+    t = day_value_counts.sort_by(
+        [(bucket_col, "ascending"), ("value", "ascending")]
+    )
+    days = t[bucket_col].to_numpy(zero_copy_only=False)
+    uniq = np.unique(days)
+    vals = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+    cnts = t["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    from elasticsearch_assets_ray.query.engine import (
+        percentiles_from_value_counts,
+    )
+
+    out_days, out_vals = [], []
+    for i, d in enumerate(uniq):
+        lo = uniq[max(0, i - window + 1)]
+        m = (days >= lo) & (days <= d)
+        wv, wc = vals[m], cnts[m]
+        o = np.argsort(wv, kind="stable")
+        wv, wc = wv[o], wc[o]
+        # merge duplicate values across the window's buckets
+        if wv.size:
+            first = np.concatenate(([True], wv[1:] != wv[:-1]))
+            idx = np.cumsum(first) - 1
+            mv = wv[first]
+            mc = np.zeros(mv.size, dtype=np.int64)
+            np.add.at(mc, idx, wc)
+        else:
+            mv, mc = wv, wc
+        p = percentiles_from_value_counts(
+            pa.table({"value": pa.array(mv), "count": pa.array(mc)}),
+            (percent,),
+        )
+        out_days.append(d)
+        out_vals.append(p["value"][0].as_py())
+    return pa.table(
+        {
+            bucket_col: pa.array(out_days),
+            "value": pa.array(out_vals, pa.float64()),
+        }
+    )

@@ -172,3 +172,23 @@ def test_cumulative_cardinality_finalizer():
     out = pl.cumulative_cardinality(t, "day", "first_seen")
     assert out["day"].to_pylist() == [1, 2, 3]
     assert out["cumulative_cardinality"].to_pylist() == [5, 5, 7]
+
+
+def test_moving_percentiles_exact_window():
+    """moving_percentiles: trailing window incl. current bucket, exact
+    quantile_cont interpolation over the merged (value, count) unit."""
+    import pyarrow as pa
+
+    from elasticsearch_assets_ray.query import pipeline_aggs as pl
+
+    t = pa.table(
+        {
+            "day": [1, 1, 2, 2, 3],
+            "value": [1.0, 3.0, 5.0, 3.0, 7.0],
+            "count": [1, 1, 1, 1, 2],
+        }
+    )
+    out = pl.moving_percentiles(t, "day", window=2, percent=50.0)
+    assert out["day"].to_pylist() == [1, 2, 3]
+    # day1: {1,3} -> 2.0 ; day2: {1,3,5,3} -> 3.0 ; day3: {5,3,7,7} -> 6.0
+    assert out["value"].to_pylist() == [2.0, 3.0, 6.0]
