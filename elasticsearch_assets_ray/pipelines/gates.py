@@ -368,6 +368,7 @@ def g_search_struct(sf_dir: str) -> pa.Table:
             ("multi_match", "multi_match"),
             ("combined", "combined_fields"),
             ("bool_prefix", "match_bool_prefix"),
+            ("wtokens", "weighted_tokens"),
         ],
         _SEARCH_COLS,
     )(sf_dir)
@@ -1054,6 +1055,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("multi_match", None, "multi_match"),
             ("combined", None, "combined_fields"),
             ("bool_prefix", None, "match_bool_prefix"),
+            ("wtokens", None, "weighted_tokens"),
         ],
         _SEARCH_SEL,
     )

@@ -2567,6 +2567,90 @@ def _match_bool_prefix_sql() -> str:
     )
 
 
+# ES weighted_tokens (text_expansion): (tokens, freq_ratio_threshold,
+# weight_threshold) per query_id; 0.25-step weights keep every product
+# and sum bit-exact in float64 (order-free — SQL sum matches exactly)
+WTOKENS_SPECS: list[tuple[dict, float | None, float]] = [
+    ({"spark": 2.0, "table": 1.0, "merge": 0.5, "the": 0.25}, None, 0.0),
+    ({"spark": 2.0, "table": 1.0, "merge": 0.5, "the": 0.25}, 1.0, 1.0),
+]
+
+
+def q_weighted_tokens(sf_dir: str):
+    """ES weighted_tokens / text_expansion (query/sparse.py) through the
+    DISTRIBUTED raw-postings surface: sparse dot-product over the
+    inverted index, with the ES pruning_config rule in the second
+    query (the high-df low-weight token drops out)."""
+    from elasticsearch_assets_ray.query import sparse as sparse_mod
+
+    sh = sharded_searcher(documents_index(sf_dir))
+    parts = []
+    for qid, (tokens, ratio, wt) in enumerate(WTOKENS_SPECS):
+        r = sparse_mod.weighted_tokens(
+            sh,
+            tokens,
+            k=SEARCH_K + 90,
+            freq_ratio_threshold=ratio,
+            weight_threshold=wt,
+        )
+        ids = r["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            continue
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(_orig_ids(sh, ids)),
+                    "sim": r["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
+def _weighted_tokens_sql() -> str:
+    """Twin of q_weighted_tokens: Σ w·tf per doc, with the pruning arm
+    computing the same df-vs-query-average rule in SQL."""
+    ctes, arms = [], []
+    for qid, (tokens, ratio, wt) in enumerate(WTOKENS_SPECS):
+        vals = ", ".join(
+            f"('{t}', {w!r})" for t, w in sorted(tokens.items())
+        )
+        if ratio is None:
+            ctes.append(f"k{qid}(term, w) AS (VALUES {vals})")
+        else:
+            ctes.append(
+                f"q{qid}df AS (SELECT q.term, q.w, coalesce(df.df, 0) AS d "
+                f"FROM (VALUES {vals}) q(term, w) "
+                "LEFT JOIN df ON df.term = q.term), "
+                f"a{qid} AS (SELECT avg(d) AS a FROM q{qid}df), "
+                f"k{qid} AS (SELECT term, w FROM q{qid}df CROSS JOIN a{qid} "
+                f"WHERE NOT (d > {ratio!r} * a AND w < {wt!r}))"
+            )
+        arms.append(
+            f"SELECT {qid} AS query_id, tf.doc_id, sum(k{qid}.w * tf.tf) AS score "
+            f"FROM k{qid} JOIN tf ON tf.term = k{qid}.term GROUP BY tf.doc_id"
+        )
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term), "
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term), "
+        + ", ".join(ctes)
+        + ", scored AS (" + " UNION ALL ".join(arms) + ") "
+        "SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY round(score, 9) DESC, doc_id) AS rank, round(score, 6) AS score_r "
+        f"FROM scored QUALIFY rank <= {SEARCH_K}"
+    )
+
+
 # ES rank_feature: one (query, function, params) shape per query_id so
 # all three ES feature curves are oracle-checked
 RANK_FEATURE_SPECS: list[tuple[str, str, dict]] = [
@@ -6832,6 +6916,7 @@ ORACLES: dict[str, str] = {
     ),
     "search_compound": _compound_sql(),
     "match_bool_prefix": _match_bool_prefix_sql(),
+    "weighted_tokens": _weighted_tokens_sql(),
     "term_vectors": (
         f"WITH tl AS (SELECT unnest({_TOK}) AS term, "
         f"generate_subscripts({_TOK}, 1) AS p FROM documents WHERE doc_id = 7) "
@@ -7480,6 +7565,7 @@ QUERIES = {
     "suggest_completion": q_suggest_completion,
     "search_compound": q_search_compound,
     "match_bool_prefix": q_match_bool_prefix,
+    "weighted_tokens": q_weighted_tokens,
     "term_vectors": q_term_vectors,
     "highlight": q_highlight,
     "delete_search": q_delete_search,

@@ -662,6 +662,59 @@ def test_match_bool_prefix_parity_and_semantics(single, sharded):
     assert sharded.match_bool_prefix("!!!", k=5).num_rows == 0
 
 
+def test_weighted_tokens_parity_and_pruning(single, sharded):
+    """ES weighted_tokens: sparse Σ w·tf over the raw postings surface —
+    sharded == single bit-for-bit (quarter-step weights make the sum
+    order-free), pruning drops high-df low-weight tokens only."""
+    from elasticsearch_assets_ray.query.sparse import weighted_tokens
+
+    dfs0 = single.term_dfs(["def", "load", "index"])
+    weak = max(dfs0, key=dfs0.get)  # the most frequent token gets w=0.25
+    others = [t for t in ("def", "load", "index") if t != weak]
+    toks = {weak: 0.25, others[0]: 2.0, others[1]: 0.75}
+    r1 = weighted_tokens(single, toks, k=15)
+    r2 = weighted_tokens(sharded, toks, k=15)
+    _eq_tables(r2, r1)
+    # score semantics: Σ w·tf per doc
+    posts = single.term_postings_many(sorted(toks))
+    for d, s in zip(r1["doc_id"].to_pylist(), r1["score"].to_pylist()):
+        want = 0.0
+        for t in sorted(toks):
+            ids, tf = posts[t]
+            j = np.searchsorted(ids, d)
+            if j < ids.size and ids[j] == d:
+                want += toks[t] * float(tf[j])
+        assert s == want
+    # pruning: the max-df token is above the query-average df and weak
+    dfs = single.term_dfs(sorted(toks))
+    avg = sum(dfs.values()) / 3
+    assert dfs[weak] > avg
+    p1 = weighted_tokens(
+        single, toks, k=15, freq_ratio_threshold=1.0, weight_threshold=1.0
+    )
+    p2 = weighted_tokens(
+        sharded, toks, k=15, freq_ratio_threshold=1.0, weight_threshold=1.0
+    )
+    _eq_tables(p2, p1)
+    kept = {
+        t: w
+        for t, w in toks.items()
+        if not (dfs[t] > avg and w < 1.0)
+    }
+    assert weak not in kept and kept  # the prune rule must bite
+    want = weighted_tokens(single, kept, k=15)
+    assert p1.equals(want)
+    # a weight above the threshold is never pruned regardless of df
+    strong = weighted_tokens(
+        single,
+        {weak: 1.5, others[0]: 2.0, others[1]: 0.75},
+        k=15,
+        freq_ratio_threshold=1.0,
+        weight_threshold=1.0,
+    )
+    assert not strong.equals(want)
+
+
 def test_scan_pages_cover_match_set(single):
     """ES scroll analog: concatenated pages == the full match set in the
     stable (round-9 desc, docID asc) order, page size bounded."""
