@@ -1124,6 +1124,13 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
                         "count": poly["cnt"].combine_chunks().cast(pa.int64()),
                     }
                 ),
+                (lambda gl: pa.table(
+                    {
+                        "gate": pa.array(["line"] * gl.num_rows, pa.string()),
+                        "value": gl["value"].combine_chunks(),
+                        "count": gl["count"].combine_chunks().cast(pa.int64()),
+                    }
+                ))(_to_table(R.QUERIES["geo_line"](sf_dir))),
             ]
         )
 
@@ -1133,6 +1140,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("box", "'box' AS value, cnt AS count", "geo_box_count"),
             ("dist", None, "geo_distance_agg"),
             ("poly", "'poly' AS value, cnt AS count", "geo_polygon_count"),
+            ("line", None, "geo_line"),
         ],
         "value, count",
     )

@@ -476,6 +476,52 @@ def _geo_polygon_sql() -> str:
     )
 
 
+_GEO_LINE_SIZE = 20
+
+
+def q_geo_line(sf_dir: str):
+    """ES ``geo_line`` aggregation: per event_type, the track of the
+    first 20 points in (ts, event_id) order.  Coordinates are INTEGER
+    deci-degrees derived without float arithmetic, so the track strings
+    are exact on both sides."""
+    from elasticsearch_assets_ray.sources.geo import geo_line
+
+    def derive(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "lat10": pa.array(uid % 1800 - 900),
+                "lon10": pa.array(eid % 3600 - 1800),
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+            }
+        )
+
+    ds = _rd(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"]
+    ).map_batches(derive, batch_format="pyarrow")
+    return geo_line(
+        ds, "event_type", "lat10", "lon10", ["ts", "event_id"],
+        size=_GEO_LINE_SIZE,
+    )
+
+
+def _geo_line_sql() -> str:
+    return (
+        "WITH p AS (SELECT event_type, user_id % 1800 - 900 AS lat10, "
+        "event_id % 3600 - 1800 AS lon10, ts, event_id FROM events), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+        "ORDER BY ts, event_id) AS rk FROM p), "
+        f"k AS (SELECT * FROM r WHERE rk <= {_GEO_LINE_SIZE}) "
+        "SELECT event_type || '#' || string_agg("
+        "CAST(lat10 AS VARCHAR) || ':' || CAST(lon10 AS VARCHAR), ';' "
+        "ORDER BY rk) AS value, count(*)::BIGINT AS count "
+        "FROM k GROUP BY event_type ORDER BY value"
+    )
+
+
 def q_geo_distance_topk(sf_dir: str):
     """Q5 ``_geo_distance`` ascending sort (reference geoSearch/
     geoDistance sort, utils.ts:167-250) as streaming top-k.
@@ -6596,6 +6642,7 @@ ORACLES: dict[str, str] = {
     ),
     "geo_distance_agg": _geo_distance_agg_sql(),
     "geo_polygon_count": _geo_polygon_sql(),
+    "geo_line": _geo_line_sql(),
     "geo_distance_topk": (
         "WITH g AS (SELECT event_id, "
         f"{_GEO_LATLON_SQL[0]} AS lat, {_GEO_LATLON_SQL[1]} AS lon FROM events), "
@@ -7634,6 +7681,7 @@ QUERIES = {
     "video_frames": q_video_frames,
     "geo_distance_agg": q_geo_distance_agg,
     "geo_polygon_count": q_geo_polygon_count,
+    "geo_line": q_geo_line,
     "pack_documents": q_pack_documents,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,

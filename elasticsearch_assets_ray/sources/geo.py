@@ -395,3 +395,73 @@ def geotile_grid(
         {"tile": pa.array(tiles, pa.string()), "count": pa.array(cnt, pa.int64())}
     )
     return t.sort_by([("count", "descending"), ("tile", "ascending")])
+
+
+def geo_line(
+    ds: ray.data.Dataset,
+    group_col: str,
+    lat10_col: str,
+    lon10_col: str,
+    sort_cols: list[str],
+    size: int = 100,
+) -> pa.Table:
+    """ES ``geo_line`` aggregation analog: per group, the track joining
+    the first ``size`` points in ``sort_cols`` order (ES sorts by a
+    numeric field and truncates at ``size``, 10000 max).  Coordinates
+    come in as INTEGER deci-degrees (lat·10 / lon·10) so the track
+    string is exact on both sides of the oracle — float→string
+    formatting is never portable across engines.
+
+    Shape: ``groupby(group).map_groups`` — each group's points sort and
+    join inside its task, the wire carries one (group, track) row per
+    group.  Groups are assumed bounded (an unbounded-group geo_line is
+    unbounded output by definition)."""
+    import pyarrow.compute as _pc
+
+    def track(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return pa.table(
+                {
+                    "value": pa.array([], pa.string()),
+                    "count": pa.array([], pa.int64()),
+                }
+            )
+        s = g.sort_by([(c, "ascending") for c in sort_cols]).slice(0, size)
+        pts = _pc.binary_join_element_wise(
+            _pc.cast(s[lat10_col], pa.string()),
+            _pc.cast(s[lon10_col], pa.string()),
+            ":",
+        )
+        if isinstance(pts, pa.ChunkedArray):
+            pts = pts.combine_chunks()
+        joined = pa.compute.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array([0, len(pts)], pa.int32()), pts
+            ),
+            ";",
+        )
+        return pa.table(
+            {
+                "value": pa.array(
+                    [f"{g[group_col][0].as_py()}#{joined[0].as_py()}"],
+                    pa.string(),
+                ),
+                "count": pa.array([s.num_rows], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ds.groupby(group_col)
+        .map_groups(track, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if t.num_columns
+    ]
+    out = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.table(
+            {"value": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+        )
+    )
+    return out.sort_by([("value", "ascending")])

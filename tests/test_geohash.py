@@ -99,3 +99,27 @@ def test_point_in_polygon_crossing_number():
         point_in_polygon(lat, lon, [(0.0, 0.0), (1.0, 1.0)])
     with pytest.raises(ValueError):
         point_in_polygon(lat, lon, [(0.0, 0.0), (0.0, 2.0), (1.0, 1.0)])
+
+
+def test_geo_line_tracks(ray_session):
+    """geo_line: per-group track of the first `size` points in sort
+    order, integer deci-degree coordinates."""
+    import pyarrow as pa
+    import ray.data
+
+    from elasticsearch_assets_ray.sources.geo import geo_line
+
+    t = pa.table(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "lat10": [10, 20, 30, -5, -6],
+            "lon10": [1, 2, 3, 7, 8],
+            "ts": [3, 1, 2, 1, 2],
+            "id": [30, 10, 20, 1, 2],
+        }
+    )
+    out = geo_line(
+        ray.data.from_arrow(t), "g", "lat10", "lon10", ["ts", "id"], size=2
+    )
+    assert out["value"].to_pylist() == ["a#20:2;30:3", "b#-5:7;-6:8"]
+    assert out["count"].to_pylist() == [2, 2]
