@@ -69,6 +69,44 @@ def write_tombstones(index_dir: str, docids: np.ndarray) -> None:
     _atomic_write_table(pa.table({"doc_id": pa.array(docids)}), p)
 
 
+def open_pit(index_dir: str) -> str:
+    """ES ``point in time`` analog (the ``_pit`` API): snapshot the
+    index's mutable state — the tombstone list; segments are immutable —
+    under a content-addressed id, so searches carrying the PIT keep
+    seeing this exact view while deletes continue.  Returns the pit id;
+    reopening an identical state returns the same id (idempotent)."""
+    import hashlib
+
+    ts = load_tombstones(index_dir)
+    pit_id = hashlib.sha256(ts.tobytes()).hexdigest()[:16]
+    p = os.path.join(index_dir, "deleted", "pits", f"{pit_id}.parquet")
+    if not os.path.exists(p):
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        _atomic_write_table(pa.table({"doc_id": pa.array(ts)}), p)
+    return pit_id
+
+
+def pit_tombstones(index_dir: str, pit_id: str) -> np.ndarray:
+    """The tombstone snapshot a PIT search serves from (raises on an
+    unknown/expired pit id, mirroring ES's search_context_missing)."""
+    p = os.path.join(index_dir, "deleted", "pits", f"{pit_id}.parquet")
+    if not os.path.exists(p):
+        raise KeyError(f"unknown or closed pit {pit_id!r}")
+    return pq.read_table(p, columns=["doc_id"])["doc_id"].to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+
+
+def close_pit(index_dir: str, pit_id: str) -> bool:
+    """Release a PIT snapshot; returns False if it was already gone."""
+    p = os.path.join(index_dir, "deleted", "pits", f"{pit_id}.parquet")
+    try:
+        os.remove(p)
+        return True
+    except FileNotFoundError:
+        return False
+
+
 def delete_by_query(index_dir: str, query: str) -> int:
     """Tombstone every doc matching ``query`` (full lucene clause surface
     — boolean, phrases, prefix/wildcard/fuzzy).  Returns the number of

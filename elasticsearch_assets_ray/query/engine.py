@@ -261,6 +261,7 @@ class Searcher:
         shard_resident: bool = True,
         phrase_scoring: str = "terms",
         bucket_range: tuple[int, int] | None = None,
+        pit: str | None = None,
     ):
         """``shard_resident=True`` (default) faults whole segment shards
         into actor memory once — fastest, memory ∝ touched shards.
@@ -304,6 +305,9 @@ class Searcher:
                 f"engine routes with {TERM_HASH_ID!r} — rebuild the index"
             )
         self.prune = prune
+        #: ES point-in-time id (index/deletes.open_pit) — when set, the
+        #: tombstone view is the PIT's snapshot, not the current file
+        self.pit = pit
         self._set_codec(self.manifest.get("codec", "varint"))
         self._seg = pads.dataset(
             os.path.join(index_dir, "segments"), partitioning="hive"
@@ -380,9 +384,14 @@ class Searcher:
         # UNCHANGED until expunge (Lucene deleted-doc semantics)
         self._tombstones = np.empty(0, dtype=np.int64)
         if getattr(self, "index_dir", None):
-            from elasticsearch_assets_ray.index.deletes import load_tombstones
+            if getattr(self, "pit", None):
+                from elasticsearch_assets_ray.index.deletes import pit_tombstones
 
-            self._tombstones = load_tombstones(self.index_dir)
+                self._tombstones = pit_tombstones(self.index_dir, self.pit)
+            else:
+                from elasticsearch_assets_ray.index.deletes import load_tombstones
+
+                self._tombstones = load_tombstones(self.index_dir)
         # fielded metadata filters (`lang:en`): (field, value, pid) ->
         # bool row bitmap from the docstore part's column — byte-budgeted
         # LRU so repeated filtered queries pay one column read per

@@ -65,6 +65,7 @@ class ShardWorker:
         phrase_scoring: str = "terms",
         shard_resident: bool = True,
         runtime_fields: dict | None = None,
+        pit: str | None = None,
     ):
         if runtime_fields:
             # runtime fields are registered in the COORDINATOR process;
@@ -80,6 +81,7 @@ class ShardWorker:
             shard_resident=shard_resident,
             phrase_scoring=phrase_scoring,
             bucket_range=bucket_range,
+            pit=pit,
         )
 
     def search(self, q: ParsedQuery, k: int, df: dict[str, int]) -> pa.Table:
@@ -498,6 +500,7 @@ class ShardedSearcher:
         num_cpus: float = 1.0,
         max_restarts: int = 2,
         max_task_retries: int = 2,
+        pit: str | None = None,
     ):
         with open(os.path.join(index_dir, "manifest.json")) as f:
             man = json.load(f)
@@ -514,7 +517,7 @@ class ShardedSearcher:
         self.use_actors = use_actors
         # coordinator: COLD full-index view — parse/rewrite (term-dict
         # reads) and global df (term+df column reads); never postings
-        self.coord = Searcher(index_dir, shard_resident=False)
+        self.coord = Searcher(index_dir, shard_resident=False, pit=pit)
         if use_actors:
             import ray
 
@@ -537,6 +540,7 @@ class ShardedSearcher:
                     r,
                     prune=prune,
                     phrase_scoring=phrase_scoring,
+                    pit=pit,
                     # actors are fresh interpreters: ship the runtime-
                     # field registry (register before pool construction)
                     runtime_fields=dict(RUNTIME_FIELDS),
@@ -545,7 +549,10 @@ class ShardedSearcher:
             ]
         else:
             self.shards = [
-                ShardWorker(index_dir, r, prune=prune, phrase_scoring=phrase_scoring)
+                ShardWorker(
+                    index_dir, r, prune=prune,
+                    phrase_scoring=phrase_scoring, pit=pit,
+                )
                 for r in self.ranges
             ]
 

@@ -186,3 +186,51 @@ def test_expunge_matches_fresh_build(del_setup, tmp_path):
         # stats recomputed + same per-doc tf/dl ⇒ scores bit-identical to
         # a from-scratch build over the surviving corpus
         assert keyed_scores(sx, q) == keyed_scores(sf, q), q
+
+
+def test_point_in_time_snapshot(ray_session, corpus_dir, tmp_path_factory):
+    """ES _pit analog: a search carrying the PIT keeps the tombstone
+    view from open_pit time while deletes continue; close_pit releases
+    it; an unknown id raises (search_context_missing)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from elasticsearch_assets_ray.index.build import build_index
+    from elasticsearch_assets_ray.index.deletes import (
+        close_pit,
+        delete_by_query,
+        open_pit,
+    )
+    from elasticsearch_assets_ray.query.engine import Searcher
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    out = str(tmp_path_factory.mktemp("pitidx"))
+    build_index(corpus_dir, out, target_partition_rows=128, num_shards=2)
+    before = Searcher(out).search("def load", k=20)
+    pit = open_pit(out)
+    n_del = delete_by_query(out, "def load")
+    assert n_del > 0
+    # live view excludes the deleted docs; PIT view is unchanged
+    live = Searcher(out).search("def load", k=20)
+    assert live.num_rows == 0 or set(live["doc_id"].to_pylist()).isdisjoint(
+        set(before["doc_id"].to_pylist())
+    )
+    pinned = Searcher(out, pit=pit).search("def load", k=20)
+    assert pinned.equals(before)
+    # the sharded path honors the PIT too (bit-identical)
+    sharded = ShardedSearcher(out, n_shards=2, use_actors=False, pit=pit)
+    sp = sharded.search("def load", k=20)
+    assert sp["doc_id"].to_pylist() == before["doc_id"].to_pylist()
+    np.testing.assert_array_equal(
+        sp["score"].to_numpy(zero_copy_only=False),
+        before["score"].to_numpy(zero_copy_only=False),
+    )
+    # idempotent reopen of the same state; distinct state → distinct id
+    pit2 = open_pit(out)
+    assert pit2 != pit
+    assert open_pit(out) == pit2
+    # close releases; a closed pit raises
+    assert close_pit(out, pit)
+    assert not close_pit(out, pit)
+    with _pytest.raises(KeyError):
+        Searcher(out, pit=pit)
