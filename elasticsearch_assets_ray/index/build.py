@@ -90,7 +90,20 @@ class IndexConfig:
     # per-node concurrency while still scaling with cluster size; the
     # default 1.0 uses every core (right when below the knee).
     phase1_num_cpus: float = 1.0
+    # optional analysis chain (stages/analysis.AnalyzerSpec.to_dict()
+    # form, e.g. {"filters": ["stop", "s_stem"]}) — token filters run
+    # after the canonical tokenization at build time, and Searcher
+    # re-applies the same chain to every query (the ES analyzer
+    # contract).  None = the canonical chain alone.
+    analyzer: dict | None = None
     extra: dict = field(default_factory=dict)
+
+    def analyzer_spec(self):
+        if self.analyzer is None:
+            return None
+        from elasticsearch_assets_ray.stages.analysis import AnalyzerSpec
+
+        return AnalyzerSpec.from_dict(self.analyzer)
 
     def __post_init__(self):
         # validated config surface (the reference schema-validates every
@@ -107,6 +120,7 @@ class IndexConfig:
             raise ValueError("num_shards must be positive")
         if self.phase1_num_cpus <= 0:
             raise ValueError("phase1_num_cpus must be positive")
+        self.analyzer_spec()  # validates filter names eagerly
         if self.content_col in self.id_cols:
             raise ValueError("content_col cannot also be an id column")
 
@@ -206,9 +220,15 @@ def build_partition(
             saved.get("version") == MANIFEST_VERSION
             and saved.get("path") == spec.path
             and saved.get("row_groups") == list(spec.row_groups)
+            and saved.get("analyzer") == cfg.analyzer
         ):
             return saved
-        if saved.get("version") != MANIFEST_VERSION:
+        if (
+            saved.get("version") != MANIFEST_VERSION
+            or saved.get("analyzer") != cfg.analyzer
+        ):
+            # older artifact format, or the analysis chain changed (the
+            # same rows tokenize differently) — rebuild this partition
             for sub, ext in (
                 ("manifests", ".json"),
                 ("runs", ".parquet"),
@@ -260,7 +280,9 @@ def build_partition(
     doc_ids = spec.doc_base + np.arange(n_docs, dtype=np.int64)
 
     content = table[cfg.content_col]
-    tb = doc_term_freqs(content, with_positions=cfg.index_positions)
+    tb = doc_term_freqs(
+        content, with_positions=cfg.index_positions, analyzer=cfg.analyzer_spec()
+    )
     total_tokens = int(tb.doc_len.sum())
 
     # --- docstore shard ---
@@ -346,6 +368,7 @@ def build_partition(
         "n_docs": n_docs,
         "total_tokens": total_tokens,
         "n_terms_local": len(uterms),
+        "analyzer": cfg.analyzer,
     }
     _atomic_write_json(manifest, man_path)  # LAST: presence == partition done
     return manifest
@@ -650,7 +673,7 @@ def build_index(
     _atomic_write_json(registry, reg_path)
     specs = remapped
     plan_fp = hashlib.sha256(
-        json.dumps(sorted(registry.items())).encode()
+        json.dumps([sorted(registry.items()), cfg.analyzer]).encode()
     ).hexdigest()[:16]
 
     # sweep stray .tmp files a crashed atomic write may have left
@@ -724,6 +747,7 @@ def build_index(
         "store_content": cfg.store_content,
         "index_positions": cfg.index_positions,
         "positions_codec": "varint-delta" if cfg.index_positions else None,
+        "analyzer": cfg.analyzer,
     }
     _atomic_write_json(global_manifest, gm_path)
     return global_manifest

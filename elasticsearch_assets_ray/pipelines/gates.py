@@ -369,6 +369,7 @@ def g_search_struct(sf_dir: str) -> pa.Table:
             ("combined", "combined_fields"),
             ("bool_prefix", "match_bool_prefix"),
             ("wtokens", "weighted_tokens"),
+            ("analyzed", "search_analyzed"),
         ],
         _SEARCH_COLS,
     )(sf_dir)
@@ -1056,6 +1057,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("combined", None, "combined_fields"),
             ("bool_prefix", None, "match_bool_prefix"),
             ("wtokens", None, "weighted_tokens"),
+            ("analyzed", None, "search_analyzed"),
         ],
         _SEARCH_SEL,
     )

@@ -114,6 +114,81 @@ def documents_index(sf_dir: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# analyzed index (ES analyzer contract: stop + S-stemmer token filters)
+# ---------------------------------------------------------------------------
+
+# the (stop, s_stem) chain — stages/analysis.py; SQL-replicable
+ANALYZER_DICT = {"filters": ["stop", "s_stem"]}
+# the synthetic corpus has no plural surface forms, so the analyzed
+# corpus pluralizes three hot words on ODD doc_ids — an unanalyzed
+# index would split each pair into two unrelated terms, making the
+# conflation observable (and oracle-checkable) end-to-end
+_ANA_PLURALS = [("table", "tables"), ("query", "queries"), ("batch", "batches")]
+_ANA_INDEX_CACHE: dict[str, str] = {}
+
+
+def _pluralize_sql(col: str) -> str:
+    rep = col
+    for a, b in _ANA_PLURALS:
+        rep = f"regexp_replace({rep}, '\\b{a}\\b', '{b}', 'g')"
+    return f"(CASE WHEN doc_id % 2 = 1 THEN {rep} ELSE {col} END)"
+
+
+def analyzed_documents_index(sf_dir: str) -> str:
+    """Build (once, cached) the ANALYZED fulltext index: documents with
+    deterministic plural surface forms on odd doc_ids, tokenized through
+    the (stop, s_stem) filter chain (index/build.py ``analyzer=``).
+    The augmented corpus is itself written with a streaming Ray
+    map_batches (vectorized RE2 replace + if_else on the doc_id parity
+    mask) — no driver-side materialization."""
+    if sf_dir in _ANA_INDEX_CACHE:
+        return _ANA_INDEX_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join("/tmp", "esr_index_cache")
+    aug = os.path.join(root, f"{tag}-documents-ana-src-v1")
+    out = os.path.join(root, f"{tag}-documents-ana-v1")
+    if not os.path.exists(os.path.join(aug, "_DONE")):
+        import shutil
+
+        tmp = aug + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(aug, ignore_errors=True)
+
+        def _plural(t: pa.Table) -> pa.Table:
+            text = t["text"]
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            rep = text
+            for a, b in _ANA_PLURALS:
+                rep = pc.replace_substring_regex(rep, rf"\b{a}\b", b)
+            odd = pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())), 1)
+            return t.set_column(
+                t.schema.get_field_index("text"), "text", pc.if_else(odd, rep, text)
+            )
+
+        ray.data.read_parquet(_p(sf_dir, "documents")).map_batches(
+            _plural, batch_format="pyarrow"
+        ).write_parquet(tmp)
+        os.rename(tmp, aug)
+        with open(os.path.join(aug, "_DONE"), "w") as f:
+            f.write("ok")
+    build_index(
+        aug,
+        out,
+        config=IndexConfig(
+            content_col="text",
+            id_cols=("doc_id",),
+            keep_cols=("lang", "source", "n_chars"),
+            store_content=True,
+            index_positions=True,
+            analyzer=ANALYZER_DICT,
+        ),
+    )
+    _ANA_INDEX_CACHE[sf_dir] = out
+    return out
+
+
+# ---------------------------------------------------------------------------
 # pinned query sets (vocabulary of the synthetic documents table)
 # ---------------------------------------------------------------------------
 
@@ -1738,6 +1813,33 @@ def q_search_sharded(sf_dir: str):
     sh = sharded_searcher(idx)
     return _search_many(
         sf_dir, DOC_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90, searcher=sh
+    )
+
+
+ANALYZED_QUERIES: list[str] = [
+    # stopwords drop; "tables" conflates with "table" across the corpus
+    "the tables merge scan",
+    # query-side stem "queries"→"query" matches both surface forms
+    "queries batch stream",
+    # "batches"→"batche" matches ONLY the pluralized (odd) docs
+    "a batches key value",
+    # "windows"→"window" conflates against the raw corpus token
+    "windows data join",
+]
+
+
+def q_search_analyzed(sf_dir: str):
+    """BM25 over the ANALYZED index (stop + S-stemmer token filters,
+    stages/analysis.py), served through the doc-partitioned
+    scatter-gather path — the coordinator analyzes each query string
+    through the index's own chain (Searcher._q), so plural queries and
+    plural documents conflate to one stem.  The oracle replicates the
+    exact filter chain in SQL (AnalyzerSpec.sql_term_expr /
+    sql_keep_expr) over the same deterministically-pluralized corpus."""
+    idx = analyzed_documents_index(sf_dir)
+    sh = sharded_searcher(idx)
+    return _search_many(
+        sf_dir, ANALYZED_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90, searcher=sh
     )
 
 
@@ -5106,6 +5208,60 @@ QUALIFY rank + {(page - 1) * k} <= {page * k}
 """
 
 
+def _analyzed_bm25_sql(queries: list[str], k: int) -> str:
+    """Twin of q_search_analyzed: the (stop, s_stem) chain replicated in
+    SQL over BOTH the pluralized corpus tokens AND the raw query tokens
+    (query analysis is part of the contract, so the oracle re-derives it
+    rather than embedding pre-analyzed terms)."""
+    from elasticsearch_assets_ray.stages.analysis import AnalyzerSpec
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    spec = AnalyzerSpec.from_dict(ANALYZER_DICT)
+    stem = spec.sql_term_expr("t0")
+    keep = spec.sql_keep_expr("t0")
+    values = []
+    for qid, q in enumerate(queries):
+        for t in sorted(set(tokenize_text(q))):
+            values.append(f"({qid}, '{t}')")
+    vals = ", ".join(values)
+    return f"""
+WITH docs AS (SELECT doc_id, {_pluralize_sql('text')} AS text FROM documents),
+tok0 AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t0 FROM docs
+), tok AS (
+  SELECT doc_id, {stem} AS term FROM tok0 WHERE {keep}
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT count(*) FROM docs)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM docs) AS avgdl
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), q0(query_id, t0) AS (VALUES {vals}),
+q AS (
+  SELECT DISTINCT query_id, {stem} AS term FROM q0 WHERE {keep}
+),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id) AS rank,
+       round(score, 6) AS score_r
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def _cosine_probe_sql(
     k: int, filter_term: str | None = None, min_sim: float | None = None
 ) -> str:
@@ -6893,6 +7049,7 @@ ORACLES: dict[str, str] = {
         k=_HYBRID_K,
     ),
     "search_sharded": _bm25_sql(DOC_QUERIES, SEARCH_K),
+    "search_analyzed": _analyzed_bm25_sql(ANALYZED_QUERIES, SEARCH_K),
     "fulltext_count": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
         "qt(query_id, term) AS (VALUES "
@@ -7571,6 +7728,7 @@ QUERIES = {
     "embedding_dedup": q_embedding_dedup,
     "search_topk": q_search_topk,
     "search_sharded": q_search_sharded,
+    "search_analyzed": q_search_analyzed,
     "rank_eval": q_rank_eval,
     "span_search": q_span_search,
     "intervals_search": q_intervals_search,

@@ -294,6 +294,14 @@ class Searcher:
         self.n_docs = int(self.manifest["n_docs"])
         self.avgdl = float(self.manifest["avgdl"])
         self.num_shards = int(self.manifest["num_shards"])
+        # index-time analysis chain — every string query re-parses
+        # through the same chain (self._q), the ES analyzer contract
+        if self.manifest.get("analyzer"):
+            from elasticsearch_assets_ray.stages.analysis import AnalyzerSpec
+
+            self.analyzer = AnalyzerSpec.from_dict(self.manifest["analyzer"])
+        else:
+            self.analyzer = None
         # shard routing must use the hash the index was BUILT with — a
         # hash change without a manifest bump would silently miss terms
         from elasticsearch_assets_ray.index.build import TERM_HASH_ID
@@ -1002,6 +1010,23 @@ class Searcher:
 
         return dataclasses.replace(q, minimum_should_match=minimum_should_match)
 
+    def _q(self, query: str | ParsedQuery) -> ParsedQuery:
+        """Parse a query string and, on an analyzed index, rewrite the
+        parsed terms through the index's token-filter chain
+        (stages/analysis.analyze_parsed) so query analysis always
+        matches index analysis — the ES analyzer contract.  ParsedQuery
+        inputs pass through UNCHANGED: internal callers rebuild
+        sub-queries from already-analyzed index terms, which must not
+        be re-stemmed."""
+        if not isinstance(query, str):
+            return query
+        q = parse_query(query)
+        if self.analyzer is not None:
+            from elasticsearch_assets_ray.stages.analysis import analyze_parsed
+
+            q = analyze_parsed(q, self.analyzer)
+        return q
+
     # ---------- search ----------
     def search(
         self,
@@ -1032,7 +1057,7 @@ class Searcher:
                 search_after=search_after,
             )
             return r.slice(from_, k)
-        q = parse_query(query) if isinstance(query, str) else query
+        q = self._q(query)
         q = self._apply_msm(q, minimum_should_match)
         if search_after is not None:
             import dataclasses
@@ -1062,7 +1087,7 @@ class Searcher:
 
         before = dict(self.stats)
         t0 = _time.perf_counter()
-        q = parse_query(query) if isinstance(query, str) else query
+        q = self._q(query)
         t1 = _time.perf_counter()
         q = self._rewrite_prefixes(q)
         t2 = _time.perf_counter()
@@ -1107,7 +1132,7 @@ class Searcher:
         from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
 
         out_tok, out_sug, out_d, out_df = [], [], [], []
-        for tok in tokenize_text(text):
+        for tok in tokenize_text(text, self.analyzer):
             # per-token degradation, never a whole-request crash: a huge
             # edit-neighborhood narrows to 1 edit, then drops the token
             # (an ES suggester always answers)
@@ -1368,7 +1393,7 @@ class Searcher:
                 f"k ({k}) must not exceed window_size ({window_size}) — "
                 "hits below the window are not rescored; widen the window"
             )
-        q2 = parse_query(rescore_query) if isinstance(rescore_query, str) else rescore_query
+        q2 = self._q(rescore_query)
         q2 = self._rewrite_prefixes(q2)
         if (
             q2.has_phrases
@@ -1726,7 +1751,7 @@ class Searcher:
             raise RuntimeError("highlight needs store_content=True")
         from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
 
-        q = parse_query(query) if isinstance(query, str) else query
+        q = self._q(query)
         q = self._rewrite_prefixes(q)
         terms = set(q.scoring_terms)
         # phrase-prefix stems highlight their expansions too
@@ -1739,7 +1764,7 @@ class Searcher:
         )
         out_d, out_s, out_n, out_t = [], [], [], []
         for d in docids.tolist():
-            toks = tokenize_text(texts.get(int(d)) or "")
+            toks = tokenize_text(texts.get(int(d)) or "", self.analyzer)
             n = len(toks)
             if n == 0:
                 continue  # no analyzable content → no highlight (ES-like)
@@ -1860,7 +1885,7 @@ class Searcher:
             raise ValueError(f"doc_id {doc_id} not found")
         from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
 
-        toks = tokenize_text(src[content_col][0].as_py())
+        toks = tokenize_text(src[content_col][0].as_py(), self.analyzer)
         if not toks:
             return []
         uniq, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
@@ -2045,7 +2070,7 @@ class Searcher:
         score BIT-exactly (pinned in tests).  Flat bag-of-words queries
         only — trees/phrases score through compound paths whose
         breakdown isn't a per-term sum."""
-        q = parse_query(query) if isinstance(query, str) else query
+        q = self._q(query)
         q = self._rewrite_prefixes(q)
         if q.bool_tree is not None or q.has_phrases:
             raise ValueError("explain supports flat bag-of-words queries")
@@ -2252,6 +2277,12 @@ class Searcher:
                 {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
             )
         complete, stem = toks[:-1], toks[-1]
+        if self.analyzer is not None:
+            # complete terms analyze like any text clause; the trailing
+            # partial word stays RAW — it is a dictionary prefix, and
+            # stemming/stopping a half-typed word would break
+            # search-as-you-type ("the" may be the start of "theory")
+            complete = self.analyzer.apply_tokens(complete)
         return self.match_bool_prefix_prepared(
             parse_query(" ".join(complete)) if complete else None,
             self.expand_prefix(stem),
@@ -2551,7 +2582,7 @@ class Searcher:
         ``df = max(member dfs)`` — so a doc mentioning any member is not
         double-counted the way a plain OR would.  v1 supports flat
         should-term queries (no phrases/trees/filters); raises otherwise."""
-        q = parse_query(query) if isinstance(query, str) else query
+        q = self._q(query)
         if (
             q.has_phrases
             or q.bool_tree is not None
@@ -2799,7 +2830,7 @@ class Searcher:
         cosine in ``sim``."""
         qf = None
         if filter_query is not None:
-            qf = parse_query(filter_query) if isinstance(filter_query, str) else filter_query
+            qf = self._q(filter_query)
             qf = self._apply_msm(qf, minimum_should_match)
             qf = self._rewrite_prefixes(qf)
         res = self.knn_prepared(query_ids, query_vecs, k, qf, None)
@@ -2926,7 +2957,7 @@ class Searcher:
     ) -> pa.Table:
         """Every matching doc's score (no pruning) — the oracle-comparable
         full result set."""
-        q = parse_query(query) if isinstance(query, str) else query
+        q = self._q(query)
         q = self._apply_msm(q, minimum_should_match)
         q = self._rewrite_prefixes(q)
         if q.has_phrases:
@@ -3475,7 +3506,7 @@ class Searcher:
         the scored path (their match semantics need per-doc evaluation
         the score-free walk doesn't replicate); ``stats`` records which
         path served each call."""
-        q = parse_query(query) if isinstance(query, str) else query
+        q = self._q(query)
         q = self._apply_msm(q, minimum_should_match)
         q = self._rewrite_prefixes(q)
         return self._match_ids(q)
@@ -3549,7 +3580,7 @@ class Searcher:
         Returns ``(value, relation)`` with the ES ``total`` contract:
         ``(n, "eq")`` when the count is exact, ``(threshold, "gte")``
         when counting stopped at the threshold."""
-        q = parse_query(query) if isinstance(query, str) else query
+        q = self._q(query)
         q = self._apply_msm(q, minimum_should_match)
         q = self._rewrite_prefixes(q)
         # count to threshold+1: a total EXACTLY equal to the threshold is

@@ -23,6 +23,7 @@ class OracleIndex:
         content_col: str = "content",
         id_col: str = "doc_id",
         chunk_rows: int = 50_000,
+        analyzer=None,
     ):
         """Builds in row chunks so corpora whose content exceeds Arrow's
         2 GiB single-array limit still oracle-check."""
@@ -37,7 +38,7 @@ class OracleIndex:
         for lo in range(0, self.n_docs, chunk_rows):
             chunk = table.slice(lo, chunk_rows)
             ids = chunk[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            tb = doc_term_freqs(chunk[content_col])
+            tb = doc_term_freqs(chunk[content_col], analyzer=analyzer)
             total_tokens += int(tb.doc_len.sum())
             uterms, inv = np.unique(tb.terms, return_inverse=True)
             o = np.lexsort((tb.doc_idx, inv))
@@ -59,11 +60,16 @@ class OracleIndex:
             for t, parts in self.postings.items()
         }
         self.avgdl = (total_tokens / self.n_docs) if self.n_docs else 0.0
+        self.analyzer = analyzer
 
     def all_scores(self, query: str | ParsedQuery) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, bm25) for every doc matching the query (must/must_not
         honoured), unordered-by-contract."""
         pq_ = parse_query(query) if isinstance(query, str) else query
+        if isinstance(query, str) and self.analyzer is not None:
+            from elasticsearch_assets_ray.stages.analysis import analyze_parsed
+
+            pq_ = analyze_parsed(pq_, self.analyzer)
         if pq_.has_multiterm:
             # same rewrite as the engine: positive expansions → SHOULD
             # terms (+ a must_any group for `+` clauses), negative
@@ -163,7 +169,7 @@ class OracleIndex:
                 neg_specs.append((tuple(p) + (exp,), 0))
             keep = np.ones(ids.size, dtype=bool)
             for i, d in enumerate(ids):
-                toks = tokenize_text(self.contents.get(int(d)) or "")
+                toks = tokenize_text(self.contents.get(int(d)) or "", self.analyzer)
                 ok = all(
                     Searcher.contains_spec(toks, p, n) for p, n in pos_specs
                 ) and not any(

@@ -565,7 +565,7 @@ class ShardedSearcher:
     ) -> tuple[ParsedQuery, dict[str, int]]:
         """Parse + msm + cursor + multi-term rewrite + global df — the
         dfs phase.  Mirrors Searcher.search's pre-processing exactly."""
-        q = parse_query(query) if isinstance(query, str) else query
+        q = self.coord._q(query)
         q = Searcher._apply_msm(q, minimum_should_match)
         if search_after is not None:
             s_raw, aid = search_after
@@ -999,7 +999,7 @@ class ShardedSearcher:
         coordinator, GLOBAL member dfs injected (dfs_query_then_fetch),
         shard-local scoring is bit-identical to the single searcher, and
         the top-k merge uses the shared score comparator."""
-        q = parse_query(query) if isinstance(query, str) else query
+        q = self.coord._q(query)
         groups = {
             t: tuple(sorted({t, *synonyms.get(t, ())}))
             for t in sorted(set(q.scoring_terms))

@@ -42,12 +42,15 @@ _CAMEL_RE = re.compile(_CAMEL_RE_STR)
 _SPLIT_RE = re.compile(_SPLIT_RE_STR)
 
 
-def tokenize_text(text: str) -> list[str]:
-    """Pure-Python reference tokenizer (oracle path)."""
+def tokenize_text(text: str, analyzer=None) -> list[str]:
+    """Pure-Python reference tokenizer (oracle path).  ``analyzer`` is
+    an optional :class:`~elasticsearch_assets_ray.stages.analysis.AnalyzerSpec`
+    whose token-filter chain runs after the canonical steps."""
     if not text:
         return []
     s = _CAMEL_RE.sub(r"\1 \2", text).lower()
-    return [t for t in _SPLIT_RE.split(s) if 0 < len(t) <= MAX_TOKEN_LEN]
+    toks = [t for t in _SPLIT_RE.split(s) if 0 < len(t) <= MAX_TOKEN_LEN]
+    return analyzer.apply_tokens(toks) if analyzer is not None else toks
 
 
 @dataclass
@@ -79,7 +82,9 @@ def tokenize_column(col: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 
 def doc_term_freqs(
-    col: pa.Array | pa.ChunkedArray, with_positions: bool = False
+    col: pa.Array | pa.ChunkedArray,
+    with_positions: bool = False,
+    analyzer=None,
 ) -> TokenizedBatch:
     """Vectorized (doc, term, tf) + doc lengths for a batch of texts.
 
@@ -116,6 +121,20 @@ def doc_term_freqs(
         flat = flat.filter(keep_arr)
         doc_idx_all = doc_idx_all[keep]
 
+    if analyzer is not None and analyzer.filters and len(flat) > 0:
+        # token-filter chain (stages/analysis.py): transform the batch's
+        # UNIQUE terms once, then gather through the dictionary codes —
+        # per-token cost is one fancy-index regardless of text volume.
+        dict_arr0 = pc.dictionary_encode(flat)
+        codes0 = dict_arr0.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab0 = dict_arr0.dictionary.to_numpy(zero_copy_only=False)
+        new_terms, keepv = analyzer.apply_vocab(vocab0)
+        keep2 = keepv[codes0]
+        if not keep2.all():
+            codes0 = codes0[keep2]
+            doc_idx_all = doc_idx_all[keep2]
+        flat = pa.array(new_terms[codes0], pa.string())
+
     doc_len = np.bincount(doc_idx_all, minlength=n_docs).astype(np.int64)
 
     if len(flat) == 0:
@@ -143,19 +162,35 @@ def doc_term_freqs(
     return tb
 
 
-def analyze(text: str) -> pa.Table:
+def analyze(text: str, analyzer=None) -> pa.Table:
     """ES ``_analyze`` analog: run the canonical chain over one string
     and return (token, position, start_offset, end_offset) with offsets
     into the ORIGINAL text.  Token sequence is exactly
     :func:`tokenize_text`'s (pinned by tests): alnum fragments of the
     original split at camelCase boundaries, lowercased, overlong tokens
     dropped (positions count KEPT tokens, the doc_term_freqs
-    convention)."""
+    convention).  With ``analyzer``, the token-filter chain also runs:
+    filtered tokens are skipped (positions stay dense over kept tokens)
+    and stemmed tokens keep the ORIGINAL surface form's offsets — ES
+    ``_analyze`` offset semantics."""
     toks: list[str] = []
     pos: list[int] = []
     starts: list[int] = []
     ends: list[int] = []
     p = 0
+
+    def _emit(piece: str, s0: int, e0: int) -> None:
+        nonlocal p
+        tok = piece.lower()
+        if analyzer is not None:
+            tok = analyzer.apply_token(tok)
+            if tok is None:
+                return
+        toks.append(tok)
+        pos.append(p)
+        starts.append(s0)
+        ends.append(e0)
+        p += 1
     for frag in re.finditer(r"[A-Za-z0-9]+", text or ""):
         s = frag.start()
         sub = frag.group(0)
@@ -164,19 +199,11 @@ def analyze(text: str) -> pa.Table:
         for m in _CAMEL_RE.finditer(sub):
             piece = sub[cut : m.start() + 1]
             if 0 < len(piece) <= MAX_TOKEN_LEN:
-                toks.append(piece.lower())
-                pos.append(p)
-                starts.append(s + cut)
-                ends.append(s + cut + len(piece))
-                p += 1
+                _emit(piece, s + cut, s + cut + len(piece))
             cut = m.start() + 1
         piece = sub[cut:]
         if 0 < len(piece) <= MAX_TOKEN_LEN:
-            toks.append(piece.lower())
-            pos.append(p)
-            starts.append(s + cut)
-            ends.append(s + cut + len(piece))
-            p += 1
+            _emit(piece, s + cut, s + cut + len(piece))
     return pa.table(
         {
             "token": pa.array(toks, pa.string()),
