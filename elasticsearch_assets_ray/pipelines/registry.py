@@ -5311,6 +5311,30 @@ SPAN_SPECS: list[dict] = [
             "in_order": True,
         }
     },
+    {
+        "span_within": {
+            "little": {"span_term": "value"},
+            "big": {
+                "span_near": {
+                    "clauses": [{"span_term": "key"}, {"span_term": "row"}],
+                    "slop": 3,
+                    "in_order": True,
+                }
+            },
+        }
+    },
+    {
+        "span_containing": {
+            "big": {
+                "span_near": {
+                    "clauses": [{"span_term": "spark"}, {"span_term": "merge"}],
+                    "slop": 4,
+                    "in_order": True,
+                }
+            },
+            "little": {"span_term": "table"},
+        }
+    },
 ]
 
 
@@ -5401,6 +5425,28 @@ def _span_cand_sql(spec: dict) -> tuple[str, list[str]]:
             + " WHERE "
             + " AND ".join(conds),
             terms,
+        )
+    if "span_within" in spec or "span_containing" in spec:
+        # term little inside a 2-term ordered near big (the pinned gate
+        # shape).  The evaluator's near produces ONE minimal span per
+        # start (greedy min end ≥ a.p + 1), so the SQL pins r.p to that
+        # MIN — containment tests against produced spans, not all pairs.
+        # At the doc level within and containing are the same predicate
+        # (∃ big ⊇ little), which is why one twin serves both.
+        s = spec.get("span_within") or spec.get("span_containing")
+        tl_ = s["little"]["span_term"]
+        nb = s["big"]["span_near"]
+        ta, tb = (c["span_term"] for c in nb["clauses"])
+        slop = int(nb.get("slop", 0))
+        return (
+            f"SELECT DISTINCT v.doc_id FROM tl v WHERE v.term = '{tl_}' "
+            f"AND EXISTS (SELECT 1 FROM tl a JOIN tl r ON r.doc_id = a.doc_id "
+            f"AND r.term = '{tb}' AND r.p >= a.p + 1 "
+            f"AND r.p = (SELECT min(r2.p) FROM tl r2 WHERE r2.doc_id = a.doc_id "
+            f"AND r2.term = '{tb}' AND r2.p >= a.p + 1) "
+            f"WHERE a.doc_id = v.doc_id AND a.term = '{ta}' "
+            f"AND r.p - a.p <= {slop + 1} AND v.p >= a.p AND v.p <= r.p)",
+            [tl_, ta, tb] if "span_within" in spec else [ta, tb, tl_],
         )
     raise ValueError(f"unsupported span spec for SQL: {sorted(spec)}")
 

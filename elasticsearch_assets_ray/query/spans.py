@@ -9,6 +9,8 @@ syntax), so this module takes a small dict spec mirroring the ES JSON:
     {"span_first": {"match": <spec>, "end": 5}}
     {"span_not": {"include": <spec>, "exclude": <spec>,
                   "pre": 0, "post": 0}}
+    {"span_within": {"little": <spec>, "big": <spec>}}
+    {"span_containing": {"big": <spec>, "little": <spec>}}
 
 Pinned contract (documented divergences match the repo's phrase
 precedent — positional constraints FILTER exactly, scoring stays
@@ -25,6 +27,13 @@ bag-of-words BM25 over the positive terms):
 - ``span_first``: match spans whose end ≤ ``end`` (ES's boundary rule).
 - ``span_not``: include spans surviving iff NO exclude span overlaps
   the window [start − pre, end + post) (ES pre/post extension).
+- ``span_within``: LITTLE spans enclosed by ≥ 1 big span
+  (big.start ≤ little.start ∧ little.end ≤ big.end, same doc);
+  ``span_containing`` is the mirror — BIG spans enclosing ≥ 1 little
+  span.  Containment tests against the spans the evaluator PRODUCES
+  (one minimal-end span per start — the minimal-interval convention;
+  documented divergence: Lucene's SpanOr/SpanNear can also emit wider
+  same-start spans).
 
 Everything is vectorized: per-term position keys are sorted
 ``cidx << 32 | position`` int64 arrays over the sorted candidate docs
@@ -65,6 +74,13 @@ def positive_terms(spec: dict) -> list[str]:
             walk(s["span_first"]["match"])
         elif "span_not" in s:
             walk(s["span_not"]["include"])
+        elif "span_within" in s:
+            # a contained little span implies BOTH sides match the doc
+            walk(s["span_within"]["little"])
+            walk(s["span_within"]["big"])
+        elif "span_containing" in s:
+            walk(s["span_containing"]["big"])
+            walk(s["span_containing"]["little"])
         elif "span_or" in s:
             # no single term is guaranteed by a disjunction — an OR
             # contributes nothing to the conjunctive candidate set
@@ -93,6 +109,12 @@ def all_terms(spec: dict) -> list[str]:
         elif "span_not" in s:
             walk(s["span_not"]["include"])
             walk(s["span_not"]["exclude"])
+        elif "span_within" in s:
+            walk(s["span_within"]["little"])
+            walk(s["span_within"]["big"])
+        elif "span_containing" in s:
+            walk(s["span_containing"]["big"])
+            walk(s["span_containing"]["little"])
         elif "span_or" in s:
             for c in s["span_or"]["clauses"]:
                 walk(c)
@@ -222,6 +244,49 @@ def eval_spans(
         sk = np.concatenate([p[0] for p in parts])
         ep = np.concatenate([p[1] for p in parts])
         return _min_end_per_start(sk, ep)
+    if "span_within" in spec:
+        # little spans with ≥ 1 enclosing big span: prefix-max of big
+        # ends in (doc, start) order — among big spans starting at or
+        # before the little's start (searchsorted right), the max end in
+        # the SAME doc decides containment.  Doc ids ride the high bits,
+        # so any same-doc big span dominates every earlier doc's in the
+        # running max, making the same-doc check on the max exact.
+        s = spec["span_within"]
+        lsk, lep = eval_spans(s["little"], keys)
+        bsk, bep = eval_spans(s["big"], keys)
+        if lsk.size == 0 or bsk.size == 0:
+            return lsk[:0], lep[:0]
+        aug = (bsk & ~np.int64(_POS_MASK)) | bep
+        pmax = np.maximum.accumulate(aug)
+        j = np.searchsorted(bsk, lsk, side="right")
+        pj = pmax[np.maximum(j - 1, 0)]
+        ok = (
+            (j > 0)
+            & ((pj >> 32) == (lsk >> 32))
+            & ((pj & _POS_MASK) >= lep)
+        )
+        return lsk[ok], lep[ok]
+    if "span_containing" in spec:
+        # big spans enclosing ≥ 1 little span: suffix-MIN of little ends
+        # in (doc, start) order — among little spans starting at or
+        # after the big's start (searchsorted left), the min (doc|end)
+        # belongs to the earliest doc in the suffix, so a same-doc hit
+        # with end ≤ big.end is found exactly when one exists.
+        s = spec["span_containing"]
+        bsk, bep = eval_spans(s["big"], keys)
+        lsk, lep = eval_spans(s["little"], keys)
+        if lsk.size == 0 or bsk.size == 0:
+            return bsk[:0], bep[:0]
+        laug = (lsk & ~np.int64(_POS_MASK)) | lep
+        sufmin = np.minimum.accumulate(laug[::-1])[::-1]
+        j = np.searchsorted(lsk, bsk, side="left")
+        pj = sufmin[np.minimum(j, lsk.size - 1)]
+        ok = (
+            (j < lsk.size)
+            & ((pj >> 32) == (bsk >> 32))
+            & ((pj & _POS_MASK) <= bep)
+        )
+        return bsk[ok], bep[ok]
     if "span_not" in spec:
         s = spec["span_not"]
         pre = int(s.get("pre", 0))
@@ -272,6 +337,10 @@ def _min_width(spec: dict) -> int:
         return sum(_min_width(c) for c in spec["span_near"]["clauses"])
     if "span_not" in spec:
         return _min_width(spec["span_not"]["include"])
+    if "span_within" in spec:
+        return _min_width(spec["span_within"]["little"])
+    if "span_containing" in spec:
+        return _min_width(spec["span_containing"]["big"])
     if "span_or" in spec:
         return min(_min_width(c) for c in spec["span_or"]["clauses"])
     raise ValueError(f"unknown span spec: {sorted(spec)}")

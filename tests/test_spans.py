@@ -110,6 +110,41 @@ def test_eval_span_not_never_crosses_docs():
     assert [int(k >> 32) for k in sk] == [1]
 
 
+def test_eval_span_within_and_containing():
+    # doc 0: big [1,4) (a@1, b@3); littles v@2 (inside), v@5 (outside)
+    # doc 1: v@0 but no big span — must not match (cross-doc safety)
+    # doc 2: big [0,2) only, no little
+    keys = {
+        "a": _keys({0: [1], 2: [0]}),
+        "b": _keys({0: [3], 2: [1]}),
+        "v": _keys({0: [2, 5], 1: [0]}),
+    }
+    big = {
+        "span_near": {
+            "clauses": [{"span_term": "a"}, {"span_term": "b"}],
+            "slop": 2,
+            "in_order": True,
+        }
+    }
+    sk, ep = sp.eval_spans(
+        {"span_within": {"little": {"span_term": "v"}, "big": big}}, keys
+    )
+    assert [(int(k >> 32), int(k & 0xFFFFFFFF)) for k in sk] == [(0, 2)]
+    assert list(ep) == [(0 << 32) + 3][:1] and int(ep[0]) == 3
+    sk, ep = sp.eval_spans(
+        {"span_containing": {"big": big, "little": {"span_term": "v"}}}, keys
+    )
+    # only doc 0's big span contains a little; doc 2's does not
+    assert [(int(k >> 32), int(k & 0xFFFFFFFF)) for k in sk] == [(0, 1)]
+    assert int(ep[0]) == 4
+    # boundary: little must fit INSIDE [start, end) — v@5 not in [1,4)
+    keys2 = {**keys, "v": _keys({0: [4]})}
+    sk, _ = sp.eval_spans(
+        {"span_within": {"little": {"span_term": "v"}, "big": big}}, keys2
+    )
+    assert sk.size == 0  # [4,5) not within [1,4)
+
+
 def _brute(spec: dict, toks: list[str]) -> bool:
     if "span_term" in spec:
         return spec["span_term"] in toks
@@ -134,6 +169,25 @@ def _brute(spec: dict, toks: list[str]) -> bool:
         ps = [p for p, x in enumerate(toks) if x == a]
         qs = [q for q, x in enumerate(toks) if x == b]
         return any(q > p and (q - p - 1) <= slop for p in ps for q in qs)
+    if "span_within" in spec or "span_containing" in spec:
+        # big = 2-term ordered near; containment tests against the
+        # MINIMAL big span per start (the evaluator's convention)
+        s = spec.get("span_within") or spec.get("span_containing")
+        tl = s["little"]["span_term"]
+        nb = s["big"]["span_near"]
+        a, b = (c["span_term"] for c in nb["clauses"])
+        slop = nb.get("slop", 0)
+        vs = [v for v, x in enumerate(toks) if x == tl]
+        for p, x in enumerate(toks):
+            if x != a:
+                continue
+            qs = [q for q, y in enumerate(toks) if y == b and q > p]
+            if not qs:
+                continue
+            q = min(qs)
+            if q - p - 1 <= slop and any(p <= v <= q for v in vs):
+                return True
+        return False
     raise AssertionError
 
 
@@ -154,6 +208,30 @@ def _brute(spec: dict, toks: list[str]) -> bool:
                 "clauses": [{"span_term": "rank"}, {"span_term": "batch"}],
                 "slop": 1,
                 "in_order": True,
+            }
+        },
+        {
+            "span_within": {
+                "little": {"span_term": "token"},
+                "big": {
+                    "span_near": {
+                        "clauses": [{"span_term": "def"}, {"span_term": "index"}],
+                        "slop": 4,
+                        "in_order": True,
+                    }
+                },
+            }
+        },
+        {
+            "span_containing": {
+                "big": {
+                    "span_near": {
+                        "clauses": [{"span_term": "def"}, {"span_term": "index"}],
+                        "slop": 4,
+                        "in_order": True,
+                    }
+                },
+                "little": {"span_term": "read"},
             }
         },
     ],
