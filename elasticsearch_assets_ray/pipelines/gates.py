@@ -516,6 +516,7 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
         ("filters", "filters_agg"),
         ("adjacency", "adjacency_matrix"),
         ("cardinality", "cardinality_agg"),
+        ("missing_global", "missing_global_agg"),
         ("sampler", "sampler_agg"),
         ("div_sampler", "diversified_sampler"),
     ):
@@ -688,6 +689,7 @@ AGG_SUITE_SQL_PARTS = [
     ("filters", "value, count, 0.0 AS metric_r", "filters_agg"),
     ("adjacency", "value, count, 0.0 AS metric_r", "adjacency_matrix"),
     ("cardinality", "value, count, 0.0 AS metric_r", "cardinality_agg"),
+    ("missing_global", "value, count, 0.0 AS metric_r", "missing_global_agg"),
     ("sampler", "value, count, 0.0 AS metric_r", "sampler_agg"),
     ("div_sampler", "value, count, 0.0 AS metric_r", "diversified_sampler"),
     (

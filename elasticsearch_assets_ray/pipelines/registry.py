@@ -2408,6 +2408,43 @@ def q_cardinality_agg(sf_dir: str):
     )
 
 
+def q_missing_global_agg(sf_dir: str):
+    """ES `missing` + `value_count` + `global` aggregations, distributed:
+    missing/value_count ship TWO INTS per shard over its match set (one
+    column read serves both); the global bucket (terms sub-agg over ALL
+    docs, deliberately escaping the query scope) merges per-shard value
+    counts — doc-partitioned shards make the partials disjoint.  The
+    documents table has no nulls, so the driver gate pins missing == 0
+    and value_count == match cardinality end-to-end; the genuine null
+    path is pinned by tests/test_aggs.py over the half-null corpus."""
+    idx = documents_index(sf_dir)
+    sh = sharded_searcher(idx)
+    miss, vc = sh.missing_value_counts("spark table", "lang")
+    gf = sh.global_facet("lang")
+    vals = ["missing:lang", "value_count:lang"] + [
+        f"global:{v}" for v in gf["value"].to_pylist()
+    ]
+    cnts = [miss, vc] + gf["count"].to_pylist()
+    return pa.table(
+        {"value": pa.array(vals, pa.string()), "count": pa.array(cnts, pa.int64())}
+    )
+
+
+def _missing_global_sql() -> str:
+    match = " OR ".join(
+        f"list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), '{t}')"
+        for t in ("spark", "table")
+    )
+    return (
+        f"WITH m AS (SELECT sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT"
+        f" AS miss, count(lang)::BIGINT AS vc FROM documents WHERE {match}) "
+        "SELECT 'missing:lang' AS value, miss AS count FROM m "
+        "UNION ALL SELECT 'value_count:lang', vc FROM m "
+        "UNION ALL SELECT 'global:' || lang, count(*)::BIGINT FROM documents "
+        "WHERE lang IS NOT NULL GROUP BY lang"
+    )
+
+
 def _cardinality_sql() -> str:
     arms = []
     for q in _CARD_QUERIES:
@@ -4334,6 +4371,8 @@ def q_pipeline_daily(sf_dir: str):
     )
     b = pl.normalize(b, "n", "percent_of_sum", out="n_pct")
     b = pl.normalize(b, "n", "z-score", out="n_z")
+    b = pl.rate(b, "n", bucket="day", unit="hour")
+    b = pl.rate(b, "n", bucket="day", unit="week")
     ds_ = pc.strftime(b["day"], format="%Y-%m-%d").to_pylist()
     n = b["n"].to_pylist()
     deriv = b["n_deriv"].to_pylist()
@@ -4344,6 +4383,8 @@ def q_pipeline_daily(sf_dir: str):
     share = b["n_share"].to_pylist()
     npct = b["n_pct"].to_pylist()
     nz = b["n_z"].to_pylist()
+    rh = b["n_rate_hour"].to_pylist()
+    rw = b["n_rate_week"].to_pylist()
     for i in range(b.num_rows):
         if deriv[i] is not None:
             rows.append(("deriv", ds_[i], int(deriv[i]), 0.0))
@@ -4355,6 +4396,8 @@ def q_pipeline_daily(sf_dir: str):
         rows.append(("bscript", ds_[i], 0, _round_half_up(float(share[i]), 6)))
         rows.append(("norm_pct", ds_[i], 0, _round_half_up(float(npct[i]), 6)))
         rows.append(("norm_z", ds_[i], 0, _round_half_up(float(nz[i]), 6)))
+        rows.append(("rate_hour", ds_[i], 0, _round_half_up(float(rh[i]), 6)))
+        rows.append(("rate_week", ds_[i], 0, _round_half_up(float(rw[i]), 6)))
     # cumulative_cardinality: distinct users ever seen, per day — a
     # bounded (day,user) dedup shuffle, first-seen fold on the driver
     pairs = _collect(
@@ -7067,6 +7110,7 @@ ORACLES: dict[str, str] = {
     "downsample": _DOWNSAMPLE_SQL,
     "eql_funnel": _eql_funnel_sql(),
     "cardinality_agg": _cardinality_sql(),
+    "missing_global_agg": _missing_global_sql(),
     "search_synonyms": _synonym_sql(SEARCH_K),
     "decay_score": _decay_sql(SEARCH_K),
     "random_score": _random_sql(SEARCH_K),
@@ -7513,6 +7557,10 @@ ORACLES: dict[str, str] = {
         "  (SELECT sqrt(sum((CAST(n AS DOUBLE) - (SELECT avg(n) FROM b)) * "
         "   (CAST(n AS DOUBLE) - (SELECT avg(n) FROM b))) / count(*)) FROM b), 6) "
         " FROM w "
+        "UNION ALL SELECT 'rate_hour', ds, 0, "
+        " round(CAST(n AS DOUBLE) * (3600.0 / 86400.0), 6) FROM w "
+        "UNION ALL SELECT 'rate_week', ds, 0, "
+        " round(CAST(n AS DOUBLE) * (604800.0 / 86400.0), 6) FROM w "
         "UNION ALL SELECT 'cumcard', ds, "
         " (SELECT count(*) FROM fu WHERE fu.fd <= w.day), 0.0 FROM w "
         "UNION ALL SELECT 'mperc', strftime(day, '%Y-%m-%d'), 0, p50 FROM mp "
@@ -7791,6 +7839,7 @@ QUERIES = {
     "sort_search": q_sort_search,
     "top_metrics_agg": q_top_metrics,
     "cardinality_agg": q_cardinality_agg,
+    "missing_global_agg": q_missing_global_agg,
     "search_synonyms": q_search_synonyms,
     "decay_score": q_decay_score,
     "random_score": q_random_score,

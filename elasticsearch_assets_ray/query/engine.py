@@ -2152,6 +2152,50 @@ class Searcher:
         page = self.composite_ids(ids, sources, size, after)
         return page, _composite_after_key(page, [f for f, _ in sources])
 
+    def live_ids(self) -> np.ndarray:
+        """Every live (non-tombstoned) docID this searcher serves,
+        sorted — the ES ``global`` aggregation's bucket (all docs of the
+        shard, IGNORING any query context).  Built from the docstore
+        layout alone (docid = pid<<shift + row): no postings are
+        touched, and a bucket-range shard enumerates only its own pids."""
+        pids = self._knn_pids()  # bucket_range-restricted pid list
+        parts = [
+            (p << self._doc_shift)
+            + np.arange(self._pid_n_docs(int(p)), dtype=np.int64)
+            for p in pids
+        ]
+        ids = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        if self._tombstones.size and ids.size:
+            pos = np.searchsorted(self._tombstones, ids)
+            pos[pos >= self._tombstones.size] = 0
+            ids = ids[self._tombstones[pos] != ids]
+        return ids
+
+    def global_facet(self, by: str, size: int | None = None) -> pa.Table:
+        """ES ``global`` aggregation + ``terms`` sub-agg: buckets over
+        ALL live docs — the global bucket deliberately escapes the query
+        scope (its whole point in ES is comparing a query's slice
+        against the full corpus)."""
+        return self.facet_ids(self.live_ids(), by, size)
+
+    def missing_value_counts(
+        self, query: str | ParsedQuery, field: str
+    ) -> tuple[int, int]:
+        """ES ``missing`` + ``value_count`` aggregations in ONE pass:
+        (docs whose ``field`` is null, non-null values) over the match
+        set — score-free ids + one pid-pruned column read serves both."""
+        return self.missing_value_counts_ids(self.match_ids(query), field)
+
+    def missing_value_counts_ids(
+        self, ids: np.ndarray, field: str
+    ) -> tuple[int, int]:
+        """Shard partial of :meth:`missing_value_counts` (two ints —
+        the merge is a sum)."""
+        vals = self.hydrate(
+            np.sort(np.asarray(ids, dtype=np.int64)), columns=[field]
+        )[field]
+        return int(vals.null_count), int(len(vals) - vals.null_count)
+
     def value_counts(self, query: str | ParsedQuery, field: str) -> pa.Table:
         """(value, count) multiset of a numeric column over the query's
         match set — the one match-set pass behind stats_agg/percentiles;

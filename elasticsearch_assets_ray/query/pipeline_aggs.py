@@ -126,6 +126,43 @@ def moving_fn(
     return t.append_column(out or f"{col}_m{fn}", pa.array(outv, mask=mask))
 
 
+_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def rate(
+    t: pa.Table,
+    col: str,
+    bucket: str = "day",
+    unit: str = "hour",
+    out: str | None = None,
+) -> pa.Table:
+    """ES ``rate`` aggregation under a FIXED-interval date_histogram
+    parent: each bucket's metric rescaled to a per-``unit`` rate —
+    value · (unit_seconds / bucket_seconds).  Calendar-variable units
+    (month / quarter / year) are rejected, mirroring ES's rule that a
+    rate unit must be compatible with a fixed bucket interval.  The
+    scale factor is computed ONCE as a double and multiplied (not
+    re-divided per row), so the oracle can state the identical float
+    expression."""
+    for name in (bucket, unit):
+        if name not in _UNIT_SECONDS:
+            raise ValueError(
+                f"rate unit {name!r} must be fixed-length "
+                f"({sorted(_UNIT_SECONDS)})"
+            )
+    factor = _UNIT_SECONDS[unit] / _UNIT_SECONDS[bucket]
+    v = _vals(t, col).astype(np.float64) * factor
+    return t.append_column(
+        out or f"{col}_rate_{unit}", pa.array(v, pa.float64())
+    )
+
+
 def bucket_selector(t: pa.Table, col: str, op: str, value: float) -> pa.Table:
     """ES ``bucket_selector``: keep only buckets whose metric satisfies
     the predicate (the HAVING of the aggregation tree)."""

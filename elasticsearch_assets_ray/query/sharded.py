@@ -123,6 +123,19 @@ class ShardWorker:
         ids = self.s.match_ids_prepared(q, df)
         return self.s.value_counts_ids(ids, field)
 
+    def missing_value_counts(
+        self, q: ParsedQuery, field: str, df: dict[str, int]
+    ) -> tuple[int, int]:
+        """Local (missing, value_count) pair over the shard's match set
+        — one column read serves BOTH aggs; the merge is a sum."""
+        ids = self.s.match_ids_prepared(q, df)
+        return self.s.missing_value_counts_ids(ids, field)
+
+    def global_facet(self, by: str) -> pa.Table:
+        """Local partial of the ES `global` + terms agg: value counts
+        over ALL the shard's live docs (no query context at all)."""
+        return self.s.global_facet(by, size=None)
+
     def group_value_counts(
         self, q: ParsedQuery, by: str, metric: str, df: dict[str, int]
     ) -> pa.Table:
@@ -845,6 +858,25 @@ class ShardedSearcher:
         merged value_counts partials (the wire carries distinct values
         per shard, never matches)."""
         return self.value_counts(query, field).num_rows
+
+    def missing_value_counts(
+        self, query: str | ParsedQuery, field: str
+    ) -> tuple[int, int]:
+        """Distributed ES ``missing`` + ``value_count`` aggregations:
+        each shard ships two ints over its own match set; the
+        coordinator sums — nothing per-doc crosses the wire."""
+        q, df = self.prepare(query)
+        pairs = self._gather("missing_value_counts", q, field, df)
+        return sum(p[0] for p in pairs), sum(p[1] for p in pairs)
+
+    def global_facet(self, by: str, size: int | None = None) -> pa.Table:
+        """Distributed ES `global` + terms sub-agg: per-shard value
+        counts over ALL live docs (doc-partitioned shards make the
+        partials disjoint), merged by summing, ES bucket order."""
+        t = self._sum_counts(
+            self._gather("global_facet", by), "value", pa.string()
+        ).sort_by([("count", "descending"), ("value", "ascending")])
+        return t.slice(0, size) if size is not None else t
 
     def stats_agg(self, query: str | ParsedQuery, field: str) -> dict:
         """Distributed ES extended_stats: the final float math runs once

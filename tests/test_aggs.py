@@ -262,3 +262,46 @@ def test_function_score_matches_brute_force(built_index):
         assert got == pytest.approx(v, rel=1e-12)
     with pytest.raises(ValueError, match="unknown modifier"):
         s.function_score("def", "doc_len", modifier="exp")
+
+
+def test_missing_value_count_and_global(null_index):
+    """ES missing / value_count / global aggs: exact over the half-null
+    corpus, single searcher vs doc-partitioned shards identical."""
+    from elasticsearch_assets_ray.query.sharded import ShardedSearcher
+
+    s = Searcher(null_index)
+    # the null corpus: lang is null for every odd row (100 of 200)
+    q = "load index"
+    ids = s.match_ids(q)
+    h = s.hydrate(np.sort(ids), columns=["lang"])["lang"]
+    miss, vc = s.missing_value_counts(q, "lang")
+    assert miss == h.null_count and vc == len(h) - h.null_count
+    assert miss + vc == ids.size
+    assert miss > 0 and vc > 0  # the fixture actually exercises both
+    # global bucket ignores the query: counts == whole-corpus counts
+    gf = s.global_facet("lang")
+    assert gf["value"].to_pylist() == ["python"]
+    assert gf["count"].to_pylist() == [100]  # nulls skipped (ES missing)
+    # distributed parity
+    sh = ShardedSearcher(null_index, n_shards=2, use_actors=False)
+    assert sh.missing_value_counts(q, "lang") == (miss, vc)
+    assert sh.global_facet("lang").equals(gf)
+
+
+def test_global_facet_excludes_tombstones(built_index):
+    """live_ids honours delete-by-query tombstones — the global bucket
+    counts live docs only."""
+    import shutil
+
+    idx, _ = built_index
+    from elasticsearch_assets_ray.index.deletes import delete_by_query
+
+    tmp = idx + "-globaldel"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(idx, tmp)
+    before = Searcher(tmp).global_facet("lang")
+    n = delete_by_query(tmp, "def")
+    assert n > 0
+    after = Searcher(tmp).global_facet("lang")
+    assert sum(after["count"].to_pylist()) == sum(before["count"].to_pylist()) - n
+    shutil.rmtree(tmp, ignore_errors=True)

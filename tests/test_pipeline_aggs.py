@@ -192,3 +192,23 @@ def test_moving_percentiles_exact_window():
     assert out["day"].to_pylist() == [1, 2, 3]
     # day1: {1,3} -> 2.0 ; day2: {1,3,5,3} -> 3.0 ; day3: {5,3,7,7} -> 6.0
     assert out["value"].to_pylist() == [2.0, 3.0, 6.0]
+
+
+def test_rate_agg():
+    """ES rate agg: fixed-interval rescale, calendar units rejected."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pt
+
+    from elasticsearch_assets_ray.query import pipeline_aggs as pl
+
+    t = pa.table({"day": pa.array([0, 1, 2]), "n": pa.array([24, 48, 0])})
+    r = pl.rate(t, "n", bucket="day", unit="hour")
+    assert r["n_rate_hour"].to_pylist() == [1.0, 2.0, 0.0]
+    r = pl.rate(t, "n", bucket="day", unit="week")
+    assert r["n_rate_week"].to_pylist() == [168.0, 336.0, 0.0]
+    # per-minute rate of an hourly bucket
+    r = pl.rate(t, "n", bucket="hour", unit="minute")
+    assert r["n_rate_minute"].to_pylist() == [0.4, 0.8, 0.0]
+    with _pt.raises(ValueError, match="fixed-length"):
+        pl.rate(t, "n", bucket="day", unit="month")
