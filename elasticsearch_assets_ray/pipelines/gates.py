@@ -370,6 +370,7 @@ def g_search_struct(sf_dir: str) -> pa.Table:
             ("bool_prefix", "match_bool_prefix"),
             ("wtokens", "weighted_tokens"),
             ("analyzed", "search_analyzed"),
+            ("resharded", "search_resharded"),
         ],
         _SEARCH_COLS,
     )(sf_dir)
@@ -1060,6 +1061,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("bool_prefix", None, "match_bool_prefix"),
             ("wtokens", None, "weighted_tokens"),
             ("analyzed", None, "search_analyzed"),
+            ("resharded", None, "search_resharded"),
         ],
         _SEARCH_SEL,
     )

@@ -1816,6 +1816,37 @@ def q_search_sharded(sf_dir: str):
     )
 
 
+_RESHARD_CACHE: dict[str, str] = {}
+
+
+def resharded_documents_index(sf_dir: str) -> str:
+    """documents index re-sharded (index/reshard.py — the ES _split
+    analog): runs_per_bucket 32→8 and num_shards 32→16, postings decoded
+    and re-bucketed WITHOUT re-tokenization.  Cached like the base
+    index."""
+    if sf_dir in _RESHARD_CACHE:
+        return _RESHARD_CACHE[sf_dir]
+    from elasticsearch_assets_ray.index.reshard import reshard_index
+
+    src = documents_index(sf_dir)
+    out = src + "-resharded-v1"
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        reshard_index(src, out, num_shards=16, runs_per_bucket=8)
+    _RESHARD_CACHE[sf_dir] = out
+    return out
+
+
+def q_search_resharded(sf_dir: str):
+    """DOC_QUERIES[:4] served from the RESHARDED index through the
+    scatter-gather path — the driver-checked proof that a _split/_shrink
+    layout change is invisible to results (same BM25 oracle)."""
+    idx = resharded_documents_index(sf_dir)
+    sh = sharded_searcher(idx)
+    return _search_many(
+        sf_dir, DOC_QUERIES[:4], SEARCH_K, fetch_k=SEARCH_K + 90, searcher=sh
+    )
+
+
 ANALYZED_QUERIES: list[str] = [
     # stopwords drop; "tables" conflates with "table" across the corpus
     "the tables merge scan",
@@ -7140,6 +7171,7 @@ ORACLES: dict[str, str] = {
     ),
     "search_sharded": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "search_analyzed": _analyzed_bm25_sql(ANALYZED_QUERIES, SEARCH_K),
+    "search_resharded": _bm25_sql(DOC_QUERIES[:4], SEARCH_K),
     "fulltext_count": (
         f"WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents), "
         "qt(query_id, term) AS (VALUES "
@@ -7823,6 +7855,7 @@ QUERIES = {
     "search_topk": q_search_topk,
     "search_sharded": q_search_sharded,
     "search_analyzed": q_search_analyzed,
+    "search_resharded": q_search_resharded,
     "rank_eval": q_rank_eval,
     "span_search": q_span_search,
     "intervals_search": q_intervals_search,
