@@ -315,6 +315,18 @@ class MultiSearcher(Searcher):
                     f"delta indexes disagree on {key}: {sorted(map(str, vals))}; "
                     "rebuild with one setting or compact each group separately"
                 )
+        # the analysis chain must agree across deltas (mixed chains would
+        # tokenize the same query differently per child); adopt it
+        specs = {
+            json.dumps(c.manifest.get("analyzer"), sort_keys=True)
+            for c in self.children
+        }
+        if len(specs) > 1:
+            raise ValueError(
+                "delta indexes disagree on the analyzer chain; rebuild the "
+                "deltas with one analyzer"
+            )
+        self.analyzer = self.children[0].analyzer
         self.n_docs = sum(c.n_docs for c in self.children)
         total_tokens = sum(c.manifest["total_tokens"] for c in self.children)
         self.avgdl = (total_tokens / self.n_docs) if self.n_docs else 0.0
