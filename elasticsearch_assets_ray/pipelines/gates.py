@@ -382,6 +382,7 @@ def g_search_expand(sf_dir: str) -> pa.Table:
         [
             ("prefix", "search_prefix"),
             ("fuzzy", "search_fuzzy"),
+            ("fuzzy_osa", "search_fuzzy_osa"),
             ("wildcard", "search_wildcard"),
             ("regexp", "search_regexp"),
         ],
@@ -1071,6 +1072,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         [
             ("prefix", None, "search_prefix"),
             ("fuzzy", None, "search_fuzzy"),
+            ("fuzzy_osa", None, "search_fuzzy_osa"),
             ("wildcard", None, "search_wildcard"),
             ("regexp", None, "search_regexp"),
         ],

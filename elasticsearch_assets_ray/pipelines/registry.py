@@ -2519,6 +2519,28 @@ def q_search_fuzzy(sf_dir: str):
     return _search_many(sf_dir, FUZZY_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90)
 
 
+FUZZY_OSA_QUERIES: list[str] = [
+    # each typo is ONE adjacent transposition (Damerau distance 1,
+    # plain Levenshtein 2) — invisible to the plain-fuzzy path at ~1
+    "sprak~1 scan",
+    "tabel~1 key",
+    "megre~1 +row",
+]
+
+
+def q_search_fuzzy_osa(sf_dir: str):
+    """ES ``fuzzy_transpositions`` (the ES DEFAULT fuzzy metric): fuzzy
+    clauses expand by Damerau-Levenshtein — vectorized plain-Levenshtein
+    prefilter at 2n (complete superset: DL ≤ plain ≤ 2·DL), exact DL on
+    the survivors (query/expand.py damerau_levenshtein, pinned equal to
+    DuckDB's damerau_levenshtein so the oracle is
+    equality-by-construction)."""
+    s = Searcher(documents_index(sf_dir), fuzzy_transpositions=True)
+    return _search_many(
+        sf_dir, FUZZY_OSA_QUERIES, SEARCH_K, fetch_k=SEARCH_K + 90, searcher=s
+    )
+
+
 def q_search_wildcard(sf_dir: str):
     """General `?`/`*` wildcard queries: literal-prefix range narrowing +
     one vectorized RE2 pass over the term dictionary."""
@@ -7303,6 +7325,11 @@ ORACLES: dict[str, str] = {
     "search_boolean": _bm25_bool_sql(BOOLEAN_QUERIES, SEARCH_K),
     "search_prefix": _bm25_bool_sql(PREFIX_QUERIES, SEARCH_K),
     "search_fuzzy": _bm25_bool_sql(FUZZY_QUERIES, SEARCH_K),
+    # the generated SQL's only levenshtein() calls are the fuzzy-clause
+    # expansions, so the transposition twin is a straight metric swap
+    "search_fuzzy_osa": _bm25_bool_sql(FUZZY_OSA_QUERIES, SEARCH_K).replace(
+        "levenshtein(", "damerau_levenshtein("
+    ),
     "search_wildcard": _bm25_bool_sql(WILDCARD_QUERIES, SEARCH_K),
     "search_filtered": _bm25_bool_sql(FILTERED_QUERIES, SEARCH_K),
     "search_range": _bm25_bool_sql(RANGE_QUERIES, SEARCH_K),
@@ -7906,6 +7933,7 @@ QUERIES = {
     "search_boolean": q_search_boolean,
     "search_prefix": q_search_prefix,
     "search_fuzzy": q_search_fuzzy,
+    "search_fuzzy_osa": q_search_fuzzy_osa,
     "search_wildcard": q_search_wildcard,
     "search_filtered": q_search_filtered,
     "search_range": q_search_range,

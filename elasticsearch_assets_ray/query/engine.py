@@ -262,6 +262,7 @@ class Searcher:
         phrase_scoring: str = "terms",
         bucket_range: tuple[int, int] | None = None,
         pit: str | None = None,
+        fuzzy_transpositions: bool = False,
     ):
         """``shard_resident=True`` (default) faults whole segment shards
         into actor memory once — fastest, memory ∝ touched shards.
@@ -286,6 +287,12 @@ class Searcher:
         if phrase_scoring not in ("terms", "phrase_freq"):
             raise ValueError(f"unknown phrase_scoring {phrase_scoring!r}")
         self.phrase_scoring = phrase_scoring
+        #: ES ``fuzzy_transpositions``: fuzzy clauses expand by
+        #: Damerau-Levenshtein (adjacent swap = 1 edit) instead of plain
+        #: Levenshtein.  Off by default — the repo's pinned fuzzy
+        #: contract stays plain (see query/expand.py) and this is the
+        #: opt-in ES-default behavior.
+        self.fuzzy_transpositions = fuzzy_transpositions
         self.index_dir = index_dir
         self.shard_resident = shard_resident
         self.bucket_range = bucket_range
@@ -344,6 +351,8 @@ class Searcher:
         # manage their own residency)
         self.phrase_scoring = getattr(self, "phrase_scoring", "terms")
         self.shard_resident = getattr(self, "shard_resident", True)
+        self.fuzzy_transpositions = getattr(self, "fuzzy_transpositions", False)
+        self.analyzer = getattr(self, "analyzer", None)
         # pid -> docstore parquet path / row count (footer metadata only)
         self._pid_files: dict[int, str] | None = None
         self._pid_ndocs: dict[int, int] = {}
@@ -782,7 +791,9 @@ class Searcher:
         for arr in self._term_dict_slices():
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            mask = expand_mod.fuzzy_mask(term, arr, max_edits)
+            mask = expand_mod.fuzzy_mask(
+                term, arr, max_edits, transpositions=self.fuzzy_transpositions
+            )
             if mask.any():
                 found.update(
                     arr.take(pa.array(np.flatnonzero(mask), type=pa.int64())).to_pylist()

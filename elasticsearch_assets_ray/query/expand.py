@@ -107,10 +107,59 @@ def levenshtein_batch(query: str, terms: pa.Array) -> np.ndarray:
     return prev[np.arange(n), lens]
 
 
-def fuzzy_mask(query: str, terms: pa.Array, max_edits: int) -> np.ndarray:
-    """Boolean mask of terms within ``max_edits`` plain-Levenshtein edits
-    of ``query``.  A length pre-band (||t|-|q|| ≤ n) prunes the DP input
-    first — cheap and exact (length difference lower-bounds distance)."""
+def damerau_levenshtein(a: str, b: str) -> int:
+    """UNRESTRICTED Damerau-Levenshtein distance (insert / delete /
+    substitute / transpose-adjacent, transposed blocks may be edited
+    again) — the classic last-occurrence DP.  Pinned to agree with
+    DuckDB's ``damerau_levenshtein`` (property-tested), so the fuzzy
+    transposition oracle is equality-by-construction.  Lucene's
+    transposition automata implement the same primitive-transposition
+    distance."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    maxd = la + lb
+    # d has a sentinel row/col of maxd at index 0; string index i maps
+    # to d row i+1
+    d = [[maxd] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    last_row: dict[str, int] = {}
+    for i in range(1, la + 1):
+        last_col = 0
+        for j in range(1, lb + 1):
+            i_ = last_row.get(b[j - 1], 0)
+            j_ = last_col
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            if cost == 0:
+                last_col = j
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitute / match
+                d[i + 1][j] + 1,  # insert
+                d[i][j + 1] + 1,  # delete
+                # transpose a[i_-1..i-1] with b[j_-1..j-1]
+                d[i_][j_] + (i - i_ - 1) + 1 + (j - j_ - 1),
+            )
+        last_row[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def fuzzy_mask(
+    query: str, terms: pa.Array, max_edits: int, transpositions: bool = False
+) -> np.ndarray:
+    """Boolean mask of terms within ``max_edits`` edits of ``query``.
+    Default metric is plain Levenshtein; ``transpositions=True`` uses
+    Damerau-Levenshtein (adjacent transposition = ONE edit — Lucene /
+    ES ``fuzzy_transpositions`` semantics, and ES's default).
+
+    A length pre-band (||t|-|q|| ≤ n) prunes the DP input first — cheap
+    and exact (length difference lower-bounds BOTH metrics).  The
+    transposition path stays vectorized-first: DL ≤ plain Levenshtein ≤
+    2·DL (a transposition is two plain edits), so the vectorized plain
+    DP at threshold 2n yields a complete candidate superset and the
+    exact per-pair DL runs only on those few survivors."""
     if isinstance(terms, pa.ChunkedArray):
         terms = terms.combine_chunks()
     n = len(terms)
@@ -125,7 +174,18 @@ def fuzzy_mask(query: str, terms: pa.Array, max_edits: int) -> np.ndarray:
     if idx.size == 0:
         return out
     cand = terms.take(pa.array(idx, type=pa.int64()))
-    out[idx] = levenshtein_batch(query, cand) <= max_edits
+    plain = levenshtein_batch(query, cand)
+    if not transpositions:
+        out[idx] = plain <= max_edits
+        return out
+    hit = plain <= max_edits  # DL ≤ plain: these are already in
+    near = np.flatnonzero(~hit & (plain <= 2 * max_edits))
+    if near.size:
+        cl = cand.to_pylist()
+        for k in near:
+            if damerau_levenshtein(query, cl[int(k)]) <= max_edits:
+                hit[k] = True
+    out[idx] = hit
     return out
 
 

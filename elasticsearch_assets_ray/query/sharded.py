@@ -514,6 +514,7 @@ class ShardedSearcher:
         max_restarts: int = 2,
         max_task_retries: int = 2,
         pit: str | None = None,
+        fuzzy_transpositions: bool = False,
     ):
         with open(os.path.join(index_dir, "manifest.json")) as f:
             man = json.load(f)
@@ -529,8 +530,15 @@ class ShardedSearcher:
         self.n_shards = n_shards
         self.use_actors = use_actors
         # coordinator: COLD full-index view — parse/rewrite (term-dict
-        # reads) and global df (term+df column reads); never postings
-        self.coord = Searcher(index_dir, shard_resident=False, pit=pit)
+        # reads) and global df (term+df column reads); never postings.
+        # Multi-term expansion (incl. fuzzy) happens HERE, once, so the
+        # fuzzy metric flag only needs to reach the coordinator.
+        self.coord = Searcher(
+            index_dir,
+            shard_resident=False,
+            pit=pit,
+            fuzzy_transpositions=fuzzy_transpositions,
+        )
         if use_actors:
             import ray
 

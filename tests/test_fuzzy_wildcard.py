@@ -342,3 +342,62 @@ def test_regexp_parens_and_alternation(built_index):
     assert q.bool_tree == (
         "and", [("term", "value"), ("regexp", "colum(n|ns)")]
     )
+
+
+def test_damerau_levenshtein_matches_duckdb():
+    """The exact-DL refiner is pinned to DuckDB's damerau_levenshtein
+    (equality-by-construction for the fuzzy_osa oracle)."""
+    import random
+
+    import duckdb
+
+    from elasticsearch_assets_ray.query.expand import damerau_levenshtein
+
+    con = duckdb.connect()
+    random.seed(13)
+    cases = [("ca", "abc"), ("abcd", "acbd"), ("tabel", "table"), ("", "x")]
+    cases += [
+        (
+            "".join(random.choices("abcd", k=random.randint(0, 6))),
+            "".join(random.choices("abcd", k=random.randint(0, 6))),
+        )
+        for _ in range(400)
+    ]
+    for a, b in cases:
+        want = con.execute(
+            "select damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert damerau_levenshtein(a, b) == want, (a, b)
+
+
+def test_fuzzy_transpositions_mask():
+    import pyarrow as pa
+
+    from elasticsearch_assets_ray.query.expand import fuzzy_mask
+
+    terms = pa.array(["table", "tablet", "cable", "tale", "stable"])
+    # 'tabel' → 'table' is ONE transposition: invisible to plain ~1,
+    # found by the transposition-aware metric
+    assert list(fuzzy_mask("tabel", terms, 1)) == [False] * 5
+    assert list(fuzzy_mask("tabel", terms, 1, transpositions=True)) == [
+        True, False, False, False, False,
+    ]
+    # plain hits stay hits (DL <= plain): every term here is one
+    # insert/delete/substitution away from 'table'
+    assert list(fuzzy_mask("table", terms, 1, transpositions=True)) == [
+        True, True, True, True, True,
+    ]
+    assert list(fuzzy_mask("table", terms, 1)) == [True] * 5
+
+
+def test_searcher_fuzzy_transpositions_flag(built_index):
+    from elasticsearch_assets_ray.query.engine import Searcher
+
+    idx, _ = built_index
+    plain = Searcher(idx)
+    osa = Searcher(idx, fuzzy_transpositions=True)
+    # 'laod' → 'load' is a transposition (plain distance 2)
+    assert plain.expand_fuzzy("laod", 1) == []
+    assert "load" in osa.expand_fuzzy("laod", 1)
+    r = osa.search("laod~1 index", k=5)
+    assert r.num_rows > 0
