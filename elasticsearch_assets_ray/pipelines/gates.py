@@ -341,6 +341,40 @@ def g_doc_stats(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def g_packing(sf_dir: str) -> pa.Table:
+    """LLM training-data sequence shaping: token-budgeted greedy packing
+    (stages/packing.py) + token-window chunking with overlap
+    (stages/chunking.py), unioned on (doc_id, k, p, n, txt) — the pack
+    arm carries (pack_id, pack_pos, token_count, ''), the chunk arm
+    (chunk_id, start_tok, n_tokens, chunk_text)."""
+    pack = _to_table(R.QUERIES["pack_documents"](sf_dir))
+    chunk = _to_table(R.QUERIES["chunk_documents"](sf_dir))
+    return pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "gate": pa.array(["pack"] * pack.num_rows, pa.string()),
+                    "doc_id": pack["doc_id"].combine_chunks(),
+                    "k": pack["pack_id"].combine_chunks().cast(pa.int64()),
+                    "p": pack["pack_pos"].combine_chunks().cast(pa.int64()),
+                    "n": pack["token_count"].combine_chunks().cast(pa.int64()),
+                    "txt": pa.array([""] * pack.num_rows, pa.string()),
+                }
+            ),
+            pa.table(
+                {
+                    "gate": pa.array(["chunk"] * chunk.num_rows, pa.string()),
+                    "doc_id": chunk["doc_id"].combine_chunks(),
+                    "k": chunk["chunk_id"].combine_chunks().cast(pa.int64()),
+                    "p": chunk["start_tok"].combine_chunks().cast(pa.int64()),
+                    "n": chunk["n_tokens"].combine_chunks().cast(pa.int64()),
+                    "txt": chunk["chunk_text"].combine_chunks(),
+                }
+            ),
+        ]
+    )
+
+
 def g_deleted_search(sf_dir: str) -> pa.Table:
     """Delete-by-query tombstone search + post-expunge search."""
     return _union(
@@ -872,7 +906,6 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "prefix_dfs",
         "props_extract",
         "incremental_delta",
-        "pack_documents",
         "split_assign",
         "stratified_sample",
         "audio_decode",
@@ -896,6 +929,25 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         hc=R.ORACLES["has_child_orders"],
         hp=R.ORACLES["has_parent_lines"],
         ch=R.ORACLES["children_by_priority"],
+    )
+
+    gates["pack_documents"] = g_packing
+    oracles["pack_documents"] = _union_sql(
+        [
+            (
+                "pack",
+                "doc_id, pack_id AS k, pack_pos AS p, token_count AS n, "
+                "'' AS txt",
+                "pack_documents",
+            ),
+            (
+                "chunk",
+                "doc_id, chunk_id AS k, start_tok AS p, n_tokens AS n, "
+                "chunk_text AS txt",
+                "chunk_documents",
+            ),
+        ],
+        "",
     )
 
     gates["key_scan"] = g_key_scan

@@ -4549,6 +4549,44 @@ def q_pack_documents(sf_dir: str):
     return packed.select_columns(["doc_id", "token_count", "pack_id", "pack_pos"])
 
 
+CHUNK_WINDOW = 40
+CHUNK_STRIDE = 32
+
+
+def q_chunk_documents(sf_dir: str):
+    """Token-window document chunking with overlap (stages/chunking.py):
+    window 40 / stride 32 over the canonical analysis chain's kept
+    tokens (the context-window chunking every pretraining / RAG
+    ingestion pipeline needs).  One stateless vectorized map_batches —
+    no shuffle; chunk_text is the space-joined token slice so the
+    operator is string-exactly oracle-checkable."""
+    from elasticsearch_assets_ray.stages.chunking import chunk_documents
+
+    ds = _rd(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, window=CHUNK_WINDOW, stride=CHUNK_STRIDE)
+
+
+def _chunk_sql(w: int = CHUNK_WINDOW, s: int = CHUNK_STRIDE) -> str:
+    """Twin of q_chunk_documents: chunk k of an n-token doc covers
+    kept-token positions [k*s, min(k*s+w, n)); DuckDB list slices are
+    1-based inclusive so the text slice is T[k*s+1 : k*s+n_tokens]."""
+    return (
+        f"WITH tk AS (SELECT doc_id, {_TOK} AS T FROM documents), "
+        "b AS (SELECT doc_id, T, CAST(len(T) AS BIGINT) AS n FROM tk), "
+        "m AS (SELECT doc_id, T, n, "
+        f" CASE WHEN n = 0 THEN 0 WHEN n <= {w} THEN 1 "
+        f"      ELSE (n - {w} + {s} - 1) // {s} + 1 END AS m FROM b), "
+        "ch AS (SELECT doc_id, T, n, "
+        " unnest(generate_series(0, m - 1)) AS k FROM m WHERE m > 0) "
+        "SELECT doc_id, CAST(k AS BIGINT) AS chunk_id, "
+        f" CAST(k * {s} AS BIGINT) AS start_tok, "
+        f" CAST(least(k * {s} + {w}, n) - k * {s} AS BIGINT) AS n_tokens, "
+        f" array_to_string(T[k * {s} + 1 : least(k * {s} + {w}, n)], ' ') "
+        "  AS chunk_text "
+        "FROM ch"
+    )
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test assignment over the documents table
     — one stateless map_batches, stable across runs/partitionings
@@ -7820,6 +7858,7 @@ ORACLES.update(
 # Gopher filter verdict: the SAME CASE logic over the quality/repetition
 # oracle CTEs (inputs bit-identical → threshold comparisons deterministic)
 ORACLES["dsir"] = _dsir_sql()
+ORACLES["chunk_documents"] = _chunk_sql()
 ORACLES["gopher_filter"] = (
     f"WITH q AS ({ORACLES['quality_stats']}), "
     f"r AS ({ORACLES['repetition_stats']}), "
@@ -7997,6 +8036,7 @@ QUERIES = {
     "geo_polygon_count": q_geo_polygon_count,
     "geo_line": q_geo_line,
     "pack_documents": q_pack_documents,
+    "chunk_documents": q_chunk_documents,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "media_decode": q_media_decode,
