@@ -341,6 +341,38 @@ def g_doc_stats(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def g_projection(sf_dir: str) -> pa.Table:
+    """Column-pruned projection read (Q6) + the ES|QL scalar-function
+    battery (SUBSTRING/TO_UPPER/CONCAT/LENGTH/%/NOT IN with a fused
+    SORT+LIMIT top-k), unioned on (doc_id, s1, s2, s3, n)."""
+    pr = _to_table(R.QUERIES["projection"](sf_dir))
+    eq = _to_table(R.QUERIES["esql_strings"](sf_dir))
+    return pa.concat_tables(
+        [
+            pa.table(
+                {
+                    "gate": pa.array(["proj"] * pr.num_rows, pa.string()),
+                    "doc_id": pr["doc_id"].combine_chunks(),
+                    "s1": pr["lang"].combine_chunks().cast(pa.string()),
+                    "s2": pa.array([""] * pr.num_rows, pa.string()),
+                    "s3": pa.array([""] * pr.num_rows, pa.string()),
+                    "n": pr["n_chars"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            pa.table(
+                {
+                    "gate": pa.array(["esql"] * eq.num_rows, pa.string()),
+                    "doc_id": eq["doc_id"].combine_chunks(),
+                    "s1": eq["head"].combine_chunks().cast(pa.string()),
+                    "s2": eq["up"].combine_chunks().cast(pa.string()),
+                    "s3": eq["tag"].combine_chunks().cast(pa.string()),
+                    "n": eq["ln"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+        ]
+    )
+
+
 def g_packing(sf_dir: str) -> pa.Table:
     """LLM training-data sequence shaping: token-budgeted greedy packing
     (stages/packing.py) + token-window chunking with overlap
@@ -463,6 +495,7 @@ def g_events_daily(sf_dir: str) -> pa.Table:
     sketch itself, not just an error band."""
     ex = _to_table(R.QUERIES["events_daily"](sf_dir))
     hl = _to_table(R.QUERIES["events_daily_hll"](sf_dir))
+    eq = _to_table(R.QUERIES["esql_daily"](sf_dir))
     return pa.concat_tables(
         [
             pa.table(
@@ -479,6 +512,14 @@ def g_events_daily(sf_dir: str) -> pa.Table:
                     "day": hl["day"],
                     "n_events": pa.array([0] * hl.num_rows, pa.int64()),
                     "n_users": hl["n_users_approx"].combine_chunks().cast(pa.int64()),
+                }
+            ),
+            pa.table(
+                {
+                    "gate": pa.array(["esql"] * eq.num_rows, pa.string()),
+                    "day": eq["day"].combine_chunks().cast(ex.schema.field("day").type),
+                    "n_events": eq["n_events"].combine_chunks().cast(pa.int64()),
+                    "n_users": eq["n_users"].combine_chunks().cast(pa.int64()),
                 }
             ),
         ]
@@ -692,6 +733,10 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     )
     gcb = _to_table(R.QUERIES["geo_centroid"](sf_dir))
     tabs.append(_proj("geo_cb", gcb, "metric", 0, "value_r"))
+    em = _to_table(R.QUERIES["esql_match"](sf_dir))
+    tabs.append(_proj("esql_match", em, "value", "count", "metric_r"))
+    ep = _to_table(R.QUERIES["esql_pctl"](sf_dir))
+    tabs.append(_proj("esql_pctl", ep, "value", "count", "metric_r"))
     # pipeline aggs: the part column is its own sub-discriminator
     pl = _to_table(R.QUERIES["pipeline_daily"](sf_dir))
     tag = pc.binary_join_element_wise(
@@ -735,6 +780,8 @@ AGG_SUITE_SQL_PARTS = [
         "top_hits",
     ),
     ("scripted", "value, count, metric_r", "scripted_metric"),
+    ("esql_match", "value, count, metric_r", "esql_match"),
+    ("esql_pctl", "value, count, metric_r", "esql_pctl"),
     ("date_range", "value, count, metric_r", "date_range_agg"),
     ("geohash", "geohash AS value, count, 0.0 AS metric_r", "geohash_grid"),
     ("rare", "value, count, 0.0 AS metric_r", "rare_terms"),
@@ -885,10 +932,8 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     passthrough = [
         # operator gates kept 1:1 from the fine-grained registry
         "date_range_scan",
-        "projection",
         "geo_distance_topk",
         "tpch_q1",
-        "revenue_by_segment",
         "exact_dedup",
         "lang_stats",
         "embedding_topk",
@@ -929,6 +974,28 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         hc=R.ORACLES["has_child_orders"],
         hp=R.ORACLES["has_parent_lines"],
         ch=R.ORACLES["children_by_priority"],
+    )
+
+    gates["revenue_by_segment"] = _union(
+        [("rel", "revenue_by_segment"), ("esql", "esql_revenue")],
+        ["c_mktsegment", "revenue", "n_orders"],
+        casts={"n_orders": pa.int64(), "revenue": pa.float64()},
+    )
+    oracles["revenue_by_segment"] = _union_sql(
+        [
+            ("rel", None, "revenue_by_segment"),
+            ("esql", None, "esql_revenue"),
+        ],
+        "c_mktsegment, revenue, n_orders",
+    )
+
+    gates["projection"] = g_projection
+    oracles["projection"] = _union_sql(
+        [
+            ("proj", "doc_id, lang AS s1, '' AS s2, '' AS s3, n_chars AS n", "projection"),
+            ("esql", "doc_id, head AS s1, up AS s2, tag AS s3, ln AS n", "esql_strings"),
+        ],
+        "",
     )
 
     gates["pack_documents"] = g_packing
@@ -974,6 +1041,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
                 "day, 0 AS n_events, n_users_approx AS n_users",
                 "events_daily_hll",
             ),
+            ("esql", "day, n_events, n_users", "esql_daily"),
         ],
         "",
     )

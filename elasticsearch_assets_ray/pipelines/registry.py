@@ -4587,6 +4587,105 @@ def _chunk_sql(w: int = CHUNK_WINDOW, s: int = CHUNK_STRIDE) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# ES|QL (query/esql.py) — the pipe language compiled onto Ray Data
+# ---------------------------------------------------------------------------
+
+_ESQL_TABLE_NAMES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _esql_tables(sf_dir: str) -> dict[str, str]:
+    return {t: _p(sf_dir, t) for t in _ESQL_TABLE_NAMES}
+
+
+ESQL_DAILY = """FROM events
+| WHERE event_type != "view"
+| EVAL day = DATE_TRUNC("day", ts)
+| STATS n_events = COUNT(*), n_users = COUNT_DISTINCT(user_id) BY day
+| SORT day
+| LIMIT 100000"""
+
+ESQL_REVENUE = """FROM orders
+| RENAME o_custkey AS c_custkey
+| LOOKUP JOIN customer ON c_custkey
+| EVAL rc = TO_LONG(ROUND(o_totalprice * 100))
+| STATS revenue_c = SUM(rc), n_orders = COUNT(*) BY c_mktsegment
+| EVAL revenue = revenue_c / 100.0
+| KEEP c_mktsegment, revenue, n_orders
+| SORT c_mktsegment"""
+
+ESQL_MATCH = """FROM documents
+| WHERE MATCH(text, "spark join", "and") AND lang != "de"
+| STATS count = COUNT(*), med = MEDIAN(n_chars) BY lang
+| EVAL metric_r = ROUND(med, 6)
+| RENAME lang AS value
+| KEEP value, count, metric_r
+| SORT value"""
+
+ESQL_PCTL = """FROM events
+| WHERE value IS NOT NULL
+| STATS count = COUNT(*), p90 = PERCENTILE(value, 90) BY event_type
+| EVAL metric_r = ROUND(p90, 6)
+| RENAME event_type AS value
+| KEEP value, count, metric_r
+| SORT value"""
+
+ESQL_STRINGS = """FROM documents
+| EVAL head = SUBSTRING(text, 1, 12), up = TO_UPPER(lang), tag = CONCAT(lang, ":", source), ln = LENGTH(text)
+| WHERE ln % 7 == 3 AND NOT(lang IN ("xx"))
+| KEEP doc_id, head, up, tag, ln
+| SORT doc_id
+| LIMIT 200"""
+
+
+def q_esql_daily(sf_dir: str):
+    """ES|QL date_histogram + exact distinct: WHERE filter, EVAL
+    DATE_TRUNC, STATS COUNT/COUNT_DISTINCT BY day — the main counts ride
+    one combiner-first partial_agg, the distinct side a bounded
+    (day, user)-dedup branch (query/esql.py)."""
+    from elasticsearch_assets_ray.query.esql import esql
+
+    return esql(ESQL_DAILY, _esql_tables(sf_dir), stats_hint=4096)
+
+
+def q_esql_revenue(sf_dir: str):
+    """ES|QL LOOKUP JOIN (8.18): broadcast hash join against the small
+    customer lookup index + cents-exact revenue STATS — same result
+    contract as q_revenue_by_segment, expressed in the pipe language."""
+    from elasticsearch_assets_ray.query.esql import esql
+
+    return esql(ESQL_REVENUE, _esql_tables(sf_dir), stats_hint=8)
+
+
+def q_esql_match(sf_dir: str):
+    """ES|QL MATCH() full-text filter (AND operator) composed with
+    STATS MEDIAN — the match is the analyzed-token membership mask,
+    evaluated per batch in filter context; MEDIAN is exact
+    (quantile_cont convention) where ES t-digests."""
+    from elasticsearch_assets_ray.query.esql import esql
+
+    return esql(ESQL_MATCH, _esql_tables(sf_dir), stats_hint=8)
+
+
+def q_esql_pctl(sf_dir: str):
+    """ES|QL PERCENTILE (exact, from the bounded (key, value)-count
+    branch) per event_type."""
+    from elasticsearch_assets_ray.query.esql import esql
+
+    return esql(ESQL_PCTL, _esql_tables(sf_dir), stats_hint=8)
+
+
+def q_esql_strings(sf_dir: str):
+    """ES|QL scalar-function battery: SUBSTRING/TO_UPPER/CONCAT/LENGTH,
+    `%` arithmetic, NOT IN, SORT+LIMIT fused to a streaming top-k."""
+    from elasticsearch_assets_ray.query.esql import esql
+
+    return esql(ESQL_STRINGS, _esql_tables(sf_dir))
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test assignment over the documents table
     — one stateless map_batches, stable across runs/partitionings
@@ -7859,6 +7958,34 @@ ORACLES.update(
 # oracle CTEs (inputs bit-identical → threshold comparisons deterministic)
 ORACLES["dsir"] = _dsir_sql()
 ORACLES["chunk_documents"] = _chunk_sql()
+
+# ES|QL twins.  esql_revenue's LOOKUP JOIN is a left join in ES|QL; every
+# o_custkey exists in customer (TPC-H referential integrity), so the
+# inner-join twin is row-identical.
+ORACLES["esql_daily"] = (
+    "SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n_events, "
+    "count(DISTINCT user_id)::BIGINT AS n_users "
+    "FROM events WHERE event_type != 'view' GROUP BY day"
+)
+ORACLES["esql_revenue"] = ORACLES["revenue_by_segment"]
+ORACLES["esql_match"] = (
+    "SELECT lang AS value, count(*)::BIGINT AS count, "
+    "round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS metric_r "
+    "FROM documents WHERE lang != 'de' "
+    f"AND list_contains({_TOK}, 'spark') AND list_contains({_TOK}, 'join') "
+    "GROUP BY lang"
+)
+ORACLES["esql_pctl"] = (
+    "SELECT event_type AS value, count(*)::BIGINT AS count, "
+    "round(quantile_cont(value, 0.9), 6) AS metric_r "
+    "FROM events WHERE value IS NOT NULL GROUP BY event_type"
+)
+ORACLES["esql_strings"] = (
+    "SELECT doc_id, substr(text, 1, 12) AS head, upper(lang) AS up, "
+    "lang || ':' || source AS tag, length(text)::BIGINT AS ln "
+    "FROM documents WHERE length(text) % 7 = 3 AND lang NOT IN ('xx') "
+    "ORDER BY doc_id LIMIT 200"
+)
 ORACLES["gopher_filter"] = (
     f"WITH q AS ({ORACLES['quality_stats']}), "
     f"r AS ({ORACLES['repetition_stats']}), "
@@ -8037,6 +8164,11 @@ QUERIES = {
     "geo_line": q_geo_line,
     "pack_documents": q_pack_documents,
     "chunk_documents": q_chunk_documents,
+    "esql_daily": q_esql_daily,
+    "esql_revenue": q_esql_revenue,
+    "esql_match": q_esql_match,
+    "esql_pctl": q_esql_pctl,
+    "esql_strings": q_esql_strings,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "media_decode": q_media_decode,

@@ -1,0 +1,1280 @@
+"""ES|QL — Elasticsearch's piped query language, compiled onto Ray Data.
+
+ES|QL (GA in Elasticsearch 8.14; the reference's users are migrating
+their search/agg bodies to it) is a pipe language: ``FROM index | WHERE
+... | EVAL ... | STATS ... BY ... | SORT ... | LIMIT n``.  The reference
+delegates all query execution to ES
+(ElasticsearchReaderClient.ts:53-86); here each pipe command lowers onto
+a Ray Data primitive:
+
+- ``FROM``        → column-pruned ``read_parquet`` — only the columns
+                    the pipe references leave storage
+- ``WHERE``       → vectorized boolean mask inside ``map_batches``
+                    (pyarrow compute kernels, Kleene 3-valued logic)
+- ``EVAL``        → appended/replaced columns in the same pass
+- ``STATS .. BY`` → combiner-first :func:`partial_agg` (the shuffle
+                    moves per-batch partials, never rows);
+                    COUNT_DISTINCT / MEDIAN / PERCENTILE run as bounded
+                    (keys, value)-dedup side branches
+- ``LOOKUP JOIN`` → broadcast hash join (``ray.put`` once, zero-copy
+                    plasma read per task).  ES requires lookup indexes
+                    to be single-node small — exactly the broadcast
+                    contract
+- ``SORT``+``LIMIT`` → streaming per-batch top-k prune + one driver
+                    k-merge (:func:`topk`) — never a full distributed
+                    sort.  ES|QL's implicit final ``LIMIT 1000`` is
+                    applied when no explicit LIMIT follows, so an
+                    unbounded SORT is impossible by construction
+- ``MATCH(field, q)`` → analyzed-token membership filter through the
+                    canonical tokenizer chain, evaluated per batch —
+                    ES|QL filter context (no scores), composable
+                    anywhere in the pipe
+
+Determinism contracts (the repo-wide oracle conventions):
+
+- integer sums/counts are exact and association-order independent;
+  money rides EVAL-ed cents ``TO_LONG(ROUND(x * 100))`` with ROUND
+  half-away-from-zero (= SQL ``round()``; Arrow's default half-to-even
+  diverges on exact .5 doubles)
+- MEDIAN / PERCENTILE are EXACT (linear interpolation, the SQL
+  ``quantile_cont`` convention) where ES t-digests, and COUNT_DISTINCT
+  is exact where ES switches to HLL sketches — both are documented
+  strengthenings of the ES contract
+- AVG divides once, in the finalizer, in float64 (sum and non-null
+  count merge as integers/partials first)
+
+Documented divergences from ES|QL, all deliberate:
+
+- STATS/EVAL outputs must be explicitly named (``n = COUNT(*)``);
+  ES|QL would name the column by its source text
+- no multivalue columns / MV_* functions in v1
+- ``DATE_FORMAT`` takes strftime patterns, not Java DateTimeFormatter
+- SORT places nulls last on both ASC and DESC by default (= DuckDB);
+  ES|QL treats null as the largest value (nulls FIRST under DESC).
+  ``NULLS FIRST`` / ``NULLS LAST`` are honored when given uniformly.
+- unknown ``{{param}}``-less mustache handling etc. is out of scope;
+  templates render through query/templates.py upstream of this parser
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+IMPLICIT_LIMIT = 1000  # ES|QL's default result cap
+
+# ---------------------------------------------------------------------------
+# Lexer
+# ---------------------------------------------------------------------------
+
+_KEYWORDS = {
+    "FROM", "ROW", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
+    "DROP", "RENAME", "AS", "ASC", "DESC", "NULLS", "FIRST", "LAST", "AND",
+    "OR", "NOT", "IN", "LIKE", "RLIKE", "IS", "NULL", "TRUE", "FALSE",
+    "LOOKUP", "JOIN", "ON", "METADATA",
+}
+
+_DURATION_UNITS = {
+    "year", "years", "quarter", "quarters", "month", "months", "week",
+    "weeks", "day", "days", "hour", "hours", "minute", "minutes", "second",
+    "seconds",
+}
+
+_TOKEN_RE = re.compile(
+    r"""(?P<ws>\s+)
+      | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
+      | (?P<int>\d+)
+      | (?P<string>"(?:[^"\\]|\\.)*")
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+      | (?P<op>==|!=|<=|>=|\|\s*|[,()+\-*/%<>=])
+    """,
+    re.X,
+)
+
+
+@dataclass(frozen=True)
+class Tok:
+    kind: str  # KW IDENT INT FLOAT STRING OP EOF
+    val: Any
+    pos: int
+
+
+def _lex(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    i = 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise ESQLSyntaxError(f"unexpected character {src[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        text = m.group()
+        if kind == "ws":
+            continue
+        if kind == "float":
+            toks.append(Tok("FLOAT", float(text), m.start()))
+        elif kind == "int":
+            toks.append(Tok("INT", int(text), m.start()))
+        elif kind == "string":
+            body = text[1:-1]
+            body = re.sub(r"\\(.)", lambda g: {"n": "\n", "t": "\t"}.get(g.group(1), g.group(1)), body)
+            toks.append(Tok("STRING", body, m.start()))
+        elif kind == "ident":
+            up = text.upper()
+            if up in _KEYWORDS:
+                toks.append(Tok("KW", up, m.start()))
+            else:
+                toks.append(Tok("IDENT", text, m.start()))
+        else:
+            op = text.strip()
+            toks.append(Tok("OP", op, m.start()))
+    toks.append(Tok("EOF", None, len(src)))
+    return toks
+
+
+class ESQLSyntaxError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Lit:
+    val: Any
+
+
+@dataclass(frozen=True)
+class Col:
+    name: str
+
+
+@dataclass(frozen=True)
+class Star:
+    pass
+
+
+@dataclass(frozen=True)
+class Duration:
+    n: int
+    unit: str  # singular: day, hour, ...
+
+
+@dataclass(frozen=True)
+class Bin:
+    op: str
+    l: Any
+    r: Any
+
+
+@dataclass(frozen=True)
+class Un:
+    op: str  # NOT, NEG
+    e: Any
+
+
+@dataclass(frozen=True)
+class InList:
+    e: Any
+    items: tuple
+    neg: bool
+
+
+@dataclass(frozen=True)
+class LikeRx:
+    e: Any
+    regex: str
+    neg: bool
+
+
+@dataclass(frozen=True)
+class IsNull:
+    e: Any
+    neg: bool
+
+
+@dataclass(frozen=True)
+class Func:
+    name: str
+    args: tuple
+
+
+# commands
+@dataclass(frozen=True)
+class From:
+    table: str
+
+
+@dataclass(frozen=True)
+class Row:
+    assigns: tuple  # (name, expr)
+
+
+@dataclass(frozen=True)
+class Where:
+    e: Any
+
+
+@dataclass(frozen=True)
+class Eval:
+    assigns: tuple
+
+
+@dataclass(frozen=True)
+class AggItem:
+    out: str
+    func: str
+    arg: Any  # expr | Star
+    p: float | None = None  # PERCENTILE's percent
+
+
+@dataclass(frozen=True)
+class Stats:
+    aggs: tuple
+    by: tuple  # (name, expr)
+
+
+@dataclass(frozen=True)
+class SortKey:
+    col: str
+    order: str  # ascending / descending
+    nulls: str | None  # at_start / at_end / None
+
+
+@dataclass(frozen=True)
+class Sort:
+    keys: tuple
+
+
+@dataclass(frozen=True)
+class Limit:
+    n: int
+
+
+@dataclass(frozen=True)
+class Keep:
+    cols: tuple
+
+
+@dataclass(frozen=True)
+class Drop:
+    cols: tuple
+
+
+@dataclass(frozen=True)
+class Rename:
+    pairs: tuple  # (old, new)
+
+
+@dataclass(frozen=True)
+class LookupJoin:
+    table: str
+    on: str
+
+
+# ---------------------------------------------------------------------------
+# Parser (Pratt for expressions)
+# ---------------------------------------------------------------------------
+
+_CMP_OPS = {"==", "!=", "<", "<=", ">", ">="}
+_AGG_FUNCS = {
+    "COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX", "MEDIAN",
+    "PERCENTILE",
+}
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = _lex(src)
+        self.i = 0
+
+    def peek(self, ahead: int = 0) -> Tok:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, val: Any = None) -> Tok:
+        t = self.next()
+        if t.kind != kind or (val is not None and t.val != val):
+            raise ESQLSyntaxError(
+                f"expected {val or kind} at {t.pos}, got {t.kind} {t.val!r}"
+            )
+        return t
+
+    def at_kw(self, *vals: str) -> bool:
+        t = self.peek()
+        return t.kind == "KW" and t.val in vals
+
+    def at_op(self, *vals: str) -> bool:
+        t = self.peek()
+        return t.kind == "OP" and t.val in vals
+
+    # -- pipeline ----------------------------------------------------------
+    def parse(self) -> list:
+        cmds: list = [self.parse_source()]
+        while self.at_op("|"):
+            self.next()
+            cmds.append(self.parse_command())
+        self.expect("EOF")
+        return cmds
+
+    def parse_source(self):
+        if self.at_kw("FROM"):
+            self.next()
+            name = self.expect("IDENT").val
+            if self.at_kw("METADATA"):  # parsed, ignored (no _index/_id here)
+                self.next()
+                self.expect("IDENT")
+            return From(name)
+        if self.at_kw("ROW"):
+            self.next()
+            return Row(tuple(self.parse_assign_list()))
+        raise ESQLSyntaxError("query must start with FROM or ROW")
+
+    def parse_command(self):
+        t = self.next()
+        if t.kind != "KW":
+            raise ESQLSyntaxError(f"expected a command at {t.pos}")
+        if t.val == "WHERE":
+            return Where(self.parse_expr())
+        if t.val == "EVAL":
+            return Eval(tuple(self.parse_assign_list()))
+        if t.val == "STATS":
+            return self.parse_stats()
+        if t.val == "SORT":
+            return self.parse_sort()
+        if t.val == "LIMIT":
+            return Limit(int(self.expect("INT").val))
+        if t.val == "KEEP":
+            return Keep(tuple(self.parse_ident_list()))
+        if t.val == "DROP":
+            return Drop(tuple(self.parse_ident_list()))
+        if t.val == "RENAME":
+            pairs = []
+            while True:
+                old = self.expect("IDENT").val
+                self.expect("KW", "AS")
+                pairs.append((old, self.expect("IDENT").val))
+                if not self.at_op(","):
+                    break
+                self.next()
+            return Rename(tuple(pairs))
+        if t.val == "LOOKUP":
+            self.expect("KW", "JOIN")
+            name = self.expect("IDENT").val
+            self.expect("KW", "ON")
+            return LookupJoin(name, self.expect("IDENT").val)
+        raise ESQLSyntaxError(f"unknown command {t.val} at {t.pos}")
+
+    def parse_ident_list(self) -> list[str]:
+        out = [self.expect("IDENT").val]
+        while self.at_op(","):
+            self.next()
+            out.append(self.expect("IDENT").val)
+        return out
+
+    def parse_assign_list(self) -> list[tuple[str, Any]]:
+        out = []
+        while True:
+            name = self.expect("IDENT").val
+            self.expect("OP", "=")
+            out.append((name, self.parse_expr()))
+            if not self.at_op(","):
+                return out
+            self.next()
+
+    def parse_stats(self) -> Stats:
+        aggs = [self.parse_agg_item()]
+        while self.at_op(","):
+            self.next()
+            aggs.append(self.parse_agg_item())
+        by: list[tuple[str, Any]] = []
+        if self.at_kw("BY"):
+            self.next()
+            while True:
+                name = self.expect("IDENT").val
+                if self.at_op("="):
+                    self.next()
+                    by.append((name, self.parse_expr()))
+                else:
+                    by.append((name, Col(name)))
+                if not self.at_op(","):
+                    break
+                self.next()
+        return Stats(tuple(aggs), tuple(by))
+
+    def parse_agg_item(self) -> AggItem:
+        out = self.expect("IDENT").val
+        self.expect("OP", "=")
+        fname = self.expect("IDENT").val.upper()
+        if fname not in _AGG_FUNCS:
+            raise ESQLSyntaxError(f"unknown aggregate {fname}")
+        self.expect("OP", "(")
+        p = None
+        if self.at_op("*"):
+            self.next()
+            arg: Any = Star()
+            if fname != "COUNT":
+                raise ESQLSyntaxError("only COUNT accepts *")
+        else:
+            arg = self.parse_expr()
+            if fname == "PERCENTILE":
+                self.expect("OP", ",")
+                pt = self.next()
+                if pt.kind not in ("INT", "FLOAT"):
+                    raise ESQLSyntaxError("PERCENTILE needs a numeric percent")
+                p = float(pt.val)
+        self.expect("OP", ")")
+        return AggItem(out, fname, arg, p)
+
+    def parse_sort(self) -> Sort:
+        keys = []
+        while True:
+            col = self.expect("IDENT").val
+            order = "ascending"
+            nulls = None
+            if self.at_kw("ASC", "DESC"):
+                order = "ascending" if self.next().val == "ASC" else "descending"
+            if self.at_kw("NULLS"):
+                self.next()
+                t = self.next()
+                if t.kind != "KW" or t.val not in ("FIRST", "LAST"):
+                    raise ESQLSyntaxError("expected FIRST or LAST after NULLS")
+                nulls = "at_start" if t.val == "FIRST" else "at_end"
+            keys.append(SortKey(col, order, nulls))
+            if not self.at_op(","):
+                return Sort(tuple(keys))
+            self.next()
+
+    # -- expressions ---------------------------------------------------------
+    def parse_expr(self, rbp: int = 0):
+        left = self.parse_prefix()
+        while True:
+            t = self.peek()
+            lbp = self._lbp(t)
+            if lbp <= rbp:
+                return left
+            left = self.parse_infix(left)
+
+    def _lbp(self, t: Tok) -> int:
+        if t.kind == "KW":
+            return {"OR": 10, "AND": 20, "IN": 30, "LIKE": 30, "RLIKE": 30,
+                    "IS": 30, "NOT": 30}.get(t.val, 0)
+        if t.kind == "OP":
+            if t.val in _CMP_OPS:
+                return 30
+            if t.val in ("+", "-"):
+                return 40
+            if t.val in ("*", "/", "%"):
+                return 50
+        return 0
+
+    def parse_prefix(self):
+        t = self.next()
+        if t.kind == "INT":
+            nt = self.peek()
+            if nt.kind == "IDENT" and nt.val.lower() in _DURATION_UNITS:
+                self.next()
+                return Duration(t.val, nt.val.lower().rstrip("s"))
+            return Lit(t.val)
+        if t.kind == "FLOAT":
+            return Lit(t.val)
+        if t.kind == "STRING":
+            return Lit(t.val)
+        if t.kind == "KW" and t.val in ("TRUE", "FALSE"):
+            return Lit(t.val == "TRUE")
+        if t.kind == "KW" and t.val == "NULL":
+            return Lit(None)
+        if t.kind == "KW" and t.val == "NOT":
+            return Un("NOT", self.parse_expr(25))
+        if t.kind == "OP" and t.val == "-":
+            return Un("NEG", self.parse_expr(55))
+        if t.kind == "OP" and t.val == "(":
+            e = self.parse_expr()
+            self.expect("OP", ")")
+            return e
+        if t.kind == "IDENT":
+            if self.at_op("("):
+                self.next()
+                args = []
+                if not self.at_op(")"):
+                    args.append(self.parse_expr())
+                    while self.at_op(","):
+                        self.next()
+                        args.append(self.parse_expr())
+                self.expect("OP", ")")
+                return Func(t.val.upper(), tuple(args))
+            return Col(t.val)
+        raise ESQLSyntaxError(f"unexpected token {t.val!r} at {t.pos}")
+
+    def parse_infix(self, left):
+        t = self.next()
+        if t.kind == "KW":
+            if t.val == "OR":
+                return Bin("OR", left, self.parse_expr(10))
+            if t.val == "AND":
+                return Bin("AND", left, self.parse_expr(20))
+            if t.val == "IN":
+                return InList(left, self._paren_items(), False)
+            if t.val == "LIKE":
+                return LikeRx(left, _wildcard_rx(self.expect("STRING").val), False)
+            if t.val == "RLIKE":
+                return LikeRx(left, f"^(?:{self.expect('STRING').val})$", False)
+            if t.val == "IS":
+                neg = False
+                if self.at_kw("NOT"):
+                    self.next()
+                    neg = True
+                self.expect("KW", "NULL")
+                return IsNull(left, neg)
+            if t.val == "NOT":
+                nt = self.next()
+                if nt.kind == "KW" and nt.val == "IN":
+                    return InList(left, self._paren_items(), True)
+                if nt.kind == "KW" and nt.val == "LIKE":
+                    return LikeRx(left, _wildcard_rx(self.expect("STRING").val), True)
+                if nt.kind == "KW" and nt.val == "RLIKE":
+                    return LikeRx(left, f"^(?:{self.expect('STRING').val})$", True)
+                raise ESQLSyntaxError(f"expected IN/LIKE/RLIKE after NOT at {nt.pos}")
+        if t.kind == "OP" and (t.val in _CMP_OPS or t.val in "+-*/%"):
+            rbp = self._lbp(t)
+            return Bin(t.val, left, self.parse_expr(rbp))
+        raise ESQLSyntaxError(f"unexpected operator {t.val!r} at {t.pos}")
+
+    def _paren_items(self) -> tuple:
+        self.expect("OP", "(")
+        items = [self.parse_expr()]
+        while self.at_op(","):
+            self.next()
+            items.append(self.parse_expr())
+        self.expect("OP", ")")
+        return tuple(items)
+
+
+def _wildcard_rx(pat: str) -> str:
+    out = []
+    for ch in pat:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+# ---------------------------------------------------------------------------
+# Expression evaluation (vectorized, per Arrow batch)
+# ---------------------------------------------------------------------------
+
+
+def _arr(x) -> bool:
+    return isinstance(x, (pa.Array, pa.ChunkedArray))
+
+
+def _as_array(x, n: int) -> pa.Array | pa.ChunkedArray:
+    if _arr(x):
+        return x
+    return pa.array([x] * n)
+
+
+def _coerce_pair(l, r):
+    """Minimal literal coercion: a string literal compared against a
+    timestamp column parses as an ISO timestamp."""
+    for a, b in ((l, r), (r, l)):
+        if _arr(a) and pa.types.is_timestamp(a.type) and isinstance(b, str):
+            ts = pa.scalar(np.datetime64(b), type=a.type)
+            return (a, ts) if a is l else (ts, a)
+    return l, r
+
+
+def _null_mask(x) -> np.ndarray | None:
+    if _arr(x):
+        v = pc.is_null(x)
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        m = v.to_numpy(zero_copy_only=False)
+        return m if m.any() else None
+    return None
+
+
+def _np_mod(l, r) -> pa.Array:
+    """`%` — Arrow lacks a modulo kernel; numpy fmod keeps the dividend's
+    sign (= Java/ES|QL), nulls re-applied from either input."""
+    ml, mr = _null_mask(l), _null_mask(r)
+    la = l.to_numpy(zero_copy_only=False) if _arr(l) else l
+    ra = r.to_numpy(zero_copy_only=False) if _arr(r) else r
+    out = np.fmod(la, ra)
+    mask = None
+    if ml is not None or mr is not None:
+        mask = (ml if ml is not None else False) | (mr if mr is not None else False)
+    return pa.array(out, mask=mask)
+
+
+class Evaluator:
+    """Compiles/evaluates an expression AST against an Arrow batch.
+    MATCH() needs the analyzer chain; imported lazily so the parser has
+    no Ray dependency."""
+
+    def __init__(self):
+        self._match_cache: dict[tuple, tuple] = {}
+
+    def ev(self, node, batch: pa.Table):
+        n = batch.num_rows
+        if isinstance(node, Lit):
+            return node.val
+        if isinstance(node, Col):
+            if node.name not in batch.column_names:
+                raise KeyError(f"unknown column {node.name!r}")
+            return batch[node.name]
+        if isinstance(node, Un):
+            v = self.ev(node.e, batch)
+            if node.op == "NEG":
+                return pc.negate_checked(v) if _arr(v) else -v
+            return pc.invert(_as_array(v, n).cast(pa.bool_())) if _arr(v) else (None if v is None else not v)
+        if isinstance(node, Bin):
+            return self._bin(node, batch)
+        if isinstance(node, InList):
+            v = self.ev(node.e, batch)
+            items = [self.ev(i, batch) for i in node.items]
+            res = pc.is_in(_as_array(v, n), value_set=pa.array(items))
+            return pc.invert(res) if node.neg else res
+        if isinstance(node, LikeRx):
+            v = self.ev(node.e, batch)
+            res = pc.match_substring_regex(_as_array(v, n), node.regex)
+            return pc.invert(res) if node.neg else res
+        if isinstance(node, IsNull):
+            v = self.ev(node.e, batch)
+            res = pc.is_null(_as_array(v, n))
+            return pc.invert(res) if node.neg else res
+        if isinstance(node, Func):
+            return self._func(node, batch)
+        if isinstance(node, Duration):
+            return node  # consumed by DATE_TRUNC
+        raise TypeError(f"cannot evaluate {node!r}")
+
+    def _bin(self, node: Bin, batch: pa.Table):
+        op = node.op
+        l = self.ev(node.l, batch)
+        r = self.ev(node.r, batch)
+        n = batch.num_rows
+        if op in ("AND", "OR"):
+            la = _as_array(l, n).cast(pa.bool_()) if _arr(l) or l is not None else pa.nulls(n, pa.bool_())
+            ra = _as_array(r, n).cast(pa.bool_()) if _arr(r) or r is not None else pa.nulls(n, pa.bool_())
+            return pc.and_kleene(la, ra) if op == "AND" else pc.or_kleene(la, ra)
+        if op in _CMP_OPS:
+            l, r = _coerce_pair(l, r)
+            fn = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+                  "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op]
+            return fn(l, r)
+        if op == "+":
+            return pc.add_checked(l, r)
+        if op == "-":
+            return pc.subtract_checked(l, r)
+        if op == "*":
+            return pc.multiply_checked(l, r)
+        if op == "/":
+            # Arrow divide on two integers is integer division truncated
+            # toward zero — exactly Java/ES|QL `/`
+            return pc.divide_checked(l, r)
+        if op == "%":
+            return _np_mod(l, r)
+        raise ESQLSyntaxError(f"unknown operator {op}")
+
+    # -- scalar functions ----------------------------------------------------
+    def _func(self, node: Func, batch: pa.Table):
+        name, args = node.name, node.args
+        n = batch.num_rows
+        if name == "MATCH":
+            return self._match(node, batch)
+        if name == "CASE":
+            return self._case(args, batch)
+        if name == "DATE_TRUNC":
+            unit_node, ts_node = args
+            if isinstance(unit_node, Duration):
+                if unit_node.n != 1:
+                    raise ESQLSyntaxError("DATE_TRUNC supports 1-unit durations")
+                unit = unit_node.unit
+            else:
+                unit = str(self.ev(unit_node, batch)).lower().rstrip("s")
+            ts = self.ev(ts_node, batch)
+            return pc.floor_temporal(ts, unit=unit)
+        ev = [self.ev(a, batch) for a in args]
+        if name == "ROUND":
+            nd = int(ev[1]) if len(ev) > 1 else 0
+            return pc.round(ev[0], ndigits=nd, round_mode="half_towards_infinity")
+        if name == "ABS":
+            return pc.abs_checked(ev[0])
+        if name == "CEIL":
+            return pc.ceil(ev[0])
+        if name == "FLOOR":
+            return pc.floor(ev[0])
+        if name == "SQRT":
+            return pc.sqrt_checked(ev[0])
+        if name == "EXP":
+            return pc.exp(ev[0])
+        if name == "LOG":
+            if len(ev) == 2:  # LOG(base, value)
+                return pc.divide(pc.ln_checked(ev[1]), pc.ln_checked(_as_array(ev[0], n) if _arr(ev[0]) else pa.scalar(float(ev[0]))))
+            return pc.ln_checked(ev[0])
+        if name == "LOG10":
+            return pc.log10_checked(ev[0])
+        if name == "POW":
+            return pc.power_checked(ev[0], ev[1])
+        if name == "LENGTH":
+            return pc.utf8_length(ev[0])
+        if name == "SUBSTRING":
+            start = int(ev[1])
+            ln = int(ev[2]) if len(ev) > 2 else None
+            if start > 0:
+                s0 = start - 1
+                s1 = s0 + ln if ln is not None else None
+            else:  # negative start counts from the end (ES|QL)
+                s0 = start
+                s1 = start + ln if ln is not None and start + ln < 0 else None
+            kw = {"start": s0}
+            if s1 is not None:
+                kw["stop"] = s1
+            return pc.utf8_slice_codeunits(ev[0], **kw)
+        if name == "CONCAT":
+            parts = [_as_array(e, n) if not _arr(e) else e for e in ev]
+            return pc.binary_join_element_wise(*parts, "")
+        if name == "TO_UPPER":
+            return pc.utf8_upper(ev[0])
+        if name == "TO_LOWER":
+            return pc.utf8_lower(ev[0])
+        if name == "TRIM":
+            return pc.utf8_trim_whitespace(ev[0])
+        if name == "LTRIM":
+            return pc.utf8_ltrim_whitespace(ev[0])
+        if name == "RTRIM":
+            return pc.utf8_rtrim_whitespace(ev[0])
+        if name == "LEFT":
+            return pc.utf8_slice_codeunits(ev[0], start=0, stop=int(ev[1]))
+        if name == "RIGHT":
+            return pc.utf8_slice_codeunits(ev[0], start=-int(ev[1]))
+        if name == "REPLACE":  # regex replace, like ES|QL
+            return pc.replace_substring_regex(ev[0], pattern=str(ev[1]), replacement=str(ev[2]))
+        if name == "STARTS_WITH":
+            return pc.starts_with(ev[0], pattern=str(ev[1]))
+        if name == "ENDS_WITH":
+            return pc.ends_with(ev[0], pattern=str(ev[1]))
+        if name == "LOCATE":
+            return pc.add(pc.find_substring(ev[0], pattern=str(ev[1])), 1)
+        if name == "REVERSE":
+            return pc.utf8_reverse(ev[0])
+        if name == "DATE_EXTRACT":
+            part = str(ev[0]).lower()
+            fn = {"year": pc.year, "month": pc.month, "day": pc.day,
+                  "hour": pc.hour, "minute": pc.minute, "second": pc.second,
+                  "day_of_week": pc.day_of_week, "day_of_year": pc.day_of_year}
+            if part not in fn:
+                raise ESQLSyntaxError(f"DATE_EXTRACT part {part!r} unsupported")
+            return pc.cast(fn[part](ev[1]), pa.int64())
+        if name == "DATE_FORMAT":
+            return pc.strftime(ev[1], format=str(ev[0]))
+        if name == "DATE_DIFF":
+            unit = str(ev[0]).lower().rstrip("s")
+            us = {"second": 1_000_000, "minute": 60_000_000,
+                  "hour": 3_600_000_000, "day": 86_400_000_000}[unit]
+            a = pc.cast(ev[1], pa.int64())
+            b = pc.cast(ev[2], pa.int64())
+            return pc.divide_checked(pc.subtract_checked(b, a), pa.scalar(us, pa.int64()))
+        if name == "TO_LONG":
+            return self._to_int(ev[0], pa.int64())
+        if name == "TO_INTEGER":
+            return self._to_int(ev[0], pa.int32())
+        if name == "TO_DOUBLE":
+            return pc.cast(ev[0], pa.float64())
+        if name == "TO_STRING":
+            return pc.cast(ev[0], pa.string())
+        if name == "TO_DATETIME":
+            return pc.cast(ev[0], pa.timestamp("us"))
+        if name == "COALESCE":
+            return pc.coalesce(*[_as_array(e, n) if not _arr(e) else e for e in ev])
+        if name == "GREATEST":
+            return pc.max_element_wise(*ev)
+        if name == "LEAST":
+            return pc.min_element_wise(*ev)
+        raise ESQLSyntaxError(f"unknown function {name}")
+
+    @staticmethod
+    def _to_int(v, typ):
+        if _arr(v) and pa.types.is_floating(v.type):
+            # truncate toward zero (ES|QL TO_LONG(5.9) == 5)
+            v = pc.trunc(v)
+            return pc.cast(v, typ, safe=False)
+        return pc.cast(v, typ) if _arr(v) else int(v)
+
+    def _case(self, args: tuple, batch: pa.Table):
+        n = batch.num_rows
+        pairs = list(args)
+        default = None
+        if len(pairs) % 2 == 1:
+            default = pairs.pop()
+        out = self.ev(default, batch) if default is not None else None
+        for i in range(len(pairs) - 2, -1, -2):
+            cond = _as_array(self.ev(pairs[i], batch), n).cast(pa.bool_())
+            val = self.ev(pairs[i + 1], batch)
+            val = _as_array(val, n) if not _arr(val) else val
+            if out is None:
+                out = pc.if_else(cond, val, pa.nulls(n, val.type))
+            else:
+                out = pc.if_else(cond, val, _as_array(out, n) if not _arr(out) else out)
+        return out
+
+    # -- MATCH ----------------------------------------------------------------
+    def _match(self, node: Func, batch: pa.Table):
+        from elasticsearch_assets_ray.stages.tokenizer import tokenize_column, tokenize_text
+
+        if not isinstance(node.args[0], Col) or not isinstance(node.args[1], Lit):
+            raise ESQLSyntaxError("MATCH(field, \"query\"[, \"operator\"]) needs a column and a literal")
+        field = node.args[0].name
+        query = str(node.args[1].val)
+        op = "or"
+        if len(node.args) > 2:
+            op = str(node.args[2].val).lower()
+        qtoks = sorted(set(tokenize_text(query)))
+        if not qtoks:
+            return pa.array(np.zeros(batch.num_rows, dtype=bool))
+        toks = tokenize_column(batch[field]).fill_null([])
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.values
+        if op == "or":
+            hit = pc.is_in(flat, value_set=pa.array(qtoks)).to_numpy(zero_copy_only=False)
+            return pa.array(_segment_any(hit, off))
+        acc = None
+        for t in qtoks:  # AND: every query term present (few terms, one pass each)
+            hit = pc.equal(flat, t).fill_null(False).to_numpy(zero_copy_only=False)
+            seg = _segment_any(hit, off)
+            acc = seg if acc is None else (acc & seg)
+        return pa.array(acc)
+
+
+def _segment_any(mask: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """any(mask) per list segment given list offsets (empty → False)."""
+    n = off.size - 1
+    out = np.zeros(n, dtype=bool)
+    nonempty = off[:-1] < off[1:]
+    if nonempty.any() and mask.size:
+        red = np.bitwise_or.reduceat(mask, off[:-1][nonempty])
+        out[nonempty] = red
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Column analysis
+# ---------------------------------------------------------------------------
+
+
+def _expr_cols(node, out: set[str]):
+    if isinstance(node, Col):
+        out.add(node.name)
+    elif isinstance(node, Bin):
+        _expr_cols(node.l, out)
+        _expr_cols(node.r, out)
+    elif isinstance(node, Un):
+        _expr_cols(node.e, out)
+    elif isinstance(node, (InList, LikeRx, IsNull)):
+        _expr_cols(node.e, out)
+        if isinstance(node, InList):
+            for i in node.items:
+                _expr_cols(i, out)
+    elif isinstance(node, Func):
+        for a in node.args:
+            _expr_cols(a, out)
+
+
+def referenced_columns(cmds: list) -> set[str]:
+    cols: set[str] = set()
+    for c in cmds:
+        if isinstance(c, Where):
+            _expr_cols(c.e, cols)
+        elif isinstance(c, (Eval, Row)):
+            for _, e in c.assigns:
+                _expr_cols(e, cols)
+        elif isinstance(c, Stats):
+            for a in c.aggs:
+                if not isinstance(a.arg, Star):
+                    _expr_cols(a.arg, cols)
+            for _, e in c.by:
+                _expr_cols(e, cols)
+        elif isinstance(c, Sort):
+            cols.update(k.col for k in c.keys)
+        elif isinstance(c, Keep):
+            cols.update(c.cols)
+        elif isinstance(c, Rename):
+            cols.update(o for o, _ in c.pairs)
+        elif isinstance(c, LookupJoin):
+            cols.add(c.on)
+    return cols
+
+
+# ---------------------------------------------------------------------------
+# Executor
+# ---------------------------------------------------------------------------
+
+
+def esql(
+    query: str,
+    tables: dict[str, Any],
+    *,
+    stats_hint: int | None = None,
+):
+    """Compile and run an ES|QL pipe; returns a ``ray.data.Dataset``.
+
+    ``tables`` maps index names to parquet paths (column-pruned read) or
+    live Datasets.  ``stats_hint``: expected group cardinality for STATS
+    (threaded into :func:`partial_agg`'s driver-fold fast path for
+    low-cardinality aggregates)."""
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.relational import broadcast_join, topk
+
+    cmds = _Parser(query).parse()
+    needed = referenced_columns(cmds)
+    src = cmds[0]
+    if isinstance(src, Row):
+        tab = pa.table({k: pa.array([_lit_only(e)]) for k, e in src.assigns})
+        ds = ray.data.from_arrow(tab)
+        cols = [k for k, _ in src.assigns]
+    else:
+        base = tables[src.table]
+        if isinstance(base, str):
+            import pyarrow.parquet as pq
+
+            schema = pq.read_schema(base)
+            use = [c for c in schema.names if c in needed] or schema.names[:1]
+            ds = ray.data.read_parquet(base, columns=use)
+            cols = list(use)
+        else:
+            ds = base
+            cols = list(ds.schema().names)
+
+    evaluator = Evaluator()
+    pending_sort: Sort | None = None
+    explicit_limit = False
+
+    def flush_sort(limit_n: int | None):
+        nonlocal ds, pending_sort
+        if pending_sort is None:
+            if limit_n is not None:
+                ds = ds.limit(limit_n)
+            return
+        k = limit_n if limit_n is not None else IMPLICIT_LIMIT
+        keys = [(s.col, s.order) for s in pending_sort.keys]
+        placements = {s.nulls for s in pending_sort.keys if s.nulls is not None}
+        if len(placements) > 1:
+            raise ESQLSyntaxError("mixed NULLS FIRST/LAST not supported")
+        t = _topk_nulls(ds, keys, k, placements.pop() if placements else "at_end")
+        ds = ray.data.from_arrow(t)
+        pending_sort = None
+
+    i = 1
+    while i < len(cmds):
+        cmd = cmds[i]
+        if pending_sort is not None:
+            if isinstance(cmd, Limit):
+                flush_sort(cmd.n)
+                explicit_limit = True
+                i += 1
+                continue
+            flush_sort(None)
+        if isinstance(cmd, Where):
+            ds = _apply_where(ds, cmd.e, evaluator)
+        elif isinstance(cmd, Eval):
+            ds = _apply_eval(ds, cmd.assigns, evaluator)
+            for name, _ in cmd.assigns:
+                if name not in cols:
+                    cols.append(name)
+        elif isinstance(cmd, Stats):
+            ds, cols = _apply_stats(ds, cmd, evaluator, stats_hint)
+        elif isinstance(cmd, Sort):
+            pending_sort = cmd
+        elif isinstance(cmd, Limit):
+            ds = ds.limit(cmd.n)
+            explicit_limit = True
+        elif isinstance(cmd, Keep):
+            missing = [c for c in cmd.cols if c not in cols]
+            if missing:
+                raise KeyError(f"KEEP of unknown columns {missing}")
+            ds = ds.select_columns(list(cmd.cols))
+            cols = list(cmd.cols)
+        elif isinstance(cmd, Drop):
+            keep = [c for c in cols if c not in cmd.cols]
+            ds = ds.select_columns(keep)
+            cols = keep
+        elif isinstance(cmd, Rename):
+            mapping = dict(cmd.pairs)
+            ds = ds.map_batches(
+                lambda b, m=mapping: b.rename_columns([m.get(c, c) for c in b.column_names]),
+                batch_format="pyarrow",
+            )
+            cols = [mapping.get(c, c) for c in cols]
+        elif isinstance(cmd, LookupJoin):
+            side = tables[cmd.table]
+            if isinstance(side, str):
+                import pyarrow.parquet as pq
+
+                schema = pq.read_schema(side)
+                use = sorted(({cmd.on} | needed) & set(schema.names))
+                small = pq.read_table(side, columns=use)
+            else:
+                small = pa.concat_tables(list(side.iter_batches(batch_format="pyarrow")))
+            ds = broadcast_join(ds, small, keys=[cmd.on], join_type="left")
+            cols = cols + [c for c in small.column_names if c != cmd.on and c not in cols]
+        else:
+            raise ESQLSyntaxError(f"unsupported command {cmd!r}")
+        i += 1
+    if pending_sort is not None:
+        flush_sort(None)
+        explicit_limit = True
+    if not explicit_limit:
+        ds = ds.limit(IMPLICIT_LIMIT)  # ES|QL's implicit result cap
+    return ds
+
+
+def _lit_only(e) -> Any:
+    if not isinstance(e, Lit):
+        raise ESQLSyntaxError("ROW supports literal values only")
+    return e.val
+
+
+def _topk_nulls(ds, keys, k: int, null_placement: str) -> pa.Table:
+    """topk with a null placement (the shared topk() assumes at_end)."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=keys, null_placement=null_placement)[:k]
+        return batch.take(idx)
+
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    t = pa.concat_tables(list(pruned.iter_batches(batch_format="pyarrow")))
+    idx = pc.sort_indices(t, sort_keys=keys, null_placement=null_placement)[:k]
+    return t.take(idx)
+
+
+def _apply_where(ds, expr, evaluator: Evaluator):
+    def run(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        mask = evaluator.ev(expr, batch)
+        mask = _as_array(mask, batch.num_rows)
+        return batch.filter(mask)  # nulls drop (SQL WHERE)
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _apply_eval(ds, assigns: tuple, evaluator: Evaluator):
+    def run(batch: pa.Table) -> pa.Table:
+        for name, expr in assigns:
+            v = evaluator.ev(expr, batch)
+            v = _as_array(v, batch.num_rows)
+            v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            if name in batch.column_names:
+                batch = batch.set_column(batch.column_names.index(name), name, v)
+            else:
+                batch = batch.append_column(name, v)
+        return batch
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _apply_stats(ds, st: Stats, evaluator: Evaluator, hint: int | None):
+    """STATS lowering: ONE prep map computes group keys + agg inputs,
+    the additive aggregates ride one combiner-first partial_agg, and each
+    COUNT_DISTINCT / MEDIAN / PERCENTILE rides a bounded
+    (keys, value)-dedup side branch (re-executes the upstream pipe — ES
+    runs these as separate shard phases too; fusing the branches into
+    the main shuffle is the documented optimization seam).  Output
+    cardinality = group count, so branch results are driver-mergeable by
+    construction."""
+    import ray.data
+
+    from elasticsearch_assets_ray.query.engine import percentiles_from_value_counts
+    from elasticsearch_assets_ray.stages.relational import AggSpec, partial_agg
+
+    keys = [k for k, _ in st.by] or ["__all"]
+    synthetic_all = not st.by
+
+    def prep(batch: pa.Table) -> pa.Table:
+        out: dict[str, Any] = {}
+        if synthetic_all:
+            out["__all"] = pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        for name, expr in st.by:
+            v = _as_array(evaluator.ev(expr, batch), batch.num_rows)
+            out[name] = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        for i, a in enumerate(st.aggs):
+            if isinstance(a.arg, Star):
+                v: Any = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+            else:
+                v = _as_array(evaluator.ev(a.arg, batch), batch.num_rows)
+            if a.func == "COUNT" and not isinstance(a.arg, Star):
+                v = pc.cast(pc.is_valid(v), pa.int64())
+            out[f"__in{i}"] = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        return pa.table(out)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+
+    main_specs: list[AggSpec] = []
+    finalizers: list[tuple[str, str, int]] = []  # (out, kind, idx)
+    branches: list[tuple[int, AggItem]] = []
+    for i, a in enumerate(st.aggs):
+        if a.func in ("COUNT",):
+            main_specs.append(AggSpec(f"__m{i}", f"__in{i}", "sum"))
+            finalizers.append((a.out, "int", i))
+        elif a.func == "SUM":
+            main_specs.append(AggSpec(f"__m{i}", f"__in{i}", "sum"))
+            finalizers.append((a.out, "raw", i))
+        elif a.func in ("MIN", "MAX"):
+            main_specs.append(AggSpec(f"__m{i}", f"__in{i}", a.func.lower()))
+            finalizers.append((a.out, "raw", i))
+        elif a.func == "AVG":
+            main_specs.append(AggSpec(f"__m{i}", f"__in{i}", "sum"))
+            main_specs.append(AggSpec(f"__m{i}_n", f"__in{i}_v", "sum"))
+            finalizers.append((a.out, "avg", i))
+        else:
+            branches.append((i, a))
+
+    needs_valid = [i for i, a in enumerate(st.aggs) if a.func == "AVG"]
+    if needs_valid:
+        inner_prep = prepped
+
+        def add_valid(batch: pa.Table) -> pa.Table:
+            for i in needs_valid:
+                batch = batch.append_column(
+                    f"__in{i}_v", pc.cast(pc.is_valid(batch[f"__in{i}"]), pa.int64())
+                )
+            return batch
+
+        prepped = inner_prep.map_batches(add_valid, batch_format="pyarrow")
+
+    main_ds = (
+        partial_agg(prepped, keys, main_specs, distinct_hint=hint)
+        if main_specs
+        else None
+    )
+
+    out_names = keys + [a.out for a in st.aggs]
+    if synthetic_all:
+        out_names = [c for c in out_names if c != "__all"]
+
+    if not branches:
+        def finish(batch: pa.Table) -> pa.Table:
+            return _finalize_stats(batch, keys, st, finalizers, synthetic_all)
+
+        return main_ds.map_batches(finish, batch_format="pyarrow"), out_names
+
+    # branches exist: collect the (bounded) bucket tables and join
+    base: pa.Table | None = None
+    if main_ds is not None:
+        base = pa.concat_tables(list(main_ds.iter_batches(batch_format="pyarrow")))
+    branch_tabs: dict[int, pa.Table] = {}
+    for i, a in branches:
+        sel = keys + [f"__in{i}"]
+        b_ds = prepped.map_batches(
+            lambda b, s=sel, c=f"__in{i}": b.select(s).filter(pc.is_valid(b[c])),
+            batch_format="pyarrow",
+        )
+        vc = partial_agg(
+            b_ds, keys + [f"__in{i}"], [AggSpec("__c", f"__in{i}", "count")]
+        )
+        t = pa.concat_tables(list(vc.iter_batches(batch_format="pyarrow")))
+        if a.func == "COUNT_DISTINCT":
+            g = t.group_by(keys, use_threads=False).aggregate([("__c", "count")])
+            branch_tabs[i] = pa.table(
+                {**{k: g[k] for k in keys}, a.out: g["__c_count"]}
+            )
+        else:  # MEDIAN / PERCENTILE — exact, from per-key (value, count)
+            p = 50.0 if a.func == "MEDIAN" else float(a.p)
+            branch_tabs[i] = _per_key_percentile(t, keys, f"__in{i}", a.out, p)
+    if base is None:
+        allk = pa.concat_tables([branch_tabs[i].select(keys) for i, _ in branches])
+        base = pa.Table.from_pandas(
+            allk.to_pandas().drop_duplicates(), preserve_index=False
+        )
+    for i, a in branches:
+        base = base.join(branch_tabs[i], keys=keys, join_type="left outer")
+        if a.func == "COUNT_DISTINCT":
+            idx = base.column_names.index(a.out)
+            base = base.set_column(
+                idx, a.out, pc.fill_null(pc.cast(base[a.out], pa.int64()), 0)
+            )
+    final = _finalize_stats(base, keys, st, finalizers, synthetic_all)
+    import ray.data as rd
+
+    return rd.from_arrow(final), out_names
+
+
+def _finalize_stats(
+    batch: pa.Table,
+    keys: list[str],
+    st: Stats,
+    finalizers: list[tuple[str, str, int]],
+    synthetic_all: bool,
+) -> pa.Table:
+    cols: dict[str, Any] = {}
+    for k in keys:
+        if not (synthetic_all and k == "__all"):
+            cols[k] = batch[k]
+    done = {n for n in cols}
+    for out, kind, i in finalizers:
+        if kind == "int":
+            cols[out] = pc.cast(batch[f"__m{i}"], pa.int64())
+        elif kind == "avg":
+            s = pc.cast(batch[f"__m{i}"], pa.float64())
+            n = pc.cast(batch[f"__m{i}_n"], pa.float64())
+            cols[out] = pc.if_else(pc.greater(n, 0.0), pc.divide(s, n), pa.nulls(batch.num_rows, pa.float64()))
+        else:
+            cols[out] = batch[f"__m{i}"]
+        done.add(out)
+    for a in st.aggs:  # branch outputs already present on the batch
+        if a.out not in done and a.out in batch.column_names:
+            cols[a.out] = batch[a.out]
+    ordered = [k for k in keys if not (synthetic_all and k == "__all")]
+    ordered += [a.out for a in st.aggs]
+    return pa.table({c: cols[c] for c in ordered})
+
+
+def _per_key_percentile(
+    vc: pa.Table, keys: list[str], val_col: str, out: str, p: float
+) -> pa.Table:
+    """Exact per-key percentile from a (keys, value, count) table —
+    value-ascending walk per key through cumulative counts (shared
+    convention with percentiles_from_value_counts)."""
+    from elasticsearch_assets_ray.query.engine import percentiles_from_value_counts
+
+    sort_keys = [(k, "ascending") for k in keys] + [(val_col, "ascending")]
+    t = vc.take(pc.sort_indices(vc, sort_keys=sort_keys))
+    key_arrs = [t[k].to_numpy(zero_copy_only=False) for k in keys]
+    if key_arrs:
+        change = np.zeros(t.num_rows, dtype=bool)
+        if t.num_rows:
+            change[0] = True
+            for ka in key_arrs:
+                change[1:] |= ka[1:] != ka[:-1]
+        starts = np.flatnonzero(change)
+    else:
+        starts = np.array([0]) if t.num_rows else np.array([], dtype=np.int64)
+    ends = np.concatenate([starts[1:], [t.num_rows]]).astype(np.int64)
+    rows_k: list[int] = []
+    vals: list[float | None] = []
+    for s, e in zip(starts, ends):
+        seg = t.slice(s, e - s)
+        r = percentiles_from_value_counts(
+            pa.table({"value": pc.cast(seg[val_col], pa.float64()), "count": seg["__c"]}),
+            (p,),
+        )
+        rows_k.append(int(s))
+        vals.append(r["value"][0].as_py())
+    out_cols = {k: t[k].take(pa.array(rows_k, pa.int64())) for k in keys}
+    out_cols[out] = pa.array(vals, pa.float64())
+    return pa.table(out_cols)

@@ -1,0 +1,200 @@
+"""ES|QL pipe language (query/esql.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from elasticsearch_assets_ray.query.esql import (
+    ESQLSyntaxError,
+    Evaluator,
+    _Parser,
+    esql,
+)
+
+
+def _ev(expr: str, batch: pa.Table):
+    p = _Parser(f"ROW x = 1 | WHERE {expr}")
+    cmds = p.parse()
+    node = cmds[1].e
+    out = Evaluator().ev(node, batch)
+    if isinstance(out, (pa.Array, pa.ChunkedArray)):
+        return out.to_pylist()
+    if isinstance(out, pa.Scalar):
+        return out.as_py()
+    return out
+
+
+_B = pa.table(
+    {
+        "a": pa.array([1, 2, 3, None], pa.int64()),
+        "f": pa.array([1.5, -2.5, 0.25, 4.0], pa.float64()),
+        "s": pa.array(["Spark", "ray data", "", None], pa.string()),
+        "ts": pa.array(
+            np.array(
+                ["2024-01-01T10:30:00", "2024-02-15T00:00:00",
+                 "2024-02-15T23:59:59", "2024-03-01T00:00:01"],
+                dtype="datetime64[us]",
+            )
+        ),
+    }
+)
+
+
+def test_arith_and_comparisons():
+    assert _ev("a + 1", _B) == [2, 3, 4, None]
+    assert _ev("a * 2 - 1", _B) == [1, 3, 5, None]
+    assert _ev("7 / 2", _B) == 3  # integer division truncates (ES|QL)
+    assert _ev("7.0 / 2", _B) == 3.5
+    assert _ev("a % 2", _B) == [1, 0, 1, None]
+    assert _ev("a >= 2", _B) == [False, True, True, None]
+    assert _ev("a == 2 OR a == 3", _B) == [False, True, True, None]
+    assert _ev("NOT (a == 2)", _B) == [True, False, True, None]
+    assert _ev("a IN (1, 3)", _B) == [True, False, True, False]
+    assert _ev("a IS NULL", _B) == [False, False, False, True]
+    assert _ev("a IS NOT NULL", _B) == [True, True, True, False]
+
+
+def test_string_functions():
+    assert _ev('TO_LOWER(s) LIKE "spa*"', _B) == [True, False, False, None]
+    assert _ev('s RLIKE "[a-z]+ [a-z]+"', _B) == [False, True, False, None]
+    assert _ev("LENGTH(s)", _B) == [5, 8, 0, None]
+    assert _ev('SUBSTRING(s, 2, 3)', _B) == ["par", "ay ", "", None]
+    assert _ev('CONCAT(s, "!")', _B) == ["Spark!", "ray data!", "!", None]
+    assert _ev('STARTS_WITH(s, "ray")', _B) == [False, True, False, None]
+    assert _ev('LOCATE(s, "a")', _B) == [3, 2, 0, None]
+    assert _ev('REPLACE(s, "[aeiou]", "_")', _B) == [
+        "Sp_rk", "r_y d_t_", "", None,
+    ]
+
+
+def test_round_is_half_away_and_case():
+    t = pa.table({"x": pa.array([0.5, 1.5, -0.5, 2.345], pa.float64())})
+    assert _ev("ROUND(x)", t) == [1.0, 2.0, -1.0, 2.0]
+    assert _ev("ROUND(x, 2)", t) == [0.5, 1.5, -0.5, 2.35]
+    assert _ev('CASE(x > 1.0, "big", x > 0.0, "small", "neg")', t) == [
+        "small", "big", "neg", "big",
+    ]
+    assert _ev("TO_LONG(x)", t) == [0, 1, 0, 2]  # truncation toward zero
+
+
+def test_date_functions():
+    assert _ev('DATE_TRUNC("day", ts) == TO_DATETIME("2024-02-15")', _B) == [
+        False, True, True, False,
+    ]
+    assert _ev("DATE_EXTRACT(\"month\", ts)", _B) == [1, 2, 2, 3]
+    assert _ev('DATE_FORMAT("%Y-%m-%d", ts)', _B)[0] == "2024-01-01"
+    assert _ev('DATE_DIFF("day", TO_DATETIME("2024-01-01"), ts)', _B) == [
+        0, 45, 45, 60,
+    ]
+
+
+def test_match_or_and():
+    t = pa.table(
+        {"text": pa.array(["spark join table", "merge join", "spark scan", ""])}
+    )
+    assert _ev('MATCH(text, "spark join")', t) == [True, True, True, False]
+    assert _ev('MATCH(text, "spark join", "and")', t) == [
+        True, False, False, False,
+    ]
+
+
+def test_parser_errors():
+    with pytest.raises(ESQLSyntaxError):
+        _Parser("WHERE x == 1").parse()  # must start with FROM/ROW
+    with pytest.raises(ESQLSyntaxError):
+        _Parser("FROM t | FOO 1").parse()
+    with pytest.raises(ESQLSyntaxError):
+        _Parser("FROM t | WHERE a ==").parse()
+    with pytest.raises(ESQLSyntaxError):
+        _Parser("FROM t | STATS x = BOGUS(a)").parse()
+
+
+@pytest.fixture()
+def tables(sf_dir):
+    names = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    return {t: f"{sf_dir}/{t}.parquet" for t in names}
+
+
+def _run(q, tables, **kw):
+    return (
+        pa.concat_tables(list(esql(q, tables, **kw).iter_batches(batch_format="pyarrow")))
+        .to_pandas()
+    )
+
+
+def test_esql_stats_vs_duckdb(ray_session, sf_dir, tables):
+    import duckdb
+
+    got = _run(
+        """FROM events
+| WHERE event_type != "view"
+| EVAL day = DATE_TRUNC("day", ts)
+| STATS n = COUNT(*), u = COUNT_DISTINCT(user_id), vmin = MIN(value), av = AVG(value) BY day
+| SORT day
+| LIMIT 100000""",
+        tables,
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = con.sql(
+        "SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n, "
+        "count(DISTINCT user_id)::BIGINT AS u, min(value) AS vmin, "
+        "avg(value) AS av FROM events WHERE event_type != 'view' "
+        "GROUP BY day ORDER BY day"
+    ).df()
+    assert len(got) == len(want) > 0
+    np.testing.assert_array_equal(got["n"].to_numpy(), want["n"].to_numpy())
+    np.testing.assert_array_equal(got["u"].to_numpy(), want["u"].to_numpy())
+    np.testing.assert_array_equal(got["vmin"].to_numpy(), want["vmin"].to_numpy())
+    np.testing.assert_allclose(got["av"].to_numpy(), want["av"].to_numpy(), rtol=1e-12)
+
+
+def test_esql_sort_limit_topk_and_implicit_cap(ray_session, tables):
+    got = _run(
+        "FROM orders | SORT o_totalprice DESC, o_orderkey ASC | LIMIT 10 "
+        "| KEEP o_orderkey, o_totalprice",
+        tables,
+    )
+    assert len(got) == 10
+    assert (got["o_totalprice"].to_numpy()[:-1] >= got["o_totalprice"].to_numpy()[1:]).all()
+    capped = _run("FROM lineitem | KEEP l_orderkey", tables)
+    assert len(capped) == 1000  # ES|QL implicit LIMIT
+
+
+def test_esql_lookup_join_left(ray_session, tables):
+    got = _run(
+        """FROM orders
+| RENAME o_custkey AS c_custkey
+| LOOKUP JOIN customer ON c_custkey
+| STATS n = COUNT(*), segs = COUNT_DISTINCT(c_mktsegment)
+| LIMIT 10""",
+        tables,
+    )
+    assert int(got["n"][0]) > 0 and int(got["segs"][0]) == 5
+
+
+def test_esql_percentile_exact(ray_session, sf_dir, tables):
+    import duckdb
+
+    got = _run(
+        """FROM events
+| WHERE value IS NOT NULL
+| STATS med = MEDIAN(value), p90 = PERCENTILE(value, 90) BY event_type
+| SORT event_type""",
+        tables,
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = con.sql(
+        "SELECT event_type, quantile_cont(value, 0.5) AS med, "
+        "quantile_cont(value, 0.9) AS p90 FROM events "
+        "WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type"
+    ).df()
+    # DuckDB's quantile_cont interpolation differs at the last ulp
+    # (~1e-14 relative); the gate layer rounds to 6 decimals (repo-wide
+    # percentile convention) which absorbs it
+    np.testing.assert_allclose(got["med"].to_numpy(), want["med"].to_numpy(), atol=1e-9)
+    np.testing.assert_allclose(got["p90"].to_numpy(), want["p90"].to_numpy(), atol=1e-9)
