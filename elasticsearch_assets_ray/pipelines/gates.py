@@ -737,6 +737,10 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(_proj("esql_match", em, "value", "count", "metric_r"))
     ep = _to_table(R.QUERIES["esql_pctl"](sf_dir))
     tabs.append(_proj("esql_pctl", ep, "value", "count", "metric_r"))
+    eg = _to_table(R.QUERIES["esql_grok"](sf_dir))
+    tabs.append(_proj("esql_grok", eg, "value", "count", "metric_r"))
+    ev = _to_table(R.QUERIES["esql_mv"](sf_dir))
+    tabs.append(_proj("esql_mv", ev, "value", "count", "metric_r"))
     # pipeline aggs: the part column is its own sub-discriminator
     pl = _to_table(R.QUERIES["pipeline_daily"](sf_dir))
     tag = pc.binary_join_element_wise(
@@ -782,6 +786,8 @@ AGG_SUITE_SQL_PARTS = [
     ("scripted", "value, count, metric_r", "scripted_metric"),
     ("esql_match", "value, count, metric_r", "esql_match"),
     ("esql_pctl", "value, count, metric_r", "esql_pctl"),
+    ("esql_grok", "value, count, metric_r", "esql_grok"),
+    ("esql_mv", "value, count, metric_r", "esql_mv"),
     ("date_range", "value, count, metric_r", "date_range_agg"),
     ("geohash", "geohash AS value, count, 0.0 AS metric_r", "geohash_grid"),
     ("rare", "value, count, 0.0 AS metric_r", "rare_terms"),

@@ -4686,6 +4686,44 @@ def q_esql_strings(sf_dir: str):
     return esql(ESQL_STRINGS, _esql_tables(sf_dir))
 
 
+ESQL_GROK = """FROM events
+| GROK props "%{NUMBER:k:int}"
+| STATS count = COUNT(*), ksum = SUM(k) BY event_type
+| EVAL metric_r = TO_DOUBLE(ksum)
+| RENAME event_type AS value
+| KEEP value, count, metric_r
+| SORT value"""
+
+ESQL_MV = """FROM documents
+| EVAL w = SPLIT(SUBSTRING(text, 1, 20), " ")
+| MV_EXPAND w
+| WHERE LENGTH(w) > 3
+| STATS count = COUNT(*) BY w
+| RENAME w AS value
+| EVAL metric_r = 0.0
+| KEEP value, count, metric_r
+| SORT count DESC, value ASC
+| LIMIT 25"""
+
+
+def q_esql_grok(sf_dir: str):
+    """ES|QL GROK: semi-structured extraction (one vectorized
+    pc.extract_regex per batch, %{NUMBER:k:int} typed capture) feeding an
+    integer-exact STATS — the ingest-pipeline grok processor analog."""
+    from elasticsearch_assets_ray.query.esql import esql
+
+    return esql(ESQL_GROK, _esql_tables(sf_dir), stats_hint=8)
+
+
+def q_esql_mv(sf_dir: str):
+    """ES|QL SPLIT + MV_EXPAND: multivalue expansion (offset arithmetic,
+    no Python loop) with a post-expansion WHERE and term-count STATS —
+    SORT+LIMIT fused to a deterministic (count DESC, value ASC) top-k."""
+    from elasticsearch_assets_ray.query.esql import esql
+
+    return esql(ESQL_MV, _esql_tables(sf_dir))
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test assignment over the documents table
     — one stateless map_batches, stable across runs/partitionings
@@ -7980,6 +8018,17 @@ ORACLES["esql_pctl"] = (
     "round(quantile_cont(value, 0.9), 6) AS metric_r "
     "FROM events WHERE value IS NOT NULL GROUP BY event_type"
 )
+ORACLES["esql_grok"] = (
+    "SELECT event_type AS value, count(*)::BIGINT AS count, "
+    "CAST(sum(CAST(regexp_extract(props, '([+-]?[0-9]+(?:\\.[0-9]+)?)', 1) "
+    "AS BIGINT)) AS DOUBLE) AS metric_r FROM events GROUP BY event_type"
+)
+ORACLES["esql_mv"] = (
+    "SELECT w AS value, count(*)::BIGINT AS count, 0.0 AS metric_r "
+    "FROM (SELECT unnest(string_split(substr(text, 1, 20), ' ')) AS w "
+    "FROM documents) WHERE length(w) > 3 GROUP BY w "
+    "ORDER BY count DESC, value ASC LIMIT 25"
+)
 ORACLES["esql_strings"] = (
     "SELECT doc_id, substr(text, 1, 12) AS head, upper(lang) AS up, "
     "lang || ':' || source AS tag, length(text)::BIGINT AS ln "
@@ -8169,6 +8218,8 @@ QUERIES = {
     "esql_match": q_esql_match,
     "esql_pctl": q_esql_pctl,
     "esql_strings": q_esql_strings,
+    "esql_grok": q_esql_grok,
+    "esql_mv": q_esql_mv,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "media_decode": q_media_decode,

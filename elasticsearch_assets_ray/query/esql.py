@@ -76,7 +76,7 @@ _KEYWORDS = {
     "FROM", "ROW", "WHERE", "EVAL", "STATS", "BY", "SORT", "LIMIT", "KEEP",
     "DROP", "RENAME", "AS", "ASC", "DESC", "NULLS", "FIRST", "LAST", "AND",
     "OR", "NOT", "IN", "LIKE", "RLIKE", "IS", "NULL", "TRUE", "FALSE",
-    "LOOKUP", "JOIN", "ON", "METADATA",
+    "LOOKUP", "JOIN", "ON", "METADATA", "DISSECT", "GROK", "MV_EXPAND",
 }
 
 _DURATION_UNITS = {
@@ -279,6 +279,18 @@ class LookupJoin:
     on: str
 
 
+@dataclass(frozen=True)
+class Dissect:
+    col: str
+    regex: str        # compiled from the dissect/grok pattern
+    outs: tuple       # (name, cast_type or None)
+
+
+@dataclass(frozen=True)
+class MvExpand:
+    col: str
+
+
 # ---------------------------------------------------------------------------
 # Parser (Pratt for expressions)
 # ---------------------------------------------------------------------------
@@ -374,6 +386,16 @@ class _Parser:
             name = self.expect("IDENT").val
             self.expect("KW", "ON")
             return LookupJoin(name, self.expect("IDENT").val)
+        if t.val == "DISSECT":
+            col = self.expect("IDENT").val
+            rx, outs = _compile_dissect(self.expect("STRING").val)
+            return Dissect(col, rx, outs)
+        if t.val == "GROK":
+            col = self.expect("IDENT").val
+            rx, outs = _compile_grok(self.expect("STRING").val)
+            return Dissect(col, rx, outs)
+        if t.val == "MV_EXPAND":
+            return MvExpand(self.expect("IDENT").val)
         raise ESQLSyntaxError(f"unknown command {t.val} at {t.pos}")
 
     def parse_ident_list(self) -> list[str]:
@@ -559,6 +581,70 @@ class _Parser:
             items.append(self.parse_expr())
         self.expect("OP", ")")
         return tuple(items)
+
+
+_DISSECT_KEY_RE = re.compile(r"%\{([A-Za-z0-9_]*)\}")
+
+#: the GROK pattern subset shipped (the ES-relevant core); each maps to a
+#: regex fragment — %{NUMBER:name:int} adds an int64 cast
+_GROK_PATTERNS = {
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "INT": r"[+-]?\d+",
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+}
+
+
+def _compile_dissect(pattern: str) -> tuple[str, tuple]:
+    """ES DISSECT: literal delimiters + ``%{key}`` captures (``%{}``
+    skips).  Compiled to one anchored regex with non-greedy captures —
+    equivalent on non-ambiguous patterns, which is what DISSECT's strict
+    splitting requires anyway."""
+    out: list[tuple[str, Any]] = []
+    parts: list[str] = []
+    last = 0
+    for i, m in enumerate(_DISSECT_KEY_RE.finditer(pattern)):
+        parts.append(re.escape(pattern[last:m.start()]))
+        name = m.group(1)
+        if name:
+            parts.append(f"(?P<{name}>.*?)")
+            out.append((name, None))
+        else:
+            parts.append(r".*?")
+        last = m.end()
+    parts.append(re.escape(pattern[last:]))
+    if not out:
+        raise ESQLSyntaxError("DISSECT pattern has no %{key} captures")
+    return "^" + "".join(parts) + "$", tuple(out)
+
+
+def _compile_grok(pattern: str) -> tuple[str, tuple]:
+    """ES GROK over the shipped pattern subset: ``%{SYNTAX:name[:type]}``
+    (type ∈ int/long/float/double) plus raw regex in between."""
+    out: list[tuple[str, Any]] = []
+
+    def sub(m: re.Match) -> str:
+        syntax, name, typ = m.group(1), m.group(2), m.group(3)
+        if syntax not in _GROK_PATTERNS:
+            raise ESQLSyntaxError(f"unknown grok pattern %{{{syntax}}}")
+        if not name:
+            return f"(?:{_GROK_PATTERNS[syntax]})"
+        cast = None
+        if typ in ("int", "long"):
+            cast = pa.int64()
+        elif typ in ("float", "double"):
+            cast = pa.float64()
+        out.append((name, cast))
+        return f"(?P<{name}>{_GROK_PATTERNS[syntax]})"
+
+    rx = re.sub(
+        r"%\{([A-Z]+)(?::([A-Za-z0-9_]+))?(?::([a-z]+))?\}", sub, pattern
+    )
+    if not out:
+        raise ESQLSyntaxError("GROK pattern has no named captures")
+    return rx, tuple(out)
 
 
 def _wildcard_rx(pat: str) -> str:
@@ -764,6 +850,8 @@ class Evaluator:
             return pc.utf8_slice_codeunits(ev[0], start=-int(ev[1]))
         if name == "REPLACE":  # regex replace, like ES|QL
             return pc.replace_substring_regex(ev[0], pattern=str(ev[1]), replacement=str(ev[2]))
+        if name == "SPLIT":
+            return pc.split_pattern(ev[0], pattern=str(ev[1]))
         if name == "STARTS_WITH":
             return pc.starts_with(ev[0], pattern=str(ev[1]))
         if name == "ENDS_WITH":
@@ -916,6 +1004,10 @@ def referenced_columns(cmds: list) -> set[str]:
             cols.update(o for o, _ in c.pairs)
         elif isinstance(c, LookupJoin):
             cols.add(c.on)
+        elif isinstance(c, Dissect):
+            cols.add(c.col)
+        elif isinstance(c, MvExpand):
+            cols.add(c.col)
     return cols
 
 
@@ -1020,6 +1112,13 @@ def esql(
                 batch_format="pyarrow",
             )
             cols = [mapping.get(c, c) for c in cols]
+        elif isinstance(cmd, Dissect):
+            ds = _apply_dissect(ds, cmd)
+            for name, _ in cmd.outs:
+                if name not in cols:
+                    cols.append(name)
+        elif isinstance(cmd, MvExpand):
+            ds = _apply_mv_expand(ds, cmd.col)
         elif isinstance(cmd, LookupJoin):
             side = tables[cmd.table]
             if isinstance(side, str):
@@ -1084,6 +1183,63 @@ def _apply_eval(ds, assigns: tuple, evaluator: Evaluator):
             else:
                 batch = batch.append_column(name, v)
         return batch
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _apply_dissect(ds, cmd: Dissect):
+    """DISSECT/GROK: one vectorized ``pc.extract_regex`` per batch; a row
+    that doesn't match yields nulls in every output (ES puts no fields on
+    the doc — null is the columnar equivalent)."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        s = pc.extract_regex(batch[cmd.col], cmd.regex)
+        for name, cast in cmd.outs:
+            v = pc.struct_field(s, name)
+            if cast is not None:
+                v = pc.cast(v, cast)
+            v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            if name in batch.column_names:
+                batch = batch.set_column(batch.column_names.index(name), name, v)
+            else:
+                batch = batch.append_column(name, v)
+        return batch
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _apply_mv_expand(ds, col: str):
+    """MV_EXPAND: unnest a list column — one output row per element;
+    a null/empty list yields ONE row with a null value (ES|QL keeps the
+    row).  Pure offset arithmetic, no Python loop."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        lst = batch[col]
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        if not pa.types.is_list(lst.type):
+            return batch  # already scalar — ES|QL MV_EXPAND is a no-op
+        lst = lst.fill_null([])
+        off = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(off)
+        counts = np.maximum(lens, 1)
+        n_out = int(counts.sum())
+        row_idx = np.repeat(np.arange(lens.size, dtype=np.int64), counts)
+        first = np.concatenate(([0], np.cumsum(counts[:-1])))
+        within = np.arange(n_out, dtype=np.int64) - first[row_idx]
+        flatpos = off[:-1][row_idx] + within
+        is_null = lens[row_idx] == 0
+        flatpos[is_null] = 0
+        flat = lst.values
+        if len(flat) == 0:
+            vals = pa.nulls(n_out, lst.type.value_type)
+        else:
+            vals = flat.take(pa.array(flatpos, pa.int64()))
+            if is_null.any():
+                vals = pc.if_else(pa.array(~is_null), vals, pa.nulls(n_out, vals.type))
+        take = pa.array(row_idx, pa.int64())
+        out = {c: batch[c].take(take) for c in batch.column_names if c != col}
+        out[col] = vals
+        return pa.table({c: out[c] for c in batch.column_names})
 
     return ds.map_batches(run, batch_format="pyarrow")
 

@@ -98,6 +98,36 @@ def test_match_or_and():
     ]
 
 
+def test_dissect_grok_mv_expand(ray_session):
+    import ray
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "log": pa.array(
+                ["a=5 b=xy", "a=12 b=q", "garbage"], pa.string()
+            ),
+            "tags": pa.array([["r", "s"], [], None], pa.list_(pa.string())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = esql(
+        'FROM t | GROK log "a=%{INT:a:int} b=%{WORD:b}" | KEEP id, a, b',
+        {"t": ds},
+    ).to_pandas()
+    assert out["a"].tolist()[:2] == [5, 12] and np.isnan(out["a"][2])
+    assert out["b"].tolist()[:2] == ["xy", "q"]
+    out2 = esql(
+        'FROM t | DISSECT log "a=%{av} b=%{bv}" | KEEP id, av, bv',
+        {"t": ds},
+    ).to_pandas()
+    assert out2["av"].tolist()[:2] == ["5", "12"] and out2["bv"][1] == "q"
+    # MV_EXPAND: per-element rows; empty/null lists keep ONE null row
+    out3 = esql("FROM t | MV_EXPAND tags | KEEP id, tags", {"t": ds}).to_pandas()
+    assert out3["id"].tolist() == [1, 1, 2, 3]
+    assert out3["tags"].tolist() == ["r", "s", None, None]
+
+
 def test_parser_errors():
     with pytest.raises(ESQLSyntaxError):
         _Parser("WHERE x == 1").parse()  # must start with FROM/ROW
