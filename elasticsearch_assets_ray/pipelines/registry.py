@@ -4724,6 +4724,41 @@ def q_esql_mv(sf_dir: str):
     return esql(ESQL_MV, _esql_tables(sf_dir))
 
 
+_BPE_TOP_PAIRS = 30
+
+
+def q_bpe_pairs(sf_dir: str):
+    """Distributed BPE training, iteration-0 evidence: the weighted
+    adjacent-symbol pair counts over the (one-shuffle) word-frequency
+    dictionary — the exact quantity the first merge argmaxes over
+    (stages/bpe_train.py).  Top pairs by (count DESC, pair ASC)."""
+    from elasticsearch_assets_ray.stages.bpe_train import (
+        _init_symbols,
+        collect_word_freqs,
+        pair_counts,
+        word_freqs,
+    )
+
+    wf = collect_word_freqs(word_freqs(_rd(sf_dir, "documents", columns=["text"])))
+    words = wf["word"].to_pylist()
+    weights = wf["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    syms, word_ids, vocab = _init_symbols(words)
+    uk, cnt = pair_counts(syms, word_ids, weights)
+    V = int(syms.max()) + 1
+    pairs = [f"{vocab[int(k // V)]}|{vocab[int(k % V)]}" for k in uk]
+    order = sorted(range(len(pairs)), key=lambda i: (-int(cnt[i]), pairs[i]))
+    top = order[:_BPE_TOP_PAIRS]
+    return pa.table(
+        {
+            "value": pa.array([pairs[i] for i in top], pa.string()),
+            "count": pa.array([int(cnt[i]) for i in top], pa.int64()),
+            "metric_r": pa.array(
+                [float(r + 1) for r in range(len(top))], pa.float64()
+            ),
+        }
+    )
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic train/val/test assignment over the documents table
     — one stateless map_batches, stable across runs/partitionings
@@ -8018,6 +8053,20 @@ ORACLES["esql_pctl"] = (
     "round(quantile_cont(value, 0.9), 6) AS metric_r "
     "FROM events WHERE value IS NOT NULL GROUP BY event_type"
 )
+ORACLES["bpe_pairs"] = (
+    f"WITH tok AS (SELECT unnest({_TOK}) AS word FROM documents), "
+    "wf AS (SELECT word, count(*)::BIGINT AS c FROM tok "
+    " WHERE length(word) <= 64 GROUP BY word), "
+    "p AS ("
+    " SELECT unnest(list_transform(generate_series(1, length(word) - 1), "
+    "   i -> substring(word, i, 1) || '|' || substring(word, i + 1, 1))) AS pair, "
+    "   c FROM wf "
+    " UNION ALL "
+    " SELECT substring(word, length(word), 1) || '|</w>' AS pair, c FROM wf) "
+    "SELECT pair AS value, sum(c)::BIGINT AS count, "
+    " CAST(row_number() OVER (ORDER BY sum(c) DESC, pair) AS DOUBLE) AS metric_r "
+    "FROM p GROUP BY pair ORDER BY count DESC, value LIMIT 30"
+)
 ORACLES["esql_grok"] = (
     "SELECT event_type AS value, count(*)::BIGINT AS count, "
     "CAST(sum(CAST(regexp_extract(props, '([+-]?[0-9]+(?:\\.[0-9]+)?)', 1) "
@@ -8220,6 +8269,7 @@ QUERIES = {
     "esql_strings": q_esql_strings,
     "esql_grok": q_esql_grok,
     "esql_mv": q_esql_mv,
+    "bpe_pairs": q_bpe_pairs,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "media_decode": q_media_decode,
