@@ -19,6 +19,7 @@ documented per gate below.
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime
 from typing import Any
 
 import numpy as np
@@ -164,12 +165,35 @@ def g_top_orders(sf_dir: str) -> pa.Table:
             ),
         }
     )
+    q6 = _to_table(R.QUERIES["tpch_q6"](sf_dir))
+    q6_rows = pa.table(
+        {
+            "gate": pa.array(["q6"] * q6.num_rows, pa.string()),
+            "key": pa.array([0] * q6.num_rows, pa.int64()),
+            "k2": q6["n"].cast(pa.int64()),
+            "value_r": q6["revenue"].cast(pa.float64()),
+        }
+    )
+    q3 = _to_table(R.QUERIES["tpch_q3"](sf_dir))
+    q3_rows = pa.table(
+        {
+            "gate": pa.array(["q3"] * q3.num_rows, pa.string()),
+            "key": q3["o_orderkey"].cast(pa.int64()),
+            # orderdate as epoch-days keeps the key integral
+            "k2": pc.days_between(
+                pa.scalar(datetime(1970, 1, 1)), q3["o_orderdate"].combine_chunks()
+            ).cast(pa.int64()),
+            "value_r": q3["revenue"].cast(pa.float64()),
+        }
+    )
     return pa.concat_tables(
         [
             arm("orders", "top_orders", "o_orderkey", "o_custkey", lambda t: t["o_totalprice"].cast(pa.float64())),
             arm("has_child", "has_child_orders", "o_orderkey", "n_children", lambda t: t["score"].cast(pa.float64())),
             arm("has_parent", "has_parent_lines", "l_orderkey", "l_linenumber", lambda t: t["score"].cast(pa.float64())),
             children_rows,
+            q6_rows,
+            q3_rows,
         ]
     )
 
@@ -237,7 +261,12 @@ _TOP_ORDERS_SQL = (
     "UNION ALL SELECT 'children' AS gate, "
     "CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS key, "
     "n_children AS k2, CAST(revenue_cents AS DOUBLE) / 100.0 AS value_r "
-    "FROM ({ch})"
+    "FROM ({ch}) "
+    "UNION ALL SELECT 'q6' AS gate, 0 AS key, n AS k2, revenue AS value_r "
+    "FROM ({q6}) "
+    "UNION ALL SELECT 'q3' AS gate, o_orderkey AS key, "
+    "datediff('day', TIMESTAMP '1970-01-01', o_orderdate) AS k2, "
+    "revenue AS value_r FROM ({q3})"
 )
 
 
@@ -983,6 +1012,8 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         hc=R.ORACLES["has_child_orders"],
         hp=R.ORACLES["has_parent_lines"],
         ch=R.ORACLES["children_by_priority"],
+        q6=R.ORACLES["tpch_q6"],
+        q3=R.ORACLES["tpch_q3"],
     )
 
     gates["revenue_by_segment"] = _union(

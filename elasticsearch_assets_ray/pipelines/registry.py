@@ -890,6 +890,161 @@ def q_revenue_by_segment(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 shape (forecasting revenue change): filtered product-sum
+    over lineitem.  Exactness: revenue = Σ cents(price) ×
+    myriad(discount) — both factors integer-rounded half-away first, so
+    the int64 partial sums are association-order independent and the SQL
+    twin is bit-identical; one map_batches, one tiny partial row per
+    batch, no shuffle."""
+    ds = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=(
+            (pc.field("l_shipdate") >= datetime(1996, 1, 1))
+            & (pc.field("l_shipdate") < datetime(1997, 1, 1))
+        ),
+    )
+
+    def part(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(b["l_discount"], pa.scalar(0.05)),
+                pc.less_equal(b["l_discount"], pa.scalar(0.07)),
+            ),
+            pc.less(b["l_quantity"], pa.scalar(24.0)),
+        )
+        f = b.filter(m)
+        cents = pc.cast(
+            pc.round(pc.multiply(f["l_extendedprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        myr = pc.cast(
+            pc.round(pc.multiply(f["l_discount"], pa.scalar(10000.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        s = pc.sum(pc.multiply_checked(cents, myr))
+        return pa.table(
+            {
+                "s": pa.array([s.as_py() or 0], pa.int64()),
+                "n": pa.array([f.num_rows], pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        list(ds.map_batches(part, batch_format="pyarrow").iter_batches(batch_format="pyarrow"))
+    )
+    total = int(pc.sum(parts["s"]).as_py() or 0)
+    n = int(pc.sum(parts["n"]).as_py() or 0)
+    return pa.table(
+        {
+            "revenue": pa.array([total / 1_000_000.0], pa.float64()),
+            "n": pa.array([n], pa.int64()),
+        }
+    )
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): customer⋈orders⋈lineitem with
+    date filters, revenue per order, top 10.  Scale shape: the BUILDING
+    custkey set broadcasts (small side); lineitem pre-aggregates
+    per-BATCH (order, revenue-cents) partials — the hash-partitioned
+    Dataset.join therefore moves order-sized partials, never line items —
+    and the per-order combine runs AFTER the join (associative int sums;
+    a groupby output never feeds the join, and empty filtered batches
+    emit NULL-key sentinels — the two Ray Data join hazards)."""
+    from elasticsearch_assets_ray.stages.relational import _partial_batch
+
+    cust = pq.read_table(
+        _p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    keyset = ray.put(keys)
+
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < datetime(1998, 1, 1)),
+    )
+
+    def ofilter(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_in(b["o_custkey"], value_set=ray.get(keyset)))
+        out = pa.table(
+            {"o_orderkey": f["o_orderkey"], "o_orderdate": f["o_orderdate"]}
+        )
+        if out.num_rows == 0:  # NULL-key sentinel (never inner-joins)
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([None], pa.int64()),
+                    "o_orderdate": pa.array([None], pa.timestamp("us")),
+                }
+            )
+        return out
+
+    orders_f = orders.map_batches(ofilter, batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") > datetime(1996, 6, 30)),
+    )
+    rev_aggs = [AggSpec("rev", "rc", "sum")]
+
+    def lpart(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        myr = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], pa.scalar(10000.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        rc = pc.multiply_checked(cents, pc.subtract(pa.scalar(10000, pa.int64()), myr))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rc": rc})
+        p = _partial_batch(t, ["l_orderkey"], rev_aggs)
+        if p.num_rows == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([None], pa.int64()),
+                    "p_rev": pa.array([0], pa.int64()),
+                }
+            )
+        return p
+
+    li_parts = li.map_batches(lpart, batch_format="pyarrow")
+    joined = orders_f.join(
+        li_parts,
+        join_type="inner",
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+        num_partitions=8,
+    )
+    combined = partial_agg(
+        joined, ["o_orderkey", "o_orderdate"], [AggSpec("rev_c", "p_rev", "sum")]
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_orderdate": b["o_orderdate"],
+                "revenue": pc.divide(
+                    pc.cast(b["rev_c"], pa.float64()), pa.scalar(1_000_000.0)
+                ),
+            }
+        )
+
+    return topk(
+        combined.map_batches(fin, batch_format="pyarrow"),
+        [("revenue", "descending"), ("o_orderkey", "ascending")],
+        10,
+    )
+
+
 def q_top_orders(sf_dir: str):
     ds = _rd(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     return topk(ds, [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 10)
@@ -8053,6 +8208,26 @@ ORACLES["esql_pctl"] = (
     "round(quantile_cont(value, 0.9), 6) AS metric_r "
     "FROM events WHERE value IS NOT NULL GROUP BY event_type"
 )
+ORACLES["tpch_q6"] = (
+    "SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+    " CAST(round(l_discount * 10000) AS BIGINT)) / 1000000.0 AS revenue, "
+    "count(*)::BIGINT AS n FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+)
+ORACLES["tpch_q3"] = (
+    "SELECT o_orderkey, o_orderdate, "
+    "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+    " (10000 - CAST(round(l_discount * 10000) AS BIGINT))) / 1000000.0 AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "AND o_orderdate < TIMESTAMP '1998-01-01' "
+    "AND l_shipdate > TIMESTAMP '1996-06-30' "
+    "GROUP BY o_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+)
 ORACLES["bpe_pairs"] = (
     f"WITH tok AS (SELECT unnest({_TOK}) AS word FROM documents), "
     "wf AS (SELECT word, count(*)::BIGINT AS c FROM tok "
@@ -8270,6 +8445,8 @@ QUERIES = {
     "esql_grok": q_esql_grok,
     "esql_mv": q_esql_mv,
     "bpe_pairs": q_bpe_pairs,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q3": q_tpch_q3,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "media_decode": q_media_decode,

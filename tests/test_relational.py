@@ -176,3 +176,36 @@ def test_approx_terms_agg_contract(ray_session):
     out2 = approx_terms_agg(ds2, "k", "id", size=2, shard_size=2, n_shards=2)
     g = dict(zip(out2["value"].to_pylist(), out2["count"].to_pylist()))
     assert g == {"a": 2, "__other__": 0}
+
+
+def test_tpch_q6_oracle_parity(ray_session, sf_dir):
+    import duckdb
+
+    from elasticsearch_assets_ray.pipelines import registry as R
+
+    got = R.QUERIES["tpch_q6"](sf_dir)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'")
+    want = con.sql(R.ORACLES["tpch_q6"]).df()
+    assert int(got["n"][0].as_py()) == int(want["n"][0]) > 0
+    assert float(got["revenue"][0].as_py()) == float(want["revenue"][0])
+
+
+def test_tpch_q3_oracle_parity(ray_session, sf_dir):
+    import duckdb
+
+    from elasticsearch_assets_ray.pipelines import registry as R
+
+    got = R.QUERIES["tpch_q3"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = con.sql(R.ORACLES["tpch_q3"]).df()
+    assert len(got) == len(want) == 10
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    np.testing.assert_array_equal(
+        got["revenue"].to_numpy(), want["revenue"].to_numpy()
+    )
+    # revenue is descending with orderkey tie-break
+    rv = got["revenue"].to_numpy()
+    assert (rv[:-1] >= rv[1:]).all()
