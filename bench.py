@@ -511,6 +511,11 @@ SF_BENCH_QUERIES = [
     "frequent_item_sets",
     "change_point",
     "top_metrics_agg",
+    # round-4 session-7 surface
+    "esql_revenue",
+    "esql_daily",
+    "tpch_q3",
+    "chunk_documents",
 ]
 
 

@@ -4879,6 +4879,24 @@ def q_esql_mv(sf_dir: str):
     return esql(ESQL_MV, _esql_tables(sf_dir))
 
 
+ESQL_FORK = """FROM documents
+| FORK ( WHERE MATCH(text, "spark join", "and") )
+       ( WHERE n_chars > 450 )
+| STATS count = COUNT(*) BY _fork, lang
+| EVAL value = CONCAT(_fork, ":", lang), metric_r = 0.0
+| KEEP value, count, metric_r
+| SORT value"""
+
+
+def q_esql_fork(sf_dir: str):
+    """ES|QL FORK (8.19): two branch sub-pipelines — a MATCH filter and
+    a numeric filter — over the shared stream, unioned with the _fork
+    discriminator and aggregated per (branch, lang)."""
+    from elasticsearch_assets_ray.query.esql import esql
+
+    return esql(ESQL_FORK, _esql_tables(sf_dir), stats_hint=16)
+
+
 _BPE_TOP_PAIRS = 30
 
 
@@ -8228,6 +8246,14 @@ ORACLES["tpch_q3"] = (
     "GROUP BY o_orderkey, o_orderdate "
     "ORDER BY revenue DESC, o_orderkey LIMIT 10"
 )
+ORACLES["esql_fork"] = (
+    "WITH u AS ("
+    " SELECT 'fork1' AS f, lang FROM documents "
+    f" WHERE list_contains({_TOK}, 'spark') AND list_contains({_TOK}, 'join') "
+    " UNION ALL SELECT 'fork2' AS f, lang FROM documents WHERE n_chars > 450) "
+    "SELECT f || ':' || lang AS value, count(*)::BIGINT AS count, "
+    "0.0 AS metric_r FROM u GROUP BY f, lang"
+)
 ORACLES["bpe_pairs"] = (
     f"WITH tok AS (SELECT unnest({_TOK}) AS word FROM documents), "
     "wf AS (SELECT word, count(*)::BIGINT AS c FROM tok "
@@ -8444,6 +8470,7 @@ QUERIES = {
     "esql_strings": q_esql_strings,
     "esql_grok": q_esql_grok,
     "esql_mv": q_esql_mv,
+    "esql_fork": q_esql_fork,
     "bpe_pairs": q_bpe_pairs,
     "tpch_q6": q_tpch_q6,
     "tpch_q3": q_tpch_q3,

@@ -77,6 +77,7 @@ _KEYWORDS = {
     "DROP", "RENAME", "AS", "ASC", "DESC", "NULLS", "FIRST", "LAST", "AND",
     "OR", "NOT", "IN", "LIKE", "RLIKE", "IS", "NULL", "TRUE", "FALSE",
     "LOOKUP", "JOIN", "ON", "METADATA", "DISSECT", "GROK", "MV_EXPAND",
+    "FORK",
 }
 
 _DURATION_UNITS = {
@@ -291,6 +292,11 @@ class MvExpand:
     col: str
 
 
+@dataclass(frozen=True)
+class Fork:
+    branches: tuple  # tuple of command tuples
+
+
 # ---------------------------------------------------------------------------
 # Parser (Pratt for expressions)
 # ---------------------------------------------------------------------------
@@ -396,6 +402,19 @@ class _Parser:
             return Dissect(col, rx, outs)
         if t.val == "MV_EXPAND":
             return MvExpand(self.expect("IDENT").val)
+        if t.val == "FORK":
+            branches = []
+            while self.at_op("("):
+                self.next()
+                cmds = [self.parse_command()]
+                while self.at_op("|"):
+                    self.next()
+                    cmds.append(self.parse_command())
+                self.expect("OP", ")")
+                branches.append(tuple(cmds))
+            if len(branches) < 2:
+                raise ESQLSyntaxError("FORK needs at least two (branch) groups")
+            return Fork(tuple(branches))
         raise ESQLSyntaxError(f"unknown command {t.val} at {t.pos}")
 
     def parse_ident_list(self) -> list[str]:
@@ -1008,6 +1027,9 @@ def referenced_columns(cmds: list) -> set[str]:
             cols.add(c.col)
         elif isinstance(c, MvExpand):
             cols.add(c.col)
+        elif isinstance(c, Fork):
+            for branch in c.branches:
+                cols |= referenced_columns(list(branch))
     return cols
 
 
@@ -1053,6 +1075,29 @@ def esql(
             cols = list(ds.schema().names)
 
     evaluator = Evaluator()
+    ds, cols, explicit_limit = _run_pipe(
+        ds, cols, cmds[1:], evaluator, tables, needed, stats_hint
+    )
+    if not explicit_limit:
+        ds = ds.limit(IMPLICIT_LIMIT)  # ES|QL's implicit result cap
+    return ds
+
+
+def _run_pipe(
+    ds,
+    cols: list[str],
+    cmds: list,
+    evaluator: Evaluator,
+    tables: dict[str, Any],
+    needed: set[str],
+    stats_hint: int | None,
+):
+    """Apply a command list to a Dataset; returns (ds, cols,
+    explicit_limit).  Shared by the top-level pipe and FORK branches."""
+    import ray.data
+
+    from elasticsearch_assets_ray.stages.relational import broadcast_join
+
     pending_sort: Sort | None = None
     explicit_limit = False
 
@@ -1071,7 +1116,7 @@ def esql(
         ds = ray.data.from_arrow(t)
         pending_sort = None
 
-    i = 1
+    i = 0
     while i < len(cmds):
         cmd = cmds[i]
         if pending_sort is not None:
@@ -1119,6 +1164,10 @@ def esql(
                     cols.append(name)
         elif isinstance(cmd, MvExpand):
             ds = _apply_mv_expand(ds, cmd.col)
+        elif isinstance(cmd, Fork):
+            ds, cols = _apply_fork(
+                ds, cols, cmd, evaluator, tables, needed, stats_hint
+            )
         elif isinstance(cmd, LookupJoin):
             side = tables[cmd.table]
             if isinstance(side, str):
@@ -1137,9 +1186,55 @@ def esql(
     if pending_sort is not None:
         flush_sort(None)
         explicit_limit = True
-    if not explicit_limit:
-        ds = ds.limit(IMPLICIT_LIMIT)  # ES|QL's implicit result cap
-    return ds
+    return ds, cols, explicit_limit
+
+
+def _apply_fork(
+    ds,
+    cols: list[str],
+    fork: Fork,
+    evaluator: Evaluator,
+    tables: dict[str, Any],
+    needed: set[str],
+    stats_hint: int | None,
+):
+    """FORK (ES 8.19): run each (branch) sub-pipeline on the current
+    stream and union the results, tagged with a ``_fork`` discriminator
+    ("fork1", "fork2", …).  v1 restriction (documented divergence): all
+    branches must end with the SAME column set — ES null-fills the
+    column union; requiring alignment keeps the plan schema static.
+    Each branch consumes the shared upstream lineage independently
+    (branches re-execute the upstream plan; ES executes subplans per
+    branch as well)."""
+    branch_out = []
+    branch_cols: list[list[str]] = []
+    for bi, bcmds in enumerate(fork.branches):
+        bds, bcols, _ = _run_pipe(
+            ds, list(cols), list(bcmds), evaluator, tables, needed, stats_hint
+        )
+        tag = f"fork{bi + 1}"
+
+        def add_tag(batch: pa.Table, t=tag) -> pa.Table:
+            return batch.append_column(
+                "_fork", pa.array([t] * batch.num_rows, pa.string())
+            )
+
+        branch_out.append(bds.map_batches(add_tag, batch_format="pyarrow"))
+        branch_cols.append(sorted(bcols))
+    if any(bc != branch_cols[0] for bc in branch_cols[1:]):
+        raise ESQLSyntaxError(
+            f"FORK branches must produce the same columns; got {branch_cols}"
+        )
+    # align physical column order so the union's schema is consistent
+    order = [c for c in (branch_cols[0] + ["_fork"])]
+    aligned = [
+        b.map_batches(
+            lambda t, o=tuple(order): t.select(list(o)), batch_format="pyarrow"
+        )
+        for b in branch_out
+    ]
+    out = aligned[0].union(*aligned[1:])
+    return out, branch_cols[0] + ["_fork"]
 
 
 def _lit_only(e) -> Any:

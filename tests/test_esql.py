@@ -128,6 +128,27 @@ def test_dissect_grok_mv_expand(ray_session):
     assert out3["tags"].tolist() == ["r", "s", None, None]
 
 
+def test_fork_union_and_alignment(ray_session):
+    import ray
+
+    t = pa.table(
+        {"a": pa.array([1, 2, 3], pa.int64()), "b": pa.array(["x", "y", "z"])}
+    )
+    ds = ray.data.from_arrow(t)
+    out = esql(
+        "FROM t | FORK ( WHERE a >= 2 ) ( WHERE b == \"x\" ) | SORT _fork, a",
+        {"t": ds},
+    ).to_pandas()
+    assert out["_fork"].tolist() == ["fork1", "fork1", "fork2"]
+    assert out["a"].tolist() == [2, 3, 1]
+    # mismatched branch columns are rejected (documented v1 divergence)
+    with pytest.raises(ESQLSyntaxError, match="same columns"):
+        esql(
+            "FROM t | FORK ( KEEP a ) ( KEEP b )",
+            {"t": ds},
+        )
+
+
 def test_parser_errors():
     with pytest.raises(ESQLSyntaxError):
         _Parser("WHERE x == 1").parse()  # must start with FROM/ROW
