@@ -77,7 +77,7 @@ _KEYWORDS = {
     "DROP", "RENAME", "AS", "ASC", "DESC", "NULLS", "FIRST", "LAST", "AND",
     "OR", "NOT", "IN", "LIKE", "RLIKE", "IS", "NULL", "TRUE", "FALSE",
     "LOOKUP", "JOIN", "ON", "METADATA", "DISSECT", "GROK", "MV_EXPAND",
-    "FORK",
+    "FORK", "ENRICH", "WITH", "SAMPLE", "SEED", "CHANGE_POINT",
 }
 
 _DURATION_UNITS = {
@@ -297,6 +297,26 @@ class Fork:
     branches: tuple  # tuple of command tuples
 
 
+@dataclass(frozen=True)
+class Enrich:
+    policy: str
+    on: str
+    with_fields: tuple  # empty = all enrich fields
+
+
+@dataclass(frozen=True)
+class Sample:
+    p: float
+    on: str
+    seed: int
+
+
+@dataclass(frozen=True)
+class ChangePointCmd:
+    val: str
+    key: str
+
+
 # ---------------------------------------------------------------------------
 # Parser (Pratt for expressions)
 # ---------------------------------------------------------------------------
@@ -402,6 +422,30 @@ class _Parser:
             return Dissect(col, rx, outs)
         if t.val == "MV_EXPAND":
             return MvExpand(self.expect("IDENT").val)
+        if t.val == "ENRICH":
+            policy = self.expect("IDENT").val
+            self.expect("KW", "ON")
+            on = self.expect("IDENT").val
+            fields: list[str] = []
+            if self.at_kw("WITH"):
+                self.next()
+                fields = self.parse_ident_list()
+            return Enrich(policy, on, tuple(fields))
+        if t.val == "SAMPLE":
+            pt = self.next()
+            if pt.kind not in ("FLOAT", "INT"):
+                raise ESQLSyntaxError("SAMPLE needs a probability")
+            self.expect("KW", "ON")  # determinism divergence: keyed hash
+            on = self.expect("IDENT").val
+            seed = 0
+            if self.at_kw("SEED"):
+                self.next()
+                seed = int(self.expect("INT").val)
+            return Sample(float(pt.val), on, seed)
+        if t.val == "CHANGE_POINT":
+            val = self.expect("IDENT").val
+            self.expect("KW", "ON")
+            return ChangePointCmd(val, self.expect("IDENT").val)
         if t.val == "FORK":
             branches = []
             while self.at_op("("):
@@ -690,6 +734,8 @@ def _arr(x) -> bool:
 def _as_array(x, n: int) -> pa.Array | pa.ChunkedArray:
     if _arr(x):
         return x
+    if isinstance(x, pa.Scalar):
+        x = x.as_py()
     return pa.array([x] * n)
 
 
@@ -719,6 +765,8 @@ def _np_mod(l, r) -> pa.Array:
     la = l.to_numpy(zero_copy_only=False) if _arr(l) else l
     ra = r.to_numpy(zero_copy_only=False) if _arr(r) else r
     out = np.fmod(la, ra)
+    if np.ndim(out) == 0:  # scalar % scalar
+        return pa.scalar(out.item())
     mask = None
     if ml is not None or mr is not None:
         mask = (ml if ml is not None else False) | (mr if mr is not None else False)
@@ -1030,6 +1078,13 @@ def referenced_columns(cmds: list) -> set[str]:
         elif isinstance(c, Fork):
             for branch in c.branches:
                 cols |= referenced_columns(list(branch))
+        elif isinstance(c, Enrich):
+            cols.add(c.on)
+        elif isinstance(c, Sample):
+            cols.add(c.on)
+        elif isinstance(c, ChangePointCmd):
+            cols.add(c.val)
+            cols.add(c.key)
     return cols
 
 
@@ -1043,13 +1098,17 @@ def esql(
     tables: dict[str, Any],
     *,
     stats_hint: int | None = None,
+    enrich_policies: dict[str, dict] | None = None,
 ):
     """Compile and run an ES|QL pipe; returns a ``ray.data.Dataset``.
 
     ``tables`` maps index names to parquet paths (column-pruned read) or
     live Datasets.  ``stats_hint``: expected group cardinality for STATS
     (threaded into :func:`partial_agg`'s driver-fold fast path for
-    low-cardinality aggregates)."""
+    low-cardinality aggregates).  ``enrich_policies`` registers ENRICH
+    policies: name → {"table": path-or-Dataset, "match_field": col,
+    "enrich_fields": [cols]} (the ES enrich-policy `_execute` output is
+    the lookup table here)."""
     import ray.data
 
     from elasticsearch_assets_ray.stages.relational import broadcast_join, topk
@@ -1076,7 +1135,8 @@ def esql(
 
     evaluator = Evaluator()
     ds, cols, explicit_limit = _run_pipe(
-        ds, cols, cmds[1:], evaluator, tables, needed, stats_hint
+        ds, cols, cmds[1:], evaluator, tables, needed, stats_hint,
+        enrich_policies or {},
     )
     if not explicit_limit:
         ds = ds.limit(IMPLICIT_LIMIT)  # ES|QL's implicit result cap
@@ -1091,6 +1151,7 @@ def _run_pipe(
     tables: dict[str, Any],
     needed: set[str],
     stats_hint: int | None,
+    enrich_policies: dict[str, dict] | None = None,
 ):
     """Apply a command list to a Dataset; returns (ds, cols,
     explicit_limit).  Shared by the top-level pipe and FORK branches."""
@@ -1166,8 +1227,17 @@ def _run_pipe(
             ds = _apply_mv_expand(ds, cmd.col)
         elif isinstance(cmd, Fork):
             ds, cols = _apply_fork(
-                ds, cols, cmd, evaluator, tables, needed, stats_hint
+                ds, cols, cmd, evaluator, tables, needed, stats_hint,
+                enrich_policies,
             )
+        elif isinstance(cmd, Enrich):
+            ds, cols = _apply_enrich(ds, cols, cmd, enrich_policies or {})
+        elif isinstance(cmd, Sample):
+            ds = _apply_sample(ds, cmd)
+        elif isinstance(cmd, ChangePointCmd):
+            ds = _apply_change_point(ds, cmd)
+            if "cp_type" not in cols:
+                cols = cols + ["cp_type"]
         elif isinstance(cmd, LookupJoin):
             side = tables[cmd.table]
             if isinstance(side, str):
@@ -1189,6 +1259,77 @@ def _run_pipe(
     return ds, cols, explicit_limit
 
 
+def _apply_enrich(ds, cols: list[str], cmd: Enrich, policies: dict[str, dict]):
+    """ENRICH: broadcast left join against a registered policy's lookup
+    table — the ES enrich processor's query-time twin.  ``WITH`` narrows
+    the appended fields."""
+    import pyarrow.parquet as pq_
+
+    from elasticsearch_assets_ray.stages.relational import broadcast_join
+
+    if cmd.policy not in policies:
+        raise ESQLSyntaxError(f"unknown enrich policy {cmd.policy!r}")
+    pol = policies[cmd.policy]
+    match = pol["match_field"]
+    fields = list(cmd.with_fields) or list(pol["enrich_fields"])
+    bad = [f for f in fields if f not in pol["enrich_fields"]]
+    if bad:
+        raise ESQLSyntaxError(f"fields {bad} not in policy {cmd.policy!r}")
+    side = pol["table"]
+    if isinstance(side, str):
+        small = pq_.read_table(side, columns=[match, *fields])
+    else:
+        small = pa.concat_tables(list(side.iter_batches(batch_format="pyarrow"))).select(
+            [match, *fields]
+        )
+    ds = broadcast_join(ds, small, keys=[cmd.on], join_type="left", right_keys=[match])
+    return ds, cols + [f for f in fields if f not in cols]
+
+
+def _apply_sample(ds, cmd: Sample):
+    """SAMPLE: deterministic Bernoulli via the repo's keyed splitmix64
+    hash (ES|QL samples randomly per run; keying on a column + SEED
+    makes the sample reproducible — documented divergence, and the same
+    contract as stages/sampling)."""
+    from elasticsearch_assets_ray.stages.sampling import _threshold, id_hash
+
+    if not 0.0 < cmd.p <= 1.0:
+        raise ESQLSyntaxError("SAMPLE probability must be in (0, 1]")
+    thr = _threshold(cmd.p)
+    salt = f"esql-sample-{cmd.seed}"
+
+    def run(batch: pa.Table) -> pa.Table:
+        h = id_hash(batch[cmd.on], salt)
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+_CHANGE_POINT_MAX_ROWS = 100_000
+
+
+def _apply_change_point(ds, cmd: ChangePointCmd):
+    """CHANGE_POINT (ES|QL 8.18 tech preview, step_change subset): over
+    the key-ordered series, append ``cp_type`` — "step_change" on the
+    first bucket of the new regime, null elsewhere.  The input is a
+    bucket series (post-STATS), so materializing is bounded; a row cap
+    guards misuse on raw streams (ES caps at 1000 buckets)."""
+    from elasticsearch_assets_ray.query.pipeline_aggs import change_point
+
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    if t.num_rows > _CHANGE_POINT_MAX_ROWS:
+        raise ESQLSyntaxError(
+            "CHANGE_POINT input exceeds the bucket cap — aggregate first"
+        )
+    t = t.take(pc.sort_indices(t, sort_keys=[(cmd.key, "ascending")]))
+    r = change_point(t, cmd.val)
+    tag = np.full(t.num_rows, None, dtype=object)
+    tag[r["index"] - 1] = "step_change"
+    import ray.data
+
+    return ray.data.from_arrow(t.append_column("cp_type", pa.array(tag, pa.string())))
+
+
 def _apply_fork(
     ds,
     cols: list[str],
@@ -1197,6 +1338,7 @@ def _apply_fork(
     tables: dict[str, Any],
     needed: set[str],
     stats_hint: int | None,
+    enrich_policies: dict[str, dict] | None = None,
 ):
     """FORK (ES 8.19): run each (branch) sub-pipeline on the current
     stream and union the results, tagged with a ``_fork`` discriminator
@@ -1210,7 +1352,8 @@ def _apply_fork(
     branch_cols: list[list[str]] = []
     for bi, bcmds in enumerate(fork.branches):
         bds, bcols, _ = _run_pipe(
-            ds, list(cols), list(bcmds), evaluator, tables, needed, stats_hint
+            ds, list(cols), list(bcmds), evaluator, tables, needed, stats_hint,
+            enrich_policies,
         )
         tag = f"fork{bi + 1}"
 
@@ -1251,7 +1394,13 @@ def _topk_nulls(ds, keys, k: int, null_placement: str) -> pa.Table:
         return batch.take(idx)
 
     pruned = ds.map_batches(local, batch_format="pyarrow")
-    t = pa.concat_tables(list(pruned.iter_batches(batch_format="pyarrow")))
+    batches = list(pruned.iter_batches(batch_format="pyarrow"))
+    if not batches:  # empty input: keep the schema
+        sch = ds.schema()
+        return pa.table(
+            {n: pa.array([], type=t) for n, t in zip(sch.names, sch.types)}
+        )
+    t = pa.concat_tables(batches)
     idx = pc.sort_indices(t, sort_keys=keys, null_placement=null_placement)[:k]
     return t.take(idx)
 

@@ -149,6 +149,48 @@ def test_fork_union_and_alignment(ray_session):
         )
 
 
+def test_enrich_sample_change_point(ray_session, sf_dir, tables):
+    # ENRICH: policy lookup appends the requested fields (left join)
+    got = _run(
+        """FROM orders
+| ENRICH cust ON o_custkey WITH c_mktsegment
+| STATS n = COUNT(*) BY c_mktsegment
+| SORT c_mktsegment""",
+        tables,
+        enrich_policies={
+            "cust": {
+                "table": f"{sf_dir}/customer.parquet",
+                "match_field": "c_custkey",
+                "enrich_fields": ["c_mktsegment", "c_name"],
+            }
+        },
+    )
+    assert len(got) == 5 and got["n"].sum() > 0
+    with pytest.raises(ESQLSyntaxError, match="unknown enrich policy"):
+        _run("FROM orders | ENRICH nope ON o_custkey", tables)
+    # SAMPLE: deterministic, repeatable, roughly p-sized
+    s1 = _run("FROM documents | SAMPLE 0.25 ON doc_id SEED 7 | KEEP doc_id", tables)
+    s2 = _run("FROM documents | SAMPLE 0.25 ON doc_id SEED 7 | KEEP doc_id", tables)
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])
+    full = _run("FROM documents | STATS n = COUNT(*)", tables)
+    frac = len(s1) / int(full["n"][0])
+    assert 0.15 < frac < 0.35
+    s3 = _run("FROM documents | SAMPLE 0.25 ON doc_id SEED 8 | KEEP doc_id", tables)
+    assert sorted(s1["doc_id"]) != sorted(s3["doc_id"])
+    # CHANGE_POINT: a planted step in a ROW-less series via events
+    import ray
+
+    t = pa.table(
+        {
+            "k": pa.array(list(range(12)), pa.int64()),
+            "v": pa.array([10] * 6 + [100] * 6, pa.int64()),
+        }
+    )
+    cp = _run("FROM t | CHANGE_POINT v ON k", {"t": ray.data.from_arrow(t)})
+    marked = cp[cp["cp_type"].notna()]
+    assert len(marked) == 1 and int(marked["k"].iloc[0]) == 6
+
+
 def test_parser_errors():
     with pytest.raises(ESQLSyntaxError):
         _Parser("WHERE x == 1").parse()  # must start with FROM/ROW
