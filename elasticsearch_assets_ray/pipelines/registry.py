@@ -4897,6 +4897,28 @@ def q_esql_fork(sf_dir: str):
     return esql(ESQL_FORK, _esql_tables(sf_dir), stats_hint=16)
 
 
+ESQL_STATS2 = """FROM events
+| WHERE value IS NOT NULL
+| EVAL vc = TO_LONG(ROUND(value * 100))
+| STATS count = COUNT(*), sd = STD_DEV(vc), wa = WEIGHTED_AVG(vc, user_id), tp = TOP(vc, 3, "desc") BY event_type
+| MV_EXPAND tp
+| EVAL value = CONCAT(event_type, ":", TO_STRING(tp)), metric_r = ROUND(sd + wa, 6)
+| KEEP value, count, metric_r
+| SORT value"""
+
+
+def q_esql_stats2(sf_dir: str):
+    """ES|QL extended STATS battery: STD_DEV (pinned-DOUBLE population
+    moments over integer cents — the SQL twin replicates the exact
+    float64 expression order), WEIGHTED_AVG (integer sum pair), and TOP
+    (top-3 with multiplicity) flattened to rows via MV_EXPAND.  sd+wa
+    ride ONE rounded metric column: a defect in either flips the gate
+    hash."""
+    from elasticsearch_assets_ray.query.esql import esql
+
+    return esql(ESQL_STATS2, _esql_tables(sf_dir), stats_hint=8)
+
+
 _BPE_TOP_PAIRS = 30
 
 
@@ -8246,6 +8268,21 @@ ORACLES["tpch_q3"] = (
     "GROUP BY o_orderkey, o_orderdate "
     "ORDER BY revenue DESC, o_orderkey LIMIT 10"
 )
+ORACLES["esql_stats2"] = (
+    "WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc, "
+    " user_id FROM events WHERE value IS NOT NULL), "
+    "g AS (SELECT event_type, count(*)::BIGINT AS count, "
+    " sqrt(greatest((CAST(sum(vc * vc) AS DOUBLE) - "
+    "  (CAST(sum(vc) AS DOUBLE) * CAST(sum(vc) AS DOUBLE)) / "
+    "  CAST(count(vc) AS DOUBLE)) / CAST(count(vc) AS DOUBLE), 0)) AS sd, "
+    " CAST(sum(vc * user_id) AS DOUBLE) / CAST(sum(user_id) AS DOUBLE) AS wa "
+    " FROM b GROUP BY event_type), "
+    "t AS (SELECT event_type, "
+    " unnest((list_sort(list(vc), 'DESC'))[1:3]) AS tp FROM b GROUP BY event_type) "
+    "SELECT g.event_type || ':' || CAST(t.tp AS VARCHAR) AS value, g.count, "
+    "round(g.sd + g.wa, 6) AS metric_r "
+    "FROM g JOIN t ON g.event_type = t.event_type"
+)
 ORACLES["esql_fork"] = (
     "WITH u AS ("
     " SELECT 'fork1' AS f, lang FROM documents "
@@ -8471,6 +8508,7 @@ QUERIES = {
     "esql_grok": q_esql_grok,
     "esql_mv": q_esql_mv,
     "esql_fork": q_esql_fork,
+    "esql_stats2": q_esql_stats2,
     "bpe_pairs": q_bpe_pairs,
     "tpch_q6": q_tpch_q6,
     "tpch_q3": q_tpch_q3,

@@ -234,6 +234,9 @@ class AggItem:
     func: str
     arg: Any  # expr | Star
     p: float | None = None  # PERCENTILE's percent
+    arg2: Any = None  # WEIGHTED_AVG's weight expr
+    n: int | None = None  # TOP's size
+    order: str | None = None  # TOP's "asc"/"desc"
 
 
 @dataclass(frozen=True)
@@ -324,7 +327,7 @@ class ChangePointCmd:
 _CMP_OPS = {"==", "!=", "<", "<=", ">", ">="}
 _AGG_FUNCS = {
     "COUNT", "COUNT_DISTINCT", "SUM", "AVG", "MIN", "MAX", "MEDIAN",
-    "PERCENTILE",
+    "PERCENTILE", "STD_DEV", "WEIGHTED_AVG", "VALUES", "TOP",
 }
 
 
@@ -506,6 +509,9 @@ class _Parser:
             raise ESQLSyntaxError(f"unknown aggregate {fname}")
         self.expect("OP", "(")
         p = None
+        arg2 = None
+        topn = None
+        order = None
         if self.at_op("*"):
             self.next()
             arg: Any = Star()
@@ -519,8 +525,18 @@ class _Parser:
                 if pt.kind not in ("INT", "FLOAT"):
                     raise ESQLSyntaxError("PERCENTILE needs a numeric percent")
                 p = float(pt.val)
+            elif fname == "WEIGHTED_AVG":
+                self.expect("OP", ",")
+                arg2 = self.parse_expr()
+            elif fname == "TOP":
+                self.expect("OP", ",")
+                topn = int(self.expect("INT").val)
+                self.expect("OP", ",")
+                order = str(self.expect("STRING").val).lower()
+                if order not in ("asc", "desc"):
+                    raise ESQLSyntaxError("TOP order must be \"asc\" or \"desc\"")
         self.expect("OP", ")")
-        return AggItem(out, fname, arg, p)
+        return AggItem(out, fname, arg, p, arg2, topn, order)
 
     def parse_sort(self) -> Sort:
         keys = []
@@ -1061,6 +1077,8 @@ def referenced_columns(cmds: list) -> set[str]:
             for a in c.aggs:
                 if not isinstance(a.arg, Star):
                     _expr_cols(a.arg, cols)
+                if a.arg2 is not None:
+                    _expr_cols(a.arg2, cols)
             for _, e in c.by:
                 _expr_cols(e, cols)
         elif isinstance(c, Sort):
@@ -1520,6 +1538,16 @@ def _apply_stats(ds, st: Stats, evaluator: Evaluator, hint: int | None):
             if a.func == "COUNT" and not isinstance(a.arg, Star):
                 v = pc.cast(pc.is_valid(v), pa.int64())
             out[f"__in{i}"] = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            if a.func == "STD_DEV":
+                out[f"__in{i}_sq"] = pc.multiply_checked(out[f"__in{i}"], out[f"__in{i}"])
+            elif a.func == "WEIGHTED_AVG":
+                w = _as_array(evaluator.ev(a.arg2, batch), batch.num_rows)
+                w = w.combine_chunks() if isinstance(w, pa.ChunkedArray) else w
+                out[f"__in{i}_xw"] = pc.multiply_checked(out[f"__in{i}"], w)
+                # a null value drops its weight from the denominator
+                out[f"__in{i}_w"] = pc.if_else(
+                    pc.is_valid(out[f"__in{i}"]), w, pa.nulls(batch.num_rows, w.type)
+                )
         return pa.table(out)
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
@@ -1541,10 +1569,21 @@ def _apply_stats(ds, st: Stats, evaluator: Evaluator, hint: int | None):
             main_specs.append(AggSpec(f"__m{i}", f"__in{i}", "sum"))
             main_specs.append(AggSpec(f"__m{i}_n", f"__in{i}_v", "sum"))
             finalizers.append((a.out, "avg", i))
+        elif a.func == "STD_DEV":
+            main_specs.append(AggSpec(f"__m{i}", f"__in{i}", "sum"))
+            main_specs.append(AggSpec(f"__m{i}_q", f"__in{i}_sq", "sum"))
+            main_specs.append(AggSpec(f"__m{i}_n", f"__in{i}_v", "sum"))
+            finalizers.append((a.out, "stddev", i))
+        elif a.func == "WEIGHTED_AVG":
+            main_specs.append(AggSpec(f"__m{i}", f"__in{i}_xw", "sum"))
+            main_specs.append(AggSpec(f"__m{i}_w", f"__in{i}_w", "sum"))
+            finalizers.append((a.out, "wavg", i))
         else:
             branches.append((i, a))
 
-    needs_valid = [i for i, a in enumerate(st.aggs) if a.func == "AVG"]
+    needs_valid = [
+        i for i, a in enumerate(st.aggs) if a.func in ("AVG", "STD_DEV")
+    ]
     if needs_valid:
         inner_prep = prepped
 
@@ -1578,6 +1617,7 @@ def _apply_stats(ds, st: Stats, evaluator: Evaluator, hint: int | None):
     if main_ds is not None:
         base = pa.concat_tables(list(main_ds.iter_batches(batch_format="pyarrow")))
     branch_tabs: dict[int, pa.Table] = {}
+    list_branches: set[int] = set()
     for i, a in branches:
         sel = keys + [f"__in{i}"]
         b_ds = prepped.map_batches(
@@ -1593,6 +1633,9 @@ def _apply_stats(ds, st: Stats, evaluator: Evaluator, hint: int | None):
             branch_tabs[i] = pa.table(
                 {**{k: g[k] for k in keys}, a.out: g["__c_count"]}
             )
+        elif a.func in ("VALUES", "TOP"):
+            branch_tabs[i] = _per_key_collect(t, keys, f"__in{i}", a)
+            list_branches.add(i)
         else:  # MEDIAN / PERCENTILE — exact, from per-key (value, count)
             p = 50.0 if a.func == "MEDIAN" else float(a.p)
             branch_tabs[i] = _per_key_percentile(t, keys, f"__in{i}", a.out, p)
@@ -1602,6 +1645,21 @@ def _apply_stats(ds, st: Stats, evaluator: Evaluator, hint: int | None):
             allk.to_pandas().drop_duplicates(), preserve_index=False
         )
     for i, a in branches:
+        if i in list_branches:
+            # acero joins reject list payloads — align by key tuples
+            bt = branch_tabs[i]
+            mapping = dict(
+                zip(
+                    zip(*[bt[k].to_pylist() for k in keys]),
+                    bt[a.out].to_pylist(),
+                )
+            )
+            base_keys = zip(*[base[k].to_pylist() for k in keys])
+            vals = [mapping.get(kt) for kt in base_keys]
+            base = base.append_column(
+                a.out, pa.array(vals, bt.schema.field(a.out).type)
+            )
+            continue
         base = base.join(branch_tabs[i], keys=keys, join_type="left outer")
         if a.func == "COUNT_DISTINCT":
             idx = base.column_names.index(a.out)
@@ -1633,6 +1691,25 @@ def _finalize_stats(
             s = pc.cast(batch[f"__m{i}"], pa.float64())
             n = pc.cast(batch[f"__m{i}_n"], pa.float64())
             cols[out] = pc.if_else(pc.greater(n, 0.0), pc.divide(s, n), pa.nulls(batch.num_rows, pa.float64()))
+        elif kind == "stddev":
+            # pinned-DOUBLE population variance: ((q − (s·s)/n)/n), every
+            # operand float64 FIRST, clamped at 0 — the SQL twin must be
+            # sqrt(greatest((CAST(q AS DOUBLE) − CAST(s AS DOUBLE)*
+            # CAST(s AS DOUBLE)/CAST(n AS DOUBLE))/CAST(n AS DOUBLE), 0))
+            s = batch[f"__m{i}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            q = batch[f"__m{i}_q"].to_numpy(zero_copy_only=False).astype(np.float64)
+            n = batch[f"__m{i}_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+            nz = np.maximum(n, 1.0)
+            var = (q - (s * s) / nz) / nz
+            cols[out] = pa.array(
+                np.sqrt(np.maximum(var, 0.0)), mask=(n == 0)
+            )
+        elif kind == "wavg":
+            xw = pc.cast(batch[f"__m{i}"], pa.float64())
+            w = pc.cast(batch[f"__m{i}_w"], pa.float64())
+            cols[out] = pc.if_else(
+                pc.not_equal(w, 0.0), pc.divide(xw, w), pa.nulls(batch.num_rows, pa.float64())
+            )
         else:
             cols[out] = batch[f"__m{i}"]
         done.add(out)
@@ -1642,6 +1719,57 @@ def _finalize_stats(
     ordered = [k for k in keys if not (synthetic_all and k == "__all")]
     ordered += [a.out for a in st.aggs]
     return pa.table({c: cols[c] for c in ordered})
+
+
+def _per_key_collect(
+    vc: pa.Table, keys: list[str], val_col: str, a: AggItem
+) -> pa.Table:
+    """VALUES (sorted distinct multivalue) / TOP (top-n WITH
+    multiplicity) per key, from the (keys, value, count) table."""
+    asc = a.func == "VALUES" or a.order == "asc"
+    sort_keys = [(k, "ascending") for k in keys] + [
+        (val_col, "ascending" if asc else "descending")
+    ]
+    t = vc.take(pc.sort_indices(vc, sort_keys=sort_keys))
+    starts, ends = _key_group_bounds(t, keys)
+    rows_k: list[int] = []
+    lists: list[list] = []
+    counts = t["__c"].to_pylist()
+    vals = t[val_col].to_pylist()
+    for s, e in zip(starts, ends):
+        rows_k.append(int(s))
+        if a.func == "VALUES":
+            lists.append(vals[s:e])
+        else:
+            acc: list = []
+            need = int(a.n)
+            for j in range(s, e):
+                if need <= 0:
+                    break
+                take = min(int(counts[j]), need)
+                acc.extend([vals[j]] * take)
+                need -= take
+            lists.append(acc)
+    out_cols = {k: t[k].take(pa.array(rows_k, pa.int64())) for k in keys}
+    out_cols[a.out] = pa.array(
+        lists, pa.list_(t.schema.field(val_col).type)
+    )
+    return pa.table(out_cols)
+
+
+def _key_group_bounds(t: pa.Table, keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of maximal equal-key runs in a key-sorted table."""
+    key_arrs = [t[k].to_numpy(zero_copy_only=False) for k in keys]
+    if key_arrs and t.num_rows:
+        change = np.zeros(t.num_rows, dtype=bool)
+        change[0] = True
+        for ka in key_arrs:
+            change[1:] |= ka[1:] != ka[:-1]
+        starts = np.flatnonzero(change)
+    else:
+        starts = np.array([0], dtype=np.int64) if t.num_rows else np.array([], dtype=np.int64)
+    ends = np.concatenate([starts[1:], [t.num_rows]]).astype(np.int64)
+    return starts, ends
 
 
 def _per_key_percentile(
@@ -1654,17 +1782,7 @@ def _per_key_percentile(
 
     sort_keys = [(k, "ascending") for k in keys] + [(val_col, "ascending")]
     t = vc.take(pc.sort_indices(vc, sort_keys=sort_keys))
-    key_arrs = [t[k].to_numpy(zero_copy_only=False) for k in keys]
-    if key_arrs:
-        change = np.zeros(t.num_rows, dtype=bool)
-        if t.num_rows:
-            change[0] = True
-            for ka in key_arrs:
-                change[1:] |= ka[1:] != ka[:-1]
-        starts = np.flatnonzero(change)
-    else:
-        starts = np.array([0]) if t.num_rows else np.array([], dtype=np.int64)
-    ends = np.concatenate([starts[1:], [t.num_rows]]).astype(np.int64)
+    starts, ends = _key_group_bounds(t, keys)
     rows_k: list[int] = []
     vals: list[float | None] = []
     for s, e in zip(starts, ends):

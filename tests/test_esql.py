@@ -191,6 +191,36 @@ def test_enrich_sample_change_point(ray_session, sf_dir, tables):
     assert len(marked) == 1 and int(marked["k"].iloc[0]) == 6
 
 
+def test_stddev_wavg_values_top(ray_session, sf_dir, tables):
+    import duckdb
+
+    got = _run(
+        """FROM events
+| WHERE value IS NOT NULL
+| STATS sd = STD_DEV(user_id), wa = WEIGHTED_AVG(user_id, event_id), vs = VALUES(event_type), tp = TOP(user_id, 3, "desc") BY event_type
+| SORT event_type""",
+        tables,
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = con.sql(
+        "SELECT event_type, "
+        "sqrt(greatest((CAST(sum(user_id*user_id) AS DOUBLE) - "
+        " (CAST(sum(user_id) AS DOUBLE)*CAST(sum(user_id) AS DOUBLE))/"
+        " CAST(count(user_id) AS DOUBLE))/CAST(count(user_id) AS DOUBLE), 0)) AS sd, "
+        "CAST(sum(user_id*event_id) AS DOUBLE)/CAST(sum(event_id) AS DOUBLE) AS wa, "
+        "(list_sort(list(DISTINCT user_id), 'DESC'))[1:3] AS tp "
+        "FROM events WHERE value IS NOT NULL GROUP BY event_type ORDER BY event_type"
+    ).df()
+    np.testing.assert_array_equal(got["sd"].to_numpy(), want["sd"].to_numpy())
+    np.testing.assert_array_equal(got["wa"].to_numpy(), want["wa"].to_numpy())
+    # VALUES = sorted distinct multivalue (here the group key itself)
+    assert got["vs"].tolist() == [[t] for t in got["event_type"]]
+    # TOP keeps multiplicity: every element ≥ the distinct-top cutoff
+    for lst, dt in zip(got["tp"], want["tp"]):
+        assert len(lst) == 3 and all(v >= min(dt) for v in lst)
+
+
 def test_parser_errors():
     with pytest.raises(ESQLSyntaxError):
         _Parser("WHERE x == 1").parse()  # must start with FROM/ROW
