@@ -982,7 +982,6 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         "lang_stats",
         "embedding_topk",
         "search_topk",
-        "search_sharded",
         "fulltext_count",
         "search_page2",
         "more_like_this",
@@ -1042,6 +1041,22 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
             ("esql", "doc_id, head AS s1, up AS s2, tag AS s3, ln AS n", "esql_strings"),
         ],
         "",
+    )
+
+    # distributed serving topologies under one gate: bucket-range shards
+    # of ONE index (scatter-gather) + cross-cluster federation of TWO
+    # independent indexes — both must reproduce the same full-table BM25
+    gates["search_sharded"] = _union(
+        [("sharded", "search_sharded"), ("ccs", "search_ccs")],
+        _SEARCH_COLS,
+        casts={"score_r": pa.float64(), "rank": pa.int64()},
+    )
+    oracles["search_sharded"] = _union_sql(
+        [
+            ("sharded", None, "search_sharded"),
+            ("ccs", None, "search_ccs"),
+        ],
+        "query_id, doc_id, rank, score_r",
     )
 
     gates["pack_documents"] = g_packing

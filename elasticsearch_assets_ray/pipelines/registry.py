@@ -1971,6 +1971,91 @@ def q_search_sharded(sf_dir: str):
     )
 
 
+_CCS_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def ccs_documents_indexes(sf_dir: str) -> tuple[str, str]:
+    """Two INDEPENDENT indexes over an orig-doc_id parity split of the
+    documents table (cached+resumable like documents_index) — the
+    two-remote-cluster topology for the CCS gate."""
+    if sf_dir in _CCS_CACHE:
+        return _CCS_CACHE[sf_dir]
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out: list[str] = []
+    full = pq.read_table(_p(sf_dir, "documents"))
+    for half in (0, 1):
+        src = os.path.join("/tmp", "esr_index_cache", f"{tag}-ccs{half}-src")
+        idx = os.path.join("/tmp", "esr_index_cache", f"{tag}-ccs{half}-v1")
+        os.makedirs(src, exist_ok=True)
+        part_file = os.path.join(src, "documents.parquet")
+        if not os.path.exists(part_file):
+            mask = pc.equal(
+                pc.bit_wise_and(full["doc_id"], pa.scalar(1, pa.int64())),
+                pa.scalar(half, pa.int64()),
+            )
+            pq.write_table(full.filter(mask), part_file)
+        build_index(
+            part_file,
+            idx,
+            config=IndexConfig(
+                content_col="text",
+                id_cols=("doc_id",),
+                keep_cols=("lang", "source", "n_chars"),
+                store_content=True,
+                index_positions=True,
+            ),
+        )
+        out.append(idx)
+    _CCS_CACHE[sf_dir] = (out[0], out[1])
+    return _CCS_CACHE[sf_dir]
+
+
+def q_search_ccs(sf_dir: str):
+    """DOC_QUERIES federated across TWO independent half-corpus indexes
+    via cross-cluster search (query/ccs.py): combined n_docs/avgdl from
+    the member manifests' integer totals, per-term df summed across
+    clusters (the minimize_roundtrips=false dfs contract), per-cluster
+    top-k merged on the round-9 rule.  The oracle is the SAME full-table
+    BM25 SQL as search_topk — rank identity across the cluster boundary
+    is the assertion."""
+    from elasticsearch_assets_ray.query.ccs import CrossClusterSearcher
+
+    a, b = ccs_documents_indexes(sf_dir)
+    ccs = CrossClusterSearcher({"east": a, "west": b})
+    members = {"east": ccs.members[0], "west": ccs.members[1]}
+    parts = []
+    fetch_k = SEARCH_K + 90
+    for qid, q in enumerate(DOC_QUERIES):
+        res = ccs.search(q, k=fetch_k)
+        if res.num_rows == 0:
+            continue
+        ids = res["doc_id"].to_numpy(zero_copy_only=False)
+        cl = res["cluster"].to_pylist()
+        orig = np.empty(ids.size, dtype=np.int64)
+        for name, s in members.items():
+            sel = np.flatnonzero(np.array([c == name for c in cl]))
+            if sel.size:
+                orig[sel] = _orig_ids(s, ids[sel])
+        parts.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(ids.size, qid, dtype=np.int64)),
+                    "vec_id": pa.array(orig),
+                    "sim": res["score"],
+                }
+            )
+        )
+    res = _rerank_rounded(pa.concat_tables(parts), SEARCH_K)
+    return pa.table(
+        {
+            "query_id": res["query_id"],
+            "doc_id": res["vec_id"],
+            "rank": res["rank"],
+            "score_r": res["sim_r"],
+        }
+    )
+
+
 _RESHARD_CACHE: dict[str, str] = {}
 
 
@@ -7597,6 +7682,9 @@ ORACLES: dict[str, str] = {
         k=_HYBRID_K,
     ),
     "search_sharded": _bm25_sql(DOC_QUERIES, SEARCH_K),
+    # CCS rank identity: the SAME full-table BM25 — the federation must
+    # reproduce it across the cluster boundary
+    "search_ccs": _bm25_sql(DOC_QUERIES, SEARCH_K),
     "search_analyzed": _analyzed_bm25_sql(ANALYZED_QUERIES, SEARCH_K),
     "search_resharded": _bm25_sql(DOC_QUERIES[:4], SEARCH_K),
     "fulltext_count": (
@@ -8383,6 +8471,7 @@ QUERIES = {
     "embedding_dedup": q_embedding_dedup,
     "search_topk": q_search_topk,
     "search_sharded": q_search_sharded,
+    "search_ccs": q_search_ccs,
     "search_analyzed": q_search_analyzed,
     "search_resharded": q_search_resharded,
     "rank_eval": q_rank_eval,
