@@ -1047,7 +1047,11 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     # of ONE index (scatter-gather) + cross-cluster federation of TWO
     # independent indexes — both must reproduce the same full-table BM25
     gates["search_sharded"] = _union(
-        [("sharded", "search_sharded"), ("ccs", "search_ccs")],
+        [
+            ("sharded", "search_sharded"),
+            ("ccs", "search_ccs"),
+            ("ccs_wild", "search_ccs_wild"),
+        ],
         _SEARCH_COLS,
         casts={"score_r": pa.float64(), "rank": pa.int64()},
     )
@@ -1055,6 +1059,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         [
             ("sharded", None, "search_sharded"),
             ("ccs", None, "search_ccs"),
+            ("ccs_wild", None, "search_ccs_wild"),
         ],
         "query_id, doc_id, rank, score_r",
     )

@@ -2010,14 +2010,9 @@ def ccs_documents_indexes(sf_dir: str) -> tuple[str, str]:
     return _CCS_CACHE[sf_dir]
 
 
-def q_search_ccs(sf_dir: str):
-    """DOC_QUERIES federated across TWO independent half-corpus indexes
-    via cross-cluster search (query/ccs.py): combined n_docs/avgdl from
-    the member manifests' integer totals, per-term df summed across
-    clusters (the minimize_roundtrips=false dfs contract), per-cluster
-    top-k merged on the round-9 rule.  The oracle is the SAME full-table
-    BM25 SQL as search_topk — rank identity across the cluster boundary
-    is the assertion."""
+def _search_many_ccs(sf_dir: str, queries: list[str]) -> pa.Table:
+    """_search_many through the cross-cluster federation (shared by the
+    plain and wildcard-expansion CCS gates)."""
     from elasticsearch_assets_ray.query.ccs import CrossClusterSearcher
 
     a, b = ccs_documents_indexes(sf_dir)
@@ -2025,7 +2020,7 @@ def q_search_ccs(sf_dir: str):
     members = {"east": ccs.members[0], "west": ccs.members[1]}
     parts = []
     fetch_k = SEARCH_K + 90
-    for qid, q in enumerate(DOC_QUERIES):
+    for qid, q in enumerate(queries):
         res = ccs.search(q, k=fetch_k)
         if res.num_rows == 0:
             continue
@@ -2054,6 +2049,25 @@ def q_search_ccs(sf_dir: str):
             "score_r": res["sim_r"],
         }
     )
+
+
+def q_search_ccs(sf_dir: str):
+    """DOC_QUERIES federated across TWO independent half-corpus indexes
+    via cross-cluster search (query/ccs.py): combined n_docs/avgdl from
+    the member manifests' integer totals, per-term df summed across
+    clusters (the minimize_roundtrips=false dfs contract), per-cluster
+    top-k merged on the round-9 rule.  The oracle is the SAME full-table
+    BM25 SQL as search_topk — rank identity across the cluster boundary
+    is the assertion."""
+    return _search_many_ccs(sf_dir, DOC_QUERIES)
+
+
+def q_search_ccs_wild(sf_dir: str):
+    """WILDCARD_QUERIES through the federation: multi-term clauses
+    expand against the UNION of the member term dictionaries
+    (query/ccs._UnionExpander) — the oracle is the same full-table
+    wildcard BM25 SQL as search_wildcard."""
+    return _search_many_ccs(sf_dir, WILDCARD_QUERIES)
 
 
 _RESHARD_CACHE: dict[str, str] = {}
@@ -7685,6 +7699,7 @@ ORACLES: dict[str, str] = {
     # CCS rank identity: the SAME full-table BM25 — the federation must
     # reproduce it across the cluster boundary
     "search_ccs": _bm25_sql(DOC_QUERIES, SEARCH_K),
+    "search_ccs_wild": _bm25_bool_sql(WILDCARD_QUERIES, SEARCH_K),
     "search_analyzed": _analyzed_bm25_sql(ANALYZED_QUERIES, SEARCH_K),
     "search_resharded": _bm25_sql(DOC_QUERIES[:4], SEARCH_K),
     "fulltext_count": (
@@ -8472,6 +8487,7 @@ QUERIES = {
     "search_topk": q_search_topk,
     "search_sharded": q_search_sharded,
     "search_ccs": q_search_ccs,
+    "search_ccs_wild": q_search_ccs_wild,
     "search_analyzed": q_search_analyzed,
     "search_resharded": q_search_resharded,
     "rank_eval": q_rank_eval,

@@ -25,13 +25,17 @@ returns the same round-9 scores for the same documents (pinned by
 tests/test_ccs.py through the content sha — docIDs differ between
 builds, content does not).
 
-v1 restriction (documented): multi-term expansion clauses (prefix /
-wildcard / regexp / fuzzy / phrase-prefix) are rejected — their
-expansion must run against the UNION term dictionary to match the
-combined index (per-cluster expansion could trip ``max_expansions``
-caps differently), and that union-rewrite seam is not wired yet.  Plain
-terms, +/- clauses, boolean trees, phrases, sloppy/unordered phrases,
-minimum_should_match and search_after all federate.
+**Union-dictionary rewrite**: multi-term clauses (prefix / wildcard /
+regexp / fuzzy / phrase-prefix) expand against the UNION of the member
+term dictionaries — a term matches the union dictionary iff it matches
+some member's, so the union of member expansions IS the combined
+index's expansion set.  The ``max_expansions`` cap RAISES rather than
+truncates engine-wide, which makes the federation exact here too: the
+union raises iff the combined index would (the re-check after unioning
+covers the case where every member is under the cap but the union is
+not).  Plain terms, +/- clauses, boolean trees, phrases,
+sloppy/unordered phrases, minimum_should_match and search_after all
+federate as well.
 
 Each member is a :class:`Searcher` here; a member could equally be a
 :class:`ShardedSearcher` (it duck-types ``term_dfs`` and the prepared
@@ -56,6 +60,49 @@ import pyarrow.compute as pc
 from elasticsearch_assets_ray.query import bm25
 from elasticsearch_assets_ray.query import parser as parser_mod
 from elasticsearch_assets_ray.query.engine import Searcher
+
+
+class _UnionExpander:
+    """Quacks like a Searcher for the multi-term rewrite: each expand_*
+    unions the member expansions (sorted), re-checking the cap on the
+    union.  Borrows the rewrite drivers from Searcher unchanged."""
+
+    _rewrite_prefixes = Searcher._rewrite_prefixes
+    _rewrite_tree = Searcher._rewrite_tree
+
+    def __init__(self, members: list[Searcher]):
+        self.members = members
+
+    def _union_expand(self, fn: str, args: tuple, max_expansions: int, label: str):
+        found: set[str] = set()
+        for m in self.members:
+            found.update(getattr(m, fn)(*args, max_expansions))
+        if len(found) > max_expansions:
+            raise ValueError(
+                f"{label} expands to more than {max_expansions} terms "
+                "across clusters"
+            )
+        return sorted(found)
+
+    def expand_prefix(self, prefix: str, max_expansions: int = 1024):
+        return self._union_expand(
+            "expand_prefix", (prefix,), max_expansions, f"prefix {prefix!r}*"
+        )
+
+    def expand_wildcard(self, pattern: str, max_expansions: int = 1024):
+        return self._union_expand(
+            "expand_wildcard", (pattern,), max_expansions, f"wildcard {pattern!r}"
+        )
+
+    def expand_regexp(self, pattern: str, max_expansions: int = 1024):
+        return self._union_expand(
+            "expand_regexp", (pattern,), max_expansions, f"regexp /{pattern}/"
+        )
+
+    def expand_fuzzy(self, term: str, max_edits: int, max_expansions: int = 1024):
+        return self._union_expand(
+            "expand_fuzzy", (term, max_edits), max_expansions, f"fuzzy {term!r}~{max_edits}"
+        )
 
 
 class CrossClusterSearcher:
@@ -94,6 +141,7 @@ class CrossClusterSearcher:
         for m in self.members:
             m.n_docs = self.n_docs
             m.avgdl = self.avgdl
+        self._expander = _UnionExpander(self.members)
 
     # ---------- dfs phase ----------
     def prepare(
@@ -111,12 +159,20 @@ class CrossClusterSearcher:
                 q,
                 search_after=(float(bm25.round_half_up(s_raw, 9)), int(aid)),
             )
-        if q.has_multiterm or q.phrase_prefixes or q.not_phrase_prefixes or (
-            q.regexps or q.must_regexps or q.not_regexps
-        ):
-            raise NotImplementedError(
-                "CCS v1 federates expansion-free queries only (prefix/"
-                "wildcard/regexp/fuzzy need a union-dictionary rewrite)"
+        # union-dictionary rewrite (see module docstring): expansions and
+        # phrase-prefix stems resolve against ALL member dictionaries
+        q = self._expander._rewrite_prefixes(q)
+        if q.phrase_prefixes or q.not_phrase_prefixes:
+            q = dataclasses.replace(
+                q,
+                phrase_prefixes=[
+                    (p, frozenset(self._expander.expand_prefix(st)) if not isinstance(st, frozenset) else st)
+                    for p, st in q.phrase_prefixes
+                ],
+                not_phrase_prefixes=[
+                    (p, frozenset(self._expander.expand_prefix(st)) if not isinstance(st, frozenset) else st)
+                    for p, st in q.not_phrase_prefixes
+                ],
             )
         need = set(q.scoring_terms) | set(q.must_not)
         if q.bool_tree is not None:

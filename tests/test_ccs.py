@@ -61,6 +61,11 @@ QUERIES = [
     "(load OR save) AND index",
     '"def load"',
     "spark merge table",
+    # union-dictionary expansion shapes
+    "def loa*",
+    "inde?* load",
+    "lod~1 index",
+    "(loa* OR sav*) AND index",
 ]
 
 
@@ -102,12 +107,17 @@ def test_ccs_count_and_facet_match_union(ccs_env):
     assert f_ccs.to_pydict() == f_one.to_pydict()
 
 
-def test_ccs_expansion_rejected_and_analyzer_guard(ccs_env):
-    ccs, _ = ccs_env
-    with pytest.raises(NotImplementedError, match="expansion-free"):
-        ccs.search("def loa*")
-    with pytest.raises(NotImplementedError):
-        ccs.search("tabel~1")
+def test_ccs_union_expansion_matches_union_dict(ccs_env):
+    ccs, single = ccs_env
+    # the federated expansion set equals the union index's expansion set
+    for pat in ("loa", "in", "s"):
+        assert ccs._expander.expand_prefix(pat) == single.expand_prefix(pat)
+    assert ccs._expander.expand_fuzzy("lod", 1) == single.expand_fuzzy("lod", 1)
+    # the cap re-check fires on the union even when members fit
+    n_union = len(single.expand_prefix("s"))
+    assert n_union > 2
+    with pytest.raises(ValueError, match="across clusters|expands to more"):
+        ccs._expander.expand_prefix("s", max_expansions=n_union - 1)
 
 
 def test_ccs_search_after_pages(ccs_env):
