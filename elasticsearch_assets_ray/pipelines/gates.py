@@ -764,6 +764,8 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(_proj("geo_cb", gcb, "metric", 0, "value_r"))
     em = _to_table(R.QUERIES["esql_match"](sf_dir))
     tabs.append(_proj("esql_match", em, "value", "count", "metric_r"))
+    emi = _to_table(R.QUERIES["esql_match_idx"](sf_dir))
+    tabs.append(_proj("esql_match_idx", emi, "value", "count", "metric_r"))
     ep = _to_table(R.QUERIES["esql_pctl"](sf_dir))
     tabs.append(_proj("esql_pctl", ep, "value", "count", "metric_r"))
     eg = _to_table(R.QUERIES["esql_grok"](sf_dir))
@@ -820,6 +822,7 @@ AGG_SUITE_SQL_PARTS = [
     ),
     ("scripted", "value, count, metric_r", "scripted_metric"),
     ("esql_match", "value, count, metric_r", "esql_match"),
+    ("esql_match_idx", "value, count, metric_r", "esql_match_idx"),
     ("esql_pctl", "value, count, metric_r", "esql_pctl"),
     ("esql_grok", "value, count, metric_r", "esql_grok"),
     ("esql_mv", "value, count, metric_r", "esql_mv"),

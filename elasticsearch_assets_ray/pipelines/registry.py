@@ -4924,6 +4924,28 @@ def q_esql_match(sf_dir: str):
     return esql(ESQL_MATCH, _esql_tables(sf_dir), stats_hint=8)
 
 
+def q_esql_match_idx(sf_dir: str):
+    """ESQL_MATCH through MATCH PUSHDOWN: the MATCH conjunct resolves
+    ONCE through the fulltext index's score-free match_ids (how ES|QL
+    itself serves MATCH) and the scan drops the text column entirely —
+    the id-membership filter is the only trace.  Same oracle as
+    esql_match: the two serving paths must be value-identical."""
+    from elasticsearch_assets_ray.query.esql import esql
+
+    return esql(
+        ESQL_MATCH,
+        _esql_tables(sf_dir),
+        stats_hint=8,
+        indexes={
+            "documents": {
+                "dir": documents_index(sf_dir),
+                "field": "text",
+                "key": "doc_id",
+            }
+        },
+    )
+
+
 def q_esql_pctl(sf_dir: str):
     """ES|QL PERCENTILE (exact, from the bounded (key, value)-count
     branch) per event_type."""
@@ -8371,6 +8393,7 @@ ORACLES["tpch_q3"] = (
     "GROUP BY o_orderkey, o_orderdate "
     "ORDER BY revenue DESC, o_orderkey LIMIT 10"
 )
+ORACLES["esql_match_idx"] = ORACLES["esql_match"]
 ORACLES["esql_stats2"] = (
     "WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc, "
     " user_id FROM events WHERE value IS NOT NULL), "
@@ -8608,6 +8631,7 @@ QUERIES = {
     "esql_daily": q_esql_daily,
     "esql_revenue": q_esql_revenue,
     "esql_match": q_esql_match,
+    "esql_match_idx": q_esql_match_idx,
     "esql_pctl": q_esql_pctl,
     "esql_strings": q_esql_strings,
     "esql_grok": q_esql_grok,

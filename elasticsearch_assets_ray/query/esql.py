@@ -207,6 +207,18 @@ class Func:
     args: tuple
 
 
+class IdSet:
+    """Plan-time replacement for an index-accelerated MATCH conjunct:
+    membership of ``col`` in a precomputed id set (Arrow array in the
+    closure — ships once per task with the serialized batch fn).  Plain
+    class (not a frozen dataclass): the ids array is unhashable and the
+    node never participates in equality."""
+
+    def __init__(self, col: str, ids):
+        self.col = col
+        self.ids = ids
+
+
 # commands
 @dataclass(frozen=True)
 class From:
@@ -827,6 +839,8 @@ class Evaluator:
             return pc.invert(res) if node.neg else res
         if isinstance(node, Func):
             return self._func(node, batch)
+        if isinstance(node, IdSet):
+            return pc.is_in(batch[node.col], value_set=node.ids)
         if isinstance(node, Duration):
             return node  # consumed by DATE_TRUNC
         raise TypeError(f"cannot evaluate {node!r}")
@@ -1050,6 +1064,8 @@ def _segment_any(mask: np.ndarray, off: np.ndarray) -> np.ndarray:
 def _expr_cols(node, out: set[str]):
     if isinstance(node, Col):
         out.add(node.name)
+    elif isinstance(node, IdSet):
+        out.add(node.col)
     elif isinstance(node, Bin):
         _expr_cols(node.l, out)
         _expr_cols(node.r, out)
@@ -1117,6 +1133,7 @@ def esql(
     *,
     stats_hint: int | None = None,
     enrich_policies: dict[str, dict] | None = None,
+    indexes: dict[str, dict] | None = None,
 ):
     """Compile and run an ES|QL pipe; returns a ``ray.data.Dataset``.
 
@@ -1126,14 +1143,25 @@ def esql(
     low-cardinality aggregates).  ``enrich_policies`` registers ENRICH
     policies: name → {"table": path-or-Dataset, "match_field": col,
     "enrich_fields": [cols]} (the ES enrich-policy `_execute` output is
-    the lookup table here)."""
+    the lookup table here).  ``indexes`` registers fulltext indexes for
+    MATCH pushdown: table → {"dir": index_dir, "field": content col,
+    "key": source id col} — a top-level MATCH conjunct on that field
+    resolves ONCE through the index's score-free ``match_ids`` (no
+    per-batch tokenization; exactly how ES|QL itself serves MATCH) and
+    becomes an id-membership filter; other conjuncts evaluate as usual.
+    Semantics identical to the scan path (pinned by tests)."""
     import ray.data
 
     from elasticsearch_assets_ray.stages.relational import broadcast_join, topk
 
     cmds = _Parser(query).parse()
-    needed = referenced_columns(cmds)
     src = cmds[0]
+    body = list(cmds[1:])
+    if indexes and isinstance(src, From) and src.table in indexes:
+        body = _pushdown_match(body, indexes[src.table])
+    # prune against the REWRITTEN body: a pushed-down MATCH releases the
+    # content column from the scan and pins the key column instead
+    needed = referenced_columns(body)
     if isinstance(src, Row):
         tab = pa.table({k: pa.array([_lit_only(e)]) for k, e in src.assigns})
         ds = ray.data.from_arrow(tab)
@@ -1153,7 +1181,7 @@ def esql(
 
     evaluator = Evaluator()
     ds, cols, explicit_limit = _run_pipe(
-        ds, cols, cmds[1:], evaluator, tables, needed, stats_hint,
+        ds, cols, body, evaluator, tables, needed, stats_hint,
         enrich_policies or {},
     )
     if not explicit_limit:
@@ -1396,6 +1424,55 @@ def _apply_fork(
     ]
     out = aligned[0].union(*aligned[1:])
     return out, branch_cols[0] + ["_fork"]
+
+
+def _pushdown_match(cmds: list, spec: dict) -> list:
+    """Rewrite top-level MATCH conjuncts of LEADING WHERE commands into
+    id-membership filters resolved through the registered fulltext index
+    (one score-free match_ids probe on the driver).  Only WHEREs before
+    any reshaping command are eligible — after STATS/JOIN/RENAME the key
+    column's identity is no longer the source table's."""
+    from elasticsearch_assets_ray.query.engine import Searcher
+    from elasticsearch_assets_ray.stages.tokenizer import tokenize_text
+
+    searcher: list[Searcher | None] = [None]  # lazy, at most one load
+
+    def probe(node: Func):
+        field = node.args[0].name
+        if field != spec["field"]:
+            return node
+        query = str(node.args[1].val)
+        op = str(node.args[2].val).lower() if len(node.args) > 2 else "or"
+        toks = sorted(set(tokenize_text(query)))
+        if not toks:
+            return Lit(False)
+        if searcher[0] is None:
+            searcher[0] = Searcher(spec["dir"])
+        s = searcher[0]
+        qs = " ".join(("+" + t) for t in toks) if op == "and" else " ".join(toks)
+        ids = s.match_ids(qs)
+        orig = s.hydrate(np.sort(ids), columns=["orig_doc_id"])["orig_doc_id"]
+        return IdSet(spec["key"], orig.combine_chunks())
+
+    def rewrite(e):
+        if isinstance(e, Bin) and e.op == "AND":
+            return Bin("AND", rewrite(e.l), rewrite(e.r))
+        if isinstance(e, Func) and e.name == "MATCH" and isinstance(e.args[0], Col):
+            return probe(e)
+        return e
+
+    out: list = []
+    for i, c in enumerate(cmds):
+        if isinstance(c, Where):
+            out.append(Where(rewrite(c.e)))
+        elif isinstance(c, (Eval, Sample)):  # don't change key identity
+            out.append(c)
+        else:
+            out.extend(cmds[i:])
+            break
+    else:
+        return out
+    return out
 
 
 def _lit_only(e) -> Any:

@@ -221,6 +221,22 @@ def test_stddev_wavg_values_top(ray_session, sf_dir, tables):
         assert len(lst) == 3 and all(v >= min(dt) for v in lst)
 
 
+def test_match_pushdown_parity(ray_session, sf_dir, tables):
+    from elasticsearch_assets_ray.pipelines.registry import documents_index
+
+    idx = {"documents": {"dir": documents_index(sf_dir), "field": "text", "key": "doc_id"}}
+    q = """FROM documents
+| WHERE MATCH(text, "spark join", "and") AND lang != "de"
+| STATS n = COUNT(*) BY lang, source
+| SORT lang, source"""
+    scan = _run(q, tables)
+    pushed = _run(q, tables, indexes=idx)
+    assert scan.equals(pushed)
+    # OR-operator MATCH takes the pushdown too
+    q2 = 'FROM documents | WHERE MATCH(text, "spark join") | STATS n = COUNT(*)'
+    assert int(_run(q2, tables, indexes=idx)["n"][0]) == int(_run(q2, tables)["n"][0])
+
+
 def test_parser_errors():
     with pytest.raises(ESQLSyntaxError):
         _Parser("WHERE x == 1").parse()  # must start with FROM/ROW
