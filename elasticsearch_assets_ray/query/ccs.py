@@ -186,20 +186,54 @@ class CrossClusterSearcher:
         return q, df
 
     # ---------- query phase ----------
+    _MAX_DOCID = (1 << 62)  # sentinel cursor docids (see search_after)
+
     def search(
         self,
         query,
         k: int = 10,
         minimum_should_match: int = 0,
-        search_after: tuple[float, int] | None = None,
+        search_after: tuple[float, str, int] | None = None,
     ) -> pa.Table:
-        """Global top-k across clusters → (cluster, doc_id, score)."""
-        q, df = self.prepare(query, minimum_should_match, search_after)
+        """Global top-k across clusters → (cluster, doc_id, score).
+
+        ``search_after`` is the CCS cursor ``(score, cluster, doc_id)``
+        of the previous page's last row — the cluster must be part of
+        the cursor because the merge order is (score, cluster ordinal,
+        docID) and independent docID spaces overlap.  Each member gets
+        an equivalent (score, docid) cursor for the engine's
+        ``(r9 < s) | (r9 == s & id > aid)`` filter: the cursor cluster
+        passes its own docid, earlier-ordinal clusters pass +inf (their
+        score ties were all emitted before the cursor), later-ordinal
+        clusters pass −1 (none were)."""
+        cur_ord = None
+        cur_doc = None
+        sa_member: tuple[float, int] | None = None
+        if search_after is not None:
+            s_raw, cl, cur_doc = search_after
+            cur_ord = self.names.index(cl)
+            sa_member = (float(s_raw), int(cur_doc))
+        q, df = self.prepare(query, minimum_should_match, None)
         ids_all: list[np.ndarray] = []
         scores_all: list[np.ndarray] = []
         ords: list[np.ndarray] = []
         for ci, m in enumerate(self.members):
-            t = m.search_prepared(q, k, df_override=df)
+            qi = q
+            if sa_member is not None:
+                if ci < cur_ord:
+                    aid = self._MAX_DOCID
+                elif ci == cur_ord:
+                    aid = int(cur_doc)
+                else:
+                    aid = -1
+                qi = dataclasses.replace(
+                    q,
+                    search_after=(
+                        float(bm25.round_half_up(sa_member[0], 9)),
+                        aid,
+                    ),
+                )
+            t = m.search_prepared(qi, k, df_override=df)
             ids_all.append(t["doc_id"].to_numpy(zero_copy_only=False))
             scores_all.append(t["score"].to_numpy(zero_copy_only=False))
             ords.append(np.full(t.num_rows, ci, dtype=np.int64))

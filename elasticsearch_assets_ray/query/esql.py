@@ -807,7 +807,9 @@ class Evaluator:
     no Ray dependency."""
 
     def __init__(self):
-        self._match_cache: dict[tuple, tuple] = {}
+        #: (field, query, op) → analyzed token list (MATCH re-evaluates
+        #: per batch; the tokenization is shared)
+        self._match_cache: dict[tuple, list[str]] = {}
 
     def ev(self, node, batch: pa.Table):
         n = batch.num_rows
@@ -1028,7 +1030,12 @@ class Evaluator:
         op = "or"
         if len(node.args) > 2:
             op = str(node.args[2].val).lower()
-        qtoks = sorted(set(tokenize_text(query)))
+        ck = (field, query, op)
+        if ck in self._match_cache:
+            qtoks = self._match_cache[ck]
+        else:
+            qtoks = sorted(set(tokenize_text(query)))
+            self._match_cache[ck] = qtoks
         if not qtoks:
             return pa.array(np.zeros(batch.num_rows, dtype=bool))
         toks = tokenize_column(batch[field]).fill_null([])
@@ -1172,7 +1179,14 @@ def esql(
             import pyarrow.parquet as pq
 
             schema = pq.read_schema(base)
-            use = [c for c in schema.names if c in needed] or schema.names[:1]
+            # prune ONLY when the output schema is bounded by a STATS or
+            # KEEP downstream; a bare `FROM t | WHERE ...` returns full
+            # rows (the ES|QL output contract), so every column must load
+            bounded = any(isinstance(c, (Stats, Keep)) for c in body)
+            if bounded:
+                use = [c for c in schema.names if c in needed] or schema.names[:1]
+            else:
+                use = list(schema.names)
             ds = ray.data.read_parquet(base, columns=use)
             cols = list(use)
         else:
@@ -1208,17 +1222,32 @@ def _run_pipe(
     pending_sort: Sort | None = None
     explicit_limit = False
 
-    def flush_sort(limit_n: int | None):
+    def flush_sort(limit_n: int | None, terminal: bool = True):
         nonlocal ds, pending_sort
         if pending_sort is None:
             if limit_n is not None:
                 ds = ds.limit(limit_n)
             return
-        k = limit_n if limit_n is not None else IMPLICIT_LIMIT
         keys = [(s.col, s.order) for s in pending_sort.keys]
         placements = {s.nulls for s in pending_sort.keys if s.nulls is not None}
         if len(placements) > 1:
             raise ESQLSyntaxError("mixed NULLS FIRST/LAST not supported")
+        if limit_n is None and not terminal:
+            # a SORT feeding further commands must not truncate — the
+            # implicit LIMIT is an END-of-query cap in ES|QL.  Full
+            # distributed sort (Ray Data all-to-all); block order is
+            # preserved by the downstream map stages.
+            if placements:
+                raise ESQLSyntaxError(
+                    "NULLS FIRST/LAST on a mid-pipe SORT not supported"
+                )
+            ds = ds.sort(
+                [s.col for s in pending_sort.keys],
+                descending=[s.order == "descending" for s in pending_sort.keys],
+            )
+            pending_sort = None
+            return
+        k = limit_n if limit_n is not None else IMPLICIT_LIMIT
         t = _topk_nulls(ds, keys, k, placements.pop() if placements else "at_end")
         ds = ray.data.from_arrow(t)
         pending_sort = None
@@ -1232,7 +1261,7 @@ def _run_pipe(
                 explicit_limit = True
                 i += 1
                 continue
-            flush_sort(None)
+            flush_sort(None, terminal=False)
         if isinstance(cmd, Where):
             ds = _apply_where(ds, cmd.e, evaluator)
         elif isinstance(cmd, Eval):
@@ -1465,7 +1494,13 @@ def _pushdown_match(cmds: list, spec: dict) -> list:
     for i, c in enumerate(cmds):
         if isinstance(c, Where):
             out.append(Where(rewrite(c.e)))
-        elif isinstance(c, (Eval, Sample)):  # don't change key identity
+        elif isinstance(c, Sample):  # key identity unchanged
+            out.append(c)
+        elif isinstance(c, Eval) and not any(
+            name in (spec["key"], spec["field"]) for name, _ in c.assigns
+        ):
+            # an EVAL that reassigns the key or the indexed field makes
+            # the index view stale — stop pushing past it
             out.append(c)
         else:
             out.extend(cmds[i:])
@@ -1694,7 +1729,6 @@ def _apply_stats(ds, st: Stats, evaluator: Evaluator, hint: int | None):
     if main_ds is not None:
         base = pa.concat_tables(list(main_ds.iter_batches(batch_format="pyarrow")))
     branch_tabs: dict[int, pa.Table] = {}
-    list_branches: set[int] = set()
     for i, a in branches:
         sel = keys + [f"__in{i}"]
         b_ds = prepped.map_batches(
@@ -1712,7 +1746,6 @@ def _apply_stats(ds, st: Stats, evaluator: Evaluator, hint: int | None):
             )
         elif a.func in ("VALUES", "TOP"):
             branch_tabs[i] = _per_key_collect(t, keys, f"__in{i}", a)
-            list_branches.add(i)
         else:  # MEDIAN / PERCENTILE — exact, from per-key (value, count)
             p = 50.0 if a.func == "MEDIAN" else float(a.p)
             branch_tabs[i] = _per_key_percentile(t, keys, f"__in{i}", a.out, p)
@@ -1722,26 +1755,27 @@ def _apply_stats(ds, st: Stats, evaluator: Evaluator, hint: int | None):
             allk.to_pandas().drop_duplicates(), preserve_index=False
         )
     for i, a in branches:
-        if i in list_branches:
-            # acero joins reject list payloads — align by key tuples
-            bt = branch_tabs[i]
-            mapping = dict(
-                zip(
-                    zip(*[bt[k].to_pylist() for k in keys]),
-                    bt[a.out].to_pylist(),
-                )
+        # align by key TUPLES, not an Acero join: SQL joins never equate
+        # null keys, but ES|QL's null group is a real bucket whose
+        # branch aggregates must land on it (None == None in dict keys);
+        # list payloads (VALUES/TOP) are unjoinable in Acero anyway
+        bt = branch_tabs[i]
+        mapping = dict(
+            zip(
+                zip(*[bt[k].to_pylist() for k in keys]),
+                bt[a.out].to_pylist(),
             )
-            base_keys = zip(*[base[k].to_pylist() for k in keys])
-            vals = [mapping.get(kt) for kt in base_keys]
+        )
+        base_keys = zip(*[base[k].to_pylist() for k in keys])
+        vals = [mapping.get(kt) for kt in base_keys]
+        if a.func == "COUNT_DISTINCT":
+            # count(distinct) of an all-null group is 0, not null
+            base = base.append_column(
+                a.out, pa.array([v if v is not None else 0 for v in vals], pa.int64())
+            )
+        else:
             base = base.append_column(
                 a.out, pa.array(vals, bt.schema.field(a.out).type)
-            )
-            continue
-        base = base.join(branch_tabs[i], keys=keys, join_type="left outer")
-        if a.func == "COUNT_DISTINCT":
-            idx = base.column_names.index(a.out)
-            base = base.set_column(
-                idx, a.out, pc.fill_null(pc.cast(base[a.out], pa.int64()), 0)
             )
     final = _finalize_stats(base, keys, st, finalizers, synthetic_all)
     import ray.data as rd
@@ -1835,8 +1869,11 @@ def _per_key_collect(
 
 
 def _key_group_bounds(t: pa.Table, keys: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """(starts, ends) of maximal equal-key runs in a key-sorted table."""
-    key_arrs = [t[k].to_numpy(zero_copy_only=False) for k in keys]
+    """(starts, ends) of maximal equal-key runs in a key-sorted table.
+    Object arrays (to_pylist), not to_numpy: null keys become None and
+    None == None, whereas numeric nulls would surface as NaN and NaN !=
+    NaN would fragment the null group into singleton runs."""
+    key_arrs = [np.array(t[k].to_pylist(), dtype=object) for k in keys]
     if key_arrs and t.num_rows:
         change = np.zeros(t.num_rows, dtype=bool)
         change[0] = True

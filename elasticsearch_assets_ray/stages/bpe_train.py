@@ -53,15 +53,10 @@ def word_freqs(ds, content_col: str = "text"):
     """(word, count) over the canonical kept-token stream — one
     combiner-first shuffle; returns a Dataset of partial-combined rows."""
     from elasticsearch_assets_ray.stages.relational import AggSpec, partial_agg
-    from elasticsearch_assets_ray.stages.tokenizer import MAX_TOKEN_LEN, tokenize_column
+    from elasticsearch_assets_ray.stages.tokenizer import kept_token_stream, tokenize_column
 
     def words(batch: pa.Table) -> pa.Table:
-        toks = tokenize_column(batch[content_col]).fill_null([])
-        flat = toks.values
-        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-        keep = (lens > 0) & (lens <= MAX_TOKEN_LEN)
-        if not keep.all():
-            flat = flat.filter(pa.array(keep))
+        flat, _ = kept_token_stream(tokenize_column(batch[content_col]))
         return pa.table({"word": flat})
 
     tokens = ds.map_batches(words, batch_format="pyarrow")
@@ -194,18 +189,22 @@ def bpe_encode_counts(ds, merges: list[tuple[str, str]], content_col: str = "tex
     ranks = {m: i for i, m in enumerate(merges)}
 
     def run(batch: pa.Table) -> pa.Table:
-        from elasticsearch_assets_ray.stages.tokenizer import tokenize_column
+        from elasticsearch_assets_ray.stages.tokenizer import (
+            kept_token_stream,
+            tokenize_column,
+        )
 
-        toks = tokenize_column(batch[content_col]).fill_null([])
-        flat = toks.values
-        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # the SAME kept-token stream the dictionary was trained on —
+        # empties / over-long tokens contribute no pieces
+        flat, doc_idx = kept_token_stream(tokenize_column(batch[content_col]))
+        n_docs = batch.num_rows
         uniq, inv = np.unique(np.asarray(flat.to_pylist(), dtype=object), return_inverse=True)
         piece_counts = np.asarray(
             [len(bpe_encode_word(w, ranks)) for w in uniq], dtype=np.int64
         )
         per_tok = piece_counts[inv] if inv.size else np.empty(0, np.int64)
-        cums = np.concatenate([[0], np.cumsum(per_tok)])
-        n_pieces = cums[off[1:]] - cums[off[:-1]]
+        n_pieces = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_pieces, doc_idx, per_tok)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

@@ -27,7 +27,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from elasticsearch_assets_ray.stages.tokenizer import MAX_TOKEN_LEN, tokenize_column
+from elasticsearch_assets_ray.stages.tokenizer import kept_token_stream, tokenize_column
 
 
 def chunk_batch(
@@ -54,15 +54,7 @@ def chunk_batch(
     )
     if n_docs == 0:
         return empty
-    toks = toks.fill_null([])
-    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = toks.values
-    doc_idx_all = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
-    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-    keep = (lens > 0) & (lens <= MAX_TOKEN_LEN)
-    if not keep.all():
-        flat = flat.filter(pa.array(keep))
-        doc_idx_all = doc_idx_all[keep]
+    flat, doc_idx_all = kept_token_stream(toks)
     n = np.bincount(doc_idx_all, minlength=n_docs).astype(np.int64)
     doc_start = np.concatenate(([0], np.cumsum(n[:-1])))
 

@@ -72,6 +72,26 @@ class TokenizedBatch:
     pos_off: np.ndarray | None = None  # int64 offsets per pair
 
 
+def kept_token_stream(toks: pa.ListArray) -> tuple[pa.Array, np.ndarray]:
+    """Flatten a :func:`tokenize_column` result into the canonical KEPT
+    token stream: (flat tokens, per-token doc index) with empties and
+    over-long tokens dropped (analysis-chain step 4) — the ONE
+    implementation every batch-level consumer of the token stream shares
+    (index build, chunking, BPE training)."""
+    toks = toks.fill_null([])
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values  # StringArray of all tokens incl. empties
+    doc_idx_all = np.repeat(
+        np.arange(offsets.size - 1, dtype=np.int64), np.diff(offsets)
+    )
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    keep = (lens > 0) & (lens <= MAX_TOKEN_LEN)
+    if not keep.all():
+        flat = flat.filter(pa.array(keep))
+        doc_idx_all = doc_idx_all[keep]
+    return flat, doc_idx_all
+
+
 def tokenize_column(col: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Vectorized steps 1-3 → list<string> (may contain empty tokens)."""
     if isinstance(col, pa.ChunkedArray):
@@ -107,19 +127,7 @@ def doc_term_freqs(
     if n_docs == 0:
         return _empty(np.empty(0, dtype=np.int64))
 
-    # flatten with per-token doc index
-    toks = toks.fill_null([])
-    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = toks.values  # StringArray of all tokens incl. empties
-    doc_idx_all = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
-
-    # step 4: drop empties and over-long tokens (vectorized length mask)
-    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
-    keep = (lens > 0) & (lens <= MAX_TOKEN_LEN)
-    if not keep.all():
-        keep_arr = pa.array(keep)
-        flat = flat.filter(keep_arr)
-        doc_idx_all = doc_idx_all[keep]
+    flat, doc_idx_all = kept_token_stream(toks)
 
     if analyzer is not None and analyzer.filters and len(flat) > 0:
         # token-filter chain (stages/analysis.py): transform the batch's

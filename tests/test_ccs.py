@@ -120,19 +120,19 @@ def test_ccs_union_expansion_matches_union_dict(ccs_env):
         ccs._expander.expand_prefix("s", max_expansions=n_union - 1)
 
 
-def test_ccs_search_after_pages(ccs_env):
-    ccs, single = ccs_env
-    p1 = ccs.search("def load index", k=5)
+@pytest.mark.parametrize("q", ["def load index", "spark merge table", "+def +index"])
+def test_ccs_search_after_pages_exact(ccs_env, q):
+    # two pages through the (score, cluster, doc_id) cursor must equal
+    # one k=10 page EXACTLY — no duplicated and no skipped rows even
+    # across cross-cluster score ties (the cursor carries the cluster)
+    ccs, _ = ccs_env
+    p1 = ccs.search(q, k=5)
     cursor = (
         float(p1["score"][4].as_py()),
+        p1["cluster"][4].as_py(),
         int(p1["doc_id"][4].as_py()),
     )
-    # paging within CCS is per the merged (score, docid) cursor of the
-    # LAST row; the next page must not repeat any (cluster, doc) pair
-    p2 = ccs.search("def load index", k=5, search_after=cursor)
-    seen = set(zip(p1["cluster"].to_pylist(), p1["doc_id"].to_pylist()))
-    nxt = set(zip(p2["cluster"].to_pylist(), p2["doc_id"].to_pylist()))
-    assert not (seen & nxt)
-    s1 = p1["score"].to_numpy(zero_copy_only=False)
-    s2 = p2["score"].to_numpy(zero_copy_only=False)
-    assert s2.max() <= s1.min() + 1e-12
+    p2 = ccs.search(q, k=5, search_after=cursor)
+    both = pa.concat_tables([p1, p2])
+    full = ccs.search(q, k=10)
+    assert both.to_pydict() == full.to_pydict()

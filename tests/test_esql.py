@@ -237,6 +237,54 @@ def test_match_pushdown_parity(ray_session, sf_dir, tables):
     assert int(_run(q2, tables, indexes=idx)["n"][0]) == int(_run(q2, tables)["n"][0])
 
 
+def test_review_fixes_sort_prune_nullkeys_pushdown(ray_session, sf_dir, tables):
+    import ray
+
+    from elasticsearch_assets_ray.pipelines.registry import documents_index
+
+    # (1) mid-pipe SORT must not truncate to the implicit limit
+    n = 2500
+    t = pa.table(
+        {
+            "x": pa.array(list(range(n)), pa.int64()),
+            "y": pa.array([i % 2 for i in range(n)], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = esql("FROM t | SORT x DESC | WHERE y == 1 | STATS c = COUNT(*)", {"t": ds}).to_pandas()
+    assert int(out["c"][0]) == n // 2  # a mid-pipe top-1000 would give 500
+    # (2) unbounded output keeps ALL table columns under a parquet FROM
+    full = _run("FROM documents | WHERE lang == \"en\" | LIMIT 3", tables)
+    import pyarrow.parquet as pq
+
+    assert set(full.columns) == set(pq.read_schema(f"{sf_dir}/documents.parquet").names)
+    # (3) STATS BY a null-bearing key: branch aggregates land on the
+    # null bucket (a SQL join would never match it)
+    t2 = pa.table(
+        {
+            "k": pa.array(["a", "a", None, None], pa.string()),
+            "v": pa.array([1, 3, 10, 30], pa.int64()),
+            "u": pa.array([7, 8, 9, 9], pa.int64()),
+        }
+    )
+    st = esql(
+        "FROM t | STATS d = COUNT_DISTINCT(u), m = MEDIAN(v) BY k | SORT k",
+        {"t": ray.data.from_arrow(t2)},
+    ).to_pandas()
+    nullrow = st[st["k"].isna()].iloc[0]
+    assert int(nullrow["d"]) == 1 and float(nullrow["m"]) == 20.0
+    # (4) an EVAL reassigning the indexed field stops MATCH pushdown —
+    # both paths agree on the REWRITTEN text
+    idx = {"documents": {"dir": documents_index(sf_dir), "field": "text", "key": "doc_id"}}
+    q = """FROM documents
+| EVAL text = CONCAT(text, " zzyzzx")
+| WHERE MATCH(text, "zzyzzx")
+| STATS c = COUNT(*)"""
+    a = int(_run(q, tables)["c"][0])
+    b = int(_run(q, tables, indexes=idx)["c"][0])
+    assert a == b > 0  # pushdown would return 0 (index has no zzyzzx)
+
+
 def test_parser_errors():
     with pytest.raises(ESQLSyntaxError):
         _Parser("WHERE x == 1").parse()  # must start with FROM/ROW
