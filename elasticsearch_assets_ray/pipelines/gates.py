@@ -778,6 +778,8 @@ def g_agg_suite(sf_dir: str) -> pa.Table:
     tabs.append(_proj("esql_fork", ef, "value", "count", "metric_r"))
     e2 = _to_table(R.QUERIES["esql_stats2"](sf_dir))
     tabs.append(_proj("esql_stats2", e2, "value", "count", "metric_r"))
+    ei = _to_table(R.QUERIES["esql_inline"](sf_dir))
+    tabs.append(_proj("esql_inline", ei, "value", "count", "metric_r"))
     # pipeline aggs: the part column is its own sub-discriminator
     pl = _to_table(R.QUERIES["pipeline_daily"](sf_dir))
     tag = pc.binary_join_element_wise(
@@ -829,6 +831,7 @@ AGG_SUITE_SQL_PARTS = [
     ("bpe_pairs", "value, count, metric_r", "bpe_pairs"),
     ("esql_fork", "value, count, metric_r", "esql_fork"),
     ("esql_stats2", "value, count, metric_r", "esql_stats2"),
+    ("esql_inline", "value, count, metric_r", "esql_inline"),
     ("date_range", "value, count, metric_r", "date_range_agg"),
     ("geohash", "geohash AS value, count, 0.0 AS metric_r", "geohash_grid"),
     ("rare", "value, count, 0.0 AS metric_r", "rare_terms"),

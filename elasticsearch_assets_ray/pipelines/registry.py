@@ -5040,6 +5040,28 @@ def q_esql_stats2(sf_dir: str):
     return esql(ESQL_STATS2, _esql_tables(sf_dir), stats_hint=8)
 
 
+ESQL_INLINE = """FROM events
+| WHERE value IS NOT NULL
+| EVAL vc = TO_LONG(ROUND(value * 100))
+| INLINESTATS gn = COUNT(*), gsum = SUM(vc) BY event_type
+| WHERE vc * gn > gsum
+| STATS count = COUNT(*) BY event_type
+| RENAME event_type AS value
+| EVAL metric_r = 0.0
+| KEEP value, count, metric_r
+| SORT value"""
+
+
+def q_esql_inline(sf_dir: str):
+    """ES|QL INLINESTATS (the window-function analog): per-type count
+    and cents-sum joined back onto every event row without collapsing,
+    then an integer-exact above-group-average filter (vc·gn > gsum —
+    no float division anywhere)."""
+    from elasticsearch_assets_ray.query.esql import esql
+
+    return esql(ESQL_INLINE, _esql_tables(sf_dir), stats_hint=8)
+
+
 _BPE_TOP_PAIRS = 30
 
 
@@ -8409,6 +8431,15 @@ ORACLES["esql_stats2"] = (
     "round(g.sd + g.wa, 6) AS metric_r "
     "FROM g JOIN t ON g.event_type = t.event_type"
 )
+ORACLES["esql_inline"] = (
+    "WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc "
+    " FROM events WHERE value IS NOT NULL), "
+    "g AS (SELECT event_type, count(*)::BIGINT AS gn, sum(vc)::BIGINT AS gsum "
+    " FROM b GROUP BY event_type) "
+    "SELECT b.event_type AS value, count(*)::BIGINT AS count, 0.0 AS metric_r "
+    "FROM b JOIN g USING (event_type) WHERE b.vc * g.gn > g.gsum "
+    "GROUP BY b.event_type"
+)
 ORACLES["esql_fork"] = (
     "WITH u AS ("
     " SELECT 'fork1' AS f, lang FROM documents "
@@ -8638,6 +8669,7 @@ QUERIES = {
     "esql_mv": q_esql_mv,
     "esql_fork": q_esql_fork,
     "esql_stats2": q_esql_stats2,
+    "esql_inline": q_esql_inline,
     "bpe_pairs": q_bpe_pairs,
     "tpch_q6": q_tpch_q6,
     "tpch_q3": q_tpch_q3,

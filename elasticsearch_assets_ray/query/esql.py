@@ -78,6 +78,7 @@ _KEYWORDS = {
     "OR", "NOT", "IN", "LIKE", "RLIKE", "IS", "NULL", "TRUE", "FALSE",
     "LOOKUP", "JOIN", "ON", "METADATA", "DISSECT", "GROK", "MV_EXPAND",
     "FORK", "ENRICH", "WITH", "SAMPLE", "SEED", "CHANGE_POINT",
+    "INLINESTATS",
 }
 
 _DURATION_UNITS = {
@@ -258,6 +259,11 @@ class Stats:
 
 
 @dataclass(frozen=True)
+class InlineStats:
+    stats: Stats
+
+
+@dataclass(frozen=True)
 class SortKey:
     col: str
     order: str  # ascending / descending
@@ -404,6 +410,15 @@ class _Parser:
             return Eval(tuple(self.parse_assign_list()))
         if t.val == "STATS":
             return self.parse_stats()
+        if t.val == "INLINESTATS":
+            st = self.parse_stats()
+            for name, e in st.by:
+                if not (isinstance(e, Col) and e.name == name):
+                    raise ESQLSyntaxError(
+                        "INLINESTATS BY supports plain columns (EVAL the "
+                        "expression first)"
+                    )
+            return InlineStats(st)
         if t.val == "SORT":
             return self.parse_sort()
         if t.val == "LIMIT":
@@ -881,6 +896,9 @@ class Evaluator:
         n = batch.num_rows
         if name == "MATCH":
             return self._match(node, batch)
+        if name.startswith("MV_"):
+            ev = [self.ev(a, batch) for a in args]
+            return _mv_func(name, ev, n)
         if name == "CASE":
             return self._case(args, batch)
         if name == "DATE_TRUNC":
@@ -1052,6 +1070,72 @@ class Evaluator:
         return pa.array(acc)
 
 
+def _mv_func(name: str, ev: list, n: int):
+    """ES|QL MV_* multivalue functions over list columns (a non-list
+    input is ES's single-value multivalue: COUNT=1, FIRST/LAST/MIN/MAX/
+    SUM/AVG = identity).  Per-list reductions are offset arithmetic +
+    np reduceat — no Python loop over rows; empty/null lists → null."""
+    v = ev[0]
+    v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+    if not (_arr(v) and pa.types.is_list(v.type)):
+        if name == "MV_COUNT":
+            a = _as_array(v, n)
+            return pc.if_else(
+                pc.is_valid(a), pa.scalar(1, pa.int64()), pa.nulls(n, pa.int64())
+            )
+        if name in ("MV_FIRST", "MV_LAST", "MV_MIN", "MV_MAX", "MV_SUM", "MV_AVG"):
+            return v
+        if name == "MV_JOIN":
+            return pc.cast(_as_array(v, n), pa.string())
+        raise ESQLSyntaxError(f"unknown function {name}")
+    lst = v.fill_null([])
+    null_in = pc.is_null(v).to_numpy(zero_copy_only=False)
+    off = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(off)
+    empty = (lens == 0) | null_in
+    if name == "MV_COUNT":
+        out = lens.astype(np.int64)
+        return pa.array(out, mask=empty)
+    if name == "MV_JOIN":
+        delim = str(ev[1]) if len(ev) > 1 else ","
+        slst = lst if pa.types.is_string(lst.type.value_type) else pc.cast(
+            lst, pa.list_(pa.string())
+        )
+        joined = pc.binary_join(slst, pa.scalar(delim))
+        return pc.if_else(pa.array(~empty), joined, pa.nulls(len(lens), pa.string()))
+    if name in ("MV_FIRST", "MV_LAST"):
+        pos = off[:-1] if name == "MV_FIRST" else np.maximum(off[1:] - 1, 0)
+        pos = np.where(empty, 0, pos)
+        if len(lst.values) == 0:
+            return pa.nulls(len(lens), lst.type.value_type)
+        picked = lst.values.take(pa.array(pos, pa.int64()))
+        return pc.if_else(pa.array(~empty), picked, pa.nulls(len(lens), picked.type))
+    # numeric reductions
+    vals = lst.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    nonempty = ~empty
+    out = np.full(len(lens), np.nan)
+    if vals.size and nonempty.any():
+        starts = off[:-1][nonempty]
+        if name == "MV_SUM":
+            out[nonempty] = np.add.reduceat(vals, starts)
+        elif name == "MV_AVG":
+            out[nonempty] = np.add.reduceat(vals, starts) / lens[nonempty]
+        elif name == "MV_MIN":
+            out[nonempty] = np.minimum.reduceat(vals, starts)
+        elif name == "MV_MAX":
+            out[nonempty] = np.maximum.reduceat(vals, starts)
+        else:
+            raise ESQLSyntaxError(f"unknown function {name}")
+    elif name not in ("MV_SUM", "MV_AVG", "MV_MIN", "MV_MAX"):
+        raise ESQLSyntaxError(f"unknown function {name}")
+    res = pa.array(out, mask=empty)
+    if name in ("MV_SUM", "MV_MIN", "MV_MAX") and pa.types.is_integer(
+        lst.type.value_type
+    ):
+        return pc.cast(res, pa.int64(), safe=False)
+    return res
+
+
 def _segment_any(mask: np.ndarray, off: np.ndarray) -> np.ndarray:
     """any(mask) per list segment given list offsets (empty → False)."""
     n = off.size - 1
@@ -1096,13 +1180,14 @@ def referenced_columns(cmds: list) -> set[str]:
         elif isinstance(c, (Eval, Row)):
             for _, e in c.assigns:
                 _expr_cols(e, cols)
-        elif isinstance(c, Stats):
-            for a in c.aggs:
+        elif isinstance(c, (Stats, InlineStats)):
+            st = c.stats if isinstance(c, InlineStats) else c
+            for a in st.aggs:
                 if not isinstance(a.arg, Star):
                     _expr_cols(a.arg, cols)
                 if a.arg2 is not None:
                     _expr_cols(a.arg2, cols)
-            for _, e in c.by:
+            for _, e in st.by:
                 _expr_cols(e, cols)
         elif isinstance(c, Sort):
             cols.update(k.col for k in c.keys)
@@ -1271,6 +1356,8 @@ def _run_pipe(
                     cols.append(name)
         elif isinstance(cmd, Stats):
             ds, cols = _apply_stats(ds, cmd, evaluator, stats_hint)
+        elif isinstance(cmd, InlineStats):
+            ds, cols = _apply_inline_stats(ds, cols, cmd.stats, evaluator, stats_hint)
         elif isinstance(cmd, Sort):
             pending_sort = cmd
         elif isinstance(cmd, Limit):
@@ -1616,6 +1703,50 @@ def _apply_mv_expand(ds, col: str):
         return pa.table({c: out[c] for c in batch.column_names})
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _apply_inline_stats(
+    ds, cols: list[str], st: Stats, evaluator: Evaluator, hint: int | None
+):
+    """INLINESTATS: compute the (bounded) bucket table like STATS, then
+    broadcast-join it back onto the stream — every row gains its group's
+    aggregates without collapsing (the ES|QL window-function analog).
+    The aggregation pass re-executes the shared upstream lineage once."""
+    agg_ds, _ = _apply_stats(ds, st, evaluator, hint)
+    buckets = pa.concat_tables(list(agg_ds.iter_batches(batch_format="pyarrow")))
+    new_cols = [a.out for a in st.aggs]
+    if not st.by:
+        # global aggregates: append as constants
+        scalars = {a.out: buckets[a.out][0].as_py() for a in st.aggs}
+
+        def add_const(batch: pa.Table) -> pa.Table:
+            for name, v in scalars.items():
+                batch = batch.append_column(name, pa.array([v] * batch.num_rows))
+            return batch
+
+        return ds.map_batches(add_const, batch_format="pyarrow"), cols + new_cols
+    keys = [k for k, _ in st.by]
+    # per-batch index_in lookup, NOT an Acero join: the stream may carry
+    # list columns (Acero rejects list non-key fields) and index_in also
+    # matches null keys positionally via the combined string key
+    def keyed(t: pa.Table, src) -> pa.Array:
+        k = pc.cast(src(keys[0]), pa.string()).fill_null("\x00null")
+        for kn in keys[1:]:
+            k = pc.binary_join_element_wise(
+                k, pc.cast(src(kn), pa.string()).fill_null("\x00null"), "\x1f"
+            )
+        return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+    bucket_key = keyed(buckets, lambda kn: buckets[kn])
+    agg_cols = {a.out: buckets[a.out].combine_chunks() for a in st.aggs}
+
+    def add(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(keyed(batch, lambda kn: batch[kn]), value_set=bucket_key)
+        for name, colv in agg_cols.items():
+            batch = batch.append_column(name, colv.take(idx))
+        return batch
+
+    return ds.map_batches(add, batch_format="pyarrow"), cols + new_cols
 
 
 def _apply_stats(ds, st: Stats, evaluator: Evaluator, hint: int | None):

@@ -285,6 +285,48 @@ def test_review_fixes_sort_prune_nullkeys_pushdown(ray_session, sf_dir, tables):
     assert a == b > 0  # pushdown would return 0 (index has no zzyzzx)
 
 
+def test_mv_functions_and_inlinestats(ray_session):
+    import ray
+
+    t = pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "g": pa.array(["a", "a", "b", "b"], pa.string()),
+            "v": pa.array([10, 30, 5, None], pa.int64()),
+            "lst": pa.array(
+                [[3, 1, 2], [], None, [7]], pa.list_(pa.int64())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = esql(
+        "FROM t | EVAL c = MV_COUNT(lst), s = MV_SUM(lst), mn = MV_MIN(lst), "
+        'mx = MV_MAX(lst), av = MV_AVG(lst), f = MV_FIRST(lst), l = MV_LAST(lst), '
+        'j = MV_JOIN(lst, "-") | KEEP id, c, s, mn, mx, av, f, l, j | SORT id',
+        {"t": ds},
+    ).to_pandas()
+    assert out["c"].tolist()[0] == 3 and all(np.isnan(x) for x in out["c"][1:3])
+    assert out["s"].tolist()[0] == 6 and out["s"].tolist()[3] == 7
+    assert out["mn"][0] == 1 and out["mx"][0] == 3 and out["av"][0] == 2.0
+    assert out["f"][0] == 3 and out["l"][0] == 2
+    assert out["j"][0] == "3-1-2" and out["j"][3] == "7"
+    # INLINESTATS: per-group aggregates joined back without collapsing
+    st = esql(
+        "FROM t | INLINESTATS gs = SUM(v), gn = COUNT(v) BY g | SORT id "
+        "| KEEP id, g, v, gs, gn",
+        {"t": ds},
+    ).to_pandas()
+    assert len(st) == 4
+    assert st["gs"].tolist() == [40, 40, 5, 5]
+    assert st["gn"].tolist() == [2, 2, 1, 1]
+    # global INLINESTATS appends constants
+    g = esql(
+        "FROM t | INLINESTATS tot = SUM(v) | KEEP id, tot | SORT id",
+        {"t": ds},
+    ).to_pandas()
+    assert g["tot"].tolist() == [45, 45, 45, 45]
+
+
 def test_parser_errors():
     with pytest.raises(ESQLSyntaxError):
         _Parser("WHERE x == 1").parse()  # must start with FROM/ROW
