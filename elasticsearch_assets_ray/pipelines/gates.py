@@ -1028,7 +1028,11 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     )
 
     gates["revenue_by_segment"] = _union(
-        [("rel", "revenue_by_segment"), ("esql", "esql_revenue")],
+        [
+            ("rel", "revenue_by_segment"),
+            ("esql", "esql_revenue"),
+            ("q5", "tpch_q5"),
+        ],
         ["c_mktsegment", "revenue", "n_orders"],
         casts={"n_orders": pa.int64(), "revenue": pa.float64()},
     )
@@ -1036,6 +1040,7 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
         [
             ("rel", None, "revenue_by_segment"),
             ("esql", None, "esql_revenue"),
+            ("q5", None, "tpch_q5"),
         ],
         "c_mktsegment, revenue, n_orders",
     )

@@ -1045,6 +1045,119 @@ def q_tpch_q3(sf_dir: str):
     )
 
 
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape over the full dimension chain: revenue per
+    (region, supplier nation) for one order-date year.  Scale shape:
+    supplier→nation→region collapses to ONE broadcast int map
+    (suppkey → nation ordinal; dimensions are small by definition);
+    lineitem pre-aggregates per-BATCH (orderkey, nation) revenue-cents
+    partials; the ONLY big-big exchange is the hash-partitioned join of
+    those partials against the date-filtered orders keys (combine AFTER
+    the join, NULL-key sentinels — the q3 contract); the final
+    per-nation combine is a bounded partial_agg."""
+    from elasticsearch_assets_ray.stages.relational import _partial_batch
+
+    sup = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(_p(sf_dir, "nation"))
+    reg = pq.read_table(_p(sf_dir, "region"))
+    nmap = dict(
+        zip(nat["n_nationkey"].to_pylist(), zip(nat["n_name"].to_pylist(), nat["n_regionkey"].to_pylist()))
+    )
+    rmap = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    skey = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    snat = sup["s_nationkey"].to_numpy(zero_copy_only=False)
+    order_ = np.argsort(skey)
+    skey_sorted, snat_sorted = skey[order_], snat[order_]
+    supref = ray.put((skey_sorted, snat_sorted))
+
+    orders = ray.data.read_parquet(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderdate"],
+        filter=(
+            (pc.field("o_orderdate") >= datetime(1996, 1, 1))
+            & (pc.field("o_orderdate") < datetime(1997, 1, 1))
+        ),
+    )
+
+    def okeys(b: pa.Table) -> pa.Table:
+        out = pa.table({"o_orderkey": b["o_orderkey"]})
+        if out.num_rows == 0:
+            return pa.table({"o_orderkey": pa.array([None], pa.int64())})
+        return out
+
+    orders_k = orders.map_batches(okeys, batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    aggs = [AggSpec("rev", "rc", "sum"), AggSpec("n", "rc", "count")]
+
+    def lpart(b: pa.Table) -> pa.Table:
+        sk, sn = ray.get(supref)
+        pos = np.searchsorted(sk, b["l_suppkey"].to_numpy(zero_copy_only=False))
+        pos = np.clip(pos, 0, sk.size - 1)
+        nkey = sn[pos]
+        cents = pc.cast(
+            pc.round(pc.multiply(b["l_extendedprice"], pa.scalar(100.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        myr = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], pa.scalar(10000.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        rc = pc.multiply_checked(cents, pc.subtract(pa.scalar(10000, pa.int64()), myr))
+        t = pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "nkey": pa.array(nkey, pa.int64()),
+                "rc": rc,
+            }
+        )
+        p = _partial_batch(t, ["l_orderkey", "nkey"], aggs)
+        if p.num_rows == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([None], pa.int64()),
+                    "nkey": pa.array([0], pa.int64()),
+                    "p_rev": pa.array([0], pa.int64()),
+                    "p_n": pa.array([0], pa.int64()),
+                }
+            )
+        return p
+
+    li_parts = li.map_batches(lpart, batch_format="pyarrow")
+    joined = orders_k.join(
+        li_parts,
+        join_type="inner",
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+        num_partitions=8,
+    )
+    combined = _collect(
+        partial_agg(
+            joined,
+            ["nkey"],
+            [AggSpec("rev_c", "p_rev", "sum"), AggSpec("n_orders", "p_n", "sum")],
+            distinct_hint=64,  # nations
+        )
+    )
+    nk = combined["nkey"].to_pylist()
+    labels = [f"{rmap[nmap[k][1]]}:{nmap[k][0]}" for k in nk]
+    out = pa.table(
+        {
+            "c_mktsegment": pa.array(labels, pa.string()),
+            "revenue": pc.divide(
+                pc.cast(combined["rev_c"], pa.float64()), pa.scalar(1_000_000.0)
+            ),
+            "n_orders": combined["n_orders"].combine_chunks().cast(pa.int64()),
+        }
+    )
+    return out.take(pc.sort_indices(out, sort_keys=[("c_mktsegment", "ascending")]))
+
+
 def q_top_orders(sf_dir: str):
     ds = _rd(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     return topk(ds, [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 10)
@@ -8448,6 +8561,19 @@ ORACLES["esql_fork"] = (
     "SELECT f || ':' || lang AS value, count(*)::BIGINT AS count, "
     "0.0 AS metric_r FROM u GROUP BY f, lang"
 )
+ORACLES["tpch_q5"] = (
+    "SELECT r_name || ':' || n_name AS c_mktsegment, "
+    "sum(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+    " (10000 - CAST(round(l_discount * 10000) AS BIGINT))) / 1000000.0 AS revenue, "
+    "count(*)::BIGINT AS n_orders "
+    "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY r_name, n_name"
+)
 ORACLES["bpe_pairs"] = (
     f"WITH tok AS (SELECT unnest({_TOK}) AS word FROM documents), "
     "wf AS (SELECT word, count(*)::BIGINT AS c FROM tok "
@@ -8673,6 +8799,7 @@ QUERIES = {
     "bpe_pairs": q_bpe_pairs,
     "tpch_q6": q_tpch_q6,
     "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "media_decode": q_media_decode,

@@ -209,3 +209,26 @@ def test_tpch_q3_oracle_parity(ray_session, sf_dir):
     # revenue is descending with orderkey tie-break
     rv = got["revenue"].to_numpy()
     assert (rv[:-1] >= rv[1:]).all()
+
+
+def test_tpch_q5_oracle_parity(ray_session, sf_dir):
+    import duckdb
+
+    from elasticsearch_assets_ray.pipelines import registry as R
+
+    got = R.QUERIES["tpch_q5"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    for t in ("region", "nation", "supplier", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = (
+        con.sql(R.ORACLES["tpch_q5"]).df()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    assert got["c_mktsegment"].tolist() == want["c_mktsegment"].tolist()
+    np.testing.assert_array_equal(
+        got["revenue"].to_numpy(), want["revenue"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        got["n_orders"].to_numpy(), want["n_orders"].to_numpy()
+    )
