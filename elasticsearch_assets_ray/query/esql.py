@@ -492,11 +492,30 @@ class _Parser:
         raise ESQLSyntaxError(f"unknown command {t.val} at {t.pos}")
 
     def parse_ident_list(self) -> list[str]:
-        out = [self.expect("IDENT").val]
+        out = [self._ident_or_pattern()]
         while self.at_op(","):
             self.next()
-            out.append(self.expect("IDENT").val)
+            out.append(self._ident_or_pattern())
         return out
+
+    def _ident_or_pattern(self) -> str:
+        """IDENT, optionally a trailing-star pattern (`lang*`) or a bare
+        `*` — the ES|QL KEEP/DROP wildcard subset.  The lexer splits
+        `a*` into IDENT + OP, so adjacency (token positions touch)
+        distinguishes a pattern from multiplication."""
+        if self.at_op("*"):
+            self.next()
+            return "*"
+        t = self.expect("IDENT")
+        nxt = self.peek()
+        if (
+            nxt.kind == "OP"
+            and nxt.val == "*"
+            and nxt.pos == t.pos + len(str(t.val))
+        ):
+            self.next()
+            return str(t.val) + "*"
+        return str(t.val)
 
     def parse_assign_list(self) -> list[tuple[str, Any]]:
         out = []
@@ -1192,7 +1211,7 @@ def referenced_columns(cmds: list) -> set[str]:
         elif isinstance(c, Sort):
             cols.update(k.col for k in c.keys)
         elif isinstance(c, Keep):
-            cols.update(c.cols)
+            cols.update(e for e in c.cols if not e.endswith("*"))
         elif isinstance(c, Rename):
             cols.update(o for o, _ in c.pairs)
         elif isinstance(c, LookupJoin):
@@ -1265,9 +1284,15 @@ def esql(
 
             schema = pq.read_schema(base)
             # prune ONLY when the output schema is bounded by a STATS or
-            # KEEP downstream; a bare `FROM t | WHERE ...` returns full
-            # rows (the ES|QL output contract), so every column must load
-            bounded = any(isinstance(c, (Stats, Keep)) for c in body)
+            # a wildcard-free KEEP downstream; a bare `FROM t | WHERE
+            # ...` returns full rows (the ES|QL output contract) and a
+            # wildcard KEEP can only be expanded post-scan, so both read
+            # every column
+            bounded = any(
+                isinstance(c, Stats)
+                or (isinstance(c, Keep) and not any(e.endswith("*") for e in c.cols))
+                for c in body
+            )
             if bounded:
                 use = [c for c in schema.names if c in needed] or schema.names[:1]
             else:
@@ -1364,13 +1389,12 @@ def _run_pipe(
             ds = ds.limit(cmd.n)
             explicit_limit = True
         elif isinstance(cmd, Keep):
-            missing = [c for c in cmd.cols if c not in cols]
-            if missing:
-                raise KeyError(f"KEEP of unknown columns {missing}")
-            ds = ds.select_columns(list(cmd.cols))
-            cols = list(cmd.cols)
+            expanded = _expand_col_patterns(cmd.cols, cols, "KEEP")
+            ds = ds.select_columns(expanded)
+            cols = expanded
         elif isinstance(cmd, Drop):
-            keep = [c for c in cols if c not in cmd.cols]
+            dropped = set(_expand_col_patterns(cmd.cols, cols, "DROP"))
+            keep = [c for c in cols if c not in dropped]
             ds = ds.select_columns(keep)
             cols = keep
         elif isinstance(cmd, Rename):
@@ -1540,6 +1564,26 @@ def _apply_fork(
     ]
     out = aligned[0].union(*aligned[1:])
     return out, branch_cols[0] + ["_fork"]
+
+
+def _expand_col_patterns(entries: tuple, cols: list[str], what: str) -> list[str]:
+    """Expand KEEP/DROP entries against the tracked column list: exact
+    names must exist; `prefix*` / `*` patterns expand in current column
+    order (first occurrence wins on duplicates)."""
+    out: list[str] = []
+    for e in entries:
+        if e.endswith("*"):
+            pref = e[:-1]
+            matches = [c for c in cols if c.startswith(pref)]
+            out.extend(m for m in matches if m not in out)
+        else:
+            if e not in cols:
+                raise KeyError(f"{what} of unknown column {e!r}")
+            if e not in out:
+                out.append(e)
+    if not out:
+        raise ESQLSyntaxError(f"{what} matched no columns")
+    return out
 
 
 def _pushdown_match(cmds: list, spec: dict) -> list:

@@ -327,6 +327,23 @@ def test_mv_functions_and_inlinestats(ray_session):
     assert g["tot"].tolist() == [45, 45, 45, 45]
 
 
+def test_keep_drop_wildcards(ray_session, tables):
+    got = _run("FROM lineitem | KEEP l_orderkey, l_l* | LIMIT 3", tables)
+    assert got.columns.tolist() == [
+        "l_orderkey", "l_linenumber", "l_linestatus",
+    ]
+    d = _run("FROM lineitem | DROP l_s*, l_p*, l_c* | LIMIT 3", tables)
+    assert "l_suppkey" not in d.columns and "l_shipdate" not in d.columns
+    assert "l_orderkey" in d.columns
+    star = _run("FROM region | KEEP * | LIMIT 2", tables)
+    assert star.columns.tolist() == ["r_regionkey", "r_name"]
+    # `a * 2` is still multiplication (adjacency rule)
+    m = _run("FROM region | EVAL x = r_regionkey * 2 | KEEP r_regionkey, x | SORT r_regionkey", tables)
+    assert m["x"].tolist() == [2 * v for v in m["r_regionkey"]]
+    with pytest.raises(KeyError):
+        _run("FROM region | KEEP nope | LIMIT 1", tables)
+
+
 def test_parser_errors():
     with pytest.raises(ESQLSyntaxError):
         _Parser("WHERE x == 1").parse()  # must start with FROM/ROW
