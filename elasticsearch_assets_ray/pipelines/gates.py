@@ -1180,10 +1180,17 @@ def build_gates() -> tuple[dict[str, Callable[[str], Any]], dict[str, str]]:
     )
 
     gates["agg_suite"] = g_agg_suite
+    # Outer CAST: several arms return HUGEINT (SUM of int), INTEGER, or
+    # DECIMAL in DuckDB, while the engine emits int64/float64 — the driver's
+    # typed canonical hash diverges without a uniform BIGINT/DOUBLE
+    # projection (round-4 verdict item 1).
     oracles["agg_suite"] = (
-        _union_sql([(tag, sel, key) for tag, sel, key in AGG_SUITE_SQL_PARTS], "")
+        "SELECT gate, CAST(value AS VARCHAR) AS value, "
+        "CAST(count AS BIGINT) AS count, CAST(metric_r AS DOUBLE) AS metric_r "
+        "FROM ("
+        + _union_sql([(tag, sel, key) for tag, sel, key in AGG_SUITE_SQL_PARTS], "")
         + " UNION ALL SELECT 'pl:' || part AS gate, value, count, metric_r "
-        "FROM (" + R.ORACLES["pipeline_daily"] + ")"
+        "FROM (" + R.ORACLES["pipeline_daily"] + "))"
     )
 
     gates["scalar_probes"] = g_scalar_probes
