@@ -617,8 +617,34 @@ def bench_sharded_serving(index_dir: str, queries: list[str] | None = None) -> d
     }
 
 
+def _emit_record(record: dict, real_stdout, local_path: str | None) -> None:
+    """Loss-proof record emission (round-4 verdict item 2): the record is
+    serialized with ``allow_nan=False`` (strict JSON — a NaN anywhere is a
+    bug, not a silent ``NaN`` token the driver can't parse), written to a
+    local file AND printed as the sole stdout line.  All other output was
+    routed to stderr by ``_capture_stdout``."""
+    line = json.dumps(record, allow_nan=False)
+    if local_path:
+        try:
+            with open(local_path, "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
+    real_stdout.write(line + "\n")
+    real_stdout.flush()
+
+
+def _capture_stdout():
+    """Route everything the run prints (ray banners, stray library
+    output) to stderr so stdout carries ONLY the final JSON record."""
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+    return real_stdout
+
+
 def main() -> None:
     if "--child" in sys.argv:
+        real_stdout = _capture_stdout()
         n = int(sys.argv[sys.argv.index("--child") + 1])
         p1 = float(sys.argv[sys.argv.index("--p1") + 1]) if "--p1" in sys.argv else None
         _init_ray(n)
@@ -632,13 +658,14 @@ def main() -> None:
             warmup=True,
             phase1_cpus=p1,
         )
-        print(json.dumps(r))
+        _emit_record(r, real_stdout, None)
         import ray
 
         ray.shutdown()
         return
 
     if "--scaling" in sys.argv:
+        real_stdout = _capture_stdout()
         # fresh process per parallelism level; same input corpus
         from elasticsearch_assets_ray.corpus import write_corpus
 
@@ -691,24 +718,25 @@ def main() -> None:
                 }
             )
         primary = pair_reports[0]
-        print(
-            json.dumps(
-                {
-                    "metric": "index_build_scaling_efficiency",
-                    "value": primary["efficiency"],
-                    "unit": "ratio",
-                    "cpus": primary["cpus"],
-                    "speedup": primary["speedup"],
-                    "pairs": pair_reports,
-                    "machine_probe": {
-                        "start": probe_start,
-                        "end": machine_probe(),
-                    },
-                }
-            )
+        _emit_record(
+            {
+                "metric": "index_build_scaling_efficiency",
+                "value": primary["efficiency"],
+                "unit": "ratio",
+                "cpus": primary["cpus"],
+                "speedup": primary["speedup"],
+                "pairs": pair_reports,
+                "machine_probe": {
+                    "start": probe_start,
+                    "end": machine_probe(),
+                },
+            },
+            real_stdout,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_SCALING.json"),
         )
         return
 
+    real_stdout = _capture_stdout()
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
@@ -730,28 +758,28 @@ def main() -> None:
     queries = bench_sf_queries(sf_dir)
     total = time.perf_counter() - t_all
 
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_bench_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "num_cpus": num_cpus,
-                "index_build": build,
-                "query_serving": serving,
-                "sharded_serving": sharded,
-                "knn_serving": knn,
-                "positional_phrases": positional,
-                "query_surface_ms": surface,
-                "pruned_serving": pruned,
-                "machine_probe": {
-                    "start": probe_start,
-                    "end": machine_probe(),
-                },
-            }
-        )
+    _emit_record(
+        {
+            "metric": "e2e_bench_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "index_build": build,
+            "query_serving": serving,
+            "sharded_serving": sharded,
+            "knn_serving": knn,
+            "positional_phrases": positional,
+            "query_surface_ms": surface,
+            "pruned_serving": pruned,
+            "machine_probe": {
+                "start": probe_start,
+                "end": machine_probe(),
+            },
+        },
+        real_stdout,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
     )
     import ray
 
