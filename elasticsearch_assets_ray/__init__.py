@@ -48,6 +48,10 @@ def __getattr__(name):  # lazy heavy imports
         from elasticsearch_assets_ray.sources.reader_api import ReaderAPI
 
         return ReaderAPI
+    if name == "ReaderAPIFactory":
+        from elasticsearch_assets_ray.sources.reader_api import ReaderAPIFactory
+
+        return ReaderAPIFactory
     if name == "ReaderSlice":
         from elasticsearch_assets_ray.sources.reader_api import ReaderSlice
 

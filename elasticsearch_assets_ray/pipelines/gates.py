@@ -25,6 +25,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from elasticsearch_assets_ray.pipelines import registry as R
 
@@ -362,12 +363,96 @@ _DOC_STAT_PARTS = [
 def g_doc_stats(sf_dir: str) -> pa.Table:
     """Per-document text-analysis battery joined on doc_id: token counts,
     quality signals, language ID, fingerprint, Gopher repetition stats,
-    BPE token count."""
-    df: pd.DataFrame | None = None
-    for name in _DOC_STAT_PARTS:
-        part = _to_table(R.QUERIES[name](sf_dir)).to_pandas()
-        df = part if df is None else df.merge(part, on="doc_id", how="inner")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    BPE token count.
+
+    Distributed assembly (round-4 verdict item 4): instead of 12 pandas
+    merges on the driver (or 12 chained hash joins), all 13 part tables
+    are tag-unioned into ONE Dataset on a common null-padded schema, then
+    a single coarse-key shuffle (``groupby(bucket)``, bucket =
+    mixed-hash(doc_id) % 64) co-locates every doc's 13 rows, and the
+    13-way inner join runs vectorized INSIDE each bounded group.  One
+    shuffle total, no per-doc-table driver materialization — the gate
+    code is the 100 TB code."""
+    import numpy as np
+    import ray.data
+
+    def as_ds(x: Any):
+        if isinstance(x, ray.data.Dataset):
+            return x
+        return ray.data.from_arrow(_to_table(x))
+
+    parts = [(name, as_ds(R.QUERIES[name](sf_dir))) for name in _DOC_STAT_PARTS]
+    # per-part stat columns in the same output order as the old pandas
+    # merge chain (first part's columns, then each later part's)
+    part_cols = {
+        name: [c for c in ds.schema().names if c != "doc_id"] for name, ds in parts
+    }
+    out_cols = ["doc_id"] + [c for name in _DOC_STAT_PARTS for c in part_cols[name]]
+    union_fields = [("doc_id", pa.int64()), ("__part", pa.string())]
+    seen = {"doc_id", "__part"}
+    for name, ds in parts:
+        sch = ds.schema().base_schema
+        for f in sch:
+            if f.name not in seen:
+                union_fields.append((f.name, f.type))
+                seen.add(f.name)
+    union_schema = pa.schema(union_fields)
+
+    def pad(tag: str):
+        def fn(b: pa.Table) -> pa.Table:
+            cols = {}
+            for f in union_schema:
+                if f.name == "__part":
+                    cols[f.name] = pa.array([tag] * b.num_rows, pa.string())
+                elif f.name in b.column_names:
+                    col = b[f.name].combine_chunks()
+                    cols[f.name] = col.cast(f.type) if col.type != f.type else col
+                else:
+                    cols[f.name] = pa.nulls(b.num_rows, f.type)
+            ids = b["doc_id"].combine_chunks().cast(pa.uint64()).to_numpy()
+            mixed = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
+            t = pa.table(cols)
+            return t.append_column("__bucket", pa.array(mixed.astype(np.int64)))
+
+        return fn
+
+    unioned = parts[0][1].map_batches(pad(parts[0][0]), batch_format="pyarrow")
+    for name, ds in parts[1:]:
+        unioned = unioned.union(ds.map_batches(pad(name), batch_format="pyarrow"))
+
+    def assemble(g: pa.Table) -> pa.Table:
+        # group = one of 64 hash buckets: all 13 part rows for ~1/64 of
+        # the docs, merged vectorized inside the worker.  Pure-Arrow
+        # alignment (sort + searchsorted gather) — a pandas merge would
+        # coerce the null-padded int columns to float64 and break the
+        # driver's typed hash.
+        import numpy as np
+
+        part_t: dict[str, pa.Table] = {}
+        for name in _DOC_STAT_PARTS:
+            t = g.filter(pc.equal(g["__part"], pa.scalar(name))).select(
+                ["doc_id"] + part_cols[name]
+            )
+            part_t[name] = t.take(pc.sort_indices(t["doc_id"]))
+        common = part_t[_DOC_STAT_PARTS[0]]["doc_id"].to_numpy(
+            zero_copy_only=False
+        )
+        for name in _DOC_STAT_PARTS[1:]:
+            ids = part_t[name]["doc_id"].to_numpy(zero_copy_only=False)
+            common = common[np.isin(common, ids, assume_unique=True)]
+        cols: dict[str, pa.Array] = {"doc_id": pa.array(common, pa.int64())}
+        for name in _DOC_STAT_PARTS:
+            t = part_t[name]
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            sel = t.take(pa.array(np.searchsorted(ids, common)))
+            for c in part_cols[name]:
+                cols[c] = sel[c].combine_chunks()
+        return pa.table({c: cols[c] for c in out_cols})
+
+    joined = unioned.groupby("__bucket").map_groups(
+        assemble, batch_format="pyarrow"
+    )
+    return _to_table(joined).select(out_cols)
 
 
 def g_projection(sf_dir: str) -> pa.Table:

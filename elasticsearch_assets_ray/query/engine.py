@@ -450,6 +450,10 @@ class Searcher:
         self._vec_cache: "_OD[int, tuple]" = _OD()
         self._vec_cache_bytes = 0
         self.vec_cache_budget = 1 << 27
+        # join-field parent/child id maps (ES global-ordinals analog):
+        # relation name -> (sorted routing values, aligned docids),
+        # built once per searcher from this shard's docstore
+        self._join_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         # hydrate pruning observability: docstore part files opened
         self.hydrate_files_opened = 0
         # serving gauges (reference ReaderAPIFetcher.ts:22-33 records
@@ -1811,6 +1815,264 @@ class Searcher:
             for d, v in zip(hit["doc_id"].to_pylist(), hit[col].to_pylist()):
                 out[v] = int(d)
         return out
+
+    # ---------- join field (ES parent/child), index-resident ----------
+    def _join_meta(self) -> tuple[str, str, dict]:
+        """(join col, routing col, relations) from the manifest — set by
+        index/routing.py build_routed_index(join_field=...)."""
+        jf = self.manifest.get("join_field")
+        if not jf:
+            raise ValueError(
+                "index has no join_field mapping; build it with "
+                "build_routed_index(join_field=...)"
+            )
+        routing = self.manifest.get("routing") or {}
+        if not routing.get("col"):
+            raise ValueError("join_field requires a routed index")
+        return jf["col"], routing["col"], jf.get("relations", {})
+
+    def _resolve_relation(
+        self, parent: str | None, child: str | None
+    ) -> tuple[str, str]:
+        _, _, relations = self._join_meta()
+        if parent is None:
+            if len(relations) != 1:
+                raise ValueError(
+                    f"index declares relations {sorted(relations)}; pass parent="
+                )
+            parent = next(iter(relations))
+        kids = relations.get(parent) or []
+        if child is None:
+            if len(kids) != 1:
+                raise ValueError(
+                    f"relation {parent!r} has children {kids}; pass child="
+                )
+            child = kids[0]
+        elif child not in kids:
+            raise ValueError(f"{child!r} is not a child of {parent!r} ({kids})")
+        return parent, child
+
+    def _join_map(self, name: str) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted routing values, aligned docids) of live docs whose
+        join field == name, restricted to this searcher's bucket range —
+        the ES global-ordinals / parent-id-map analog, built once per
+        searcher from the docstore and cached (memory ∝ docs of that
+        relation in this shard, exactly like ES's eager global
+        ordinals)."""
+        hit = self._join_cache.get(name)
+        if hit is not None:
+            return hit
+        join_col, routing_col, _ = self._join_meta()
+        t = self.hydrate(
+            self.live_ids(), columns=["doc_id", join_col, routing_col]
+        )
+        t = t.filter(pc.equal(t[join_col], pa.scalar(name)))
+        routing = t[routing_col].to_numpy(zero_copy_only=False)
+        docids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(routing, kind="stable")
+        out = (routing[order], docids[order])
+        self._join_cache[name] = out
+        return out
+
+    def has_child(
+        self,
+        child_query: "str | ParsedQuery",
+        *,
+        parent: str | None = None,
+        child: str | None = None,
+        score_mode: str = "none",
+        min_children: int = 1,
+        max_children: int | None = None,
+        k: int | None = 10,
+        score_field: str | None = None,
+        _df: dict[str, int] | None = None,
+    ) -> pa.Table:
+        """ES ``has_child`` served FROM THE INDEX: parents (join field ==
+        ``parent``) with ≥min_children (≤max_children) children matching
+        ``child_query``, scored per ``score_mode`` over either the
+        children's BM25 relevance (default, the ES behavior) or a stored
+        numeric ``score_field`` (the function_score-style variant the
+        integer-cents gates use for bit-determinism).
+
+        Shard-local by construction: a routed index (routing = parent id,
+        index/routing.py) co-locates each parent with ALL its children in
+        one bucket range, so a bucket-range searcher computes its parents'
+        results completely and the sharded gather is a plain top-k merge
+        (reference: ES join-field routing contract; the reference repo
+        delegates this entirely to ES).
+
+        Output: (<routing col>, parent_doc_id, n_children, score), sorted
+        by (score desc, routing asc), head(k) when k is not None."""
+        if score_mode not in ("none", "sum", "max", "min", "avg"):
+            raise ValueError(f"unknown score_mode {score_mode!r}")
+        if min_children < 1:
+            raise ValueError("min_children must be >= 1")
+        parent, child = self._resolve_relation(parent, child)
+        join_col, routing_col, _ = self._join_meta()
+        need_bm25 = score_mode != "none" and score_field is None
+
+        if _df is not None:
+            q = child_query
+            if need_bm25:
+                st = self.all_scores_prepared(q, _df)
+                ids = st["doc_id"].to_numpy(zero_copy_only=False)
+                child_scores = st["score"].to_numpy(zero_copy_only=False)
+            else:
+                ids = self.match_ids_prepared(q, _df)
+                child_scores = None
+        else:
+            if need_bm25:
+                st = self.all_scores(child_query)
+                ids = st["doc_id"].to_numpy(zero_copy_only=False)
+                child_scores = st["score"].to_numpy(zero_copy_only=False)
+            else:
+                ids = self.match_ids(child_query)
+                child_scores = None
+
+        cols = ["doc_id", join_col, routing_col]
+        if score_field is not None:
+            cols.append(score_field)
+        t = self.hydrate(np.sort(ids), columns=cols)
+        mask = pc.equal(t[join_col], pa.scalar(child))
+        t = t.filter(mask)
+        routing = t[routing_col].to_numpy(zero_copy_only=False)
+        if score_field is not None:
+            vals = t[score_field].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        elif child_scores is not None:
+            # align scores to the hydrated (sorted, child-filtered) rows
+            srt = np.argsort(ids, kind="stable")
+            sid, ssc = ids[srt], child_scores[srt]
+            rows = t["doc_id"].to_numpy(zero_copy_only=False)
+            vals = ssc[np.searchsorted(sid, rows)]
+        else:
+            vals = np.zeros(len(routing), dtype=np.float64)
+
+        uniq, inv = np.unique(routing, return_inverse=True)
+        n = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        sums = np.bincount(inv, weights=vals, minlength=uniq.size)
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(uniq.size))
+        if uniq.size:
+            mx = np.maximum.reduceat(vals[order], starts)
+            mn = np.minimum.reduceat(vals[order], starts)
+        else:
+            mx = mn = np.empty(0, dtype=np.float64)
+
+        pr, pd = self._join_map(parent)
+        pos = np.searchsorted(pr, uniq)
+        pos_c = np.clip(pos, 0, max(pr.size - 1, 0))
+        found = (pr[pos_c] == uniq) if pr.size else np.zeros(uniq.size, dtype=bool)
+        keep = found & (n >= min_children)
+        if max_children is not None:
+            keep &= n <= max_children
+        uniq, n, sums, mx, mn, pos_c = (
+            uniq[keep], n[keep], sums[keep], mx[keep], mn[keep], pos_c[keep]
+        )
+        if score_mode == "none":
+            score = np.zeros(uniq.size, dtype=np.float64)
+        elif score_mode == "sum":
+            score = sums
+        elif score_mode == "avg":
+            score = sums / n
+        elif score_mode == "max":
+            score = mx
+        else:
+            score = mn
+        out = pa.table(
+            {
+                routing_col: pa.array(uniq),
+                "parent_doc_id": pa.array(pd[pos_c]),
+                "n_children": pa.array(n),
+                "score": pa.array(score),
+            }
+        )
+        idx = pc.sort_indices(
+            out,
+            sort_keys=[("score", "descending"), (routing_col, "ascending")],
+        )
+        out = out.take(idx)
+        return out.slice(0, k) if k is not None else out
+
+    def has_parent(
+        self,
+        parent_query: "str | ParsedQuery",
+        *,
+        parent: str | None = None,
+        child: str | None = None,
+        score: bool = False,
+        score_field: str | None = None,
+        k: int | None = 10,
+        _df: dict[str, int] | None = None,
+    ) -> pa.Table:
+        """ES ``has_parent`` served from the index: children whose parent
+        matches ``parent_query``, each child carrying the parent's
+        relevance when ``score=True`` (BM25 by default, or a stored
+        numeric ``score_field``) and 0.0 otherwise — the ES contract.
+        Shard-local under routing co-location, like :meth:`has_child`.
+
+        Output: (<routing col>, child_doc_id, score), sorted by
+        (score desc, child_doc_id asc), head(k) when k is not None."""
+        parent, child = self._resolve_relation(parent, child)
+        join_col, routing_col, _ = self._join_meta()
+        need_bm25 = score and score_field is None
+
+        if _df is not None:
+            if need_bm25:
+                st = self.all_scores_prepared(parent_query, _df)
+                ids = st["doc_id"].to_numpy(zero_copy_only=False)
+                pscores = st["score"].to_numpy(zero_copy_only=False)
+            else:
+                ids = self.match_ids_prepared(parent_query, _df)
+                pscores = None
+        else:
+            if need_bm25:
+                st = self.all_scores(parent_query)
+                ids = st["doc_id"].to_numpy(zero_copy_only=False)
+                pscores = st["score"].to_numpy(zero_copy_only=False)
+            else:
+                ids = self.match_ids(parent_query)
+                pscores = None
+
+        cols = ["doc_id", join_col, routing_col]
+        if score and score_field is not None:
+            cols.append(score_field)
+        t = self.hydrate(np.sort(ids), columns=cols)
+        t = t.filter(pc.equal(t[join_col], pa.scalar(parent)))
+        m_routing = t[routing_col].to_numpy(zero_copy_only=False)
+        if not score:
+            m_scores = np.zeros(len(m_routing), dtype=np.float64)
+        elif score_field is not None:
+            m_scores = t[score_field].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        else:
+            srt = np.argsort(ids, kind="stable")
+            sid, ssc = ids[srt], pscores[srt]
+            rows = t["doc_id"].to_numpy(zero_copy_only=False)
+            m_scores = ssc[np.searchsorted(sid, rows)]
+
+        ro = np.argsort(m_routing, kind="stable")
+        m_routing, m_scores = m_routing[ro], m_scores[ro]
+
+        cr, cd = self._join_map(child)
+        pos = np.searchsorted(m_routing, cr)
+        pos_c = np.clip(pos, 0, max(m_routing.size - 1, 0))
+        hit = (
+            (m_routing[pos_c] == cr)
+            if m_routing.size
+            else np.zeros(cr.size, dtype=bool)
+        )
+        out = pa.table(
+            {
+                routing_col: pa.array(cr[hit]),
+                "child_doc_id": pa.array(cd[hit]),
+                "score": pa.array(m_scores[pos_c[hit]]),
+            }
+        )
+        idx = pc.sort_indices(
+            out,
+            sort_keys=[("score", "descending"), ("child_doc_id", "ascending")],
+        )
+        out = out.take(idx)
+        return out.slice(0, k) if k is not None else out
 
     def search_collapse(
         self, query: str | ParsedQuery, k: int = 10, collapse: str = ""

@@ -102,6 +102,53 @@ class ShardWorker:
     def match_ids(self, q: ParsedQuery, df: dict[str, int]) -> np.ndarray:
         return self.s.match_ids_prepared(q, df)
 
+    def has_child(
+        self,
+        q: ParsedQuery,
+        df: dict[str, int],
+        parent: str | None,
+        child: str | None,
+        score_mode: str,
+        min_children: int,
+        max_children: int | None,
+        k: int | None,
+        score_field: str | None,
+    ) -> pa.Table:
+        """Shard-local ES ``has_child``: complete for this shard's parents
+        because a routed index co-locates each parent with ALL its
+        children (index/routing.py)."""
+        return self.s.has_child(
+            q,
+            parent=parent,
+            child=child,
+            score_mode=score_mode,
+            min_children=min_children,
+            max_children=max_children,
+            k=k,
+            score_field=score_field,
+            _df=df,
+        )
+
+    def has_parent(
+        self,
+        q: ParsedQuery,
+        df: dict[str, int],
+        parent: str | None,
+        child: str | None,
+        score: bool,
+        score_field: str | None,
+        k: int | None,
+    ) -> pa.Table:
+        return self.s.has_parent(
+            q,
+            parent=parent,
+            child=child,
+            score=score,
+            score_field=score_field,
+            k=k,
+            _df=df,
+        )
+
     def facet(self, q: ParsedQuery, by: str, df: dict[str, int]) -> pa.Table:
         """Local partial terms-agg: UNTRUNCATED value counts over the
         shard's match set (truncation is only valid after the merge)."""
@@ -521,12 +568,34 @@ class ShardedSearcher:
         rpb = int(man.get("runs_per_bucket", 32))
         n_buckets = int(man["max_pid"]) // rpb + 1
         n_shards = max(1, min(n_shards, n_buckets))
-        # contiguous even split of the bucket space: bucket docID ranges
-        # are ordered, so ranges are ordered doc partitions
-        edges = np.linspace(0, n_buckets, n_shards + 1).astype(int)
-        self.ranges = [
-            (int(edges[i]), int(edges[i + 1])) for i in range(n_shards)
-        ]
+        routing = man.get("routing") or {}
+        route_ranges = [tuple(r) for r in routing.get("route_bucket_ranges", [])]
+        if route_ranges:
+            # ROUTED index (index/routing.py): carve shards on ROUTE
+            # boundaries so a routing value never straddles shards — the
+            # ES join-field co-location invariant that makes has_child /
+            # has_parent shard-local.  Routes are contiguous in bucket
+            # space (aligned pid_base), so grouping consecutive routes
+            # yields contiguous bucket ranges.
+            n_shards = max(1, min(n_shards, len(route_ranges)))
+            groups = np.array_split(np.arange(len(route_ranges)), n_shards)
+            self.ranges = [
+                (route_ranges[g[0]][0], route_ranges[g[-1]][1]) for g in groups
+            ]
+            # cover trailing buckets (the last route's hi == n_buckets by
+            # construction; defensive for hand-built manifests)
+            lo0 = self.ranges[0]
+            self.ranges[0] = (0, lo0[1])
+            last = self.ranges[-1]
+            self.ranges[-1] = (last[0], max(last[1], n_buckets))
+        else:
+            # contiguous even split of the bucket space: bucket docID
+            # ranges are ordered, so ranges are ordered doc partitions
+            edges = np.linspace(0, n_buckets, n_shards + 1).astype(int)
+            self.ranges = [
+                (int(edges[i]), int(edges[i + 1])) for i in range(n_shards)
+            ]
+        self.routed = bool(route_ranges)
         self.n_shards = n_shards
         self.use_actors = use_actors
         # coordinator: COLD full-index view — parse/rewrite (term-dict
@@ -809,6 +878,73 @@ class ShardedSearcher:
         return (
             np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
         )
+
+    # ---------- join field (ES parent/child) ----------
+    def _require_routing(self) -> None:
+        if not self.routed:
+            raise ValueError(
+                "sharded has_child/has_parent needs a ROUTED index "
+                "(build_routed_index) — without routing co-location a "
+                "parent's children straddle shards and shard-local joins "
+                "are wrong (the ES join-field routing contract)"
+            )
+        if not self.coord.manifest.get("join_field"):
+            raise ValueError("index has no join_field mapping")
+
+    def has_child(
+        self,
+        child_query: "str | ParsedQuery",
+        *,
+        parent: str | None = None,
+        child: str | None = None,
+        score_mode: str = "none",
+        min_children: int = 1,
+        max_children: int | None = None,
+        k: int | None = 10,
+        score_field: str | None = None,
+    ) -> pa.Table:
+        """ES ``has_child`` over the doc-partitioned serving pool: each
+        shard answers COMPLETELY for its own parents (routing co-location
+        puts every parent with all its children in one shard), so the
+        gather is concat + global re-sort + head(k) — no cross-shard
+        join traffic, exactly ES's execution shape."""
+        self._require_routing()
+        q, df = self.prepare(child_query)
+        parts = self._gather(
+            "has_child", q, df, parent, child, score_mode,
+            min_children, max_children, k, score_field,
+        )
+        routing_col = self.coord.manifest["routing"]["col"]
+        out = pa.concat_tables([p for p in parts if p.num_rows] or parts[:1])
+        idx = pc.sort_indices(
+            out, sort_keys=[("score", "descending"), (routing_col, "ascending")]
+        )
+        out = out.take(idx)
+        return out.slice(0, k) if k is not None else out
+
+    def has_parent(
+        self,
+        parent_query: "str | ParsedQuery",
+        *,
+        parent: str | None = None,
+        child: str | None = None,
+        score: bool = False,
+        score_field: str | None = None,
+        k: int | None = 10,
+    ) -> pa.Table:
+        """ES ``has_parent`` over the serving pool — shard-local under
+        routing co-location, merged by plain top-k."""
+        self._require_routing()
+        q, df = self.prepare(parent_query)
+        parts = self._gather(
+            "has_parent", q, df, parent, child, score, score_field, k
+        )
+        out = pa.concat_tables([p for p in parts if p.num_rows] or parts[:1])
+        idx = pc.sort_indices(
+            out, sort_keys=[("score", "descending"), ("child_doc_id", "ascending")]
+        )
+        out = out.take(idx)
+        return out.slice(0, k) if k is not None else out
 
     @staticmethod
     def _sum_counts(

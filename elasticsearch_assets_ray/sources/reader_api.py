@@ -206,11 +206,27 @@ class ReaderAPI:
         raise ValueError(f"unknown response_type {response_type!r}")
 
     # ---------- slicer planning ----------
-    def make_date_slicer_ranges(self, n_slicers: int) -> list[ReaderSlice]:
+    @staticmethod
+    def _fire_hook(hook, entries: list[dict]) -> None:
+        """DateSlicerMetadataHook analog (reference interfaces.ts:259-275,
+        invoked ElasticsearchReaderAPI.ts:557-561): after planning, the
+        caller-supplied hook observes the DISCOVERED interval and date
+        range per slicer — `{slicer_id: {start, end, interval, count}}`
+        with ISO-8601 strings, interval as (seconds, "s") or None for an
+        empty range.  The reference uses it to write the discovered
+        interval back into job metadata."""
+        if hook is None:
+            return
+        hook({i: e for i, e in enumerate(entries)})
+
+    def make_date_slicer_ranges(
+        self, n_slicers: int, *, hook=None
+    ) -> list[ReaderSlice]:
         """Even division of [min, max] into n contiguous date ranges
         (reference divideRange date-helpers.ts:242-264 + the min/max
         probe ElasticsearchReaderAPI.ts:669-718).  The probe reads Parquet
-        footer statistics only — no data pages."""
+        footer statistics only — no data pages.  ``hook`` (optional)
+        receives the discovered per-slicer metadata, see _fire_hook."""
         from elasticsearch_assets_ray.sources.reader import min_max_probe
 
         lo, hi = min_max_probe(self.table_path, self.date_col)
@@ -224,6 +240,17 @@ class ReaderAPI:
             if i == n_slicers - 1:
                 e = e + _dt.timedelta(microseconds=1)  # limit-inclusive
             out.append(ReaderSlice(start=s, end=e))
+        self._fire_hook(
+            hook,
+            [
+                {
+                    "start": r.start.isoformat(),
+                    "end": r.end.isoformat(),
+                    "interval": ((r.end - r.start).total_seconds(), "s"),
+                }
+                for r in out
+            ],
+        )
         return out
 
     def keyspace(self):
@@ -241,7 +268,9 @@ class ReaderAPI:
             )
         return self._keyspace
 
-    def make_date_interval_ranges(self, interval: str) -> list[ReaderSlice]:
+    def make_date_interval_ranges(
+        self, interval: str, *, hook=None
+    ) -> list[ReaderSlice]:
         """Fixed-interval date slices from a config string ("5m", "2d",
         "1month" — the reference's interval vocabulary, date-helpers.ts
         dateOptions/processInterval): windows of exactly that length
@@ -259,9 +288,21 @@ class ReaderAPI:
         lo, hi = min_max_probe(self.table_path, self.date_col)
         hi = hi + _dt.timedelta(microseconds=1)  # limit-inclusive
         parsed = process_interval(interval, dates=(lo, hi))
-        return [
+        out = [
             ReaderSlice(start=s, end=e) for s, e in interval_ranges(lo, hi, parsed)
         ]
+        self._fire_hook(
+            hook,
+            [
+                {
+                    "start": r.start.isoformat(),
+                    "end": r.end.isoformat(),
+                    "interval": tuple(parsed),
+                }
+                for r in out
+            ],
+        )
+        return out
 
     def make_adaptive_date_ranges(
         self,
@@ -271,6 +312,7 @@ class ReaderAPI:
         recurse_optimization: bool = True,
         min_step_us: int = 1000,
         max_probes: int = 10_000,
+        hook=None,
     ) -> list[ReaderSlice]:
         """P4 in full: COUNT-GUIDED adaptive slicing (the reference's
         determineSlice recursion, dateSlicer.ts:95-180): each candidate
@@ -344,6 +386,18 @@ class ReaderAPI:
                 grown = grown * 2
             step = max(min(grown, total_span), min_step)
             cur = end
+        self._fire_hook(
+            hook,
+            [
+                {
+                    "start": r.start.isoformat(),
+                    "end": r.end.isoformat(),
+                    "interval": ((r.end - r.start).total_seconds(), "s"),
+                    "count": r.count,
+                }
+                for r in out
+            ],
+        )
         return out
 
     def make_id_slicer_ranges(self, alphabet: str, max_count: int) -> list[ReaderSlice]:
@@ -355,3 +409,60 @@ class ReaderAPI:
             ReaderSlice(keys=[sl.prefix], count=sl.count, keys_exact=sl.exact)
             for sl in prefix_dfs_partitions(self.keyspace(), alphabet, max_count)
         ]
+
+
+class ReaderAPIFactory:
+    """Named-instance lifecycle over configured :class:`ReaderAPI` clients
+    (reference asset/src/elasticsearch_reader_api/api.ts:15-58 on top of
+    Teraslice's APIFactory create/get/remove/entries/keys/values/size
+    surface).  ``base_config`` plays the factory's apiConfig; ``create``
+    merges per-name overrides on top, validates eagerly (``table_path``
+    required — the analog of the reference's ``index`` check), constructs
+    the client ONCE and caches it by name; ``remove`` drops the cached
+    instance.  Creating a name twice is an error, exactly like the
+    reference factory."""
+
+    def __init__(self, **base_config):
+        self._base = dict(base_config)
+        self._cache: dict[str, ReaderAPI] = {}
+
+    @staticmethod
+    def validate_config(config: dict) -> dict:
+        if not isinstance(config, dict):
+            raise TypeError(
+                f"Invalid config, must be an object, was given {type(config).__name__}"
+            )
+        tp = config.get("table_path")
+        if not tp or not isinstance(tp, str):
+            raise ValueError(
+                'Invalid parameter "table_path", must provide a valid table path'
+            )
+        return config
+
+    def create(self, name: str, **overrides) -> ReaderAPI:
+        if name in self._cache:
+            raise ValueError(f"api instance {name!r} already exists")
+        cfg = self.validate_config({**self._base, **overrides})
+        cfg = dict(cfg)
+        api = ReaderAPI(cfg.pop("table_path"), **cfg)
+        self._cache[name] = api
+        return api
+
+    def get(self, name: str) -> ReaderAPI | None:
+        return self._cache.get(name)
+
+    def remove(self, name: str) -> None:
+        self._cache.pop(name, None)
+
+    def entries(self):
+        return list(self._cache.items())
+
+    def keys(self):
+        return list(self._cache.keys())
+
+    def values(self):
+        return list(self._cache.values())
+
+    @property
+    def size(self) -> int:
+        return len(self._cache)

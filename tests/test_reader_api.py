@@ -163,3 +163,59 @@ def test_adaptive_date_ranges_skewed(tmp_path):
     # oracle: total rows
     want = duckdb.sql(f"SELECT count(*) FROM '{path}'").fetchone()[0]
     assert sum(s.count for s in slices) == want
+
+
+def test_date_slicer_metadata_hook(api):
+    """DateSlicerMetadataHook analog (reference interfaces.ts:259-275,
+    fired from ElasticsearchReaderAPI.ts:557-561): the hook observes the
+    discovered per-slicer interval and ISO date range after planning."""
+    seen = {}
+    slices = api.make_date_slicer_ranges(3, hook=seen.update)
+    assert sorted(seen) == [0, 1, 2]
+    for i, s in enumerate(slices):
+        md = seen[i]
+        assert md["start"] == s.start.isoformat()
+        assert md["end"] == s.end.isoformat()
+        step, unit = md["interval"]
+        assert unit == "s" and step > 0
+
+
+def test_interval_and_adaptive_hooks(api):
+    seen = {}
+    slices = api.make_date_interval_ranges("2d", hook=seen.update)
+    assert len(seen) == len(slices)
+    assert all(md["interval"] == (2, "d") for md in seen.values())
+
+    seen2 = {}
+    slices2 = api.make_adaptive_date_ranges(500, hook=seen2.update)
+    assert len(seen2) == len(slices2)
+    # adaptive metadata also exposes the probe count per emitted slice
+    assert all(md["count"] == s.count for md, s in zip(seen2.values(), slices2))
+
+
+def test_reader_api_factory_lifecycle(sf_dir):
+    """Named-instance APIFactory lifecycle (reference
+    asset/src/elasticsearch_reader_api/api.ts:15-58 over Teraslice's
+    APIFactory create/get/remove/entries/keys/values/size)."""
+    from elasticsearch_assets_ray import ReaderAPIFactory
+
+    fac = ReaderAPIFactory(table_path=f"{sf_dir}/events.parquet", date_col="ts")
+    assert fac.size == 0
+    api = fac.create("test")
+    assert fac.size == 1
+    assert fac.get("test") is api
+    assert api.count(ReaderSlice()) > 0
+    # per-name override wins over the base config
+    api2 = fac.create("docs", table_path=f"{sf_dir}/documents.parquet")
+    assert api2.table_path.endswith("documents.parquet")
+    assert fac.keys() == ["test", "docs"]
+    assert fac.values() == [api, api2]
+    assert fac.entries() == [("test", api), ("docs", api2)]
+    # duplicate names are an error, like the reference factory
+    with pytest.raises(ValueError):
+        fac.create("test")
+    fac.remove("test")
+    assert fac.size == 1 and fac.get("test") is None
+    # validation: table_path is mandatory (the reference's index check)
+    with pytest.raises(ValueError):
+        ReaderAPIFactory().create("nope")
