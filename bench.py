@@ -537,6 +537,13 @@ def bench_sf_queries(sf_dir: str) -> dict:
     t0 = time.perf_counter()
     embeddings_ivf_index(sf_dir)
     out["ivf_build"] = round(time.perf_counter() - t0, 3)
+    # the routed join-field index behind has_child_orders (round 5):
+    # one-time build, reported apart from the query it serves
+    from elasticsearch_assets_ray.pipelines.registry import _parentchild_index
+
+    t0 = time.perf_counter()
+    _parentchild_index(sf_dir)
+    out["parentchild_routed_index_build"] = round(time.perf_counter() - t0, 3)
     for name in SF_BENCH_QUERIES:
         fn = QUERIES[name]
         t0 = time.perf_counter()

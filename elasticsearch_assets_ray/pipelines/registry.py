@@ -1290,10 +1290,18 @@ def q_has_child_orders(sf_dir: str):
     stages/parentchild.py for un-indexed corpora)."""
     from elasticsearch_assets_ray.query.sharded import ShardedSearcher
 
-    sh = ShardedSearcher(_parentchild_index(sf_dir), n_shards=4, use_actors=True)
-    t = sh.has_child(
-        "r", score_mode="sum", min_children=2, k=50, score_field="score_cents"
+    # fractional CPU + explicit shutdown: serving actors at num_cpus=1
+    # pin whole cores and a per-call pool can starve the session's Ray
+    # Data stages on a small ray.init (see the _SHARDED_CACHE note)
+    sh = ShardedSearcher(
+        _parentchild_index(sf_dir), n_shards=4, use_actors=True, num_cpus=0.25
     )
+    try:
+        t = sh.has_child(
+            "r", score_mode="sum", min_children=2, k=50, score_field="score_cents"
+        )
+    finally:
+        sh.shutdown()
     return pa.table(
         {
             "o_orderkey": t["routing"],
@@ -1319,8 +1327,11 @@ def q_has_parent_lines(sf_dir: str):
     from elasticsearch_assets_ray.query.sharded import ShardedSearcher
 
     idx = _parentchild_index(sf_dir)
-    sh = ShardedSearcher(idx, n_shards=4, use_actors=True)
-    t = sh.has_parent("urgent", score=True, score_field="score_cents", k=None)
+    sh = ShardedSearcher(idx, n_shards=4, use_actors=True, num_cpus=0.25)
+    try:
+        t = sh.has_parent("urgent", score=True, score_field="score_cents", k=None)
+    finally:
+        sh.shutdown()
     ids = t["child_doc_id"].to_numpy(zero_copy_only=False)
     uid = Searcher(idx).hydrate(np.sort(ids), columns=["doc_id", "uid"])
     key = pc.split_pattern(uid["uid"], "#")

@@ -608,6 +608,17 @@ class ShardedSearcher:
             pit=pit,
             fuzzy_transpositions=fuzzy_transpositions,
         )
+        # prepared-query handle LRU for the sequential point-query path:
+        # (query str, msm, cursor) -> (q-or-ref, df-or-ref).  In actor
+        # mode the prepared ParsedQuery + global df are ray.put ONCE and
+        # the per-call scatter ships 4 tiny ObjectRefs instead of
+        # re-serializing the query per shard per call — measured as the
+        # dominant per-query overhead of the scatter path (the shard
+        # compute itself is sub-millisecond).
+        from collections import OrderedDict as _OD
+
+        self._prep_cache: "_OD[tuple, tuple]" = _OD()
+        self._prep_cache_max = 512
         if use_actors:
             import ray
 
@@ -645,6 +656,22 @@ class ShardedSearcher:
                 )
                 for r in self.ranges
             ]
+
+    def shutdown(self) -> None:
+        """Deterministically release the shard actors (actor mode).
+
+        Ray reclaims actors when every handle goes out of scope, but GC
+        timing is lazy — a gate/test that builds a searcher per call can
+        leave the previous pool's CPU reservation alive long enough to
+        starve the next Ray Data stage on a small session.  Call this
+        when the searcher's lifetime is a single pipeline invocation."""
+        if self.use_actors:
+            import ray
+
+            for a in self.shards:
+                ray.kill(a, no_restart=True)
+        self.shards = []
+        self._prep_cache.clear()
 
     # ---------- coordinator-side query preparation ----------
     def prepare(
@@ -786,11 +813,45 @@ class ShardedSearcher:
     ) -> pa.Table:
         if from_ < 0:
             raise ValueError("from_ must be >= 0")
-        q, df = self.prepare(query, minimum_should_match, search_after)
+        qh, dfh = self._prepared_handles(query, minimum_should_match, search_after)
         # ES offset: each shard must return from_+k (any of them could
         # own every one of the first from_+k global hits)
-        parts = self._gather("search", q, from_ + k, df)
+        parts = self._gather("search", qh, from_ + k, dfh)
         return self._merge_topk_parts(parts, from_ + k).slice(from_)
+
+    def _prepared_handles(
+        self,
+        query: str | ParsedQuery,
+        minimum_should_match: int = 0,
+        search_after: tuple[float, int] | None = None,
+    ) -> tuple:
+        """(q, df) ready to scatter: prepared once, ``ray.put`` once (actor
+        mode), LRU-cached by (query, msm, cursor) so a repeated point
+        query pays neither prepare nor argument re-serialization.  Actor
+        method args that are ObjectRefs resolve shard-side from shared
+        memory — the wire carries refs, not the query tree × n_shards."""
+        key = (
+            (query, minimum_should_match, search_after)
+            if isinstance(query, str)
+            else None
+        )
+        if key is not None:
+            hit = self._prep_cache.get(key)
+            if hit is not None:
+                self._prep_cache.move_to_end(key)
+                return hit
+        q, df = self.prepare(query, minimum_should_match, search_after)
+        if self.use_actors:
+            import ray
+
+            out = (ray.put(q), ray.put(df))
+        else:
+            out = (q, df)
+        if key is not None:
+            self._prep_cache[key] = out
+            while len(self._prep_cache) > self._prep_cache_max:
+                self._prep_cache.popitem(last=False)
+        return out
 
     def scan(
         self,
@@ -857,6 +918,11 @@ class ShardedSearcher:
         prepared = [self.prepare(q) for q in queries]
         qs = [p[0] for p in prepared]
         dfs = [p[1] for p in prepared]
+        if self.use_actors:
+            # one serialization of the whole batch instead of one per shard
+            import ray
+
+            qs, dfs = ray.put(qs), ray.put(dfs)
         parts = self._gather("msearch", qs, k, dfs)  # [shard][query]
         return [
             self._merge_topk_parts([parts[si][qi] for si in range(self.n_shards)], k)
@@ -864,8 +930,8 @@ class ShardedSearcher:
         ]
 
     def count(self, query: str | ParsedQuery, minimum_should_match: int = 0) -> int:
-        q, df = self.prepare(query, minimum_should_match)
-        return int(sum(self._gather("count", q, df)))
+        qh, dfh = self._prepared_handles(query, minimum_should_match)
+        return int(sum(self._gather("count", qh, dfh)))
 
     def match_ids(
         self, query: str | ParsedQuery, minimum_should_match: int = 0
@@ -873,8 +939,8 @@ class ShardedSearcher:
         """Every matching docID, gathered score-free from the shards
         (ReaderAPI's filtered-count path needs the ids, not just the
         cardinality)."""
-        q, df = self.prepare(query, minimum_should_match)
-        parts = self._gather("match_ids", q, df)
+        qh, dfh = self._prepared_handles(query, minimum_should_match)
+        parts = self._gather("match_ids", qh, dfh)
         return (
             np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
         )

@@ -81,8 +81,15 @@ class ReaderAPI:
                 # results are rank-identical to the single searcher
                 from elasticsearch_assets_ray.query.sharded import ShardedSearcher
 
+                # fractional CPU: shard workers are mostly-idle RPC
+                # servers; at num_cpus=1 a pool pins whole cores and Ray
+                # Data stages in the same small session starve (observed
+                # deadlock — see pipelines/registry._sharded note)
                 self._searcher = ShardedSearcher(
-                    index_dir, n_shards=serving_shards, use_actors=True
+                    index_dir,
+                    n_shards=serving_shards,
+                    use_actors=True,
+                    num_cpus=0.25,
                 )
             else:
                 from elasticsearch_assets_ray.query.engine import Searcher
