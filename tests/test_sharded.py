@@ -1213,3 +1213,49 @@ def test_script_score_rejects_non_finite(single):
         single.script_score(
             "def load", "doc_len", lambda sc, v, p: sc + np.inf, k=5
         )
+
+
+def test_prepared_handle_cache_and_shutdown(built_index):
+    """Round-5 scatter path: string point queries hit the prepared-
+    handle LRU (ObjectRef args in actor mode) with results identical to
+    the uncached path; ParsedQuery inputs bypass the cache (unhashable
+    lifecycle); shutdown() releases the actors deterministically."""
+    idx, _ = built_index
+    single = Searcher(idx)
+    sh = ShardedSearcher(idx, n_shards=2, use_actors=True, num_cpus=0.25)
+    try:
+        a = sh.search("def load index", k=10)
+        assert len(sh._prep_cache) == 1
+        b = sh.search("def load index", k=10)  # cache hit
+        assert len(sh._prep_cache) == 1
+        _eq_tables(a, b)
+        _eq_tables(a, single.search("def load index", k=10))
+        # count shares the handle path AND the same (query, msm, cursor)
+        # key as search — one prepared handle serves both verbs
+        assert sh.count("def load index") == single.all_scores(
+            "def load index"
+        ).num_rows
+        assert len(sh._prep_cache) == 1
+        # a pre-parsed query skips the cache but still answers correctly
+        q, _ = sh.prepare("def load index")
+        _eq_tables(sh.search(q, k=10), a)
+        assert len(sh._prep_cache) == 1
+        # LRU eviction stays bounded
+        sh._prep_cache_max = 3
+        sh.count("index")
+        sh.count("def")
+        assert len(sh._prep_cache) <= 3
+    finally:
+        sh.shutdown()
+    assert sh.shards == [] and len(sh._prep_cache) == 0
+    # idempotent on an already-shut-down searcher
+    sh.shutdown()
+
+
+def test_shutdown_noop_in_process(built_index):
+    """In-process mode has no actors to kill — shutdown just clears."""
+    idx, _ = built_index
+    sh = ShardedSearcher(idx, n_shards=2, use_actors=False)
+    sh.search("def load", k=5)
+    sh.shutdown()
+    assert sh.shards == []
