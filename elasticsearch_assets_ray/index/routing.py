@@ -136,6 +136,26 @@ def build_routed_index(
         with open(gm_path) as f:
             gm = json.load(f)
         if gm.get("complete"):
+            # the resume fast-path must enforce the same settings guard
+            # as the incomplete path — silently returning an index routed
+            # by a DIFFERENT column/route-count would serve wrong joins
+            saved_r = gm.get("routing") or {}
+            saved_key = {
+                "routing_col": saved_r.get("col"),
+                "n_routes": saved_r.get("n_routes"),
+                "join_field": gm.get("join_field"),
+            }
+            want_key = {
+                "routing_col": routing_col,
+                "n_routes": n_routes,
+                "join_field": dict(join_field) if join_field is not None else None,
+            }
+            if saved_key != want_key:
+                raise ValueError(
+                    f"completed routed index at {out_dir} was built with "
+                    f"{saved_key}; requested {want_key} — pass the same "
+                    "routing settings or remove the directory"
+                )
             return gm
 
     route_root = os.path.join(out_dir, "routed")

@@ -1937,7 +1937,15 @@ class Searcher:
         t = t.filter(mask)
         routing = t[routing_col].to_numpy(zero_copy_only=False)
         if score_field is not None:
-            vals = t[score_field].cast(pa.float64()).to_numpy(zero_copy_only=False)
+            col = t[score_field].combine_chunks()
+            if pa.types.is_integer(col.type):
+                # exact integer accumulation: float64 weights round past
+                # 2^53 where the SQL twin's HUGEINT SUM stays exact — sum
+                # in int64, cast to float ONCE at the end (both sides
+                # then round identically, at the same single point)
+                vals = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            else:
+                vals = col.cast(pa.float64()).to_numpy(zero_copy_only=False)
         elif child_scores is not None:
             # align scores to the hydrated (sorted, child-filtered) rows
             srt = np.argsort(ids, kind="stable")
@@ -1949,14 +1957,17 @@ class Searcher:
 
         uniq, inv = np.unique(routing, return_inverse=True)
         n = np.bincount(inv, minlength=uniq.size).astype(np.int64)
-        sums = np.bincount(inv, weights=vals, minlength=uniq.size)
         order = np.argsort(inv, kind="stable")
         starts = np.searchsorted(inv[order], np.arange(uniq.size))
         if uniq.size:
+            # reduceat preserves dtype — int64 sums stay exact (bincount's
+            # weights= path accumulates in float64 regardless of input)
+            sums = np.add.reduceat(vals[order], starts)
             mx = np.maximum.reduceat(vals[order], starts)
             mn = np.minimum.reduceat(vals[order], starts)
         else:
-            mx = mn = np.empty(0, dtype=np.float64)
+            sums = np.empty(0, dtype=vals.dtype)
+            mx = mn = np.empty(0, dtype=vals.dtype)
 
         pr, pd = self._join_map(parent)
         pos = np.searchsorted(pr, uniq)
@@ -1983,7 +1994,9 @@ class Searcher:
                 routing_col: pa.array(uniq),
                 "parent_doc_id": pa.array(pd[pos_c]),
                 "n_children": pa.array(n),
-                "score": pa.array(score),
+                # single terminal cast: exact int64 partials become the
+                # public float64 score here and nowhere earlier
+                "score": pa.array(np.asarray(score, dtype=np.float64)),
             }
         )
         idx = pc.sort_indices(

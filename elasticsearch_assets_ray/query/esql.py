@@ -1899,7 +1899,15 @@ def _apply_stats(ds, st: Stats, evaluator: Evaluator, hint: int | None):
 
         return main_ds.map_batches(finish, batch_format="pyarrow"), out_names
 
-    # branches exist: collect the (bounded) bucket tables and join
+    # branches exist: collect the (bounded) bucket tables and join.
+    # BOUND CONTRACT: everything below this line materializes tables whose
+    # row count is the GROUP cardinality (and, for the partial_agg side
+    # branches, groups × distinct-values-per-group after the per-batch
+    # dedup) — sized by ``stats_hint``, never by the input row count.  The
+    # driver-side concat / to_pandas().drop_duplicates() / tuple-map joins
+    # are safe ONLY under that bound; do not reuse this tail for unbounded
+    # keys (a raw high-cardinality BY column) — route those through the
+    # no-branch combiner-first path above instead.
     base: pa.Table | None = None
     if main_ds is not None:
         base = pa.concat_tables(list(main_ds.iter_batches(batch_format="pyarrow")))

@@ -717,6 +717,12 @@ class ShardedSearcher:
         return q, df
 
     def _gather(self, method: str, *args) -> list:
+        if not self.shards:
+            # after shutdown() an empty gather would silently report
+            # count()==0 / match_ids()==[] — wrong answers, not errors
+            raise RuntimeError(
+                "ShardedSearcher has been shut down; create a new instance"
+            )
         if self.use_actors:
             import ray
 
@@ -900,6 +906,10 @@ class ShardedSearcher:
             )
 
     def _gather_one(self, i: int, method: str, *args):
+        if not self.shards:
+            raise RuntimeError(
+                "ShardedSearcher has been shut down; create a new instance"
+            )
         if self.use_actors:
             import ray
 
@@ -975,9 +985,9 @@ class ShardedSearcher:
         gather is concat + global re-sort + head(k) — no cross-shard
         join traffic, exactly ES's execution shape."""
         self._require_routing()
-        q, df = self.prepare(child_query)
+        qh, dfh = self._prepared_handles(child_query)
         parts = self._gather(
-            "has_child", q, df, parent, child, score_mode,
+            "has_child", qh, dfh, parent, child, score_mode,
             min_children, max_children, k, score_field,
         )
         routing_col = self.coord.manifest["routing"]["col"]
@@ -1001,9 +1011,9 @@ class ShardedSearcher:
         """ES ``has_parent`` over the serving pool — shard-local under
         routing co-location, merged by plain top-k."""
         self._require_routing()
-        q, df = self.prepare(parent_query)
+        qh, dfh = self._prepared_handles(parent_query)
         parts = self._gather(
-            "has_parent", q, df, parent, child, score, score_field, k
+            "has_parent", qh, dfh, parent, child, score, score_field, k
         )
         out = pa.concat_tables([p for p in parts if p.num_rows] or parts[:1])
         idx = pc.sort_indices(

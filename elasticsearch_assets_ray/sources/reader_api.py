@@ -112,6 +112,15 @@ class ReaderAPI:
             out["engine"] = self._searcher.metrics()
         return out
 
+    def shutdown(self) -> None:
+        """Release serving resources (the sharded actor pool, when one
+        backs this reader).  Idempotent; the reader stays usable for
+        plain parquet scans but index-backed calls will re-raise from
+        the searcher."""
+        if self._searcher is not None and hasattr(self._searcher, "shutdown"):
+            self._searcher.shutdown()
+        self._searcher = None
+
     # ---------- predicates ----------
     def _filter(self, s: ReaderSlice):
         filt = None
@@ -218,10 +227,11 @@ class ReaderAPI:
         """DateSlicerMetadataHook analog (reference interfaces.ts:259-275,
         invoked ElasticsearchReaderAPI.ts:557-561): after planning, the
         caller-supplied hook observes the DISCOVERED interval and date
-        range per slicer — `{slicer_id: {start, end, interval, count}}`
-        with ISO-8601 strings, interval as (seconds, "s") or None for an
-        empty range.  The reference uses it to write the discovered
-        interval back into job metadata."""
+        range per slicer — `{slicer_id: {start, end, interval}}` with
+        ISO-8601 strings and interval as (seconds, "s"); the adaptive
+        (count-probed) path adds a `count` key per slice.  The reference
+        uses it to write the discovered interval back into job
+        metadata."""
         if hook is None:
             return
         hook({i: e for i, e in enumerate(entries)})
@@ -253,7 +263,11 @@ class ReaderAPI:
                 {
                     "start": r.start.isoformat(),
                     "end": r.end.isoformat(),
-                    "interval": ((r.end - r.start).total_seconds(), "s"),
+                    # the DISCOVERED interval is the even division — the
+                    # last slice's end carries a +1 microsecond
+                    # limit-inclusivity bump that is a slice-bound
+                    # artifact, not part of the discovered interval
+                    "interval": (span.total_seconds(), "s"),
                 }
                 for r in out
             ],
@@ -459,7 +473,13 @@ class ReaderAPIFactory:
         return self._cache.get(name)
 
     def remove(self, name: str) -> None:
-        self._cache.pop(name, None)
+        # release the instance's serving actors too — dropping only the
+        # dict entry leaves a sharded pool's CPU reservations alive until
+        # lazy GC (the starvation hazard ShardedSearcher.shutdown exists
+        # to prevent); mirrors the reference factory's remove() teardown
+        api = self._cache.pop(name, None)
+        if api is not None:
+            api.shutdown()
 
     def entries(self):
         return list(self._cache.items())
