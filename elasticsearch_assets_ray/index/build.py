@@ -19,15 +19,29 @@ and write three artifacts atomically (write-then-rename):
   recoveryData analog, reference dateSlicer.ts:308-335,
   interfaces.ts:192-206).
 
-**Phase 2 (the one shuffle).**  ``read_parquet(runs) →
-groupby(term, bucket) → map_groups(merge)``.  ``bucket = pid //
-runs_per_bucket`` bounds every group to ≤ runs_per_bucket runs regardless
-of term frequency — 'import'/'return'/'def' shuffle into many disjoint
-docID-range groups instead of one giant one (the salted-repartition /
-subslice_by_key analog, reference dateSlicer.ts:381-394).  Because
-partition docID ranges are disjoint and ordered, merging a group is
-*concatenation* of sorted runs, never a k-way interleave; a term's full
-posting list is the bucket-ordered sequence of its segment rows.
+**Phase 2 (zero-shuffle merge, v3).**  The merge key is
+``(shard = hash(term) % num_shards, bucket = pid // runs_per_bucket)``
+— and BOTH halves are already file-affine: a run file holds exactly one
+pid (one bucket), and since v3 phase 1 sorts each run by shard and
+writes ONE PARQUET ROW GROUP PER SHARD.  So the "shuffle" needs no
+all-to-all at all: one merge task per (shard, bucket) reads only its
+bucket's ≤ runs_per_bucket run files with a ``shard ==`` filter that
+row-group statistics prune to exactly its bytes.  Every posting byte is
+read once, by the one task that needs it — the exchange rides the
+shared filesystem/object store the way a sort-merge shuffle spills
+anyway, minus the sort, the sampling pass, and the driver barrier.  On
+a multi-node cluster each merge task is independent and placement-free.
+(The pre-v3 ``groupby(shard, bucket).map_groups`` path is kept as a
+fallback for runs written without the shard column.)
+
+``bucket = pid // runs_per_bucket`` bounds every group to
+≤ runs_per_bucket runs regardless of term frequency —
+'import'/'return'/'def' merge in many disjoint docID-range groups
+instead of one giant one (the salted-repartition / subslice_by_key
+analog, reference dateSlicer.ts:381-394).  Because partition docID
+ranges are disjoint and ordered, merging a group is *concatenation* of
+sorted runs, never a k-way interleave; a term's full posting list is
+the bucket-ordered sequence of its segment rows.
 
 The merged group is encoded (delta + varint 128-doc blocks with per-block
 (last_docid, max_tf, min_dl) metadata) and written as segment rows
@@ -61,7 +75,11 @@ from elasticsearch_assets_ray.sources.partition import (
 )
 from elasticsearch_assets_ray.stages.tokenizer import doc_term_freqs
 
-MANIFEST_VERSION = 2  # v2: slim posting runs (int32 row offsets, no dls)
+# v2: slim posting runs (int32 row offsets, no dls)
+# v3: runs carry a shard column, sorted by (shard, term) with one parquet
+#     row group per shard — phase 2 merges with NO all-to-all (each
+#     (shard, bucket) task filter-reads exactly its row groups)
+MANIFEST_VERSION = 3
 
 #: identifier of the term→shard routing hash recorded in every index
 #: manifest; a searcher must recompute shard routing with the SAME hash
@@ -155,6 +173,34 @@ def _atomic_write_json(obj: dict, path: str) -> None:
     with os.fdopen(fd, "w") as f:
         json.dump(obj, f)
     os.replace(tmp, path)
+
+
+def _atomic_write_run_sharded(run: pa.Table, path: str) -> None:
+    """Write a posting run with ONE ROW GROUP PER SHARD (rows must arrive
+    sorted by the ``shard`` column).  Row-group statistics then let the
+    phase-2 merge task's ``shard ==`` filter read exactly its bytes —
+    the property the zero-shuffle phase 2 relies on."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    shard = run["shard"].to_numpy(zero_copy_only=False)
+    if len(shard):
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(shard)) + 1, [len(shard)])
+        )
+    else:
+        bounds = np.zeros(1, dtype=np.int64)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    os.close(fd)
+    try:
+        with pq.ParquetWriter(tmp, run.schema, compression="zstd") as w:
+            if len(bounds) > 1:
+                for a, b in zip(bounds[:-1], bounds[1:]):
+                    w.write_table(run.slice(a, b - a))
+            else:
+                w.write_table(run)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _binary_from_offsets(values: np.ndarray, boundaries: np.ndarray) -> pa.Array:
@@ -357,7 +403,16 @@ def build_partition(
         pos_bounds = np.concatenate(([0], np.cumsum(cf_local))).astype(np.int64)
         run_cols["pos_le"] = _binary_from_offsets(pos_sorted, pos_bounds)
     run = pa.table(run_cols)
-    _atomic_write_table(run, os.path.join(out_dir, "runs", name + ".parquet"))
+    # v3 layout: bake the term's shard, sort by it (stable — uterms are
+    # already term-sorted, so rows stay (shard, term)-ordered), and write
+    # one row group per shard.  Phase 2 then reads each shard's postings
+    # with a statistics-pruned filter instead of an all-to-all shuffle.
+    shard_np = term_shard(run["term"], cfg.num_shards)
+    run = run.append_column("shard", pa.array(shard_np))
+    s_order = np.argsort(shard_np, kind="stable")
+    if not np.array_equal(s_order, np.arange(len(s_order))):
+        run = run.take(pa.array(s_order, type=pa.int64()))
+    _atomic_write_run_sharded(run, os.path.join(out_dir, "runs", name + ".parquet"))
 
     manifest = {
         "version": MANIFEST_VERSION,
@@ -554,12 +609,41 @@ def _merge_shard_bucket(
     return pa.table(out)
 
 
+def _empty_segment_table(with_pos: bool) -> pa.Table:
+    """Zero-row table with the exact _merge_shard_bucket output schema —
+    what a (shard, bucket) merge task emits when its filter matches
+    nothing (schema unions across blocks must stay exact or the searcher's
+    segment concat breaks)."""
+    cols: dict = {
+        "term": pa.array([], pa.string()),
+        "bucket": pa.array([], pa.int64()),
+        "shard": pa.array([], pa.int64()),
+        "df": pa.array([], pa.int64()),
+        "cf": pa.array([], pa.int64()),
+        "min_docid": pa.array([], pa.int64()),
+        "max_docid": pa.array([], pa.int64()),
+        "n_blocks": pa.array([], pa.int32()),
+    }
+    for c in ("blob", "block_last", "block_off", "block_maxtf", "block_mindl"):
+        cols[c] = pa.array([], pa.large_binary())
+    if with_pos:
+        cols["pos"] = pa.array([], pa.large_binary())
+    return pa.table(cols)
+
+
 def run_phase2(out_dir: str, cfg: IndexConfig) -> None:
-    """The ONE shuffle: runs → groupby(shard, bucket) → merged, encoded
-    segment rows partitioned by shard.  Reusable over any runs/docstore
-    directory pair with disjoint pid ranges (full builds AND delta
-    compaction)."""
+    """Phase-2 merge: runs → per-(shard, bucket) merged, encoded segment
+    rows partitioned by shard.  Reusable over any runs/docstore directory
+    pair with disjoint pid ranges (full builds AND delta compaction).
+
+    v3 runs (shard column, one row group per shard) take the ZERO-SHUFFLE
+    path: one merge task per (shard, bucket) filter-reads exactly its row
+    groups from its bucket's ≤ runs_per_bucket files — no all-to-all, no
+    sort, no sampling barrier; every posting byte is read once by the one
+    task that needs it.  Legacy runs without the shard column fall back to
+    the groupby(shard, bucket) sort-shuffle."""
     import functools
+    import re as _re
 
     import glob as _glob
 
@@ -574,23 +658,71 @@ def run_phase2(out_dir: str, cfg: IndexConfig) -> None:
     if not run_files:
         os.makedirs(seg_dir, exist_ok=True)  # empty but valid index
         return
-    runs = ray.data.read_parquet(run_files)
     rpb = cfg.runs_per_bucket
     num_shards = cfg.num_shards
+    first_names = pq.read_schema(run_files[0]).names
+    # the zero-shuffle path needs BOTH v3 properties: the shard column
+    # (per-shard row groups) and pid-named files (file↔bucket affinity).
+    # expunge/reshard rewrites emit uuid-named, multi-pid runs — those
+    # take the sort-shuffle below.
+    pid_names = [_re.search(r"part-(\d+)\.parquet$", f) for f in run_files]
 
-    def add_keys(t: pa.Table) -> pa.Table:
-        t = t.append_column(
-            "bucket", pc.divide(t["pid"], pa.scalar(rpb, pa.int64()))
+    if "shard" in first_names and all(pid_names):
+        # ---- zero-shuffle path (v3 runs) ----
+        with_pos = "pos_le" in first_names
+        by_bucket: dict[int, list[str]] = {}
+        for f, m in zip(run_files, pid_names):
+            by_bucket.setdefault(int(m.group(1)) // rpb, []).append(f)
+        descriptors = [
+            {"shard": s, "bucket": b, "files": fs}
+            for b, fs in sorted(by_bucket.items())
+            for s in range(num_shards)
+        ]
+        codec = cfg.codec
+
+        def merge_groups(batch: pa.Table) -> pa.Table:
+            import pyarrow.dataset as pads
+
+            outs = []
+            for row in batch.to_pylist():
+                g = pads.dataset(row["files"]).to_table(
+                    filter=pc.field("shard") == row["shard"]
+                )
+                if not g.num_rows:
+                    continue
+                g = g.append_column(
+                    "bucket",
+                    pa.array(np.full(g.num_rows, row["bucket"], dtype=np.int64)),
+                )
+                outs.append(_merge_shard_bucket(g, codec=codec, out_dir=out_dir))
+            if not outs:
+                return _empty_segment_table(with_pos)
+            return pa.concat_tables(outs)
+
+        # one descriptor per block up to a cap: at very large bucket
+        # counts, coalescing a few (same-bucket, adjacent-shard) groups
+        # per task keeps driver scheduling overhead bounded without
+        # hurting skew (groups stay ≤ runs_per_bucket runs each)
+        segments = ray.data.from_items(
+            descriptors, override_num_blocks=min(len(descriptors), 2048)
+        ).map_batches(merge_groups, batch_format="pyarrow")
+    else:
+        # ---- legacy sort-shuffle path (pre-v3 runs) ----
+        runs = ray.data.read_parquet(run_files)
+
+        def add_keys(t: pa.Table) -> pa.Table:
+            t = t.append_column(
+                "bucket", pc.divide(t["pid"], pa.scalar(rpb, pa.int64()))
+            )
+            return t.append_column(
+                "shard", pa.array(term_shard(t["term"], num_shards))
+            )
+
+        runs = runs.map_batches(add_keys, batch_format="pyarrow")
+        segments = runs.groupby(["shard", "bucket"]).map_groups(
+            functools.partial(_merge_shard_bucket, codec=cfg.codec, out_dir=out_dir),
+            batch_format="pyarrow",
         )
-        return t.append_column("shard", pa.array(term_shard(t["term"], num_shards)))
-
-    runs = runs.map_batches(add_keys, batch_format="pyarrow")
-    # ONE shuffle, |groups| = num_shards × n_buckets (bounded, never
-    # per-term): each group merges+encodes all its terms vectorized.
-    segments = runs.groupby(["shard", "bucket"]).map_groups(
-        functools.partial(_merge_shard_bucket, codec=cfg.codec, out_dir=out_dir),
-        batch_format="pyarrow",
-    )
     segments.write_parquet(seg_dir, partition_cols=["shard"])
     # a zero-posting input writes no files at all — the directory must
     # still exist for the searcher

@@ -168,3 +168,92 @@ def test_index_config_validation():
         IndexConfig(content_col="")
     with pytest.raises(ValueError, match="id column"):
         IndexConfig(content_col="repo")
+
+
+def test_v3_runs_sharded_rowgroups(built_index):
+    """v3 layout contract: runs carry the shard column, rows sorted by
+    shard, ONE row group per shard present — so phase 2's ``shard ==``
+    filter prunes to exactly that shard's bytes (the zero-shuffle
+    property)."""
+    idx_dir, _ = built_index
+    runs = sorted(
+        f
+        for f in os.listdir(os.path.join(idx_dir, "runs"))
+        if f.endswith(".parquet")
+    )
+    assert runs
+    for name in runs:
+        pf = pq.ParquetFile(os.path.join(idx_dir, "runs", name))
+        assert "shard" in pf.schema_arrow.names
+        col = pf.schema_arrow.names.index("shard")
+        seen = []
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(col).statistics
+            # one row group per shard: min == max within, strictly
+            # increasing across
+            assert st.min == st.max
+            seen.append(st.min)
+        assert seen == sorted(set(seen))
+        shard_col = pf.read(columns=["shard"])["shard"].to_numpy(
+            zero_copy_only=False
+        )
+        assert (np.diff(shard_col) >= 0).all()
+
+
+def test_phase2_fast_path_matches_legacy(built_index, tmp_path):
+    """The zero-shuffle phase 2 must produce byte-identical segments to
+    the legacy groupby sort-shuffle over the SAME runs."""
+    import glob
+
+    from elasticsearch_assets_ray.index.build import (
+        IndexConfig,
+        _empty_segment_table,
+        run_phase2,
+    )
+
+    idx_dir, _ = built_index
+    cfg = IndexConfig(
+        target_partition_rows=128, runs_per_bucket=2, num_shards=4
+    )
+    alt = str(tmp_path / "legacy")
+    os.makedirs(os.path.join(alt, "runs"))
+    os.makedirs(os.path.join(alt, "docstore"))
+    for sub in ("runs", "docstore"):
+        for f in glob.glob(os.path.join(idx_dir, sub, "part-*.parquet")):
+            os.link(f, os.path.join(alt, sub, os.path.basename(f)))
+    # strip the shard column from the linked runs to force the legacy path
+    for f in glob.glob(os.path.join(alt, "runs", "part-*.parquet")):
+        t = pq.read_table(f)
+        os.unlink(f)
+        pq.write_table(t.drop_columns(["shard"]), f, compression="zstd")
+    run_phase2(alt, cfg)
+
+    def seg_table(d):
+        t = pads.dataset(
+            os.path.join(d, "segments"), partitioning="hive"
+        ).to_table()
+        return t.take(
+            pa.compute.sort_indices(
+                t, sort_keys=[("term", "ascending"), ("bucket", "ascending")]
+            )
+        )
+
+    a = seg_table(idx_dir)
+    b = seg_table(alt)
+    assert a.num_rows == b.num_rows
+    for c in ("term", "bucket", "df", "cf", "min_docid", "max_docid", "blob"):
+        assert a[c].to_pylist() == b[c].to_pylist(), c
+    # empty-group emission: schema must match the real merge output
+    # exactly (schema unions across blocks break the searcher otherwise)
+    real = pads.dataset(
+        os.path.join(idx_dir, "segments"), partitioning="hive"
+    ).to_table()
+    # ``shard`` is a hive partition column (path-encoded, read back as
+    # int32) — compare the DATA columns, which must match exactly
+    empty = _empty_segment_table(with_pos=False).drop_columns(["shard"])
+    real_no_part = real.select(empty.column_names)
+    assert [f.name for f in real_no_part.schema] == [
+        f.name for f in empty.schema
+    ]
+    for f_real, f_empty in zip(real_no_part.schema, empty.schema):
+        assert f_real.type == f_empty.type, f_real.name
