@@ -203,6 +203,46 @@ def _atomic_write_run_sharded(run: pa.Table, path: str) -> None:
             os.unlink(tmp)
 
 
+def write_rewrite_runs_batch(
+    batch: pa.Table, runs_dir: str, rpb: int, num_shards: int
+) -> pa.Table:
+    """map_batches body for REWRITE pipelines (expunge / reshard /
+    any segments→runs decode): write the batch's rows as bucket-affine,
+    shard-sorted v3 run files so :func:`run_phase2` takes the
+    zero-shuffle path for rewrites too.
+
+    Layout contract (mirrors fresh v3 runs): each output file holds
+    exactly ONE bucket (named ``part-b<bucket>-x<uuid>.parquet`` — the
+    filename IS the bucket, baked with THIS rpb), rows sorted by
+    ``shard = term_shard(term, num_shards)`` with one parquet row group
+    per shard.  A bucket may span several files (one per input batch
+    that touched it); the merge concatenates them exactly like a fresh
+    build's ≤ rpb pid files.  Returns a 1-row ``{"rows": n}`` table."""
+    import uuid as _uuid
+
+    n = batch.num_rows
+    if n:
+        pid = batch["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = pid // rpb
+        shard = term_shard(batch["term"], num_shards)
+        t = batch.append_column("shard", pa.array(shard))
+        order = np.lexsort((shard, bucket))
+        if not np.array_equal(order, np.arange(n)):
+            t = t.take(pa.array(order, type=pa.int64()))
+        bsorted = bucket[order]
+        bounds = np.concatenate(
+            ([0], np.flatnonzero(np.diff(bsorted)) + 1, [n])
+        )
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            name = (
+                f"part-b{int(bsorted[a]):06d}-x{_uuid.uuid4().hex[:12]}.parquet"
+            )
+            _atomic_write_run_sharded(
+                t.slice(a, b - a), os.path.join(runs_dir, name)
+            )
+    return pa.table({"rows": pa.array([n], pa.int64())})
+
+
 def _binary_from_offsets(values: np.ndarray, boundaries: np.ndarray) -> pa.Array:
     """Zero-copy large_binary array: cell i = values[boundaries[i]:boundaries[i+1]]
     as raw little-endian bytes.  No per-term Python loop."""
@@ -662,17 +702,27 @@ def run_phase2(out_dir: str, cfg: IndexConfig) -> None:
     num_shards = cfg.num_shards
     first_names = pq.read_schema(run_files[0]).names
     # the zero-shuffle path needs BOTH v3 properties: the shard column
-    # (per-shard row groups) and pid-named files (file↔bucket affinity).
-    # expunge/reshard rewrites emit uuid-named, multi-pid runs — those
-    # take the sort-shuffle below.
-    pid_names = [_re.search(r"part-(\d+)\.parquet$", f) for f in run_files]
+    # (per-shard row groups) and file↔bucket affinity from the filename —
+    # either ``part-<pid>.parquet`` (fresh build: bucket = pid // rpb) or
+    # ``part-b<bucket>-x<uuid>.parquet`` (rewrite runs from
+    # :func:`write_rewrite_runs_batch`: the bucket is baked in, computed
+    # with the writer's rpb == this cfg's rpb by contract).  Any other
+    # name (pre-v3 uuid runs) takes the sort-shuffle below.
+    def _file_bucket(f: str) -> int | None:
+        m = _re.search(r"part-(\d+)\.parquet$", f)
+        if m:
+            return int(m.group(1)) // rpb
+        m = _re.search(r"part-b(\d+)-x[0-9a-f]+\.parquet$", f)
+        return int(m.group(1)) if m else None
 
-    if "shard" in first_names and all(pid_names):
+    file_buckets = [_file_bucket(f) for f in run_files]
+
+    if "shard" in first_names and all(b is not None for b in file_buckets):
         # ---- zero-shuffle path (v3 runs) ----
         with_pos = "pos_le" in first_names
         by_bucket: dict[int, list[str]] = {}
-        for f, m in zip(run_files, pid_names):
-            by_bucket.setdefault(int(m.group(1)) // rpb, []).append(f)
+        for f, b in zip(run_files, file_buckets):
+            by_bucket.setdefault(b, []).append(f)
         descriptors = [
             {"shard": s, "bucket": b, "files": fs}
             for b, fs in sorted(by_bucket.items())

@@ -15,8 +15,10 @@ are the native analogs over our own index:
 - :func:`expunge_deletes` rewrites the index WITHOUT re-tokenizing:
   docstore parts are filtered (per-part Ray tasks), postings are
   decoded, tombstone-filtered, remapped to the compacted row offsets and
-  re-emitted as phase-1-format runs, then the standard phase-2 shuffle
-  (:func:`..index.build.run_phase2`) merges them — positions included.
+  re-emitted as bucket-affine v3 runs
+  (:func:`..index.build.write_rewrite_runs_batch`), then the standard
+  phase-2 merge (:func:`..index.build.run_phase2`) takes its
+  zero-shuffle path over them — positions included, no all-to-all.
 
 Scale notes: tombstones are one sorted int64 docid list (8 B/doc —
 shard it per pid range beyond ~1e9 deletes); the expunge docstore pass
@@ -314,7 +316,6 @@ def expunge_deletes(index_dir: str, out_dir: str) -> dict:
     avgdl, block metadata) recomputed — the ``_forcemerge
     ?only_expunge_deletes`` analog.  The source index is untouched."""
     import functools
-    import uuid
 
     import ray
     import ray.data
@@ -362,17 +363,21 @@ def expunge_deletes(index_dir: str, out_dir: str) -> dict:
             batch_format="pyarrow",
         )
 
-        def write_run(batch: pa.Table) -> pa.Table:
-            if batch.num_rows:
-                _atomic_write_table(
-                    batch,
-                    os.path.join(
-                        runs_dir, f"part-x{uuid.uuid4().hex[:12]}.parquet"
-                    ),
-                )
-            return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+        # bucket-affine v3 run files → run_phase2 takes the zero-shuffle
+        # path for the compaction too (no all-to-all over index bytes)
+        from elasticsearch_assets_ray.index.build import (
+            write_rewrite_runs_batch,
+        )
 
-        runs_ds.map_batches(write_run, batch_format="pyarrow").to_pandas()
+        runs_ds.map_batches(
+            functools.partial(
+                write_rewrite_runs_batch,
+                runs_dir=runs_dir,
+                rpb=int(man.get("runs_per_bucket", 32)),
+                num_shards=int(man["num_shards"]),
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
 
     cfg = IndexConfig(
         content_col=man.get("content_col", "content"),

@@ -17,16 +17,19 @@ is the segment layout pair:
 :func:`reshard_index` rewrites ONLY the postings layout: segments
 decode to phase-1-format runs (the expunge machinery's decode path with
 an empty tombstone set — no re-tokenization, docIDs unchanged) and the
-standard phase-2 shuffle rebuilds segments, block metadata and
+standard phase-2 merge rebuilds segments, block metadata and
 positions under the new layout.  The docstore is copied verbatim (same
 pids, same row offsets), tombstones and PIT snapshots stay valid, and
 every search result is bit-identical by construction (pinned by
 tests/test_reshard.py across query shapes and both serving paths).
 
 Scale shape: one streaming pass over the segment files (decode →
-re-key) feeding the same single groupby(shard, bucket) exchange as a
-fresh build — the whole operation moves index bytes, never corpus
-bytes, which at 100 TB is the difference between hours and days.
+re-key) writing bucket-affine v3 runs
+(:func:`..index.build.write_rewrite_runs_batch`), so phase 2 takes the
+same ZERO-SHUFFLE path as a fresh build — one independent merge task
+per (shard, bucket), no all-to-all.  The whole operation moves index
+bytes, never corpus bytes, which at 100 TB is the difference between
+hours and days.
 """
 
 from __future__ import annotations
@@ -50,7 +53,6 @@ def reshard_index(
     statistics but a different segment layout.  The source index is
     untouched.  Returns the new global manifest."""
     import functools
-    import uuid
 
     import numpy as np
     import pyarrow as pa
@@ -87,7 +89,6 @@ def reshard_index(
             shutil.copytree(src, os.path.join(out_dir, extra), dirs_exist_ok=True)
 
     # ---- postings: segments → runs (no tombstones) → phase-2 shuffle ----
-    from elasticsearch_assets_ray.index.build import _atomic_write_table
     from elasticsearch_assets_ray.index.codec import (
         decode_postings,
         decode_postings_pfor,
@@ -121,17 +122,22 @@ def reshard_index(
             batch_format="pyarrow",
         )
 
-        def write_run(batch: pa.Table) -> pa.Table:
-            if batch.num_rows:
-                _atomic_write_table(
-                    batch,
-                    os.path.join(
-                        runs_dir, f"part-x{uuid.uuid4().hex[:12]}.parquet"
-                    ),
-                )
-            return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})
+        # bucket-affine v3 run files keyed to the NEW layout (new_rpb /
+        # new_ns) → run_phase2's zero-shuffle path rebuilds the segments
+        # with no all-to-all
+        from elasticsearch_assets_ray.index.build import (
+            write_rewrite_runs_batch,
+        )
 
-        runs_ds.map_batches(write_run, batch_format="pyarrow").to_pandas()
+        runs_ds.map_batches(
+            functools.partial(
+                write_rewrite_runs_batch,
+                runs_dir=runs_dir,
+                rpb=new_rpb,
+                num_shards=new_ns,
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
 
     cfg = IndexConfig(
         content_col=man.get("content_col", "content"),

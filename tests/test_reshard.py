@@ -121,3 +121,101 @@ def test_reshard_analyzed_index(ray_session, corpus_dir, tmp_path_factory):
     a = s0.search("the indexes loads", k=20)
     b = s1.search("the indexes loads", k=20)
     assert a.equals(b)
+
+
+def test_rewrite_runs_take_zero_shuffle_path(resharded, tmp_path, monkeypatch):
+    """Reshard writes bucket-affine v3 runs (``part-b<bucket>-x*.parquet``,
+    rows shard-sorted, one row group per shard) and run_phase2 merges them
+    WITHOUT the groupby sort-shuffle — segments byte-identical to the
+    legacy path over the same decoded runs."""
+    import glob
+    import json
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    import elasticsearch_assets_ray.index.build as B
+    from elasticsearch_assets_ray.index.build import IndexConfig, run_phase2
+
+    src, _, _ = resharded
+
+    # capture the run files reshard produces (they're deleted after phase 2)
+    captured = str(tmp_path / "runs_copy")
+    os.makedirs(captured)
+    real_phase2 = B.run_phase2
+
+    def spy_phase2(out_dir, cfg):
+        import shutil
+
+        for f in glob.glob(os.path.join(out_dir, "runs", "*.parquet")):
+            shutil.copy2(f, os.path.join(captured, os.path.basename(f)))
+        return real_phase2(out_dir, cfg)
+
+    import elasticsearch_assets_ray.index.reshard as R
+
+    monkeypatch.setattr(R, "run_phase2", spy_phase2)
+    out = str(tmp_path / "rs_v3")
+    reshard_index(src, out, num_shards=3, runs_per_bucket=4)
+
+    run_files = sorted(glob.glob(os.path.join(captured, "*.parquet")))
+    assert run_files
+    for f in run_files:
+        # bucket-affine naming + shard-sorted row groups
+        assert os.path.basename(f).startswith("part-b")
+        pf = pq.ParquetFile(f)
+        assert "shard" in pf.schema_arrow.names
+        ci = pf.schema_arrow.names.index("shard")
+        mins = [
+            pf.metadata.row_group(rg).column(ci).statistics.min
+            for rg in range(pf.metadata.num_row_groups)
+        ]
+        maxs = [
+            pf.metadata.row_group(rg).column(ci).statistics.max
+            for rg in range(pf.metadata.num_row_groups)
+        ]
+        assert mins == maxs and mins == sorted(set(mins))
+
+    # legacy parity: strip shard column + rename to uuid-style, re-merge
+    legacy = str(tmp_path / "rs_legacy")
+    os.makedirs(os.path.join(legacy, "runs"))
+    os.makedirs(os.path.join(legacy, "docstore"))
+    for f in glob.glob(os.path.join(out, "docstore", "part-*.parquet")):
+        os.link(f, os.path.join(legacy, "docstore", os.path.basename(f)))
+    for i, f in enumerate(run_files):
+        t = pq.read_table(f).drop_columns(["shard"])
+        pq.write_table(
+            t,
+            os.path.join(legacy, "runs", f"part-xlegacy{i:04d}.parquet"),
+            compression="zstd",
+        )
+    with open(os.path.join(src, "manifest.json")) as fh:
+        man = json.load(fh)
+    cfg = IndexConfig(
+        num_shards=3,
+        runs_per_bucket=4,
+        index_positions=bool(man.get("index_positions")),
+        codec=man.get("codec", "varint"),
+    )
+    run_phase2(legacy, cfg)
+
+    def seg(d):
+        t = pads.dataset(os.path.join(d, "segments"), partitioning="hive").to_table()
+        return t.take(
+            pc.sort_indices(
+                t, sort_keys=[("term", "ascending"), ("bucket", "ascending")]
+            )
+        )
+
+    a, b = seg(out), seg(legacy)
+    assert a.num_rows == b.num_rows
+    for c in ("term", "bucket", "df", "cf", "min_docid", "max_docid", "blob", "pos"):
+        assert a[c].to_pylist() == b[c].to_pylist(), c
+
+    # and the resharded index still answers bit-identically
+    s0, s1 = Searcher(src), Searcher(out)
+    for q in _queries():
+        x, y = s0.search(q, k=25), s1.search(q, k=25)
+        assert x["doc_id"].to_pylist() == y["doc_id"].to_pylist()
+        assert x["score"].to_pylist() == y["score"].to_pylist()
