@@ -653,6 +653,75 @@ def check_tree_grounded(node) -> None:
         )
 
 
+def _tree_required_groups(node) -> list[frozenset[str]]:
+    """Conjunctive term-presence requirements of a boolean tree: a list
+    of groups such that ANY matching doc contains ≥1 term of EVERY
+    group.  Sound, not complete — negative/filter branches contribute
+    nothing (``[]`` = no requirement), an OR requires one group only
+    when every child carries a requirement (then: the union of one
+    group per child — a doc matching some child satisfies that child's
+    groups, in particular its first)."""
+    kind = node[0]
+    if kind == "term":
+        return [frozenset((node[1],))]
+    if kind == "boost":
+        return _tree_required_groups(node[1])
+    if kind == "and":
+        out: list[frozenset[str]] = []
+        for c in node[1]:
+            out.extend(_tree_required_groups(c))
+        return out
+    if kind == "or":
+        kids = [_tree_required_groups(c) for c in node[1]]
+        if not kids or any(not k for k in kids):
+            return []
+        return [frozenset().union(*(k[0] for k in kids))]
+    # "not" (presence of the negated term is never REQUIRED), "filter"
+    # (docstore predicate, no index term), unexpanded multi-term leaves
+    # (conservative: unknown expansion)
+    return []
+
+
+def required_term_groups(q: "ParsedQuery") -> list[frozenset[str]]:
+    """Term-presence requirements of a PREPARED query (multi-term
+    clauses already dictionary-expanded) — the coordinator's
+    ``can_match`` evidence.  Every group is a set of index terms of
+    which any matching doc must contain at least one; a shard whose
+    term dictionary intersects no member of some group cannot hold a
+    match.  An EMPTY group means no doc anywhere can match (e.g. a
+    term-free flat query: engine candidates are the union of
+    scoring-term postings — ``Searcher._match_ids``/``_score`` — so no
+    terms ⇒ no candidates).  An empty LIST means "no usable evidence,
+    search every shard"."""
+    if q.bool_tree is not None:
+        # grounded trees (check_tree_grounded, enforced at evaluation)
+        # cannot match a doc containing none of the tree's term leaves
+        base = frozenset(tree_terms(q.bool_tree))
+        if not base:
+            return []  # ungrounded/filter-only tree: no pruning
+        return [base] + _tree_required_groups(q.bool_tree)
+    groups: list[frozenset[str]] = []
+    base = frozenset(q.should) | frozenset(q.must)
+    if base:
+        groups.append(base)
+    for t in q.must:
+        groups.append(frozenset((t,)))
+    for grp in q.must_any:
+        groups.append(frozenset(grp))
+    for _cterms, stem in q.phrase_prefixes:
+        # prepared phrase-prefix stems are frozensets of expansion
+        # terms; the prefix POSITION must match one of them (complete
+        # terms are already MUST).  An unprepared str stem yields no
+        # evidence.
+        if isinstance(stem, frozenset):
+            groups.append(stem)
+    if not groups:
+        # term-free flat query (pure filter context): the engine's
+        # candidate stream is empty — mirror that exactly
+        groups.append(frozenset())
+    return groups
+
+
 def tree_to_string(node) -> str:
     """Canonical printable form with minimal parentheses (AND binds
     tighter than OR; NOT is prefix)."""

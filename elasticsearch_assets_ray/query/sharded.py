@@ -562,6 +562,7 @@ class ShardedSearcher:
         max_task_retries: int = 2,
         pit: str | None = None,
         fuzzy_transpositions: bool = False,
+        can_match: bool = True,
     ):
         with open(os.path.join(index_dir, "manifest.json")) as f:
             man = json.load(f)
@@ -619,6 +620,26 @@ class ShardedSearcher:
 
         self._prep_cache: "_OD[tuple, tuple]" = _OD()
         self._prep_cache_max = 512
+        # can_match pre-filter (ES's can_match phase / _search_shards):
+        # the coordinator's term dictionary knows which BUCKETS hold each
+        # query term, buckets map to serving shards, so shards whose
+        # dictionary intersects no required term group are skipped before
+        # the scatter — at 4 shards this trims point-query RPCs for
+        # selective terms; at hundreds of shards it is what makes point
+        # queries cheap (ES skips unmatchable shards the same way).
+        self.can_match = bool(can_match)
+        self._route_ranges = route_ranges
+        self._n_routes = int(routing.get("n_routes", len(route_ranges)) or 0)
+        self._range_los = np.array([r[0] for r in self.ranges], dtype=np.int64)
+        self._range_his = np.array([r[1] for r in self.ranges], dtype=np.int64)
+        self._term_shard_cache: "_OD[str, frozenset]" = _OD()
+        self._term_shard_cache_max = 65536
+        self._cm_stats = {
+            "queries": 0,          # point queries that consulted can_match
+            "pruned_queries": 0,   # queries that skipped >=1 shard
+            "shards_skipped": 0,   # total shard RPCs avoided
+            "empty_queries": 0,    # answered empty with ZERO shard RPCs
+        }
         if use_actors:
             import ray
 
@@ -729,6 +750,146 @@ class ShardedSearcher:
             return ray.get([getattr(a, method).remote(*args) for a in self.shards])
         return [getattr(s, method)(*args) for s in self.shards]
 
+    def _gather_sub(self, shard_ids: list[int], method: str, *args) -> list:
+        """Scatter to a SUBSET of shards (the can_match survivors)."""
+        if not self.shards:
+            raise RuntimeError(
+                "ShardedSearcher has been shut down; create a new instance"
+            )
+        if len(shard_ids) == self.n_shards:
+            return self._gather(method, *args)
+        if self.use_actors:
+            import ray
+
+            return ray.get(
+                [getattr(self.shards[i], method).remote(*args) for i in shard_ids]
+            )
+        return [getattr(self.shards[i], method)(*args) for i in shard_ids]
+
+    # ---------- can_match phase (ES _search_shards / can_match) ----------
+    def _shards_for_terms(self, terms: list[str]) -> dict[str, frozenset]:
+        """Which serving shards hold postings for each term — ONE
+        coordinator term-dictionary read for the misses (the same
+        (term, bucket) metadata rows the dfs phase reads; never posting
+        blobs), LRU-cached per term (the index is immutable)."""
+        out: dict[str, frozenset] = {}
+        missing: list[str] = []
+        for t in terms:
+            hit = self._term_shard_cache.get(t)
+            if hit is not None:
+                self._term_shard_cache.move_to_end(t)
+                out[t] = hit
+            else:
+                missing.append(t)
+        if missing:
+            seg = self.coord._segment_rows(missing)
+            by_term: dict[str, set] = {t: set() for t in missing}
+            if seg is not None and seg.num_rows:
+                tcol = seg["term"].to_pylist()
+                bcol = seg["bucket"].to_numpy(zero_copy_only=False)
+                # shard owning bucket b: ranges are contiguous ascending
+                sh = np.searchsorted(self._range_los, bcol, side="right") - 1
+                ok = (sh >= 0) & (bcol < self._range_his[np.clip(sh, 0, None)])
+                for t, s, good in zip(tcol, sh, ok):
+                    if good:
+                        by_term[t].add(int(s))
+            for t in missing:
+                fs = frozenset(by_term[t])
+                self._term_shard_cache[t] = fs
+                out[t] = fs
+            while len(self._term_shard_cache) > self._term_shard_cache_max:
+                self._term_shard_cache.popitem(last=False)
+        return out
+
+    def can_match_shards(self, q: ParsedQuery) -> list[int]:
+        """Shards that COULD hold a match for a prepared query: for each
+        required term group (parser.required_term_groups) the shard's
+        dictionary must intersect the group; with ``minimum_should_match``
+        the shard must hold ≥ msm distinct should terms (a doc's postings
+        all live in its shard).  Sound pruning only — skipped shards are
+        proven matchless, so results are bit-identical."""
+        groups = parser_mod.required_term_groups(q)
+        if not groups:
+            return list(range(self.n_shards))
+        all_terms = sorted(set().union(*groups))
+        tmap = self._shards_for_terms(all_terms)
+        cand = set(range(self.n_shards))
+        for g in groups:
+            hit: set = set()
+            for t in g:
+                hit |= tmap.get(t, frozenset())
+            cand &= hit
+            if not cand:
+                return []
+        if q.bool_tree is None and q.minimum_should_match > 0 and q.should:
+            sh_should = sorted(set(q.should))
+            smap = self._shards_for_terms(sh_should)
+            need = q.minimum_should_match
+            cand = {
+                s
+                for s in cand
+                if sum(1 for t in sh_should if s in smap[t]) >= need
+            }
+        return sorted(cand)
+
+    def _route_shard(self, routing: str) -> int:
+        """ES ``?routing=`` — the single serving shard that owns the
+        routing value's route (routed indexes carve shards on route
+        boundaries, so a route never straddles shards)."""
+        if not self.routed:
+            raise ValueError(
+                "routing= needs a ROUTED index (build_routed_index); this "
+                "index was built without a routing column"
+            )
+        from elasticsearch_assets_ray.index.routing import route_of
+
+        r = int(route_of(pa.array([routing]), self._n_routes)[0])
+        lo, _hi = self._route_ranges[r]
+        s = int(np.searchsorted(self._range_los, lo, side="right") - 1)
+        return s
+
+    def _point_shards(
+        self, q: ParsedQuery, routing: str | None
+    ) -> list[int]:
+        """Candidate shard ids for one point query: routing restriction
+        ∩ can_match survivors; bookkeeping for metrics()."""
+        cand = (
+            self.can_match_shards(q)
+            if self.can_match
+            else list(range(self.n_shards))
+        )
+        if routing is not None:
+            rs = self._route_shard(routing)
+            cand = [s for s in cand if s == rs]
+        self._cm_stats["queries"] += 1
+        skipped = self.n_shards - len(cand)
+        if skipped:
+            self._cm_stats["pruned_queries"] += 1
+            self._cm_stats["shards_skipped"] += skipped
+        return cand
+
+    def search_shards(
+        self, query: str | ParsedQuery | None = None, routing: str | None = None
+    ) -> list[dict]:
+        """ES ``_search_shards`` introspection: the serving-shard plan,
+        with per-shard ``can_match`` verdicts when a query / routing
+        value is given."""
+        cand = set(range(self.n_shards))
+        if query is not None:
+            q, _df = self.prepare(query)
+            if self.can_match:
+                cand = set(self.can_match_shards(q))
+        if routing is not None:
+            cand &= {self._route_shard(routing)}
+        return [
+            {
+                "shard": i,
+                "bucket_range": list(self.ranges[i]),
+                "can_match": i in cand,
+            }
+            for i in range(self.n_shards)
+        ]
+
     # ---------- per-field building blocks (combined_fields duck-type) ----------
     # A ShardedSearcher quacks like a Searcher for the raw per-field
     # surface combined_fields consumes (term_postings / term_dfs /
@@ -816,13 +977,27 @@ class ShardedSearcher:
         minimum_should_match: int = 0,
         search_after: tuple[float, int] | None = None,
         from_: int = 0,
+        routing: str | None = None,
     ) -> pa.Table:
         if from_ < 0:
             raise ValueError("from_ must be >= 0")
-        qh, dfh = self._prepared_handles(query, minimum_should_match, search_after)
+        qh, dfh, cand = self._prepared_handles(
+            query, minimum_should_match, search_after
+        )
+        if routing is not None:
+            rs = self._route_shard(routing)
+            cand = [s for s in cand if s == rs]
+        if not cand:
+            self._cm_stats["empty_queries"] += 1
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         # ES offset: each shard must return from_+k (any of them could
         # own every one of the first from_+k global hits)
-        parts = self._gather("search", qh, from_ + k, dfh)
+        parts = self._gather_sub(cand, "search", qh, from_ + k, dfh)
         return self._merge_topk_parts(parts, from_ + k).slice(from_)
 
     def _prepared_handles(
@@ -845,14 +1020,20 @@ class ShardedSearcher:
             hit = self._prep_cache.get(key)
             if hit is not None:
                 self._prep_cache.move_to_end(key)
+                self._cm_stats["queries"] += 1
+                skipped = self.n_shards - len(hit[2])
+                if skipped:
+                    self._cm_stats["pruned_queries"] += 1
+                    self._cm_stats["shards_skipped"] += skipped
                 return hit
         q, df = self.prepare(query, minimum_should_match, search_after)
+        cand = self._point_shards(q, None)
         if self.use_actors:
             import ray
 
-            out = (ray.put(q), ray.put(df))
+            out = (ray.put(q), ray.put(df), cand)
         else:
-            out = (q, df)
+            out = (q, df, cand)
         if key is not None:
             self._prep_cache[key] = out
             while len(self._prep_cache) > self._prep_cache_max:
@@ -939,18 +1120,38 @@ class ShardedSearcher:
             for qi in range(len(queries))
         ]
 
-    def count(self, query: str | ParsedQuery, minimum_should_match: int = 0) -> int:
-        qh, dfh = self._prepared_handles(query, minimum_should_match)
-        return int(sum(self._gather("count", qh, dfh)))
+    def count(
+        self,
+        query: str | ParsedQuery,
+        minimum_should_match: int = 0,
+        routing: str | None = None,
+    ) -> int:
+        qh, dfh, cand = self._prepared_handles(query, minimum_should_match)
+        if routing is not None:
+            rs = self._route_shard(routing)
+            cand = [s for s in cand if s == rs]
+        if not cand:
+            self._cm_stats["empty_queries"] += 1
+            return 0
+        return int(sum(self._gather_sub(cand, "count", qh, dfh)))
 
     def match_ids(
-        self, query: str | ParsedQuery, minimum_should_match: int = 0
+        self,
+        query: str | ParsedQuery,
+        minimum_should_match: int = 0,
+        routing: str | None = None,
     ) -> np.ndarray:
         """Every matching docID, gathered score-free from the shards
         (ReaderAPI's filtered-count path needs the ids, not just the
         cardinality)."""
-        qh, dfh = self._prepared_handles(query, minimum_should_match)
-        parts = self._gather("match_ids", qh, dfh)
+        qh, dfh, cand = self._prepared_handles(query, minimum_should_match)
+        if routing is not None:
+            rs = self._route_shard(routing)
+            cand = [s for s in cand if s == rs]
+        if not cand:
+            self._cm_stats["empty_queries"] += 1
+            return np.empty(0, dtype=np.int64)
+        parts = self._gather_sub(cand, "match_ids", qh, dfh)
         return (
             np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
         )
@@ -985,9 +1186,12 @@ class ShardedSearcher:
         gather is concat + global re-sort + head(k) — no cross-shard
         join traffic, exactly ES's execution shape."""
         self._require_routing()
-        qh, dfh = self._prepared_handles(child_query)
-        parts = self._gather(
-            "has_child", qh, dfh, parent, child, score_mode,
+        qh, dfh, cand = self._prepared_handles(child_query)
+        # a shard whose dictionary can't match the child query holds no
+        # matching children, hence no qualifying parents (min_children
+        # >= 1); keep one shard for the result schema
+        parts = self._gather_sub(
+            cand or [0], "has_child", qh, dfh, parent, child, score_mode,
             min_children, max_children, k, score_field,
         )
         routing_col = self.coord.manifest["routing"]["col"]
@@ -1011,9 +1215,11 @@ class ShardedSearcher:
         """ES ``has_parent`` over the serving pool — shard-local under
         routing co-location, merged by plain top-k."""
         self._require_routing()
-        qh, dfh = self._prepared_handles(parent_query)
-        parts = self._gather(
-            "has_parent", qh, dfh, parent, child, score, score_field, k
+        qh, dfh, cand = self._prepared_handles(parent_query)
+        # no parent match in a shard => none of its children qualify
+        parts = self._gather_sub(
+            cand or [0], "has_parent", qh, dfh, parent, child, score,
+            score_field, k,
         )
         out = pa.concat_tables([p for p in parts if p.num_rows] or parts[:1])
         idx = pc.sort_indices(
@@ -2115,4 +2321,8 @@ class ShardedSearcher:
 
     def metrics(self) -> dict:
         """Per-shard serving gauges (T5 export, distributed form)."""
-        return {"n_shards": self.n_shards, "shards": self._gather("metrics")}
+        return {
+            "n_shards": self.n_shards,
+            "can_match": dict(self._cm_stats),
+            "shards": self._gather("metrics"),
+        }
