@@ -609,6 +609,45 @@ def bench_sharded_serving(index_dir: str, queries: list[str] | None = None) -> d
         t0 = time.perf_counter()
         fn()
         aggs_ms[name] = round((time.perf_counter() - t0) * 1e3, 3)
+    # can_match pre-filter on SELECTIVE queries: single-shard terms from
+    # the dictionary scatter to 1 shard instead of n_shards (ES's
+    # can_match phase) — the pruned vs unpruned sequential latency pair
+    # quantifies the saved RPCs (at 4 shards a modest trim; the same
+    # mechanism keeps point-query cost flat at hundreds of shards)
+    sel_stats: dict = {}
+    terms: list[str] = []
+    for arr in sh.coord._term_dict_slices():
+        terms.extend(arr.to_pylist())
+        if len(terms) >= 4096:
+            break
+    if terms:
+        rng = np.random.default_rng(0)
+        pick = rng.choice(len(terms), size=min(512, len(terms)), replace=False)
+        sample = [terms[int(i)] for i in pick]
+        tmap = sh._shards_for_terms(sample)
+        sel = [t for t in sample if len(tmap[t]) == 1][:16]
+        if sel:
+            sh_off = ShardedSearcher(
+                index_dir, n_shards=4, use_actors=True, can_match=False
+            )
+            try:
+                sh_off.search(sel[0], k=10)  # warm
+                pair = {}
+                for label, searcher in (("canmatch", sh), ("full", sh_off)):
+                    ls = []
+                    for _ in range(max(2, BENCH_QUERY_REPEAT // 4)):
+                        for t in sel:
+                            t0 = time.perf_counter()
+                            searcher.search(t, k=10)
+                            ls.append(time.perf_counter() - t0)
+                    a = np.array(ls) * 1e3
+                    pair[label] = {
+                        "p50_ms": round(float(np.percentile(a, 50)), 3),
+                        "qps": round(len(ls) / (a.sum() / 1e3), 1),
+                    }
+                sel_stats = {"n_selective_terms": len(sel), **pair}
+            finally:
+                sh_off.shutdown()
     return {
         "n_shards": sh.n_shards,
         "p50_ms": round(float(np.percentile(lm, 50)), 3),
@@ -620,6 +659,8 @@ def bench_sharded_serving(index_dir: str, queries: list[str] | None = None) -> d
         "count_rows": int(c),
         "facet_buckets": int(f.num_rows),
         "distributed_aggs_ms": aggs_ms,
+        "can_match": dict(sh._cm_stats),
+        "selective": sel_stats,
         "shard_stats": sh.stats(),
     }
 

@@ -88,12 +88,22 @@ class ShardWorker:
         return self.s.search_prepared(q, k, df)
 
     def msearch(
-        self, qs: list[ParsedQuery], k: int, dfs: list[dict[str, int]]
+        self,
+        qs: list[ParsedQuery],
+        k: int,
+        dfs: list[dict[str, int]],
+        sel: list[int] | None = None,
     ) -> list[pa.Table]:
         """ES ``_msearch`` shard half: serve a BATCH of prepared queries
         in one actor call — same per-query results as :meth:`search`,
         but one RPC per shard per batch instead of one per query (the
-        actor round-trip dominates warm point-query latency)."""
+        actor round-trip dominates warm point-query latency).  ``sel``
+        restricts execution to the listed batch indices (the
+        coordinator's can_match survivors for THIS shard) — the full
+        ``qs``/``dfs`` lists ship as shared ObjectRefs either way, so
+        selection costs no extra serialization."""
+        if sel is not None:
+            return [self.s.search_prepared(qs[i], k, dfs[i]) for i in sel]
         return [self.s.search_prepared(q, k, df) for q, df in zip(qs, dfs)]
 
     def count(self, q: ParsedQuery, df: dict[str, int]) -> int:
@@ -1105,20 +1115,68 @@ class ShardedSearcher:
         call and returns all its local top-k tables; the coordinator
         merges per query.  Per-query results are identical to
         :meth:`search` (same prepare, same shard half, same merge);
-        throughput wins come purely from amortizing the actor RPC."""
+        throughput wins come purely from amortizing the actor RPC.
+        can_match applies PER ITEM (as in ES): each shard executes only
+        the batch indices that could match it, and a shard every item
+        prunes away gets no RPC at all."""
+        if not self.shards:
+            raise RuntimeError(
+                "ShardedSearcher has been shut down; create a new instance"
+            )
         prepared = [self.prepare(q) for q in queries]
         qs = [p[0] for p in prepared]
         dfs = [p[1] for p in prepared]
+        if self.can_match:
+            cands = [frozenset(self.can_match_shards(q)) for q in qs]
+        else:
+            cands = [frozenset(range(self.n_shards))] * len(qs)
+        self._cm_stats["queries"] += len(qs)
+        for c in cands:
+            skipped = self.n_shards - len(c)
+            if skipped:
+                self._cm_stats["pruned_queries"] += 1
+                self._cm_stats["shards_skipped"] += skipped
+            if not c:
+                self._cm_stats["empty_queries"] += 1
+        sels = [
+            [qi for qi, c in enumerate(cands) if si in c]
+            for si in range(self.n_shards)
+        ]
+        live = [si for si in range(self.n_shards) if sels[si]]
+        nothing_pruned = all(len(s) == len(qs) for s in sels)
         if self.use_actors:
             # one serialization of the whole batch instead of one per shard
             import ray
 
-            qs, dfs = ray.put(qs), ray.put(dfs)
-        parts = self._gather("msearch", qs, k, dfs)  # [shard][query]
-        return [
-            self._merge_topk_parts([parts[si][qi] for si in range(self.n_shards)], k)
-            for qi in range(len(queries))
-        ]
+            qs_h, dfs_h = ray.put(qs), ray.put(dfs)
+            futs = [
+                self.shards[si].msearch.remote(
+                    qs_h, k, dfs_h, None if nothing_pruned else sels[si]
+                )
+                for si in live
+            ]
+            res = ray.get(futs)
+        else:
+            res = [
+                self.shards[si].msearch(
+                    qs, k, dfs, None if nothing_pruned else sels[si]
+                )
+                for si in live
+            ]
+        # res[idx][j] = shard live[idx]'s table for its j-th selected query
+        pos = {si: {qi: j for j, qi in enumerate(sels[si])} for si in live}
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
+        out: list[pa.Table] = []
+        for qi in range(len(qs)):
+            qparts = [
+                res[idx][pos[si][qi]]
+                for idx, si in enumerate(live)
+                if qi in pos[si]
+            ]
+            out.append(self._merge_topk_parts(qparts, k) if qparts else empty)
+        return out
 
     def count(
         self,

@@ -219,6 +219,37 @@ def test_routing_param_targets_one_shard(ray_session, tmp_path_factory):
     assert sum(p["can_match"] for p in plan) == 1
 
 
+def test_msearch_per_item_can_match(cm_index):
+    """msearch applies can_match PER batch item (ES semantics): results
+    identical to per-query search() for a batch mixing common,
+    single-shard, and absent-term queries; fully-pruned items come back
+    as empty tables; a shard every item prunes away gets no RPC."""
+    batch = [
+        "def load index",
+        "zebra",
+        "okapi",
+        "absentterm",
+        "quagga AND value",
+        "zebra okapi",
+    ]
+    for actors in (False, True):
+        sh = ShardedSearcher(
+            cm_index, n_shards=4, use_actors=actors, num_cpus=0.25
+        )
+        off = ShardedSearcher(cm_index, n_shards=4, can_match=False)
+        try:
+            got = sh.msearch(batch, k=15)
+            want = [off.search(q, k=15) for q in batch]
+            for q, a, b in zip(batch, got, want):
+                assert a.equals(b), q
+            cm = sh.metrics()["can_match"]
+            assert cm["pruned_queries"] >= 4  # zebra/okapi/absent/quagga
+            assert cm["empty_queries"] == 1  # absentterm
+        finally:
+            sh.shutdown()
+            off.shutdown()
+
+
 def test_routing_param_refused_on_unrouted_index(cm_index):
     sh = ShardedSearcher(cm_index, n_shards=4)
     with pytest.raises(ValueError, match="ROUTED"):
