@@ -776,6 +776,20 @@ class ShardedSearcher:
             )
         return [getattr(self.shards[i], method)(*args) for i in shard_ids]
 
+    def _gather_q(self, q: ParsedQuery, method: str, *args) -> list:
+        """Scatter a single-query verb with the can_match pre-filter: a
+        shard whose dictionary cannot match ``q`` contributes an empty /
+        zero partial by soundness, so skipping it leaves every merge
+        bit-identical; one shard is kept when everything prunes so
+        schema-carrying merges still get a well-formed empty part.
+        ONLY for match-scoped results — verbs whose partials carry
+        corpus-wide state from non-matching shards (global_facet) must
+        keep the full scatter."""
+        if not self.can_match:
+            return self._gather(method, *args)
+        cand = self._point_shards(q, None)
+        return self._gather_sub(cand or [0], method, *args)
+
     # ---------- can_match phase (ES _search_shards / can_match) ----------
     def _shards_for_terms(self, terms: list[str]) -> dict[str, frozenset]:
         """Which serving shards hold postings for each term — ONE
@@ -927,7 +941,7 @@ class ShardedSearcher:
         the retriever-tree rescorer; bit-identical to a single Searcher
         under the scattered global df)."""
         q, df = self.prepare(query)
-        parts = [p for p in self._gather("all_scores", q, df) if p.num_rows]
+        parts = [p for p in self._gather_q(q, "all_scores", q, df) if p.num_rows]
         if not parts:
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
@@ -1313,7 +1327,7 @@ class ShardedSearcher:
         by summing — only K small bucket tables reach the coordinator."""
         q, df = self.prepare(query)
         t = self._sum_counts(
-            self._gather("facet", q, by, df), "value", pa.string()
+            self._gather_q(q, "facet", q, by, df), "value", pa.string()
         ).sort_by([("count", "descending"), ("value", "ascending")])
         return t.slice(0, size) if size is not None else t
 
@@ -1322,7 +1336,7 @@ class ShardedSearcher:
     ) -> pa.Table:
         q, df = self.prepare(query)
         return self._sum_counts(
-            self._gather("histogram", q, field, interval, df), "bucket", pa.float64()
+            self._gather_q(q, "histogram", q, field, interval, df), "bucket", pa.float64()
         )
 
     def value_counts(self, query: str | ParsedQuery, field: str) -> pa.Table:
@@ -1335,7 +1349,7 @@ class ShardedSearcher:
         from elasticsearch_assets_ray.query.engine import merge_value_counts
 
         q, df = self.prepare(query)
-        return merge_value_counts(self._gather("value_counts", q, field, df))
+        return merge_value_counts(self._gather_q(q, "value_counts", q, field, df))
 
     def cardinality(self, query: str | ParsedQuery, field: str) -> int:
         """Distributed EXACT ES `cardinality`: distinct count from the
@@ -1350,7 +1364,7 @@ class ShardedSearcher:
         each shard ships two ints over its own match set; the
         coordinator sums — nothing per-doc crosses the wire."""
         q, df = self.prepare(query)
-        pairs = self._gather("missing_value_counts", q, field, df)
+        pairs = self._gather_q(q, "missing_value_counts", q, field, df)
         return sum(p[0] for p in pairs), sum(p[1] for p in pairs)
 
     def global_facet(self, by: str, size: int | None = None) -> pa.Table:
@@ -1552,7 +1566,7 @@ class ShardedSearcher:
         candidate rows with the SAME comparator — exact."""
         q, df = self.prepare(query, minimum_should_match)
         parts = [
-            p for p in self._gather("sort_by", q, field, k, desc, df) if p.num_rows
+            p for p in self._gather_q(q, "sort_by", q, field, k, desc, df) if p.num_rows
         ]
         if not parts:
             return pa.table(
@@ -1684,7 +1698,7 @@ class ShardedSearcher:
         can only run after the global sum; ES approximates this with a
         per-shard CuckooFilter)."""
         q, df = self.prepare(query)
-        merged = self._sum_counts(self._gather("facet", q, by, df), "value", pa.string())
+        merged = self._sum_counts(self._gather_q(q, "facet", q, by, df), "value", pa.string())
         from elasticsearch_assets_ray.query.engine import rare_from_facet
 
         return rare_from_facet(merged, max_doc_count)
@@ -1697,7 +1711,7 @@ class ShardedSearcher:
         from elasticsearch_assets_ray.query.engine import multi_terms_from_parts
 
         q, df = self.prepare(query)
-        parts = self._gather("multi_facet", q, tuple(fields), df)
+        parts = self._gather_q(q, "multi_facet", q, tuple(fields), df)
         return multi_terms_from_parts(parts, list(fields), size)
 
     def mad(self, query: str | ParsedQuery, field: str) -> float | None:
@@ -1729,7 +1743,7 @@ class ShardedSearcher:
 
         q, df = self.prepare(query)
         names = [f for f, _ in sources]
-        parts = self._gather("composite", q, tuple(sources), size, after, df)
+        parts = self._gather_q(q, "composite", q, tuple(sources), size, after, df)
         page = merge_composite_parts(parts, names, size)
         return page, _composite_after_key(page, names)
 
@@ -1750,7 +1764,7 @@ class ShardedSearcher:
 
         q, df = self.prepare(query)
         out = TDigest(delta)
-        for blob in self._gather("tdigest", q, field, delta, df):
+        for blob in self._gather_q(q, "tdigest", q, field, delta, df):
             out.merge(TDigest.from_bytes(blob))
         vals = out.quantiles([p / 100.0 for p in percents])
         return pa.table(
@@ -1774,7 +1788,7 @@ class ShardedSearcher:
 
         q, df = self.prepare(query)
         pairs = merge_group_value_counts(
-            self._gather("group_value_counts", q, by, metric, df)
+            self._gather_q(q, "group_value_counts", q, by, metric, df)
         )
         return facet_metric_from_pairs(pairs, size)
 
@@ -1792,7 +1806,7 @@ class ShardedSearcher:
         )
 
         q, df = self.prepare(query)
-        got = self._gather("sig_terms", q, df)
+        got = self._gather_q(q, "sig_terms", q, df)
         fg = merge_sig_partials([t for t, _n in got])
         fg_total = int(sum(n for _t, n in got))
         return significant_terms_from_partials(
@@ -1826,7 +1840,7 @@ class ShardedSearcher:
         from elasticsearch_assets_ray.query.engine import tophits_select
 
         q, df = self.prepare(query)
-        parts = [p for p in self._gather("top_hits", q, by, n, df) if p.num_rows]
+        parts = [p for p in self._gather_q(q, "top_hits", q, by, n, df) if p.num_rows]
         if not parts:
             return pa.table(
                 {
@@ -1953,7 +1967,7 @@ class ShardedSearcher:
         if not collapse:
             raise ValueError("collapse field is required")
         q, df = self.prepare(query)
-        parts = [p for p in self._gather("collapse", q, k, collapse, df)]
+        parts = [p for p in self._gather_q(q, "collapse", q, k, collapse, df)]
         allp = pa.concat_tables(parts)
         ids = allp["doc_id"].to_numpy(zero_copy_only=False)
         sc = allp["score"].to_numpy(zero_copy_only=False)
@@ -1984,7 +1998,7 @@ class ShardedSearcher:
         """Distributed function_score: the field multiplier is per-doc,
         so per-shard top-k + merge is exact (same shape as search)."""
         q, df = self.prepare(query)
-        parts = self._gather("function_score", q, field, k, factor, modifier, missing, df)
+        parts = self._gather_q(q, "function_score", q, field, k, factor, modifier, missing, df)
         ids = np.concatenate([p["doc_id"].to_numpy(zero_copy_only=False) for p in parts])
         sc = np.concatenate([p["score"].to_numpy(zero_copy_only=False) for p in parts])
         ids, sc = bm25.sort_topk(ids, sc, k)
@@ -2008,8 +2022,8 @@ class ShardedSearcher:
         q, df = self.prepare(query)
         parts = [
             p
-            for p in self._gather(
-                "decay", q, field, kind, origin, scale, offset, decay, k, missing, df
+            for p in self._gather_q(
+                q, "decay", q, field, kind, origin, scale, offset, decay, k, missing, df
             )
             if p.num_rows
         ]
@@ -2031,7 +2045,7 @@ class ShardedSearcher:
         q, df = self.prepare(query)
         parts = [
             p
-            for p in self._gather("random_score", q, seed, k, id_field, df)
+            for p in self._gather_q(q, "random_score", q, seed, k, id_field, df)
             if p.num_rows
         ]
         if not parts:
@@ -2055,8 +2069,8 @@ class ShardedSearcher:
         q, df = self.prepare(query)
         parts = [
             p
-            for p in self._gather(
-                "distance_feature", q, field, origin, pivot, boost, k, missing, df
+            for p in self._gather_q(
+                q, "distance_feature", q, field, origin, pivot, boost, k, missing, df
             )
             if p.num_rows
         ]
@@ -2085,7 +2099,7 @@ class ShardedSearcher:
         q, df = self.prepare(query)
         parts = [
             p
-            for p in self._gather("script_score", q, field, fn, params, k, missing, df)
+            for p in self._gather_q(q, "script_score", q, field, fn, params, k, missing, df)
             if p.num_rows
         ]
         if not parts:
@@ -2112,8 +2126,8 @@ class ShardedSearcher:
         q, df = self.prepare(query)
         parts = [
             p
-            for p in self._gather(
-                "rank_feature", q, field, k, boost, function,
+            for p in self._gather_q(
+                q, "rank_feature", q, field, k, boost, function,
                 pivot, scaling, exponent, missing, df,
             )
             if p.num_rows
@@ -2234,7 +2248,7 @@ class ShardedSearcher:
         # raw-score ordering could pick different members inside a
         # round-9 tie group, breaking sharded-vs-single rank identity
         q1, df1 = self.prepare(query)
-        parts = self._gather("search_window", q1, window_size, df1)
+        parts = self._gather_q(q1, "search_window", q1, window_size, df1)
         w_ids = np.concatenate(
             [p["doc_id"].to_numpy(zero_copy_only=False) for p in parts]
         )
