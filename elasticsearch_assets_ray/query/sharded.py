@@ -109,6 +109,17 @@ class ShardWorker:
     def count(self, q: ParsedQuery, df: dict[str, int]) -> int:
         return self.s.match_ids_prepared(q, df).size
 
+    def count_up_to(self, q: ParsedQuery, df: dict[str, int], up_to: int) -> int:
+        """Shard half of distributed ``track_total_hits`` (Q7): count
+        matches, stopping once ``up_to`` is reached — remaining buckets
+        stay undecoded.  May overshoot within the last bucket (bucket
+        granularity), never undershoots ``min(true, up_to)``."""
+        self.s._df_override = df
+        try:
+            return int(self.s._match_ids(q, up_to=up_to).size)
+        finally:
+            self.s._df_override = None
+
     def match_ids(self, q: ParsedQuery, df: dict[str, int]) -> np.ndarray:
         return self.s.match_ids_prepared(q, df)
 
@@ -1206,6 +1217,32 @@ class ShardedSearcher:
             self._cm_stats["empty_queries"] += 1
             return 0
         return int(sum(self._gather_sub(cand, "count", qh, dfh)))
+
+    def match_count(
+        self,
+        query: str | ParsedQuery,
+        minimum_should_match: int = 0,
+        track_total_hits: int | None = None,
+    ) -> tuple[int, str]:
+        """Distributed ES ``track_total_hits`` (Q7): every shard counts
+        its own matches and STOPS at the threshold (+1, so an exactly-
+        threshold total still reports "eq" — the single-searcher
+        contract), undecoded buckets stay undecoded shard-side.  The
+        capped sum preserves the ES ``total`` contract exactly: any
+        shard truncating forces the sum past the threshold ("gte");
+        a sum within the threshold implies no shard truncated, so it is
+        the exact global count ("eq")."""
+        qh, dfh, cand = self._prepared_handles(query, minimum_should_match)
+        if not cand:
+            self._cm_stats["empty_queries"] += 1
+            return (0, "eq")
+        if track_total_hits is None:
+            return (int(sum(self._gather_sub(cand, "count", qh, dfh))), "eq")
+        up_to = track_total_hits + 1
+        n = int(sum(self._gather_sub(cand, "count_up_to", qh, dfh, up_to)))
+        if n > track_total_hits:
+            return (track_total_hits, "gte")
+        return (n, "eq")
 
     def match_ids(
         self,

@@ -250,6 +250,31 @@ def test_msearch_per_item_can_match(cm_index):
             off.shutdown()
 
 
+def test_sharded_match_count_track_total_hits(cm_index):
+    """Distributed Q7: the sharded (value, relation) contract matches
+    the single searcher at every threshold regime, and shard-side early
+    exit actually fires (count_early_exit counters advance)."""
+    single = Searcher(cm_index)
+    sh = ShardedSearcher(cm_index, n_shards=4)
+    true_n = single.match_count("def")[0]
+    assert true_n > 8
+    assert sh.match_count("def") == (true_n, "eq")
+    assert sh.match_count("def", track_total_hits=true_n) == (true_n, "eq")
+    assert sh.match_count("def", track_total_hits=true_n + 5) == (true_n, "eq")
+    assert sh.match_count("def", track_total_hits=8) == (8, "gte")
+    assert sh.match_count("absentterm", track_total_hits=8) == (0, "eq")
+    # single-searcher contract identity on the same thresholds
+    for tth in (None, 8, true_n, true_n + 5):
+        assert sh.match_count("def", track_total_hits=tth) == single.match_count(
+            "def", track_total_hits=tth
+        )
+    # the early exit fired shard-side at the small threshold
+    exits = sum(
+        s.get("count_early_exit", 0) for s in [w.s.stats for w in sh.shards]
+    )
+    assert exits > 0
+
+
 def test_routing_param_refused_on_unrouted_index(cm_index):
     sh = ShardedSearcher(cm_index, n_shards=4)
     with pytest.raises(ValueError, match="ROUTED"):
