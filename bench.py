@@ -627,8 +627,13 @@ def bench_sharded_serving(index_dir: str, queries: list[str] | None = None) -> d
         tmap = sh._shards_for_terms(sample)
         sel = [t for t in sample if len(tmap[t]) == 1][:16]
         if sel:
+            # fractional CPUs: this second 4-actor pool coexists with
+            # `sh`'s — at num_cpus=1.0 each the pair needs 8 free CPUs
+            # and would deadlock a small Ray session (the actors never
+            # schedule); 0.25 keeps both pools schedulable anywhere
             sh_off = ShardedSearcher(
-                index_dir, n_shards=4, use_actors=True, can_match=False
+                index_dir, n_shards=4, use_actors=True, can_match=False,
+                num_cpus=0.25,
             )
             try:
                 sh_off.search(sel[0], k=10)  # warm

@@ -3842,14 +3842,20 @@ class Searcher:
         return self._match_ids(q)
 
     def match_ids_prepared(
-        self, q: ParsedQuery, df_override: dict[str, int] | None = None
+        self,
+        q: ParsedQuery,
+        df_override: dict[str, int] | None = None,
+        up_to: int | None = None,
     ) -> np.ndarray:
         """Shard-side ``match_ids`` for an already-rewritten query (df
         only affects scores, which this path skips — accepted for
-        interface symmetry with ``search_prepared``)."""
+        interface symmetry with ``search_prepared``).  ``up_to`` is the
+        track_total_hits early-exit threshold: counting stops once that
+        many matches accumulate (bucket granularity — may overshoot
+        within the last bucket, never undershoots ``min(true, up_to)``)."""
         self._df_override = df_override
         try:
-            return self._match_ids(q)
+            return self._match_ids(q, up_to=up_to)
         finally:
             self._df_override = None
 

@@ -52,6 +52,15 @@ from elasticsearch_assets_ray.query.engine import Searcher, collapse_winners, kn
 from elasticsearch_assets_ray.query.parser import ParsedQuery, parse_query
 
 
+def _empty_hits() -> pa.Table:
+    """The empty top-k hits table — ONE definition of the (doc_id int64,
+    score float64) schema shared by every all-pruned / no-match early
+    return, so it can never drift from _merge_topk_parts output."""
+    return pa.table(
+        {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+    )
+
+
 class ShardWorker:
     """One doc-partition serving shard: a bucket-range Searcher plus the
     shard-side halves of search / count / aggregations.  Used directly
@@ -112,13 +121,9 @@ class ShardWorker:
     def count_up_to(self, q: ParsedQuery, df: dict[str, int], up_to: int) -> int:
         """Shard half of distributed ``track_total_hits`` (Q7): count
         matches, stopping once ``up_to`` is reached — remaining buckets
-        stay undecoded.  May overshoot within the last bucket (bucket
-        granularity), never undershoots ``min(true, up_to)``."""
-        self.s._df_override = df
-        try:
-            return int(self.s._match_ids(q, up_to=up_to).size)
-        finally:
-            self.s._df_override = None
+        stay undecoded (the early-exit semantics live in
+        ``Searcher.match_ids_prepared(up_to=...)``)."""
+        return int(self.s.match_ids_prepared(q, df, up_to=up_to).size)
 
     def match_ids(self, q: ParsedQuery, df: dict[str, int]) -> np.ndarray:
         return self.s.match_ids_prepared(q, df)
@@ -798,8 +803,9 @@ class ShardedSearcher:
         keep the full scatter."""
         if not self.can_match:
             return self._gather(method, *args)
-        cand = self._point_shards(q, None)
-        return self._gather_sub(cand or [0], method, *args)
+        cand = self.can_match_shards(q) or [0]
+        self._note_plan(len(cand))
+        return self._gather_sub(cand, method, *args)
 
     # ---------- can_match phase (ES _search_shards / can_match) ----------
     def _shards_for_terms(self, terms: list[str]) -> dict[str, frozenset]:
@@ -896,12 +902,19 @@ class ShardedSearcher:
         if routing is not None:
             rs = self._route_shard(routing)
             cand = [s for s in cand if s == rs]
+        self._note_plan(len(cand))
+        return cand
+
+    def _note_plan(self, n_executed: int) -> None:
+        """One point query's can_match bookkeeping: how many shard RPCs
+        the plan actually issues vs the full scatter.  Shared by every
+        counting site so the three paths (prepared-handle miss,
+        prepared-handle cache hit, per-verb _gather_q) can never drift."""
         self._cm_stats["queries"] += 1
-        skipped = self.n_shards - len(cand)
-        if skipped:
+        skipped = self.n_shards - n_executed
+        if skipped > 0:
             self._cm_stats["pruned_queries"] += 1
             self._cm_stats["shards_skipped"] += skipped
-        return cand
 
     def search_shards(
         self, query: str | ParsedQuery | None = None, routing: str | None = None
@@ -954,9 +967,7 @@ class ShardedSearcher:
         q, df = self.prepare(query)
         parts = [p for p in self._gather_q(q, "all_scores", q, df) if p.num_rows]
         if not parts:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
-            )
+            return _empty_hits()
         return pa.concat_tables(parts)
 
     def term_postings(self, term: str):
@@ -1024,12 +1035,7 @@ class ShardedSearcher:
             cand = [s for s in cand if s == rs]
         if not cand:
             self._cm_stats["empty_queries"] += 1
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
+            return _empty_hits()
         # ES offset: each shard must return from_+k (any of them could
         # own every one of the first from_+k global hits)
         parts = self._gather_sub(cand, "search", qh, from_ + k, dfh)
@@ -1055,11 +1061,7 @@ class ShardedSearcher:
             hit = self._prep_cache.get(key)
             if hit is not None:
                 self._prep_cache.move_to_end(key)
-                self._cm_stats["queries"] += 1
-                skipped = self.n_shards - len(hit[2])
-                if skipped:
-                    self._cm_stats["pruned_queries"] += 1
-                    self._cm_stats["shards_skipped"] += skipped
+                self._note_plan(len(hit[2]))
                 return hit
         q, df = self.prepare(query, minimum_should_match, search_after)
         cand = self._point_shards(q, None)
@@ -1155,12 +1157,8 @@ class ShardedSearcher:
             cands = [frozenset(self.can_match_shards(q)) for q in qs]
         else:
             cands = [frozenset(range(self.n_shards))] * len(qs)
-        self._cm_stats["queries"] += len(qs)
         for c in cands:
-            skipped = self.n_shards - len(c)
-            if skipped:
-                self._cm_stats["pruned_queries"] += 1
-                self._cm_stats["shards_skipped"] += skipped
+            self._note_plan(len(c))
             if not c:
                 self._cm_stats["empty_queries"] += 1
         sels = [
@@ -1190,9 +1188,7 @@ class ShardedSearcher:
             ]
         # res[idx][j] = shard live[idx]'s table for its j-th selected query
         pos = {si: {qi: j for j, qi in enumerate(sels[si])} for si in live}
-        empty = pa.table(
-            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
-        )
+        empty = _empty_hits()
         out: list[pa.Table] = []
         for qi in range(len(qs)):
             qparts = [
@@ -1223,6 +1219,7 @@ class ShardedSearcher:
         query: str | ParsedQuery,
         minimum_should_match: int = 0,
         track_total_hits: int | None = None,
+        routing: str | None = None,
     ) -> tuple[int, str]:
         """Distributed ES ``track_total_hits`` (Q7): every shard counts
         its own matches and STOPS at the threshold (+1, so an exactly-
@@ -1231,8 +1228,12 @@ class ShardedSearcher:
         capped sum preserves the ES ``total`` contract exactly: any
         shard truncating forces the sum past the threshold ("gte");
         a sum within the threshold implies no shard truncated, so it is
-        the exact global count ("eq")."""
+        the exact global count ("eq").  ``routing=`` restricts the count
+        to the routing value's shard like :meth:`count`."""
         qh, dfh, cand = self._prepared_handles(query, minimum_should_match)
+        if routing is not None:
+            rs = self._route_shard(routing)
+            cand = [s for s in cand if s == rs]
         if not cand:
             self._cm_stats["empty_queries"] += 1
             return (0, "eq")

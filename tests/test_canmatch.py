@@ -88,6 +88,14 @@ def test_can_match_parity_and_pruning(cm_index):
     assert cm["empty_queries"] > 0
     off_cm = off.metrics()["can_match"]
     assert off_cm["pruned_queries"] == 0 and off_cm["shards_skipped"] == 0
+    # _gather_q accounting: a fully-pruned aggregation verb still issues
+    # ONE RPC (schema-carrying fallback shard), so it records exactly
+    # n_shards-1 skips and is NOT an empty_queries (zero-RPC) answer
+    before = sh.metrics()["can_match"]
+    sh.facet("absentterm", by="lang")
+    after = sh.metrics()["can_match"]
+    assert after["shards_skipped"] - before["shards_skipped"] == 3
+    assert after["empty_queries"] == before["empty_queries"]
 
 
 def test_single_term_locality(cm_index):
@@ -205,6 +213,12 @@ def test_routing_param_targets_one_shard(ray_session, tmp_path_factory):
         buckets = (ids >> shift) // rpb
         in_shard = (buckets >= lo) & (buckets < hi)
         assert sh.count("beta", routing=rv) == int(in_shard.sum())
+        assert sh.match_count("beta", routing=rv) == (int(in_shard.sum()), "eq")
+        if int(in_shard.sum()) > 1:
+            assert sh.match_count("beta", track_total_hits=1, routing=rv) == (
+                1,
+                "gte",
+            )
         got = sh.match_ids("beta", routing=rv)
         assert np.array_equal(np.sort(got), np.sort(ids[in_shard]))
         # every doc returned under routing= lives in the routed shard
