@@ -260,10 +260,17 @@ class ShardWorker:
             self.s._df_override = None
 
     def filters_counts(
-        self, qs: list[ParsedQuery], dfs: list[dict[str, int]]
+        self,
+        qs: list[ParsedQuery],
+        dfs: list[dict[str, int]],
+        sel: list[int] | None = None,
     ) -> list[int]:
         """Local score-free match counts for a BATCH of named filters
-        (one actor call for the whole filters agg)."""
+        (one actor call for the whole filters agg).  ``sel`` restricts
+        execution to the listed batch indices (can_match survivors for
+        this shard), as in :meth:`msearch`."""
+        if sel is not None:
+            return [int(self.s.match_ids_prepared(qs[i], dfs[i]).size) for i in sel]
         return [int(self.s.match_ids_prepared(q, df).size) for q, df in zip(qs, dfs)]
 
     def adjacency(
@@ -1532,13 +1539,62 @@ class ShardedSearcher:
     def filters_agg(self, queries: dict[str, str | ParsedQuery]) -> pa.Table:
         """Distributed ES filters agg: ONE scatter carries every named
         query; per-shard score-free counts sum exactly (each doc lives
-        in exactly one bucket-range shard)."""
+        in exactly one bucket-range shard).  can_match applies per named
+        filter, as in :meth:`msearch` — shards count only the filters
+        that could match them, fully-pruned shards get no RPC, and a
+        nowhere-matching filter reports 0 without any shard work."""
         names = sorted(queries)
         prepared = [self.prepare(queries[n]) for n in names]
         qs = [p[0] for p in prepared]
         dfs = [p[1] for p in prepared]
-        parts = self._gather("filters_counts", qs, dfs)  # [shard][query]
-        totals = [int(sum(p[i] for p in parts)) for i in range(len(names))]
+        if self.can_match:
+            cands = [frozenset(self.can_match_shards(q)) for q in qs]
+        else:
+            cands = [frozenset(range(self.n_shards))] * len(qs)
+        for c in cands:
+            self._note_plan(len(c))
+            if not c:
+                self._cm_stats["empty_queries"] += 1
+        sels = [
+            [qi for qi, c in enumerate(cands) if si in c]
+            for si in range(self.n_shards)
+        ]
+        live = [si for si in range(self.n_shards) if sels[si]]
+        nothing_pruned = all(len(s) == len(qs) for s in sels)
+        if self.use_actors:
+            import ray
+
+            if not self.shards:
+                raise RuntimeError(
+                    "ShardedSearcher has been shut down; create a new instance"
+                )
+            qs_h, dfs_h = ray.put(qs), ray.put(dfs)
+            res = ray.get(
+                [
+                    self.shards[si].filters_counts.remote(
+                        qs_h, dfs_h, None if nothing_pruned else sels[si]
+                    )
+                    for si in live
+                ]
+            )
+        else:
+            res = [
+                self.shards[si].filters_counts(
+                    qs, dfs, None if nothing_pruned else sels[si]
+                )
+                for si in live
+            ]
+        pos = {si: {qi: j for j, qi in enumerate(sels[si])} for si in live}
+        totals = [
+            int(
+                sum(
+                    res[idx][pos[si][qi]]
+                    for idx, si in enumerate(live)
+                    if qi in pos[si]
+                )
+            )
+            for qi in range(len(names))
+        ]
         return pa.table(
             {"value": pa.array(names, pa.string()), "count": pa.array(totals, pa.int64())}
         )

@@ -289,6 +289,36 @@ def test_sharded_match_count_track_total_hits(cm_index):
     assert exits > 0
 
 
+def test_filters_agg_per_item_can_match(cm_index):
+    """filters_agg prunes per named filter: identical counts to the
+    unpruned scatter for a mix of common / single-shard / absent
+    filters, in actor and in-process modes."""
+    filters = {
+        "common": "def load",
+        "first": "zebra",
+        "last": "okapi",
+        "nowhere": "absentterm",
+        "pair": "quagga AND value",
+    }
+    for actors in (False, True):
+        sh = ShardedSearcher(
+            cm_index, n_shards=4, use_actors=actors, num_cpus=0.25
+        )
+        off = ShardedSearcher(cm_index, n_shards=4, can_match=False)
+        try:
+            a = sh.filters_agg(filters)
+            b = off.filters_agg(filters)
+            assert a.equals(b)
+            by = dict(zip(a["value"].to_pylist(), a["count"].to_pylist()))
+            assert by["first"] == 1 and by["last"] == 1 and by["nowhere"] == 0
+            cm = sh.metrics()["can_match"]
+            assert cm["pruned_queries"] >= 4
+            assert cm["empty_queries"] == 1
+        finally:
+            sh.shutdown()
+            off.shutdown()
+
+
 def test_routing_param_refused_on_unrouted_index(cm_index):
     sh = ShardedSearcher(cm_index, n_shards=4)
     with pytest.raises(ValueError, match="ROUTED"):
